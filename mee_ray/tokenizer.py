@@ -1,0 +1,112 @@
+"""Code-aware tokenizer.
+
+The pluggable UDF surface of the engine (the analog of the reference's
+scalar-function DSL + ``db_field`` mapping layer, reference
+modules/handlers/common.py:32-127) — pure module, no Ray imports, so it
+unit-tests table-driven like the reference's regex tests
+(modules/handlers/v1/test/test_exp_re.py).
+
+Semantics (BASELINE.json north_star):
+- raw tokens: maximal runs matching ``[A-Za-z_][A-Za-z0-9_]* | [0-9]+``
+- identifier splitting: ``_`` boundaries plus camelCase transitions
+  (``parseHTTPResponse`` → ``parse http response``; ``v2Parser`` →
+  ``v2 parser`` — digits glue to the preceding lowercase run)
+- the full identifier is also emitted lowercased (configurable)
+- optional sub-token n-grams joined by a single space (a character that
+  can never occur inside a token, so n-grams never collide with tokens)
+
+Everything is deterministic; term frequencies are exact counts.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+from mee_ray.config import TokenizerConfig
+
+# Maximal identifier-or-number runs.
+TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+")
+
+# Simple mode: exactly regexp_extract_all(lower(text), '[a-z0-9_]+'),
+# so DuckDB oracle SQL can reproduce it verbatim.
+SIMPLE_RE = re.compile(r"[a-z0-9_]+")
+
+# Sub-token split of one identifier:
+#   HTTPResponse -> HTTP Response ; parseHTTP -> parse HTTP ;
+#   camelCase -> camel Case ; v2x -> v2x ; ABCdef -> AB Cdef
+CAMEL_RE = re.compile(r"[A-Z]+(?![a-z])|[A-Z][a-z0-9]*|[a-z][a-z0-9]*|[0-9]+")
+
+
+class Tokenizer:
+    """Stateful tokenizer meant to live inside a map_batches actor:
+    compiled regexes plus a token→sub-token memo cache (term
+    distributions are heavy-tailed, so the cache hit rate is very
+    high — this is the engine's analog of the reference's per-handler
+    script cache, commonhandler.py:593-628)."""
+
+    def __init__(self, cfg: TokenizerConfig | None = None):
+        self.cfg = cfg or TokenizerConfig()
+        self._memo: dict[str, tuple[str, ...]] = {}
+        # bound the memo so adversarial corpora can't OOM an actor
+        self._memo_cap = 1 << 20
+
+    def _expand(self, raw: str) -> tuple[str, ...]:
+        """All terms emitted for one raw token."""
+        cfg = self.cfg
+        memo = self._memo
+        hit = memo.get(raw)
+        if hit is not None:
+            return hit
+
+        out: list[str] = []
+        low = raw.lower() if cfg.lowercase else raw
+        if cfg.split_identifiers:
+            subs = CAMEL_RE.findall(raw)
+            if cfg.lowercase:
+                subs = [s.lower() for s in subs]
+            if len(subs) == 0:
+                out.append(low)
+            elif len(subs) == 1:
+                # "__init__" → "init" (plus the full form so exact
+                # lookups still hit); "foo" → just "foo"
+                out.append(subs[0])
+                if cfg.emit_full_token and low != subs[0]:
+                    out.append(low)
+            else:
+                if cfg.emit_full_token:
+                    out.append(low)
+                out.extend(subs)
+                n = cfg.subtoken_ngram
+                if n >= 2 and len(subs) >= n:
+                    for i in range(len(subs) - n + 1):
+                        out.append(" ".join(subs[i:i + n]))
+        else:
+            out.append(low)
+
+        maxlen = cfg.max_token_len
+        result = tuple(t for t in out if 0 < len(t) <= maxlen)
+        if len(memo) < self._memo_cap:
+            memo[raw] = result
+        return result
+
+    def terms(self, text: str) -> list[str]:
+        """Flat term sequence (with repetitions) for one document."""
+        cfg = self.cfg
+        if not cfg.split_identifiers and cfg.lowercase:
+            # SQL-reproducible fast path (see SIMPLE_RE)
+            maxlen = cfg.max_token_len
+            return [t for t in SIMPLE_RE.findall(text.lower()) if len(t) <= maxlen]
+        expand = self._expand
+        out: list[str] = []
+        for raw in TOKEN_RE.findall(text):
+            out.extend(expand(raw))
+        return out
+
+    def counts(self, text: str) -> Counter:
+        """term → tf for one document."""
+        return Counter(self.terms(text))
+
+    def doc_length(self, text: str) -> int:
+        """Total number of emitted terms (the BM25 ``dl``)."""
+        return len(self.terms(text))
