@@ -1,0 +1,386 @@
+"""Full index build — the Ray-Data reimagining of the reference's
+UpdateService full rebuild (reference services/updateservice.py:47-80,
+modules/handlers/v1/commonhandler.py:216-271).
+
+Where the reference streams ONE master row per MySQL round-trip and
+writes ONE document per ES HTTP call (commonhandler.py:406, 77-83), the
+new engine is columnar end-to-end:
+
+  read_parquet(corpus)
+    → [latest-commit-wins dedup]                 (groupby of keys only)
+    → map_batches(DocTokenize, actor pool)       (tokenize ONCE)
+    → staged `docs_tok` parquet                  (checkpoint; resume point)
+    → docs table (column-pruned projection)      (+ sha256 invariant)
+    → map_batches(ExplodeTriples)                ((term, salt, doc_id, tf, dl))
+    → groupby(part)                              (THE wide shuffle; salted)
+    → encode partition → segment file + lineage  (write-temp + rename)
+    → manifest.json → atomic CURRENT publish     (alias-swap analog)
+
+Scale notes (100 TB):
+- `docs_tok` staging makes the expensive tokenize pass run exactly once
+  and is the natural checkpoint: both the docs projection and the
+  triple explosion read it with parquet column pruning.
+- the only all-to-all moves (term, salt, doc_id, tf, dl) tuples — never
+  `content`.  Hot terms are salted into contiguous doc_id ranges so
+  their sub-lists spread across partitions *within the term's shard*
+  and concatenate back in sorted order for free (mee_ray.ids.salt_of).
+- `cfg.num_parts` bounds the size of the partition one encode task must
+  hold; raise `parts_per_shard` with corpus size.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mee_ray import manifest as mf
+from mee_ray.config import EngineConfig
+from mee_ray.ids import doc_ids_batch, salts_batch, term_hash
+from mee_ray.postings import block_metadata, encode_posting_list, tf_norm, varint_encode
+from mee_ray.tokenizer import Tokenizer
+
+SEGMENT_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("salt", pa.int32()),
+    ("df", pa.int64()),
+    ("doc_ids_enc", pa.binary()),
+    ("tfs_enc", pa.binary()),
+    ("dls_enc", pa.binary()),
+    ("block_last", pa.list_(pa.int64())),
+    ("block_max", pa.list_(pa.float64())),
+    ("shard", pa.int32()),
+])
+
+LINEAGE_SCHEMA = pa.schema([
+    ("part", pa.int32()),
+    ("n_terms", pa.int64()),
+    ("n_postings", pa.int64()),
+    ("bytes", pa.int64()),
+    ("path", pa.string()),
+    ("sha256", pa.string()),
+    ("resumed", pa.bool_()),
+])
+
+
+class DocTokenize:
+    """Actor-pool stage: corpus batch → docs_tok rows.
+
+    State built once per actor (Tokenizer regex + memo cache) — the
+    analog of the reference's per-handler caches
+    (commonhandler.py:593-628); work per batch in __call__."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self.tok = Tokenizer(cfg.tokenizer)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = doc_ids_batch(batch["repo"], batch["path"], batch["commit"])
+        contents = batch["content"].to_pylist()
+        shas, lengths, terms_col, tfs_col = [], [], [], []
+        for c in contents:
+            c = c if c is not None else ""
+            shas.append(hashlib.sha256(c.encode()).digest())
+            counts = self.tok.counts(c)
+            # sorted term order inside a doc → deterministic layout
+            items = sorted(counts.items())
+            terms_col.append([t for t, _ in items])
+            tfs_col.append([tf for _, tf in items])
+            lengths.append(sum(counts.values()))
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "repo": batch["repo"],
+            "path": batch["path"],
+            "commit": batch["commit"],
+            "lang": batch["lang"],
+            "content_sha256": pa.array(shas, pa.binary()),
+            "length": pa.array(lengths, pa.int32()),
+            "terms": pa.array(terms_col, pa.list_(pa.string())),
+            "tfs": pa.array(tfs_col, pa.list_(pa.int32())),
+        })
+
+
+class ExplodeTriples:
+    """docs_tok batch → (part, term, salt, doc_id, tf, dl) triples.
+
+    Term→(shard, hash, hot?) routing is cached per actor; the per-token
+    dict lookup is the only row-wise work and is O(1) amortized."""
+
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self._route: dict[str, tuple[int, int, bool]] = {}
+
+    def _route_of(self, term: str) -> tuple[int, int, bool]:
+        r = self._route.get(term)
+        if r is None:
+            h = term_hash(term)
+            shard = h % self.cfg.num_shards
+            r = (shard, h >> 8, term in self.cfg.hot_terms)
+            if len(self._route) < (1 << 20):
+                self._route[term] = r
+        return r
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        pps = cfg.parts_per_shard
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        dls = batch["length"].to_numpy(zero_copy_only=False)
+        terms_lists = batch["terms"].to_pylist()
+        tfs_lists = batch["tfs"].to_pylist()
+
+        n_per_doc = np.fromiter((len(t) for t in terms_lists), dtype=np.int64,
+                                count=len(terms_lists))
+        doc_rep = np.repeat(doc_ids, n_per_doc)
+        dl_rep = np.repeat(dls, n_per_doc)
+        flat_terms: list[str] = [t for lst in terms_lists for t in lst]
+        flat_tfs = np.fromiter((tf for lst in tfs_lists for tf in lst),
+                               dtype=np.int32, count=len(flat_terms))
+
+        n = len(flat_terms)
+        shard = np.empty(n, dtype=np.int32)
+        h2 = np.empty(n, dtype=np.int64)
+        hot = np.empty(n, dtype=bool)
+        route = self._route_of
+        for i, t in enumerate(flat_terms):
+            s, h, is_hot = route(t)
+            shard[i] = s; h2[i] = h; hot[i] = is_hot
+
+        salt = np.where(hot, salts_batch(doc_rep, cfg.salt_factor), 0).astype(np.int32)
+        part = (shard * pps
+                + ((h2 ^ (salt.astype(np.int64) * 0x9E3779B1)) % pps)).astype(np.int32)
+        return pa.table({
+            "part": part,
+            "term": pa.array(flat_terms, pa.string()),
+            "salt": salt,
+            "doc_id": doc_rep,
+            "tf": flat_tfs,
+            "dl": dl_rep.astype(np.int32),
+        })
+
+
+def make_encode_partition(seg_dir: str, avgdl: float, cfg: EngineConfig):
+    """map_groups fn over one shuffle partition: encode every (term,
+    salt) run into a compressed posting row, write the segment file
+    atomically, emit ONE lineage row (resume: an existing valid sidecar
+    short-circuits the encode)."""
+    k1, b = cfg.bm25.k1, cfg.bm25.b
+    block_size = cfg.block_size
+
+    def encode_partition(group: pa.Table) -> pa.Table:
+        import json
+        part = int(group["part"][0].as_py())
+        final = os.path.join(seg_dir, f"part-{part:05d}.parquet")
+        sidecar = final + ".lineage.json"
+        if os.path.exists(final) and os.path.exists(sidecar):
+            with open(sidecar) as f:
+                lin = json.load(f)
+            lin["resumed"] = True
+            return pa.Table.from_pylist([lin], schema=LINEAGE_SCHEMA)
+
+        import pyarrow.compute as pc
+        order = pc.sort_indices(group, sort_keys=[("term", "ascending"),
+                                                  ("salt", "ascending"),
+                                                  ("doc_id", "ascending")])
+        g = group.take(order)
+        term_dict = pc.dictionary_encode(g["term"]).combine_chunks()
+        term_idx = term_dict.indices.to_numpy(zero_copy_only=False)
+        terms_vocab = term_dict.dictionary.to_pylist()
+        salts = g["salt"].to_numpy(zero_copy_only=False)
+        doc_ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        tfs = g["tf"].to_numpy(zero_copy_only=False)
+        dls = g["dl"].to_numpy(zero_copy_only=False)
+
+        n = len(term_idx)
+        if n == 0:
+            return pa.Table.from_pylist([], schema=LINEAGE_SCHEMA)
+        bounds = np.flatnonzero((np.diff(term_idx) != 0) | (np.diff(salts) != 0)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [n]))
+
+        tfnorms = tf_norm(tfs, dls, avgdl, k1, b)
+
+        o_term, o_salt, o_df = [], [], []
+        o_ids, o_tfs, o_dls, o_bl, o_bm, o_shard = [], [], [], [], [], []
+        for lo, hi in zip(starts, ends):
+            ids_run = doc_ids[lo:hi]
+            ids_enc, tfs_enc = encode_posting_list(ids_run, tfs[lo:hi])
+            dls_enc = varint_encode(dls[lo:hi].astype(np.uint64))
+            bl, bm = block_metadata(ids_run, tfnorms[lo:hi], block_size)
+            t = terms_vocab[term_idx[lo]]
+            o_term.append(t)
+            o_salt.append(int(salts[lo]))
+            o_df.append(hi - lo)
+            o_ids.append(ids_enc); o_tfs.append(tfs_enc); o_dls.append(dls_enc)
+            o_bl.append(bl.tolist()); o_bm.append(bm.tolist())
+            o_shard.append(term_hash(t) % cfg.num_shards)
+
+        seg = pa.table({
+            "term": pa.array(o_term, pa.string()),
+            "salt": pa.array(o_salt, pa.int32()),
+            "df": pa.array(o_df, pa.int64()),
+            "doc_ids_enc": pa.array(o_ids, pa.binary()),
+            "tfs_enc": pa.array(o_tfs, pa.binary()),
+            "dls_enc": pa.array(o_dls, pa.binary()),
+            "block_last": pa.array(o_bl, pa.list_(pa.int64())),
+            "block_max": pa.array(o_bm, pa.list_(pa.float64())),
+            "shard": pa.array(o_shard, pa.int32()),
+        })
+        tmp = final + f".tmp.{os.getpid()}"
+        pq.write_table(seg, tmp)
+        os.replace(tmp, final)
+        with open(final, "rb") as f:
+            sha = hashlib.sha256(f.read()).hexdigest()
+        lin = {"part": part, "n_terms": len(o_term), "n_postings": int(n),
+               "bytes": os.path.getsize(final), "path": final, "sha256": sha,
+               "resumed": False}
+        tmp_sc = sidecar + f".tmp.{os.getpid()}"
+        with open(tmp_sc, "w") as f:
+            json.dump(lin, f)
+        os.replace(tmp_sc, sidecar)
+        return pa.Table.from_pylist([lin], schema=LINEAGE_SCHEMA)
+
+    return encode_partition
+
+
+def dedup_latest_commit(corpus, cfg: EngineConfig):
+    """Latest-commit-wins dedup of (repo, path) — the analog of the
+    reference's upsert-by-document_id semantics (commonhandler.py:68-83).
+
+    Shuffles ONLY (repo, path, commit) keys; winners are broadcast as a
+    sorted doc_id array and the corpus is filtered locally — `content`
+    never crosses the wire.  At 10^12 docs replace the broadcast with a
+    hash-bucketed semi-join on (repo, path); the groupby stays
+    key-only either way."""
+    import ray
+    from ray.data.aggregate import Max
+
+    keys = corpus.select_columns(["repo", "path", "commit"])
+    winners = keys.groupby(["repo", "path"]).aggregate(Max("commit", alias_name="commit"))
+
+    def winner_ids(batch: pa.Table) -> pa.Table:
+        ids = doc_ids_batch(batch["repo"], batch["path"], batch["commit"])
+        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    win_tbl = winners.map_batches(winner_ids, batch_format="pyarrow")
+    win_ids = np.sort(np.concatenate(
+        [b["doc_id"].to_numpy(zero_copy_only=False)
+         for b in win_tbl.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
+        or [np.empty(0, dtype=np.int64)]))
+    ref = ray.put(win_ids)
+
+    def keep_winners(batch: pa.Table) -> pa.Table:
+        wids = ray.get(ref)
+        ids = doc_ids_batch(batch["repo"], batch["path"], batch["commit"])
+        if len(wids) == 0:
+            mask = np.zeros(len(ids), dtype=bool)
+        else:
+            pos = np.minimum(np.searchsorted(wids, ids), len(wids) - 1)
+            mask = wids[pos] == ids
+        return batch.filter(pa.array(mask))
+
+    return corpus.map_batches(keep_winners, batch_format="pyarrow")
+
+
+def _staged_write(ds, final_dir: str) -> None:
+    """Write a dataset directory atomically: stream into a temp dir,
+    then one rename.  A crashed writer leaves only a .tmp dir; a rerun
+    that finds the final dir skips the stage — so stages are idempotent
+    even if the _state.json checkpoint record was lost."""
+    import shutil
+    if os.path.isdir(final_dir) and os.listdir(final_dir):
+        return
+    tmp = f"{final_dir}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ds.write_parquet(tmp)
+    shutil.rmtree(final_dir, ignore_errors=True)
+    os.rename(tmp, final_dir)
+
+
+def build_index(corpus, index_root: str, epoch: str,
+                cfg: EngineConfig | None = None,
+                dedup: bool = True, auto_publish: bool = True) -> dict:
+    """Run the full build for one epoch. Resumable: finished stages are
+    recorded in ``_state.json`` and skipped on re-run (their output
+    dirs are written atomically, so a lost state file degrades to a
+    dir-existence check); within the segment stage, finished partitions
+    short-circuit via lineage sidecars. Returns the manifest."""
+    import ray.data
+
+    cfg = cfg or EngineConfig()
+    edir = mf.epoch_dir(index_root, epoch)
+    docs_tok_dir = os.path.join(edir, "docs_tok")
+    docs_dir = os.path.join(edir, "docs")
+    seg_dir = os.path.join(edir, "segments")
+    os.makedirs(edir, exist_ok=True)
+    os.makedirs(seg_dir, exist_ok=True)
+
+    # ---- stage 1: tokenize once → staged docs_tok --------------------
+    if not mf.stage_done(index_root, epoch, "docs_tok"):
+        ds = dedup_latest_commit(corpus, cfg) if dedup else corpus
+        ds = ds.map_batches(DocTokenize, fn_constructor_kwargs={"cfg": cfg},
+                            batch_format="pyarrow", zero_copy_batch=True,
+                            batch_size=cfg.tokenize_batch_size,
+                            concurrency=cfg.tokenize_concurrency or (1, 32))
+        _staged_write(ds, docs_tok_dir)
+        mf.mark_stage(index_root, epoch, "docs_tok")
+
+    # ---- stage 2: docs table (pruned projection of the staging set) --
+    if not mf.stage_done(index_root, epoch, "docs"):
+        docs = ray.data.read_parquet(
+            docs_tok_dir, columns=["doc_id", "repo", "path", "commit", "lang",
+                                   "content_sha256", "length"])
+        _staged_write(docs, docs_dir)
+        mf.mark_stage(index_root, epoch, "docs")
+
+    # ---- stage 3: global stats + doc_id collision audit --------------
+    if not mf.stage_done(index_root, epoch, "stats"):
+        dmeta = ray.data.read_parquet(docs_dir, columns=["doc_id", "length"])
+        n_docs = dmeta.count()
+        total_tokens = int(dmeta.sum("length") or 0)
+        n_distinct = dmeta.groupby("doc_id").count().count()
+        if n_distinct != n_docs:
+            raise RuntimeError(
+                f"doc_id collision audit failed: {n_docs - n_distinct} colliding ids")
+        mf.mark_stage(index_root, epoch, "stats",
+                      n_docs=n_docs, total_tokens=total_tokens)
+    st = mf.load_state(index_root, epoch)["stats"]
+    n_docs, total_tokens = st["n_docs"], st["total_tokens"]
+    avgdl = (total_tokens / n_docs) if n_docs else 0.0
+
+    # ---- stage 4: THE shuffle — triples → partitioned segments -------
+    if not mf.stage_done(index_root, epoch, "segments"):
+        toks = ray.data.read_parquet(docs_tok_dir,
+                                     columns=["doc_id", "length", "terms", "tfs"])
+        triples = toks.map_batches(ExplodeTriples, fn_constructor_kwargs={"cfg": cfg},
+                                   batch_format="pyarrow", zero_copy_batch=True,
+                                   batch_size=cfg.tokenize_batch_size,
+                                   concurrency=(1, 32))
+        lineage = triples.groupby("part").map_groups(
+            make_encode_partition(seg_dir, avgdl, cfg), batch_format="pyarrow")
+        lin_rows = lineage.take_all()
+        mf.mark_stage(index_root, epoch, "segments", lineage=lin_rows)
+    lin_rows = mf.load_state(index_root, epoch)["segments"]["lineage"]
+
+    manifest = {
+        "epoch": epoch,
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": avgdl,
+        "num_shards": cfg.num_shards,
+        "parts_per_shard": cfg.parts_per_shard,
+        "salt_factor": cfg.salt_factor,
+        "hot_terms": sorted(cfg.hot_terms),
+        "tokenizer": vars(cfg.tokenizer).copy() if hasattr(cfg.tokenizer, "__dict__")
+                     else {f: getattr(cfg.tokenizer, f) for f in cfg.tokenizer.__dataclass_fields__},
+        "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b},
+        "segments": lin_rows,
+        "deltas": [],
+    }
+    mf.write_manifest(index_root, epoch, manifest)
+    if auto_publish:
+        mf.publish(index_root, epoch)
+    return manifest

@@ -1,0 +1,184 @@
+"""Incremental delta application — the reimagining of the reference's
+Kafka→ES SyncService (reference services/syncservice.py:53-114,
+modules/handlers/v1/commonhandler.py:595-1367).
+
+The reference patches ES documents in place with generated painless
+scripts; our segments are immutable, so the write path is log-
+structured (SURVEY.md §2.5 mapping):
+
+  INSERT           → tokenize → delta segments + added-docs record
+  DELETE           → tombstone the live doc_id of (repo, path)
+  UPDATE           → tombstone old doc_id + add new doc (documents are
+                     atomic: content change ⇒ new commit ⇒ new doc_id —
+                     the anchor-field delete+reinsert semantics of
+                     commonhandler.py:1087-1104, generalized)
+  path rename      → arrives as DELETE(old key) + INSERT(new key)
+
+Events carry a monotone ``seq`` (the Kafka-offset analog,
+FIXTURES.md F2); within one applied batch the LAST event per
+(repo, path) wins — the same last-writer-wins the reference gets from
+processing a key's events in partition order (listenservice.py:195).
+
+Each applied batch appends one delta record to the manifest with exact
+stats deltas (n/sum_dl added+deleted) so N and avgdl stay
+oracle-identical without recomputation (manifest.live_stats), plus the
+segment + tombstone file paths.  Tombstoned postings are physically
+dropped at compaction (mee_ray.merge).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mee_ray import manifest as mf
+from mee_ray.build import DocTokenize, ExplodeTriples, make_encode_partition
+from mee_ray.config import EngineConfig
+from mee_ray.ids import doc_id_of
+
+
+def _live_key_index(index_root: str, manifest: dict, keys: set[tuple[str, str]]
+                    ) -> dict[tuple[str, str], tuple[int, int]]:
+    """(repo, path) → (doc_id, length) for currently-live docs among
+    ``keys``.  Scans the epoch docs table plus every delta's added-docs
+    file, honoring tombstones; ``keys`` is small (one delta batch), so
+    this is a broadcast-filtered scan, not a shuffle."""
+    edir = mf.epoch_dir(index_root, manifest["epoch"])
+    files = []
+    docs_dir = os.path.join(edir, "docs")
+    if os.path.isdir(docs_dir):
+        files += [os.path.join(docs_dir, f) for f in sorted(os.listdir(docs_dir))
+                  if f.endswith(".parquet")]
+    for d in manifest.get("deltas", []):
+        if d.get("added_docs") and os.path.exists(d["added_docs"]):
+            files.append(d["added_docs"])
+
+    tomb = set()
+    for d in manifest.get("deltas", []):
+        p = d.get("tombstones")
+        if p and os.path.exists(p):
+            tomb.update(pq.read_table(p, columns=["doc_id"])["doc_id"].to_pylist())
+
+    out: dict[tuple[str, str], tuple[int, int]] = {}
+    for f in files:  # later files (newer deltas) overwrite older entries
+        t = pq.read_table(f, columns=["repo", "path", "doc_id", "length"])
+        for r, p, did, ln in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
+                                 t["doc_id"].to_pylist(), t["length"].to_pylist()):
+            if (r, p) in keys and did not in tomb:
+                out[(r, p)] = (did, ln)
+    return out
+
+
+def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
+                epoch: str | None = None) -> dict:
+    """Apply one batch of delta events (a Ray Dataset or pyarrow Table
+    with columns seq, type, repo, path, commit, lang, content) to the
+    CURRENT epoch. Returns the appended delta record."""
+    import ray.data
+
+    cfg = cfg or EngineConfig()
+    manifest = mf.load_manifest(index_root, epoch)
+    epoch = manifest["epoch"]
+    edir = mf.epoch_dir(index_root, epoch)
+
+    if hasattr(events, "to_arrow_refs") or hasattr(events, "iter_batches"):
+        ev = pa.concat_tables(
+            [b for b in events.iter_batches(batch_format="pyarrow", batch_size=1 << 18)])
+    else:
+        ev = events
+
+    # last-writer-wins per (repo, path), by seq
+    order = np.argsort(ev["seq"].to_numpy(zero_copy_only=False), kind="stable")
+    final: dict[tuple[str, str], dict] = {}
+    rows = {name: ev[name].to_pylist() for name in
+            ("seq", "type", "repo", "path", "commit", "lang", "content")}
+    max_seq = 0
+    for i in order:
+        key = (rows["repo"][i], rows["path"][i])
+        max_seq = max(max_seq, int(rows["seq"][i]))
+        final[key] = {k: rows[k][i] for k in rows}
+
+    live = _live_key_index(index_root, manifest, set(final))
+
+    tomb_ids, tomb_dls = [], []
+    adds = []
+    for key, e in final.items():
+        old = live.get(key)
+        if e["type"] == "DELETE":
+            if old is not None:
+                tomb_ids.append(old[0]); tomb_dls.append(old[1])
+        else:  # INSERT / UPDATE → upsert
+            new_id = doc_id_of(e["repo"], e["path"], e["commit"])
+            if old is not None and old[0] == new_id:
+                # redelivered upsert of the already-live version:
+                # no-op, so at-least-once delivery stays idempotent
+                # (the analog of the reference's upsert-by-id semantics
+                # under Kafka redelivery, commonhandler.py:68-83)
+                continue
+            if old is not None:
+                tomb_ids.append(old[0]); tomb_dls.append(old[1])
+            adds.append(e)
+
+    seq_no = len(manifest.get("deltas", [])) + 1
+    ddir = os.path.join(edir, "deltas", f"delta-{seq_no:06d}")
+    os.makedirs(os.path.join(ddir, "segments"), exist_ok=True)
+
+    tomb_path = os.path.join(ddir, "tombstones.parquet")
+    tmp = tomb_path + ".tmp"
+    pq.write_table(pa.table({"doc_id": pa.array(tomb_ids, pa.int64())}), tmp)
+    os.replace(tmp, tomb_path)
+
+    record = {
+        "seq": seq_no, "max_event_seq": max_seq,
+        "tombstones": tomb_path, "added_docs": None, "segments": [],
+        "n_added": 0, "n_deleted": len(tomb_ids),
+        "sum_dl_added": 0, "sum_dl_deleted": int(sum(tomb_dls)),
+    }
+
+    if adds:
+        add_tbl = pa.table({
+            "repo": pa.array([a["repo"] for a in adds], pa.string()),
+            "path": pa.array([a["path"] for a in adds], pa.string()),
+            "commit": pa.array([a["commit"] for a in adds], pa.string()),
+            "lang": pa.array([a["lang"] for a in adds], pa.string()),
+            "content": pa.array([a["content"] or "" for a in adds], pa.string()),
+        })
+        tok_ds = (ray.data.from_arrow(add_tbl)
+                  .map_batches(DocTokenize, fn_constructor_kwargs={"cfg": cfg},
+                               batch_format="pyarrow",
+                               batch_size=cfg.tokenize_batch_size,
+                               concurrency=(1, 8)))
+        # stage the tokenized adds once (small), then docs + segments
+        tok_tbl = pa.concat_tables(
+            [b for b in tok_ds.iter_batches(batch_format="pyarrow",
+                                            batch_size=1 << 18)])
+        added_docs_path = os.path.join(ddir, "added_docs.parquet")
+        tmp = added_docs_path + ".tmp"
+        pq.write_table(tok_tbl.drop_columns(["terms", "tfs"]), tmp)
+        os.replace(tmp, added_docs_path)
+
+        # delta segments: same explode + encode machinery as the full
+        # build, but over the tiny add set; tfnorm uses the BASE avgdl
+        # of the epoch — both engines recompute exact scores at query
+        # time from (tf, dl, live avgdl), so this only affects the
+        # stored (unused until compaction) block-max hints
+        triples = (ray.data.from_arrow(tok_tbl.select(["doc_id", "length", "terms", "tfs"]))
+                   .map_batches(ExplodeTriples, fn_constructor_kwargs={"cfg": cfg},
+                                batch_format="pyarrow", concurrency=(1, 4)))
+        seg_out = triples.groupby("part").map_groups(
+            make_encode_partition(os.path.join(ddir, "segments"),
+                                  manifest["avgdl"] or 1.0, cfg),
+            batch_format="pyarrow")
+        lin = seg_out.take_all()
+        record["segments"] = [r["path"] for r in lin]
+        record["added_docs"] = added_docs_path
+        record["n_added"] = tok_tbl.num_rows
+        record["sum_dl_added"] = int(pa.compute.sum(tok_tbl["length"]).as_py() or 0)
+
+    manifest.setdefault("deltas", []).append(record)
+    epoch_name = manifest.pop("epoch")
+    mf.write_manifest(index_root, epoch_name, manifest)
+    return record

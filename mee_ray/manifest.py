@@ -1,0 +1,137 @@
+"""Epoch manifests, atomic publish, lineage, GC.
+
+The durable-state analog of the reference's Redis status machine + ES
+alias swap + dirty-data GC:
+
+- epoch manifest  ≙ RedisStatusConfig "epoch descriptor"
+  (reference modules/status.py:101-195)
+- CURRENT pointer rename ≙ atomic alias swap
+  (reference services/updateservice.py:252-310)
+- gc_epochs ≙ _cleanDirtyData (reference services/updateservice.py:100-114)
+- per-partition lineage records ≙ binlog position file + Kafka offsets
+  (reference services/listenservice.py:160-182)
+
+All writes are write-temp-then-``os.replace`` so a crashed build never
+leaves a readable-but-partial manifest, and the publish step is the
+single atomic rename in the whole lifecycle (SURVEY.md §4.1).
+
+Layout:
+    index_root/
+      CURRENT                      # epoch name (atomic pointer)
+      epochs/<epoch>/
+        _state.json                # coarse stage checkpoints (resume)
+        docs_tok/  docs/  segments/
+        manifest.json              # stats + segment lineage + delta log
+        deltas/delta-<seq>/        # delta segments + tombstones
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+
+def _atomic_write_json(path: str, obj: dict) -> None:
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=1, sort_keys=True)
+    os.replace(tmp, path)
+
+
+def epoch_dir(index_root: str, epoch: str) -> str:
+    return os.path.join(index_root, "epochs", epoch)
+
+
+def manifest_path(index_root: str, epoch: str) -> str:
+    return os.path.join(epoch_dir(index_root, epoch), "manifest.json")
+
+
+def write_manifest(index_root: str, epoch: str, manifest: dict) -> None:
+    _atomic_write_json(manifest_path(index_root, epoch), manifest)
+
+
+def load_manifest(index_root: str, epoch: str | None = None) -> dict:
+    if epoch is None:
+        epoch = current_epoch(index_root)
+        if epoch is None:
+            raise FileNotFoundError(f"no CURRENT epoch in {index_root}")
+    with open(manifest_path(index_root, epoch)) as f:
+        m = json.load(f)
+    m["epoch"] = epoch
+    return m
+
+
+def publish(index_root: str, epoch: str) -> None:
+    """Atomic alias-swap analog: point CURRENT at a fully-built epoch."""
+    if not os.path.exists(manifest_path(index_root, epoch)):
+        raise FileNotFoundError(f"epoch {epoch} has no manifest; refusing to publish")
+    tmp = os.path.join(index_root, f".CURRENT.tmp.{os.getpid()}")
+    with open(tmp, "w") as f:
+        f.write(epoch)
+    os.replace(tmp, os.path.join(index_root, "CURRENT"))
+
+
+def current_epoch(index_root: str) -> str | None:
+    try:
+        with open(os.path.join(index_root, "CURRENT")) as f:
+            return f.read().strip()
+    except FileNotFoundError:
+        return None
+
+
+def gc_epochs(index_root: str, keep: set[str] | None = None) -> list[str]:
+    """Delete epoch directories not in ``keep`` (default: CURRENT only).
+    Mirrors _cleanDirtyData's 'anything not referenced by status is
+    dirty' rule."""
+    keep = set(keep or ())
+    cur = current_epoch(index_root)
+    if cur:
+        keep.add(cur)
+    removed = []
+    root = os.path.join(index_root, "epochs")
+    if not os.path.isdir(root):
+        return removed
+    for name in sorted(os.listdir(root)):
+        if name not in keep:
+            shutil.rmtree(os.path.join(root, name))
+            removed.append(name)
+    return removed
+
+
+# --- coarse per-stage checkpoints (resume) ---------------------------------
+
+def _state_path(index_root: str, epoch: str) -> str:
+    return os.path.join(epoch_dir(index_root, epoch), "_state.json")
+
+
+def load_state(index_root: str, epoch: str) -> dict:
+    try:
+        with open(_state_path(index_root, epoch)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def mark_stage(index_root: str, epoch: str, stage: str, **info) -> None:
+    st = load_state(index_root, epoch)
+    st[stage] = {"done": True, "ts": time.time(), **info}
+    _atomic_write_json(_state_path(index_root, epoch), st)
+
+
+def stage_done(index_root: str, epoch: str, stage: str) -> bool:
+    return bool(load_state(index_root, epoch).get(stage, {}).get("done"))
+
+
+def live_stats(manifest: dict) -> tuple[int, float]:
+    """(N_live, avgdl_live) after applying the delta log to base stats.
+    Exact, not approximate: each delta records n/sum_dl added+deleted,
+    so BM25 global stats stay oracle-identical between compactions."""
+    n = manifest["n_docs"]
+    total = manifest["total_tokens"]
+    for d in manifest.get("deltas", []):
+        n += d["n_added"] - d["n_deleted"]
+        total += d["sum_dl_added"] - d["sum_dl_deleted"]
+    avgdl = (total / n) if n else 0.0
+    return n, avgdl

@@ -1,0 +1,184 @@
+"""Compaction: log-structured merge of base + delta segments into a new
+epoch — the analog of the reference's full-rebuild-then-alias-swap, but
+incremental: no re-tokenization, postings are decoded, tombstones
+dropped, per-term chunks merged by doc_id, re-encoded with fresh global
+stats, and the new epoch is published atomically
+(reference services/updateservice.py:47-80, 252-310 for the lifecycle).
+
+Runs as a Ray Data pipeline over partitions: one task per shuffle
+partition merges that partition's base segment file with the delta rows
+routed to the same partition (same (term, salt) → part function as the
+build, so no shuffle is needed at all — merge is embarrassingly
+parallel per partition, SURVEY.md §7.4 'segment merge: none (per-shard
+local)')."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mee_ray import manifest as mf
+from mee_ray.build import LINEAGE_SCHEMA, make_encode_partition
+from mee_ray.config import EngineConfig
+from mee_ray.ids import term_hash
+from mee_ray.postings import decode_posting_list, varint_decode
+from mee_ray.query import _tombstones
+
+
+def _part_of(term: str, salt: int, cfg: EngineConfig) -> int:
+    h = term_hash(term)
+    shard = h % cfg.num_shards
+    return shard * cfg.parts_per_shard + (
+        ((h >> 8) ^ (salt * 0x9E3779B1)) % cfg.parts_per_shard)
+
+
+def _decode_rows(t: pa.Table) -> pa.Table:
+    """Segment rows → raw triples (term, salt, doc_id, tf, dl)."""
+    terms, salts = t["term"].to_pylist(), t["salt"].to_pylist()
+    o_term, o_salt, o_id, o_tf, o_dl = [], [], [], [], []
+    for i in range(t.num_rows):
+        ids, tfs = decode_posting_list(t["doc_ids_enc"][i].as_py(),
+                                       t["tfs_enc"][i].as_py())
+        dls = varint_decode(t["dls_enc"][i].as_py()).astype(np.int64)
+        o_term.append(np.full(len(ids), i, dtype=np.int64))  # index into terms
+        o_salt.append(np.full(len(ids), salts[i], dtype=np.int32))
+        o_id.append(ids); o_tf.append(tfs); o_dl.append(dls)
+    if not o_term:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "salt": pa.array([], pa.int32()),
+                         "doc_id": pa.array([], pa.int64()),
+                         "tf": pa.array([], pa.int32()),
+                         "dl": pa.array([], pa.int32())})
+    tidx = np.concatenate(o_term)
+    term_col = pa.DictionaryArray.from_arrays(
+        pa.array(tidx, pa.int32()), pa.array(terms, pa.string())).cast(pa.string())
+    return pa.table({
+        "term": term_col,
+        "salt": pa.array(np.concatenate(o_salt)),
+        "doc_id": pa.array(np.concatenate(o_id)),
+        "tf": pa.array(np.concatenate(o_tf).astype(np.int32)),
+        "dl": pa.array(np.concatenate(o_dl).astype(np.int32)),
+    })
+
+
+def compact(index_root: str, new_epoch: str,
+            cfg: EngineConfig | None = None,
+            auto_publish: bool = True, gc_old: bool = False) -> dict:
+    """Merge CURRENT epoch + its delta log into ``new_epoch``."""
+    import ray.data
+
+    cfg = cfg or EngineConfig()
+    manifest = mf.load_manifest(index_root)
+    old_epoch = manifest["epoch"]
+    n_live, avgdl_live = mf.live_stats(manifest)
+    tomb = _tombstones(index_root, manifest)
+
+    new_edir = mf.epoch_dir(index_root, new_epoch)
+    new_docs = os.path.join(new_edir, "docs")
+    new_segs = os.path.join(new_edir, "segments")
+    os.makedirs(new_docs, exist_ok=True)
+    os.makedirs(new_segs, exist_ok=True)
+
+    # --- docs table: base minus tombstones, plus live delta adds ------
+    old_docs_dir = os.path.join(mf.epoch_dir(index_root, old_epoch), "docs")
+    doc_files = [os.path.join(old_docs_dir, f)
+                 for f in sorted(os.listdir(old_docs_dir)) if f.endswith(".parquet")]
+    for d in manifest.get("deltas", []):
+        if d.get("added_docs"):
+            doc_files.append(d["added_docs"])
+    import ray as _ray
+    tomb_ref = _ray.put(tomb)
+
+    def drop_tombstoned(batch: pa.Table) -> pa.Table:
+        tb = _ray.get(tomb_ref)
+        if len(tb) == 0:
+            return batch
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(~np.isin(ids, tb)))
+
+    docs_ds = ray.data.read_parquet(
+        doc_files, columns=["doc_id", "repo", "path", "commit", "lang",
+                            "content_sha256", "length"]
+    ).map_batches(drop_tombstoned, batch_format="pyarrow")
+    docs_ds.write_parquet(new_docs)
+
+    # --- segments: per-partition local merge (no shuffle) -------------
+    delta_seg_files = []
+    for d in manifest.get("deltas", []):
+        delta_seg_files.extend(d.get("segments", []))
+    base_files = [s["path"] for s in manifest["segments"]]
+    parts = sorted({int(os.path.basename(f).split("-")[1].split(".")[0])
+                    for f in base_files})
+    by_part = {p: [] for p in parts}
+    for f in base_files:
+        by_part[int(os.path.basename(f).split("-")[1].split(".")[0])].append(f)
+
+    encode = make_encode_partition(new_segs, avgdl_live or 1.0, cfg)
+    delta_ref = _ray.put(delta_seg_files)
+
+    def merge_part(batch: pa.Table) -> pa.Table:
+        out = []
+        dfiles = _ray.get(delta_ref)
+        tb = _ray.get(tomb_ref)
+        for row in batch.to_pylist():
+            part = row["part"]
+            tabs = [_decode_rows(pq.read_table(f)) for f in row["files"]]
+            for f in dfiles:
+                t = pq.read_table(f)
+                dec = _decode_rows(t)
+                if dec.num_rows:
+                    # keep only rows routed to this part
+                    pcol = np.fromiter(
+                        (_part_of(tm, sl, cfg) for tm, sl in
+                         zip(dec["term"].to_pylist(), dec["salt"].to_pylist())),
+                        dtype=np.int64, count=dec.num_rows)
+                    dec = dec.filter(pa.array(pcol == part))
+                if dec.num_rows:
+                    tabs.append(dec)
+            tabs = [t for t in tabs if t.num_rows]
+            if not tabs:
+                continue
+            tri = pa.concat_tables(tabs)
+            if len(tb):
+                ids = tri["doc_id"].to_numpy(zero_copy_only=False)
+                tri = tri.filter(pa.array(~np.isin(ids, tb)))
+            if not tri.num_rows:
+                continue
+            tri = tri.append_column("part", pa.array(
+                np.full(tri.num_rows, part, dtype=np.int32)))
+            out.append(encode(tri))
+        if not out:
+            return pa.Table.from_pylist([], schema=LINEAGE_SCHEMA)
+        return pa.concat_tables(out)
+
+    part_items = [{"part": p, "files": by_part[p]} for p in parts]
+    lin_rows = (ray.data.from_items(part_items)
+                .map_batches(merge_part, batch_format="pyarrow", batch_size=1)
+                .take_all())
+
+    total_tokens_live = manifest["total_tokens"]
+    for d in manifest.get("deltas", []):
+        total_tokens_live += d["sum_dl_added"] - d["sum_dl_deleted"]
+
+    new_manifest = dict(manifest)
+    new_manifest.pop("epoch", None)
+    new_manifest.update({
+        "n_docs": n_live,
+        "total_tokens": total_tokens_live,
+        "avgdl": (total_tokens_live / n_live) if n_live else 0.0,
+        "segments": lin_rows,
+        "deltas": [],
+        "compacted_from": old_epoch,
+    })
+    mf.write_manifest(index_root, new_epoch, new_manifest)
+    mf.mark_stage(index_root, new_epoch, "stats",
+                  n_docs=n_live, total_tokens=total_tokens_live)
+    if auto_publish:
+        mf.publish(index_root, new_epoch)
+        if gc_old:
+            mf.gc_epochs(index_root)
+    new_manifest["epoch"] = new_epoch
+    return new_manifest

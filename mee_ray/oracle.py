@@ -1,0 +1,92 @@
+"""Pure-Python exact reference engine (SURVEY.md §5.2.2).
+
+Replaces the reference system's "Elasticsearch computes the truth"
+stance: a brute-force in-memory inverted index with exact BM25 using
+the SAME tokenizer and the SAME formula module as the distributed
+engine.  The distributed engine must be rank-identical (doc_ids AND
+float64 scores bit-equal) on the reference query set — that is the
+north_rule acceptance test.
+
+Determinism contract shared with mee_ray.query:
+  * per-doc score = sum over the query's unique terms in sorted order
+  * float64 everywhere
+  * ties broken by ascending doc_id
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+
+from mee_ray.config import BM25Params, TokenizerConfig
+from mee_ray.scoring import idf, tfn_scalar
+from mee_ray.tokenizer import Tokenizer
+
+
+class OracleIndex:
+    def __init__(self, docs: list[tuple[int, str]],
+                 tok_cfg: TokenizerConfig | None = None,
+                 bm25: BM25Params | None = None):
+        """docs: [(doc_id, content)] — live documents only."""
+        self.bm25 = bm25 or BM25Params()
+        tok = Tokenizer(tok_cfg or TokenizerConfig())
+        self.postings: dict[str, dict[int, int]] = {}
+        self.dl: dict[int, int] = {}
+        for doc_id, content in docs:
+            counts = tok.counts(content)
+            self.dl[doc_id] = sum(counts.values())
+            for term, tf in counts.items():
+                self.postings.setdefault(term, {})[doc_id] = tf
+        self.n_docs = len(self.dl)
+        total = sum(self.dl.values())
+        self.avgdl = (total / self.n_docs) if self.n_docs else 0.0
+
+    def df(self, term: str) -> int:
+        return len(self.postings.get(term, ()))
+
+    def search(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score) in rank order."""
+        p = self.bm25
+        acc: dict[int, float] = {}
+        for term in sorted(set(terms)):
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            w = idf(len(plist), self.n_docs)
+            for doc_id, tf in plist.items():
+                s = w * tfn_scalar(float(tf), float(self.dl[doc_id]), self.avgdl, p)
+                acc[doc_id] = acc.get(doc_id, 0.0) + s
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+
+def make_query_set(docs: list[tuple[int, str]], n_queries: int = 50,
+                   seed: int = 42,
+                   tok_cfg: TokenizerConfig | None = None) -> list[dict]:
+    """Reference query set (FIXTURES.md F1 `queries`): mix of 1-term
+    hot, 1-term rare, and 2–4-term conjunctions, drawn from the actual
+    corpus vocabulary so every query has matches."""
+    tok = Tokenizer(tok_cfg or TokenizerConfig())
+    df: Counter = Counter()
+    for _, content in docs:
+        df.update(set(tok.terms(content)))
+    if not df:
+        return []
+    vocab = sorted(df)
+    by_df = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))
+    hot = [t for t, _ in by_df[:20]]
+    rare = sorted(t for t, d in df.items() if d == 1)[:200]
+    rng = np.random.default_rng(seed)
+    queries = []
+    for qid in range(n_queries):
+        mode = qid % 3
+        if mode == 0 and hot:
+            terms = [hot[int(rng.integers(0, len(hot)))]]
+        elif mode == 1 and rare:
+            terms = [rare[int(rng.integers(0, len(rare)))]]
+        else:
+            n = int(rng.integers(2, 5))
+            terms = [vocab[int(rng.integers(0, len(vocab)))] for _ in range(n)]
+        queries.append({"query_id": qid, "terms": terms, "k": 10})
+    return queries

@@ -101,9 +101,12 @@ def tf_norm(tfs: np.ndarray, dls: np.ndarray, avgdl: float,
     """BM25 term-frequency normalization component (float64):
     ``tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``.  idf is applied
     separately so this is stable under df changes."""
+    # NB: operation order mirrors scoring.tfn_scalar exactly
+    # (b * dl / avgdl, not b * (dl / avgdl)) so float64 results are
+    # bit-identical to the oracle's scalar path.
     tfs = tfs.astype(np.float64)
-    norm = k1 * (1.0 - b + b * (dls.astype(np.float64) / float(avgdl)))
-    return tfs * (k1 + 1.0) / (tfs + norm)
+    dls = dls.astype(np.float64)
+    return tfs * (k1 + 1.0) / (tfs + k1 * (1.0 - b + b * dls / float(avgdl)))
 
 
 def block_metadata(doc_ids: np.ndarray, tfnorms: np.ndarray,

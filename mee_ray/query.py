@@ -1,0 +1,223 @@
+"""Top-k BM25 query path.
+
+The analog of the reference's read side — except the reference
+delegates all scoring to Elasticsearch; here the engine owns it.
+
+Determinism contract (shared with mee_ray.oracle.OracleIndex.search):
+per-doc accumulation strictly in sorted-unique-term order, float64,
+ties broken by ascending doc_id — so results are rank-identical AND
+score-bit-identical to the oracle.
+
+Two drivers over the same `_ShardIndex` core:
+
+- :class:`Searcher` — in-process, lazy per-shard loading. Used by
+  tests and as the per-actor worker.
+- :class:`DistributedSearcher` — a pool of Ray shard actors, each
+  owning a subset of term-shards (the index is sharded BY TERM for
+  build-side skew control, per BASELINE.json north_star). A document's
+  score can span shards for multi-term queries, so shard actors return
+  exact per-term partial score vectors and the driver does the final
+  per-doc merge + global top-k heap; for single-shard queries the
+  partial IS the final score and the driver merge is a no-op.
+
+Live stats: N/avgdl come from the manifest delta log
+(mee_ray.manifest.live_stats) and df is counted after tombstone
+filtering, so post-delta queries stay oracle-identical without a
+compaction (SURVEY.md §7.5.5).
+"""
+
+from __future__ import annotations
+
+import os
+from collections import defaultdict
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from mee_ray import manifest as mf
+from mee_ray.config import EngineConfig
+from mee_ray.ids import term_hash
+from mee_ray.postings import decode_posting_list, tf_norm, varint_decode
+from mee_ray.scoring import idf, top_k_select
+
+
+class _ShardIndex:
+    """All segment rows of one term-shard (base + delta segments),
+    with a term → [(table, row)] dictionary built once."""
+
+    def __init__(self, files: list[str]):
+        self.tables = []
+        self.rows: dict[str, list[tuple[int, int]]] = defaultdict(list)
+        for f in files:
+            t = pq.read_table(f)
+            ti = len(self.tables)
+            self.tables.append(t)
+            terms = t["term"].to_pylist()
+            for ri, term in enumerate(terms):
+                self.rows[term].append((ti, ri))
+
+    def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Concatenated (doc_ids, tfs, dls) across salted sub-lists and
+        delta segments. Doc sets are disjoint (salts are disjoint doc_id
+        ranges; deltas only add new doc_ids), so order across chunks is
+        irrelevant to per-doc accumulation."""
+        locs = self.rows.get(term)
+        if not locs:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        ids_l, tfs_l, dls_l = [], [], []
+        for ti, ri in locs:
+            t = self.tables[ti]
+            ids, tfs = decode_posting_list(t["doc_ids_enc"][ri].as_py(),
+                                           t["tfs_enc"][ri].as_py())
+            dls = varint_decode(t["dls_enc"][ri].as_py()).astype(np.int64)
+            ids_l.append(ids); tfs_l.append(tfs); dls_l.append(dls)
+        return (np.concatenate(ids_l), np.concatenate(tfs_l),
+                np.concatenate(dls_l))
+
+
+def _segment_files(index_root: str, manifest: dict) -> tuple[list[str], list[str]]:
+    """(base segment files, delta segment files)."""
+    base = [s["path"] for s in manifest["segments"]]
+    delta = []
+    for d in manifest.get("deltas", []):
+        delta.extend(d.get("segments", []))
+    return base, delta
+
+
+def _tombstones(index_root: str, manifest: dict) -> np.ndarray:
+    tombs = []
+    for d in manifest.get("deltas", []):
+        p = d.get("tombstones")
+        if p and os.path.exists(p):
+            tombs.append(pq.read_table(p, columns=["doc_id"])["doc_id"]
+                         .to_numpy(zero_copy_only=False))
+    if not tombs:
+        return np.empty(0, dtype=np.int64)
+    return np.unique(np.concatenate(tombs))
+
+
+class Searcher:
+    def __init__(self, index_root: str, epoch: str | None = None,
+                 shard_subset: list[int] | None = None):
+        self.index_root = index_root
+        self.manifest = mf.load_manifest(index_root, epoch)
+        self.num_shards = self.manifest["num_shards"]
+        self.n_docs, self.avgdl = mf.live_stats(self.manifest)
+        self.k1 = self.manifest["bm25"]["k1"]
+        self.b = self.manifest["bm25"]["b"]
+        self.tombstones = _tombstones(index_root, self.manifest)
+        self._shards: dict[int, _ShardIndex] = {}
+        self._subset = set(shard_subset) if shard_subset is not None else None
+        base, delta = _segment_files(index_root, self.manifest)
+        # group files by shard: part = shard * parts_per_shard + r, so a
+        # base partition file maps to exactly one shard = part // pps;
+        # delta files may hold several shards (they're small — filtered
+        # by the per-shard term dict at load)
+        pps = self.manifest["parts_per_shard"]
+        self._files_by_shard: dict[int, list[str]] = defaultdict(list)
+        for f in base:
+            part = int(os.path.basename(f).split("-")[1].split(".")[0])
+            self._files_by_shard[part // pps].append(f)
+        self._delta_files = delta
+
+    def _shard(self, s: int) -> _ShardIndex:
+        got = self._shards.get(s)
+        if got is None:
+            files = list(self._files_by_shard.get(s, []))
+            files += self._delta_files  # small; filtered by term dict anyway
+            got = self._shards[s] = _ShardIndex(files)
+        return got
+
+    def owns(self, shard: int) -> bool:
+        return self._subset is None or shard in self._subset
+
+    def term_partials(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """term → (live doc_ids, exact per-term scores) for the terms
+        whose shard this searcher owns."""
+        out = {}
+        tomb = self.tombstones
+        for term in terms:
+            s = term_hash(term) % self.num_shards
+            if not self.owns(s):
+                continue
+            ids, tfs, dls = self._shard(s).postings(term)
+            if len(ids) and len(tomb):
+                mask = ~np.isin(ids, tomb)
+                ids, tfs, dls = ids[mask], tfs[mask], dls[mask]
+            if len(ids) == 0:
+                continue
+            w = idf(len(ids), self.n_docs)
+            out[term] = (ids, w * tf_norm(tfs, dls, self.avgdl, self.k1, self.b))
+        return out
+
+    def search(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        partials = self.term_partials(sorted(set(terms)))
+        return merge_partials([partials], terms, k)
+
+
+def merge_partials(partials_list: list[dict], terms: list[str], k: int
+                   ) -> list[tuple[int, float]]:
+    """Merge per-term partial score vectors (possibly from several
+    shard actors) into the global top-k. Accumulation is per-doc in
+    sorted-term order — the determinism contract."""
+    ids_l, sc_l = [], []
+    for term in sorted(set(terms)):
+        for partials in partials_list:
+            got = partials.get(term)
+            if got is not None:
+                ids_l.append(got[0]); sc_l.append(got[1])
+    if not ids_l:
+        return []
+    all_ids = np.concatenate(ids_l)
+    all_sc = np.concatenate(sc_l)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, all_sc)
+    ids, scores = top_k_select(uniq, acc, k)
+    return list(zip(ids.tolist(), scores.tolist()))
+
+
+class DistributedSearcher:
+    """Actor-pool query path: `n_actors` shard actors, shards assigned
+    round-robin; queries fan out only to actors owning a needed shard,
+    and the driver performs the global merge + top-k."""
+
+    def __init__(self, index_root: str, epoch: str | None = None,
+                 n_actors: int = 4):
+        import ray
+
+        self.manifest = mf.load_manifest(index_root, epoch)
+        self.num_shards = self.manifest["num_shards"]
+        n_actors = min(n_actors, self.num_shards)
+
+        @ray.remote(num_cpus=1)
+        class ShardActor:
+            def __init__(self, index_root, epoch, shards):
+                self.searcher = Searcher(index_root, epoch, shard_subset=shards)
+
+            def warm(self, shards):
+                for s in shards:
+                    self.searcher._shard(s)
+                return True
+
+            def term_partials(self, terms):
+                return self.searcher.term_partials(terms)
+
+        self.assign: dict[int, int] = {s: s % n_actors for s in range(self.num_shards)}
+        shards_of = defaultdict(list)
+        for s, a in self.assign.items():
+            shards_of[a].append(s)
+        self.actors = [ShardActor.remote(index_root, self.manifest["epoch"],
+                                         shards_of[a]) for a in range(n_actors)]
+        import ray as _ray
+        _ray.get([self.actors[a].warm.remote(shards_of[a]) for a in range(n_actors)])
+
+    def search(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+        import ray
+        uterms = sorted(set(terms))
+        by_actor: dict[int, list[str]] = defaultdict(list)
+        for t in uterms:
+            by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
+        futs = [self.actors[a].term_partials.remote(ts) for a, ts in by_actor.items()]
+        return merge_partials(ray.get(futs), uterms, k)

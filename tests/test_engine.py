@@ -1,0 +1,185 @@
+"""End-to-end engine tests: build → query → delta → compact → resume,
+rank-identical to the pure-Python oracle (the north_rule acceptance
+test, SURVEY.md §5.2)."""
+
+import hashlib
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mee_ray.build import build_index
+from mee_ray.config import EngineConfig
+from mee_ray.corpus import write_corpus
+from mee_ray.ids import doc_id_of
+from mee_ray import manifest as mf
+from mee_ray.oracle import OracleIndex, make_query_set
+
+ROOT = "/tmp/mee_test_engine"
+N_FILES = 250
+
+
+def _live_docs(cdir):
+    t = pq.read_table(cdir)
+    rows = {}
+    for r, p, c, content in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
+                                t["commit"].to_pylist(), t["content"].to_pylist()):
+        key = (r, p)
+        if key not in rows or c > rows[key][0]:
+            rows[key] = (c, content)
+    return {k: v for k, v in rows.items()}
+
+
+@pytest.fixture(scope="session")
+def built_index(ray_session):
+    import ray.data
+    shutil.rmtree(ROOT, ignore_errors=True)
+    cdir = write_corpus(f"{ROOT}/corpus", n_files=N_FILES, seed=11, rows_per_file=100)
+    corpus = ray.data.read_parquet(cdir)
+    manifest = build_index(corpus, f"{ROOT}/index", "ep1", EngineConfig())
+    live = _live_docs(cdir)
+    docs = [(doc_id_of(r, p, c), content) for (r, p), (c, content) in live.items()]
+    oracle = OracleIndex(docs)
+    return {"cdir": cdir, "index_root": f"{ROOT}/index", "manifest": manifest,
+            "live": live, "docs": docs, "oracle": oracle}
+
+
+def test_global_stats_match_oracle(built_index):
+    m, oi = built_index["manifest"], built_index["oracle"]
+    assert m["n_docs"] == oi.n_docs
+    assert m["avgdl"] == pytest.approx(oi.avgdl, abs=0)
+
+
+def test_content_sha256_invariant(built_index):
+    """Per-row invariant vs the reference (BASELINE.json input_hint):
+    docs-table content_sha256 equals sha256 of the input content."""
+    docs_dir = os.path.join(mf.epoch_dir(built_index["index_root"], "ep1"), "docs")
+    t = pa.concat_tables([pq.read_table(os.path.join(docs_dir, f))
+                          for f in sorted(os.listdir(docs_dir)) if f.endswith(".parquet")])
+    live = built_index["live"]
+    assert t.num_rows == len(live)
+    for r, p, c, sha in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
+                            t["commit"].to_pylist(), t["content_sha256"].to_pylist()):
+        commit, content = live[(r, p)]
+        assert commit == c
+        assert hashlib.sha256(content.encode()).digest() == sha
+
+
+def test_dedup_latest_wins(built_index):
+    docs_dir = os.path.join(mf.epoch_dir(built_index["index_root"], "ep1"), "docs")
+    t = pa.concat_tables([pq.read_table(os.path.join(docs_dir, f))
+                          for f in sorted(os.listdir(docs_dir)) if f.endswith(".parquet")])
+    keys = list(zip(t["repo"].to_pylist(), t["path"].to_pylist()))
+    assert len(keys) == len(set(keys))  # one row per (repo, path)
+
+
+def test_rank_identity_local(built_index):
+    from mee_ray.query import Searcher
+    s = Searcher(built_index["index_root"])
+    oi = built_index["oracle"]
+    queries = make_query_set(built_index["docs"], n_queries=40, seed=5)
+    for q in queries:
+        eng = s.search(q["terms"], q["k"])
+        ora = oi.search(q["terms"], q["k"])
+        assert eng == ora, f"query {q['terms']}: {eng[:3]} != {ora[:3]}"
+
+
+def test_rank_identity_distributed_actors(built_index, ray_session):
+    from mee_ray.query import DistributedSearcher
+    ds = DistributedSearcher(built_index["index_root"], n_actors=3)
+    oi = built_index["oracle"]
+    for q in make_query_set(built_index["docs"], n_queries=12, seed=6):
+        assert ds.search(q["terms"], q["k"]) == oi.search(q["terms"], q["k"])
+
+
+def test_missing_term_and_empty_query(built_index):
+    from mee_ray.query import Searcher
+    s = Searcher(built_index["index_root"])
+    assert s.search(["zz_no_such_term_zz"], 10) == []
+    assert s.search([], 10) == []
+
+
+def test_parallelism_invariance(built_index, ray_session):
+    """Same corpus, different shuffle layout (shards × parts) → same
+    manifest stats and identical query results. This is the in-sandbox
+    evidence that doc_ids/scores don't depend on partitioning."""
+    import ray.data
+    from mee_ray.query import Searcher
+    corpus = ray.data.read_parquet(built_index["cdir"])
+    cfg2 = EngineConfig(num_shards=3, parts_per_shard=2, salt_factor=4)
+    build_index(corpus, f"{ROOT}/index2", "epA", cfg2)
+    s1 = Searcher(built_index["index_root"])
+    s2 = Searcher(f"{ROOT}/index2")
+    assert s1.n_docs == s2.n_docs and s1.avgdl == s2.avgdl
+    for q in make_query_set(built_index["docs"], n_queries=15, seed=9):
+        assert s1.search(q["terms"], q["k"]) == s2.search(q["terms"], q["k"])
+
+
+def test_resume_is_noop_and_partition_skip(built_index, ray_session):
+    import ray.data
+    m1 = built_index["manifest"]
+    corpus = ray.data.read_parquet(built_index["cdir"])
+    # lose the stage file for segments → partitions short-circuit via sidecars
+    st = mf.load_state(built_index["index_root"], "ep1")
+    st.pop("segments")
+    mf._atomic_write_json(mf._state_path(built_index["index_root"], "ep1"), st)
+    m2 = build_index(corpus, built_index["index_root"], "ep1", EngineConfig())
+    assert m2["n_docs"] == m1["n_docs"]
+    assert all(r["resumed"] for r in m2["segments"])
+    assert ({r["path"]: r["sha256"] for r in m2["segments"]}
+            == {r["path"]: r["sha256"] for r in m1["segments"]})
+
+
+def test_delta_and_compact_rank_identity(built_index, ray_session):
+    from mee_ray.delta import apply_delta
+    from mee_ray.merge import compact
+    from mee_ray.query import Searcher
+
+    live = dict(built_index["live"])
+    keys = sorted(live)[:6]
+    ev, seq = [], 1
+    new_content = "def patchedThing(x):\n    return delta_marker_token\n"
+    for k in keys[:3]:
+        ev.append({"seq": seq, "type": "UPDATE", "repo": k[0], "path": k[1],
+                   "commit": "e" * 40, "lang": "python", "content": new_content}); seq += 1
+    for k in keys[3:6]:
+        ev.append({"seq": seq, "type": "DELETE", "repo": k[0], "path": k[1],
+                   "commit": None, "lang": None, "content": None}); seq += 1
+    ev.append({"seq": seq, "type": "INSERT", "repo": "orgN/repoN", "path": "src/n.py",
+               "commit": "b" * 40, "lang": "python",
+               "content": "def insertedFn():\n    return inserted_marker\n"}); seq += 1
+    evt = pa.table({n: pa.array([e[n] for e in ev])
+                    for n in ("seq", "type", "repo", "path", "commit", "lang", "content")})
+    rec = apply_delta(evt, built_index["index_root"])
+    assert rec["n_added"] == 4 and rec["n_deleted"] == 6
+
+    for k in keys[:3]:
+        live[k] = ("e" * 40, new_content)
+    for k in keys[3:6]:
+        live.pop(k)
+    live[("orgN/repoN", "src/n.py")] = ("b" * 40, "def insertedFn():\n    return inserted_marker\n")
+    docs = [(doc_id_of(r, p, c), content) for (r, p), (c, content) in live.items()]
+    oi = OracleIndex(docs)
+
+    s = Searcher(built_index["index_root"])
+    assert (s.n_docs, s.avgdl) == (oi.n_docs, oi.avgdl)
+    queries = make_query_set(docs, n_queries=25, seed=4)
+    queries += [{"query_id": 90, "terms": ["delta_marker_token"], "k": 10},
+                {"query_id": 91, "terms": ["inserted_marker", "inserted"], "k": 10},
+                {"query_id": 92, "terms": ["patchedthing", "patched", "thing"], "k": 10}]
+    for q in queries:
+        assert s.search(q["terms"], q["k"]) == oi.search(q["terms"], q["k"])
+
+    m2 = compact(built_index["index_root"], "ep2", EngineConfig(), gc_old=False)
+    assert mf.current_epoch(built_index["index_root"]) == "ep2"
+    s2 = Searcher(built_index["index_root"])
+    assert (s2.n_docs, s2.avgdl) == (oi.n_docs, oi.avgdl)
+    for q in queries:
+        assert s2.search(q["terms"], q["k"]) == oi.search(q["terms"], q["k"])
+    # publish/GC lifecycle (alias-swap + _cleanDirtyData analogs)
+    removed = mf.gc_epochs(built_index["index_root"])
+    assert removed == ["ep1"]
+    assert mf.current_epoch(built_index["index_root"]) == "ep2"
