@@ -1,16 +1,17 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in mee_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``     — flagship pipeline on /root/testdata/sf0.001: build
+                    the inverted index over the documents-derived corpus
+                    with the real engine, run the reference BM25 query
+                    set, return the top-k table.
+- ``queries()``   — one callable per implemented operator/pipeline from
+                    SURVEY.md §2 (+ the training-data operator family).
+- ``oracle_sql()``— DuckDB-equivalent SQL per query where expressible;
+                    sketch/approximate ops are rows-only by design and
+                    are verified against brute-force oracles in tests/.
 """
 
 from __future__ import annotations
@@ -20,25 +21,31 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from mee_ray.pipelines.fulltext import bm25_topk_documents
+    return bm25_topk_documents("/root/testdata/sf0.001").to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from mee_ray.pipelines import fulltext, relational, text, vector
+    from mee_ray.stages.multimodal import multimodal_image_meta
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[str], Any]] = {}
+    out.update(relational.QUERIES)
+    out.update(text.QUERIES)
+    out.update(vector.QUERIES)
+    out.update(fulltext.QUERIES)
+    out["multimodal_image_meta"] = multimodal_image_meta
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from mee_ray.pipelines import fulltext, relational, text, vector
+    from mee_ray.stages.multimodal import MULTIMODAL_SQL
+
+    out: dict[str, str] = {}
+    out.update(relational.ORACLE)
+    out.update(text.ORACLE)
+    out.update(vector.ORACLE)
+    out.update(fulltext.ORACLE)
+    out["multimodal_image_meta"] = MULTIMODAL_SQL
+    return out

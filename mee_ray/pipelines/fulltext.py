@@ -1,0 +1,202 @@
+"""Engine-backed fulltext pipelines over the driver's ``documents``
+table, mapped into the corpus schema (mee_ray.corpus.documents_as_corpus)
+and indexed by the REAL engine (build → segments → manifest → search).
+
+The BM25 oracle here is pure ANSI SQL: DuckDB recomputes tf/df/dl/
+avgdl with the identical tokenizer regex and the identical BM25
+formula, so the correctness gate exercises the whole distributed index
+machinery end-to-end.  The index is built once per sf_dir into /tmp
+and reused across driver calls via the engine's own resume checkpoints.
+"""
+
+from __future__ import annotations
+
+import binascii
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from mee_ray.build import build_index
+from mee_ray.config import EngineConfig, TokenizerConfig
+from mee_ray.corpus import documents_as_corpus
+from mee_ray.pipelines.text import TOKEN_PATTERN
+from mee_ray import manifest as mf
+
+# Fixed reference query set over the documents vocabulary.
+REFERENCE_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["merge", "sort"]),
+    (2, ["window"]),
+    (3, ["customer", "join", "fast"]),
+    (4, ["spark", "stream"]),
+    (5, ["the", "slow"]),
+    (6, ["vector", "hash", "scan", "batch"]),
+]
+TOP_K = 10
+
+
+def _index_root(sf_dir: str) -> str:
+    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    return f"/tmp/mee_ft_index/{tag}"
+
+
+def _ensure_index(sf_dir: str) -> str:
+    """Build (or resume) the documents index for this sf_dir. The
+    engine's stage checkpoints make repeated calls near-free."""
+    root = _index_root(sf_dir)
+    cfg = EngineConfig(tokenizer=TokenizerConfig.simple())
+    if mf.current_epoch(root) is None:
+        corpus = documents_as_corpus(sf_dir)
+        # (repo, path, commit) is unique per doc here → dedup off
+        build_index(corpus, root, "ep1", cfg, dedup=False)
+    return root
+
+
+def _orig_id_map(root: str) -> dict[int, int]:
+    """engine doc_id → original documents.doc_id (parsed from the
+    deterministic path 'src/doc_<id>.txt')."""
+    docs_dir = os.path.join(mf.epoch_dir(root, mf.current_epoch(root)), "docs")
+    out = {}
+    for f in sorted(os.listdir(docs_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        t = pq.read_table(os.path.join(docs_dir, f), columns=["doc_id", "path"])
+        for did, p in zip(t["doc_id"].to_pylist(), t["path"].to_pylist()):
+            out[did] = int(p.split("doc_")[1].split(".")[0])
+    return out
+
+
+def bm25_topk_documents(sf_dir: str):
+    """Full engine path: build → Searcher → top-k, emitted as
+    (query_id, rank, doc_id) with original document ids.
+
+    The engine's native tie-break is its own sha-derived doc_id; the
+    SQL oracle can only tie-break on the ORIGINAL documents.doc_id, so
+    this wrapper merges the full per-term partials and ranks by
+    (score desc, original id asc).  Exact score ties are common in
+    this corpus (tiny vocabulary → identical (tf, dl) profiles), and
+    both engines produce bit-identical float64 scores, so the ordering
+    is well-defined on both sides."""
+    import numpy as np
+    from mee_ray.query import Searcher, merge_partials
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    out_q, out_r, out_d = [], [], []
+    for qid, terms in REFERENCE_QUERIES:
+        partials = s.term_partials(sorted(set(terms)))
+        ranked = merge_partials([partials], terms, k=s.n_docs or 1)
+        if ranked:
+            ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
+            scores = np.array([sc for _, sc in ranked], dtype=np.float64)
+            order = np.lexsort((ids, -scores))[:TOP_K]
+            for rank, j in enumerate(order, start=1):
+                out_q.append(qid); out_r.append(rank); out_d.append(int(ids[j]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _bm25_sql() -> str:
+    values = ", ".join(f"({qid}, '{t}')"
+                       for qid, terms in REFERENCE_QUERIES for t in sorted(set(terms)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS total_tokens),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * ((tf.tf * (1.2 + 1)) /
+                (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
+                                (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
+def index_term_stats(sf_dir: str):
+    """Global index statistics straight from the built index's manifest
+    + segments, cross-checked by a pure-SQL recount."""
+    root = _ensure_index(sf_dir)
+    m = mf.load_manifest(root)
+    terms = set()
+    n_postings = 0
+    for seg in m["segments"]:
+        t = pq.read_table(seg["path"], columns=["term", "df"])
+        terms.update(t["term"].to_pylist())
+        n_postings += sum(t["df"].to_pylist())
+    return pa.table({"n_docs": pa.array([m["n_docs"]], pa.int64()),
+                     "total_tokens": pa.array([m["total_tokens"]], pa.int64()),
+                     "n_terms": pa.array([len(terms)], pa.int64()),
+                     "n_postings": pa.array([n_postings], pa.int64())})
+
+
+INDEX_STATS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term)
+SELECT (SELECT count(*) FROM documents)       AS n_docs,
+       (SELECT count(*) FROM tok)             AS total_tokens,
+       (SELECT count(DISTINCT term) FROM tok) AS n_terms,
+       (SELECT count(*) FROM tf)              AS n_postings
+"""
+
+
+def corpus_docs_table(sf_dir: str):
+    """The docs-table build path: per-row identity + sha256 invariant
+    (BASELINE.json input_hint), checked column-for-column in SQL."""
+    root = _ensure_index(sf_dir)
+    docs_dir = os.path.join(mf.epoch_dir(root, mf.current_epoch(root)), "docs")
+    tabs = [pq.read_table(os.path.join(docs_dir, f),
+                          columns=["repo", "path", "commit", "lang",
+                                   "length", "content_sha256"])
+            for f in sorted(os.listdir(docs_dir)) if f.endswith(".parquet")]
+    t = pa.concat_tables(tabs)
+    sha_hex = [binascii.hexlify(x).decode() for x in t["content_sha256"].to_pylist()]
+    return pa.table({"repo": t["repo"], "path": t["path"],
+                     "commit_sha": t["commit"], "lang": t["lang"],
+                     "n_tokens": t["length"].cast(pa.int64()),
+                     "sha_hex": pa.array(sha_hex, pa.string())})
+
+
+CORPUS_DOCS_SQL = f"""
+SELECT 'org' || (doc_id % 10) || '/repo' || (doc_id % 97) AS repo,
+       'src/doc_' || doc_id || '.txt'                      AS path,
+       substr(sha256(CAST(doc_id AS VARCHAR)), 1, 40)      AS commit_sha,
+       lang,
+       len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS n_tokens,
+       sha256(text)                                        AS sha_hex
+FROM documents
+"""
+
+
+QUERIES = {
+    "bm25_topk_documents": bm25_topk_documents,
+    "index_term_stats": index_term_stats,
+    "corpus_docs_table": corpus_docs_table,
+}
+
+ORACLE = {
+    "bm25_topk_documents": _bm25_sql(),
+    "index_term_stats": INDEX_STATS_SQL,
+    "corpus_docs_table": CORPUS_DOCS_SQL,
+}

@@ -1,0 +1,511 @@
+"""Relational operator pipelines over the driver's TPC-H-ish tables.
+
+Each function is one operator capability from SURVEY.md §2, expressed
+Ray-Data-first (pruned reads, vectorized pyarrow batch kernels,
+partial aggregation before the shuffle, broadcast joins for small
+sides).  The matching DuckDB oracle SQL lives in ``ORACLE`` with
+IDENTICAL column names and expression trees; float *aggregates* are
+rounded on both sides (sum order differs across engines), while
+per-row float arithmetic is left unrounded (bit-deterministic when the
+expression tree matches).
+
+Reference capability map (SURVEY.md §2):
+  M1/M2 filters → filter_ops_events;  M3 projection + M5/M6 scalar
+  functions → scalar_funcs_lineitem / filter_project_revenue;
+  A1/M7 grouped aggregates → q1_pricing_summary / agg_pushdown_counts;
+  J1 lookup join → join_revenue_by_nation;  J2 one-to-many rollup →
+  order_lineitem_rollup;  U3 latest-wins → latest_event_per_user;
+  §2.9 streaming windows → tumbling_window_events;  M10 routing →
+  event_type_routing;  semi/anti joins → semi/anti_join_events.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round_cols(t: pa.Table, cols: dict[str, int]) -> pa.Table:
+    for name, nd in cols.items():
+        i = t.schema.get_field_index(name)
+        t = t.set_column(i, name, pc.round(t[name], ndigits=nd))
+    return t
+
+
+def _int_scaled(t: pa.Table, cols: dict[str, float]) -> pa.Table:
+    """Replace float aggregate columns by BIGINT fixed-point values
+    (``rint(x * scale)``).  Float aggregates differ across engines by
+    summation order (ULPs), and even `round(x, 2)` can yield doubles
+    differing by 1 ULP between pyarrow and DuckDB for the same decimal
+    — integers make the driver's value-hash stable.  SQL mirror:
+    ``CAST(round(x * scale) AS BIGINT)``."""
+    for name, scale in cols.items():
+        i = t.schema.get_field_index(name)
+        v = np.rint(t[name].to_numpy(zero_copy_only=False) * scale).astype(np.int64)
+        t = t.set_column(i, name, pa.array(v, pa.int64()))
+    return t
+
+
+# ---------------------------------------------------------------- Q1 --
+
+def q1_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape with explicit partial aggregation: per-batch
+    pyarrow group_by combiners, then a small groupby of partials — the
+    pre-aggregate-before-shuffle pattern (what the reference pushes to
+    MySQL per-row via executeSQL, common.py:150-169, done right)."""
+    from ray.data.aggregate import Sum
+
+    cutoff = pa.scalar(np.datetime64("1998-09-02", "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"], cutoff))
+        if t.num_rows == 0:
+            return pa.table({"l_returnflag": pa.array([], pa.string()),
+                             "l_linestatus": pa.array([], pa.string()),
+                             "s_qty": pa.array([], pa.float64()),
+                             "s_base": pa.array([], pa.float64()),
+                             "s_disc": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        disc_price = pc.multiply(t["l_extendedprice"],
+                                 pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        t = t.append_column("disc_price", disc_price)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
+             ("disc_price", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "s_qty",
+                                 "s_base", "s_disc", "n"])
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+    partials = li.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    agg = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("s_qty", alias_name="sum_qty"),
+        Sum("s_base", alias_name="sum_base_price"),
+        Sum("s_disc", alias_name="sum_disc_price"),
+        Sum("n", alias_name="count_order"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.append_column("avg_qty", pc.divide(t["sum_qty"],
+                                                 pc.cast(t["count_order"], pa.float64())))
+        t = t.append_column("avg_price", pc.divide(t["sum_base_price"],
+                                                   pc.cast(t["count_order"], pa.float64())))
+        return _int_scaled(t, {"sum_qty": 1, "sum_base_price": 100,
+                               "sum_disc_price": 100, "avg_qty": 1e6,
+                               "avg_price": 1e6})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(l_quantity)) AS BIGINT)                                AS sum_qty,
+       CAST(round(sum(l_extendedprice) * 100) AS BIGINT)                     AS sum_base_price,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)  AS sum_disc_price,
+       count(*)                                                              AS count_order,
+       CAST(round(sum(l_quantity) / count(*) * 1000000) AS BIGINT)           AS avg_qty,
+       CAST(round(sum(l_extendedprice) / count(*) * 1000000) AS BIGINT)      AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------- filter + project --
+
+def filter_project_revenue(sf_dir: str):
+    """M1/M2/M3: vectorized predicate + computed projection; pruned read."""
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                               pc.less(t["l_quantity"], pa.scalar(24.0))),
+                       pc.and_(pc.greater_equal(t["l_discount"], pa.scalar(0.05)),
+                               pc.less_equal(t["l_discount"], pa.scalar(0.07))))
+        t = t.filter(mask)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "revenue": rev})
+
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                  "l_discount", "l_shipdate"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_quantity < 24
+  AND l_discount BETWEEN 0.05 AND 0.07
+"""
+
+
+# --------------------------------------------------- broadcast join --
+
+def join_revenue_by_nation(sf_dir: str):
+    """J1 lookup join, Ray-style: the two dimension tables are read
+    once on the driver, composed into a custkey→nation_name dict,
+    ray.put once, and probed inside map_batches — no shuffle (the
+    reference does this join as one MySQL query per document,
+    commonhandler.py:388-418)."""
+    import ray
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Count, Sum
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    nk_to_name = dict(zip(nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()))
+    ck = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    cnames = np.array([nk_to_name[k] for k in
+                       cust["c_nationkey"].to_pylist()], dtype=object)
+    order_idx = np.argsort(ck)
+    ref = ray.put((ck[order_idx], cnames[order_idx]))
+
+    def lookup(t: pa.Table) -> pa.Table:
+        keys, names = ray.get(ref)
+        ok = t["o_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ok)
+        return pa.table({"n_name": pa.array(names[pos].tolist(), pa.string()),
+                         "o_totalprice": t["o_totalprice"]})
+
+    out = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+           .map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("n_name")
+           .aggregate(Sum("o_totalprice", alias_name="total_revenue_cents"),
+                      Count(alias_name="n_orders")))
+    return out.map_batches(lambda t: _int_scaled(t, {"total_revenue_cents": 100}),
+                           batch_format="pyarrow")
+
+
+JOIN_NATION_SQL = """
+SELECT n_name, CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_revenue_cents,
+       count(*) AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# -------------------------------------------------- grouped rollups --
+
+def order_lineitem_rollup(sf_dir: str):
+    """J2 one-to-many rollup (nested-doc analog, commonhandler.py:367-386):
+    per-order aggregate with per-batch combiners (sums of integral
+    doubles are exact, so no rounding is needed)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by("l_orderkey").aggregate(
+            [("l_quantity", "sum"), ("l_quantity", "count")])
+        return g.rename_columns(["l_orderkey", "s_qty", "n"])
+
+    return (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("l_orderkey")
+            .aggregate(Sum("n", alias_name="n_items"),
+                       Sum("s_qty", alias_name="sum_qty")))
+
+
+ROLLUP_SQL = """
+SELECT l_orderkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def agg_pushdown_counts(sf_dir: str):
+    """M7/A1: the reference runs `select count(*) ... where status in
+    (...)` per master row against MySQL (common.py:150-169,
+    index_carteam_user.yml:165-181); here it is one grouped aggregate
+    with conditional counters."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        is_open = pc.cast(pc.equal(t["o_orderstatus"], pa.scalar("O")), pa.int64())
+        is_fin = pc.cast(pc.equal(t["o_orderstatus"], pa.scalar("F")), pa.int64())
+        t2 = pa.table({"o_custkey": t["o_custkey"], "one": pa.array(
+            np.ones(t.num_rows, dtype=np.int64)), "is_open": is_open, "is_fin": is_fin})
+        g = t2.group_by("o_custkey").aggregate(
+            [("one", "sum"), ("is_open", "sum"), ("is_fin", "sum")])
+        return g.rename_columns(["o_custkey", "n_orders", "n_open", "n_finished"])
+
+    return (_read(sf_dir, "orders", ["o_custkey", "o_orderstatus"])
+            .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("o_custkey")
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("n_open", alias_name="n_open"),
+                       Sum("n_finished", alias_name="n_finished")))
+
+
+AGG_PUSHDOWN_SQL = """
+SELECT o_custkey, count(*) AS n_orders,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+FROM orders GROUP BY o_custkey
+"""
+
+
+# ------------------------------------------------------ sort / topk --
+
+def topk_orders(sf_dir: str):
+    """Global sort + limit with deterministic tie-break."""
+    return (_read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+            .sort(["o_totalprice", "o_orderkey"], descending=[True, False])
+            .limit(10))
+
+
+TOPK_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+"""
+
+
+def distinct_priorities(sf_dir: str):
+    """Set op: distinct values (shuffle)."""
+    ds = _read(sf_dir, "orders", ["o_orderpriority"])
+    vals = sorted(ds.unique("o_orderpriority"))
+    return pa.table({"o_orderpriority": pa.array(vals, pa.string())})
+
+
+DISTINCT_SQL = "SELECT DISTINCT o_orderpriority FROM orders"
+
+
+# --------------------------------------------------------- filters --
+
+def filter_ops_events(sf_dir: str):
+    """M2 filter-predicate semantics: IN-list + range ops, vectorized
+    (the reference's per-row filterData dict walk,
+    commonhandler.py:1398-1444)."""
+    def f(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.is_in(t["event_type"], value_set=pa.array(["click", "purchase"])),
+            pc.and_(pc.greater_equal(t["value"], pa.scalar(50.0)),
+                    pc.less(t["value"], pa.scalar(95.0))))
+        return t.filter(mask).select(["event_id", "user_id", "event_type", "value"])
+
+    return _read(sf_dir, "events",
+                 ["event_id", "user_id", "event_type", "value"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+FILTER_OPS_SQL = """
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE event_type IN ('click', 'purchase') AND value >= 50 AND value < 95
+"""
+
+
+def scalar_funcs_lineitem(sf_dir: str):
+    """M5/M6 scalar-function surface (max/min/sum/abs over same-row
+    fields, common.py:129-148) as pyarrow kernels."""
+    def f(t: pa.Table) -> pa.Table:
+        charge = pc.multiply(pc.multiply(t["l_extendedprice"],
+                                         pc.add(pa.scalar(1.0), t["l_tax"])),
+                             pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        qty_over = pc.max_element_wise(pc.subtract(t["l_quantity"], pa.scalar(10.0)),
+                                       pa.scalar(0.0))
+        disc_mag = pc.abs(pc.subtract(t["l_discount"], pa.scalar(0.05)))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "charge": charge, "qty_over": qty_over,
+                         "disc_mag": disc_mag})
+
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+                  "l_discount", "l_tax"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SCALAR_FUNCS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 + l_tax) * (1 - l_discount) AS charge,
+       greatest(l_quantity - 10.0, 0.0)                 AS qty_over,
+       abs(l_discount - 0.05)                           AS disc_mag
+FROM lineitem
+"""
+
+
+# --------------------------------------- latest-wins / windows / CDC --
+
+def latest_event_per_user(sf_dir: str):
+    """U3 latest-wins by (ts, event_id) per key — the delta
+    last-writer-wins semantic (SURVEY.md §2.9) as groupby.map_groups."""
+    import pandas as pd
+
+    def latest(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return g.tail(1)[["user_id", "event_id", "event_type", "value"]]
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts",
+                                     "event_type", "value"])
+            .groupby("user_id").map_groups(latest, batch_format="pandas"))
+
+
+LATEST_SQL = """
+SELECT user_id, event_id, event_type, value
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def tumbling_window_events(sf_dir: str):
+    """Streaming-shaped tumbling window (1h) as a grouped aggregate —
+    Ray Data has no watermarks; the event-time bucket IS the key
+    (SURVEY.md §2.9)."""
+    from ray.data.aggregate import Count, Sum
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": t["user_id"],
+                         "hour_bucket": pa.array(us // 3_600_000_000, pa.int64()),
+                         "value": t["value"]})
+
+    out = (_read(sf_dir, "events", ["user_id", "ts", "value"])
+           .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["user_id", "hour_bucket"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum("value", alias_name="sum_value_cents")))
+    return out.map_batches(lambda t: _int_scaled(t, {"sum_value_cents": 100}),
+                           batch_format="pyarrow")
+
+
+TUMBLING_SQL = """
+SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket,
+       count(*) AS n_events, CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+FROM events GROUP BY user_id, hour_bucket
+"""
+
+
+def event_type_routing(sf_dir: str):
+    """M10 trigger routing (INSERT|UPDATE|DELETE bitmask,
+    modules/handlers/__init__.py:37-52) as a vectorized CASE + count."""
+    from ray.data.aggregate import Sum
+
+    def f(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        route = np.select([np.isin(et, ["signup", "purchase"]),
+                           np.isin(et, ["click", "view"])],
+                          ["mutate", "read"], default="other")
+        t2 = pa.table({"route": pa.array(route.tolist(), pa.string()),
+                       "one": pa.array(np.ones(len(et), dtype=np.int64))})
+        return (t2.group_by("route").aggregate([("one", "sum")])
+                .rename_columns(["route", "n"]))
+
+    return (_read(sf_dir, "events", ["event_type"])
+            .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("route").aggregate(Sum("n", alias_name="n")))
+
+
+ROUTING_SQL = """
+SELECT CASE WHEN event_type IN ('signup', 'purchase') THEN 'mutate'
+            WHEN event_type IN ('click', 'view') THEN 'read'
+            ELSE 'other' END AS route,
+       count(*) AS n
+FROM events GROUP BY route
+"""
+
+
+# --------------------------------------------------- semi/anti join --
+
+def _custkey_set(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+    ck = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    keys = ck["c_custkey"].to_numpy(zero_copy_only=False)
+    return np.sort(keys[keys < 100])
+
+
+def _events_by_membership(sf_dir: str, keep_members: bool):
+    """Broadcast key-set semi/anti join (the guide's Bloom/keyset
+    pattern): no shuffle of the fact table."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ref = ray.put(_custkey_set(sf_dir))
+
+    def f(t: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        member = np.isin(uid, keys)
+        t = t.filter(pa.array(member if keep_members else ~member))
+        g = (pa.table({"event_type": t["event_type"],
+                       "one": pa.array(np.ones(t.num_rows, dtype=np.int64))})
+             .group_by("event_type").aggregate([("one", "sum")]))
+        return g.rename_columns(["event_type", "n"])
+
+    out = (_read(sf_dir, "events", ["user_id", "event_type"])
+           .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("event_type").aggregate(Sum("n", alias_name="n")))
+    # tiny result; materialize with a guaranteed schema (an empty Ray
+    # groupby result otherwise drops the column names entirely)
+    schema = pa.schema([("event_type", pa.string()), ("n", pa.int64())])
+    batches = [b.cast(schema) for b in out.iter_batches(batch_format="pyarrow",
+                                                        batch_size=1 << 20)]
+    return pa.concat_tables(batches or [schema.empty_table()])
+
+
+def semi_join_events_customers(sf_dir: str):
+    return _events_by_membership(sf_dir, True)
+
+
+def anti_join_events_customers(sf_dir: str):
+    return _events_by_membership(sf_dir, False)
+
+
+SEMI_SQL = """
+SELECT event_type, count(*) AS n FROM events
+WHERE user_id IN (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+GROUP BY event_type
+"""
+
+ANTI_SQL = """
+SELECT event_type, count(*) AS n FROM events
+WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey < 100)
+GROUP BY event_type
+"""
+
+
+QUERIES = {
+    "q1_pricing_summary": q1_pricing_summary,
+    "filter_project_revenue": filter_project_revenue,
+    "join_revenue_by_nation": join_revenue_by_nation,
+    "order_lineitem_rollup": order_lineitem_rollup,
+    "agg_pushdown_counts": agg_pushdown_counts,
+    "topk_orders": topk_orders,
+    "distinct_priorities": distinct_priorities,
+    "filter_ops_events": filter_ops_events,
+    "scalar_funcs_lineitem": scalar_funcs_lineitem,
+    "latest_event_per_user": latest_event_per_user,
+    "tumbling_window_events": tumbling_window_events,
+    "event_type_routing": event_type_routing,
+    "semi_join_events_customers": semi_join_events_customers,
+    "anti_join_events_customers": anti_join_events_customers,
+}
+
+ORACLE = {
+    "q1_pricing_summary": Q1_SQL,
+    "filter_project_revenue": FILTER_PROJECT_SQL,
+    "join_revenue_by_nation": JOIN_NATION_SQL,
+    "order_lineitem_rollup": ROLLUP_SQL,
+    "agg_pushdown_counts": AGG_PUSHDOWN_SQL,
+    "topk_orders": TOPK_SQL,
+    "distinct_priorities": DISTINCT_SQL,
+    "filter_ops_events": FILTER_OPS_SQL,
+    "scalar_funcs_lineitem": SCALAR_FUNCS_SQL,
+    "latest_event_per_user": LATEST_SQL,
+    "tumbling_window_events": TUMBLING_SQL,
+    "event_type_routing": ROUTING_SQL,
+    "semi_join_events_customers": SEMI_SQL,
+    "anti_join_events_customers": ANTI_SQL,
+}

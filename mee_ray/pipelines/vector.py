@@ -1,0 +1,258 @@
+"""Similarity search over the ``embeddings`` table (list<float> × 64).
+
+- brute-force cosine top-k: the exact baseline — broadcast query
+  matrix (`ray.put` once), numpy matmul per batch, per-batch top-k
+  partials, global merge on the driver (the per-shard-heap →
+  global-heap pattern of the BM25 query path, applied to vectors).
+- IVF variant: seeded k-means-lite coarse quantizer (fit on a sample,
+  broadcast centroids), cluster assignment via map_batches, query
+  probes the nearest `n_probe` clusters — the 100 TB scale path where
+  scanning every vector per query is off the table.
+- embedding near-dup: all-pairs cosine ≥ τ via the same broadcast
+  matmul (rows-only; at scale the candidate step becomes LSH buckets).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _read_emb(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                 columns=["vec_id", "embedding"])
+
+
+def _emb_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    flat = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64)
+    mat = flat.reshape(len(ids), -1)
+    return ids, mat
+
+
+def _unit(mat: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return mat / n
+
+
+def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Exact cosine top-k for query vectors vec_id < n_queries.
+    Output: (query_id, rank, neighbor_id) — rank-only so the oracle
+    compare is integer-stable."""
+    import ray
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", n_queries)])
+    q_ids, q_mat = _emb_matrix(qt)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], _unit(q_mat[order])
+    ref = ray.put((q_ids, q_mat))
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        qids, qm = ray.get(ref)
+        ids, mat = _emb_matrix(t)
+        sims = _unit(mat) @ qm.T  # (batch, nq)
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            s = sims[:, qi]
+            mask = ids != qids[qi]  # exclude self
+            cand_ids, cand_s = ids[mask], s[mask]
+            if len(cand_ids) > k:
+                top = np.argpartition(-cand_s, k)[:k]
+                cand_ids, cand_s = cand_ids[top], cand_s[top]
+            out_q.extend([qids[qi]] * len(cand_ids))
+            out_n.extend(cand_ids.tolist())
+            out_s.extend(cand_s.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = _read_emb(sf_dir).map_batches(batch_topk, batch_format="pyarrow",
+                                             zero_copy_batch=True)
+    all_rows = pa.concat_tables(
+        list(partials.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    qs = all_rows["query_id"].to_numpy(zero_copy_only=False)
+    ns = all_rows["neighbor_id"].to_numpy(zero_copy_only=False)
+    ss = all_rows["sim"].to_numpy(zero_copy_only=False)
+    out_q, out_r, out_n = [], [], []
+    for q in np.unique(qs):
+        m = qs == q
+        order = np.lexsort((ns[m], -ss[m]))[:k]
+        out_q.extend([int(q)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_n.extend(ns[m][order].tolist())
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64())})
+
+
+KNN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+     s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(e.embedding, q.qe) AS sim
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.query_id)
+SELECT query_id, rank, neighbor_id
+FROM (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+WHERE rank <= 10
+"""
+
+
+def embedding_dims(sf_dir: str):
+    """Schema sanity over the vector column (ints only)."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"])
+
+    def dims(t: pa.Table) -> pa.Table:
+        lens = pa.compute.list_value_length(t["embedding"])
+        return pa.table({"label": t["label"], "dim": lens.cast(pa.int64())})
+
+    return (ds.map_batches(dims, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("label")
+            .aggregate(Count(alias_name="n"),
+                       Min("dim", alias_name="min_dim"),
+                       Max("dim", alias_name="max_dim")))
+
+
+EMB_DIMS_SQL = """
+SELECT label, count(*) AS n, min(len(embedding)) AS min_dim,
+       max(len(embedding)) AS max_dim
+FROM embeddings GROUP BY label
+"""
+
+
+def embedding_neardup(sf_dir: str, threshold: float = 0.35):
+    """Embedding-cosine near-dup pairs (a < b, sim ≥ τ). Rows-only:
+    the exact pairs come from a broadcast matmul; at 10^12 scale the
+    same verify runs behind an LSH/IVF candidate step instead."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, mat = _emb_matrix(t)
+    u = _unit(mat)
+    sims = u @ u.T
+    iu = np.triu_indices(len(ids), k=1)
+    mask = sims[iu] >= threshold
+    a = ids[iu[0][mask]]
+    b = ids[iu[1][mask]]
+    s = sims[iu][mask]
+    order = np.lexsort((b, a))
+    return pa.table({"a": pa.array(a[order], pa.int64()),
+                     "b": pa.array(b[order], pa.int64()),
+                     "sim": pa.array(np.round(s[order], 6), pa.float64())})
+
+
+class IVFIndex:
+    """Seeded k-means-lite coarse quantizer (pure numpy, deterministic).
+    fit() on a sample; centroids broadcast to assignment tasks."""
+
+    def __init__(self, n_clusters: int = 16, n_iter: int = 8, seed: int = 42):
+        self.n_clusters = n_clusters
+        self.n_iter = n_iter
+        self.seed = seed
+        self.centroids: np.ndarray | None = None
+
+    def fit(self, mat: np.ndarray) -> "IVFIndex":
+        rng = np.random.default_rng(self.seed)
+        u = _unit(mat)
+        idx = rng.choice(len(u), size=min(self.n_clusters, len(u)), replace=False)
+        c = u[np.sort(idx)].copy()
+        for _ in range(self.n_iter):
+            assign = np.argmax(u @ c.T, axis=1)
+            for j in range(len(c)):
+                members = u[assign == j]
+                if len(members):
+                    c[j] = members.mean(axis=0)
+            c = _unit(c)
+        self.centroids = c
+        return self
+
+    def assign(self, mat: np.ndarray) -> np.ndarray:
+        return np.argmax(_unit(mat) @ self.centroids.T, axis=1)
+
+
+def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+                 n_probe: int = 4):
+    """IVF approximate top-k: probe the n_probe nearest clusters only.
+    Rows-only (approximate by design); recall vs the exact path is
+    asserted in tests."""
+    import ray
+    import pyarrow.parquet as pq
+
+    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    ids_all, mat_all = _emb_matrix(full)
+    ivf = IVFIndex().fit(mat_all)
+    cent_ref = ray.put(ivf.centroids)
+
+    q_mask = ids_all < n_queries
+    q_ids, q_mat = ids_all[q_mask], _unit(mat_all[q_mask])
+    q_order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[q_order], q_mat[q_order]
+    probes = np.argsort(-(q_mat @ ivf.centroids.T), axis=1)[:, :n_probe]
+    probe_sets = [set(p.tolist()) for p in probes]
+    q_ref = ray.put((q_ids, q_mat, probe_sets))
+
+    def assign_and_score(t: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        qids, qm, psets = ray.get(q_ref)
+        ids, mat = _emb_matrix(t)
+        u = _unit(mat)
+        clusters = np.argmax(u @ cents.T, axis=1)
+        sims = u @ qm.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            in_probe = np.isin(clusters, list(psets[qi])) & (ids != qids[qi])
+            cid, cs = ids[in_probe], sims[in_probe, qi]
+            if len(cid) > k:
+                top = np.argpartition(-cs, k)[:k]
+                cid, cs = cid[top], cs[top]
+            out_q.extend([qids[qi]] * len(cid))
+            out_n.extend(cid.tolist())
+            out_s.extend(cs.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = _read_emb(sf_dir).map_batches(assign_and_score,
+                                             batch_format="pyarrow",
+                                             zero_copy_batch=True)
+    all_rows = pa.concat_tables(
+        list(partials.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    qs = all_rows["query_id"].to_numpy(zero_copy_only=False)
+    ns = all_rows["neighbor_id"].to_numpy(zero_copy_only=False)
+    ss = all_rows["sim"].to_numpy(zero_copy_only=False)
+    out_q, out_r, out_n = [], [], []
+    for q in np.unique(qs):
+        m = qs == q
+        order = np.lexsort((ns[m], -ss[m]))[:k]
+        out_q.extend([int(q)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_n.extend(ns[m][order].tolist())
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64())})
+
+
+QUERIES = {
+    "knn_bruteforce": knn_bruteforce,
+    "embedding_dims": embedding_dims,
+    "embedding_neardup": embedding_neardup,
+    "ann_ivf_topk": ann_ivf_topk,
+}
+
+ORACLE = {
+    "knn_bruteforce": KNN_SQL,
+    "embedding_dims": EMB_DIMS_SQL,
+    # embedding_neardup / ann_ivf_topk: rows-only (pair set depends on
+    # float ULPs at the τ boundary / approximation by design)
+}

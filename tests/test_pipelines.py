@@ -1,0 +1,143 @@
+"""Operator-surface tests: every SQL-checked queries() entry vs its
+DuckDB oracle at sf0.001 (the driver's compare, locally), plus
+brute-force oracles for the sketch/approximate ops that have no SQL."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+
+@pytest.fixture(scope="session")
+def entry_mod(ray_session):
+    import __ray_entry__ as e
+    return e
+
+
+@pytest.fixture(scope="session")
+def ducks():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _to_pandas(res):
+    import pyarrow as pa
+    if isinstance(res, pd.DataFrame):
+        return res
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res.to_pandas()
+
+
+SQL_CHECKED = [
+    "q1_pricing_summary", "filter_project_revenue", "join_revenue_by_nation",
+    "order_lineitem_rollup", "agg_pushdown_counts", "topk_orders",
+    "distinct_priorities", "filter_ops_events", "scalar_funcs_lineitem",
+    "latest_event_per_user", "tumbling_window_events", "event_type_routing",
+    "semi_join_events_customers", "anti_join_events_customers",
+    "doc_token_counts", "doc_term_df", "doc_fingerprint", "dedup_exact",
+    "doc_quality_scores", "lang_id_documents", "knn_bruteforce",
+    "embedding_dims", "bm25_topk_documents", "index_term_stats",
+    "corpus_docs_table", "multimodal_image_meta",
+]
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_query_matches_oracle(entry_mod, ducks, name):
+    mine = _canon(_to_pandas(entry_mod.queries()[name](SF)))
+    ref = _canon(ducks.execute(entry_mod.oracle_sql()[name]).df())
+    assert list(mine.columns) == list(ref.columns)
+    assert len(mine) == len(ref)
+    pd.testing.assert_frame_equal(mine, ref, check_dtype=False, check_exact=True)
+
+
+def test_every_query_has_oracle_or_is_flagged(entry_mod):
+    qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
+    assert set(os_) <= set(qs)
+    rows_only = set(qs) - set(os_)
+    # sketch/approximate ops are the only sanctioned rows-only entries
+    assert rows_only == {"minhash_lsh_candidates", "simhash_signatures",
+                         "simhash_dup_pairs", "ngram_jaccard_adjacent",
+                         "embedding_neardup", "ann_ivf_topk"}
+
+
+def test_entry_smoke(entry_mod):
+    df = entry_mod.entry()
+    assert len(df) > 0
+    assert set(df.columns) == {"query_id", "rank", "doc_id"}
+
+
+# ---------------- brute-force oracles for non-SQL ops ----------------
+
+def test_minhash_candidates_against_bruteforce(entry_mod, ray_session):
+    """Every brute-force pair with Jaccard well above the LSH design
+    threshold must be found; reported pairs carry exact Jaccard."""
+    import pyarrow.parquet as pq
+    from mee_ray.pipelines.text import TextStats, _shingles, minhash_lsh_candidates
+
+    out = minhash_lsh_candidates(SF, jaccard_threshold=0.2).to_pandas()
+    got = {(a, b) for a, b in zip(out.a, out.b)}
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    st = TextStats()
+    sh = {d: _shingles(st.tokens(x))
+          for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())}
+    ids = sorted(sh)
+    strong = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = sh[ids[i]], sh[ids[j]]
+            if not a and not b:
+                continue
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.5:  # well above banding threshold (16 bands × 4 rows)
+                strong.add((ids[i], ids[j]))
+    assert strong <= got
+
+
+def test_simhash_pairs_are_truly_close(entry_mod, ray_session):
+    from mee_ray.pipelines.text import simhash_dup_pairs, simhash_signatures
+    sig = simhash_signatures(SF).to_pandas()
+    hmap = dict(zip(sig.doc_id, sig.simhash))
+    pairs = simhash_dup_pairs(SF, max_hamming=3).to_pandas()
+    for a, b, d in zip(pairs.a, pairs.b, pairs.hamming):
+        assert bin(int(hmap[a]) ^ int(hmap[b])).count("1") == d <= 3
+
+
+def test_ivf_recall_vs_exact(entry_mod, ray_session):
+    """IVF with n_probe=4/16 clusters must reach ≥60% average recall
+    of the exact top-10 on this data (sanity floor, not a benchmark)."""
+    from mee_ray.pipelines.vector import ann_ivf_topk, knn_bruteforce
+    exact = knn_bruteforce(SF).to_pandas()
+    approx = ann_ivf_topk(SF).to_pandas()
+    recalls = []
+    for q in exact.query_id.unique():
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.6
+
+
+def test_embedding_neardup_exactness(entry_mod, ray_session):
+    """Every reported pair's cosine really is ≥ τ (checked directly)."""
+    import pyarrow.parquet as pq
+    from mee_ray.pipelines.vector import _emb_matrix, _unit, embedding_neardup
+    out = embedding_neardup(SF, threshold=0.35).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids, mat = _emb_matrix(t)
+    u = _unit(mat)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for a, b, s in zip(out.a, out.b, out.sim):
+        sim = float(u[pos[a]] @ u[pos[b]])
+        assert sim >= 0.35 and abs(sim - s) < 1e-5
