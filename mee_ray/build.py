@@ -249,26 +249,39 @@ def dedup_latest_commit(corpus, cfg: EngineConfig):
     """Latest-commit-wins dedup of (repo, path) — the analog of the
     reference's upsert-by-document_id semantics (commonhandler.py:68-83).
 
-    Shuffles ONLY (repo, path, commit) keys; winners are broadcast as a
-    sorted doc_id array and the corpus is filtered locally — `content`
-    never crosses the wire.  At 10^12 docs replace the broadcast with a
-    hash-bucketed semi-join on (repo, path); the groupby stays
-    key-only either way."""
+    Only (key_hash, max commit, candidate doc_id) leaves each read
+    task — per-batch pyarrow combiners shrink the transfer to one row
+    per key per batch, and the final max-merge runs driver-side over
+    that stream (the winner set must fit the driver anyway, because it
+    is broadcast as a sorted doc_id array for the local filter).
+    `content` never crosses the wire.  At 10^12 docs the driver merge
+    + broadcast becomes a hash-bucketed semi-join on key_hash; the
+    per-batch combiner stays identical."""
     import ray
-    from ray.data.aggregate import Max
 
-    keys = corpus.select_columns(["repo", "path", "commit"])
-    winners = keys.groupby(["repo", "path"]).aggregate(Max("commit", alias_name="commit"))
-
-    def winner_ids(batch: pa.Table) -> pa.Table:
+    def partial_winners(batch: pa.Table) -> pa.Table:
+        # candidate value: commit (fixed-width hex) ⊕ doc_id — the
+        # lexicographic max carries both the winning commit and its id
         ids = doc_ids_batch(batch["repo"], batch["path"], batch["commit"])
-        return pa.table({"doc_id": pa.array(ids, pa.int64())})
+        commits = batch["commit"].to_pylist()
+        vals = [f"{c}:{i:016x}" for c, i in zip(commits, ids)]
+        keys = [hashlib.sha256(f"{r}\x00{p}".encode()).digest()[:8]
+                for r, p in zip(batch["repo"].to_pylist(), batch["path"].to_pylist())]
+        kh = np.frombuffer(b"".join(keys), dtype=">i8").astype(np.int64)
+        t = pa.table({"kh": pa.array(kh), "val": pa.array(vals, pa.string())})
+        g = t.group_by("kh").aggregate([("val", "max")])
+        return g.rename_columns(["kh", "val"])
 
-    win_tbl = winners.map_batches(winner_ids, batch_format="pyarrow")
-    win_ids = np.sort(np.concatenate(
-        [b["doc_id"].to_numpy(zero_copy_only=False)
-         for b in win_tbl.iter_batches(batch_format="pyarrow", batch_size=1 << 20)]
-        or [np.empty(0, dtype=np.int64)]))
+    partials = corpus.select_columns(["repo", "path", "commit"]).map_batches(
+        partial_winners, batch_format="pyarrow", zero_copy_batch=True)
+    best: dict[int, str] = {}
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        for k, v in zip(b["kh"].to_pylist(), b["val"].to_pylist()):
+            cur = best.get(k)
+            if cur is None or v > cur:
+                best[k] = v
+    win_ids = np.sort(np.array([int(v[-16:], 16) for v in best.values()],
+                               dtype=np.uint64).astype(np.int64))
     ref = ray.put(win_ids)
 
     def keep_winners(batch: pa.Table) -> pa.Table:
@@ -313,38 +326,65 @@ def build_index(corpus, index_root: str, epoch: str,
     cfg = cfg or EngineConfig()
     edir = mf.epoch_dir(index_root, epoch)
     docs_tok_dir = os.path.join(edir, "docs_tok")
-    docs_dir = os.path.join(edir, "docs")
     seg_dir = os.path.join(edir, "segments")
     os.makedirs(edir, exist_ok=True)
     os.makedirs(seg_dir, exist_ok=True)
 
     # ---- stage 1: tokenize once → staged docs_tok --------------------
+    # Stateless tasks by default: per-batch Tokenizer construction is
+    # ~μs (regex compile) and tasks start instantly, whereas an actor
+    # pool pays a multi-second ramp-up — set cfg.tokenize_concurrency
+    # to force an actor pool when the tokenizer grows heavyweight
+    # state (model, BPE merges) worth amortizing.
     if not mf.stage_done(index_root, epoch, "docs_tok"):
         ds = dedup_latest_commit(corpus, cfg) if dedup else corpus
-        ds = ds.map_batches(DocTokenize, fn_constructor_kwargs={"cfg": cfg},
-                            batch_format="pyarrow", zero_copy_batch=True,
-                            batch_size=cfg.tokenize_batch_size,
-                            concurrency=cfg.tokenize_concurrency or (1, 32))
+        if cfg.tokenize_concurrency:
+            ds = ds.map_batches(DocTokenize, fn_constructor_kwargs={"cfg": cfg},
+                                batch_format="pyarrow", zero_copy_batch=True,
+                                batch_size=cfg.tokenize_batch_size,
+                                concurrency=cfg.tokenize_concurrency)
+        else:
+            ds = ds.map_batches(DocTokenize(cfg), batch_format="pyarrow",
+                                zero_copy_batch=True,
+                                batch_size=cfg.tokenize_batch_size)
         _staged_write(ds, docs_tok_dir)
         mf.mark_stage(index_root, epoch, "docs_tok")
 
-    # ---- stage 2: docs table (pruned projection of the staging set) --
-    if not mf.stage_done(index_root, epoch, "docs"):
-        docs = ray.data.read_parquet(
-            docs_tok_dir, columns=["doc_id", "repo", "path", "commit", "lang",
-                                   "content_sha256", "length"])
-        _staged_write(docs, docs_dir)
-        mf.mark_stage(index_root, epoch, "docs")
+    # (no separate docs table: docs reads go through docs_tok with
+    # parquet column pruning — mf.docs_files / mf.DOCS_COLUMNS; only
+    # compaction materializes a slim docs/ directory)
 
-    # ---- stage 3: global stats + doc_id collision audit --------------
+    # ---- stage 2: global stats + doc_id collision audit --------------
+    # Default mode streams only (doc_id:8B, length:4B) columns to the
+    # driver — no shuffle, one pass. That holds to ~10^9 docs on one
+    # driver; past that set cfg.stats_mode="shuffle" for the
+    # groupby-based exact audit (one all-to-all of ids).
     if not mf.stage_done(index_root, epoch, "stats"):
-        dmeta = ray.data.read_parquet(docs_dir, columns=["doc_id", "length"])
-        n_docs = dmeta.count()
-        total_tokens = int(dmeta.sum("length") or 0)
-        n_distinct = dmeta.groupby("doc_id").count().count()
+        if cfg.stats_mode == "shuffle":
+            from ray.data.aggregate import Count, Sum
+            dmeta = ray.data.read_parquet(docs_tok_dir,
+                                          columns=["doc_id", "length"])
+            g = dmeta.groupby("doc_id").aggregate(Count(alias_name="n"),
+                                                  Sum("length", alias_name="dl"))
+            row = g.aggregate(Count(alias_name="n_distinct"),
+                              Sum("n", alias_name="n_docs"),
+                              Sum("dl", alias_name="total_tokens"))
+            n_docs = int(row["n_docs"] or 0)
+            total_tokens = int(row["total_tokens"] or 0)
+            n_distinct = int(row["n_distinct"] or 0)
+        else:
+            # driver pass over two narrow columns: pyarrow's C++
+            # multithreaded scanner, no Ray task round-trips
+            import pyarrow.dataset as pads
+            t = pads.dataset(docs_tok_dir, format="parquet").to_table(
+                columns=["doc_id", "length"])
+            n_docs = t.num_rows
+            total_tokens = int(pa.compute.sum(t["length"]).as_py() or 0)
+            n_distinct = len(np.unique(t["doc_id"].to_numpy(zero_copy_only=False)))
         if n_distinct != n_docs:
             raise RuntimeError(
-                f"doc_id collision audit failed: {n_docs - n_distinct} colliding ids")
+                f"doc_id collision audit failed: "
+                f"{n_docs - n_distinct} colliding ids")
         mf.mark_stage(index_root, epoch, "stats",
                       n_docs=n_docs, total_tokens=total_tokens)
     st = mf.load_state(index_root, epoch)["stats"]
@@ -352,16 +392,25 @@ def build_index(corpus, index_root: str, epoch: str,
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
     # ---- stage 4: THE shuffle — triples → partitioned segments -------
+    # push-based sort shuffle: ~2× faster than the default pull-based
+    # strategy for this all-to-all on a single node (measured), and
+    # the push-based path is also the multi-node-friendly one
     if not mf.stage_done(index_root, epoch, "segments"):
-        toks = ray.data.read_parquet(docs_tok_dir,
-                                     columns=["doc_id", "length", "terms", "tfs"])
-        triples = toks.map_batches(ExplodeTriples, fn_constructor_kwargs={"cfg": cfg},
-                                   batch_format="pyarrow", zero_copy_batch=True,
-                                   batch_size=cfg.tokenize_batch_size,
-                                   concurrency=(1, 32))
-        lineage = triples.groupby("part").map_groups(
-            make_encode_partition(seg_dir, avgdl, cfg), batch_format="pyarrow")
-        lin_rows = lineage.take_all()
+        from ray.data.context import ShuffleStrategy
+        ctx = ray.data.DataContext.get_current()
+        prev_strategy = ctx.shuffle_strategy
+        ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
+        try:
+            toks = ray.data.read_parquet(docs_tok_dir,
+                                         columns=["doc_id", "length", "terms", "tfs"])
+            triples = toks.map_batches(ExplodeTriples(cfg), batch_format="pyarrow",
+                                       zero_copy_batch=True,
+                                       batch_size=cfg.tokenize_batch_size)
+            lineage = triples.groupby("part").map_groups(
+                make_encode_partition(seg_dir, avgdl, cfg), batch_format="pyarrow")
+            lin_rows = lineage.take_all()
+        finally:
+            ctx.shuffle_strategy = prev_strategy
         mf.mark_stage(index_root, epoch, "segments", lineage=lin_rows)
     lin_rows = mf.load_state(index_root, epoch)["segments"]["lineage"]
 

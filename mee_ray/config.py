@@ -95,6 +95,12 @@ class EngineConfig:
     tokenize_batch_size: int = 256  # docs per tokenize batch (multi-KB rows)
     tokenize_concurrency: int | None = None  # None → stateless tasks sizing by Ray
 
+    # --- stats/audit ---
+    # "driver": stream (doc_id, length) to the driver, np.unique audit
+    #           (no shuffle; fine to ~10^9 docs).
+    # "shuffle": exact audit via groupby(doc_id) — the 10^12-doc path.
+    stats_mode: str = "driver"
+
     def shard_of_part(self, part: int) -> int:
         return part % self.num_shards
 

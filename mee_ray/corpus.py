@@ -48,10 +48,11 @@ def _ident(rng: np.random.Generator, style: str) -> str:
     return "_".join(parts)
 
 
-def _file_content(rng: np.random.Generator, lang: str, uniq: str, big: bool) -> str:
+def _file_content(rng: np.random.Generator, lang: str, uniq: str, big: bool,
+                  content_scale: int = 1) -> str:
     kw = _KEYWORDS[lang]
     lines = []
-    n_funcs = int(rng.integers(2, 8)) * (40 if big else 1)
+    n_funcs = int(rng.integers(2, 8)) * content_scale * (40 if big else 1)
     for _ in range(n_funcs):
         name = _ident(rng, "camel" if lang in ("java", "js") else "snake")
         arg = _ident(rng, "snake")
@@ -66,9 +67,12 @@ def _file_content(rng: np.random.Generator, lang: str, uniq: str, big: bool) -> 
     return "\n".join(lines)
 
 
-def generate_corpus(n_files: int = 2000, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic corpus. Same (n_files, seed) → same table,
-    independent of parallelism (generated driver-side, read as parquet)."""
+def generate_corpus(n_files: int = 2000, seed: int = 42,
+                    content_scale: int = 1) -> pa.Table:
+    """Deterministic synthetic corpus. Same (n_files, seed,
+    content_scale) → same table, independent of parallelism (generated
+    driver-side, read as parquet). content_scale multiplies per-file
+    function count (bench uses >1 for KB-scale files)."""
     rng = np.random.default_rng(seed)
     n_repos = max(4, n_files // 40)
     # Zipfian repo popularity
@@ -89,7 +93,7 @@ def generate_corpus(n_files: int = 2000, seed: int = 42) -> pa.Table:
         elif i % 200 == 198:
             content = "   \n\t  "  # whitespace-only edge case
         else:
-            content = _file_content(rng, lang, uniq, big)
+            content = _file_content(rng, lang, uniq, big, content_scale)
         repos.append(repo); paths.append(path); commits.append(commit)
         langs.append(lang); contents.append(content)
         # ~4% of files get a second, later commit (latest-wins dedup)
@@ -107,12 +111,12 @@ def generate_corpus(n_files: int = 2000, seed: int = 42) -> pa.Table:
 
 
 def write_corpus(path: str, n_files: int = 2000, seed: int = 42,
-                 rows_per_file: int = 2000) -> str:
+                 rows_per_file: int = 2000, content_scale: int = 1) -> str:
     """Write the synthetic corpus as a multi-file parquet directory so
     ``read_parquet`` parallelizes over fragments."""
     import os
     import pyarrow.parquet as pq
-    t = generate_corpus(n_files, seed)
+    t = generate_corpus(n_files, seed, content_scale)
     os.makedirs(path, exist_ok=True)
     n = t.num_rows
     part = 0

@@ -46,12 +46,7 @@ def _live_key_index(index_root: str, manifest: dict, keys: set[tuple[str, str]]
     ``keys``.  Scans the epoch docs table plus every delta's added-docs
     file, honoring tombstones; ``keys`` is small (one delta batch), so
     this is a broadcast-filtered scan, not a shuffle."""
-    edir = mf.epoch_dir(index_root, manifest["epoch"])
-    files = []
-    docs_dir = os.path.join(edir, "docs")
-    if os.path.isdir(docs_dir):
-        files += [os.path.join(docs_dir, f) for f in sorted(os.listdir(docs_dir))
-                  if f.endswith(".parquet")]
+    files = list(mf.docs_files(index_root, manifest["epoch"]))
     for d in manifest.get("deltas", []):
         if d.get("added_docs") and os.path.exists(d["added_docs"]):
             files.append(d["added_docs"])

@@ -124,6 +124,26 @@ def stage_done(index_root: str, epoch: str, stage: str) -> bool:
     return bool(load_state(index_root, epoch).get(stage, {}).get("done"))
 
 
+DOCS_COLUMNS = ["doc_id", "repo", "path", "commit", "lang",
+                "content_sha256", "length"]
+
+
+def docs_files(index_root: str, epoch: str) -> list[str]:
+    """Parquet files holding the epoch's docs table.  A built epoch
+    serves docs reads straight from the ``docs_tok`` staging set
+    (parquet column pruning skips the heavy terms/tfs columns); a
+    compacted epoch has a slim ``docs`` directory instead."""
+    edir = epoch_dir(index_root, epoch)
+    for sub in ("docs", "docs_tok"):
+        d = os.path.join(edir, sub)
+        if os.path.isdir(d):
+            files = [os.path.join(d, f) for f in sorted(os.listdir(d))
+                     if f.endswith(".parquet")]
+            if files:
+                return files
+    return []
+
+
 def live_stats(manifest: dict) -> tuple[int, float]:
     """(N_live, avgdl_live) after applying the delta log to base stats.
     Exact, not approximate: each delta records n/sum_dl added+deleted,

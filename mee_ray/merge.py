@@ -83,9 +83,7 @@ def compact(index_root: str, new_epoch: str,
     os.makedirs(new_segs, exist_ok=True)
 
     # --- docs table: base minus tombstones, plus live delta adds ------
-    old_docs_dir = os.path.join(mf.epoch_dir(index_root, old_epoch), "docs")
-    doc_files = [os.path.join(old_docs_dir, f)
-                 for f in sorted(os.listdir(old_docs_dir)) if f.endswith(".parquet")]
+    doc_files = list(mf.docs_files(index_root, old_epoch))
     for d in manifest.get("deltas", []):
         if d.get("added_docs"):
             doc_files.append(d["added_docs"])
@@ -100,8 +98,7 @@ def compact(index_root: str, new_epoch: str,
         return batch.filter(pa.array(~np.isin(ids, tb)))
 
     docs_ds = ray.data.read_parquet(
-        doc_files, columns=["doc_id", "repo", "path", "commit", "lang",
-                            "content_sha256", "length"]
+        doc_files, columns=mf.DOCS_COLUMNS
     ).map_batches(drop_tombstoned, batch_format="pyarrow")
     docs_ds.write_parquet(new_docs)
 

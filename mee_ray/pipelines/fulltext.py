@@ -56,12 +56,9 @@ def _ensure_index(sf_dir: str) -> str:
 def _orig_id_map(root: str) -> dict[int, int]:
     """engine doc_id → original documents.doc_id (parsed from the
     deterministic path 'src/doc_<id>.txt')."""
-    docs_dir = os.path.join(mf.epoch_dir(root, mf.current_epoch(root)), "docs")
     out = {}
-    for f in sorted(os.listdir(docs_dir)):
-        if not f.endswith(".parquet"):
-            continue
-        t = pq.read_table(os.path.join(docs_dir, f), columns=["doc_id", "path"])
+    for f in mf.docs_files(root, mf.current_epoch(root)):
+        t = pq.read_table(f, columns=["doc_id", "path"])
         for did, p in zip(t["doc_id"].to_pylist(), t["path"].to_pylist()):
             out[did] = int(p.split("doc_")[1].split(".")[0])
     return out
@@ -165,11 +162,9 @@ def corpus_docs_table(sf_dir: str):
     """The docs-table build path: per-row identity + sha256 invariant
     (BASELINE.json input_hint), checked column-for-column in SQL."""
     root = _ensure_index(sf_dir)
-    docs_dir = os.path.join(mf.epoch_dir(root, mf.current_epoch(root)), "docs")
-    tabs = [pq.read_table(os.path.join(docs_dir, f),
-                          columns=["repo", "path", "commit", "lang",
-                                   "length", "content_sha256"])
-            for f in sorted(os.listdir(docs_dir)) if f.endswith(".parquet")]
+    tabs = [pq.read_table(f, columns=["repo", "path", "commit", "lang",
+                                      "length", "content_sha256"])
+            for f in mf.docs_files(root, mf.current_epoch(root))]
     t = pa.concat_tables(tabs)
     sha_hex = [binascii.hexlify(x).decode() for x in t["content_sha256"].to_pylist()]
     return pa.table({"repo": t["repo"], "path": t["path"],

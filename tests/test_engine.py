@@ -56,9 +56,9 @@ def test_global_stats_match_oracle(built_index):
 def test_content_sha256_invariant(built_index):
     """Per-row invariant vs the reference (BASELINE.json input_hint):
     docs-table content_sha256 equals sha256 of the input content."""
-    docs_dir = os.path.join(mf.epoch_dir(built_index["index_root"], "ep1"), "docs")
-    t = pa.concat_tables([pq.read_table(os.path.join(docs_dir, f))
-                          for f in sorted(os.listdir(docs_dir)) if f.endswith(".parquet")])
+    t = pa.concat_tables(
+        [pq.read_table(f, columns=mf.DOCS_COLUMNS)
+         for f in mf.docs_files(built_index["index_root"], "ep1")])
     live = built_index["live"]
     assert t.num_rows == len(live)
     for r, p, c, sha in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
@@ -69,9 +69,9 @@ def test_content_sha256_invariant(built_index):
 
 
 def test_dedup_latest_wins(built_index):
-    docs_dir = os.path.join(mf.epoch_dir(built_index["index_root"], "ep1"), "docs")
-    t = pa.concat_tables([pq.read_table(os.path.join(docs_dir, f))
-                          for f in sorted(os.listdir(docs_dir)) if f.endswith(".parquet")])
+    t = pa.concat_tables(
+        [pq.read_table(f, columns=mf.DOCS_COLUMNS)
+         for f in mf.docs_files(built_index["index_root"], "ep1")])
     keys = list(zip(t["repo"].to_pylist(), t["path"].to_pylist()))
     assert len(keys) == len(set(keys))  # one row per (repo, path)
 
