@@ -7,19 +7,22 @@ writes ONE document per ES HTTP call (commonhandler.py:406, 77-83), the
 new engine is columnar end-to-end:
 
   read_parquet(corpus)
-    → [latest-commit-wins dedup]                 (groupby of keys only)
-    → map_batches(DocTokenize, actor pool)       (tokenize ONCE)
-    → staged `docs_tok` parquet                  (checkpoint; resume point)
-    → docs table (column-pruned projection)      (+ sha256 invariant)
-    → map_batches(ExplodeTriples)                ((term, salt, doc_id, tf, dl))
-    → groupby(part)                              (THE wide shuffle; salted)
-    → encode partition → segment file + lineage  (write-temp + rename)
-    → manifest.json → atomic CURRENT publish     (alias-swap analog)
+    → [latest-commit-wins dedup]            (key-only combiners + broadcast)
+    → pass 1: map_batches(DocTokenize slim) → slim `docs/` table
+              (doc_id, repo, path, commit, lang, sha256, length — the
+              checkpoint + the stats/audit input; tiny vs the corpus)
+    → pass 2: map_batches(DocTokenize → ExplodeTriples)   (fused tasks)
+              → groupby(part)               (THE wide shuffle; salted)
+              → encode partition → segment file + lineage (tmp+rename)
+    → manifest.json → atomic CURRENT publish (alias-swap analog)
 
 Scale notes (100 TB):
-- `docs_tok` staging makes the expensive tokenize pass run exactly once
-  and is the natural checkpoint: both the docs projection and the
-  triple explosion read it with parquet column pruning.
+- tokenize runs TWICE (once per pass) by design: re-tokenizing is
+  ~15 MB/s/core of pure compute, while the alternative — staging the
+  full token table to parquet between passes — writes AND re-reads a
+  corpus-sized intermediate through disk.  At 100 TB the staging I/O
+  dwarfs the second tokenize; the fused pass-2 chain keeps tokens in
+  task memory straight into the shuffle.
 - the only all-to-all moves (term, salt, doc_id, tf, dl) tuples — never
   `content`.  Hot terms are salted into contiguous doc_id ranges so
   their sub-lists spread across partitions *within the term's shard*
@@ -67,14 +70,20 @@ LINEAGE_SCHEMA = pa.schema([
 
 
 class DocTokenize:
-    """Actor-pool stage: corpus batch → docs_tok rows.
+    """Tokenize stage: corpus batch → docs rows.
 
-    State built once per actor (Tokenizer regex + memo cache) — the
-    analog of the reference's per-handler caches
-    (commonhandler.py:593-628); work per batch in __call__."""
+    State built once per task/actor (Tokenizer regex + memo cache) —
+    the analog of the reference's per-handler caches
+    (commonhandler.py:593-628); work per batch in __call__.
 
-    def __init__(self, cfg: EngineConfig):
+    ``emit_terms=False`` yields the slim docs-table shape (identity +
+    sha256 invariant + length) for pass 1; ``True`` adds the
+    ``terms``/``tfs`` list columns consumed by :class:`ExplodeTriples`
+    in the fused pass 2."""
+
+    def __init__(self, cfg: EngineConfig, emit_terms: bool = True):
         self.cfg = cfg
+        self.emit_terms = emit_terms
         self.tok = Tokenizer(cfg.tokenizer)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -90,7 +99,7 @@ class DocTokenize:
             terms_col.append([t for t, _ in items])
             tfs_col.append([tf for _, tf in items])
             lengths.append(sum(counts.values()))
-        return pa.table({
+        cols = {
             "doc_id": pa.array(ids, pa.int64()),
             "repo": batch["repo"],
             "path": batch["path"],
@@ -98,9 +107,11 @@ class DocTokenize:
             "lang": batch["lang"],
             "content_sha256": pa.array(shas, pa.binary()),
             "length": pa.array(lengths, pa.int32()),
-            "terms": pa.array(terms_col, pa.list_(pa.string())),
-            "tfs": pa.array(tfs_col, pa.list_(pa.int32())),
-        })
+        }
+        if self.emit_terms:
+            cols["terms"] = pa.array(terms_col, pa.list_(pa.string()))
+            cols["tfs"] = pa.array(tfs_col, pa.list_(pa.int32()))
+        return pa.table(cols)
 
 
 class ExplodeTriples:
@@ -124,36 +135,48 @@ class ExplodeTriples:
         return r
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
         cfg = self.cfg
         pps = cfg.parts_per_shard
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         dls = batch["length"].to_numpy(zero_copy_only=False)
-        terms_lists = batch["terms"].to_pylist()
-        tfs_lists = batch["tfs"].to_pylist()
+        terms_col = batch["terms"].combine_chunks()
+        tfs_col = batch["tfs"].combine_chunks()
 
-        n_per_doc = np.fromiter((len(t) for t in terms_lists), dtype=np.int64,
-                                count=len(terms_lists))
+        # flatten stays in Arrow (no Python list hop); routing is
+        # computed once per UNIQUE term of the batch via dictionary
+        # encode, then gathered back — tokens repeat heavily, so this
+        # is orders of magnitude less Python than per-token routing
+        n_per_doc = pc.list_value_length(terms_col).to_numpy(zero_copy_only=False)
         doc_rep = np.repeat(doc_ids, n_per_doc)
         dl_rep = np.repeat(dls, n_per_doc)
-        flat_terms: list[str] = [t for lst in terms_lists for t in lst]
-        flat_tfs = np.fromiter((tf for lst in tfs_lists for tf in lst),
-                               dtype=np.int32, count=len(flat_terms))
+        flat_terms = terms_col.flatten()
+        flat_tfs = tfs_col.flatten().to_numpy(zero_copy_only=False).astype(np.int32)
 
-        n = len(flat_terms)
-        shard = np.empty(n, dtype=np.int32)
-        h2 = np.empty(n, dtype=np.int64)
-        hot = np.empty(n, dtype=bool)
+        dict_arr = pc.dictionary_encode(flat_terms)
+        if isinstance(dict_arr, pa.ChunkedArray):
+            dict_arr = dict_arr.combine_chunks()
+        idx = dict_arr.indices.to_numpy(zero_copy_only=False)
+        vocab = dict_arr.dictionary.to_pylist()
+
+        nu = len(vocab)
+        shard_u = np.empty(nu, dtype=np.int32)
+        h2_u = np.empty(nu, dtype=np.int64)
+        hot_u = np.empty(nu, dtype=bool)
         route = self._route_of
-        for i, t in enumerate(flat_terms):
+        for j, t in enumerate(vocab):
             s, h, is_hot = route(t)
-            shard[i] = s; h2[i] = h; hot[i] = is_hot
+            shard_u[j] = s; h2_u[j] = h; hot_u[j] = is_hot
+        shard = shard_u[idx]
+        h2 = h2_u[idx]
+        hot = hot_u[idx]
 
         salt = np.where(hot, salts_batch(doc_rep, cfg.salt_factor), 0).astype(np.int32)
         part = (shard * pps
                 + ((h2 ^ (salt.astype(np.int64) * 0x9E3779B1)) % pps)).astype(np.int32)
         return pa.table({
             "part": part,
-            "term": pa.array(flat_terms, pa.string()),
+            "term": flat_terms,
             "salt": salt,
             "doc_id": doc_rep,
             "tf": flat_tfs,
@@ -245,9 +268,10 @@ def make_encode_partition(seg_dir: str, avgdl: float, cfg: EngineConfig):
     return encode_partition
 
 
-def dedup_latest_commit(corpus, cfg: EngineConfig):
-    """Latest-commit-wins dedup of (repo, path) — the analog of the
-    reference's upsert-by-document_id semantics (commonhandler.py:68-83).
+def winner_doc_ids(corpus, cfg: EngineConfig) -> np.ndarray:
+    """Latest-commit-wins winner set of (repo, path) — the analog of
+    the reference's upsert-by-document_id semantics
+    (commonhandler.py:68-83).  Returns the sorted winning doc_ids.
 
     Only (key_hash, max commit, candidate doc_id) leaves each read
     task — per-batch pyarrow combiners shrink the transfer to one row
@@ -257,7 +281,6 @@ def dedup_latest_commit(corpus, cfg: EngineConfig):
     `content` never crosses the wire.  At 10^12 docs the driver merge
     + broadcast becomes a hash-bucketed semi-join on key_hash; the
     per-batch combiner stays identical."""
-    import ray
 
     def partial_winners(batch: pa.Table) -> pa.Table:
         # candidate value: commit (fixed-width hex) ⊕ doc_id — the
@@ -280,12 +303,17 @@ def dedup_latest_commit(corpus, cfg: EngineConfig):
             cur = best.get(k)
             if cur is None or v > cur:
                 best[k] = v
-    win_ids = np.sort(np.array([int(v[-16:], 16) for v in best.values()],
-                               dtype=np.uint64).astype(np.int64))
-    ref = ray.put(win_ids)
+    return np.sort(np.array([int(v[-16:], 16) for v in best.values()],
+                            dtype=np.uint64).astype(np.int64))
+
+
+def filter_to_winners(corpus, win_ids_ref):
+    """Filter the corpus to the broadcast winner set (``ray.put`` of
+    the sorted doc_id array — shipped once per task, not per batch)."""
+    import ray
 
     def keep_winners(batch: pa.Table) -> pa.Table:
-        wids = ray.get(ref)
+        wids = ray.get(win_ids_ref)
         ids = doc_ids_batch(batch["repo"], batch["path"], batch["commit"])
         if len(wids) == 0:
             mask = np.zeros(len(ids), dtype=bool)
@@ -295,6 +323,12 @@ def dedup_latest_commit(corpus, cfg: EngineConfig):
         return batch.filter(pa.array(mask))
 
     return corpus.map_batches(keep_winners, batch_format="pyarrow")
+
+
+def dedup_latest_commit(corpus, cfg: EngineConfig):
+    """winner_doc_ids + filter_to_winners in one call (standalone use)."""
+    import ray
+    return filter_to_winners(corpus, ray.put(winner_doc_ids(corpus, cfg)))
 
 
 def _staged_write(ds, final_dir: str) -> None:
@@ -323,46 +357,58 @@ def build_index(corpus, index_root: str, epoch: str,
     short-circuit via lineage sidecars. Returns the manifest."""
     import ray.data
 
+    import ray
+
     cfg = cfg or EngineConfig()
     edir = mf.epoch_dir(index_root, epoch)
-    docs_tok_dir = os.path.join(edir, "docs_tok")
+    docs_dir = os.path.join(edir, "docs")
     seg_dir = os.path.join(edir, "segments")
     os.makedirs(edir, exist_ok=True)
     os.makedirs(seg_dir, exist_ok=True)
 
-    # ---- stage 1: tokenize once → staged docs_tok --------------------
-    # Stateless tasks by default: per-batch Tokenizer construction is
-    # ~μs (regex compile) and tasks start instantly, whereas an actor
-    # pool pays a multi-second ramp-up — set cfg.tokenize_concurrency
-    # to force an actor pool when the tokenizer grows heavyweight
-    # state (model, BPE merges) worth amortizing.
-    if not mf.stage_done(index_root, epoch, "docs_tok"):
-        ds = dedup_latest_commit(corpus, cfg) if dedup else corpus
-        if cfg.tokenize_concurrency:
-            ds = ds.map_batches(DocTokenize, fn_constructor_kwargs={"cfg": cfg},
-                                batch_format="pyarrow", zero_copy_batch=True,
-                                batch_size=cfg.tokenize_batch_size,
-                                concurrency=cfg.tokenize_concurrency)
-        else:
-            ds = ds.map_batches(DocTokenize(cfg), batch_format="pyarrow",
-                                zero_copy_batch=True,
-                                batch_size=cfg.tokenize_batch_size)
-        _staged_write(ds, docs_tok_dir)
-        mf.mark_stage(index_root, epoch, "docs_tok")
+    # winner broadcast shared by both passes; recomputed on resume
+    # (deterministic function of the corpus, so lineage stays valid)
+    win_ref = None
 
-    # (no separate docs table: docs reads go through docs_tok with
-    # parquet column pruning — mf.docs_files / mf.DOCS_COLUMNS; only
-    # compaction materializes a slim docs/ directory)
+    def deduped():
+        nonlocal win_ref
+        if not dedup:
+            return corpus
+        if win_ref is None:
+            win_ref = ray.put(winner_doc_ids(corpus, cfg))
+        return filter_to_winners(corpus, win_ref)
+
+    def tokenized(ds, emit_terms: bool):
+        # Stateless tasks by default: per-batch Tokenizer construction
+        # is ~μs (regex compile) and tasks start instantly; set
+        # cfg.tokenize_concurrency to force an actor pool when the
+        # tokenizer grows heavyweight state (model, BPE merges).
+        if cfg.tokenize_concurrency:
+            return ds.map_batches(
+                DocTokenize,
+                fn_constructor_kwargs={"cfg": cfg, "emit_terms": emit_terms},
+                batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=cfg.tokenize_batch_size,
+                concurrency=cfg.tokenize_concurrency)
+        return ds.map_batches(DocTokenize(cfg, emit_terms=emit_terms),
+                              batch_format="pyarrow", zero_copy_batch=True,
+                              batch_size=cfg.tokenize_batch_size)
+
+    # ---- pass 1: slim docs table (identity + sha256 + length) --------
+    # The checkpoint artifact: ~50 B/doc regardless of content size.
+    if not mf.stage_done(index_root, epoch, "docs"):
+        _staged_write(tokenized(deduped(), emit_terms=False), docs_dir)
+        mf.mark_stage(index_root, epoch, "docs")
 
     # ---- stage 2: global stats + doc_id collision audit --------------
-    # Default mode streams only (doc_id:8B, length:4B) columns to the
-    # driver — no shuffle, one pass. That holds to ~10^9 docs on one
-    # driver; past that set cfg.stats_mode="shuffle" for the
-    # groupby-based exact audit (one all-to-all of ids).
+    # Default mode reads two narrow columns of the slim docs table on
+    # the driver (pyarrow's C++ multithreaded scanner) — no shuffle.
+    # That holds to ~10^9 docs; past that set cfg.stats_mode="shuffle"
+    # for the groupby-based exact audit (one all-to-all of ids).
     if not mf.stage_done(index_root, epoch, "stats"):
         if cfg.stats_mode == "shuffle":
             from ray.data.aggregate import Count, Sum
-            dmeta = ray.data.read_parquet(docs_tok_dir,
+            dmeta = ray.data.read_parquet(docs_dir,
                                           columns=["doc_id", "length"])
             g = dmeta.groupby("doc_id").aggregate(Count(alias_name="n"),
                                                   Sum("length", alias_name="dl"))
@@ -373,10 +419,8 @@ def build_index(corpus, index_root: str, epoch: str,
             total_tokens = int(row["total_tokens"] or 0)
             n_distinct = int(row["n_distinct"] or 0)
         else:
-            # driver pass over two narrow columns: pyarrow's C++
-            # multithreaded scanner, no Ray task round-trips
             import pyarrow.dataset as pads
-            t = pads.dataset(docs_tok_dir, format="parquet").to_table(
+            t = pads.dataset(docs_dir, format="parquet").to_table(
                 columns=["doc_id", "length"])
             n_docs = t.num_rows
             total_tokens = int(pa.compute.sum(t["length"]).as_py() or 0)
@@ -391,18 +435,20 @@ def build_index(corpus, index_root: str, epoch: str,
     n_docs, total_tokens = st["n_docs"], st["total_tokens"]
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
 
-    # ---- stage 4: THE shuffle — triples → partitioned segments -------
-    # push-based sort shuffle: ~2× faster than the default pull-based
-    # strategy for this all-to-all on a single node (measured), and
-    # the push-based path is also the multi-node-friendly one
+    # ---- pass 2: THE shuffle — triples → partitioned segments --------
+    # Fused chain: dedup-filter → tokenize → explode run in the SAME
+    # tasks (Ray Data operator fusion) straight into the push-based
+    # sort shuffle (~2× faster than pull-based on the measured
+    # all-to-all, and the multi-node-friendly strategy).  No staged
+    # token table: re-tokenizing costs less than writing + re-reading
+    # a corpus-sized intermediate (module docstring).
     if not mf.stage_done(index_root, epoch, "segments"):
         from ray.data.context import ShuffleStrategy
         ctx = ray.data.DataContext.get_current()
         prev_strategy = ctx.shuffle_strategy
         ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
         try:
-            toks = ray.data.read_parquet(docs_tok_dir,
-                                         columns=["doc_id", "length", "terms", "tfs"])
+            toks = tokenized(deduped(), emit_terms=True)
             triples = toks.map_batches(ExplodeTriples(cfg), batch_format="pyarrow",
                                        zero_copy_batch=True,
                                        batch_size=cfg.tokenize_batch_size)

@@ -1,0 +1,196 @@
+"""Vectorized scalar-function DSL.
+
+Re-expression of the reference's per-row function resolver
+(modules/handlers/common.py:32-127: ``resolve`` + the hand-rolled
+paren/quote-aware argument splitter) and its built-in functions
+(common.py:129-148: ``echo``/``yesterday``/``max``/``min``/``sum``/
+``abs`` and the unary ``+field``/``-field`` sign forms).  Differences
+by design:
+
+* expressions compile ONCE to a closure over ``pyarrow.Table`` →
+  ``pyarrow.Array`` — evaluation is per batch, never per row;
+* the dotted-import fallback (common.py:60-66) becomes an explicit
+  ``register(name, fn)`` extension surface (SURVEY.md §2.10): imports
+  inside distributed tasks are a deployment hazard, registration is
+  declarative and picklable;
+* unknown names and malformed expressions raise ``ExprError`` at
+  compile time, mirroring the reference's eager config validation.
+
+Grammar (same shapes the reference accepts):
+  expr     := call | literal | column
+  call     := name '(' expr (',' expr)* ')'
+  literal  := quoted string | int | float   (via ``echo`` semantics)
+  column   := [+-]? identifier              (sign negates / asserts)
+"""
+
+from __future__ import annotations
+
+import ast
+import datetime as _dt
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+__all__ = ["ExprError", "compile_expr", "eval_expr", "register", "registered"]
+
+
+class ExprError(ValueError):
+    """Malformed expression or unknown function (compile-time)."""
+
+
+# --------------------------------------------------------------- parser
+
+
+def _split_args(s: str) -> list[str]:
+    """Split a call's argument list on top-level commas, honoring
+    nested parens and single/double quotes (semantics of the
+    reference's splitter, common.py:73-127; independent implementation)."""
+    out, depth, quote, cur = [], 0, None, []
+    for ch in s:
+        if quote:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+        elif ch in "'\"":
+            quote = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ExprError(f"unbalanced ')' in {s!r}")
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if depth != 0 or quote is not None:
+        raise ExprError(f"unbalanced parens/quotes in {s!r}")
+    out.append("".join(cur).strip())
+    return [a for a in out if a]
+
+
+def _parse(expr: str):
+    """→ ('call', name, [sub]) | ('lit', value) | ('col', name, sign)"""
+    expr = expr.strip()
+    if not expr:
+        raise ExprError("empty expression")
+    # quoted / numeric literal
+    if expr[0] in "'\"" or expr.replace(".", "", 1).lstrip("+-").isdigit():
+        try:
+            return ("lit", ast.literal_eval(expr))
+        except (ValueError, SyntaxError) as e:
+            raise ExprError(f"bad literal {expr!r}") from e
+    lp = expr.find("(")
+    if lp > 0 and expr.endswith(")"):
+        name = expr[:lp].strip()
+        if not name.isidentifier():
+            raise ExprError(f"bad function name {name!r}")
+        return ("call", name, [_parse(a) for a in _split_args(expr[lp + 1:-1])])
+    sign = 1
+    if expr[0] in "+-":
+        sign = -1 if expr[0] == "-" else 1
+        expr = expr[1:].strip()
+    if not expr.isidentifier():
+        raise ExprError(f"bad column reference {expr!r}")
+    return ("col", expr, sign)
+
+
+# ------------------------------------------------------------- builtins
+
+
+def _nary(kernel):
+    def f(*args):
+        if not args:
+            raise ExprError("need at least one argument")
+        acc = args[0]
+        for a in args[1:]:
+            acc = kernel(acc, a)
+        return acc
+    return f
+
+
+def _echo(*args):
+    if len(args) != 1:
+        raise ExprError("echo takes exactly one argument")
+    return args[0]
+
+
+def _yesterday(*args):
+    if args:
+        raise ExprError("yesterday takes no arguments")
+    d = _dt.date.today() - _dt.timedelta(days=1)
+    return pa.scalar(d.isoformat())
+
+
+_REGISTRY: dict[str, Callable] = {
+    "echo": _echo,
+    "yesterday": _yesterday,
+    "max": _nary(pc.max_element_wise),
+    "min": _nary(pc.min_element_wise),
+    "sum": _nary(pc.add),
+    "abs": lambda a: pc.abs(a),
+    # engine extras beyond the reference set (same calling convention)
+    "mul": _nary(pc.multiply),
+    "sub": lambda a, b: pc.subtract(a, b),
+    "div": lambda a, b: pc.divide(a, b),
+    "coalesce": lambda *a: pc.coalesce(*a),
+    "round": lambda a, n=pa.scalar(0): pc.round(a, ndigits=n.as_py()
+                                                if isinstance(n, pa.Scalar) else n),
+    "length": lambda a: pc.utf8_length(a),
+    "lower": lambda a: pc.utf8_lower(a),
+    "upper": lambda a: pc.utf8_upper(a),
+}
+
+
+def register(name: str, fn: Callable) -> None:
+    """User-extension surface (reference's dotted-import fallback,
+    common.py:60-66, made explicit).  ``fn`` receives pyarrow
+    Arrays/Scalars and must return one."""
+    if not name.isidentifier():
+        raise ExprError(f"bad function name {name!r}")
+    _REGISTRY[name] = fn
+
+
+def registered() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+# ------------------------------------------------------------- compiler
+
+
+def _compile_node(node) -> Callable[[pa.Table], object]:
+    kind = node[0]
+    if kind == "lit":
+        s = pa.scalar(node[1])
+        return lambda t: s
+    if kind == "col":
+        _, name, sign = node
+        if sign < 0:
+            return lambda t: pc.negate(t[name])
+        return lambda t: t[name]
+    _, name, subs = node
+    fn = _REGISTRY.get(name)
+    if fn is None:
+        raise ExprError(f"unknown function {name!r} "
+                        f"(register it with mee_ray.functions.register)")
+    sub_fns = [_compile_node(s) for s in subs]
+    if name == "echo":  # literal-only, validated eagerly like the reference
+        if len(subs) != 1 or subs[0][0] != "lit":
+            raise ExprError("echo takes exactly one literal argument")
+    return lambda t: fn(*(sf(t) for sf in sub_fns))
+
+
+def compile_expr(expr: str) -> Callable[[pa.Table], object]:
+    """Compile ``expr`` to ``fn(batch: pa.Table) -> pa.Array | Scalar``.
+    Raises ExprError on malformed input or unknown names (eager, so a
+    bad config fails at pipeline build, not inside a task)."""
+    return _compile_node(_parse(expr))
+
+
+def eval_expr(expr: str, batch: pa.Table):
+    return compile_expr(expr)(batch)

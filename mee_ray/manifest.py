@@ -129,10 +129,10 @@ DOCS_COLUMNS = ["doc_id", "repo", "path", "commit", "lang",
 
 
 def docs_files(index_root: str, epoch: str) -> list[str]:
-    """Parquet files holding the epoch's docs table.  A built epoch
-    serves docs reads straight from the ``docs_tok`` staging set
-    (parquet column pruning skips the heavy terms/tfs columns); a
-    compacted epoch has a slim ``docs`` directory instead."""
+    """Parquet files holding the epoch's docs table.  Built and
+    compacted epochs write a slim ``docs/`` directory; ``docs_tok``
+    is accepted as a fallback for epochs built by older versions that
+    staged the full token table (column pruning skips terms/tfs)."""
     edir = epoch_dir(index_root, epoch)
     for sub in ("docs", "docs_tok"):
         d = os.path.join(edir, sub)

@@ -337,6 +337,39 @@ FROM lineitem
 """
 
 
+def scalar_dsl_lineitem(sf_dir: str):
+    """M5 scalar-function *DSL* (the reference's nested-call mini
+    language, common.py:32-127) compiled ONCE to vectorized pyarrow
+    closures in mee_ray.functions, then applied per batch."""
+    from mee_ray.functions import compile_expr
+
+    exprs = {
+        "qty_capped": compile_expr("min(l_quantity, echo(30.0))"),
+        "best_rate": compile_expr("max(l_discount, l_tax)"),
+        "spread": compile_expr("abs(sum(l_discount, -l_tax))"),
+    }
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = {"l_orderkey": t["l_orderkey"], "l_linenumber": t["l_linenumber"]}
+        for name, fn in exprs.items():
+            cols[name] = fn(t)
+        return pa.table(cols)
+
+    return _read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_quantity",
+                  "l_discount", "l_tax"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SCALAR_DSL_SQL = """
+SELECT l_orderkey, l_linenumber,
+       least(l_quantity, 30.0)        AS qty_capped,
+       greatest(l_discount, l_tax)    AS best_rate,
+       abs(l_discount + (-l_tax))     AS spread
+FROM lineitem
+"""
+
+
 # --------------------------------------- latest-wins / windows / CDC --
 
 def latest_event_per_user(sf_dir: str):
@@ -486,6 +519,7 @@ QUERIES = {
     "distinct_priorities": distinct_priorities,
     "filter_ops_events": filter_ops_events,
     "scalar_funcs_lineitem": scalar_funcs_lineitem,
+    "scalar_dsl_lineitem": scalar_dsl_lineitem,
     "latest_event_per_user": latest_event_per_user,
     "tumbling_window_events": tumbling_window_events,
     "event_type_routing": event_type_routing,
@@ -503,6 +537,7 @@ ORACLE = {
     "distinct_priorities": DISTINCT_SQL,
     "filter_ops_events": FILTER_OPS_SQL,
     "scalar_funcs_lineitem": SCALAR_FUNCS_SQL,
+    "scalar_dsl_lineitem": SCALAR_DSL_SQL,
     "latest_event_per_user": LATEST_SQL,
     "tumbling_window_events": TUMBLING_SQL,
     "event_type_routing": ROUTING_SQL,

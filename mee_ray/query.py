@@ -221,3 +221,13 @@ class DistributedSearcher:
             by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
         futs = [self.actors[a].term_partials.remote(ts) for a, ts in by_actor.items()]
         return merge_partials(ray.get(futs), uterms, k)
+
+    def shutdown(self) -> None:
+        """Release the shard actors' CPU slots.  Call when done
+        querying from a process that will run further Ray Data work —
+        each actor pins one CPU, and on a small cluster a lingering
+        pool can starve the streaming executor."""
+        import ray
+        for a in self.actors:
+            ray.kill(a, no_restart=True)
+        self.actors = []
