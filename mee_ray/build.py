@@ -467,6 +467,7 @@ def build_index(corpus, index_root: str, epoch: str,
         "avgdl": avgdl,
         "num_shards": cfg.num_shards,
         "parts_per_shard": cfg.parts_per_shard,
+        "block_size": cfg.block_size,
         "salt_factor": cfg.salt_factor,
         "hot_terms": sorted(cfg.hot_terms),
         "tokenizer": vars(cfg.tokenizer).copy() if hasattr(cfg.tokenizer, "__dict__")

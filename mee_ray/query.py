@@ -45,16 +45,25 @@ class _ShardIndex:
     """All segment rows of one term-shard (base + delta segments),
     with a term → [(table, row)] dictionary built once."""
 
-    def __init__(self, files: list[str]):
+    def __init__(self, files: list[str], delta_files: list[str] = ()):
         self.tables = []
+        self.is_delta: list[bool] = []
         self.rows: dict[str, list[tuple[int, int]]] = defaultdict(list)
-        for f in files:
+        for f, d in [(f, False) for f in files] + [(f, True) for f in delta_files]:
             t = pq.read_table(f)
             ti = len(self.tables)
             self.tables.append(t)
+            self.is_delta.append(d)
             terms = t["term"].to_pylist()
             for ri, term in enumerate(terms):
                 self.rows[term].append((ti, ri))
+
+    def _decode_row(self, ti: int, ri: int):
+        t = self.tables[ti]
+        ids, tfs = decode_posting_list(t["doc_ids_enc"][ri].as_py(),
+                                       t["tfs_enc"][ri].as_py())
+        dls = varint_decode(t["dls_enc"][ri].as_py()).astype(np.int64)
+        return ids, tfs, dls
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Concatenated (doc_ids, tfs, dls) across salted sub-lists and
@@ -67,13 +76,28 @@ class _ShardIndex:
             return z, z, z
         ids_l, tfs_l, dls_l = [], [], []
         for ti, ri in locs:
-            t = self.tables[ti]
-            ids, tfs = decode_posting_list(t["doc_ids_enc"][ri].as_py(),
-                                           t["tfs_enc"][ri].as_py())
-            dls = varint_decode(t["dls_enc"][ri].as_py()).astype(np.int64)
+            ids, tfs, dls = self._decode_row(ti, ri)
             ids_l.append(ids); tfs_l.append(tfs); dls_l.append(dls)
         return (np.concatenate(ids_l), np.concatenate(tfs_l),
                 np.concatenate(dls_l))
+
+    def chunk_meta(self, term: str) -> list[dict]:
+        """Per-chunk metadata WITHOUT decoding postings: stored block
+        boundaries + max impacts, df, delta flag, and a lazy decode
+        hook — the inputs of the block-max WAND cursor."""
+        out = []
+        for ti, ri in self.rows.get(term, ()):
+            t = self.tables[ti]
+            out.append({
+                "block_last": np.asarray(t["block_last"][ri].as_py(),
+                                         dtype=np.int64),
+                "block_max": np.asarray(t["block_max"][ri].as_py(),
+                                        dtype=np.float64),
+                "df": int(t["df"][ri].as_py()),
+                "delta": self.is_delta[ti],
+                "decode": (lambda ti=ti, ri=ri: self._decode_row(ti, ri)),
+            })
+        return out
 
 
 def _segment_files(index_root: str, manifest: dict) -> tuple[list[str], list[str]]:
@@ -125,8 +149,8 @@ class Searcher:
         got = self._shards.get(s)
         if got is None:
             files = list(self._files_by_shard.get(s, []))
-            files += self._delta_files  # small; filtered by term dict anyway
-            got = self._shards[s] = _ShardIndex(files)
+            # delta files are small and filtered by the term dict
+            got = self._shards[s] = _ShardIndex(files, self._delta_files)
         return got
 
     def owns(self, shard: int) -> bool:
@@ -151,9 +175,39 @@ class Searcher:
             out[term] = (ids, w * tf_norm(tfs, dls, self.avgdl, self.k1, self.b))
         return out
 
-    def search(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
-        partials = self.term_partials(sorted(set(terms)))
-        return merge_partials([partials], terms, k)
+    def search(self, terms: list[str], k: int = 10,
+               use_wand: bool | None = None) -> list[tuple[int, float]]:
+        """Top-k (doc_id, score).  Uses the block-max WAND path when it
+        is exact-equivalent: pending tombstones make the live df (hence
+        idf) unknowable without decoding, so while deletes await
+        compaction the exhaustive path runs instead."""
+        uterms = sorted(set(terms))
+        if use_wand is None:
+            use_wand = len(self.tombstones) == 0
+        if not use_wand:
+            partials = self.term_partials(uterms)
+            return merge_partials([partials], uterms, k)
+        return self.search_wand(uterms, k)
+
+    def search_wand(self, uterms: list[str], k: int,
+                    stats=None) -> list[tuple[int, float]]:
+        from mee_ray.wand import search_wand
+
+        term_chunks: dict[str, tuple[float, list[dict]]] = {}
+        for term in uterms:
+            s = term_hash(term) % self.num_shards
+            if not self.owns(s):
+                continue
+            chunks = self._shard(s).chunk_meta(term)
+            if not chunks:
+                continue
+            df = sum(c["df"] for c in chunks)
+            term_chunks[term] = (idf(df, self.n_docs), chunks)
+        return search_wand(term_chunks, k, self.n_docs, self.avgdl,
+                           self.manifest.get("avgdl") or self.avgdl,
+                           self.k1, self.b,
+                           block_size=self.manifest.get("block_size", 128),
+                           stats=stats)
 
 
 def merge_partials(partials_list: list[dict], terms: list[str], k: int
@@ -189,7 +243,10 @@ class DistributedSearcher:
 
         self.manifest = mf.load_manifest(index_root, epoch)
         self.num_shards = self.manifest["num_shards"]
-        n_actors = min(n_actors, self.num_shards)
+        # never request more 1-CPU actors than the cluster can schedule
+        # — an unsatisfiable pool blocks warm() forever
+        cluster_cpus = int(ray.cluster_resources().get("CPU", n_actors))
+        n_actors = max(1, min(n_actors, self.num_shards, cluster_cpus - 1 or 1))
 
         @ray.remote(num_cpus=1)
         class ShardActor:
@@ -203,6 +260,11 @@ class DistributedSearcher:
 
             def term_partials(self, terms):
                 return self.searcher.term_partials(terms)
+
+            def search(self, terms, k):
+                # complete top-k when every query shard lives here —
+                # takes the block-max WAND path when it is exact
+                return self.searcher.search(terms, k)
 
         self.assign: dict[int, int] = {s: s % n_actors for s in range(self.num_shards)}
         shards_of = defaultdict(list)
@@ -219,6 +281,11 @@ class DistributedSearcher:
         by_actor: dict[int, list[str]] = defaultdict(list)
         for t in uterms:
             by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
+        if len(by_actor) == 1:
+            # single-actor query: the actor owns every needed shard, so
+            # its local (WAND-pruned) top-k IS the global answer
+            (a,) = by_actor
+            return ray.get(self.actors[a].search.remote(uterms, k))
         futs = [self.actors[a].term_partials.remote(ts) for a, ts in by_actor.items()]
         return merge_partials(ray.get(futs), uterms, k)
 

@@ -1,0 +1,320 @@
+"""Document-at-a-time block-max WAND top-k (north_star query path).
+
+Exact algorithm: the pruning only skips documents whose score upper
+bound cannot reach the current k-th best, so results are identical —
+doc_ids AND float64 scores — to the exhaustive path
+(query.merge_partials) and therefore to the pure-Python oracle.
+
+Determinism contract (shared with oracle / merge_partials): a doc's
+score is the sum of its per-term contributions in sorted-term order,
+each contribution computed with the same float64 operation order as
+postings.tf_norm — so the summation sequence is bit-identical.
+
+Bound soundness under drift:
+* stored block maxes were computed at the BASE epoch's avgdl.  For a
+  live avgdl A_live > A_base every tfn grows by at most A_live/A_base
+  (tfn = tf(k1+1)/(tf + k1·norm) with norm shrinking by at most that
+  ratio), so stored bounds are scaled by max(1, A_live/A_base) — and a
+  hair more for float-rounding headroom.  Shrinking avgdl only lowers
+  live impacts, so stored bounds stay valid unscaled.
+* delta segments' doc ranges overlap base salted ranges, so any term
+  with delta chunks is eagerly merged into one doc-sorted stream with
+  block metadata recomputed at live avgdl (scale 1).
+* deletions (tombstones) can only lower scores but make the live df —
+  and hence the exact idf — unknowable without decoding, so the caller
+  (query.Searcher) uses the exhaustive path while tombstones are
+  pending and returns to WAND after compaction.
+
+Chunk layout guarantee making lazy decode sound: a term's base chunks
+are (term, salt) runs; salts are CONTIGUOUS doc_id ranges
+(ids.salt_of = top bits), so base chunks are disjoint and ordered —
+`advance_to` skips whole chunks on their stored last-block boundary
+without ever decoding them.
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+
+import numpy as np
+
+from mee_ray.postings import block_metadata, tf_norm
+
+__all__ = ["WandStats", "search_wand"]
+
+
+class WandStats:
+    """Pruning effectiveness counters (asserted by tests, reported by
+    bench): chunks skipped without decode, block-level shallow
+    advances, docs fully scored vs total candidate postings."""
+
+    def __init__(self):
+        self.chunks_total = 0
+        self.chunks_decoded = 0
+        self.shallow_advances = 0
+        self.docs_scored = 0
+        self.postings_total = 0
+
+    def as_dict(self) -> dict:
+        return dict(chunks_total=self.chunks_total,
+                    chunks_decoded=self.chunks_decoded,
+                    shallow_advances=self.shallow_advances,
+                    docs_scored=self.docs_scored,
+                    postings_total=self.postings_total)
+
+
+class _Cursor:
+    """One query term's posting stream: ordered chunks, decoded lazily,
+    positioned on a current doc."""
+
+    __slots__ = ("term", "w", "chunks", "ci", "ids", "tfs", "dls",
+                 "pos", "ub", "exhausted", "k1", "b", "avgdl", "bs",
+                 "stats")
+
+    def __init__(self, term: str, w: float, chunks: list[dict],
+                 scale: float, k1: float, b: float, avgdl: float,
+                 block_size: int, stats: WandStats):
+        # chunks: [{"block_last","block_max","scale","decode"}...]
+        # ordered by first block boundary (disjoint doc ranges)
+        self.term = term
+        self.w = w
+        self.k1, self.b, self.avgdl = k1, b, avgdl
+        self.bs = block_size
+        self.stats = stats
+        for c in chunks:
+            c.setdefault("scale", scale)
+        self.chunks = sorted(chunks, key=lambda c: int(c["block_last"][0]))
+        stats.chunks_total += len(chunks)
+        self.ub = w * max(float(c["block_max"].max()) * c["scale"]
+                          for c in chunks)
+        self.ci = -1
+        self.ids = None
+        self.pos = 0
+        self.exhausted = False
+        self._next_chunk()
+
+    # -- chunk movement ------------------------------------------------
+
+    def _next_chunk(self):
+        self.ci += 1
+        if self.ci >= len(self.chunks):
+            self.exhausted = True
+            self.ids = None
+            return
+        self._decode_current()
+
+    def _decode_current(self):
+        c = self.chunks[self.ci]
+        self.ids, self.tfs, self.dls = c["decode"]()
+        self.pos = 0
+        self.stats.chunks_decoded += 1
+
+    def doc(self) -> int:
+        return int(self.ids[self.pos])
+
+    def block(self) -> int:
+        c = self.chunks[self.ci]
+        return min(self.pos // self.bs, len(c["block_last"]) - 1)
+
+    def block_bound(self) -> float:
+        c = self.chunks[self.ci]
+        return self.w * float(c["block_max"][self.block()]) * c["scale"]
+
+    def block_last_doc(self) -> int:
+        c = self.chunks[self.ci]
+        return int(c["block_last"][self.block()])
+
+    def advance_to(self, target: int):
+        """Move to the first posting with doc_id >= target; skips whole
+        chunks on their stored last boundary without decoding them."""
+        while not self.exhausted:
+            c = self.chunks[self.ci]
+            if int(c["block_last"][-1]) < target:
+                self.ci += 1
+                if self.ci >= len(self.chunks):
+                    self.exhausted = True
+                    self.ids = None
+                    return
+                self.ids = None  # decode deferred: next chunk may skip too
+                self.pos = 0
+                continue
+            if self.ids is None:
+                self._decode_current()
+            p = int(np.searchsorted(self.ids[self.pos:], target)) + self.pos
+            if p >= len(self.ids):
+                self._next_chunk()
+                continue
+            self.pos = p
+            return
+
+    def next_doc(self):
+        self.pos += 1
+        if self.pos >= len(self.ids):
+            self._next_chunk()
+
+    def contrib(self) -> float:
+        """Exact live contribution at the current posting — same float64
+        operation order as postings.tf_norm."""
+        tf = float(self.tfs[self.pos])
+        dl = float(self.dls[self.pos])
+        k1, b = self.k1, self.b
+        return self.w * (tf * (k1 + 1.0)
+                         / (tf + k1 * (1.0 - b + b * dl / self.avgdl)))
+
+    # -- single-term vectorized block scoring --------------------------
+
+    def score_block_vectorized(self) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, scores) of the current block from the current
+        position, advancing past it.  Used on single-term queries where
+        per-doc DAAT stepping would waste the vectorized kernels."""
+        lo = self.pos
+        hi = min((self.block() + 1) * self.bs, len(self.ids))
+        ids = self.ids[lo:hi]
+        sc = self.w * tf_norm(self.tfs[lo:hi], self.dls[lo:hi],
+                              self.avgdl, self.k1, self.b)
+        self.pos = hi
+        if self.pos >= len(self.ids):
+            self._next_chunk()
+        return ids, sc
+
+    def skip_block(self):
+        self.pos = (self.block() + 1) * self.bs
+        self.stats.shallow_advances += 1
+        if self.pos >= len(self.ids):
+            self._next_chunk()
+
+
+_FLOAT_HEADROOM = 1.0 + 1e-9
+
+
+def _merge_delta_chunks(chunks: list[dict], k1: float, b: float,
+                        avgdl: float, block_size: int) -> list[dict]:
+    """Eagerly merge a term's chunks into ONE doc-sorted stream with
+    block metadata recomputed at live avgdl (needed when delta chunks
+    overlap base salted ranges)."""
+    parts = [c["decode"]() for c in chunks]
+    ids = np.concatenate([p[0] for p in parts])
+    tfs = np.concatenate([p[1] for p in parts])
+    dls = np.concatenate([p[2] for p in parts])
+    order = np.argsort(ids, kind="stable")
+    ids, tfs, dls = ids[order], tfs[order], dls[order]
+    impacts = tf_norm(tfs, dls, avgdl, k1, b)
+    bl, bm = block_metadata(ids, impacts, block_size)
+    return [{
+        "block_last": bl, "block_max": bm, "scale": 1.0,
+        "decode": (lambda ids=ids, tfs=tfs, dls=dls: (ids, tfs, dls)),
+    }]
+
+
+def search_wand(term_chunks: dict[str, tuple[float, list[dict]]],
+                k: int, n_docs: int, avgdl: float, avgdl_base: float,
+                k1: float, b: float, block_size: int = 128,
+                stats: WandStats | None = None) -> list[tuple[int, float]]:
+    """Block-max WAND over prepared per-term (idf weight, chunk list).
+
+    term_chunks must be keyed by the query's unique terms; iteration
+    for scoring is in sorted-term order (the determinism contract)."""
+    stats = stats if stats is not None else WandStats()
+    scale = max(1.0, avgdl / avgdl_base) * _FLOAT_HEADROOM \
+        if avgdl_base > 0 else 1.0
+
+    cursors: list[_Cursor] = []
+    for term in sorted(term_chunks):
+        w, chunks = term_chunks[term]
+        if not chunks:
+            continue
+        stats.postings_total += sum(c.get("df", 0) for c in chunks)
+        if any(c.get("delta") for c in chunks):
+            chunks = _merge_delta_chunks(chunks, k1, b, avgdl, block_size)
+        cursors.append(_Cursor(term, w, chunks, scale, k1, b, avgdl,
+                               block_size, stats))
+
+    if not cursors:
+        return []
+
+    # heap of (score, -doc_id): worst-ranked on top under the
+    # (-score, doc_id) ranking order
+    heap: list[tuple[float, int]] = []
+
+    def theta() -> float:
+        return heap[0][0] if len(heap) >= k else -math.inf
+
+    def offer(doc: int, score: float):
+        item = (score, -doc)
+        if len(heap) < k:
+            heapq.heappush(heap, item)
+        elif item > heap[0]:
+            heapq.heapreplace(heap, item)
+
+    if len(cursors) == 1:
+        # single-term: vectorized per-block scoring with block-max skip
+        c = cursors[0]
+        while not c.exhausted:
+            if len(heap) >= k and c.block_bound() < theta():
+                c.skip_block()
+                continue
+            ids, sc = c.score_block_vectorized()
+            stats.docs_scored += len(ids)
+            for d, s in zip(ids.tolist(), sc.tolist()):
+                offer(d, s)
+    else:
+        active = [c for c in cursors if not c.exhausted]
+        while active:
+            active.sort(key=lambda c: c.doc())
+            # pivot: first index where the cumulative term upper bounds
+            # can reach the threshold
+            acc = 0.0
+            pivot_i = -1
+            th = theta()
+            for i, c in enumerate(active):
+                acc += c.ub
+                if acc >= th:
+                    pivot_i = i
+                    break
+            if pivot_i < 0:
+                break  # no remaining doc can enter the top-k
+            pivot_doc = active[pivot_i].doc()
+            if active[0].doc() < pivot_doc:
+                # advance the highest-bound lagging cursor to the pivot
+                lag = max(active[:pivot_i], key=lambda c: c.ub)
+                lag.advance_to(pivot_doc)
+            else:
+                # all cursors up to the pivot sit on pivot_doc: refine
+                # with block-level maxima before full evaluation
+                bacc = sum(c.block_bound() for c in active[:pivot_i + 1])
+                j = pivot_i + 1
+                while j < len(active) and active[j].doc() == pivot_doc:
+                    bacc += active[j].block_bound()
+                    j += 1
+                if len(heap) >= k and bacc < th:
+                    # shallow advance: every doc in (pivot, nxt) can
+                    # only be posted by the cursors whose block bounds
+                    # we just summed, so the whole range is skippable —
+                    # capped at the next cursor's current doc, whose
+                    # own contribution was NOT in the bound
+                    nxt = min(c.block_last_doc() for c in active[:j]) + 1
+                    if j < len(active):
+                        nxt = min(nxt, active[j].doc())
+                    nxt = max(nxt, pivot_doc + 1)
+                    for c in active[:j]:
+                        c.advance_to(nxt)
+                        stats.shallow_advances += 1
+                else:
+                    # exact evaluation, contributions in sorted-term
+                    # order (active[:j] docs all == pivot_doc, but terms
+                    # are not sorted here — collect then order)
+                    on_doc = sorted((c for c in active[:j]),
+                                    key=lambda c: c.term)
+                    score = 0.0
+                    for c in on_doc:
+                        score += c.contrib()
+                    stats.docs_scored += 1
+                    offer(pivot_doc, score)
+                    for c in active[:j]:
+                        if not c.exhausted and c.doc() == pivot_doc:
+                            c.next_doc()
+            active = [c for c in cursors if not c.exhausted]
+
+    ranked = sorted(heap, key=lambda it: (-it[0], -it[1]))
+    return [(-nd, s) for s, nd in ranked]

@@ -33,18 +33,7 @@ def _live_docs(cdir):
     return {k: v for k, v in rows.items()}
 
 
-@pytest.fixture(scope="session")
-def built_index(ray_session):
-    import ray.data
-    shutil.rmtree(ROOT, ignore_errors=True)
-    cdir = write_corpus(f"{ROOT}/corpus", n_files=N_FILES, seed=11, rows_per_file=100)
-    corpus = ray.data.read_parquet(cdir)
-    manifest = build_index(corpus, f"{ROOT}/index", "ep1", EngineConfig())
-    live = _live_docs(cdir)
-    docs = [(doc_id_of(r, p, c), content) for (r, p), (c, content) in live.items()]
-    oracle = OracleIndex(docs)
-    return {"cdir": cdir, "index_root": f"{ROOT}/index", "manifest": manifest,
-            "live": live, "docs": docs, "oracle": oracle}
+# built_index fixture: session-scoped, shared from conftest.py
 
 
 def test_global_stats_match_oracle(built_index):
@@ -133,10 +122,16 @@ def test_resume_is_noop_and_partition_skip(built_index, ray_session):
             == {r["path"]: r["sha256"] for r in m1["segments"]})
 
 
-def test_delta_and_compact_rank_identity(built_index, ray_session):
+def test_delta_and_compact_rank_identity(built_index, ray_session, tmp_path):
     from mee_ray.delta import apply_delta
     from mee_ray.merge import compact
     from mee_ray.query import Searcher
+
+    # operate on a COPY: built_index is session-shared and later test
+    # files compare it against the original corpus's oracle
+    index_copy = str(tmp_path / "index")
+    shutil.copytree(built_index["index_root"], index_copy)
+    built_index = dict(built_index, index_root=index_copy)
 
     live = dict(built_index["live"])
     keys = sorted(live)[:6]
