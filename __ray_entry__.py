@@ -26,11 +26,12 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from mee_ray.pipelines import fulltext, relational, text, vector
+    from mee_ray.pipelines import docbuild, fulltext, relational, text, vector
     from mee_ray.stages.multimodal import multimodal_image_meta
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(relational.QUERIES)
+    out.update(docbuild.QUERIES)
     out.update(text.QUERIES)
     out.update(vector.QUERIES)
     out.update(fulltext.QUERIES)
@@ -39,11 +40,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    from mee_ray.pipelines import fulltext, relational, text, vector
+    from mee_ray.pipelines import docbuild, fulltext, relational, text, vector
     from mee_ray.stages.multimodal import MULTIMODAL_SQL
 
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
+    out.update(docbuild.ORACLE)
     out.update(text.ORACLE)
     out.update(vector.ORACLE)
     out.update(fulltext.ORACLE)

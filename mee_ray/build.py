@@ -394,11 +394,15 @@ def build_index(corpus, index_root: str, epoch: str,
                               batch_format="pyarrow", zero_copy_batch=True,
                               batch_size=cfg.tokenize_batch_size)
 
+    import time as _time
+
     # ---- pass 1: slim docs table (identity + sha256 + length) --------
     # The checkpoint artifact: ~50 B/doc regardless of content size.
     if not mf.stage_done(index_root, epoch, "docs"):
+        _t0 = _time.perf_counter()
         _staged_write(tokenized(deduped(), emit_terms=False), docs_dir)
-        mf.mark_stage(index_root, epoch, "docs")
+        mf.mark_stage(index_root, epoch, "docs",
+                      seconds=round(_time.perf_counter() - _t0, 3))
 
     # ---- stage 2: global stats + doc_id collision audit --------------
     # Default mode reads two narrow columns of the slim docs table on
@@ -406,6 +410,7 @@ def build_index(corpus, index_root: str, epoch: str,
     # That holds to ~10^9 docs; past that set cfg.stats_mode="shuffle"
     # for the groupby-based exact audit (one all-to-all of ids).
     if not mf.stage_done(index_root, epoch, "stats"):
+        _t0 = _time.perf_counter()
         if cfg.stats_mode == "shuffle":
             from ray.data.aggregate import Count, Sum
             dmeta = ray.data.read_parquet(docs_dir,
@@ -430,7 +435,8 @@ def build_index(corpus, index_root: str, epoch: str,
                 f"doc_id collision audit failed: "
                 f"{n_docs - n_distinct} colliding ids")
         mf.mark_stage(index_root, epoch, "stats",
-                      n_docs=n_docs, total_tokens=total_tokens)
+                      n_docs=n_docs, total_tokens=total_tokens,
+                      seconds=round(_time.perf_counter() - _t0, 3))
     st = mf.load_state(index_root, epoch)["stats"]
     n_docs, total_tokens = st["n_docs"], st["total_tokens"]
     avgdl = (total_tokens / n_docs) if n_docs else 0.0
@@ -443,6 +449,7 @@ def build_index(corpus, index_root: str, epoch: str,
     # token table: re-tokenizing costs less than writing + re-reading
     # a corpus-sized intermediate (module docstring).
     if not mf.stage_done(index_root, epoch, "segments"):
+        _t0 = _time.perf_counter()
         from ray.data.context import ShuffleStrategy
         ctx = ray.data.DataContext.get_current()
         prev_strategy = ctx.shuffle_strategy
@@ -457,7 +464,8 @@ def build_index(corpus, index_root: str, epoch: str,
             lin_rows = lineage.take_all()
         finally:
             ctx.shuffle_strategy = prev_strategy
-        mf.mark_stage(index_root, epoch, "segments", lineage=lin_rows)
+        mf.mark_stage(index_root, epoch, "segments", lineage=lin_rows,
+                      seconds=round(_time.perf_counter() - _t0, 3))
     lin_rows = mf.load_state(index_root, epoch)["segments"]["lineage"]
 
     manifest = {
@@ -477,6 +485,7 @@ def build_index(corpus, index_root: str, epoch: str,
         "deltas": [],
     }
     mf.write_manifest(index_root, epoch, manifest)
+    mf.write_metrics(index_root, epoch, cfg)
     if auto_publish:
         mf.publish(index_root, epoch)
     return manifest

@@ -144,6 +144,41 @@ def docs_files(index_root: str, epoch: str) -> list[str]:
     return []
 
 
+def write_metrics(index_root: str, epoch: str, cfg=None) -> dict:
+    """Aggregate per-partition lineage + stage timings into one
+    ``metrics.json`` per epoch (north_star: index metrics carried with
+    the build).  Skew visibility: per-partition byte/posting spread of
+    the shuffle output — the number to watch when picking
+    ``salt_factor`` / ``hot_terms``."""
+    state = load_state(index_root, epoch)
+    lineage = state.get("segments", {}).get("lineage", [])
+    bytes_per = [r["bytes"] for r in lineage] or [0]
+    postings_per = [r["n_postings"] for r in lineage] or [0]
+    m = {
+        "epoch": epoch,
+        "stage_seconds": {s: info.get("seconds")
+                          for s, info in state.items()
+                          if isinstance(info, dict) and "seconds" in info},
+        "n_docs": state.get("stats", {}).get("n_docs"),
+        "total_tokens": state.get("stats", {}).get("total_tokens"),
+        "segments": {
+            "n_partitions": len(lineage),
+            "n_terms": sum(r["n_terms"] for r in lineage),
+            "n_postings": sum(postings_per),
+            "bytes_total": sum(bytes_per),
+            "bytes_max_partition": max(bytes_per),
+            "bytes_min_partition": min(bytes_per),
+            "postings_max_partition": max(postings_per),
+            "skew_ratio": (max(postings_per) * len(postings_per)
+                           / max(1, sum(postings_per))) if lineage else None,
+            "resumed_partitions": sum(1 for r in lineage if r.get("resumed")),
+        },
+    }
+    _atomic_write_json(os.path.join(epoch_dir(index_root, epoch),
+                                    "metrics.json"), m)
+    return m
+
+
 def live_stats(manifest: dict) -> tuple[int, float]:
     """(N_live, avgdl_live) after applying the delta log to base stats.
     Exact, not approximate: each delta records n/sum_dl added+deleted,
