@@ -400,23 +400,38 @@ def tumbling_window_events(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
     def bucket(t: pa.Table) -> pa.Table:
+        # per-batch COMBINER: pre-aggregate (user, hour) partials with
+        # pyarrow's C++ group_by before the shuffle — only one row per
+        # key per batch crosses the exchange.  Sum in integer cents so
+        # partial-sum order cannot perturb the float result.
         us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        return pa.table({"user_id": t["user_id"],
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        part = pa.table({"user_id": t["user_id"],
                          "hour_bucket": pa.array(us // 3_600_000_000, pa.int64()),
-                         "value": t["value"]})
+                         "cents": pa.array(cents)})
+        g = part.group_by(["user_id", "hour_bucket"]).aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["user_id", "hour_bucket", "n_part",
+                                 "cents_part"])
 
     out = (_read(sf_dir, "events", ["user_id", "ts", "value"])
            .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
            .groupby(["user_id", "hour_bucket"])
-           .aggregate(Count(alias_name="n_events"),
-                      Sum("value", alias_name="sum_value_cents")))
-    return out.map_batches(lambda t: _int_scaled(t, {"sum_value_cents": 100}),
-                           batch_format="pyarrow")
+           .aggregate(Sum("n_part", alias_name="n_events"),
+                      Sum("cents_part", alias_name="sum_value_cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return t.set_column(t.schema.get_field_index("n_events"), "n_events",
+                            t["n_events"].cast(pa.int64()))
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 TUMBLING_SQL = """
 SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket,
-       count(*) AS n_events, CAST(round(sum(value) * 100) AS BIGINT) AS sum_value_cents
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
 FROM events GROUP BY user_id, hour_bucket
 """
 

@@ -31,9 +31,12 @@ def _read_docs(sf_dir: str, columns=None):
 
 
 class TextStats:
-    """Actor-pool stage: compiled regexes once per actor (ST-style
-    state, reference commonhandler.py:593-628), vectorized-ish token
-    stats per batch."""
+    """Per-task stateful stage: compiled regexes once per instance
+    (ST-style state, reference commonhandler.py:593-628).  Shipped as
+    an INSTANCE to stateless tasks — regex compile is ~us, so tasks
+    beat an actor pool's multi-second ramp-up; switch to
+    map_batches(Cls, concurrency=N) if the state ever grows heavy
+    (model weights, BPE merges)."""
 
     def __init__(self):
         import re
@@ -54,7 +57,7 @@ def doc_token_counts(sf_dir: str):
                              "n_tokens": pa.array(n, pa.int64())})
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Stage, batch_format="pyarrow", concurrency=(1, 8))
+        Stage(), batch_format="pyarrow")
 
 
 TOKEN_COUNTS_SQL = f"""
@@ -83,7 +86,7 @@ def doc_term_df(sf_dir: str):
                              "df_part": pa.array([v for _, v in items], pa.int64())})
 
     return (_read_docs(sf_dir, ["text"])
-            .map_batches(Stage, batch_format="pyarrow", concurrency=(1, 8))
+            .map_batches(Stage(), batch_format="pyarrow")
             .groupby("term").aggregate(Sum("df_part", alias_name="df")))
 
 
@@ -159,7 +162,7 @@ def doc_quality_scores(sf_dir: str):
                              "avg_tok_len": pa.array(avg_len, pa.float64())})
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Stage, batch_format="pyarrow", concurrency=(1, 8))
+        Stage(), batch_format="pyarrow")
 
 
 QUALITY_SQL = f"""
@@ -203,7 +206,7 @@ def lang_id_documents(sf_dir: str):
                              "n_stopwords": pa.array(totals, pa.int64())})
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Stage, batch_format="pyarrow", concurrency=(1, 8))
+        Stage(), batch_format="pyarrow")
 
 
 LANG_ID_SQL = f"""
@@ -294,7 +297,7 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.2):
     # NOTE: `hash()` on tuples is salted per interpreter; band keys are
     # only compared within one driver session, which is all LSH needs.
     docs = _read_docs(sf_dir, ["doc_id", "text"])
-    sig = docs.map_batches(MinHashStage, batch_format="pyarrow", concurrency=(1, 8))
+    sig = docs.map_batches(MinHashStage(), batch_format="pyarrow")
 
     def pairs_of_group(g: pa.Table) -> pa.Table:
         ids = sorted(set(g["doc_id"].to_pylist()))
@@ -357,7 +360,7 @@ class SimHashStage(TextStats):
 
 def simhash_signatures(sf_dir: str):
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        SimHashStage, batch_format="pyarrow", concurrency=(1, 8))
+        SimHashStage(), batch_format="pyarrow")
 
 
 def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):

@@ -178,3 +178,53 @@ def test_delta_and_compact_rank_identity(built_index, ray_session, tmp_path):
     removed = mf.gc_epochs(built_index["index_root"])
     assert removed == ["ep1"]
     assert mf.current_epoch(built_index["index_root"]) == "ep2"
+
+
+def test_partial_crash_resume_bitwise_identical(built_index, ray_session,
+                                                tmp_path):
+    """Crash-mid-shuffle simulation (SURVEY.md §5.2.5): a new index
+    root where only HALF the segment partitions (+ lineage sidecars)
+    survived. The resumed build must short-circuit exactly those
+    partitions and regenerate the rest bit-identically to the clean
+    build."""
+    import json
+
+    import ray.data
+
+    clean = {r["path"]: r["sha256"] for r in built_index["manifest"]["segments"]}
+
+    crashed_root = str(tmp_path / "crashed")
+    src_edir = mf.epoch_dir(built_index["index_root"], "ep1")
+    dst_edir = mf.epoch_dir(crashed_root, "ep1")
+    os.makedirs(os.path.join(dst_edir, "segments"))
+    # docs + stats stages "completed before the crash"
+    shutil.copytree(os.path.join(src_edir, "docs"),
+                    os.path.join(dst_edir, "docs"))
+    st = mf.load_state(built_index["index_root"], "ep1")
+    partial_state = {"docs": st["docs"], "stats": st["stats"]}
+    mf._atomic_write_json(mf._state_path(crashed_root, "ep1"), partial_state)
+    # half the segment partitions survived (file + sidecar pairs)
+    seg_src = os.path.join(src_edir, "segments")
+    survivors = sorted(f for f in os.listdir(seg_src)
+                       if f.endswith(".parquet"))[::2]
+    for f in survivors:
+        shutil.copy(os.path.join(seg_src, f), os.path.join(dst_edir, "segments", f))
+        shutil.copy(os.path.join(seg_src, f + ".lineage.json"),
+                    os.path.join(dst_edir, "segments", f + ".lineage.json"))
+    # survivors' sidecars point at the OLD root; lineage paths are
+    # re-derived on resume, so patch them to the crashed root
+    for f in survivors:
+        sc = os.path.join(dst_edir, "segments", f + ".lineage.json")
+        lin = json.load(open(sc))
+        lin["path"] = os.path.join(dst_edir, "segments", f)
+        mf._atomic_write_json(sc, lin)
+
+    corpus = ray.data.read_parquet(built_index["cdir"])
+    m2 = build_index(corpus, crashed_root, "ep1", EngineConfig())
+
+    resumed = {os.path.basename(r["path"]): r["resumed"]
+               for r in m2["segments"]}
+    assert sum(resumed.values()) == len(survivors)
+    got = {os.path.basename(r["path"]): r["sha256"] for r in m2["segments"]}
+    want = {os.path.basename(p): s for p, s in clean.items()}
+    assert got == want  # bit-identical segments, resumed or rebuilt
