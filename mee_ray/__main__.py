@@ -1,0 +1,165 @@
+"""CLI entry point — the `ray job submit` surface of the engine.
+
+The reference's three entry points (update.py = full rebuild, sync.py =
+incremental, listen.py = change capture) plus its reset/clean actions
+(updateservice.py:82-114) map onto subcommands of one driver script:
+
+    ray job submit -- python -m mee_ray build  --input corpus/ --index idx/ --epoch ep1
+    ray job submit -- python -m mee_ray query  --index idx/ --terms "parse http" -k 10
+    ray job submit -- python -m mee_ray delta  --index idx/ --events batch.parquet
+    ray job submit -- python -m mee_ray compact --index idx/ --epoch ep2
+    ray job submit -- python -m mee_ray gc     --index idx/
+    ray job submit -- python -m mee_ray metrics --index idx/
+
+Each run prints one JSON line.  As a CLI it owns the Ray session
+(guarded init — the driver contract forbids ray.init in library code).
+Engine knobs load from --config (a JSON file mirroring EngineConfig;
+the analog of the reference's YAML handler config, but validated into
+frozen dataclasses at startup).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _engine_config(path: str | None):
+    from mee_ray.config import BM25Params, EngineConfig, TokenizerConfig
+
+    if not path:
+        return EngineConfig()
+    with open(path) as f:
+        raw = json.load(f)
+    tok = TokenizerConfig(**raw.pop("tokenizer", {}))
+    bm25 = BM25Params(**raw.pop("bm25", {}))
+    hot = raw.pop("hot_terms", None)
+    kw = dict(raw, tokenizer=tok, bm25=bm25)
+    if hot is not None:
+        kw["hot_terms"] = frozenset(hot)
+    return EngineConfig(**kw)
+
+
+def _init_ray(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="mee_ray")
+    p.add_argument("--config", help="EngineConfig JSON file")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="full index build + atomic publish")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--epoch", required=True)
+    b.add_argument("--no-dedup", action="store_true")
+    b.add_argument("--no-publish", action="store_true")
+
+    q = sub.add_parser("query", help="top-k BM25")
+    q.add_argument("--index", required=True)
+    q.add_argument("--terms", required=True,
+                   help="space-separated query terms")
+    q.add_argument("-k", type=int, default=10)
+    q.add_argument("--actors", type=int, default=0,
+                   help=">0: use the shard-actor pool")
+
+    d = sub.add_parser("delta", help="apply one delta event batch")
+    d.add_argument("--index", required=True)
+    d.add_argument("--events", required=True,
+                   help="parquet file/dir of delta events")
+
+    c = sub.add_parser("compact", help="fold deltas into a new epoch")
+    c.add_argument("--index", required=True)
+    c.add_argument("--epoch", required=True)
+    c.add_argument("--gc", action="store_true", help="GC old epochs after")
+
+    g = sub.add_parser("gc", help="delete unreferenced epochs "
+                                  "(the reference's clean action)")
+    g.add_argument("--index", required=True)
+
+    m = sub.add_parser("metrics", help="print the current epoch's metrics")
+    m.add_argument("--index", required=True)
+
+    args = p.parse_args(argv)
+    cfg = _engine_config(args.config)
+
+    if args.cmd == "build":
+        _init_ray(args.num_cpus)
+        import ray.data
+
+        from mee_ray.build import build_index
+        from mee_ray.sources import read_corpus
+
+        manifest = build_index(read_corpus(args.input), args.index,
+                               args.epoch, cfg,
+                               dedup=not args.no_dedup,
+                               auto_publish=not args.no_publish)
+        print(json.dumps({"epoch": manifest["epoch"],
+                          "n_docs": manifest["n_docs"],
+                          "total_tokens": manifest["total_tokens"],
+                          "segments": len(manifest["segments"])}))
+
+    elif args.cmd == "query":
+        terms = args.terms.split()
+        if args.actors > 0:
+            _init_ray(args.num_cpus)
+            from mee_ray.query import DistributedSearcher
+            s = DistributedSearcher(args.index, n_actors=args.actors)
+            hits = s.search(terms, args.k)
+            s.shutdown()
+        else:
+            from mee_ray.query import Searcher
+            hits = Searcher(args.index).search(terms, args.k)
+        print(json.dumps({"terms": terms,
+                          "hits": [{"doc_id": d, "score": sc}
+                                   for d, sc in hits]}))
+
+    elif args.cmd == "delta":
+        _init_ray(args.num_cpus)
+        from mee_ray.delta import apply_delta
+        from mee_ray.sources import read_delta_events
+
+        rec = apply_delta(read_delta_events(args.events), args.index, cfg)
+        print(json.dumps({"n_added": rec["n_added"],
+                          "n_deleted": rec["n_deleted"],
+                          "seq": rec["seq"]}))
+
+    elif args.cmd == "compact":
+        _init_ray(args.num_cpus)
+        from mee_ray.merge import compact
+
+        m2 = compact(args.index, args.epoch, cfg, gc_old=args.gc)
+        print(json.dumps({"epoch": m2["epoch"], "n_docs": m2["n_docs"],
+                          "segments": len(m2["segments"])}))
+
+    elif args.cmd == "gc":
+        from mee_ray import manifest as mf
+        removed = mf.gc_epochs(args.index)
+        print(json.dumps({"removed_epochs": removed}))
+
+    elif args.cmd == "metrics":
+        import os
+
+        from mee_ray import manifest as mf
+        epoch = mf.current_epoch(args.index)
+        path = os.path.join(mf.epoch_dir(args.index, epoch), "metrics.json")
+        with open(path) as f:
+            print(json.dumps(json.load(f)))
+
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -173,6 +173,8 @@ def compact(index_root: str, new_epoch: str,
     mf.write_manifest(index_root, new_epoch, new_manifest)
     mf.mark_stage(index_root, new_epoch, "stats",
                   n_docs=n_live, total_tokens=total_tokens_live)
+    mf.mark_stage(index_root, new_epoch, "segments", lineage=lin_rows)
+    mf.write_metrics(index_root, new_epoch, cfg)
     if auto_publish:
         mf.publish(index_root, new_epoch)
         if gc_old:
