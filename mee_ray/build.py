@@ -252,7 +252,10 @@ def make_encode_partition(seg_dir: str, avgdl: float, cfg: EngineConfig):
             "shard": pa.array(o_shard, pa.int32()),
         })
         tmp = final + f".tmp.{os.getpid()}"
-        pq.write_table(seg, tmp)
+        # bounded row groups: query actors build their term dictionary
+        # from the term column alone and page in posting payloads per
+        # row group, so group size caps cold-query read amplification
+        pq.write_table(seg, tmp, row_group_size=512)
         os.replace(tmp, final)
         with open(final, "rb") as f:
             sha = hashlib.sha256(f.read()).hexdigest()

@@ -43,26 +43,49 @@ from mee_ray.scoring import idf, top_k_select
 
 class _ShardIndex:
     """All segment rows of one term-shard (base + delta segments),
-    with a term → [(table, row)] dictionary built once."""
+    with a term → [(file, row)] dictionary built once.
+
+    Memory discipline for scale: the constructor reads ONLY the `term`
+    column of each segment file (parquet column pruning) to build the
+    dictionary; posting payloads load lazily per ROW GROUP on first
+    touch (segments are written with bounded row groups), so an actor
+    serving a cold shard holds the dictionary plus just the row groups
+    its queries actually hit."""
 
     def __init__(self, files: list[str], delta_files: list[str] = ()):
-        self.tables = []
+        self.files: list[pq.ParquetFile] = []
         self.is_delta: list[bool] = []
         self.rows: dict[str, list[tuple[int, int]]] = defaultdict(list)
+        self._rg_cache: dict[tuple[int, int], object] = {}
+        self._rg_bounds: list[np.ndarray] = []
         for f, d in [(f, False) for f in files] + [(f, True) for f in delta_files]:
-            t = pq.read_table(f)
-            ti = len(self.tables)
-            self.tables.append(t)
+            pf = pq.ParquetFile(f)
+            ti = len(self.files)
+            self.files.append(pf)
             self.is_delta.append(d)
-            terms = t["term"].to_pylist()
+            # cumulative row offsets per row group → row → group lookup
+            sizes = [pf.metadata.row_group(g).num_rows
+                     for g in range(pf.num_row_groups)]
+            self._rg_bounds.append(np.cumsum([0] + sizes))
+            terms = pf.read(columns=["term"])["term"].to_pylist()
             for ri, term in enumerate(terms):
                 self.rows[term].append((ti, ri))
 
+    def _row(self, ti: int, ri: int) -> tuple[object, int]:
+        """(row_group table, local row index) — row groups cached."""
+        bounds = self._rg_bounds[ti]
+        g = int(np.searchsorted(bounds, ri, side="right")) - 1
+        key = (ti, g)
+        t = self._rg_cache.get(key)
+        if t is None:
+            t = self._rg_cache[key] = self.files[ti].read_row_group(g)
+        return t, ri - int(bounds[g])
+
     def _decode_row(self, ti: int, ri: int):
-        t = self.tables[ti]
-        ids, tfs = decode_posting_list(t["doc_ids_enc"][ri].as_py(),
-                                       t["tfs_enc"][ri].as_py())
-        dls = varint_decode(t["dls_enc"][ri].as_py()).astype(np.int64)
+        t, r = self._row(ti, ri)
+        ids, tfs = decode_posting_list(t["doc_ids_enc"][r].as_py(),
+                                       t["tfs_enc"][r].as_py())
+        dls = varint_decode(t["dls_enc"][r].as_py()).astype(np.int64)
         return ids, tfs, dls
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -87,13 +110,13 @@ class _ShardIndex:
         hook — the inputs of the block-max WAND cursor."""
         out = []
         for ti, ri in self.rows.get(term, ()):
-            t = self.tables[ti]
+            t, r = self._row(ti, ri)
             out.append({
-                "block_last": np.asarray(t["block_last"][ri].as_py(),
+                "block_last": np.asarray(t["block_last"][r].as_py(),
                                          dtype=np.int64),
-                "block_max": np.asarray(t["block_max"][ri].as_py(),
+                "block_max": np.asarray(t["block_max"][r].as_py(),
                                         dtype=np.float64),
-                "df": int(t["df"][ri].as_py()),
+                "df": int(t["df"][r].as_py()),
                 "delta": self.is_delta[ti],
                 "decode": (lambda ti=ti, ri=ri: self._decode_row(ti, ri)),
             })

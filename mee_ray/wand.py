@@ -276,8 +276,11 @@ def search_wand(term_chunks: dict[str, tuple[float, list[dict]]],
                 break  # no remaining doc can enter the top-k
             pivot_doc = active[pivot_i].doc()
             if active[0].doc() < pivot_doc:
-                # advance the highest-bound lagging cursor to the pivot
-                lag = max(active[:pivot_i], key=lambda c: c.ub)
+                # advance the highest-bound cursor that actually lags
+                # (a tie on pivot_doc may sort before the pivot index —
+                # advancing such a cursor would be a no-op and stall)
+                lag = max((c for c in active[:pivot_i]
+                           if c.doc() < pivot_doc), key=lambda c: c.ub)
                 lag.advance_to(pivot_doc)
             else:
                 # all cursors up to the pivot sit on pivot_doc: refine

@@ -228,3 +228,39 @@ def test_partial_crash_resume_bitwise_identical(built_index, ray_session,
     got = {os.path.basename(r["path"]): r["sha256"] for r in m2["segments"]}
     want = {os.path.basename(p): s for p, s in clean.items()}
     assert got == want  # bit-identical segments, resumed or rebuilt
+
+
+def test_hot_term_salting_spreads_partitions(built_index):
+    """Skew control (north_star): hot terms are salted into doc_id-range
+    sub-lists that land in DIFFERENT shuffle partitions of the term's
+    shard, and concatenate back globally doc_id-sorted at query time."""
+    import json
+
+    from mee_ray.config import DEFAULT_HOT_TERMS, EngineConfig
+    from mee_ray.query import Searcher
+
+    s = Searcher(built_index["index_root"])
+    oi = built_index["oracle"]
+    hot_present = [t for t in DEFAULT_HOT_TERMS if oi.df(t) > 10]
+    assert hot_present, "corpus should contain hot code terms"
+    cfg = EngineConfig()
+    spread = {}
+    for term in hot_present:
+        shard = s.manifest["num_shards"]
+        from mee_ray.ids import term_hash
+        sh = term_hash(term) % s.manifest["num_shards"]
+        chunks = s._shard(sh).chunk_meta(term)
+        spread[term] = len(chunks)
+        # salted sub-lists: more than one chunk once df is non-trivial
+        ids, tfs, dls = s._shard(sh).postings(term)
+        order_ok = bool((ids[:-1] <= ids[1:]).all()) if len(ids) > 1 else True
+        # chunks are contiguous doc_id ranges in salt order -> already
+        # concatenated sorted when read back chunk-by-chunk in order
+        per_chunk = [c["decode"]()[0] for c in sorted(
+            chunks, key=lambda c: int(c["block_last"][0]))]
+        import numpy as np
+        cat = np.concatenate(per_chunk)
+        assert (np.sort(cat) == np.sort(ids)).all()
+        assert (cat[:-1] <= cat[1:]).all(), f"{term}: salted chunks unordered"
+    assert max(spread.values()) > 1, (
+        f"no hot term split into sub-lists: {spread}")
