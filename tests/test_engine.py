@@ -264,3 +264,76 @@ def test_hot_term_salting_spreads_partitions(built_index):
         assert (cat[:-1] <= cat[1:]).all(), f"{term}: salted chunks unordered"
     assert max(spread.values()) > 1, (
         f"no hot term split into sub-lists: {spread}")
+
+
+def test_randomized_delta_sequences(built_index, ray_session, tmp_path):
+    """Fuzz the incremental path: three delta batches with interleaved
+    upserts/deletes/re-inserts of overlapping keys (last-writer-wins by
+    seq), checked rank-identical after EVERY batch and after compact."""
+    import random
+
+    from mee_ray.delta import apply_delta
+    from mee_ray.merge import compact
+    from mee_ray.query import Searcher
+
+    rng = random.Random(77)
+    index_copy = str(tmp_path / "index")
+    shutil.copytree(built_index["index_root"], index_copy)
+    live = dict(built_index["live"])
+    keys = sorted(live)
+    seq = 0
+
+    def batch(n_events):
+        nonlocal seq, live
+        ev = []
+        final = {}
+        for _ in range(n_events):
+            seq += 1
+            roll = rng.random()
+            if roll < 0.45:          # upsert existing
+                k = keys[rng.randrange(len(keys))]
+                c = f"{seq:08x}" + "f" * 32
+                content = f"def fuzz_fn_{seq}(): return fuzz_token_{seq}\n"
+                ev.append(("UPDATE", k, c, content))
+                final[k] = (c, content)
+            elif roll < 0.7:         # delete (maybe already deleted)
+                k = keys[rng.randrange(len(keys))]
+                ev.append(("DELETE", k, "", ""))
+                final[k] = None
+            else:                    # brand-new insert
+                k = (f"org_f/repo_{seq}", f"src/f_{seq}.py")
+                c = f"{seq:08x}" + "a" * 32
+                content = f"class FuzzNew{seq}: pass\n"
+                ev.append(("INSERT", k, c, content))
+                final[k] = (c, content)
+        t = pa.table({
+            "seq": pa.array(range(seq - len(ev) + 1, seq + 1), pa.int64()),
+            "type": pa.array([e[0] for e in ev]),
+            "repo": pa.array([e[1][0] for e in ev]),
+            "path": pa.array([e[1][1] for e in ev]),
+            "commit": pa.array([e[2] for e in ev]),
+            "lang": pa.array(["py"] * len(ev)),
+            "content": pa.array([e[3] for e in ev]),
+        })
+        for k, v in final.items():   # last writer per key wins
+            if v is None:
+                live.pop(k, None)
+            else:
+                live[k] = v
+        return t
+
+    def check():
+        oi = OracleIndex([(doc_id_of(r, p, c), content)
+                          for (r, p), (c, content) in live.items()])
+        s = Searcher(index_copy)
+        assert (s.n_docs, s.avgdl) == (oi.n_docs, oi.avgdl)
+        docs = [(i, c) for i, (_, c) in enumerate(live.values())]
+        for q in make_query_set(docs, n_queries=12, seed=seq):
+            assert s.search(q["terms"], q["k"]) == oi.search(q["terms"], q["k"]), \
+                (seq, q["terms"])
+
+    for n in (10, 14, 8):
+        apply_delta(batch(n), index_copy)
+        check()
+    compact(index_copy, "epZ", EngineConfig(), gc_old=True)
+    check()
