@@ -112,6 +112,7 @@ def run_suite(sf_dir: str, num_cpus: int, build_only: bool = False) -> dict:
         "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
         "p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
         "qps": round(len(qset) / (lat_ms.sum() / 1000.0), 1),
+        "wand_pruning": searcher.query_stats(),
     }
     queries_sec["bm25_query_set"] = round(lat_ms.sum() / 1000.0, 3)
     # free the shard actors' CPU slots — on an 8-cpu run a lingering

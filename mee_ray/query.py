@@ -154,6 +154,8 @@ class Searcher:
         self.k1 = self.manifest["bm25"]["k1"]
         self.b = self.manifest["bm25"]["b"]
         self.tombstones = _tombstones(index_root, self.manifest)
+        from mee_ray.wand import WandStats
+        self.query_stats = WandStats()
         self._shards: dict[int, _ShardIndex] = {}
         self._subset = set(shard_subset) if shard_subset is not None else None
         base, delta = _segment_files(index_root, self.manifest)
@@ -214,8 +216,12 @@ class Searcher:
 
     def search_wand(self, uterms: list[str], k: int,
                     stats=None) -> list[tuple[int, float]]:
-        from mee_ray.wand import search_wand
+        from mee_ray.wand import WandStats, search_wand
 
+        if stats is None:
+            # cumulative per-searcher pruning counters (query metrics,
+            # north_star) — read via .query_stats.as_dict()
+            stats = self.query_stats
         term_chunks: dict[str, tuple[float, list[dict]]] = {}
         for term in uterms:
             s = term_hash(term) % self.num_shards
@@ -289,6 +295,9 @@ class DistributedSearcher:
                 # takes the block-max WAND path when it is exact
                 return self.searcher.search(terms, k)
 
+            def stats(self):
+                return self.searcher.query_stats.as_dict()
+
         self.assign: dict[int, int] = {s: s % n_actors for s in range(self.num_shards)}
         shards_of = defaultdict(list)
         for s, a in self.assign.items():
@@ -311,6 +320,15 @@ class DistributedSearcher:
             return ray.get(self.actors[a].search.remote(uterms, k))
         futs = [self.actors[a].term_partials.remote(ts) for a, ts in by_actor.items()]
         return merge_partials(ray.get(futs), uterms, k)
+
+    def query_stats(self) -> dict:
+        """Aggregated WAND pruning counters across the actor pool."""
+        import ray
+        totals: dict[str, int] = {}
+        for d in ray.get([a.stats.remote() for a in self.actors]):
+            for k, v in d.items():
+                totals[k] = totals.get(k, 0) + v
+        return totals
 
     def shutdown(self) -> None:
         """Release the shard actors' CPU slots.  Call when done
