@@ -428,11 +428,16 @@ def build_index(corpus, index_root: str, epoch: str,
             n_distinct = int(row["n_distinct"] or 0)
         else:
             import pyarrow.dataset as pads
-            t = pads.dataset(docs_dir, format="parquet").to_table(
-                columns=["doc_id", "length"])
-            n_docs = t.num_rows
-            total_tokens = int(pa.compute.sum(t["length"]).as_py() or 0)
-            n_distinct = len(np.unique(t["doc_id"].to_numpy(zero_copy_only=False)))
+            dset = pads.dataset(docs_dir, format="parquet")
+            if "doc_id" not in dset.schema.names:
+                # empty corpus: write_parquet emitted a schemaless stub
+                n_docs = total_tokens = n_distinct = 0
+            else:
+                t = dset.to_table(columns=["doc_id", "length"])
+                n_docs = t.num_rows
+                total_tokens = int(pa.compute.sum(t["length"]).as_py() or 0)
+                n_distinct = len(np.unique(
+                    t["doc_id"].to_numpy(zero_copy_only=False)))
         if n_distinct != n_docs:
             raise RuntimeError(
                 f"doc_id collision audit failed: "

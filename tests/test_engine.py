@@ -337,3 +337,34 @@ def test_randomized_delta_sequences(built_index, ray_session, tmp_path):
         check()
     compact(index_copy, "epZ", EngineConfig(), gc_old=True)
     check()
+
+
+def test_empty_and_single_doc_corpora(ray_session, tmp_path):
+    """Degenerate inputs must build publishable epochs: an empty corpus
+    (0 docs, 0 segments, every query []) and a single-doc corpus."""
+    import ray.data
+    from mee_ray.query import Searcher
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(pa.table({c: pa.array([], pa.string())
+                             for c in ("repo", "path", "commit",
+                                       "lang", "content")}),
+                   str(empty / "p.parquet"))
+    root = str(tmp_path / "idx_empty")
+    cfg = EngineConfig(num_shards=2, parts_per_shard=1)
+    m = build_index(ray.data.read_parquet(str(empty)), root, "e1", cfg)
+    assert m["n_docs"] == 0 and m["segments"] == []
+    assert Searcher(root).search(["anything"], 5) == []
+
+    one = tmp_path / "one"
+    one.mkdir()
+    pq.write_table(pa.table({"repo": ["r"], "path": ["a.py"],
+                             "commit": ["c1"], "lang": ["py"],
+                             "content": ["def solo(): return only_tok"]}),
+                   str(one / "p.parquet"))
+    root2 = str(tmp_path / "idx_one")
+    m2 = build_index(ray.data.read_parquet(str(one)), root2, "e1", cfg)
+    assert m2["n_docs"] == 1
+    hits = Searcher(root2).search(["only_tok"], 3)
+    assert len(hits) == 1 and hits[0][1] > 0
