@@ -372,6 +372,79 @@ FROM lineitem
 
 # --------------------------------------- latest-wins / windows / CDC --
 
+def session_windows_events(sf_dir: str, gap_minutes: int = 30,
+                           n_buckets: int = 64):
+    """Gap-based sessionization (SURVEY.md §2.9 streaming semantics):
+    per user, a new session starts when the gap to the previous event
+    exceeds ``gap_minutes``.
+
+    Shuffle granularity: grouping by RAW user_id makes one Python
+    map_groups call per user (thousands of tiny groups — measured 4×
+    slower); instead users hash into ``n_buckets`` shuffle keys and
+    each group handles MANY users in one vectorized pass (new-session
+    mask = user-change OR gap, then diff/cumsum — no per-event loop)."""
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket",
+                               pa.array(uid % n_buckets, pa.int64()))
+
+    def sessions(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("user_id", "ascending"),
+                                              ("ts", "ascending"),
+                                              ("event_id", "ascending")])
+        g = g.take(order)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(uid)
+        new_sess = np.ones(n, dtype=bool)
+        if n > 1:
+            new_sess[1:] = (uid[1:] != uid[:-1]) | (np.diff(us) > gap_us)
+        starts = np.flatnonzero(new_sess)
+        ends = np.append(starts[1:], n) - 1
+        # per-user 1-based session numbering: global session ordinal
+        # minus the ordinal of the user's first session
+        sess_ord = np.arange(1, len(starts) + 1)
+        user_first = np.ones(len(starts), dtype=bool)
+        if len(starts) > 1:
+            user_first[1:] = uid[starts[1:]] != uid[starts[:-1]]
+        first_ord = np.maximum.accumulate(np.where(user_first, sess_ord, 0))
+        return pa.table({
+            "user_id": pa.array(uid[starts], pa.int64()),
+            "session_id": pa.array(sess_ord - first_ord + 1, pa.int64()),
+            "n_events": pa.array(ends - starts + 1, pa.int64()),
+            "duration_us": pa.array(us[ends] - us[starts], pa.int64()),
+        })
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts"])
+            .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket").map_groups(sessions, batch_format="pyarrow"))
+
+
+SESSION_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > 30 * 60 * 1000000
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                 IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+), numbered AS (
+  SELECT user_id, ts,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, session_id,
+       count(*) AS n_events,
+       max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+FROM numbered
+GROUP BY user_id, session_id
+"""
+
 def latest_event_per_user(sf_dir: str):
     """U3 latest-wins by (ts, event_id) per key — the delta
     last-writer-wins semantic (SURVEY.md §2.9) as groupby.map_groups."""
@@ -537,6 +610,7 @@ QUERIES = {
     "scalar_dsl_lineitem": scalar_dsl_lineitem,
     "latest_event_per_user": latest_event_per_user,
     "tumbling_window_events": tumbling_window_events,
+    "session_windows_events": session_windows_events,
     "event_type_routing": event_type_routing,
     "semi_join_events_customers": semi_join_events_customers,
     "anti_join_events_customers": anti_join_events_customers,
@@ -555,6 +629,7 @@ ORACLE = {
     "scalar_dsl_lineitem": SCALAR_DSL_SQL,
     "latest_event_per_user": LATEST_SQL,
     "tumbling_window_events": TUMBLING_SQL,
+    "session_windows_events": SESSION_SQL,
     "event_type_routing": ROUTING_SQL,
     "semi_join_events_customers": SEMI_SQL,
     "anti_join_events_customers": ANTI_SQL,
