@@ -141,11 +141,11 @@ def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
             "lang": pa.array([a["lang"] for a in adds], pa.string()),
             "content": pa.array([a["content"] or "" for a in adds], pa.string()),
         })
+        # stateless tasks: delta batches are small and latency-bound —
+        # spawning an actor pool per batch would dominate apply time
         tok_ds = (ray.data.from_arrow(add_tbl)
-                  .map_batches(DocTokenize, fn_constructor_kwargs={"cfg": cfg},
-                               batch_format="pyarrow",
-                               batch_size=cfg.tokenize_batch_size,
-                               concurrency=(1, 8)))
+                  .map_batches(DocTokenize(cfg), batch_format="pyarrow",
+                               batch_size=cfg.tokenize_batch_size))
         # stage the tokenized adds once (small), then docs + segments
         tok_tbl = pa.concat_tables(
             [b for b in tok_ds.iter_batches(batch_format="pyarrow",
@@ -161,8 +161,7 @@ def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
         # time from (tf, dl, live avgdl), so this only affects the
         # stored (unused until compaction) block-max hints
         triples = (ray.data.from_arrow(tok_tbl.select(["doc_id", "length", "terms", "tfs"]))
-                   .map_batches(ExplodeTriples, fn_constructor_kwargs={"cfg": cfg},
-                                batch_format="pyarrow", concurrency=(1, 4)))
+                   .map_batches(ExplodeTriples(cfg), batch_format="pyarrow"))
         seg_out = triples.groupby("part").map_groups(
             make_encode_partition(os.path.join(ddir, "segments"),
                                   manifest["avgdl"] or 1.0, cfg),

@@ -52,11 +52,17 @@ class _ShardIndex:
     serving a cold shard holds the dictionary plus just the row groups
     its queries actually hit."""
 
+    # bounded row-group cache: 512-row groups ≈ a few hundred KB each,
+    # so 256 entries cap a cold shard's resident payload well under a
+    # worker's heap while keeping the hot-term working set loaded
+    RG_CACHE_CAP = 256
+
     def __init__(self, files: list[str], delta_files: list[str] = ()):
+        from collections import OrderedDict
         self.files: list[pq.ParquetFile] = []
         self.is_delta: list[bool] = []
         self.rows: dict[str, list[tuple[int, int]]] = defaultdict(list)
-        self._rg_cache: dict[tuple[int, int], object] = {}
+        self._rg_cache: "OrderedDict[tuple[int, int], object]" = OrderedDict()
         self._rg_bounds: list[np.ndarray] = []
         for f, d in [(f, False) for f in files] + [(f, True) for f in delta_files]:
             pf = pq.ParquetFile(f)
@@ -72,13 +78,17 @@ class _ShardIndex:
                 self.rows[term].append((ti, ri))
 
     def _row(self, ti: int, ri: int) -> tuple[object, int]:
-        """(row_group table, local row index) — row groups cached."""
+        """(row_group table, local row index) — row groups LRU-cached."""
         bounds = self._rg_bounds[ti]
         g = int(np.searchsorted(bounds, ri, side="right")) - 1
         key = (ti, g)
         t = self._rg_cache.get(key)
         if t is None:
             t = self._rg_cache[key] = self.files[ti].read_row_group(g)
+            if len(self._rg_cache) > self.RG_CACHE_CAP:
+                self._rg_cache.popitem(last=False)
+        else:
+            self._rg_cache.move_to_end(key)
         return t, ri - int(bounds[g])
 
     def _decode_row(self, ti: int, ri: int):
