@@ -79,6 +79,8 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--index", required=True)
     d.add_argument("--events", required=True,
                    help="parquet file/dir of delta events")
+    d.add_argument("--auto-compact", action="store_true",
+                   help="run the merge scheduler's policy afterwards")
 
     c = sub.add_parser("compact", help="fold deltas into a new epoch")
     c.add_argument("--index", required=True)
@@ -132,9 +134,13 @@ def main(argv: list[str] | None = None) -> int:
         from mee_ray.sources import read_delta_events
 
         rec = apply_delta(read_delta_events(args.events), args.index, cfg)
-        print(json.dumps({"n_added": rec["n_added"],
-                          "n_deleted": rec["n_deleted"],
-                          "seq": rec["seq"]}))
+        out = {"n_added": rec["n_added"], "n_deleted": rec["n_deleted"],
+               "seq": rec["seq"]}
+        if args.auto_compact:
+            from mee_ray.scheduler import maybe_compact
+            merged = maybe_compact(args.index, cfg)
+            out["compacted_to"] = merged["epoch"] if merged else None
+        print(json.dumps(out))
 
     elif args.cmd == "compact":
         _init_ray(args.num_cpus)

@@ -1,0 +1,103 @@
+"""Merge scheduler: size-tiered policy, epoch lineage naming, and the
+singleton actor path — merged indexes stay rank-identical."""
+
+import shutil
+
+import pyarrow as pa
+import pytest
+
+from mee_ray.config import EngineConfig
+from mee_ray.ids import doc_id_of
+from mee_ray.oracle import OracleIndex, make_query_set
+from mee_ray.query import Searcher
+from mee_ray.scheduler import (MergePolicy, MergeScheduler, _next_epoch_name,
+                               maybe_compact, should_compact)
+
+
+def _delta(i, key, content):
+    return pa.table({
+        "seq": pa.array([i], pa.int64()),
+        "type": pa.array(["UPDATE"]),
+        "repo": pa.array([key[0]]),
+        "path": pa.array([key[1]]),
+        "commit": pa.array([f"{i:08x}" + "e" * 32]),
+        "lang": pa.array(["py"]),
+        "content": pa.array([content]),
+    })
+
+
+def test_policy_thresholds():
+    m = {"n_docs": 100, "deltas": []}
+    pol = MergePolicy(max_deltas=3, max_churn_ratio=0.5)
+    assert not should_compact(m, pol)
+    m["deltas"] = [{"n_added": 1, "n_deleted": 0}] * 2
+    assert not should_compact(m, pol)
+    m["deltas"] = [{"n_added": 1, "n_deleted": 0}] * 3  # count trigger
+    assert should_compact(m, pol)
+    m["deltas"] = [{"n_added": 30, "n_deleted": 25}]    # churn trigger
+    assert should_compact(m, pol)
+
+
+def test_epoch_lineage_names():
+    assert _next_epoch_name({"epoch": "ep1"}) == "ep1.c1"
+    assert _next_epoch_name({"epoch": "ep1.c1"}) == "ep1.c2"
+    assert _next_epoch_name({"epoch": "ep1.c9"}) == "ep1.c10"
+
+
+def test_maybe_compact_end_to_end(built_index, ray_session, tmp_path):
+    from mee_ray.delta import apply_delta
+
+    root = str(tmp_path / "idx")
+    shutil.copytree(built_index["index_root"], root)
+    live = dict(built_index["live"])
+    keys = sorted(live)
+    pol = MergePolicy(max_deltas=2, max_churn_ratio=1.0)
+
+    assert maybe_compact(root, policy=pol) is None  # no deltas yet
+
+    c1 = "def sched_fn_one(): return sched_token_one\n"
+    apply_delta(_delta(1, keys[0], c1), root)
+    live[keys[0]] = ("00000001" + "e" * 32, c1)
+    assert maybe_compact(root, policy=pol) is None  # 1 < max_deltas
+
+    c2 = "def sched_fn_two(): return sched_token_two\n"
+    apply_delta(_delta(2, keys[1], c2), root)
+    live[keys[1]] = ("00000002" + "e" * 32, c2)
+    m2 = maybe_compact(root, policy=pol)
+    assert m2 is not None and m2["epoch"] == "ep1.c1"
+    assert m2["deltas"] == []
+
+    oi = OracleIndex([(doc_id_of(r, p, c), content)
+                      for (r, p), (c, content) in live.items()])
+    s = Searcher(root)
+    assert (s.n_docs, s.avgdl) == (oi.n_docs, oi.avgdl)
+    for q in make_query_set([(i, c) for i, (_, c) in enumerate(live.values())],
+                            n_queries=15, seed=13):
+        assert s.search(q["terms"], q["k"]) == oi.search(q["terms"], q["k"])
+    assert s.search(["sched_token_two"], 3) == oi.search(["sched_token_two"], 3)
+
+
+def test_scheduler_actor_singleton_and_notify(built_index, ray_session,
+                                              tmp_path):
+    import ray
+
+    from mee_ray.delta import apply_delta
+
+    root = str(tmp_path / "idx")
+    shutil.copytree(built_index["index_root"], root)
+    keys = sorted(built_index["live"])
+
+    a1 = MergeScheduler.get(root, policy=MergePolicy(max_deltas=1,
+                                                     max_churn_ratio=1.0))
+    a2 = MergeScheduler.get(root)
+    assert a1._actor_id == a2._actor_id  # singleton per root
+
+    assert ray.get(a1.notify.remote()) is None  # nothing pending
+    apply_delta(_delta(1, keys[2],
+                       "def actor_fn(): return actor_token_x\n"), root)
+    new_epoch = ray.get(a1.notify.remote())
+    assert new_epoch == "ep1.c1"
+    st = ray.get(a1.stats.remote())
+    assert st["merges_run"] == 1 and st["pending_deltas"] == 0
+    assert Searcher(root).search(["actor_token_x"], 3)
+    ray.kill(a1, no_restart=True)  # don't leak the detached actor
