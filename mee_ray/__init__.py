@@ -5,12 +5,12 @@ A from-scratch reimagining of the *capability* of the reference system
 maintenance — full rebuild with atomic alias publish, incremental delta
 application, resumable state) as an engine that OWNS the inverted index:
 
-- build path: ``ray.data.read_parquet(corpus)`` → tokenizing
-  ``map_batches`` actor pool → staged token table → partitioned
-  groupby shuffle → compressed posting-list segments (delta + varint,
-  per-block max-impact metadata) → epoch manifest → atomic CURRENT
-  pointer swap (the analog of mee's ES alias swap,
-  reference services/updateservice.py:252-310).
+- build path: ``ray.data.read_parquet(corpus)`` → two fused
+  ``map_batches`` passes (slim docs table; tokenize→explode straight
+  into the partitioned groupby shuffle) → compressed posting-list
+  segments (delta + varint, per-block max-impact metadata) → epoch
+  manifest → atomic CURRENT pointer swap (the analog of mee's ES alias
+  swap, reference services/updateservice.py:252-310).
 - delta path: delta event batches → tombstones + delta segments
   (the analog of mee's Kafka→ES SyncService,
   reference services/syncservice.py:53-114).

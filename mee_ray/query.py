@@ -17,8 +17,19 @@ Two drivers over the same `_ShardIndex` core:
   build-side skew control, per BASELINE.json north_star). A document's
   score can span shards for multi-term queries, so shard actors return
   exact per-term partial score vectors and the driver does the final
-  per-doc merge + global top-k heap; for single-shard queries the
-  partial IS the final score and the driver merge is a no-op.
+  per-doc merge + global top-k heap; queries whose terms all live on
+  one actor run that actor's local block-max WAND and skip the merge.
+
+  Scale note — why exact partials and not distributed WAND: with
+  term-partitioned shards, per-shard pruning against a global
+  threshold is unsound (a doc weak in one shard may be strong
+  globally), and the exact fix is the classic three-phase protocol
+  (bound collection → thresholded candidate partials → per-candidate
+  partial fetch), i.e. two extra round-trips per query.  Partials here
+  are compact numpy arrays (unique docs × 12 B per term), so the
+  single-round exact exchange wins until posting lists reach the
+  multi-million-doc range; the three-phase path is the documented
+  upgrade when that crossover is reached.
 
 Live stats: N/avgdl come from the manifest delta log
 (mee_ray.manifest.live_stats) and df is counted after tombstone
