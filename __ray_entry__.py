@@ -27,7 +27,9 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from mee_ray.pipelines import docbuild, fulltext, relational, text, vector
-    from mee_ray.stages.multimodal import multimodal_image_meta
+    from mee_ray.stages.multimodal import (multimodal_audio_features,
+                                           multimodal_image_meta,
+                                           multimodal_video_frames)
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(relational.QUERIES)
@@ -36,12 +38,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(vector.QUERIES)
     out.update(fulltext.QUERIES)
     out["multimodal_image_meta"] = multimodal_image_meta
+    out["multimodal_audio_features"] = multimodal_audio_features
+    out["multimodal_video_frames"] = multimodal_video_frames
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     from mee_ray.pipelines import docbuild, fulltext, relational, text, vector
-    from mee_ray.stages.multimodal import MULTIMODAL_SQL
+    from mee_ray.stages.multimodal import MULTIMODAL_SQL, VIDEO_SQL
 
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
@@ -50,4 +54,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(vector.ORACLE)
     out.update(fulltext.ORACLE)
     out["multimodal_image_meta"] = MULTIMODAL_SQL
+    out["multimodal_video_frames"] = VIDEO_SQL
     return out

@@ -66,10 +66,12 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
     qs, os_ = entry_mod.queries(), entry_mod.oracle_sql()
     assert set(os_) <= set(qs)
     rows_only = set(qs) - set(os_)
-    # sketch/approximate ops are the only sanctioned rows-only entries
+    # sketch/approximate ops and float-feature extraction are the only
+    # sanctioned rows-only entries
     assert rows_only == {"minhash_lsh_candidates", "simhash_signatures",
                          "simhash_dup_pairs", "ngram_jaccard_adjacent",
-                         "embedding_neardup", "ann_ivf_topk"}
+                         "embedding_neardup", "ann_ivf_topk",
+                         "multimodal_audio_features"}
 
 
 def test_entry_smoke(entry_mod):
@@ -141,3 +143,37 @@ def test_embedding_neardup_exactness(entry_mod, ray_session):
     for a, b, s in zip(out.a, out.b, out.sim):
         sim = float(u[pos[a]] @ u[pos[b]])
         assert sim >= 0.35 and abs(sim - s) < 1e-5
+
+
+def test_multimodal_audio_video_stages(entry_mod, ray_session):
+    """Audio/video plumbing: deterministic fakes, typed outputs, and
+    the documented NotImplementedError on the real-decode hooks."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mee_ray.stages.multimodal import (FakeAudioFeatures,
+                                           FakeVideoFrameSample)
+
+    a = entry_mod.queries()["multimodal_audio_features"]("/root/testdata/sf0.001")
+    df = a.to_pandas()
+    assert {"doc_id", "n_bytes", "duration_ms"} <= set(df.columns)
+    assert {f"f{i}" for i in range(8)} <= set(df.columns)
+    assert (df["n_bytes"] > 0).all()
+
+    v = entry_mod.queries()["multimodal_video_frames"]("/root/testdata/sf0.001")
+    vf = v.to_pandas()
+    assert (vf["n_sampled"] >= 1).all()
+    assert (vf["n_sampled"] <= (vf["n_frames"] + 29) // 30).all()
+
+    with _pytest.raises(NotImplementedError):
+        FakeAudioFeatures().extract_real(b"xx")
+    with _pytest.raises(NotImplementedError):
+        FakeVideoFrameSample().sample_real(b"xx")
+
+    # determinism of the fakes
+    import pyarrow as pa
+    t = pa.table({"doc_id": pa.array([1], pa.int64()),
+                  "payload": pa.array([b"hello world" * 100], pa.binary())})
+    r1 = FakeAudioFeatures()(t).to_pylist()
+    r2 = FakeAudioFeatures()(t).to_pylist()
+    assert r1 == r2
