@@ -422,6 +422,102 @@ def session_windows_events(sf_dir: str, gap_minutes: int = 30,
             .groupby("bucket").map_groups(sessions, batch_format="pyarrow"))
 
 
+def asof_join_purchase_click(sf_dir: str, n_buckets: int = 64):
+    """AS-OF join — a custom operator Ray Data lacks (task brief):
+    each purchase event joins the LATEST click of the same user at or
+    before its timestamp.
+
+    Plan: one groupby(user-bucket) shuffle co-locates each user's
+    purchases and clicks; inside a group both sides sort once and a
+    vectorized ``np.searchsorted`` finds every purchase's predecessor
+    click (no per-row loop, no window re-scan).  Partitioning
+    assumption documented per the brief: correctness requires both
+    sides of one user in one group — guaranteed by bucketing on
+    user_id alone."""
+
+    def bucket(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["event_type"],
+                        value_set=pa.array(["purchase", "click"]))
+        t = t.filter(mask)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(uid % n_buckets, pa.int64()))
+
+    def asof(g: pa.Table) -> pa.Table:
+        et = g["event_type"].to_pylist()
+        is_p = np.array([x == "purchase" for x in et])
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        us = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+
+        # clicks sorted by (user, ts, event_id): ties on ts resolve to
+        # the largest event_id — mirrored in the oracle's dedup CTE
+        ci = np.flatnonzero(~is_p)
+        pi = np.flatnonzero(is_p)
+        if len(pi) == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "purchase_id": pa.array([], pa.int64()),
+                "purchase_us": pa.array([], pa.int64()),
+                "click_id": pa.array([], pa.int64()),
+                "gap_us": pa.array([], pa.int64()),
+            })
+        corder = ci[np.lexsort((eid[ci], us[ci], uid[ci]))]
+        cu, cts, cid = uid[corder], us[corder], eid[corder]
+        porder = pi[np.lexsort((eid[pi], us[pi], uid[pi]))]
+        pu, pts, pid = uid[porder], us[porder], eid[porder]
+
+        # per-user block binary search: user boundaries once, then one
+        # vectorized searchsorted per user (users per bucket is small;
+        # events per user is not — the inner step stays vectorized)
+        click_id = np.full(len(pu), -1, dtype=np.int64)
+        gap_us = np.full(len(pu), -1, dtype=np.int64)
+        pu_vals, pu_starts = np.unique(pu, return_index=True)
+        pu_ends = np.append(pu_starts[1:], len(pu))
+        for u, plo, phi in zip(pu_vals, pu_starts, pu_ends):
+            clo = np.searchsorted(cu, u, side="left")
+            chi = np.searchsorted(cu, u, side="right")
+            if clo == chi:
+                continue
+            pos = np.searchsorted(cts[clo:chi], pts[plo:phi],
+                                  side="right") - 1
+            hit = pos >= 0
+            idx = clo + np.maximum(pos, 0)
+            click_id[plo:phi] = np.where(hit, cid[idx], -1)
+            gap_us[plo:phi] = np.where(hit, pts[plo:phi] - cts[idx], -1)
+        return pa.table({
+            "user_id": pa.array(pu, pa.int64()),
+            "purchase_id": pa.array(pid, pa.int64()),
+            "purchase_us": pa.array(pts, pa.int64()),
+            "click_id": pa.array(click_id),
+            "gap_us": pa.array(gap_us),
+        })
+
+    return (_read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+            .map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket").map_groups(asof, batch_format="pyarrow"))
+
+
+ASOF_SQL = """
+WITH purchases AS (
+  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+  FROM events WHERE event_type = 'purchase'
+), clicks AS (
+  -- dedupe ts ties to the largest event_id so the as-of pick is
+  -- deterministic on both engines
+  SELECT user_id, epoch_us(ts) AS click_us,
+         max(event_id) AS click_id
+  FROM events WHERE event_type = 'click'
+  GROUP BY user_id, epoch_us(ts)
+)
+SELECT p.user_id, p.purchase_id, p.purchase_us,
+       coalesce(c.click_id, -1)                  AS click_id,
+       coalesce(p.purchase_us - c.click_us, -1)  AS gap_us
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.purchase_us >= c.click_us
+"""
+
+
 SESSION_SQL = """
 WITH ordered AS (
   SELECT user_id, event_id, ts,
@@ -611,6 +707,7 @@ QUERIES = {
     "latest_event_per_user": latest_event_per_user,
     "tumbling_window_events": tumbling_window_events,
     "session_windows_events": session_windows_events,
+    "asof_join_purchase_click": asof_join_purchase_click,
     "event_type_routing": event_type_routing,
     "semi_join_events_customers": semi_join_events_customers,
     "anti_join_events_customers": anti_join_events_customers,
@@ -630,6 +727,7 @@ ORACLE = {
     "latest_event_per_user": LATEST_SQL,
     "tumbling_window_events": TUMBLING_SQL,
     "session_windows_events": SESSION_SQL,
+    "asof_join_purchase_click": ASOF_SQL,
     "event_type_routing": ROUTING_SQL,
     "semi_join_events_customers": SEMI_SQL,
     "anti_join_events_customers": ANTI_SQL,
