@@ -368,3 +368,19 @@ def test_empty_and_single_doc_corpora(ray_session, tmp_path):
     assert m2["n_docs"] == 1
     hits = Searcher(root2).search(["only_tok"], 3)
     assert len(hits) == 1 and hits[0][1] > 0
+
+
+def test_query_before_publish_and_bad_publish(ray_session, tmp_path):
+    """Lifecycle error probes: querying an index with no published
+    epoch and publishing a nonexistent epoch must fail loudly, not
+    corrupt state."""
+    from mee_ray.query import Searcher
+
+    root = str(tmp_path / "idx")
+    os.makedirs(root, exist_ok=True)
+    with pytest.raises(FileNotFoundError):
+        Searcher(root)
+
+    with pytest.raises(FileNotFoundError):
+        mf.publish(root, "no_such_epoch")
+    assert mf.current_epoch(root) is None  # nothing half-published
