@@ -25,11 +25,15 @@ import json
 import sys
 
 
-def _engine_config(path: str | None):
+def _engine_config(path: str | None, default_none: bool = False):
+    """Load EngineConfig from a JSON file.  With ``default_none`` and no
+    path, return None — lifecycle commands (delta/compact) then
+    reconstruct the config from the index manifest, which records the
+    routing/scoring parameters the index was actually built with."""
     from mee_ray.config import BM25Params, EngineConfig, TokenizerConfig
 
     if not path:
-        return EngineConfig()
+        return None if default_none else EngineConfig()
     with open(path) as f:
         raw = json.load(f)
     tok = TokenizerConfig(**raw.pop("tokenizer", {}))
@@ -95,7 +99,9 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--index", required=True)
 
     args = p.parse_args(argv)
-    cfg = _engine_config(args.config)
+    # delta/compact: no --config → derive from the index manifest
+    cfg = _engine_config(args.config,
+                         default_none=args.cmd in ("delta", "compact"))
 
     if args.cmd == "build":
         _init_ray(args.num_cpus)

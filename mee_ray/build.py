@@ -286,11 +286,15 @@ def winner_doc_ids(corpus, cfg: EngineConfig) -> np.ndarray:
     per-batch combiner stays identical."""
 
     def partial_winners(batch: pa.Table) -> pa.Table:
-        # candidate value: commit (fixed-width hex) ⊕ doc_id — the
-        # lexicographic max carries both the winning commit and its id
+        # candidate value: commit + NUL + doc_id — lexicographic max of
+        # this composite equals the (commit, doc_id) tuple max even for
+        # variable-length commits where one is a prefix of another,
+        # because NUL sorts below every byte a commit can contain (the
+        # composite with the shorter commit compares NUL vs the longer
+        # commit's next byte and loses, matching plain `c1 < c2`)
         ids = doc_ids_batch(batch["repo"], batch["path"], batch["commit"])
         commits = batch["commit"].to_pylist()
-        vals = [f"{c}:{i:016x}" for c, i in zip(commits, ids)]
+        vals = [f"{c}\x00{i:016x}" for c, i in zip(commits, ids)]
         keys = [hashlib.sha256(f"{r}\x00{p}".encode()).digest()[:8]
                 for r, p in zip(batch["repo"].to_pylist(), batch["path"].to_pylist())]
         kh = np.frombuffer(b"".join(keys), dtype=">i8").astype(np.int64)

@@ -102,8 +102,84 @@ class EngineConfig:
     stats_mode: str = "driver"
 
     def shard_of_part(self, part: int) -> int:
-        return part % self.num_shards
+        """Inverse of the build's part layout: part = shard *
+        parts_per_shard + sub, so shard = part // parts_per_shard
+        (the mapping the query path uses, mee_ray/query.py)."""
+        return part // self.parts_per_shard
 
     @property
     def num_parts(self) -> int:
         return self.num_shards * self.parts_per_shard
+
+
+# Manifest fields that pin how postings are routed / scored.  A delta or
+# compaction run with a config that disagrees on any of these would
+# silently route rows to wrong partitions (dropped at merge), compute
+# unsound WAND bounds, or tokenize delta docs differently from the base.
+_MANIFEST_PINNED = ("num_shards", "parts_per_shard", "block_size",
+                    "salt_factor")
+
+
+def config_from_manifest(manifest: dict,
+                         base: "EngineConfig | None" = None) -> "EngineConfig":
+    """Reconstruct the effective :class:`EngineConfig` from an epoch
+    manifest (build_index records tokenizer/bm25/sharding/salting
+    there).  ``base`` supplies the non-pinned knobs (batching, stats
+    mode); pinned fields always come from the manifest.
+
+    This is the safe default for ``apply_delta`` / ``compact``: the
+    index's own recorded parameters, not whatever the caller's CLI
+    happened to default to."""
+    base = base or EngineConfig()
+    kw = {}
+    if "tokenizer" in manifest:
+        kw["tokenizer"] = TokenizerConfig(**manifest["tokenizer"])
+    if "bm25" in manifest:
+        kw["bm25"] = BM25Params(**manifest["bm25"])
+    if "hot_terms" in manifest:
+        kw["hot_terms"] = frozenset(manifest["hot_terms"])
+    for f in _MANIFEST_PINNED:
+        if f in manifest:
+            kw[f] = manifest[f]
+    from dataclasses import replace
+    return replace(base, **kw)
+
+
+def validate_config_against_manifest(cfg: "EngineConfig",
+                                     manifest: dict) -> None:
+    """Fail loudly when an explicit config disagrees with the manifest's
+    recorded routing/scoring parameters (silent wrong-part routing is
+    the failure mode this guards)."""
+    mismatches = []
+    for f in _MANIFEST_PINNED:
+        if f in manifest and getattr(cfg, f) != manifest[f]:
+            mismatches.append(f"{f}: cfg={getattr(cfg, f)!r} "
+                              f"manifest={manifest[f]!r}")
+    if "hot_terms" in manifest and set(cfg.hot_terms) != set(manifest["hot_terms"]):
+        mismatches.append("hot_terms differ")
+    if "bm25" in manifest:
+        m = manifest["bm25"]
+        if (cfg.bm25.k1, cfg.bm25.b) != (m["k1"], m["b"]):
+            mismatches.append(f"bm25: cfg=({cfg.bm25.k1},{cfg.bm25.b}) "
+                              f"manifest=({m['k1']},{m['b']})")
+    if "tokenizer" in manifest:
+        mine = {f: getattr(cfg.tokenizer, f)
+                for f in cfg.tokenizer.__dataclass_fields__}
+        if mine != manifest["tokenizer"]:
+            mismatches.append("tokenizer settings differ")
+    if mismatches:
+        raise ValueError(
+            "EngineConfig disagrees with the index manifest — postings "
+            "would be routed/scored inconsistently with the built "
+            "segments: " + "; ".join(mismatches))
+
+
+def resolve_index_config(manifest: dict,
+                         cfg: "EngineConfig | None") -> "EngineConfig":
+    """The one rule for lifecycle entry points: no explicit config →
+    reconstruct from the manifest; explicit config → validate it
+    against the manifest, then use it."""
+    if cfg is None:
+        return config_from_manifest(manifest)
+    validate_config_against_manifest(cfg, manifest)
+    return cfg

@@ -36,35 +36,43 @@ import pyarrow.parquet as pq
 
 from mee_ray import manifest as mf
 from mee_ray.build import DocTokenize, ExplodeTriples, make_encode_partition
-from mee_ray.config import EngineConfig
+from mee_ray.config import EngineConfig, resolve_index_config
 from mee_ray.ids import doc_id_of
 
 
 def _live_key_index(index_root: str, manifest: dict, keys: set[tuple[str, str]]
-                    ) -> dict[tuple[str, str], tuple[int, int]]:
-    """(repo, path) → (doc_id, length) for currently-live docs among
-    ``keys``.  Scans the epoch docs table plus every delta's added-docs
-    file, honoring tombstones; ``keys`` is small (one delta batch), so
-    this is a broadcast-filtered scan, not a shuffle."""
+                    ) -> tuple[dict[tuple[str, str], tuple[int, int]],
+                               dict[int, int]]:
+    """Two views of the docs log restricted to ``keys``:
+
+    - live: (repo, path) → (doc_id, length) for currently-live docs
+    - dead: doc_id → length for effectively-tombstoned versions (the
+      resurrection lookup: a re-INSERT of one of these ids revives the
+      already-indexed postings instead of re-tokenizing)
+
+    Scans the epoch docs table plus every delta's added-docs file;
+    ``keys`` is small (one delta batch), so this is a broadcast-filtered
+    scan, not a shuffle."""
     files = list(mf.docs_files(index_root, manifest["epoch"]))
     for d in manifest.get("deltas", []):
         if d.get("added_docs") and os.path.exists(d["added_docs"]):
             files.append(d["added_docs"])
 
-    tomb = set()
-    for d in manifest.get("deltas", []):
-        p = d.get("tombstones")
-        if p and os.path.exists(p):
-            tomb.update(pq.read_table(p, columns=["doc_id"])["doc_id"].to_pylist())
+    tomb = set(mf.effective_tombstones(manifest).tolist())
 
-    out: dict[tuple[str, str], tuple[int, int]] = {}
+    live: dict[tuple[str, str], tuple[int, int]] = {}
+    dead: dict[int, int] = {}
     for f in files:  # later files (newer deltas) overwrite older entries
         t = pq.read_table(f, columns=["repo", "path", "doc_id", "length"])
         for r, p, did, ln in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
                                  t["doc_id"].to_pylist(), t["length"].to_pylist()):
-            if (r, p) in keys and did not in tomb:
-                out[(r, p)] = (did, ln)
-    return out
+            if (r, p) not in keys:
+                continue
+            if did in tomb:
+                dead[did] = ln
+            else:
+                live[(r, p)] = (did, ln)
+    return live, dead
 
 
 def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
@@ -74,8 +82,11 @@ def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
     CURRENT epoch. Returns the appended delta record."""
     import ray.data
 
-    cfg = cfg or EngineConfig()
     manifest = mf.load_manifest(index_root, epoch)
+    # the index's own recorded routing/scoring parameters are
+    # authoritative: a cfg that disagrees would route delta postings to
+    # partitions the merge never reads (silently dropped)
+    cfg = resolve_index_config(manifest, cfg)
     epoch = manifest["epoch"]
     edir = mf.epoch_dir(index_root, epoch)
 
@@ -96,9 +107,10 @@ def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
         max_seq = max(max_seq, int(rows["seq"][i]))
         final[key] = {k: rows[k][i] for k in rows}
 
-    live = _live_key_index(index_root, manifest, set(final))
+    live, dead = _live_key_index(index_root, manifest, set(final))
 
     tomb_ids, tomb_dls = [], []
+    res_ids, res_dls = [], []
     adds = []
     for key, e in final.items():
         old = live.get(key)
@@ -115,10 +127,26 @@ def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
                 continue
             if old is not None:
                 tomb_ids.append(old[0]); tomb_dls.append(old[1])
-            adds.append(e)
+            if new_id in dead:
+                # delete → re-insert of the SAME version (doc_id is the
+                # version key hash(repo, path, commit)): revive the
+                # already-indexed postings via a resurrection record
+                # instead of re-tokenizing — effective_tombstones
+                # replays the log so the base postings become live again
+                res_ids.append(new_id); res_dls.append(dead[new_id])
+            else:
+                adds.append(e)
 
     seq_no = len(manifest.get("deltas", [])) + 1
     ddir = os.path.join(edir, "deltas", f"delta-{seq_no:06d}")
+    # A directory at this seq that the manifest does not reference is
+    # debris from a crashed apply (segments written, manifest append
+    # never reached).  Clear it: otherwise the encoder's lineage-sidecar
+    # resume short-circuit would return the aborted batch's segments
+    # for THIS batch's events.
+    if os.path.isdir(ddir):
+        import shutil
+        shutil.rmtree(ddir)
     os.makedirs(os.path.join(ddir, "segments"), exist_ok=True)
 
     tomb_path = os.path.join(ddir, "tombstones.parquet")
@@ -129,8 +157,10 @@ def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
     record = {
         "seq": seq_no, "max_event_seq": max_seq,
         "tombstones": tomb_path, "added_docs": None, "segments": [],
-        "n_added": 0, "n_deleted": len(tomb_ids),
-        "sum_dl_added": 0, "sum_dl_deleted": int(sum(tomb_dls)),
+        "resurrected": [int(i) for i in res_ids],
+        "n_added": len(res_ids), "n_deleted": len(tomb_ids),
+        "sum_dl_added": int(sum(res_dls)),
+        "sum_dl_deleted": int(sum(tomb_dls)),
     }
 
     if adds:
@@ -169,8 +199,8 @@ def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
         lin = seg_out.take_all()
         record["segments"] = [r["path"] for r in lin]
         record["added_docs"] = added_docs_path
-        record["n_added"] = tok_tbl.num_rows
-        record["sum_dl_added"] = int(pa.compute.sum(tok_tbl["length"]).as_py() or 0)
+        record["n_added"] += tok_tbl.num_rows
+        record["sum_dl_added"] += int(pa.compute.sum(tok_tbl["length"]).as_py() or 0)
 
     manifest.setdefault("deltas", []).append(record)
     epoch_name = manifest.pop("epoch")

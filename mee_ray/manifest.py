@@ -179,6 +179,30 @@ def write_metrics(index_root: str, epoch: str, cfg=None) -> dict:
     return m
 
 
+def effective_tombstones(manifest: dict):
+    """Replay the delta log in order to the effective dead-doc set.
+
+    Each record's tombstone file kills postings written by earlier
+    records (and the base); its ``resurrected`` ids revive a doc whose
+    exact version (same doc_id = hash(repo, path, commit)) was
+    re-inserted after a delete — the already-indexed base postings for
+    that id simply become live again, no re-tokenize needed.  A later
+    delete can kill it again (ordering matters, hence replay, not
+    union).  Returns a sorted int64 numpy array."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    dead: set[int] = set()
+    for d in manifest.get("deltas", []):
+        p = d.get("tombstones")
+        if p and os.path.exists(p):
+            dead.update(pq.read_table(p, columns=["doc_id"])["doc_id"]
+                        .to_pylist())
+        for did in d.get("resurrected", ()):
+            dead.discard(did)
+    return np.sort(np.fromiter(dead, dtype=np.int64, count=len(dead)))
+
+
 def live_stats(manifest: dict) -> tuple[int, float]:
     """(N_live, avgdl_live) after applying the delta log to base stats.
     Exact, not approximate: each delta records n/sum_dl added+deleted,

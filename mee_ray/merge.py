@@ -22,17 +22,39 @@ import pyarrow.parquet as pq
 
 from mee_ray import manifest as mf
 from mee_ray.build import LINEAGE_SCHEMA, make_encode_partition
-from mee_ray.config import EngineConfig
-from mee_ray.ids import term_hash
+from mee_ray.config import EngineConfig, resolve_index_config
 from mee_ray.postings import decode_posting_list, varint_decode
 from mee_ray.query import _tombstones
 
 
-def _part_of(term: str, salt: int, cfg: EngineConfig) -> int:
-    h = term_hash(term)
-    shard = h % cfg.num_shards
-    return shard * cfg.parts_per_shard + (
-        ((h >> 8) ^ (salt * 0x9E3779B1)) % cfg.parts_per_shard)
+def _part_of_file(path: str) -> int:
+    """Partition number encoded in a segment file name (part-NNNNN.parquet).
+    Base and delta segments are written by the same
+    ``make_encode_partition`` with the same part function, so the file
+    name IS the routing — no per-row re-hash needed at merge time."""
+    return int(os.path.basename(path).split("-")[1].split(".")[0])
+
+
+def partition_plan(manifest: dict) -> list[dict]:
+    """Per-partition merge work list.
+
+    Partition set = base parts ∪ delta parts: a delta may introduce
+    terms routing to a partition that produced no base segment — those
+    must still get a new segment file, or their postings silently
+    vanish at compaction.  Both base and delta files carry their part
+    number in the name, so each merge task reads ONLY its own
+    partition's files — O(files-of-this-part), not
+    O(parts × all-delta-files) read amplification."""
+    by_part: dict[int, list[str]] = {}
+    by_part_delta: dict[int, list[str]] = {}
+    for s in manifest["segments"]:
+        by_part.setdefault(_part_of_file(s["path"]), []).append(s["path"])
+    for d in manifest.get("deltas", []):
+        for f in d.get("segments", []):
+            by_part_delta.setdefault(_part_of_file(f), []).append(f)
+    return [{"part": p, "files": by_part.get(p, []),
+             "delta_files": by_part_delta.get(p, [])}
+            for p in sorted(set(by_part) | set(by_part_delta))]
 
 
 def _decode_rows(t: pa.Table) -> pa.Table:
@@ -70,8 +92,11 @@ def compact(index_root: str, new_epoch: str,
     """Merge CURRENT epoch + its delta log into ``new_epoch``."""
     import ray.data
 
-    cfg = cfg or EngineConfig()
     manifest = mf.load_manifest(index_root)
+    # routing/scoring parameters come from the manifest unless the
+    # caller's explicit cfg agrees with it (resolve_index_config raises
+    # on disagreement — wrong part routing silently drops postings)
+    cfg = resolve_index_config(manifest, cfg)
     old_epoch = manifest["epoch"]
     n_live, avgdl_live = mf.live_stats(manifest)
     tomb = _tombstones(index_root, manifest)
@@ -103,38 +128,16 @@ def compact(index_root: str, new_epoch: str,
     docs_ds.write_parquet(new_docs)
 
     # --- segments: per-partition local merge (no shuffle) -------------
-    delta_seg_files = []
-    for d in manifest.get("deltas", []):
-        delta_seg_files.extend(d.get("segments", []))
-    base_files = [s["path"] for s in manifest["segments"]]
-    parts = sorted({int(os.path.basename(f).split("-")[1].split(".")[0])
-                    for f in base_files})
-    by_part = {p: [] for p in parts}
-    for f in base_files:
-        by_part[int(os.path.basename(f).split("-")[1].split(".")[0])].append(f)
-
+    part_items = partition_plan(manifest)
     encode = make_encode_partition(new_segs, avgdl_live or 1.0, cfg)
-    delta_ref = _ray.put(delta_seg_files)
 
     def merge_part(batch: pa.Table) -> pa.Table:
         out = []
-        dfiles = _ray.get(delta_ref)
         tb = _ray.get(tomb_ref)
         for row in batch.to_pylist():
             part = row["part"]
-            tabs = [_decode_rows(pq.read_table(f)) for f in row["files"]]
-            for f in dfiles:
-                t = pq.read_table(f)
-                dec = _decode_rows(t)
-                if dec.num_rows:
-                    # keep only rows routed to this part
-                    pcol = np.fromiter(
-                        (_part_of(tm, sl, cfg) for tm, sl in
-                         zip(dec["term"].to_pylist(), dec["salt"].to_pylist())),
-                        dtype=np.int64, count=dec.num_rows)
-                    dec = dec.filter(pa.array(pcol == part))
-                if dec.num_rows:
-                    tabs.append(dec)
+            tabs = [_decode_rows(pq.read_table(f))
+                    for f in row["files"] + row["delta_files"]]
             tabs = [t for t in tabs if t.num_rows]
             if not tabs:
                 continue
@@ -151,7 +154,6 @@ def compact(index_root: str, new_epoch: str,
             return pa.Table.from_pylist([], schema=LINEAGE_SCHEMA)
         return pa.concat_tables(out)
 
-    part_items = [{"part": p, "files": by_part[p]} for p in parts]
     lin_rows = (ray.data.from_items(part_items)
                 .map_batches(merge_part, batch_format="pyarrow", batch_size=1)
                 .take_all())

@@ -154,15 +154,9 @@ def _segment_files(index_root: str, manifest: dict) -> tuple[list[str], list[str
 
 
 def _tombstones(index_root: str, manifest: dict) -> np.ndarray:
-    tombs = []
-    for d in manifest.get("deltas", []):
-        p = d.get("tombstones")
-        if p and os.path.exists(p):
-            tombs.append(pq.read_table(p, columns=["doc_id"])["doc_id"]
-                         .to_numpy(zero_copy_only=False))
-    if not tombs:
-        return np.empty(0, dtype=np.int64)
-    return np.unique(np.concatenate(tombs))
+    """Effective dead-doc set: tombstones minus later resurrections
+    (delete → re-insert of the same version), replayed in delta order."""
+    return mf.effective_tombstones(manifest)
 
 
 class Searcher:

@@ -68,8 +68,9 @@ def maybe_compact(index_root: str, cfg: EngineConfig | None = None,
     manifest = mf.load_manifest(index_root)
     if not should_compact(manifest, policy):
         return None
+    # cfg=None → compact reconstructs the config from the manifest
     return compact(index_root, _next_epoch_name(manifest),
-                   cfg or EngineConfig(), gc_old=policy.gc_old)
+                   cfg, gc_old=policy.gc_old)
 
 
 class MergeScheduler:
@@ -84,7 +85,7 @@ class MergeScheduler:
     def __init__(self, index_root: str, cfg: EngineConfig | None = None,
                  policy: MergePolicy | None = None):
         self.index_root = index_root
-        self.cfg = cfg or EngineConfig()
+        self.cfg = cfg  # None → per-merge reconstruction from manifest
         self.policy = policy or MergePolicy()
         self.merges_run = 0
 

@@ -1,0 +1,239 @@
+"""Regression tests for lifecycle edge cases:
+
+- compaction of deltas that route to partitions with no base segment
+  (previously silently dropped)
+- per-part delta-file pruning at compaction (read only part-NNNNN)
+- EngineConfig reconstruction from / validation against the manifest
+- crashed-apply debris cleared before a retry reuses the delta dir
+- latest-commit-wins with variable-length prefix commits
+- delete → re-insert of the same version (resurrection records)
+"""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mee_ray import manifest as mf
+from mee_ray.build import build_index, winner_doc_ids
+from mee_ray.config import (EngineConfig, config_from_manifest,
+                            resolve_index_config)
+from mee_ray.delta import apply_delta
+from mee_ray.ids import doc_id_of
+from mee_ray.merge import compact
+from mee_ray.oracle import OracleIndex
+from mee_ray.query import Searcher
+
+EV_COLS = ("seq", "type", "repo", "path", "commit", "lang", "content")
+
+
+def _events(rows):
+    return pa.table({c: pa.array([r.get(c) for r in rows]) for c in EV_COLS})
+
+
+def _corpus_table(docs):
+    """docs: list of (repo, path, commit, content)."""
+    return pa.table({
+        "repo": pa.array([d[0] for d in docs]),
+        "path": pa.array([d[1] for d in docs]),
+        "commit": pa.array([d[2] for d in docs]),
+        "lang": pa.array(["python"] * len(docs)),
+        "content": pa.array([d[3] for d in docs]),
+    })
+
+
+def _build_small(tmp_path, docs, cfg=None, name="idx"):
+    import ray.data
+    cdir = str(tmp_path / f"{name}_corpus")
+    os.makedirs(cdir, exist_ok=True)
+    pq.write_table(_corpus_table(docs), os.path.join(cdir, "part-0.parquet"))
+    root = str(tmp_path / name)
+    build_index(ray.data.read_parquet(cdir), root, "ep1",
+                cfg or EngineConfig())
+    return root
+
+
+def test_compact_keeps_delta_only_partitions(ray_session, tmp_path):
+    """ADVICE high: a delta whose terms route to partitions with no base
+    segment file must still be compacted into new segment files."""
+    # one-term base corpus → almost all of the 32 parts have no base file
+    root = _build_small(tmp_path, [("o/r", "a.py", "c" * 40, "alpha")])
+    n_base_parts = len(mf.load_manifest(root)["segments"])
+    assert n_base_parts < 8  # precondition: sparse base partition set
+
+    ev = [{"seq": i + 1, "type": "INSERT", "repo": "o/r2",
+           "path": f"f{i}.py", "commit": "d" * 40, "lang": "python",
+           "content": f"def fn_{i}(): return unique_token_number_{i}\n"}
+          for i in range(20)]
+    apply_delta(_events(ev), root)
+
+    compact(root, "ep2", gc_old=False)
+    s = Searcher(root)
+    assert s.n_docs == 21
+    for i in range(20):
+        hits = s.search([f"unique_token_number_{i}"], 5)
+        assert hits, f"postings for delta-only doc {i} lost at compaction"
+        assert hits[0][0] == doc_id_of("o/r2", f"f{i}.py", "d" * 40)
+    assert s.search(["alpha"], 5)[0][0] == doc_id_of("o/r", "a.py", "c" * 40)
+
+
+def test_compact_partition_plan_prunes_delta_files(ray_session, tmp_path):
+    """The merge work list assigns each delta segment file to exactly
+    ONE partition (its part number is in the file name), so a merge
+    task never reads another partition's delta files."""
+    from mee_ray.merge import _part_of_file, partition_plan
+
+    root = _build_small(
+        tmp_path,
+        [("o/r", f"b{i}.py", "c" * 40,
+          f"def base_{i}(): return base_token_{i} shared_tok\n")
+         for i in range(30)])
+    ev = [{"seq": i + 1, "type": "INSERT", "repo": "o/d",
+           "path": f"d{i}.py", "commit": "e" * 40, "lang": "python",
+           "content": f"def delta_{i}(): return delta_token_{i}\n"}
+          for i in range(10)]
+    apply_delta(_events(ev), root)
+
+    m = mf.load_manifest(root)
+    plan = partition_plan(m)
+    all_delta_files = [f for d in m["deltas"] for f in d["segments"]]
+    planned = [f for item in plan for f in item["delta_files"]]
+    assert sorted(planned) == sorted(all_delta_files)  # each exactly once
+    for item in plan:
+        for f in item["files"] + item["delta_files"]:
+            assert _part_of_file(f) == item["part"]
+
+    # and the compaction built from that plan is still value-correct
+    compact(root, "ep2", gc_old=False)
+    s = Searcher(root)
+    assert s.n_docs == 40
+    assert s.search(["delta_token_7"], 3)[0][0] == doc_id_of(
+        "o/d", "d7.py", "e" * 40)
+    assert s.search(["base_token_12"], 3)[0][0] == doc_id_of(
+        "o/r", "b12.py", "c" * 40)
+
+
+def test_lifecycle_config_from_manifest(ray_session, tmp_path):
+    """delta/compact with cfg=None must reuse the build's recorded
+    routing config; an explicit mismatching cfg must fail loudly."""
+    cfg = EngineConfig(num_shards=2, parts_per_shard=2, salt_factor=4)
+    root = _build_small(
+        tmp_path,
+        [("o/r", f"x{i}.py", "c" * 40, f"def f_{i}(): return tok_{i}\n")
+         for i in range(10)],
+        cfg=cfg)
+    m = mf.load_manifest(root)
+    rc = config_from_manifest(m)
+    assert (rc.num_shards, rc.parts_per_shard, rc.salt_factor) == (2, 2, 4)
+
+    # mismatching explicit config → loud failure, not silent wrong routing
+    with pytest.raises(ValueError, match="disagrees with the index manifest"):
+        apply_delta(_events([{"seq": 1, "type": "INSERT", "repo": "o/r",
+                              "path": "new.py", "commit": "d" * 40,
+                              "lang": "python", "content": "def g(): pass"}]),
+                    root, cfg=EngineConfig())
+    with pytest.raises(ValueError):
+        compact(root, "epX", cfg=EngineConfig())
+    with pytest.raises(ValueError):
+        resolve_index_config(m, EngineConfig())
+
+    # cfg=None → reconstructed; postings route to partitions compaction reads
+    apply_delta(_events([{"seq": 1, "type": "INSERT", "repo": "o/r",
+                          "path": "new.py", "commit": "d" * 40,
+                          "lang": "python",
+                          "content": "def g(): return fresh_delta_tok\n"}]),
+                root)
+    assert Searcher(root).search(["fresh_delta_tok"], 5)
+    compact(root, "ep2", gc_old=False)
+    assert Searcher(root).search(["fresh_delta_tok"], 5)
+
+
+def test_crashed_apply_debris_cleared(ray_session, tmp_path):
+    """A delta dir left by a crashed apply (segments written, manifest
+    append never reached) must not poison the retry via the encoder's
+    lineage-sidecar resume short-circuit."""
+    root = _build_small(tmp_path, [("o/r", "a.py", "c" * 40, "alpha beta")])
+    edir = mf.epoch_dir(root, "ep1")
+    ddir = os.path.join(edir, "deltas", "delta-000001")
+    segs = os.path.join(ddir, "segments")
+    os.makedirs(segs)
+    stale = os.path.join(segs, "part-00000.parquet")
+    base_seg = mf.load_manifest(root)["segments"][0]["path"]
+    shutil.copy(base_seg, stale)
+    with open(stale + ".lineage.json", "w") as f:
+        json.dump({"part": 0, "n_terms": 999, "n_postings": 999, "bytes": 1,
+                   "path": stale, "sha256": "stale", "resumed": False}, f)
+
+    rec = apply_delta(_events([{"seq": 1, "type": "INSERT", "repo": "o/r2",
+                                "path": "b.py", "commit": "d" * 40,
+                                "lang": "python",
+                                "content": "def h(): return retry_token\n"}]),
+                      root)
+    # debris is gone; the record references only freshly-encoded segments
+    assert not os.path.exists(stale + ".lineage.json") or \
+        json.load(open(stale + ".lineage.json"))["sha256"] != "stale"
+    for p in rec["segments"]:
+        lin = json.load(open(p + ".lineage.json"))
+        assert lin["sha256"] != "stale"
+    assert Searcher(root).search(["retry_token"], 5)
+
+
+def test_winner_prefix_commits(ray_session, tmp_path):
+    """Latest-commit-wins must match plain commit comparison even when
+    one commit is a prefix of another (composite-separator ordering)."""
+    import ray.data
+    docs = [("o/r", "a.py", "abc", "old content"),
+            ("o/r", "a.py", "abc1", "new content")]
+    cdir = str(tmp_path / "wcorpus")
+    os.makedirs(cdir)
+    pq.write_table(_corpus_table(docs), os.path.join(cdir, "p.parquet"))
+    wids = winner_doc_ids(ray.data.read_parquet(cdir), EngineConfig())
+    assert list(wids) == [doc_id_of("o/r", "a.py", "abc1")]
+
+
+def test_delete_then_reinsert_same_version(ray_session, tmp_path):
+    """DELETE followed by re-INSERT of the exact same (repo, path,
+    commit) must resurrect the doc (same doc_id ⇒ same postings), both
+    pre- and post-compaction, with exact stats."""
+    docs = [("o/r", f"m{i}.py", "c" * 40,
+             f"def keep_{i}(): return keep_token_{i} shared_resurrect\n")
+            for i in range(6)]
+    root = _build_small(tmp_path, docs)
+    target = ("o/r", "m3.py")
+    target_id = doc_id_of("o/r", "m3.py", "c" * 40)
+
+    apply_delta(_events([{"seq": 1, "type": "DELETE", "repo": target[0],
+                          "path": target[1]}]), root)
+    s = Searcher(root)
+    assert s.n_docs == 5
+    assert not s.search(["keep_token_3"], 5)
+
+    rec = apply_delta(_events([{"seq": 2, "type": "INSERT",
+                                "repo": target[0], "path": target[1],
+                                "commit": "c" * 40, "lang": "python",
+                                "content": docs[3][3]}]), root)
+    assert rec["resurrected"] == [target_id]
+    assert rec["n_added"] == 1 and rec["segments"] == []
+
+    def check():
+        oi = OracleIndex([(doc_id_of(r, p, c), content)
+                          for r, p, c, content in docs])
+        s = Searcher(root)
+        assert (s.n_docs, s.avgdl) == (oi.n_docs, oi.avgdl)
+        for q in (["keep_token_3"], ["shared_resurrect"],
+                  ["keep_token_0", "shared_resurrect"]):
+            assert s.search(q, 10) == oi.search(q, 10)
+
+    check()
+    compact(root, "ep2", gc_old=False)
+    check()
+
+    # resurrection then delete again → dead again (ordering replay)
+    apply_delta(_events([{"seq": 3, "type": "DELETE", "repo": target[0],
+                          "path": target[1]}]), root)
+    s = Searcher(root)
+    assert s.n_docs == 5 and not s.search(["keep_token_3"], 5)
