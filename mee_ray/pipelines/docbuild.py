@@ -338,7 +338,7 @@ SELECT c_custkey AS cust_id,
        count(o_orderkey)  AS n_orders,
        min(o_orderkey)    AS first_orderkey,
        max(o_orderkey)    AS last_orderkey,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
 FROM customer
 LEFT JOIN ranked ON o_custkey = c_custkey AND rn <= 50
 GROUP BY c_custkey

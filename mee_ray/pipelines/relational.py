@@ -251,8 +251,8 @@ def agg_pushdown_counts(sf_dir: str):
 
 AGG_PUSHDOWN_SQL = """
 SELECT o_custkey, count(*) AS n_orders,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished
 FROM orders GROUP BY o_custkey
 """
 
@@ -530,8 +530,8 @@ WITH ordered AS (
   FROM events
 ), numbered AS (
   SELECT user_id, ts,
-         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_id
+         CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM ordered
 )
 SELECT user_id, session_id,
@@ -600,7 +600,7 @@ def tumbling_window_events(sf_dir: str):
 TUMBLING_SQL = """
 SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY user_id, hour_bucket
 """
 
