@@ -127,16 +127,42 @@ def _filter_mask(t: pa.Table, flt: dict) -> pa.Array:
 # ------------------------------------------------------------ builder
 
 
-def _lookup_maps(sf_dir: str, spec: DocSpec) -> dict:
+def _overlay_rows(base: pa.Table, key: str, upserts: pa.Table | None,
+                  delete_keys) -> pa.Table:
+    """Last-writer-wins overlay of changed rows onto a base table:
+    rows whose ``key`` is upserted or deleted are dropped, then the
+    upsert row images are appended — the parquet analog of reading the
+    CURRENT slave-table state the reference gets from MySQL."""
+    drop = set(delete_keys or ())
+    if upserts is not None:
+        drop |= set(upserts[key].to_pylist())
+    if drop:
+        base = base.filter(pc.invert(pc.is_in(
+            base[key], value_set=pa.array(sorted(drop), base[key].type))))
+    if upserts is not None and upserts.num_rows:
+        ups = upserts.select(base.column_names).cast(
+            pa.schema([base.schema.field(c) for c in base.column_names]))
+        base = pa.concat_tables([base, ups])
+    return base
+
+
+def _lookup_maps(sf_dir: str, spec: DocSpec, overlays: dict | None = None
+                 ) -> dict:
     """Small-side tables → {join_index: (keys sorted np, cols dict)}.
     Built once on the driver and `ray.put` once — every task reads the
-    broadcast, nothing is re-shipped per batch."""
+    broadcast, nothing is re-shipped per batch.  ``overlays`` maps a
+    table name to a :class:`SlaveChange` applied on top of the base
+    parquet (the incremental-rebuild path)."""
     import pyarrow.parquet as pq
 
     out = {}
     for i, j in enumerate(spec.joins):
         cols = sorted(set(j.fields.values()) | {j.key})
         t = pq.read_table(f"{sf_dir}/{j.table}.parquet", columns=cols)
+        ch = (overlays or {}).get(j.table)
+        if ch is not None:
+            ups = ch.upserts.select(cols) if ch.upserts is not None else None
+            t = _overlay_rows(t, j.key, ups, ch.delete_keys)
         order = pc.sort_indices(t[j.key])
         keys = t[j.key].take(order).to_numpy(zero_copy_only=False)
         data = {c: t[c].take(order) for c in cols if c != j.key}
@@ -144,20 +170,60 @@ def _lookup_maps(sf_dir: str, spec: DocSpec) -> dict:
     return out
 
 
-def _nested_maps(sf_dir: str, spec: DocSpec) -> dict:
+def _nested_maps(sf_dir: str, spec: DocSpec, overlays: dict | None = None,
+                 parent_filter: dict | None = None) -> dict:
     """Child tables rolled up per parent key → {nested_index:
     {parent: list_of_subdoc_dicts}} via a Ray groupby.map_groups —
     the J2 shuffle — then collected for broadcast (children per parent
     are capped, so the rollup is bounded; at larger-than-driver child
-    tables this broadcast becomes a hash join on the master key)."""
+    tables this broadcast becomes a hash join on the master key).
+
+    Incremental mode: ``parent_filter[table]`` restricts the read (and
+    the shuffle) to affected parents' children only, and
+    ``overlays[table]`` upserts/deletes child rows by the change's
+    ``child_key`` identity before the rollup."""
     import ray.data
 
     out = {}
     for i, n in enumerate(spec.nested):
+        ch = (overlays or {}).get(n.table)
+        pf = (parent_filter or {}).get(n.table)
         cols = sorted(set(n.fields) | {n.parent_key}
-                      | ({n.order_by} if n.order_by else set()))
+                      | ({n.order_by} if n.order_by else set())
+                      | ({ch.child_key} if ch is not None else set()))
+        import pyarrow.dataset as pads
+        read_kw = {}
+        if pf is not None:
+            # row-filter pushdown: only affected parents' children leave
+            # storage; the J2 shuffle shrinks to the changed working set
+            read_kw["filter"] = pads.field(n.parent_key).isin(sorted(pf))
         ds = ray.data.read_parquet(f"{sf_dir}/{n.table}.parquet",
-                                   columns=cols)
+                                   columns=cols, **read_kw)
+        if ch is not None:
+            drop = set(ch.delete_keys or ())
+            if ch.upserts is not None:
+                drop |= set(ch.upserts[ch.child_key].to_pylist())
+            if drop:
+                drop_arr = sorted(drop)
+
+                def drop_changed(b: pa.Table, ck=ch.child_key,
+                                 da=drop_arr) -> pa.Table:
+                    return b.filter(pc.invert(pc.is_in(
+                        b[ck], value_set=pa.array(da, b[ck].type))))
+
+                ds = ds.map_batches(drop_changed, batch_format="pyarrow")
+            if ch.upserts is not None and ch.upserts.num_rows:
+                fschema = pads.dataset(f"{sf_dir}/{n.table}.parquet",
+                                       format="parquet").schema
+                ups = ch.upserts.select(cols).cast(
+                    pa.schema([fschema.field(c) for c in cols]))
+                if pf is not None:
+                    ups = ups.filter(pc.is_in(
+                        ups[n.parent_key],
+                        value_set=pa.array(sorted(pf),
+                                           ups[n.parent_key].type)))
+                if ups.num_rows:
+                    ds = ds.union(ray.data.from_arrow(ups))
 
         def rollup(g: pa.Table, n=n) -> pa.Table:
             if n.order_by:
@@ -183,8 +249,18 @@ def _nested_maps(sf_dir: str, spec: DocSpec) -> dict:
     return out
 
 
-def build_documents(sf_dir: str, spec: DocSpec):
-    """Compile the spec into a Ray Dataset of documents."""
+def build_documents(sf_dir: str, spec: DocSpec,
+                    _overlays: dict | None = None,
+                    _master_keep: dict | None = None,
+                    _nested_parent_filter: dict | None = None):
+    """Compile the spec into a Ray Dataset of documents.
+
+    The underscore parameters are the incremental-rebuild hooks used by
+    :func:`apply_join_delta`: ``_master_keep`` restricts the master
+    read to affected rows (column → value set, OR-combined),
+    ``_overlays`` applies changed slave rows on top of the base
+    parquet, ``_nested_parent_filter`` bounds the nested rollup to
+    affected parents."""
     import ray
     import ray.data
 
@@ -199,8 +275,10 @@ def build_documents(sf_dir: str, spec: DocSpec):
         exprs[out_f] = (("col", src) if src.isidentifier()
                         else ("expr", compile_expr(src)))
 
-    lookups_ref = ray.put(_lookup_maps(sf_dir, spec))
-    nested_ref = ray.put(_nested_maps(sf_dir, spec)) if spec.nested else None
+    lookups_ref = ray.put(_lookup_maps(sf_dir, spec, _overlays))
+    nested_ref = (ray.put(_nested_maps(sf_dir, spec, _overlays,
+                                       _nested_parent_filter))
+                  if spec.nested else None)
 
     master_cols = sorted(
         {spec.key}
@@ -245,10 +323,141 @@ def build_documents(sf_dir: str, spec: DocSpec):
                     [m.get(p, []) for p in probes[n.master_key]])
         return pa.table(cols)
 
+    read_kw = {}
+    if _master_keep is not None:
+        # reverse-query pushdown: only masters referencing a changed
+        # slave key leave storage (OR across the affected key columns)
+        import functools
+
+        import pyarrow.dataset as pads
+        exprs_keep = [pads.field(c).isin(sorted(v))
+                      for c, v in _master_keep.items()]
+        read_kw["filter"] = functools.reduce(lambda a, b: a | b, exprs_keep)
     ds = ray.data.read_parquet(f"{sf_dir}/{spec.master}.parquet",
-                               columns=master_cols)
+                               columns=master_cols, **read_kw)
     return ds.map_batches(build, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# ------------------------------------------- incremental slave deltas
+
+
+@dataclass(frozen=True)
+class SlaveChange:
+    """One batch of changes to a joined (slave) table.
+
+    ``upserts`` holds NEW row images (INSERT and the after-image of
+    UPDATE); ``delete_keys`` holds deleted key values.  For a
+    :class:`JoinSpec` table the key is the join key (``JoinSpec.key``);
+    for a :class:`NestedSpec` table rows are identified by
+    ``child_key`` (a unique child id column, e.g. ``o_orderkey``) —
+    required so an upsert can replace the child's previous version even
+    when the child MOVED to a different parent."""
+    table: str
+    upserts: pa.Table | None = None
+    delete_keys: tuple = ()
+    child_key: str | None = None
+
+
+def affected_master_keys(sf_dir: str, spec: DocSpec,
+                         changes: "list[SlaveChange]") -> tuple[dict, dict]:
+    """The reverse query (reference commonhandler.py:133-203): which
+    master rows' documents are invalidated by these slave changes?
+
+    Returns ``(master_keep, nested_parents)``:
+
+    - master_keep: master column → set of key values; a master row is
+      affected iff any column hits its set (OR — pushed down into the
+      master read as a row filter)
+    - nested_parents: child table → set of parent keys whose rollups
+      must be recomputed (bounds the incremental J2 shuffle)
+
+    For nested children the OLD parent of a moved/deleted child is
+    found by scanning the base child table for the changed child ids —
+    a pruned two-column read, not a shuffle."""
+    import pyarrow.parquet as pq
+
+    master_keep: dict[str, set] = {}
+    nested_parents: dict[str, set] = {}
+    for ch in changes:
+        for j in spec.joins:
+            if j.table != ch.table:
+                continue
+            keys = set(ch.delete_keys or ())
+            if ch.upserts is not None:
+                keys |= set(ch.upserts[j.key].to_pylist())
+            master_keep.setdefault(j.master_key, set()).update(keys)
+        for n in spec.nested:
+            if n.table != ch.table:
+                continue
+            if ch.child_key is None:
+                raise IllegalDocSpec(
+                    f"changes to nested table {ch.table!r} require "
+                    f"child_key (a unique child id column)")
+            parents = set()
+            ids = set(ch.delete_keys or ())
+            if ch.upserts is not None:
+                parents |= set(ch.upserts[n.parent_key].to_pylist())
+                ids |= set(ch.upserts[ch.child_key].to_pylist())
+            if ids:
+                t = pq.read_table(f"{sf_dir}/{n.table}.parquet",
+                                  columns=[ch.child_key, n.parent_key],
+                                  filters=[(ch.child_key, "in",
+                                            sorted(ids))])
+                parents |= set(t[n.parent_key].to_pylist())
+            master_keep.setdefault(n.master_key, set()).update(parents)
+            nested_parents.setdefault(n.table, set()).update(parents)
+    return master_keep, nested_parents
+
+
+def apply_join_delta(sf_dir: str, spec: DocSpec,
+                     changes: "SlaveChange | list[SlaveChange]"):
+    """Incremental slave-table propagation (reference J3 write side:
+    reverse-query derivation commonhandler.py:133-203 + the slave
+    branches of the event processors :646-858): given changed rows of
+    joined tables, derive the affected master keys and re-emit exactly
+    those documents, built against the base tables WITH the changes
+    overlaid (the parquet analog of re-reading current MySQL state).
+
+    Returns a Ray Dataset of the re-emitted documents — feed it to the
+    index's tombstone + re-add path (documents are atomic, so a slave
+    change re-emits the whole document, the same delete+reinsert
+    generalization the anchor-field semantics use)."""
+    if isinstance(changes, SlaveChange):
+        changes = [changes]
+    spec.validate()
+    known = ({j.table for j in spec.joins}
+             | {n.table for n in spec.nested})
+    for ch in changes:
+        if ch.table not in known:
+            raise IllegalDocSpec(
+                f"{ch.table!r} is not a joined table of this spec "
+                f"(joined: {sorted(known)})")
+    master_keep, nested_parents = affected_master_keys(sf_dir, spec, changes)
+    if not master_keep:
+        master_keep = {spec.key: set()}   # no hits → empty doc set
+    if spec.nested:
+        # every re-emitted document needs its nested rollup, including
+        # masters affected only via a lookup-table change — resolve the
+        # COMPLETE affected-parent set with one pruned master read
+        # (bounded by the change's blast radius, driver-collectable)
+        import pyarrow.parquet as pq
+        dnf = [[(c, "in", sorted(v))] for c, v in master_keep.items() if v]
+        for n in spec.nested:
+            nested_parents.setdefault(n.table, set())
+        if dnf:
+            mt = pq.read_table(
+                f"{sf_dir}/{spec.master}.parquet",
+                columns=sorted({n.master_key for n in spec.nested}),
+                filters=dnf)
+            for n in spec.nested:
+                nested_parents[n.table].update(
+                    mt[n.master_key].to_pylist())
+    overlays = {ch.table: ch for ch in changes}
+    return build_documents(sf_dir, spec,
+                           _overlays=overlays,
+                           _master_keep=master_keep,
+                           _nested_parent_filter=nested_parents)
 
 
 def _expr_columns(expr: str) -> list[str]:
@@ -345,12 +554,68 @@ GROUP BY c_custkey
 """
 
 
+def _customer_flat_spec() -> DocSpec:
+    return DocSpec(
+        master="customer", key="c_custkey",
+        mappings={
+            "cust_id": "c_custkey",
+            "cust_name": "c_name",
+            "balance_capped": "min(c_acctbal, echo(5000.0))",
+        },
+        filter={"c_mktsegment": ["BUILDING", "AUTOMOBILE"],
+                "c_acctbal": {">": 0.0}},
+        joins=(JoinSpec("nation", "n_nationkey", "c_nationkey",
+                        {"nation_name": "n_name"}),),
+    )
+
+
+def docbuild_slave_delta(sf_dir: str):
+    """J3 write side: a deterministic change batch on the joined
+    `nation` table (rename every 5th nation, delete nation 3) →
+    re-emit exactly the affected customer documents with the changed
+    lookup values applied (deleted nation ⇒ null, the reference's
+    null_value default)."""
+    import pyarrow.parquet as pq
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    keys = nat["n_nationkey"].to_numpy(zero_copy_only=False)
+    up = nat.filter(pa.array((keys % 5 == 0) & (keys != 3)))
+    upserts = pa.table({
+        "n_nationkey": up["n_nationkey"],
+        "n_name": pa.array([s + "_X" for s in up["n_name"].to_pylist()]),
+    })
+    change = SlaveChange("nation", upserts=upserts, delete_keys=(3,))
+    return apply_join_delta(sf_dir, _customer_flat_spec(), change)
+
+
+DOCBUILD_SLAVE_DELTA_SQL = """
+WITH changed AS (
+  SELECT n_nationkey FROM nation WHERE n_nationkey % 5 = 0 OR n_nationkey = 3
+), nation2 AS (
+  SELECT n_nationkey,
+         CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_X' ELSE n_name END
+           AS n_name
+  FROM nation WHERE n_nationkey <> 3
+)
+SELECT c_custkey AS cust_id,
+       c_name    AS cust_name,
+       least(c_acctbal, 5000.0) AS balance_capped,
+       n2.n_name AS nation_name
+FROM customer LEFT JOIN nation2 n2 ON c_nationkey = n2.n_nationkey
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_acctbal > 0.0
+  AND c_nationkey IN (SELECT n_nationkey FROM changed)
+"""
+
+
 QUERIES = {
     "docbuild_customer_flat": docbuild_customer_flat,
     "docbuild_nested_summary": docbuild_nested_summary,
+    "docbuild_slave_delta": docbuild_slave_delta,
 }
 
 ORACLE = {
     "docbuild_customer_flat": DOCBUILD_FLAT_SQL,
     "docbuild_nested_summary": DOCBUILD_NESTED_SQL,
+    "docbuild_slave_delta": DOCBUILD_SLAVE_DELTA_SQL,
 }

@@ -104,3 +104,136 @@ def test_nested_cap_and_order(ray_session, tmp_path):
     assert len(rows) == 1
     kids = rows[0]["kids"]
     assert [k["ord"] for k in kids] == [1, 2, 3]  # ordered + capped at 3
+
+
+# ---- incremental slave-table propagation (J3 write side) ------------
+
+def _slave_spec():
+    from mee_ray.pipelines.docbuild import DocSpec, JoinSpec, NestedSpec
+    return DocSpec(
+        master="customer", key="c_custkey",
+        mappings={"cust_id": "c_custkey", "cust_name": "c_name"},
+        joins=(JoinSpec("nation", "n_nationkey", "c_nationkey",
+                        {"nation_name": "n_name"}),),
+        nested=(NestedSpec("orders", "o_custkey", "c_custkey",
+                           fields=["o_orderkey", "o_totalprice"],
+                           out="orders", order_by="o_orderkey", limit=50),))
+
+
+def _overlaid(base, key_col, upserts, deletes):
+    import pyarrow.compute as pc
+    drop = set(deletes) | (set(upserts[key_col].to_pylist()) if upserts else set())
+    if drop:
+        base = base.filter(pc.invert(pc.is_in(
+            base[key_col], value_set=pa.array(sorted(drop), base[key_col].type))))
+    if upserts is not None:
+        base = pa.concat_tables([base, upserts.select(base.column_names)])
+    return base
+
+
+def _canon_docs(df):
+    import json
+    df = df.copy()
+    df["orders"] = df["orders"].map(lambda subs: json.dumps(
+        [dict(s) for s in subs], sort_keys=True))
+    return df.sort_values("cust_id").reset_index(drop=True)[sorted(df.columns)]
+
+
+def test_apply_join_delta_matches_full_rebuild(ray_session, tmp_path):
+    """Incremental re-emit == full rebuild over the materialized
+    modified tables, restricted to the affected master set — including
+    a child MOVED between parents (old AND new parent re-emitted)."""
+    import random
+    import shutil
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.docbuild import SlaveChange, apply_join_delta
+
+    spec = _slave_spec()
+    orders = pq.read_table(f"{SF}/orders.parquet",
+                           columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    custs = pq.read_table(f"{SF}/customer.parquet",
+                          columns=["c_custkey"])["c_custkey"].to_pylist()
+    rng = random.Random(42)
+    rows = {orders["o_orderkey"][i].as_py():
+            (orders["o_custkey"][i].as_py(), orders["o_totalprice"][i].as_py())
+            for i in rng.sample(range(orders.num_rows), 8)}
+    oids = sorted(rows)
+    changed_price = oids[:3]          # price change, same parent
+    moved = oids[3:5]                 # moved to a different customer
+    deleted = tuple(oids[5:])         # deleted children
+    up_rows = []
+    moved_pairs = []
+    for oid in changed_price:
+        ck, price = rows[oid]
+        up_rows.append((oid, ck, round(price * 2, 2)))
+    for oid in moved:
+        ck, price = rows[oid]
+        new_ck = custs[(custs.index(ck) + 7) % len(custs)]
+        moved_pairs.append((ck, new_ck))
+        up_rows.append((oid, new_ck, price))
+    ups_orders = pa.table({
+        "o_orderkey": pa.array([r[0] for r in up_rows],
+                               orders["o_orderkey"].type),
+        "o_custkey": pa.array([r[1] for r in up_rows],
+                              orders["o_custkey"].type),
+        "o_totalprice": pa.array([r[2] for r in up_rows],
+                                 orders["o_totalprice"].type),
+    })
+    nat = pq.read_table(f"{SF}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    ups_nation = pa.table({
+        "n_nationkey": pa.array([1], nat["n_nationkey"].type),
+        "n_name": pa.array(["RENAMED_NATION"]),
+    })
+    changes = [SlaveChange("orders", upserts=ups_orders,
+                           delete_keys=deleted, child_key="o_orderkey"),
+               SlaveChange("nation", upserts=ups_nation, delete_keys=(7,))]
+
+    inc = apply_join_delta(SF, spec, changes).to_pandas()
+
+    # expected: full rebuild over materialized modified tables
+    mod = str(tmp_path / "mod")
+    import os
+    os.makedirs(mod)
+    shutil.copy(f"{SF}/customer.parquet", f"{mod}/customer.parquet")
+    pq.write_table(_overlaid(orders, "o_orderkey", ups_orders, deleted),
+                   f"{mod}/orders.parquet")
+    pq.write_table(_overlaid(nat, "n_nationkey", ups_nation, (7,)),
+                   f"{mod}/nation.parquet")
+    full = build_documents(mod, spec).to_pandas()
+
+    # affected set: every old+new parent of changed/moved/deleted
+    # children plus customers of changed nations
+    aff_parents = {rows[oid][0] for oid in oids} | {p[1] for p in moved_pairs}
+    cust_t = pq.read_table(f"{SF}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    aff_nation_custs = {c for c, nk in zip(cust_t["c_custkey"].to_pylist(),
+                                           cust_t["c_nationkey"].to_pylist())
+                        if nk in (1, 7)}
+    expected_keys = aff_parents | aff_nation_custs
+    assert set(inc["cust_id"]) == expected_keys
+    exp = full[full["cust_id"].isin(expected_keys)]
+    pd.testing.assert_frame_equal(_canon_docs(inc), _canon_docs(exp))
+
+
+def test_apply_join_delta_validation(ray_session):
+    from mee_ray.pipelines.docbuild import SlaveChange, apply_join_delta
+    spec = _slave_spec()
+    with pytest.raises(IllegalDocSpec, match="not a joined table"):
+        apply_join_delta(SF, spec, SlaveChange("lineitem"))
+    with pytest.raises(IllegalDocSpec, match="child_key"):
+        apply_join_delta(SF, spec, SlaveChange(
+            "orders", upserts=pa.table({"o_orderkey": pa.array([1])})))
+
+
+def test_apply_join_delta_empty_change(ray_session):
+    from mee_ray.pipelines.docbuild import SlaveChange, apply_join_delta
+    spec = _slave_spec()
+    out = apply_join_delta(
+        SF, spec, SlaveChange("nation", delete_keys=(999999,)))
+    # no master references the changed key -> re-emit set may be empty
+    # or (if some orphan customer references it) tiny; never the corpus
+    assert out.count() <= 5
