@@ -356,12 +356,22 @@ def _staged_write(ds, final_dir: str) -> None:
 
 def build_index(corpus, index_root: str, epoch: str,
                 cfg: EngineConfig | None = None,
-                dedup: bool = True, auto_publish: bool = True) -> dict:
+                dedup: bool = True, auto_publish: bool = True,
+                snapshot_watermark: int | None = None) -> dict:
     """Run the full build for one epoch. Resumable: finished stages are
     recorded in ``_state.json`` and skipped on re-run (their output
     dirs are written atomically, so a lost state file degrades to a
     dir-existence check); within the segment stage, finished partitions
-    short-circuit via lineage sidecars. Returns the manifest."""
+    short-circuit via lineage sidecars. Returns the manifest.
+
+    ``snapshot_watermark``: when rebuilding over an index root that
+    already has a published epoch receiving deltas, the max event seq
+    the snapshot corpus incorporates.  Delta records of the predecessor
+    epoch beyond the watermark are replayed onto the new epoch before
+    publish (mee_ray.manifest.publish_with_catchup) — the reference's
+    pin-consumer-group-then-replay handoff (updateservice.py:190-250).
+    A predecessor record straddling the watermark (some events ≤, some
+    >) cannot be replayed exactly and raises."""
     import ray.data
 
     import ray
@@ -480,6 +490,34 @@ def build_index(corpus, index_root: str, epoch: str,
                       seconds=round(_time.perf_counter() - _t0, 3))
     lin_rows = mf.load_state(index_root, epoch)["segments"]["lineage"]
 
+    catch_up = None
+    if snapshot_watermark is not None:
+        prev = mf.current_epoch(index_root)
+        if prev and prev != epoch:
+            old_m = mf.load_manifest(index_root, prev)
+            consumed, past_wm = 0, False
+            for rec in old_m.get("deltas", []):
+                lo = rec.get("min_event_seq", rec.get("max_event_seq", 0))
+                hi = rec.get("max_event_seq", 0)
+                if hi <= snapshot_watermark:
+                    if past_wm:
+                        raise RuntimeError(
+                            f"delta records of epoch {prev} are not "
+                            f"ordered around watermark "
+                            f"{snapshot_watermark}; cannot split the "
+                            f"log into covered/replay halves")
+                    consumed += 1
+                elif lo <= snapshot_watermark:
+                    raise RuntimeError(
+                        f"delta record {rec['seq']} of epoch {prev} "
+                        f"straddles snapshot watermark "
+                        f"{snapshot_watermark} (events {lo}..{hi}); "
+                        f"cannot replay exactly — choose a watermark on "
+                        f"a batch boundary")
+                else:
+                    past_wm = True
+            catch_up = {"epoch": prev, "consumed_deltas": consumed}
+
     manifest = {
         "epoch": epoch,
         "n_docs": n_docs,
@@ -495,9 +533,12 @@ def build_index(corpus, index_root: str, epoch: str,
         "bm25": {"k1": cfg.bm25.k1, "b": cfg.bm25.b},
         "segments": lin_rows,
         "deltas": [],
+        "event_watermark": snapshot_watermark or 0,
+        "catch_up_from": catch_up,
     }
     mf.write_manifest(index_root, epoch, manifest)
     mf.write_metrics(index_root, epoch, cfg)
     if auto_publish:
-        mf.publish(index_root, epoch)
+        mf.publish_with_catchup(index_root, epoch)
+        return mf.load_manifest(index_root, epoch)
     return manifest

@@ -101,10 +101,12 @@ def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
     final: dict[tuple[str, str], dict] = {}
     rows = {name: ev[name].to_pylist() for name in
             ("seq", "type", "repo", "path", "commit", "lang", "content")}
-    max_seq = 0
+    max_seq, min_seq = 0, 0
     for i in order:
         key = (rows["repo"][i], rows["path"][i])
-        max_seq = max(max_seq, int(rows["seq"][i]))
+        s = int(rows["seq"][i])
+        max_seq = max(max_seq, s)
+        min_seq = s if min_seq == 0 else min(min_seq, s)
         final[key] = {k: rows[k][i] for k in rows}
 
     live, dead = _live_key_index(index_root, manifest, set(final))
@@ -155,7 +157,7 @@ def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
     os.replace(tmp, tomb_path)
 
     record = {
-        "seq": seq_no, "max_event_seq": max_seq,
+        "seq": seq_no, "max_event_seq": max_seq, "min_event_seq": min_seq,
         "tombstones": tomb_path, "added_docs": None, "segments": [],
         "resurrected": [int(i) for i in res_ids],
         "n_added": len(res_ids), "n_deleted": len(tomb_ids),

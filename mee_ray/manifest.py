@@ -179,6 +179,85 @@ def write_metrics(index_root: str, epoch: str, cfg=None) -> dict:
     return m
 
 
+# --- snapshot watermark + catch-up replay at publish -----------------------
+#
+# The reference pins the new consumer group to the stream head before a
+# rebuild so events arriving during the rebuild replay onto the new
+# index before the alias swap (reference services/updateservice.py:
+# 190-250, including the wait-until-caught-up loop).  Here: a new epoch
+# records `catch_up_from` = (predecessor epoch, how many of its delta
+# records the new epoch's base already covers); publish_with_catchup
+# replays any records appended to the predecessor after that point by
+# relocating their delta dirs onto the new epoch, loops until no new
+# records appear, then flips CURRENT.  Replay is exact — the carried
+# records were computed against precisely the state the new epoch's
+# base folds in, so stats deltas and tombstones stay oracle-identical.
+
+
+def _relocated_delta_record(rec: dict, src_dir: str, dst_dir: str,
+                            seq_no: int) -> dict:
+    def reloc(p):
+        return (os.path.join(dst_dir, os.path.relpath(p, src_dir))
+                if p else p)
+    return dict(rec, seq=seq_no,
+                tombstones=reloc(rec.get("tombstones")),
+                added_docs=reloc(rec.get("added_docs")),
+                segments=[reloc(s) for s in rec.get("segments", [])])
+
+
+def carry_over_deltas(index_root: str, new_epoch: str,
+                      records: list, n_consumed_now: int) -> None:
+    """Copy delta records (their dirs + manifest entries) from the
+    predecessor epoch onto ``new_epoch`` and advance the catch-up
+    cursor.  ``records`` are the predecessor-manifest records to
+    replay; ``n_consumed_now`` is the cursor value after them."""
+    new_m = load_manifest(index_root, new_epoch)
+    new_edir = epoch_dir(index_root, new_epoch)
+    for rec in records:
+        seq_no = len(new_m.setdefault("deltas", [])) + 1
+        src_dir = os.path.dirname(rec["tombstones"])
+        dst_dir = os.path.join(new_edir, "deltas", f"delta-{seq_no:06d}")
+        if os.path.isdir(dst_dir):      # debris from a crashed carry-over
+            shutil.rmtree(dst_dir)
+        shutil.copytree(src_dir, dst_dir)
+        new_m["deltas"].append(
+            _relocated_delta_record(rec, src_dir, dst_dir, seq_no))
+        new_m["event_watermark"] = max(new_m.get("event_watermark", 0),
+                                       rec.get("max_event_seq", 0))
+    cu = new_m.get("catch_up_from") or {}
+    cu["consumed_deltas"] = n_consumed_now
+    new_m["catch_up_from"] = cu
+    epoch_name = new_m.pop("epoch")
+    write_manifest(index_root, epoch_name, new_m)
+
+
+def publish_with_catchup(index_root: str, epoch: str) -> int:
+    """Replay deltas that landed on the predecessor epoch after this
+    epoch's snapshot, then atomically publish.  Returns the number of
+    replayed records.  Closes the snapshot→publish window for every
+    delta whose manifest append completed before the CURRENT flip
+    (true concurrent writers must serialize through the merge
+    scheduler actor, mee_ray.scheduler)."""
+    replayed = 0
+    while True:
+        new_m = load_manifest(index_root, epoch)
+        cu = new_m.get("catch_up_from")
+        if not cu or not cu.get("epoch"):
+            break
+        try:
+            old_m = load_manifest(index_root, cu["epoch"])
+        except FileNotFoundError:
+            break
+        extra = old_m.get("deltas", [])[cu.get("consumed_deltas", 0):]
+        if not extra:
+            break
+        carry_over_deltas(index_root, epoch, extra,
+                          cu.get("consumed_deltas", 0) + len(extra))
+        replayed += len(extra)
+    publish(index_root, epoch)
+    return replayed
+
+
 def effective_tombstones(manifest: dict):
     """Replay the delta log in order to the effective dead-doc set.
 

@@ -162,6 +162,7 @@ def compact(index_root: str, new_epoch: str,
     for d in manifest.get("deltas", []):
         total_tokens_live += d["sum_dl_added"] - d["sum_dl_deleted"]
 
+    n_folded = len(manifest.get("deltas", []))
     new_manifest = dict(manifest)
     new_manifest.pop("epoch", None)
     new_manifest.update({
@@ -171,6 +172,13 @@ def compact(index_root: str, new_epoch: str,
         "segments": lin_rows,
         "deltas": [],
         "compacted_from": old_epoch,
+        # snapshot watermark: the base of this epoch covers every event
+        # folded so far; deltas appended to the old epoch during the
+        # merge are replayed by publish_with_catchup before the flip
+        "event_watermark": max(
+            [manifest.get("event_watermark", 0)]
+            + [d.get("max_event_seq", 0) for d in manifest.get("deltas", [])]),
+        "catch_up_from": {"epoch": old_epoch, "consumed_deltas": n_folded},
     })
     mf.write_manifest(index_root, new_epoch, new_manifest)
     mf.mark_stage(index_root, new_epoch, "stats",
@@ -178,8 +186,7 @@ def compact(index_root: str, new_epoch: str,
     mf.mark_stage(index_root, new_epoch, "segments", lineage=lin_rows)
     mf.write_metrics(index_root, new_epoch, cfg)
     if auto_publish:
-        mf.publish(index_root, new_epoch)
+        mf.publish_with_catchup(index_root, new_epoch)
         if gc_old:
             mf.gc_epochs(index_root)
-    new_manifest["epoch"] = new_epoch
-    return new_manifest
+    return mf.load_manifest(index_root, new_epoch)

@@ -237,3 +237,113 @@ def test_delete_then_reinsert_same_version(ray_session, tmp_path):
                           "path": target[1]}]), root)
     s = Searcher(root)
     assert s.n_docs == 5 and not s.search(["keep_token_3"], 5)
+
+
+def test_publish_catchup_replays_concurrent_deltas(ray_session, tmp_path):
+    """A delta that lands on the old epoch between a compaction's
+    snapshot and its publish must be replayed onto the new epoch before
+    the CURRENT flip (the reference's wait-until-caught-up handoff)."""
+    import ray.data
+
+    docs = [("o/r", f"w{i}.py", "c" * 40,
+             f"def w_{i}(): return watermark_token_{i}\n") for i in range(8)]
+    root = _build_small(tmp_path, docs)
+    apply_delta(_events([{"seq": 1, "type": "INSERT", "repo": "o/r",
+                          "path": "a.py", "commit": "d" * 40,
+                          "lang": "python",
+                          "content": "def a(): return early_delta_tok\n"}]),
+                root)
+
+    # merge runs, publish deferred — the snapshot covers delta 1 only
+    compact(root, "ep2", auto_publish=False)
+    # ...meanwhile a writer lands delta 2 on the still-CURRENT ep1
+    apply_delta(_events([{"seq": 2, "type": "INSERT", "repo": "o/r",
+                          "path": "b.py", "commit": "e" * 40,
+                          "lang": "python",
+                          "content": "def b(): return late_delta_tok\n"},
+                         {"seq": 3, "type": "DELETE", "repo": "o/r",
+                          "path": "w0.py"}]),
+                root)
+    assert mf.current_epoch(root) == "ep1"
+
+    replayed = mf.publish_with_catchup(root, "ep2")
+    assert replayed == 1
+    assert mf.current_epoch(root) == "ep2"
+
+    oi = OracleIndex(
+        [(doc_id_of(r, p, c), content) for r, p, c, content in docs[1:]]
+        + [(doc_id_of("o/r", "a.py", "d" * 40),
+            "def a(): return early_delta_tok\n"),
+           (doc_id_of("o/r", "b.py", "e" * 40),
+            "def b(): return late_delta_tok\n")])
+    s = Searcher(root)
+    assert (s.n_docs, s.avgdl) == (oi.n_docs, oi.avgdl)
+    for q in (["late_delta_tok"], ["early_delta_tok"],
+              ["watermark_token_0"], ["watermark_token_3"]):
+        assert s.search(q, 10) == oi.search(q, 10)
+    # the replayed record survives a subsequent full compaction + GC
+    compact(root, "ep3", gc_old=True)
+    s = Searcher(root)
+    for q in (["late_delta_tok"], ["watermark_token_0"],
+              ["watermark_token_3"]):
+        assert s.search(q, 10) == oi.search(q, 10)
+
+
+def test_rebuild_with_snapshot_watermark(ray_session, tmp_path):
+    """Full rebuild from a snapshot that incorporates events ≤ W:
+    predecessor delta records past W replay onto the new epoch at
+    publish; a record straddling W is refused."""
+    import ray.data
+
+    docs = {("o/r", f"s{i}.py"): ("c" * 40,
+                                  f"def s_{i}(): return snap_tok_{i}\n")
+            for i in range(6)}
+    root = _build_small(tmp_path,
+                        [(r, p, c, t) for (r, p), (c, t) in docs.items()])
+    # record 1: events 1-2 (covered by the snapshot)
+    apply_delta(_events([
+        {"seq": 1, "type": "UPDATE", "repo": "o/r", "path": "s0.py",
+         "commit": "d" * 40, "lang": "python",
+         "content": "def s0v2(): return updated_snap_tok\n"},
+        {"seq": 2, "type": "INSERT", "repo": "o/r", "path": "n1.py",
+         "commit": "d" * 40, "lang": "python",
+         "content": "def n1(): return covered_tok\n"}]), root)
+    # record 2: events 3-4 (after the snapshot → must replay)
+    apply_delta(_events([
+        {"seq": 3, "type": "INSERT", "repo": "o/r", "path": "n2.py",
+         "commit": "f" * 40, "lang": "python",
+         "content": "def n2(): return replayed_tok\n"},
+        {"seq": 4, "type": "DELETE", "repo": "o/r", "path": "s5.py"}]),
+        root)
+
+    # snapshot corpus = base + events ≤ 2, materialized
+    state = dict(docs)
+    state[("o/r", "s0.py")] = ("d" * 40, "def s0v2(): return updated_snap_tok\n")
+    state[("o/r", "n1.py")] = ("d" * 40, "def n1(): return covered_tok\n")
+    snap = [(r, p, c, t) for (r, p), (c, t) in state.items()]
+    cdir = str(tmp_path / "snap_corpus")
+    os.makedirs(cdir)
+    pq.write_table(_corpus_table(snap), os.path.join(cdir, "p.parquet"))
+
+    # a watermark inside record 2 is refused (straddle)
+    with pytest.raises(RuntimeError, match="straddles"):
+        build_index(ray.data.read_parquet(cdir), root, "ep2",
+                    EngineConfig(), snapshot_watermark=3)
+    shutil.rmtree(mf.epoch_dir(root, "ep2"), ignore_errors=True)
+
+    m2 = build_index(ray.data.read_parquet(cdir), root, "ep2x",
+                     EngineConfig(), snapshot_watermark=2)
+    assert mf.current_epoch(root) == "ep2x"
+    assert len(m2["deltas"]) == 1          # record 2 replayed
+    assert m2["event_watermark"] == 4
+
+    final = dict(state)
+    final[("o/r", "n2.py")] = ("f" * 40, "def n2(): return replayed_tok\n")
+    final.pop(("o/r", "s5.py"))
+    oi = OracleIndex([(doc_id_of(r, p, c), t)
+                      for (r, p), (c, t) in final.items()])
+    s = Searcher(root)
+    assert (s.n_docs, s.avgdl) == (oi.n_docs, oi.avgdl)
+    for q in (["replayed_tok"], ["covered_tok"], ["updated_snap_tok"],
+              ["snap_tok_5"], ["snap_tok_2"]):
+        assert s.search(q, 10) == oi.search(q, 10)
