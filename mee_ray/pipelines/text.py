@@ -316,14 +316,33 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.2):
                          "jaccard": pa.array([], pa.float64())})
     uniq_pairs = sorted({(x, y) for x, y in zip(cand_tbl["a"].to_pylist(),
                                                 cand_tbl["b"].to_pylist())})
-    # exact verify (candidate set is small by construction)
-    st = TextStats()
+    # exact verify: shingle sets are computed DISTRIBUTED over the docs
+    # dataset, filtered to candidate ids by a broadcast id array — only
+    # the candidates' shingle sets ever reach the driver (bounded by
+    # the LSH candidate count, not the corpus)
+    need_ref = ray.put(np.array(sorted({i for p in uniq_pairs for i in p}),
+                                dtype=np.int64))
+
+    class CandidateShingles(TextStats):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            nd = ray.get(need_ref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            keep = np.isin(ids, nd)
+            out_id, out_sh = [], []
+            for did, text, k in zip(ids, t["text"].to_pylist(), keep):
+                if k:
+                    out_id.append(int(did))
+                    out_sh.append(np.fromiter(_shingles(self.tokens(text)),
+                                              dtype=np.int64))
+            return pa.table({"doc_id": pa.array(out_id, pa.int64()),
+                             "shingles": pa.array(out_sh,
+                                                  pa.list_(pa.int64()))})
+
     toks: dict[int, set] = {}
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    need = {i for p in uniq_pairs for i in p}
-    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-        if did in need:
-            toks[did] = _shingles(st.tokens(text))
+    for b in docs.map_batches(CandidateShingles(), batch_format="pyarrow") \
+                  .iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+        for did, sh in zip(b["doc_id"].to_pylist(), b["shingles"].to_pylist()):
+            toks[did] = set(sh)
     out_a, out_b, out_j = [], [], []
     for x, y in uniq_pairs:
         sx, sy = toks[x], toks[y]
@@ -365,62 +384,131 @@ def simhash_signatures(sf_dir: str):
 
 def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
     """SimHash near-dup pairs via 4×16-bit band buckets (a pair within
-    hamming ≤ 3 of 64 bits must agree on ≥1 of 4 bands)."""
+    hamming ≤ 3 of 64 bits must agree on ≥1 of 4 bands).
+
+    Fully distributed (mirrors the MinHash LSH shape): signatures
+    flat-map to 4 (band, bucket) rows, the bucket groupby is the only
+    shuffle, pairs are emitted per group, and a second small groupby on
+    (a, b) dedupes pairs that collide in several bands — no driver-side
+    signature materialization."""
+    import itertools
+
+    from ray.data.aggregate import Min
+
     sig = simhash_signatures(sf_dir)
-    rows = pa.concat_tables(
-        list(sig.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
-    ids = rows["doc_id"].to_numpy(zero_copy_only=False)
-    hs = rows["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    from collections import defaultdict
-    buckets = defaultdict(list)
-    for i in range(len(ids)):
-        for b in range(4):
-            buckets[(b, int((hs[i] >> np.uint64(16 * b)) & np.uint64(0xFFFF)))].append(i)
-    seen = set()
-    out_a, out_b, out_d = [], [], []
-    for idxs in buckets.values():
-        if len(idxs) < 2:
-            continue
-        import itertools
-        for i, j in itertools.combinations(sorted(set(idxs)), 2):
-            key = (int(ids[i]), int(ids[j]))
-            if key in seen:
-                continue
-            seen.add(key)
-            d = int(bin(int(hs[i]) ^ int(hs[j])).count("1"))
-            if d <= max_hamming:
-                out_a.append(key[0]); out_b.append(key[1]); out_d.append(d)
-    return pa.table({"a": pa.array(out_a, pa.int64()),
-                     "b": pa.array(out_b, pa.int64()),
-                     "hamming": pa.array(out_d, pa.int64())})
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hs = t["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bands = np.tile(np.arange(4, dtype=np.int32), len(ids))
+        rep_ids = np.repeat(ids, 4)
+        rep_hs = np.repeat(hs, 4)
+        buckets = ((rep_hs >> (bands.astype(np.uint64) * np.uint64(16)))
+                   & np.uint64(0xFFFF)).astype(np.int64)
+        return pa.table({"band": pa.array(bands),
+                         "bucket": pa.array(buckets),
+                         "doc_id": pa.array(rep_ids.astype(np.int64)),
+                         "simhash": pa.array(rep_hs.astype(np.int64))})
+
+    EMPTY = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                       ("hamming", pa.int64())])
+
+    def pairs_of_group(g: pa.Table, mh=max_hamming) -> pa.Table:
+        uniq = {int(d): int(h) for d, h in zip(g["doc_id"].to_pylist(),
+                                               g["simhash"].to_pylist())}
+        out_a, out_b, out_d = [], [], []
+        for x, y in itertools.combinations(sorted(uniq), 2):
+            d = int(bin(uniq[x] ^ uniq[y]).count("1"))
+            if d <= mh:
+                out_a.append(x); out_b.append(y); out_d.append(d)
+        if not out_a:
+            return pa.Table.from_pylist([], schema=EMPTY)
+        return pa.table({"a": pa.array(out_a, pa.int64()),
+                         "b": pa.array(out_b, pa.int64()),
+                         "hamming": pa.array(out_d, pa.int64())})
+
+    pairs = (sig.map_batches(band_rows, batch_format="pyarrow")
+             .groupby(["band", "bucket"])
+             .map_groups(pairs_of_group, batch_format="pyarrow"))
+    # dedupe across bands: hamming is a pure function of the pair, so
+    # Min is just "pick one"
+    return pairs.groupby(["a", "b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+
+
+def _gram_hashes(text: str, n: int) -> np.ndarray:
+    """Sorted unique 64-bit hashes of a string's char n-grams (blake2b
+    8-byte digests — collision odds ~|grams|²/2⁶⁴, so hashed-set
+    Jaccard equals string-set Jaccard for practical purposes)."""
+    import hashlib as _h
+    gs = {text[i:i + n] for i in range(max(0, len(text) - n + 1))}
+    if not gs:
+        return np.empty(0, dtype=np.int64)
+    out = np.fromiter(
+        (int.from_bytes(_h.blake2b(g.encode(), digest_size=8).digest(),
+                        "big") >> 1 for g in gs),
+        dtype=np.int64, count=len(gs))
+    return np.unique(out)
 
 
 def ngram_jaccard_adjacent(sf_dir: str, n: int = 5):
-    """Character-n-gram Jaccard for adjacent doc_id pairs — linear-cost
-    exercise of the n-gram similarity kernel."""
+    """Character-n-gram Jaccard for adjacent doc_id pairs.
+
+    Distributed shape: (1) ONE narrow driver read of the doc_id column
+    fixes the global adjacency order (8 B/doc — the only driver-side
+    state); (2) gram-hash sets are computed per doc inside map_batches
+    and each doc flat-maps to the ≤2 adjacent pairs it belongs to;
+    (3) a groupby on the pair index co-locates the two gram sets and
+    computes exact Jaccard — content never gathers on the driver."""
     import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
-    ids = t["doc_id"].to_pylist()
-    texts = t["text"].to_pylist()
-    order = np.argsort(ids)
-    out_a, out_b, out_j = [], [], []
-    grams = {}
+    import ray
 
-    def g(s):
-        return {s[i:i + n] for i in range(max(0, len(s) - n + 1))}
+    ids_sorted = np.sort(
+        pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        ["doc_id"].to_numpy(zero_copy_only=False))
+    n_docs = len(ids_sorted)
+    EMPTY = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                       ("jaccard5", pa.float64())])
+    if n_docs < 2:
+        return pa.Table.from_pylist([], schema=EMPTY)
+    ids_ref = ray.put(ids_sorted)
 
-    for k in range(len(order) - 1):
-        i, j = order[k], order[k + 1]
-        if ids[i] not in grams:
-            grams[ids[i]] = g(texts[i])
-        if ids[j] not in grams:
-            grams[ids[j]] = g(texts[j])
-        sx, sy = grams[ids[i]], grams[ids[j]]
-        jac = len(sx & sy) / len(sx | sy) if (sx or sy) else 1.0
-        out_a.append(ids[i]); out_b.append(ids[j]); out_j.append(round(jac, 6))
-    return pa.table({"a": pa.array(out_a, pa.int64()),
-                     "b": pa.array(out_b, pa.int64()),
-                     "jaccard5": pa.array(out_j, pa.float64())})
+    def to_pair_rows(t: pa.Table, n=n) -> pa.Table:
+        order = ray.get(ids_ref)
+        out_pair, out_role, out_id, out_g = [], [], [], []
+        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            pos = int(np.searchsorted(order, did))
+            grams = _gram_hashes(text or "", n)
+            if pos > 0:                      # right member of pair pos-1
+                out_pair.append(pos - 1); out_role.append(1)
+                out_id.append(did); out_g.append(grams)
+            if pos < len(order) - 1:         # left member of pair pos
+                out_pair.append(pos); out_role.append(0)
+                out_id.append(did); out_g.append(grams)
+        return pa.table({"pair": pa.array(out_pair, pa.int64()),
+                         "role": pa.array(out_role, pa.int32()),
+                         "doc_id": pa.array(out_id, pa.int64()),
+                         "grams": pa.array(out_g, pa.list_(pa.int64()))})
+
+    def jaccard_of_pair(g: pa.Table) -> pa.Table:
+        roles = g["role"].to_pylist()
+        ids = g["doc_id"].to_pylist()
+        grams = [np.asarray(x, dtype=np.int64) for x in
+                 g["grams"].to_pylist()]
+        left = roles.index(0)
+        right = roles.index(1)
+        sx, sy = grams[left], grams[right]
+        union = len(np.union1d(sx, sy))
+        inter = len(np.intersect1d(sx, sy))
+        jac = (inter / union) if union else 1.0
+        return pa.table({"a": pa.array([ids[left]], pa.int64()),
+                         "b": pa.array([ids[right]], pa.int64()),
+                         "jaccard5": pa.array([round(jac, 6)], pa.float64())})
+
+    return (_read_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(to_pair_rows, batch_format="pyarrow")
+            .groupby("pair")
+            .map_groups(jaccard_of_pair, batch_format="pyarrow"))
 
 
 QUERIES = {

@@ -8,8 +8,9 @@
   broadcast centroids), cluster assignment via map_batches, query
   probes the nearest `n_probe` clusters — the 100 TB scale path where
   scanning every vector per query is off the table.
-- embedding near-dup: all-pairs cosine ≥ τ via the same broadcast
-  matmul (rows-only; at scale the candidate step becomes LSH buckets).
+- embedding near-dup: IVF-bucketed candidate generation (multi-assign
+  to nearest clusters, per-cluster exact cosine, pair-dedup groupby) —
+  the 100 TB shape; exact within what the candidate step surfaces.
 """
 
 from __future__ import annotations
@@ -131,24 +132,66 @@ FROM embeddings GROUP BY label
 """
 
 
-def embedding_neardup(sf_dir: str, threshold: float = 0.35):
-    """Embedding-cosine near-dup pairs (a < b, sim ≥ τ). Rows-only:
-    the exact pairs come from a broadcast matmul; at 10^12 scale the
-    same verify runs behind an LSH/IVF candidate step instead."""
-    import pyarrow.parquet as pq
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    ids, mat = _emb_matrix(t)
-    u = _unit(mat)
-    sims = u @ u.T
-    iu = np.triu_indices(len(ids), k=1)
-    mask = sims[iu] >= threshold
-    a = ids[iu[0][mask]]
-    b = ids[iu[1][mask]]
-    s = sims[iu][mask]
-    order = np.lexsort((b, a))
-    return pa.table({"a": pa.array(a[order], pa.int64()),
-                     "b": pa.array(b[order], pa.int64()),
-                     "sim": pa.array(np.round(s[order], 6), pa.float64())})
+def embedding_neardup(sf_dir: str, threshold: float = 0.35,
+                      n_assign: int = 4):
+    """Embedding-cosine near-dup pairs (a < b, sim ≥ τ) behind an IVF
+    candidate step: every vector is multi-assigned to its ``n_assign``
+    nearest coarse clusters (broadcast centroids fitted on a sample),
+    the cluster groupby is the only shuffle, exact cosine runs inside
+    each cluster, and a final (a, b) groupby dedupes pairs caught by
+    more than one shared cluster.  Approximate by design (a pair split
+    across all clusters is missed — multi-assignment is the recall
+    knob); every REPORTED pair carries its exact cosine."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max
+
+    ivf = IVFIndex().fit_dataset(_read_emb(sf_dir))
+    cent_ref = ray.put(ivf.centroids)
+
+    def assign_rows(t: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        ids, mat = _emb_matrix(t)
+        u = _unit(mat)
+        near = np.argsort(-(u @ cents.T), axis=1)[:, :n_assign]
+        out_c = near.reshape(-1).astype(np.int64)
+        out_id = np.repeat(ids, n_assign)
+        out_v = np.repeat(u, n_assign, axis=0)
+        return pa.table({
+            "cluster": pa.array(out_c),
+            "vec_id": pa.array(out_id.astype(np.int64)),
+            "unit": pa.array(list(out_v), pa.list_(pa.float64())),
+        })
+
+    EMPTY = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                       ("sim", pa.float64())])
+
+    def pairs_of_cluster(g: pa.Table, tau=threshold) -> pa.Table:
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        uniq, first = np.unique(ids, return_index=True)
+        flat = np.asarray(g["unit"].combine_chunks().flatten(),
+                          dtype=np.float64)
+        u = flat.reshape(len(ids), -1)[first]
+        if len(uniq) < 2:
+            return pa.Table.from_pylist([], schema=EMPTY)
+        sims = u @ u.T
+        iu = np.triu_indices(len(uniq), k=1)
+        mask = sims[iu] >= tau
+        if not mask.any():
+            return pa.Table.from_pylist([], schema=EMPTY)
+        return pa.table({
+            "a": pa.array(uniq[iu[0][mask]].astype(np.int64)),
+            "b": pa.array(uniq[iu[1][mask]].astype(np.int64)),
+            "sim": pa.array(np.round(sims[iu][mask], 6), pa.float64()),
+        })
+
+    pairs = (_read_emb(sf_dir)
+             .map_batches(assign_rows, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("cluster")
+             .map_groups(pairs_of_cluster, batch_format="pyarrow"))
+    # dedupe pairs that share several clusters (sim identical; Max picks one)
+    return pairs.groupby(["a", "b"]).aggregate(Max("sim", alias_name="sim"))
 
 
 class IVFIndex:
@@ -179,6 +222,19 @@ class IVFIndex:
     def assign(self, mat: np.ndarray) -> np.ndarray:
         return np.argmax(_unit(mat) @ self.centroids.T, axis=1)
 
+    def fit_sample_n(self) -> int:
+        # a few hundred points per centroid bound the sample; k-means
+        # quality saturates long before the full table matters
+        return max(self.n_clusters * 256, 2048)
+
+    def fit_dataset(self, ds) -> "IVFIndex":
+        """Fit on a bounded prefix sample of the dataset — the 10^12
+        path: the quantizer never sees the full table, only
+        ``fit_sample_n()`` rows (deterministic: file order)."""
+        t = ds.take_batch(self.fit_sample_n(), batch_format="pyarrow")
+        _, mat = _emb_matrix(t)
+        return self.fit(mat)
+
 
 def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                  n_probe: int = 4):
@@ -188,16 +244,18 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     import ray
     import pyarrow.parquet as pq
 
-    full = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                         columns=["vec_id", "embedding"])
-    ids_all, mat_all = _emb_matrix(full)
-    ivf = IVFIndex().fit(mat_all)
+    # quantizer fits on a bounded sample; queries come from a pruned
+    # row-filtered read — the full table is only ever streamed through
+    # the distributed assign/score stage below
+    ivf = IVFIndex().fit_dataset(_read_emb(sf_dir))
     cent_ref = ray.put(ivf.centroids)
 
-    q_mask = ids_all < n_queries
-    q_ids, q_mat = ids_all[q_mask], _unit(mat_all[q_mask])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", n_queries)])
+    q_ids, q_mat = _emb_matrix(qt)
     q_order = np.argsort(q_ids)
-    q_ids, q_mat = q_ids[q_order], q_mat[q_order]
+    q_ids, q_mat = q_ids[q_order], _unit(q_mat[q_order])
     probes = np.argsort(-(q_mat @ ivf.centroids.T), axis=1)[:, :n_probe]
     probe_sets = [set(p.tolist()) for p in probes]
     q_ref = ray.put((q_ids, q_mat, probe_sets))

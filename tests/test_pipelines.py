@@ -177,3 +177,72 @@ def test_multimodal_audio_video_stages(entry_mod, ray_session):
     r1 = FakeAudioFeatures()(t).to_pylist()
     r2 = FakeAudioFeatures()(t).to_pylist()
     assert r1 == r2
+
+
+def test_simhash_pairs_complete_vs_bruteforce(entry_mod, ray_session):
+    """4 bands × 16 bits with hamming ≤ 3 is LOSSLESS by pigeonhole
+    (≤3 differing bits can corrupt ≤3 of 4 bands), so the distributed
+    banded pipeline must return EXACTLY the brute-force pair set."""
+    import itertools
+
+    from mee_ray.pipelines.text import simhash_dup_pairs, simhash_signatures
+
+    sig = simhash_signatures(SF).to_pandas()
+    hmap = dict(zip(sig.doc_id, sig.simhash))
+    brute = set()
+    for a, b in itertools.combinations(sorted(hmap), 2):
+        d = bin(int(hmap[a]) ^ int(hmap[b])).count("1")
+        if d <= 3:
+            brute.add((a, b, d))
+    got = simhash_dup_pairs(SF, max_hamming=3).to_pandas()
+    assert set(zip(got.a, got.b, got.hamming)) == brute
+
+
+def test_ngram_jaccard_matches_string_set_bruteforce(entry_mod, ray_session):
+    """The distributed pair-shuffle version must reproduce the exact
+    string-set Jaccard for every adjacent pair."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.text import ngram_jaccard_adjacent
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = t["doc_id"].to_pylist()
+    texts = dict(zip(ids, t["text"].to_pylist()))
+    order = sorted(ids)
+
+    def g(s, n=5):
+        return {s[i:i + n] for i in range(max(0, len(s) - n + 1))}
+
+    expect = {}
+    for x, y in zip(order, order[1:]):
+        sx, sy = g(texts[x] or ""), g(texts[y] or "")
+        expect[(x, y)] = round(len(sx & sy) / len(sx | sy), 6) \
+            if (sx or sy) else 1.0
+
+    out = ngram_jaccard_adjacent(SF).to_pandas()
+    got = {(a, b): j for a, b, j in zip(out.a, out.b, out.jaccard5)}
+    assert got == expect
+
+
+def test_embedding_neardup_recall_floor(entry_mod, ray_session):
+    """IVF-bucketed candidates with 4-way multi-assignment must recover
+    ≥90% of the exact τ=0.35 pair set on this data (soundness of each
+    reported pair is asserted in test_embedding_neardup_exactness)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.vector import (_emb_matrix, _unit,
+                                          embedding_neardup)
+
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids, mat = _emb_matrix(t)
+    u = _unit(mat)
+    sims = u @ u.T
+    iu = np.triu_indices(len(ids), k=1)
+    mask = sims[iu] >= 0.35
+    brute = set(zip(ids[iu[0][mask]].tolist(), ids[iu[1][mask]].tolist()))
+    got = embedding_neardup(SF, threshold=0.35).to_pandas()
+    found = set(zip(got.a, got.b)) & brute
+    assert len(found) / max(1, len(brute)) >= 0.9
