@@ -167,6 +167,14 @@ class ExplodeTriples:
         for j, t in enumerate(vocab):
             s, h, is_hot = route(t)
             shard_u[j] = s; h2_u[j] = h; hot_u[j] = is_hot
+        # dynamic skew defense on top of the static list: a term whose
+        # df within THIS task's slice exceeds the threshold is salted
+        # on the fly.  Query-side this is free — postings()/chunk_meta
+        # read every (term, salt) row of a term, and chunk doc sets
+        # stay disjoint (each posting is emitted exactly once), the
+        # same independence delta-segment chunks already rely on.
+        if cfg.hot_df_threshold:
+            hot_u |= np.bincount(idx, minlength=nu) > cfg.hot_df_threshold
         shard = shard_u[idx]
         h2 = h2_u[idx]
         hot = hot_u[idx]
@@ -229,7 +237,8 @@ def make_encode_partition(seg_dir: str, avgdl: float, cfg: EngineConfig):
         o_ids, o_tfs, o_dls, o_bl, o_bm, o_shard = [], [], [], [], [], []
         for lo, hi in zip(starts, ends):
             ids_run = doc_ids[lo:hi]
-            ids_enc, tfs_enc = encode_posting_list(ids_run, tfs[lo:hi])
+            ids_enc, tfs_enc = encode_posting_list(ids_run, tfs[lo:hi],
+                                                   cfg.postings_codec)
             dls_enc = varint_encode(dls[lo:hi].astype(np.uint64))
             bl, bm = block_metadata(ids_run, tfnorms[lo:hi], block_size)
             t = terms_vocab[term_idx[lo]]
@@ -281,9 +290,9 @@ def winner_doc_ids(corpus, cfg: EngineConfig) -> np.ndarray:
     per key per batch, and the final max-merge runs driver-side over
     that stream (the winner set must fit the driver anyway, because it
     is broadcast as a sorted doc_id array for the local filter).
-    `content` never crosses the wire.  At 10^12 docs the driver merge
-    + broadcast becomes a hash-bucketed semi-join on key_hash; the
-    per-batch combiner stays identical."""
+    `content` never crosses the wire.  Holds to ~10^9 keys; past that
+    use cfg.dedup_mode="shuffle" (dedup_latest_commit_shuffle), the
+    hash-bucketed no-broadcast path."""
 
     def partial_winners(batch: pa.Table) -> pa.Table:
         # candidate value: commit + NUL + doc_id — lexicographic max of
@@ -332,9 +341,56 @@ def filter_to_winners(corpus, win_ids_ref):
     return corpus.map_batches(keep_winners, batch_format="pyarrow")
 
 
+def dedup_latest_commit_shuffle(corpus, cfg: EngineConfig):
+    """Shuffle-mode latest-commit-wins — the 10^12-key path
+    (cfg.dedup_mode="shuffle").
+
+    The corpus moves through ONE hash-bucketed all-to-all on the
+    (repo, path) key hash; each bucket then resolves its winners
+    locally (vectorized last-per-key after a lexsort on the same
+    NUL-composite value winner_doc_ids maximizes) and filters its own
+    rows.  No driver-side winner set, no broadcast; ``dedup_buckets``
+    bounds per-task state.  Trade vs driver mode: the full corpus
+    (content included) crosses the exchange once — which is exactly
+    the cost a no-broadcast exact dedup must pay."""
+
+    B = cfg.dedup_buckets
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        keys = [hashlib.sha256(f"{r}\x00{p}".encode()).digest()[:8]
+                for r, p in zip(batch["repo"].to_pylist(),
+                                batch["path"].to_pylist())]
+        kh = np.frombuffer(b"".join(keys), dtype=">i8").astype(np.int64)
+        return (batch.append_column("__kh", pa.array(kh))
+                .append_column("__bucket", pa.array(kh % B, pa.int64())))
+
+    def winners_of_bucket(g: pa.Table) -> pa.Table:
+        kh = g["__kh"].to_numpy(zero_copy_only=False)
+        ids = doc_ids_batch(g["repo"], g["path"], g["commit"])
+        vals = np.array([f"{c}\x00{i:016x}" for c, i in
+                         zip(g["commit"].to_pylist(), ids)])
+        order = np.lexsort((vals, kh))
+        last = np.ones(len(kh), dtype=bool)
+        last[:-1] = kh[order][1:] != kh[order][:-1]
+        win_ids = np.unique(ids[order][last])
+        keep = np.zeros(len(ids), dtype=bool)
+        pos = np.minimum(np.searchsorted(win_ids, ids),
+                         max(0, len(win_ids) - 1))
+        keep = win_ids[pos] == ids
+        return g.filter(pa.array(keep)).drop_columns(["__kh", "__bucket"])
+
+    return (corpus.map_batches(add_bucket, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(winners_of_bucket, batch_format="pyarrow"))
+
+
 def dedup_latest_commit(corpus, cfg: EngineConfig):
-    """winner_doc_ids + filter_to_winners in one call (standalone use)."""
+    """Strategy dispatch (standalone use): driver-broadcast or
+    hash-bucketed shuffle per cfg.dedup_mode."""
     import ray
+    if cfg.dedup_mode == "shuffle":
+        return dedup_latest_commit_shuffle(corpus, cfg)
     return filter_to_winners(corpus, ray.put(winner_doc_ids(corpus, cfg)))
 
 
@@ -386,11 +442,20 @@ def build_index(corpus, index_root: str, epoch: str,
     # winner broadcast shared by both passes; recomputed on resume
     # (deterministic function of the corpus, so lineage stays valid)
     win_ref = None
+    shuffle_dedup_ds = None
 
     def deduped():
-        nonlocal win_ref
+        nonlocal win_ref, shuffle_dedup_ds
         if not dedup:
             return corpus
+        if cfg.dedup_mode == "shuffle":
+            # one all-to-all, materialized once and reused by both
+            # passes (re-running the shuffle per pass would double the
+            # exchange; the object store spills what RAM can't hold)
+            if shuffle_dedup_ds is None:
+                shuffle_dedup_ds = dedup_latest_commit_shuffle(
+                    corpus, cfg).materialize()
+            return shuffle_dedup_ds
         if win_ref is None:
             win_ref = ray.put(winner_doc_ids(corpus, cfg))
         return filter_to_winners(corpus, win_ref)
@@ -518,14 +583,17 @@ def build_index(corpus, index_root: str, epoch: str,
                     past_wm = True
             catch_up = {"epoch": prev, "consumed_deltas": consumed}
 
+    from mee_ray.postings import FORMAT_VERSION
     manifest = {
         "epoch": epoch,
+        "format_version": FORMAT_VERSION,
         "n_docs": n_docs,
         "total_tokens": total_tokens,
         "avgdl": avgdl,
         "num_shards": cfg.num_shards,
         "parts_per_shard": cfg.parts_per_shard,
         "block_size": cfg.block_size,
+        "postings_codec": cfg.postings_codec,
         "salt_factor": cfg.salt_factor,
         "hot_terms": sorted(cfg.hot_terms),
         "tokenizer": vars(cfg.tokenizer).copy() if hasattr(cfg.tokenizer, "__dict__")

@@ -84,12 +84,17 @@ class EngineConfig:
     # --- skew / salting ---
     hot_terms: frozenset = DEFAULT_HOT_TERMS
     salt_factor: int = 8            # power of two; sub-lists per hot term
-    # terms whose in-partition df exceeds this also get salted on the
-    # fly (dynamic skew defense in addition to the static list)
+    # terms whose df within one explode-task slice exceeds this are
+    # salted on the fly (dynamic skew defense in addition to the static
+    # list — build.py ExplodeTriples); 0 disables
     hot_df_threshold: int = 1 << 20
 
     # --- posting-list encoding ---
     block_size: int = 128           # docs per skip/max-impact block
+    # "varint" (LEB128) or "pfor" (PForDelta, postings.pfor_encode).
+    # Buffers are tagged, so decode is config-free and codecs can mix
+    # across base/delta segments.
+    postings_codec: str = "varint"
 
     # --- batching ---
     tokenize_batch_size: int = 256  # docs per tokenize batch (multi-KB rows)
@@ -100,6 +105,16 @@ class EngineConfig:
     #           (no shuffle; fine to ~10^9 docs).
     # "shuffle": exact audit via groupby(doc_id) — the 10^12-doc path.
     stats_mode: str = "driver"
+
+    # --- latest-commit-wins dedup strategy ---
+    # "driver":  key-only combiners stream to a driver dict, winners
+    #            broadcast as a sorted id array (~24 B/key — fine to
+    #            ~10^9 keys, lethal at 10^12).
+    # "shuffle": hash-bucketed groupby — the corpus moves through ONE
+    #            all-to-all, each bucket resolves winners locally and
+    #            filters its own rows; no driver state, no broadcast.
+    dedup_mode: str = "driver"
+    dedup_buckets: int = 256        # shuffle-mode partition count
 
     def shard_of_part(self, part: int) -> int:
         """Inverse of the build's part layout: part = shard *
@@ -141,6 +156,8 @@ def config_from_manifest(manifest: dict,
     for f in _MANIFEST_PINNED:
         if f in manifest:
             kw[f] = manifest[f]
+    if "postings_codec" in manifest:
+        kw["postings_codec"] = manifest["postings_codec"]
     from dataclasses import replace
     return replace(base, **kw)
 

@@ -83,6 +83,7 @@ def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
     import ray.data
 
     manifest = mf.load_manifest(index_root, epoch)
+    mf.require_format(manifest)
     # the index's own recorded routing/scoring parameters are
     # authoritative: a cfg that disagrees would route delta postings to
     # partitions the merge never reads (silently dropped)

@@ -63,6 +63,17 @@ def load_manifest(index_root: str, epoch: str | None = None) -> dict:
     return m
 
 
+def require_format(manifest: dict) -> None:
+    """Refuse to touch postings written by a different on-disk format
+    version (misparsing tagged vs untagged buffers is silent garbage)."""
+    from mee_ray.postings import FORMAT_VERSION
+    got = manifest.get("format_version", 1)
+    if got != FORMAT_VERSION:
+        raise RuntimeError(
+            f"epoch {manifest.get('epoch')} has posting format v{got}, "
+            f"engine is v{FORMAT_VERSION} — rebuild the index")
+
+
 def publish(index_root: str, epoch: str) -> None:
     """Atomic alias-swap analog: point CURRENT at a fully-built epoch."""
     if not os.path.exists(manifest_path(index_root, epoch)):

@@ -93,6 +93,7 @@ def compact(index_root: str, new_epoch: str,
     import ray.data
 
     manifest = mf.load_manifest(index_root)
+    mf.require_format(manifest)
     # routing/scoring parameters come from the manifest unless the
     # caller's explicit cfg agrees with it (resolve_index_config raises
     # on disagreement — wrong part routing silently drops postings)

@@ -37,8 +37,11 @@ TOP_K = 10
 
 
 def _index_root(sf_dir: str) -> str:
+    from mee_ray.postings import FORMAT_VERSION
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    return f"/tmp/mee_ft_index/{tag}"
+    # format version in the path: a codec/layout change invalidates the
+    # cache instead of tripping the Searcher's version check
+    return f"/tmp/mee_ft_index/v{FORMAT_VERSION}_{tag}"
 
 
 def _ensure_index(sf_dir: str) -> str:

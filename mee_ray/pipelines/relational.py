@@ -541,18 +541,49 @@ FROM numbered
 GROUP BY user_id, session_id
 """
 
-def latest_event_per_user(sf_dir: str):
+def latest_event_per_user(sf_dir: str, n_buckets: int = 64):
     """U3 latest-wins by (ts, event_id) per key — the delta
-    last-writer-wins semantic (SURVEY.md §2.9) as groupby.map_groups."""
-    import pandas as pd
+    last-writer-wins semantic (SURVEY.md §2.9).
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        return g.tail(1)[["user_id", "event_id", "event_type", "value"]]
+    Same shuffle discipline as session_windows_events: users hash into
+    ``n_buckets`` groups (not one tiny Python group per user) and each
+    group resolves MANY users in one vectorized pass — sort by
+    (user, ts, event_id), keep each user's last row via a boundary
+    mask.  Per-batch combiners shrink the exchange to ≤1 row per user
+    per batch before the groupby."""
+
+    def bucket_and_combine(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((t["event_id"].to_numpy(zero_copy_only=False),
+                            t["ts"].cast(pa.int64())
+                            .to_numpy(zero_copy_only=False), uid))
+        t = t.take(pa.array(order))
+        uid = uid[order]
+        last = np.ones(len(uid), dtype=bool)
+        last[:-1] = uid[1:] != uid[:-1]
+        t = t.filter(pa.array(last))
+        return t.append_column(
+            "bucket", pa.array(t["user_id"].to_numpy(zero_copy_only=False)
+                               % n_buckets, pa.int64()))
+
+    def latest_of_bucket(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((g["event_id"].to_numpy(zero_copy_only=False),
+                            g["ts"].cast(pa.int64())
+                            .to_numpy(zero_copy_only=False), uid))
+        g = g.take(pa.array(order))
+        uid = uid[order]
+        last = np.ones(len(uid), dtype=bool)
+        last[:-1] = uid[1:] != uid[:-1]
+        return g.filter(pa.array(last)).select(
+            ["user_id", "event_id", "event_type", "value"])
 
     return (_read(sf_dir, "events", ["user_id", "event_id", "ts",
                                      "event_type", "value"])
-            .groupby("user_id").map_groups(latest, batch_format="pandas"))
+            .map_batches(bucket_and_combine, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(latest_of_bucket, batch_format="pyarrow"))
 
 
 LATEST_SQL = """

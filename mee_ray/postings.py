@@ -19,6 +19,11 @@ from __future__ import annotations
 
 import numpy as np
 
+# On-disk posting format version.  v1: raw LEB128 buffers; v2: 1-byte
+# codec tag per buffer (varint | pfor).  Manifests record it and the
+# load paths refuse a mismatched index instead of misparsing bytes.
+FORMAT_VERSION = 2
+
 _MAX_VARINT_BYTES = 10  # 64-bit value → ≤10 LEB128 bytes
 
 
@@ -84,15 +89,120 @@ def delta_decode(deltas: np.ndarray) -> np.ndarray:
     return np.cumsum(deltas.astype(np.uint64), dtype=np.uint64).astype(np.int64)
 
 
-def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray) -> tuple[bytes, bytes]:
+# --- PForDelta (NewPFD-flavored) -------------------------------------------
+#
+# Per 128-value block: pick b = bit width of the 90th-percentile value,
+# bit-pack the low b bits of EVERY value (value-major, LSB-first,
+# np.packbits little order), and patch the few wider values as
+# exceptions (position byte + varint-encoded high part).  Beats LEB128
+# on small skewed gaps (tf columns: ~2 bits/value vs 8) while staying
+# fully numpy-vectorized.
+#
+# Block layout: [b:1][n_exc:1][n-1:1][packed: ceil(n*b/8)]
+#               [exc positions: n_exc][exc_len:2 LE][exc varint bytes]
+
+_PFOR_BLOCK = 128
+
+
+def _bit_widths(v: np.ndarray) -> np.ndarray:
+    w = np.zeros(len(v), dtype=np.int64)
+    x = v.copy()
+    while x.any():
+        w += (x > 0)
+        x >>= np.uint64(1)
+    return w
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    arr = np.ascontiguousarray(values, dtype=np.uint64)
+    out = bytearray()
+    for lo in range(0, len(arr), _PFOR_BLOCK):
+        blk = arr[lo:lo + _PFOR_BLOCK]
+        n = len(blk)
+        widths = _bit_widths(blk)
+        b = int(np.sort(widths)[int(0.9 * (n - 1))])
+        exc = np.flatnonzero(widths > b)
+        if b >= 64:
+            b, low = 64, blk
+        elif b == 0:
+            low = np.zeros(n, dtype=np.uint64)
+        else:
+            low = blk & np.uint64((1 << b) - 1)
+        out += bytes((b, len(exc), n - 1))
+        if b:
+            bits = ((low[:, None] >> np.arange(b, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.uint8)
+            out += np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+        out += bytes(int(i) for i in exc)
+        if len(exc):
+            high = varint_encode(blk[exc] >> np.uint64(b))
+            out += len(high).to_bytes(2, "little") + high
+    return bytes(out)
+
+
+def pfor_decode(buf: bytes) -> np.ndarray:
+    data = np.frombuffer(buf, dtype=np.uint8)
+    pos, chunks = 0, []
+    while pos < len(data):
+        b, ne, n = int(data[pos]), int(data[pos + 1]), int(data[pos + 2]) + 1
+        pos += 3
+        if b:
+            nbytes = (n * b + 7) // 8
+            bits = np.unpackbits(data[pos:pos + nbytes],
+                                 bitorder="little")[:n * b]
+            vals = (bits.reshape(n, b).astype(np.uint64)
+                    << np.arange(b, dtype=np.uint64)[None, :]).sum(
+                        axis=1, dtype=np.uint64)
+            pos += nbytes
+        else:
+            vals = np.zeros(n, dtype=np.uint64)
+        if ne:
+            exc = data[pos:pos + ne].astype(np.int64)
+            pos += ne
+            elen = int(data[pos]) | (int(data[pos + 1]) << 8)
+            pos += 2
+            high = varint_decode(data[pos:pos + elen].tobytes())
+            pos += elen
+            vals[exc] |= high << np.uint64(b)
+        chunks.append(vals)
+    if not chunks:
+        return np.empty(0, dtype=np.uint64)
+    return np.concatenate(chunks)
+
+
+# --- posting-list framing ---------------------------------------------------
+#
+# Every encoded buffer is self-describing via a 1-byte tag, so an index
+# can mix codecs (e.g. varint base segments + pfor delta segments)
+# and decode never needs configuration.
+
+_TAG_VARINT, _TAG_PFOR = 0, 1
+_CODEC_TAGS = {"varint": _TAG_VARINT, "pfor": _TAG_PFOR}
+
+
+def _encode_tagged(values: np.ndarray, codec: str) -> bytes:
+    tag = _CODEC_TAGS[codec]
+    body = pfor_encode(values) if tag == _TAG_PFOR else varint_encode(values)
+    return bytes((tag,)) + body
+
+
+def _decode_tagged(buf: bytes) -> np.ndarray:
+    if not buf:
+        return np.empty(0, dtype=np.uint64)
+    tag, body = buf[0], buf[1:]
+    return pfor_decode(body) if tag == _TAG_PFOR else varint_decode(body)
+
+
+def encode_posting_list(doc_ids: np.ndarray, tfs: np.ndarray,
+                        codec: str = "varint") -> tuple[bytes, bytes]:
     """(sorted doc_ids, tfs) → (doc_ids_enc, tfs_enc)."""
-    return (varint_encode(delta_encode(doc_ids)),
-            varint_encode(np.ascontiguousarray(tfs, dtype=np.uint64)))
+    return (_encode_tagged(delta_encode(doc_ids), codec),
+            _encode_tagged(np.ascontiguousarray(tfs, dtype=np.uint64), codec))
 
 
 def decode_posting_list(doc_ids_enc: bytes, tfs_enc: bytes) -> tuple[np.ndarray, np.ndarray]:
-    doc_ids = delta_decode(varint_decode(doc_ids_enc))
-    tfs = varint_decode(tfs_enc).astype(np.int64)
+    doc_ids = delta_decode(_decode_tagged(doc_ids_enc))
+    tfs = _decode_tagged(tfs_enc).astype(np.int64)
     return doc_ids, tfs
 
 

@@ -164,6 +164,7 @@ class Searcher:
                  shard_subset: list[int] | None = None):
         self.index_root = index_root
         self.manifest = mf.load_manifest(index_root, epoch)
+        mf.require_format(self.manifest)
         self.num_shards = self.manifest["num_shards"]
         self.n_docs, self.avgdl = mf.live_stats(self.manifest)
         self.k1 = self.manifest["bm25"]["k1"]

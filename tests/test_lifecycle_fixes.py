@@ -347,3 +347,65 @@ def test_rebuild_with_snapshot_watermark(ray_session, tmp_path):
     for q in (["replayed_tok"], ["covered_tok"], ["updated_snap_tok"],
               ["snap_tok_5"], ["snap_tok_2"]):
         assert s.search(q, 10) == oi.search(q, 10)
+
+
+def test_shuffle_dedup_mode_bit_identical(built_index, ray_session, tmp_path):
+    """cfg.dedup_mode="shuffle" (hash-bucketed, no broadcast) must
+    produce byte-identical winner sets and segments to driver mode."""
+    import ray.data
+
+    from mee_ray.build import dedup_latest_commit, dedup_latest_commit_shuffle
+    from mee_ray.ids import doc_ids_batch
+
+    corpus = ray.data.read_parquet(built_index["cdir"])
+
+    def ids_of(ds):
+        out = []
+        for b in ds.iter_batches(batch_format="pyarrow", batch_size=1 << 16):
+            out.extend(doc_ids_batch(b["repo"], b["path"],
+                                     b["commit"]).tolist())
+        return sorted(out)
+
+    drv = ids_of(dedup_latest_commit(corpus, EngineConfig()))
+    shf = ids_of(dedup_latest_commit_shuffle(
+        corpus, EngineConfig(dedup_mode="shuffle", dedup_buckets=16)))
+    assert drv == shf
+
+    # full build under shuffle mode: bit-identical segments
+    cfg = EngineConfig(dedup_mode="shuffle", dedup_buckets=16)
+    m2 = build_index(corpus, str(tmp_path / "idx_shuffle"), "ep1", cfg)
+    want = {os.path.basename(s["path"]): s["sha256"]
+            for s in built_index["manifest"]["segments"]}
+    got = {os.path.basename(s["path"]): s["sha256"] for s in m2["segments"]}
+    assert got == want
+
+
+def test_dynamic_hot_df_salting(ray_session, tmp_path):
+    """A term over the per-slice df threshold is salted on the fly
+    (multiple sub-lists) even when absent from the static hot list,
+    and queries stay oracle-identical."""
+    from mee_ray.ids import term_hash
+    from mee_ray.oracle import make_query_set
+
+    docs = [("o/r", f"h{i}.py", "c" * 40,
+             f"def h_{i}(): return omnipresent_token rare_tok_{i}\n")
+            for i in range(40)]
+    cfg = EngineConfig(hot_terms=frozenset(), hot_df_threshold=8,
+                       salt_factor=4)
+    root = _build_small(tmp_path, docs, cfg=cfg)
+
+    from mee_ray.query import Searcher
+    s = Searcher(root)
+    sh = term_hash("omnipresent_token") % cfg.num_shards
+    chunks = s._shard(sh).chunk_meta("omnipresent_token")
+    assert len(chunks) > 1, "df=40 > 8 should have split into sub-lists"
+
+    oi = OracleIndex([(doc_id_of(r, p, c), t) for r, p, c, t in docs])
+    assert (s.n_docs, s.avgdl) == (oi.n_docs, oi.avgdl)
+    qs = [["omnipresent_token"], ["omnipresent_token", "rare_tok_3"],
+          ["rare_tok_7"]]
+    qs += [q["terms"] for q in make_query_set(
+        [(i, t) for i, (_, _, _, t) in enumerate(docs)], n_queries=10,
+        seed=2)]
+    for q in qs:
+        assert s.search(q, 10) == oi.search(q, 10)

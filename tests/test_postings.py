@@ -81,3 +81,107 @@ def test_tf_norm_matches_scalar():
     v = tf_norm(tfs, dls, avgdl=37.5, k1=p.k1, b=p.b)
     for i in range(4):
         assert v[i] == tfn_scalar(float(tfs[i]), float(dls[i]), 37.5, p)
+
+
+# ---- PForDelta codec -------------------------------------------------
+
+def _rand_arrays():
+    import numpy as np
+    rng = np.random.default_rng(7)
+    yield np.empty(0, dtype=np.uint64)
+    yield np.array([0], dtype=np.uint64)
+    yield np.array([2**63 + 11], dtype=np.uint64)
+    yield rng.integers(0, 4, size=1000).astype(np.uint64)        # tf-like
+    yield rng.zipf(1.3, size=777).astype(np.uint64)              # gap-like
+    big = rng.integers(0, 2**62, size=300).astype(np.uint64)     # wide
+    yield big
+    mix = rng.integers(0, 8, size=500).astype(np.uint64)
+    mix[rng.integers(0, 500, size=13)] = rng.integers(
+        2**40, 2**60, size=13).astype(np.uint64)                 # exceptions
+    yield mix
+
+
+def test_pfor_roundtrip():
+    import numpy as np
+
+    from mee_ray.postings import pfor_decode, pfor_encode
+    for arr in _rand_arrays():
+        got = pfor_decode(pfor_encode(arr))
+        assert got.dtype == np.uint64
+        assert np.array_equal(got, arr), arr[:10]
+
+
+def test_tagged_posting_list_codecs_interchange():
+    import numpy as np
+
+    from mee_ray.postings import decode_posting_list, encode_posting_list
+    rng = np.random.default_rng(3)
+    ids = np.unique(rng.integers(0, 2**62, size=900)).astype(np.int64)
+    tfs = rng.integers(1, 9, size=len(ids)).astype(np.int64)
+    for codec in ("varint", "pfor"):
+        e_ids, e_tfs = encode_posting_list(ids, tfs, codec)
+        d_ids, d_tfs = decode_posting_list(e_ids, e_tfs)
+        assert np.array_equal(d_ids, ids) and np.array_equal(d_tfs, tfs)
+    # pfor beats varint on the small skewed tf column
+    v = encode_posting_list(ids, tfs, "varint")[1]
+    p = encode_posting_list(ids, tfs, "pfor")[1]
+    assert len(p) < len(v)
+
+
+def test_pfor_index_end_to_end(ray_session, tmp_path):
+    """Index built with postings_codec="pfor" is rank/score-identical
+    to the oracle, and delta/compact inherit the codec from the
+    manifest."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mee_ray.build import build_index
+    from mee_ray.config import EngineConfig, config_from_manifest
+    from mee_ray.delta import apply_delta
+    from mee_ray.ids import doc_id_of
+    from mee_ray import manifest as mf
+    from mee_ray.merge import compact
+    from mee_ray.oracle import OracleIndex, make_query_set
+    from mee_ray.query import Searcher
+
+    docs = [("o/r", f"p{i}.py", "c" * 40,
+             f"def p_{i}(): return pfor_tok_{i} shared_pfor\n")
+            for i in range(25)]
+    cdir = str(tmp_path / "corpus")
+    os.makedirs(cdir)
+    pq.write_table(pa.table({
+        "repo": pa.array([d[0] for d in docs]),
+        "path": pa.array([d[1] for d in docs]),
+        "commit": pa.array([d[2] for d in docs]),
+        "lang": pa.array(["python"] * len(docs)),
+        "content": pa.array([d[3] for d in docs]),
+    }), f"{cdir}/p.parquet")
+    root = str(tmp_path / "idx")
+    build_index(ray.data.read_parquet(cdir), root, "ep1",
+                EngineConfig(postings_codec="pfor"))
+    assert config_from_manifest(mf.load_manifest(root)).postings_codec == "pfor"
+
+    ev = pa.table({
+        "seq": pa.array([1], pa.int64()),
+        "type": pa.array(["INSERT"]),
+        "repo": pa.array(["o/r"]), "path": pa.array(["new.py"]),
+        "commit": pa.array(["d" * 40]), "lang": pa.array(["python"]),
+        "content": pa.array(["def q(): return pfor_delta_tok shared_pfor\n"]),
+    })
+    apply_delta(ev, root)
+    compact(root, "ep2", gc_old=False)
+
+    all_docs = docs + [("o/r", "new.py", "d" * 40,
+                        "def q(): return pfor_delta_tok shared_pfor\n")]
+    oi = OracleIndex([(doc_id_of(r, p, c), t) for r, p, c, t in all_docs])
+    s = Searcher(root)
+    assert (s.n_docs, s.avgdl) == (oi.n_docs, oi.avgdl)
+    qs = [["shared_pfor"], ["pfor_delta_tok"], ["pfor_tok_3", "shared_pfor"]]
+    qs += [q["terms"] for q in make_query_set(
+        [(i, t) for i, (_, _, _, t) in enumerate(all_docs)],
+        n_queries=10, seed=1)]
+    for q in qs:
+        assert s.search(q, 10) == oi.search(q, 10)
