@@ -98,6 +98,13 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("metrics", help="print the current epoch's metrics")
     m.add_argument("--index", required=True)
 
+    db = sub.add_parser("docbuild", help="config-file-driven document "
+                                         "build (YAML/JSON DocSpec)")
+    db.add_argument("--spec", required=True, help="DocSpec YAML/JSON file")
+    db.add_argument("--input", required=True,
+                    help="directory of <table>.parquet inputs")
+    db.add_argument("--out", required=True, help="output parquet directory")
+
     args = p.parse_args(argv)
     # delta/compact: no --config → derive from the index manifest
     cfg = _engine_config(args.config,
@@ -160,6 +167,19 @@ def main(argv: list[str] | None = None) -> int:
         from mee_ray import manifest as mf
         removed = mf.gc_epochs(args.index)
         print(json.dumps({"removed_epochs": removed}))
+
+    elif args.cmd == "docbuild":
+        _init_ray(args.num_cpus)
+        from mee_ray.pipelines.docbuild import build_documents
+        from mee_ray.pipelines.docspec_io import load_docspec
+
+        spec = load_docspec(args.spec)
+        ds = build_documents(args.input, spec)
+        ds.write_parquet(args.out)
+        import pyarrow.dataset as pads
+        n = pads.dataset(args.out, format="parquet").count_rows()
+        print(json.dumps({"rows": n, "out": args.out,
+                          "master": spec.master}))
 
     elif args.cmd == "metrics":
         import os
