@@ -335,6 +335,29 @@ def build_documents(sf_dir: str, spec: DocSpec,
         read_kw["filter"] = functools.reduce(lambda a, b: a | b, exprs_keep)
     ds = ray.data.read_parquet(f"{sf_dir}/{spec.master}.parquet",
                                columns=master_cols, **read_kw)
+    mch = (_overlays or {}).get(spec.master)
+    if mch is not None:
+        # master-table overlay: drop changed/deleted row versions from
+        # the base read, union the upsert after-images
+        import pyarrow.dataset as pads
+        drop = set(mch.delete_keys or ())
+        if mch.upserts is not None:
+            drop |= set(mch.upserts[spec.key].to_pylist())
+        if drop:
+            drop_sorted = sorted(drop)
+
+            def drop_changed_master(b: pa.Table, k=spec.key,
+                                    da=drop_sorted) -> pa.Table:
+                return b.filter(pc.invert(pc.is_in(
+                    b[k], value_set=pa.array(da, b[k].type))))
+
+            ds = ds.map_batches(drop_changed_master, batch_format="pyarrow")
+        if mch.upserts is not None and mch.upserts.num_rows:
+            fschema = pads.dataset(f"{sf_dir}/{spec.master}.parquet",
+                                   format="parquet").schema
+            ups = mch.upserts.select(master_cols).cast(
+                pa.schema([fschema.field(c) for c in master_cols]))
+            ds = ds.union(ray.data.from_arrow(ups))
     return ds.map_batches(build, batch_format="pyarrow",
                           zero_copy_batch=True)
 
@@ -458,6 +481,62 @@ def apply_join_delta(sf_dir: str, spec: DocSpec,
                            _overlays=overlays,
                            _master_keep=master_keep,
                            _nested_parent_filter=nested_parents)
+
+
+def apply_master_delta(sf_dir: str, spec: DocSpec, change: SlaveChange):
+    """Master-table change events through the config filter — the
+    reference's filter-boundary rewrite (commonhandler.py:549-585): an
+    UPDATE whose after-image LEAVES the filter becomes a document
+    DELETE; one whose after-image ENTERS it becomes an INSERT; one that
+    stays inside re-emits the document.
+
+    ``change.upserts`` are after-images carrying every master column
+    the spec reads; ``change.delete_keys`` are removed master keys.
+    Returns ``(docs, deleted)``: the re-emitted documents Dataset
+    (affected masters whose after-image passes the filter, built
+    against the overlaid master) and a table of master keys whose
+    documents must be tombstoned."""
+    import pyarrow.parquet as pq
+
+    spec.validate()
+    if change.table != spec.master:
+        raise IllegalDocSpec(
+            f"apply_master_delta got changes for {change.table!r}, "
+            f"spec master is {spec.master!r}")
+    upk = (set(change.upserts[spec.key].to_pylist())
+           if change.upserts is not None else set())
+    affected = upk | set(change.delete_keys or ())
+    deleted_schema = pa.schema([(spec.key, pa.int64())])
+    if not affected:
+        return (build_documents(sf_dir, spec,
+                                _master_keep={spec.key: set()}),
+                pa.Table.from_pylist([], schema=deleted_schema))
+
+    # after-image of every affected master (base rows for keys only
+    # touched by deletes, upsert rows for the rest) — the change's
+    # blast radius, so a driver-side read is bounded
+    need_cols = sorted({spec.key}
+                       | set((spec.filter or {}))
+                       | {n.master_key for n in spec.nested})
+    base = pq.read_table(f"{sf_dir}/{spec.master}.parquet",
+                         columns=need_cols,
+                         filters=[(spec.key, "in", sorted(affected))])
+    ups = (change.upserts.select(need_cols)
+           if change.upserts is not None else None)
+    after = _overlay_rows(base, spec.key, ups, change.delete_keys)
+    mask = (_filter_mask(after, spec.filter) if spec.filter
+            else pa.array(np.ones(after.num_rows, dtype=bool)))
+    passing = after.filter(mask)
+    passing_keys = set(passing[spec.key].to_pylist())
+    deleted = sorted(affected - passing_keys)
+
+    nested_parents = {n.table: set(passing[n.master_key].to_pylist())
+                      for n in spec.nested}
+    docs = build_documents(sf_dir, spec,
+                           _overlays={spec.master: change},
+                           _master_keep={spec.key: affected},
+                           _nested_parent_filter=nested_parents)
+    return docs, pa.table({spec.key: pa.array(deleted, pa.int64())})
 
 
 def _expr_columns(expr: str) -> list[str]:
@@ -608,14 +687,74 @@ WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_acctbal > 0.0
 """
 
 
+def docbuild_master_delta(sf_dir: str):
+    """Filter-boundary master delta: a deterministic change batch on
+    the master `customer` table — every key ≡0 (mod 100) drops below
+    the balance filter (→ document DELETE, not emitted), every key ≡1
+    enters the segment+balance filter (→ INSERT), key 5 is deleted —
+    re-emits exactly the affected documents whose after-image passes
+    the config filter."""
+    import pyarrow.parquet as pq
+
+    cols = ["c_custkey", "c_name", "c_acctbal", "c_mktsegment",
+            "c_nationkey"]
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=cols)
+    keys = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    sel = ((keys % 100 == 0) | (keys % 100 == 1)) & (keys != 5)
+    up = cust.filter(pa.array(sel))
+    uk = up["c_custkey"].to_numpy(zero_copy_only=False)
+    enter = uk % 100 == 1
+    acct = np.where(enter, 100.0, -50.0)
+    seg = pa.array(np.where(
+        enter, "BUILDING",
+        up["c_mktsegment"].to_numpy(zero_copy_only=False)).tolist())
+    upserts = pa.table({
+        "c_custkey": up["c_custkey"],
+        "c_name": up["c_name"],
+        "c_acctbal": pa.array(acct, pa.float64()),
+        "c_mktsegment": seg,
+        "c_nationkey": up["c_nationkey"],
+    })
+    change = SlaveChange("customer", upserts=upserts, delete_keys=(5,))
+    docs, _deleted = apply_master_delta(sf_dir, _customer_flat_spec(),
+                                        change)
+    return docs
+
+
+DOCBUILD_MASTER_DELTA_SQL = """
+WITH affected AS (
+  SELECT c_custkey FROM customer
+  WHERE c_custkey % 100 IN (0, 1) OR c_custkey = 5
+), cust2 AS (
+  SELECT c_custkey, c_name,
+         CASE WHEN c_custkey % 100 = 0 THEN -50.0
+              WHEN c_custkey % 100 = 1 THEN 100.0
+              ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_custkey % 100 = 1 THEN 'BUILDING'
+              ELSE c_mktsegment END AS c_mktsegment,
+         c_nationkey
+  FROM customer WHERE c_custkey <> 5
+)
+SELECT c_custkey AS cust_id,
+       c_name    AS cust_name,
+       least(c_acctbal, 5000.0) AS balance_capped,
+       n_name    AS nation_name
+FROM cust2 LEFT JOIN nation ON c_nationkey = n_nationkey
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_acctbal > 0.0
+  AND c_custkey IN (SELECT c_custkey FROM affected)
+"""
+
+
 QUERIES = {
     "docbuild_customer_flat": docbuild_customer_flat,
     "docbuild_nested_summary": docbuild_nested_summary,
     "docbuild_slave_delta": docbuild_slave_delta,
+    "docbuild_master_delta": docbuild_master_delta,
 }
 
 ORACLE = {
     "docbuild_customer_flat": DOCBUILD_FLAT_SQL,
     "docbuild_nested_summary": DOCBUILD_NESTED_SQL,
     "docbuild_slave_delta": DOCBUILD_SLAVE_DELTA_SQL,
+    "docbuild_master_delta": DOCBUILD_MASTER_DELTA_SQL,
 }

@@ -237,3 +237,48 @@ def test_apply_join_delta_empty_change(ray_session):
     # no master references the changed key -> re-emit set may be empty
     # or (if some orphan customer references it) tiny; never the corpus
     assert out.count() <= 5
+
+
+def test_apply_master_delta_filter_boundary(ray_session):
+    """Reference filter-boundary rewrite: an after-image leaving the
+    filter lands in the deleted set (no document emitted); one entering
+    it produces a document; a master delete lands in the deleted set."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.docbuild import (DocSpec, JoinSpec, SlaveChange,
+                                            apply_master_delta)
+
+    spec = DocSpec(
+        master="customer", key="c_custkey",
+        mappings={"cust_id": "c_custkey", "cust_name": "c_name"},
+        filter={"c_acctbal": {">": 0.0}},
+        joins=(JoinSpec("nation", "n_nationkey", "c_nationkey",
+                        {"nation_name": "n_name"}),))
+
+    cols = ["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    cust = pq.read_table(f"{SF}/customer.parquet", columns=cols)
+    k = cust["c_custkey"].to_numpy(zero_copy_only=False)
+    leave_key, enter_key, stay_key, del_key = 10, 11, 12, 13
+    sel = np.isin(k, [leave_key, enter_key, stay_key])
+    up = cust.filter(pa.array(sel))
+    uk = up["c_custkey"].to_numpy(zero_copy_only=False)
+    acct = np.select([uk == leave_key, uk == enter_key, uk == stay_key],
+                     [-1.0, 42.0, 7.0])
+    upserts = pa.table({
+        "c_custkey": up["c_custkey"], "c_name": up["c_name"],
+        "c_acctbal": pa.array(acct, pa.float64()),
+        "c_nationkey": up["c_nationkey"],
+    })
+    docs, deleted = apply_master_delta(
+        SF, spec, SlaveChange("customer", upserts=upserts,
+                              delete_keys=(del_key,)))
+    out = docs.to_pandas()
+    assert set(out["cust_id"]) == {enter_key, stay_key}
+    assert set(deleted["c_custkey"].to_pylist()) == {leave_key, del_key}
+    # re-emitted docs carry the after-image values + live joins
+    assert out[out.cust_id == enter_key].iloc[0]["nation_name"] is not None
+
+    # wrong-table guard
+    with pytest.raises(Exception, match="spec master"):
+        apply_master_delta(SF, spec, SlaveChange("nation"))
