@@ -40,7 +40,14 @@ from mee_ray.config import EngineConfig, resolve_index_config
 from mee_ray.ids import doc_id_of
 
 
-def _live_key_index(index_root: str, manifest: dict, keys: set[tuple[str, str]]
+# docs tables below this total size are scanned on the driver (the
+# pyarrow C++ scanner reads a few dozen MB faster than Ray tasks can
+# start); above it the scan fans out as a broadcast-filtered map_batches
+_LIVE_INDEX_DRIVER_BYTES = 64 << 20
+
+
+def _live_key_index(index_root: str, manifest: dict,
+                    keys: set[tuple[str, str]], mode: str | None = None
                     ) -> tuple[dict[tuple[str, str], tuple[int, int]],
                                dict[int, int]]:
     """Two views of the docs log restricted to ``keys``:
@@ -50,28 +57,81 @@ def _live_key_index(index_root: str, manifest: dict, keys: set[tuple[str, str]]
       resurrection lookup: a re-INSERT of one of these ids revives the
       already-indexed postings instead of re-tokenizing)
 
-    Scans the epoch docs table plus every delta's added-docs file;
-    ``keys`` is small (one delta batch), so this is a broadcast-filtered
-    scan, not a shuffle."""
+    Scans the epoch docs table plus every delta's added-docs file.
+    Only rows matching ``keys`` (one delta batch — the broadcast side)
+    ever reach the driver; for docs tables past
+    ``_LIVE_INDEX_DRIVER_BYTES`` the scan itself runs as Ray tasks,
+    one per docs file, so the corpus-sized read is distributed while
+    newest-file-wins precedence is preserved via the file ordinal."""
     files = list(mf.docs_files(index_root, manifest["epoch"]))
     for d in manifest.get("deltas", []):
         if d.get("added_docs") and os.path.exists(d["added_docs"]):
             files.append(d["added_docs"])
 
     tomb = set(mf.effective_tombstones(manifest).tolist())
+    total = sum(os.path.getsize(f) for f in files)
+    if mode is None:
+        mode = "driver" if total < _LIVE_INDEX_DRIVER_BYTES else "distributed"
+
+    def matches_of(t: pa.Table):
+        for r, p, did, ln in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
+                                 t["doc_id"].to_pylist(),
+                                 t["length"].to_pylist()):
+            if (r, p) in keys:
+                yield r, p, did, ln
+
+    if mode == "distributed":
+        import ray
+        import ray.data
+        keys_ref = ray.put(keys)
+
+        def scan_file(batch: pa.Table) -> pa.Table:
+            ks = ray.get(keys_ref)
+            rows = {"ord": [], "repo": [], "path": [],
+                    "doc_id": [], "length": []}
+            for item in batch.to_pylist():
+                t = pq.read_table(item["file"],
+                                  columns=["repo", "path", "doc_id",
+                                           "length"])
+                for r, p, did, ln in zip(t["repo"].to_pylist(),
+                                         t["path"].to_pylist(),
+                                         t["doc_id"].to_pylist(),
+                                         t["length"].to_pylist()):
+                    if (r, p) in ks:
+                        rows["ord"].append(item["ord"])
+                        rows["repo"].append(r)
+                        rows["path"].append(p)
+                        rows["doc_id"].append(did)
+                        rows["length"].append(ln)
+            return pa.table({
+                "ord": pa.array(rows["ord"], pa.int64()),
+                "repo": pa.array(rows["repo"], pa.string()),
+                "path": pa.array(rows["path"], pa.string()),
+                "doc_id": pa.array(rows["doc_id"], pa.int64()),
+                "length": pa.array(rows["length"], pa.int64()),
+            })
+
+        items = [{"ord": i, "file": f} for i, f in enumerate(files)]
+        got = (ray.data.from_items(items)
+               .map_batches(scan_file, batch_format="pyarrow", batch_size=1)
+               .take_all())
+        got.sort(key=lambda r: r["ord"])   # newest-file-wins precedence
+        matched = [(r["repo"], r["path"], r["doc_id"], r["length"])
+                   for r in got]
+    else:
+        matched = []
+        for f in files:  # later files (newer deltas) overwrite older
+            t = pq.read_table(f, columns=["repo", "path", "doc_id",
+                                          "length"])
+            matched.extend(matches_of(t))
 
     live: dict[tuple[str, str], tuple[int, int]] = {}
     dead: dict[int, int] = {}
-    for f in files:  # later files (newer deltas) overwrite older entries
-        t = pq.read_table(f, columns=["repo", "path", "doc_id", "length"])
-        for r, p, did, ln in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
-                                 t["doc_id"].to_pylist(), t["length"].to_pylist()):
-            if (r, p) not in keys:
-                continue
-            if did in tomb:
-                dead[did] = ln
-            else:
-                live[(r, p)] = (did, ln)
+    for r, p, did, ln in matched:
+        if did in tomb:
+            dead[did] = ln
+        else:
+            live[(r, p)] = (did, ln)
     return live, dead
 
 

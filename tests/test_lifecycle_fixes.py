@@ -409,3 +409,30 @@ def test_dynamic_hot_df_salting(ray_session, tmp_path):
         seed=2)]
     for q in qs:
         assert s.search(q, 10) == oi.search(q, 10)
+
+
+def test_live_key_index_distributed_matches_driver(built_index, ray_session):
+    """The distributed (per-file Ray task) live-key scan must return
+    exactly what the driver-side scan returns, including newest-file
+    precedence across deltas and tombstone classification."""
+    import shutil
+    import tempfile
+
+    from mee_ray.delta import _live_key_index
+
+    with tempfile.TemporaryDirectory() as td:
+        root = os.path.join(td, "idx")
+        shutil.copytree(built_index["index_root"], root)
+        keys = set(sorted(built_index["live"])[:8])
+        k0 = sorted(keys)[0]
+        apply_delta(_events([
+            {"seq": 1, "type": "UPDATE", "repo": k0[0], "path": k0[1],
+             "commit": "e" * 40, "lang": "python",
+             "content": "def u(): return upd_tok\n"},
+            {"seq": 2, "type": "DELETE", "repo": sorted(keys)[1][0],
+             "path": sorted(keys)[1][1]}]), root)
+        m = mf.load_manifest(root)
+        drv = _live_key_index(root, m, keys, mode="driver")
+        dist = _live_key_index(root, m, keys, mode="distributed")
+        assert drv == dist
+        assert drv[0][k0][0] == doc_id_of(k0[0], k0[1], "e" * 40)
