@@ -26,16 +26,27 @@ import sys
 
 
 def _engine_config(path: str | None, default_none: bool = False):
-    """Load EngineConfig from a JSON file.  With ``default_none`` and no
-    path, return None — lifecycle commands (delta/compact) then
-    reconstruct the config from the index manifest, which records the
-    routing/scoring parameters the index was actually built with."""
+    """Load EngineConfig from a JSON, YAML, or INI file (the analog of
+    the reference's YAML handler config + INI app config, both
+    validated into frozen dataclasses at startup).  With
+    ``default_none`` and no path, return None — lifecycle commands
+    (delta/compact) then reconstruct the config from the index
+    manifest, which records the routing/scoring parameters the index
+    was actually built with."""
     from mee_ray.config import BM25Params, EngineConfig, TokenizerConfig
 
     if not path:
         return None if default_none else EngineConfig()
-    with open(path) as f:
-        raw = json.load(f)
+    if path.endswith((".ini", ".cfg")):
+        raw = _ini_config(path)
+    elif path.endswith((".yml", ".yaml")):
+        import yaml
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+    else:
+        with open(path) as f:
+            raw = json.load(f)
     tok = TokenizerConfig(**raw.pop("tokenizer", {}))
     bm25 = BM25Params(**raw.pop("bm25", {}))
     hot = raw.pop("hot_terms", None)
@@ -43,6 +54,41 @@ def _engine_config(path: str | None, default_none: bool = False):
     if hot is not None:
         kw["hot_terms"] = frozenset(hot)
     return EngineConfig(**kw)
+
+
+def _ini_config(path: str) -> dict:
+    """INI → nested config dict: [engine] holds top-level scalar knobs,
+    [tokenizer]/[bm25] map to their sub-configs; values are parsed as
+    JSON scalars (so booleans/ints/floats round-trip), hot_terms is a
+    whitespace-separated list."""
+    import configparser
+
+    cp = configparser.ConfigParser()
+    with open(path) as f:
+        cp.read_file(f)
+
+    def val(s: str):
+        try:
+            return json.loads(s)
+        except json.JSONDecodeError:
+            return s
+
+    raw: dict = {}
+    for sect in cp.sections():
+        items = {k: val(v) for k, v in cp.items(sect)}
+        if sect == "engine":
+            hot = items.pop("hot_terms", None)
+            if isinstance(hot, str):
+                items["hot_terms"] = hot.split()
+            elif hot is not None:
+                items["hot_terms"] = hot
+            raw.update(items)
+        elif sect in ("tokenizer", "bm25"):
+            raw[sect] = items
+        else:
+            raise ValueError(f"unknown config section [{sect}] in {path} "
+                             f"(expected [engine], [tokenizer], [bm25])")
+    return raw
 
 
 def _init_ray(num_cpus: int | None):

@@ -39,3 +39,46 @@ def test_cli_build_then_query(tmp_path):
 
     met = _run("metrics", "--index", index)
     assert met["epoch"] == "ep1" and met["segments"]["n_partitions"] == 4
+
+
+def test_engine_config_yaml_and_ini(tmp_path):
+    """S11/S12: the CLI --config surface accepts YAML and INI forms,
+    parsed into the same frozen EngineConfig as JSON."""
+    from mee_ray.__main__ import _engine_config
+
+    y = tmp_path / "cfg.yml"
+    y.write_text(
+        "num_shards: 2\nparts_per_shard: 2\nsalt_factor: 4\n"
+        "postings_codec: pfor\n"
+        "hot_terms: [def, import]\n"
+        "tokenizer: {split_identifiers: false, subtoken_ngram: 0}\n"
+        "bm25: {k1: 1.5, b: 0.6}\n")
+    cy = _engine_config(str(y))
+    assert (cy.num_shards, cy.parts_per_shard, cy.salt_factor) == (2, 2, 4)
+    assert cy.postings_codec == "pfor"
+    assert cy.hot_terms == frozenset({"def", "import"})
+    assert cy.tokenizer.split_identifiers is False
+    assert (cy.bm25.k1, cy.bm25.b) == (1.5, 0.6)
+
+    i = tmp_path / "cfg.ini"
+    i.write_text(
+        "[engine]\nnum_shards = 2\nparts_per_shard = 2\nsalt_factor = 4\n"
+        "postings_codec = \"pfor\"\nhot_terms = def import\n"
+        "[tokenizer]\nsplit_identifiers = false\nsubtoken_ngram = 0\n"
+        "[bm25]\nk1 = 1.5\nb = 0.6\n")
+    ci = _engine_config(str(i))
+    assert ci == cy
+
+    j = tmp_path / "cfg.json"
+    j.write_text(json.dumps({
+        "num_shards": 2, "parts_per_shard": 2, "salt_factor": 4,
+        "postings_codec": "pfor", "hot_terms": ["def", "import"],
+        "tokenizer": {"split_identifiers": False, "subtoken_ngram": 0},
+        "bm25": {"k1": 1.5, "b": 0.6}}))
+    assert _engine_config(str(j)) == cy
+
+    import pytest as _pytest
+    bad = tmp_path / "bad.ini"
+    bad.write_text("[mystery]\nx = 1\n")
+    with _pytest.raises(ValueError, match="unknown config section"):
+        _engine_config(str(bad))
