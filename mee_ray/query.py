@@ -23,13 +23,17 @@ Two drivers over the same `_ShardIndex` core:
   Scale note — why exact partials and not distributed WAND: with
   term-partitioned shards, per-shard pruning against a global
   threshold is unsound (a doc weak in one shard may be strong
-  globally), and the exact fix is the classic three-phase protocol
-  (bound collection → thresholded candidate partials → per-candidate
-  partial fetch), i.e. two extra round-trips per query.  Partials here
-  are compact numpy arrays (unique docs × 12 B per term), so the
-  single-round exact exchange wins until posting lists reach the
-  multi-million-doc range; the three-phase path is the documented
-  upgrade when that crossover is reached.
+  globally).  Two exact modes are implemented
+  (DistributedSearcher.search(mode=...)):
+
+  - "partials" (default): one round; each actor ships its full
+    per-term partial vectors (unique docs × 12 B per term).  Wins
+    while posting lists are modest.
+  - "threephase": CA-style bound collection → exact local top-m →
+    per-candidate partial fetch, looping with doubled m until the
+    k-th exact candidate score strictly beats Σ of the actors' m-th
+    best bounds.  Two+ rounds, but transfer is O(m + |C|·terms)
+    instead of O(df) — the multi-million-doc-posting-list path.
 
 Live stats: N/avgdl come from the manifest delta log
 (mee_ray.manifest.live_stats) and df is counted after tombstone
@@ -216,6 +220,41 @@ class Searcher:
             out[term] = (ids, w * tf_norm(tfs, dls, self.avgdl, self.k1, self.b))
         return out
 
+    def term_partials_for_docs(self, terms: list[str],
+                               doc_ids_sorted: np.ndarray
+                               ) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """Like :meth:`term_partials` but restricted to a candidate doc
+        set — phase 3 of the distributed three-phase protocol: only
+        |candidates| × |terms| contributions cross the wire, never the
+        full posting lists."""
+        out = {}
+        tomb = self.tombstones
+        cand = np.asarray(doc_ids_sorted, dtype=np.int64)
+        for term in terms:
+            s = term_hash(term) % self.num_shards
+            if not self.owns(s):
+                continue
+            ids, tfs, dls = self._shard(s).postings(term)
+            if len(ids) and len(tomb):
+                mask = ~np.isin(ids, tomb)
+                ids, tfs, dls = ids[mask], tfs[mask], dls[mask]
+            if len(ids) == 0:
+                continue
+            # df/idf from the FULL live posting list (identical to
+            # term_partials), contributions only for the candidates
+            w = idf(len(ids), self.n_docs)
+            if len(cand):
+                pos = np.minimum(np.searchsorted(cand, ids),
+                                 len(cand) - 1)
+                keep = cand[pos] == ids
+            else:
+                keep = np.zeros(len(ids), dtype=bool)
+            ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+            if len(ids):
+                out[term] = (ids, w * tf_norm(tfs, dls, self.avgdl,
+                                              self.k1, self.b))
+        return out
+
     def search(self, terms: list[str], k: int = 10,
                use_wand: bool | None = None) -> list[tuple[int, float]]:
         """Top-k (doc_id, score).  Uses the block-max WAND path when it
@@ -306,6 +345,19 @@ class DistributedSearcher:
             def term_partials(self, terms):
                 return self.searcher.term_partials(terms)
 
+            def term_partials_for_docs(self, terms, doc_ids_sorted):
+                return self.searcher.term_partials_for_docs(
+                    terms, doc_ids_sorted)
+
+            def local_topm(self, terms, m):
+                """(exact local top-m partial ranking, bound): the
+                m-th best partial bounds every unreturned doc's
+                contribution from this actor — phase 1+2 of the
+                three-phase protocol."""
+                ranked = self.searcher.search(terms, m)
+                tau = ranked[m - 1][1] if len(ranked) >= m else 0.0
+                return ranked, tau
+
             def search(self, terms, k):
                 # complete top-k when every query shard lives here —
                 # takes the block-max WAND path when it is exact
@@ -323,7 +375,21 @@ class DistributedSearcher:
         import ray as _ray
         _ray.get([self.actors[a].warm.remote(shards_of[a]) for a in range(n_actors)])
 
-    def search(self, terms: list[str], k: int = 10) -> list[tuple[int, float]]:
+    def search(self, terms: list[str], k: int = 10,
+               mode: str = "partials") -> list[tuple[int, float]]:
+        """Exact top-k.  ``mode``:
+
+        - "partials": one round — every actor ships its full per-term
+          partial score vectors (unique docs × 12 B per term).  Best
+          while posting lists are modest; the r1 default.
+        - "threephase": bound collection → thresholded local top-m →
+          per-candidate partial fetch.  Two+ rounds, but the transfer
+          is O(m + |candidates| × terms) instead of O(df) — the
+          documented upgrade for multi-million-doc posting lists.
+
+        Both modes return doc_ids AND float64 scores identical to the
+        oracle (candidate scores are re-accumulated from per-term
+        contribution vectors in sorted-term order)."""
         import ray
         uterms = sorted(set(terms))
         by_actor: dict[int, list[str]] = defaultdict(list)
@@ -334,8 +400,44 @@ class DistributedSearcher:
             # its local (WAND-pruned) top-k IS the global answer
             (a,) = by_actor
             return ray.get(self.actors[a].search.remote(uterms, k))
+        if mode == "threephase":
+            return self._search_three_phase(by_actor, uterms, k)
         futs = [self.actors[a].term_partials.remote(ts) for a, ts in by_actor.items()]
         return merge_partials(ray.get(futs), uterms, k)
+
+    def _search_three_phase(self, by_actor: dict, uterms: list[str],
+                            k: int) -> list[tuple[int, float]]:
+        """CA-style exact top-k over term-partitioned shard actors.
+
+        Loop: each actor returns its exact local top-m partial ranking
+        plus τ_a (its m-th best partial — the upper bound on any doc it
+        did NOT return); the driver fetches per-term contributions for
+        the candidate union and re-scores them exactly (sorted-term
+        accumulation).  An unseen doc's score is bounded by Σ_a τ_a, so
+        once the k-th exact candidate score strictly beats that sum —
+        or every actor has been drained — the candidate top-k is the
+        global top-k.  m doubles per round; bounded by total drain."""
+        import numpy as np
+        import ray
+
+        m = max(k, 16)
+        while True:
+            futs = [self.actors[a].local_topm.remote(ts, m)
+                    for a, ts in by_actor.items()]
+            got = ray.get(futs)
+            taus = [tau for _, tau in got]
+            cand = sorted({doc for ranked, _ in got for doc, _ in ranked})
+            if not cand:
+                return []
+            cand_arr = np.array(cand, dtype=np.int64)
+            pfuts = [self.actors[a].term_partials_for_docs.remote(ts, cand_arr)
+                     for a, ts in by_actor.items()]
+            exact = merge_partials(ray.get(pfuts), uterms, k)
+            bound = sum(taus)
+            drained = all(t == 0.0 for t in taus)
+            if drained or (len(exact) >= k and exact[k - 1][1] > bound):
+                return exact
+            m *= 2
 
     def query_stats(self) -> dict:
         """Aggregated WAND pruning counters across the actor pool."""

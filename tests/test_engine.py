@@ -384,3 +384,48 @@ def test_query_before_publish_and_bad_publish(ray_session, tmp_path):
     with pytest.raises(FileNotFoundError):
         mf.publish(root, "no_such_epoch")
     assert mf.current_epoch(root) is None  # nothing half-published
+
+
+def test_three_phase_distributed_exactness(built_index, ray_session,
+                                           tmp_path):
+    """The three-phase protocol (local top-m + bounds -> candidate
+    partial fetch) must return doc_ids AND float64 scores identical to
+    the oracle — across k values, rare terms (actor drain path), hot
+    terms (bound-loop path), and post-delta tombstone state."""
+    from mee_ray.delta import apply_delta
+    from mee_ray.query import DistributedSearcher
+
+    ds = DistributedSearcher(built_index["index_root"], n_actors=3)
+    oi = built_index["oracle"]
+    queries = make_query_set(built_index["docs"], n_queries=25, seed=13)
+    queries += [{"terms": ["def", "return"], "k": 3},
+                {"terms": ["def", "import", "self", "return"], "k": 50},
+                {"terms": ["zz_no_such_term_zz", "def"], "k": 5}]
+    for q in queries:
+        got = ds.search(q["terms"], q["k"], mode="threephase")
+        want = oi.search(q["terms"], q["k"])
+        assert got == want, q["terms"]
+    ds.shutdown()
+
+    # tombstone state: delete a few docs, three-phase must stay exact
+    index_copy = str(tmp_path / "index3p")
+    shutil.copytree(built_index["index_root"], index_copy)
+    live = dict(built_index["live"])
+    victims = sorted(live)[:4]
+    ev = [{"seq": i + 1, "type": "DELETE", "repo": kkey[0], "path": kkey[1],
+           "commit": None, "lang": None, "content": None}
+          for i, kkey in enumerate(victims)]
+    evt = pa.table({n: pa.array([e[n] for e in ev])
+                    for n in ("seq", "type", "repo", "path", "commit",
+                              "lang", "content")})
+    apply_delta(evt, index_copy)
+    for kkey in victims:
+        live.pop(kkey)
+    docs = [(doc_id_of(r, p, c), content)
+            for (r, p), (c, content) in live.items()]
+    oi2 = OracleIndex(docs)
+    ds2 = DistributedSearcher(index_copy, n_actors=3)
+    for q in make_query_set(docs, n_queries=12, seed=21):
+        assert ds2.search(q["terms"], q["k"], mode="threephase") == \
+            oi2.search(q["terms"], q["k"])
+    ds2.shutdown()
