@@ -124,6 +124,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--actors", type=int, default=0,
                    help=">0: use the shard-actor pool")
+    q.add_argument("--mode", choices=["partials", "threephase"],
+                   default="partials",
+                   help="distributed exchange strategy (see "
+                        "DistributedSearcher.search)")
 
     d = sub.add_parser("delta", help="apply one delta event batch")
     d.add_argument("--index", required=True)
@@ -178,7 +182,7 @@ def main(argv: list[str] | None = None) -> int:
             _init_ray(args.num_cpus)
             from mee_ray.query import DistributedSearcher
             s = DistributedSearcher(args.index, n_actors=args.actors)
-            hits = s.search(terms, args.k)
+            hits = s.search(terms, args.k, mode=args.mode)
             s.shutdown()
         else:
             from mee_ray.query import Searcher

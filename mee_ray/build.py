@@ -169,17 +169,26 @@ class ExplodeTriples:
             shard_u[j] = s; h2_u[j] = h; hot_u[j] = is_hot
         # dynamic skew defense on top of the static list: a term whose
         # df within THIS task's slice exceeds the threshold is salted
-        # on the fly.  Query-side this is free — postings()/chunk_meta
-        # read every (term, salt) row of a term, and chunk doc sets
-        # stay disjoint (each posting is emitted exactly once), the
-        # same independence delta-segment chunks already rely on.
+        # on the fly.  Dynamic salts live in [salt_factor, 2·salt_factor)
+        # — a range static salting never uses — because the SAME term
+        # can stay unsalted (salt 0) in another task's slice: its salt-0
+        # run then spans an arbitrary doc range that overlaps the salted
+        # ranges, and the query side must detect that mixed layout and
+        # eagerly merge the chunks (wand._chunks_need_merge) instead of
+        # assuming disjoint ordered ranges.
+        dyn = np.zeros(nu, dtype=bool)
         if cfg.hot_df_threshold:
-            hot_u |= np.bincount(idx, minlength=nu) > cfg.hot_df_threshold
+            dyn = (np.bincount(idx, minlength=nu) > cfg.hot_df_threshold) \
+                & ~hot_u
         shard = shard_u[idx]
         h2 = h2_u[idx]
         hot = hot_u[idx]
+        dyn_r = dyn[idx]
 
-        salt = np.where(hot, salts_batch(doc_rep, cfg.salt_factor), 0).astype(np.int32)
+        base_salt = salts_batch(doc_rep, cfg.salt_factor)
+        salt = np.where(hot, base_salt,
+                        np.where(dyn_r, cfg.salt_factor + base_salt,
+                                 0)).astype(np.int32)
         part = (shard * pps
                 + ((h2 ^ (salt.astype(np.int64) * 0x9E3779B1)) % pps)).astype(np.int32)
         return pa.table({

@@ -142,6 +142,7 @@ class _ShardIndex:
                 "block_max": np.asarray(t["block_max"][r].as_py(),
                                         dtype=np.float64),
                 "df": int(t["df"][r].as_py()),
+                "salt": int(t["salt"][r].as_py()),
                 "delta": self.is_delta[ti],
                 "decode": (lambda ti=ti, ri=ri: self._decode_row(ti, ri)),
             })
@@ -291,7 +292,8 @@ class Searcher:
                            self.manifest.get("avgdl") or self.avgdl,
                            self.k1, self.b,
                            block_size=self.manifest.get("block_size", 128),
-                           stats=stats)
+                           stats=stats,
+                           salt_factor=self.manifest.get("salt_factor"))
 
 
 def merge_partials(partials_list: list[dict], terms: list[str], k: int

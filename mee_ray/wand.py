@@ -188,6 +188,35 @@ class _Cursor:
 _FLOAT_HEADROOM = 1.0 + 1e-9
 
 
+def _chunks_need_merge(chunks: list[dict],
+                       salt_factor: int | None = None) -> bool:
+    """Lazy per-chunk cursors require DISJOINT, ordered doc ranges.
+    Statically-salted base chunks qualify (salt = top doc_id bits ⇒
+    one chunk per salt, contiguous disjoint ranges, salts 0..sf-1), as
+    do consistently dynamically-salted chunks (salts sf..2sf-1, same
+    ranges).  Layouts that break the invariant and force an eager
+    merge:
+
+    - any delta chunk (delta doc ids interleave base salted ranges)
+    - MIXED dynamic salting of one term: df-threshold salting fired in
+      some explode-task slices but not others, so a salt-0 chunk with
+      an arbitrary doc range coexists with dynamic-range chunks
+      (salt ≥ sf) — detectable exactly because dynamic salts live in
+      a band static salting never uses
+    - duplicate salts (defensive; cannot arise from the build)"""
+    if any(c.get("delta") for c in chunks):
+        return True
+    if len(chunks) <= 1:
+        return False
+    salts = [c.get("salt", 0) for c in chunks]
+    if len(set(salts)) != len(salts):
+        return True
+    if salt_factor and any(s >= salt_factor for s in salts) \
+            and any(s < salt_factor for s in salts):
+        return True
+    return False
+
+
 def _merge_delta_chunks(chunks: list[dict], k1: float, b: float,
                         avgdl: float, block_size: int) -> list[dict]:
     """Eagerly merge a term's chunks into ONE doc-sorted stream with
@@ -210,7 +239,8 @@ def _merge_delta_chunks(chunks: list[dict], k1: float, b: float,
 def search_wand(term_chunks: dict[str, tuple[float, list[dict]]],
                 k: int, n_docs: int, avgdl: float, avgdl_base: float,
                 k1: float, b: float, block_size: int = 128,
-                stats: WandStats | None = None) -> list[tuple[int, float]]:
+                stats: WandStats | None = None,
+                salt_factor: int | None = None) -> list[tuple[int, float]]:
     """Block-max WAND over prepared per-term (idf weight, chunk list).
 
     term_chunks must be keyed by the query's unique terms; iteration
@@ -225,7 +255,7 @@ def search_wand(term_chunks: dict[str, tuple[float, list[dict]]],
         if not chunks:
             continue
         stats.postings_total += sum(c.get("df", 0) for c in chunks)
-        if any(c.get("delta") for c in chunks):
+        if _chunks_need_merge(chunks, salt_factor):
             chunks = _merge_delta_chunks(chunks, k1, b, avgdl, block_size)
         cursors.append(_Cursor(term, w, chunks, scale, k1, b, avgdl,
                                block_size, stats))

@@ -436,3 +436,45 @@ def test_live_key_index_distributed_matches_driver(built_index, ray_session):
         dist = _live_key_index(root, m, keys, mode="distributed")
         assert drv == dist
         assert drv[0][k0][0] == doc_id_of(k0[0], k0[1], "e" * 40)
+
+
+def test_mixed_dynamic_salting_stays_exact(ray_session, tmp_path):
+    """A term salted by the df threshold in one explode slice but NOT
+    in another produces a salt-0 chunk overlapping the dynamic-range
+    chunks; the query side must detect the mixed layout (dynamic salts
+    live in [sf, 2sf)) and eagerly merge — results stay
+    oracle-identical on the WAND path."""
+    from mee_ray.ids import term_hash
+    from mee_ray.oracle import make_query_set
+    from mee_ray.query import Searcher
+    from mee_ray.wand import _chunks_need_merge
+
+    docs = []
+    for i in range(10):     # slice 1: df(mixterm)=10 > 8 → salted
+        docs.append(("o/r", f"a{i}.py", "c" * 40,
+                     f"def a_{i}(): return mixterm uniq_a_{i}\n"))
+    for i in range(10):     # slice 2: df(mixterm)=5 ≤ 8 → unsalted
+        has = "mixterm" if i < 5 else "other_tok"
+        docs.append(("o/r", f"b{i}.py", "c" * 40,
+                     f"def b_{i}(): return {has} uniq_b_{i}\n"))
+    cfg = EngineConfig(hot_terms=frozenset(), hot_df_threshold=8,
+                       salt_factor=4, tokenize_batch_size=10)
+    root = _build_small(tmp_path, docs, cfg=cfg)
+
+    s = Searcher(root)
+    sh = term_hash("mixterm") % cfg.num_shards
+    chunks = s._shard(sh).chunk_meta("mixterm")
+    salts = sorted(c["salt"] for c in chunks)
+    # the hazardous layout actually occurred: salt-0 chunk + dynamic
+    assert 0 in salts and any(x >= cfg.salt_factor for x in salts), salts
+    assert _chunks_need_merge(chunks, cfg.salt_factor)
+
+    oi = OracleIndex([(doc_id_of(r, p, c), t) for r, p, c, t in docs])
+    assert (s.n_docs, s.avgdl) == (oi.n_docs, oi.avgdl)
+    qs = [["mixterm"], ["mixterm", "uniq_a_3"], ["mixterm", "uniq_b_2"],
+          ["other_tok", "mixterm"]]
+    qs += [q["terms"] for q in make_query_set(
+        [(i, t) for i, (_, _, _, t) in enumerate(docs)], n_queries=10,
+        seed=4)]
+    for q in qs:
+        assert s.search(q, 10) == oi.search(q, 10), q
