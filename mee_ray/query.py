@@ -71,6 +71,9 @@ class _ShardIndex:
     # so 256 entries cap a cold shard's resident payload well under a
     # worker's heap while keeping the hot-term working set loaded
     RG_CACHE_CAP = 256
+    # decoded-postings LRU: repeated hot query terms skip varint/pfor
+    # decode entirely (a few MB at worst — arrays, not raw buffers)
+    DEC_CACHE_CAP = 128
 
     def __init__(self, files: list[str], delta_files: list[str] = ()):
         from collections import OrderedDict
@@ -78,6 +81,7 @@ class _ShardIndex:
         self.is_delta: list[bool] = []
         self.rows: dict[str, list[tuple[int, int]]] = defaultdict(list)
         self._rg_cache: "OrderedDict[tuple[int, int], object]" = OrderedDict()
+        self._dec_cache: "OrderedDict[tuple[int, int], tuple]" = OrderedDict()
         self._rg_bounds: list[np.ndarray] = []
         for f, d in [(f, False) for f in files] + [(f, True) for f in delta_files]:
             pf = pq.ParquetFile(f)
@@ -107,10 +111,18 @@ class _ShardIndex:
         return t, ri - int(bounds[g])
 
     def _decode_row(self, ti: int, ri: int):
+        key = (ti, ri)
+        got = self._dec_cache.get(key)
+        if got is not None:
+            self._dec_cache.move_to_end(key)
+            return got
         t, r = self._row(ti, ri)
         ids, tfs = decode_posting_list(t["doc_ids_enc"][r].as_py(),
                                        t["tfs_enc"][r].as_py())
         dls = varint_decode(t["dls_enc"][r].as_py()).astype(np.int64)
+        self._dec_cache[key] = (ids, tfs, dls)
+        if len(self._dec_cache) > self.DEC_CACHE_CAP:
+            self._dec_cache.popitem(last=False)
         return ids, tfs, dls
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -286,6 +286,12 @@ def search_wand(term_chunks: dict[str, tuple[float, list[dict]]],
                 continue
             ids, sc = c.score_block_vectorized()
             stats.docs_scored += len(ids)
+            if len(heap) >= k:
+                # vectorized pre-filter: only docs that can still enter
+                # the heap (score ≥ current k-th; ties can win on
+                # doc_id, so ≥ not >) hit the per-doc offer loop
+                m = sc >= heap[0][0]
+                ids, sc = ids[m], sc[m]
             for d, s in zip(ids.tolist(), sc.tolist()):
                 offer(d, s)
     else:
