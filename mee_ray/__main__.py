@@ -56,18 +56,50 @@ def _engine_config(path: str | None, default_none: bool = False):
     return EngineConfig(**kw)
 
 
+_INI_FUNCS = {
+    # the reference's INI `%{func()}` interpolation surface
+    # (application/inner.py:16-27: getpid/getdate/randint analogs)
+    "getpid": lambda: str(__import__("os").getpid()),
+    "getdate": lambda fmt="%Y%m%d": __import__("time").strftime(fmt),
+    "randint": lambda a="0", b="100": str(
+        __import__("random").randint(int(a), int(b))),
+}
+
+
+def _interpolate_ini(value: str, path: str) -> str:
+    """Expand ``%{func(args...)}`` occurrences in an INI value."""
+    import re
+
+    def sub(m):
+        name, args = m.group(1), m.group(2)
+        fn = _INI_FUNCS.get(name)
+        if fn is None:
+            raise ValueError(
+                f"unknown interpolation function %{{{name}(...)}} in "
+                f"{path} (known: {sorted(_INI_FUNCS)})")
+        argv = [a.strip().strip("'\"") for a in args.split(",") if a.strip()]
+        return fn(*argv)
+
+    return re.sub(r"%\{(\w+)\(([^)]*)\)\}", sub, value)
+
+
 def _ini_config(path: str) -> dict:
     """INI → nested config dict: [engine] holds top-level scalar knobs,
     [tokenizer]/[bm25] map to their sub-configs; values are parsed as
     JSON scalars (so booleans/ints/floats round-trip), hot_terms is a
-    whitespace-separated list."""
+    whitespace-separated list, and ``%{getdate()}``-style expressions
+    interpolate before parsing (the reference's app-config surface)."""
     import configparser
 
-    cp = configparser.ConfigParser()
+    # interpolation=None: `%` is OUR interpolation marker, not
+    # configparser's BasicInterpolation syntax
+    cp = configparser.ConfigParser(interpolation=None)
     with open(path) as f:
         cp.read_file(f)
 
     def val(s: str):
+        if "%{" in s:
+            s = _interpolate_ini(s, path)
         try:
             return json.loads(s)
         except json.JSONDecodeError:

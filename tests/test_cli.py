@@ -82,3 +82,28 @@ def test_engine_config_yaml_and_ini(tmp_path):
     bad.write_text("[mystery]\nx = 1\n")
     with _pytest.raises(ValueError, match="unknown config section"):
         _engine_config(str(bad))
+
+
+def test_ini_percent_interpolation(tmp_path):
+    """M4: the reference's %{func()} INI interpolation surface —
+    deterministic functions expand before value parsing; unknown
+    functions fail loudly."""
+    import re
+    import time as _time
+
+    from mee_ray.__main__ import _ini_config
+
+    p = tmp_path / "cfg.ini"
+    p.write_text("[engine]\nstats_mode = \"driver\"\n"
+                 "dedup_mode = \"%{getdate(%Y)}-mode\"\n")
+    raw = _ini_config(str(p))
+    assert raw["dedup_mode"] == f"{_time.strftime('%Y')}-mode"
+
+    p2 = tmp_path / "cfg2.ini"
+    p2.write_text("[engine]\nnum_shards = %{randint(4, 4)}\n")
+    assert _ini_config(str(p2))["num_shards"] == 4
+
+    bad = tmp_path / "bad2.ini"
+    bad.write_text("[engine]\nx = %{mystery()}\n")
+    with pytest.raises(ValueError, match="unknown interpolation"):
+        _ini_config(str(bad))
