@@ -66,6 +66,10 @@ LINEAGE_SCHEMA = pa.schema([
     ("path", pa.string()),
     ("sha256", pa.string()),
     ("resumed", pa.bool_()),
+    # avgdl the block-max hints were computed at: segments copied
+    # verbatim across compactions keep their own base, and the query
+    # scales each chunk's bounds by max(1, live/hint) individually
+    ("hint_avgdl", pa.float64()),
 ])
 
 
@@ -218,6 +222,9 @@ def make_encode_partition(seg_dir: str, avgdl: float, cfg: EngineConfig):
             with open(sidecar) as f:
                 lin = json.load(f)
             lin["resumed"] = True
+            # sidecars from older builds predate hint_avgdl; the epoch's
+            # avgdl is deterministic on resume, so it is the right value
+            lin.setdefault("hint_avgdl", float(avgdl))
             return pa.Table.from_pylist([lin], schema=LINEAGE_SCHEMA)
 
         import pyarrow.compute as pc
@@ -279,7 +286,7 @@ def make_encode_partition(seg_dir: str, avgdl: float, cfg: EngineConfig):
             sha = hashlib.sha256(f.read()).hexdigest()
         lin = {"part": part, "n_terms": len(o_term), "n_postings": int(n),
                "bytes": os.path.getsize(final), "path": final, "sha256": sha,
-               "resumed": False}
+               "resumed": False, "hint_avgdl": float(avgdl)}
         tmp_sc = sidecar + f".tmp.{os.getpid()}"
         with open(tmp_sc, "w") as f:
             json.dump(lin, f)

@@ -130,13 +130,59 @@ def compact(index_root: str, new_epoch: str,
 
     # --- segments: per-partition local merge (no shuffle) -------------
     part_items = partition_plan(manifest)
+    # Fast path: with an EMPTY effective tombstone set (insert-only
+    # delta log), a partition with no delta files has nothing to merge
+    # — its segment file is copied verbatim into the new epoch and its
+    # block-max hints keep their original avgdl base (hint_avgdl in
+    # the lineage; the query scales each chunk's bounds individually).
+    # Compaction cost becomes O(touched partitions), not O(index).
+    seg_meta = {s["path"]: s for s in manifest["segments"]}
+    if len(tomb) == 0:
+        for item in part_items:
+            if not item["delta_files"] and len(item["files"]) == 1:
+                m0 = seg_meta[item["files"][0]]
+                item.update(
+                    copy=True, n_terms=m0["n_terms"],
+                    n_postings=m0["n_postings"], bytes=m0["bytes"],
+                    sha256=m0["sha256"],
+                    hint_avgdl=float(m0.get("hint_avgdl")
+                                     or manifest.get("avgdl") or 0.0))
+
+    for item in part_items:     # homogeneous rows for from_items
+        item.setdefault("copy", False)
+        item.setdefault("n_terms", 0)
+        item.setdefault("n_postings", 0)
+        item.setdefault("bytes", 0)
+        item.setdefault("sha256", "")
+        item.setdefault("hint_avgdl", 0.0)
+
     encode = make_encode_partition(new_segs, avgdl_live or 1.0, cfg)
 
     def merge_part(batch: pa.Table) -> pa.Table:
+        import json as _json
+        import shutil as _shutil
         out = []
         tb = _ray.get(tomb_ref)
         for row in batch.to_pylist():
             part = row["part"]
+            if row.get("copy"):
+                src = row["files"][0]
+                dst = os.path.join(new_segs, os.path.basename(src))
+                tmp = dst + f".tmp.{os.getpid()}"
+                _shutil.copyfile(src, tmp)
+                os.replace(tmp, dst)
+                lin = {"part": part, "n_terms": row["n_terms"],
+                       "n_postings": row["n_postings"],
+                       "bytes": row["bytes"], "path": dst,
+                       "sha256": row["sha256"], "resumed": False,
+                       "hint_avgdl": row["hint_avgdl"]}
+                tmp_sc = dst + f".lineage.json.tmp.{os.getpid()}"
+                with open(tmp_sc, "w") as f:
+                    _json.dump(lin, f)
+                os.replace(tmp_sc, dst + ".lineage.json")
+                out.append(pa.Table.from_pylist([lin],
+                                                schema=LINEAGE_SCHEMA))
+                continue
             tabs = [_decode_rows(pq.read_table(f))
                     for f in row["files"] + row["delta_files"]]
             tabs = [t for t in tabs if t.num_rows]

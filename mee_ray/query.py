@@ -75,7 +75,8 @@ class _ShardIndex:
     # decode entirely (a few MB at worst — arrays, not raw buffers)
     DEC_CACHE_CAP = 128
 
-    def __init__(self, files: list[str], delta_files: list[str] = ()):
+    def __init__(self, files: list[str], delta_files: list[str] = (),
+                 file_hints: dict[str, float] | None = None):
         from collections import OrderedDict
         self.files: list[pq.ParquetFile] = []
         self.is_delta: list[bool] = []
@@ -83,11 +84,14 @@ class _ShardIndex:
         self._rg_cache: "OrderedDict[tuple[int, int], object]" = OrderedDict()
         self._dec_cache: "OrderedDict[tuple[int, int], tuple]" = OrderedDict()
         self._rg_bounds: list[np.ndarray] = []
+        self._hints: list[float] = []
+        file_hints = file_hints or {}
         for f, d in [(f, False) for f in files] + [(f, True) for f in delta_files]:
             pf = pq.ParquetFile(f)
             ti = len(self.files)
             self.files.append(pf)
             self.is_delta.append(d)
+            self._hints.append(float(file_hints.get(f, 0.0)))
             # cumulative row offsets per row group → row → group lookup
             sizes = [pf.metadata.row_group(g).num_rows
                      for g in range(pf.num_row_groups)]
@@ -156,6 +160,7 @@ class _ShardIndex:
                 "df": int(t["df"][r].as_py()),
                 "salt": int(t["salt"][r].as_py()),
                 "delta": self.is_delta[ti],
+                "hint_avgdl": self._hints[ti],
                 "decode": (lambda ti=ti, ri=ri: self._decode_row(ti, ri)),
             })
         return out
@@ -202,13 +207,21 @@ class Searcher:
             part = int(os.path.basename(f).split("-")[1].split(".")[0])
             self._files_by_shard[part // pps].append(f)
         self._delta_files = delta
+        # per-segment block-max hint base: segments copied verbatim
+        # across compactions keep the avgdl their hints were computed
+        # at; missing (older manifests) → the epoch's avgdl
+        epoch_avgdl = float(self.manifest.get("avgdl") or 0.0)
+        self._file_hints = {
+            s["path"]: float(s.get("hint_avgdl") or epoch_avgdl)
+            for s in self.manifest["segments"]}
 
     def _shard(self, s: int) -> _ShardIndex:
         got = self._shards.get(s)
         if got is None:
             files = list(self._files_by_shard.get(s, []))
             # delta files are small and filtered by the term dict
-            got = self._shards[s] = _ShardIndex(files, self._delta_files)
+            got = self._shards[s] = _ShardIndex(files, self._delta_files,
+                                                self._file_hints)
         return got
 
     def owns(self, shard: int) -> bool:

@@ -257,6 +257,15 @@ def search_wand(term_chunks: dict[str, tuple[float, list[dict]]],
         stats.postings_total += sum(c.get("df", 0) for c in chunks)
         if _chunks_need_merge(chunks, salt_factor):
             chunks = _merge_delta_chunks(chunks, k1, b, avgdl, block_size)
+        for c in chunks:
+            # per-chunk bound scaling: a segment copied verbatim across
+            # a compaction keeps the avgdl its block maxes were
+            # computed at (hint_avgdl); chunks without a hint fall back
+            # to the caller's global base
+            h = c.get("hint_avgdl") or 0.0
+            if h > 0:
+                c.setdefault("scale",
+                             max(1.0, avgdl / h) * _FLOAT_HEADROOM)
         cursors.append(_Cursor(term, w, chunks, scale, k1, b, avgdl,
                                block_size, stats))
 

@@ -478,3 +478,88 @@ def test_mixed_dynamic_salting_stays_exact(ray_session, tmp_path):
         seed=4)]
     for q in qs:
         assert s.search(q, 10) == oi.search(q, 10), q
+
+
+def test_insert_only_compaction_fast_path(ray_session, tmp_path):
+    """With an empty tombstone set, untouched partitions are copied
+    verbatim at compaction (byte-identical, hint_avgdl preserved) and
+    queries stay oracle-identical despite large avgdl drift between
+    the copied segments' hint base and the live stats — in BOTH drift
+    directions."""
+    from mee_ray.oracle import make_query_set
+
+    base_docs = [("o/r", f"c{i}.py", "c" * 40,
+                  f"def c_{i}(): return short_tok_{i} common_fast_tok\n")
+                 for i in range(30)]
+    root = _build_small(tmp_path, base_docs)
+    m1 = mf.load_manifest(root)
+    old_segs = {os.path.basename(s["path"]): s for s in m1["segments"]}
+    old_avgdl = m1["avgdl"]
+
+    # insert-only delta with LONG docs → avgdl grows well past the
+    # copied segments' hint base
+    long_body = " ".join(["filler_pad"] * 300)   # ONE term: few partitions touched
+    ev = [{"seq": i + 1, "type": "INSERT", "repo": "o/r2",
+           "path": f"L{i}.py", "commit": "d" * 40, "lang": "python",
+           "content": f"def L_{i}(): return long_tok_{i} "
+                      f"common_fast_tok {long_body}\n"}
+          for i in range(8)]
+    apply_delta(_events(ev), root)
+    compact(root, "ep2", gc_old=False)
+    m2 = mf.load_manifest(root)
+    assert m2["avgdl"] > old_avgdl * 2   # real drift
+
+    copied = skipped = 0
+    for s in m2["segments"]:
+        bn = os.path.basename(s["path"])
+        if bn in old_segs and s["sha256"] == old_segs[bn]["sha256"]:
+            copied += 1
+            assert s["hint_avgdl"] == pytest.approx(old_avgdl)
+        else:
+            skipped += 1
+    assert copied > 0, "no partition took the verbatim-copy fast path"
+
+    docs = ([(doc_id_of(r, p, c), t) for r, p, c, t in base_docs]
+            + [(doc_id_of("o/r2", f"L{i}.py", "d" * 40),
+                e["content"]) for i, e in enumerate(ev)])
+    oi = OracleIndex(docs)
+    s = Searcher(root)
+    assert (s.n_docs, s.avgdl) == (oi.n_docs, oi.avgdl)
+    qs = [["common_fast_tok"], ["short_tok_3"], ["long_tok_2"],
+          ["common_fast_tok", "filler_pad"]]
+    qs += [q["terms"] for q in make_query_set(docs, n_queries=15, seed=6)]
+    for q in qs:
+        assert s.search(q, 10) == oi.search(q, 10), q
+
+    # shrink direction: insert many SHORT docs on top (avgdl falls
+    # below the ep2-encoded partitions' hint base) — still exact
+    ev2 = [{"seq": 100 + i, "type": "INSERT", "repo": "o/r3",
+            "path": f"s{i}.py", "commit": "f" * 40, "lang": "python",
+            "content": f"def s(): return tiny_tok_{i % 3}\n"}
+           for i in range(60)]
+    apply_delta(_events(ev2), root)
+    compact(root, "ep3", gc_old=False)
+    m3 = mf.load_manifest(root)
+    assert m3["avgdl"] < m2["avgdl"]
+    docs += [(doc_id_of("o/r3", f"s{i}.py", "f" * 40), e["content"])
+             for i, e in enumerate(ev2)]
+    oi = OracleIndex(docs)
+    s = Searcher(root)
+    assert (s.n_docs, s.avgdl) == (oi.n_docs, oi.avgdl)
+    for q in ([["common_fast_tok"], ["tiny_tok_1"], ["long_tok_2"]]
+              + [q["terms"] for q in make_query_set(docs, n_queries=15,
+                                                    seed=8)]):
+        assert s.search(q, 10) == oi.search(q, 10), q
+
+    # a delete disables the fast path (full rewrite, still correct)
+    apply_delta(_events([{"seq": 500, "type": "DELETE", "repo": "o/r",
+                          "path": "c0.py"}]), root)
+    compact(root, "ep4", gc_old=False)
+    docs = [d for d in docs
+            if d[0] != doc_id_of("o/r", "c0.py", "c" * 40)]
+    oi = OracleIndex(docs)
+    s = Searcher(root)
+    assert (s.n_docs, s.avgdl) == (oi.n_docs, oi.avgdl)
+    for q in (["short_tok_0"], ["common_fast_tok"]):
+        assert s.search([q] if isinstance(q, str) else q, 10) == \
+            oi.search([q] if isinstance(q, str) else q, 10)
