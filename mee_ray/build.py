@@ -251,11 +251,32 @@ def make_encode_partition(seg_dir: str, avgdl: float, cfg: EngineConfig):
 
         o_term, o_salt, o_df = [], [], []
         o_ids, o_tfs, o_dls, o_bl, o_bm, o_shard = [], [], [], [], [], []
+        bulk = cfg.postings_codec == "varint"
+        if bulk:
+            # BULK encode: every run's gaps/tfs/dls in ONE vectorized
+            # pass, sliced per run at value boundaries (LEB128 slices
+            # at value boundaries are valid streams) — byte-identical
+            # to per-run encoding, without per-run numpy overhead
+            from mee_ray.postings import (_CODEC_TAGS,
+                                          varint_encode_offsets)
+            gaps = np.empty(n, dtype=np.uint64)
+            if n > 1:
+                gaps[1:] = np.diff(doc_ids).astype(np.uint64)
+            gaps[starts] = doc_ids[starts].astype(np.uint64)  # run-start abs
+            ids_b, ids_off = varint_encode_offsets(gaps)
+            tfs_b, tfs_off = varint_encode_offsets(tfs.astype(np.uint64))
+            dls_b, dls_off = varint_encode_offsets(dls.astype(np.uint64))
+            TAG = bytes((_CODEC_TAGS["varint"],))
         for lo, hi in zip(starts, ends):
             ids_run = doc_ids[lo:hi]
-            ids_enc, tfs_enc = encode_posting_list(ids_run, tfs[lo:hi],
-                                                   cfg.postings_codec)
-            dls_enc = varint_encode(dls[lo:hi].astype(np.uint64))
+            if bulk:
+                ids_enc = TAG + ids_b[ids_off[lo]:ids_off[hi]]
+                tfs_enc = TAG + tfs_b[tfs_off[lo]:tfs_off[hi]]
+                dls_enc = dls_b[dls_off[lo]:dls_off[hi]]
+            else:
+                ids_enc, tfs_enc = encode_posting_list(ids_run, tfs[lo:hi],
+                                                       cfg.postings_codec)
+                dls_enc = varint_encode(dls[lo:hi].astype(np.uint64))
             bl, bm = block_metadata(ids_run, tfnorms[lo:hi], block_size)
             t = terms_vocab[term_idx[lo]]
             o_term.append(t)

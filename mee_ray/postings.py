@@ -27,30 +27,39 @@ FORMAT_VERSION = 2
 _MAX_VARINT_BYTES = 10  # 64-bit value → ≤10 LEB128 bytes
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array. Vectorized over byte positions."""
+def varint_encode_offsets(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a uint64 array, returning (bytes, byte offsets) —
+    ``offsets`` has n+1 entries so ``bytes[offsets[i]:offsets[j]]`` is
+    the exact encoding of ``values[i:j]`` (LEB128 is self-delimiting,
+    so slices at value boundaries are themselves valid streams — the
+    bulk run-encoding path relies on this)."""
     arr = np.ascontiguousarray(values, dtype=np.uint64)
     n = len(arr)
     if n == 0:
-        return b""
+        return b"", np.zeros(1, dtype=np.int64)
     # bytes needed per value: ceil(bit_length / 7), min 1
     nb = np.ones(n, dtype=np.int64)
     v = arr >> np.uint64(7)
     while v.any():
         nb += (v > 0)
         v >>= np.uint64(7)
-    offs = np.zeros(n, dtype=np.int64)
-    np.cumsum(nb[:-1], out=offs[1:])
-    total = int(offs[-1] + nb[-1])
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(nb, out=offs[1:])
+    total = int(offs[-1])
     out = np.zeros(total, dtype=np.uint8)
     max_nb = int(nb.max())
     for j in range(max_nb):
         sel = nb > j
-        idx = offs[sel] + j
+        idx = offs[:-1][sel] + j
         byte = ((arr[sel] >> np.uint64(7 * j)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nb[sel] - 1 > j).astype(np.uint8) << 7
         out[idx] = byte | cont
-    return out.tobytes()
+    return out.tobytes(), offs
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array. Vectorized over byte positions."""
+    return varint_encode_offsets(values)[0]
 
 
 def varint_decode(buf: bytes) -> np.ndarray:
