@@ -350,13 +350,20 @@ def winner_doc_ids(corpus, cfg: EngineConfig) -> np.ndarray:
 
     partials = corpus.select_columns(["repo", "path", "commit"]).map_batches(
         partial_winners, batch_format="pyarrow", zero_copy_batch=True)
-    best: dict[int, str] = {}
+    khs, vals = [], []
     for b in partials.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
-        for k, v in zip(b["kh"].to_pylist(), b["val"].to_pylist()):
-            cur = best.get(k)
-            if cur is None or v > cur:
-                best[k] = v
-    return np.sort(np.array([int(v[-16:], 16) for v in best.values()],
+        khs.append(b["kh"].to_numpy(zero_copy_only=False))
+        vals.append(np.asarray(b["val"].to_pylist(), dtype=object))
+    if not khs:
+        return np.empty(0, dtype=np.int64)
+    kh = np.concatenate(khs)
+    val = np.concatenate(vals)
+    # vectorized max-merge: sort by (kh, val), keep the last row per key
+    order = np.lexsort((val, kh))
+    kh_s, val_s = kh[order], val[order]
+    last = np.ones(len(kh_s), dtype=bool)
+    last[:-1] = kh_s[1:] != kh_s[:-1]
+    return np.sort(np.array([int(v[-16:], 16) for v in val_s[last]],
                             dtype=np.uint64).astype(np.int64))
 
 
