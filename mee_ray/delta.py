@@ -142,6 +142,18 @@ def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
     CURRENT epoch. Returns the appended delta record."""
     import ray.data
 
+    # serialize index mutators (the reference's Redis-redlock analog):
+    # the manifest append below is a read-modify-write — a concurrent
+    # applier would silently drop one of the two records
+    with mf.write_lock(index_root):
+        return _apply_delta_locked(events, index_root, cfg, epoch)
+
+
+def _apply_delta_locked(events, index_root: str,
+                        cfg: EngineConfig | None = None,
+                        epoch: str | None = None) -> dict:
+    import ray.data
+
     manifest = mf.load_manifest(index_root, epoch)
     mf.require_format(manifest)
     # the index's own recorded routing/scoring parameters are

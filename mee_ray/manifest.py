@@ -63,6 +63,44 @@ def load_manifest(index_root: str, epoch: str | None = None) -> dict:
     return m
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def write_lock(index_root: str, timeout_s: float = 60.0):
+    """Advisory exclusive lock serializing index mutators — the analog
+    of the reference's Redis redlock around status transitions
+    (updateservice.py:158-188).  apply_delta / compact / publish do
+    read-modify-write cycles on the manifest; two concurrent writers
+    would silently drop a delta record.  flock on <root>/.write_lock;
+    raises TimeoutError rather than deadlocking."""
+    import fcntl
+    import time as _time
+
+    os.makedirs(index_root, exist_ok=True)
+    path = os.path.join(index_root, ".write_lock")
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+    deadline = _time.monotonic() + timeout_s
+    try:
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except BlockingIOError:
+                if _time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire index write lock {path} "
+                        f"within {timeout_s}s — another writer is "
+                        f"active") from None
+                _time.sleep(0.05)
+        yield
+    finally:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
+
+
 def require_format(manifest: dict) -> None:
     """Refuse to touch postings written by a different on-disk format
     version (misparsing tagged vs untagged buffers is silent garbage)."""
@@ -250,22 +288,27 @@ def publish_with_catchup(index_root: str, epoch: str) -> int:
     (true concurrent writers must serialize through the merge
     scheduler actor, mee_ray.scheduler)."""
     replayed = 0
-    while True:
-        new_m = load_manifest(index_root, epoch)
-        cu = new_m.get("catch_up_from")
-        if not cu or not cu.get("epoch"):
-            break
-        try:
-            old_m = load_manifest(index_root, cu["epoch"])
-        except FileNotFoundError:
-            break
-        extra = old_m.get("deltas", [])[cu.get("consumed_deltas", 0):]
-        if not extra:
-            break
-        carry_over_deltas(index_root, epoch, extra,
-                          cu.get("consumed_deltas", 0) + len(extra))
-        replayed += len(extra)
-    publish(index_root, epoch)
+    # the whole catch-up + flip runs under the index write lock: a
+    # delta either lands on the predecessor BEFORE we take the lock
+    # (then the loop replays it) or blocks until after the flip (then
+    # it targets the new CURRENT) — no lost-window in between
+    with write_lock(index_root):
+        while True:
+            new_m = load_manifest(index_root, epoch)
+            cu = new_m.get("catch_up_from")
+            if not cu or not cu.get("epoch"):
+                break
+            try:
+                old_m = load_manifest(index_root, cu["epoch"])
+            except FileNotFoundError:
+                break
+            extra = old_m.get("deltas", [])[cu.get("consumed_deltas", 0):]
+            if not extra:
+                break
+            carry_over_deltas(index_root, epoch, extra,
+                              cu.get("consumed_deltas", 0) + len(extra))
+            replayed += len(extra)
+        publish(index_root, epoch)
     return replayed
 
 

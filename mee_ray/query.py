@@ -153,10 +153,11 @@ class _ShardIndex:
         for ti, ri in self.rows.get(term, ()):
             t, r = self._row(ti, ri)
             out.append({
-                "block_last": np.asarray(t["block_last"][r].as_py(),
-                                         dtype=np.int64),
-                "block_max": np.asarray(t["block_max"][r].as_py(),
-                                        dtype=np.float64),
+                # ListScalar.values → numpy without a Python-list hop
+                "block_last": t["block_last"][r].values.to_numpy(
+                    zero_copy_only=False).astype(np.int64),
+                "block_max": t["block_max"][r].values.to_numpy(
+                    zero_copy_only=False).astype(np.float64),
                 "df": int(t["df"][r].as_py()),
                 "salt": int(t["salt"][r].as_py()),
                 "delta": self.is_delta[ti],

@@ -563,3 +563,38 @@ def test_insert_only_compaction_fast_path(ray_session, tmp_path):
     for q in (["short_tok_0"], ["common_fast_tok"]):
         assert s.search([q] if isinstance(q, str) else q, 10) == \
             oi.search([q] if isinstance(q, str) else q, 10)
+
+
+def test_write_lock_serializes_mutators(ray_session, tmp_path):
+    """The index write lock (Redis-redlock analog) blocks a second
+    writer; concurrent apply_delta calls from threads serialize and
+    both records land."""
+    import threading
+
+    root = _build_small(tmp_path, [("o/r", f"w{i}.py", "c" * 40,
+                                    f"def w_{i}(): return lk_tok_{i}\n")
+                                   for i in range(5)])
+    with mf.write_lock(root):
+        with pytest.raises(TimeoutError, match="write lock"):
+            with mf.write_lock(root, timeout_s=0.3):
+                pass
+
+    def writer(seq, tok):
+        apply_delta(_events([{"seq": seq, "type": "INSERT", "repo": "o/r",
+                              "path": f"n{seq}.py", "commit": "d" * 40,
+                              "lang": "python",
+                              "content": f"def n(): return {tok}\n"}]),
+                    root)
+
+    ts = [threading.Thread(target=writer, args=(10 + i, f"conc_tok_{i}"))
+          for i in range(3)]
+    for th in ts:
+        th.start()
+    for th in ts:
+        th.join()
+    m = mf.load_manifest(root)
+    assert len(m["deltas"]) == 3          # no record lost
+    s = Searcher(root)
+    assert s.n_docs == 8
+    for i in range(3):
+        assert s.search([f"conc_tok_{i}"], 5)
