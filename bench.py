@@ -150,6 +150,49 @@ def run_suite(sf_dir: str, num_cpus: int, build_only: bool = False) -> dict:
     # 8-actor pool starves every later Ray Data stage (deadlock)
     searcher.shutdown()
 
+    # ---- 2b. lifecycle: delta apply + both compaction paths ----------
+    # (separate dict — not part of suite_sec, so the headline stays
+    # comparable across rounds; skipped in --build-only scaling runs)
+    if build_only:
+        results["queries"] = queries_sec
+        results["suite_sec"] = round(sum(queries_sec.values()), 2)
+        ray.shutdown()
+        return results
+    import pyarrow as pa
+
+    from mee_ray import manifest as mf_
+    from mee_ray.delta import apply_delta
+    from mee_ray.merge import compact
+
+    def _ev(rows):
+        cols = ("seq", "type", "repo", "path", "commit", "lang", "content")
+        return pa.table({c: pa.array([r.get(c) for r in rows])
+                         for c in cols})
+
+    ins = [{"seq": i + 1, "type": "INSERT", "repo": "bench/delta",
+            "path": f"d{i}.py", "commit": "e" * 40, "lang": "python",
+            "content": f"def bench_delta_{i}(): return bench_tok_{i}\n"}
+           for i in range(100)]
+    tq = time.time()
+    apply_delta(_ev(ins), index_root)
+    delta_sec = time.time() - tq
+    tq = time.time()
+    compact(index_root, "bench.c1", gc_old=True)   # insert-only: fast path
+    compact_fast_sec = time.time() - tq
+    doc0 = pq.read_table(mf_.docs_files(index_root, "bench.c1")[0],
+                         columns=["repo", "path"]).slice(0, 1)
+    apply_delta(_ev([{"seq": 1000, "type": "DELETE",
+                      "repo": doc0["repo"][0].as_py(),
+                      "path": doc0["path"][0].as_py()}]), index_root)
+    tq = time.time()
+    compact(index_root, "bench.c2", gc_old=True)   # delete: full rewrite
+    compact_rewrite_sec = time.time() - tq
+    results["lifecycle"] = {
+        "delta_apply_sec": round(delta_sec, 3),
+        "compact_fastpath_sec": round(compact_fast_sec, 3),
+        "compact_rewrite_sec": round(compact_rewrite_sec, 3),
+    }
+
     # ---- 3. headline pipeline slice at sf_dir ------------------------
     if not build_only:
         import __ray_entry__ as entry_mod
@@ -220,6 +263,7 @@ def main() -> None:
         "num_cpus": num_cpus,
         "index_build": r["index_build"],
         "query_latency": r["query_latency"],
+        "lifecycle": r.get("lifecycle"),
     }))
 
 

@@ -165,10 +165,20 @@ def compact(index_root: str, new_epoch: str,
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return batch.filter(pa.array(~np.isin(ids, tb)))
 
-    docs_ds = ray.data.read_parquet(
-        doc_files, columns=mf.DOCS_COLUMNS
-    ).map_batches(drop_tombstoned, batch_format="pyarrow")
-    docs_ds.write_parquet(new_docs)
+    if len(tomb) == 0:
+        # nothing to filter: the new docs table is exactly the base
+        # files + delta added-docs files — copy, don't re-encode
+        import shutil as _sh
+        for i, f in enumerate(doc_files):
+            dst = os.path.join(new_docs, f"docs-{i:05d}.parquet")
+            tmp = dst + f".tmp.{os.getpid()}"
+            _sh.copyfile(f, tmp)
+            os.replace(tmp, dst)
+    else:
+        docs_ds = ray.data.read_parquet(
+            doc_files, columns=mf.DOCS_COLUMNS
+        ).map_batches(drop_tombstoned, batch_format="pyarrow")
+        docs_ds.write_parquet(new_docs)
 
     # --- segments: per-partition local merge (no shuffle) -------------
     part_items = partition_plan(manifest)
