@@ -724,6 +724,81 @@ GROUP BY event_type
 """
 
 
+def quantiles_events(sf_dir: str):
+    """Exact distributed quantiles over a bounded-precision value
+    (A-family depth: percentile aggregates).
+
+    100-TB shape: values are integer cents, so the EXACT quantile is
+    computable from a histogram — per-batch pyarrow combiners emit
+    (event_type, cent, count) partials, the only shuffle carries
+    distinct (type, cent) pairs (bounded by the value range, not the
+    row count), and a tiny driver finish does cumsum + threshold.  The
+    quantile rule is order-statistic-exact and SQL-expressible: the
+    smallest cent whose running count reaches ceil(q·n)."""
+    from ray.data.aggregate import Sum
+
+    def cent_counts(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+                        pa.int64())
+        g = (pa.table({"event_type": t["event_type"], "cent": cents})
+             .group_by(["event_type", "cent"]).aggregate([([], "count_all")]))
+        return g.rename_columns(["event_type", "cent", "n_part"])
+
+    hist = (_read(sf_dir, "events", ["event_type", "value"])
+            .map_batches(cent_counts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["event_type", "cent"])
+            .aggregate(Sum("n_part", alias_name="cnt")))
+    t = pa.concat_tables(list(hist.iter_batches(batch_format="pyarrow",
+                                                batch_size=1 << 20)))
+    ets = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    cents = t["cent"].to_numpy(zero_copy_only=False)
+    cnts = t["cnt"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((cents, ets))
+    ets, cents, cnts = ets[order], cents[order], cnts[order]
+    out = {"event_type": [], "n": [], "p50_cents": [], "p90_cents": [],
+           "p99_cents": []}
+    import math
+    for et in sorted(set(ets.tolist())):
+        m = ets == et
+        c, k = cents[m], cnts[m]
+        run = np.cumsum(k)
+        n = int(run[-1])
+        out["event_type"].append(et)
+        out["n"].append(n)
+        for q, col in ((0.5, "p50_cents"), (0.9, "p90_cents"),
+                       (0.99, "p99_cents")):
+            need = math.ceil(q * n)
+            out[col].append(int(c[np.searchsorted(run, need)]))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "p50_cents": pa.array(out["p50_cents"], pa.int64()),
+        "p90_cents": pa.array(out["p90_cents"], pa.int64()),
+        "p99_cents": pa.array(out["p99_cents"], pa.int64()),
+    })
+
+
+QUANTILES_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cent
+  FROM events
+), tot AS (
+  SELECT event_type, count(*) AS n FROM c GROUP BY event_type
+), cum AS (
+  SELECT event_type, cent,
+         sum(count(*)) OVER (PARTITION BY event_type ORDER BY cent) AS run
+  FROM c GROUP BY event_type, cent
+)
+SELECT tot.event_type, tot.n,
+  CAST(min(CASE WHEN run >= CAST(ceil(0.5  * n) AS BIGINT) THEN cent END) AS BIGINT) AS p50_cents,
+  CAST(min(CASE WHEN run >= CAST(ceil(0.9  * n) AS BIGINT) THEN cent END) AS BIGINT) AS p90_cents,
+  CAST(min(CASE WHEN run >= CAST(ceil(0.99 * n) AS BIGINT) THEN cent END) AS BIGINT) AS p99_cents
+FROM cum JOIN tot USING (event_type)
+GROUP BY tot.event_type, tot.n
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project_revenue": filter_project_revenue,
@@ -742,6 +817,7 @@ QUERIES = {
     "event_type_routing": event_type_routing,
     "semi_join_events_customers": semi_join_events_customers,
     "anti_join_events_customers": anti_join_events_customers,
+    "quantiles_events": quantiles_events,
 }
 
 ORACLE = {
@@ -762,4 +838,5 @@ ORACLE = {
     "event_type_routing": ROUTING_SQL,
     "semi_join_events_customers": SEMI_SQL,
     "anti_join_events_customers": ANTI_SQL,
+    "quantiles_events": QUANTILES_SQL,
 }
