@@ -799,6 +799,64 @@ GROUP BY tot.event_type, tot.n
 """
 
 
+def topk_orders_per_customer(sf_dir: str, k: int = 3,
+                             n_buckets: int = 64):
+    """Windowed ranking (§2.7 depth): each customer's top-k orders by
+    (o_totalprice DESC, o_orderkey ASC), with the rank emitted.
+
+    Same bucketed-vectorized shuffle discipline as sessionization:
+    per-batch combiners keep ≤k rows per customer per batch, customers
+    hash into n_buckets groups, and each group ranks MANY customers in
+    one lexsort + segmented-cumcount pass — no per-customer Python."""
+
+    def topk_of(t: pa.Table, with_bucket: bool) -> pa.Table:
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        price = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, -price, cust))
+        cust_s = cust[order]
+        new = np.ones(len(cust_s), dtype=bool)
+        new[1:] = cust_s[1:] != cust_s[:-1]
+        # rank within customer = position - position of group start
+        pos = np.arange(len(cust_s))
+        start = np.maximum.accumulate(np.where(new, pos, 0))
+        rank = pos - start + 1
+        keep = rank <= k
+        t = t.take(pa.array(order[keep]))
+        t = t.append_column("rank", pa.array(rank[keep], pa.int64()))
+        if with_bucket:
+            t = t.append_column(
+                "bucket", pa.array(t["o_custkey"]
+                                   .to_numpy(zero_copy_only=False)
+                                   % n_buckets, pa.int64()))
+        return t
+
+    def combine(t: pa.Table) -> pa.Table:
+        return topk_of(t, with_bucket=True).drop_columns(["rank"])
+
+    def finish(g: pa.Table) -> pa.Table:
+        return topk_of(g, with_bucket=False).select(
+            ["o_custkey", "rank", "o_orderkey", "o_totalprice"])
+
+    return (_read(sf_dir, "orders",
+                  ["o_custkey", "o_orderkey", "o_totalprice"])
+            .map_batches(combine, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(finish, batch_format="pyarrow"))
+
+
+TOPK_PER_CUST_SQL = """
+SELECT o_custkey, rank, o_orderkey, o_totalprice
+FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               AS rank
+      FROM orders)
+WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project_revenue": filter_project_revenue,
@@ -818,6 +876,7 @@ QUERIES = {
     "semi_join_events_customers": semi_join_events_customers,
     "anti_join_events_customers": anti_join_events_customers,
     "quantiles_events": quantiles_events,
+    "topk_orders_per_customer": topk_orders_per_customer,
 }
 
 ORACLE = {
@@ -839,4 +898,5 @@ ORACLE = {
     "semi_join_events_customers": SEMI_SQL,
     "anti_join_events_customers": ANTI_SQL,
     "quantiles_events": QUANTILES_SQL,
+    "topk_orders_per_customer": TOPK_PER_CUST_SQL,
 }
