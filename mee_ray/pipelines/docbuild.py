@@ -225,20 +225,52 @@ def _nested_maps(sf_dir: str, spec: DocSpec, overlays: dict | None = None,
                 if ups.num_rows:
                     ds = ds.union(ray.data.from_arrow(ups))
 
-        def rollup(g: pa.Table, n=n) -> pa.Table:
+        # one Python group per PARENT would be the measured-4×-slower
+        # anti-pattern (see session_windows_events) — parents hash into
+        # buckets and each group rolls up MANY parents in one
+        # vectorized sort + segmented-rank pass
+        N_BUCKETS = 256
+
+        def add_bucket(t: pa.Table, n=n) -> pa.Table:
+            pk = t[n.parent_key].to_numpy(zero_copy_only=False)
+            return t.append_column(
+                "__bucket",
+                pa.array((pk.astype(np.int64) % N_BUCKETS), pa.int64()))
+
+        def rollup_bucket(g: pa.Table, n=n) -> pa.Table:
+            parent = g[n.parent_key].to_numpy(zero_copy_only=False)
             if n.order_by:
-                g = g.take(pc.sort_indices(g[n.order_by]))
-            g = g.slice(0, n.limit)  # reference's 50-child cap
-            parent = g[n.parent_key][0].as_py()
-            subs = [{f: g[f][r].as_py() for f in n.fields}
-                    for r in range(g.num_rows)]
+                ob = g[n.order_by].to_numpy(zero_copy_only=False)
+                order = np.lexsort((ob, parent))
+            else:
+                order = np.argsort(parent, kind="stable")
+            parent_s = parent[order]
+            pos = np.arange(len(parent_s))
+            new = np.ones(len(parent_s), dtype=bool)
+            new[1:] = parent_s[1:] != parent_s[:-1]
+            start = np.maximum.accumulate(np.where(new, pos, 0))
+            keep = (pos - start) < n.limit   # reference's 50-child cap
+            g = g.take(pa.array(order[keep]))
+            parent_k = parent_s[keep]
+            bounds = np.flatnonzero(
+                np.concatenate(([True], parent_k[1:] != parent_k[:-1])))
+            counts = np.diff(np.concatenate((bounds, [len(parent_k)])))
+            field_vals = {f: g[f].to_pylist() for f in n.fields}
+            out_parent, out_subs = [], []
+            row = 0
+            for b, c in zip(bounds, counts):
+                out_parent.append(parent_k[b])
+                out_subs.append([{f: field_vals[f][row + j]
+                                  for f in n.fields} for j in range(c)])
+                row += c
             return pa.table({
-                "__parent": pa.array([parent]),
-                "__subs": pa.array([subs]),
+                "__parent": pa.array(out_parent),
+                "__subs": pa.array(out_subs),
             })
 
-        rolled = ds.groupby(n.parent_key).map_groups(
-            rollup, batch_format="pyarrow")
+        rolled = (ds.map_batches(add_bucket, batch_format="pyarrow")
+                  .groupby("__bucket")
+                  .map_groups(rollup_bucket, batch_format="pyarrow"))
         m = {}
         for b in rolled.iter_batches(batch_format="pyarrow",
                                      batch_size=1 << 16):
