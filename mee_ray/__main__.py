@@ -177,6 +177,13 @@ def main(argv: list[str] | None = None) -> int:
                                   "(the reference's clean action)")
     g.add_argument("--index", required=True)
 
+    fs = sub.add_parser("fsck", help="verify segment/delta files "
+                                     "against the manifest lineage")
+    fs.add_argument("--index", required=True)
+    fs.add_argument("--epoch", default=None)
+    fs.add_argument("--no-hashes", action="store_true",
+                    help="skip sha256 verification (existence+size only)")
+
     m = sub.add_parser("metrics", help="print the current epoch's metrics")
     m.add_argument("--index", required=True)
 
@@ -249,6 +256,13 @@ def main(argv: list[str] | None = None) -> int:
         from mee_ray import manifest as mf
         removed = mf.gc_epochs(args.index)
         print(json.dumps({"removed_epochs": removed}))
+
+    elif args.cmd == "fsck":
+        from mee_ray import manifest as mf
+        report = mf.fsck(args.index, args.epoch,
+                         verify_hashes=not args.no_hashes)
+        print(json.dumps(report))
+        return 0 if report["ok"] else 1
 
     elif args.cmd == "docbuild":
         _init_ray(args.num_cpus)

@@ -336,6 +336,48 @@ def effective_tombstones(manifest: dict):
     return np.sort(np.fromiter(dead, dtype=np.int64, count=len(dead)))
 
 
+def fsck(index_root: str, epoch: str | None = None,
+         verify_hashes: bool = True) -> dict:
+    """Integrity check of an epoch against its lineage — the
+    operational "is this index trustworthy" probe: every segment file
+    exists with the recorded size (and sha256 when ``verify_hashes``),
+    every delta record's tombstone/added-docs/segment files exist, and
+    the docs directory is non-empty when n_docs > 0.  Returns a report
+    dict; ``ok`` is False iff any check failed."""
+    import hashlib
+
+    m = load_manifest(index_root, epoch)
+    errors: list[str] = []
+    checked = 0
+    for s in m.get("segments", []):
+        checked += 1
+        p = s["path"]
+        if not os.path.exists(p):
+            errors.append(f"segment missing: {p}")
+            continue
+        if os.path.getsize(p) != s["bytes"]:
+            errors.append(f"segment size mismatch: {p} "
+                          f"({os.path.getsize(p)} != {s['bytes']})")
+            continue
+        if verify_hashes:
+            with open(p, "rb") as f:
+                got = hashlib.sha256(f.read()).hexdigest()
+            if got != s["sha256"]:
+                errors.append(f"segment sha256 mismatch: {p}")
+    for d in m.get("deltas", []):
+        for p in ([d.get("tombstones"), d.get("added_docs")]
+                  + list(d.get("segments", []))):
+            if p:
+                checked += 1
+                if not os.path.exists(p):
+                    errors.append(f"delta file missing: {p}")
+    if m.get("n_docs", 0) > 0 and not docs_files(index_root, m["epoch"]):
+        errors.append("docs table empty despite n_docs > 0")
+    return {"epoch": m["epoch"], "ok": not errors, "checked": checked,
+            "n_segments": len(m.get("segments", [])),
+            "n_deltas": len(m.get("deltas", [])), "errors": errors}
+
+
 def live_stats(manifest: dict) -> tuple[int, float]:
     """(N_live, avgdl_live) after applying the delta log to base stats.
     Exact, not approximate: each delta records n/sum_dl added+deleted,

@@ -598,3 +598,33 @@ def test_write_lock_serializes_mutators(ray_session, tmp_path):
     assert s.n_docs == 8
     for i in range(3):
         assert s.search([f"conc_tok_{i}"], 5)
+
+
+def test_fsck_detects_corruption(ray_session, tmp_path):
+    root = _build_small(tmp_path, [("o/r", f"f{i}.py", "c" * 40,
+                                    f"def f_{i}(): return fsck_tok_{i}\n")
+                                   for i in range(10)])
+    apply_delta(_events([{"seq": 1, "type": "INSERT", "repo": "o/r",
+                          "path": "n.py", "commit": "d" * 40,
+                          "lang": "python",
+                          "content": "def n(): return fsck_new\n"}]), root)
+    rep = mf.fsck(root)
+    assert rep["ok"] and not rep["errors"] and rep["n_deltas"] == 1
+
+    # flip one byte in a segment: sha mismatch
+    seg = mf.load_manifest(root)["segments"][0]["path"]
+    data = bytearray(open(seg, "rb").read())
+    data[len(data) // 2] ^= 0xFF
+    open(seg, "wb").write(bytes(data))
+    rep = mf.fsck(root)
+    assert not rep["ok"] and any("sha256" in e or "size" in e
+                                 for e in rep["errors"])
+    # size-only mode still passes (same length)
+    assert mf.fsck(root, verify_hashes=False)["ok"]
+
+    # remove a delta file: missing
+    m = mf.load_manifest(root)
+    os.remove(m["deltas"][0]["added_docs"])
+    rep = mf.fsck(root, verify_hashes=False)
+    assert not rep["ok"] and any("delta file missing" in e
+                                 for e in rep["errors"])
