@@ -353,6 +353,8 @@ class DistributedSearcher:
                  n_actors: int = 4):
         import ray
 
+        self.index_root = index_root
+        self.n_actors_requested = n_actors
         self.manifest = mf.load_manifest(index_root, epoch)
         self.num_shards = self.manifest["num_shards"]
         # never request more 1-CPU actors than the cluster can schedule
@@ -466,6 +468,23 @@ class DistributedSearcher:
             if drained or (len(exact) >= k and exact[k - 1][1] > bound):
                 return exact
             m *= 2
+
+    def stale(self) -> bool:
+        """True when a compaction/rebuild has published a newer epoch
+        than the one this pool serves (whose files may be GC'd)."""
+        return mf.current_epoch(self.index_root) != self.manifest["epoch"]
+
+    def refresh(self) -> bool:
+        """Re-point the pool at the CURRENT epoch if it moved — the
+        reader-side half of the alias swap (searchers follow the
+        pointer; epochs are immutable so no coordination is needed
+        beyond tearing down the old actors).  Returns True if the pool
+        was rebuilt."""
+        if not self.stale():
+            return False
+        self.shutdown()
+        self.__init__(self.index_root, None, self.n_actors_requested)
+        return True
 
     def query_stats(self) -> dict:
         """Aggregated WAND pruning counters across the actor pool."""

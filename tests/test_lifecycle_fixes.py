@@ -628,3 +628,32 @@ def test_fsck_detects_corruption(ray_session, tmp_path):
     rep = mf.fsck(root, verify_hashes=False)
     assert not rep["ok"] and any("delta file missing" in e
                                  for e in rep["errors"])
+
+
+def test_distributed_searcher_refresh_after_compact(ray_session, tmp_path):
+    """A long-lived actor pool detects a published newer epoch and
+    re-points at it (the reader half of the alias swap)."""
+    from mee_ray.query import DistributedSearcher
+
+    docs = [("o/r", f"r{i}.py", "c" * 40,
+             f"def r_{i}(): return refresh_tok_{i}\n") for i in range(8)]
+    root = _build_small(tmp_path, docs)
+    ds = DistributedSearcher(root, n_actors=2)
+    assert not ds.stale() and not ds.refresh()
+    before = ds.search(["refresh_tok_3"], 5)
+    assert before
+
+    apply_delta(_events([{"seq": 1, "type": "INSERT", "repo": "o/r",
+                          "path": "new.py", "commit": "d" * 40,
+                          "lang": "python",
+                          "content": "def n(): return fresh_epoch_tok\n"}]),
+                root)
+    compact(root, "ep2", gc_old=True)   # old epoch GC'd
+    assert ds.stale()
+    assert ds.refresh() is True
+    assert not ds.stale()
+    fresh = Searcher(root)
+    for q in (["refresh_tok_3"], ["fresh_epoch_tok"]):
+        got = ds.search(q, 5)
+        assert got and got == fresh.search(q, 5)
+    ds.shutdown()
