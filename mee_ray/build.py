@@ -97,6 +97,10 @@ class DocTokenize:
         for c in contents:
             c = c if c is not None else ""
             shas.append(hashlib.sha256(c.encode()).digest())
+            if not self.emit_terms:
+                # pass 1 needs only dl — skip the Counter + sort
+                lengths.append(len(self.tok.terms(c)))
+                continue
             counts = self.tok.counts(c)
             # sorted term order inside a doc → deterministic layout
             items = sorted(counts.items())
