@@ -168,6 +168,7 @@ def compact(index_root: str, new_epoch: str,
     if len(tomb) == 0:
         # nothing to filter: the new docs table is exactly the base
         # files + delta added-docs files — copy, don't re-encode
+        # (deterministic names, so a crashed retry overwrites cleanly)
         import shutil as _sh
         for i, f in enumerate(doc_files):
             dst = os.path.join(new_docs, f"docs-{i:05d}.parquet")
@@ -178,7 +179,13 @@ def compact(index_root: str, new_epoch: str,
         docs_ds = ray.data.read_parquet(
             doc_files, columns=mf.DOCS_COLUMNS
         ).map_batches(drop_tombstoned, batch_format="pyarrow")
-        docs_ds.write_parquet(new_docs)
+        # staged write: Ray names output files randomly, so a retry
+        # after a mid-write crash would APPEND to the leftovers and
+        # duplicate rows — write to a temp dir and rename atomically
+        from mee_ray.build import _staged_write
+        import shutil as _sh
+        _sh.rmtree(new_docs, ignore_errors=True)
+        _staged_write(docs_ds, new_docs)
 
     # --- segments: per-partition local merge (no shuffle) -------------
     part_items = partition_plan(manifest)

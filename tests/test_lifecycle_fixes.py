@@ -657,3 +657,55 @@ def test_distributed_searcher_refresh_after_compact(ray_session, tmp_path):
         got = ds.search(q, 5)
         assert got and got == fresh.search(q, 5)
     ds.shutdown()
+
+
+def test_compact_retry_after_partial_crash(ray_session, tmp_path):
+    """A compaction retried after a mid-run crash (docs partially
+    written, some segments + manifest missing) must produce the same
+    index as a clean compaction — no duplicated docs rows, segments
+    short-circuit via sidecars."""
+    docs = [("o/r", f"k{i}.py", "c" * 40,
+             f"def k_{i}(): return crash_tok_{i}\n") for i in range(20)]
+    root = _build_small(tmp_path, docs)
+    apply_delta(_events([
+        {"seq": 1, "type": "INSERT", "repo": "o/r", "path": "n.py",
+         "commit": "d" * 40, "lang": "python",
+         "content": "def n(): return crash_new_tok\n"},
+        {"seq": 2, "type": "DELETE", "repo": "o/r", "path": "k0.py"}]),
+        root)
+
+    # simulate the crash: run compact, then degrade its output —
+    # remove the manifest + half the new segments, and leave a partial
+    # docs dir with a duplicate-producing leftover file
+    compact(root, "ep2", auto_publish=False)
+    edir = mf.epoch_dir(root, "ep2")
+    os.remove(mf.manifest_path(root, "ep2"))
+    shutil.rmtree(os.path.join(edir, "_state.json"), ignore_errors=True)
+    segs = sorted(f for f in os.listdir(os.path.join(edir, "segments"))
+                  if f.endswith(".parquet"))
+    for f in segs[::2]:
+        os.remove(os.path.join(edir, "segments", f))
+        os.remove(os.path.join(edir, "segments", f + ".lineage.json"))
+    docs_dir = os.path.join(edir, "docs")
+    leftover = sorted(os.listdir(docs_dir))
+    # drop one docs file to make the dir partial
+    os.remove(os.path.join(docs_dir, leftover[0]))
+
+    m2 = compact(root, "ep2", gc_old=False)   # the retry
+    assert mf.current_epoch(root) == "ep2"
+
+    exp = {("o/r", f"k{i}.py"): docs[i][3] for i in range(1, 20)}
+    exp[("o/r", "n.py")] = "def n(): return crash_new_tok\n"
+    oi = OracleIndex([(doc_id_of(r, p, "c" * 40 if p != "n.py"
+                                 else "d" * 40), t)
+                      for (r, p), t in exp.items()])
+    s = Searcher(root)
+    assert (s.n_docs, s.avgdl) == (oi.n_docs, oi.avgdl)
+    for q in (["crash_new_tok"], ["crash_tok_5"], ["crash_tok_0"]):
+        assert s.search(q, 10) == oi.search(q, 10)
+    # docs table has no duplicated rows
+    import pyarrow.parquet as _pq
+    t = pa.concat_tables([_pq.read_table(f, columns=["doc_id"])
+                          for f in mf.docs_files(root, "ep2")])
+    ids = t["doc_id"].to_pylist()
+    assert len(ids) == len(set(ids)) == 20
