@@ -71,7 +71,8 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
     assert rows_only == {"minhash_lsh_candidates", "simhash_signatures",
                          "simhash_dup_pairs", "ngram_jaccard_adjacent",
                          "embedding_neardup", "ann_ivf_topk",
-                         "multimodal_audio_features"}
+                         "multimodal_audio_features",
+                         "hll_distinct_counts"}
 
 
 def test_entry_smoke(entry_mod):
@@ -246,3 +247,38 @@ def test_embedding_neardup_recall_floor(entry_mod, ray_session):
     got = embedding_neardup(SF, threshold=0.35).to_pandas()
     found = set(zip(got.a, got.b)) & brute
     assert len(found) / max(1, len(brute)) >= 0.9
+
+
+def test_hll_error_bound_and_merge_identity(entry_mod, ray_session):
+    """HLL estimates stay within the sketch's error envelope of the
+    exact distinct counts, and the register fold is merge-order
+    invariant (elementwise max over arbitrary splits equals the
+    one-shot sketch)."""
+    import numpy as np
+
+    from mee_ray.pipelines.sketches import (_M, hll_estimate, hll_fold,
+                                            exact_distinct_counts,
+                                            hll_distinct_counts)
+
+    est = hll_distinct_counts(SF).to_pandas().set_index("column")
+    exact = exact_distinct_counts(SF).to_pandas().set_index("column")
+    for col in exact.index:
+        n, e = int(exact.loc[col, "n_distinct"]), \
+            int(est.loc[col, "hll_estimate"])
+        # 5x standard error (1.6% at p=12) + slack for tiny counts
+        assert abs(e - n) <= max(5, 0.08 * n), (col, n, e)
+
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 2**62, size=50_000).astype(np.int64)
+    one = hll_fold(vals, np.zeros(_M, dtype=np.uint8))
+    merged = np.zeros(_M, dtype=np.uint8)
+    for chunk in np.array_split(vals, 7):
+        part = hll_fold(chunk, np.zeros(_M, dtype=np.uint8))
+        np.maximum(merged, part, out=merged)
+    assert np.array_equal(one, merged)
+    # duplicates do not move the estimate (idempotent fold)
+    dup = hll_fold(np.concatenate([vals, vals]),
+                   np.zeros(_M, dtype=np.uint8))
+    assert np.array_equal(one, dup)
+    n_true = len(np.unique(vals))
+    assert abs(hll_estimate(one) - n_true) <= 0.05 * n_true
