@@ -148,6 +148,9 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--epoch", required=True)
     b.add_argument("--no-dedup", action="store_true")
     b.add_argument("--no-publish", action="store_true")
+    b.add_argument("--snapshot-watermark", type=int, default=None,
+                   help="max event seq the snapshot corpus includes; "
+                        "predecessor deltas past it replay at publish")
 
     q = sub.add_parser("query", help="top-k BM25")
     q.add_argument("--index", required=True)
@@ -209,7 +212,8 @@ def main(argv: list[str] | None = None) -> int:
         manifest = build_index(read_corpus(args.input), args.index,
                                args.epoch, cfg,
                                dedup=not args.no_dedup,
-                               auto_publish=not args.no_publish)
+                               auto_publish=not args.no_publish,
+                               snapshot_watermark=args.snapshot_watermark)
         print(json.dumps({"epoch": manifest["epoch"],
                           "n_docs": manifest["n_docs"],
                           "total_tokens": manifest["total_tokens"],
