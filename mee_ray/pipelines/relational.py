@@ -47,7 +47,10 @@ def _int_scaled(t: pa.Table, cols: dict[str, float]) -> pa.Table:
     ``CAST(round(x * scale) AS BIGINT)``."""
     for name, scale in cols.items():
         i = t.schema.get_field_index(name)
-        v = np.rint(t[name].to_numpy(zero_copy_only=False) * scale).astype(np.int64)
+        x = t[name].to_numpy(zero_copy_only=False) * scale
+        # half-AWAY-from-zero, matching SQL round(); np.rint is
+        # half-to-even and diverges on exact .5 values
+        v = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
         t = t.set_column(i, name, pa.array(v, pa.int64()))
     return t
 
@@ -69,15 +72,27 @@ def q1_pricing_summary(sf_dir: str):
             return pa.table({"l_returnflag": pa.array([], pa.string()),
                              "l_linestatus": pa.array([], pa.string()),
                              "s_qty": pa.array([], pa.float64()),
-                             "s_base": pa.array([], pa.float64()),
-                             "s_disc": pa.array([], pa.float64()),
+                             "s_base": pa.array([], pa.int64()),
+                             "s_disc": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
+        # money sums in PER-ROW integer cents: integer addition is
+        # order-independent, so partial/shuffle merge order can never
+        # move a result across a rounding boundary (a float-summed
+        # total differed from DuckDB by one cent at sf0.001).
+        # half_towards_infinity == SQL round()'s half-away-from-zero.
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
         disc_price = pc.multiply(t["l_extendedprice"],
                                  pc.subtract(pa.scalar(1.0), t["l_discount"]))
-        t = t.append_column("disc_price", disc_price)
+        disc_cents = pc.cast(pc.round(pc.multiply(disc_price, pa.scalar(100.0)),
+                                      options=half_away), pa.int64())
+        base_cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"],
+                                                  pa.scalar(100.0)),
+                                      options=half_away), pa.int64())
+        t = (t.append_column("disc_cents", disc_cents)
+             .append_column("base_cents", base_cents))
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
-            [("l_quantity", "sum"), ("l_extendedprice", "sum"),
-             ("disc_price", "sum"), ("l_quantity", "count")])
+            [("l_quantity", "sum"), ("base_cents", "sum"),
+             ("disc_cents", "sum"), ("l_quantity", "count")])
         return g.rename_columns(["l_returnflag", "l_linestatus", "s_qty",
                                  "s_base", "s_disc", "n"])
 
@@ -94,26 +109,36 @@ def q1_pricing_summary(sf_dir: str):
     def finish(t: pa.Table) -> pa.Table:
         t = t.append_column("avg_qty", pc.divide(t["sum_qty"],
                                                  pc.cast(t["count_order"], pa.float64())))
-        t = t.append_column("avg_price", pc.divide(t["sum_base_price"],
-                                                   pc.cast(t["count_order"], pa.float64())))
-        return _int_scaled(t, {"sum_qty": 1, "sum_base_price": 100,
-                               "sum_disc_price": 100, "avg_qty": 1e6,
-                               "avg_price": 1e6})
+        # avg_price from the exact integer cent sum: cents/row × 1e4
+        # equals price × 1e6 scale, and the ratio of two exactly-
+        # representable integers is bit-deterministic
+        t = t.append_column("avg_price",
+                            pc.divide(pc.cast(t["sum_base_price"],
+                                              pa.float64()),
+                                      pc.cast(t["count_order"],
+                                              pa.float64())))
+        return _int_scaled(t, {"sum_qty": 1, "avg_qty": 1e6,
+                               "avg_price": 1e4})
 
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
 Q1_SQL = """
+WITH c AS (
+  SELECT l_returnflag, l_linestatus, l_quantity,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS base_cents,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS disc_cents
+  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
 SELECT l_returnflag, l_linestatus,
-       CAST(round(sum(l_quantity)) AS BIGINT)                                AS sum_qty,
-       CAST(round(sum(l_extendedprice) * 100) AS BIGINT)                     AS sum_base_price,
-       CAST(round(sum(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)  AS sum_disc_price,
-       count(*)                                                              AS count_order,
-       CAST(round(sum(l_quantity) / count(*) * 1000000) AS BIGINT)           AS avg_qty,
-       CAST(round(sum(l_extendedprice) / count(*) * 1000000) AS BIGINT)      AS avg_price
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
+       CAST(round(sum(l_quantity)) AS BIGINT)                     AS sum_qty,
+       CAST(sum(base_cents) AS BIGINT)                            AS sum_base_price,
+       CAST(sum(disc_cents) AS BIGINT)                            AS sum_disc_price,
+       count(*)                                                   AS count_order,
+       CAST(round(sum(l_quantity) / count(*) * 1000000) AS BIGINT) AS avg_qty,
+       CAST(round(sum(base_cents) / count(*) * 10000.0) AS BIGINT) AS avg_price
+FROM c GROUP BY l_returnflag, l_linestatus
 """
 
 
@@ -178,20 +203,26 @@ def join_revenue_by_nation(sf_dir: str):
         keys, names = ray.get(ref)
         ok = t["o_custkey"].to_numpy(zero_copy_only=False)
         pos = np.searchsorted(keys, ok)
+        # per-row integer cents: money sums stay order-independent
+        # (half_towards_infinity == SQL round)
+        cents = pc.cast(pc.round(
+            pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+            options=pc.RoundOptions(round_mode="half_towards_infinity")),
+            pa.int64())
         return pa.table({"n_name": pa.array(names[pos].tolist(), pa.string()),
-                         "o_totalprice": t["o_totalprice"]})
+                         "cents": cents})
 
-    out = (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
-           .map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
-           .groupby("n_name")
-           .aggregate(Sum("o_totalprice", alias_name="total_revenue_cents"),
-                      Count(alias_name="n_orders")))
-    return out.map_batches(lambda t: _int_scaled(t, {"total_revenue_cents": 100}),
-                           batch_format="pyarrow")
+    return (_read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+            .map_batches(lookup, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("n_name")
+            .aggregate(Sum("cents", alias_name="total_revenue_cents"),
+                       Count(alias_name="n_orders")))
 
 
 JOIN_NATION_SQL = """
-SELECT n_name, CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS total_revenue_cents,
+SELECT n_name,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_revenue_cents,
        count(*) AS n_orders
 FROM orders JOIN customer ON o_custkey = c_custkey
             JOIN nation   ON c_nationkey = n_nationkey
