@@ -185,3 +185,103 @@ def test_pfor_index_end_to_end(ray_session, tmp_path):
         n_queries=10, seed=1)]
     for q in qs:
         assert s.search(q, 10) == oi.search(q, 10)
+
+
+# ---- property fuzz (hypothesis) --------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+_u64_lists = hst.lists(hst.integers(min_value=0, max_value=2**64 - 1),
+                       max_size=400)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_u64_lists)
+def test_pfor_roundtrip_property(vals):
+    import numpy as np
+
+    from mee_ray.postings import pfor_decode, pfor_encode
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(pfor_decode(pfor_encode(arr)), arr)
+
+
+@settings(max_examples=120, deadline=None)
+@given(_u64_lists, hst.data())
+def test_varint_offset_slices_are_valid_streams(vals, data):
+    """The bulk-encode path slices one varint stream at value
+    boundaries; every such slice must decode to exactly the
+    corresponding sub-array."""
+    import numpy as np
+
+    from mee_ray.postings import varint_decode, varint_encode_offsets
+    arr = np.array(vals, dtype=np.uint64)
+    buf, offs = varint_encode_offsets(arr)
+    n = len(arr)
+    lo = data.draw(hst.integers(0, n))
+    hi = data.draw(hst.integers(lo, n))
+    got = varint_decode(buf[offs[lo]:offs[hi]])
+    assert np.array_equal(got, arr[lo:hi])
+
+
+@settings(max_examples=60, deadline=None)
+@given(hst.lists(hst.tuples(
+    hst.integers(0, 2**62),                       # first doc id
+    hst.lists(hst.integers(1, 2**40), min_size=0, max_size=60),  # gaps
+    hst.sampled_from(["varint", "pfor"])), max_size=12))
+def test_bulk_decode_rows_matches_per_row(runs):
+    """merge._decode_rows (bulk, concatenated per codec tag) must equal
+    decoding each row individually — including mixed-codec tables."""
+    import numpy as np
+    import pyarrow as pa
+
+    from mee_ray.merge import _decode_rows
+    from mee_ray.postings import (decode_posting_list,
+                                  encode_posting_list, varint_encode)
+
+    rows = {"term": [], "salt": [], "df": [], "doc_ids_enc": [],
+            "tfs_enc": [], "dls_enc": []}
+    expect = []
+    rng = np.random.default_rng(5)
+    for i, (first, gaps, codec) in enumerate(runs):
+        ids = np.cumsum(np.array([first] + gaps, dtype=np.uint64)
+                        ).astype(np.int64)
+        tfs = rng.integers(1, 9, size=len(ids)).astype(np.int64)
+        dls = rng.integers(1, 1000, size=len(ids)).astype(np.uint64)
+        e_ids, e_tfs = encode_posting_list(ids, tfs, codec)
+        rows["term"].append(f"t{i}")
+        rows["salt"].append(i % 3)
+        rows["df"].append(len(ids))
+        rows["doc_ids_enc"].append(e_ids)
+        rows["tfs_enc"].append(e_tfs)
+        rows["dls_enc"].append(varint_encode(dls))
+        expect.append((f"t{i}", i % 3, ids, tfs, dls.astype(np.int64)))
+
+    t = pa.table({
+        "term": pa.array(rows["term"], pa.string()),
+        "salt": pa.array(rows["salt"], pa.int32()),
+        "df": pa.array(rows["df"], pa.int64()),
+        "doc_ids_enc": pa.array(rows["doc_ids_enc"], pa.binary()),
+        "tfs_enc": pa.array(rows["tfs_enc"], pa.binary()),
+        "dls_enc": pa.array(rows["dls_enc"], pa.binary()),
+    })
+    got = _decode_rows(t)
+    pos = 0
+    for term, salt, ids, tfs, dls in expect:
+        n = len(ids)
+        sl = got.slice(pos, n)
+        assert sl["term"].to_pylist() == [term] * n
+        assert sl["salt"].to_pylist() == [salt] * n
+        assert np.array_equal(
+            sl["doc_id"].to_numpy(zero_copy_only=False), ids)
+        assert np.array_equal(
+            sl["tf"].to_numpy(zero_copy_only=False).astype(np.int64), tfs)
+        assert np.array_equal(
+            sl["dl"].to_numpy(zero_copy_only=False).astype(np.int64), dls)
+        # cross-check one row against the scalar decode path
+        d_ids, d_tfs = decode_posting_list(
+            t["doc_ids_enc"][expect.index((term, salt, ids, tfs, dls))
+                             ].as_py(),
+            t["tfs_enc"][expect.index((term, salt, ids, tfs, dls))].as_py())
+        assert np.array_equal(d_ids, ids)
+        pos += n
