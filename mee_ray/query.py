@@ -50,7 +50,6 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from mee_ray import manifest as mf
-from mee_ray.config import EngineConfig
 from mee_ray.ids import term_hash
 from mee_ray.postings import decode_posting_list, tf_norm, varint_decode
 from mee_ray.scoring import idf, top_k_select
