@@ -255,32 +255,33 @@ def make_encode_partition(seg_dir: str, avgdl: float, cfg: EngineConfig):
 
         o_term, o_salt, o_df = [], [], []
         o_ids, o_tfs, o_dls, o_bl, o_bm, o_shard = [], [], [], [], [], []
-        bulk = cfg.postings_codec == "varint"
-        if bulk:
-            # BULK encode: every run's gaps/tfs/dls in ONE vectorized
-            # pass, sliced per run at value boundaries (LEB128 slices
-            # at value boundaries are valid streams) — byte-identical
-            # to per-run encoding, without per-run numpy overhead
-            from mee_ray.postings import (_CODEC_TAGS,
-                                          varint_encode_offsets)
-            gaps = np.empty(n, dtype=np.uint64)
-            if n > 1:
-                gaps[1:] = np.diff(doc_ids).astype(np.uint64)
-            gaps[starts] = doc_ids[starts].astype(np.uint64)  # run-start abs
-            ids_b, ids_off = varint_encode_offsets(gaps)
-            tfs_b, tfs_off = varint_encode_offsets(tfs.astype(np.uint64))
-            dls_b, dls_off = varint_encode_offsets(dls.astype(np.uint64))
-            TAG = bytes((_CODEC_TAGS["varint"],))
+        # BULK encode: every run's gaps/tfs/dls in ONE vectorized pass,
+        # sliced per run at value boundaries (LEB128 slices at value
+        # boundaries are valid streams) — byte-identical to per-run
+        # encoding, without per-run numpy overhead.  Under the pfor
+        # codec only runs of ≥ PFOR_MIN_VALUES take the per-run pfor
+        # path (shorter runs are varint-tagged anyway), so the bulk
+        # fast path still covers the Zipf tail of short posting lists.
+        from mee_ray.postings import (_CODEC_TAGS, PFOR_MIN_VALUES,
+                                      varint_encode_offsets)
+        gaps = np.empty(n, dtype=np.uint64)
+        if n > 1:
+            gaps[1:] = np.diff(doc_ids).astype(np.uint64)
+        gaps[starts] = doc_ids[starts].astype(np.uint64)  # run-start abs
+        ids_b, ids_off = varint_encode_offsets(gaps)
+        tfs_b, tfs_off = varint_encode_offsets(tfs.astype(np.uint64))
+        dls_b, dls_off = varint_encode_offsets(dls.astype(np.uint64))
+        TAG = bytes((_CODEC_TAGS["varint"],))
+        use_pfor = cfg.postings_codec == "pfor"
         for lo, hi in zip(starts, ends):
             ids_run = doc_ids[lo:hi]
-            if bulk:
+            if use_pfor and (hi - lo) >= PFOR_MIN_VALUES:
+                ids_enc, tfs_enc = encode_posting_list(ids_run, tfs[lo:hi],
+                                                       "pfor")
+            else:
                 ids_enc = TAG + ids_b[ids_off[lo]:ids_off[hi]]
                 tfs_enc = TAG + tfs_b[tfs_off[lo]:tfs_off[hi]]
-                dls_enc = dls_b[dls_off[lo]:dls_off[hi]]
-            else:
-                ids_enc, tfs_enc = encode_posting_list(ids_run, tfs[lo:hi],
-                                                       cfg.postings_codec)
-                dls_enc = varint_encode(dls[lo:hi].astype(np.uint64))
+            dls_enc = dls_b[dls_off[lo]:dls_off[hi]]
             bl, bm = block_metadata(ids_run, tfnorms[lo:hi], block_size)
             t = terms_vocab[term_idx[lo]]
             o_term.append(t)

@@ -188,8 +188,15 @@ def pfor_decode(buf: bytes) -> np.ndarray:
 _TAG_VARINT, _TAG_PFOR = 0, 1
 _CODEC_TAGS = {"varint": _TAG_VARINT, "pfor": _TAG_PFOR}
 
+# pfor's per-block header + exception framing loses to plain LEB128 on
+# short lists; below this length "pfor" buffers are varint-tagged (the
+# tag byte makes every buffer self-describing, so this is free)
+PFOR_MIN_VALUES = 64
+
 
 def _encode_tagged(values: np.ndarray, codec: str) -> bytes:
+    if codec == "pfor" and len(values) < PFOR_MIN_VALUES:
+        codec = "varint"
     tag = _CODEC_TAGS[codec]
     body = pfor_encode(values) if tag == _TAG_PFOR else varint_encode(values)
     return bytes((tag,)) + body
