@@ -48,14 +48,11 @@ _LIVE_INDEX_DRIVER_BYTES = 64 << 20
 
 def _live_key_index(index_root: str, manifest: dict,
                     keys: set[tuple[str, str]], mode: str | None = None
-                    ) -> tuple[dict[tuple[str, str], tuple[int, int]],
-                               dict[int, int]]:
-    """Two views of the docs log restricted to ``keys``:
-
-    - live: (repo, path) → (doc_id, length) for currently-live docs
-    - dead: doc_id → length for effectively-tombstoned versions (the
-      resurrection lookup: a re-INSERT of one of these ids revives the
-      already-indexed postings instead of re-tokenizing)
+                    ) -> dict[tuple[str, str], tuple[int, int]]:
+    """(repo, path) → (doc_id, length) for currently-live docs among
+    ``keys`` under the sequenced-tombstone rule: a docs row written by
+    source s (base = 0, delta record j = j) is live iff no tombstone
+    for its id has seq > s.
 
     Scans the epoch docs table plus every delta's added-docs file.
     Only rows matching ``keys`` (one delta batch — the broadcast side)
@@ -64,21 +61,23 @@ def _live_key_index(index_root: str, manifest: dict,
     one per docs file, so the corpus-sized read is distributed while
     newest-file-wins precedence is preserved via the file ordinal."""
     files = list(mf.docs_files(index_root, manifest["epoch"]))
+    file_seqs = [0] * len(files)
     for d in manifest.get("deltas", []):
         if d.get("added_docs") and os.path.exists(d["added_docs"]):
             files.append(d["added_docs"])
+            file_seqs.append(d["seq"])
 
-    tomb = set(mf.effective_tombstones(manifest).tolist())
+    tomb_ids, tomb_seqs = mf.tombstone_index(manifest)
     total = sum(os.path.getsize(f) for f in files)
     if mode is None:
         mode = "driver" if total < _LIVE_INDEX_DRIVER_BYTES else "distributed"
 
-    def matches_of(t: pa.Table):
+    def matches_of(t: pa.Table, seq: int):
         for r, p, did, ln in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
                                  t["doc_id"].to_pylist(),
                                  t["length"].to_pylist()):
             if (r, p) in keys:
-                yield r, p, did, ln
+                yield r, p, did, ln, seq
 
     if mode == "distributed":
         import ray
@@ -116,23 +115,24 @@ def _live_key_index(index_root: str, manifest: dict,
                .map_batches(scan_file, batch_format="pyarrow", batch_size=1)
                .take_all())
         got.sort(key=lambda r: r["ord"])   # newest-file-wins precedence
-        matched = [(r["repo"], r["path"], r["doc_id"], r["length"])
-                   for r in got]
+        matched = [(r["repo"], r["path"], r["doc_id"], r["length"],
+                    file_seqs[r["ord"]]) for r in got]
     else:
         matched = []
-        for f in files:  # later files (newer deltas) overwrite older
+        for f, seq in zip(files, file_seqs):   # later files overwrite
             t = pq.read_table(f, columns=["repo", "path", "doc_id",
                                           "length"])
-            matched.extend(matches_of(t))
+            matched.extend(matches_of(t, seq))
 
     live: dict[tuple[str, str], tuple[int, int]] = {}
-    dead: dict[int, int] = {}
-    for r, p, did, ln in matched:
-        if did in tomb:
-            dead[did] = ln
-        else:
+    for r, p, did, ln, seq in matched:
+        if mf.live_posting_mask(np.array([did], dtype=np.int64), seq,
+                                tomb_ids, tomb_seqs)[0]:
             live[(r, p)] = (did, ln)
-    return live, dead
+        else:
+            # this version is dead; a later file may re-add the key
+            live.pop((r, p), None)
+    return live
 
 
 def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
@@ -182,10 +182,9 @@ def _apply_delta_locked(events, index_root: str,
         min_seq = s if min_seq == 0 else min(min_seq, s)
         final[key] = {k: rows[k][i] for k in rows}
 
-    live, dead = _live_key_index(index_root, manifest, set(final))
+    live = _live_key_index(index_root, manifest, set(final))
 
     tomb_ids, tomb_dls = [], []
-    res_ids, res_dls = [], []
     adds = []
     for key, e in final.items():
         old = live.get(key)
@@ -202,15 +201,12 @@ def _apply_delta_locked(events, index_root: str,
                 continue
             if old is not None:
                 tomb_ids.append(old[0]); tomb_dls.append(old[1])
-            if new_id in dead:
-                # delete → re-insert of the SAME version (doc_id is the
-                # version key hash(repo, path, commit)): revive the
-                # already-indexed postings via a resurrection record
-                # instead of re-tokenizing — effective_tombstones
-                # replays the log so the base postings become live again
-                res_ids.append(new_id); res_dls.append(dead[new_id])
-            else:
-                adds.append(e)
+            # delete → re-insert of the same version is a plain re-add:
+            # under sequenced tombstones the new delta's postings
+            # out-sequence the old tombstone, and unlike a revival
+            # record this stays correct when the record is replayed
+            # onto a compacted epoch whose base dropped the postings
+            adds.append(e)
 
     seq_no = len(manifest.get("deltas", [])) + 1
     ddir = os.path.join(edir, "deltas", f"delta-{seq_no:06d}")
@@ -232,9 +228,8 @@ def _apply_delta_locked(events, index_root: str,
     record = {
         "seq": seq_no, "max_event_seq": max_seq, "min_event_seq": min_seq,
         "tombstones": tomb_path, "added_docs": None, "segments": [],
-        "resurrected": [int(i) for i in res_ids],
-        "n_added": len(res_ids), "n_deleted": len(tomb_ids),
-        "sum_dl_added": int(sum(res_dls)),
+        "n_added": 0, "n_deleted": len(tomb_ids),
+        "sum_dl_added": 0,
         "sum_dl_deleted": int(sum(tomb_dls)),
     }
 

@@ -312,28 +312,61 @@ def publish_with_catchup(index_root: str, epoch: str) -> int:
     return replayed
 
 
-def effective_tombstones(manifest: dict):
-    """Replay the delta log in order to the effective dead-doc set.
+def tombstone_index(manifest: dict):
+    """(sorted doc_ids, last tombstone seq per id) over the delta log.
 
-    Each record's tombstone file kills postings written by earlier
-    records (and the base); its ``resurrected`` ids revive a doc whose
-    exact version (same doc_id = hash(repo, path, commit)) was
-    re-inserted after a delete — the already-indexed base postings for
-    that id simply become live again, no re-tokenize needed.  A later
-    delete can kill it again (ordering matters, hence replay, not
-    union).  Returns a sorted int64 numpy array."""
+    Sequenced-tombstone semantics: a tombstone written by delta record
+    k kills ONLY posting/doc-row copies from OLDER sources (the base
+    epoch is source 0, delta record j is source j).  A copy written by
+    source s is live iff s > last_seq(id).  This makes delete →
+    re-insert a plain re-add (the new delta's postings out-sequence the
+    tombstone) that stays correct across compactions and catch-up
+    replays — record seqs are renumbered together at carry-over, so
+    relative order is preserved.  Backward compat: legacy
+    ``resurrected`` lists (an older engine's revival records) drop the
+    id from the index entirely, restoring the base copy."""
     import numpy as np
     import pyarrow.parquet as pq
 
-    dead: set[int] = set()
+    last: dict[int, int] = {}
     for d in manifest.get("deltas", []):
         p = d.get("tombstones")
         if p and os.path.exists(p):
-            dead.update(pq.read_table(p, columns=["doc_id"])["doc_id"]
-                        .to_pylist())
+            for did in pq.read_table(p, columns=["doc_id"])["doc_id"].to_pylist():
+                last[did] = d["seq"]
         for did in d.get("resurrected", ()):
-            dead.discard(did)
-    return np.sort(np.fromiter(dead, dtype=np.int64, count=len(dead)))
+            last.pop(did, None)
+    if not last:
+        z = np.empty(0, dtype=np.int64)
+        return z, z.copy()
+    ids = np.fromiter(last.keys(), dtype=np.int64, count=len(last))
+    seqs = np.fromiter(last.values(), dtype=np.int64, count=len(last))
+    order = np.argsort(ids)
+    return ids[order], seqs[order]
+
+
+def live_posting_mask(ids, source_seq: int, tomb_ids, tomb_seqs):
+    """Boolean mask of ids from ``source_seq`` that are live under the
+    sequenced-tombstone rule (vectorized: searchsorted lookup)."""
+    import numpy as np
+
+    if len(tomb_ids) == 0 or len(ids) == 0:
+        return np.ones(len(ids), dtype=bool)
+    pos = np.minimum(np.searchsorted(tomb_ids, ids),
+                     max(0, len(tomb_ids) - 1))
+    hit = tomb_ids[pos] == ids
+    # a tombstone at seq k kills copies from sources < k, so the copy
+    # from source s is dead iff last_seq(id) > s (equality cannot
+    # occur: one batch is last-writer-wins per key)
+    dead = hit & (tomb_seqs[pos] > source_seq)
+    return ~dead
+
+
+def effective_tombstones(manifest: dict):
+    """Ids whose BASE-epoch copy (source 0) is dead — the set the base
+    docs/postings filters need.  Sorted int64 numpy array."""
+    ids, _seqs = tombstone_index(manifest)
+    return ids
 
 
 def fsck(index_root: str, epoch: str | None = None,

@@ -47,13 +47,17 @@ def partition_plan(manifest: dict) -> list[dict]:
     O(parts × all-delta-files) read amplification."""
     by_part: dict[int, list[str]] = {}
     by_part_delta: dict[int, list[str]] = {}
+    by_part_seqs: dict[int, list[int]] = {}
     for s in manifest["segments"]:
         by_part.setdefault(_part_of_file(s["path"]), []).append(s["path"])
     for d in manifest.get("deltas", []):
         for f in d.get("segments", []):
-            by_part_delta.setdefault(_part_of_file(f), []).append(f)
+            p = _part_of_file(f)
+            by_part_delta.setdefault(p, []).append(f)
+            by_part_seqs.setdefault(p, []).append(d["seq"])
     return [{"part": p, "files": by_part.get(p, []),
-             "delta_files": by_part_delta.get(p, [])}
+             "delta_files": by_part_delta.get(p, []),
+             "delta_seqs": by_part_seqs.get(p, [])}
             for p in sorted(set(by_part) | set(by_part_delta))]
 
 
@@ -142,7 +146,8 @@ def compact(index_root: str, new_epoch: str,
     cfg = resolve_index_config(manifest, cfg)
     old_epoch = manifest["epoch"]
     n_live, avgdl_live = mf.live_stats(manifest)
-    tomb = _tombstones(index_root, manifest)
+    tomb_ids, tomb_seqs = mf.tombstone_index(manifest)
+    tomb = tomb_ids
 
     new_edir = mf.epoch_dir(index_root, new_epoch)
     new_docs = os.path.join(new_edir, "docs")
@@ -150,20 +155,27 @@ def compact(index_root: str, new_epoch: str,
     os.makedirs(new_docs, exist_ok=True)
     os.makedirs(new_segs, exist_ok=True)
 
-    # --- docs table: base minus tombstones, plus live delta adds ------
-    doc_files = list(mf.docs_files(index_root, old_epoch))
+    # --- docs table: sequenced-tombstone filter per source ------------
+    # (a docs row from source s survives iff no tombstone for its id
+    # has seq > s — so a re-added doc's newer row survives the
+    # tombstone that killed its older copy)
+    base_doc_files = list(mf.docs_files(index_root, old_epoch))
+    doc_files = list(base_doc_files)
+    delta_doc_files = []            # (path, source seq)
     for d in manifest.get("deltas", []):
         if d.get("added_docs"):
             doc_files.append(d["added_docs"])
+            delta_doc_files.append((d["added_docs"], d["seq"]))
     import ray as _ray
-    tomb_ref = _ray.put(tomb)
+    tomb_ref = _ray.put((tomb_ids, tomb_seqs))
 
-    def drop_tombstoned(batch: pa.Table) -> pa.Table:
-        tb = _ray.get(tomb_ref)
-        if len(tb) == 0:
-            return batch
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        return batch.filter(pa.array(~np.isin(ids, tb)))
+    def drop_dead(source_seq: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ti, ts = _ray.get(tomb_ref)
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(
+                mf.live_posting_mask(ids, source_seq, ti, ts)))
+        return fn
 
     if len(tomb) == 0:
         # nothing to filter: the new docs table is exactly the base
@@ -177,8 +189,12 @@ def compact(index_root: str, new_epoch: str,
             os.replace(tmp, dst)
     else:
         docs_ds = ray.data.read_parquet(
-            doc_files, columns=mf.DOCS_COLUMNS
-        ).map_batches(drop_tombstoned, batch_format="pyarrow")
+            base_doc_files, columns=mf.DOCS_COLUMNS
+        ).map_batches(drop_dead(0), batch_format="pyarrow")
+        for f, seq in delta_doc_files:
+            docs_ds = docs_ds.union(
+                ray.data.read_parquet([f], columns=mf.DOCS_COLUMNS)
+                .map_batches(drop_dead(seq), batch_format="pyarrow"))
         # staged write: Ray names output files randomly, so a retry
         # after a mid-write crash would APPEND to the leftovers and
         # duplicate rows — write to a temp dir and rename atomically
@@ -242,17 +258,29 @@ def compact(index_root: str, new_epoch: str,
                 out.append(pa.Table.from_pylist([lin],
                                                 schema=LINEAGE_SCHEMA))
                 continue
-            tabs = [_decode_rows(pq.read_table(f))
-                    for f in row["files"] + row["delta_files"]]
-            tabs = [t for t in tabs if t.num_rows]
+            ti, ts = tb
+            tabs = []
+            sources = ([(f, 0) for f in row["files"]]
+                       + list(zip(row["delta_files"],
+                                  row.get("delta_seqs") or [])))
+            for f, seq in sources:
+                t = _decode_rows(pq.read_table(f))
+                if not t.num_rows:
+                    continue
+                if len(ti):
+                    # sequenced filter per source: a re-add in a newer
+                    # delta survives the tombstone that killed the
+                    # older copy of the same doc_id
+                    keep = mf.live_posting_mask(
+                        t["doc_id"].to_numpy(zero_copy_only=False),
+                        seq, ti, ts)
+                    if not keep.all():
+                        t = t.filter(pa.array(keep))
+                if t.num_rows:
+                    tabs.append(t)
             if not tabs:
                 continue
             tri = pa.concat_tables(tabs)
-            if len(tb):
-                ids = tri["doc_id"].to_numpy(zero_copy_only=False)
-                tri = tri.filter(pa.array(~np.isin(ids, tb)))
-            if not tri.num_rows:
-                continue
             tri = tri.append_column("part", pa.array(
                 np.full(tri.num_rows, part, dtype=np.int32)))
             out.append(encode(tri))

@@ -75,7 +75,8 @@ class _ShardIndex:
     DEC_CACHE_CAP = 128
 
     def __init__(self, files: list[str], delta_files: list[str] = (),
-                 file_hints: dict[str, float] | None = None):
+                 file_hints: dict[str, float] | None = None,
+                 file_seqs: dict[str, int] | None = None):
         from collections import OrderedDict
         self.files: list[pq.ParquetFile] = []
         self.is_delta: list[bool] = []
@@ -84,13 +85,16 @@ class _ShardIndex:
         self._dec_cache: "OrderedDict[tuple[int, int], tuple]" = OrderedDict()
         self._rg_bounds: list[np.ndarray] = []
         self._hints: list[float] = []
+        self._seqs: list[int] = []
         file_hints = file_hints or {}
+        file_seqs = file_seqs or {}
         for f, d in [(f, False) for f in files] + [(f, True) for f in delta_files]:
             pf = pq.ParquetFile(f)
             ti = len(self.files)
             self.files.append(pf)
             self.is_delta.append(d)
             self._hints.append(float(file_hints.get(f, 0.0)))
+            self._seqs.append(int(file_seqs.get(f, 0)))
             # cumulative row offsets per row group → row → group lookup
             sizes = [pf.metadata.row_group(g).num_rows
                      for g in range(pf.num_row_groups)]
@@ -130,9 +134,11 @@ class _ShardIndex:
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Concatenated (doc_ids, tfs, dls) across salted sub-lists and
-        delta segments. Doc sets are disjoint (salts are disjoint doc_id
-        ranges; deltas only add new doc_ids), so order across chunks is
-        irrelevant to per-doc accumulation."""
+        delta segments. Doc sets are disjoint per source (salts are
+        disjoint doc_id ranges; a re-add of an id lives in a NEWER
+        source than the tombstone that killed the older copy), so order
+        across chunks is irrelevant to per-doc accumulation — but live
+        filtering must be per source (postings_by_source)."""
         locs = self.rows.get(term)
         if not locs:
             z = np.empty(0, dtype=np.int64)
@@ -143,6 +149,16 @@ class _ShardIndex:
             ids_l.append(ids); tfs_l.append(tfs); dls_l.append(dls)
         return (np.concatenate(ids_l), np.concatenate(tfs_l),
                 np.concatenate(dls_l))
+
+    def postings_by_source(self, term: str):
+        """[(source_seq, doc_ids, tfs, dls)] per stored chunk — the
+        sequenced-tombstone filter needs each chunk's source seq (base
+        segments = 0, delta segments = their record seq)."""
+        out = []
+        for ti, ri in self.rows.get(term, ()):
+            ids, tfs, dls = self._decode_row(ti, ri)
+            out.append((self._seqs[ti], ids, tfs, dls))
+        return out
 
     def chunk_meta(self, term: str) -> list[dict]:
         """Per-chunk metadata WITHOUT decoding postings: stored block
@@ -176,8 +192,9 @@ def _segment_files(index_root: str, manifest: dict) -> tuple[list[str], list[str
 
 
 def _tombstones(index_root: str, manifest: dict) -> np.ndarray:
-    """Effective dead-doc set: tombstones minus later resurrections
-    (delete → re-insert of the same version), replayed in delta order."""
+    """Tombstoned doc ids (seq-insensitive view — used as the
+    "any tombstones pending?" gate; the per-source filters use
+    mf.tombstone_index)."""
     return mf.effective_tombstones(manifest)
 
 
@@ -191,7 +208,8 @@ class Searcher:
         self.n_docs, self.avgdl = mf.live_stats(self.manifest)
         self.k1 = self.manifest["bm25"]["k1"]
         self.b = self.manifest["bm25"]["b"]
-        self.tombstones = _tombstones(index_root, self.manifest)
+        self.tomb_ids, self.tomb_seqs = mf.tombstone_index(self.manifest)
+        self.tombstones = self.tomb_ids   # gate: any pending deletes?
         from mee_ray.wand import WandStats
         self.query_stats = WandStats()
         self._shards: dict[int, _ShardIndex] = {}
@@ -214,6 +232,10 @@ class Searcher:
         self._file_hints = {
             s["path"]: float(s.get("hint_avgdl") or epoch_avgdl)
             for s in self.manifest["segments"]}
+        # delta segment file → record seq (base files default to 0)
+        self._file_seqs = {f: d["seq"]
+                           for d in self.manifest.get("deltas", [])
+                           for f in d.get("segments", [])}
 
     def _shard(self, s: int) -> _ShardIndex:
         got = self._shards.get(s)
@@ -221,25 +243,44 @@ class Searcher:
             files = list(self._files_by_shard.get(s, []))
             # delta files are small and filtered by the term dict
             got = self._shards[s] = _ShardIndex(files, self._delta_files,
-                                                self._file_hints)
+                                                self._file_hints,
+                                                self._file_seqs)
         return got
 
     def owns(self, shard: int) -> bool:
         return self._subset is None or shard in self._subset
 
+    def _live_postings(self, shard: int, term: str):
+        """(doc_ids, tfs, dls) with the sequenced-tombstone filter
+        applied PER SOURCE: a tombstone at delta seq k kills only
+        copies from sources < k, so a re-added doc's newer postings
+        survive the tombstone that killed its older copy."""
+        if len(self.tomb_ids) == 0:
+            return self._shard(shard).postings(term)
+        ids_l, tfs_l, dls_l = [], [], []
+        for seq, ids, tfs, dls in self._shard(shard).postings_by_source(term):
+            keep = mf.live_posting_mask(ids, seq, self.tomb_ids,
+                                        self.tomb_seqs)
+            if keep.all():
+                ids_l.append(ids); tfs_l.append(tfs); dls_l.append(dls)
+            elif keep.any():
+                ids_l.append(ids[keep]); tfs_l.append(tfs[keep])
+                dls_l.append(dls[keep])
+        if not ids_l:
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        return (np.concatenate(ids_l), np.concatenate(tfs_l),
+                np.concatenate(dls_l))
+
     def term_partials(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         """term → (live doc_ids, exact per-term scores) for the terms
         whose shard this searcher owns."""
         out = {}
-        tomb = self.tombstones
         for term in terms:
             s = term_hash(term) % self.num_shards
             if not self.owns(s):
                 continue
-            ids, tfs, dls = self._shard(s).postings(term)
-            if len(ids) and len(tomb):
-                mask = ~np.isin(ids, tomb)
-                ids, tfs, dls = ids[mask], tfs[mask], dls[mask]
+            ids, tfs, dls = self._live_postings(s, term)
             if len(ids) == 0:
                 continue
             w = idf(len(ids), self.n_docs)
@@ -254,16 +295,12 @@ class Searcher:
         |candidates| × |terms| contributions cross the wire, never the
         full posting lists."""
         out = {}
-        tomb = self.tombstones
         cand = np.asarray(doc_ids_sorted, dtype=np.int64)
         for term in terms:
             s = term_hash(term) % self.num_shards
             if not self.owns(s):
                 continue
-            ids, tfs, dls = self._shard(s).postings(term)
-            if len(ids) and len(tomb):
-                mask = ~np.isin(ids, tomb)
-                ids, tfs, dls = ids[mask], tfs[mask], dls[mask]
+            ids, tfs, dls = self._live_postings(s, term)
             if len(ids) == 0:
                 continue
             # df/idf from the FULL live posting list (identical to

@@ -6,7 +6,7 @@
 - EngineConfig reconstruction from / validation against the manifest
 - crashed-apply debris cleared before a retry reuses the delta dir
 - latest-commit-wins with variable-length prefix commits
-- delete → re-insert of the same version (resurrection records)
+- delete → re-insert of the same version (sequenced tombstones)
 """
 
 import json
@@ -197,8 +197,9 @@ def test_winner_prefix_commits(ray_session, tmp_path):
 
 def test_delete_then_reinsert_same_version(ray_session, tmp_path):
     """DELETE followed by re-INSERT of the exact same (repo, path,
-    commit) must resurrect the doc (same doc_id ⇒ same postings), both
-    pre- and post-compaction, with exact stats."""
+    commit) must bring the doc back (sequenced tombstones: the re-add's
+    newer postings out-sequence the tombstone that killed the older
+    copy), both pre- and post-compaction, with exact stats."""
     docs = [("o/r", f"m{i}.py", "c" * 40,
              f"def keep_{i}(): return keep_token_{i} shared_resurrect\n")
             for i in range(6)]
@@ -216,8 +217,8 @@ def test_delete_then_reinsert_same_version(ray_session, tmp_path):
                                 "repo": target[0], "path": target[1],
                                 "commit": "c" * 40, "lang": "python",
                                 "content": docs[3][3]}]), root)
-    assert rec["resurrected"] == [target_id]
-    assert rec["n_added"] == 1 and rec["segments"] == []
+    assert rec["n_added"] == 1 and rec["segments"], \
+        "re-add must write real postings (replay-safe across compaction)"
 
     def check():
         oi = OracleIndex([(doc_id_of(r, p, c), content)
@@ -435,7 +436,7 @@ def test_live_key_index_distributed_matches_driver(built_index, ray_session):
         drv = _live_key_index(root, m, keys, mode="driver")
         dist = _live_key_index(root, m, keys, mode="distributed")
         assert drv == dist
-        assert drv[0][k0][0] == doc_id_of(k0[0], k0[1], "e" * 40)
+        assert drv[k0][0] == doc_id_of(k0[0], k0[1], "e" * 40)
 
 
 def test_mixed_dynamic_salting_stays_exact(ray_session, tmp_path):
@@ -709,3 +710,40 @@ def test_compact_retry_after_partial_crash(ray_session, tmp_path):
                           for f in mf.docs_files(root, "ep2")])
     ids = t["doc_id"].to_pylist()
     assert len(ids) == len(set(ids)) == 20
+
+
+def test_reinsert_survives_catchup_onto_compacted_epoch(ray_session,
+                                                        tmp_path):
+    """The scenario that is UNSOUND under revival-style records: DELETE
+    a doc, compact (publish deferred — the new base physically drops
+    the doc's postings), then re-INSERT the same version on the old
+    epoch, then publish with catch-up.  Sequenced tombstones make the
+    replayed record carry REAL postings, so the doc is searchable on
+    the new epoch with exact stats."""
+    docs = [("o/r", f"z{i}.py", "c" * 40,
+             f"def z_{i}(): return zz_tok_{i} zz_shared\n")
+            for i in range(10)]
+    root = _build_small(tmp_path, docs)
+    target = ("o/r", "z4.py")
+
+    apply_delta(_events([{"seq": 1, "type": "DELETE", "repo": target[0],
+                          "path": target[1]}]), root)
+    compact(root, "ep2", auto_publish=False)   # base drops z4's postings
+    # ...meanwhile the same version is re-inserted on the old epoch
+    apply_delta(_events([{"seq": 2, "type": "INSERT", "repo": target[0],
+                          "path": target[1], "commit": "c" * 40,
+                          "lang": "python", "content": docs[4][3]}]), root)
+    replayed = mf.publish_with_catchup(root, "ep2")
+    assert replayed == 1 and mf.current_epoch(root) == "ep2"
+
+    oi = OracleIndex([(doc_id_of(r, p, c), t) for r, p, c, t in docs])
+    s = Searcher(root)
+    assert (s.n_docs, s.avgdl) == (oi.n_docs, oi.avgdl)
+    for q in (["zz_tok_4"], ["zz_shared"], ["zz_tok_0", "zz_shared"]):
+        assert s.search(q, 10) == oi.search(q, 10), q
+    # and a further compaction folds the replayed re-add correctly
+    compact(root, "ep3", gc_old=True)
+    s = Searcher(root)
+    assert (s.n_docs, s.avgdl) == (oi.n_docs, oi.avgdl)
+    for q in (["zz_tok_4"], ["zz_shared"]):
+        assert s.search(q, 10) == oi.search(q, 10), q
