@@ -297,38 +297,72 @@ def build_documents(sf_dir: str, spec: DocSpec,
     import ray.data
 
     from mee_ray.functions import compile_expr
+    from mee_ray.functions.interp import (compile_template, is_template,
+                                          template_columns)
 
     spec.validate()
 
     # compile mapping expressions ONCE (reference validates config at
-    # load; a bad expr fails here, not inside a task)
+    # load; a bad expr fails here, not inside a task).  Three mapping
+    # kinds: bare identifier = rename, "%" template = interpolation
+    # (M4, reference commonhandler.py:437-487), anything else = the
+    # functions DSL (M5).
     exprs = {}
     for out_f, src in spec.mappings.items():
-        exprs[out_f] = (("col", src) if src.isidentifier()
-                        else ("expr", compile_expr(src)))
+        if src.isidentifier():
+            exprs[out_f] = ("col", src)
+        elif "%" in src and is_template(src):
+            exprs[out_f] = ("interp", compile_template(src))
+        else:
+            exprs[out_f] = ("expr", compile_expr(src))
 
     lookups_ref = ray.put(_lookup_maps(sf_dir, spec, _overlays))
     nested_ref = (ray.put(_nested_maps(sf_dir, spec, _overlays,
                                        _nested_parent_filter))
                   if spec.nested else None)
 
+    # outputs produced by the spec itself — template refs to these
+    # resolve from the computed namespace, not the master read
+    produced = (set(spec.mappings)
+                | {f for j in spec.joins for f in j.fields}
+                | {n.out for n in spec.nested})
     master_cols = sorted(
         {spec.key}
-        | {s for _, s in
-           ((f, src) for f, src in spec.mappings.items() if src.isidentifier())}
+        | {src for f, src in spec.mappings.items() if src.isidentifier()}
         | {j.master_key for j in spec.joins}
         | {n.master_key for n in spec.nested}
         | ({c for c in (spec.filter or {})})
-        | {src_col for out_f, src in spec.mappings.items()
-           if not src.isidentifier()
-           for src_col in _expr_columns(src)})
+        | {src_col
+           for out_f, (kind, _) in exprs.items()
+           for src_col in (template_columns(spec.mappings[out_f])
+                           if kind == "interp"
+                           else _expr_columns(spec.mappings[out_f])
+                           if kind == "expr" else ())
+           if src_col not in produced})
+    # a defaulted template ref may name a column absent from the master
+    # file (resolved to its default at eval) — keep template-derived
+    # names out of the pruned read unless the file actually has them
+    _tmpl_cols = {c for out_f, (kind, _) in exprs.items() if kind == "interp"
+                  for c in template_columns(spec.mappings[out_f])}
+    if _tmpl_cols:
+        import pyarrow.dataset as _pads
+        _footer = set(_pads.dataset(f"{sf_dir}/{spec.master}.parquet",
+                                    format="parquet").schema.names)
+        master_cols = [c for c in master_cols
+                       if c not in _tmpl_cols or c in _footer]
 
     def build(batch: pa.Table) -> pa.Table:
         if spec.filter:
             batch = batch.filter(_filter_mask(batch, spec.filter))
         cols: dict[str, pa.Array] = {}
         for out_f, (kind, v) in exprs.items():
-            cols[out_f] = batch[v] if kind == "col" else v(batch)
+            if kind == "col":
+                cols[out_f] = batch[v]
+            elif kind == "expr":
+                cols[out_f] = v(batch)
+            # "interp" evaluates after joins/nested: its namespace is
+            # the full document (reference templates resolve against
+            # the whole context, commonhandler.py:437-487)
         lookups = ray.get(lookups_ref)
         for i, j in enumerate(spec.joins):
             keys, data = lookups[i]
@@ -353,6 +387,19 @@ def build_documents(sf_dir: str, spec: DocSpec,
                 m = nested[i]
                 cols[n.out] = pa.array(
                     [m.get(p, []) for p in probes[n.master_key]])
+        interp_outs = [f for f, (k, _) in exprs.items() if k == "interp"]
+        if interp_outs:
+            # namespace = master columns overlaid with computed fields
+            ns_cols = {c: batch[c] for c in batch.column_names}
+            ns_cols.update(cols)
+            ns = pa.table(ns_cols)
+            for out_f in interp_outs:
+                cols[out_f] = exprs[out_f][1](ns)
+            # restore declared output order (mappings, joins, nested)
+            order = (list(spec.mappings)
+                     + [f for j in spec.joins for f in j.fields]
+                     + [n.out for n in spec.nested])
+            cols = {f: cols[f] for f in order if f in cols}
         return pa.table(cols)
 
     read_kw = {}
@@ -777,8 +824,46 @@ WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE') AND c_acctbal > 0.0
 """
 
 
+def docbuild_interpolated(sf_dir: str):
+    """M4 — `%` template interpolation in document mappings (reference
+    commonhandler.py:31-39 regexes, exp_value :437-487): whole-value
+    templates keep native types, embedded expressions stringify, `%%`
+    escapes, `:(default)` fills nulls/misses.  The join is keyed
+    c_custkey→n_nationkey so most lookups MISS and the default path is
+    exercised on real data."""
+    spec = DocSpec(
+        master="customer", key="c_custkey",
+        mappings={
+            "cust_id": "c_custkey",
+            # whole-value template → native double passthrough
+            "acctbal_native": "%c_acctbal",
+            # mixed template: literal text + int stringify + qualified
+            # %__master.field form (never fires its default: the
+            # column is non-null)
+            "label": "cust-%c_custkey@%__master.c_mktsegment:('NONE')",
+            # %% escape + defaulted ref to a JOIN output (misses for
+            # every c_custkey outside the 25 nation keys)
+            "tag": "%%-%small_nation:('unknown')",
+        },
+        joins=(JoinSpec("nation", "n_nationkey", "c_custkey",
+                        {"small_nation": "n_name"}),),
+    )
+    return build_documents(sf_dir, spec)
+
+
+DOCBUILD_INTERP_SQL = """
+SELECT c_custkey AS cust_id,
+       c_acctbal AS acctbal_native,
+       'cust-' || CAST(c_custkey AS VARCHAR) || '@' || c_mktsegment AS label,
+       '%-' || coalesce(n_name, 'unknown') AS tag,
+       n_name AS small_nation
+FROM customer LEFT JOIN nation ON n_nationkey = c_custkey
+"""
+
+
 QUERIES = {
     "docbuild_customer_flat": docbuild_customer_flat,
+    "docbuild_interpolated": docbuild_interpolated,
     "docbuild_nested_summary": docbuild_nested_summary,
     "docbuild_slave_delta": docbuild_slave_delta,
     "docbuild_master_delta": docbuild_master_delta,
@@ -786,6 +871,7 @@ QUERIES = {
 
 ORACLE = {
     "docbuild_customer_flat": DOCBUILD_FLAT_SQL,
+    "docbuild_interpolated": DOCBUILD_INTERP_SQL,
     "docbuild_nested_summary": DOCBUILD_NESTED_SQL,
     "docbuild_slave_delta": DOCBUILD_SLAVE_DELTA_SQL,
     "docbuild_master_delta": DOCBUILD_MASTER_DELTA_SQL,

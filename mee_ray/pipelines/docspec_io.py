@@ -13,9 +13,10 @@ Schema (YAML or JSON — YAML is a superset, one loader serves both)::
 
     master: customer           # master table name
     key: c_custkey             # master primary key column
-    mappings:                  # out_field: column or functions-DSL expr
-      cust_id: c_custkey
+    mappings:                  # out_field: column, functions-DSL expr,
+      cust_id: c_custkey       #   or "%" template (M4 interpolation)
       balance_capped: "min(c_acctbal, echo(5000.0))"
+      label: "cust-%c_custkey:(0)"
     filter:                    # reference filterData shape
       c_mktsegment: [BUILDING, AUTOMOBILE]
       c_acctbal: {">": 0.0}
