@@ -60,6 +60,32 @@ class OracleIndex:
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def search_and(self, terms: list[str], k: int = 10
+                   ) -> list[tuple[int, float]]:
+        """Conjunctive (match-ALL-terms) top-k — same scoring and
+        accumulation order as :meth:`search`, restricted to documents
+        containing every unique query term.  A term absent from the
+        index empties the result (ES `operator: and` semantics)."""
+        p = self.bm25
+        uterms = sorted(set(terms))
+        docsets = []
+        for term in uterms:
+            plist = self.postings.get(term)
+            if not plist:
+                return []
+            docsets.append(set(plist))
+        common = set.intersection(*docsets) if docsets else set()
+        acc: dict[int, float] = {}
+        for term in uterms:
+            plist = self.postings[term]
+            w = idf(len(plist), self.n_docs)
+            for doc_id in common:
+                s = w * tfn_scalar(float(plist[doc_id]),
+                                   float(self.dl[doc_id]), self.avgdl, p)
+                acc[doc_id] = acc.get(doc_id, 0.0) + s
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
 
 def make_query_set(docs: list[tuple[int, str]], n_queries: int = 50,
                    seed: int = 42,

@@ -98,6 +98,34 @@ def bm25_topk_documents(sf_dir: str):
                      "doc_id": pa.array(out_d, pa.int64())})
 
 
+def bm25_conjunctive_documents(sf_dir: str):
+    """Conjunctive (operator="and") engine path over the same
+    reference query set: only documents matching EVERY query term are
+    ranked; scores equal the disjunctive scores of the surviving docs
+    (idf stays full-index, conjunction filters rather than rescales).
+    Emitted as (query_id, rank, doc_id) with original ids, ranked by
+    (score desc, original id) like bm25_topk_documents."""
+    import numpy as np
+    from mee_ray.query import Searcher, merge_partials_conjunctive
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    out_q, out_r, out_d = [], [], []
+    for qid, terms in REFERENCE_QUERIES:
+        uterms = sorted(set(terms))
+        ranked = merge_partials_conjunctive(
+            [s.term_partials(uterms)], uterms, k=s.n_docs or 1)
+        if ranked:
+            ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
+            scores = np.array([sc for _, sc in ranked], dtype=np.float64)
+            order = np.lexsort((ids, -scores))[:TOP_K]
+            for rank, j in enumerate(order, start=1):
+                out_q.append(qid); out_r.append(rank); out_d.append(int(ids[j]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
 def _bm25_sql() -> str:
     values = ", ".join(f"({qid}, '{t}')"
                        for qid, terms in REFERENCE_QUERIES for t in sorted(set(terms)))
@@ -128,6 +156,44 @@ FROM (SELECT query_id, doc_id,
              row_number() OVER (PARTITION BY query_id
                                 ORDER BY score DESC, doc_id) AS rank
       FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
+def _bm25_conj_sql() -> str:
+    values = ", ".join(f"({qid}, '{t}')"
+                       for qid, terms in REFERENCE_QUERIES
+                       for t in sorted(set(terms)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS total_tokens),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         count(DISTINCT q.term) AS n_matched,
+         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * ((tf.tf * (1.2 + 1)) /
+                (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
+                                (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT sc.query_id, sc.doc_id,
+             row_number() OVER (PARTITION BY sc.query_id
+                                ORDER BY sc.score DESC, sc.doc_id) AS rank
+      FROM scores sc JOIN qn ON qn.query_id = sc.query_id
+      WHERE sc.n_matched = qn.n_terms)
 WHERE rank <= {TOP_K}
 """
 
@@ -189,12 +255,14 @@ FROM documents
 
 QUERIES = {
     "bm25_topk_documents": bm25_topk_documents,
+    "bm25_conjunctive_documents": bm25_conjunctive_documents,
     "index_term_stats": index_term_stats,
     "corpus_docs_table": corpus_docs_table,
 }
 
 ORACLE = {
     "bm25_topk_documents": _bm25_sql(),
+    "bm25_conjunctive_documents": _bm25_conj_sql(),
     "index_term_stats": INDEX_STATS_SQL,
     "corpus_docs_table": CORPUS_DOCS_SQL,
 }

@@ -319,12 +319,21 @@ class Searcher:
         return out
 
     def search(self, terms: list[str], k: int = 10,
-               use_wand: bool | None = None) -> list[tuple[int, float]]:
+               use_wand: bool | None = None,
+               operator: str = "or") -> list[tuple[int, float]]:
         """Top-k (doc_id, score).  Uses the block-max WAND path when it
         is exact-equivalent: pending tombstones make the live df (hence
         idf) unknowable without decoding, so while deletes await
-        compaction the exhaustive path runs instead."""
+        compaction the exhaustive path runs instead.
+
+        ``operator="and"`` scores only documents containing EVERY
+        query term (ES ``operator: and``); idf still uses full-index
+        df, so scores of surviving docs equal their disjunctive
+        scores — conjunction filters, it does not rescale."""
         uterms = sorted(set(terms))
+        if operator == "and":
+            return merge_partials_conjunctive(
+                [self.term_partials(uterms)], uterms, k)
         if use_wand is None:
             use_wand = len(self.tombstones) == 0
         if not use_wand:
@@ -380,6 +389,42 @@ def merge_partials(partials_list: list[dict], terms: list[str], k: int
     return list(zip(ids.tolist(), scores.tolist()))
 
 
+def merge_partials_conjunctive(partials_list: list[dict],
+                               terms: list[str], k: int
+                               ) -> list[tuple[int, float]]:
+    """Conjunctive merge: keep only docs present in EVERY term's
+    partial vector, then accumulate per-doc in sorted-term order (the
+    determinism contract — same float addition order as the oracle's
+    ``search_and``).  A term with no live postings anywhere empties
+    the result."""
+    uterms = sorted(set(terms))
+    per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    for term in uterms:
+        ids_l, sc_l = [], []
+        for partials in partials_list:
+            got = partials.get(term)
+            if got is not None:
+                ids_l.append(got[0]); sc_l.append(got[1])
+        if not ids_l:
+            return []
+        per_term[term] = (np.concatenate(ids_l), np.concatenate(sc_l))
+    common = None
+    for term in uterms:
+        ids = per_term[term][0]
+        common = (np.unique(ids) if common is None
+                  else np.intersect1d(common, ids))
+        if common.size == 0:
+            return []
+    acc = np.zeros(common.size, dtype=np.float64)
+    for term in uterms:
+        ids, sc = per_term[term]
+        order = np.argsort(ids, kind="stable")
+        ids_s, sc_s = ids[order], sc[order]
+        acc += sc_s[np.searchsorted(ids_s, common)]
+    ids, scores = top_k_select(common, acc, k)
+    return list(zip(ids.tolist(), scores.tolist()))
+
+
 class DistributedSearcher:
     """Actor-pool query path: `n_actors` shard actors, shards assigned
     round-robin; queries fan out only to actors owning a needed shard,
@@ -424,10 +469,10 @@ class DistributedSearcher:
                 tau = ranked[m - 1][1] if len(ranked) >= m else 0.0
                 return ranked, tau
 
-            def search(self, terms, k):
+            def search(self, terms, k, operator="or"):
                 # complete top-k when every query shard lives here —
                 # takes the block-max WAND path when it is exact
-                return self.searcher.search(terms, k)
+                return self.searcher.search(terms, k, operator=operator)
 
             def stats(self):
                 return self.searcher.query_stats.as_dict()
@@ -442,7 +487,8 @@ class DistributedSearcher:
         _ray.get([self.actors[a].warm.remote(shards_of[a]) for a in range(n_actors)])
 
     def search(self, terms: list[str], k: int = 10,
-               mode: str = "partials") -> list[tuple[int, float]]:
+               mode: str = "partials",
+               operator: str = "or") -> list[tuple[int, float]]:
         """Exact top-k.  ``mode``:
 
         - "partials": one round — every actor ships its full per-term
@@ -465,7 +511,16 @@ class DistributedSearcher:
             # single-actor query: the actor owns every needed shard, so
             # its local (WAND-pruned) top-k IS the global answer
             (a,) = by_actor
-            return ray.get(self.actors[a].search.remote(uterms, k))
+            return ray.get(self.actors[a].search.remote(uterms, k,
+                                                        operator))
+        if operator == "and":
+            # conjunctive is intersection-bound (cheap result sets);
+            # the one-round partials exchange + conjunctive merge is
+            # exact and avoids a bound protocol that cannot prune
+            # soundly across term-partitioned shards
+            futs = [self.actors[a].term_partials.remote(ts)
+                    for a, ts in by_actor.items()]
+            return merge_partials_conjunctive(ray.get(futs), uterms, k)
         if mode == "threephase":
             return self._search_three_phase(by_actor, uterms, k)
         futs = [self.actors[a].term_partials.remote(ts) for a, ts in by_actor.items()]
