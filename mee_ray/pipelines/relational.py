@@ -888,6 +888,163 @@ WHERE rank <= 3
 """
 
 
+# ------------------------------------- hopping windows / range / lag --
+
+HOP_US = 600_000_000          # 10-minute hop
+WINDOW_HOPS = 3               # 30-minute window = 3 hops
+
+
+def hopping_window_events(sf_dir: str):
+    """Sliding/hopping window aggregate (size 30 min, hop 10 min):
+    every event lands in ``WINDOW_HOPS`` overlapping windows.  The
+    fan-out happens INSIDE the per-batch combiner — each batch emits
+    ≤ windows×keys partial rows, never windows×events — then one
+    small groupby finishes.  Money in integer cents so partial-sum
+    order cannot perturb the result (same discipline as tumbling)."""
+    from ray.data.aggregate import Sum
+
+    def combine(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        hop = us // HOP_US
+        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
+                        * 100.0).astype(np.int64)
+        parts = []
+        for i in range(WINDOW_HOPS):
+            parts.append(pa.table({
+                "win_start_hop": pa.array(hop - i, pa.int64()),
+                "one": pa.array(np.ones(len(us), dtype=np.int64)),
+                "cents": pa.array(cents)}))
+        g = (pa.concat_tables(parts).group_by("win_start_hop")
+             .aggregate([("one", "sum"), ("cents", "sum")]))
+        return g.rename_columns(["win_start_hop", "n_part", "cents_part"])
+
+    out = (_read(sf_dir, "events", ["ts", "value"])
+           .map_batches(combine, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("win_start_hop")
+           .aggregate(Sum("n_part", alias_name="n_events"),
+                      Sum("cents_part", alias_name="sum_value_cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        for c in ("n_events", "sum_value_cents"):
+            i = t.schema.get_field_index(c)
+            t = t.set_column(i, c, t[c].cast(pa.int64()))
+        return t
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+HOPPING_SQL = """
+SELECT (epoch_us(ts) // 600000000 - offs.i) AS win_start_hop,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+FROM events CROSS JOIN (VALUES (0), (1), (2)) AS offs(i)
+GROUP BY win_start_hop
+"""
+
+
+# Static band table for the range join: half-open [lo, hi) intervals,
+# deliberately OVERLAPPING (promo straddles mid/premium) so the
+# operator is a true interval join, not a bucketing searchsorted.
+PRICE_BANDS: list[tuple[str, float, float]] = [
+    ("budget", 0.0, 100_000.0),
+    ("mid", 100_000.0, 250_000.0),
+    ("premium", 250_000.0, 1e9),
+    ("promo_100k_300k", 100_000.0, 300_000.0),
+]
+
+
+def range_join_orders_bands(sf_dir: str):
+    """Range (interval) join — an operator Ray Data lacks (task brief):
+    orders match every band whose [lo, hi) contains o_totalprice.
+    The band table is tiny → broadcast semantics: each batch evaluates
+    one vectorized mask per band (O(bands) kernels, no shuffle, no
+    per-row loop); output is one row per (order, band) match."""
+
+    def probe(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].to_numpy(zero_copy_only=False)
+        outs = []
+        for band, lo, hi in PRICE_BANDS:
+            mask = (v >= lo) & (v < hi)
+            if mask.any():
+                m = t.filter(pa.array(mask))
+                outs.append(pa.table({
+                    "o_orderkey": m["o_orderkey"],
+                    "band": pa.array([band] * m.num_rows, pa.string()),
+                    "o_totalprice": m["o_totalprice"]}))
+        if not outs:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "band": pa.array([], pa.string()),
+                             "o_totalprice": pa.array([], pa.float64())})
+        return pa.concat_tables(outs)
+
+    return (_read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+            .map_batches(probe, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+RANGE_JOIN_SQL = """
+SELECT o_orderkey, b.band, o_totalprice
+FROM orders
+JOIN (VALUES ('budget', 0.0, 100000.0),
+             ('mid', 100000.0, 250000.0),
+             ('premium', 250000.0, 1000000000.0),
+             ('promo_100k_300k', 100000.0, 300000.0)) AS b(band, lo, hi)
+  ON o_totalprice >= b.lo AND o_totalprice < b.hi
+"""
+
+
+def event_gaps_per_user(sf_dir: str, n_buckets: int = 64):
+    """lag()-style gap computation: per user, time since the previous
+    event (ordered by ts, event_id).  Needs each user's full history
+    co-located, so users hash into ``n_buckets`` groups (one shuffle)
+    and each group resolves MANY users in one vectorized lexsort +
+    boundary-mask pass — the session_windows shuffle discipline, never
+    one Python group per user."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return t.append_column("bucket",
+                               pa.array(uid % n_buckets, pa.int64()))
+
+    def gaps(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        us = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, us, uid))
+        uid, eid, us = uid[order], eid[order], us[order]
+        first = np.ones(len(uid), dtype=bool)
+        first[1:] = uid[1:] != uid[:-1]
+        prev_eid = np.zeros_like(eid)
+        prev_eid[1:] = eid[:-1]
+        gap = np.zeros_like(us)
+        gap[1:] = us[1:] - us[:-1]
+        # null out each user's first row (lag() semantics) — numpy
+        # mask straight into Arrow validity, no per-row loop
+        return pa.table({
+            "event_id": pa.array(eid),
+            "user_id": pa.array(uid),
+            "prev_event_id": pa.array(prev_eid, mask=first),
+            "gap_us": pa.array(gap, mask=first),
+        })
+
+    return (_read(sf_dir, "events", ["event_id", "user_id", "ts"])
+            .map_batches(add_bucket, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(gaps, batch_format="pyarrow"))
+
+
+LAG_SQL = """
+SELECT event_id, user_id,
+       lag(event_id) OVER w AS prev_event_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project_revenue": filter_project_revenue,
@@ -908,6 +1065,9 @@ QUERIES = {
     "anti_join_events_customers": anti_join_events_customers,
     "quantiles_events": quantiles_events,
     "topk_orders_per_customer": topk_orders_per_customer,
+    "hopping_window_events": hopping_window_events,
+    "range_join_orders_bands": range_join_orders_bands,
+    "event_gaps_per_user": event_gaps_per_user,
 }
 
 ORACLE = {
@@ -930,4 +1090,7 @@ ORACLE = {
     "anti_join_events_customers": ANTI_SQL,
     "quantiles_events": QUANTILES_SQL,
     "topk_orders_per_customer": TOPK_PER_CUST_SQL,
+    "hopping_window_events": HOPPING_SQL,
+    "range_join_orders_bands": RANGE_JOIN_SQL,
+    "event_gaps_per_user": LAG_SQL,
 }

@@ -50,6 +50,9 @@ SQL_CHECKED = [
     "doc_quality_scores", "lang_id_documents", "knn_bruteforce",
     "embedding_dims", "bm25_topk_documents", "index_term_stats",
     "corpus_docs_table", "multimodal_image_meta",
+    "hopping_window_events", "range_join_orders_bands",
+    "event_gaps_per_user", "docbuild_interpolated",
+    "bm25_conjunctive_documents",
 ]
 
 
