@@ -147,13 +147,156 @@ SELECT * FROM (
 )
 """
 
+# ------------------------------------------------- heavy hitters ----
+
+HH_CAPACITY = 512     # per-batch summary size m
+HH_TOPK = 30
+
+
+def _hh_summaries(sf_dir: str):
+    """Per-batch truncated-counter summaries (SpaceSaving-style,
+    Metwally et al.): exact batch term counts cut to the top
+    ``HH_CAPACITY``, plus the count of the heaviest DROPPED term as
+    the batch's error bound.  Each summary is ≤ m rows regardless of
+    batch size — the same bounded-transport discipline as the HLL
+    registers; merge at larger batch counts becomes a tree-reduce."""
+    import re
+
+    import ray.data
+
+    from mee_ray.pipelines.text import TOKEN_PATTERN
+
+    tok = re.compile(TOKEN_PATTERN)
+
+    def summary(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            c.update(tok.findall(x.lower()))
+        items = c.most_common()
+        kept = items[:HH_CAPACITY]
+        err = items[HH_CAPACITY][1] if len(items) > HH_CAPACITY else 0
+        return pa.table({
+            "term": pa.array([k for k, _ in kept], pa.string()),
+            "cnt": pa.array([v for _, v in kept], pa.int64()),
+            "err": pa.array([err] * len(kept), pa.int64()),
+        })
+
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+    out = []
+    for b in (ds.map_batches(summary, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .iter_batches(batch_format="pyarrow", batch_size=None)):
+        terms = b["term"].to_pylist()
+        if not terms:
+            continue
+        cnts = b["cnt"].to_numpy(zero_copy_only=False)
+        out.append((dict(zip(terms, cnts.tolist())),
+                    int(b["err"][0].as_py())))
+    return out
+
+
+def heavy_hitters_terms(sf_dir: str):
+    """Approximate top terms by total occurrence count with
+    deterministic error BOUNDS: for every emitted term,
+    ``count_min ≤ true count ≤ count_max`` (count_min sums the counts
+    of summaries that kept the term; count_max adds each dropping
+    summary's error).  Rows-only by design — the exact companion
+    ``exact_top_terms`` is the oracle-checked side, and the bounds
+    invariant is asserted in tests."""
+    summaries = _hh_summaries(sf_dir)
+    lower: dict[str, int] = {}
+    for m, _ in summaries:
+        for term, c in m.items():
+            lower[term] = lower.get(term, 0) + c
+    upper = {}
+    for term in lower:
+        upper[term] = sum(m.get(term, err) for m, err in summaries)
+    ranked = sorted(lower, key=lambda t: (-lower[t], t))[:HH_TOPK]
+    return pa.table({
+        "term": pa.array(ranked, pa.string()),
+        "count_min": pa.array([lower[t] for t in ranked], pa.int64()),
+        "count_max": pa.array([upper[t] for t in ranked], pa.int64()),
+    })
+
+
+def exact_top_terms(sf_dir: str):
+    """Exact distributed companion: total term-occurrence counts →
+    top-``HH_TOPK`` by (count desc, term asc).  No global sort: after
+    the groupby every term lives in exactly one block, so the union of
+    per-block top-k contains the global top-k and the driver merges a
+    few k-row partials."""
+    import re
+
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from mee_ray.pipelines.text import TOKEN_PATTERN
+
+    tok = re.compile(TOKEN_PATTERN)
+
+    def counts(t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            c.update(tok.findall(x.lower()))
+        items = sorted(c.items())
+        return pa.table({"term": pa.array([k for k, _ in items], pa.string()),
+                         "n_part": pa.array([v for _, v in items], pa.int64())})
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        import numpy as np
+        n = t["n"].to_numpy(zero_copy_only=False)
+        terms = np.array(t["term"].to_pylist(), dtype=object)
+        order = np.lexsort((terms, -n))[:HH_TOPK]
+        return t.take(pa.array(order))
+
+    grouped = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["text"])
+               .map_batches(counts, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby("term").aggregate(Sum("n_part", alias_name="n"))
+               .map_batches(local_topk, batch_format="pyarrow"))
+    parts = list(grouped.iter_batches(batch_format="pyarrow",
+                                      batch_size=None))
+    t = (pa.concat_tables(parts) if parts
+         else pa.table({"term": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64())}))
+    import numpy as np
+    n = t["n"].to_numpy(zero_copy_only=False)
+    terms = np.array(t["term"].to_pylist(), dtype=object)
+    order = np.lexsort((terms, -n))[:HH_TOPK]
+    t = t.take(pa.array(order))
+    return t.append_column("rank", pa.array(
+        np.arange(1, t.num_rows + 1), pa.int64()))
+
+
+EXACT_TOP_TERMS_SQL = f"""
+SELECT term, CAST(n AS BIGINT) AS n,
+       row_number() OVER (ORDER BY n DESC, term) AS rank
+FROM (SELECT term, count(*) AS n
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+                   AS term
+            FROM documents)
+      GROUP BY term)
+ORDER BY n DESC, term
+LIMIT {HH_TOPK}
+"""
+
+
 QUERIES = {
     "hll_distinct_counts": hll_distinct_counts,
     "exact_distinct_counts": exact_distinct_counts,
+    "heavy_hitters_terms": heavy_hitters_terms,
+    "exact_top_terms": exact_top_terms,
 }
 
 ORACLE = {
     "exact_distinct_counts": EXACT_DISTINCT_SQL,
+    "exact_top_terms": EXACT_TOP_TERMS_SQL,
+    # heavy_hitters_terms: rows-only (approximate by design; bounds
+    # invariant vs the exact counts asserted in tests)
     # hll_distinct_counts: rows-only (approximate by design; error
     # bound + merge identity verified in tests/test_pipelines.py)
 }

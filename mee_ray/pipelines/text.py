@@ -511,8 +511,79 @@ def ngram_jaccard_adjacent(sf_dir: str, n: int = 5):
             .map_groups(jaccard_of_pair, batch_format="pyarrow"))
 
 
+def stratified_sample_documents(sf_dir: str, k: int = 20,
+                                n_buckets: int = 16):
+    """Deterministic stratified sampling — k documents per language
+    stratum, a first-class training-data-pipeline need (balance
+    languages before training).
+
+    Determinism without a random state: rank docs inside each stratum
+    by a Knuth multiplicative hash of doc_id (uniform, seedable by
+    changing the constant) and keep the k smallest — a distributed
+    "reservoir" whose result is independent of batch boundaries,
+    retries, and parallelism.  Same shuffle discipline as the windowed
+    ranking: per-batch combiners keep ≤k rows per stratum, strata hash
+    into buckets, one vectorized lexsort pass per group."""
+
+    def topk_of(t: pa.Table, with_bucket: bool) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        h = (did.astype(np.uint64) * np.uint64(2654435761)
+             % np.uint64(1 << 32)).astype(np.int64)
+        lang = t["lang"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((did, h, lang))
+        lang_s = lang[order]
+        new = np.ones(len(lang_s), dtype=bool)
+        new[1:] = lang_s[1:] != lang_s[:-1]
+        pos = np.arange(len(lang_s))
+        start = np.maximum.accumulate(np.where(new, pos, 0))
+        keep = (pos - start) < k
+        t = t.take(pa.array(order[keep]))
+        t = t.append_column("sample_rank",
+                            pa.array((pos - start)[keep] + 1, pa.int64()))
+        t = t.append_column("h", pa.array(h[order][keep], pa.int64()))
+        if with_bucket:
+            # crc32, NOT Python hash(): str hashing is per-process
+            # salted, and an unstable bucket would split one stratum
+            # across groups (two winners per lang)
+            import zlib
+            lang_kept = lang_s[keep]
+            uniq = {x: zlib.crc32(str(x).encode()) % n_buckets
+                    for x in dict.fromkeys(lang_kept.tolist())}
+            b = np.array([uniq[x] for x in lang_kept.tolist()],
+                         dtype=np.int64)
+            t = t.append_column("bucket", pa.array(b, pa.int64()))
+        return t
+
+    def combine(t: pa.Table) -> pa.Table:
+        return topk_of(t, with_bucket=True).drop_columns(
+            ["sample_rank", "h"])
+
+    def finish(g: pa.Table) -> pa.Table:
+        return topk_of(g, with_bucket=False).select(
+            ["lang", "sample_rank", "doc_id"])
+
+    return (_read_docs(sf_dir, ["doc_id", "lang"])
+            .map_batches(combine, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(finish, batch_format="pyarrow"))
+
+
+STRATIFIED_SQL = """
+SELECT lang, sample_rank, doc_id
+FROM (SELECT lang, doc_id,
+             row_number() OVER (
+                 PARTITION BY lang
+                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+               AS sample_rank
+      FROM documents)
+WHERE sample_rank <= 20
+"""
+
+
 QUERIES = {
     "doc_token_counts": doc_token_counts,
+    "stratified_sample_documents": stratified_sample_documents,
     "doc_term_df": doc_term_df,
     "doc_fingerprint": doc_fingerprint,
     "dedup_exact": dedup_exact,
@@ -531,6 +602,7 @@ ORACLE = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "doc_quality_scores": QUALITY_SQL,
     "lang_id_documents": LANG_ID_SQL,
+    "stratified_sample_documents": STRATIFIED_SQL,
     # sketch ops intentionally have no SQL oracle (rows-only check);
     # they are verified against brute-force oracles in tests/.
 }

@@ -52,8 +52,26 @@ SQL_CHECKED = [
     "corpus_docs_table", "multimodal_image_meta",
     "hopping_window_events", "range_join_orders_bands",
     "event_gaps_per_user", "docbuild_interpolated",
-    "bm25_conjunctive_documents",
+    "bm25_conjunctive_documents", "stratified_sample_documents",
+    "exact_top_terms",
 ]
+
+
+def test_heavy_hitters_bounds_and_coverage(entry_mod, ducks, ray_session):
+    """SpaceSaving-style summary invariants: every emitted term's
+    bounds contain its exact count, and the exact top-10 terms all
+    surface in the sketch output."""
+    hh = entry_mod.queries()["heavy_hitters_terms"](SF).to_pandas()
+    exact = dict(ducks.execute(
+        "SELECT term, count(*) FROM (SELECT unnest(regexp_extract_all("
+        "lower(text),'[a-z0-9_]+')) term FROM documents) GROUP BY term"
+    ).fetchall())
+    assert len(hh) > 0
+    for r in hh.itertuples():
+        assert r.count_min <= exact[r.term] <= r.count_max, r.term
+    top10 = set(ducks.execute(
+        entry_mod.oracle_sql()["exact_top_terms"]).df().head(10).term)
+    assert top10 <= set(hh.term)
 
 
 @pytest.mark.parametrize("name", SQL_CHECKED)
@@ -75,7 +93,7 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
                          "simhash_dup_pairs", "ngram_jaccard_adjacent",
                          "embedding_neardup", "ann_ivf_topk",
                          "multimodal_audio_features",
-                         "hll_distinct_counts"}
+                         "hll_distinct_counts", "heavy_hitters_terms"}
 
 
 def test_entry_smoke(entry_mod):
