@@ -132,6 +132,26 @@ class _ShardIndex:
             self._dec_cache.popitem(last=False)
         return ids, tfs, dls
 
+    def prefetch(self, max_groups: int | None = None) -> int:
+        """Index warmer (the ES warm-up analog): load posting row
+        groups into the LRU up to its cap so a freshly-started query
+        actor serves its FIRST queries at warm latency (cold first
+        touch costs ~100s of ms per row group; measured in bench.py).
+        Bounded by RG_CACHE_CAP, so on an index too large to cache the
+        warmer loads the first cap-worth and lazy loading covers the
+        rest — never more memory than steady state would use."""
+        cap = self.RG_CACHE_CAP if max_groups is None \
+            else min(max_groups, self.RG_CACHE_CAP)
+        loaded = 0
+        for ti, pf in enumerate(self.files):
+            for g in range(pf.num_row_groups):
+                if len(self._rg_cache) >= cap:
+                    return loaded
+                if (ti, g) not in self._rg_cache:
+                    self._rg_cache[(ti, g)] = pf.read_row_group(g)
+                    loaded += 1
+        return loaded
+
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Concatenated (doc_ids, tfs, dls) across salted sub-lists and
         delta segments. Doc sets are disjoint per source (salts are
@@ -449,8 +469,17 @@ class DistributedSearcher:
                 self.searcher = Searcher(index_root, epoch, shard_subset=shards)
 
             def warm(self, shards):
+                # dictionary + row-group prefetch: queries right after
+                # pool construction run at warm latency (bench.py
+                # measured 300–400 ms cold first-touches without this).
+                # The pa.array() poke triggers pyarrow's LAZY pandas-
+                # compat init — constructing any Array/Scalar imports
+                # pandas the first time (~300 ms in a fresh worker),
+                # which otherwise lands on the first real query.
+                import pyarrow as _pa
+                _pa.array([0])
                 for s in shards:
-                    self.searcher._shard(s)
+                    self.searcher._shard(s).prefetch()
                 return True
 
             def term_partials(self, terms):
