@@ -93,7 +93,9 @@ class DocTokenize:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = doc_ids_batch(batch["repo"], batch["path"], batch["commit"])
         contents = batch["content"].to_pylist()
+        store_pos = self.emit_terms and self.cfg.store_positions
         shas, lengths, terms_col, tfs_col = [], [], [], []
+        poss_col: list = []
         for c in contents:
             c = c if c is not None else ""
             shas.append(hashlib.sha256(c.encode()).digest())
@@ -101,9 +103,19 @@ class DocTokenize:
                 # pass 1 needs only dl — skip the Counter + sort
                 lengths.append(len(self.tok.terms(c)))
                 continue
-            counts = self.tok.counts(c)
-            # sorted term order inside a doc → deterministic layout
-            items = sorted(counts.items())
+            if store_pos:
+                from mee_ray.postings import encode_positions
+                counts, poss = self.tok.counts_and_positions(c)
+                items = sorted(counts.items())
+                # per-(doc, term) blob: delta+varint of the sorted
+                # positions — encoded HERE so the shuffle ships bytes,
+                # not list<int> columns
+                poss_col.append([encode_positions(np.array(poss[t]))
+                                 for t, _ in items])
+            else:
+                counts = self.tok.counts(c)
+                # sorted term order inside a doc → deterministic layout
+                items = sorted(counts.items())
             terms_col.append([t for t, _ in items])
             tfs_col.append([tf for _, tf in items])
             lengths.append(sum(counts.values()))
@@ -119,6 +131,9 @@ class DocTokenize:
         if self.emit_terms:
             cols["terms"] = pa.array(terms_col, pa.list_(pa.string()))
             cols["tfs"] = pa.array(tfs_col, pa.list_(pa.int32()))
+            if store_pos:
+                cols["poss"] = pa.array(poss_col,
+                                        pa.list_(pa.binary()))
         return pa.table(cols)
 
 
@@ -199,14 +214,19 @@ class ExplodeTriples:
                                  0)).astype(np.int32)
         part = (shard * pps
                 + ((h2 ^ (salt.astype(np.int64) * 0x9E3779B1)) % pps)).astype(np.int32)
-        return pa.table({
+        cols = {
             "part": part,
             "term": flat_terms,
             "salt": salt,
             "doc_id": doc_rep,
             "tf": flat_tfs,
             "dl": dl_rep.astype(np.int32),
-        })
+        }
+        if "poss" in batch.schema.names:
+            # per-(doc, term) position blobs ride the shuffle as a
+            # binary column aligned with the flattened triples
+            cols["pos"] = batch["poss"].combine_chunks().flatten()
+        return pa.table(cols)
 
 
 def make_encode_partition(seg_dir: str, avgdl: float, cfg: EngineConfig):
@@ -236,6 +256,16 @@ def make_encode_partition(seg_dir: str, avgdl: float, cfg: EngineConfig):
                                                   ("salt", "ascending"),
                                                   ("doc_id", "ascending")])
         g = group.take(order)
+        has_pos = "pos" in g.schema.names
+        if has_pos:
+            # zero-copy run slicing of the aligned per-doc position
+            # blobs: binary-array offsets give byte ranges per posting,
+            # and per-doc blobs are self-contained varint streams, so
+            # a run's concatenation is bytes[offs[lo]:offs[hi]]
+            pos_arr = g["pos"].combine_chunks()
+            pos_offs = np.frombuffer(pos_arr.buffers()[1], np.int32)[
+                pos_arr.offset: pos_arr.offset + len(pos_arr) + 1]
+            pos_mv = memoryview(pos_arr.buffers()[2])
         term_dict = pc.dictionary_encode(g["term"]).combine_chunks()
         term_idx = term_dict.indices.to_numpy(zero_copy_only=False)
         terms_vocab = term_dict.dictionary.to_pylist()
@@ -255,6 +285,7 @@ def make_encode_partition(seg_dir: str, avgdl: float, cfg: EngineConfig):
 
         o_term, o_salt, o_df = [], [], []
         o_ids, o_tfs, o_dls, o_bl, o_bm, o_shard = [], [], [], [], [], []
+        o_pos = []
         # BULK encode: every run's gaps/tfs/dls in ONE vectorized pass,
         # sliced per run at value boundaries (LEB128 slices at value
         # boundaries are valid streams) — byte-identical to per-run
@@ -290,6 +321,8 @@ def make_encode_partition(seg_dir: str, avgdl: float, cfg: EngineConfig):
             o_ids.append(ids_enc); o_tfs.append(tfs_enc); o_dls.append(dls_enc)
             o_bl.append(bl.tolist()); o_bm.append(bm.tolist())
             o_shard.append(term_hash(t) % cfg.num_shards)
+            if has_pos:
+                o_pos.append(bytes(pos_mv[pos_offs[lo]:pos_offs[hi]]))
 
         seg = pa.table({
             "term": pa.array(o_term, pa.string()),
@@ -302,6 +335,9 @@ def make_encode_partition(seg_dir: str, avgdl: float, cfg: EngineConfig):
             "block_max": pa.array(o_bm, pa.list_(pa.float64())),
             "shard": pa.array(o_shard, pa.int32()),
         })
+        if has_pos:
+            seg = seg.append_column("pos_enc",
+                                    pa.array(o_pos, pa.binary()))
         tmp = final + f".tmp.{os.getpid()}"
         # bounded row groups: query actors build their term dictionary
         # from the term column alone and page in posting payloads per
@@ -643,6 +679,7 @@ def build_index(corpus, index_root: str, epoch: str,
         "parts_per_shard": cfg.parts_per_shard,
         "block_size": cfg.block_size,
         "postings_codec": cfg.postings_codec,
+        "store_positions": cfg.store_positions,
         "salt_factor": cfg.salt_factor,
         "hot_terms": sorted(cfg.hot_terms),
         "tokenizer": vars(cfg.tokenizer).copy() if hasattr(cfg.tokenizer, "__dict__")

@@ -95,6 +95,12 @@ class EngineConfig:
     # Buffers are tagged, so decode is config-free and codecs can mix
     # across base/delta segments.
     postings_codec: str = "varint"
+    # Store per-posting term positions (delta+varint blobs alongside
+    # each posting list) — enables exact phrase queries at ~1–2 B per
+    # token of extra segment size.  Pinned in the manifest: delta and
+    # compaction runs must agree or merged lists would mix
+    # with-positions and without-positions rows.
+    store_positions: bool = False
 
     # --- batching ---
     tokenize_batch_size: int = 256  # docs per tokenize batch (multi-KB rows)
@@ -132,7 +138,7 @@ class EngineConfig:
 # silently route rows to wrong partitions (dropped at merge), compute
 # unsound WAND bounds, or tokenize delta docs differently from the base.
 _MANIFEST_PINNED = ("num_shards", "parts_per_shard", "block_size",
-                    "salt_factor")
+                    "salt_factor", "store_positions")
 
 
 def config_from_manifest(manifest: dict,

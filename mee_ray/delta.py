@@ -252,7 +252,9 @@ def _apply_delta_locked(events, index_root: str,
                                             batch_size=1 << 18)])
         added_docs_path = os.path.join(ddir, "added_docs.parquet")
         tmp = added_docs_path + ".tmp"
-        pq.write_table(tok_tbl.drop_columns(["terms", "tfs"]), tmp)
+        pq.write_table(tok_tbl.drop_columns(
+            [c for c in ("terms", "tfs", "poss")
+             if c in tok_tbl.schema.names]), tmp)
         os.replace(tmp, added_docs_path)
 
         # delta segments: same explode + encode machinery as the full
@@ -260,7 +262,9 @@ def _apply_delta_locked(events, index_root: str,
         # of the epoch — both engines recompute exact scores at query
         # time from (tf, dl, live avgdl), so this only affects the
         # stored (unused until compaction) block-max hints
-        triples = (ray.data.from_arrow(tok_tbl.select(["doc_id", "length", "terms", "tfs"]))
+        tri_cols = ["doc_id", "length", "terms", "tfs"] + \
+            (["poss"] if "poss" in tok_tbl.schema.names else [])
+        triples = (ray.data.from_arrow(tok_tbl.select(tri_cols))
                    .map_batches(ExplodeTriples(cfg), batch_format="pyarrow"))
         seg_out = triples.groupby("part").map_groups(
             make_encode_partition(os.path.join(ddir, "segments"),

@@ -77,6 +77,8 @@ def _decode_rows(t: pa.Table) -> pa.Table:
                       "doc_id": pa.array([], pa.int64()),
                       "tf": pa.array([], pa.int32()),
                       "dl": pa.array([], pa.int32())})
+    if "pos_enc" in t.schema.names:
+        empty = empty.append_column("pos", pa.array([], pa.binary()))
     if n_rows == 0:
         return empty
     terms = t["term"].to_pylist()
@@ -123,13 +125,33 @@ def _decode_rows(t: pa.Table) -> pa.Table:
     term_col = pa.DictionaryArray.from_arrays(
         pa.array(tidx, pa.int32()),
         pa.array(terms, pa.string())).cast(pa.string())
-    return pa.table({
+    out = pa.table({
         "term": term_col,
         "salt": pa.array(np.repeat(salts, dfs)),
         "doc_id": pa.array(out_ids),
         "tf": pa.array(out_tfs.astype(np.int32)),
         "dl": pa.array(out_dls.astype(np.int32)),
     })
+    if "pos_enc" in t.schema.names:
+        # re-split each row's concatenated position blob into per-doc
+        # blobs so tombstone filtering and re-encoding operate on
+        # aligned (term, doc) rows — value boundaries come from the
+        # LEB128 continuation bits, byte ranges per doc from tf cumsum
+        from mee_ray.postings import varint_value_offsets
+        pos_col: list = [b""] * total
+        pos_bufs = t["pos_enc"].to_pylist()
+        for ri in range(n_rows):
+            buf = pos_bufs[ri] or b""
+            s, c = int(row_start[ri]), int(dfs[ri])
+            voffs = varint_value_offsets(buf)
+            vb = np.concatenate(
+                ([0], np.cumsum(out_tfs[s:s + c])))
+            b_off = voffs[vb]
+            mv = memoryview(buf)
+            for j in range(c):
+                pos_col[s + j] = bytes(mv[b_off[j]:b_off[j + 1]])
+        out = out.append_column("pos", pa.array(pos_col, pa.binary()))
+    return out
 
 
 def compact(index_root: str, new_epoch: str,

@@ -27,14 +27,26 @@ from mee_ray.tokenizer import Tokenizer
 class OracleIndex:
     def __init__(self, docs: list[tuple[int, str]],
                  tok_cfg: TokenizerConfig | None = None,
-                 bm25: BM25Params | None = None):
-        """docs: [(doc_id, content)] — live documents only."""
+                 bm25: BM25Params | None = None,
+                 store_positions: bool = False):
+        """docs: [(doc_id, content)] — live documents only.
+        ``store_positions=True`` additionally keeps term → doc →
+        position sets for phrase verification (opt-in: position maps
+        are memory-heavy at the 96k-doc validation scale)."""
         self.bm25 = bm25 or BM25Params()
         tok = Tokenizer(tok_cfg or TokenizerConfig())
         self.postings: dict[str, dict[int, int]] = {}
         self.dl: dict[int, int] = {}
+        self.positions: dict[str, dict[int, set]] | None = \
+            {} if store_positions else None
         for doc_id, content in docs:
-            counts = tok.counts(content)
+            if store_positions:
+                counts, poss = tok.counts_and_positions(content)
+                for term, plist in poss.items():
+                    self.positions.setdefault(
+                        term, {})[doc_id] = set(plist)
+            else:
+                counts = tok.counts(content)
             self.dl[doc_id] = sum(counts.values())
             for term, tf in counts.items():
                 self.postings.setdefault(term, {})[doc_id] = tf
@@ -56,6 +68,44 @@ class OracleIndex:
             w = idf(len(plist), self.n_docs)
             for doc_id, tf in plist.items():
                 s = w * tfn_scalar(float(tf), float(self.dl[doc_id]), self.avgdl, p)
+                acc[doc_id] = acc.get(doc_id, 0.0) + s
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
+    def search_phrase(self, terms: list[str], k: int = 10
+                      ) -> list[tuple[int, float]]:
+        """Exact phrase top-k: docs where ``terms`` occur at
+        consecutive positions in order, scored exactly like
+        :meth:`search_and` restricted to the matching docs.  Needs
+        ``store_positions=True``."""
+        if self.positions is None:
+            raise ValueError("OracleIndex built without store_positions")
+        if not terms:
+            return []
+        uterms = sorted(set(terms))
+        for t in uterms:
+            if t not in self.postings:
+                return []
+        cand = set.intersection(
+            *(set(self.postings[t]) for t in uterms))
+        phrase_docs = set()
+        first = self.positions.get(terms[0], {})
+        for doc in cand:
+            for p in first.get(doc, ()):
+                if all((p + i) in self.positions[t].get(doc, ())
+                       for i, t in enumerate(terms[1:], start=1)):
+                    phrase_docs.add(doc)
+                    break
+        if not phrase_docs:
+            return []
+        p = self.bm25
+        acc: dict[int, float] = {}
+        for term in uterms:
+            plist = self.postings[term]
+            w = idf(len(plist), self.n_docs)
+            for doc_id in phrase_docs:
+                s = w * tfn_scalar(float(plist[doc_id]),
+                                   float(self.dl[doc_id]), self.avgdl, p)
                 acc[doc_id] = acc.get(doc_id, 0.0) + s
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]

@@ -39,16 +39,18 @@ TOP_K = 10
 def _index_root(sf_dir: str) -> str:
     from mee_ray.postings import FORMAT_VERSION
     tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    # format version in the path: a codec/layout change invalidates the
-    # cache instead of tripping the Searcher's version check
-    return f"/tmp/mee_ft_index/v{FORMAT_VERSION}_{tag}"
+    # format version + positions marker in the path: a codec/layout/
+    # schema change invalidates the cache instead of tripping the
+    # Searcher's version check (store_positions is manifest-pinned)
+    return f"/tmp/mee_ft_index/v{FORMAT_VERSION}p_{tag}"
 
 
 def _ensure_index(sf_dir: str) -> str:
     """Build (or resume) the documents index for this sf_dir. The
     engine's stage checkpoints make repeated calls near-free."""
     root = _index_root(sf_dir)
-    cfg = EngineConfig(tokenizer=TokenizerConfig.simple())
+    cfg = EngineConfig(tokenizer=TokenizerConfig.simple(),
+                       store_positions=True)
     if mf.current_epoch(root) is None:
         corpus = documents_as_corpus(sf_dir)
         # (repo, path, commit) is unique per doc here → dedup off
@@ -124,6 +126,104 @@ def bm25_conjunctive_documents(sf_dir: str):
     return pa.table({"query_id": pa.array(out_q, pa.int64()),
                      "rank": pa.array(out_r, pa.int64()),
                      "doc_id": pa.array(out_d, pa.int64())})
+
+
+# Phrase query set: token sequences (the engine verifies adjacency in
+# the term-position index; the SQL oracle verifies adjacency with a
+# regex — two tokens are adjacent iff only non-token characters
+# separate them, because the tokenizer's [a-z0-9_]+ runs are maximal).
+PHRASE_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["merge", "group"]),
+    (2, ["window", "join"]),
+    (3, ["customer", "join"]),
+    (4, ["data", "slow"]),
+    (5, ["order", "fast"]),
+    (6, ["part", "filter", "scan"]),
+]
+
+
+def _phrase_regex(terms: list[str]) -> str:
+    sep = "[^a-z0-9_]+"
+    return ("(^|[^a-z0-9_])" + sep.join(terms)
+            + "([^a-z0-9_]|$)")
+
+
+def bm25_phrase_documents(sf_dir: str):
+    """Exact phrase top-k over the positional index: docs containing
+    the token sequence at consecutive positions, scored like
+    conjunctive (idf full-index — phrase filters, never rescales),
+    ranked by (score desc, ORIGINAL doc_id) like the other fulltext
+    queries so the SQL oracle can reproduce the tie-break."""
+    import numpy as np
+
+    from mee_ray.query import (Searcher, merge_partials_conjunctive,
+                               phrase_match_docs)
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    out_q, out_r, out_d = [], [], []
+    for qid, terms in PHRASE_QUERIES:
+        uterms = sorted(set(terms))
+        data = {t: s.term_doc_positions(t) for t in uterms}
+        pdocs = phrase_match_docs(data, terms)
+        if pdocs.size == 0:
+            continue
+        partials = s.term_partials_for_docs(uterms, pdocs)
+        ranked = merge_partials_conjunctive([partials], uterms,
+                                            k=s.n_docs or 1)
+        if ranked:
+            ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
+            scores = np.array([sc for _, sc in ranked], dtype=np.float64)
+            order = np.lexsort((ids, -scores))[:TOP_K]
+            for rank, j in enumerate(order, start=1):
+                out_q.append(qid); out_r.append(rank)
+                out_d.append(int(ids[j]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _bm25_phrase_sql() -> str:
+    values = ", ".join(f"({qid}, '{t}')"
+                       for qid, terms in PHRASE_QUERIES
+                       for t in sorted(set(terms)))
+    pats = ", ".join(f"({qid}, '{_phrase_regex(terms)}')"
+                     for qid, terms in PHRASE_QUERIES)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS total_tokens),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+pat(query_id, pat) AS (VALUES {pats}),
+phrase_docs AS (
+  SELECT pat.query_id, d.doc_id
+  FROM pat JOIN documents d ON regexp_matches(lower(d.text), pat.pat)),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * ((tf.tf * (1.2 + 1)) /
+                (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
+                                (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN phrase_docs pd ON pd.query_id = q.query_id
+                     AND pd.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
 
 
 def _bm25_sql() -> str:
@@ -256,6 +356,7 @@ FROM documents
 QUERIES = {
     "bm25_topk_documents": bm25_topk_documents,
     "bm25_conjunctive_documents": bm25_conjunctive_documents,
+    "bm25_phrase_documents": bm25_phrase_documents,
     "index_term_stats": index_term_stats,
     "corpus_docs_table": corpus_docs_table,
 }
@@ -263,6 +364,7 @@ QUERIES = {
 ORACLE = {
     "bm25_topk_documents": _bm25_sql(),
     "bm25_conjunctive_documents": _bm25_conj_sql(),
+    "bm25_phrase_documents": _bm25_phrase_sql(),
     "index_term_stats": INDEX_STATS_SQL,
     "corpus_docs_table": CORPUS_DOCS_SQL,
 }

@@ -80,6 +80,56 @@ def varint_decode(buf: bytes) -> np.ndarray:
     return vals
 
 
+def varint_value_offsets(buf: bytes) -> np.ndarray:
+    """Byte offsets of value boundaries inside a LEB128 stream:
+    returns n+1 offsets so ``buf[offs[i]:offs[j]]`` is the exact
+    encoding of values i..j-1.  A value's LAST byte is the one with
+    the continuation bit clear, so boundaries are one past each such
+    byte — O(bytes), fully vectorized.  Used to slice concatenated
+    per-doc position blobs without decoding them."""
+    data = np.frombuffer(buf, dtype=np.uint8)
+    if len(data) == 0:
+        return np.zeros(1, dtype=np.int64)
+    ends = np.flatnonzero((data & 0x80) == 0) + 1
+    return np.concatenate(([0], ends)).astype(np.int64)
+
+
+def encode_positions(positions: np.ndarray) -> bytes:
+    """One document's term positions (sorted ascending) → delta +
+    LEB128 bytes (first value absolute).  Self-contained per doc, so
+    per-doc blobs concatenate freely along a posting list."""
+    p = np.asarray(positions, dtype=np.uint64)
+    if len(p) == 0:
+        return b""
+    d = np.empty(len(p), dtype=np.uint64)
+    d[0] = p[0]
+    d[1:] = np.diff(p.astype(np.int64)).astype(np.uint64)
+    return varint_encode(d)
+
+
+def decode_positions_concat(buf: bytes, tfs: np.ndarray
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenated per-doc position blobs + per-doc counts →
+    (flat absolute positions, doc start offsets).  The segmented
+    delta decode mirrors _decode_rows: global cumsum minus each doc
+    run's prefix."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    deltas = varint_decode(buf).astype(np.int64)
+    total = int(tfs.sum())
+    assert len(deltas) == total, "positions buffer/tf mismatch"
+    offs = np.concatenate(([0], np.cumsum(tfs)))
+    if total == 0:
+        return np.empty(0, dtype=np.int64), offs
+    C = np.cumsum(deltas)
+    prefix = np.zeros(total, dtype=np.int64)
+    starts = offs[:-1][tfs > 0]
+    # value before each run start (0 for the first run)
+    prev = np.where(starts > 0, C[starts - 1], 0)
+    prefix[starts] = np.diff(np.concatenate(([0], prev)))
+    np.cumsum(prefix, out=prefix)
+    return C - prefix, offs
+
+
 def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing int64 ids → first id + gaps (uint64)."""
     ids = np.ascontiguousarray(doc_ids, dtype=np.int64)

@@ -180,6 +180,35 @@ class _ShardIndex:
             out.append((self._seqs[ti], ids, tfs, dls))
         return out
 
+    def _positions_row(self, ti: int, ri: int):
+        """(flat absolute positions, per-doc offsets) for one stored
+        chunk — decoded lazily, cached alongside the posting LRU."""
+        from mee_ray.postings import decode_positions_concat
+        key = ("pos", ti, ri)
+        got = self._dec_cache.get(key)
+        if got is not None:
+            self._dec_cache.move_to_end(key)
+            return got
+        t, r = self._row(ti, ri)
+        if "pos_enc" not in t.schema.names:
+            raise ValueError("index was built without store_positions")
+        _, tfs, _ = self._decode_row(ti, ri)
+        flat, offs = decode_positions_concat(t["pos_enc"][r].as_py(), tfs)
+        self._dec_cache[key] = (flat, offs)
+        if len(self._dec_cache) > self.DEC_CACHE_CAP:
+            self._dec_cache.popitem(last=False)
+        return flat, offs
+
+    def positions_by_source(self, term: str):
+        """[(source_seq, doc_ids, tfs, flat_positions, doc_offsets)]
+        per stored chunk — phrase-query input."""
+        out = []
+        for ti, ri in self.rows.get(term, ()):
+            ids, tfs, _dls = self._decode_row(ti, ri)
+            flat, offs = self._positions_row(ti, ri)
+            out.append((self._seqs[ti], ids, tfs, flat, offs))
+        return out
+
     def chunk_meta(self, term: str) -> list[dict]:
         """Per-chunk metadata WITHOUT decoding postings: stored block
         boundaries + max impacts, df, delta flag, and a lazy decode
@@ -338,6 +367,64 @@ class Searcher:
                                               self.k1, self.b))
         return out
 
+    def term_doc_positions(self, term: str
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, per-doc offsets, flat absolute positions) for one
+        term's LIVE postings (sequenced-tombstone filter applied like
+        :meth:`_live_postings`, with each killed doc's position run
+        dropped via a repeat-mask — no per-doc loop)."""
+        s = term_hash(term) % self.num_shards
+        if not self.owns(s):
+            return (np.empty(0, np.int64), np.zeros(1, np.int64),
+                    np.empty(0, np.int64))
+        ids_l, tf_l, flat_l = [], [], []
+        for seq, ids, tfs, flat, offs in \
+                self._shard(s).positions_by_source(term):
+            if len(self.tomb_ids):
+                keep = mf.live_posting_mask(ids, seq, self.tomb_ids,
+                                            self.tomb_seqs)
+                if not keep.any():
+                    continue
+                if not keep.all():
+                    fkm = np.repeat(keep, tfs)
+                    ids, tfs, flat = ids[keep], tfs[keep], flat[fkm]
+            ids_l.append(ids); tf_l.append(tfs); flat_l.append(flat)
+        if not ids_l:
+            return (np.empty(0, np.int64), np.zeros(1, np.int64),
+                    np.empty(0, np.int64))
+        ids = np.concatenate(ids_l)
+        tfs = np.concatenate(tf_l)
+        flat = np.concatenate(flat_l)
+        offs = np.concatenate(([0], np.cumsum(tfs)))
+        return ids, offs, flat
+
+    def search_phrase(self, terms: list[str], k: int = 10
+                      ) -> list[tuple[int, float]]:
+        """Exact phrase top-k: documents where ``terms`` occur at
+        consecutive positions (in order, duplicates included), scored
+        like ``operator="and"`` restricted to the matching docs (idf
+        full-index; conjunction/phrase filter, never rescale).
+
+        Vectorized verify: candidate docs (present in every unique
+        term) map to dense ranks; each slot i contributes composite
+        keys ``rank << 32 | (pos - i)``, and a phrase hit is a key
+        that survives intersection across all slots — no per-doc loop
+        (ranks, not raw doc_ids, because doc_ids are 63-bit hashes
+        that cannot pack beside a position in 64 bits).
+        Requires an index built with ``store_positions=True``."""
+        if not terms:
+            return []
+        if not self.manifest.get("store_positions"):
+            raise ValueError("phrase queries need store_positions=True "
+                             "(pinned in the manifest at build)")
+        uterms = sorted(set(terms))
+        data = {t: self.term_doc_positions(t) for t in uterms}
+        phrase_docs = phrase_match_docs(data, terms)
+        if phrase_docs.size == 0:
+            return []
+        partials = self.term_partials_for_docs(uterms, phrase_docs)
+        return merge_partials_conjunctive([partials], uterms, k)
+
     def search(self, terms: list[str], k: int = 10,
                use_wand: bool | None = None,
                operator: str = "or") -> list[tuple[int, float]]:
@@ -407,6 +494,42 @@ def merge_partials(partials_list: list[dict], terms: list[str], k: int
     np.add.at(acc, inv, all_sc)
     ids, scores = top_k_select(uniq, acc, k)
     return list(zip(ids.tolist(), scores.tolist()))
+
+
+def phrase_match_docs(data: dict, terms: list[str]) -> np.ndarray:
+    """Docs containing ``terms`` at consecutive positions, in order.
+
+    ``data``: term → (doc_ids, per-doc offsets, flat positions).
+    Candidates (docs holding every unique term) map to dense ranks;
+    slot i contributes composite keys ``rank << 32 | (pos - i)`` and
+    a hit is a key surviving intersection across all slots — fully
+    vectorized (ranks, not raw doc_ids, because doc_ids are 63-bit
+    hashes that cannot pack beside a position in 64 bits)."""
+    uterms = sorted(set(terms))
+    empty = np.empty(0, dtype=np.int64)
+    cand = None
+    for t in uterms:
+        ids = data[t][0]
+        if ids.size == 0:
+            return empty
+        cand = np.unique(ids) if cand is None else np.intersect1d(cand, ids)
+        if cand.size == 0:
+            return empty
+    keys = None
+    for i, t in enumerate(terms):
+        ids, offs, flat = data[t]
+        tfs = np.diff(offs)
+        pos_c = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
+        keep = cand[pos_c] == ids
+        rank_rep = np.repeat(pos_c[keep], tfs[keep])
+        flat_k = flat[np.repeat(keep, tfs)]
+        ok = flat_k >= i              # a phrase cannot start before 0
+        kk = ((rank_rep[ok].astype(np.int64) << np.int64(32))
+              | (flat_k[ok] - i))
+        keys = kk if keys is None else np.intersect1d(keys, kk)
+        if keys.size == 0:
+            return empty
+    return cand[np.unique(keys >> np.int64(32))]
 
 
 def merge_partials_conjunctive(partials_list: list[dict],
@@ -489,6 +612,13 @@ class DistributedSearcher:
                 return self.searcher.term_partials_for_docs(
                     terms, doc_ids_sorted)
 
+            def term_doc_positions(self, terms):
+                return {t: self.searcher.term_doc_positions(t)
+                        for t in terms}
+
+            def search_phrase(self, terms, k):
+                return self.searcher.search_phrase(terms, k)
+
             def local_topm(self, terms, m):
                 """(exact local top-m partial ranking, bound): the
                 m-th best partial bounds every unreturned doc's
@@ -554,6 +684,39 @@ class DistributedSearcher:
             return self._search_three_phase(by_actor, uterms, k)
         futs = [self.actors[a].term_partials.remote(ts) for a, ts in by_actor.items()]
         return merge_partials(ray.get(futs), uterms, k)
+
+    def search_phrase(self, terms: list[str], k: int = 10
+                      ) -> list[tuple[int, float]]:
+        """Distributed exact phrase top-k.  Single-owning-actor
+        phrases run entirely actor-side; otherwise each owning actor
+        ships its terms' live (doc, positions) arrays and the driver
+        runs the composite-key intersection + candidate re-score.
+        Transfer is O(occurrences of the query terms) — the scale
+        path (ship the rarest term's doc set first and push it down
+        as a candidate filter) is a straightforward extension of
+        term_partials_for_docs and is documented, not yet needed at
+        bench posting sizes."""
+        import ray
+        if not terms:
+            return []
+        uterms = sorted(set(terms))
+        by_actor: dict[int, list[str]] = defaultdict(list)
+        for t in uterms:
+            by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
+        if len(by_actor) == 1:
+            (a,) = by_actor
+            return ray.get(self.actors[a].search_phrase.remote(terms, k))
+        futs = [self.actors[a].term_doc_positions.remote(ts)
+                for a, ts in by_actor.items()]
+        data: dict = {}
+        for d in ray.get(futs):
+            data.update(d)
+        phrase_docs = phrase_match_docs(data, terms)
+        if phrase_docs.size == 0:
+            return []
+        pfuts = [self.actors[a].term_partials_for_docs.remote(ts, phrase_docs)
+                 for a, ts in by_actor.items()]
+        return merge_partials_conjunctive(ray.get(pfuts), uterms, k)
 
     def _search_three_phase(self, by_actor: dict, uterms: list[str],
                             k: int) -> list[tuple[int, float]]:

@@ -107,6 +107,21 @@ class Tokenizer:
         """term → tf for one document."""
         return Counter(self.terms(text))
 
+    def counts_and_positions(self, text: str
+                             ) -> tuple[Counter, dict[str, list[int]]]:
+        """(term → tf, term → sorted positions) for one document.
+        Position = index in the emitted term stream (:meth:`terms`
+        order) — in ``simple`` mode that is exactly the regex token
+        sequence, which is what makes phrase adjacency reproducible in
+        SQL (two terms are adjacent iff only non-token characters
+        separate them in the raw text)."""
+        seq = self.terms(text)
+        counts: Counter = Counter(seq)
+        poss: dict[str, list[int]] = {}
+        for i, t in enumerate(seq):
+            poss.setdefault(t, []).append(i)
+        return counts, poss
+
     def doc_length(self, text: str) -> int:
         """Total number of emitted terms (the BM25 ``dl``)."""
         return len(self.terms(text))

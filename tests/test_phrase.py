@@ -1,0 +1,195 @@
+"""Positional postings + exact phrase queries: codec round-trips and
+rank/score identity vs the oracle across build → delta → compact, on
+both the in-process Searcher and the shard-actor pool."""
+
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from mee_ray.postings import (decode_positions_concat, encode_positions,
+                              varint_value_offsets)
+
+
+def test_position_codec_roundtrip_random():
+    rng = np.random.default_rng(11)
+    for _ in range(100):
+        tfs, blobs, flats = [], [], []
+        for _ in range(int(rng.integers(0, 6))):
+            tf = int(rng.integers(1, 30))
+            pos = np.sort(rng.choice(50_000, size=tf, replace=False))
+            tfs.append(tf)
+            blobs.append(encode_positions(pos))
+            flats.append(pos)
+        flat, offs = decode_positions_concat(
+            b"".join(blobs), np.array(tfs, dtype=np.int64))
+        want = np.concatenate(flats) if flats else np.empty(0, np.int64)
+        assert np.array_equal(flat, want)
+        assert offs[-1] == sum(tfs)
+
+
+def test_varint_value_offsets_slices_are_valid():
+    from mee_ray.postings import varint_decode, varint_encode
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 1 << 50, size=200).astype(np.uint64)
+    enc = varint_encode(vals)
+    offs = varint_value_offsets(enc)
+    assert len(offs) == 201 and offs[-1] == len(enc)
+    lo, hi = 37, 115
+    sl = varint_decode(enc[offs[lo]:offs[hi]])
+    assert np.array_equal(sl, vals[lo:hi])
+
+
+@pytest.fixture(scope="module")
+def pos_index(ray_session, tmp_path_factory):
+    import ray.data
+
+    from mee_ray.build import build_index
+    from mee_ray.config import EngineConfig
+    from mee_ray.corpus import write_corpus
+    from mee_ray.ids import doc_id_of
+    from mee_ray.oracle import OracleIndex
+
+    root = str(tmp_path_factory.mktemp("pos_idx"))
+    cdir = write_corpus(f"{root}/corpus", n_files=150, seed=23,
+                        rows_per_file=75)
+    cfg = EngineConfig(store_positions=True)
+    build_index(ray.data.read_parquet(cdir), f"{root}/index", "ep1", cfg)
+
+    t = pq.read_table(cdir)
+    live = {}
+    for r, p, c, content in zip(t["repo"].to_pylist(),
+                                t["path"].to_pylist(),
+                                t["commit"].to_pylist(),
+                                t["content"].to_pylist()):
+        key = (r, p)
+        if key not in live or c > live[key][0]:
+            live[key] = (c, content)
+    docs = [(doc_id_of(r, p, c), content)
+            for (r, p), (c, content) in live.items()]
+    oracle = OracleIndex(docs, store_positions=True)
+    return {"root": f"{root}/index", "live": live, "docs": docs,
+            "oracle": oracle, "cfg": cfg}
+
+
+def _phrases_from(docs, n=25):
+    """Real adjacent bigrams/trigrams from the corpus term streams,
+    plus non-matching controls."""
+    from mee_ray.config import TokenizerConfig
+    from mee_ray.tokenizer import Tokenizer
+    tok = Tokenizer(TokenizerConfig())
+    phrases = []
+    for i, (_, content) in enumerate(docs[:40]):
+        seq = tok.terms(content)
+        if len(seq) > 10:
+            phrases.append(seq[3:5])           # bigram
+            if i % 3 == 0:
+                phrases.append(seq[5:8])       # trigram
+    # dedupe, keep deterministic order
+    seen, out = set(), []
+    for ph in phrases:
+        key = tuple(ph)
+        if key not in seen:
+            seen.add(key)
+            out.append(ph)
+    out = out[:n]
+    out.append(["qqqq_not_a_term", "also_missing"])
+    out.append([out[0][1], out[0][0]])         # reversed → usually no hit
+    return out
+
+
+def test_phrase_matches_oracle(pos_index):
+    from mee_ray.query import Searcher
+
+    s = Searcher(pos_index["root"])
+    oracle = pos_index["oracle"]
+    hits = 0
+    for ph in _phrases_from(pos_index["docs"]):
+        got = s.search_phrase(ph, k=10)
+        want = oracle.search_phrase(ph, k=10)
+        assert got == want, ph
+        hits += bool(got)
+    assert hits >= 15
+
+
+def test_phrase_distributed(pos_index, ray_session):
+    from mee_ray.query import DistributedSearcher
+
+    ds = DistributedSearcher(pos_index["root"], n_actors=3)
+    try:
+        oracle = pos_index["oracle"]
+        for ph in _phrases_from(pos_index["docs"])[:12]:
+            assert ds.search_phrase(ph, k=10) == \
+                oracle.search_phrase(ph, k=10), ph
+    finally:
+        ds.shutdown()
+
+
+def test_phrase_subset_of_conjunctive(pos_index):
+    from mee_ray.query import Searcher
+
+    s = Searcher(pos_index["root"])
+    for ph in _phrases_from(pos_index["docs"])[:8]:
+        conj = dict(s.search(ph, k=100_000, operator="and"))
+        for doc, score in s.search_phrase(ph, k=100_000):
+            assert doc in conj and conj[doc] == score
+
+
+def test_phrase_after_delta_and_compact(pos_index, tmp_path):
+    import ray  # noqa: F401
+
+    from mee_ray.delta import apply_delta
+    from mee_ray.ids import doc_id_of
+    from mee_ray.merge import compact
+    from mee_ray.oracle import OracleIndex
+    from mee_ray.query import Searcher
+
+    index_copy = str(tmp_path / "index")
+    shutil.copytree(pos_index["root"], index_copy)
+    live = dict(pos_index["live"])
+    keys = sorted(live)[:4]
+    newc = "alpha beta gamma delta epsilon zeta\nalpha beta again\n"
+    ev, seq = [], 1
+    for k2 in keys[:2]:
+        ev.append({"seq": seq, "type": "UPDATE", "repo": k2[0],
+                   "path": k2[1], "commit": "e" * 40, "lang": "python",
+                   "content": newc}); seq += 1
+    for k2 in keys[2:4]:
+        ev.append({"seq": seq, "type": "DELETE", "repo": k2[0],
+                   "path": k2[1], "commit": None, "lang": None,
+                   "content": None}); seq += 1
+    evt = pa.table({n: pa.array([e[n] for e in ev])
+                    for n in ("seq", "type", "repo", "path", "commit",
+                              "lang", "content")})
+    apply_delta(evt, index_copy)
+    for k2 in keys[:2]:
+        live[k2] = ("e" * 40, newc)
+    for k2 in keys[2:4]:
+        live.pop(k2)
+    docs = [(doc_id_of(r, p, c), content)
+            for (r, p), (c, content) in live.items()]
+    oracle = OracleIndex(docs, store_positions=True)
+
+    phrases = (_phrases_from(docs)[:10]
+               + [["alpha", "beta"], ["alpha", "beta", "gamma"],
+                  ["beta", "alpha"], ["beta", "gamma", "delta"]])
+    s = Searcher(index_copy)
+    for ph in phrases:
+        assert s.search_phrase(ph, k=10) == oracle.search_phrase(ph, k=10), ph
+
+    compact(index_copy, "ep2")
+    s2 = Searcher(index_copy)
+    for ph in phrases:
+        assert s2.search_phrase(ph, k=10) == oracle.search_phrase(ph, k=10), ph
+    # the phrase that exists only in the delta'd docs actually matched
+    assert s2.search_phrase(["alpha", "beta"], k=10)
+
+
+def test_phrase_requires_positions(built_index):
+    from mee_ray.query import Searcher
+
+    s = Searcher(built_index["index_root"])
+    with pytest.raises(ValueError, match="store_positions"):
+        s.search_phrase(["merge", "sort"], k=10)
