@@ -163,6 +163,12 @@ def main(argv: list[str] | None = None) -> int:
                    default="partials",
                    help="distributed exchange strategy (see "
                         "DistributedSearcher.search)")
+    q.add_argument("--operator", choices=["or", "and"], default="or",
+                   help="'and' = conjunctive: docs must contain every "
+                        "term (scores unchanged for surviving docs)")
+    q.add_argument("--phrase", action="store_true",
+                   help="exact phrase match (consecutive positions, "
+                        "in order) — needs store_positions=True")
 
     d = sub.add_parser("delta", help="apply one delta event batch")
     d.add_argument("--index", required=True)
@@ -225,11 +231,16 @@ def main(argv: list[str] | None = None) -> int:
             _init_ray(args.num_cpus)
             from mee_ray.query import DistributedSearcher
             s = DistributedSearcher(args.index, n_actors=args.actors)
-            hits = s.search(terms, args.k, mode=args.mode)
+            hits = (s.search_phrase(terms, args.k) if args.phrase
+                    else s.search(terms, args.k, mode=args.mode,
+                                  operator=args.operator))
             s.shutdown()
         else:
             from mee_ray.query import Searcher
-            hits = Searcher(args.index).search(terms, args.k)
+            s = Searcher(args.index)
+            hits = (s.search_phrase(terms, args.k) if args.phrase
+                    else s.search(terms, args.k,
+                                  operator=args.operator))
         print(json.dumps({"terms": terms,
                           "hits": [{"doc_id": d, "score": sc}
                                    for d, sc in hits]}))

@@ -143,11 +143,16 @@ class _ShardIndex:
         cap = self.RG_CACHE_CAP if max_groups is None \
             else min(max_groups, self.RG_CACHE_CAP)
         loaded = 0
-        for ti, pf in enumerate(self.files):
-            for g in range(pf.num_row_groups):
+        # round-robin across files so a capped warm covers the FRONT
+        # of every segment file instead of exhausting the budget on
+        # the first file (terms are sorted within a file, so breadth
+        # beats depth for arbitrary first queries)
+        max_g = max((pf.num_row_groups for pf in self.files), default=0)
+        for g in range(max_g):
+            for ti, pf in enumerate(self.files):
                 if len(self._rg_cache) >= cap:
                     return loaded
-                if (ti, g) not in self._rg_cache:
+                if g < pf.num_row_groups and (ti, g) not in self._rg_cache:
                     self._rg_cache[(ti, g)] = pf.read_row_group(g)
                     loaded += 1
         return loaded

@@ -26,7 +26,8 @@ def test_cli_build_then_query(tmp_path):
     write_corpus(corpus, n_files=80, seed=21, rows_per_file=40)
     cfg = str(tmp_path / "cfg.json")
     with open(cfg, "w") as f:
-        json.dump({"num_shards": 2, "parts_per_shard": 2}, f)
+        json.dump({"num_shards": 2, "parts_per_shard": 2,
+                   "store_positions": True}, f)
 
     out = _run("--config", cfg, "--num-cpus", "2", "build",
                "--input", corpus, "--index", index, "--epoch", "ep1")
@@ -36,6 +37,14 @@ def test_cli_build_then_query(tmp_path):
     hits = _run("query", "--index", index, "--terms", "def return", "-k", "3")
     assert len(hits["hits"]) == 3
     assert all(h["score"] > 0 for h in hits["hits"])
+
+    conj = _run("query", "--index", index, "--terms", "def return",
+                "-k", "3", "--operator", "and")
+    assert all(h["score"] > 0 for h in conj["hits"])
+
+    ph = _run("query", "--index", index, "--terms", "def", "-k", "3",
+              "--phrase")
+    assert len(ph["hits"]) > 0    # 1-term phrase = docs containing it
 
     met = _run("metrics", "--index", index)
     assert met["epoch"] == "ep1" and met["segments"]["n_partitions"] == 4
