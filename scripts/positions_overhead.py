@@ -1,0 +1,137 @@
+"""Measure what positional postings cost: build the same corpus with
+store_positions off and on, compare build time + segment bytes, then
+time phrase queries against the positional index and verify them
+against the oracle.  Prints one JSON line.
+
+Usage: python scripts/positions_overhead.py [n_files]
+"""
+
+import glob
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def seg_bytes(root: str) -> int:
+    return sum(os.path.getsize(f) for f in
+               glob.glob(f"{root}/epochs/*/segments/*.parquet"))
+
+
+def main() -> int:
+    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 24000
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=32, include_dashboard=False,
+                 logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mee_ray.build import build_index
+    from mee_ray.config import EngineConfig
+    from mee_ray.corpus import write_corpus
+    from mee_ray.ids import doc_id_of
+    from mee_ray.oracle import OracleIndex
+    from mee_ray.query import Searcher
+    from mee_ray.tokenizer import Tokenizer
+
+    cdir = f"/tmp/mee_posbench/corpus_{n_files}"
+    if not (os.path.isdir(cdir) and os.listdir(cdir)):
+        write_corpus(cdir, n_files=n_files, seed=42,
+                     rows_per_file=max(200, n_files // 96))
+
+    out = {}
+    roots = {}
+    for label, sp in (("plain", False), ("positions", True)):
+        root = f"/tmp/mee_posbench/index_{label}"
+        shutil.rmtree(root, ignore_errors=True)
+        cfg = EngineConfig(store_positions=sp)
+        t0 = time.time()
+        man = build_index(ray.data.read_parquet(cdir), root, "ep1", cfg)
+        dt = time.time() - t0
+        out[label] = {
+            "build_sec": round(dt, 2),
+            "files_per_sec": round(n_files / dt, 1),
+            "segment_mb": round(seg_bytes(root) / 1e6, 2),
+            "total_tokens": man["total_tokens"],
+        }
+        roots[label] = root
+
+    out["overhead"] = {
+        "bytes_ratio": round(out["positions"]["segment_mb"]
+                             / out["plain"]["segment_mb"], 3),
+        "build_ratio": round(out["positions"]["build_sec"]
+                             / out["plain"]["build_sec"], 3),
+        "pos_bytes_per_token": round(
+            (out["positions"]["segment_mb"] - out["plain"]["segment_mb"])
+            * 1e6 / out["positions"]["total_tokens"], 3),
+    }
+
+    # phrase workload: real adjacent bigrams/trigrams from the corpus,
+    # verified against the oracle on a sampled subset
+    t = pq.read_table(sorted(glob.glob(f"{cdir}/*.parquet"))[0])
+    tok = Tokenizer(EngineConfig().tokenizer)
+    phrases = []
+    sample_docs = []
+    for r, p, c, content in zip(t["repo"].to_pylist()[:300],
+                                t["path"].to_pylist()[:300],
+                                t["commit"].to_pylist()[:300],
+                                t["content"].to_pylist()[:300]):
+        seq = tok.terms(content)
+        sample_docs.append((doc_id_of(r, p, c), content))
+        if len(seq) > 12 and len(phrases) < 100:
+            phrases.append(seq[4:6])
+            if len(phrases) % 3 == 0:
+                phrases.append(seq[6:9])
+    s = Searcher(roots["positions"])
+    s.search_phrase(phrases[0], 10)    # warm
+    lat = []
+    n_hits = 0
+    for ph in phrases:
+        tq = time.time()
+        r = s.search_phrase(ph, k=10)
+        lat.append((time.time() - tq) * 1000)
+        n_hits += bool(r)
+    lat = np.array(lat)
+    out["phrase_query"] = {
+        "n_queries": len(phrases),
+        "n_with_hits": n_hits,
+        "p50_ms": round(float(np.percentile(lat, 50)), 2),
+        "p99_ms": round(float(np.percentile(lat, 99)), 2),
+    }
+
+    # correctness spot-check vs oracle on the sampled docs' vocabulary:
+    # build an oracle over the FULL live corpus is heavy at 24k docs,
+    # so verify on a bounded sub-corpus index instead
+    from mee_ray import manifest as mf
+    live_ids = set()
+    for f in mf.docs_files(roots["positions"],
+                           mf.current_epoch(roots["positions"])):
+        live_ids.update(pq.read_table(f, columns=["doc_id"])
+                        ["doc_id"].to_pylist())
+    sub = sample_docs[:150]
+    sub_oracle = OracleIndex(sub, store_positions=True)
+    ver = 0
+    for ph in phrases[:20]:
+        want = sub_oracle.search_phrase(ph, k=10)
+        got_docs = {d for d, _ in s.search_phrase(ph, k=10_000)}
+        # every oracle hit whose doc version survived dedup (is live
+        # in the index) must be an engine phrase hit
+        assert all(d in got_docs for d, _ in want if d in live_ids), ph
+        ver += 1
+    out["phrase_verified_subset"] = ver
+
+    print(json.dumps(out))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
