@@ -204,15 +204,6 @@ class _ShardIndex:
             self._dec_cache.popitem(last=False)
         return flat, offs
 
-    def positions_by_source(self, term: str):
-        """[(source_seq, doc_ids, tfs, flat_positions, doc_offsets)]
-        per stored chunk — phrase-query input."""
-        out = []
-        for ti, ri in self.rows.get(term, ()):
-            ids, tfs, _dls = self._decode_row(ti, ri)
-            flat, offs = self._positions_row(ti, ri)
-            out.append((self._seqs[ti], ids, tfs, flat, offs))
-        return out
 
     def chunk_meta(self, term: str) -> list[dict]:
         """Per-chunk metadata WITHOUT decoding postings: stored block
@@ -372,27 +363,45 @@ class Searcher:
                                               self.k1, self.b))
         return out
 
-    def term_doc_positions(self, term: str
+    def term_doc_positions(self, term: str,
+                           candidates: np.ndarray | None = None
                            ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(doc_ids, per-doc offsets, flat absolute positions) for one
         term's LIVE postings (sequenced-tombstone filter applied like
         :meth:`_live_postings`, with each killed doc's position run
-        dropped via a repeat-mask — no per-doc loop)."""
+        dropped via a repeat-mask — no per-doc loop).
+
+        ``candidates`` (sorted doc_id array) is the phrase-path
+        pushdown: chunks whose doc set misses the candidates entirely
+        skip the position decode altogether, and surviving chunks keep
+        only candidate docs' position runs — a hot term salted across
+        many sub-lists decodes only the sub-lists the (rare-term-
+        bounded) candidate set actually touches."""
         s = term_hash(term) % self.num_shards
         if not self.owns(s):
             return (np.empty(0, np.int64), np.zeros(1, np.int64),
                     np.empty(0, np.int64))
+        shard = self._shard(s)
         ids_l, tf_l, flat_l = [], [], []
-        for seq, ids, tfs, flat, offs in \
-                self._shard(s).positions_by_source(term):
+        for chunk_i, (ti, ri) in enumerate(shard.rows.get(term, ())):
+            seq = shard._seqs[ti]
+            ids, tfs, _dls = shard._decode_row(ti, ri)
+            keep = None
             if len(self.tomb_ids):
                 keep = mf.live_posting_mask(ids, seq, self.tomb_ids,
                                             self.tomb_seqs)
-                if not keep.any():
-                    continue
-                if not keep.all():
-                    fkm = np.repeat(keep, tfs)
-                    ids, tfs, flat = ids[keep], tfs[keep], flat[fkm]
+            if candidates is not None:
+                pos_c = np.minimum(np.searchsorted(candidates, ids),
+                                   max(0, candidates.size - 1))
+                in_cand = (candidates[pos_c] == ids) if candidates.size \
+                    else np.zeros(len(ids), dtype=bool)
+                keep = in_cand if keep is None else (keep & in_cand)
+            if keep is not None and not keep.any():
+                continue                # skip the position decode
+            flat, offs = shard._positions_row(ti, ri)
+            if keep is not None and not keep.all():
+                fkm = np.repeat(keep, tfs)
+                ids, tfs, flat = ids[keep], tfs[keep], flat[fkm]
             ids_l.append(ids); tf_l.append(tfs); flat_l.append(flat)
         if not ids_l:
             return (np.empty(0, np.int64), np.zeros(1, np.int64),
@@ -423,7 +432,20 @@ class Searcher:
             raise ValueError("phrase queries need store_positions=True "
                              "(pinned in the manifest at build)")
         uterms = sorted(set(terms))
-        data = {t: self.term_doc_positions(t) for t in uterms}
+        # candidate docs from the (cheap, LRU-cached) posting decode
+        # BEFORE touching positions: hot terms then decode positions
+        # only for chunks the candidate intersection actually reaches
+        cand = None
+        for t in uterms:
+            ids, _, _ = self._live_postings(
+                term_hash(t) % self.num_shards, t)
+            if len(ids) == 0:
+                return []
+            cand = (np.unique(ids) if cand is None
+                    else np.intersect1d(cand, ids))
+            if cand.size == 0:
+                return []
+        data = {t: self.term_doc_positions(t, cand) for t in uterms}
         phrase_docs = phrase_match_docs(data, terms)
         if phrase_docs.size == 0:
             return []
@@ -617,8 +639,13 @@ class DistributedSearcher:
                 return self.searcher.term_partials_for_docs(
                     terms, doc_ids_sorted)
 
-            def term_doc_positions(self, terms):
-                return {t: self.searcher.term_doc_positions(t)
+            def term_doc_ids(self, terms):
+                return {t: np.unique(self.searcher._live_postings(
+                    term_hash(t) % self.searcher.num_shards, t)[0])
+                        for t in terms}
+
+            def term_doc_positions(self, terms, candidates=None):
+                return {t: self.searcher.term_doc_positions(t, candidates)
                         for t in terms}
 
             def search_phrase(self, terms, k):
@@ -693,14 +720,13 @@ class DistributedSearcher:
     def search_phrase(self, terms: list[str], k: int = 10
                       ) -> list[tuple[int, float]]:
         """Distributed exact phrase top-k.  Single-owning-actor
-        phrases run entirely actor-side; otherwise each owning actor
-        ships its terms' live (doc, positions) arrays and the driver
-        runs the composite-key intersection + candidate re-score.
-        Transfer is O(occurrences of the query terms) — the scale
-        path (ship the rarest term's doc set first and push it down
-        as a candidate filter) is a straightforward extension of
-        term_partials_for_docs and is documented, not yet needed at
-        bench posting sizes."""
+        phrases run entirely actor-side; otherwise two rounds: (1)
+        each owning actor ships its terms' live doc-id sets (postings
+        decode only — no positions), the driver intersects them into
+        the candidate set; (2) actors ship positions restricted to
+        the candidates, so transfer and position decode are bounded
+        by the rarest term's df, not the hottest term's occurrence
+        count."""
         import ray
         if not terms:
             return []
@@ -711,7 +737,20 @@ class DistributedSearcher:
         if len(by_actor) == 1:
             (a,) = by_actor
             return ray.get(self.actors[a].search_phrase.remote(terms, k))
-        futs = [self.actors[a].term_doc_positions.remote(ts)
+        id_futs = [self.actors[a].term_doc_ids.remote(ts)
+                   for a, ts in by_actor.items()]
+        id_sets: dict = {}
+        for d in ray.get(id_futs):
+            id_sets.update(d)
+        cand = None
+        for t in uterms:
+            ids = id_sets[t]
+            if ids.size == 0:
+                return []
+            cand = ids if cand is None else np.intersect1d(cand, ids)
+            if cand.size == 0:
+                return []
+        futs = [self.actors[a].term_doc_positions.remote(ts, cand)
                 for a, ts in by_actor.items()]
         data: dict = {}
         for d in ray.get(futs):
