@@ -406,6 +406,35 @@ def fsck(index_root: str, epoch: str | None = None,
                     errors.append(f"delta file missing: {p}")
     if m.get("n_docs", 0) > 0 and not docs_files(index_root, m["epoch"]):
         errors.append("docs table empty despite n_docs > 0")
+    if m.get("store_positions") and not errors:
+        # positional-index invariant: every segment row's position
+        # blob holds exactly sum(tf) varints (sampled — first file of
+        # the base set plus every delta segment; a full sweep is the
+        # hash check's job)
+        import pyarrow.parquet as pq
+
+        from mee_ray.postings import (decode_posting_list,
+                                      varint_value_offsets)
+        sample = [s["path"] for s in m.get("segments", [])][:1]
+        for d in m.get("deltas", []):
+            sample += list(d.get("segments", []))
+        for p in sample:
+            t = pq.read_table(p)
+            checked += 1
+            if "pos_enc" not in t.schema.names:
+                errors.append(f"store_positions set but {p} has no "
+                              f"pos_enc column")
+                continue
+            for r in range(t.num_rows):
+                _, tfs = decode_posting_list(
+                    t["doc_ids_enc"][r].as_py(), t["tfs_enc"][r].as_py())
+                n_vals = len(varint_value_offsets(
+                    t["pos_enc"][r].as_py())) - 1
+                if n_vals != int(tfs.sum()):
+                    errors.append(
+                        f"position count mismatch in {p} row {r}: "
+                        f"{n_vals} varints vs sum(tf)={int(tfs.sum())}")
+                    break
     return {"epoch": m["epoch"], "ok": not errors, "checked": checked,
             "n_segments": len(m.get("segments", [])),
             "n_deltas": len(m.get("deltas", [])), "errors": errors}

@@ -705,13 +705,28 @@ class DistributedSearcher:
             return ray.get(self.actors[a].search.remote(uterms, k,
                                                         operator))
         if operator == "and":
-            # conjunctive is intersection-bound (cheap result sets);
-            # the one-round partials exchange + conjunctive merge is
-            # exact and avoids a bound protocol that cannot prune
-            # soundly across term-partitioned shards
-            futs = [self.actors[a].term_partials.remote(ts)
-                    for a, ts in by_actor.items()]
-            return merge_partials_conjunctive(ray.get(futs), uterms, k)
+            # two rounds: doc-id sets first (cheap), then per-term
+            # partials restricted to the intersection — transfer is
+            # bounded by the rarest term's df, not the hottest's.
+            # A bound protocol cannot prune soundly across
+            # term-partitioned shards, but conjunction doesn't need
+            # one: the intersection IS the exact result set.
+            id_futs = [self.actors[a].term_doc_ids.remote(ts)
+                       for a, ts in by_actor.items()]
+            id_sets: dict = {}
+            for d in ray.get(id_futs):
+                id_sets.update(d)
+            cand = None
+            for t in uterms:
+                ids = id_sets.get(t)
+                if ids is None or ids.size == 0:
+                    return []
+                cand = ids if cand is None else np.intersect1d(cand, ids)
+                if cand.size == 0:
+                    return []
+            pfuts = [self.actors[a].term_partials_for_docs.remote(ts, cand)
+                     for a, ts in by_actor.items()]
+            return merge_partials_conjunctive(ray.get(pfuts), uterms, k)
         if mode == "threephase":
             return self._search_three_phase(by_actor, uterms, k)
         futs = [self.actors[a].term_partials.remote(ts) for a, ts in by_actor.items()]

@@ -631,6 +631,33 @@ def test_fsck_detects_corruption(ray_session, tmp_path):
                                  for e in rep["errors"])
 
 
+def test_fsck_checks_position_integrity(ray_session, tmp_path):
+    """store_positions indexes: fsck validates that a sampled segment's
+    position blobs hold exactly sum(tf) varints, and flags truncation."""
+    root = _build_small(tmp_path, [("o/r", f"p{i}.py", "c" * 40,
+                                    f"def p_{i}(): return pos_tok_{i}\n")
+                                   for i in range(8)],
+                        cfg=EngineConfig(store_positions=True))
+    rep = mf.fsck(root, verify_hashes=False)
+    assert rep["ok"], rep["errors"]
+
+    # truncate one row's position blob → count mismatch
+    m = mf.load_manifest(root)
+    seg = m["segments"][0]["path"]
+    t = pq.read_table(seg)
+    pos = t["pos_enc"].to_pylist()
+    pos[0] = pos[0][:-1] if pos[0] else b""
+    t = t.set_column(t.schema.get_field_index("pos_enc"), "pos_enc",
+                     pa.array(pos, pa.binary()))
+    pq.write_table(t, seg, row_group_size=512)
+    # keep the size check green so the positions check is what fires
+    m["segments"][0]["bytes"] = os.path.getsize(seg)
+    mf.write_manifest(root, m["epoch"], m)
+    rep = mf.fsck(root, verify_hashes=False)
+    assert not rep["ok"] and any("position count mismatch" in e
+                                 for e in rep["errors"])
+
+
 def test_distributed_searcher_refresh_after_compact(ray_session, tmp_path):
     """A long-lived actor pool detects a published newer epoch and
     re-points at it (the reader half of the alias swap)."""
