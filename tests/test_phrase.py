@@ -187,6 +187,60 @@ def test_phrase_after_delta_and_compact(pos_index, tmp_path):
     assert s2.search_phrase(["alpha", "beta"], k=10)
 
 
+def test_phrase_repeated_terms_and_edges(ray_session, tmp_path):
+    """Hand-built corpus exercising the composite-key corner cases:
+    repeated-term phrases ("go go"), self-overlapping runs, phrases at
+    position 0, and single-term phrases."""
+    import ray.data
+
+    from mee_ray.build import build_index
+    from mee_ray.config import EngineConfig
+    from mee_ray.ids import doc_id_of
+    from mee_ray.oracle import OracleIndex
+
+    docs = [
+        ("o/r", "a.py", "c" * 40, "go go go stop\n"),
+        ("o/r", "b.py", "c" * 40, "go stop go\n"),
+        ("o/r", "c.py", "c" * 40, "stop go go\n"),
+        ("o/r", "d.py", "c" * 40, "alpha beta alpha beta\n"),
+        ("o/r", "e.py", "c" * 40, "beta alpha\n"),
+        ("o/r", "f.py", "c" * 40, "solo\n"),
+    ]
+    cdir = tmp_path / "corpus"
+    cdir.mkdir()
+    pq.write_table(pa.table({
+        "repo": [d[0] for d in docs], "path": [d[1] for d in docs],
+        "commit": [d[2] for d in docs],
+        "lang": ["python"] * len(docs),
+        "content": [d[3] for d in docs]}),
+        str(cdir / "part-0.parquet"))
+    root = str(tmp_path / "idx")
+    build_index(ray.data.read_parquet(str(cdir)), root, "ep1",
+                EngineConfig(store_positions=True))
+    oracle = OracleIndex([(doc_id_of(d[0], d[1], d[2]), d[3])
+                          for d in docs], store_positions=True)
+    from mee_ray.query import Searcher
+    s = Searcher(root)
+    for ph in (["go", "go"], ["go", "go", "go"], ["go", "stop"],
+               ["stop", "go"], ["go", "go", "stop"],
+               ["alpha", "beta", "alpha"], ["beta", "alpha"],
+               ["alpha", "alpha"], ["solo"], ["go"],
+               ["go", "go", "go", "go"]):
+        got = s.search_phrase(ph, k=10)
+        want = oracle.search_phrase(ph, k=10)
+        assert got == want, (ph, got, want)
+    # sanity on the semantics themselves, not just engine≡oracle
+    ids = {p: doc_id_of("o/r", f"{p}.py", "c" * 40)
+           for p in "abcdef"}
+    assert {d for d, _ in s.search_phrase(["go", "go"], 10)} == \
+        {ids["a"], ids["c"]}
+    assert {d for d, _ in s.search_phrase(["go", "go", "go"], 10)} == \
+        {ids["a"]}
+    assert s.search_phrase(["go", "go", "go", "go"], 10) == []
+    assert {d for d, _ in s.search_phrase(["alpha", "beta", "alpha"], 10)} \
+        == {ids["d"]}
+
+
 def test_phrase_requires_positions(built_index):
     from mee_ray.query import Searcher
 
