@@ -94,6 +94,8 @@ class DocTokenize:
         ids = doc_ids_batch(batch["repo"], batch["path"], batch["commit"])
         contents = batch["content"].to_pylist()
         store_pos = self.emit_terms and self.cfg.store_positions
+        if store_pos:
+            from mee_ray.postings import encode_positions
         shas, lengths, terms_col, tfs_col = [], [], [], []
         poss_col: list = []
         for c in contents:
@@ -104,7 +106,6 @@ class DocTokenize:
                 lengths.append(len(self.tok.terms(c)))
                 continue
             if store_pos:
-                from mee_ray.postings import encode_positions
                 counts, poss = self.tok.counts_and_positions(c)
                 items = sorted(counts.items())
                 # per-(doc, term) blob: delta+varint of the sorted

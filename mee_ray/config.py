@@ -140,6 +140,13 @@ class EngineConfig:
 _MANIFEST_PINNED = ("num_shards", "parts_per_shard", "block_size",
                     "salt_factor", "store_positions")
 
+# Build-time defaults for pinned fields ADDED after indexes already
+# existed: a manifest lacking the key was built with the default, so
+# the pin must compare/reconstruct against that default rather than
+# silently skip — otherwise a delta with store_positions=True lands
+# mixed-schema segments on a positions-less base index.
+_PINNED_ABSENT_DEFAULTS = {"store_positions": False}
+
 
 def config_from_manifest(manifest: dict,
                          base: "EngineConfig | None" = None) -> "EngineConfig":
@@ -162,6 +169,8 @@ def config_from_manifest(manifest: dict,
     for f in _MANIFEST_PINNED:
         if f in manifest:
             kw[f] = manifest[f]
+        elif f in _PINNED_ABSENT_DEFAULTS:
+            kw[f] = _PINNED_ABSENT_DEFAULTS[f]
     if "postings_codec" in manifest:
         kw["postings_codec"] = manifest["postings_codec"]
     from dataclasses import replace
@@ -175,9 +184,15 @@ def validate_config_against_manifest(cfg: "EngineConfig",
     the failure mode this guards)."""
     mismatches = []
     for f in _MANIFEST_PINNED:
-        if f in manifest and getattr(cfg, f) != manifest[f]:
+        if f in manifest:
+            want = manifest[f]
+        elif f in _PINNED_ABSENT_DEFAULTS:
+            want = _PINNED_ABSENT_DEFAULTS[f]
+        else:
+            continue
+        if getattr(cfg, f) != want:
             mismatches.append(f"{f}: cfg={getattr(cfg, f)!r} "
-                              f"manifest={manifest[f]!r}")
+                              f"manifest={want!r}")
     if "hot_terms" in manifest and set(cfg.hot_terms) != set(manifest["hot_terms"]):
         mismatches.append("hot_terms differ")
     if "bm25" in manifest:

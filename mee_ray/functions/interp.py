@@ -129,7 +129,10 @@ def _resolve(ref: _Ref, ns: pa.Table, n: int) -> pa.Array:
         return pa.array([ref.default] * n, type=typ)
     col = ns[ref.field]
     col = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
-    if ref.has_default and col.null_count:
+    if ref.has_default:
+        # the output TYPE must depend only on (column type, default) —
+        # never on whether THIS batch happens to contain nulls — or
+        # different batches of one dataset would disagree on schema
         try:
             fill = pa.scalar(ref.default, col.type)
         except (pa.ArrowInvalid, pa.ArrowTypeError):
@@ -137,7 +140,8 @@ def _resolve(ref: _Ref, ns: pa.Table, n: int) -> pa.Array:
             # column): stringify the column so both representations fit
             col = pc.cast(col, pa.string())
             fill = pa.scalar(str(ref.default), pa.string())
-        col = pc.fill_null(col, fill)
+        if col.null_count:
+            col = pc.fill_null(col, fill)
     return col
 
 

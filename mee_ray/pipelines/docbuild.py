@@ -304,17 +304,25 @@ def build_documents(sf_dir: str, spec: DocSpec,
 
     # compile mapping expressions ONCE (reference validates config at
     # load; a bad expr fails here, not inside a task).  Three mapping
-    # kinds: bare identifier = rename, "%" template = interpolation
-    # (M4, reference commonhandler.py:437-487), anything else = the
-    # functions DSL (M5).
+    # kinds: bare identifier = rename, functions DSL (M5), "%"
+    # template interpolation (M4, reference commonhandler.py:437-487).
+    # Dispatch order matters: a valid DSL expr may contain "%<word>"
+    # inside a quoted string literal (e.g. echo('%x')), so the DSL
+    # compiler gets first try and templates only claim strings the
+    # DSL rejects — "%" is not a DSL operator, so genuine templates
+    # always fall through.
     exprs = {}
     for out_f, src in spec.mappings.items():
         if src.isidentifier():
             exprs[out_f] = ("col", src)
-        elif "%" in src and is_template(src):
-            exprs[out_f] = ("interp", compile_template(src))
-        else:
+            continue
+        try:
             exprs[out_f] = ("expr", compile_expr(src))
+        except Exception:
+            if "%" in src and is_template(src):
+                exprs[out_f] = ("interp", compile_template(src))
+            else:
+                raise
 
     lookups_ref = ray.put(_lookup_maps(sf_dir, spec, _overlays))
     nested_ref = (ray.put(_nested_maps(sf_dir, spec, _overlays,
@@ -332,12 +340,15 @@ def build_documents(sf_dir: str, spec: DocSpec,
         | {j.master_key for j in spec.joins}
         | {n.master_key for n in spec.nested}
         | ({c for c in (spec.filter or {})})
-        | {src_col
-           for out_f, (kind, _) in exprs.items()
-           for src_col in (template_columns(spec.mappings[out_f])
-                           if kind == "interp"
-                           else _expr_columns(spec.mappings[out_f])
-                           if kind == "expr" else ())
+        # DSL exprs evaluate against the RAW master batch, so their
+        # source columns must always be read — even when an output
+        # field reuses its source column's name (normalize-in-place).
+        # Only template refs resolve from the computed namespace, so
+        # only they may skip the read when produced by the spec.
+        | {src_col for out_f, (kind, _) in exprs.items() if kind == "expr"
+           for src_col in _expr_columns(spec.mappings[out_f])}
+        | {src_col for out_f, (kind, _) in exprs.items() if kind == "interp"
+           for src_col in template_columns(spec.mappings[out_f])
            if src_col not in produced})
     # a defaulted template ref may name a column absent from the master
     # file (resolved to its default at eval) — keep template-derived
@@ -359,7 +370,13 @@ def build_documents(sf_dir: str, spec: DocSpec,
             if kind == "col":
                 cols[out_f] = batch[v]
             elif kind == "expr":
-                cols[out_f] = v(batch)
+                val = v(batch)
+                if isinstance(val, pa.Scalar):
+                    # constant-only expr (e.g. echo('100%')) yields a
+                    # scalar — broadcast to the batch
+                    val = pa.array([val.as_py()] * batch.num_rows,
+                                   type=val.type)
+                cols[out_f] = val
             # "interp" evaluates after joins/nested: its namespace is
             # the full document (reference templates resolve against
             # the whole context, commonhandler.py:437-487)

@@ -108,15 +108,15 @@ def bm25_conjunctive_documents(sf_dir: str):
     Emitted as (query_id, rank, doc_id) with original ids, ranked by
     (score desc, original id) like bm25_topk_documents."""
     import numpy as np
-    from mee_ray.query import Searcher, merge_partials_conjunctive
+    from mee_ray.query import Searcher
     root = _ensure_index(sf_dir)
     s = Searcher(root)
     idmap = _orig_id_map(root)
     out_q, out_r, out_d = [], [], []
     for qid, terms in REFERENCE_QUERIES:
-        uterms = sorted(set(terms))
-        ranked = merge_partials_conjunctive(
-            [s.term_partials(uterms)], uterms, k=s.n_docs or 1)
+        # the engine path itself (full ranking; re-ranked below by
+        # ORIGINAL doc id so the SQL oracle can mirror the tie-break)
+        ranked = s.search(terms, k=s.n_docs or 1, operator="and")
         if ranked:
             ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
             scores = np.array([sc for _, sc in ranked], dtype=np.float64)
@@ -156,21 +156,16 @@ def bm25_phrase_documents(sf_dir: str):
     queries so the SQL oracle can reproduce the tie-break."""
     import numpy as np
 
-    from mee_ray.query import (Searcher, merge_partials_conjunctive,
-                               phrase_match_docs)
+    from mee_ray.query import Searcher
     root = _ensure_index(sf_dir)
     s = Searcher(root)
     idmap = _orig_id_map(root)
     out_q, out_r, out_d = [], [], []
     for qid, terms in PHRASE_QUERIES:
-        uterms = sorted(set(terms))
-        data = {t: s.term_doc_positions(t) for t in uterms}
-        pdocs = phrase_match_docs(data, terms)
-        if pdocs.size == 0:
-            continue
-        partials = s.term_partials_for_docs(uterms, pdocs)
-        ranked = merge_partials_conjunctive([partials], uterms,
-                                            k=s.n_docs or 1)
+        # full ranking straight from the engine path (candidate
+        # pushdown included); re-ranked below by ORIGINAL doc id so
+        # the SQL oracle can reproduce the tie-break
+        ranked = s.search_phrase(terms, k=s.n_docs or 1)
         if ranked:
             ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
             scores = np.array([sc for _, sc in ranked], dtype=np.float64)

@@ -169,6 +169,7 @@ def _hh_summaries(sf_dir: str):
     tok = re.compile(TOKEN_PATTERN)
 
     def summary(t: pa.Table) -> pa.Table:
+        import os as _os
         from collections import Counter
         c: Counter = Counter()
         for x in t["text"].to_pylist():
@@ -176,7 +177,14 @@ def _hh_summaries(sf_dir: str):
         items = c.most_common()
         kept = items[:HH_CAPACITY]
         err = items[HH_CAPACITY][1] if len(items) > HH_CAPACITY else 0
+        # unique summary id: Ray Data may coalesce several batch
+        # outputs into ONE block, and naively treating a block as one
+        # summary would drop duplicate terms' counts (breaking the
+        # count_max ≥ true-count bound) — the id keeps each summary
+        # self-delimiting through any block re-bundling
+        sid = _os.urandom(8).hex()
         return pa.table({
+            "sid": pa.array([sid] * len(kept), pa.string()),
             "term": pa.array([k for k, _ in kept], pa.string()),
             "cnt": pa.array([v for _, v in kept], pa.int64()),
             "err": pa.array([err] * len(kept), pa.int64()),
@@ -184,17 +192,18 @@ def _hh_summaries(sf_dir: str):
 
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["text"])
-    out = []
+    by_sid: dict[str, tuple[dict, int]] = {}
     for b in (ds.map_batches(summary, batch_format="pyarrow",
                              zero_copy_batch=True)
               .iter_batches(batch_format="pyarrow", batch_size=None)):
+        sids = b["sid"].to_pylist()
         terms = b["term"].to_pylist()
-        if not terms:
-            continue
         cnts = b["cnt"].to_numpy(zero_copy_only=False)
-        out.append((dict(zip(terms, cnts.tolist())),
-                    int(b["err"][0].as_py())))
-    return out
+        errs = b["err"].to_numpy(zero_copy_only=False)
+        for sid, term, cnt, err in zip(sids, terms, cnts, errs):
+            m, _ = by_sid.setdefault(sid, ({}, int(err)))
+            m[term] = int(cnt)
+    return list(by_sid.values())
 
 
 def heavy_hitters_terms(sf_dir: str):

@@ -106,9 +106,48 @@ def test_string_default_on_int_column_stringifies():
     assert out.to_pylist() == ["1", "2", "n/a"]
 
 
+def test_incompatible_default_is_type_stable_across_batches():
+    """The output type must depend only on (column type, default) —
+    a batch with no nulls and a batch with nulls must agree, or a
+    multi-batch dataset gets conflicting block schemas."""
+    f = compile_template("%a:('n/a')")
+    no_nulls = pa.table({"a": pa.array([1, 2], pa.int64())})
+    with_nulls = pa.table({"a": pa.array([3, None], pa.int64())})
+    t1, t2 = f(no_nulls), f(with_nulls)
+    assert t1.type == t2.type == pa.string()
+    assert t1.to_pylist() == ["1", "2"]
+    assert t2.to_pylist() == ["3", "n/a"]
+    # compatible default keeps the native type in both cases
+    g = compile_template("%a:(0)")
+    assert g(no_nulls).type == g(with_nulls).type == pa.int64()
+
+
 def test_literal_only_template_via_escape():
     out = compile_template("%%done")(NS)
     assert out.to_pylist() == ["%done"] * 3
+
+
+def test_docbuild_normalize_in_place_and_dsl_percent_literal(ray_session):
+    """Review regressions: (1) an output field reusing its source
+    column's name must still read that column (DSL exprs evaluate on
+    the raw master batch); (2) a valid DSL expr whose string literal
+    contains '%' must stay DSL, not be misrouted to the template
+    compiler."""
+    from mee_ray.pipelines.docbuild import DocSpec, build_documents
+
+    spec = DocSpec(
+        master="customer", key="c_custkey",
+        mappings={
+            "cust_id": "c_custkey",
+            # normalize-in-place: output name == source column
+            "c_acctbal": "max(c_acctbal, echo(0.0))",
+            # DSL with a %-bearing string literal
+            "tag": "echo('100%')",
+        },
+    )
+    df = build_documents(SF, spec).to_pandas()
+    assert (df["c_acctbal"] >= 0).all() and len(df) == 150
+    assert (df["tag"] == "100%").all()
 
 
 # ------------------------------------------------- docbuild + oracle --

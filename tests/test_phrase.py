@@ -247,3 +247,19 @@ def test_phrase_requires_positions(built_index):
     s = Searcher(built_index["index_root"])
     with pytest.raises(ValueError, match="store_positions"):
         s.search_phrase(["merge", "sort"], k=10)
+
+
+def test_positions_pin_defaults_for_prefeature_manifests(built_index):
+    """A manifest WITHOUT a store_positions key was built with the
+    default (False): a positions-enabled delta config must be refused
+    (mixed-schema segments), and reconstruction must yield False."""
+    from mee_ray import manifest as mf
+    from mee_ray.config import (EngineConfig, config_from_manifest,
+                                validate_config_against_manifest)
+
+    m = dict(mf.load_manifest(built_index["index_root"]))
+    m.pop("store_positions", None)     # simulate a pre-feature index
+    assert config_from_manifest(m).store_positions is False
+    with pytest.raises(ValueError, match="store_positions"):
+        validate_config_against_manifest(
+            EngineConfig(store_positions=True), m)
