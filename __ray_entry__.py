@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    text, vector)
     from mee_ray.stages.multimodal import (multimodal_audio_features,
                                            multimodal_image_meta,
+                                           multimodal_retrieval,
                                            multimodal_video_frames)
 
     out: dict[str, Callable[[str], Any]] = {}
@@ -42,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["multimodal_image_meta"] = multimodal_image_meta
     out["multimodal_audio_features"] = multimodal_audio_features
     out["multimodal_video_frames"] = multimodal_video_frames
+    out["multimodal_retrieval"] = multimodal_retrieval
     return out
 
 

@@ -217,3 +217,119 @@ SELECT doc_id,
        (greatest(strlen(text) * 40 // 1024, 1) + 29) // 30 AS n_sampled
 FROM documents
 """
+
+
+class FakeImageEmbed:
+    """Actor-pool embedding stage: binary payload → L2-normalized
+    ``EMBED_DIM``-dim vector.  Real embedding (a CLIP-style vision
+    encoder) is stubbed behind :meth:`embed_real`; the deterministic
+    stand-in is a folded byte histogram, so the whole retrieval chain
+    (embed → broadcast query matrix → per-batch cosine top-k) is
+    testable end-to-end with a pure-numpy oracle."""
+
+    EMBED_DIM = 64
+
+    def __init__(self):
+        self.model_ready = True   # stand-in for weight loading
+
+    def embed_real(self, payload: bytes) -> np.ndarray:
+        raise NotImplementedError(
+            "image embedding requires a vision model not present in "
+            "this environment; __call__ uses a deterministic stand-in")
+
+    @classmethod
+    def embed_fake(cls, payload: bytes) -> np.ndarray:
+        """256-bin byte histogram folded to EMBED_DIM, L2-normalized —
+        deterministic, order-sensitive enough to distinguish docs."""
+        a = np.frombuffer(payload, dtype=np.uint8)
+        hist = np.bincount(a, minlength=256).astype(np.float64)
+        v = hist.reshape(cls.EMBED_DIM, 256 // cls.EMBED_DIM).sum(axis=1)
+        # mix in positional signal so permuted payloads differ
+        if len(a):
+            pos = np.arange(len(a), dtype=np.float64)
+            v += np.bincount(a % cls.EMBED_DIM, weights=pos,
+                             minlength=cls.EMBED_DIM) / max(1, len(a))
+        n = np.linalg.norm(v)
+        return v / n if n else v
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        embs = [self.embed_fake(p).tolist()
+                for p in t["payload"].to_pylist()]
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "embedding": pa.array(embs, pa.list_(pa.float64())),
+        })
+
+
+def multimodal_retrieval(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """End-to-end multimodal retrieval: payload → actor-pool embed →
+    cosine top-k against a broadcast query matrix (the first
+    ``n_queries`` docs' own embeddings).  The scale shape is the
+    knn_bruteforce one: the query matrix is ray.put once, every batch
+    does one matmul and keeps only its local top-k partials, the
+    driver merges n_queries×k×batches rows.  Rows-only (embedding math
+    is not SQL-expressible); exactness proven against a pure-numpy
+    brute-force oracle in tests."""
+    import ray
+    import ray.data
+
+    def to_payload(t: pa.Table) -> pa.Table:
+        payloads = [x.encode() for x in t["text"].to_pylist()]
+        return pa.table({"doc_id": t["doc_id"],
+                         "payload": pa.array(payloads, pa.binary())})
+
+    embedded = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                      columns=["doc_id", "text"])
+                .map_batches(to_payload, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .map_batches(FakeImageEmbed, batch_format="pyarrow",
+                             batch_size=128, concurrency=(1, 4)))
+
+    # query matrix: first n_queries doc_ids (deterministic), embedded
+    # once on the driver from the same fake encoder
+    import pyarrow.parquet as pq
+    qt = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "text"])
+    order = np.argsort(qt["doc_id"].to_numpy(zero_copy_only=False))
+    q_ids = qt["doc_id"].to_numpy(zero_copy_only=False)[order[:n_queries]]
+    q_mat = np.stack([FakeImageEmbed.embed_fake(
+        qt["text"][int(i)].as_py().encode())
+        for i in order[:n_queries]])
+    q_ref = ray.put((q_ids, q_mat))
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        ids_q, mat_q = ray.get(q_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        embs = np.array(t["embedding"].to_pylist())
+        sims = embs @ mat_q.T                       # (batch, n_queries)
+        out_q, out_d, out_s = [], [], []
+        for j in range(len(ids_q)):
+            top = np.argsort(-sims[:, j], kind="stable")[:k]
+            out_q.extend([int(ids_q[j])] * len(top))
+            out_d.extend(ids[top].tolist())
+            out_s.extend(sims[top, j].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "cosine": pa.array(out_s, pa.float64())})
+
+    blocks = list(embedded.map_batches(batch_topk, batch_format="pyarrow")
+                  .iter_batches(batch_format="pyarrow", batch_size=None))
+    if not blocks:
+        blocks = [pa.table({"query_id": pa.array([], pa.int64()),
+                            "doc_id": pa.array([], pa.int64()),
+                            "cosine": pa.array([], pa.float64())})]
+    parts = pa.concat_tables(blocks)
+    out_q, out_r, out_d, out_s = [], [], [], []
+    qs = parts["query_id"].to_numpy(zero_copy_only=False)
+    ds_ = parts["doc_id"].to_numpy(zero_copy_only=False)
+    ss = parts["cosine"].to_numpy(zero_copy_only=False)
+    for qid in sorted(set(qs.tolist())):
+        m = qs == qid
+        order2 = np.lexsort((ds_[m], -ss[m]))[:k]
+        for rank, j in enumerate(order2, start=1):
+            out_q.append(qid); out_r.append(rank)
+            out_d.append(int(ds_[m][j])); out_s.append(float(ss[m][j]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64()),
+                     "cosine": pa.array(out_s, pa.float64())})

@@ -93,7 +93,35 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
                          "simhash_dup_pairs", "ngram_jaccard_adjacent",
                          "embedding_neardup", "ann_ivf_topk",
                          "multimodal_audio_features",
-                         "hll_distinct_counts", "heavy_hitters_terms"}
+                         "hll_distinct_counts", "heavy_hitters_terms",
+                         "multimodal_retrieval"}
+
+
+def test_multimodal_retrieval_matches_bruteforce(entry_mod, ray_session):
+    """End-to-end multimodal retrieval (payload → embed actor pool →
+    broadcast-query cosine top-k) vs a pure-numpy oracle over the same
+    deterministic fake encoder."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mee_ray.stages.multimodal import FakeImageEmbed
+
+    got = entry_mod.queries()["multimodal_retrieval"](SF).to_pandas()
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    ids = t["doc_id"].to_numpy(zero_copy_only=False)
+    embs = np.stack([FakeImageEmbed.embed_fake(x.encode())
+                     for x in t["text"].to_pylist()])
+    order = np.argsort(ids)
+    q_ids = ids[order[:5]]
+    q_mat = embs[order[:5]]
+    sims = embs @ q_mat.T
+    for j, qid in enumerate(q_ids):
+        top = np.lexsort((ids, -sims[:, j]))[:10]
+        mine = got[got.query_id == qid].sort_values("rank")
+        assert mine.doc_id.tolist() == ids[top].tolist()
+        assert np.allclose(mine.cosine.to_numpy(), sims[top, j],
+                           rtol=0, atol=0)
 
 
 def test_entry_smoke(entry_mod):
