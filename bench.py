@@ -124,6 +124,9 @@ def run_suite(sf_dir: str, num_cpus: int, build_only: bool = False) -> dict:
         tq = time.time()
         ray.get(ping.ping.remote())
         rtt.append((time.time() - tq) * 1000.0)
+    # release the probe's CPU slot — on an 8-cpu run a lingering actor
+    # silently starves every later Ray Data stage
+    ray.kill(ping, no_restart=True)
 
     from mee_ray.query import Searcher as _LocalSearcher
     local = _LocalSearcher(index_root)

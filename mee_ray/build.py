@@ -459,7 +459,6 @@ def dedup_latest_commit_shuffle(corpus, cfg: EngineConfig):
         last = np.ones(len(kh), dtype=bool)
         last[:-1] = kh[order][1:] != kh[order][:-1]
         win_ids = np.unique(ids[order][last])
-        keep = np.zeros(len(ids), dtype=bool)
         pos = np.minimum(np.searchsorted(win_ids, ids),
                          max(0, len(win_ids) - 1))
         keep = win_ids[pos] == ids
@@ -519,6 +518,26 @@ def build_index(corpus, index_root: str, epoch: str,
     import ray
 
     cfg = cfg or EngineConfig()
+    if snapshot_watermark is not None:
+        # catch-up replay carries the predecessor's delta SEGMENT files
+        # verbatim — their part numbers/tokenization are the OLD
+        # config's.  A rebuild with different routing/tokenizer
+        # parameters would merge them into wrong partitions at the next
+        # compaction (postings silently unreachable), so refuse BEFORE
+        # any build work, exactly like apply_delta/compact do.
+        _prev = mf.current_epoch(index_root)
+        if _prev and _prev != epoch:
+            from mee_ray.config import validate_config_against_manifest
+            try:
+                validate_config_against_manifest(
+                    cfg, mf.load_manifest(index_root, _prev))
+            except ValueError as e:
+                raise ValueError(
+                    "rebuild with snapshot_watermark replays epoch "
+                    f"{_prev}'s delta log onto the new epoch, but the "
+                    "new build's config disagrees with that epoch's "
+                    "recorded parameters — replayed postings would be "
+                    f"routed wrong: {e}") from e
     edir = mf.epoch_dir(index_root, epoch)
     docs_dir = os.path.join(edir, "docs")
     seg_dir = os.path.join(edir, "segments")

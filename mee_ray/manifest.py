@@ -393,9 +393,12 @@ def fsck(index_root: str, epoch: str | None = None,
                           f"({os.path.getsize(p)} != {s['bytes']})")
             continue
         if verify_hashes:
+            h = hashlib.sha256()
             with open(p, "rb") as f:
-                got = hashlib.sha256(f.read()).hexdigest()
-            if got != s["sha256"]:
+                # chunked: segments can be GB-scale; constant memory
+                for chunk in iter(lambda: f.read(1 << 20), b""):
+                    h.update(chunk)
+            if h.hexdigest() != s["sha256"]:
                 errors.append(f"segment sha256 mismatch: {p}")
     for d in m.get("deltas", []):
         for p in ([d.get("tombstones"), d.get("added_docs")]

@@ -24,7 +24,6 @@ from mee_ray import manifest as mf
 from mee_ray.build import LINEAGE_SCHEMA, make_encode_partition
 from mee_ray.config import EngineConfig, resolve_index_config
 from mee_ray.postings import varint_decode
-from mee_ray.query import _tombstones
 
 
 def _part_of_file(path: str) -> int:

@@ -769,7 +769,11 @@ def quantiles_events(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def cent_counts(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)),
+        # half_towards_infinity == SQL round()'s half-away-from-zero
+        # (pyarrow's default half_to_even would diverge on exact .5)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                                 options=pc.RoundOptions(
+                                     round_mode="half_towards_infinity")),
                         pa.int64())
         g = (pa.table({"event_type": t["event_type"], "cent": cents})
              .group_by(["event_type", "cent"]).aggregate([([], "count_all")]))

@@ -35,14 +35,17 @@ def _hash64(v: np.ndarray) -> np.ndarray:
 
 
 def _clz64(x: np.ndarray) -> np.ndarray:
-    """Vectorized count-leading-zeros of uint64 (64 for x == 0)."""
+    """Vectorized count-leading-zeros of uint64 (64 for x == 0 — the
+    shift accumulation alone tops out at 63, so zero is special-cased
+    to honor the contract)."""
+    zero = x == 0
     x = x.copy()
     clz = np.zeros(len(x), dtype=np.int64)
     for s in (32, 16, 8, 4, 2, 1):
         m = x < (np.uint64(1) << np.uint64(64 - s))
         clz += np.where(m, s, 0)
         x = np.where(m, x << np.uint64(s), x)
-    return np.where(clz > 64, 64, clz)
+    return np.where(zero, 64, clz)
 
 
 def hll_fold(values: np.ndarray, registers: np.ndarray) -> np.ndarray:

@@ -332,6 +332,16 @@ def test_rebuild_with_snapshot_watermark(ray_session, tmp_path):
                     EngineConfig(), snapshot_watermark=3)
     shutil.rmtree(mf.epoch_dir(root, "ep2"), ignore_errors=True)
 
+    # a rebuild whose config disagrees with the predecessor's recorded
+    # routing is refused: catch-up replay copies the old delta SEGMENT
+    # files verbatim, and a different part layout would merge them into
+    # partitions the query path never reads
+    with pytest.raises(ValueError, match="routed wrong"):
+        build_index(ray.data.read_parquet(cdir), root, "ep2y",
+                    EngineConfig(num_shards=2, parts_per_shard=2),
+                    snapshot_watermark=2)
+    shutil.rmtree(mf.epoch_dir(root, "ep2y"), ignore_errors=True)
+
     m2 = build_index(ray.data.read_parquet(cdir), root, "ep2x",
                      EngineConfig(), snapshot_watermark=2)
     assert mf.current_epoch(root) == "ep2x"
