@@ -104,7 +104,9 @@ def _decode_rows(t: pa.Table) -> pa.Table:
         gaps = dec(b"".join(ids_bufs[i][1:] for i in rows))
         tfs_v = dec(b"".join(tfs_bufs[i][1:] for i in rows))
         dls_v = varint_decode(b"".join(dls_bufs[i] for i in rows))
-        assert len(gaps) == counts.sum(), "posting buffer/df mismatch"
+        if len(gaps) != counts.sum():
+            raise ValueError("posting buffer/df mismatch "
+                             f"({len(gaps)} vs {counts.sum()})")
         # segmented delta decode: global cumsum minus the cumsum value
         # just before each run start (run's first value is absolute)
         C = np.cumsum(gaps, dtype=np.uint64)

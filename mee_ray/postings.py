@@ -116,7 +116,12 @@ def decode_positions_concat(buf: bytes, tfs: np.ndarray
     tfs = np.asarray(tfs, dtype=np.int64)
     deltas = varint_decode(buf).astype(np.int64)
     total = int(tfs.sum())
-    assert len(deltas) == total, "positions buffer/tf mismatch"
+    if len(deltas) != total:
+        # loud in all modes (a bare assert disappears under python -O,
+        # silently misaligning every later doc's position run)
+        raise ValueError(
+            f"positions buffer/tf mismatch: {len(deltas)} varints vs "
+            f"sum(tf)={total}")
     offs = np.concatenate(([0], np.cumsum(tfs)))
     if total == 0:
         return np.empty(0, dtype=np.int64), offs
@@ -292,10 +297,8 @@ def block_metadata(doc_ids: np.ndarray, tfnorms: np.ndarray,
     if n == 0:
         return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
     n_blocks = (n + block_size - 1) // block_size
-    last = np.empty(n_blocks, dtype=np.int64)
-    mx = np.empty(n_blocks, dtype=np.float64)
-    for i in range(n_blocks):
-        lo, hi = i * block_size, min((i + 1) * block_size, n)
-        last[i] = doc_ids[hi - 1]
-        mx[i] = tfnorms[lo:hi].max()
+    ends = np.minimum(np.arange(1, n_blocks + 1) * block_size, n)
+    last = np.asarray(doc_ids, dtype=np.int64)[ends - 1]
+    mx = np.maximum.reduceat(np.asarray(tfnorms, dtype=np.float64),
+                             np.arange(n_blocks) * block_size)
     return last, mx

@@ -76,7 +76,8 @@ class _ShardIndex:
 
     def __init__(self, files: list[str], delta_files: list[str] = (),
                  file_hints: dict[str, float] | None = None,
-                 file_seqs: dict[str, int] | None = None):
+                 file_seqs: dict[str, int] | None = None,
+                 delta_term_filter=None):
         from collections import OrderedDict
         self.files: list[pq.ParquetFile] = []
         self.is_delta: list[bool] = []
@@ -100,8 +101,12 @@ class _ShardIndex:
                      for g in range(pf.num_row_groups)]
             self._rg_bounds.append(np.cumsum([0] + sizes))
             terms = pf.read(columns=["term"])["term"].to_pylist()
+            # delta files span shards; keep only this shard's terms so
+            # dictionary memory stays O(own terms), not O(all × shards)
+            flt = delta_term_filter if d else None
             for ri, term in enumerate(terms):
-                self.rows[term].append((ti, ri))
+                if flt is None or flt(term):
+                    self.rows[term].append((ti, ri))
 
     def _row(self, ti: int, ri: int) -> tuple[object, int]:
         """(row_group table, local row index) — row groups LRU-cached."""
@@ -236,13 +241,6 @@ def _segment_files(index_root: str, manifest: dict) -> tuple[list[str], list[str
     return base, delta
 
 
-def _tombstones(index_root: str, manifest: dict) -> np.ndarray:
-    """Tombstoned doc ids (seq-insensitive view — used as the
-    "any tombstones pending?" gate; the per-source filters use
-    mf.tombstone_index)."""
-    return mf.effective_tombstones(manifest)
-
-
 class Searcher:
     def __init__(self, index_root: str, epoch: str | None = None,
                  shard_subset: list[int] | None = None):
@@ -257,6 +255,9 @@ class Searcher:
         self.tombstones = self.tomb_ids   # gate: any pending deletes?
         from mee_ray.wand import WandStats
         self.query_stats = WandStats()
+        # merged-chunk cache for delta-bearing terms (wand.search_wand)
+        # — valid for this snapshot's lifetime (immutable files)
+        self._merge_cache: dict = {}
         self._shards: dict[int, _ShardIndex] = {}
         self._subset = set(shard_subset) if shard_subset is not None else None
         base, delta = _segment_files(index_root, self.manifest)
@@ -286,10 +287,16 @@ class Searcher:
         got = self._shards.get(s)
         if got is None:
             files = list(self._files_by_shard.get(s, []))
-            # delta files are small and filtered by the term dict
-            got = self._shards[s] = _ShardIndex(files, self._delta_files,
-                                                self._file_hints,
-                                                self._file_seqs)
+            # delta files hold several shards' terms; the filter keeps
+            # only this shard's out of the dictionary, so an actor
+            # serving many shards doesn't index every delta term once
+            # PER shard it owns
+            ns = self.num_shards
+            got = self._shards[s] = _ShardIndex(
+                files, self._delta_files, self._file_hints,
+                self._file_seqs,
+                delta_term_filter=lambda t, s=s, ns=ns:
+                    term_hash(t) % ns == s)
         return got
 
     def owns(self, shard: int) -> bool:
@@ -464,6 +471,8 @@ class Searcher:
         query term (ES ``operator: and``); idf still uses full-index
         df, so scores of surviving docs equal their disjunctive
         scores — conjunction filters, it does not rescale."""
+        if k <= 0:
+            return []
         uterms = sorted(set(terms))
         if operator == "and":
             return merge_partials_conjunctive(
@@ -479,6 +488,14 @@ class Searcher:
                     stats=None) -> list[tuple[int, float]]:
         from mee_ray.wand import WandStats, search_wand
 
+        if len(self.tombstones):
+            # stored df (hence idf) and chunk block maxes include the
+            # tombstoned docs — WAND over them is unsound; search()
+            # gates this automatically, direct callers get told why
+            raise ValueError(
+                "pending tombstones make stored df/chunk bounds "
+                "unsound for WAND; use search() (exhaustive fallback) "
+                "until compaction")
         if stats is None:
             # cumulative per-searcher pruning counters (query metrics,
             # north_star) — read via .query_stats.as_dict()
@@ -498,7 +515,8 @@ class Searcher:
                            self.k1, self.b,
                            block_size=self.manifest.get("block_size", 128),
                            stats=stats,
-                           salt_factor=self.manifest.get("salt_factor"))
+                           salt_factor=self.manifest.get("salt_factor"),
+                           merge_cache=self._merge_cache)
 
 
 def merge_partials(partials_list: list[dict], terms: list[str], k: int
@@ -531,9 +549,14 @@ def phrase_match_docs(data: dict, terms: list[str]) -> np.ndarray:
     slot i contributes composite keys ``rank << 32 | (pos - i)`` and
     a hit is a key surviving intersection across all slots — fully
     vectorized (ranks, not raw doc_ids, because doc_ids are 63-bit
-    hashes that cannot pack beside a position in 64 bits)."""
+    hashes that cannot pack beside a position in 64 bits).  Keys are
+    uint64 with explicit bound checks: ranks and positions each get
+    32 bits, and exceeding either is an error, never silent key
+    aliasing."""
     uterms = sorted(set(terms))
     empty = np.empty(0, dtype=np.int64)
+    if not uterms:
+        return empty
     cand = None
     for t in uterms:
         ids = data[t][0]
@@ -542,6 +565,10 @@ def phrase_match_docs(data: dict, terms: list[str]) -> np.ndarray:
         cand = np.unique(ids) if cand is None else np.intersect1d(cand, ids)
         if cand.size == 0:
             return empty
+    if cand.size >= (1 << 32):
+        raise NotImplementedError(
+            "phrase candidate set exceeds 2^32 docs — partition the "
+            "candidate space before key packing")
     keys = None
     for i, t in enumerate(terms):
         ids, offs, flat = data[t]
@@ -550,13 +577,16 @@ def phrase_match_docs(data: dict, terms: list[str]) -> np.ndarray:
         keep = cand[pos_c] == ids
         rank_rep = np.repeat(pos_c[keep], tfs[keep])
         flat_k = flat[np.repeat(keep, tfs)]
+        if flat_k.size and int(flat_k.max()) >= (1 << 32):
+            raise ValueError("term position exceeds 2^32 — cannot pack "
+                             "beside the candidate rank")
         ok = flat_k >= i              # a phrase cannot start before 0
-        kk = ((rank_rep[ok].astype(np.int64) << np.int64(32))
-              | (flat_k[ok] - i))
+        kk = ((rank_rep[ok].astype(np.uint64) << np.uint64(32))
+              | (flat_k[ok] - i).astype(np.uint64))
         keys = kk if keys is None else np.intersect1d(keys, kk)
         if keys.size == 0:
             return empty
-    return cand[np.unique(keys >> np.int64(32))]
+    return cand[np.unique(keys >> np.uint64(32)).astype(np.int64)]
 
 
 def merge_partials_conjunctive(partials_list: list[dict],
@@ -568,6 +598,8 @@ def merge_partials_conjunctive(partials_list: list[dict],
     ``search_and``).  A term with no live postings anywhere empties
     the result."""
     uterms = sorted(set(terms))
+    if not uterms:
+        return []
     per_term: dict[str, tuple[np.ndarray, np.ndarray]] = {}
     for term in uterms:
         ids_l, sc_l = [], []
@@ -812,9 +844,16 @@ class DistributedSearcher:
             m *= 2
 
     def stale(self) -> bool:
-        """True when a compaction/rebuild has published a newer epoch
-        than the one this pool serves (whose files may be GC'd)."""
-        return mf.current_epoch(self.index_root) != self.manifest["epoch"]
+        """True when the index moved past this pool's snapshot: a
+        compaction/rebuild published a newer epoch (whose files may be
+        GC'd), OR delta records were appended to the SAME epoch — the
+        actors' Searcher snapshots would otherwise keep serving
+        tombstoned docs and stale stats until an epoch flip."""
+        if mf.current_epoch(self.index_root) != self.manifest["epoch"]:
+            return True
+        cur = mf.load_manifest(self.index_root)
+        return (len(cur.get("deltas", []))
+                != len(self.manifest.get("deltas", [])))
 
     def refresh(self) -> bool:
         """Re-point the pool at the CURRENT epoch if it moved — the

@@ -32,9 +32,20 @@ def top_k_select(doc_ids: np.ndarray, scores: np.ndarray, k: int) -> tuple[np.nd
     """Deterministic top-k: by (-score, doc_id). Returns (ids, scores)
     in rank order."""
     n = len(doc_ids)
-    if n == 0:
+    if n == 0 or k <= 0:
         return doc_ids[:0], scores[:0]
     k = min(k, n)
+    if n > 4096 and k < n // 8:
+        # partition-then-sort: O(n + c log c) instead of lexsorting
+        # all n candidates.  Every doc with score > kth-best survives;
+        # boundary-score ties are all kept so the doc_id tie-break
+        # stays exact (c ≥ k; degenerate mass ties degrade gracefully
+        # to the full sort, never to a wrong answer).
+        kth = np.partition(scores, n - k)[n - k]
+        sel = scores >= kth
+        ids_c, sc_c = doc_ids[sel], scores[sel]
+        order = np.lexsort((ids_c, -sc_c))[:k]
+        return ids_c[order], sc_c[order]
     # np.lexsort: last key is primary
     order = np.lexsort((doc_ids, -scores))[:k]
     return doc_ids[order], scores[order]

@@ -240,11 +240,16 @@ def search_wand(term_chunks: dict[str, tuple[float, list[dict]]],
                 k: int, n_docs: int, avgdl: float, avgdl_base: float,
                 k1: float, b: float, block_size: int = 128,
                 stats: WandStats | None = None,
-                salt_factor: int | None = None) -> list[tuple[int, float]]:
+                salt_factor: int | None = None,
+                merge_cache: dict | None = None) -> list[tuple[int, float]]:
     """Block-max WAND over prepared per-term (idf weight, chunk list).
 
     term_chunks must be keyed by the query's unique terms; iteration
     for scoring is in sorted-term order (the determinism contract)."""
+    if k <= 0:
+        # theta() would index an empty heap; the exhaustive path
+        # returns [] for the same input — match it
+        return []
     stats = stats if stats is not None else WandStats()
     scale = max(1.0, avgdl / avgdl_base) * _FLOAT_HEADROOM \
         if avgdl_base > 0 else 1.0
@@ -256,7 +261,19 @@ def search_wand(term_chunks: dict[str, tuple[float, list[dict]]],
             continue
         stats.postings_total += sum(c.get("df", 0) for c in chunks)
         if _chunks_need_merge(chunks, salt_factor):
-            chunks = _merge_delta_chunks(chunks, k1, b, avgdl, block_size)
+            # the merged stream is deterministic per (term, delta set,
+            # avgdl) — all fixed for a Searcher snapshot — so repeated
+            # queries on a delta-bearing hot term skip the re-decode +
+            # argsort + metadata rebuild (bounded LRU-ish cache)
+            if merge_cache is not None and term in merge_cache:
+                chunks = merge_cache[term]
+            else:
+                chunks = _merge_delta_chunks(chunks, k1, b, avgdl,
+                                             block_size)
+                if merge_cache is not None:
+                    merge_cache[term] = chunks
+                    if len(merge_cache) > 64:
+                        merge_cache.pop(next(iter(merge_cache)))
         for c in chunks:
             # per-chunk bound scaling: a segment copied verbatim across
             # a compaction keeps the avgdl its block maxes were

@@ -50,6 +50,20 @@ def test_conjunctive_missing_term_empties(built_index):
                     operator="and") == []
 
 
+def test_degenerate_queries_return_empty(built_index):
+    """k<=0 and empty term lists return [] on every path instead of
+    crashing (WAND's theta() used to index an empty heap; conjunctive
+    merge used to dereference a None candidate set)."""
+    from mee_ray.query import Searcher
+
+    s = Searcher(built_index["index_root"])
+    assert s.search(["merge"], k=0) == []
+    assert s.search(["merge"], k=-3) == []
+    assert s.search([], k=10) == []
+    assert s.search([], k=10, operator="and") == []
+    assert s.search(["merge"], k=0, operator="and") == []
+
+
 def test_conjunctive_single_term_equals_or(built_index):
     from mee_ray.query import Searcher
 

@@ -686,6 +686,14 @@ def test_distributed_searcher_refresh_after_compact(ray_session, tmp_path):
                           "lang": "python",
                           "content": "def n(): return fresh_epoch_tok\n"}]),
                 root)
+    # a delta appended to the SAME epoch already makes the pool stale
+    # (tombstones/new docs would otherwise be invisible until an epoch
+    # flip); refresh picks it up
+    assert ds.stale()
+    assert ds.refresh() is True
+    got = ds.search(["fresh_epoch_tok"], 5)
+    assert got and got == Searcher(root).search(["fresh_epoch_tok"], 5)
+
     compact(root, "ep2", gc_old=True)   # old epoch GC'd
     assert ds.stale()
     assert ds.refresh() is True
