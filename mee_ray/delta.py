@@ -63,7 +63,16 @@ def _live_key_index(index_root: str, manifest: dict,
     files = list(mf.docs_files(index_root, manifest["epoch"]))
     file_seqs = [0] * len(files)
     for d in manifest.get("deltas", []):
-        if d.get("added_docs") and os.path.exists(d["added_docs"]):
+        if d.get("added_docs"):
+            if not os.path.exists(d["added_docs"]):
+                # a silently skipped source would turn an UPDATE of a
+                # key living in this file into a duplicate (no
+                # tombstone for the old version) and a DELETE into a
+                # no-op — corruption must fail loudly (fsck agrees)
+                raise FileNotFoundError(
+                    f"delta record {d.get('seq')} added-docs file "
+                    f"missing: {d['added_docs']} — index is "
+                    f"inconsistent; run fsck")
             files.append(d["added_docs"])
             file_seqs.append(d["seq"])
 
@@ -140,8 +149,6 @@ def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
     """Apply one batch of delta events (a Ray Dataset or pyarrow Table
     with columns seq, type, repo, path, commit, lang, content) to the
     CURRENT epoch. Returns the appended delta record."""
-    import ray.data
-
     # serialize index mutators (the reference's Redis-redlock analog):
     # the manifest append below is a read-modify-write — a concurrent
     # applier would silently drop one of the two records
@@ -163,17 +170,42 @@ def _apply_delta_locked(events, index_root: str,
     epoch = manifest["epoch"]
     edir = mf.epoch_dir(index_root, epoch)
 
+    _EV_COLS = ("seq", "type", "repo", "path", "commit", "lang",
+                "content")
     if hasattr(events, "to_arrow_refs") or hasattr(events, "iter_batches"):
-        ev = pa.concat_tables(
-            [b for b in events.iter_batches(batch_format="pyarrow", batch_size=1 << 18)])
+        batches = [b for b in events.iter_batches(batch_format="pyarrow",
+                                                  batch_size=1 << 18)]
+        ev = (pa.concat_tables(batches) if batches
+              else pa.table({c: pa.array([], pa.int64() if c == "seq"
+                                         else pa.string())
+                             for c in _EV_COLS}))
     else:
         ev = events
+
+    # stale-replay guard: a batch already INCORPORATED by this index —
+    # its [min, max] event span lies inside the snapshot watermark or
+    # inside one applied record's span — is a redelivery/offset-rewind;
+    # re-applying it would tombstone a NEWER live version and
+    # resurrect the older one (a lost update).  Span containment, not
+    # a global high-water cutoff: concurrent appliers may land fresh
+    # batches out of seq order (their spans are disjoint from every
+    # applied record's), and those must still apply.
+    if ev.num_rows:
+        seqs = ev["seq"].to_numpy(zero_copy_only=False)
+        b_lo, b_hi = int(seqs.min()), int(seqs.max())
+        wm = int(manifest.get("event_watermark") or 0)
+        stale = b_hi <= wm or any(
+            d.get("max_event_seq")
+            and int(d.get("min_event_seq") or d["max_event_seq"]) <= b_lo
+            and b_hi <= int(d["max_event_seq"])
+            for d in manifest.get("deltas", []))
+        if stale:
+            ev = ev.slice(0, 0)
 
     # last-writer-wins per (repo, path), by seq
     order = np.argsort(ev["seq"].to_numpy(zero_copy_only=False), kind="stable")
     final: dict[tuple[str, str], dict] = {}
-    rows = {name: ev[name].to_pylist() for name in
-            ("seq", "type", "repo", "path", "commit", "lang", "content")}
+    rows = {name: ev[name].to_pylist() for name in _EV_COLS}
     max_seq, min_seq = 0, 0
     for i in order:
         key = (rows["repo"][i], rows["path"][i])

@@ -66,7 +66,6 @@ def load_manifest(index_root: str, epoch: str | None = None) -> dict:
 import contextlib
 
 
-@contextlib.contextmanager
 def write_lock(index_root: str, timeout_s: float = 60.0):
     """Advisory exclusive lock serializing index mutators — the analog
     of the reference's Redis redlock around status transitions
@@ -74,11 +73,25 @@ def write_lock(index_root: str, timeout_s: float = 60.0):
     read-modify-write cycles on the manifest; two concurrent writers
     would silently drop a delta record.  flock on <root>/.write_lock;
     raises TimeoutError rather than deadlocking."""
+    return _flock(index_root, ".write_lock", timeout_s)
+
+
+def compact_lock(index_root: str, timeout_s: float = 600.0):
+    """Serializes whole COMPACTION runs (a separate file from
+    write_lock, which publish_with_catchup re-acquires inside a
+    compaction — one lock for both would self-deadlock).  Two
+    concurrent compactors otherwise race on the same deterministic
+    next-epoch directory and can publish a mix of two snapshots."""
+    return _flock(index_root, ".compact_lock", timeout_s)
+
+
+@contextlib.contextmanager
+def _flock(index_root: str, name: str, timeout_s: float):
     import fcntl
     import time as _time
 
     os.makedirs(index_root, exist_ok=True)
-    path = os.path.join(index_root, ".write_lock")
+    path = os.path.join(index_root, name)
     fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
     deadline = _time.monotonic() + timeout_s
     try:
@@ -89,7 +102,7 @@ def write_lock(index_root: str, timeout_s: float = 60.0):
             except BlockingIOError:
                 if _time.monotonic() > deadline:
                     raise TimeoutError(
-                        f"could not acquire index write lock {path} "
+                        f"could not acquire index lock {path} "
                         f"within {timeout_s}s — another writer is "
                         f"active") from None
                 _time.sleep(0.05)

@@ -158,7 +158,21 @@ def _decode_rows(t: pa.Table) -> pa.Table:
 def compact(index_root: str, new_epoch: str,
             cfg: EngineConfig | None = None,
             auto_publish: bool = True, gc_old: bool = False) -> dict:
-    """Merge CURRENT epoch + its delta log into ``new_epoch``."""
+    """Merge CURRENT epoch + its delta log into ``new_epoch``.
+
+    Whole-run serialization: concurrent compactors would target the
+    same deterministic next-epoch directory and interleave two
+    snapshots' segments (``mf.compact_lock`` — a separate file from
+    the write lock publish re-acquires).  Deltas may still land DURING
+    the merge; publish_with_catchup replays them before the flip."""
+    with mf.compact_lock(index_root):
+        return _compact_locked(index_root, new_epoch, cfg,
+                               auto_publish, gc_old)
+
+
+def _compact_locked(index_root: str, new_epoch: str,
+                    cfg: EngineConfig | None,
+                    auto_publish: bool, gc_old: bool) -> dict:
     import ray.data
 
     manifest = mf.load_manifest(index_root)
@@ -177,6 +191,31 @@ def compact(index_root: str, new_epoch: str,
     new_segs = os.path.join(new_edir, "segments")
     os.makedirs(new_docs, exist_ok=True)
     os.makedirs(new_segs, exist_ok=True)
+
+    # --- snapshot fingerprint: the lineage-sidecar resume inside
+    # make_encode_partition short-circuits on existing part files, so
+    # debris from a CRASHED compaction of a DIFFERENT delta snapshot
+    # (e.g. a delta landed between the crash and this retry) would be
+    # silently adopted — stale segments missing the new delta's
+    # postings.  Same snapshot → debris is byte-identical and safe to
+    # resume from; different → clear and re-encode.
+    import json as _json
+    import shutil as _shutil
+    fp = {"src_epoch": old_epoch,
+          "delta_seqs": [d["seq"] for d in manifest.get("deltas", [])]}
+    fp_path = os.path.join(new_edir, "_compact_src.json")
+    old_fp = None
+    if os.path.exists(fp_path):
+        with open(fp_path) as f:
+            old_fp = _json.load(f)
+    if old_fp != fp:
+        if os.listdir(new_segs) or os.listdir(new_docs):
+            _shutil.rmtree(new_segs); _shutil.rmtree(new_docs)
+            os.makedirs(new_docs); os.makedirs(new_segs)
+        tmp_fp = fp_path + f".tmp.{os.getpid()}"
+        with open(tmp_fp, "w") as f:
+            _json.dump(fp, f)
+        os.replace(tmp_fp, fp_path)
 
     # --- docs table: sequenced-tombstone filter per source ------------
     # (a docs row from source s survives iff no tombstone for its id

@@ -51,11 +51,24 @@ def render_content(row: dict, text_fields: list[str] | None) -> str:
     return "\n".join(out) + "\n"
 
 
+def next_event_seq(index_root: str) -> int:
+    """First event seq NOT yet covered by the index — thread this into
+    :func:`docs_to_delta_events` so bridged batches stay globally
+    monotone (the watermark/catch-up machinery depends on it; a batch
+    re-using covered seqs is dropped by apply_delta's stale-replay
+    guard or, worse, mis-classified as snapshot-covered at rebuild)."""
+    from mee_ray import manifest as mf
+    m = mf.load_manifest(index_root)
+    return 1 + max([int(m.get("event_watermark") or 0)]
+                   + [int(d.get("max_event_seq") or 0)
+                      for d in m.get("deltas", [])])
+
+
 def docs_to_delta_events(docs, key_field: str,
                          deleted_keys=None,
                          text_fields: list[str] | None = None,
                          repo: str = "docbuild",
-                         start_seq: int = 1) -> pa.Table:
+                         start_seq: int | None = None) -> pa.Table:
     """Convert re-emitted documents (+ deleted master keys) into one
     index delta-event batch.
 
@@ -64,7 +77,18 @@ def docs_to_delta_events(docs, key_field: str,
     ``deleted_keys`` an iterable or single-column table of master keys
     whose documents must be removed (apply_master_delta's second return
     value).  The batch is bounded by the change's blast radius — the
-    same bound the reference's per-event handler works under."""
+    same bound the reference's per-event handler works under.
+
+    ``start_seq`` is REQUIRED: event seqs must be globally monotone
+    per index across batches (use :func:`next_event_seq`).  A silent
+    default of 1 made every batch restart the sequence, which the
+    watermark machinery then mis-classifies (snapshot rebuilds would
+    treat post-snapshot batches as already covered and drop them)."""
+    if start_seq is None:
+        raise ValueError(
+            "start_seq is required — event seqs must be globally "
+            "monotone per index across batches; use "
+            "next_event_seq(index_root) to continue the sequence")
     if hasattr(docs, "iter_batches"):
         tables = list(docs.iter_batches(batch_format="pyarrow",
                                         batch_size=1 << 16))

@@ -36,7 +36,13 @@ from mee_ray.merge import compact
 class MergePolicy:
     max_deltas: int = 8          # delta-log length bound
     max_churn_ratio: float = 0.2  # (added+deleted) / base n_docs
-    gc_old: bool = True
+    # Epoch GC on the AUTOMATIC path defaults OFF: deleting the
+    # predecessor right after the CURRENT flip yanks files out from
+    # under in-flight queries and pools that haven't polled
+    # stale()/refresh() yet.  Leave old epochs for an explicit
+    # gc_epochs() sweep once readers have moved (epochs are immutable,
+    # so keeping them costs only disk).
+    gc_old: bool = False
 
 
 def should_compact(manifest: dict, policy: MergePolicy) -> bool:

@@ -71,7 +71,8 @@ def test_end_to_end_change_propagation(ray_session, tmp_path):
     #    build the index
     full = build_documents(SF, spec).to_pandas()
     events = docs_to_delta_events(
-        pa.Table.from_pandas(full, preserve_index=False), "cust_id")
+        pa.Table.from_pandas(full, preserve_index=False), "cust_id",
+        start_seq=1)
     corpus = events.select(["repo", "path", "commit", "lang", "content"])
     import ray.data
     build_index(ray.data.from_arrow(corpus), root, "ep1",
@@ -141,8 +142,11 @@ def test_bridge_event_shape():
     # version key: any field change changes the commit
     t2 = pa.table({"cust_id": pa.array([7], pa.int64()),
                    "cust_name": pa.array(["CHANGED"])})
-    ev2 = docs_to_delta_events(t2, "cust_id")
+    ev2 = docs_to_delta_events(t2, "cust_id", start_seq=1)
     assert ev2["commit"][0].as_py() != ev["commit"][0].as_py()
 
     with pytest.raises(ValueError, match="lack key field"):
-        docs_to_delta_events(pa.table({"x": pa.array([1])}), "cust_id")
+        docs_to_delta_events(pa.table({"x": pa.array([1])}), "cust_id",
+                             start_seq=1)
+    with pytest.raises(ValueError, match="start_seq is required"):
+        docs_to_delta_events(t, "cust_id")

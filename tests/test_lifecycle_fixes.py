@@ -586,7 +586,7 @@ def test_write_lock_serializes_mutators(ray_session, tmp_path):
                                     f"def w_{i}(): return lk_tok_{i}\n")
                                    for i in range(5)])
     with mf.write_lock(root):
-        with pytest.raises(TimeoutError, match="write lock"):
+        with pytest.raises(TimeoutError, match="write_lock"):
             with mf.write_lock(root, timeout_s=0.3):
                 pass
 
@@ -609,6 +609,87 @@ def test_write_lock_serializes_mutators(ray_session, tmp_path):
     assert s.n_docs == 8
     for i in range(3):
         assert s.search([f"conc_tok_{i}"], 5)
+
+
+def test_stale_replay_is_dropped(ray_session, tmp_path):
+    """Offset-rewind protection: a redelivered batch (span inside an
+    applied record's span) no-ops instead of tombstoning the newer
+    version and resurrecting the older one; fresh out-of-order spans
+    still apply."""
+    root = _build_small(tmp_path, [("o/r", "k.py", "c" * 40,
+                                    "def k(): return base_tok\n")])
+    # events 1..2: v1 then v2 (LWW → v2 live)
+    apply_delta(_events([
+        {"seq": 1, "type": "UPDATE", "repo": "o/r", "path": "k.py",
+         "commit": "1" * 40, "lang": "python",
+         "content": "def k(): return v1_tok\n"},
+        {"seq": 2, "type": "UPDATE", "repo": "o/r", "path": "k.py",
+         "commit": "2" * 40, "lang": "python",
+         "content": "def k(): return v2_tok\n"}]), root)
+    s = Searcher(root)
+    assert s.search(["v2_tok"], 5) and not s.search(["v1_tok"], 5)
+
+    # rewound consumer redelivers ONLY the older event — dropped
+    rec = apply_delta(_events([
+        {"seq": 1, "type": "UPDATE", "repo": "o/r", "path": "k.py",
+         "commit": "1" * 40, "lang": "python",
+         "content": "def k(): return v1_tok\n"}]), root)
+    assert rec["n_added"] == 0 and rec["n_deleted"] == 0
+    s = Searcher(root)
+    assert s.search(["v2_tok"], 5) and not s.search(["v1_tok"], 5)
+
+    # a fresh event with a NEW span still applies
+    apply_delta(_events([
+        {"seq": 3, "type": "UPDATE", "repo": "o/r", "path": "k.py",
+         "commit": "3" * 40, "lang": "python",
+         "content": "def k(): return v3_tok\n"}]), root)
+    s = Searcher(root)
+    assert s.search(["v3_tok"], 5) and not s.search(["v2_tok"], 5)
+
+
+def test_compact_retry_does_not_adopt_stale_snapshot(ray_session,
+                                                     tmp_path,
+                                                     monkeypatch):
+    """A compaction that crashed AFTER writing segments must not let a
+    retry adopt that debris when a new delta landed in between — the
+    snapshot fingerprint forces a re-encode (the lineage-sidecar
+    resume would otherwise silently drop the new delta's postings)."""
+    import mee_ray.merge as merge_mod
+
+    root = _build_small(tmp_path, [("o/r", f"c{i}.py", "c" * 40,
+                                    f"def c_{i}(): return ret_tok_{i}\n")
+                                   for i in range(6)])
+    apply_delta(_events([{"seq": 1, "type": "INSERT", "repo": "o/r",
+                          "path": "d1.py", "commit": "d" * 40,
+                          "lang": "python",
+                          "content": "def d1(): return first_delta_tok\n"}]),
+                root)
+
+    # crash the first compaction attempt right before publish
+    real_publish = mf.publish_with_catchup
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before publish")
+
+    monkeypatch.setattr(merge_mod.mf, "publish_with_catchup", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact(root, "ep2")
+    monkeypatch.setattr(merge_mod.mf, "publish_with_catchup",
+                        real_publish)
+
+    # a new delta lands between the crash and the retry
+    apply_delta(_events([{"seq": 2, "type": "INSERT", "repo": "o/r",
+                          "path": "d2.py", "commit": "e" * 40,
+                          "lang": "python",
+                          "content": "def d2(): return second_delta_tok\n"}]),
+                root)
+
+    compact(root, "ep2")    # retry with the SAME epoch name
+    s = Searcher(root)
+    assert s.search(["first_delta_tok"], 5)
+    assert s.search(["second_delta_tok"], 5), \
+        "retry adopted stale pre-crash segments"
+    assert s.search(["ret_tok_3"], 5)
 
 
 def test_fsck_detects_corruption(ray_session, tmp_path):
