@@ -277,7 +277,15 @@ def _nested_maps(sf_dir: str, spec: DocSpec, overlays: dict | None = None,
             for p, s in zip(b["__parent"].to_pylist(),
                             b["__subs"].to_pylist()):
                 m[p] = s
-        out[i] = m
+        # EXPLICIT output type from the child file schema: an all-miss
+        # batch would otherwise infer list<null> while sibling batches
+        # infer list<struct<...>>, giving the Dataset conflicting
+        # block schemas (concat/write then fails)
+        fschema = pads.dataset(f"{sf_dir}/{n.table}.parquet",
+                               format="parquet").schema
+        subtype = pa.list_(pa.struct(
+            [pa.field(f, fschema.field(f).type) for f in n.fields]))
+        out[i] = (m, subtype)
     return out
 
 
@@ -401,9 +409,10 @@ def build_documents(sf_dir: str, spec: DocSpec,
             mkeys = {n.master_key for n in spec.nested}
             probes = {mk: batch[mk].to_pylist() for mk in mkeys}
             for i, n in enumerate(spec.nested):
-                m = nested[i]
+                m, subtype = nested[i]
                 cols[n.out] = pa.array(
-                    [m.get(p, []) for p in probes[n.master_key]])
+                    [m.get(p, []) for p in probes[n.master_key]],
+                    type=subtype)
         interp_outs = [f for f, (k, _) in exprs.items() if k == "interp"]
         if interp_outs:
             # namespace = master columns overlaid with computed fields
@@ -651,20 +660,9 @@ def _expr_columns(expr: str) -> list[str]:
 def docbuild_customer_flat(sf_dir: str):
     """Config-driven flat document: filter + broadcast nation lookup +
     DSL-computed field — the reference's index_carteam_user.yml shape
-    on TPC-H-ish tables."""
-    spec = DocSpec(
-        master="customer", key="c_custkey",
-        mappings={
-            "cust_id": "c_custkey",
-            "cust_name": "c_name",
-            "balance_capped": "min(c_acctbal, echo(5000.0))",
-        },
-        filter={"c_mktsegment": ["BUILDING", "AUTOMOBILE"],
-                "c_acctbal": {">": 0.0}},
-        joins=(JoinSpec("nation", "n_nationkey", "c_nationkey",
-                        {"nation_name": "n_name"}),),
-    )
-    return build_documents(sf_dir, spec)
+    on TPC-H-ish tables.  Uses the SAME spec as the delta queries
+    (_customer_flat_spec) so they cannot drift apart."""
+    return build_documents(sf_dir, _customer_flat_spec())
 
 
 DOCBUILD_FLAT_SQL = """

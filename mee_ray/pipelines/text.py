@@ -25,6 +25,14 @@ STOP_PATTERNS = {
 }
 
 
+# All-pairs cap for LSH/simhash bucket groups: past this size a bucket
+# is degenerate (identical signatures from empty/boilerplate docs) and
+# pair emission switches to a star on the smallest id — O(N) edges
+# that preserve the connected component a dedup clustering consumes,
+# instead of O(N²) in one task.
+_MAX_ALLPAIRS_GROUP = 1024
+
+
 def _read_docs(sf_dir: str, columns=None):
     import ray.data
     return ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
@@ -301,6 +309,16 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.2):
 
     def pairs_of_group(g: pa.Table) -> pa.Table:
         ids = sorted(set(g["doc_id"].to_pylist()))
+        if len(ids) > _MAX_ALLPAIRS_GROUP:
+            # degenerate bucket (empty/boilerplate docs share one
+            # signature): all-pairs is O(N²) in ONE task.  Emit a STAR
+            # to the smallest id instead — O(N) edges that keep every
+            # member connected to the component, which is what a dedup
+            # clustering consumes; pairwise scores inside a degenerate
+            # bucket are near-identical by construction.
+            a = [ids[0]] * (len(ids) - 1)
+            return pa.table({"a": pa.array(a, pa.int64()),
+                             "b": pa.array(ids[1:], pa.int64())})
         a, b = [], []
         for x, y in itertools.combinations(ids, 2):
             a.append(x); b.append(y)
@@ -416,6 +434,23 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
     def pairs_of_group(g: pa.Table, mh=max_hamming) -> pa.Table:
         uniq = {int(d): int(h) for d, h in zip(g["doc_id"].to_pylist(),
                                                g["simhash"].to_pylist())}
+        if len(uniq) > _MAX_ALLPAIRS_GROUP:
+            # degenerate bucket (e.g. all-zero simhash of token-free
+            # docs): star to the smallest id, keeping each member
+            # paired with the representative iff within the hamming
+            # budget — O(N) instead of O(N²) in one task
+            sids = sorted(uniq)
+            rep = sids[0]
+            out_a, out_b, out_d = [], [], []
+            for y in sids[1:]:
+                d = int(bin(uniq[rep] ^ uniq[y]).count("1"))
+                if d <= mh:
+                    out_a.append(rep); out_b.append(y); out_d.append(d)
+            if not out_a:
+                return pa.Table.from_pylist([], schema=EMPTY)
+            return pa.table({"a": pa.array(out_a, pa.int64()),
+                             "b": pa.array(out_b, pa.int64()),
+                             "hamming": pa.array(out_d, pa.int64())})
         out_a, out_b, out_d = [], [], []
         for x, y in itertools.combinations(sorted(uniq), 2):
             d = int(bin(uniq[x] ^ uniq[y]).count("1"))
@@ -442,6 +477,11 @@ def _gram_hashes(text: str, n: int) -> np.ndarray:
     Jaccard equals string-set Jaccard for practical purposes)."""
     import hashlib as _h
     gs = {text[i:i + n] for i in range(max(0, len(text) - n + 1))}
+    if not gs and text:
+        # short-text fallback (mirrors _shingles): hash the whole
+        # string, so two different sub-n-length docs compare by their
+        # actual content instead of empty-set Jaccard = 1.0
+        gs = {text}
     if not gs:
         return np.empty(0, dtype=np.int64)
     out = np.fromiter(

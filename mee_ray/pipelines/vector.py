@@ -63,7 +63,11 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
             mask = ids != qids[qi]  # exclude self
             cand_ids, cand_s = ids[mask], s[mask]
             if len(cand_ids) > k:
-                top = np.argpartition(-cand_s, k)[:k]
+                # tie-aware local top-k: plain argpartition keeps an
+                # ARBITRARY subset among equal boundary sims, which can
+                # drop the lowest-id neighbor the global (sim desc, id)
+                # tie-break would rank — order by the same key here
+                top = np.lexsort((cand_ids, -cand_s))[:k]
                 cand_ids, cand_s = cand_ids[top], cand_s[top]
             out_q.extend([qids[qi]] * len(cand_ids))
             out_n.extend(cand_ids.tolist())
@@ -146,7 +150,14 @@ def embedding_neardup(sf_dir: str, threshold: float = 0.35,
     import ray.data
     from ray.data.aggregate import Max
 
-    ivf = IVFIndex().fit_dataset(_read_emb(sf_dir))
+    # cluster count scales with data: a FIXED 16 clusters makes the
+    # per-cluster exact pass O(n²/16) in one task regardless of n (a
+    # 500 GB sims matrix at n=1M).  √n clusters keep the expected
+    # cluster size ~ n_assign·√n, so per-task work grows linearly in
+    # n, not quadratically.
+    n_rows = _read_emb(sf_dir).count()
+    n_clusters = int(np.clip(np.sqrt(max(1, n_rows)), 16, 4096))
+    ivf = IVFIndex(n_clusters=n_clusters).fit_dataset(_read_emb(sf_dir))
     cent_ref = ray.put(ivf.centroids)
 
     def assign_rows(t: pa.Table) -> pa.Table:

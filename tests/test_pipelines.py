@@ -262,7 +262,10 @@ def test_ngram_jaccard_matches_string_set_bruteforce(entry_mod, ray_session):
     order = sorted(ids)
 
     def g(s, n=5):
-        return {s[i:i + n] for i in range(max(0, len(s) - n + 1))}
+        gs = {s[i:i + n] for i in range(max(0, len(s) - n + 1))}
+        if not gs and s:
+            gs = {s}          # short-text fallback, mirrors the impl
+        return gs
 
     expect = {}
     for x, y in zip(order, order[1:]):
