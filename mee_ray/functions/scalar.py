@@ -71,7 +71,13 @@ def _split_args(s: str) -> list[str]:
     if depth != 0 or quote is not None:
         raise ExprError(f"unbalanced parens/quotes in {s!r}")
     out.append("".join(cur).strip())
-    return [a for a in out if a]
+    if len(out) == 1 and out[0] == "":
+        return []                     # zero-arg call: fn()
+    if any(a == "" for a in out):
+        # 'sum(a,,b)' must fail at COMPILE, not silently parse as two
+        # args (the eager-validation contract of this module)
+        raise ExprError(f"empty argument in {s!r}")
+    return out
 
 
 def _parse(expr: str):
@@ -126,6 +132,12 @@ def _yesterday(*args):
     d = _dt.date.today() - _dt.timedelta(days=1)
     return pa.scalar(d.isoformat())
 
+
+# minimum arity, enforced at compile; zero-arg constants folded at
+# compile so every batch of a run sees one value
+_MIN_ARGS = {"max": 1, "min": 1, "sum": 1, "abs": 1, "mul": 1,
+             "sub": 2, "div": 2, "coalesce": 1, "echo": 1}
+_CONST_AT_COMPILE = {"yesterday"}
 
 _REGISTRY: dict[str, Callable] = {
     "echo": _echo,
@@ -182,6 +194,17 @@ def _compile_node(node) -> Callable[[pa.Table], object]:
     if name == "echo":  # literal-only, validated eagerly like the reference
         if len(subs) != 1 or subs[0][0] != "lit":
             raise ExprError("echo takes exactly one literal argument")
+    if name in _MIN_ARGS and len(subs) < _MIN_ARGS[name]:
+        # arity errors surface at compile (pipeline build), not per
+        # batch inside a distributed task
+        raise ExprError(f"{name} needs at least "
+                        f"{_MIN_ARGS[name]} argument(s)")
+    if not subs and name in _CONST_AT_COMPILE:
+        # zero-arg constants (yesterday) evaluate ONCE at compile on
+        # the driver: per-batch evaluation on workers could straddle
+        # midnight (or timezones) and tag one dataset with two values
+        const = fn()
+        return lambda t: const
     return lambda t: fn(*(sf(t) for sf in sub_fns))
 
 

@@ -47,11 +47,15 @@ def _int_scaled(t: pa.Table, cols: dict[str, float]) -> pa.Table:
     ``CAST(round(x * scale) AS BIGINT)``."""
     for name, scale in cols.items():
         i = t.schema.get_field_index(name)
-        x = t[name].to_numpy(zero_copy_only=False) * scale
-        # half-AWAY-from-zero, matching SQL round(); np.rint is
-        # half-to-even and diverges on exact .5 values
-        v = np.copysign(np.floor(np.abs(x) + 0.5), x).astype(np.int64)
-        t = t.set_column(i, name, pa.array(v, pa.int64()))
+        # pc.round(half_towards_infinity) == SQL round() EXACTLY —
+        # floor(abs(x)+0.5) is not: a double one ulp below a .5
+        # boundary has x+0.5 round UP to the boundary in FP, rounding
+        # where SQL doesn't
+        v = pc.cast(pc.round(
+            pc.multiply(t[name], pa.scalar(float(scale))),
+            options=pc.RoundOptions(round_mode="half_towards_infinity")),
+            pa.int64())
+        t = t.set_column(i, name, v)
     return t
 
 
@@ -202,7 +206,14 @@ def join_revenue_by_nation(sf_dir: str):
     def lookup(t: pa.Table) -> pa.Table:
         keys, names = ray.get(ref)
         ok = t["o_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, ok)
+        pos = np.minimum(np.searchsorted(keys, ok),
+                         max(0, len(keys) - 1))
+        # inner-join semantics like the oracle: a dangling o_custkey
+        # must DROP the row, not credit the nearest customer's nation
+        hit = (keys[pos] == ok) if len(keys) else \
+            np.zeros(len(ok), dtype=bool)
+        t = t.filter(pa.array(hit))
+        pos = pos[hit]
         # per-row integer cents: money sums stay order-independent
         # (half_towards_infinity == SQL round)
         cents = pc.cast(pc.round(
@@ -474,8 +485,10 @@ def asof_join_purchase_click(sf_dir: str, n_buckets: int = 64):
         return t.append_column("bucket", pa.array(uid % n_buckets, pa.int64()))
 
     def asof(g: pa.Table) -> pa.Table:
-        et = g["event_type"].to_pylist()
-        is_p = np.array([x == "purchase" for x in et])
+        # vectorized membership (a Python loop over every event string
+        # was the dominant non-vectorized cost in this operator)
+        is_p = pc.equal(g["event_type"], pa.scalar("purchase")) \
+            .to_numpy(zero_copy_only=False)
         uid = g["user_id"].to_numpy(zero_copy_only=False)
         us = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         eid = g["event_id"].to_numpy(zero_copy_only=False)
@@ -634,10 +647,14 @@ def tumbling_window_events(sf_dir: str):
         # per-batch COMBINER: pre-aggregate (user, hour) partials with
         # pyarrow's C++ group_by before the shuffle — only one row per
         # key per batch crosses the exchange.  Sum in integer cents so
-        # partial-sum order cannot perturb the float result.
+        # partial-sum order cannot perturb the float result
+        # (half_towards_infinity == SQL round; np.rint's half-to-even
+        # diverges on exact .5 products).
         us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
-                        * 100.0).astype(np.int64)
+        cents = pc.cast(pc.round(
+            pc.multiply(t["value"], pa.scalar(100.0)),
+            options=pc.RoundOptions(round_mode="half_towards_infinity")),
+            pa.int64()).to_numpy(zero_copy_only=False)
         part = pa.table({"user_id": t["user_id"],
                          "hour_bucket": pa.array(us // 3_600_000_000, pa.int64()),
                          "cents": pa.array(cents)})
@@ -660,7 +677,10 @@ def tumbling_window_events(sf_dir: str):
 
 
 TUMBLING_SQL = """
-SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket,
+-- floor() division: DuckDB's integer // truncates toward zero, while
+-- the engine's numpy // floors — they differ on pre-1970 timestamps
+SELECT user_id,
+       CAST(floor(epoch_us(ts) / 3600000000.0) AS BIGINT) AS hour_bucket,
        count(*) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY user_id, hour_bucket
@@ -784,8 +804,15 @@ def quantiles_events(sf_dir: str):
                          zero_copy_batch=True)
             .groupby(["event_type", "cent"])
             .aggregate(Sum("n_part", alias_name="cnt")))
-    t = pa.concat_tables(list(hist.iter_batches(batch_format="pyarrow",
-                                                batch_size=1 << 20)))
+    blocks = list(hist.iter_batches(batch_format="pyarrow",
+                                    batch_size=1 << 20))
+    if not blocks:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "p50_cents": pa.array([], pa.int64()),
+                         "p90_cents": pa.array([], pa.int64()),
+                         "p99_cents": pa.array([], pa.int64())})
+    t = pa.concat_tables(blocks)
     ets = np.asarray(t["event_type"].to_pylist(), dtype=object)
     cents = t["cent"].to_numpy(zero_copy_only=False)
     cnts = t["cnt"].to_numpy(zero_copy_only=False)
@@ -910,8 +937,10 @@ def hopping_window_events(sf_dir: str):
     def combine(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         hop = us // HOP_US
-        cents = np.rint(t["value"].to_numpy(zero_copy_only=False)
-                        * 100.0).astype(np.int64)
+        cents = pc.cast(pc.round(
+            pc.multiply(t["value"], pa.scalar(100.0)),
+            options=pc.RoundOptions(round_mode="half_towards_infinity")),
+            pa.int64()).to_numpy(zero_copy_only=False)
         parts = []
         for i in range(WINDOW_HOPS):
             parts.append(pa.table({
@@ -939,7 +968,8 @@ def hopping_window_events(sf_dir: str):
 
 
 HOPPING_SQL = """
-SELECT (epoch_us(ts) // 600000000 - offs.i) AS win_start_hop,
+SELECT (CAST(floor(epoch_us(ts) / 600000000.0) AS BIGINT) - offs.i)
+           AS win_start_hop,
        count(*) AS n_events,
        CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
            AS sum_value_cents
