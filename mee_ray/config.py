@@ -37,8 +37,13 @@ class TokenizerConfig:
 
     @staticmethod
     def simple() -> "TokenizerConfig":
+        # max_token_len effectively off: simple mode's contract is
+        # EXACT reproducibility by regexp_extract_all(lower(text),
+        # '[a-z0-9_]+') in SQL, and a length filter the SQL oracles
+        # don't apply would shift dl/df/tf — and even phrase
+        # adjacency — on any 65+-char token run
         return TokenizerConfig(split_identifiers=False, emit_full_token=True,
-                               subtoken_ngram=0)
+                               subtoken_ngram=0, max_token_len=1 << 30)
 
 
 @dataclass(frozen=True)

@@ -38,10 +38,18 @@ TOP_K = 10
 
 def _index_root(sf_dir: str) -> str:
     from mee_ray.postings import FORMAT_VERSION
-    tag = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    # format version + positions marker in the path: a codec/layout/
-    # schema change invalidates the cache instead of tripping the
-    # Searcher's version check (store_positions is manifest-pinned)
+    # cache key = sf_dir + FORMAT_VERSION + positions marker + a
+    # CONTENT fingerprint of the source parquet (size + mtime): a
+    # regenerated documents.parquet at the same path must invalidate
+    # the cached index, or every fulltext query would rank the OLD
+    # corpus against a fresh SQL oracle
+    src = f"{sf_dir}/documents.parquet"
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_size}_{int(st.st_mtime_ns)}"
+    except OSError:
+        fp = "nosrc"
+    tag = hashlib.sha1(f"{sf_dir}|{fp}".encode()).hexdigest()[:16]
     return f"/tmp/mee_ft_index/v{FORMAT_VERSION}p_{tag}"
 
 

@@ -76,10 +76,15 @@ def hll_sketch_column(ds, column: str) -> np.ndarray:
     the driver."""
 
     def partial(t: pa.Table, col=column) -> pa.Table:
+        import pyarrow.compute as pc
         reg = np.zeros(_M, dtype=np.uint8)
-        vals = t[col].to_numpy(zero_copy_only=False)
-        hll_fold(vals[~np.equal(vals, None)] if vals.dtype == object
-                 else vals, reg)
+        # drop nulls ARROW-side: a nullable int64 column converts to
+        # float64-with-NaN in numpy (not object), and NaN→uint64 is a
+        # platform-dependent bit pattern that would both count NULL as
+        # a distinct value and break merge determinism
+        vals = pc.drop_null(t[col]).to_numpy(zero_copy_only=False)
+        hll_fold(vals.astype(np.int64, copy=False)
+                 if vals.dtype.kind in "fiu" else vals, reg)
         return pa.table({"registers": pa.array([reg.tobytes()],
                                                pa.binary())})
 
@@ -126,8 +131,12 @@ def exact_distinct_counts(sf_dir: str):
                                    columns=[col])
 
         def distinct_part(t: pa.Table, c=col) -> pa.Table:
-            u = np.unique(t[c].to_numpy(zero_copy_only=False))
-            return pa.table({c: pa.array(u)})
+            import pyarrow.compute as pc
+            # Arrow-native distinct: SQL count(DISTINCT) excludes
+            # NULLs, and numpy's unique would either crash on object
+            # arrays containing None or count NaN as a value
+            return pa.table({c: pc.unique(pc.drop_null(
+                t[c].combine_chunks()))})
 
         uniq = (ds.map_batches(distinct_part, batch_format="pyarrow",
                                zero_copy_batch=True)
@@ -284,17 +293,22 @@ def exact_top_terms(sf_dir: str):
         np.arange(1, t.num_rows + 1), pa.int64()))
 
 
-EXACT_TOP_TERMS_SQL = f"""
+def _exact_top_terms_sql() -> str:
+    from mee_ray.pipelines.text import TOKEN_PATTERN
+    return f"""
 SELECT term, CAST(n AS BIGINT) AS n,
        row_number() OVER (ORDER BY n DESC, term) AS rank
 FROM (SELECT term, count(*) AS n
-      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+'))
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
                    AS term
             FROM documents)
       GROUP BY term)
 ORDER BY n DESC, term
 LIMIT {HH_TOPK}
 """
+
+
+EXACT_TOP_TERMS_SQL = _exact_top_terms_sql()
 
 
 QUERIES = {

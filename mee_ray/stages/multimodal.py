@@ -15,6 +15,14 @@ import numpy as np
 import pyarrow as pa
 
 
+def _text_payloads(t: pa.Table, repeat: int = 1) -> pa.Table:
+    """documents.text reinterpreted as an opaque binary payload column
+    (None-safe); ``repeat`` scales payload size for the video fake."""
+    payloads = [((x or "") * repeat).encode() for x in t["text"].to_pylist()]
+    return pa.table({"doc_id": t["doc_id"],
+                     "payload": pa.array(payloads, pa.binary())})
+
+
 class FakeImageDecode:
     """Actor-pool decode stage. __init__ = load-codec-once (here: a
     deterministic parameter table); __call__ = per-batch decode.
@@ -52,14 +60,10 @@ def multimodal_image_meta(sf_dir: str):
     deterministic fake via byte lengths."""
     import ray.data
 
-    def to_payload(t: pa.Table) -> pa.Table:
-        payloads = [x.encode() for x in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"],
-                         "payload": pa.array(payloads, pa.binary())})
 
     return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                   columns=["doc_id", "text"])
-            .map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(_text_payloads, batch_format="pyarrow", zero_copy_batch=True)
             .map_batches(FakeImageDecode, batch_format="pyarrow",
                          batch_size=256, concurrency=(1, 4)))
 
@@ -126,14 +130,10 @@ def multimodal_audio_features(sf_dir: str):
     the deterministic fake makes results reproducible for tests."""
     import ray.data
 
-    def to_payload(t: pa.Table) -> pa.Table:
-        payloads = [x.encode() for x in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"],
-                         "payload": pa.array(payloads, pa.binary())})
 
     ds = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                 columns=["doc_id", "text"])
-          .map_batches(to_payload, batch_format="pyarrow",
+          .map_batches(_text_payloads, batch_format="pyarrow",
                        zero_copy_batch=True)
           .map_batches(FakeAudioFeatures, batch_format="pyarrow",
                        batch_size=128, concurrency=(1, 4)))
@@ -193,13 +193,11 @@ def multimodal_video_frames(sf_dir: str):
     import ray.data
 
     def to_payload(t: pa.Table) -> pa.Table:
-        payloads = [(x * 40).encode() for x in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"],
-                         "payload": pa.array(payloads, pa.binary())})
+        return _text_payloads(t, repeat=40)
 
     ds = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                 columns=["doc_id", "text"])
-          .map_batches(to_payload, batch_format="pyarrow",
+          .map_batches(_text_payloads, batch_format="pyarrow",
                        zero_copy_batch=True)
           .map_batches(FakeVideoFrameSample, batch_format="pyarrow",
                        batch_size=64, concurrency=(1, 4)))
@@ -273,28 +271,28 @@ def multimodal_retrieval(sf_dir: str, n_queries: int = 5, k: int = 10):
     import ray
     import ray.data
 
-    def to_payload(t: pa.Table) -> pa.Table:
-        payloads = [x.encode() for x in t["text"].to_pylist()]
-        return pa.table({"doc_id": t["doc_id"],
-                         "payload": pa.array(payloads, pa.binary())})
 
     embedded = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                       columns=["doc_id", "text"])
-                .map_batches(to_payload, batch_format="pyarrow",
+                .map_batches(_text_payloads, batch_format="pyarrow",
                              zero_copy_batch=True)
                 .map_batches(FakeImageEmbed, batch_format="pyarrow",
                              batch_size=128, concurrency=(1, 4)))
 
-    # query matrix: first n_queries doc_ids (deterministic), embedded
-    # once on the driver from the same fake encoder
+    # query matrix: the n_queries smallest doc_ids (deterministic),
+    # embedded once on the driver from the same fake encoder.  Only
+    # the id column plus the FILTERED query rows are read — never the
+    # whole corpus's text onto the driver.
     import pyarrow.parquet as pq
+    id_col = pq.read_table(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"])["doc_id"]
+    q_ids = np.sort(id_col.to_numpy(zero_copy_only=False))[:n_queries]
     qt = pq.read_table(f"{sf_dir}/documents.parquet",
-                       columns=["doc_id", "text"])
-    order = np.argsort(qt["doc_id"].to_numpy(zero_copy_only=False))
-    q_ids = qt["doc_id"].to_numpy(zero_copy_only=False)[order[:n_queries]]
-    q_mat = np.stack([FakeImageEmbed.embed_fake(
-        qt["text"][int(i)].as_py().encode())
-        for i in order[:n_queries]])
+                       columns=["doc_id", "text"],
+                       filters=[("doc_id", "in", q_ids.tolist())])
+    txt = dict(zip(qt["doc_id"].to_pylist(), qt["text"].to_pylist()))
+    q_mat = np.stack([FakeImageEmbed.embed_fake(txt[int(i)].encode())
+                      for i in q_ids])
     q_ref = ray.put((q_ids, q_mat))
 
     def batch_topk(t: pa.Table) -> pa.Table:
@@ -304,7 +302,11 @@ def multimodal_retrieval(sf_dir: str, n_queries: int = 5, k: int = 10):
         sims = embs @ mat_q.T                       # (batch, n_queries)
         out_q, out_d, out_s = [], [], []
         for j in range(len(ids_q)):
-            top = np.argsort(-sims[:, j], kind="stable")[:k]
+            # tie-break by doc_id INSIDE the batch too: duplicate
+            # payloads give exact cosine ties, and a batch-local
+            # arbitrary order could drop the doc the global
+            # (sim desc, id) merge would have ranked
+            top = np.lexsort((ids, -sims[:, j]))[:k]
             out_q.extend([int(ids_q[j])] * len(top))
             out_d.extend(ids[top].tolist())
             out_s.extend(sims[top, j].tolist())
