@@ -197,7 +197,7 @@ def multimodal_video_frames(sf_dir: str):
 
     ds = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                 columns=["doc_id", "text"])
-          .map_batches(_text_payloads, batch_format="pyarrow",
+          .map_batches(to_payload, batch_format="pyarrow",
                        zero_copy_batch=True)
           .map_batches(FakeVideoFrameSample, batch_format="pyarrow",
                        batch_size=64, concurrency=(1, 4)))
