@@ -731,6 +731,10 @@ def build_index(corpus, index_root: str, epoch: str,
         "segments": lin_rows,
         "deltas": [],
         "event_watermark": snapshot_watermark or 0,
+        # per-key LWW floor: base docs rows (no per-row event_seq
+        # column) and never-seen keys are treated as last-written at
+        # this seq — the snapshot corpus incorporates every event <= it
+        "base_event_seq": snapshot_watermark or 0,
         "catch_up_from": catch_up,
     }
     mf.write_manifest(index_root, epoch, manifest)

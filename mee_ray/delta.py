@@ -15,9 +15,15 @@ structured (SURVEY.md §2.5 mapping):
   path rename      → arrives as DELETE(old key) + INSERT(new key)
 
 Events carry a monotone ``seq`` (the Kafka-offset analog,
-FIXTURES.md F2); within one applied batch the LAST event per
-(repo, path) wins — the same last-writer-wins the reference gets from
-processing a key's events in partition order (listenservice.py:195).
+FIXTURES.md F2).  Last-writer-wins is PER KEY and EXACT across
+batches: within a batch the highest-seq event per (repo, path) wins,
+and an event only applies if its seq is newer than the key's last
+recorded write (live row ``event_seq``, DELETE memory in
+``key_seqs.parquet``, or the snapshot floor ``base_event_seq``).
+At-least-once redelivery, offset rewinds, and out-of-order batch
+arrival all resolve to the same final state as seq-ordered delivery —
+the guarantee the reference gets from processing a key's events in
+partition order (listenservice.py:195), generalized.
 
 Each applied batch appends one delta record to the manifest with exact
 stats deltas (n/sum_dl added+deleted) so N and avgdl stay
@@ -46,13 +52,37 @@ from mee_ray.ids import doc_id_of
 _LIVE_INDEX_DRIVER_BYTES = 64 << 20
 
 
+_base_event_seq = mf.base_event_seq
+
+
+def _read_key_seq_file(path: str, keys: set, out: dict) -> None:
+    """Max-merge one (repo, path, event_seq) parquet into ``out`` for
+    the keys of interest.  Key-seq files hold only applied DELETEs and
+    no-op same-version upserts, so they stay small relative to the
+    corpus; at 10^12-key scale this read distributes exactly like the
+    docs scan (same broadcast-filtered per-file task shape)."""
+    t = pq.read_table(path, columns=["repo", "path", "event_seq"])
+    for r, p, s in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
+                       t["event_seq"].to_pylist()):
+        k = (r, p)
+        if k in keys and int(s) > out.get(k, -1):
+            out[k] = int(s)
+
+
 def _live_key_index(index_root: str, manifest: dict,
                     keys: set[tuple[str, str]], mode: str | None = None
-                    ) -> dict[tuple[str, str], tuple[int, int]]:
-    """(repo, path) → (doc_id, length) for currently-live docs among
-    ``keys`` under the sequenced-tombstone rule: a docs row written by
-    source s (base = 0, delta record j = j) is live iff no tombstone
-    for its id has seq > s.
+                    ) -> tuple[dict, dict]:
+    """Returns ``(live, key_seqs)`` for the given keys:
+
+    * ``live``: (repo, path) → (doc_id, length) of the currently-live
+      doc under the sequenced-tombstone rule — a docs row written by
+      source s (base = 0, delta record j = j) is live iff no tombstone
+      for its id has seq > s.
+    * ``key_seqs``: (repo, path) → last EVENT seq that wrote the key:
+      the live row's ``event_seq`` (per-row column; base rows default
+      to the manifest's ``base_event_seq``), max-merged with the
+      epoch's key-seq memory (applied DELETEs and no-op upserts).
+      Keys absent here have never been written past the base floor.
 
     Scans the epoch docs table plus every delta's added-docs file.
     Only rows matching ``keys`` (one delta batch — the broadcast side)
@@ -60,8 +90,12 @@ def _live_key_index(index_root: str, manifest: dict,
     ``_LIVE_INDEX_DRIVER_BYTES`` the scan itself runs as Ray tasks,
     one per docs file, so the corpus-sized read is distributed while
     newest-file-wins precedence is preserved via the file ordinal."""
+    base_floor = _base_event_seq(manifest)
     files = list(mf.docs_files(index_root, manifest["epoch"]))
     file_seqs = [0] * len(files)
+    # per-file fallback when the file lacks an event_seq column: base
+    # files → base floor; legacy delta files → their record's span max
+    file_ev_defaults = [base_floor] * len(files)
     for d in manifest.get("deltas", []):
         if d.get("added_docs"):
             if not os.path.exists(d["added_docs"]):
@@ -75,18 +109,18 @@ def _live_key_index(index_root: str, manifest: dict,
                     f"inconsistent; run fsck")
             files.append(d["added_docs"])
             file_seqs.append(d["seq"])
+            file_ev_defaults.append(int(d.get("max_event_seq") or 0))
 
     tomb_ids, tomb_seqs = mf.tombstone_index(manifest)
     total = sum(os.path.getsize(f) for f in files)
     if mode is None:
         mode = "driver" if total < _LIVE_INDEX_DRIVER_BYTES else "distributed"
 
-    def matches_of(t: pa.Table, seq: int):
-        for r, p, did, ln in zip(t["repo"].to_pylist(), t["path"].to_pylist(),
-                                 t["doc_id"].to_pylist(),
-                                 t["length"].to_pylist()):
-            if (r, p) in keys:
-                yield r, p, did, ln, seq
+    def read_cols(f: str) -> pa.Table:
+        cols = ["repo", "path", "doc_id", "length"]
+        if "event_seq" in pq.read_schema(f).names:
+            cols.append("event_seq")
+        return pq.read_table(f, columns=cols)
 
     if mode == "distributed":
         import ray
@@ -96,27 +130,32 @@ def _live_key_index(index_root: str, manifest: dict,
         def scan_file(batch: pa.Table) -> pa.Table:
             ks = ray.get(keys_ref)
             rows = {"ord": [], "repo": [], "path": [],
-                    "doc_id": [], "length": []}
+                    "doc_id": [], "length": [], "event_seq": []}
             for item in batch.to_pylist():
-                t = pq.read_table(item["file"],
-                                  columns=["repo", "path", "doc_id",
-                                           "length"])
-                for r, p, did, ln in zip(t["repo"].to_pylist(),
-                                         t["path"].to_pylist(),
-                                         t["doc_id"].to_pylist(),
-                                         t["length"].to_pylist()):
+                t = read_cols(item["file"])
+                evs = (t["event_seq"].to_pylist()
+                       if "event_seq" in t.schema.names
+                       else [None] * t.num_rows)
+                for r, p, did, ln, ev in zip(t["repo"].to_pylist(),
+                                             t["path"].to_pylist(),
+                                             t["doc_id"].to_pylist(),
+                                             t["length"].to_pylist(),
+                                             evs):
                     if (r, p) in ks:
                         rows["ord"].append(item["ord"])
                         rows["repo"].append(r)
                         rows["path"].append(p)
                         rows["doc_id"].append(did)
                         rows["length"].append(ln)
+                        rows["event_seq"].append(
+                            -1 if ev is None else int(ev))
             return pa.table({
                 "ord": pa.array(rows["ord"], pa.int64()),
                 "repo": pa.array(rows["repo"], pa.string()),
                 "path": pa.array(rows["path"], pa.string()),
                 "doc_id": pa.array(rows["doc_id"], pa.int64()),
                 "length": pa.array(rows["length"], pa.int64()),
+                "event_seq": pa.array(rows["event_seq"], pa.int64()),
             })
 
         items = [{"ord": i, "file": f} for i, f in enumerate(files)]
@@ -125,23 +164,46 @@ def _live_key_index(index_root: str, manifest: dict,
                .take_all())
         got.sort(key=lambda r: r["ord"])   # newest-file-wins precedence
         matched = [(r["repo"], r["path"], r["doc_id"], r["length"],
-                    file_seqs[r["ord"]]) for r in got]
+                    file_seqs[r["ord"]],
+                    r["event_seq"] if r["event_seq"] >= 0
+                    else file_ev_defaults[r["ord"]]) for r in got]
     else:
         matched = []
-        for f, seq in zip(files, file_seqs):   # later files overwrite
-            t = pq.read_table(f, columns=["repo", "path", "doc_id",
-                                          "length"])
-            matched.extend(matches_of(t, seq))
+        for f, seq, ev_def in zip(files, file_seqs, file_ev_defaults):
+            t = read_cols(f)          # later files overwrite
+            evs = (t["event_seq"].to_pylist()
+                   if "event_seq" in t.schema.names
+                   else [None] * t.num_rows)
+            for r, p, did, ln, ev in zip(
+                    t["repo"].to_pylist(), t["path"].to_pylist(),
+                    t["doc_id"].to_pylist(), t["length"].to_pylist(),
+                    evs):
+                if (r, p) in keys:
+                    matched.append((r, p, did, ln, seq,
+                                    ev_def if ev is None else int(ev)))
 
     live: dict[tuple[str, str], tuple[int, int]] = {}
-    for r, p, did, ln, seq in matched:
+    key_seqs: dict[tuple[str, str], int] = {}
+    for r, p, did, ln, seq, ev in matched:
+        key_seqs[(r, p)] = max(key_seqs.get((r, p), -1), ev)
         if mf.live_posting_mask(np.array([did], dtype=np.int64), seq,
                                 tomb_ids, tomb_seqs)[0]:
             live[(r, p)] = (did, ln)
         else:
             # this version is dead; a later file may re-add the key
             live.pop((r, p), None)
-    return live
+
+    # key-seq memory: epoch-level file (folded by compaction) plus each
+    # delta record's file (applied DELETEs + no-op upsert bumps)
+    edir = mf.epoch_dir(index_root, manifest["epoch"])
+    epoch_ks = os.path.join(edir, "key_seqs.parquet")
+    if os.path.exists(epoch_ks):
+        _read_key_seq_file(epoch_ks, keys, key_seqs)
+    for d in manifest.get("deltas", []):
+        p = d.get("key_seqs")
+        if p and os.path.exists(p):
+            _read_key_seq_file(p, keys, key_seqs)
+    return live, key_seqs
 
 
 def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
@@ -154,6 +216,24 @@ def apply_delta(events, index_root: str, cfg: EngineConfig | None = None,
     # applier would silently drop one of the two records
     with mf.write_lock(index_root):
         return _apply_delta_locked(events, index_root, cfg, epoch)
+
+
+def apply_with_seq_allocation(build_events, index_root: str,
+                              cfg: EngineConfig | None = None) -> dict:
+    """Allocate the next event-seq range and apply in ONE critical
+    section.  ``build_events(start_seq)`` must return the event batch
+    (pyarrow Table) with seqs from ``start_seq`` upward.
+
+    Separate ``next_event_seq()`` + ``apply_delta()`` calls race under
+    concurrent publishers: both can allocate the same start seq, and
+    the per-key LWW guard then treats the second batch's events as
+    redeliveries of the first's for any key both touch.  Holding the
+    index write lock across allocation + apply makes the seq range
+    exclusive."""
+    with mf.write_lock(index_root):
+        start = mf.next_event_seq(index_root)
+        ev = build_events(start)
+        return _apply_delta_locked(ev, index_root, cfg)
 
 
 def _apply_delta_locked(events, index_root: str,
@@ -182,26 +262,6 @@ def _apply_delta_locked(events, index_root: str,
     else:
         ev = events
 
-    # stale-replay guard: a batch already INCORPORATED by this index —
-    # its [min, max] event span lies inside the snapshot watermark or
-    # inside one applied record's span — is a redelivery/offset-rewind;
-    # re-applying it would tombstone a NEWER live version and
-    # resurrect the older one (a lost update).  Span containment, not
-    # a global high-water cutoff: concurrent appliers may land fresh
-    # batches out of seq order (their spans are disjoint from every
-    # applied record's), and those must still apply.
-    if ev.num_rows:
-        seqs = ev["seq"].to_numpy(zero_copy_only=False)
-        b_lo, b_hi = int(seqs.min()), int(seqs.max())
-        wm = int(manifest.get("event_watermark") or 0)
-        stale = b_hi <= wm or any(
-            d.get("max_event_seq")
-            and int(d.get("min_event_seq") or d["max_event_seq"]) <= b_lo
-            and b_hi <= int(d["max_event_seq"])
-            for d in manifest.get("deltas", []))
-        if stale:
-            ev = ev.slice(0, 0)
-
     # last-writer-wins per (repo, path), by seq
     order = np.argsort(ev["seq"].to_numpy(zero_copy_only=False), kind="stable")
     final: dict[tuple[str, str], dict] = {}
@@ -214,22 +274,40 @@ def _apply_delta_locked(events, index_root: str,
         min_seq = s if min_seq == 0 else min(min_seq, s)
         final[key] = {k: rows[k][i] for k in rows}
 
-    live = _live_key_index(index_root, manifest, set(final))
+    live, key_seqs = _live_key_index(index_root, manifest, set(final))
+    base_floor = _base_event_seq(manifest)
 
+    # PER-KEY sequenced LWW: an event applies iff its seq is newer than
+    # the last seq that wrote the key (live row's event_seq, DELETE
+    # memory, or the snapshot floor).  This is exact under at-least-once
+    # redelivery, offset rewinds, AND cross-batch out-of-order arrival:
+    # a delayed fresh batch applies for the keys it is newest for and
+    # no-ops for keys a later batch already rewrote — batch-granular
+    # span heuristics either lose those events or resurrect old ones.
     tomb_ids, tomb_dls = [], []
     adds = []
+    key_seq_rows: list[tuple[str, str, int]] = []   # DELETEs + no-op bumps
+    n_stale = 0
     for key, e in final.items():
+        s = int(e["seq"])
+        if s <= key_seqs.get(key, base_floor):
+            n_stale += 1
+            continue
         old = live.get(key)
         if e["type"] == "DELETE":
             if old is not None:
                 tomb_ids.append(old[0]); tomb_dls.append(old[1])
+            # remember the delete's seq even for unknown keys: a
+            # delayed older INSERT must not resurrect the key later
+            key_seq_rows.append((key[0], key[1], s))
         else:  # INSERT / UPDATE → upsert
             new_id = doc_id_of(e["repo"], e["path"], e["commit"])
             if old is not None and old[0] == new_id:
-                # redelivered upsert of the already-live version:
-                # no-op, so at-least-once delivery stays idempotent
-                # (the analog of the reference's upsert-by-id semantics
-                # under Kafka redelivery, commonhandler.py:68-83)
+                # fresh upsert of the already-live version: skip the
+                # re-index (the reference's diff-fields no-op,
+                # commonhandler.py:68-83) but RECORD the seq bump so a
+                # delayed older update cannot later beat this event
+                key_seq_rows.append((key[0], key[1], s))
                 continue
             if old is not None:
                 tomb_ids.append(old[0]); tomb_dls.append(old[1])
@@ -239,6 +317,17 @@ def _apply_delta_locked(events, index_root: str,
             # record this stays correct when the record is replayed
             # onto a compacted epoch whose base dropped the postings
             adds.append(e)
+
+    if not adds and not tomb_ids and not key_seq_rows:
+        # nothing applied (empty batch or pure redelivery): do NOT
+        # append a manifest record — no-op records churn reader-pool
+        # staleness checks and inflate the compaction trigger
+        return {"noop": True, "seq": None,
+                "max_event_seq": max_seq, "min_event_seq": min_seq,
+                "n_added": 0, "n_deleted": 0, "n_stale": n_stale,
+                "sum_dl_added": 0, "sum_dl_deleted": 0,
+                "tombstones": None, "added_docs": None, "key_seqs": None,
+                "segments": []}
 
     seq_no = len(manifest.get("deltas", [])) + 1
     ddir = os.path.join(edir, "deltas", f"delta-{seq_no:06d}")
@@ -260,10 +349,23 @@ def _apply_delta_locked(events, index_root: str,
     record = {
         "seq": seq_no, "max_event_seq": max_seq, "min_event_seq": min_seq,
         "tombstones": tomb_path, "added_docs": None, "segments": [],
-        "n_added": 0, "n_deleted": len(tomb_ids),
+        "key_seqs": None,
+        "n_added": 0, "n_deleted": len(tomb_ids), "n_stale": n_stale,
         "sum_dl_added": 0,
         "sum_dl_deleted": int(sum(tomb_dls)),
     }
+
+    if key_seq_rows:
+        ks_path = os.path.join(ddir, "key_seqs.parquet")
+        tmp = ks_path + ".tmp"
+        pq.write_table(pa.table({
+            "repo": pa.array([r for r, _, _ in key_seq_rows], pa.string()),
+            "path": pa.array([p for _, p, _ in key_seq_rows], pa.string()),
+            "event_seq": pa.array([s for _, _, s in key_seq_rows],
+                                  pa.int64()),
+        }), tmp)
+        os.replace(tmp, ks_path)
+        record["key_seqs"] = ks_path
 
     if adds:
         add_tbl = pa.table({
@@ -284,9 +386,18 @@ def _apply_delta_locked(events, index_root: str,
                                             batch_size=1 << 18)])
         added_docs_path = os.path.join(ddir, "added_docs.parquet")
         tmp = added_docs_path + ".tmp"
+        # per-row event seq: the key's LWW memory (rides through
+        # compaction so a delayed older event still loses after the
+        # delta log is folded away)
+        seq_of = {(a["repo"], a["path"]): int(a["seq"]) for a in adds}
+        ev_col = pa.array(
+            [seq_of[(r, p)] for r, p in zip(tok_tbl["repo"].to_pylist(),
+                                            tok_tbl["path"].to_pylist())],
+            pa.int64())
         pq.write_table(tok_tbl.drop_columns(
             [c for c in ("terms", "tfs", "poss")
-             if c in tok_tbl.schema.names]), tmp)
+             if c in tok_tbl.schema.names]).append_column(
+                 "event_seq", ev_col), tmp)
         os.replace(tmp, added_docs_path)
 
         # delta segments: same explode + encode machinery as the full

@@ -136,7 +136,8 @@ def _yesterday(*args):
 # minimum arity, enforced at compile; zero-arg constants folded at
 # compile so every batch of a run sees one value
 _MIN_ARGS = {"max": 1, "min": 1, "sum": 1, "abs": 1, "mul": 1,
-             "sub": 2, "div": 2, "coalesce": 1, "echo": 1}
+             "sub": 2, "div": 2, "coalesce": 1, "echo": 1,
+             "round": 1, "length": 1, "lower": 1, "upper": 1}
 _CONST_AT_COMPILE = {"yesterday"}
 
 _REGISTRY: dict[str, Callable] = {

@@ -264,6 +264,7 @@ def _relocated_delta_record(rec: dict, src_dir: str, dst_dir: str,
     return dict(rec, seq=seq_no,
                 tombstones=reloc(rec.get("tombstones")),
                 added_docs=reloc(rec.get("added_docs")),
+                deleted_keys=reloc(rec.get("deleted_keys")),
                 segments=[reloc(s) for s in rec.get("segments", [])])
 
 
@@ -323,6 +324,26 @@ def publish_with_catchup(index_root: str, epoch: str) -> int:
             replayed += len(extra)
         publish(index_root, epoch)
     return replayed
+
+
+def base_event_seq(manifest: dict) -> int:
+    """Per-key LWW floor for docs rows / keys with no recorded event
+    seq: the snapshot corpus of the epoch CHAIN incorporates every
+    event <= it.  Preserved verbatim across compactions (folded delta
+    rows carry their own per-row ``event_seq`` column instead)."""
+    return int(manifest.get("base_event_seq") or 0)
+
+
+def next_event_seq(index_root: str) -> int:
+    """First event seq NOT yet covered by the CURRENT epoch.  NOTE:
+    calling this and then apply_delta separately is racy under
+    concurrent publishers (two callers can allocate the same range);
+    use delta.apply_with_seq_allocation, which holds the index write
+    lock across allocation + apply."""
+    m = load_manifest(index_root)
+    return 1 + max([int(m.get("event_watermark") or 0)]
+                   + [int(d.get("max_event_seq") or 0)
+                      for d in m.get("deltas", [])])
 
 
 def tombstone_index(manifest: dict):

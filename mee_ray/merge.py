@@ -239,10 +239,31 @@ def _compact_locked(index_root: str, new_epoch: str,
                 mf.live_posting_mask(ids, source_seq, ti, ts)))
         return fn
 
+    base_floor = mf.base_event_seq(manifest)
+
+    def with_event_seq(default_seq: int):
+        # normalize the per-row LWW seq column across sources so the
+        # union has one schema: files that predate the column (base
+        # docs; legacy deltas) get their source's constant floor
+        def fn(batch: pa.Table) -> pa.Table:
+            if "event_seq" in batch.schema.names:
+                return batch
+            return batch.append_column("event_seq", pa.array(
+                np.full(batch.num_rows, default_seq, dtype=np.int64)))
+        return fn
+
+    def read_docs_cols(f: str) -> list[str]:
+        cols = list(mf.DOCS_COLUMNS)
+        if "event_seq" in pq.read_schema(f).names:
+            cols.append("event_seq")
+        return cols
+
     if len(tomb) == 0:
         # nothing to filter: the new docs table is exactly the base
         # files + delta added-docs files — copy, don't re-encode
-        # (deterministic names, so a crashed retry overwrites cleanly)
+        # (deterministic names, so a crashed retry overwrites cleanly;
+        # per-file event_seq defaults are resolved by readers, so
+        # column-less base files stay valid verbatim)
         import shutil as _sh
         for i, f in enumerate(doc_files):
             dst = os.path.join(new_docs, f"docs-{i:05d}.parquet")
@@ -252,11 +273,18 @@ def _compact_locked(index_root: str, new_epoch: str,
     else:
         docs_ds = ray.data.read_parquet(
             base_doc_files, columns=mf.DOCS_COLUMNS
-        ).map_batches(drop_dead(0), batch_format="pyarrow")
+        ).map_batches(drop_dead(0), batch_format="pyarrow"
+                      ).map_batches(with_event_seq(base_floor),
+                                    batch_format="pyarrow")
         for f, seq in delta_doc_files:
+            d = next(x for x in manifest.get("deltas", [])
+                     if x.get("added_docs") == f)
+            legacy_default = int(d.get("max_event_seq") or 0)
             docs_ds = docs_ds.union(
-                ray.data.read_parquet([f], columns=mf.DOCS_COLUMNS)
-                .map_batches(drop_dead(seq), batch_format="pyarrow"))
+                ray.data.read_parquet([f], columns=read_docs_cols(f))
+                .map_batches(drop_dead(seq), batch_format="pyarrow")
+                .map_batches(with_event_seq(legacy_default),
+                             batch_format="pyarrow"))
         # staged write: Ray names output files randomly, so a retry
         # after a mid-write crash would APPEND to the leftovers and
         # duplicate rows — write to a temp dir and rename atomically
@@ -264,6 +292,42 @@ def _compact_locked(index_root: str, new_epoch: str,
         import shutil as _sh
         _sh.rmtree(new_docs, ignore_errors=True)
         _staged_write(docs_ds, new_docs)
+
+    # --- per-key LWW memory: fold the delta log's key-seq files -------
+    # (applied DELETEs + no-op upsert bumps) plus the old epoch-level
+    # file into ONE new epoch-level file, max seq per key — so a
+    # delayed older event still loses after the records are folded away
+    old_ks = os.path.join(mf.epoch_dir(index_root, old_epoch),
+                          "key_seqs.parquet")
+    ks_files = ([old_ks] if os.path.exists(old_ks) else []) + \
+        [d["key_seqs"] for d in manifest.get("deltas", [])
+         if d.get("key_seqs") and os.path.exists(d["key_seqs"])]
+    if ks_files:
+        merged: dict[tuple[str, str], int] = {}
+        for f in ks_files:
+            t = pq.read_table(f, columns=["repo", "path", "event_seq"])
+            for r, p, s in zip(t["repo"].to_pylist(),
+                               t["path"].to_pylist(),
+                               t["event_seq"].to_pylist()):
+                k = (r, p)
+                if int(s) > merged.get(k, -1):
+                    merged[k] = int(s)
+        ks_dst = os.path.join(new_edir, "key_seqs.parquet")
+        tmp_ks = ks_dst + f".tmp.{os.getpid()}"
+        items_sorted = sorted(merged.items())
+        pq.write_table(pa.table({
+            "repo": pa.array([k[0] for k, _ in items_sorted], pa.string()),
+            "path": pa.array([k[1] for k, _ in items_sorted], pa.string()),
+            "event_seq": pa.array([s for _, s in items_sorted], pa.int64()),
+        }), tmp_ks)
+        os.replace(tmp_ks, ks_dst)
+    else:
+        # debris guard: a crashed compact of a DIFFERENT snapshot may
+        # have left a key_seqs file this snapshot doesn't produce
+        try:
+            os.remove(os.path.join(new_edir, "key_seqs.parquet"))
+        except FileNotFoundError:
+            pass
 
     # --- segments: per-partition local merge (no shuffle) -------------
     part_items = partition_plan(manifest)
@@ -374,6 +438,10 @@ def _compact_locked(index_root: str, new_epoch: str,
         "event_watermark": max(
             [manifest.get("event_watermark", 0)]
             + [d.get("max_event_seq", 0) for d in manifest.get("deltas", [])]),
+        # per-key floor stays the CHAIN's original snapshot floor —
+        # folded delta rows carry per-row event_seq, so bumping this
+        # would wrongly out-sequence delayed fresh events for base keys
+        "base_event_seq": base_floor,
         "catch_up_from": {"epoch": old_epoch, "consumed_deltas": n_folded},
     })
     mf.write_manifest(index_root, new_epoch, new_manifest)

@@ -55,13 +55,42 @@ def next_event_seq(index_root: str) -> int:
     """First event seq NOT yet covered by the index — thread this into
     :func:`docs_to_delta_events` so bridged batches stay globally
     monotone (the watermark/catch-up machinery depends on it; a batch
-    re-using covered seqs is dropped by apply_delta's stale-replay
-    guard or, worse, mis-classified as snapshot-covered at rebuild)."""
+    re-using covered seqs is treated as a redelivery by apply_delta's
+    per-key LWW guard or, worse, mis-classified as snapshot-covered at
+    rebuild).  RACY under concurrent publishers — two callers can
+    allocate the same range; prefer :func:`publish_documents`, which
+    holds the index write lock across allocation + apply."""
     from mee_ray import manifest as mf
-    m = mf.load_manifest(index_root)
-    return 1 + max([int(m.get("event_watermark") or 0)]
-                   + [int(d.get("max_event_seq") or 0)
-                      for d in m.get("deltas", [])])
+    return mf.next_event_seq(index_root)
+
+
+def publish_documents(index_root: str, docs, key_field: str,
+                      deleted_keys=None,
+                      text_fields: list[str] | None = None,
+                      repo: str = "docbuild", cfg=None) -> dict:
+    """Atomic bridge publish: allocate the event-seq range, convert the
+    re-emitted documents (+ deleted keys) to one event batch, and apply
+    it, all inside the index write lock.  This is the safe form of
+    ``docs_to_delta_events(..., start_seq=next_event_seq(root))`` +
+    ``apply_delta`` — which, as two separate steps, lets two concurrent
+    publishers allocate the same seq range and silently drop one
+    batch's changes for any key both touch."""
+    from mee_ray.delta import apply_with_seq_allocation
+
+    # materialize the (blast-radius-bounded) docs BEFORE taking the
+    # lock: only the seq-stamped conversion + apply sit inside it
+    if hasattr(docs, "iter_batches"):
+        tables = list(docs.iter_batches(batch_format="pyarrow",
+                                        batch_size=1 << 16))
+        docs = (pa.concat_tables(tables) if tables
+                else pa.table({key_field: pa.array([], pa.int64())}))
+
+    def build(start_seq: int) -> pa.Table:
+        return docs_to_delta_events(
+            docs, key_field, deleted_keys=deleted_keys,
+            text_fields=text_fields, repo=repo, start_seq=start_seq)
+
+    return apply_with_seq_allocation(build, index_root, cfg)
 
 
 def docs_to_delta_events(docs, key_field: str,

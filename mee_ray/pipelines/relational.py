@@ -487,8 +487,9 @@ def asof_join_purchase_click(sf_dir: str, n_buckets: int = 64):
     def asof(g: pa.Table) -> pa.Table:
         # vectorized membership (a Python loop over every event string
         # was the dominant non-vectorized cost in this operator)
-        is_p = pc.equal(g["event_type"], pa.scalar("purchase")) \
-            .to_numpy(zero_copy_only=False)
+        is_p = pc.fill_null(
+            pc.equal(g["event_type"], pa.scalar("purchase")),
+            False).to_numpy(zero_copy_only=False)
         uid = g["user_id"].to_numpy(zero_copy_only=False)
         us = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         eid = g["event_id"].to_numpy(zero_copy_only=False)

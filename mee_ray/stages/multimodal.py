@@ -291,7 +291,7 @@ def multimodal_retrieval(sf_dir: str, n_queries: int = 5, k: int = 10):
                        columns=["doc_id", "text"],
                        filters=[("doc_id", "in", q_ids.tolist())])
     txt = dict(zip(qt["doc_id"].to_pylist(), qt["text"].to_pylist()))
-    q_mat = np.stack([FakeImageEmbed.embed_fake(txt[int(i)].encode())
+    q_mat = np.stack([FakeImageEmbed.embed_fake((txt[int(i)] or "").encode())
                       for i in q_ids])
     q_ref = ray.put((q_ids, q_mat))
 

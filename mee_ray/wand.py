@@ -187,6 +187,10 @@ class _Cursor:
 
 _FLOAT_HEADROOM = 1.0 + 1e-9
 
+# byte budget for the merged-delta-chunk cache (per Searcher / per
+# ShardActor); also entry-count capped so eviction stays O(entries)
+_MERGE_CACHE_BYTES = 64 * 1024 * 1024
+
 
 def _chunks_need_merge(chunks: list[dict],
                        salt_factor: int | None = None) -> bool:
@@ -266,14 +270,26 @@ def search_wand(term_chunks: dict[str, tuple[float, list[dict]]],
             # queries on a delta-bearing hot term skip the re-decode +
             # argsort + metadata rebuild (bounded LRU-ish cache)
             if merge_cache is not None and term in merge_cache:
-                chunks = merge_cache[term]
+                chunks = merge_cache[term][0]
+                merge_cache[term] = merge_cache.pop(term)  # LRU touch
             else:
                 chunks = _merge_delta_chunks(chunks, k1, b, avgdl,
                                              block_size)
                 if merge_cache is not None:
-                    merge_cache[term] = chunks
-                    if len(merge_cache) > 64:
-                        merge_cache.pop(next(iter(merge_cache)))
+                    # byte-budgeted LRU: an entry pins the term's whole
+                    # merged posting stream in memory (~24 B/posting);
+                    # a count cap alone would let 64 hot terms pin GBs
+                    # per Searcher/ShardActor at large df
+                    nb = sum(i.nbytes + t.nbytes + d.nbytes
+                             for c in chunks
+                             for (i, t, d) in (c["decode"](),))
+                    if nb <= _MERGE_CACHE_BYTES:
+                        merge_cache[term] = (chunks, nb)
+                        total = sum(v[1] for v in merge_cache.values())
+                        while (total > _MERGE_CACHE_BYTES
+                               or len(merge_cache) > 256):
+                            total -= merge_cache.pop(
+                                next(iter(merge_cache)))[1]
         for c in chunks:
             # per-chunk bound scaling: a segment copied verbatim across
             # a compaction keeps the avgdl its block maxes were

@@ -443,10 +443,12 @@ def test_live_key_index_distributed_matches_driver(built_index, ray_session):
             {"seq": 2, "type": "DELETE", "repo": sorted(keys)[1][0],
              "path": sorted(keys)[1][1]}]), root)
         m = mf.load_manifest(root)
-        drv = _live_key_index(root, m, keys, mode="driver")
-        dist = _live_key_index(root, m, keys, mode="distributed")
-        assert drv == dist
+        drv, drv_seqs = _live_key_index(root, m, keys, mode="driver")
+        dist, dist_seqs = _live_key_index(root, m, keys, mode="distributed")
+        assert drv == dist and drv_seqs == dist_seqs
         assert drv[k0][0] == doc_id_of(k0[0], k0[1], "e" * 40)
+        assert drv_seqs[k0] == 1                      # live row's event seq
+        assert drv_seqs[sorted(keys)[1]] == 2         # DELETE memory
 
 
 def test_mixed_dynamic_salting_stays_exact(ray_session, tmp_path):
@@ -873,3 +875,133 @@ def test_reinsert_survives_catchup_onto_compacted_epoch(ray_session,
     assert (s.n_docs, s.avgdl) == (oi.n_docs, oi.avgdl)
     for q in (["zz_tok_4"], ["zz_shared"]):
         assert s.search(q, 10) == oi.search(q, 10), q
+
+
+def _upd(seq, repo, path, tag):
+    return {"seq": seq, "type": "UPDATE", "repo": repo, "path": path,
+            "commit": f"{seq:040d}", "lang": "python",
+            "content": f"def k(): return {tag}\n"}
+
+
+def test_per_key_lww_gapped_span_fresh_batch_applies(ray_session, tmp_path):
+    """The retired span-containment guard dropped a fresh batch whose
+    seq span fell inside an applied record's GAPPED span; per-key LWW
+    must apply it (the keys are disjoint)."""
+    root = _build_small(tmp_path, [("o/r", "a.py", "c" * 40, "base_tok")])
+    # one applied record spanning seqs {1, 10} (gap 2..9)
+    apply_delta(_events([_upd(1, "o/r", "a.py", "v1_tok"),
+                         _upd(10, "o/r", "b.py", "b10_tok")]), root)
+    # fresh batch {5, 6} on OTHER keys — inside [1,10], must APPLY
+    rec = apply_delta(_events([_upd(5, "o/r", "c.py", "c5_tok"),
+                               _upd(6, "o/r", "d.py", "d6_tok")]), root)
+    assert rec["n_added"] == 2 and not rec.get("noop")
+    s = Searcher(root)
+    assert s.search(["c5_tok"], 5) and s.search(["d6_tok"], 5)
+
+
+def test_per_key_lww_out_of_order_same_key(ray_session, tmp_path):
+    """A delayed OLDER update of a key already rewritten at a higher
+    seq no-ops for that key but applies for fresh keys in the same
+    batch — per-key, not per-batch, resolution."""
+    root = _build_small(tmp_path, [("o/r", "a.py", "c" * 40, "base_tok")])
+    apply_delta(_events([_upd(10, "o/r", "a.py", "v10_tok")]), root)
+    rec = apply_delta(_events([_upd(6, "o/r", "a.py", "v6_tok"),
+                               _upd(7, "o/r", "z.py", "z7_tok")]), root)
+    assert rec["n_added"] == 1 and rec["n_stale"] == 1
+    s = Searcher(root)
+    assert s.search(["v10_tok"], 5) and not s.search(["v6_tok"], 5)
+    assert s.search(["z7_tok"], 5)
+
+
+def test_per_key_lww_redelivery_is_noop_record(ray_session, tmp_path):
+    """Pure redelivery appends NO manifest record (no reader-pool
+    staleness churn, no compaction-trigger inflation)."""
+    root = _build_small(tmp_path, [("o/r", "a.py", "c" * 40, "base_tok")])
+    evt = _events([_upd(1, "o/r", "a.py", "v1_tok"),
+                   _upd(2, "o/r", "a.py", "v2_tok")])
+    apply_delta(evt, root)
+    n_before = len(mf.load_manifest(root).get("deltas", []))
+    rec = apply_delta(evt, root)          # at-least-once redelivery
+    assert rec.get("noop") and rec["n_added"] == 0 and rec["n_stale"] == 1
+    assert len(mf.load_manifest(root).get("deltas", [])) == n_before
+    s = Searcher(root)
+    assert s.search(["v2_tok"], 5) and not s.search(["v1_tok"], 5)
+
+
+def test_per_key_lww_delete_beats_delayed_older_insert(ray_session,
+                                                       tmp_path):
+    """DELETE memory: a delayed older INSERT must not resurrect a key
+    deleted at a higher seq — before AND after compaction folds the
+    delta log away."""
+    root = _build_small(tmp_path, [("o/r", "a.py", "c" * 40, "base_tok")])
+    apply_delta(_events([{"seq": 9, "type": "DELETE", "repo": "o/r",
+                          "path": "a.py"}]), root)
+    rec = apply_delta(_events([_upd(4, "o/r", "a.py", "v4_tok")]), root)
+    assert rec.get("noop") and rec["n_stale"] == 1
+    assert not Searcher(root).search(["v4_tok"], 5)
+
+    compact(root, "ep2", gc_old=False)
+    rec = apply_delta(_events([_upd(5, "o/r", "a.py", "v5_tok")]), root)
+    assert rec.get("noop"), "delete memory must survive compaction"
+    assert not Searcher(root).search(["v5_tok"], 5)
+    # a genuinely NEWER insert still applies
+    rec = apply_delta(_events([_upd(11, "o/r", "a.py", "v11_tok")]), root)
+    assert rec["n_added"] == 1
+    assert Searcher(root).search(["v11_tok"], 5)
+
+
+def test_per_key_lww_survives_compaction_for_updates(ray_session,
+                                                     tmp_path):
+    """Per-row event_seq rides added-docs through compaction: a delayed
+    older update of a delta-updated key still loses after compact."""
+    root = _build_small(tmp_path, [("o/r", "a.py", "c" * 40, "base_tok")])
+    apply_delta(_events([_upd(10, "o/r", "a.py", "v10_tok")]), root)
+    compact(root, "ep2", gc_old=False)
+    rec = apply_delta(_events([_upd(6, "o/r", "a.py", "v6_tok")]), root)
+    assert rec.get("noop") and rec["n_stale"] == 1
+    s = Searcher(root)
+    assert s.search(["v10_tok"], 5) and not s.search(["v6_tok"], 5)
+    # delete-bearing compaction path (docs rewrite) preserves seqs too
+    apply_delta(_events([{"seq": 12, "type": "DELETE", "repo": "o/r",
+                          "path": "zz.py"}]), root)  # forces rewrite
+    apply_delta(_events([_upd(13, "o/r", "b.py", "b13_tok")]), root)
+    compact(root, "ep3", gc_old=False)
+    rec = apply_delta(_events([_upd(7, "o/r", "a.py", "v7_tok")]), root)
+    assert rec.get("noop")
+    assert Searcher(root).search(["v10_tok"], 5)
+
+
+def test_per_key_lww_noop_upsert_bumps_seq(ray_session, tmp_path):
+    """A FRESH same-version upsert skips re-indexing but records the
+    seq bump, so a delayed older real update cannot beat it."""
+    root = _build_small(tmp_path, [("o/r", "a.py", "c" * 40, "base_tok")])
+    v = _upd(3, "o/r", "a.py", "v3_tok")
+    apply_delta(_events([v]), root)
+    # same commit re-asserted at seq 9 (diff-fields no-op)
+    again = dict(v, seq=9)
+    rec = apply_delta(_events([again]), root)
+    assert rec["n_added"] == 0 and rec["key_seqs"]
+    # delayed older update at seq 5 must now lose to the seq-9 assert
+    rec = apply_delta(_events([_upd(5, "o/r", "a.py", "v5_tok")]), root)
+    assert rec.get("noop") and rec["n_stale"] == 1
+    assert Searcher(root).search(["v3_tok"], 5)
+    assert not Searcher(root).search(["v5_tok"], 5)
+
+
+def test_publish_documents_atomic_bridge(ray_session, tmp_path):
+    """The atomic bridge path allocates monotone seqs under the write
+    lock and applies in the same critical section."""
+    from mee_ray.pipelines.bridge import publish_documents
+    root = _build_small(tmp_path, [("o/r", "a.py", "c" * 40, "base_tok")])
+    docs = pa.table({"cust_id": pa.array([1, 2], pa.int64()),
+                     "name": pa.array(["ann", "bob"])})
+    rec1 = publish_documents(root, docs, "cust_id", repo="crm")
+    assert rec1["n_added"] == 2
+    docs2 = pa.table({"cust_id": pa.array([2], pa.int64()),
+                      "name": pa.array(["bobby"])})
+    rec2 = publish_documents(root, docs2, "cust_id", repo="crm",
+                             deleted_keys=[1])
+    assert rec2["min_event_seq"] > rec1["max_event_seq"]
+    s = Searcher(root)
+    assert s.search(["bobby"], 5)
+    assert not s.search(["ann"], 5)      # deleted key's doc gone
