@@ -12,6 +12,7 @@ SQL so Python `re` and DuckDB RE2 see the same pattern.
 from __future__ import annotations
 
 import hashlib
+import itertools
 
 import numpy as np
 import pyarrow as pa
@@ -400,7 +401,8 @@ def simhash_signatures(sf_dir: str):
         SimHashStage(), batch_format="pyarrow")
 
 
-def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
+def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3,
+                      max_group: int | None = None):
     """SimHash near-dup pairs via 4×16-bit band buckets (a pair within
     hamming ≤ 3 of 64 bits must agree on ≥1 of 4 bands).
 
@@ -431,21 +433,45 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3):
     EMPTY = pa.schema([("a", pa.int64()), ("b", pa.int64()),
                        ("hamming", pa.int64())])
 
-    def pairs_of_group(g: pa.Table, mh=max_hamming) -> pa.Table:
+    cap = _MAX_ALLPAIRS_GROUP if max_group is None else max_group
+
+    def pairs_of_group(g: pa.Table, mh=max_hamming, cap=cap) -> pa.Table:
         uniq = {int(d): int(h) for d, h in zip(g["doc_id"].to_pylist(),
                                                g["simhash"].to_pylist())}
-        if len(uniq) > _MAX_ALLPAIRS_GROUP:
+        if len(uniq) > cap:
             # degenerate bucket (e.g. all-zero simhash of token-free
-            # docs): star to the smallest id, keeping each member
-            # paired with the representative iff within the hamming
-            # budget — O(N) instead of O(N²) in one task
-            sids = sorted(uniq)
-            rep = sids[0]
+            # docs).  A bucket only guarantees 16 shared bits, NOT
+            # identical signatures, so a naive star-to-smallest drops
+            # real pairs between non-representative members.  Instead:
+            # group members by FULL signature — the realistic cause of
+            # a huge bucket is signature degeneracy — star each
+            # identical-signature group to its min id (hamming 0, so
+            # the dup component is preserved exactly), then run exact
+            # all-pairs across the (far fewer) group REPRESENTATIVES;
+            # a—rep_a—rep_b—b keeps cross-group members connected.
+            # Residual cap: if even the distinct-signature count
+            # exceeds the budget, reps fall back to a star (documented
+            # approximation, O(N) edges).
+            by_sig: dict[int, list[int]] = {}
+            for d in sorted(uniq):
+                by_sig.setdefault(uniq[d], []).append(d)
             out_a, out_b, out_d = [], [], []
-            for y in sids[1:]:
-                d = int(bin(uniq[rep] ^ uniq[y]).count("1"))
-                if d <= mh:
-                    out_a.append(rep); out_b.append(y); out_d.append(d)
+            for members in by_sig.values():
+                rep = members[0]
+                for y in members[1:]:
+                    out_a.append(rep); out_b.append(y); out_d.append(0)
+            reps = sorted(m[0] for m in by_sig.values())
+            if len(reps) <= cap:
+                for x, y in itertools.combinations(reps, 2):
+                    d = int(bin(uniq[x] ^ uniq[y]).count("1"))
+                    if d <= mh:
+                        out_a.append(x); out_b.append(y); out_d.append(d)
+            else:
+                rep0 = reps[0]
+                for y in reps[1:]:
+                    d = int(bin(uniq[rep0] ^ uniq[y]).count("1"))
+                    if d <= mh:
+                        out_a.append(rep0); out_b.append(y); out_d.append(d)
             if not out_a:
                 return pa.Table.from_pylist([], schema=EMPTY)
             return pa.table({"a": pa.array(out_a, pa.int64()),

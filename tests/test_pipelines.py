@@ -334,3 +334,55 @@ def test_hll_error_bound_and_merge_identity(entry_mod, ray_session):
     assert np.array_equal(one, dup)
     n_true = len(np.unique(vals))
     assert abs(hll_estimate(one) - n_true) <= 0.05 * n_true
+
+
+def test_simhash_degenerate_bucket_preserves_components(ray_session,
+                                                        tmp_path):
+    """Oversized band buckets group by FULL signature: identical-sig
+    members star losslessly and cross-sig pairs go through group
+    representatives — every exact-mode near-dup pair must stay in the
+    same connected component of the capped-mode pair graph, and no
+    capped-mode pair may exceed the hamming budget."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.text import simhash_dup_pairs, simhash_signatures
+
+    texts, ids = [], []
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for i in range(30):                      # degenerate identical group
+        ids.append(i); texts.append(base)
+    near = "the quick brown fox jumps over the lazy cat again and again"
+    for j, t in enumerate([near, near + " ok", base + " extra word here",
+                           "completely different content about parquet "
+                           "shuffles and actor pools in ray data"]):
+        ids.append(100 + j); texts.append(t)
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts)}),
+                   str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    sig = simhash_signatures(sf).to_pandas()
+    hmap = dict(zip(sig.doc_id, sig.simhash))
+    exact = simhash_dup_pairs(sf).to_pandas()          # buckets < 1024
+    capped = simhash_dup_pairs(sf, max_group=8).to_pandas()
+
+    # soundness: every capped pair really is within the budget
+    for a, b in zip(capped.a, capped.b):
+        assert bin(int(hmap[a]) ^ int(hmap[b])).count("1") <= 3
+
+    # component preservation: union-find over capped pairs
+    parent = {d: d for d in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(capped.a, capped.b):
+        parent[find(a)] = find(b)
+    assert len(exact), "fixture must produce exact-mode pairs"
+    for a, b in zip(exact.a, exact.b):
+        assert find(a) == find(b), \
+            f"exact pair ({a},{b}) disconnected under the capped path"
