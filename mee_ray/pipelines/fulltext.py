@@ -136,6 +136,116 @@ def bm25_conjunctive_documents(sf_dir: str):
                      "doc_id": pa.array(out_d, pa.int64())})
 
 
+# Filter-context query set: each reference query restricted to one
+# `lang` value (the ES bool {must: match, filter: {term: lang}} shape
+# the reference's ES backend serves).  df/idf/avgdl stay FULL-index —
+# a filter restricts the result set, it never rescales scores.
+FILTER_LANGS: dict[int, str] = {1: "en", 2: "zh", 3: "es",
+                                4: "de", 5: "fr", 6: "en"}
+
+
+def _allowed_ids_by_lang(root: str, langs: set[str]) -> dict[str, "object"]:
+    """lang → sorted engine doc_id array, from ONE distributed pruned
+    scan of the docs table (doc_id + lang columns only).  The driver
+    collects ids-only rows for the requested langs (~8 B/doc — the
+    id-set analog of an ES filter bitset; a roaring-bitmap carrier is
+    the documented upgrade when filters match billions of docs)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    files = mf.docs_files(root, mf.current_epoch(root))
+    value_set = pa.array(sorted(langs), pa.string())
+
+    def pick(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t["lang"], value_set=value_set)
+        return t.filter(mask)
+
+    ds = ray.data.read_parquet(files, columns=["doc_id", "lang"]) \
+        .map_batches(pick, batch_format="pyarrow")
+    by_lang: dict[str, list] = {lg: [] for lg in langs}
+    for b in ds.iter_batches(batch_format="pyarrow"):
+        for lg in langs:
+            ids = b.filter(pc.equal(b["lang"], lg))["doc_id"] \
+                .to_numpy(zero_copy_only=False)
+            if len(ids):
+                by_lang[lg].append(ids)
+    return {lg: (np.sort(np.concatenate(chunks)) if chunks
+                 else np.empty(0, np.int64))
+            for lg, chunks in by_lang.items()}
+
+
+def bm25_filtered_documents(sf_dir: str):
+    """Filtered BM25 top-k: each reference query ranked only over
+    documents whose `lang` matches its filter (FILTER_LANGS), scores
+    identical to the unfiltered ranking (full-index idf/avgdl — the
+    ES filter-context contract).  Emitted as (query_id, rank, doc_id)
+    with original ids, ranked by (score desc, original id) like the
+    other fulltext queries so the SQL oracle can mirror the
+    tie-break."""
+    import numpy as np
+
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    allowed = _allowed_ids_by_lang(root, set(FILTER_LANGS.values()))
+    out_q, out_r, out_d = [], [], []
+    for qid, terms in REFERENCE_QUERIES:
+        ranked = s.search_filtered(terms, k=s.n_docs or 1,
+                                   allowed_doc_ids=allowed[FILTER_LANGS[qid]])
+        if ranked:
+            ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
+            scores = np.array([sc for _, sc in ranked], dtype=np.float64)
+            order = np.lexsort((ids, -scores))[:TOP_K]
+            for rank, j in enumerate(order, start=1):
+                out_q.append(qid); out_r.append(rank)
+                out_d.append(int(ids[j]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _bm25_filtered_sql() -> str:
+    values = ", ".join(f"({qid}, '{t}')"
+                       for qid, terms in REFERENCE_QUERIES
+                       for t in sorted(set(terms)))
+    flts = ", ".join(f"({qid}, '{lang}')"
+                     for qid, lang in FILTER_LANGS.items())
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS total_tokens),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+flt(query_id, lang) AS (VALUES {flts}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * ((tf.tf * (1.2 + 1)) /
+                (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
+                                (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN flt ON flt.query_id = q.query_id
+  JOIN documents doc ON doc.doc_id = tf.doc_id AND doc.lang = flt.lang
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
 # Phrase query set: token sequences (the engine verifies adjacency in
 # the term-position index; the SQL oracle verifies adjacency with a
 # regex — two tokens are adjacent iff only non-token characters
@@ -360,6 +470,7 @@ QUERIES = {
     "bm25_topk_documents": bm25_topk_documents,
     "bm25_conjunctive_documents": bm25_conjunctive_documents,
     "bm25_phrase_documents": bm25_phrase_documents,
+    "bm25_filtered_documents": bm25_filtered_documents,
     "index_term_stats": index_term_stats,
     "corpus_docs_table": corpus_docs_table,
 }
@@ -368,6 +479,7 @@ ORACLE = {
     "bm25_topk_documents": _bm25_sql(),
     "bm25_conjunctive_documents": _bm25_conj_sql(),
     "bm25_phrase_documents": _bm25_phrase_sql(),
+    "bm25_filtered_documents": _bm25_filtered_sql(),
     "index_term_stats": INDEX_STATS_SQL,
     "corpus_docs_table": CORPUS_DOCS_SQL,
 }

@@ -459,6 +459,35 @@ class Searcher:
         partials = self.term_partials_for_docs(uterms, phrase_docs)
         return merge_partials_conjunctive([partials], uterms, k)
 
+    def search_filtered(self, terms: list[str], k: int,
+                        allowed_doc_ids, operator: str = "or"
+                        ) -> list[tuple[int, float]]:
+        """Filter-context search — the ES bool ``{must: match,
+        filter: ...}`` analog (the reference delegates this to ES;
+        here the engine owns it): rank only documents in
+        ``allowed_doc_ids``, with df/idf/avgdl from the FULL live
+        index.  A filter restricts the result set, it never rescales
+        scores — the same stance as ``operator="and"`` — so a doc's
+        filtered score equals its unfiltered score.
+
+        Exhaustive restricted path: per-term contributions are
+        fetched only for allowed docs (:meth:`term_partials_for_docs`),
+        so per-term work beyond the posting decode is
+        O(|allowed ∩ postings|).  The allowed set is a sorted int64
+        doc_id array (ids-only, ~8 B/doc — the id-set analog of a
+        filter bitset; a roaring-bitmap carrier is the documented
+        upgrade when filters routinely match billions of docs)."""
+        if k <= 0 or not terms:
+            return []
+        allowed = np.unique(np.asarray(allowed_doc_ids, dtype=np.int64))
+        if allowed.size == 0:
+            return []
+        uterms = sorted(set(terms))
+        partials = self.term_partials_for_docs(uterms, allowed)
+        if operator == "and":
+            return merge_partials_conjunctive([partials], uterms, k)
+        return merge_partials([partials], uterms, k)
+
     def search(self, terms: list[str], k: int = 10,
                use_wand: bool | None = None,
                operator: str = "or") -> list[tuple[int, float]]:
@@ -763,6 +792,34 @@ class DistributedSearcher:
             return self._search_three_phase(by_actor, uterms, k)
         futs = [self.actors[a].term_partials.remote(ts) for a, ts in by_actor.items()]
         return merge_partials(ray.get(futs), uterms, k)
+
+    def search_filtered(self, terms: list[str], k: int,
+                        allowed_doc_ids, operator: str = "or"
+                        ) -> list[tuple[int, float]]:
+        """Distributed filter-context search (see
+        :meth:`Searcher.search_filtered` for semantics).  The allowed
+        id array is ``ray.put`` ONCE and the ObjectRef fans out to the
+        owning actors — broadcast, not re-shipped per actor message —
+        and each actor returns contributions only for allowed docs, so
+        transfer is bounded by |allowed ∩ postings| per term, never
+        the hot term's full df."""
+        import ray
+        if k <= 0 or not terms:
+            return []
+        allowed = np.unique(np.asarray(allowed_doc_ids, dtype=np.int64))
+        if allowed.size == 0:
+            return []
+        uterms = sorted(set(terms))
+        by_actor: dict[int, list[str]] = defaultdict(list)
+        for t in uterms:
+            by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
+        ref = ray.put(allowed)
+        futs = [self.actors[a].term_partials_for_docs.remote(ts, ref)
+                for a, ts in by_actor.items()]
+        parts = ray.get(futs)
+        if operator == "and":
+            return merge_partials_conjunctive(parts, uterms, k)
+        return merge_partials(parts, uterms, k)
 
     def search_phrase(self, terms: list[str], k: int = 10
                       ) -> list[tuple[int, float]]:

@@ -1,0 +1,114 @@
+"""Filter-context search (the ES bool {must, filter} analog) —
+a filter restricts the result set and NEVER rescales: every filtered
+result must carry its exact unfiltered score, and the filtered ranking
+must equal the post-filtered full ranking, in-process and across the
+shard-actor pool."""
+
+import numpy as np
+
+
+def _allowed_subsets(oracle):
+    """A few deterministic allowed-doc subsets of varying selectivity."""
+    all_ids = np.array(sorted(oracle.dl), dtype=np.int64)
+    return {
+        "half": all_ids[all_ids % 2 == 0],
+        "tenth": all_ids[all_ids % 10 == 3],
+        "tiny": all_ids[:5],
+        "all": all_ids,
+        "none": np.empty(0, dtype=np.int64),
+    }
+
+
+def _queries(oracle):
+    by_df = sorted(oracle.postings,
+                   key=lambda t: (-len(oracle.postings[t]), t))
+    hot, mid, rare = by_df[:4], by_df[40:44], by_df[-4:]
+    return ([[h] for h in hot[:2]]
+            + [[a, b] for a, b in zip(hot, mid)]
+            + [[a, b, c] for a, b, c in zip(hot, mid, rare)])
+
+
+def _post_filter(full, allowed_set, k):
+    return [(d, s) for d, s in full if d in allowed_set][:k]
+
+
+def test_filtered_equals_postfiltered_full_ranking(built_index):
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    subsets = _allowed_subsets(oracle)
+    n_nonempty = 0
+    for q in _queries(oracle):
+        full = s.search(q, k=s.n_docs or 1)
+        for name, allowed in subsets.items():
+            got = s.search_filtered(q, k=10, allowed_doc_ids=allowed)
+            want = _post_filter(full, set(allowed.tolist()), 10)
+            assert got == want, (q, name)
+            n_nonempty += bool(got)
+    assert n_nonempty >= 10
+
+
+def test_filtered_scores_equal_unfiltered(built_index):
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    allowed = _allowed_subsets(oracle)["half"]
+    for q in _queries(oracle)[:4]:
+        both = dict(s.search(q, k=s.n_docs or 1))
+        for doc, score in s.search_filtered(q, k=10_000,
+                                            allowed_doc_ids=allowed):
+            assert doc in both and both[doc] == score
+
+
+def test_filtered_conjunctive(built_index):
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    allowed = _allowed_subsets(oracle)["half"]
+    aset = set(allowed.tolist())
+    for q in _queries(oracle):
+        got = s.search_filtered(q, k=10, allowed_doc_ids=allowed,
+                                operator="and")
+        want = [(d, sc) for d, sc in oracle.search_and(q, k=oracle.n_docs)
+                if d in aset][:10]
+        assert got == want, q
+
+
+def test_filtered_degenerate(built_index):
+    from mee_ray.query import Searcher
+
+    s = Searcher(built_index["index_root"])
+    assert s.search_filtered(["merge"], k=0, allowed_doc_ids=[1]) == []
+    assert s.search_filtered([], k=10, allowed_doc_ids=[1]) == []
+    assert s.search_filtered(["merge"], k=10, allowed_doc_ids=[]) == []
+    # ids outside the corpus simply never match
+    assert s.search_filtered(["merge"], k=10,
+                             allowed_doc_ids=[-7, 1 << 60]) == []
+
+
+def test_filtered_distributed(built_index, ray_session):
+    from mee_ray.query import DistributedSearcher, Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    ds = DistributedSearcher(built_index["index_root"], n_actors=3)
+    subsets = _allowed_subsets(oracle)
+    try:
+        for q in _queries(oracle)[:6]:
+            for name in ("half", "tiny", "none"):
+                allowed = subsets[name]
+                assert (ds.search_filtered(q, k=10, allowed_doc_ids=allowed)
+                        == s.search_filtered(q, k=10,
+                                             allowed_doc_ids=allowed)), \
+                    (q, name)
+            assert (ds.search_filtered(q, k=10,
+                                       allowed_doc_ids=subsets["half"],
+                                       operator="and")
+                    == s.search_filtered(q, k=10,
+                                         allowed_doc_ids=subsets["half"],
+                                         operator="and")), q
+    finally:
+        ds.shutdown()
