@@ -1080,6 +1080,69 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+def shuffle_join_lineitem_orders(sf_dir: str,
+                                 num_partitions: int | None = None):
+    """Large×large co-partitioned hash join: lineitem ⋈ orders on
+    orderkey via Ray Data's native hash-shuffle join — both sides are
+    hash-partitioned on the key into ``num_partitions`` co-located
+    partitions and each partition joins independently, so peak memory
+    is bounded by the largest single partition, never a whole side.
+    The broadcast-join family above (J1/semi/anti) covers the
+    small-side case; this is the path when BOTH sides exceed
+    object-store broadcast (the reference's per-row MySQL lookups,
+    modules/handlers/v1/commonhandler.py:406, have no large×large
+    story at all — each probe is one round-trip).
+
+    Scale notes: size ``num_partitions`` ≈ input_bytes /
+    target_partition_bytes (both sides stream through the exchange —
+    nothing materializes driver-side); a single hot key concentrates
+    its partition, the engine's salting approach (ids.py) is the
+    documented mitigation.  Row-level output: every joined row is
+    value-checked by the driver (revenue per lineitem + the matched
+    order's date and priority)."""
+    import ray
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_discount"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    # The aggregator pool must NOT consume every CPU slot: Ray Data
+    # spawns one long-lived aggregator actor per partition (1 CPU each
+    # by default), and on a small cluster the pool grabs every slot
+    # and deadlocks against the upstream read/map tasks (observed live
+    # at num_cpus=4: 4/4 CPUs held by aggregators, "2+ pending tasks"
+    # forever).  Default the partition count to cpus // 2 with 0.5-CPU
+    # aggregators so the pool holds at most a quarter of the cluster
+    # and producers always have slots; at real scale callers pass
+    # num_partitions explicitly (≈ input_bytes / target_partition_
+    # bytes) on a cluster wide enough to hold the pool.
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 2)
+    j = li.join(orders, join_type="inner", num_partitions=num_partitions,
+                on=("l_orderkey",), right_on=("o_orderkey",),
+                aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "revenue": rev,
+                         "o_orderdate": t["o_orderdate"],
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+SHUFFLE_JOIN_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS revenue,
+       o_orderdate, o_orderpriority
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project_revenue": filter_project_revenue,
@@ -1103,6 +1166,7 @@ QUERIES = {
     "hopping_window_events": hopping_window_events,
     "range_join_orders_bands": range_join_orders_bands,
     "event_gaps_per_user": event_gaps_per_user,
+    "shuffle_join_lineitem_orders": shuffle_join_lineitem_orders,
 }
 
 ORACLE = {
@@ -1128,4 +1192,5 @@ ORACLE = {
     "hopping_window_events": HOPPING_SQL,
     "range_join_orders_bands": RANGE_JOIN_SQL,
     "event_gaps_per_user": LAG_SQL,
+    "shuffle_join_lineitem_orders": SHUFFLE_JOIN_SQL,
 }
