@@ -246,6 +246,180 @@ WHERE rank <= {TOP_K}
 """
 
 
+# Boolean query set: (query_id, must terms, must_not terms).  must_not
+# is filter-context (ES bool must_not): survivors keep their exact
+# disjunctive scores.
+BOOLEAN_QUERIES: list[tuple[int, list[str], list[str]]] = [
+    (1, ["merge", "sort"], ["slow"]),
+    (2, ["window"], ["spark"]),
+    (3, ["customer", "join", "fast"], ["stream"]),
+    (4, ["spark", "stream"], ["vector", "hash"]),
+    (5, ["the", "slow"], ["merge"]),
+    (6, ["vector", "hash", "scan", "batch"], ["customer"]),
+]
+
+
+def bm25_boolean_documents(sf_dir: str):
+    """Boolean must/must_not top-k (ES bool {should, must_not}):
+    disjunctive ranking over the must terms, docs containing ANY
+    must_not term removed, survivor scores identical to the
+    unfiltered ranking.  Emitted as (query_id, rank, doc_id) with
+    original ids, tie-broken by (score desc, original id) like the
+    other fulltext queries."""
+    import numpy as np
+
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    out_q, out_r, out_d = [], [], []
+    for qid, must, must_not in BOOLEAN_QUERIES:
+        ranked = s.search_boolean(must, must_not, k=s.n_docs or 1)
+        if ranked:
+            ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
+            scores = np.array([sc for _, sc in ranked], dtype=np.float64)
+            order = np.lexsort((ids, -scores))[:TOP_K]
+            for rank, j in enumerate(order, start=1):
+                out_q.append(qid); out_r.append(rank)
+                out_d.append(int(ids[j]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _bm25_boolean_sql() -> str:
+    values = ", ".join(f"({qid}, '{t}')"
+                       for qid, must, _ in BOOLEAN_QUERIES
+                       for t in sorted(set(must)))
+    nvalues = ", ".join(f"({qid}, '{t}')"
+                        for qid, _, must_not in BOOLEAN_QUERIES
+                        for t in sorted(set(must_not)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS total_tokens),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+nq(query_id, term) AS (VALUES {nvalues}),
+excl AS (SELECT DISTINCT nq.query_id, tf.doc_id
+         FROM nq JOIN tf ON tf.term = nq.term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * ((tf.tf * (1.2 + 1)) /
+                (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
+                                (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT sc.query_id, sc.doc_id,
+             row_number() OVER (PARTITION BY sc.query_id
+                                ORDER BY sc.score DESC, sc.doc_id) AS rank
+      FROM scores sc
+      WHERE NOT EXISTS (SELECT 1 FROM excl e
+                        WHERE e.query_id = sc.query_id
+                          AND e.doc_id = sc.doc_id))
+WHERE rank <= {TOP_K}
+"""
+
+
+class _FacetCounter:
+    """Actor-pool facet stage: holds the per-query matched-id arrays
+    (broadcast ONCE via ray.put — deserialized per actor, not per
+    batch) and emits per-batch partial counts (query_id, lang, n) —
+    bounded transport: ≤ queries × langs rows per batch, like the
+    sketch combiners."""
+
+    def __init__(self, matched_ref):
+        import ray
+        self.matched = ray.get(matched_ref) \
+            if isinstance(matched_ref, ray.ObjectRef) else matched_ref
+        self.value_sets = {qid: pa.array(ids, pa.int64())
+                           for qid, ids in self.matched.items()}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        out_q, out_l, out_n = [], [], []
+        for qid, vs in self.value_sets.items():
+            if len(vs) == 0:
+                continue
+            hit = t.filter(pc.is_in(t["doc_id"], value_set=vs))
+            if hit.num_rows == 0:
+                continue
+            vc = pc.value_counts(hit["lang"])
+            for item in vc:
+                out_q.append(qid)
+                out_l.append(item["values"].as_py())
+                out_n.append(item["counts"].as_py())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "lang": pa.array(out_l, pa.string()),
+                         "n": pa.array(out_n, pa.int64())})
+
+
+def bm25_facet_counts(sf_dir: str):
+    """Facet aggregation (the ES terms-aggregation-in-query-context
+    analog): for each reference query, count matching documents (ANY
+    query term, live postings) per `lang`.  The matched-id sets come
+    from the index (posting unions — bounded by the query terms' df);
+    the counting pass is a distributed pruned docs-table scan with the
+    matched sets broadcast once, per-batch partial counts, and a tiny
+    driver merge — the docs table itself never concentrates
+    anywhere."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    matched: dict[int, np.ndarray] = {}
+    for qid, terms in REFERENCE_QUERIES:
+        partials = s.term_partials(sorted(set(terms)))
+        sets = [ids for ids, _ in partials.values() if len(ids)]
+        matched[qid] = (np.unique(np.concatenate(sets)) if sets
+                        else np.empty(0, np.int64))
+    ref = ray.put(matched)
+    files = mf.docs_files(root, mf.current_epoch(root))
+    parts = ray.data.read_parquet(files, columns=["doc_id", "lang"]) \
+        .map_batches(_FacetCounter, fn_constructor_args=[ref],
+                     batch_format="pyarrow", concurrency=(1, 4))
+    acc: dict[tuple[int, str], int] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for qid, lang, n in zip(b["query_id"].to_pylist(),
+                                b["lang"].to_pylist(),
+                                b["n"].to_pylist()):
+            acc[(qid, lang)] = acc.get((qid, lang), 0) + n
+    keys = sorted(acc)
+    return pa.table({"query_id": pa.array([k[0] for k in keys], pa.int64()),
+                     "lang": pa.array([k[1] for k in keys], pa.string()),
+                     "n_docs": pa.array([acc[k] for k in keys], pa.int64())})
+
+
+def _bm25_facets_sql() -> str:
+    values = ", ".join(f"({qid}, '{t}')"
+                       for qid, terms in REFERENCE_QUERIES
+                       for t in sorted(set(terms)))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents),
+q(query_id, term) AS (VALUES {values}),
+matched AS (SELECT DISTINCT q.query_id, tok.doc_id
+            FROM q JOIN tok ON tok.term = q.term)
+SELECT m.query_id, d.lang, count(*) AS n_docs
+FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.query_id, d.lang
+"""
+
+
 # Phrase query set: token sequences (the engine verifies adjacency in
 # the term-position index; the SQL oracle verifies adjacency with a
 # regex — two tokens are adjacent iff only non-token characters
@@ -471,6 +645,8 @@ QUERIES = {
     "bm25_conjunctive_documents": bm25_conjunctive_documents,
     "bm25_phrase_documents": bm25_phrase_documents,
     "bm25_filtered_documents": bm25_filtered_documents,
+    "bm25_boolean_documents": bm25_boolean_documents,
+    "bm25_facet_counts": bm25_facet_counts,
     "index_term_stats": index_term_stats,
     "corpus_docs_table": corpus_docs_table,
 }
@@ -480,6 +656,8 @@ ORACLE = {
     "bm25_conjunctive_documents": _bm25_conj_sql(),
     "bm25_phrase_documents": _bm25_phrase_sql(),
     "bm25_filtered_documents": _bm25_filtered_sql(),
+    "bm25_boolean_documents": _bm25_boolean_sql(),
+    "bm25_facet_counts": _bm25_facets_sql(),
     "index_term_stats": INDEX_STATS_SQL,
     "corpus_docs_table": CORPUS_DOCS_SQL,
 }

@@ -488,6 +488,34 @@ class Searcher:
             return merge_partials_conjunctive([partials], uterms, k)
         return merge_partials([partials], uterms, k)
 
+    def excluded_doc_ids(self, must_not: list[str]) -> np.ndarray:
+        """Sorted union of live doc_ids containing ANY of ``must_not``
+        — the must_not exclusion set of a boolean query."""
+        out = []
+        for t in sorted(set(must_not)):
+            ids, _, _ = self._live_postings(
+                term_hash(t) % self.num_shards, t)
+            if len(ids):
+                out.append(ids)
+        if not out:
+            return np.empty(0, dtype=np.int64)
+        return np.unique(np.concatenate(out))
+
+    def search_boolean(self, must: list[str], must_not: list[str],
+                       k: int = 10) -> list[tuple[int, float]]:
+        """ES bool ``{should: match, must_not: match}`` analog:
+        disjunctive BM25 ranking over ``must`` terms with documents
+        containing ANY ``must_not`` term removed.  must_not is
+        filter-context — survivors keep their exact unfiltered scores
+        (df/idf/avgdl full-index), the same never-rescale stance as
+        ``operator="and"`` and ``search_filtered``."""
+        if k <= 0 or not must:
+            return []
+        uterms = sorted(set(must))
+        partials = self.term_partials(uterms)
+        excl = self.excluded_doc_ids(must_not)
+        return merge_partials([partials], uterms, k, exclude_sorted=excl)
+
     def search(self, terms: list[str], k: int = 10,
                use_wand: bool | None = None,
                operator: str = "or") -> list[tuple[int, float]]:
@@ -548,11 +576,17 @@ class Searcher:
                            merge_cache=self._merge_cache)
 
 
-def merge_partials(partials_list: list[dict], terms: list[str], k: int
+def merge_partials(partials_list: list[dict], terms: list[str], k: int,
+                   exclude_sorted: np.ndarray | None = None
                    ) -> list[tuple[int, float]]:
     """Merge per-term partial score vectors (possibly from several
     shard actors) into the global top-k. Accumulation is per-doc in
-    sorted-term order — the determinism contract."""
+    sorted-term order — the determinism contract.
+
+    ``exclude_sorted`` (sorted int64 doc_ids) drops those docs AFTER
+    accumulation and BEFORE top-k selection — the must_not branch of a
+    boolean query: exclusion filters the result set, it never rescales
+    the survivors' scores."""
     ids_l, sc_l = [], []
     for term in sorted(set(terms)):
         for partials in partials_list:
@@ -566,6 +600,13 @@ def merge_partials(partials_list: list[dict], terms: list[str], k: int
     uniq, inv = np.unique(all_ids, return_inverse=True)
     acc = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(acc, inv, all_sc)
+    if exclude_sorted is not None and exclude_sorted.size and uniq.size:
+        pos = np.minimum(np.searchsorted(exclude_sorted, uniq),
+                         exclude_sorted.size - 1)
+        keep = exclude_sorted[pos] != uniq
+        uniq, acc = uniq[keep], acc[keep]
+        if uniq.size == 0:
+            return []
     ids, scores = top_k_select(uniq, acc, k)
     return list(zip(ids.tolist(), scores.tolist()))
 
@@ -792,6 +833,37 @@ class DistributedSearcher:
             return self._search_three_phase(by_actor, uterms, k)
         futs = [self.actors[a].term_partials.remote(ts) for a, ts in by_actor.items()]
         return merge_partials(ray.get(futs), uterms, k)
+
+    def search_boolean(self, must: list[str], must_not: list[str],
+                       k: int = 10) -> list[tuple[int, float]]:
+        """Distributed boolean must/must_not (see
+        :meth:`Searcher.search_boolean` for semantics).  One fan-out
+        round: owning actors ship per-term partials for ``must`` and
+        live doc-id sets for ``must_not`` (the id sets are bounded by
+        the excluded terms' df — rare exclusion terms cost almost
+        nothing); the driver merges, drops excluded docs, and selects
+        the top-k."""
+        import ray
+        if k <= 0 or not must:
+            return []
+        uterms = sorted(set(must))
+        nterms = sorted(set(must_not))
+        by_actor: dict[int, list[str]] = defaultdict(list)
+        for t in uterms:
+            by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
+        n_by_actor: dict[int, list[str]] = defaultdict(list)
+        for t in nterms:
+            n_by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
+        futs = [self.actors[a].term_partials.remote(ts)
+                for a, ts in by_actor.items()]
+        nfuts = [self.actors[a].term_doc_ids.remote(ts)
+                 for a, ts in n_by_actor.items()]
+        parts = ray.get(futs)
+        excl_sets = [ids for d in ray.get(nfuts) for ids in d.values()
+                     if ids.size]
+        excl = (np.unique(np.concatenate(excl_sets)) if excl_sets
+                else np.empty(0, dtype=np.int64))
+        return merge_partials(parts, uterms, k, exclude_sorted=excl)
 
     def search_filtered(self, terms: list[str], k: int,
                         allowed_doc_ids, operator: str = "or"

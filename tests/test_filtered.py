@@ -89,6 +89,63 @@ def test_filtered_degenerate(built_index):
                              allowed_doc_ids=[-7, 1 << 60]) == []
 
 
+def test_boolean_matches_postfiltered_full_ranking(built_index):
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    by_df = sorted(oracle.postings,
+                   key=lambda t: (-len(oracle.postings[t]), t))
+    cases = [([by_df[0]], [by_df[1]]),
+             ([by_df[0], by_df[30]], [by_df[50]]),
+             ([by_df[2], by_df[-1]], [by_df[0]]),   # hot exclusion
+             ([by_df[1]], ["qqqq_not_a_term"]),     # no-op exclusion
+             ([by_df[3]], [])]                      # empty must_not
+    n = 0
+    for must, must_not in cases:
+        full = s.search(must, k=s.n_docs or 1)
+        excl = set()
+        for t in must_not:
+            excl.update(oracle.postings.get(t, ()))
+        want = [(d, sc) for d, sc in full if d not in excl][:10]
+        got = s.search_boolean(must, must_not, k=10)
+        assert got == want, (must, must_not)
+        n += bool(got)
+    assert n >= 3
+
+
+def test_boolean_excluding_all_terms_empties(built_index):
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    hot = max(oracle.postings, key=lambda t: len(oracle.postings[t]))
+    # must term excluded by itself: every match is excluded
+    assert s.search_boolean([hot], [hot], k=10) == []
+    assert s.search_boolean([], [hot], k=10) == []
+    assert s.search_boolean([hot], [hot], k=0) == []
+
+
+def test_boolean_distributed(built_index, ray_session):
+    from mee_ray.query import DistributedSearcher, Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    ds = DistributedSearcher(built_index["index_root"], n_actors=3)
+    by_df = sorted(oracle.postings,
+                   key=lambda t: (-len(oracle.postings[t]), t))
+    try:
+        for must, must_not in [([by_df[0]], [by_df[1]]),
+                               ([by_df[0], by_df[30], by_df[-2]],
+                                [by_df[4], by_df[60]]),
+                               ([by_df[5]], [])]:
+            assert (ds.search_boolean(must, must_not, k=10)
+                    == s.search_boolean(must, must_not, k=10)), \
+                (must, must_not)
+    finally:
+        ds.shutdown()
+
+
 def test_filtered_distributed(built_index, ray_session):
     from mee_ray.query import DistributedSearcher, Searcher
 

@@ -54,7 +54,8 @@ SQL_CHECKED = [
     "event_gaps_per_user", "docbuild_interpolated",
     "bm25_conjunctive_documents", "stratified_sample_documents",
     "exact_top_terms", "bm25_phrase_documents", "bm25_filtered_documents",
-    "shuffle_join_lineitem_orders",
+    "shuffle_join_lineitem_orders", "bm25_boolean_documents",
+    "bm25_facet_counts",
 ]
 
 
