@@ -647,6 +647,157 @@ WHERE sample_rank <= 20
 """
 
 
+# ----------------------------------------------------- PII scrubbing --
+
+# RE2 syntax on BOTH sides: pyarrow's replace/count_substring_regex and
+# DuckDB's regexp_* are RE2, so the literal pattern strings below mean
+# the same thing in the engine and in the oracle.
+EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d[\d ]{6,}\d"
+
+
+def pii_scrub_documents(sf_dir: str):
+    """PII scrubbing (training-data hygiene op): replace emails, IPv4
+    addresses, and phone numbers with typed placeholder tokens, and
+    count each kind per document.
+
+    The synthetic corpus contains no digits at all, so the pipeline
+    first APPENDS deterministic doc_id-derived PII strings (every 3rd
+    doc an email, every 5th an IP, every 7th a phone — mirrored
+    exactly in the SQL oracle) and then scrubs them — a vacuous-pass
+    guard: the oracle comparison exercises real pattern semantics on
+    every kind, not an all-no-op replace.
+
+    Fully vectorized: augmentation via binary_join_element_wise,
+    counts via count_substring_regex, scrub via three ordered
+    replace_substring_regex passes (email → ip → phone, same order as
+    the oracle — the kinds can't overlap but the order is still
+    pinned)."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        from functools import reduce
+        did = t["doc_id"]
+        # modular arithmetic in numpy (pyarrow.compute has no modulo
+        # kernel in this version); string assembly stays vectorized
+        d = did.to_numpy(zero_copy_only=False)
+
+        def cat(*pieces):
+            return reduce(np.char.add, [np.asarray(p, dtype="U")
+                                        if not isinstance(p, np.ndarray)
+                                        else p for p in pieces])
+
+        sid = d.astype("U20")
+        email = np.where(d % 3 == 0,
+                         cat(" contact user", sid, "@example.com"), "")
+        ip = np.where(d % 5 == 0,
+                      cat(" host 10.", (d % 200).astype("U3"), ".",
+                          (d % 100).astype("U3"), ".",
+                          (d % 50).astype("U3")), "")
+        phone = np.where(d % 7 == 0,
+                         cat(" call +1 555 ",
+                             (1000 + d % 9000).astype("U5")), "")
+        aug = pc.binary_join_element_wise(
+            t["text"], pa.array(email, pa.string()),
+            pa.array(ip, pa.string()), pa.array(phone, pa.string()), "")
+        n_email = pc.count_substring_regex(aug, pattern=EMAIL_RE)
+        n_ip = pc.count_substring_regex(aug, pattern=IP_RE)
+        n_phone = pc.count_substring_regex(aug, pattern=PHONE_RE)
+        clean = pc.replace_substring_regex(aug, pattern=EMAIL_RE,
+                                           replacement="<EMAIL>")
+        clean = pc.replace_substring_regex(clean, pattern=IP_RE,
+                                           replacement="<IP>")
+        clean = pc.replace_substring_regex(clean, pattern=PHONE_RE,
+                                           replacement="<PHONE>")
+        return pa.table({"doc_id": did, "clean_text": clean,
+                         "n_email": pc.cast(n_email, pa.int64()),
+                         "n_ip": pc.cast(n_ip, pa.int64()),
+                         "n_phone": pc.cast(n_phone, pa.int64())})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        f, batch_format="pyarrow", zero_copy_batch=True)
+
+
+PII_SCRUB_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' host 10.' || (doc_id % 200) || '.'
+                      || (doc_id % 100) || '.' || (doc_id % 50)
+                 ELSE '' END
+         || CASE WHEN doc_id % 7 = 0
+                 THEN ' call +1 555 ' || (1000 + doc_id % 9000)
+                 ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+           text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+           '{IP_RE}', '<IP>', 'g'),
+           '{PHONE_RE}', '<PHONE>', 'g')          AS clean_text,
+       len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_email,
+       len(regexp_extract_all(text, '{IP_RE}'))    AS n_ip,
+       len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phone
+FROM aug
+"""
+
+
+# ------------------------------------------- repetition (Gopher-style) --
+
+def repetition_scores_documents(sf_dir: str):
+    """Gopher-style repetition quality signals per document:
+    unique-token ratio and the fraction of bigrams taken by the most
+    frequent bigram (high → boilerplate/repetitive text a training-
+    data pipeline drops).  Float ratios are single divisions of exact
+    integer counts — bit-identical to the oracle's DOUBLE division."""
+    class Stage(TextStats):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            from collections import Counter
+            out_n, out_u, out_f = [], [], []
+            for x in t["text"].to_pylist():
+                toks = self.tokens(x)
+                n = len(toks)
+                out_n.append(n)
+                out_u.append((len(set(toks)) / n) if n else 0.0)
+                if n > 1:
+                    c = Counter(zip(toks, toks[1:]))
+                    out_f.append(max(c.values()) / (n - 1))
+                else:
+                    out_f.append(0.0)
+            return pa.table({"doc_id": t["doc_id"],
+                             "n_tokens": pa.array(out_n, pa.int64()),
+                             "uniq_ratio": pa.array(out_u, pa.float64()),
+                             "top_bigram_frac": pa.array(out_f, pa.float64())})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Stage(), batch_format="pyarrow")
+
+
+REPETITION_SQL = f"""
+WITH toks AS (SELECT doc_id,
+                     regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+              FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i
+        FROM toks),
+base AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT t) AS n_uniq
+         FROM tok GROUP BY doc_id),
+big AS (SELECT a.doc_id, a.t || ' ' || b.t AS bg
+        FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
+bgc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
+bgm AS (SELECT doc_id, max(c) AS maxc, sum(c) AS total
+        FROM bgc GROUP BY doc_id)
+SELECT base.doc_id,
+       base.n_tokens,
+       CAST(base.n_uniq AS DOUBLE) / base.n_tokens   AS uniq_ratio,
+       COALESCE(CAST(bgm.maxc AS DOUBLE) / bgm.total, 0.0) AS top_bigram_frac
+FROM base LEFT JOIN bgm ON bgm.doc_id = base.doc_id
+"""
+
+
 QUERIES = {
     "doc_token_counts": doc_token_counts,
     "stratified_sample_documents": stratified_sample_documents,
@@ -659,6 +810,8 @@ QUERIES = {
     "simhash_signatures": simhash_signatures,
     "simhash_dup_pairs": simhash_dup_pairs,
     "ngram_jaccard_adjacent": ngram_jaccard_adjacent,
+    "pii_scrub_documents": pii_scrub_documents,
+    "repetition_scores_documents": repetition_scores_documents,
 }
 
 ORACLE = {
@@ -669,6 +822,8 @@ ORACLE = {
     "doc_quality_scores": QUALITY_SQL,
     "lang_id_documents": LANG_ID_SQL,
     "stratified_sample_documents": STRATIFIED_SQL,
+    "pii_scrub_documents": PII_SCRUB_SQL,
+    "repetition_scores_documents": REPETITION_SQL,
     # sketch ops intentionally have no SQL oracle (rows-only check);
     # they are verified against brute-force oracles in tests/.
 }

@@ -55,7 +55,8 @@ SQL_CHECKED = [
     "bm25_conjunctive_documents", "stratified_sample_documents",
     "exact_top_terms", "bm25_phrase_documents", "bm25_filtered_documents",
     "shuffle_join_lineitem_orders", "bm25_boolean_documents",
-    "bm25_facet_counts",
+    "bm25_facet_counts", "pii_scrub_documents",
+    "repetition_scores_documents",
 ]
 
 
