@@ -420,6 +420,125 @@ GROUP BY m.query_id, d.lang
 """
 
 
+SNIPPET_K = 3          # docs per query carrying a snippet
+SNIPPET_RADIUS = 3     # tokens of context either side of the hit
+
+
+def bm25_snippets_documents(sf_dir: str):
+    """Snippet generation (the ES highlight analog): for each
+    reference query's top-{SNIPPET_K} documents, a ±{SNIPPET_RADIUS}-
+    token window around the FIRST occurrence of any query term
+    (tokenizer positions, lowercased tokens — byte-identical to the
+    SQL oracle's token reconstruction).
+
+    Stored-field fetch is bounded: only the top-k docs' texts are
+    read, via a distributed pruned scan of the source table filtered
+    by the top-k id set — never a full-table driver read.  Ranking
+    and tie-breaks mirror bm25_topk_documents (score desc, original
+    id)."""
+    import re
+
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray.data
+
+    from mee_ray.pipelines.text import TOKEN_PATTERN
+    from mee_ray.query import Searcher, merge_partials
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    # rank exactly like bm25_topk_documents, keep SNIPPET_K per query
+    top: list[tuple[int, int, int]] = []   # (query_id, rank, orig_id)
+    for qid, terms in REFERENCE_QUERIES:
+        partials = s.term_partials(sorted(set(terms)))
+        ranked = merge_partials([partials], terms, k=s.n_docs or 1)
+        if ranked:
+            ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
+            scores = np.array([sc for _, sc in ranked], dtype=np.float64)
+            order = np.lexsort((ids, -scores))[:SNIPPET_K]
+            for rank, j in enumerate(order, start=1):
+                top.append((qid, rank, int(ids[j])))
+    need_ids = sorted({d for _, _, d in top})
+    vs = pa.array(need_ids, pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=vs))
+
+    texts: dict[int, str] = {}
+    fetched = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                    columns=["doc_id", "text"]) \
+        .map_batches(pick, batch_format="pyarrow")
+    for b in fetched.iter_batches(batch_format="pyarrow"):
+        for d, x in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            texts[d] = x
+
+    tok = re.compile(TOKEN_PATTERN)
+    qterms = {qid: set(terms) for qid, terms in REFERENCE_QUERIES}
+    out_q, out_r, out_d, out_s = [], [], [], []
+    for qid, rank, did in top:
+        toks = tok.findall(texts[did].lower())
+        hits = [i for i, t in enumerate(toks) if t in qterms[qid]]
+        p = hits[0]          # top-ranked docs always contain ≥1 term
+        lo = max(0, p - SNIPPET_RADIUS)
+        snippet = " ".join(toks[lo:p + SNIPPET_RADIUS + 1])
+        out_q.append(qid); out_r.append(rank); out_d.append(did)
+        out_s.append(snippet)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64()),
+                     "snippet": pa.array(out_s, pa.string())})
+
+
+def _bm25_snippets_sql() -> str:
+    values = ", ".join(f"({qid}, '{t}')"
+                       for qid, terms in REFERENCE_QUERIES
+                       for t in sorted(set(terms)))
+    return f"""
+WITH tokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS i
+        FROM tokl),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS total_tokens),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * ((tf.tf * (1.2 + 1)) /
+                (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
+                                (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))) AS score
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+ranked AS (
+  SELECT query_id, doc_id, rank FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS rank
+    FROM scores)
+  WHERE rank <= {SNIPPET_K}),
+hit AS (
+  SELECT q.query_id, tok.doc_id, min(tok.i) AS p
+  FROM q JOIN tok ON tok.term = q.term
+  GROUP BY q.query_id, tok.doc_id)
+SELECT r.query_id, r.rank, r.doc_id,
+       (SELECT string_agg(t2.term, ' ' ORDER BY t2.i)
+        FROM tok t2
+        WHERE t2.doc_id = r.doc_id
+          AND t2.i BETWEEN h.p - {SNIPPET_RADIUS}
+                       AND h.p + {SNIPPET_RADIUS}) AS snippet
+FROM ranked r
+JOIN hit h ON h.query_id = r.query_id AND h.doc_id = r.doc_id
+"""
+
+
 # Phrase query set: token sequences (the engine verifies adjacency in
 # the term-position index; the SQL oracle verifies adjacency with a
 # regex — two tokens are adjacent iff only non-token characters
@@ -647,6 +766,7 @@ QUERIES = {
     "bm25_filtered_documents": bm25_filtered_documents,
     "bm25_boolean_documents": bm25_boolean_documents,
     "bm25_facet_counts": bm25_facet_counts,
+    "bm25_snippets_documents": bm25_snippets_documents,
     "index_term_stats": index_term_stats,
     "corpus_docs_table": corpus_docs_table,
 }
@@ -658,6 +778,7 @@ ORACLE = {
     "bm25_filtered_documents": _bm25_filtered_sql(),
     "bm25_boolean_documents": _bm25_boolean_sql(),
     "bm25_facet_counts": _bm25_facets_sql(),
+    "bm25_snippets_documents": _bm25_snippets_sql(),
     "index_term_stats": INDEX_STATS_SQL,
     "corpus_docs_table": CORPUS_DOCS_SQL,
 }

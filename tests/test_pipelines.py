@@ -56,7 +56,7 @@ SQL_CHECKED = [
     "exact_top_terms", "bm25_phrase_documents", "bm25_filtered_documents",
     "shuffle_join_lineitem_orders", "bm25_boolean_documents",
     "bm25_facet_counts", "pii_scrub_documents",
-    "repetition_scores_documents",
+    "repetition_scores_documents", "bm25_snippets_documents",
 ]
 
 
