@@ -77,35 +77,83 @@ def _orig_id_map(root: str) -> dict[int, int]:
     return out
 
 
-def bm25_topk_documents(sf_dir: str):
-    """Full engine path: build → Searcher → top-k, emitted as
-    (query_id, rank, doc_id) with original document ids.
+def _rank_rows(query_results, idmap: dict[int, int], cap: int
+               ) -> list[tuple[int, int, int]]:
+    """Shared re-rank/emit: (query_id, engine ranking) pairs →
+    (query_id, rank, original_doc_id) rows.
 
     The engine's native tie-break is its own sha-derived doc_id; the
     SQL oracle can only tie-break on the ORIGINAL documents.doc_id, so
-    this wrapper merges the full per-term partials and ranks by
+    every fulltext query maps to original ids and re-ranks by
     (score desc, original id asc).  Exact score ties are common in
     this corpus (tiny vocabulary → identical (tf, dl) profiles), and
     both engines produce bit-identical float64 scores, so the ordering
     is well-defined on both sides."""
     import numpy as np
+    rows: list[tuple[int, int, int]] = []
+    for qid, ranked in query_results:
+        if not ranked:
+            continue
+        ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
+        scores = np.array([sc for _, sc in ranked], dtype=np.float64)
+        order = np.lexsort((ids, -scores))[:cap]
+        for rank, j in enumerate(order, start=1):
+            rows.append((qid, rank, int(ids[j])))
+    return rows
+
+
+def _rank_table(query_results, idmap: dict[int, int],
+                cap: int = TOP_K) -> pa.Table:
+    rows = _rank_rows(query_results, idmap, cap)
+    return pa.table({"query_id": pa.array([r[0] for r in rows], pa.int64()),
+                     "rank": pa.array([r[1] for r in rows], pa.int64()),
+                     "doc_id": pa.array([r[2] for r in rows], pa.int64())})
+
+
+# Shared SQL fragments: ONE copy of the tokenizer + BM25 stats CTEs
+# and ONE copy of the score expression, composed by every bm25 oracle
+# builder below — a k1/b or tokenizer change edits exactly one string.
+_SCORE_SUM = """sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+             * ((tf.tf * (1.2 + 1)) /
+                (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
+                                (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))) AS score"""
+
+
+def _base_ctes(with_positions: bool = False) -> str:
+    tok = ("SELECT doc_id, unnest(ts) AS term, "
+           "generate_subscripts(ts, 1) AS i FROM tokl"
+           if with_positions else
+           "SELECT doc_id, unnest(ts) AS term FROM tokl")
+    return f"""WITH tokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents),
+tok AS ({tok}),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS total_tokens),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"""
+
+
+def _q_values(query_set) -> str:
+    return ", ".join(f"({qid}, '{t}')"
+                     for qid, terms in query_set
+                     for t in sorted(set(terms)))
+
+
+def bm25_topk_documents(sf_dir: str):
+    """Full engine path: build → Searcher → top-k, emitted as
+    (query_id, rank, doc_id) with original document ids (re-ranked by
+    original id for the oracle tie-break — see _rank_rows)."""
     from mee_ray.query import Searcher, merge_partials
     root = _ensure_index(sf_dir)
     s = Searcher(root)
-    idmap = _orig_id_map(root)
-    out_q, out_r, out_d = [], [], []
+    results = []
     for qid, terms in REFERENCE_QUERIES:
         partials = s.term_partials(sorted(set(terms)))
-        ranked = merge_partials([partials], terms, k=s.n_docs or 1)
-        if ranked:
-            ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
-            scores = np.array([sc for _, sc in ranked], dtype=np.float64)
-            order = np.lexsort((ids, -scores))[:TOP_K]
-            for rank, j in enumerate(order, start=1):
-                out_q.append(qid); out_r.append(rank); out_d.append(int(ids[j]))
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64()),
-                     "doc_id": pa.array(out_d, pa.int64())})
+        results.append((qid, merge_partials([partials], terms,
+                                            k=s.n_docs or 1)))
+    return _rank_table(results, _orig_id_map(root))
 
 
 def bm25_conjunctive_documents(sf_dir: str):
@@ -115,33 +163,24 @@ def bm25_conjunctive_documents(sf_dir: str):
     (idf stays full-index, conjunction filters rather than rescales).
     Emitted as (query_id, rank, doc_id) with original ids, ranked by
     (score desc, original id) like bm25_topk_documents."""
-    import numpy as np
     from mee_ray.query import Searcher
     root = _ensure_index(sf_dir)
     s = Searcher(root)
-    idmap = _orig_id_map(root)
-    out_q, out_r, out_d = [], [], []
-    for qid, terms in REFERENCE_QUERIES:
-        # the engine path itself (full ranking; re-ranked below by
-        # ORIGINAL doc id so the SQL oracle can mirror the tie-break)
-        ranked = s.search(terms, k=s.n_docs or 1, operator="and")
-        if ranked:
-            ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
-            scores = np.array([sc for _, sc in ranked], dtype=np.float64)
-            order = np.lexsort((ids, -scores))[:TOP_K]
-            for rank, j in enumerate(order, start=1):
-                out_q.append(qid); out_r.append(rank); out_d.append(int(ids[j]))
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64()),
-                     "doc_id": pa.array(out_d, pa.int64())})
+    results = [(qid, s.search(terms, k=s.n_docs or 1, operator="and"))
+               for qid, terms in REFERENCE_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
 
 
 # Filter-context query set: each reference query restricted to one
 # `lang` value (the ES bool {must: match, filter: {term: lang}} shape
 # the reference's ES backend serves).  df/idf/avgdl stay FULL-index —
 # a filter restricts the result set, it never rescales scores.
-FILTER_LANGS: dict[int, str] = {1: "en", 2: "zh", 3: "es",
-                                4: "de", 5: "fr", 6: "en"}
+# DERIVED from REFERENCE_QUERIES (lang cycle) so adding a reference
+# query cannot leave the two constants out of lock-step.
+_LANG_CYCLE = ["en", "zh", "es", "de", "fr"]
+FILTER_LANGS: dict[int, str] = {
+    qid: _LANG_CYCLE[i % len(_LANG_CYCLE)]
+    for i, (qid, _) in enumerate(REFERENCE_QUERIES)}
 
 
 def _allowed_ids_by_lang(root: str, langs: set[str]) -> dict[str, "object"]:
@@ -183,52 +222,27 @@ def bm25_filtered_documents(sf_dir: str):
     with original ids, ranked by (score desc, original id) like the
     other fulltext queries so the SQL oracle can mirror the
     tie-break."""
-    import numpy as np
-
     from mee_ray.query import Searcher
     root = _ensure_index(sf_dir)
     s = Searcher(root)
-    idmap = _orig_id_map(root)
     allowed = _allowed_ids_by_lang(root, set(FILTER_LANGS.values()))
-    out_q, out_r, out_d = [], [], []
-    for qid, terms in REFERENCE_QUERIES:
-        ranked = s.search_filtered(terms, k=s.n_docs or 1,
-                                   allowed_doc_ids=allowed[FILTER_LANGS[qid]])
-        if ranked:
-            ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
-            scores = np.array([sc for _, sc in ranked], dtype=np.float64)
-            order = np.lexsort((ids, -scores))[:TOP_K]
-            for rank, j in enumerate(order, start=1):
-                out_q.append(qid); out_r.append(rank)
-                out_d.append(int(ids[j]))
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64()),
-                     "doc_id": pa.array(out_d, pa.int64())})
+    results = [(qid, s.search_filtered(
+                   terms, k=s.n_docs or 1,
+                   allowed_doc_ids=allowed[FILTER_LANGS[qid]]))
+               for qid, terms in REFERENCE_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
 
 
 def _bm25_filtered_sql() -> str:
-    values = ", ".join(f"({qid}, '{t}')"
-                       for qid, terms in REFERENCE_QUERIES
-                       for t in sorted(set(terms)))
     flts = ", ".join(f"({qid}, '{lang}')"
                      for qid, lang in FILTER_LANGS.items())
     return f"""
-WITH tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-  FROM documents),
-dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-                 (SELECT count(*) FROM tok) AS total_tokens),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-q(query_id, term) AS (VALUES {values}),
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
 flt(query_id, lang) AS (VALUES {flts}),
 scores AS (
   SELECT q.query_id, tf.doc_id,
-         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-             * ((tf.tf * (1.2 + 1)) /
-                (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
-                                (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))) AS score
+         {_SCORE_SUM}
   FROM q
   JOIN tf ON tf.term = q.term
   JOIN df ON df.term = q.term
@@ -266,53 +280,33 @@ def bm25_boolean_documents(sf_dir: str):
     unfiltered ranking.  Emitted as (query_id, rank, doc_id) with
     original ids, tie-broken by (score desc, original id) like the
     other fulltext queries."""
-    import numpy as np
-
     from mee_ray.query import Searcher
     root = _ensure_index(sf_dir)
     s = Searcher(root)
-    idmap = _orig_id_map(root)
-    out_q, out_r, out_d = [], [], []
-    for qid, must, must_not in BOOLEAN_QUERIES:
-        ranked = s.search_boolean(must, must_not, k=s.n_docs or 1)
-        if ranked:
-            ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
-            scores = np.array([sc for _, sc in ranked], dtype=np.float64)
-            order = np.lexsort((ids, -scores))[:TOP_K]
-            for rank, j in enumerate(order, start=1):
-                out_q.append(qid); out_r.append(rank)
-                out_d.append(int(ids[j]))
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64()),
-                     "doc_id": pa.array(out_d, pa.int64())})
+    results = [(qid, s.search_boolean(must, must_not, k=s.n_docs or 1))
+               for qid, must, must_not in BOOLEAN_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
 
 
 def _bm25_boolean_sql() -> str:
-    values = ", ".join(f"({qid}, '{t}')"
-                       for qid, must, _ in BOOLEAN_QUERIES
-                       for t in sorted(set(must)))
     nvalues = ", ".join(f"({qid}, '{t}')"
                         for qid, _, must_not in BOOLEAN_QUERIES
                         for t in sorted(set(must_not)))
+    # an all-empty must_not set would interpolate 'VALUES )' — invalid
+    # SQL that fails the whole oracle suite with a parse error; fail
+    # here with a message that names the actual editing mistake
+    assert nvalues, ("BOOLEAN_QUERIES must contain at least one "
+                     "must_not term (else use bm25_topk_documents)")
     return f"""
-WITH tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-  FROM documents),
-dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-                 (SELECT count(*) FROM tok) AS total_tokens),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-q(query_id, term) AS (VALUES {values}),
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(
+        [(qid, must) for qid, must, _ in BOOLEAN_QUERIES])}),
 nq(query_id, term) AS (VALUES {nvalues}),
 excl AS (SELECT DISTINCT nq.query_id, tf.doc_id
          FROM nq JOIN tf ON tf.term = nq.term),
 scores AS (
   SELECT q.query_id, tf.doc_id,
-         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-             * ((tf.tf * (1.2 + 1)) /
-                (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
-                                (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))) AS score
+         {_SCORE_SUM}
   FROM q
   JOIN tf ON tf.term = q.term
   JOIN df ON df.term = q.term
@@ -340,10 +334,12 @@ class _FacetCounter:
 
     def __init__(self, matched_ref):
         import ray
-        self.matched = ray.get(matched_ref) \
+        # keep ONLY the arrow value sets: holding the numpy dict too
+        # would double the actor's resident copy of the broadcast
+        matched = ray.get(matched_ref) \
             if isinstance(matched_ref, ray.ObjectRef) else matched_ref
         self.value_sets = {qid: pa.array(ids, pa.int64())
-                           for qid, ids in self.matched.items()}
+                           for qid, ids in matched.items()}
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -404,14 +400,11 @@ def bm25_facet_counts(sf_dir: str):
 
 
 def _bm25_facets_sql() -> str:
-    values = ", ".join(f"({qid}, '{t}')"
-                       for qid, terms in REFERENCE_QUERIES
-                       for t in sorted(set(terms)))
     return f"""
 WITH tok AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
   FROM documents),
-q(query_id, term) AS (VALUES {values}),
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
 matched AS (SELECT DISTINCT q.query_id, tok.doc_id
             FROM q JOIN tok ON tok.term = q.term)
 SELECT m.query_id, d.lang, count(*) AS n_docs
@@ -438,26 +431,19 @@ def bm25_snippets_documents(sf_dir: str):
     id)."""
     import re
 
-    import numpy as np
     import pyarrow.compute as pc
-    import ray.data
 
-    from mee_ray.pipelines.text import TOKEN_PATTERN
+    from mee_ray.pipelines.text import _read_docs
     from mee_ray.query import Searcher, merge_partials
     root = _ensure_index(sf_dir)
     s = Searcher(root)
-    idmap = _orig_id_map(root)
     # rank exactly like bm25_topk_documents, keep SNIPPET_K per query
-    top: list[tuple[int, int, int]] = []   # (query_id, rank, orig_id)
+    results = []
     for qid, terms in REFERENCE_QUERIES:
         partials = s.term_partials(sorted(set(terms)))
-        ranked = merge_partials([partials], terms, k=s.n_docs or 1)
-        if ranked:
-            ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
-            scores = np.array([sc for _, sc in ranked], dtype=np.float64)
-            order = np.lexsort((ids, -scores))[:SNIPPET_K]
-            for rank, j in enumerate(order, start=1):
-                top.append((qid, rank, int(ids[j])))
+        results.append((qid, merge_partials([partials], terms,
+                                            k=s.n_docs or 1)))
+    top = _rank_rows(results, _orig_id_map(root), SNIPPET_K)
     need_ids = sorted({d for _, _, d in top})
     vs = pa.array(need_ids, pa.int64())
 
@@ -465,8 +451,7 @@ def bm25_snippets_documents(sf_dir: str):
         return t.filter(pc.is_in(t["doc_id"], value_set=vs))
 
     texts: dict[int, str] = {}
-    fetched = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
-                                    columns=["doc_id", "text"]) \
+    fetched = _read_docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(pick, batch_format="pyarrow")
     for b in fetched.iter_batches(batch_format="pyarrow"):
         for d, x in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
@@ -490,27 +475,12 @@ def bm25_snippets_documents(sf_dir: str):
 
 
 def _bm25_snippets_sql() -> str:
-    values = ", ".join(f"({qid}, '{t}')"
-                       for qid, terms in REFERENCE_QUERIES
-                       for t in sorted(set(terms)))
     return f"""
-WITH tokl AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
-  FROM documents),
-tok AS (SELECT doc_id, unnest(ts) AS term, generate_subscripts(ts, 1) AS i
-        FROM tokl),
-dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-                 (SELECT count(*) FROM tok) AS total_tokens),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-q(query_id, term) AS (VALUES {values}),
+{_base_ctes(with_positions=True)},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
 scores AS (
   SELECT q.query_id, tf.doc_id,
-         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-             * ((tf.tf * (1.2 + 1)) /
-                (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
-                                (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))) AS score
+         {_SCORE_SUM}
   FROM q
   JOIN tf ON tf.term = q.term
   JOIN df ON df.term = q.term
@@ -565,56 +535,29 @@ def bm25_phrase_documents(sf_dir: str):
     conjunctive (idf full-index — phrase filters, never rescales),
     ranked by (score desc, ORIGINAL doc_id) like the other fulltext
     queries so the SQL oracle can reproduce the tie-break."""
-    import numpy as np
-
     from mee_ray.query import Searcher
     root = _ensure_index(sf_dir)
     s = Searcher(root)
-    idmap = _orig_id_map(root)
-    out_q, out_r, out_d = [], [], []
-    for qid, terms in PHRASE_QUERIES:
-        # full ranking straight from the engine path (candidate
-        # pushdown included); re-ranked below by ORIGINAL doc id so
-        # the SQL oracle can reproduce the tie-break
-        ranked = s.search_phrase(terms, k=s.n_docs or 1)
-        if ranked:
-            ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
-            scores = np.array([sc for _, sc in ranked], dtype=np.float64)
-            order = np.lexsort((ids, -scores))[:TOP_K]
-            for rank, j in enumerate(order, start=1):
-                out_q.append(qid); out_r.append(rank)
-                out_d.append(int(ids[j]))
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64()),
-                     "doc_id": pa.array(out_d, pa.int64())})
+    # full ranking straight from the engine path (candidate pushdown
+    # included); re-ranked by ORIGINAL doc id in _rank_table
+    results = [(qid, s.search_phrase(terms, k=s.n_docs or 1))
+               for qid, terms in PHRASE_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
 
 
 def _bm25_phrase_sql() -> str:
-    values = ", ".join(f"({qid}, '{t}')"
-                       for qid, terms in PHRASE_QUERIES
-                       for t in sorted(set(terms)))
     pats = ", ".join(f"({qid}, '{_phrase_regex(terms)}')"
                      for qid, terms in PHRASE_QUERIES)
     return f"""
-WITH tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-  FROM documents),
-dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-                 (SELECT count(*) FROM tok) AS total_tokens),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-q(query_id, term) AS (VALUES {values}),
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(PHRASE_QUERIES)}),
 pat(query_id, pat) AS (VALUES {pats}),
 phrase_docs AS (
   SELECT pat.query_id, d.doc_id
   FROM pat JOIN documents d ON regexp_matches(lower(d.text), pat.pat)),
 scores AS (
   SELECT q.query_id, tf.doc_id,
-         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-             * ((tf.tf * (1.2 + 1)) /
-                (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
-                                (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))) AS score
+         {_SCORE_SUM}
   FROM q
   JOIN tf ON tf.term = q.term
   JOIN df ON df.term = q.term
@@ -633,24 +576,12 @@ WHERE rank <= {TOP_K}
 
 
 def _bm25_sql() -> str:
-    values = ", ".join(f"({qid}, '{t}')"
-                       for qid, terms in REFERENCE_QUERIES for t in sorted(set(terms)))
     return f"""
-WITH tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-  FROM documents),
-dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-                 (SELECT count(*) FROM tok) AS total_tokens),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-q(query_id, term) AS (VALUES {values}),
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
 scores AS (
   SELECT q.query_id, tf.doc_id,
-         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-             * ((tf.tf * (1.2 + 1)) /
-                (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
-                                (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))) AS score
+         {_SCORE_SUM}
   FROM q
   JOIN tf ON tf.term = q.term
   JOIN df ON df.term = q.term
@@ -667,27 +598,14 @@ WHERE rank <= {TOP_K}
 
 
 def _bm25_conj_sql() -> str:
-    values = ", ".join(f"({qid}, '{t}')"
-                       for qid, terms in REFERENCE_QUERIES
-                       for t in sorted(set(terms)))
     return f"""
-WITH tok AS (
-  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
-  FROM documents),
-dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
-                 (SELECT count(*) FROM tok) AS total_tokens),
-tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
-df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-q(query_id, term) AS (VALUES {values}),
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
 qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
 scores AS (
   SELECT q.query_id, tf.doc_id,
          count(DISTINCT q.term) AS n_matched,
-         sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
-             * ((tf.tf * (1.2 + 1)) /
-                (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
-                                (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))) AS score
+         {_SCORE_SUM}
   FROM q
   JOIN tf ON tf.term = q.term
   JOIN df ON df.term = q.term

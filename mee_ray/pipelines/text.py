@@ -783,8 +783,14 @@ WITH toks AS (SELECT doc_id,
               FROM documents),
 tok AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS i
         FROM toks),
-base AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT t) AS n_uniq
-         FROM tok GROUP BY doc_id),
+cnt AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT t) AS n_uniq
+        FROM tok GROUP BY doc_id),
+-- drive from documents (not tok) so a token-free doc still emits a
+-- row — the engine emits (doc_id, 0, 0.0, 0.0) for such docs
+base AS (SELECT d.doc_id,
+                COALESCE(cnt.n_tokens, 0) AS n_tokens,
+                COALESCE(cnt.n_uniq, 0)   AS n_uniq
+         FROM documents d LEFT JOIN cnt ON cnt.doc_id = d.doc_id),
 big AS (SELECT a.doc_id, a.t || ' ' || b.t AS bg
         FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1),
 bgc AS (SELECT doc_id, bg, count(*) AS c FROM big GROUP BY doc_id, bg),
@@ -792,7 +798,9 @@ bgm AS (SELECT doc_id, max(c) AS maxc, sum(c) AS total
         FROM bgc GROUP BY doc_id)
 SELECT base.doc_id,
        base.n_tokens,
-       CAST(base.n_uniq AS DOUBLE) / base.n_tokens   AS uniq_ratio,
+       CASE WHEN base.n_tokens = 0 THEN 0.0
+            ELSE CAST(base.n_uniq AS DOUBLE) / base.n_tokens
+       END AS uniq_ratio,
        COALESCE(CAST(bgm.maxc AS DOUBLE) / bgm.total, 0.0) AS top_bigram_frac
 FROM base LEFT JOIN bgm ON bgm.doc_id = base.doc_id
 """

@@ -339,6 +339,28 @@ def test_hll_error_bound_and_merge_identity(entry_mod, ray_session):
     assert abs(hll_estimate(one) - n_true) <= 0.05 * n_true
 
 
+def test_repetition_zero_token_doc_matches_oracle(ray_session, tmp_path):
+    """A token-free document (pure CJK / punctuation) must appear in
+    BOTH the engine output and the SQL oracle with (0, 0.0, 0.0) —
+    the oracle's tok-derived CTE used to drop it structurally."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.text import (REPETITION_SQL,
+                                        repetition_scores_documents)
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                             "text": ["", "你好 世界", "a a b a a"]}),
+                   str(tmp_path / "documents.parquet"))
+    got = _canon(repetition_scores_documents(str(tmp_path)).to_pandas())
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet'")
+    want = _canon(con.execute(REPETITION_SQL).df())
+    assert len(got) == 3
+    pd.testing.assert_frame_equal(got, want, check_dtype=False,
+                                  check_exact=True)
+
+
 def test_simhash_degenerate_bucket_preserves_components(ray_session,
                                                         tmp_path):
     """Oversized band buckets group by FULL signature: identical-sig
