@@ -413,6 +413,139 @@ GROUP BY m.query_id, d.lang
 """
 
 
+RRF_POOL = 50   # per-side candidate pool depth feeding the fusion
+RRF_K0 = 60     # the standard RRF dampening constant
+
+
+def hybrid_rrf_documents(sf_dir: str):
+    """Hybrid retrieval with reciprocal-rank fusion: each reference
+    query pairs its BM25 text ranking with a cosine kNN ranking over
+    the ``embeddings`` table (query vector = the embedding whose
+    vec_id equals the query_id), fused as
+    ``Σ_side 1/({RRF_K0} + rank)`` over each side's top-{RRF_POOL}
+    pool — the standard hybrid-search shape (ES rrf retriever analog).
+
+    Distributed shape: the text side is the index partials path; the
+    vector side broadcasts the query matrix once and collects
+    per-batch top-{RRF_POOL} partials (bounded transport, the
+    knn_bruteforce pattern).  Fusion itself touches only
+    2 × {RRF_POOL} rows per query.  Emitted as (query_id, rank,
+    doc_id), fused score ties broken by doc_id."""
+    import numpy as np
+    import ray
+
+    from mee_ray.pipelines.vector import _emb_matrix, _read_emb, _unit
+    from mee_ray.query import Searcher, merge_partials
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = []
+    for qid, terms in REFERENCE_QUERIES:
+        partials = s.term_partials(sorted(set(terms)))
+        results.append((qid, merge_partials([partials], terms,
+                                            k=s.n_docs or 1)))
+    text_rows = _rank_rows(results, _orig_id_map(root), RRF_POOL)
+
+    qids = sorted(qid for qid, _ in REFERENCE_QUERIES)
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "in", qids)])
+    q_ids, q_mat = _emb_matrix(qt)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], _unit(q_mat[order])
+    ref = ray.put((q_ids, q_mat))
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        bq_ids, bq_mat = ray.get(ref)
+        ids, mat = _emb_matrix(t)
+        sims = _unit(mat) @ bq_mat.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(bq_ids)):
+            sv = sims[:, qi]
+            top = np.lexsort((ids, -sv))[:RRF_POOL]
+            out_q.extend([int(bq_ids[qi])] * len(top))
+            out_n.extend(ids[top].tolist())
+            out_s.extend(sv[top].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials_t = pa.concat_tables(list(
+        _read_emb(sf_dir).map_batches(batch_topk, batch_format="pyarrow",
+                                      zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    vq = partials_t["query_id"].to_numpy(zero_copy_only=False)
+    vn = partials_t["neighbor_id"].to_numpy(zero_copy_only=False)
+    vsim = partials_t["sim"].to_numpy(zero_copy_only=False)
+
+    # fuse: RRF contribution per (query, doc); text side added first,
+    # vector side second — the oracle's COALESCE(t)+COALESCE(v) order
+    fused: dict[tuple[int, int], float] = {}
+    for qid, rank, did in text_rows:
+        fused[(qid, did)] = 1.0 / (RRF_K0 + rank)
+    for q in np.unique(vq):
+        m = vq == q
+        order = np.lexsort((vn[m], -vsim[m]))[:RRF_POOL]
+        for rank, j in enumerate(order, start=1):
+            key = (int(q), int(vn[m][j]))
+            fused[key] = fused.get(key, 0.0) + 1.0 / (RRF_K0 + rank)
+    out_q, out_r, out_d = [], [], []
+    for qid in qids:
+        items = [(d, sc) for (q, d), sc in fused.items() if q == qid]
+        items.sort(key=lambda it: (-it[1], it[0]))
+        for rank, (d, _) in enumerate(items[:TOP_K], start=1):
+            out_q.append(qid); out_r.append(rank); out_d.append(d)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _hybrid_rrf_sql() -> str:
+    qids = ", ".join(str(qid) for qid, _ in REFERENCE_QUERIES)
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+t AS (SELECT query_id, doc_id, r FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS r
+        FROM scores)
+      WHERE r <= {RRF_POOL}),
+vq AS (SELECT vec_id AS query_id, embedding AS qe
+       FROM embeddings WHERE vec_id IN ({qids})),
+vsim AS (SELECT vq.query_id, e.vec_id AS doc_id,
+                list_cosine_similarity(e.embedding, vq.qe) AS sim
+         FROM embeddings e CROSS JOIN vq),
+v AS (SELECT query_id, doc_id, r FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY sim DESC, doc_id) AS r
+        FROM vsim)
+      WHERE r <= {RRF_POOL}),
+fused AS (
+  SELECT COALESCE(t.query_id, v.query_id) AS query_id,
+         COALESCE(t.doc_id, v.doc_id)     AS doc_id,
+         COALESCE(1.0 / ({RRF_K0} + t.r), 0.0)
+         + COALESCE(1.0 / ({RRF_K0} + v.r), 0.0) AS rrf
+  FROM t FULL OUTER JOIN v
+    ON v.query_id = t.query_id AND v.doc_id = t.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY rrf DESC, doc_id) AS rank
+      FROM fused)
+WHERE rank <= {TOP_K}
+"""
+
+
 SNIPPET_K = 3          # docs per query carrying a snippet
 SNIPPET_RADIUS = 3     # tokens of context either side of the hit
 
@@ -685,6 +818,7 @@ QUERIES = {
     "bm25_boolean_documents": bm25_boolean_documents,
     "bm25_facet_counts": bm25_facet_counts,
     "bm25_snippets_documents": bm25_snippets_documents,
+    "hybrid_rrf_documents": hybrid_rrf_documents,
     "index_term_stats": index_term_stats,
     "corpus_docs_table": corpus_docs_table,
 }
@@ -697,6 +831,7 @@ ORACLE = {
     "bm25_boolean_documents": _bm25_boolean_sql(),
     "bm25_facet_counts": _bm25_facets_sql(),
     "bm25_snippets_documents": _bm25_snippets_sql(),
+    "hybrid_rrf_documents": _hybrid_rrf_sql(),
     "index_term_stats": INDEX_STATS_SQL,
     "corpus_docs_table": CORPUS_DOCS_SQL,
 }
