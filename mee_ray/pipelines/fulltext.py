@@ -413,6 +413,91 @@ GROUP BY m.query_id, d.lang
 """
 
 
+# Prefix / fuzzy query sets: expansion against the index term
+# dictionary (Searcher.vocabulary), scored disjunctively with each
+# expanded term's own df/idf — the ES wildcard / fuzziness analogs.
+PREFIX_QUERIES: list[tuple[int, str]] = [
+    (1, "mer"), (2, "win"), (3, "cus"), (4, "s"), (5, "ta"), (6, "vec"),
+]
+FUZZY_QUERIES: list[tuple[int, str]] = [
+    (1, "mergd"), (2, "windoe"), (3, "custoner"),
+    (4, "sparc"), (5, "slaw"), (6, "vectr"),
+]
+
+
+def bm25_prefix_documents(sf_dir: str):
+    """Prefix-expanded BM25 top-k (ES wildcard `pre*`): dictionary
+    terms starting with each query's prefix, scored as an OR query
+    over the expansion.  Emitted as (query_id, rank, doc_id) with the
+    shared (score desc, original id) tie-break."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_prefix(prefix, k=s.n_docs or 1))
+               for qid, prefix in PREFIX_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _bm25_prefix_sql() -> str:
+    values = ", ".join(f"({qid}, '{p}')" for qid, p in PREFIX_QUERIES)
+    return f"""
+{_base_ctes()},
+q(query_id, prefix) AS (VALUES {values}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term LIKE q.prefix || '%'
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
+def bm25_fuzzy_documents(sf_dir: str):
+    """Fuzzy BM25 top-k (ES match with fuzziness=1): dictionary terms
+    within plain Levenshtein distance 1 of each (intentionally
+    misspelled) query term, scored as an OR query over the expansion.
+    The engine's banded-DP metric and the oracle's levenshtein() are
+    the same plain unit-cost distance — no transpositions."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_fuzzy(term, k=s.n_docs or 1))
+               for qid, term in FUZZY_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _bm25_fuzzy_sql() -> str:
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in FUZZY_QUERIES)
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {values}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON levenshtein(tf.term, q.term) <= 1
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
 RRF_POOL = 50   # per-side candidate pool depth feeding the fusion
 RRF_K0 = 60     # the standard RRF dampening constant
 
@@ -819,6 +904,8 @@ QUERIES = {
     "bm25_facet_counts": bm25_facet_counts,
     "bm25_snippets_documents": bm25_snippets_documents,
     "hybrid_rrf_documents": hybrid_rrf_documents,
+    "bm25_prefix_documents": bm25_prefix_documents,
+    "bm25_fuzzy_documents": bm25_fuzzy_documents,
     "index_term_stats": index_term_stats,
     "corpus_docs_table": corpus_docs_table,
 }
@@ -832,6 +919,8 @@ ORACLE = {
     "bm25_facet_counts": _bm25_facets_sql(),
     "bm25_snippets_documents": _bm25_snippets_sql(),
     "hybrid_rrf_documents": _hybrid_rrf_sql(),
+    "bm25_prefix_documents": _bm25_prefix_sql(),
+    "bm25_fuzzy_documents": _bm25_fuzzy_sql(),
     "index_term_stats": INDEX_STATS_SQL,
     "corpus_docs_table": CORPUS_DOCS_SQL,
 }

@@ -488,6 +488,49 @@ class Searcher:
             return merge_partials_conjunctive([partials], uterms, k)
         return merge_partials([partials], uterms, k)
 
+    def vocabulary(self) -> list[str]:
+        """Sorted union of the index's terms across owned shards —
+        dictionary-only (term columns are already memory-resident per
+        shard; no posting decode).  Feeds prefix/fuzzy query
+        expansion.  Scale note: a multi-million-term vocabulary makes
+        a linear scan per query expensive — the documented upgrade is
+        a sorted-array binary search for prefixes (the dictionary IS
+        sorted per segment) and a deletion-neighborhood index for
+        fuzzy, both built once per Searcher snapshot."""
+        out: set[str] = set()
+        for sh in range(self.num_shards):
+            if self.owns(sh):
+                out.update(self._shard(sh).rows.keys())
+        return sorted(out)
+
+    def search_prefix(self, prefix: str, k: int = 10
+                      ) -> list[tuple[int, float]]:
+        """Prefix query (ES match_phrase_prefix / wildcard `term*`
+        analog): expand the prefix against the dictionary, then score
+        the expansion disjunctively — each expanded term keeps its own
+        df/idf, so the result equals an OR query over the matching
+        vocabulary."""
+        if k <= 0 or not prefix:
+            return []
+        terms = [t for t in self.vocabulary() if t.startswith(prefix)]
+        if not terms:
+            return []
+        return self.search(terms, k)
+
+    def search_fuzzy(self, term: str, k: int = 10, max_edits: int = 1
+                     ) -> list[tuple[int, float]]:
+        """Fuzzy query (ES match with fuzziness): expand to dictionary
+        terms within plain Levenshtein distance ``max_edits`` (unit
+        costs, no transposition — the same metric as the SQL oracle's
+        levenshtein()), then score the expansion disjunctively."""
+        if k <= 0 or not term:
+            return []
+        terms = [t for t in self.vocabulary()
+                 if _levenshtein_le(term, t, max_edits)]
+        if not terms:
+            return []
+        return self.search(terms, k)
+
     def excluded_doc_ids(self, must_not: list[str]) -> np.ndarray:
         """Sorted union of live doc_ids containing ANY of ``must_not``
         — the must_not exclusion set of a boolean query."""
@@ -574,6 +617,28 @@ class Searcher:
                            stats=stats,
                            salt_factor=self.manifest.get("salt_factor"),
                            merge_cache=self._merge_cache)
+
+
+def _levenshtein_le(a: str, b: str, cap: int) -> bool:
+    """True iff plain Levenshtein distance (unit insert/delete/
+    substitute, NO transposition — DuckDB's levenshtein()) ≤ cap.
+    Banded DP: O(len·cap) and early-exits when a row exceeds cap."""
+    if abs(len(a) - len(b)) > cap:
+        return False
+    if a == b:
+        return True
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, start=1):
+        cur = [i] + [0] * len(b)
+        best = i
+        for j, cb in enumerate(b, start=1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+            best = min(best, cur[j])
+        if best > cap:
+            return False
+        prev = cur
+    return prev[-1] <= cap
 
 
 def merge_partials(partials_list: list[dict], terms: list[str], k: int,

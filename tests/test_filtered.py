@@ -146,6 +146,48 @@ def test_boolean_distributed(built_index, ray_session):
         ds.shutdown()
 
 
+def test_levenshtein_metric():
+    from mee_ray.query import _levenshtein_le
+
+    cases = [("abc", "abc", 0, True), ("abc", "abd", 0, False),
+             ("abc", "abd", 1, True), ("abc", "ab", 1, True),
+             ("abc", "a", 1, False), ("abcd", "badc", 1, False),
+             ("kitten", "sitting", 2, False),
+             ("kitten", "sitting", 3, True),
+             ("spark", "sprak", 1, False),   # transposition = 2 plain
+             ("spark", "sparc", 1, True), ("", "ab", 1, False),
+             ("", "a", 1, True)]
+    for a, b, cap, want in cases:
+        assert _levenshtein_le(a, b, cap) is want, (a, b, cap)
+        assert _levenshtein_le(b, a, cap) is want, (b, a, cap)
+
+
+def test_prefix_and_fuzzy_expansion_match_oracle(built_index):
+    from mee_ray.query import Searcher, _levenshtein_le
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    vocab = sorted(oracle.postings)
+    assert s.vocabulary() == vocab
+    n = 0
+    for pre in [vocab[0][:2], vocab[len(vocab) // 2][:1], "zzzz"]:
+        terms = [t for t in vocab if t.startswith(pre)]
+        got = s.search_prefix(pre, k=10)
+        want = oracle.search(terms, k=10) if terms else []
+        assert got == want, pre
+        n += bool(got)
+    for base in [vocab[0], vocab[len(vocab) // 3]]:
+        typo = base[:-1] + ("x" if base[-1] != "x" else "y")
+        terms = [t for t in vocab if _levenshtein_le(typo, t, 1)]
+        got = s.search_fuzzy(typo, k=10)
+        want = oracle.search(terms, k=10) if terms else []
+        assert got == want, typo
+        n += bool(got)
+    assert n >= 3
+    assert s.search_prefix("", k=10) == []
+    assert s.search_fuzzy("", k=10) == []
+
+
 def test_filtered_distributed(built_index, ray_session):
     from mee_ray.query import DistributedSearcher, Searcher
 

@@ -57,7 +57,8 @@ SQL_CHECKED = [
     "shuffle_join_lineitem_orders", "bm25_boolean_documents",
     "bm25_facet_counts", "pii_scrub_documents",
     "repetition_scores_documents", "bm25_snippets_documents",
-    "hybrid_rrf_documents",
+    "hybrid_rrf_documents", "bm25_prefix_documents",
+    "bm25_fuzzy_documents",
 ]
 
 
