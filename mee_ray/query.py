@@ -460,7 +460,8 @@ class Searcher:
         return merge_partials_conjunctive([partials], uterms, k)
 
     def search_filtered(self, terms: list[str], k: int,
-                        allowed_doc_ids, operator: str = "or"
+                        allowed_doc_ids, operator: str = "or",
+                        use_wand: bool | None = None
                         ) -> list[tuple[int, float]]:
         """Filter-context search — the ES bool ``{must: match,
         filter: ...}`` analog (the reference delegates this to ES;
@@ -469,6 +470,14 @@ class Searcher:
         index.  A filter restricts the result set, it never rescales
         scores — the same stance as ``operator="and"`` — so a doc's
         filtered score equals its unfiltered score.
+
+        Disjunctive queries push the filter INTO block-max WAND
+        (wand.search_wand ``allowed``): non-allowed docs are skipped
+        without scoring while pruning bounds stay full-index — whole
+        chunks a selective filter never reaches are skipped without
+        decode.  Same tombstone gate as :meth:`search` (stored df /
+        bounds unsound while deletes pend → exhaustive restricted
+        path).
 
         Exhaustive restricted path: per-term contributions are
         fetched only for allowed docs (:meth:`term_partials_for_docs`),
@@ -483,9 +492,14 @@ class Searcher:
         if allowed.size == 0:
             return []
         uterms = sorted(set(terms))
-        partials = self.term_partials_for_docs(uterms, allowed)
         if operator == "and":
+            partials = self.term_partials_for_docs(uterms, allowed)
             return merge_partials_conjunctive([partials], uterms, k)
+        if use_wand is None:
+            use_wand = len(self.tombstones) == 0
+        if use_wand:
+            return self.search_wand(uterms, k, allowed=allowed)
+        partials = self.term_partials_for_docs(uterms, allowed)
         return merge_partials([partials], uterms, k)
 
     def vocabulary(self) -> list[str]:
@@ -585,7 +599,8 @@ class Searcher:
         return self.search_wand(uterms, k)
 
     def search_wand(self, uterms: list[str], k: int,
-                    stats=None) -> list[tuple[int, float]]:
+                    stats=None, allowed: np.ndarray | None = None
+                    ) -> list[tuple[int, float]]:
         from mee_ray.wand import WandStats, search_wand
 
         if len(self.tombstones):
@@ -616,7 +631,8 @@ class Searcher:
                            block_size=self.manifest.get("block_size", 128),
                            stats=stats,
                            salt_factor=self.manifest.get("salt_factor"),
-                           merge_cache=self._merge_cache)
+                           merge_cache=self._merge_cache,
+                           allowed=allowed)
 
 
 def _levenshtein_le(a: str, b: str, cap: int) -> bool:

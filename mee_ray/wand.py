@@ -245,15 +245,31 @@ def search_wand(term_chunks: dict[str, tuple[float, list[dict]]],
                 k1: float, b: float, block_size: int = 128,
                 stats: WandStats | None = None,
                 salt_factor: int | None = None,
-                merge_cache: dict | None = None) -> list[tuple[int, float]]:
+                merge_cache: dict | None = None,
+                allowed: np.ndarray | None = None
+                ) -> list[tuple[int, float]]:
     """Block-max WAND over prepared per-term (idf weight, chunk list).
 
     term_chunks must be keyed by the query's unique terms; iteration
-    for scoring is in sorted-term order (the determinism contract)."""
+    for scoring is in sorted-term order (the determinism contract).
+
+    ``allowed`` (sorted int64 doc_ids) is the filter-context pushdown:
+    documents outside the set are never SCORED (their cursors advance
+    past them), while every pruning bound still ranges over the
+    unfiltered posting lists — bounds over a superset stay sound upper
+    bounds, and the threshold coming only from allowed docs makes
+    pruning exactly as aggressive as the filtered result justifies.
+    Output is identical to post-filtering the exhaustive ranking."""
     if k <= 0:
         # theta() would index an empty heap; the exhaustive path
         # returns [] for the same input — match it
         return []
+    if allowed is not None and allowed.size == 0:
+        return []
+
+    def in_allowed(doc: int) -> bool:
+        p = int(np.searchsorted(allowed, doc))
+        return p < allowed.size and int(allowed[p]) == doc
     stats = stats if stats is not None else WandStats()
     scale = max(1.0, avgdl / avgdl_base) * _FLOAT_HEADROOM \
         if avgdl_base > 0 else 1.0
@@ -327,6 +343,12 @@ def search_wand(term_chunks: dict[str, tuple[float, list[dict]]],
                 c.skip_block()
                 continue
             ids, sc = c.score_block_vectorized()
+            if allowed is not None:
+                # vectorized membership against the sorted filter set
+                p = np.minimum(np.searchsorted(allowed, ids),
+                               allowed.size - 1)
+                m = allowed[p] == ids
+                ids, sc = ids[m], sc[m]
             stats.docs_scored += len(ids)
             if len(heap) >= k:
                 # vectorized pre-filter: only docs that can still enter
@@ -381,6 +403,17 @@ def search_wand(term_chunks: dict[str, tuple[float, list[dict]]],
                     for c in active[:j]:
                         c.advance_to(nxt)
                         stats.shallow_advances += 1
+                elif allowed is not None and not in_allowed(pivot_doc):
+                    # filter skip: jump every cursor on the pivot to
+                    # the next ALLOWED doc (not just pivot+1) — the
+                    # bounds stayed unfiltered, so this prunes nothing
+                    # a sound bound wouldn't
+                    p = int(np.searchsorted(allowed, pivot_doc + 1))
+                    if p >= allowed.size:
+                        break  # no candidate beyond max(allowed)
+                    nxt = int(allowed[p])
+                    for c in active[:j]:
+                        c.advance_to(nxt)
                 else:
                     # exact evaluation, contributions in sorted-term
                     # order (active[:j] docs all == pivot_doc, but terms

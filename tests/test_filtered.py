@@ -77,6 +77,48 @@ def test_filtered_conjunctive(built_index):
         assert got == want, q
 
 
+def test_filtered_wand_equals_exhaustive(built_index):
+    """The WAND filter pushdown (wand.search_wand `allowed`) must be
+    result-identical — ids AND float64 scores — to the exhaustive
+    restricted path, at every selectivity."""
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    subsets = _allowed_subsets(oracle)
+    all_ids = np.array(sorted(oracle.dl), dtype=np.int64)
+    subsets["tail"] = all_ids[-3:]       # hits the beyond-max break
+    subsets["one"] = all_ids[len(all_ids) // 2:len(all_ids) // 2 + 1]
+    n = 0
+    for q in _queries(oracle):
+        for name, allowed in subsets.items():
+            wand = s.search_filtered(q, k=10, allowed_doc_ids=allowed,
+                                     use_wand=True)
+            exh = s.search_filtered(q, k=10, allowed_doc_ids=allowed,
+                                    use_wand=False)
+            assert wand == exh, (q, name)
+            n += bool(wand)
+    assert n >= 10
+
+
+def test_filtered_wand_prunes(built_index):
+    """A selective filter + small k must actually prune: fewer docs
+    scored than the query terms' total candidate postings."""
+    from mee_ray.query import Searcher
+    from mee_ray.wand import WandStats
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    allowed = _allowed_subsets(oracle)["tiny"]
+    q = _queries(oracle)[-1]             # 3-term hot+mid+rare
+    stats = WandStats()
+    got = s.search_wand(sorted(set(q)), 5, stats=stats, allowed=allowed)
+    assert got == s.search_filtered(q, k=5, allowed_doc_ids=allowed,
+                                    use_wand=False)
+    assert stats.postings_total > 0
+    assert stats.docs_scored <= allowed.size
+
+
 def test_filtered_degenerate(built_index):
     from mee_ray.query import Searcher
 
