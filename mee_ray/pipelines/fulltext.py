@@ -141,19 +141,27 @@ def _q_values(query_set) -> str:
                      for t in sorted(set(terms)))
 
 
-def bm25_topk_documents(sf_dir: str):
-    """Full engine path: build → Searcher → top-k, emitted as
-    (query_id, rank, doc_id) with original document ids (re-ranked by
-    original id for the oracle tie-break — see _rank_rows)."""
-    from mee_ray.query import Searcher, merge_partials
-    root = _ensure_index(sf_dir)
-    s = Searcher(root)
+def _reference_text_results(s) -> list[tuple[int, list]]:
+    """The REFERENCE_QUERIES full-depth text ranking loop — ONE
+    contract shared by topk / hybrid / snippets so the k convention
+    and the partials path cannot desynchronize between them."""
+    from mee_ray.query import merge_partials
     results = []
     for qid, terms in REFERENCE_QUERIES:
         partials = s.term_partials(sorted(set(terms)))
         results.append((qid, merge_partials([partials], terms,
                                             k=s.n_docs or 1)))
-    return _rank_table(results, _orig_id_map(root))
+    return results
+
+
+def bm25_topk_documents(sf_dir: str):
+    """Full engine path: build → Searcher → top-k, emitted as
+    (query_id, rank, doc_id) with original document ids (re-ranked by
+    original id for the oracle tie-break — see _rank_rows)."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    return _rank_table(_reference_text_results(s), _orig_id_map(root))
 
 
 def bm25_conjunctive_documents(sf_dir: str):
@@ -438,16 +446,18 @@ def bm25_prefix_documents(sf_dir: str):
     return _rank_table(results, _orig_id_map(root))
 
 
-def _bm25_prefix_sql() -> str:
-    values = ", ".join(f"({qid}, '{p}')" for qid, p in PREFIX_QUERIES)
+def _expansion_sql(q_cte: str, join_pred: str) -> str:
+    """Shared oracle shape for dictionary-expansion queries (prefix /
+    fuzzy): expansion join predicate differs, scoring/rank/tie-break
+    are ONE definition so the two cannot drift apart."""
     return f"""
 {_base_ctes()},
-q(query_id, prefix) AS (VALUES {values}),
+{q_cte},
 scores AS (
   SELECT q.query_id, tf.doc_id,
          {_SCORE_SUM}
   FROM q
-  JOIN tf ON tf.term LIKE q.prefix || '%'
+  JOIN tf ON {join_pred}
   JOIN df ON df.term = tf.term
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN stats s
@@ -459,6 +469,13 @@ FROM (SELECT query_id, doc_id,
       FROM scores)
 WHERE rank <= {TOP_K}
 """
+
+
+def _bm25_prefix_sql() -> str:
+    values = ", ".join(f"({qid}, '{p}')" for qid, p in PREFIX_QUERIES)
+    return _expansion_sql(
+        f"q(query_id, prefix) AS (VALUES {values})",
+        "tf.term LIKE q.prefix || '%'")
 
 
 def bm25_fuzzy_documents(sf_dir: str):
@@ -477,25 +494,9 @@ def bm25_fuzzy_documents(sf_dir: str):
 
 def _bm25_fuzzy_sql() -> str:
     values = ", ".join(f"({qid}, '{t}')" for qid, t in FUZZY_QUERIES)
-    return f"""
-{_base_ctes()},
-q(query_id, term) AS (VALUES {values}),
-scores AS (
-  SELECT q.query_id, tf.doc_id,
-         {_SCORE_SUM}
-  FROM q
-  JOIN tf ON levenshtein(tf.term, q.term) <= 1
-  JOIN df ON df.term = tf.term
-  JOIN dl ON dl.doc_id = tf.doc_id
-  CROSS JOIN stats s
-  GROUP BY q.query_id, tf.doc_id)
-SELECT query_id, rank, doc_id
-FROM (SELECT query_id, doc_id,
-             row_number() OVER (PARTITION BY query_id
-                                ORDER BY score DESC, doc_id) AS rank
-      FROM scores)
-WHERE rank <= {TOP_K}
-"""
+    return _expansion_sql(
+        f"q(query_id, term) AS (VALUES {values})",
+        "levenshtein(tf.term, q.term) <= 1")
 
 
 RRF_POOL = 50   # per-side candidate pool depth feeding the fusion
@@ -520,15 +521,11 @@ def hybrid_rrf_documents(sf_dir: str):
     import ray
 
     from mee_ray.pipelines.vector import _emb_matrix, _read_emb, _unit
-    from mee_ray.query import Searcher, merge_partials
+    from mee_ray.query import Searcher
     root = _ensure_index(sf_dir)
     s = Searcher(root)
-    results = []
-    for qid, terms in REFERENCE_QUERIES:
-        partials = s.term_partials(sorted(set(terms)))
-        results.append((qid, merge_partials([partials], terms,
-                                            k=s.n_docs or 1)))
-    text_rows = _rank_rows(results, _orig_id_map(root), RRF_POOL)
+    text_rows = _rank_rows(_reference_text_results(s),
+                           _orig_id_map(root), RRF_POOL)
 
     qids = sorted(qid for qid, _ in REFERENCE_QUERIES)
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
@@ -569,13 +566,17 @@ def hybrid_rrf_documents(sf_dir: str):
         fused[(qid, did)] = 1.0 / (RRF_K0 + rank)
     for q in np.unique(vq):
         m = vq == q
-        order = np.lexsort((vn[m], -vsim[m]))[:RRF_POOL]
+        vn_q, vs_q = vn[m], vsim[m]
+        order = np.lexsort((vn_q, -vs_q))[:RRF_POOL]
         for rank, j in enumerate(order, start=1):
-            key = (int(q), int(vn[m][j]))
+            key = (int(q), int(vn_q[j]))
             fused[key] = fused.get(key, 0.0) + 1.0 / (RRF_K0 + rank)
+    by_qid: dict[int, list[tuple[int, float]]] = {q: [] for q in qids}
+    for (q, d), sc in fused.items():
+        by_qid[q].append((d, sc))
     out_q, out_r, out_d = [], [], []
     for qid in qids:
-        items = [(d, sc) for (q, d), sc in fused.items() if q == qid]
+        items = by_qid[qid]
         items.sort(key=lambda it: (-it[1], it[0]))
         for rank, (d, _) in enumerate(items[:TOP_K], start=1):
             out_q.append(qid); out_r.append(rank); out_d.append(d)
@@ -652,16 +653,12 @@ def bm25_snippets_documents(sf_dir: str):
     import pyarrow.compute as pc
 
     from mee_ray.pipelines.text import _read_docs
-    from mee_ray.query import Searcher, merge_partials
+    from mee_ray.query import Searcher
     root = _ensure_index(sf_dir)
     s = Searcher(root)
     # rank exactly like bm25_topk_documents, keep SNIPPET_K per query
-    results = []
-    for qid, terms in REFERENCE_QUERIES:
-        partials = s.term_partials(sorted(set(terms)))
-        results.append((qid, merge_partials([partials], terms,
-                                            k=s.n_docs or 1)))
-    top = _rank_rows(results, _orig_id_map(root), SNIPPET_K)
+    top = _rank_rows(_reference_text_results(s),
+                     _orig_id_map(root), SNIPPET_K)
     need_ids = sorted({d for _, _, d in top})
     vs = pa.array(need_ids, pa.int64())
 

@@ -258,6 +258,7 @@ class Searcher:
         # merged-chunk cache for delta-bearing terms (wand.search_wand)
         # — valid for this snapshot's lifetime (immutable files)
         self._merge_cache: dict = {}
+        self._vocab: list[str] | None = None  # sorted, built on demand
         self._shards: dict[int, _ShardIndex] = {}
         self._subset = set(shard_subset) if shard_subset is not None else None
         base, delta = _segment_files(index_root, self.manifest)
@@ -511,11 +512,13 @@ class Searcher:
         a sorted-array binary search for prefixes (the dictionary IS
         sorted per segment) and a deletion-neighborhood index for
         fuzzy, both built once per Searcher snapshot."""
-        out: set[str] = set()
-        for sh in range(self.num_shards):
-            if self.owns(sh):
-                out.update(self._shard(sh).rows.keys())
-        return sorted(out)
+        if self._vocab is None:
+            out: set[str] = set()
+            for sh in range(self.num_shards):
+                if self.owns(sh):
+                    out.update(self._shard(sh).rows.keys())
+            self._vocab = sorted(out)
+        return self._vocab
 
     def search_prefix(self, prefix: str, k: int = 10
                       ) -> list[tuple[int, float]]:
@@ -643,13 +646,20 @@ def _levenshtein_le(a: str, b: str, cap: int) -> bool:
         return False
     if a == b:
         return True
-    prev = list(range(len(b) + 1))
+    lb = len(b)
+    inf = cap + 1   # any cell > cap behaves identically; clamp there
+    prev = [j if j <= cap else inf for j in range(lb + 1)]
     for i, ca in enumerate(a, start=1):
-        cur = [i] + [0] * len(b)
-        best = i
-        for j, cb in enumerate(b, start=1):
+        # only cells with |i - j| <= cap can end <= cap: compute the
+        # band, leave the rest at the clamp value
+        lo, hi = max(1, i - cap), min(lb, i + cap)
+        cur = [inf] * (lb + 1)
+        if i <= cap:
+            cur[0] = i
+        best = cur[0]   # j=0 (deleting all of a[:i]) is a band cell
+        for j in range(lo, hi + 1):
             cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
-                         prev[j - 1] + (ca != cb))
+                         prev[j - 1] + (ca != b[j - 1]))
             best = min(best, cur[j])
         if best > cap:
             return False
