@@ -72,6 +72,42 @@ class OracleIndex:
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def search_min_match(self, terms: list[str], k: int = 10,
+                         min_match: int = 1) -> list[tuple[int, float]]:
+        """minimum_should_match top-k: docs matching >= min_match
+        distinct query terms, scored exactly like :meth:`search`
+        (the count threshold filters, it never rescales)."""
+        uterms = sorted(set(terms))
+        if min_match > len(uterms):
+            return []
+        cnt: dict[int, int] = {}
+        for term in uterms:
+            for doc_id in self.postings.get(term, ()):
+                cnt[doc_id] = cnt.get(doc_id, 0) + 1
+        keep = {d for d, c in cnt.items() if c >= min_match}
+        return [(d, s) for d, s in self.search(terms, k=self.n_docs)
+                if d in keep][:k]
+
+    def search_weighted(self, term_boosts: dict[str, float],
+                        k: int = 10) -> list[tuple[int, float]]:
+        """Per-term boosted top-k: score = Σ_t boost_t·idf_t·tfn_t in
+        sorted-term order (same accumulation contract as
+        :meth:`search`)."""
+        p = self.bm25
+        acc: dict[int, float] = {}
+        for term in sorted(term_boosts):
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            w = idf(len(plist), self.n_docs)
+            boost = float(term_boosts[term])
+            for doc_id, tf in plist.items():
+                s = (w * tfn_scalar(float(tf), float(self.dl[doc_id]),
+                                    self.avgdl, p)) * boost
+                acc[doc_id] = acc.get(doc_id, 0.0) + s
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def search_phrase(self, terms: list[str], k: int = 10
                       ) -> list[tuple[int, float]]:
         """Exact phrase top-k: docs where ``terms`` occur at

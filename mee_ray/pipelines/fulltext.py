@@ -113,10 +113,14 @@ def _rank_table(query_results, idmap: dict[int, int],
 # Shared SQL fragments: ONE copy of the tokenizer + BM25 stats CTEs
 # and ONE copy of the score expression, composed by every bm25 oracle
 # builder below — a k1/b or tokenizer change edits exactly one string.
-_SCORE_SUM = """sum(ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+# _SCORE_TERM is one term's contribution (idf × tfn, in that product
+# order — the engine's w*tf_norm); the weighted oracle multiplies a
+# boost onto it, everything else sums it as-is.
+_SCORE_TERM = """ln(1 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
              * ((tf.tf * (1.2 + 1)) /
                 (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
-                                (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))) AS score"""
+                                (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))"""
+_SCORE_SUM = f"sum({_SCORE_TERM}) AS score"
 
 
 def _base_ctes(with_positions: bool = False) -> str:
@@ -177,6 +181,100 @@ def bm25_conjunctive_documents(sf_dir: str):
     results = [(qid, s.search(terms, k=s.n_docs or 1, operator="and"))
                for qid, terms in REFERENCE_QUERIES]
     return _rank_table(results, _orig_id_map(root))
+
+
+# minimum_should_match per reference query: require 2 matching terms
+# where the query has >= 2 (1-term queries degenerate to OR, on
+# purpose — the contract says m<=1 is plain disjunction).
+MIN_MATCH: dict[int, int] = {
+    qid: min(2, len(terms)) for qid, terms in REFERENCE_QUERIES}
+
+# per-term boosts: 2^position in sorted-term order.  Powers of two
+# make the boost multiply EXACT in float64, so engine and oracle
+# scores stay bit-identical exactly as in the unboosted queries.
+QUERY_BOOSTS: dict[int, dict[str, float]] = {
+    qid: {t: float(1 << i) for i, t in enumerate(sorted(set(terms)))}
+    for qid, terms in REFERENCE_QUERIES}
+
+
+def bm25_min_match_documents(sf_dir: str):
+    """minimum_should_match BM25 top-k (ES bool should +
+    minimum_should_match): only documents matching >= MIN_MATCH[qid]
+    distinct query terms are ranked; survivors keep their full
+    disjunctive scores (the threshold filters, it never rescales).
+    Emitted as (query_id, rank, doc_id) with the shared tie-break."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_min_match(terms, k=s.n_docs or 1,
+                                        min_match=MIN_MATCH[qid]))
+               for qid, terms in REFERENCE_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _bm25_min_match_sql() -> str:
+    mm = ", ".join(f"({qid}, {m})" for qid, m in sorted(MIN_MATCH.items()))
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+qm(query_id, mm) AS (VALUES {mm}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN qm ON qm.query_id = q.query_id
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+  HAVING count(DISTINCT tf.term) >= min(qm.mm))
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
+def bm25_weighted_documents(sf_dir: str):
+    """Per-term boosted BM25 top-k (ES ``term^boost``): each term's
+    contribution is scaled by QUERY_BOOSTS before the sorted-term
+    accumulation — score = Σ_t boost_t·idf_t·tfn_t.  Emitted as
+    (query_id, rank, doc_id) with the shared tie-break."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_weighted(QUERY_BOOSTS[qid],
+                                       k=s.n_docs or 1))
+               for qid, _ in REFERENCE_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _bm25_weighted_sql() -> str:
+    values = ", ".join(f"({qid}, '{t}', {b:.1f})"
+                       for qid, boosts in sorted(QUERY_BOOSTS.items())
+                       for t, b in sorted(boosts.items()))
+    return f"""
+{_base_ctes()},
+qb(query_id, term, boost) AS (VALUES {values}),
+scores AS (
+  SELECT qb.query_id, tf.doc_id,
+         sum({_SCORE_TERM} * qb.boost) AS score
+  FROM qb
+  JOIN tf ON tf.term = qb.term
+  JOIN df ON df.term = qb.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qb.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
 
 
 # Filter-context query set: each reference query restricted to one
@@ -903,6 +1001,8 @@ QUERIES = {
     "hybrid_rrf_documents": hybrid_rrf_documents,
     "bm25_prefix_documents": bm25_prefix_documents,
     "bm25_fuzzy_documents": bm25_fuzzy_documents,
+    "bm25_min_match_documents": bm25_min_match_documents,
+    "bm25_weighted_documents": bm25_weighted_documents,
     "index_term_stats": index_term_stats,
     "corpus_docs_table": corpus_docs_table,
 }
@@ -918,6 +1018,8 @@ ORACLE = {
     "hybrid_rrf_documents": _hybrid_rrf_sql(),
     "bm25_prefix_documents": _bm25_prefix_sql(),
     "bm25_fuzzy_documents": _bm25_fuzzy_sql(),
+    "bm25_min_match_documents": _bm25_min_match_sql(),
+    "bm25_weighted_documents": _bm25_weighted_sql(),
     "index_term_stats": INDEX_STATS_SQL,
     "corpus_docs_table": CORPUS_DOCS_SQL,
 }

@@ -576,6 +576,43 @@ class Searcher:
         excl = self.excluded_doc_ids(must_not)
         return merge_partials([partials], uterms, k, exclude_sorted=excl)
 
+    def search_min_match(self, terms: list[str], k: int,
+                         min_match: int) -> list[tuple[int, float]]:
+        """ES ``minimum_should_match`` analog: rank only documents
+        matching at least ``min_match`` DISTINCT query terms; survivor
+        scores equal their full disjunctive scores (df/idf/avgdl stay
+        full-index — the count threshold filters, it never rescales).
+        min_match<=1 degenerates to OR, min_match==len(terms) to AND
+        — same result set AND same scores as those operators."""
+        if k <= 0 or not terms:
+            return []
+        uterms = sorted(set(terms))
+        m = max(1, int(min_match))
+        if m > len(uterms):
+            return []
+        partials = self.term_partials(uterms)
+        return merge_partials([partials], uterms, k, min_match=m)
+
+    def search_weighted(self, term_boosts: dict[str, float], k: int
+                        ) -> list[tuple[int, float]]:
+        """Per-term query-time boosts (ES ``term^boost``): each term's
+        exact contribution vector is scaled by its boost BEFORE the
+        sorted-term accumulation, so score = Σ_t boost_t·idf_t·tfn_t
+        in sorted-term order (float multiply is commutative, so the
+        oracle's boost·(idf·tfn) is bit-identical).  Non-positive
+        boosts are rejected — a zero boost is a term removal, a
+        negative one would need must_not semantics."""
+        if k <= 0 or not term_boosts:
+            return []
+        if any(b <= 0 for b in term_boosts.values()):
+            raise ValueError("boosts must be positive; drop the term "
+                             "or use search_boolean must_not instead")
+        uterms = sorted(term_boosts)
+        partials = self.term_partials(uterms)
+        boosted = {t: (ids, sc * float(term_boosts[t]))
+                   for t, (ids, sc) in partials.items()}
+        return merge_partials([boosted], uterms, k)
+
     def search(self, terms: list[str], k: int = 10,
                use_wand: bool | None = None,
                operator: str = "or") -> list[tuple[int, float]]:
@@ -668,8 +705,8 @@ def _levenshtein_le(a: str, b: str, cap: int) -> bool:
 
 
 def merge_partials(partials_list: list[dict], terms: list[str], k: int,
-                   exclude_sorted: np.ndarray | None = None
-                   ) -> list[tuple[int, float]]:
+                   exclude_sorted: np.ndarray | None = None,
+                   min_match: int = 1) -> list[tuple[int, float]]:
     """Merge per-term partial score vectors (possibly from several
     shard actors) into the global top-k. Accumulation is per-doc in
     sorted-term order — the determinism contract.
@@ -677,7 +714,14 @@ def merge_partials(partials_list: list[dict], terms: list[str], k: int,
     ``exclude_sorted`` (sorted int64 doc_ids) drops those docs AFTER
     accumulation and BEFORE top-k selection — the must_not branch of a
     boolean query: exclusion filters the result set, it never rescales
-    the survivors' scores."""
+    the survivors' scores.
+
+    ``min_match`` > 1 keeps only docs matching at least that many
+    DISTINCT query terms (ES minimum_should_match) — survivors keep
+    their full disjunctive scores (match-count filters, it never
+    rescales).  The entry count per doc equals its distinct-term match
+    count because each term is owned by exactly ONE shard and appears
+    at most once per doc in that shard's partial vector."""
     ids_l, sc_l = [], []
     for term in sorted(set(terms)):
         for partials in partials_list:
@@ -691,6 +735,13 @@ def merge_partials(partials_list: list[dict], terms: list[str], k: int,
     uniq, inv = np.unique(all_ids, return_inverse=True)
     acc = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(acc, inv, all_sc)
+    if min_match > 1:
+        cnt = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(cnt, inv, 1)
+        keep = cnt >= min_match
+        uniq, acc = uniq[keep], acc[keep]
+        if uniq.size == 0:
+            return []
     if exclude_sorted is not None and exclude_sorted.size and uniq.size:
         pos = np.minimum(np.searchsorted(exclude_sorted, uniq),
                          exclude_sorted.size - 1)
@@ -955,6 +1006,50 @@ class DistributedSearcher:
         excl = (np.unique(np.concatenate(excl_sets)) if excl_sets
                 else np.empty(0, dtype=np.int64))
         return merge_partials(parts, uterms, k, exclude_sorted=excl)
+
+    def _fanout_partials(self, uterms: list[str]) -> list[dict]:
+        """One round: each owning actor ships its per-term partial
+        score vectors (the `mode=\"partials\"` transport)."""
+        import ray
+        by_actor: dict[int, list[str]] = defaultdict(list)
+        for t in uterms:
+            by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
+        futs = [self.actors[a].term_partials.remote(ts)
+                for a, ts in by_actor.items()]
+        return ray.get(futs)
+
+    def search_min_match(self, terms: list[str], k: int,
+                         min_match: int) -> list[tuple[int, float]]:
+        """Distributed minimum_should_match (see
+        :meth:`Searcher.search_min_match`): per-term partials fan out
+        exactly like a disjunctive query; the count threshold is
+        applied in the driver merge (each term's vector arrives from
+        its single owning actor, so per-doc entry count = distinct
+        matched terms)."""
+        if k <= 0 or not terms:
+            return []
+        uterms = sorted(set(terms))
+        m = max(1, int(min_match))
+        if m > len(uterms):
+            return []
+        return merge_partials(self._fanout_partials(uterms), uterms, k,
+                              min_match=m)
+
+    def search_weighted(self, term_boosts: dict[str, float], k: int
+                        ) -> list[tuple[int, float]]:
+        """Distributed per-term boosts (see
+        :meth:`Searcher.search_weighted`): boosts are applied to the
+        partial vectors on the driver — transport is unchanged."""
+        if k <= 0 or not term_boosts:
+            return []
+        if any(b <= 0 for b in term_boosts.values()):
+            raise ValueError("boosts must be positive; drop the term "
+                             "or use search_boolean must_not instead")
+        uterms = sorted(term_boosts)
+        parts = self._fanout_partials(uterms)
+        boosted = [{t: (ids, sc * float(term_boosts[t]))
+                    for t, (ids, sc) in p.items()} for p in parts]
+        return merge_partials(boosted, uterms, k)
 
     def search_filtered(self, terms: list[str], k: int,
                         allowed_doc_ids, operator: str = "or"

@@ -58,7 +58,8 @@ SQL_CHECKED = [
     "bm25_facet_counts", "pii_scrub_documents",
     "repetition_scores_documents", "bm25_snippets_documents",
     "hybrid_rrf_documents", "bm25_prefix_documents",
-    "bm25_fuzzy_documents",
+    "bm25_fuzzy_documents", "bm25_min_match_documents",
+    "bm25_weighted_documents",
 ]
 
 

@@ -1,0 +1,102 @@
+"""minimum_should_match and per-term-boost query variants — both are
+filter/scale layers over the same exact disjunctive scoring: min_match
+filters by distinct-term match count without rescaling, boosts scale
+each term's contribution before the sorted-term accumulation."""
+
+import numpy as np
+import pytest
+
+
+def _queries(oracle):
+    by_df = sorted(oracle.postings,
+                   key=lambda t: (-len(oracle.postings[t]), t))
+    return [[by_df[0], by_df[40]],
+            [by_df[1], by_df[30], by_df[-4]],
+            [by_df[0], by_df[2], by_df[50], by_df[-2]],
+            [by_df[3]]]
+
+
+def test_min_match_matches_oracle(built_index):
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    n = 0
+    for q in _queries(oracle):
+        for m in range(1, len(q) + 2):
+            got = s.search_min_match(q, k=10, min_match=m)
+            want = oracle.search_min_match(q, k=10, min_match=m)
+            assert got == want, (q, m)
+            n += bool(got)
+    assert n >= 6
+
+
+def test_min_match_degenerates_to_or_and(built_index):
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    for q in _queries(oracle):
+        assert (s.search_min_match(q, k=10, min_match=1)
+                == s.search(q, k=10))
+        # m == n_terms: same docs AND same scores as operator="and"
+        assert (s.search_min_match(q, k=10, min_match=len(q))
+                == s.search(q, k=10, operator="and")), q
+
+
+def test_weighted_matches_oracle(built_index):
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    n = 0
+    for q in _queries(oracle):
+        # power-of-two boosts by sorted-term position: the multiply is
+        # EXACT, so engine/oracle stay bit-identical like unboosted
+        boosts = {t: float(1 << i) for i, t in enumerate(sorted(set(q)))}
+        got = s.search_weighted(boosts, k=10)
+        want = oracle.search_weighted(boosts, k=10)
+        assert got == want, q
+        n += bool(got)
+    assert n >= 3
+    # all-ones boosts == plain disjunctive search
+    q = _queries(oracle)[1]
+    ones = {t: 1.0 for t in q}
+    assert s.search_weighted(ones, k=10) == s.search(q, k=10)
+
+
+def test_variant_degenerates(built_index):
+    from mee_ray.query import Searcher
+
+    s = Searcher(built_index["index_root"])
+    assert s.search_min_match(["merge"], k=0, min_match=1) == []
+    assert s.search_min_match([], k=10, min_match=1) == []
+    assert s.search_min_match(["merge"], k=10, min_match=5) == []
+    assert s.search_weighted({}, k=10) == []
+    assert s.search_weighted({"merge": 2.0}, k=0) == []
+    with pytest.raises(ValueError):
+        s.search_weighted({"merge": 0.0}, k=10)
+    with pytest.raises(ValueError):
+        s.search_weighted({"merge": -1.0}, k=10)
+
+
+def test_variants_distributed(built_index, ray_session):
+    from mee_ray.query import DistributedSearcher, Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    ds = DistributedSearcher(built_index["index_root"], n_actors=3)
+    try:
+        for q in _queries(oracle):
+            for m in (1, 2, len(q)):
+                assert (ds.search_min_match(q, k=10, min_match=m)
+                        == s.search_min_match(q, k=10, min_match=m)), \
+                    (q, m)
+            boosts = {t: float(1 << i)
+                      for i, t in enumerate(sorted(set(q)))}
+            assert (ds.search_weighted(boosts, k=10)
+                    == s.search_weighted(boosts, k=10)), q
+        with pytest.raises(ValueError):
+            ds.search_weighted({"merge": -2.0}, k=10)
+    finally:
+        ds.shutdown()
