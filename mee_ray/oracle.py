@@ -35,6 +35,7 @@ class OracleIndex:
         are memory-heavy at the 96k-doc validation scale)."""
         self.bm25 = bm25 or BM25Params()
         tok = Tokenizer(tok_cfg or TokenizerConfig())
+        self.tok = tok   # kept for seed-text analysis (more_like_this)
         self.postings: dict[str, dict[int, int]] = {}
         self.dl: dict[int, int] = {}
         self.positions: dict[str, dict[int, set]] | None = \
@@ -107,6 +108,26 @@ class OracleIndex:
                 acc[doc_id] = acc.get(doc_id, 0.0) + s
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
+
+    def more_like_this(self, text: str, k: int = 10,
+                       max_terms: int = 10,
+                       exclude_doc_ids=()) -> list[tuple[int, float]]:
+        """more_like_this: top-``max_terms`` seed terms by tf·idf
+        (ties by term asc), ranked disjunctively with the seed doc(s)
+        excluded — the brute-force mirror of the engine path."""
+        counts = self.tok.counts(text)
+        scored = []
+        for t, tf in counts.items():
+            df = self.df(t)
+            if df > 0:
+                scored.append((-(float(tf) * idf(df, self.n_docs)), t))
+        scored.sort()
+        sel = [t for _, t in scored[:max_terms]]
+        if not sel:
+            return []
+        excl = set(exclude_doc_ids)
+        return [(d, s) for d, s in self.search(sel, k=self.n_docs)
+                if d not in excl][:k]
 
     def search_phrase(self, terms: list[str], k: int = 10
                       ) -> list[tuple[int, float]]:

@@ -277,6 +277,73 @@ WHERE rank <= {TOP_K}
 """
 
 
+# more_like_this seed documents (original doc_ids; the corpus is
+# 0..499 at every sf) and the number of tf·idf-selected query terms.
+MLT_SEEDS = [3, 77, 154, 231, 308, 462]
+MLT_TERMS = 5
+
+
+def bm25_mlt_documents(sf_dir: str):
+    """more_like_this (ES MLT analog): each seed document's text is
+    re-analyzed with the index tokenizer, its top-{MLT_TERMS} terms by
+    tf·idf (ties by term asc) become a disjunctive query, and the seed
+    itself is excluded from the ranking.  Emitted as
+    (query_id = seed original id, rank, doc_id) with the shared
+    tie-break."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    rev = {orig: eng for eng, orig in idmap.items()}
+    seeds = pq.read_table(f"{sf_dir}/documents.parquet",
+                          columns=["doc_id", "text"],
+                          filters=[("doc_id", "in", MLT_SEEDS)])
+    texts = dict(zip(seeds["doc_id"].to_pylist(),
+                     seeds["text"].to_pylist()))
+    results = [(sid, s.more_like_this(texts[sid], k=s.n_docs or 1,
+                                      max_terms=MLT_TERMS,
+                                      exclude_doc_ids=[rev[sid]]))
+               for sid in MLT_SEEDS]
+    return _rank_table(results, idmap)
+
+
+def _bm25_mlt_sql() -> str:
+    seeds = ", ".join(f"({sid})" for sid in MLT_SEEDS)
+    return f"""
+{_base_ctes()},
+seeds(seed_id) AS (VALUES {seeds}),
+sel AS (
+  SELECT seed_id, term FROM (
+    SELECT se.seed_id, tf.term,
+           row_number() OVER (
+             PARTITION BY se.seed_id
+             ORDER BY tf.tf * ln(1 + (s.n_docs - df.df + 0.5)
+                                     / (df.df + 0.5)) DESC,
+                      tf.term) AS r
+    FROM seeds se
+    JOIN tf ON tf.doc_id = se.seed_id
+    JOIN df ON df.term = tf.term
+    CROSS JOIN stats s)
+  WHERE r <= {MLT_TERMS}),
+scores AS (
+  SELECT sel.seed_id AS query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM sel
+  JOIN tf ON tf.term = sel.term
+  JOIN df ON df.term = sel.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> sel.seed_id
+  GROUP BY sel.seed_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
 # Filter-context query set: each reference query restricted to one
 # `lang` value (the ES bool {must: match, filter: {term: lang}} shape
 # the reference's ES backend serves).  df/idf/avgdl stay FULL-index —
@@ -1003,6 +1070,7 @@ QUERIES = {
     "bm25_fuzzy_documents": bm25_fuzzy_documents,
     "bm25_min_match_documents": bm25_min_match_documents,
     "bm25_weighted_documents": bm25_weighted_documents,
+    "bm25_mlt_documents": bm25_mlt_documents,
     "index_term_stats": index_term_stats,
     "corpus_docs_table": corpus_docs_table,
 }
@@ -1020,6 +1088,7 @@ ORACLE = {
     "bm25_fuzzy_documents": _bm25_fuzzy_sql(),
     "bm25_min_match_documents": _bm25_min_match_sql(),
     "bm25_weighted_documents": _bm25_weighted_sql(),
+    "bm25_mlt_documents": _bm25_mlt_sql(),
     "index_term_stats": INDEX_STATS_SQL,
     "corpus_docs_table": CORPUS_DOCS_SQL,
 }

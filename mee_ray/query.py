@@ -259,6 +259,7 @@ class Searcher:
         # — valid for this snapshot's lifetime (immutable files)
         self._merge_cache: dict = {}
         self._vocab: list[str] | None = None  # sorted, built on demand
+        self._tok = None  # index-config tokenizer, built on demand
         self._shards: dict[int, _ShardIndex] = {}
         self._subset = set(shard_subset) if shard_subset is not None else None
         base, delta = _segment_files(index_root, self.manifest)
@@ -576,6 +577,61 @@ class Searcher:
         excl = self.excluded_doc_ids(must_not)
         return merge_partials([partials], uterms, k, exclude_sorted=excl)
 
+    def _tokenizer(self):
+        """The index's OWN tokenizer, reconstructed from the manifest
+        (the same rule lifecycle entry points use) — seed text in
+        more_like_this must analyze exactly like the indexed corpus."""
+        if self._tok is None:
+            from mee_ray.config import config_from_manifest
+            from mee_ray.tokenizer import Tokenizer
+            self._tok = Tokenizer(config_from_manifest(self.manifest).tokenizer)
+        return self._tok
+
+    def term_df(self, term: str) -> int:
+        """LIVE document frequency of one term.  Dictionary-only
+        (chunk df sums — no posting decode) on a tombstone-free
+        snapshot, where base and delta doc sets are disjoint (a re-add
+        of a live key is either a no-op upsert or tombstone+re-add);
+        with deletes pending the stored dfs are stale, so the live
+        postings are decoded instead."""
+        s = term_hash(term) % self.num_shards
+        if not self.owns(s):
+            return 0
+        if len(self.tombstones):
+            ids, _, _ = self._live_postings(s, term)
+            return len(ids)
+        return sum(c["df"] for c in self._shard(s).chunk_meta(term))
+
+    def select_mlt_terms(self, text: str, max_terms: int,
+                         df_of=None) -> list[str]:
+        """more_like_this term selection: analyze ``text`` with the
+        index tokenizer, score each in-dictionary term tf·idf (float
+        product, same operand order as the SQL oracle), keep the top
+        ``max_terms`` with ties broken by term asc."""
+        counts = self._tokenizer().counts(text)
+        return select_terms_tfidf(counts, self.n_docs,
+                                  df_of or self.term_df, max_terms)
+
+    def more_like_this(self, text: str, k: int = 10,
+                       max_terms: int = 10, exclude_doc_ids=None
+                       ) -> list[tuple[int, float]]:
+        """ES ``more_like_this`` analog: re-analyze the seed text,
+        select the top ``max_terms`` terms by tf·idf against the live
+        dictionary, then rank the selection disjunctively with the
+        seed doc(s) excluded (exclusion filters after accumulation,
+        it never rescales — the must_not stance)."""
+        if k <= 0 or max_terms <= 0 or not text:
+            return []
+        sel = self.select_mlt_terms(text, max_terms)
+        if not sel:
+            return []
+        excl = None
+        if exclude_doc_ids is not None:
+            excl = np.unique(np.asarray(list(exclude_doc_ids),
+                                        dtype=np.int64))
+        partials = self.term_partials(sel)
+        return merge_partials([partials], sel, k, exclude_sorted=excl)
+
     def search_min_match(self, terms: list[str], k: int,
                          min_match: int) -> list[tuple[int, float]]:
         """ES ``minimum_should_match`` analog: rank only documents
@@ -702,6 +758,21 @@ def _levenshtein_le(a: str, b: str, cap: int) -> bool:
             return False
         prev = cur
     return prev[-1] <= cap
+
+
+def select_terms_tfidf(counts, n_docs: int, df_of, max_terms: int
+                       ) -> list[str]:
+    """Top-``max_terms`` terms of a token-count map by tf·idf against
+    the live dictionary (terms with df=0 dropped; ties broken by term
+    asc — the same ordering the SQL oracle's window uses).  Shared by
+    the local and distributed more_like_this paths."""
+    scored = []
+    for t, tf in counts.items():
+        df = df_of(t)
+        if df > 0:
+            scored.append((-(float(tf) * idf(df, n_docs)), t))
+    scored.sort()
+    return [t for _, t in scored[:max_terms]]
 
 
 def merge_partials(partials_list: list[dict], terms: list[str], k: int,
@@ -852,6 +923,8 @@ class DistributedSearcher:
         self.n_actors_requested = n_actors
         self.manifest = mf.load_manifest(index_root, epoch)
         self.num_shards = self.manifest["num_shards"]
+        self.n_docs, _ = mf.live_stats(self.manifest)
+        self._tok = None  # driver-side tokenizer for mlt seed text
         # never request more 1-CPU actors than the cluster can schedule
         # — an unsatisfiable pool blocks warm() forever
         cluster_cpus = int(ray.cluster_resources().get("CPU", n_actors))
@@ -887,6 +960,10 @@ class DistributedSearcher:
                 return {t: np.unique(self.searcher._live_postings(
                     term_hash(t) % self.searcher.num_shards, t)[0])
                         for t in terms}
+
+            def term_dfs(self, terms):
+                # dictionary-only live dfs (mlt term selection)
+                return {t: self.searcher.term_df(t) for t in terms}
 
             def term_doc_positions(self, terms, candidates=None):
                 return {t: self.searcher.term_doc_positions(t, candidates)
@@ -1050,6 +1127,41 @@ class DistributedSearcher:
         boosted = [{t: (ids, sc * float(term_boosts[t]))
                     for t, (ids, sc) in p.items()} for p in parts]
         return merge_partials(boosted, uterms, k)
+
+    def more_like_this(self, text: str, k: int = 10,
+                       max_terms: int = 10, exclude_doc_ids=None
+                       ) -> list[tuple[int, float]]:
+        """Distributed more_like_this (see
+        :meth:`Searcher.more_like_this`): seed analysis on the driver,
+        one dictionary-only df fan-out for the seed's terms (no
+        posting decode crosses the wire), selection on the driver,
+        then the standard partials fan-out over the selected terms."""
+        import ray
+        if k <= 0 or max_terms <= 0 or not text:
+            return []
+        if self._tok is None:
+            from mee_ray.config import config_from_manifest
+            from mee_ray.tokenizer import Tokenizer
+            self._tok = Tokenizer(
+                config_from_manifest(self.manifest).tokenizer)
+        counts = self._tok.counts(text)
+        by_actor: dict[int, list[str]] = defaultdict(list)
+        for t in sorted(counts):
+            by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
+        dfs: dict[str, int] = {}
+        for d in ray.get([self.actors[a].term_dfs.remote(ts)
+                          for a, ts in by_actor.items()]):
+            dfs.update(d)
+        sel = select_terms_tfidf(counts, self.n_docs,
+                                 lambda t: dfs.get(t, 0), max_terms)
+        if not sel:
+            return []
+        excl = None
+        if exclude_doc_ids is not None:
+            excl = np.unique(np.asarray(list(exclude_doc_ids),
+                                        dtype=np.int64))
+        return merge_partials(self._fanout_partials(sel), sel, k,
+                              exclude_sorted=excl)
 
     def search_filtered(self, terms: list[str], k: int,
                         allowed_doc_ids, operator: str = "or"

@@ -59,7 +59,7 @@ SQL_CHECKED = [
     "repetition_scores_documents", "bm25_snippets_documents",
     "hybrid_rrf_documents", "bm25_prefix_documents",
     "bm25_fuzzy_documents", "bm25_min_match_documents",
-    "bm25_weighted_documents",
+    "bm25_weighted_documents", "bm25_mlt_documents",
 ]
 
 

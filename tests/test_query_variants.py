@@ -80,6 +80,42 @@ def test_variant_degenerates(built_index):
         s.search_weighted({"merge": -1.0}, k=10)
 
 
+def test_more_like_this_matches_oracle(built_index):
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    docs = sorted(built_index["docs"])
+    n = 0
+    for did, text in docs[:6] + docs[-3:]:
+        for mt in (3, 10):
+            got = s.more_like_this(text, k=10, max_terms=mt,
+                                   exclude_doc_ids=[did])
+            want = oracle.more_like_this(text, k=10, max_terms=mt,
+                                         exclude_doc_ids=[did])
+            assert got == want, (did, mt)
+            assert all(d != did for d, _ in got)
+            n += bool(got)
+    assert n >= 8
+    # term selection itself is deterministic and df-filtered
+    did, text = docs[0]
+    sel = s.select_mlt_terms(text, 5)
+    assert len(sel) <= 5 and len(set(sel)) == len(sel)
+    assert all(s.term_df(t) > 0 for t in sel)
+
+
+def test_more_like_this_degenerate(built_index):
+    from mee_ray.query import Searcher
+
+    s = Searcher(built_index["index_root"])
+    assert s.more_like_this("", k=10) == []
+    assert s.more_like_this("merge sort", k=0) == []
+    assert s.more_like_this("merge sort", k=10, max_terms=0) == []
+    # seed containing no indexed terms selects nothing (single token —
+    # the code tokenizer would split a snake_case probe into subtokens)
+    assert s.more_like_this("zzzzqqqqxxxx", k=10) == []
+
+
 def test_variants_distributed(built_index, ray_session):
     from mee_ray.query import DistributedSearcher, Searcher
 
@@ -98,5 +134,10 @@ def test_variants_distributed(built_index, ray_session):
                     == s.search_weighted(boosts, k=10)), q
         with pytest.raises(ValueError):
             ds.search_weighted({"merge": -2.0}, k=10)
+        for did, text in sorted(built_index["docs"])[:4]:
+            assert (ds.more_like_this(text, k=10, max_terms=5,
+                                      exclude_doc_ids=[did])
+                    == s.more_like_this(text, k=10, max_terms=5,
+                                        exclude_doc_ids=[did])), did
     finally:
         ds.shutdown()
