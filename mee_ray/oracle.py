@@ -109,6 +109,41 @@ class OracleIndex:
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def search_after(self, terms: list[str], size: int = 10,
+                     after=None) -> list[tuple[int, float]]:
+        """Cursor pagination: full ranking post-filtered strictly
+        after the (doc_id, score) cursor (a result-row tuple) — the
+        brute-force mirror of the engine's exact-score page filter."""
+        full = self.search(terms, k=self.n_docs)
+        if after is not None:
+            c_d, c_s = int(after[0]), float(after[1])
+            full = [(d, s) for d, s in full
+                    if s < c_s or (s == c_s and d > c_d)]
+        return full[:size]
+
+    def search_dismax(self, terms: list[str], k: int = 10,
+                      tie_breaker: float = 0.0
+                      ) -> list[tuple[int, float]]:
+        """Dis-max top-k: max + tie_breaker·(sum − max) over per-term
+        contributions, the sum accumulated in sorted-term order."""
+        p = self.bm25
+        acc: dict[int, float] = {}
+        mx: dict[int, float] = {}
+        for term in sorted(set(terms)):
+            plist = self.postings.get(term)
+            if not plist:
+                continue
+            w = idf(len(plist), self.n_docs)
+            for doc_id, tf in plist.items():
+                s = w * tfn_scalar(float(tf), float(self.dl[doc_id]),
+                                   self.avgdl, p)
+                acc[doc_id] = acc.get(doc_id, 0.0) + s
+                mx[doc_id] = max(mx.get(doc_id, -float("inf")), s)
+        ranked = sorted(
+            ((d, mx[d] + tie_breaker * (acc[d] - mx[d])) for d in acc),
+            key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def more_like_this(self, text: str, k: int = 10,
                        max_terms: int = 10,
                        exclude_doc_ids=()) -> list[tuple[int, float]]:

@@ -277,6 +277,94 @@ WHERE rank <= {TOP_K}
 """
 
 
+DISMAX_TB = 0.5   # exact power of two: the tb multiply stays exact
+PAGE_SIZE = 97    # deliberately awkward page size — splits tie runs
+PAGED_K = 20      # emitted depth of the stitched-pages query
+
+
+def bm25_dismax_documents(sf_dir: str):
+    """Dis-max BM25 top-k (ES ``dis_max``): score = best single-term
+    contribution + {DISMAX_TB} × the remaining contributions.  Emitted
+    as (query_id, rank, doc_id) with the shared tie-break."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_dismax(terms, k=s.n_docs or 1,
+                                     tie_breaker=DISMAX_TB))
+               for qid, terms in REFERENCE_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _bm25_dismax_sql() -> str:
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id, {_SCORE_TERM} AS st
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+scores AS (
+  SELECT query_id, doc_id,
+         max(st) + {DISMAX_TB} * (sum(st) - max(st)) AS score
+  FROM contrib GROUP BY query_id, doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
+def bm25_search_after_documents(sf_dir: str):
+    """Cursor pagination (ES ``search_after``): each reference query's
+    FULL ranking is reconstructed by stitching {PAGE_SIZE}-sized
+    cursor pages (the page size deliberately splits exact-tie runs),
+    then re-ranked by (score desc, original id) and emitted to depth
+    {PAGED_K}.  Any page-boundary duplicate or drop near the top
+    surfaces as an oracle mismatch; exact whole-ranking reconstruction
+    is asserted by the pytest suite."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = []
+    for qid, terms in REFERENCE_QUERIES:
+        pages, cursor = [], None
+        while True:
+            page = s.search_after(terms, size=PAGE_SIZE, after=cursor)
+            if not page:
+                break
+            pages.extend(page)
+            cursor = page[-1]
+        results.append((qid, pages))
+    return _rank_table(results, _orig_id_map(root), cap=PAGED_K)
+
+
+def _bm25_search_after_sql() -> str:
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {PAGED_K}
+"""
+
+
 # more_like_this seed documents (original doc_ids; the corpus is
 # 0..499 at every sf) and the number of tf·idf-selected query terms.
 MLT_SEEDS = [3, 77, 154, 231, 308, 462]
@@ -1071,6 +1159,8 @@ QUERIES = {
     "bm25_min_match_documents": bm25_min_match_documents,
     "bm25_weighted_documents": bm25_weighted_documents,
     "bm25_mlt_documents": bm25_mlt_documents,
+    "bm25_dismax_documents": bm25_dismax_documents,
+    "bm25_search_after_documents": bm25_search_after_documents,
     "index_term_stats": index_term_stats,
     "corpus_docs_table": corpus_docs_table,
 }
@@ -1089,6 +1179,8 @@ ORACLE = {
     "bm25_min_match_documents": _bm25_min_match_sql(),
     "bm25_weighted_documents": _bm25_weighted_sql(),
     "bm25_mlt_documents": _bm25_mlt_sql(),
+    "bm25_dismax_documents": _bm25_dismax_sql(),
+    "bm25_search_after_documents": _bm25_search_after_sql(),
     "index_term_stats": INDEX_STATS_SQL,
     "corpus_docs_table": CORPUS_DOCS_SQL,
 }

@@ -632,6 +632,38 @@ class Searcher:
         partials = self.term_partials(sel)
         return merge_partials([partials], sel, k, exclude_sorted=excl)
 
+    def search_after(self, terms: list[str], size: int = 10,
+                     after: tuple[int, float] | None = None
+                     ) -> list[tuple[int, float]]:
+        """Cursor pagination (ES ``search_after``): the next ``size``
+        results STRICTLY after the cursor in the (-score, doc_id)
+        ranking order (``after=None`` is page one; the cursor is the
+        previous page's last (doc_id, score) result tuple, passed
+        verbatim).
+        Stateless like ES — each page recomputes the ranking and
+        filters at exact accumulated scores, so stitched pages
+        reconstruct the full ranking with no duplicate or dropped doc
+        even across exact-tie runs.  Exhaustive path by design: a
+        cursor upper-bounds scores, which the lower-bound WAND
+        pruning cannot exploit."""
+        if size <= 0 or not terms:
+            return []
+        uterms = sorted(set(terms))
+        partials = self.term_partials(uterms)
+        return merge_partials([partials], uterms, size, after=after)
+
+    def search_dismax(self, terms: list[str], k: int = 10,
+                      tie_breaker: float = 0.0
+                      ) -> list[tuple[int, float]]:
+        """Dis-max ranking (ES ``dis_max``): best single-term
+        contribution + tie_breaker × the rest (see
+        :func:`merge_partials_dismax`)."""
+        if k <= 0 or not terms:
+            return []
+        uterms = sorted(set(terms))
+        partials = self.term_partials(uterms)
+        return merge_partials_dismax([partials], uterms, k, tie_breaker)
+
     def search_min_match(self, terms: list[str], k: int,
                          min_match: int) -> list[tuple[int, float]]:
         """ES ``minimum_should_match`` analog: rank only documents
@@ -777,7 +809,9 @@ def select_terms_tfidf(counts, n_docs: int, df_of, max_terms: int
 
 def merge_partials(partials_list: list[dict], terms: list[str], k: int,
                    exclude_sorted: np.ndarray | None = None,
-                   min_match: int = 1) -> list[tuple[int, float]]:
+                   min_match: int = 1,
+                   after: tuple[float, int] | None = None
+                   ) -> list[tuple[int, float]]:
     """Merge per-term partial score vectors (possibly from several
     shard actors) into the global top-k. Accumulation is per-doc in
     sorted-term order — the determinism contract.
@@ -792,7 +826,14 @@ def merge_partials(partials_list: list[dict], terms: list[str], k: int,
     their full disjunctive scores (match-count filters, it never
     rescales).  The entry count per doc equals its distinct-term match
     count because each term is owned by exactly ONE shard and appears
-    at most once per doc in that shard's partial vector."""
+    at most once per doc in that shard's partial vector.
+
+    ``after`` = a (doc_id, score) cursor — the shape of a RESULT row,
+    so the previous page's last tuple is passed verbatim: only docs
+    STRICTLY after it in the (-score, doc_id) ranking order survive
+    to the top-k (the search_after pagination filter).  Applied to
+    exact accumulated scores, so a page boundary can never duplicate
+    or drop a doc even inside an exact-score tie run."""
     ids_l, sc_l = [], []
     for term in sorted(set(terms)):
         for partials in partials_list:
@@ -810,6 +851,12 @@ def merge_partials(partials_list: list[dict], terms: list[str], k: int,
         cnt = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(cnt, inv, 1)
         keep = cnt >= min_match
+        uniq, acc = uniq[keep], acc[keep]
+        if uniq.size == 0:
+            return []
+    if after is not None:
+        c_d, c_s = int(after[0]), float(after[1])
+        keep = (acc < c_s) | ((acc == c_s) & (uniq > c_d))
         uniq, acc = uniq[keep], acc[keep]
         if uniq.size == 0:
             return []
@@ -907,6 +954,36 @@ def merge_partials_conjunctive(partials_list: list[dict],
         ids_s, sc_s = ids[order], sc[order]
         acc += sc_s[np.searchsorted(ids_s, common)]
     ids, scores = top_k_select(common, acc, k)
+    return list(zip(ids.tolist(), scores.tolist()))
+
+
+def merge_partials_dismax(partials_list: list[dict], terms: list[str],
+                          k: int, tie_breaker: float = 0.0
+                          ) -> list[tuple[int, float]]:
+    """Dis-max merge (ES ``dis_max`` over per-term queries): a doc's
+    score is its BEST single-term contribution plus ``tie_breaker`` ×
+    the sum of its remaining contributions —
+    ``max + tb·(sum − max)`` with the sum accumulated in sorted-term
+    order (the shared determinism contract; tb=0 is pure best-field,
+    tb=1 matches the disjunctive sum up to one float rounding —
+    ``(sum−max)+max`` need not equal ``sum`` bit-for-bit)."""
+    ids_l, sc_l = [], []
+    for term in sorted(set(terms)):
+        for partials in partials_list:
+            got = partials.get(term)
+            if got is not None:
+                ids_l.append(got[0]); sc_l.append(got[1])
+    if not ids_l:
+        return []
+    all_ids = np.concatenate(ids_l)
+    all_sc = np.concatenate(sc_l)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, all_sc)
+    amax = np.full(len(uniq), -np.inf, dtype=np.float64)
+    np.maximum.at(amax, inv, all_sc)
+    score = amax + tie_breaker * (acc - amax)
+    ids, scores = top_k_select(uniq, score, k)
     return list(zip(ids.tolist(), scores.tolist()))
 
 
@@ -1127,6 +1204,28 @@ class DistributedSearcher:
         boosted = [{t: (ids, sc * float(term_boosts[t]))
                     for t, (ids, sc) in p.items()} for p in parts]
         return merge_partials(boosted, uterms, k)
+
+    def search_after(self, terms: list[str], size: int = 10,
+                     after: tuple[int, float] | None = None
+                     ) -> list[tuple[int, float]]:
+        """Distributed cursor pagination (see
+        :meth:`Searcher.search_after`): one partials fan-out per page,
+        cursor filter in the driver merge."""
+        if size <= 0 or not terms:
+            return []
+        uterms = sorted(set(terms))
+        return merge_partials(self._fanout_partials(uterms), uterms,
+                              size, after=after)
+
+    def search_dismax(self, terms: list[str], k: int = 10,
+                      tie_breaker: float = 0.0
+                      ) -> list[tuple[int, float]]:
+        """Distributed dis-max (see :meth:`Searcher.search_dismax`)."""
+        if k <= 0 or not terms:
+            return []
+        uterms = sorted(set(terms))
+        return merge_partials_dismax(self._fanout_partials(uterms),
+                                     uterms, k, tie_breaker)
 
     def more_like_this(self, text: str, k: int = 10,
                        max_terms: int = 10, exclude_doc_ids=None

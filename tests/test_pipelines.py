@@ -60,6 +60,7 @@ SQL_CHECKED = [
     "hybrid_rrf_documents", "bm25_prefix_documents",
     "bm25_fuzzy_documents", "bm25_min_match_documents",
     "bm25_weighted_documents", "bm25_mlt_documents",
+    "bm25_dismax_documents", "bm25_search_after_documents",
 ]
 
 

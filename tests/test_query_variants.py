@@ -80,6 +80,76 @@ def test_variant_degenerates(built_index):
         s.search_weighted({"merge": -1.0}, k=10)
 
 
+def test_search_after_reconstructs_full_ranking(built_index):
+    """Stitching cursor pages (several page sizes, including sizes
+    that split exact-tie runs) must reproduce the full ranking with
+    no duplicate, dropped, or re-ordered doc."""
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+
+    def stitch(q, size):
+        pages, cursor = [], None
+        while True:
+            page = s.search_after(q, size=size, after=cursor)
+            if not page:
+                break
+            assert len(page) <= size
+            pages.extend(page)
+            cursor = page[-1]
+        return pages
+
+    # hot queries: big result sets, so use page sizes that keep the
+    # page count modest (each page recomputes the ranking, like ES)
+    for q in _queries(oracle)[:3]:
+        full = s.search(q, k=s.n_docs or 1)
+        for size in (503, max(1, len(full) // 3)):
+            assert stitch(q, size) == full, (q, size)
+    # a rare term: small result set — walk it one doc per page, the
+    # harshest tie-splitting case
+    rare = min(oracle.postings, key=lambda t: (len(oracle.postings[t]), t))
+    full = s.search([rare], k=s.n_docs or 1)
+    assert 0 < len(full) <= 64
+    assert stitch([rare], 1) == full
+
+
+def test_search_after_matches_oracle(built_index):
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    for q in _queries(oracle):
+        p1 = s.search_after(q, size=10)
+        assert p1 == oracle.search_after(q, size=10), q
+        if len(p1) == 10:
+            c = p1[-1]
+            assert (s.search_after(q, size=10, after=c)
+                    == oracle.search_after(q, size=10, after=c)), q
+    assert s.search_after([], size=10) == []
+    assert s.search_after(["merge"], size=0) == []
+
+
+def test_dismax_matches_oracle(built_index):
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    n = 0
+    for q in _queries(oracle):
+        for tb in (0.0, 0.5, 1.0):
+            got = s.search_dismax(q, k=10, tie_breaker=tb)
+            want = oracle.search_dismax(q, k=10, tie_breaker=tb)
+            assert got == want, (q, tb)
+            n += bool(got)
+    assert n >= 6
+    # single-term: dis_max degenerates to the plain ranking
+    one = _queries(oracle)[-1]
+    assert s.search_dismax(one, k=10) == s.search(one, k=10)
+    assert s.search_dismax([], k=10) == []
+    assert s.search_dismax(["merge"], k=0) == []
+
+
 def test_more_like_this_matches_oracle(built_index):
     from mee_ray.query import Searcher
 
@@ -139,5 +209,13 @@ def test_variants_distributed(built_index, ray_session):
                                       exclude_doc_ids=[did])
                     == s.more_like_this(text, k=10, max_terms=5,
                                         exclude_doc_ids=[did])), did
+        for q in _queries(oracle)[:2]:
+            p1 = ds.search_after(q, size=10)
+            assert p1 == s.search_after(q, size=10), q
+            if len(p1) == 10:
+                assert (ds.search_after(q, size=10, after=p1[-1])
+                        == s.search_after(q, size=10, after=p1[-1])), q
+            assert (ds.search_dismax(q, k=10, tie_breaker=0.5)
+                    == s.search_dismax(q, k=10, tie_breaker=0.5)), q
     finally:
         ds.shutdown()
