@@ -277,6 +277,112 @@ WHERE rank <= {TOP_K}
 """
 
 
+SIG_DOCS = 30     # foreground sample: top-ranked docs per query
+SIG_MIN_FG = 3    # ES min_doc_count analog: drop one-off terms
+SIG_K = 10        # significant terms emitted per query
+
+
+def bm25_significant_terms(sf_dir: str):
+    """Significant-terms aggregation (ES ``significant_terms`` in
+    query context): foreground = each reference query's top-{SIG_DOCS}
+    documents (the shared (score desc, original id) ranking),
+    background = the full corpus.  A term's significance is its lift
+    ``(fg/{SIG_DOCS}) / (bg_df/n_docs)``; terms in fewer than
+    {SIG_MIN_FG} foreground docs are dropped (the min_doc_count
+    stance).  Stored-field fetch is bounded to the foreground ids via
+    a distributed pruned scan (the snippets pattern); background dfs
+    are dictionary-only lookups.  Emitted as
+    (query_id, rank, term, fg_count)."""
+    import re
+
+    import pyarrow.compute as pc
+
+    from mee_ray.pipelines.text import _read_docs
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    top = _rank_rows(_reference_text_results(s), _orig_id_map(root),
+                     SIG_DOCS)
+    need_ids = sorted({d for _, _, d in top})
+    vs = pa.array(need_ids, pa.int64())
+
+    def pick(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t["doc_id"], value_set=vs))
+
+    tok = re.compile(TOKEN_PATTERN)
+    term_sets: dict[int, set] = {}
+    fetched = _read_docs(sf_dir, ["doc_id", "text"]) \
+        .map_batches(pick, batch_format="pyarrow")
+    for b in fetched.iter_batches(batch_format="pyarrow"):
+        for d, x in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
+            term_sets[d] = set(tok.findall(x.lower()))
+
+    by_query: dict[int, list[int]] = {}
+    for qid, _, did in top:
+        by_query.setdefault(qid, []).append(did)
+    out_q, out_r, out_t, out_f = [], [], [], []
+    n_docs_f = float(s.n_docs)
+    for qid in sorted(by_query):
+        fg: dict[str, int] = {}
+        for did in by_query[qid]:
+            for t in term_sets[did]:
+                fg[t] = fg.get(t, 0) + 1
+        sig = []
+        for t, c in fg.items():
+            if c < SIG_MIN_FG:
+                continue
+            bg = s.term_df(t)
+            lift = (c / float(SIG_DOCS)) / (bg / n_docs_f)
+            sig.append((-lift, t, c))
+        sig.sort()
+        for rank, (_, t, c) in enumerate(sig[:SIG_K], start=1):
+            out_q.append(qid); out_r.append(rank)
+            out_t.append(t); out_f.append(c)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "term": pa.array(out_t, pa.string()),
+                     "fg_count": pa.array(out_f, pa.int64())})
+
+
+def _bm25_sig_terms_sql() -> str:
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+top AS (
+  SELECT query_id, doc_id FROM (
+    SELECT query_id, doc_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, doc_id) AS r
+    FROM scores)
+  WHERE r <= {SIG_DOCS}),
+fg AS (
+  SELECT t.query_id, tf.term, count(*) AS fg
+  FROM top t JOIN tf ON tf.doc_id = t.doc_id
+  GROUP BY t.query_id, tf.term
+  HAVING count(*) >= {SIG_MIN_FG}),
+sig AS (
+  SELECT fg.query_id, fg.term, fg.fg,
+         (CAST(fg.fg AS DOUBLE) / {SIG_DOCS})
+         / (CAST(df.df AS DOUBLE) / s.n_docs) AS lift
+  FROM fg JOIN df ON df.term = fg.term CROSS JOIN stats s)
+SELECT query_id, rank, term, fg_count
+FROM (SELECT query_id, term, fg AS fg_count,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY lift DESC, term) AS rank
+      FROM sig)
+WHERE rank <= {SIG_K}
+"""
+
+
 DISMAX_TB = 0.5   # exact power of two: the tb multiply stays exact
 PAGE_SIZE = 97    # deliberately awkward page size — splits tie runs
 PAGED_K = 20      # emitted depth of the stitched-pages query
@@ -1161,6 +1267,7 @@ QUERIES = {
     "bm25_mlt_documents": bm25_mlt_documents,
     "bm25_dismax_documents": bm25_dismax_documents,
     "bm25_search_after_documents": bm25_search_after_documents,
+    "bm25_significant_terms": bm25_significant_terms,
     "index_term_stats": index_term_stats,
     "corpus_docs_table": corpus_docs_table,
 }
@@ -1181,6 +1288,7 @@ ORACLE = {
     "bm25_mlt_documents": _bm25_mlt_sql(),
     "bm25_dismax_documents": _bm25_dismax_sql(),
     "bm25_search_after_documents": _bm25_search_after_sql(),
+    "bm25_significant_terms": _bm25_sig_terms_sql(),
     "index_term_stats": INDEX_STATS_SQL,
     "corpus_docs_table": CORPUS_DOCS_SQL,
 }

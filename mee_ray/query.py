@@ -508,11 +508,11 @@ class Searcher:
         """Sorted union of the index's terms across owned shards —
         dictionary-only (term columns are already memory-resident per
         shard; no posting decode).  Feeds prefix/fuzzy query
-        expansion.  Scale note: a multi-million-term vocabulary makes
-        a linear scan per query expensive — the documented upgrade is
-        a sorted-array binary search for prefixes (the dictionary IS
-        sorted per segment) and a deletion-neighborhood index for
-        fuzzy, both built once per Searcher snapshot."""
+        expansion.  Built once per snapshot (cached).  Prefix
+        expansion binary-searches this sorted array
+        (O(log V + matches)); fuzzy still scans linearly — the
+        documented upgrade there is a deletion-neighborhood index,
+        also buildable once per snapshot."""
         if self._vocab is None:
             out: set[str] = set()
             for sh in range(self.num_shards):
@@ -530,10 +530,17 @@ class Searcher:
         vocabulary."""
         if k <= 0 or not prefix:
             return []
-        terms = [t for t in self.vocabulary() if t.startswith(prefix)]
-        if not terms:
+        import bisect
+        vocab = self.vocabulary()
+        # the dictionary is sorted, so the prefix run is contiguous:
+        # O(log V) to find its start, O(|matches|) to walk it
+        lo = bisect.bisect_left(vocab, prefix)
+        hi = lo
+        while hi < len(vocab) and vocab[hi].startswith(prefix):
+            hi += 1
+        if lo == hi:
             return []
-        return self.search(terms, k)
+        return self.search(vocab[lo:hi], k)
 
     def search_fuzzy(self, term: str, k: int = 10, max_edits: int = 1
                      ) -> list[tuple[int, float]]:
