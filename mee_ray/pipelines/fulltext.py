@@ -291,10 +291,10 @@ def bm25_significant_terms(sf_dir: str):
     {SIG_MIN_FG} foreground docs are dropped (the min_doc_count
     stance).  Stored-field fetch is bounded to the foreground ids via
     a distributed pruned scan (the snippets pattern); background dfs
-    are dictionary-only lookups.  Emitted as
-    (query_id, rank, term, fg_count)."""
-    import re
-
+    are dictionary-only lookups.  Foreground text is analyzed with
+    the INDEX'S tokenizer (not a parallel regex), so every counted
+    term exists in the dictionary and bg_df > 0 by construction.
+    Emitted as (query_id, rank, term, fg_count)."""
     import pyarrow.compute as pc
 
     from mee_ray.pipelines.text import _read_docs
@@ -309,13 +309,13 @@ def bm25_significant_terms(sf_dir: str):
     def pick(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t["doc_id"], value_set=vs))
 
-    tok = re.compile(TOKEN_PATTERN)
+    tok = s._tokenizer()
     term_sets: dict[int, set] = {}
     fetched = _read_docs(sf_dir, ["doc_id", "text"]) \
         .map_batches(pick, batch_format="pyarrow")
     for b in fetched.iter_batches(batch_format="pyarrow"):
         for d, x in zip(b["doc_id"].to_pylist(), b["text"].to_pylist()):
-            term_sets[d] = set(tok.findall(x.lower()))
+            term_sets[d] = set(tok.counts(x))
 
     by_query: dict[int, list[int]] = {}
     for qid, _, did in top:
@@ -332,6 +332,8 @@ def bm25_significant_terms(sf_dir: str):
             if c < SIG_MIN_FG:
                 continue
             bg = s.term_df(t)
+            if bg == 0:   # unreachable with the index tokenizer;
+                continue  # defensive against analyzer drift
             lift = (c / float(SIG_DOCS)) / (bg / n_docs_f)
             sig.append((-lift, t, c))
         sig.sort()

@@ -589,9 +589,7 @@ class Searcher:
         (the same rule lifecycle entry points use) — seed text in
         more_like_this must analyze exactly like the indexed corpus."""
         if self._tok is None:
-            from mee_ray.config import config_from_manifest
-            from mee_ray.tokenizer import Tokenizer
-            self._tok = Tokenizer(config_from_manifest(self.manifest).tokenizer)
+            self._tok = tokenizer_from_manifest(self.manifest)
         return self._tok
 
     def term_df(self, term: str) -> int:
@@ -799,6 +797,37 @@ def _levenshtein_le(a: str, b: str, cap: int) -> bool:
     return prev[-1] <= cap
 
 
+def tokenizer_from_manifest(manifest: dict):
+    """The index's OWN tokenizer, reconstructed from the manifest —
+    the one rule for anything that re-analyzes text against a built
+    index (more_like_this seed analysis, local and distributed)."""
+    from mee_ray.config import config_from_manifest
+    from mee_ray.tokenizer import Tokenizer
+    return Tokenizer(config_from_manifest(manifest).tokenizer)
+
+
+def _gather_accumulate(partials_list: list[dict], terms: list[str]):
+    """The shared merge preamble: gather per-term partial vectors in
+    SORTED-TERM order (the determinism contract — concatenation order
+    IS the float addition order of np.add.at) and accumulate per-doc
+    sums.  Returns (uniq_ids, inverse, acc_sums, all_scores), or None
+    when no term has postings."""
+    ids_l, sc_l = [], []
+    for term in sorted(set(terms)):
+        for partials in partials_list:
+            got = partials.get(term)
+            if got is not None:
+                ids_l.append(got[0]); sc_l.append(got[1])
+    if not ids_l:
+        return None
+    all_ids = np.concatenate(ids_l)
+    all_sc = np.concatenate(sc_l)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, all_sc)
+    return uniq, inv, acc, all_sc
+
+
 def select_terms_tfidf(counts, n_docs: int, df_of, max_terms: int
                        ) -> list[str]:
     """Top-``max_terms`` terms of a token-count map by tf·idf against
@@ -817,7 +846,7 @@ def select_terms_tfidf(counts, n_docs: int, df_of, max_terms: int
 def merge_partials(partials_list: list[dict], terms: list[str], k: int,
                    exclude_sorted: np.ndarray | None = None,
                    min_match: int = 1,
-                   after: tuple[float, int] | None = None
+                   after: tuple[int, float] | None = None
                    ) -> list[tuple[int, float]]:
     """Merge per-term partial score vectors (possibly from several
     shard actors) into the global top-k. Accumulation is per-doc in
@@ -841,19 +870,10 @@ def merge_partials(partials_list: list[dict], terms: list[str], k: int,
     to the top-k (the search_after pagination filter).  Applied to
     exact accumulated scores, so a page boundary can never duplicate
     or drop a doc even inside an exact-score tie run."""
-    ids_l, sc_l = [], []
-    for term in sorted(set(terms)):
-        for partials in partials_list:
-            got = partials.get(term)
-            if got is not None:
-                ids_l.append(got[0]); sc_l.append(got[1])
-    if not ids_l:
+    gathered = _gather_accumulate(partials_list, terms)
+    if gathered is None:
         return []
-    all_ids = np.concatenate(ids_l)
-    all_sc = np.concatenate(sc_l)
-    uniq, inv = np.unique(all_ids, return_inverse=True)
-    acc = np.zeros(len(uniq), dtype=np.float64)
-    np.add.at(acc, inv, all_sc)
+    uniq, inv, acc, all_sc = gathered
     if min_match > 1:
         cnt = np.zeros(len(uniq), dtype=np.int64)
         np.add.at(cnt, inv, 1)
@@ -974,19 +994,10 @@ def merge_partials_dismax(partials_list: list[dict], terms: list[str],
     order (the shared determinism contract; tb=0 is pure best-field,
     tb=1 matches the disjunctive sum up to one float rounding —
     ``(sum−max)+max`` need not equal ``sum`` bit-for-bit)."""
-    ids_l, sc_l = [], []
-    for term in sorted(set(terms)):
-        for partials in partials_list:
-            got = partials.get(term)
-            if got is not None:
-                ids_l.append(got[0]); sc_l.append(got[1])
-    if not ids_l:
+    gathered = _gather_accumulate(partials_list, terms)
+    if gathered is None:
         return []
-    all_ids = np.concatenate(ids_l)
-    all_sc = np.concatenate(sc_l)
-    uniq, inv = np.unique(all_ids, return_inverse=True)
-    acc = np.zeros(len(uniq), dtype=np.float64)
-    np.add.at(acc, inv, all_sc)
+    uniq, inv, acc, all_sc = gathered
     amax = np.full(len(uniq), -np.inf, dtype=np.float64)
     np.maximum.at(amax, inv, all_sc)
     score = amax + tie_breaker * (acc - amax)
@@ -1100,9 +1111,7 @@ class DistributedSearcher:
         contribution vectors in sorted-term order)."""
         import ray
         uterms = sorted(set(terms))
-        by_actor: dict[int, list[str]] = defaultdict(list)
-        for t in uterms:
-            by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
+        by_actor = self._terms_by_actor(uterms)
         if len(by_actor) == 1:
             # single-actor query: the actor owns every needed shard, so
             # its local (WAND-pruned) top-k IS the global answer
@@ -1151,12 +1160,8 @@ class DistributedSearcher:
             return []
         uterms = sorted(set(must))
         nterms = sorted(set(must_not))
-        by_actor: dict[int, list[str]] = defaultdict(list)
-        for t in uterms:
-            by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
-        n_by_actor: dict[int, list[str]] = defaultdict(list)
-        for t in nterms:
-            n_by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
+        by_actor = self._terms_by_actor(uterms)
+        n_by_actor = self._terms_by_actor(nterms)
         futs = [self.actors[a].term_partials.remote(ts)
                 for a, ts in by_actor.items()]
         nfuts = [self.actors[a].term_doc_ids.remote(ts)
@@ -1168,15 +1173,21 @@ class DistributedSearcher:
                 else np.empty(0, dtype=np.int64))
         return merge_partials(parts, uterms, k, exclude_sorted=excl)
 
+    def _terms_by_actor(self, uterms: list[str]) -> dict[int, list[str]]:
+        """Group terms by their single owning actor (shard hash →
+        round-robin actor assignment) — THE routing rule, in one
+        place."""
+        by_actor: dict[int, list[str]] = defaultdict(list)
+        for t in uterms:
+            by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
+        return by_actor
+
     def _fanout_partials(self, uterms: list[str]) -> list[dict]:
         """One round: each owning actor ships its per-term partial
         score vectors (the `mode=\"partials\"` transport)."""
         import ray
-        by_actor: dict[int, list[str]] = defaultdict(list)
-        for t in uterms:
-            by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
         futs = [self.actors[a].term_partials.remote(ts)
-                for a, ts in by_actor.items()]
+                for a, ts in self._terms_by_actor(uterms).items()]
         return ray.get(futs)
 
     def search_min_match(self, terms: list[str], k: int,
@@ -1246,14 +1257,9 @@ class DistributedSearcher:
         if k <= 0 or max_terms <= 0 or not text:
             return []
         if self._tok is None:
-            from mee_ray.config import config_from_manifest
-            from mee_ray.tokenizer import Tokenizer
-            self._tok = Tokenizer(
-                config_from_manifest(self.manifest).tokenizer)
+            self._tok = tokenizer_from_manifest(self.manifest)
         counts = self._tok.counts(text)
-        by_actor: dict[int, list[str]] = defaultdict(list)
-        for t in sorted(counts):
-            by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
+        by_actor = self._terms_by_actor(sorted(counts))
         dfs: dict[str, int] = {}
         for d in ray.get([self.actors[a].term_dfs.remote(ts)
                           for a, ts in by_actor.items()]):
@@ -1286,9 +1292,7 @@ class DistributedSearcher:
         if allowed.size == 0:
             return []
         uterms = sorted(set(terms))
-        by_actor: dict[int, list[str]] = defaultdict(list)
-        for t in uterms:
-            by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
+        by_actor = self._terms_by_actor(uterms)
         ref = ray.put(allowed)
         futs = [self.actors[a].term_partials_for_docs.remote(ts, ref)
                 for a, ts in by_actor.items()]
@@ -1311,9 +1315,7 @@ class DistributedSearcher:
         if not terms:
             return []
         uterms = sorted(set(terms))
-        by_actor: dict[int, list[str]] = defaultdict(list)
-        for t in uterms:
-            by_actor[self.assign[term_hash(t) % self.num_shards]].append(t)
+        by_actor = self._terms_by_actor(uterms)
         if len(by_actor) == 1:
             (a,) = by_actor
             return ray.get(self.actors[a].search_phrase.remote(terms, k))

@@ -3,7 +3,6 @@ filter/scale layers over the same exact disjunctive scoring: min_match
 filters by distinct-term match count without rescaling, boosts scale
 each term's contribution before the sorted-term accumulation."""
 
-import numpy as np
 import pytest
 
 
