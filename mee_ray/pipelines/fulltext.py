@@ -277,6 +277,42 @@ WHERE rank <= {TOP_K}
 """
 
 
+def bm25_match_counts(sf_dir: str):
+    """Match counts without scoring (the ES ``_count`` API): per
+    reference query, how many documents contain ANY term (``n_or``)
+    and how many contain EVERY term (``n_and``).  Posting id-set math
+    only — no scores, no heap."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    qids = [qid for qid, _ in REFERENCE_QUERIES]
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "n_or": pa.array([s.count(t, "or")
+                          for _, t in REFERENCE_QUERIES], pa.int64()),
+        "n_and": pa.array([s.count(t, "and")
+                           for _, t in REFERENCE_QUERIES], pa.int64()),
+    })
+
+
+def _bm25_counts_sql() -> str:
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+nq AS (SELECT query_id, count(DISTINCT term) AS nt FROM q
+       GROUP BY query_id),
+m AS (SELECT q.query_id, tf.doc_id, count(DISTINCT tf.term) AS c
+      FROM q JOIN tf ON tf.term = q.term
+      GROUP BY q.query_id, tf.doc_id)
+SELECT nq.query_id,
+       CAST(count(m.doc_id) AS BIGINT) AS n_or,
+       CAST(COALESCE(sum(CASE WHEN m.c = nq.nt THEN 1 ELSE 0 END), 0)
+            AS BIGINT) AS n_and
+FROM nq LEFT JOIN m ON m.query_id = nq.query_id
+GROUP BY nq.query_id
+"""
+
+
 SIG_DOCS = 30     # foreground sample: top-ranked docs per query
 SIG_MIN_FG = 3    # ES min_doc_count analog: drop one-off terms
 SIG_K = 10        # significant terms emitted per query
@@ -1270,6 +1306,7 @@ QUERIES = {
     "bm25_dismax_documents": bm25_dismax_documents,
     "bm25_search_after_documents": bm25_search_after_documents,
     "bm25_significant_terms": bm25_significant_terms,
+    "bm25_match_counts": bm25_match_counts,
     "index_term_stats": index_term_stats,
     "corpus_docs_table": corpus_docs_table,
 }
@@ -1291,6 +1328,7 @@ ORACLE = {
     "bm25_dismax_documents": _bm25_dismax_sql(),
     "bm25_search_after_documents": _bm25_search_after_sql(),
     "bm25_significant_terms": _bm25_sig_terms_sql(),
+    "bm25_match_counts": _bm25_counts_sql(),
     "index_term_stats": INDEX_STATS_SQL,
     "corpus_docs_table": CORPUS_DOCS_SQL,
 }

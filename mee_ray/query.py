@@ -260,6 +260,7 @@ class Searcher:
         self._merge_cache: dict = {}
         self._vocab: list[str] | None = None  # sorted, built on demand
         self._tok = None  # index-config tokenizer, built on demand
+        self._del_index: dict[str, list[str]] | None = None
         self._shards: dict[int, _ShardIndex] = {}
         self._subset = set(shard_subset) if shard_subset is not None else None
         base, delta = _segment_files(index_root, self.manifest)
@@ -510,9 +511,9 @@ class Searcher:
         shard; no posting decode).  Feeds prefix/fuzzy query
         expansion.  Built once per snapshot (cached).  Prefix
         expansion binary-searches this sorted array
-        (O(log V + matches)); fuzzy still scans linearly — the
-        documented upgrade there is a deletion-neighborhood index,
-        also buildable once per snapshot."""
+        (O(log V + matches)); fuzzy at max_edits=1 looks up a
+        deletion-neighborhood index (also snapshot-cached) and only
+        falls back to a linear scan for larger edit distances."""
         if self._vocab is None:
             out: set[str] = set()
             for sh in range(self.num_shards):
@@ -550,11 +551,61 @@ class Searcher:
         levenshtein()), then score the expansion disjunctively."""
         if k <= 0 or not term:
             return []
-        terms = [t for t in self.vocabulary()
-                 if _levenshtein_le(term, t, max_edits)]
+        if max_edits == 1:
+            # deletion-neighborhood candidates (SymSpell property: any
+            # two strings within distance 1 share a string reachable by
+            # at most one deletion from each), then exact verify — the
+            # scale path: O(len) lookups instead of a full vocab scan
+            idx = self._deletion_index()
+            cand: set[str] = set()
+            for v in _deletions1(term):
+                cand.update(idx.get(v, ()))
+            terms = sorted(t for t in cand
+                           if _levenshtein_le(term, t, 1))
+        else:
+            terms = [t for t in self.vocabulary()
+                     if _levenshtein_le(term, t, max_edits)]
         if not terms:
             return []
         return self.search(terms, k)
+
+    def _deletion_index(self) -> dict[str, list[str]]:
+        """variant → vocabulary terms whose single-deletion
+        neighborhood contains it.  Built lazily ONCE per snapshot on
+        the first fuzzy query (the memory-for-latency trade the fuzzy
+        docstring documents); ~len(term) entries per term."""
+        if self._del_index is None:
+            idx: dict[str, list[str]] = {}
+            for t in self.vocabulary():
+                for v in _deletions1(t):
+                    idx.setdefault(v, []).append(t)
+            self._del_index = idx
+        return self._del_index
+
+    def count(self, terms: list[str], operator: str = "or") -> int:
+        """Match count without scoring (the ES ``_count`` API): number
+        of live documents containing ANY (``or``) or EVERY (``and``)
+        query term.  Posting id sets only — no tf/dl decode use, no
+        accumulation, no heap."""
+        uterms = sorted(set(terms))
+        if not uterms:
+            return 0
+        sets = []
+        for t in uterms:
+            ids, _, _ = self._live_postings(
+                term_hash(t) % self.num_shards, t)
+            ids = np.unique(ids)
+            if operator == "and" and ids.size == 0:
+                return 0
+            sets.append(ids)
+        if operator == "and":
+            cand = sets[0]
+            for x in sets[1:]:
+                cand = np.intersect1d(cand, x)
+                if cand.size == 0:
+                    return 0
+            return int(cand.size)
+        return int(np.unique(np.concatenate(sets)).size)
 
     def excluded_doc_ids(self, must_not: list[str]) -> np.ndarray:
         """Sorted union of live doc_ids containing ANY of ``must_not``
@@ -766,6 +817,11 @@ class Searcher:
                            salt_factor=self.manifest.get("salt_factor"),
                            merge_cache=self._merge_cache,
                            allowed=allowed)
+
+
+def _deletions1(t: str) -> set[str]:
+    """The term plus every string reachable by deleting one char."""
+    return {t} | {t[:i] + t[i + 1:] for i in range(len(t))}
 
 
 def _levenshtein_le(a: str, b: str, cap: int) -> bool:
@@ -1244,6 +1300,32 @@ class DistributedSearcher:
         uterms = sorted(set(terms))
         return merge_partials_dismax(self._fanout_partials(uterms),
                                      uterms, k, tie_breaker)
+
+    def count(self, terms: list[str], operator: str = "or") -> int:
+        """Distributed match count (see :meth:`Searcher.count`): one
+        id-set fan-out (transfer bounded by the terms' dfs), set math
+        on the driver."""
+        import ray
+        uterms = sorted(set(terms))
+        if not uterms:
+            return 0
+        id_sets: dict[str, np.ndarray] = {}
+        for d in ray.get([self.actors[a].term_doc_ids.remote(ts)
+                          for a, ts in
+                          self._terms_by_actor(uterms).items()]):
+            id_sets.update(d)
+        sets = [id_sets.get(t, np.empty(0, np.int64)) for t in uterms]
+        if operator == "and":
+            cand = sets[0]
+            for x in sets[1:]:
+                cand = np.intersect1d(cand, x)
+                if cand.size == 0:
+                    return 0
+            return int(cand.size)
+        sets = [x for x in sets if x.size]
+        if not sets:
+            return 0
+        return int(np.unique(np.concatenate(sets)).size)
 
     def more_like_this(self, text: str, k: int = 10,
                        max_terms: int = 10, exclude_doc_ids=None

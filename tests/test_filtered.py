@@ -230,6 +230,35 @@ def test_prefix_and_fuzzy_expansion_match_oracle(built_index):
     assert s.search_fuzzy("", k=10) == []
 
 
+def test_fuzzy_deletion_index_equals_linear_scan(built_index):
+    """The SymSpell-style deletion-neighborhood candidates + verify
+    must expand to EXACTLY the linear-scan term set for every probe
+    (in-vocab terms, typos, short/long strings)."""
+    from mee_ray.query import Searcher, _levenshtein_le
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    vocab = s.vocabulary()
+    probes = [vocab[0], vocab[-1], vocab[len(vocab) // 2],
+              vocab[0][:-1] + "x", "x" + vocab[1], vocab[2][1:],
+              "a", "zz", "qqqqqq", vocab[3] + "ab"]
+    idx = s._deletion_index()
+    n = 0
+    for p in probes:
+        linear = sorted(t for t in vocab if _levenshtein_le(p, t, 1))
+        cand = set()
+        from mee_ray.query import _deletions1
+        for v in _deletions1(p):
+            cand.update(idx.get(v, ()))
+        via_index = sorted(t for t in cand if _levenshtein_le(p, t, 1))
+        assert via_index == linear, p
+        # and the search itself agrees with the oracle expansion
+        want = oracle.search(linear, k=10) if linear else []
+        assert s.search_fuzzy(p, k=10) == want, p
+        n += bool(linear)
+    assert n >= 4
+
+
 def test_filtered_distributed(built_index, ray_session):
     from mee_ray.query import DistributedSearcher, Searcher
 

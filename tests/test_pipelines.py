@@ -61,7 +61,7 @@ SQL_CHECKED = [
     "bm25_fuzzy_documents", "bm25_min_match_documents",
     "bm25_weighted_documents", "bm25_mlt_documents",
     "bm25_dismax_documents", "bm25_search_after_documents",
-    "bm25_significant_terms",
+    "bm25_significant_terms", "bm25_match_counts",
 ]
 
 

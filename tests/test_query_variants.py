@@ -185,6 +185,25 @@ def test_more_like_this_degenerate(built_index):
     assert s.more_like_this("zzzzqqqqxxxx", k=10) == []
 
 
+def test_count_matches_bruteforce(built_index):
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    n = 0
+    for q in _queries(oracle):
+        sets = [set(oracle.postings.get(t, ())) for t in set(q)]
+        want_or = len(set.union(*sets))
+        want_and = len(set.intersection(*sets))
+        assert s.count(q, "or") == want_or, q
+        assert s.count(q, "and") == want_and, q
+        n += want_or > 0
+    assert n >= 3
+    assert s.count([], "or") == 0
+    assert s.count(["qq_absent_term"], "or") == 0
+    assert s.count(["qq_absent_term", q[0]], "and") == 0
+
+
 def test_variants_distributed(built_index, ray_session):
     from mee_ray.query import DistributedSearcher, Searcher
 
@@ -216,5 +235,8 @@ def test_variants_distributed(built_index, ray_session):
                         == s.search_after(q, size=10, after=p1[-1])), q
             assert (ds.search_dismax(q, k=10, tie_breaker=0.5)
                     == s.search_dismax(q, k=10, tie_breaker=0.5)), q
+        for q in _queries(oracle):
+            assert ds.count(q, "or") == s.count(q, "or"), q
+            assert ds.count(q, "and") == s.count(q, "and"), q
     finally:
         ds.shutdown()
