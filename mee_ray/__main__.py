@@ -154,7 +154,7 @@ def main(argv: list[str] | None = None) -> int:
 
     q = sub.add_parser("query", help="top-k BM25")
     q.add_argument("--index", required=True)
-    q.add_argument("--terms", required=True,
+    q.add_argument("--terms", default=None,
                    help="space-separated query terms")
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--actors", type=int, default=0,
@@ -166,6 +166,32 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--operator", choices=["or", "and"], default="or",
                    help="'and' = conjunctive: docs must contain every "
                         "term (scores unchanged for surviving docs)")
+    q.add_argument("--min-match", type=int, default=None,
+                   help="minimum_should_match: require >= N distinct "
+                        "matching terms (scores stay disjunctive)")
+    q.add_argument("--boosts", default=None,
+                   help="per-term boosts 'term=2.0,other=1.5' "
+                        "(replaces --terms; score = sum boost*idf*tfn)")
+    q.add_argument("--dismax", action="store_true",
+                   help="dis_max ranking: best term + tie_breaker*rest")
+    q.add_argument("--tie-breaker", type=float, default=0.0,
+                   help="dis_max tie_breaker (default 0)")
+    q.add_argument("--after", default=None,
+                   help="search_after cursor 'doc_id:score' (the "
+                        "previous page's last hit); -k is the page size")
+    q.add_argument("--count", action="store_true",
+                   help="print the match count only (no scoring)")
+    q.add_argument("--mlt-file", default=None,
+                   help="more_like_this: rank docs similar to this "
+                        "text file's content (replaces --terms)")
+    q.add_argument("--max-terms", type=int, default=10,
+                   help="more_like_this: tf-idf-selected query terms")
+    q.add_argument("--prefix", default=None,
+                   help="prefix expansion query (replaces --terms; "
+                        "in-process searcher only)")
+    q.add_argument("--fuzzy", default=None,
+                   help="fuzzy (edit distance 1) expansion query "
+                        "(replaces --terms; in-process searcher only)")
     q.add_argument("--phrase", action="store_true",
                    help="exact phrase match (consecutive positions, "
                         "in order) — needs store_positions=True")
@@ -226,24 +252,66 @@ def main(argv: list[str] | None = None) -> int:
                           "segments": len(manifest["segments"])}))
 
     elif args.cmd == "query":
-        terms = args.terms.split()
+        terms = args.terms.split() if args.terms else []
+        if not (terms or args.boosts or args.mlt_file or args.prefix
+                or args.fuzzy):
+            raise SystemExit("one of --terms/--boosts/--mlt-file/"
+                             "--prefix/--fuzzy is required")
+
+        def run(s, distributed: bool) -> dict:
+            if args.count:
+                return {"terms": terms,
+                        "count": s.count(terms, args.operator)}
+            if args.boosts:
+                boosts = {}
+                for part in args.boosts.split(","):
+                    t, _, b = part.partition("=")
+                    boosts[t.strip()] = float(b)
+                hits = s.search_weighted(boosts, args.k)
+            elif args.mlt_file:
+                with open(args.mlt_file) as f:
+                    hits = s.more_like_this(f.read(), k=args.k,
+                                            max_terms=args.max_terms)
+            elif args.prefix or args.fuzzy:
+                if distributed:
+                    raise SystemExit("--prefix/--fuzzy run on the "
+                                     "in-process searcher (--actors 0)")
+                hits = (s.search_prefix(args.prefix, args.k)
+                        if args.prefix
+                        else s.search_fuzzy(args.fuzzy, args.k))
+            elif args.phrase:
+                hits = s.search_phrase(terms, args.k)
+            elif args.dismax:
+                hits = s.search_dismax(terms, args.k,
+                                       tie_breaker=args.tie_breaker)
+            elif args.min_match is not None:
+                hits = s.search_min_match(terms, args.k,
+                                          min_match=args.min_match)
+            elif args.after is not None:
+                d, _, sc = args.after.partition(":")
+                hits = s.search_after(terms, size=args.k,
+                                      after=(int(d), float(sc)))
+            elif distributed:
+                hits = s.search(terms, args.k, mode=args.mode,
+                                operator=args.operator)
+            else:
+                hits = s.search(terms, args.k, operator=args.operator)
+            return {"terms": terms,
+                    "hits": [{"doc_id": d, "score": sc}
+                             for d, sc in hits]}
+
         if args.actors > 0:
             _init_ray(args.num_cpus)
             from mee_ray.query import DistributedSearcher
             s = DistributedSearcher(args.index, n_actors=args.actors)
-            hits = (s.search_phrase(terms, args.k) if args.phrase
-                    else s.search(terms, args.k, mode=args.mode,
-                                  operator=args.operator))
-            s.shutdown()
+            try:
+                out = run(s, True)
+            finally:
+                s.shutdown()
         else:
             from mee_ray.query import Searcher
-            s = Searcher(args.index)
-            hits = (s.search_phrase(terms, args.k) if args.phrase
-                    else s.search(terms, args.k,
-                                  operator=args.operator))
-        print(json.dumps({"terms": terms,
-                          "hits": [{"doc_id": d, "score": sc}
-                                   for d, sc in hits]}))
+            out = run(Searcher(args.index), False)
+        print(json.dumps(out))
 
     elif args.cmd == "delta":
         _init_ray(args.num_cpus)

@@ -49,6 +49,44 @@ def test_cli_build_then_query(tmp_path):
     met = _run("metrics", "--index", index)
     assert met["epoch"] == "ep1" and met["segments"]["n_partitions"] == 4
 
+    cnt = _run("query", "--index", index, "--terms", "def return",
+               "--count")
+    assert cnt["count"] > 0
+    cnt_and = _run("query", "--index", index, "--terms", "def return",
+                   "--count", "--operator", "and")
+    assert 0 < cnt_and["count"] <= cnt["count"]
+
+    mm = _run("query", "--index", index, "--terms", "def return",
+              "-k", "3", "--min-match", "2")
+    assert mm["hits"] == conj["hits"]   # 2-of-2 == operator=and
+
+    bo = _run("query", "--index", index,
+              "--boosts", "def=1.0,return=1.0", "-k", "3")
+    assert bo["hits"] == hits["hits"]   # all-ones boosts == plain OR
+
+    dm = _run("query", "--index", index, "--terms", "def return",
+              "-k", "3", "--dismax", "--tie-breaker", "1.0")
+    assert len(dm["hits"]) == 3
+
+    cur = hits["hits"][-1]
+    page2 = _run("query", "--index", index, "--terms", "def return",
+                 "-k", "3", "--after",
+                 f"{cur['doc_id']}:{cur['score']!r}")
+    assert page2["hits"] and page2["hits"][0] not in hits["hits"]
+
+    pre = _run("query", "--index", index, "--prefix", "re", "-k", "3")
+    assert len(pre["hits"]) > 0
+    # "readd" is one INSERTION from "read" (a transposition like
+    # "retrun" is 2 plain edits and would match nothing)
+    fz = _run("query", "--index", index, "--fuzzy", "readd", "-k", "3")
+    assert len(fz["hits"]) > 0
+
+    seed = str(tmp_path / "seed.txt")
+    with open(seed, "w") as f:
+        f.write("def compute(): return value\n")
+    mlt = _run("query", "--index", index, "--mlt-file", seed, "-k", "3")
+    assert len(mlt["hits"]) > 0
+
 
 def test_engine_config_yaml_and_ini(tmp_path):
     """S11/S12: the CLI --config surface accepts YAML and INI forms,
