@@ -187,11 +187,10 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--max-terms", type=int, default=10,
                    help="more_like_this: tf-idf-selected query terms")
     q.add_argument("--prefix", default=None,
-                   help="prefix expansion query (replaces --terms; "
-                        "in-process searcher only)")
+                   help="prefix expansion query (replaces --terms)")
     q.add_argument("--fuzzy", default=None,
                    help="fuzzy (edit distance 1) expansion query "
-                        "(replaces --terms; in-process searcher only)")
+                        "(replaces --terms)")
     q.add_argument("--phrase", action="store_true",
                    help="exact phrase match (consecutive positions, "
                         "in order) — needs store_positions=True")
@@ -273,9 +272,6 @@ def main(argv: list[str] | None = None) -> int:
                     hits = s.more_like_this(f.read(), k=args.k,
                                             max_terms=args.max_terms)
             elif args.prefix or args.fuzzy:
-                if distributed:
-                    raise SystemExit("--prefix/--fuzzy run on the "
-                                     "in-process searcher (--actors 0)")
                 hits = (s.search_prefix(args.prefix, args.k)
                         if args.prefix
                         else s.search_fuzzy(args.fuzzy, args.k))

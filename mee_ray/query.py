@@ -531,17 +531,10 @@ class Searcher:
         vocabulary."""
         if k <= 0 or not prefix:
             return []
-        import bisect
-        vocab = self.vocabulary()
-        # the dictionary is sorted, so the prefix run is contiguous:
-        # O(log V) to find its start, O(|matches|) to walk it
-        lo = bisect.bisect_left(vocab, prefix)
-        hi = lo
-        while hi < len(vocab) and vocab[hi].startswith(prefix):
-            hi += 1
-        if lo == hi:
+        terms = prefix_terms(self.vocabulary(), prefix)
+        if not terms:
             return []
-        return self.search(vocab[lo:hi], k)
+        return self.search(terms, k)
 
     def search_fuzzy(self, term: str, k: int = 10, max_edits: int = 1
                      ) -> list[tuple[int, float]]:
@@ -551,35 +544,17 @@ class Searcher:
         levenshtein()), then score the expansion disjunctively."""
         if k <= 0 or not term:
             return []
-        if max_edits == 1:
-            # deletion-neighborhood candidates (SymSpell property: any
-            # two strings within distance 1 share a string reachable by
-            # at most one deletion from each), then exact verify — the
-            # scale path: O(len) lookups instead of a full vocab scan
-            idx = self._deletion_index()
-            cand: set[str] = set()
-            for v in _deletions1(term):
-                cand.update(idx.get(v, ()))
-            terms = sorted(t for t in cand
-                           if _levenshtein_le(term, t, 1))
-        else:
-            terms = [t for t in self.vocabulary()
-                     if _levenshtein_le(term, t, max_edits)]
+        terms = fuzzy_terms(self.vocabulary(), term, max_edits,
+                            self._deletion_index if max_edits == 1
+                            else None)
         if not terms:
             return []
         return self.search(terms, k)
 
     def _deletion_index(self) -> dict[str, list[str]]:
-        """variant → vocabulary terms whose single-deletion
-        neighborhood contains it.  Built lazily ONCE per snapshot on
-        the first fuzzy query (the memory-for-latency trade the fuzzy
-        docstring documents); ~len(term) entries per term."""
+        """Snapshot-cached :func:`build_deletion_index`."""
         if self._del_index is None:
-            idx: dict[str, list[str]] = {}
-            for t in self.vocabulary():
-                for v in _deletions1(t):
-                    idx.setdefault(v, []).append(t)
-            self._del_index = idx
+            self._del_index = build_deletion_index(self.vocabulary())
         return self._del_index
 
     def count(self, terms: list[str], operator: str = "or") -> int:
@@ -822,6 +797,46 @@ class Searcher:
 def _deletions1(t: str) -> set[str]:
     """The term plus every string reachable by deleting one char."""
     return {t} | {t[:i] + t[i + 1:] for i in range(len(t))}
+
+
+def prefix_terms(vocab: list[str], prefix: str) -> list[str]:
+    """The contiguous prefix run of a SORTED vocabulary:
+    O(log V) bisect to its start, O(|matches|) walk."""
+    import bisect
+    lo = bisect.bisect_left(vocab, prefix)
+    hi = lo
+    while hi < len(vocab) and vocab[hi].startswith(prefix):
+        hi += 1
+    return vocab[lo:hi]
+
+
+def build_deletion_index(vocab: list[str]) -> dict[str, list[str]]:
+    """variant → vocabulary terms whose single-deletion neighborhood
+    contains it.  Built lazily ONCE per snapshot on the first fuzzy
+    query (a memory-for-latency trade); ~len(term) entries per
+    term."""
+    idx: dict[str, list[str]] = {}
+    for t in vocab:
+        for v in _deletions1(t):
+            idx.setdefault(v, []).append(t)
+    return idx
+
+
+def fuzzy_terms(vocab: list[str], term: str, max_edits: int,
+                del_index_fn=None) -> list[str]:
+    """Dictionary terms within plain Levenshtein ``max_edits`` of
+    ``term``.  With ``max_edits == 1`` and a deletion-index supplier,
+    candidates come from the SymSpell deletion-neighborhood property
+    (two strings within distance 1 share a string reachable by at
+    most one deletion from each) and are then exactly verified —
+    O(len) lookups instead of a vocabulary scan."""
+    if max_edits == 1 and del_index_fn is not None:
+        idx = del_index_fn()
+        cand: set[str] = set()
+        for v in _deletions1(term):
+            cand.update(idx.get(v, ()))
+        return sorted(t for t in cand if _levenshtein_le(term, t, 1))
+    return [t for t in vocab if _levenshtein_le(term, t, max_edits)]
 
 
 def _levenshtein_le(a: str, b: str, cap: int) -> bool:
@@ -1076,6 +1091,8 @@ class DistributedSearcher:
         self.num_shards = self.manifest["num_shards"]
         self.n_docs, _ = mf.live_stats(self.manifest)
         self._tok = None  # driver-side tokenizer for mlt seed text
+        self._vocab: list[str] | None = None
+        self._del_index: dict[str, list[str]] | None = None
         # never request more 1-CPU actors than the cluster can schedule
         # — an unsatisfiable pool blocks warm() forever
         cluster_cpus = int(ray.cluster_resources().get("CPU", n_actors))
@@ -1115,6 +1132,10 @@ class DistributedSearcher:
             def term_dfs(self, terms):
                 # dictionary-only live dfs (mlt term selection)
                 return {t: self.searcher.term_df(t) for t in terms}
+
+            def vocab(self):
+                # owned shards' sorted term union (prefix/fuzzy)
+                return self.searcher.vocabulary()
 
             def term_doc_positions(self, terms, candidates=None):
                 return {t: self.searcher.term_doc_positions(t, candidates)
@@ -1300,6 +1321,48 @@ class DistributedSearcher:
         uterms = sorted(set(terms))
         return merge_partials_dismax(self._fanout_partials(uterms),
                                      uterms, k, tie_breaker)
+
+    def vocabulary(self) -> list[str]:
+        """Sorted union of every actor's owned-shard terms, fetched
+        ONCE per pool lifetime (dictionaries are memory-resident on
+        the actors; one round of sorted lists crosses the wire)."""
+        import ray
+        if self._vocab is None:
+            out: set[str] = set()
+            for v in ray.get([a.vocab.remote() for a in self.actors]):
+                out.update(v)
+            self._vocab = sorted(out)
+        return self._vocab
+
+    def _deletion_index_cached(self) -> dict[str, list[str]]:
+        if self._del_index is None:
+            self._del_index = build_deletion_index(self.vocabulary())
+        return self._del_index
+
+    def search_prefix(self, prefix: str, k: int = 10
+                      ) -> list[tuple[int, float]]:
+        """Distributed prefix expansion: expansion against the pooled
+        vocabulary, then the standard partials fan-out (expanded terms
+        route to their owning actors like any disjunctive query)."""
+        if k <= 0 or not prefix:
+            return []
+        terms = prefix_terms(self.vocabulary(), prefix)
+        if not terms:
+            return []
+        return merge_partials(self._fanout_partials(terms), terms, k)
+
+    def search_fuzzy(self, term: str, k: int = 10, max_edits: int = 1
+                     ) -> list[tuple[int, float]]:
+        """Distributed fuzzy expansion (same SymSpell candidate path
+        as :meth:`Searcher.search_fuzzy`, driver-side index)."""
+        if k <= 0 or not term:
+            return []
+        terms = fuzzy_terms(self.vocabulary(), term, max_edits,
+                            self._deletion_index_cached
+                            if max_edits == 1 else None)
+        if not terms:
+            return []
+        return merge_partials(self._fanout_partials(terms), terms, k)
 
     def count(self, terms: list[str], operator: str = "or") -> int:
         """Distributed match count (see :meth:`Searcher.count`): one

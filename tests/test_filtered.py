@@ -280,5 +280,12 @@ def test_filtered_distributed(built_index, ray_session):
                     == s.search_filtered(q, k=10,
                                          allowed_doc_ids=subsets["half"],
                                          operator="and")), q
+        # distributed expansion == local expansion (pooled vocabulary)
+        assert ds.vocabulary() == s.vocabulary()
+        vocab = s.vocabulary()
+        for pre in (vocab[0][:2], "zz"):
+            assert ds.search_prefix(pre, k=10) == s.search_prefix(pre, k=10)
+        typo = vocab[0] + "x"
+        assert ds.search_fuzzy(typo, k=10) == s.search_fuzzy(typo, k=10)
     finally:
         ds.shutdown()
