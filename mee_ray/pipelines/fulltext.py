@@ -277,6 +277,73 @@ WHERE rank <= {TOP_K}
 """
 
 
+def percolate_documents(sf_dir: str):
+    """Percolator (the ES reverse search): the REFERENCE_QUERIES are
+    the STORED queries; every document is tested against all of them
+    and (doc_id, query_id) is emitted where the doc contains EVERY
+    query term (operator=and percolation — the useful alerting
+    semantics).
+
+    Ray shape: one distributed ``map_batches`` pass over the
+    documents table — per batch, ONE vectorized RE2 boundary-match per
+    distinct stored term (pyarrow match_substring_regex over the
+    lowered text; `[^a-z0-9_]`-bounded, exactly token-set membership
+    under the `{TOKEN_PATTERN}` tokenizer), then a numpy AND-reduce
+    per stored query.  No index, no shuffle, no driver-side text; the
+    stored-query set is a compiled constant inside the task."""
+    import re
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from mee_ray.pipelines.text import _read_docs
+
+    uterms = sorted({t for _, ts in REFERENCE_QUERIES for t in ts})
+    pats = {t: f"(^|[^a-z0-9_]){re.escape(t)}([^a-z0-9_]|$)"
+            for t in uterms}
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"])
+        masks = {t: pc.match_substring_regex(low, pats[t])
+                 .to_numpy(zero_copy_only=False) for t in uterms}
+        dids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out_d: list[int] = []
+        out_q: list[int] = []
+        for qid, ts in REFERENCE_QUERIES:
+            m = np.logical_and.reduce([masks[t] for t in sorted(set(ts))])
+            hit = dids[m]
+            out_d.extend(hit.tolist())
+            out_q.extend([qid] * len(hit))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "query_id": pa.array(out_q, pa.int64())})
+
+    parts = list(_read_docs(sf_dir, ["doc_id", "text"])
+                 .map_batches(per_batch, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .iter_batches(batch_format="pyarrow",
+                               batch_size=1 << 20))
+    t = pa.concat_tables(parts) if parts else pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "query_id": pa.array([], pa.int64())})
+    return t.sort_by([("doc_id", "ascending"), ("query_id", "ascending")])
+
+
+def _percolate_sql() -> str:
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+nq AS (SELECT query_id, count(DISTINCT term) AS nt FROM q
+       GROUP BY query_id),
+m AS (SELECT q.query_id, tf.doc_id, count(DISTINCT tf.term) AS c
+      FROM q JOIN tf ON tf.term = q.term
+      GROUP BY q.query_id, tf.doc_id)
+SELECT m.doc_id, m.query_id
+FROM m JOIN nq ON nq.query_id = m.query_id
+WHERE m.c = nq.nt
+ORDER BY m.doc_id, m.query_id
+"""
+
+
 def bm25_match_counts(sf_dir: str):
     """Match counts without scoring (the ES ``_count`` API): per
     reference query, how many documents contain ANY term (``n_or``)
@@ -1307,6 +1374,7 @@ QUERIES = {
     "bm25_search_after_documents": bm25_search_after_documents,
     "bm25_significant_terms": bm25_significant_terms,
     "bm25_match_counts": bm25_match_counts,
+    "percolate_documents": percolate_documents,
     "index_term_stats": index_term_stats,
     "corpus_docs_table": corpus_docs_table,
 }
@@ -1329,6 +1397,7 @@ ORACLE = {
     "bm25_search_after_documents": _bm25_search_after_sql(),
     "bm25_significant_terms": _bm25_sig_terms_sql(),
     "bm25_match_counts": _bm25_counts_sql(),
+    "percolate_documents": _percolate_sql(),
     "index_term_stats": INDEX_STATS_SQL,
     "corpus_docs_table": CORPUS_DOCS_SQL,
 }
