@@ -897,6 +897,48 @@ FUZZY_QUERIES: list[tuple[int, str]] = [
 ]
 
 
+SUGGEST_N = 5
+
+
+def term_suggest_documents(sf_dir: str):
+    """Term suggester (ES "did you mean"): for each misspelled
+    FUZZY_QUERIES input, the top-{SUGGEST_N} dictionary terms within
+    edit distance 1 ranked by df desc (most common close spelling
+    first), ties by term asc.  Emitted as
+    (query_id, rank, term, df)."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    out_q, out_r, out_t, out_d = [], [], [], []
+    for qid, term in FUZZY_QUERIES:
+        for rank, (df, t) in enumerate(s.suggest(term, n=SUGGEST_N),
+                                       start=1):
+            out_q.append(qid); out_r.append(rank)
+            out_t.append(t); out_d.append(df)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "term": pa.array(out_t, pa.string()),
+                     "df": pa.array(out_d, pa.int64())})
+
+
+def _term_suggest_sql() -> str:
+    values = ", ".join(f"({qid}, '{t}')" for qid, t in FUZZY_QUERIES)
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {values}),
+cand AS (
+  SELECT q.query_id, df.term, df.df
+  FROM q JOIN df ON levenshtein(df.term, q.term) <= 1
+                AND df.term <> q.term)
+SELECT query_id, rank, term, df
+FROM (SELECT query_id, term, df,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY df DESC, term) AS rank
+      FROM cand)
+WHERE rank <= {SUGGEST_N}
+"""
+
+
 def bm25_prefix_documents(sf_dir: str):
     """Prefix-expanded BM25 top-k (ES wildcard `pre*`): dictionary
     terms starting with each query's prefix, scored as an OR query
@@ -1375,6 +1417,7 @@ QUERIES = {
     "bm25_significant_terms": bm25_significant_terms,
     "bm25_match_counts": bm25_match_counts,
     "percolate_documents": percolate_documents,
+    "term_suggest_documents": term_suggest_documents,
     "index_term_stats": index_term_stats,
     "corpus_docs_table": corpus_docs_table,
 }
@@ -1398,6 +1441,7 @@ ORACLE = {
     "bm25_significant_terms": _bm25_sig_terms_sql(),
     "bm25_match_counts": _bm25_counts_sql(),
     "percolate_documents": _percolate_sql(),
+    "term_suggest_documents": _term_suggest_sql(),
     "index_term_stats": INDEX_STATS_SQL,
     "corpus_docs_table": CORPUS_DOCS_SQL,
 }

@@ -557,6 +557,21 @@ class Searcher:
             self._del_index = build_deletion_index(self.vocabulary())
         return self._del_index
 
+    def suggest(self, term: str, n: int = 5, max_edits: int = 1
+                ) -> list[tuple[int, str]]:
+        """Term suggester (ES \"did you mean\"): dictionary terms
+        within ``max_edits`` of the input (the input itself excluded),
+        ranked by live df desc then term asc — the most common close
+        spelling first.  Returns (df, term) pairs."""
+        if n <= 0 or not term:
+            return []
+        cands = fuzzy_terms(self.vocabulary(), term, max_edits,
+                            self._deletion_index if max_edits == 1
+                            else None)
+        ranked = sorted(((-self.term_df(t), t) for t in cands
+                         if t != term))
+        return [(-negdf, t) for negdf, t in ranked[:n]]
+
     def count(self, terms: list[str], operator: str = "or") -> int:
         """Match count without scoring (the ES ``_count`` API): number
         of live documents containing ANY (``or``) or EVERY (``and``)
@@ -1363,6 +1378,29 @@ class DistributedSearcher:
         if not terms:
             return []
         return merge_partials(self._fanout_partials(terms), terms, k)
+
+    def suggest(self, term: str, n: int = 5, max_edits: int = 1
+                ) -> list[tuple[int, str]]:
+        """Distributed term suggester: candidates from the pooled
+        vocabulary's deletion index, dfs via one dictionary-only
+        fan-out (see :meth:`Searcher.suggest`)."""
+        import ray
+        if n <= 0 or not term:
+            return []
+        cands = [t for t in fuzzy_terms(
+                     self.vocabulary(), term, max_edits,
+                     self._deletion_index_cached
+                     if max_edits == 1 else None)
+                 if t != term]
+        if not cands:
+            return []
+        dfs: dict[str, int] = {}
+        for d in ray.get([self.actors[a].term_dfs.remote(ts)
+                          for a, ts in
+                          self._terms_by_actor(cands).items()]):
+            dfs.update(d)
+        ranked = sorted((-dfs.get(t, 0), t) for t in cands)
+        return [(-negdf, t) for negdf, t in ranked[:n]]
 
     def count(self, terms: list[str], operator: str = "or") -> int:
         """Distributed match count (see :meth:`Searcher.count`): one

@@ -62,7 +62,7 @@ SQL_CHECKED = [
     "bm25_weighted_documents", "bm25_mlt_documents",
     "bm25_dismax_documents", "bm25_search_after_documents",
     "bm25_significant_terms", "bm25_match_counts",
-    "percolate_documents",
+    "percolate_documents", "term_suggest_documents",
 ]
 
 

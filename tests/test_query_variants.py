@@ -185,6 +185,25 @@ def test_more_like_this_degenerate(built_index):
     assert s.more_like_this("zzzzqqqqxxxx", k=10) == []
 
 
+def test_suggest_matches_bruteforce(built_index):
+    from mee_ray.query import Searcher, _levenshtein_le
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    vocab = sorted(oracle.postings)
+    probes = [vocab[0] + "x", vocab[len(vocab) // 2], "zzzzzz"]
+    n = 0
+    for p in probes:
+        want = sorted(((-len(oracle.postings[t]), t) for t in vocab
+                       if t != p and _levenshtein_le(p, t, 1)))[:5]
+        got = s.suggest(p, n=5)
+        assert got == [(-d, t) for d, t in want], p
+        n += bool(got)
+    assert n >= 1
+    assert s.suggest("merge", n=0) == []
+    assert s.suggest("") == []   # empty input suggests nothing
+
+
 def test_count_matches_bruteforce(built_index):
     from mee_ray.query import Searcher
 
@@ -238,5 +257,8 @@ def test_variants_distributed(built_index, ray_session):
         for q in _queries(oracle):
             assert ds.count(q, "or") == s.count(q, "or"), q
             assert ds.count(q, "and") == s.count(q, "and"), q
+        vocab = s.vocabulary()
+        for p in (vocab[0] + "x", vocab[1]):
+            assert ds.suggest(p, n=5) == s.suggest(p, n=5), p
     finally:
         ds.shutdown()
