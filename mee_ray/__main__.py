@@ -256,6 +256,15 @@ def main(argv: list[str] | None = None) -> int:
                 or args.fuzzy):
             raise SystemExit("one of --terms/--boosts/--mlt-file/"
                              "--prefix/--fuzzy is required")
+        if args.count and (args.boosts or args.mlt_file or args.prefix
+                           or args.fuzzy or args.phrase or args.dismax
+                           or args.min_match is not None
+                           or args.after is not None):
+            # --count counts --terms with --operator; silently counting
+            # a different query form than the one requested is worse
+            # than refusing
+            raise SystemExit("--count combines only with --terms and "
+                             "--operator")
 
         def run(s, distributed: bool) -> dict:
             if args.count:
@@ -264,8 +273,15 @@ def main(argv: list[str] | None = None) -> int:
             if args.boosts:
                 boosts = {}
                 for part in args.boosts.split(","):
-                    t, _, b = part.partition("=")
-                    boosts[t.strip()] = float(b)
+                    t, eq, b = part.partition("=")
+                    try:
+                        if not eq:
+                            raise ValueError
+                        boosts[t.strip()] = float(b)
+                    except ValueError:
+                        raise SystemExit(
+                            f"--boosts entry {part!r} is not "
+                            "'term=number'") from None
                 hits = s.search_weighted(boosts, args.k)
             elif args.mlt_file:
                 with open(args.mlt_file) as f:

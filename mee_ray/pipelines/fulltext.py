@@ -921,8 +921,12 @@ def term_suggest_documents(sf_dir: str):
                      "df": pa.array(out_d, pa.int64())})
 
 
+def _fuzzy_q_values() -> str:
+    return ", ".join(f"({qid}, '{t}')" for qid, t in FUZZY_QUERIES)
+
+
 def _term_suggest_sql() -> str:
-    values = ", ".join(f"({qid}, '{t}')" for qid, t in FUZZY_QUERIES)
+    values = _fuzzy_q_values()
     return f"""
 {_base_ctes()},
 q(query_id, term) AS (VALUES {values}),
@@ -999,7 +1003,7 @@ def bm25_fuzzy_documents(sf_dir: str):
 
 
 def _bm25_fuzzy_sql() -> str:
-    values = ", ".join(f"({qid}, '{t}')" for qid, t in FUZZY_QUERIES)
+    values = _fuzzy_q_values()
     return _expansion_sql(
         f"q(query_id, term) AS (VALUES {values})",
         "levenshtein(tf.term, q.term) <= 1")

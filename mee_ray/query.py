@@ -568,42 +568,47 @@ class Searcher:
         cands = fuzzy_terms(self.vocabulary(), term, max_edits,
                             self._deletion_index if max_edits == 1
                             else None)
-        ranked = sorted(((-self.term_df(t), t) for t in cands
-                         if t != term))
+        # live df only: a fully-tombstoned term is still a dictionary
+        # key but must never be suggested (it matches zero live docs)
+        ranked = sorted((-df, t) for t in cands
+                        if t != term and (df := self.term_df(t)) > 0)
         return [(-negdf, t) for negdf, t in ranked[:n]]
 
     def count(self, terms: list[str], operator: str = "or") -> int:
         """Match count without scoring (the ES ``_count`` API): number
         of live documents containing ANY (``or``) or EVERY (``and``)
         query term.  Posting id sets only — no tf/dl decode use, no
-        accumulation, no heap."""
+        accumulation, no heap.  Unowned shards are skipped like every
+        other posting accessor (a shard-subset searcher counts only
+        what it owns; an ``and`` over an unowned term is 0, matching
+        search(operator="and") returning [])."""
         uterms = sorted(set(terms))
         if not uterms:
             return 0
-        sets = []
-        for t in uterms:
-            ids, _, _ = self._live_postings(
-                term_hash(t) % self.num_shards, t)
-            ids = np.unique(ids)
-            if operator == "and" and ids.size == 0:
-                return 0
-            sets.append(ids)
         if operator == "and":
-            cand = sets[0]
-            for x in sets[1:]:
-                cand = np.intersect1d(cand, x)
+            cand = None
+            for t in uterms:
+                s = term_hash(t) % self.num_shards
+                if not self.owns(s):
+                    return 0
+                ids = np.unique(self._live_postings(s, t)[0])
+                cand = ids if cand is None else np.intersect1d(cand, ids)
                 if cand.size == 0:
                     return 0
             return int(cand.size)
-        return int(np.unique(np.concatenate(sets)).size)
+        return int(self.excluded_doc_ids(uterms).size)
 
     def excluded_doc_ids(self, must_not: list[str]) -> np.ndarray:
         """Sorted union of live doc_ids containing ANY of ``must_not``
-        — the must_not exclusion set of a boolean query."""
+        — the must_not exclusion set of a boolean query (also the
+        OR-count set of :meth:`count`).  Unowned shards are skipped
+        like every other posting accessor."""
         out = []
         for t in sorted(set(must_not)):
-            ids, _, _ = self._live_postings(
-                term_hash(t) % self.num_shards, t)
+            s = term_hash(t) % self.num_shards
+            if not self.owns(s):
+                continue
+            ids, _, _ = self._live_postings(s, t)
             if len(ids):
                 out.append(ids)
         if not out:
@@ -1364,7 +1369,9 @@ class DistributedSearcher:
         terms = prefix_terms(self.vocabulary(), prefix)
         if not terms:
             return []
-        return merge_partials(self._fanout_partials(terms), terms, k)
+        # search() keeps the single-actor WAND shortcut when the whole
+        # expansion hashes to one actor (common for small expansions)
+        return self.search(terms, k)
 
     def search_fuzzy(self, term: str, k: int = 10, max_edits: int = 1
                      ) -> list[tuple[int, float]]:
@@ -1377,7 +1384,7 @@ class DistributedSearcher:
                             if max_edits == 1 else None)
         if not terms:
             return []
-        return merge_partials(self._fanout_partials(terms), terms, k)
+        return self.search(terms, k)
 
     def suggest(self, term: str, n: int = 5, max_edits: int = 1
                 ) -> list[tuple[int, str]]:
@@ -1399,7 +1406,8 @@ class DistributedSearcher:
                           for a, ts in
                           self._terms_by_actor(cands).items()]):
             dfs.update(d)
-        ranked = sorted((-dfs.get(t, 0), t) for t in cands)
+        ranked = sorted((-dfs[t], t) for t in cands
+                        if dfs.get(t, 0) > 0)   # live terms only
         return [(-negdf, t) for negdf, t in ranked[:n]]
 
     def count(self, terms: list[str], operator: str = "or") -> int:

@@ -204,6 +204,46 @@ def test_suggest_matches_bruteforce(built_index):
     assert s.suggest("") == []   # empty input suggests nothing
 
 
+def test_suggest_excludes_dead_terms(built_index, tmp_path_factory,
+                                     ray_session):
+    """A term whose every document is tombstoned stays in the
+    dictionary but must never be suggested (live df = 0)."""
+    import shutil
+
+    import pyarrow as pa
+
+    from mee_ray.config import EngineConfig
+    from mee_ray.delta import apply_delta
+    from mee_ray.ids import doc_id_of
+    from mee_ray.query import Searcher
+
+    root = str(tmp_path_factory.mktemp("suggest_dead"))
+    shutil.copytree(built_index["index_root"], root, dirs_exist_ok=True)
+    oracle = built_index["oracle"]
+    rare = min(oracle.postings, key=lambda t: (len(oracle.postings[t]), t))
+    rare_docs = set(oracle.postings[rare])
+    keys = [(r, p) for (r, p), (c, _) in built_index["live"].items()
+            if doc_id_of(r, p, c) in rare_docs]
+    assert keys
+    n = len(keys)
+    ev = pa.table({
+        "seq": pa.array(range(1, n + 1), pa.int64()),
+        "type": pa.array(["DELETE"] * n),
+        "repo": pa.array([r for r, _ in keys]),
+        "path": pa.array([p for _, p in keys]),
+        "commit": pa.array([""] * n),
+        "lang": pa.array([""] * n),
+        "content": pa.array([""] * n),
+    })
+    apply_delta(ev, root, EngineConfig())
+    s = Searcher(root)
+    assert s.term_df(rare) == 0
+    assert rare in s.vocabulary()          # dictionary key survives
+    got = s.suggest(rare + "x", n=100)
+    assert all(t != rare for _, t in got)
+    assert all(df > 0 for df, _ in got)
+
+
 def test_count_matches_bruteforce(built_index):
     from mee_ray.query import Searcher
 
