@@ -191,6 +191,12 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--fuzzy", default=None,
                    help="fuzzy (edit distance 1) expansion query "
                         "(replaces --terms)")
+    q.add_argument("--wildcard", default=None,
+                   help="wildcard (*/?) expansion query "
+                        "(replaces --terms)")
+    q.add_argument("--regexp", default=None,
+                   help="anchored-regexp expansion query "
+                        "(replaces --terms)")
     q.add_argument("--phrase", action="store_true",
                    help="exact phrase match (consecutive positions, "
                         "in order) — needs store_positions=True")
@@ -253,11 +259,13 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "query":
         terms = args.terms.split() if args.terms else []
         if not (terms or args.boosts or args.mlt_file or args.prefix
-                or args.fuzzy):
+                or args.fuzzy or args.wildcard or args.regexp):
             raise SystemExit("one of --terms/--boosts/--mlt-file/"
-                             "--prefix/--fuzzy is required")
+                             "--prefix/--fuzzy/--wildcard/--regexp "
+                             "is required")
         if args.count and (args.boosts or args.mlt_file or args.prefix
-                           or args.fuzzy or args.phrase or args.dismax
+                           or args.fuzzy or args.wildcard or args.regexp
+                           or args.phrase or args.dismax
                            or args.min_match is not None
                            or args.after is not None):
             # --count counts --terms with --operator; silently counting
@@ -291,6 +299,10 @@ def main(argv: list[str] | None = None) -> int:
                 hits = (s.search_prefix(args.prefix, args.k)
                         if args.prefix
                         else s.search_fuzzy(args.fuzzy, args.k))
+            elif args.wildcard:
+                hits = s.search_wildcard(args.wildcard, args.k)
+            elif args.regexp:
+                hits = s.search_regexp(args.regexp, args.k)
             elif args.phrase:
                 hits = s.search_phrase(terms, args.k)
             elif args.dismax:

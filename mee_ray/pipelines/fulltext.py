@@ -1009,6 +1009,125 @@ def _bm25_fuzzy_sql() -> str:
         "levenshtein(tf.term, q.term) <= 1")
 
 
+# ES wildcard (`*` any run / `?` one char) and regexp queries; the
+# regexp set stays inside the RE2 ∩ Python-re common subset so the
+# engine (re.fullmatch over the dictionary) and the oracle
+# (regexp_full_match over df.term) apply the SAME language.
+WILDCARD_QUERIES: list[tuple[int, str]] = [
+    (1, "s*"), (2, "b?g"), (3, "c*er"), (4, "*ow"), (5, "*a*"),
+    (6, "qu?ry"),
+]
+REGEXP_QUERIES: list[tuple[int, str]] = [
+    (1, "(join|merge|sort)"), (2, "b(ig|atch)"), (3, "[a-f].*"),
+    (4, "gr.up"), (5, ".*(ow|ey)"), (6, "va[l]?ue"),
+]
+
+
+def bm25_wildcard_documents(sf_dir: str):
+    """Wildcard-expanded BM25 top-k (ES ``wildcard`` query):
+    dictionary terms matching each ``*``/``?`` pattern, scored as an
+    OR query over the expansion (reference query semantics:
+    modules/query parity via commonhandler-style term expansion).
+    Emitted as (query_id, rank, doc_id)."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_wildcard(pat, k=s.n_docs or 1))
+               for qid, pat in WILDCARD_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _bm25_wildcard_sql() -> str:
+    from mee_ray.query import wildcard_regex
+    values = ", ".join(f"({qid}, '{wildcard_regex(p)}')"
+                       for qid, p in WILDCARD_QUERIES)
+    return _expansion_sql(
+        f"q(query_id, pat) AS (VALUES {values})",
+        "regexp_full_match(tf.term, q.pat)")
+
+
+def bm25_regexp_documents(sf_dir: str):
+    """Regexp-expanded BM25 top-k (ES ``regexp`` query, implicitly
+    anchored full-match): dictionary terms fully matching each
+    pattern, scored as an OR query over the expansion."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_regexp(pat, k=s.n_docs or 1))
+               for qid, pat in REGEXP_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _bm25_regexp_sql() -> str:
+    values = ", ".join(f"({qid}, '{p}')" for qid, p in REGEXP_QUERIES)
+    return _expansion_sql(
+        f"q(query_id, pat) AS (VALUES {values})",
+        "regexp_full_match(tf.term, q.pat)")
+
+
+# function_score field_value_factor: multiplier derived from the
+# document's own id so it is deterministic and SQL-replicable.
+FUNCTION_SCORE_MOD = 7
+FUNCTION_SCORE_SCALE = 10.0
+
+
+def bm25_function_score_documents(sf_dir: str):
+    """Function-scored BM25 top-k (the ES ``function_score`` /
+    ``field_value_factor`` analog): final score = bm25 ×
+    (1 + (doc_id % {FUNCTION_SCORE_MOD}) / {FUNCTION_SCORE_SCALE}),
+    re-ranked at full depth.  Both sides compute the identical float64
+    product (bm25 scores are bit-identical; the factor is an exact
+    small-integer / 10 division), so the ordering is well-defined.
+    Emitted as (query_id, rank, doc_id)."""
+    import numpy as np
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    out_q, out_r, out_d = [], [], []
+    for qid, ranked in _reference_text_results(s):
+        if not ranked:
+            continue
+        ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
+        base = np.array([sc for _, sc in ranked], dtype=np.float64)
+        final = base * (1.0 + (ids % FUNCTION_SCORE_MOD)
+                        / FUNCTION_SCORE_SCALE)
+        order = np.lexsort((ids, -final))[:TOP_K]
+        for rank, j in enumerate(order, start=1):
+            out_q.append(qid); out_r.append(rank)
+            out_d.append(int(ids[j]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _bm25_function_score_sql() -> str:
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = tf.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+final AS (
+  SELECT query_id, doc_id,
+         score * (1.0 + (doc_id % {FUNCTION_SCORE_MOD})
+                  / {FUNCTION_SCORE_SCALE}) AS fscore
+  FROM scores)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY fscore DESC, doc_id) AS rank
+      FROM final)
+WHERE rank <= {TOP_K}
+"""
+
+
 RRF_POOL = 50   # per-side candidate pool depth feeding the fusion
 RRF_K0 = 60     # the standard RRF dampening constant
 
@@ -1413,6 +1532,9 @@ QUERIES = {
     "hybrid_rrf_documents": hybrid_rrf_documents,
     "bm25_prefix_documents": bm25_prefix_documents,
     "bm25_fuzzy_documents": bm25_fuzzy_documents,
+    "bm25_wildcard_documents": bm25_wildcard_documents,
+    "bm25_regexp_documents": bm25_regexp_documents,
+    "bm25_function_score_documents": bm25_function_score_documents,
     "bm25_min_match_documents": bm25_min_match_documents,
     "bm25_weighted_documents": bm25_weighted_documents,
     "bm25_mlt_documents": bm25_mlt_documents,
@@ -1437,6 +1559,9 @@ ORACLE = {
     "hybrid_rrf_documents": _hybrid_rrf_sql(),
     "bm25_prefix_documents": _bm25_prefix_sql(),
     "bm25_fuzzy_documents": _bm25_fuzzy_sql(),
+    "bm25_wildcard_documents": _bm25_wildcard_sql(),
+    "bm25_regexp_documents": _bm25_regexp_sql(),
+    "bm25_function_score_documents": _bm25_function_score_sql(),
     "bm25_min_match_documents": _bm25_min_match_sql(),
     "bm25_weighted_documents": _bm25_weighted_sql(),
     "bm25_mlt_documents": _bm25_mlt_sql(),

@@ -551,6 +551,30 @@ class Searcher:
             return []
         return self.search(terms, k)
 
+    def search_wildcard(self, pattern: str, k: int = 10
+                        ) -> list[tuple[int, float]]:
+        """Wildcard query (ES ``wildcard``, ``*``/``?``): expand
+        against the dictionary (literal-prefix narrowed), then score
+        the expansion disjunctively — each expanded term keeps its
+        own df/idf."""
+        if k <= 0 or not pattern:
+            return []
+        terms = wildcard_terms(self.vocabulary(), pattern)
+        if not terms:
+            return []
+        return self.search(terms, k)
+
+    def search_regexp(self, pattern: str, k: int = 10
+                      ) -> list[tuple[int, float]]:
+        """Regexp query (ES ``regexp``, implicitly anchored): expand
+        by full-match against the dictionary, score disjunctively."""
+        if k <= 0 or not pattern:
+            return []
+        terms = regexp_terms(self.vocabulary(), pattern)
+        if not terms:
+            return []
+        return self.search(terms, k)
+
     def _deletion_index(self) -> dict[str, list[str]]:
         """Snapshot-cached :func:`build_deletion_index`."""
         if self._del_index is None:
@@ -828,6 +852,49 @@ def prefix_terms(vocab: list[str], prefix: str) -> list[str]:
     while hi < len(vocab) and vocab[hi].startswith(prefix):
         hi += 1
     return vocab[lo:hi]
+
+
+def wildcard_regex(pattern: str) -> str:
+    """Translate an ES wildcard pattern (``*`` = any run, ``?`` = one
+    char) into an anchored-regex SOURCE string.  The same string is
+    used verbatim by Python's ``re.fullmatch`` (engine side) and
+    DuckDB's ``regexp_full_match`` (oracle side); the emitted subset
+    (escaped literals, ``.``, ``.*``) means the two regex dialects
+    cannot disagree."""
+    import re
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def wildcard_terms(vocab: list[str], pattern: str) -> list[str]:
+    """Dictionary terms matching an ES wildcard pattern.  The literal
+    prefix before the first metacharacter narrows the scan to its
+    contiguous run of the SORTED vocabulary (a `mer*`-style pattern
+    never walks the whole dictionary); a leading wildcard degrades to
+    a full scan of the memory-resident term list."""
+    import re
+    i = min((pattern.index(c) for c in "*?" if c in pattern),
+            default=len(pattern))
+    cands = prefix_terms(vocab, pattern[:i]) if i else vocab
+    rx = re.compile(wildcard_regex(pattern))
+    return [t for t in cands if rx.fullmatch(t)]
+
+
+def regexp_terms(vocab: list[str], pattern: str) -> list[str]:
+    """Dictionary terms fully matching ``pattern`` (the ES regexp
+    query is implicitly anchored — so is this).  Linear scan of the
+    memory-resident dictionary; at scale the scan runs per shard actor
+    over its own (smaller) term list, and the caller unions."""
+    import re
+    rx = re.compile(pattern)
+    return [t for t in vocab if rx.fullmatch(t)]
 
 
 def build_deletion_index(vocab: list[str]) -> dict[str, list[str]]:
@@ -1382,6 +1449,27 @@ class DistributedSearcher:
         terms = fuzzy_terms(self.vocabulary(), term, max_edits,
                             self._deletion_index_cached
                             if max_edits == 1 else None)
+        if not terms:
+            return []
+        return self.search(terms, k)
+
+    def search_wildcard(self, pattern: str, k: int = 10
+                        ) -> list[tuple[int, float]]:
+        """Distributed wildcard expansion against the pooled
+        vocabulary, then the standard partials fan-out."""
+        if k <= 0 or not pattern:
+            return []
+        terms = wildcard_terms(self.vocabulary(), pattern)
+        if not terms:
+            return []
+        return self.search(terms, k)
+
+    def search_regexp(self, pattern: str, k: int = 10
+                      ) -> list[tuple[int, float]]:
+        """Distributed regexp expansion (full-match, anchored)."""
+        if k <= 0 or not pattern:
+            return []
+        terms = regexp_terms(self.vocabulary(), pattern)
         if not terms:
             return []
         return self.search(terms, k)

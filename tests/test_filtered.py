@@ -289,3 +289,51 @@ def test_filtered_distributed(built_index, ray_session):
         assert ds.search_fuzzy(typo, k=10) == s.search_fuzzy(typo, k=10)
     finally:
         ds.shutdown()
+
+
+def test_wildcard_and_regexp_expansion_match_oracle(built_index):
+    import re
+
+    from mee_ray.query import (Searcher, regexp_terms, wildcard_regex,
+                               wildcard_terms)
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    vocab = s.vocabulary()
+    # wildcard: literal-prefix run + fullmatch == naive scan
+    pats = [vocab[0][:2] + "*", "*" + vocab[1][-2:], "?" + vocab[2][1:],
+            vocab[3][:1] + "*" + vocab[3][-1:], "zz*", vocab[4]]
+    n = 0
+    for p in pats:
+        rx = re.compile(wildcard_regex(p))
+        naive = [t for t in vocab if rx.fullmatch(t)]
+        assert wildcard_terms(vocab, p) == naive, p
+        want = oracle.search(naive, k=10) if naive else []
+        assert s.search_wildcard(p, k=10) == want, p
+        n += bool(naive)
+    assert n >= 4
+    # regexp: anchored full-match
+    for p in [f"({vocab[0]}|{vocab[1]})", vocab[2][:1] + ".*",
+              ".*" + vocab[3][-1:], "nope[0-9]+"]:
+        rx = re.compile(p)
+        naive = [t for t in vocab if rx.fullmatch(t)]
+        assert regexp_terms(vocab, p) == naive, p
+        want = oracle.search(naive, k=10) if naive else []
+        assert s.search_regexp(p, k=10) == want, p
+    assert s.search_wildcard("", k=10) == []
+    assert s.search_regexp("", k=10) == []
+
+
+def test_wildcard_regexp_distributed(built_index, ray_session):
+    from mee_ray.query import DistributedSearcher, Searcher
+
+    s = Searcher(built_index["index_root"])
+    ds = DistributedSearcher(built_index["index_root"], n_actors=3)
+    vocab = s.vocabulary()
+    try:
+        for p in (vocab[0][:2] + "*", "*" + vocab[1][-2:], "zz*"):
+            assert ds.search_wildcard(p, k=10) == s.search_wildcard(p, k=10)
+        for p in (f"({vocab[0]}|{vocab[1]})", "nope[0-9]+"):
+            assert ds.search_regexp(p, k=10) == s.search_regexp(p, k=10)
+    finally:
+        ds.shutdown()
