@@ -1143,6 +1143,181 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+# ------------------------------------------- rollup / pivot / dates --
+
+def rollup_pricing_totals(sf_dir: str):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): base cells plus
+    per-flag subtotals plus the grand total, NULL-marked like SQL
+    ROLLUP.  The super-aggregate levels are derived from the already-
+    reduced base aggregate (|flags|×|statuses| rows — never a second
+    pass over lineitem), so the only wide operation is the one small
+    groupby shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        part = pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"],
+                         "qty": qty})
+        g = part.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("qty", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "q", "n"])
+
+    base = (_read(sf_dir, "lineitem",
+                  ["l_returnflag", "l_linestatus", "l_quantity"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("q", alias_name="sum_qty"),
+                       Sum("n", alias_name="count_order")))
+
+    def widen(t: pa.Table) -> pa.Table:
+        # runs on the reduced aggregate after repartition(1)
+        rows = list(zip(t["l_returnflag"].to_pylist(),
+                        t["l_linestatus"].to_pylist(),
+                        t["sum_qty"].to_pylist(),
+                        t["count_order"].to_pylist()))
+        per_flag: dict[str, list[int]] = {}
+        for f, _, q, n in rows:
+            a = per_flag.setdefault(f, [0, 0])
+            a[0] += q; a[1] += n
+        out = rows + [(f, None, a[0], a[1])
+                      for f, a in per_flag.items()]
+        out.append((None, None, sum(a[0] for a in per_flag.values()),
+                    sum(a[1] for a in per_flag.values())))
+        return pa.table({
+            "l_returnflag": pa.array([r[0] for r in out], pa.string()),
+            "l_linestatus": pa.array([r[1] for r in out], pa.string()),
+            "sum_qty": pa.array([r[2] for r in out], pa.int64()),
+            "count_order": pa.array([r[3] for r in out], pa.int64())})
+
+    return base.repartition(1).map_batches(widen, batch_format="pyarrow")
+
+
+ROLLUP_TOTALS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY ROLLUP(l_returnflag, l_linestatus)
+"""
+
+
+def date_histogram_events(sf_dir: str):
+    """ES date_histogram with min_doc_count=0 / extended bounds: one
+    row per DAY between the corpus's first and last event, empty days
+    emitted with zero counts.  Gap fill runs on the reduced per-day
+    aggregate (≤ a few thousand rows for years of data), vectorized
+    with searchsorted."""
+    from ray.data.aggregate import Sum
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(
+            pc.multiply(t["value"], pa.scalar(100.0)),
+            options=pc.RoundOptions(round_mode="half_towards_infinity")),
+            pa.int64())
+        part = pa.table({"day_bucket": pa.array(us // 86_400_000_000,
+                                                pa.int64()),
+                         "cents": cents})
+        g = part.group_by(["day_bucket"]).aggregate(
+            [("cents", "count"), ("cents", "sum")])
+        return g.rename_columns(["day_bucket", "n_part", "cents_part"])
+
+    agg = (_read(sf_dir, "events", ["ts", "value"])
+           .map_batches(bucket, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("day_bucket")
+           .aggregate(Sum("n_part", alias_name="n_events"),
+                      Sum("cents_part", alias_name="sum_value_cents")))
+
+    def fill(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"day_bucket": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_value_cents": pa.array([], pa.int64())})
+        d = t["day_bucket"].to_numpy(zero_copy_only=False)
+        n = t["n_events"].to_numpy(zero_copy_only=False)
+        s = t["sum_value_cents"].to_numpy(zero_copy_only=False)
+        full = np.arange(d.min(), d.max() + 1, dtype=np.int64)
+        nf = np.zeros(full.size, np.int64)
+        sf = np.zeros(full.size, np.int64)
+        pos = np.searchsorted(full, d)
+        nf[pos] = n; sf[pos] = s
+        return pa.table({"day_bucket": pa.array(full),
+                         "n_events": pa.array(nf),
+                         "sum_value_cents": pa.array(sf)})
+
+    return agg.repartition(1).map_batches(fill, batch_format="pyarrow")
+
+
+DATE_HISTOGRAM_SQL = """
+WITH b AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+agg AS (SELECT d, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+        FROM b GROUP BY d),
+days AS (SELECT unnest(generate_series((SELECT min(d) FROM agg),
+                                       (SELECT max(d) FROM agg))) AS d)
+SELECT days.d AS day_bucket,
+       coalesce(agg.n, 0) AS n_events,
+       coalesce(agg.s, 0) AS sum_value_cents
+FROM days LEFT JOIN agg ON agg.d = days.d
+"""
+
+
+# fixed column set so an sf where a status is absent still emits the
+# column (both sides agree by construction)
+PIVOT_STATUSES = ("F", "O", "P")
+
+
+def pivot_orders_status(sf_dir: str):
+    """PIVOT: one row per o_orderpriority, one count column per
+    o_orderstatus (fixed F/O/P column set).  Per-batch (priority,
+    status) combiners → small groupby → widen on the reduced table."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["o_orderpriority", "o_orderstatus"])
+             .group_by(["o_orderpriority", "o_orderstatus"])
+             .aggregate([("o_orderstatus", "count")]))
+        return g.rename_columns(["o_orderpriority", "o_orderstatus", "n"])
+
+    agg = (_read(sf_dir, "orders", ["o_orderpriority", "o_orderstatus"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(["o_orderpriority", "o_orderstatus"])
+           .aggregate(Sum("n", alias_name="n")))
+
+    def widen(t: pa.Table) -> pa.Table:
+        counts: dict[str, dict[str, int]] = {}
+        for p, st, n in zip(t["o_orderpriority"].to_pylist(),
+                            t["o_orderstatus"].to_pylist(),
+                            t["n"].to_pylist()):
+            counts.setdefault(p, {})[st] = n
+        prios = sorted(counts)
+        cols: dict[str, object] = {
+            "o_orderpriority": pa.array(prios, pa.string())}
+        for st in PIVOT_STATUSES:
+            cols[f"n_{st.lower()}"] = pa.array(
+                [counts[p].get(st, 0) for p in prios], pa.int64())
+        return pa.table(cols)
+
+    return agg.repartition(1).map_batches(widen, batch_format="pyarrow")
+
+
+def _pivot_sql() -> str:
+    cols = ",\n       ".join(
+        f"CAST(sum(CASE WHEN o_orderstatus = '{st}' THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS n_{st.lower()}" for st in PIVOT_STATUSES)
+    return f"""
+SELECT o_orderpriority,
+       {cols}
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project_revenue": filter_project_revenue,
@@ -1167,6 +1342,9 @@ QUERIES = {
     "range_join_orders_bands": range_join_orders_bands,
     "event_gaps_per_user": event_gaps_per_user,
     "shuffle_join_lineitem_orders": shuffle_join_lineitem_orders,
+    "rollup_pricing_totals": rollup_pricing_totals,
+    "date_histogram_events": date_histogram_events,
+    "pivot_orders_status": pivot_orders_status,
 }
 
 ORACLE = {
@@ -1193,4 +1371,7 @@ ORACLE = {
     "range_join_orders_bands": RANGE_JOIN_SQL,
     "event_gaps_per_user": LAG_SQL,
     "shuffle_join_lineitem_orders": SHUFFLE_JOIN_SQL,
+    "rollup_pricing_totals": ROLLUP_TOTALS_SQL,
+    "date_histogram_events": DATE_HISTOGRAM_SQL,
+    "pivot_orders_status": _pivot_sql(),
 }

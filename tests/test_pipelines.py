@@ -63,6 +63,9 @@ SQL_CHECKED = [
     "bm25_dismax_documents", "bm25_search_after_documents",
     "bm25_significant_terms", "bm25_match_counts",
     "percolate_documents", "term_suggest_documents",
+    "bm25_wildcard_documents", "bm25_regexp_documents",
+    "bm25_function_score_documents", "rollup_pricing_totals",
+    "date_histogram_events", "pivot_orders_status",
 ]
 
 
