@@ -312,11 +312,37 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                      "neighbor_id": pa.array(out_n, pa.int64())})
 
 
+def kmeans_assign_embeddings(sf_dir: str, n_clusters: int = 16):
+    """Distributed k-means clustering (the training-data corpus-
+    clustering op): Lloyd iterations fit on a bounded prefix sample
+    (the quantizer never sees the full table), centroids broadcast
+    ONCE via ray.put, assignment streamed through map_batches — the
+    only full-table pass is embarrassingly parallel.  Output
+    (vec_id, cluster_id).  Rows-only by design (iterative algorithm);
+    determinism, coverage and the nearest-centroid invariant are
+    asserted in tests/test_pipelines.py."""
+    import ray
+
+    ivf = IVFIndex(n_clusters=n_clusters).fit_dataset(_read_emb(sf_dir))
+    cent_ref = ray.put(ivf.centroids)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        ids, mat = _emb_matrix(t)
+        cl = np.argmax(_unit(mat) @ cents.T, axis=1)
+        return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                         "cluster_id": pa.array(cl.astype(np.int64))})
+
+    return _read_emb(sf_dir).map_batches(assign, batch_format="pyarrow",
+                                         zero_copy_batch=True)
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "embedding_dims": embedding_dims,
     "embedding_neardup": embedding_neardup,
     "ann_ivf_topk": ann_ivf_topk,
+    "kmeans_assign_embeddings": kmeans_assign_embeddings,
 }
 
 ORACLE = {

@@ -106,7 +106,8 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
                          "embedding_neardup", "ann_ivf_topk",
                          "multimodal_audio_features",
                          "hll_distinct_counts", "heavy_hitters_terms",
-                         "multimodal_retrieval"}
+                         "multimodal_retrieval",
+                         "kmeans_assign_embeddings"}
 
 
 def test_multimodal_retrieval_matches_bruteforce(entry_mod, ray_session):
@@ -420,3 +421,33 @@ def test_simhash_degenerate_bucket_preserves_components(ray_session,
     for a, b in zip(exact.a, exact.b):
         assert find(a) == find(b), \
             f"exact pair ({a},{b}) disconnected under the capped path"
+
+
+def test_kmeans_assignment_invariants(entry_mod, ray_session):
+    """k-means over embeddings: every vec_id assigned exactly once,
+    deterministic across runs, and each assignment IS the argmax
+    cosine centroid (recomputed brute-force from the same seeded
+    fit)."""
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.vector import (IVFIndex, _emb_matrix, _read_emb,
+                                          _unit)
+
+    got = _to_pandas(entry_mod.queries()["kmeans_assign_embeddings"](SF))
+    got = got.sort_values("vec_id").reset_index(drop=True)
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    assert len(got) == t.num_rows
+    assert got.vec_id.is_unique
+    # brute-force: same seeded fit, driver-side argmax
+    ivf = IVFIndex(n_clusters=16).fit_dataset(_read_emb(SF))
+    ids, mat = _emb_matrix(t)
+    want = np.argmax(_unit(mat) @ ivf.centroids.T, axis=1)
+    order = np.argsort(ids)
+    assert (got.cluster_id.to_numpy() == want[order]).all()
+    # deterministic across a second full run
+    again = _to_pandas(entry_mod.queries()["kmeans_assign_embeddings"](SF))
+    again = again.sort_values("vec_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, again)
+    # clustering is non-degenerate: more than one cluster used
+    assert got.cluster_id.nunique() > 1
