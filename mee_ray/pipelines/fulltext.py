@@ -1009,6 +1009,84 @@ def _bm25_fuzzy_sql() -> str:
         "levenshtein(tf.term, q.term) <= 1")
 
 
+# ES rescore: re-rank only the top-RESCORE_WINDOW of the base
+# (disjunctive) ranking with a secondary query — here an all-terms
+# match bonus.  The bonus multiplies the doc's OWN base score
+# (final = score + w·score for all-terms docs), so both sides perform
+# the identical float64 ops and stay bit-comparable.
+RESCORE_WINDOW = 30
+RESCORE_WEIGHT = 0.5
+
+
+def bm25_rescore_documents(sf_dir: str):
+    """Rescore query (ES ``rescore`` with ``window_size``): rank by
+    disjunctive BM25, then within the top-{RESCORE_WINDOW} window add
+    a conjunctive (matches-every-term) bonus of
+    {RESCORE_WEIGHT}×score; docs outside the window can never enter
+    the final top-k (window > k), exactly the ES contract.  Emitted
+    as (query_id, rank, doc_id)."""
+    import numpy as np
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    out_q, out_r, out_d = [], [], []
+    for qid, ranked in _reference_text_results(s):
+        if not ranked:
+            continue
+        terms = dict(REFERENCE_QUERIES)[qid]
+        and_ids = {d for d, _ in s.search(terms, k=s.n_docs or 1,
+                                          operator="and")}
+        ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
+        eng = np.array([d for d, _ in ranked], dtype=np.int64)
+        base = np.array([sc for _, sc in ranked], dtype=np.float64)
+        win = np.lexsort((ids, -base))[:RESCORE_WINDOW]
+        bonus = np.array([RESCORE_WEIGHT if int(e) in and_ids else 0.0
+                          for e in eng[win]])
+        final = base[win] + bonus * base[win]
+        order = np.lexsort((ids[win], -final))[:TOP_K]
+        for rank, j in enumerate(order, start=1):
+            out_q.append(qid); out_r.append(rank)
+            out_d.append(int(ids[win][j]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _bm25_rescore_sql() -> str:
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+qn AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY query_id),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         count(DISTINCT q.term) AS n_matched,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+win AS (
+  SELECT sc.query_id, sc.doc_id, sc.score, sc.n_matched, qn.n_terms,
+         row_number() OVER (PARTITION BY sc.query_id
+                            ORDER BY sc.score DESC, sc.doc_id) AS rn
+  FROM scores sc JOIN qn ON qn.query_id = sc.query_id),
+resc AS (
+  SELECT query_id, doc_id,
+         score + CASE WHEN n_matched = n_terms
+                      THEN {RESCORE_WEIGHT} * score ELSE 0 END AS fscore
+  FROM win WHERE rn <= {RESCORE_WINDOW})
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY fscore DESC, doc_id) AS rank
+      FROM resc)
+WHERE rank <= {TOP_K}
+"""
+
+
 # ES wildcard (`*` any run / `?` one char) and regexp queries; the
 # regexp set stays inside the RE2 ∩ Python-re common subset so the
 # engine (re.fullmatch over the dictionary) and the oracle
@@ -1535,6 +1613,7 @@ QUERIES = {
     "bm25_wildcard_documents": bm25_wildcard_documents,
     "bm25_regexp_documents": bm25_regexp_documents,
     "bm25_function_score_documents": bm25_function_score_documents,
+    "bm25_rescore_documents": bm25_rescore_documents,
     "bm25_min_match_documents": bm25_min_match_documents,
     "bm25_weighted_documents": bm25_weighted_documents,
     "bm25_mlt_documents": bm25_mlt_documents,
@@ -1562,6 +1641,7 @@ ORACLE = {
     "bm25_wildcard_documents": _bm25_wildcard_sql(),
     "bm25_regexp_documents": _bm25_regexp_sql(),
     "bm25_function_score_documents": _bm25_function_score_sql(),
+    "bm25_rescore_documents": _bm25_rescore_sql(),
     "bm25_min_match_documents": _bm25_min_match_sql(),
     "bm25_weighted_documents": _bm25_weighted_sql(),
     "bm25_mlt_documents": _bm25_mlt_sql(),
