@@ -94,7 +94,9 @@ def _parse(expr: str):
     lp = expr.find("(")
     if lp > 0 and expr.endswith(")"):
         name = expr[:lp].strip()
-        if not name.isidentifier():
+        # dotted names are the importlib fallback (function_for_name);
+        # every segment must still be an identifier
+        if not all(p.isidentifier() for p in name.split(".")):
             raise ExprError(f"bad function name {name!r}")
         return ("call", name, [_parse(a) for a in _split_args(expr[lp + 1:-1])])
     sign = 1
@@ -173,6 +175,26 @@ def registered() -> list[str]:
     return sorted(_REGISTRY)
 
 
+def function_for_name(dotted: str) -> Callable:
+    """Resolve ``pkg.mod.attr`` to a callable — the reference's
+    ``utils.functionForName`` extension hook (utils/__init__.py:9-31)
+    re-expressed with importlib.  Resolution is eager (a bad dotted
+    path fails at pipeline compile on the driver, never inside a
+    distributed task) and the result must be callable."""
+    import importlib
+    mod_name, _, attr = dotted.rpartition(".")
+    if not mod_name or not all(p.isidentifier()
+                               for p in dotted.split(".")):
+        raise ExprError(f"bad dotted function name {dotted!r}")
+    try:
+        obj = getattr(importlib.import_module(mod_name), attr)
+    except (ImportError, AttributeError) as e:
+        raise ExprError(f"cannot resolve {dotted!r}: {e}") from e
+    if not callable(obj):
+        raise ExprError(f"{dotted!r} is not callable")
+    return obj
+
+
 # ------------------------------------------------------------- compiler
 
 
@@ -188,9 +210,12 @@ def _compile_node(node) -> Callable[[pa.Table], object]:
         return lambda t: t[name]
     _, name, subs = node
     fn = _REGISTRY.get(name)
+    if fn is None and "." in name:
+        fn = function_for_name(name)   # dotted-import fallback
     if fn is None:
         raise ExprError(f"unknown function {name!r} "
-                        f"(register it with mee_ray.functions.register)")
+                        f"(register it with mee_ray.functions.register, "
+                        f"or use a dotted import path)")
     sub_fns = [_compile_node(s) for s in subs]
     if name == "echo":  # literal-only, validated eagerly like the reference
         if len(subs) != 1 or subs[0][0] != "lit":

@@ -78,3 +78,25 @@ def test_compile_once_reuse_across_batches():
     out1 = fn(BATCH).to_pylist()
     out2 = fn(BATCH.slice(1)).to_pylist()
     assert out1 == [5.0, 2.5, 2.5] and out2 == [2.5, 2.5]
+
+
+def test_dotted_import_fallback():
+    """The reference's functionForName hook: a dotted path in call
+    position resolves via importlib at compile time."""
+    from mee_ray.functions.scalar import function_for_name
+
+    assert function_for_name("pyarrow.compute.add") is pc.add
+    assert _vals("pyarrow.compute.add(a, b)") == [3.0, 1.5, 4.5]
+    # still compiled once, reused per batch
+    fn = compile_expr("pyarrow.compute.abs(a)")
+    assert fn(BATCH).to_pylist() == [1.0, 2.0, 3.0]
+    # eager failure modes (driver-side, never inside a task)
+    for bad in ("nope.such.module(a)", "pyarrow.compute.zzz(a)",
+                "pyarrow(a)"):
+        with pytest.raises(ExprError):
+            compile_expr(bad)
+    with pytest.raises(ExprError):
+        _parse("bad..dots(a)")
+    with pytest.raises(ExprError):
+        # resolvable but not callable (a module-level tuple)
+        compile_expr("mee_ray.config._MANIFEST_PINNED(a)")
