@@ -86,7 +86,7 @@ def test_dotted_import_fallback():
     from mee_ray.functions.scalar import function_for_name
 
     assert function_for_name("pyarrow.compute.add") is pc.add
-    assert _vals("pyarrow.compute.add(a, b)") == [3.0, 1.5, 4.5]
+    assert _vals("pyarrow.compute.add(a, b)") == [5.0, -1.5, 2.5]
     # still compiled once, reused per batch
     fn = compile_expr("pyarrow.compute.abs(a)")
     assert fn(BATCH).to_pylist() == [1.0, 2.0, 3.0]
