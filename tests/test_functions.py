@@ -89,7 +89,7 @@ def test_dotted_import_fallback():
     assert _vals("pyarrow.compute.add(a, b)") == [5.0, -1.5, 2.5]
     # still compiled once, reused per batch
     fn = compile_expr("pyarrow.compute.abs(a)")
-    assert fn(BATCH).to_pylist() == [1.0, 2.0, 3.0]
+    assert fn(BATCH).to_pylist() == [1.0, 2.0, 3.5]
     # eager failure modes (driver-side, never inside a task)
     for bad in ("nope.such.module(a)", "pyarrow.compute.zzz(a)",
                 "pyarrow(a)"):
