@@ -806,6 +806,98 @@ FROM base LEFT JOIN bgm ON bgm.doc_id = base.doc_id
 """
 
 
+PASSAGE_LEN = 8
+
+
+def passage_dedup_documents(sf_dir: str):
+    """Cross-document passage-level exact dedup (the CCNet /
+    RefinedWeb paragraph-dedup shape, adapted to this corpus's flat
+    token streams): each document splits into consecutive
+    non-overlapping {PASSAGE_LEN}-token windows (trailing partial
+    windows dropped), windows are exact-matched CORPUS-WIDE, and each
+    doc reports how many of its passages occur more than once
+    anywhere.  Output (doc_id, n_passages, n_dup_passages) — pure
+    integer counts, so the oracle compare is exact.
+
+    Shape at scale: explode → groupby(passage) count → co-partitioned
+    hash join back on passage → per-doc re-aggregate.  The exploded
+    stream feeds two consumers and is recomputed rather than
+    materialized (tokenize is cheap; a corpus-sized mid-pipeline
+    materialization is not).  At 100 TB the join key becomes a
+    128-bit passage hash instead of the string (collision-safe,
+    fixed-width exchange records); string keys keep the sf-scale
+    oracle bit-exact here."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    st = TextStats()
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_d, out_p = [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = st.tokens(x)
+            for lo in range(0, len(toks) - PASSAGE_LEN + 1, PASSAGE_LEN):
+                out_d.append(d)
+                out_p.append(" ".join(toks[lo:lo + PASSAGE_LEN]))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "passage": pa.array(out_p, pa.string())})
+
+    def passages(): return (_read_docs(sf_dir, ["doc_id", "text"])
+                            .map_batches(explode, batch_format="pyarrow",
+                                         zero_copy_batch=True))
+
+    counts = passages().groupby("passage").aggregate(
+        Count(alias_name="c"))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = passages().join(
+        counts, join_type="inner",
+        num_partitions=max(2, cpus // 2),
+        on=("passage",),
+        aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def per_doc_partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        dup = pc.cast(pc.greater(t["c"], pa.scalar(1)), pa.int64())
+        part = pa.table({"doc_id": t["doc_id"], "dup": dup})
+        g = part.group_by("doc_id").aggregate(
+            [("dup", "count"), ("dup", "sum")])
+        return g.rename_columns(["doc_id", "n_part", "dup_part"])
+
+    agg = (joined.map_batches(per_doc_partial, batch_format="pyarrow")
+           .groupby("doc_id")
+           .aggregate(Sum("n_part", alias_name="n_passages"),
+                      Sum("dup_part", alias_name="n_dup_passages")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_passages": pc.cast(t["n_passages"], pa.int64()),
+            "n_dup_passages": pc.cast(t["n_dup_passages"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+PASSAGE_DEDUP_SQL = f"""
+WITH tokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS term,
+               generate_subscripts(ts, 1) AS i FROM tokl),
+pas AS (
+  SELECT doc_id, (i - 1) // {PASSAGE_LEN} AS w,
+         string_agg(term, ' ' ORDER BY i) AS passage
+  FROM tok GROUP BY doc_id, (i - 1) // {PASSAGE_LEN}
+  HAVING count(*) = {PASSAGE_LEN}),
+cnt AS (SELECT passage, count(*) AS c FROM pas GROUP BY passage)
+SELECT p.doc_id, count(*) AS n_passages,
+       CAST(sum(CASE WHEN cnt.c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_passages
+FROM pas p JOIN cnt ON cnt.passage = p.passage
+GROUP BY p.doc_id
+"""
+
+
 QUERIES = {
     "doc_token_counts": doc_token_counts,
     "stratified_sample_documents": stratified_sample_documents,
@@ -820,6 +912,7 @@ QUERIES = {
     "ngram_jaccard_adjacent": ngram_jaccard_adjacent,
     "pii_scrub_documents": pii_scrub_documents,
     "repetition_scores_documents": repetition_scores_documents,
+    "passage_dedup_documents": passage_dedup_documents,
 }
 
 ORACLE = {
@@ -832,6 +925,7 @@ ORACLE = {
     "stratified_sample_documents": STRATIFIED_SQL,
     "pii_scrub_documents": PII_SCRUB_SQL,
     "repetition_scores_documents": REPETITION_SQL,
+    "passage_dedup_documents": PASSAGE_DEDUP_SQL,
     # sketch ops intentionally have no SQL oracle (rows-only check);
     # they are verified against brute-force oracles in tests/.
 }

@@ -66,7 +66,7 @@ SQL_CHECKED = [
     "bm25_wildcard_documents", "bm25_regexp_documents",
     "bm25_function_score_documents", "rollup_pricing_totals",
     "date_histogram_events", "pivot_orders_status",
-    "bm25_rescore_documents",
+    "bm25_rescore_documents", "passage_dedup_documents",
 ]
 
 
