@@ -302,7 +302,10 @@ def main(argv: list[str] | None = None) -> int:
             elif args.wildcard:
                 hits = s.search_wildcard(args.wildcard, args.k)
             elif args.regexp:
-                hits = s.search_regexp(args.regexp, args.k)
+                try:
+                    hits = s.search_regexp(args.regexp, args.k)
+                except ValueError as e:
+                    raise SystemExit(str(e)) from None
             elif args.phrase:
                 hits = s.search_phrase(terms, args.k)
             elif args.dismax:

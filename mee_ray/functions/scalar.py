@@ -9,10 +9,11 @@ by design:
 
 * expressions compile ONCE to a closure over ``pyarrow.Table`` →
   ``pyarrow.Array`` — evaluation is per batch, never per row;
-* the dotted-import fallback (common.py:60-66) becomes an explicit
-  ``register(name, fn)`` extension surface (SURVEY.md §2.10): imports
-  inside distributed tasks are a deployment hazard, registration is
-  declarative and picklable;
+* the dotted-import fallback (common.py:60-66) is supported
+  (``function_for_name``, resolved EAGERLY at compile on the driver —
+  a bad path can never fail inside a distributed task), but the
+  preferred extension surface is explicit ``register(name, fn)``
+  (SURVEY.md §2.10): registration is declarative and picklable;
 * unknown names and malformed expressions raise ``ExprError`` at
   compile time, mirroring the reference's eager config validation.
 

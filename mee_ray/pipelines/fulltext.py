@@ -1026,6 +1026,7 @@ def bm25_rescore_documents(sf_dir: str):
     the final top-k (window > k), exactly the ES contract.  Emitted
     as (query_id, rank, doc_id)."""
     import numpy as np
+    from mee_ray.ids import term_hash
     from mee_ray.query import Searcher
     root = _ensure_index(sf_dir)
     s = Searcher(root)
@@ -1034,16 +1035,22 @@ def bm25_rescore_documents(sf_dir: str):
     for qid, ranked in _reference_text_results(s):
         if not ranked:
             continue
-        terms = dict(REFERENCE_QUERIES)[qid]
-        and_ids = {d for d, _ in s.search(terms, k=s.n_docs or 1,
-                                          operator="and")}
+        terms = sorted(set(dict(REFERENCE_QUERIES)[qid]))
         ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
         eng = np.array([d for d, _ in ranked], dtype=np.int64)
         base = np.array([sc for _, sc in ranked], dtype=np.float64)
         win = np.lexsort((ids, -base))[:RESCORE_WINDOW]
-        bonus = np.array([RESCORE_WEIGHT if int(e) in and_ids else 0.0
-                          for e in eng[win]])
-        final = base[win] + bonus * base[win]
+        # all-terms membership for the ≤window docs only: per-term
+        # posting-id isin (postings are already in the decode LRU from
+        # the ranking pass) — never a full-corpus AND materialization
+        matched_all = np.ones(len(win), dtype=bool)
+        for t_ in terms:
+            sh = term_hash(t_) % s.num_shards
+            t_ids = (s._live_postings(sh, t_)[0] if s.owns(sh)
+                     else np.empty(0, np.int64))
+            matched_all &= np.isin(eng[win], t_ids)
+        final = base[win] + np.where(matched_all,
+                                     RESCORE_WEIGHT * base[win], 0.0)
         order = np.lexsort((ids[win], -final))[:TOP_K]
         for rank, j in enumerate(order, start=1):
             out_q.append(qid); out_r.append(rank)

@@ -1155,7 +1155,10 @@ def rollup_pricing_totals(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        # half_towards_infinity == SQL round()'s half-away-from-zero
+        # (pyarrow's default half-to-even diverges on exact .5)
+        qty = pc.cast(pc.round(t["l_quantity"], options=pc.RoundOptions(
+            round_mode="half_towards_infinity")), pa.int64())
         part = pa.table({"l_returnflag": t["l_returnflag"],
                          "l_linestatus": t["l_linestatus"],
                          "qty": qty})
@@ -1173,6 +1176,14 @@ def rollup_pricing_totals(sf_dir: str):
 
     def widen(t: pa.Table) -> pa.Table:
         # runs on the reduced aggregate after repartition(1)
+        if t.num_rows == 0:
+            # SQL ROLLUP on an empty table still emits the grand-total
+            # row: (NULL, NULL, NULL sum, 0 count)
+            return pa.table({
+                "l_returnflag": pa.array([None], pa.string()),
+                "l_linestatus": pa.array([None], pa.string()),
+                "sum_qty": pa.array([None], pa.int64()),
+                "count_order": pa.array([0], pa.int64())})
         rows = list(zip(t["l_returnflag"].to_pylist(),
                         t["l_linestatus"].to_pylist(),
                         t["sum_qty"].to_pylist(),

@@ -891,9 +891,14 @@ def regexp_terms(vocab: list[str], pattern: str) -> list[str]:
     """Dictionary terms fully matching ``pattern`` (the ES regexp
     query is implicitly anchored — so is this).  Linear scan of the
     memory-resident dictionary; at scale the scan runs per shard actor
-    over its own (smaller) term list, and the caller unions."""
+    over its own (smaller) term list, and the caller unions.  A
+    malformed pattern raises ValueError (clean, driver-side) rather
+    than leaking re.error from inside a query path."""
     import re
-    rx = re.compile(pattern)
+    try:
+        rx = re.compile(pattern)
+    except re.error as e:
+        raise ValueError(f"bad regexp pattern {pattern!r}: {e}") from e
     return [t for t in vocab if rx.fullmatch(t)]
 
 

@@ -5,6 +5,7 @@ must equal the post-filtered full ranking, in-process and across the
 shard-actor pool."""
 
 import numpy as np
+import pytest
 
 
 def _allowed_subsets(oracle):
@@ -337,3 +338,11 @@ def test_wildcard_regexp_distributed(built_index, ray_session):
             assert ds.search_regexp(p, k=10) == s.search_regexp(p, k=10)
     finally:
         ds.shutdown()
+
+
+def test_regexp_bad_pattern_raises_value_error(built_index):
+    from mee_ray.query import Searcher
+
+    s = Searcher(built_index["index_root"])
+    with pytest.raises(ValueError, match="bad regexp"):
+        s.search_regexp("[", k=10)
