@@ -1143,6 +1143,96 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+def running_total_orders(sf_dir: str, n_buckets: int = 64):
+    """Cumulative window sum: per customer, running total of order
+    price (cents) ordered by (o_orderdate, o_orderkey).  Customers
+    hash into ``n_buckets`` groups (one shuffle); each group resolves
+    MANY customers in one vectorized lexsort + segmented-cumsum pass
+    (the event_gaps_per_user discipline — never one Python group per
+    key).  Integer cents keep the running sums exact."""
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        ck = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cents = pc.cast(pc.round(
+            pc.multiply(t["o_totalprice"], pa.scalar(100.0)),
+            options=pc.RoundOptions(round_mode="half_towards_infinity")),
+            pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "o_orderdate": t["o_orderdate"],
+                         "cents": cents,
+                         "bucket": pa.array(ck % n_buckets, pa.int64())})
+
+    def cumsum(g: pa.Table) -> pa.Table:
+        ck = g["o_custkey"].to_numpy(zero_copy_only=False)
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        od = g["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = g["cents"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, od, ck))
+        ck, ok, cents = ck[order], ok[order], cents[order]
+        first = np.ones(len(ck), dtype=bool)
+        first[1:] = ck[1:] != ck[:-1]
+        cs = np.cumsum(cents)
+        # segmented cumsum: subtract each group's prefix-before-start
+        grp = np.cumsum(first) - 1
+        base = (cs - cents)[np.flatnonzero(first)][grp]
+        return pa.table({"o_orderkey": pa.array(ok),
+                         "o_custkey": pa.array(ck),
+                         "running_cents": pa.array(cs - base, type=pa.int64())})
+
+    return (_read(sf_dir, "orders",
+                  ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+            .map_batches(add_bucket, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(cumsum, batch_format="pyarrow"))
+
+
+RUNNING_TOTAL_SQL = """
+SELECT o_orderkey, o_custkey,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         AS running_cents
+FROM orders
+"""
+
+
+def dense_rank_orders(sf_dir: str):
+    """dense_rank() of order price (desc) within each order priority.
+    The partition key has tiny cardinality (5 priorities), so each
+    partition IS one group and ranks vectorize as a change-mask cumsum
+    over the sorted prices.  Skew note: a rank over a low-cardinality
+    partition key is inherently one task per partition value — at
+    100 TB you'd range-partition each priority by price and offset the
+    per-range dense ranks by prefix counts of distinct values."""
+
+    def rank_group(g: pa.Table) -> pa.Table:
+        price = g["o_totalprice"].to_numpy(zero_copy_only=False)
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        pr = g["o_orderpriority"]
+        order = np.lexsort((ok, -price))
+        ps = price[order]
+        newval = np.ones(len(ps), dtype=bool)
+        newval[1:] = ps[1:] != ps[:-1]
+        return pa.table({"o_orderkey": pa.array(ok[order]),
+                         "o_orderpriority": pr.take(pa.array(order)),
+                         "price_rank": pa.array(np.cumsum(newval),
+                                                type=pa.int64())})
+
+    return (_read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderpriority", "o_totalprice"])
+            .groupby("o_orderpriority")
+            .map_groups(rank_group, batch_format="pyarrow"))
+
+
+DENSE_RANK_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       dense_rank() OVER (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice DESC) AS price_rank
+FROM orders
+"""
+
+
 # ------------------------------------------- rollup / pivot / dates --
 
 def rollup_pricing_totals(sf_dir: str):
@@ -1356,6 +1446,8 @@ QUERIES = {
     "rollup_pricing_totals": rollup_pricing_totals,
     "date_histogram_events": date_histogram_events,
     "pivot_orders_status": pivot_orders_status,
+    "running_total_orders": running_total_orders,
+    "dense_rank_orders": dense_rank_orders,
 }
 
 ORACLE = {
@@ -1385,4 +1477,6 @@ ORACLE = {
     "rollup_pricing_totals": ROLLUP_TOTALS_SQL,
     "date_histogram_events": DATE_HISTOGRAM_SQL,
     "pivot_orders_status": _pivot_sql(),
+    "running_total_orders": RUNNING_TOTAL_SQL,
+    "dense_rank_orders": DENSE_RANK_SQL,
 }

@@ -67,6 +67,7 @@ SQL_CHECKED = [
     "bm25_function_score_documents", "rollup_pricing_totals",
     "date_histogram_events", "pivot_orders_status",
     "bm25_rescore_documents", "passage_dedup_documents",
+    "running_total_orders", "dense_rank_orders",
 ]
 
 
