@@ -1009,6 +1009,121 @@ def _bm25_fuzzy_sql() -> str:
         "levenshtein(tf.term, q.term) <= 1")
 
 
+# ES multi_match most_fields: title^2 + body, where "title" is the
+# deterministic first-TITLE_LEN-token prefix of each document (both
+# sides derive it with the same tokenizer expression).  Each field is
+# its OWN index with its own dl/avgdl/df statistics — most_fields
+# semantics sum the per-field BM25 scores.
+TITLE_LEN = 6
+TITLE_WEIGHT = 2.0
+
+
+def _ensure_title_index(sf_dir: str) -> str:
+    """Second field index: same corpus identity (repo/path/commit ⇒
+    identical engine doc_ids as the body index), content truncated to
+    the first {TITLE_LEN} tokens."""
+    import re
+    from mee_ray.pipelines.text import TOKEN_PATTERN
+    root = _index_root(sf_dir) + "_title"
+    cfg = EngineConfig(tokenizer=TokenizerConfig.simple())
+    if mf.current_epoch(root) is None:
+        rx = re.compile(TOKEN_PATTERN)
+
+        def to_title(t: pa.Table) -> pa.Table:
+            titles = [" ".join(rx.findall(x.lower())[:TITLE_LEN])
+                      for x in t["content"].to_pylist()]
+            return t.set_column(t.schema.get_field_index("content"),
+                                "content", pa.array(titles, pa.string()))
+
+        corpus = documents_as_corpus(sf_dir).map_batches(
+            to_title, batch_format="pyarrow")
+        build_index(corpus, root, "ep1", cfg, dedup=False)
+    return root
+
+
+def bm25_multifield_documents(sf_dir: str):
+    """Multi-field search (ES multi_match most_fields, title^2 body):
+    combined = {TITLE_WEIGHT}·bm25_title + bm25_body, each field
+    scored full-depth against its own index (own df/dl/avgdl).  Both
+    per-field scores are bit-identical to the SQL CTEs, and the
+    weighted sum performs the identical float64 ops, so the ordering
+    is well-defined.  Emitted as (query_id, rank, doc_id)."""
+    import numpy as np
+    from mee_ray.query import Searcher
+    body_root = _ensure_index(sf_dir)
+    title_root = _ensure_title_index(sf_dir)
+    sb = Searcher(body_root)
+    st_ = Searcher(title_root)
+    idmap = _orig_id_map(body_root)
+    body = dict((qid, dict(r))
+                for qid, r in _reference_text_results(sb))
+    title = dict((qid, dict(r))
+                 for qid, r in _reference_text_results(st_))
+    out_q, out_r, out_d = [], [], []
+    for qid, _terms in REFERENCE_QUERIES:
+        comb: dict[int, float] = {}
+        for d, sc in body.get(qid, {}).items():
+            comb[d] = comb.get(d, 0.0) + sc
+        for d, sc in title.get(qid, {}).items():
+            comb[d] = comb.get(d, 0.0) + TITLE_WEIGHT * sc
+        if not comb:
+            continue
+        ids = np.array([idmap[d] for d in comb], dtype=np.int64)
+        sc = np.array(list(comb.values()), dtype=np.float64)
+        order = np.lexsort((ids, -sc))[:TOP_K]
+        for rank, j in enumerate(order, start=1):
+            out_q.append(qid); out_r.append(rank)
+            out_d.append(int(ids[j]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _bm25_multifield_sql() -> str:
+    return f"""
+{_base_ctes()},
+ttok AS (SELECT doc_id, unnest(list_slice(ts, 1, {TITLE_LEN})) AS term
+         FROM tokl),
+tdl AS (SELECT doc_id, count(*) AS dl FROM ttok GROUP BY doc_id),
+tstats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                  (SELECT count(*) FROM ttok) AS total_tokens),
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttok
+        GROUP BY doc_id, term),
+tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+bscores AS (
+  SELECT q.query_id, tf.doc_id, {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+tscores AS (
+  SELECT q.query_id, tf.doc_id, {_SCORE_SUM}
+  FROM q
+  JOIN ttf tf ON tf.term = q.term
+  JOIN tdf df ON df.term = q.term
+  JOIN tdl dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tstats s
+  GROUP BY q.query_id, tf.doc_id),
+comb AS (
+  SELECT coalesce(b.query_id, t.query_id) AS query_id,
+         coalesce(b.doc_id, t.doc_id) AS doc_id,
+         coalesce(b.score, 0) + {TITLE_WEIGHT} * coalesce(t.score, 0)
+           AS score
+  FROM bscores b
+  FULL OUTER JOIN tscores t
+    ON t.query_id = b.query_id AND t.doc_id = b.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM comb)
+WHERE rank <= {TOP_K}
+"""
+
+
 # ES rescore: re-rank only the top-RESCORE_WINDOW of the base
 # (disjunctive) ranking with a secondary query — here an all-terms
 # match bonus.  The bonus multiplies the doc's OWN base score
@@ -1621,6 +1736,7 @@ QUERIES = {
     "bm25_regexp_documents": bm25_regexp_documents,
     "bm25_function_score_documents": bm25_function_score_documents,
     "bm25_rescore_documents": bm25_rescore_documents,
+    "bm25_multifield_documents": bm25_multifield_documents,
     "bm25_min_match_documents": bm25_min_match_documents,
     "bm25_weighted_documents": bm25_weighted_documents,
     "bm25_mlt_documents": bm25_mlt_documents,
@@ -1649,6 +1765,7 @@ ORACLE = {
     "bm25_regexp_documents": _bm25_regexp_sql(),
     "bm25_function_score_documents": _bm25_function_score_sql(),
     "bm25_rescore_documents": _bm25_rescore_sql(),
+    "bm25_multifield_documents": _bm25_multifield_sql(),
     "bm25_min_match_documents": _bm25_min_match_sql(),
     "bm25_weighted_documents": _bm25_weighted_sql(),
     "bm25_mlt_documents": _bm25_mlt_sql(),
