@@ -1009,6 +1009,121 @@ def _bm25_fuzzy_sql() -> str:
         "levenshtein(tf.term, q.term) <= 1")
 
 
+class _CollapseStage:
+    """Actor-pool collapse stage: holds the per-query
+    (sorted engine ids, scores) arrays (broadcast ONCE) and emits
+    per-batch best-hit-per-(query, lang) partials — bounded transport:
+    ≤ queries × langs rows per batch (the _FacetCounter discipline)."""
+
+    def __init__(self, scores_ref):
+        import ray
+        self.qs = ray.get(scores_ref) \
+            if isinstance(scores_ref, ray.ObjectRef) else scores_ref
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        orig = np.array([int(p.split("doc_")[1].split(".")[0])
+                         for p in t["path"].to_pylist()], dtype=np.int64)
+        out_q, out_l, out_s, out_o = [], [], [], []
+        for qid, (sid, ssc) in self.qs.items():
+            if not len(sid):
+                continue
+            pos = np.searchsorted(sid, ids)
+            safe = np.minimum(pos, len(sid) - 1)
+            valid = sid[safe] == ids
+            if not valid.any():
+                continue
+            sc, lg, og = ssc[safe[valid]], langs[valid], orig[valid]
+            for lang in np.unique(lg):
+                m = lg == lang
+                j = np.lexsort((og[m], -sc[m]))[0]
+                out_q.append(qid); out_l.append(str(lang))
+                out_s.append(float(sc[m][j])); out_o.append(int(og[m][j]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "lang": pa.array(out_l, pa.string()),
+                         "score": pa.array(out_s, pa.float64()),
+                         "orig_id": pa.array(out_o, pa.int64())})
+
+
+def bm25_collapse_documents(sf_dir: str):
+    """Field collapsing (ES ``collapse`` on ``lang``): for each query,
+    the single best-scoring live hit per lang, langs ranked by their
+    best hit's (score desc, doc_id).  Scores come from the index
+    (full-depth ranking); the lang resolution pass is a distributed
+    pruned docs-table scan with the score arrays broadcast once and
+    per-batch best-per-group partials — a tiny driver merge, never a
+    docs-table concentration.  Emitted as
+    (query_id, rank, lang, doc_id)."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    qs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for qid, ranked in _reference_text_results(s):
+        ids = np.array([d for d, _ in ranked], dtype=np.int64)
+        sc = np.array([x for _, x in ranked], dtype=np.float64)
+        order = np.argsort(ids)
+        qs[qid] = (ids[order], sc[order])
+    ref = ray.put(qs)
+    files = mf.docs_files(root, mf.current_epoch(root))
+    parts = ray.data.read_parquet(files,
+                                  columns=["doc_id", "lang", "path"]) \
+        .map_batches(_CollapseStage, fn_constructor_args=[ref],
+                     batch_format="pyarrow", concurrency=(1, 4))
+    best: dict[tuple[int, str], tuple[float, int]] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for qid, lang, sc, og in zip(b["query_id"].to_pylist(),
+                                     b["lang"].to_pylist(),
+                                     b["score"].to_pylist(),
+                                     b["orig_id"].to_pylist()):
+            cur = best.get((qid, lang))
+            if cur is None or (-sc, og) < (-cur[0], cur[1]):
+                best[(qid, lang)] = (sc, og)
+    out_q, out_r, out_l, out_d = [], [], [], []
+    for qid in sorted({k[0] for k in best}):
+        rows = sorted(((-sc, og, lang) for (q, lang), (sc, og)
+                       in best.items() if q == qid))
+        for rank, (_, og, lang) in enumerate(rows, start=1):
+            out_q.append(qid); out_r.append(rank)
+            out_l.append(lang); out_d.append(og)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "lang": pa.array(out_l, pa.string()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _bm25_collapse_sql() -> str:
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+js AS (SELECT sc.query_id, sc.doc_id, sc.score, d.lang
+       FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id),
+best AS (
+  SELECT query_id, lang, doc_id, score,
+         row_number() OVER (PARTITION BY query_id, lang
+                            ORDER BY score DESC, doc_id) AS rn
+  FROM js)
+SELECT query_id,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id) AS rank,
+       lang, doc_id
+FROM best WHERE rn = 1
+"""
+
+
 # ES multi_match most_fields: title^2 + body, where "title" is the
 # deterministic first-TITLE_LEN-token prefix of each document (both
 # sides derive it with the same tokenizer expression).  Each field is
@@ -1737,6 +1852,7 @@ QUERIES = {
     "bm25_function_score_documents": bm25_function_score_documents,
     "bm25_rescore_documents": bm25_rescore_documents,
     "bm25_multifield_documents": bm25_multifield_documents,
+    "bm25_collapse_documents": bm25_collapse_documents,
     "bm25_min_match_documents": bm25_min_match_documents,
     "bm25_weighted_documents": bm25_weighted_documents,
     "bm25_mlt_documents": bm25_mlt_documents,
@@ -1766,6 +1882,7 @@ ORACLE = {
     "bm25_function_score_documents": _bm25_function_score_sql(),
     "bm25_rescore_documents": _bm25_rescore_sql(),
     "bm25_multifield_documents": _bm25_multifield_sql(),
+    "bm25_collapse_documents": _bm25_collapse_sql(),
     "bm25_min_match_documents": _bm25_min_match_sql(),
     "bm25_weighted_documents": _bm25_weighted_sql(),
     "bm25_mlt_documents": _bm25_mlt_sql(),

@@ -68,7 +68,7 @@ SQL_CHECKED = [
     "date_histogram_events", "pivot_orders_status",
     "bm25_rescore_documents", "passage_dedup_documents",
     "running_total_orders", "dense_rank_orders",
-    "bm25_multifield_documents",
+    "bm25_multifield_documents", "bm25_collapse_documents",
 ]
 
 
