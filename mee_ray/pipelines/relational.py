@@ -1143,6 +1143,47 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+def distinct_users_per_event_type(sf_dir: str):
+    """Exact COUNT(DISTINCT) per group: batch-level pair dedup
+    (pyarrow group_by — shrinks the exchange to unique pairs per
+    batch), one (type, user) groupby to finish the global dedup, then
+    per-batch per-type counts into a tiny second groupby.  This is
+    the canonical two-shuffle exact-distinct plan; the HLL sketch
+    (hll_distinct_counts) is the one-shuffle approximate variant."""
+    from ray.data.aggregate import Count, Sum
+
+    def pair_dedup(t: pa.Table) -> pa.Table:
+        return (t.select(["event_type", "user_id"])
+                .group_by(["event_type", "user_id"]).aggregate([]))
+
+    pairs = (_read(sf_dir, "events", ["event_type", "user_id"])
+             .map_batches(pair_dedup, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(["event_type", "user_id"])
+             .aggregate(Count(alias_name="_n")))
+
+    def per_type_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["event_type"])
+             .group_by("event_type").aggregate([("event_type", "count")]))
+        return g.rename_columns(["event_type", "n_part"])
+
+    agg = (pairs.map_batches(per_type_partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n_part", alias_name="n_users")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"event_type": t["event_type"],
+                         "n_users": pc.cast(t["n_users"], pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+DISTINCT_USERS_SQL = """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events GROUP BY event_type
+"""
+
+
 def running_total_orders(sf_dir: str, n_buckets: int = 64):
     """Cumulative window sum: per customer, running total of order
     price (cents) ordered by (o_orderdate, o_orderkey).  Customers
@@ -1448,6 +1489,7 @@ QUERIES = {
     "pivot_orders_status": pivot_orders_status,
     "running_total_orders": running_total_orders,
     "dense_rank_orders": dense_rank_orders,
+    "distinct_users_per_event_type": distinct_users_per_event_type,
 }
 
 ORACLE = {
@@ -1479,4 +1521,5 @@ ORACLE = {
     "pivot_orders_status": _pivot_sql(),
     "running_total_orders": RUNNING_TOTAL_SQL,
     "dense_rank_orders": DENSE_RANK_SQL,
+    "distinct_users_per_event_type": DISTINCT_USERS_SQL,
 }
