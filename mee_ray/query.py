@@ -342,6 +342,68 @@ class Searcher:
             out[term] = (ids, w * tf_norm(tfs, dls, self.avgdl, self.k1, self.b))
         return out
 
+    def explain(self, terms: list[str], doc_id: int
+                ) -> dict[str, dict[str, float]]:
+        """Score breakdown for one document (the ES ``_explain`` API):
+        term → {tf, dl, df, idf, contribution} for every query term
+        the doc matches (live postings only).  The contributions sum
+        — in sorted-term order, the engine's accumulation order — to
+        the doc's exact search() score; asserted in tests."""
+        out: dict[str, dict[str, float]] = {}
+        for term in sorted(set(terms)):
+            s = term_hash(term) % self.num_shards
+            if not self.owns(s):
+                continue
+            ids, tfs, dls = self._live_postings(s, term)
+            pos = np.searchsorted(ids, doc_id)
+            hit = np.flatnonzero(ids[pos:pos + 2] == doc_id) + pos \
+                if pos < len(ids) else np.empty(0, np.int64)
+            if not len(hit):
+                continue
+            df = len(ids)
+            w = idf(df, self.n_docs)
+            contrib = float(w * tf_norm(tfs[hit], dls[hit], self.avgdl,
+                                        self.k1, self.b)[0])
+            out[term] = {"tf": float(tfs[hit][0]),
+                         "dl": float(dls[hit][0]),
+                         "df": float(df), "idf": float(w),
+                         "contribution": contrib}
+        return out
+
+    def get_doc(self, repo: str, path: str) -> dict | None:
+        """Fetch one live document's stored fields by identity key
+        (the ES GET /_doc analog): predicate-pushdown reads over the
+        epoch docs table + delta added-docs files (row-group pruned —
+        never a full scan), applying the sequenced-tombstone liveness
+        rule (a copy from source s is live iff no tombstone for its id
+        has seq > s; latest live source wins — the same rule
+        delta._live_key_index enforces on the write path)."""
+        import os
+
+        import pyarrow.dataset as pads
+        sources: list[tuple[str, int]] = [
+            (f, 0) for f in mf.docs_files(self.index_root,
+                                          self.manifest["epoch"])]
+        sources += [(d["added_docs"], d["seq"])
+                    for d in self.manifest.get("deltas", [])
+                    if d.get("added_docs")
+                    and os.path.exists(d["added_docs"])]
+        best: tuple[int, dict] | None = None
+        for f, seq in sources:
+            t = pads.dataset(f).to_table(
+                filter=(pads.field("repo") == repo)
+                & (pads.field("path") == path))
+            for row in t.to_pylist():
+                pos = int(np.searchsorted(self.tomb_ids, row["doc_id"]))
+                dead = (pos < len(self.tomb_ids)
+                        and int(self.tomb_ids[pos]) == row["doc_id"]
+                        and int(self.tomb_seqs[pos]) > seq)
+                if dead:
+                    continue
+                if best is None or seq >= best[0]:
+                    best = (seq, row)
+        return best[1] if best else None
+
     def term_partials_for_docs(self, terms: list[str],
                                doc_ids_sorted: np.ndarray
                                ) -> dict[str, tuple[np.ndarray, np.ndarray]]:

@@ -302,3 +302,66 @@ def test_variants_distributed(built_index, ray_session):
             assert ds.suggest(p, n=5) == s.suggest(p, n=5), p
     finally:
         ds.shutdown()
+
+
+def test_explain_sums_to_search_score(built_index):
+    """_explain analog: per-term contributions, accumulated in the
+    engine's sorted-term order, reproduce search()'s exact score."""
+    from mee_ray.query import Searcher
+
+    s = Searcher(built_index["index_root"])
+    oracle = built_index["oracle"]
+    vocab = sorted(oracle.postings)
+    n = 0
+    for terms in ([vocab[0]], [vocab[0], vocab[3]],
+                  [vocab[1], vocab[2], vocab[5]]):
+        for doc, score in s.search(terms, 5):
+            ex = s.explain(terms, doc)
+            total = 0.0
+            for t in sorted(set(terms)):
+                if t in ex:
+                    total += ex[t]["contribution"]
+            assert total == score, (terms, doc)
+            for t, d in ex.items():
+                assert d["tf"] >= 1 and d["df"] >= 1
+            n += 1
+    assert n >= 10
+    assert s.explain(["zzz_not_a_term"], 1) == {}
+
+
+def test_get_doc_live_and_tombstoned(built_index, tmp_path_factory,
+                                     ray_session):
+    import hashlib
+    import shutil
+
+    import pyarrow as pa
+
+    from mee_ray.config import EngineConfig
+    from mee_ray.delta import apply_delta
+    from mee_ray.ids import doc_id_of
+    from mee_ray.query import Searcher
+
+    root = str(tmp_path_factory.mktemp("get_doc"))
+    shutil.copytree(built_index["index_root"], root, dirs_exist_ok=True)
+    s = Searcher(root)
+    (repo, path), (commit, content) = next(iter(built_index["live"].items()))
+    got = s.get_doc(repo, path)
+    assert got is not None
+    assert got["commit"] == commit
+    assert got["doc_id"] == doc_id_of(repo, path, commit)
+    assert got["content_sha256"] == hashlib.sha256(
+        content.encode()).digest()
+    assert s.get_doc(repo, "no/such/path.py") is None
+    # DELETE tombstones it; a later re-INSERT revives it
+    ev = pa.table({"seq": pa.array([1, 2], pa.int64()),
+                   "type": pa.array(["DELETE", "INSERT"]),
+                   "repo": pa.array([repo, repo]),
+                   "path": pa.array([path, path]),
+                   "commit": pa.array(["", "f" * 40]),
+                   "lang": pa.array(["", "py"]),
+                   "content": pa.array(["", "new content here"])})
+    apply_delta(ev.slice(0, 1), root, EngineConfig())
+    assert Searcher(root).get_doc(repo, path) is None
+    apply_delta(ev.slice(1, 1), root, EngineConfig())
+    got2 = Searcher(root).get_doc(repo, path)
+    assert got2 is not None and got2["commit"] == "f" * 40
