@@ -201,6 +201,16 @@ def main(argv: list[str] | None = None) -> int:
                    help="exact phrase match (consecutive positions, "
                         "in order) — needs store_positions=True")
 
+    q.add_argument("--explain", action="store_true",
+                   help="with --terms: per-hit per-term score "
+                        "breakdown (the ES _explain analog)")
+
+    gd = sub.add_parser("get", help="fetch one live document's stored "
+                                    "fields by (repo, path)")
+    gd.add_argument("--index", required=True)
+    gd.add_argument("--repo", required=True)
+    gd.add_argument("--path", required=True)
+
     d = sub.add_parser("delta", help="apply one delta event batch")
     d.add_argument("--index", required=True)
     d.add_argument("--events", required=True,
@@ -323,9 +333,16 @@ def main(argv: list[str] | None = None) -> int:
                                 operator=args.operator)
             else:
                 hits = s.search(terms, args.k, operator=args.operator)
-            return {"terms": terms,
-                    "hits": [{"doc_id": d, "score": sc}
-                             for d, sc in hits]}
+            out = {"terms": terms,
+                   "hits": [{"doc_id": d, "score": sc}
+                            for d, sc in hits]}
+            if args.explain:
+                if distributed or not terms:
+                    raise SystemExit("--explain needs --terms and the "
+                                     "in-process searcher (--actors 0)")
+                for h in out["hits"]:
+                    h["explain"] = s.explain(terms, h["doc_id"])
+            return out
 
         if args.actors > 0:
             _init_ray(args.num_cpus)
@@ -339,6 +356,15 @@ def main(argv: list[str] | None = None) -> int:
             from mee_ray.query import Searcher
             out = run(Searcher(args.index), False)
         print(json.dumps(out))
+
+    elif args.cmd == "get":
+        from mee_ray.query import Searcher
+        row = Searcher(args.index).get_doc(args.repo, args.path)
+        if row is None:
+            print(json.dumps({"found": False}))
+            return 1
+        row["content_sha256"] = row["content_sha256"].hex()
+        print(json.dumps({"found": True, "doc": row}))
 
     elif args.cmd == "delta":
         _init_ray(args.num_cpus)
