@@ -1409,6 +1409,68 @@ FROM days LEFT JOIN agg ON agg.d = days.d
 """
 
 
+MOVING_DAYS = 7
+
+
+def moving_window_events(sf_dir: str):
+    """Pipeline aggregation (the ES ``moving_fn``/``cumulative_sum``
+    family): trailing {MOVING_DAYS}-day event count and value sum over
+    the gap-filled daily histogram.  The windowing runs on the REDUCED
+    per-day table (one row per day — the same reduced-table discipline
+    as date_histogram_events); a sliding-window cumsum-difference is
+    O(days), vectorized.  Integer cents keep the sums exact."""
+
+    hist = date_histogram_events(sf_dir)
+
+    def slide(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"day_bucket": pa.array([], pa.int64()),
+                             "n_7d": pa.array([], pa.int64()),
+                             "sum_cents_7d": pa.array([], pa.int64())})
+        d = t["day_bucket"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d)
+        d = d[order]
+        n = t["n_events"].to_numpy(zero_copy_only=False)[order]
+        s = t["sum_value_cents"].to_numpy(zero_copy_only=False)[order]
+        # gap-filled histogram ⇒ consecutive days ⇒ ROWS window ==
+        # RANGE window; trailing sum = cumsum(i) - cumsum(i - w)
+        w = MOVING_DAYS
+
+        def trail(vals: np.ndarray) -> np.ndarray:
+            c = np.cumsum(vals)
+            out = c.copy()
+            if len(c) > w:
+                out[w:] = c[w:] - c[:-w]
+            return out
+
+        n7, s7 = trail(n), trail(s)
+        return pa.table({"day_bucket": pa.array(d),
+                         "n_7d": pa.array(n7, type=pa.int64()),
+                         "sum_cents_7d": pa.array(s7, type=pa.int64())})
+
+    return hist.repartition(1).map_batches(slide, batch_format="pyarrow")
+
+
+MOVING_WINDOW_SQL = f"""
+WITH b AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+agg AS (SELECT d, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+        FROM b GROUP BY d),
+days AS (SELECT unnest(generate_series((SELECT min(d) FROM agg),
+                                       (SELECT max(d) FROM agg))) AS d),
+hist AS (SELECT days.d, coalesce(agg.n, 0) AS n, coalesce(agg.s, 0) AS s
+         FROM days LEFT JOIN agg ON agg.d = days.d)
+SELECT d AS day_bucket,
+       CAST(sum(n) OVER w AS BIGINT) AS n_7d,
+       CAST(sum(s) OVER w AS BIGINT) AS sum_cents_7d
+FROM hist
+WINDOW w AS (ORDER BY d ROWS BETWEEN {MOVING_DAYS - 1} PRECEDING
+             AND CURRENT ROW)
+"""
+
+
 # fixed column set so an sf where a status is absent still emits the
 # column (both sides agree by construction)
 PIVOT_STATUSES = ("F", "O", "P")
@@ -1490,6 +1552,7 @@ QUERIES = {
     "running_total_orders": running_total_orders,
     "dense_rank_orders": dense_rank_orders,
     "distinct_users_per_event_type": distinct_users_per_event_type,
+    "moving_window_events": moving_window_events,
 }
 
 ORACLE = {
@@ -1522,4 +1585,5 @@ ORACLE = {
     "running_total_orders": RUNNING_TOTAL_SQL,
     "dense_rank_orders": DENSE_RANK_SQL,
     "distinct_users_per_event_type": DISTINCT_USERS_SQL,
+    "moving_window_events": MOVING_WINDOW_SQL,
 }

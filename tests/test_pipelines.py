@@ -69,7 +69,7 @@ SQL_CHECKED = [
     "bm25_rescore_documents", "passage_dedup_documents",
     "running_total_orders", "dense_rank_orders",
     "bm25_multifield_documents", "bm25_collapse_documents",
-    "distinct_users_per_event_type",
+    "distinct_users_per_event_type", "moving_window_events",
 ]
 
 
