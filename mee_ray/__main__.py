@@ -283,6 +283,17 @@ def main(argv: list[str] | None = None) -> int:
             # than refusing
             raise SystemExit("--count combines only with --terms and "
                              "--operator")
+        if args.explain and (args.count or args.boosts or args.mlt_file
+                             or args.prefix or args.fuzzy
+                             or args.wildcard or args.regexp
+                             or args.phrase or args.dismax
+                             or args.min_match is not None
+                             or args.after is not None):
+            # explain breaks down the plain (dis)junctive score; pairing
+            # it with a differently-scored query form would print
+            # breakdowns that don't sum to the scores shown next to them
+            raise SystemExit("--explain combines only with --terms and "
+                             "--operator")
 
         def run(s, distributed: bool) -> dict:
             if args.count:

@@ -66,14 +66,20 @@ def _ensure_index(sf_dir: str) -> str:
     return root
 
 
+def _orig_id(path: str) -> int:
+    """The one parser of the deterministic corpus path
+    'src/doc_<id>.txt' → original documents.doc_id (the inverse of
+    corpus.documents_as_corpus_batch)."""
+    return int(path.split("doc_")[1].split(".")[0])
+
+
 def _orig_id_map(root: str) -> dict[int, int]:
-    """engine doc_id → original documents.doc_id (parsed from the
-    deterministic path 'src/doc_<id>.txt')."""
+    """engine doc_id → original documents.doc_id."""
     out = {}
     for f in mf.docs_files(root, mf.current_epoch(root)):
         t = pq.read_table(f, columns=["doc_id", "path"])
         for did, p in zip(t["doc_id"].to_pylist(), t["path"].to_pylist()):
-            out[did] = int(p.split("doc_")[1].split(".")[0])
+            out[did] = _orig_id(p)
     return out
 
 
@@ -1024,8 +1030,8 @@ class _CollapseStage:
         import numpy as np
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         langs = np.asarray(t["lang"].to_pylist(), dtype=object)
-        orig = np.array([int(p.split("doc_")[1].split(".")[0])
-                         for p in t["path"].to_pylist()], dtype=np.int64)
+        orig = np.array([_orig_id(p) for p in t["path"].to_pylist()],
+                        dtype=np.int64)
         out_q, out_l, out_s, out_o = [], [], [], []
         for qid, (sid, ssc) in self.qs.items():
             if not len(sid):

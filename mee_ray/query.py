@@ -355,9 +355,10 @@ class Searcher:
             if not self.owns(s):
                 continue
             ids, tfs, dls = self._live_postings(s, term)
-            pos = np.searchsorted(ids, doc_id)
-            hit = np.flatnonzero(ids[pos:pos + 2] == doc_id) + pos \
-                if pos < len(ids) else np.empty(0, np.int64)
+            # ids are NOT globally sorted once delta segments exist
+            # (delta chunks concatenate after base chunks) — a linear
+            # scan is exact and this is a single-doc diagnostics path
+            hit = np.flatnonzero(ids == doc_id)
             if not len(hit):
                 continue
             df = len(ids)
@@ -388,9 +389,16 @@ class Searcher:
                     for d in self.manifest.get("deltas", [])
                     if d.get("added_docs")
                     and os.path.exists(d["added_docs"])]
+        slim = ["doc_id", "repo", "path", "commit", "lang",
+                "content_sha256", "length"]
         best: tuple[int, dict] | None = None
         for f, seq in sources:
-            t = pads.dataset(f).to_table(
+            dset = pads.dataset(f)
+            # explicit projection: a legacy docs_tok fallback file also
+            # carries the token columns — never decode those here
+            cols = [c for c in slim if c in dset.schema.names]
+            t = dset.to_table(
+                columns=cols,
                 filter=(pads.field("repo") == repo)
                 & (pads.field("path") == path))
             for row in t.to_pylist():

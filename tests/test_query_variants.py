@@ -365,3 +365,44 @@ def test_get_doc_live_and_tombstoned(built_index, tmp_path_factory,
     apply_delta(ev.slice(1, 1), root, EngineConfig())
     got2 = Searcher(root).get_doc(repo, path)
     assert got2 is not None and got2["commit"] == "f" * 40
+
+
+def test_explain_correct_after_delta(built_index, tmp_path_factory,
+                                     ray_session):
+    """explain() must stay bit-exact when postings carry delta chunks
+    (posting ids are no longer globally sorted then — the regression
+    a review pass reproduced live)."""
+    import shutil
+
+    import pyarrow as pa
+
+    from mee_ray.config import EngineConfig
+    from mee_ray.delta import apply_delta
+    from mee_ray.query import Searcher
+
+    root = str(tmp_path_factory.mktemp("explain_delta"))
+    shutil.copytree(built_index["index_root"], root, dirs_exist_ok=True)
+    oracle = built_index["oracle"]
+    common = max(oracle.postings, key=lambda t: len(oracle.postings[t]))
+    n = 30
+    ev = pa.table({
+        "seq": pa.array(range(1, n + 1), pa.int64()),
+        "type": pa.array(["INSERT"] * n),
+        "repo": pa.array([f"newrepo/r{i}" for i in range(n)]),
+        "path": pa.array([f"src/new_{i}.py" for i in range(n)]),
+        "commit": pa.array(["a" * 40] * n),
+        "lang": pa.array(["py"] * n),
+        "content": pa.array([f"{common} fresh content {i}"
+                             for i in range(n)]),
+    })
+    apply_delta(ev, root, EngineConfig())
+    s = Searcher(root)
+    hits = s.search([common], k=50)
+    assert len(hits) >= n
+    checked = 0
+    for doc, score in hits:
+        ex = s.explain([common], doc)
+        assert common in ex, doc
+        assert ex[common]["contribution"] == score, doc
+        checked += 1
+    assert checked >= n
