@@ -153,7 +153,10 @@ def main(argv: list[str] | None = None) -> int:
                         "predecessor deltas past it replay at publish")
 
     q = sub.add_parser("query", help="top-k BM25")
-    q.add_argument("--index", required=True)
+    q.add_argument("--index", required=True,
+                   help="index root; comma-separate several roots for "
+                        "federated search with global statistics "
+                        "(plain --terms/--count forms only)")
     q.add_argument("--terms", default=None,
                    help="space-separated query terms")
     q.add_argument("-k", type=int, default=10)
@@ -355,7 +358,19 @@ def main(argv: list[str] | None = None) -> int:
                     h["explain"] = s.explain(terms, h["doc_id"])
             return out
 
-        if args.actors > 0:
+        roots = [r for r in args.index.split(",") if r]
+        if len(roots) > 1:
+            if (args.actors > 0 or args.boosts or args.mlt_file
+                    or args.prefix or args.fuzzy or args.wildcard
+                    or args.regexp or args.phrase or args.dismax
+                    or args.explain or args.min_match is not None
+                    or args.after is not None):
+                raise SystemExit("federated (multi-root) --index "
+                                 "supports only plain --terms search "
+                                 "and --count")
+            from mee_ray.query import FederatedSearcher
+            out = run(FederatedSearcher(roots), False)
+        elif args.actors > 0:
             _init_ray(args.num_cpus)
             from mee_ray.query import DistributedSearcher
             s = DistributedSearcher(args.index, n_actors=args.actors)

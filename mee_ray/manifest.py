@@ -477,14 +477,23 @@ def fsck(index_root: str, epoch: str | None = None,
             "n_deltas": len(m.get("deltas", [])), "errors": errors}
 
 
-def live_stats(manifest: dict) -> tuple[int, float]:
-    """(N_live, avgdl_live) after applying the delta log to base stats.
-    Exact, not approximate: each delta records n/sum_dl added+deleted,
-    so BM25 global stats stay oracle-identical between compactions."""
+def live_totals(manifest: dict) -> tuple[int, int]:
+    """(N_live, total_live_tokens) after applying the delta log to
+    base stats — the exact integers behind :func:`live_stats`.
+    Federated (cross-index) search sums these across sub-indexes so
+    its global avgdl divides the same integers a union index would."""
     n = manifest["n_docs"]
     total = manifest["total_tokens"]
     for d in manifest.get("deltas", []):
         n += d["n_added"] - d["n_deleted"]
         total += d["sum_dl_added"] - d["sum_dl_deleted"]
+    return n, total
+
+
+def live_stats(manifest: dict) -> tuple[int, float]:
+    """(N_live, avgdl_live) after applying the delta log to base stats.
+    Exact, not approximate: each delta records n/sum_dl added+deleted,
+    so BM25 global stats stay oracle-identical between compactions."""
+    n, total = live_totals(manifest)
     avgdl = (total / n) if n else 0.0
     return n, avgdl

@@ -1238,6 +1238,103 @@ def merge_partials_dismax(partials_list: list[dict], terms: list[str],
     return list(zip(ids.tolist(), scores.tolist()))
 
 
+class FederatedSearcher:
+    """Cross-index search with GLOBAL statistics — the ES
+    cross-cluster-search + ``dfs_query_then_fetch`` analog.  Phase 1
+    (dfs): per-term df and corpus (n_docs, total_tokens) gathered from
+    every sub-index; phase 2: each sub-index's postings are scored
+    with the GLOBAL idf/avgdl and merged into one top-k.
+
+    Invariant (tested bit-exact): federating disjoint sub-indexes
+    equals searching their union index — global df/n_docs/total_tokens
+    are the same integers the union would compute, tf_norm is
+    per-posting, and the sorted-term accumulation order is shared with
+    :func:`merge_partials`.  BM25/tokenizer params must agree across
+    sub-indexes (validated eagerly)."""
+
+    def __init__(self, roots: list[str]):
+        if not roots:
+            raise ValueError("FederatedSearcher needs >= 1 index root")
+        self.subs = [Searcher(r) for r in roots]
+        m0 = self.subs[0].manifest
+        for s in self.subs[1:]:
+            for key in ("bm25", "tokenizer"):
+                if s.manifest.get(key) != m0.get(key):
+                    raise ValueError(
+                        f"sub-index {s.index_root} disagrees on {key!r}"
+                        " — federated scores would be meaningless")
+        totals = [mf.live_totals(s.manifest) for s in self.subs]
+        self.n_docs = sum(n for n, _ in totals)
+        total_tokens = sum(t for _, t in totals)
+        self.avgdl = (total_tokens / self.n_docs) if self.n_docs else 0.0
+        self.k1 = m0["bm25"]["k1"]
+        self.b = m0["bm25"]["b"]
+
+    def _global_partials(self, uterms: list[str]) -> dict:
+        """term → (concat doc_ids, contributions at GLOBAL stats).
+        Raw (ids, tf, dl) stay inside each sub-index accessor; only
+        per-term score vectors surface — the same partials shape every
+        merge_* consumer takes."""
+        raw: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]] \
+            = {t: [] for t in uterms}
+        for s in self.subs:
+            for term in uterms:
+                sh = term_hash(term) % s.num_shards
+                if not s.owns(sh):
+                    continue
+                ids, tfs, dls = s._live_postings(sh, term)
+                if len(ids):
+                    raw[term].append((ids, tfs, dls))
+        out = {}
+        for term, parts in raw.items():
+            if not parts:
+                continue
+            df_g = sum(len(ids) for ids, _, _ in parts)
+            w = idf(df_g, self.n_docs)
+            ids = np.concatenate([p[0] for p in parts])
+            sc = np.concatenate([
+                w * tf_norm(tfs, dls, self.avgdl, self.k1, self.b)
+                for _, tfs, dls in parts])
+            out[term] = (ids, sc)
+        return out
+
+    def search(self, terms: list[str], k: int = 10,
+               operator: str = "or") -> list[tuple[int, float]]:
+        if k <= 0 or not terms:
+            return []
+        uterms = sorted(set(terms))
+        partials = self._global_partials(uterms)
+        if operator == "and":
+            return merge_partials_conjunctive([partials], uterms, k)
+        return merge_partials([partials], uterms, k)
+
+    def count(self, terms: list[str], operator: str = "or") -> int:
+        """Federated match count: union/intersection over every
+        sub-index's live id sets."""
+        uterms = sorted(set(terms))
+        if not uterms:
+            return 0
+        sets = []
+        for term in uterms:
+            ids = [s._live_postings(term_hash(term) % s.num_shards,
+                                    term)[0]
+                   for s in self.subs
+                   if s.owns(term_hash(term) % s.num_shards)]
+            u = np.unique(np.concatenate(ids)) if ids \
+                else np.empty(0, np.int64)
+            if operator == "and" and u.size == 0:
+                return 0
+            sets.append(u)
+        if operator == "and":
+            cand = sets[0]
+            for x in sets[1:]:
+                cand = np.intersect1d(cand, x)
+                if cand.size == 0:
+                    return 0
+            return int(cand.size)
+        return int(np.unique(np.concatenate(sets)).size)
+
+
 class DistributedSearcher:
     """Actor-pool query path: `n_actors` shard actors, shards assigned
     round-robin; queries fan out only to actors owning a needed shard,

@@ -1,0 +1,86 @@
+"""FederatedSearcher (cross-index search with global statistics —
+the ES cross-cluster + dfs_query_then_fetch analog): federating two
+disjoint half-indexes must be BIT-IDENTICAL to searching the union
+index, because global df / n_docs / total_tokens are the same
+integers and accumulation order is shared."""
+
+import zlib
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def federated_roots(built_index, tmp_path_factory, ray_session):
+    import ray.data
+
+    from mee_ray.build import build_index
+    from mee_ray.config import EngineConfig
+
+    t = pq.read_table(built_index["cdir"])
+    # ALL rows of a (repo, path) go to the same half so latest-wins
+    # dedup resolves within one sub-index, exactly like the union
+    halves = ([], [])
+    for i in range(t.num_rows):
+        r, p = t["repo"][i].as_py(), t["path"][i].as_py()
+        halves[zlib.crc32(f"{r}|{p}".encode()) % 2].append(i)
+    roots = []
+    for hx, idxs in enumerate(halves):
+        assert idxs, "degenerate split"
+        d = str(tmp_path_factory.mktemp(f"fed_half{hx}"))
+        pq.write_table(t.take(pa.array(idxs)), f"{d}/corpus.parquet")
+        root = f"{d}/index"
+        build_index(ray.data.read_parquet(f"{d}/corpus.parquet"),
+                    root, "ep1", EngineConfig())
+        roots.append(root)
+    return roots
+
+
+def test_federated_equals_union_index(built_index, federated_roots):
+    from mee_ray.query import FederatedSearcher, Searcher
+
+    fs = FederatedSearcher(federated_roots)
+    s = Searcher(built_index["index_root"])
+    assert fs.n_docs == s.n_docs
+    assert fs.avgdl == s.avgdl
+    oracle = built_index["oracle"]
+    vocab = sorted(oracle.postings)
+    queries = [[vocab[0]], [vocab[1], vocab[4]],
+               [vocab[2], vocab[5], vocab[9]], ["zzz_nope"],
+               [vocab[0], "zzz_nope"]]
+    n = 0
+    for q in queries:
+        got, want = fs.search(q, 10), s.search(q, 10)
+        assert got == want, q            # bit-exact scores AND order
+        got_and = fs.search(q, 10, operator="and")
+        want_and = s.search(q, 10, operator="and")
+        assert got_and == want_and, q
+        for op in ("or", "and"):
+            assert fs.count(q, op) == s.count(q, op), (q, op)
+        n += bool(got)
+    assert n >= 3
+    assert fs.search([], 10) == []
+    assert fs.count([]) == 0
+
+
+def test_federated_rejects_mismatched_params(federated_roots,
+                                             tmp_path_factory,
+                                             ray_session):
+    import ray.data
+
+    from mee_ray.build import build_index
+    from mee_ray.config import BM25Params, EngineConfig
+    from mee_ray.corpus import write_corpus
+    from mee_ray.query import FederatedSearcher
+
+    d = str(tmp_path_factory.mktemp("fed_othercfg"))
+    cdir = write_corpus(f"{d}/corpus", n_files=40, seed=3,
+                        rows_per_file=40)
+    root = f"{d}/index"
+    build_index(ray.data.read_parquet(cdir), root, "ep1",
+                EngineConfig(bm25=BM25Params(k1=0.9, b=0.3)))
+    with pytest.raises(ValueError, match="disagrees on"):
+        FederatedSearcher([federated_roots[0], root])
+    with pytest.raises(ValueError):
+        FederatedSearcher([])
