@@ -1015,6 +1015,63 @@ def _bm25_fuzzy_sql() -> str:
         "levenshtein(tf.term, q.term) <= 1")
 
 
+# Query-time synonym expansion (the ES search-time synonym_graph
+# analog): each query term expands to itself + its synonym row; every
+# expanded term keeps its OWN df/idf (ES expand=true semantics).
+SYNONYMS: dict[str, list[str]] = {
+    "merge": ["join"],
+    "row": ["line"],
+    "fast": ["quick"],       # absent from the corpus on purpose —
+                             # a synonym with no postings must be a no-op
+    "window": ["frame"],     # ditto
+    "customer": ["client"],  # ditto
+}
+
+
+def _expand_synonyms(terms: list[str]) -> list[str]:
+    out = set()
+    for t in terms:
+        out.add(t)
+        out.update(SYNONYMS.get(t, ()))
+    return sorted(out)
+
+
+def bm25_synonym_documents(sf_dir: str):
+    """Synonym-expanded BM25 top-k: REFERENCE_QUERIES with each term
+    OR-expanded through the SYNONYMS table before the standard
+    disjunctive ranking.  Emitted as (query_id, rank, doc_id)."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search(_expand_synonyms(terms),
+                              k=s.n_docs or 1))
+               for qid, terms in REFERENCE_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _bm25_synonym_sql() -> str:
+    expanded = [(qid, _expand_synonyms(terms))
+                for qid, terms in REFERENCE_QUERIES]
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(expanded)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
 class _CollapseStage:
     """Actor-pool collapse stage: holds the per-query
     (sorted engine ids, scores) arrays (broadcast ONCE) and emits
@@ -1859,6 +1916,7 @@ QUERIES = {
     "bm25_rescore_documents": bm25_rescore_documents,
     "bm25_multifield_documents": bm25_multifield_documents,
     "bm25_collapse_documents": bm25_collapse_documents,
+    "bm25_synonym_documents": bm25_synonym_documents,
     "bm25_min_match_documents": bm25_min_match_documents,
     "bm25_weighted_documents": bm25_weighted_documents,
     "bm25_mlt_documents": bm25_mlt_documents,
@@ -1889,6 +1947,7 @@ ORACLE = {
     "bm25_rescore_documents": _bm25_rescore_sql(),
     "bm25_multifield_documents": _bm25_multifield_sql(),
     "bm25_collapse_documents": _bm25_collapse_sql(),
+    "bm25_synonym_documents": _bm25_synonym_sql(),
     "bm25_min_match_documents": _bm25_min_match_sql(),
     "bm25_weighted_documents": _bm25_weighted_sql(),
     "bm25_mlt_documents": _bm25_mlt_sql(),

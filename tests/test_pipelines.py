@@ -70,6 +70,7 @@ SQL_CHECKED = [
     "running_total_orders", "dense_rank_orders",
     "bm25_multifield_documents", "bm25_collapse_documents",
     "distinct_users_per_event_type", "moving_window_events",
+    "bm25_synonym_documents",
 ]
 
 
