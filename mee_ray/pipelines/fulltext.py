@@ -1015,6 +1015,100 @@ def _bm25_fuzzy_sql() -> str:
         "levenshtein(tf.term, q.term) <= 1")
 
 
+COMPLETE_N = 5
+
+
+def completion_suggest_documents(sf_dir: str):
+    """Completion suggester (ES completion / prefix autocomplete):
+    for each PREFIX_QUERIES prefix, the top-{COMPLETE_N} dictionary
+    terms starting with it, ranked by live df desc then term asc —
+    the prefix run is a binary-searched slice of the sorted resident
+    dictionary, df is a dictionary-only lookup (no posting decode
+    unless tombstones are pending).  Emitted as
+    (query_id, rank, term, df)."""
+    from mee_ray.query import Searcher, prefix_terms
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    out_q, out_r, out_t, out_d = [], [], [], []
+    for qid, prefix in PREFIX_QUERIES:
+        cands = sorted(((-s.term_df(t), t)
+                        for t in prefix_terms(s.vocabulary(), prefix)
+                        if s.term_df(t) > 0))[:COMPLETE_N]
+        for rank, (negdf, t) in enumerate(cands, start=1):
+            out_q.append(qid); out_r.append(rank)
+            out_t.append(t); out_d.append(-negdf)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "term": pa.array(out_t, pa.string()),
+                     "df": pa.array(out_d, pa.int64())})
+
+
+def _completion_sql() -> str:
+    values = ", ".join(f"({qid}, '{p}')" for qid, p in PREFIX_QUERIES)
+    return f"""
+{_base_ctes()},
+q(query_id, prefix) AS (VALUES {values}),
+cand AS (
+  SELECT q.query_id, df.term, df.df
+  FROM q JOIN df ON df.term LIKE q.prefix || '%')
+SELECT query_id, rank, term, df
+FROM (SELECT query_id, term, df,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY df DESC, term) AS rank
+      FROM cand)
+WHERE rank <= {COMPLETE_N}
+"""
+
+
+def bm25_corrected_documents(sf_dir: str):
+    """Spell-corrected search (the suggest-then-retry UX pattern over
+    the ES term suggester): each FUZZY_QUERIES term is misspelled
+    (df = 0); replace it with its BEST suggestion (max live df within
+    edit distance 1, ties by term asc) and rank normally.  A term
+    with no suggestion contributes nothing (empty result for that
+    query).  Emitted as (query_id, rank, doc_id)."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = []
+    for qid, term in FUZZY_QUERIES:
+        sug = s.suggest(term, n=1)
+        if not sug:
+            continue
+        results.append((qid, s.search([sug[0][1]], k=s.n_docs or 1)))
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _bm25_corrected_sql() -> str:
+    values = _fuzzy_q_values()
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {values}),
+best AS (
+  SELECT query_id, term FROM (
+    SELECT q.query_id, df.term,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY df.df DESC, df.term) AS rn
+    FROM q JOIN df ON levenshtein(df.term, q.term) <= 1
+                  AND df.term <> q.term)
+  WHERE rn = 1),
+scores AS (
+  SELECT b.query_id, tf.doc_id, {_SCORE_SUM}
+  FROM best b
+  JOIN tf ON tf.term = b.term
+  JOIN df ON df.term = b.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY b.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
 # Query-time synonym expansion (the ES search-time synonym_graph
 # analog): each query term expands to itself + its synonym row; every
 # expanded term keeps its OWN df/idf (ES expand=true semantics).
@@ -1917,6 +2011,8 @@ QUERIES = {
     "bm25_multifield_documents": bm25_multifield_documents,
     "bm25_collapse_documents": bm25_collapse_documents,
     "bm25_synonym_documents": bm25_synonym_documents,
+    "completion_suggest_documents": completion_suggest_documents,
+    "bm25_corrected_documents": bm25_corrected_documents,
     "bm25_min_match_documents": bm25_min_match_documents,
     "bm25_weighted_documents": bm25_weighted_documents,
     "bm25_mlt_documents": bm25_mlt_documents,
@@ -1948,6 +2044,8 @@ ORACLE = {
     "bm25_multifield_documents": _bm25_multifield_sql(),
     "bm25_collapse_documents": _bm25_collapse_sql(),
     "bm25_synonym_documents": _bm25_synonym_sql(),
+    "completion_suggest_documents": _completion_sql(),
+    "bm25_corrected_documents": _bm25_corrected_sql(),
     "bm25_min_match_documents": _bm25_min_match_sql(),
     "bm25_weighted_documents": _bm25_weighted_sql(),
     "bm25_mlt_documents": _bm25_mlt_sql(),

@@ -70,7 +70,8 @@ SQL_CHECKED = [
     "running_total_orders", "dense_rank_orders",
     "bm25_multifield_documents", "bm25_collapse_documents",
     "distinct_users_per_event_type", "moving_window_events",
-    "bm25_synonym_documents",
+    "bm25_synonym_documents", "completion_suggest_documents",
+    "bm25_corrected_documents",
 ]
 
 
