@@ -208,6 +208,13 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --terms: per-hit per-term score "
                         "breakdown (the ES _explain analog)")
 
+    an = sub.add_parser("analyze", help="tokenizer preview (the ES "
+                                        "_analyze analog)")
+    an.add_argument("--index", default=None,
+                    help="use this index's OWN tokenizer (manifest-"
+                         "reconstructed); default: EngineConfig()")
+    an.add_argument("--text", required=True)
+
     gd = sub.add_parser("get", help="fetch one live document's stored "
                                     "fields by (repo, path)")
     gd.add_argument("--index", required=True)
@@ -382,6 +389,18 @@ def main(argv: list[str] | None = None) -> int:
             from mee_ray.query import Searcher
             out = run(Searcher(args.index), False)
         print(json.dumps(out))
+
+    elif args.cmd == "analyze":
+        if args.index:
+            from mee_ray import manifest as _mf
+            from mee_ray.query import tokenizer_from_manifest
+            tok = tokenizer_from_manifest(_mf.load_manifest(args.index))
+        else:
+            from mee_ray.tokenizer import Tokenizer
+            tok = Tokenizer(cfg.tokenizer)   # --config or defaults
+        counts = tok.counts(args.text)
+        print(json.dumps({"n_tokens": int(sum(counts.values())),
+                          "terms": dict(sorted(counts.items()))}))
 
     elif args.cmd == "get":
         from mee_ray.query import Searcher

@@ -154,3 +154,25 @@ def test_ini_percent_interpolation(tmp_path):
     bad.write_text("[engine]\nx = %{mystery()}\n")
     with pytest.raises(ValueError, match="unknown interpolation"):
         _ini_config(str(bad))
+
+
+def test_cli_analyze(built_index):
+    import json
+    import subprocess
+    import sys
+
+    r = subprocess.run([sys.executable, "-m", "mee_ray", "analyze",
+                        "--text", "MergeSort fast_path"],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0
+    out = json.loads(r.stdout)
+    assert out["terms"]["mergesort"] == 1
+    assert out["terms"]["merge"] == 1        # code tokenizer splits
+    # index-config tokenizer round-trips through the manifest
+    r2 = subprocess.run([sys.executable, "-m", "mee_ray", "analyze",
+                         "--index", built_index["index_root"],
+                         "--text", "MergeSort fast_path"],
+                        capture_output=True, text=True, cwd="/root/repo")
+    assert r2.returncode == 0
+    assert json.loads(r2.stdout)["n_tokens"] == json.loads(
+        r.stdout)["n_tokens"]
