@@ -777,6 +777,13 @@ class Searcher:
         partials = self.term_partials(sel)
         return merge_partials([partials], sel, k, exclude_sorted=excl)
 
+    def msearch(self, queries: list[list[str]], k: int = 10
+                ) -> list[list[tuple[int, float]]]:
+        """Multi-search (ES ``_msearch``): in-process form — shared
+        terms hit the decode LRU once; results are exactly
+        ``[search(q, k) for q in queries]``."""
+        return [self.search(q, k) for q in queries]
+
     def search_after(self, terms: list[str], size: int = 10,
                      after: tuple[int, float] | None = None
                      ) -> list[tuple[int, float]]:
@@ -1481,6 +1488,26 @@ class DistributedSearcher:
             return self._search_three_phase(by_actor, uterms, k)
         futs = [self.actors[a].term_partials.remote(ts) for a, ts in by_actor.items()]
         return merge_partials(ray.get(futs), uterms, k)
+
+    def msearch(self, queries: list[list[str]], k: int = 10
+                ) -> list[list[tuple[int, float]]]:
+        """Multi-search (the ES ``_msearch`` bulk API): ONE partials
+        fan-out round for the UNION of every query's terms (each term
+        shipped once even when shared by several queries), then one
+        driver-side merge per query.  Results are exactly
+        ``[search(q, k) for q in queries]`` — same scores, same
+        tie-breaks — at a fraction of the actor round-trips."""
+        import ray
+        if not queries:
+            return []
+        union = sorted({t for q in queries for t in q})
+        if k <= 0 or not union:
+            return [[] for _ in queries]
+        by_actor = self._terms_by_actor(union)
+        parts = ray.get([self.actors[a].term_partials.remote(ts)
+                         for a, ts in by_actor.items()])
+        return [merge_partials(parts, sorted(set(q)), k) if q else []
+                for q in queries]
 
     def search_boolean(self, must: list[str], must_not: list[str],
                        k: int = 10) -> list[tuple[int, float]]:

@@ -406,3 +406,25 @@ def test_explain_correct_after_delta(built_index, tmp_path_factory,
         assert ex[common]["contribution"] == score, doc
         checked += 1
     assert checked >= n
+
+
+def test_msearch_equals_per_query_search(built_index, ray_session):
+    """One-round distributed msearch must reproduce per-query search
+    exactly (scores AND tie-breaks), including empty and unknown-term
+    queries and terms shared across queries."""
+    from mee_ray.query import DistributedSearcher, Searcher
+
+    s = Searcher(built_index["index_root"])
+    oracle = built_index["oracle"]
+    vocab = sorted(oracle.postings)
+    queries = [[vocab[0], vocab[1]], [vocab[1]], [],
+               ["zzz_nope"], [vocab[2], vocab[0], vocab[7]]]
+    assert s.msearch(queries, 10) == [s.search(q, 10) for q in queries]
+    ds = DistributedSearcher(built_index["index_root"], n_actors=3)
+    try:
+        got = ds.msearch(queries, 10)
+        assert got == [s.search(q, 10) for q in queries]
+        assert ds.msearch([], 10) == []
+        assert ds.msearch([[]], 10) == [[]]
+    finally:
+        ds.shutdown()
