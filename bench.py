@@ -138,8 +138,17 @@ def run_suite(sf_dir: str, num_cpus: int, build_only: bool = False) -> dict:
         local.search(q["terms"], q["k"])
         lat_local.append((time.time() - tq) * 1000.0)
 
+    # msearch: the whole query set in ONE fan-out round vs the
+    # sequential per-query loop above (same results, fewer RPCs)
+    tq = time.time()
+    searcher.msearch([q["terms"] for q in qset], 10)
+    msearch_sec = time.time() - tq
+
     results["query_latency"] = {
         "n_queries": len(qset),
+        "msearch_batch_ms": round(msearch_sec * 1000.0, 2),
+        "msearch_speedup": round((lat_ms.sum() / 1000.0)
+                                 / max(msearch_sec, 1e-9), 1),
         "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
         "p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
         "qps": round(len(qset) / (lat_ms.sum() / 1000.0), 1),
