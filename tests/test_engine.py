@@ -331,6 +331,24 @@ def test_randomized_delta_sequences(built_index, ray_session, tmp_path):
         for q in make_query_set(docs, n_queries=12, seed=seq):
             assert s.search(q["terms"], q["k"]) == oi.search(q["terms"], q["k"]), \
                 (seq, q["terms"])
+            # count parity: OR count = live docs matching any term;
+            # explain sums to the search score at every fuzz state
+            want_or = len({d for t in set(q["terms"])
+                           for d in oi.postings.get(t, {})})
+            assert s.count(q["terms"], "or") == want_or, (seq, q["terms"])
+            for doc, score in s.search(q["terms"], 3):
+                ex = s.explain(q["terms"], doc)
+                assert sum(ex[t]["contribution"]
+                           for t in sorted(set(q["terms"]))
+                           if t in ex) == score, (seq, doc)
+        # get_doc: a live key returns its winning commit; a deleted
+        # key (if any) returns None
+        (r0, p0), (c0, _) = next(iter(live.items()))
+        got = s.get_doc(r0, p0)
+        assert got is not None and got["commit"] == c0, (seq, r0, p0)
+        dead = [k for k in keys if k not in live]
+        if dead:
+            assert s.get_doc(*dead[0]) is None, (seq, dead[0])
 
     for n in (10, 14, 8):
         apply_delta(batch(n), index_copy)
