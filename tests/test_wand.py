@@ -139,3 +139,43 @@ def test_fallback_with_tombstones(built_index, tmp_path_factory, ray_session):
     for q in make_query_set(docs, n_queries=30, seed=23):
         assert s.search(q["terms"], q["k"]) == \
             oracle.search(q["terms"], q["k"]), q["terms"]
+
+
+def test_chunk_skip_without_decode_on_multichunk_term():
+    """advance_to must skip whole chunks on their stored last-block
+    boundary WITHOUT decoding them (the lazy-decode contract): with
+    three disjoint-range chunks, jumping into the third decodes only
+    two (init + target), never the middle one."""
+    import numpy as np
+
+    from mee_ray.wand import WandStats, _Cursor
+
+    decoded = []
+
+    def chunk(lo, hi, tag):
+        ids = np.arange(lo, hi, dtype=np.int64)
+        tfs = np.ones(len(ids), np.int64)
+        dls = np.full(len(ids), 10, np.int64)
+
+        def decode(ids=ids, tfs=tfs, dls=dls, tag=tag):
+            decoded.append(tag)
+            return ids, tfs, dls
+
+        return {"block_last": np.array([hi - 1], np.int64),
+                "block_max": np.array([1.0], np.float64),
+                "scale": 1.0, "decode": decode}
+
+    stats = WandStats()
+    cur = _Cursor("t", 1.0,
+                  [chunk(0, 100, "a"), chunk(100, 200, "b"),
+                   chunk(200, 300, "c")],
+                  1.0, 1.2, 0.75, 10.0, 128, stats)
+    assert decoded == ["a"]              # init decodes only chunk 0
+    cur.advance_to(250)
+    assert cur.doc() == 250
+    assert decoded == ["a", "c"]         # middle chunk skipped undecoded
+    assert stats.chunks_total == 3
+    assert stats.chunks_decoded == 2
+    cur.advance_to(10_000)               # past everything → exhausted
+    assert cur.exhausted
+    assert decoded == ["a", "c"]         # exhaustion decodes nothing
