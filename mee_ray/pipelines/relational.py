@@ -1143,6 +1143,88 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+SALT_FACTOR = 8
+HOT_KEY_COUNT = 16
+
+
+def salted_join_lineitem_orders(sf_dir: str,
+                                num_partitions: int | None = None):
+    """The shuffle join with EXPLICIT hot-key salting — the skew
+    mitigation the north rule asks for, demonstrated end-to-end and
+    oracle-checked equal to the unsalted plan.  Hot keys (detected on
+    a bounded driver-side sample; ANY subset is correct, detection
+    only affects balance) fan their probe rows across {SALT_FACTOR}
+    salted partitions; the build side replicates ONLY its hot rows
+    ×{SALT_FACTOR}.  Join key = orderkey*{SALT_FACTOR}+salt, so a hot
+    key's partition shrinks by the salt factor while cold keys pay
+    nothing."""
+    import ray
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice",
+                "l_discount"])
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    sample = li.take_batch(65536, batch_format="pyarrow")
+    keys, counts = np.unique(
+        sample["l_orderkey"].to_numpy(zero_copy_only=False),
+        return_counts=True)
+    hot = keys[np.argsort(-counts)[:HOT_KEY_COUNT]]
+    hot_ref = ray.put(np.sort(hot))
+
+    def salt_probe(t: pa.Table) -> pa.Table:
+        h = ray.get(hot_ref)
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        ln = t["l_linenumber"].to_numpy(zero_copy_only=False)
+        is_hot = np.isin(ok, h)
+        salt = np.where(is_hot, ln % SALT_FACTOR, 0)
+        return t.append_column(
+            "jk", pa.array(ok * SALT_FACTOR + salt, pa.int64()))
+
+    def replicate_build(t: pa.Table) -> pa.Table:
+        h = ray.get(hot_ref)
+        ok = t["o_orderkey"].to_numpy(zero_copy_only=False)
+        is_hot = np.isin(ok, h)
+        cold = t.filter(pa.array(~is_hot))
+        cold = cold.append_column(
+            "jk", pa.array(
+                cold["o_orderkey"].to_numpy(zero_copy_only=False)
+                * SALT_FACTOR, pa.int64()))
+        hot_rows = t.filter(pa.array(is_hot))
+        if hot_rows.num_rows == 0:
+            return cold
+        reps = []
+        hk = hot_rows["o_orderkey"].to_numpy(zero_copy_only=False)
+        for salt in range(SALT_FACTOR):
+            reps.append(hot_rows.append_column(
+                "jk", pa.array(hk * SALT_FACTOR + salt, pa.int64())))
+        return pa.concat_tables([cold, *reps], promote_options="none")
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, cpus // 2)
+    j = (li.map_batches(salt_probe, batch_format="pyarrow",
+                        zero_copy_batch=True)
+         .join(orders.map_batches(replicate_build,
+                                  batch_format="pyarrow",
+                                  zero_copy_batch=True),
+               join_type="inner", num_partitions=num_partitions,
+               on=("jk",),
+               aggregator_ray_remote_args={"num_cpus": 0.5}))
+
+    def finish(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "revenue": rev,
+                         "o_orderdate": t["o_orderdate"],
+                         "o_orderpriority": t["o_orderpriority"]})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
 def distinct_users_per_event_type(sf_dir: str):
     """Exact COUNT(DISTINCT) per group: batch-level pair dedup
     (pyarrow group_by — shrinks the exchange to unique pairs per
@@ -1553,6 +1635,7 @@ QUERIES = {
     "dense_rank_orders": dense_rank_orders,
     "distinct_users_per_event_type": distinct_users_per_event_type,
     "moving_window_events": moving_window_events,
+    "salted_join_lineitem_orders": salted_join_lineitem_orders,
 }
 
 ORACLE = {
@@ -1586,4 +1669,7 @@ ORACLE = {
     "dense_rank_orders": DENSE_RANK_SQL,
     "distinct_users_per_event_type": DISTINCT_USERS_SQL,
     "moving_window_events": MOVING_WINDOW_SQL,
+    # identical result contract to the unsalted plan — the salt must
+    # be invisible in the output
+    "salted_join_lineitem_orders": SHUFFLE_JOIN_SQL,
 }

@@ -71,7 +71,7 @@ SQL_CHECKED = [
     "bm25_multifield_documents", "bm25_collapse_documents",
     "distinct_users_per_event_type", "moving_window_events",
     "bm25_synonym_documents", "completion_suggest_documents",
-    "bm25_corrected_documents",
+    "bm25_corrected_documents", "salted_join_lineitem_orders",
 ]
 
 
