@@ -278,27 +278,30 @@ def main(argv: list[str] | None = None) -> int:
 
     elif args.cmd == "query":
         terms = args.terms.split() if args.terms else []
+
+        def non_plain_forms() -> bool:
+            """True when any query flag beyond --terms/--operator/-k
+            is set — ONE definition shared by every 'plain form only'
+            guard (--count, --explain, federated), so a future flag
+            added here fails all three closed together."""
+            return bool(args.boosts or args.mlt_file or args.prefix
+                        or args.fuzzy or args.wildcard or args.regexp
+                        or args.phrase or args.dismax
+                        or args.min_match is not None
+                        or args.after is not None)
+
         if not (terms or args.boosts or args.mlt_file or args.prefix
                 or args.fuzzy or args.wildcard or args.regexp):
             raise SystemExit("one of --terms/--boosts/--mlt-file/"
                              "--prefix/--fuzzy/--wildcard/--regexp "
                              "is required")
-        if args.count and (args.boosts or args.mlt_file or args.prefix
-                           or args.fuzzy or args.wildcard or args.regexp
-                           or args.phrase or args.dismax
-                           or args.min_match is not None
-                           or args.after is not None):
+        if args.count and non_plain_forms():
             # --count counts --terms with --operator; silently counting
             # a different query form than the one requested is worse
             # than refusing
             raise SystemExit("--count combines only with --terms and "
                              "--operator")
-        if args.explain and (args.count or args.boosts or args.mlt_file
-                             or args.prefix or args.fuzzy
-                             or args.wildcard or args.regexp
-                             or args.phrase or args.dismax
-                             or args.min_match is not None
-                             or args.after is not None):
+        if args.explain and (args.count or non_plain_forms()):
             # explain breaks down the plain (dis)junctive score; pairing
             # it with a differently-scored query form would print
             # breakdowns that don't sum to the scores shown next to them
@@ -366,12 +369,10 @@ def main(argv: list[str] | None = None) -> int:
             return out
 
         roots = [r for r in args.index.split(",") if r]
+        if not roots:
+            raise SystemExit("--index is empty")
         if len(roots) > 1:
-            if (args.actors > 0 or args.boosts or args.mlt_file
-                    or args.prefix or args.fuzzy or args.wildcard
-                    or args.regexp or args.phrase or args.dismax
-                    or args.explain or args.min_match is not None
-                    or args.after is not None):
+            if args.actors > 0 or args.explain or non_plain_forms():
                 raise SystemExit("federated (multi-root) --index "
                                  "supports only plain --terms search "
                                  "and --count")
@@ -380,14 +381,14 @@ def main(argv: list[str] | None = None) -> int:
         elif args.actors > 0:
             _init_ray(args.num_cpus)
             from mee_ray.query import DistributedSearcher
-            s = DistributedSearcher(args.index, n_actors=args.actors)
+            s = DistributedSearcher(roots[0], n_actors=args.actors)
             try:
                 out = run(s, True)
             finally:
                 s.shutdown()
         else:
             from mee_ray.query import Searcher
-            out = run(Searcher(args.index), False)
+            out = run(Searcher(roots[0]), False)
         print(json.dumps(out))
 
     elif args.cmd == "analyze":

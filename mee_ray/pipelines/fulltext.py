@@ -1026,17 +1026,15 @@ def completion_suggest_documents(sf_dir: str):
     dictionary, df is a dictionary-only lookup (no posting decode
     unless tombstones are pending).  Emitted as
     (query_id, rank, term, df)."""
-    from mee_ray.query import Searcher, prefix_terms
+    from mee_ray.query import Searcher
     root = _ensure_index(sf_dir)
     s = Searcher(root)
     out_q, out_r, out_t, out_d = [], [], [], []
     for qid, prefix in PREFIX_QUERIES:
-        cands = sorted(((-s.term_df(t), t)
-                        for t in prefix_terms(s.vocabulary(), prefix)
-                        if s.term_df(t) > 0))[:COMPLETE_N]
-        for rank, (negdf, t) in enumerate(cands, start=1):
+        for rank, (df, t) in enumerate(s.complete(prefix, COMPLETE_N),
+                                       start=1):
             out_q.append(qid); out_r.append(rank)
-            out_t.append(t); out_d.append(-negdf)
+            out_t.append(t); out_d.append(df)
     return pa.table({"query_id": pa.array(out_q, pa.int64()),
                      "rank": pa.array(out_r, pa.int64()),
                      "term": pa.array(out_t, pa.string()),

@@ -1166,7 +1166,13 @@ def salted_join_lineitem_orders(sf_dir: str,
     orders = _read(sf_dir, "orders",
                    ["o_orderkey", "o_orderdate", "o_orderpriority"])
 
-    sample = li.take_batch(65536, batch_format="pyarrow")
+    # detection sample must not be the file head (parquet is written
+    # in key order — a head sample only ever sees the lowest keys):
+    # a seeded row-level random_sample spreads the probe across the
+    # blocks take_batch pulls.  Detection quality only affects
+    # BALANCE; the joined rows are identical for any hot set.
+    sample = (li.random_sample(0.2, seed=13)
+              .take_batch(65536, batch_format="pyarrow"))
     keys, counts = np.unique(
         sample["l_orderkey"].to_numpy(zero_copy_only=False),
         return_counts=True)

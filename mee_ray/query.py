@@ -327,20 +327,43 @@ class Searcher:
         return (np.concatenate(ids_l), np.concatenate(tfs_l),
                 np.concatenate(dls_l))
 
+    def term_raw_postings(self, term: str
+                          ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(live doc_ids, tfs, dls) for one term — THE routing rule
+        (term_hash → shard → ownership → sequenced-tombstone filter)
+        behind one public accessor, so federated/stat consumers never
+        re-implement it.  Empty arrays when unowned or absent."""
+        s = term_hash(term) % self.num_shards
+        if not self.owns(s):
+            e = np.empty(0, np.int64)
+            return e, e, e
+        return self._live_postings(s, term)
+
     def term_partials(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
         """term → (live doc_ids, exact per-term scores) for the terms
         whose shard this searcher owns."""
         out = {}
         for term in terms:
-            s = term_hash(term) % self.num_shards
-            if not self.owns(s):
-                continue
-            ids, tfs, dls = self._live_postings(s, term)
+            ids, tfs, dls = self.term_raw_postings(term)
             if len(ids) == 0:
                 continue
             w = idf(len(ids), self.n_docs)
             out[term] = (ids, w * tf_norm(tfs, dls, self.avgdl, self.k1, self.b))
         return out
+
+    def complete(self, prefix: str, n: int = 5
+                 ) -> list[tuple[int, str]]:
+        """Completion suggester (ES completion / autocomplete): the
+        top-``n`` dictionary terms starting with ``prefix``, as
+        (live df, term) ranked df desc then term asc — one df lookup
+        per candidate, live terms only (same rank contract as
+        :meth:`suggest`)."""
+        if n <= 0 or not prefix:
+            return []
+        ranked = sorted((-df, t)
+                        for t in prefix_terms(self.vocabulary(), prefix)
+                        if (df := self.term_df(t)) > 0)
+        return [(-negdf, t) for negdf, t in ranked[:n]]
 
     def explain(self, terms: list[str], doc_id: int
                 ) -> dict[str, dict[str, float]]:
@@ -1260,8 +1283,16 @@ class FederatedSearcher:
     sub-indexes (validated eagerly)."""
 
     def __init__(self, roots: list[str]):
+        import os
         if not roots:
             raise ValueError("FederatedSearcher needs >= 1 index root")
+        real = [os.path.realpath(r) for r in roots]
+        if len(set(real)) != len(real):
+            # a duplicated root would double n_docs and every matched
+            # doc's contribution — silently wrong scores; fail loudly.
+            # (Overlapping doc_ids across DISTINCT roots surface both
+            # copies, like ES cross-cluster search.)
+            raise ValueError(f"duplicate index roots in {roots}")
         self.subs = [Searcher(r) for r in roots]
         m0 = self.subs[0].manifest
         for s in self.subs[1:]:
@@ -1286,10 +1317,7 @@ class FederatedSearcher:
             = {t: [] for t in uterms}
         for s in self.subs:
             for term in uterms:
-                sh = term_hash(term) % s.num_shards
-                if not s.owns(sh):
-                    continue
-                ids, tfs, dls = s._live_postings(sh, term)
+                ids, tfs, dls = s.term_raw_postings(term)
                 if len(ids):
                     raw[term].append((ids, tfs, dls))
         out = {}
@@ -1323,10 +1351,8 @@ class FederatedSearcher:
             return 0
         sets = []
         for term in uterms:
-            ids = [s._live_postings(term_hash(term) % s.num_shards,
-                                    term)[0]
-                   for s in self.subs
-                   if s.owns(term_hash(term) % s.num_shards)]
+            ids = [got for s in self.subs
+                   if len(got := s.term_raw_postings(term)[0])]
             u = np.unique(np.concatenate(ids)) if ids \
                 else np.empty(0, np.int64)
             if operator == "and" and u.size == 0:

@@ -22,8 +22,8 @@ def federated_roots(built_index, tmp_path_factory, ray_session):
     # ALL rows of a (repo, path) go to the same half so latest-wins
     # dedup resolves within one sub-index, exactly like the union
     halves = ([], [])
-    for i in range(t.num_rows):
-        r, p = t["repo"][i].as_py(), t["path"][i].as_py()
+    for i, (r, p) in enumerate(zip(t["repo"].to_pylist(),
+                                   t["path"].to_pylist())):
         halves[zlib.crc32(f"{r}|{p}".encode()) % 2].append(i)
     roots = []
     for hx, idxs in enumerate(halves):
