@@ -1143,6 +1143,106 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
 
 
+def q3_shipping_priority(sf_dir: str):
+    """TPC-H Q3 shape (three-table join + filtered agg + top-10):
+    customer(segment) ⋉ orders(date) via a broadcast KEY set (the
+    small side after the filter), lineitem pre-aggregated per order
+    INSIDE map_batches before the co-partitioned hash join with the
+    filtered orders, then per-batch top-10 combiners + a ≤10-rows-per-
+    block driver merge — the full ranking never materializes."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    cutoff = pa.scalar(np.datetime64("1995-03-15", "us"))
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    ckeys = np.sort(np.concatenate([
+        b["c_custkey"].to_numpy(zero_copy_only=False)
+        for b in cust.map_batches(
+            lambda t: t.filter(pc.equal(t["c_mktsegment"],
+                                        pa.scalar("BUILDING")))
+                       .select(["c_custkey"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")] or
+        [np.empty(0, np.int64)]))
+    ckeys_ref = ray.put(ckeys)
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        ck = ray.get(ckeys_ref)
+        keep = pc.and_(pc.less(t["o_orderdate"], cutoff),
+                       pa.array(np.isin(
+                           t["o_custkey"].to_numpy(zero_copy_only=False),
+                           ck)))
+        return t.filter(keep).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_orderpriority"])
+              .map_batches(filter_orders, batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"], cutoff))
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), options=half_away), pa.int64())
+        part = pa.table({"l_orderkey": t["l_orderkey"], "cents": cents})
+        g = part.group_by("l_orderkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["l_orderkey", "cents"])
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+          .map_batches(li_partial, batch_format="pyarrow",
+                       zero_copy_batch=True))
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    j = li.join(orders, join_type="inner",
+                num_partitions=max(2, cpus // 2),
+                on=("l_orderkey",), right_on=("o_orderkey",),
+                aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    agg = (j.groupby(["l_orderkey", "o_orderdate", "o_orderpriority"])
+           .aggregate(Sum("cents", alias_name="revenue_cents")))
+
+    def topk_part(t: pa.Table) -> pa.Table:
+        t = t.select(["l_orderkey", "o_orderdate", "o_orderpriority",
+                      "revenue_cents"])
+        idx = pc.sort_indices(t, sort_keys=[
+            ("revenue_cents", "descending"), ("o_orderdate", "ascending"),
+            ("l_orderkey", "ascending")])[:10]
+        return t.take(idx)
+
+    parts = agg.map_batches(topk_part, batch_format="pyarrow")
+    merged = pa.concat_tables(
+        list(parts.iter_batches(batch_format="pyarrow")))
+    idx = pc.sort_indices(merged, sort_keys=[
+        ("revenue_cents", "descending"), ("o_orderdate", "ascending"),
+        ("l_orderkey", "ascending")])[:10]
+    out = merged.take(idx)
+    return out.set_column(
+        out.schema.get_field_index("revenue_cents"), "revenue_cents",
+        out["revenue_cents"].cast(pa.int64()))
+
+
+Q3_SQL = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue_cents DESC, o_orderdate, l_orderkey
+LIMIT 10
+"""
+
+
 SALT_FACTOR = 8
 HOT_KEY_COUNT = 16
 
@@ -1642,6 +1742,7 @@ QUERIES = {
     "distinct_users_per_event_type": distinct_users_per_event_type,
     "moving_window_events": moving_window_events,
     "salted_join_lineitem_orders": salted_join_lineitem_orders,
+    "q3_shipping_priority": q3_shipping_priority,
 }
 
 ORACLE = {
@@ -1678,4 +1779,5 @@ ORACLE = {
     # identical result contract to the unsalted plan — the salt must
     # be invisible in the output
     "salted_join_lineitem_orders": SHUFFLE_JOIN_SQL,
+    "q3_shipping_priority": Q3_SQL,
 }
