@@ -1,0 +1,68 @@
+"""Property tests for the dictionary-expansion helpers and the
+partials-merge contract behind msearch (pure-Python, no Ray)."""
+
+import re
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from mee_ray.query import (merge_partials, prefix_terms, regexp_terms,
+                           wildcard_regex, wildcard_terms)
+
+_vocab = st.lists(st.text(alphabet="abc_1", min_size=1, max_size=5),
+                  min_size=0, max_size=40).map(lambda v: sorted(set(v)))
+_pattern = st.lists(st.sampled_from(["a", "b", "c", "1", "_", "*", "?"]),
+                    min_size=1, max_size=6).map("".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_vocab, _pattern)
+def test_wildcard_terms_equals_naive_scan(vocab, pattern):
+    rx = re.compile(wildcard_regex(pattern))
+    assert wildcard_terms(vocab, pattern) == \
+        [t for t in vocab if rx.fullmatch(t)]
+
+
+@settings(max_examples=200, deadline=None)
+@given(_vocab, st.text(alphabet="abc_1", max_size=4))
+def test_prefix_terms_equals_naive_scan(vocab, prefix):
+    assert prefix_terms(vocab, prefix) == \
+        [t for t in vocab if t.startswith(prefix)]
+
+
+@settings(max_examples=100, deadline=None)
+@given(_vocab, st.sampled_from(["a.*", "[ab]c?", "(a|b)1*", "c+_?",
+                                ".*1", "a{1,2}b?"]))
+def test_regexp_terms_equals_naive_scan(vocab, pattern):
+    rx = re.compile(pattern)
+    assert regexp_terms(vocab, pattern) == \
+        [t for t in vocab if rx.fullmatch(t)]
+
+
+_partials = st.dictionaries(
+    st.text(alphabet="xyz", min_size=1, max_size=3),
+    st.lists(st.tuples(st.integers(0, 50),
+                       st.floats(0.01, 10, allow_nan=False)),
+             min_size=1, max_size=8),
+    min_size=1, max_size=6)
+
+
+@settings(max_examples=150, deadline=None)
+@given(_partials, st.integers(1, 5), st.data())
+def test_merge_partials_ignores_extraneous_terms(raw, k, data):
+    """The msearch contract: merging a SUBSET of terms out of a
+    partials dict holding the whole union must equal merging from a
+    dict holding only that subset."""
+    partials = {}
+    for t, rows in raw.items():
+        ids = np.array(sorted({i for i, _ in rows}), dtype=np.int64)
+        sc = np.array([dict(rows)[int(i)] for i in ids], dtype=np.float64)
+        partials[t] = (ids, sc)
+    subset = data.draw(st.lists(st.sampled_from(sorted(partials)),
+                                min_size=0, max_size=len(partials),
+                                unique=True))
+    subset = sorted(subset)
+    only = {t: partials[t] for t in subset}
+    assert merge_partials([partials], subset, k) == \
+        merge_partials([only], subset, k)
