@@ -1723,6 +1723,26 @@ class DistributedSearcher:
                         if dfs.get(t, 0) > 0)   # live terms only
         return [(-negdf, t) for negdf, t in ranked[:n]]
 
+    def complete(self, prefix: str, n: int = 5
+                 ) -> list[tuple[int, str]]:
+        """Distributed completion suggester: prefix run of the pooled
+        vocabulary + ONE dictionary-only df fan-out (the suggest()
+        transport), ranked (df desc, term asc), live terms only."""
+        import ray
+        if n <= 0 or not prefix:
+            return []
+        cands = prefix_terms(self.vocabulary(), prefix)
+        if not cands:
+            return []
+        dfs: dict[str, int] = {}
+        for d in ray.get([self.actors[a].term_dfs.remote(ts)
+                          for a, ts in
+                          self._terms_by_actor(cands).items()]):
+            dfs.update(d)
+        ranked = sorted((-dfs[t], t) for t in cands
+                        if dfs.get(t, 0) > 0)
+        return [(-negdf, t) for negdf, t in ranked[:n]]
+
     def count(self, terms: list[str], operator: str = "or") -> int:
         """Distributed match count (see :meth:`Searcher.count`): one
         id-set fan-out (transfer bounded by the terms' dfs), set math

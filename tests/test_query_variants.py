@@ -428,3 +428,26 @@ def test_msearch_equals_per_query_search(built_index, ray_session):
         assert ds.msearch([[]], 10) == [[]]
     finally:
         ds.shutdown()
+
+
+def test_complete_local_and_distributed(built_index, ray_session):
+    """Completion suggester parity: local ranks by (df desc, term),
+    the distributed form matches exactly; dead prefixes empty."""
+    from mee_ray.query import DistributedSearcher, Searcher
+
+    s = Searcher(built_index["index_root"])
+    oracle = built_index["oracle"]
+    vocab = sorted(oracle.postings)
+    prefixes = [vocab[0][:1], vocab[len(vocab) // 2][:2], "zzz", ""]
+    for pre in prefixes:
+        got = s.complete(pre, 5)
+        want = sorted((-len(oracle.postings[t]), t)
+                      for t in vocab if t.startswith(pre))[:5] \
+            if pre else []
+        assert got == [(-d, t) for d, t in want], pre
+    ds = DistributedSearcher(built_index["index_root"], n_actors=3)
+    try:
+        for pre in prefixes:
+            assert ds.complete(pre, 5) == s.complete(pre, 5), pre
+    finally:
+        ds.shutdown()
