@@ -898,6 +898,75 @@ GROUP BY p.doc_id
 """
 
 
+def contamination_check_documents(sf_dir: str):
+    """Benchmark-contamination check (the decontamination step of a
+    training-data pipeline): the "benchmark set" is the first
+    {PASSAGE_LEN}-token window of every doc with doc_id % 97 == 0
+    (a deterministic stand-in for an eval suite); every document
+    reports how many of its stride-{PASSAGE_LEN} windows appear in
+    that set.  Benchmark windows broadcast ONCE via ray.put (eval
+    suites are small by nature); the corpus-side scan is one
+    map_batches pass — no shuffle at all.  Emits (doc_id,
+    n_contaminated) for contaminated docs only."""
+    import ray
+
+    st = TextStats()
+
+    def bench_windows(t: pa.Table) -> pa.Table:
+        out = []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            if int(d) % 97 != 0:
+                continue
+            toks = st.tokens(x)
+            if len(toks) >= PASSAGE_LEN:
+                out.append(" ".join(toks[:PASSAGE_LEN]))
+        return pa.table({"passage": pa.array(out, pa.string())})
+
+    bench = sorted({p for b in (_read_docs(sf_dir, ["doc_id", "text"])
+                                .map_batches(bench_windows,
+                                             batch_format="pyarrow",
+                                             zero_copy_batch=True)
+                                .iter_batches(batch_format="pyarrow"))
+                    for p in b["passage"].to_pylist()})
+    bench_ref = ray.put(frozenset(bench))
+
+    def scan(t: pa.Table) -> pa.Table:
+        bset = ray.get(bench_ref)
+        out_d, out_n = [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = st.tokens(x)
+            n = sum(" ".join(toks[lo:lo + PASSAGE_LEN]) in bset
+                    for lo in range(0, len(toks) - PASSAGE_LEN + 1,
+                                    PASSAGE_LEN))
+            if n:
+                out_d.append(d); out_n.append(n)
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "n_contaminated": pa.array(out_n, pa.int64())})
+
+    return (_read_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(scan, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+CONTAMINATION_SQL = f"""
+WITH tokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents),
+tok AS (SELECT doc_id, unnest(ts) AS term,
+               generate_subscripts(ts, 1) AS i FROM tokl),
+pas AS (
+  SELECT doc_id, (i - 1) // {PASSAGE_LEN} AS w,
+         string_agg(term, ' ' ORDER BY i) AS passage
+  FROM tok GROUP BY doc_id, (i - 1) // {PASSAGE_LEN}
+  HAVING count(*) = {PASSAGE_LEN}),
+bench AS (SELECT DISTINCT passage FROM pas
+          WHERE doc_id % 97 = 0 AND w = 0)
+SELECT p.doc_id, count(*) AS n_contaminated
+FROM pas p JOIN bench b ON b.passage = p.passage
+GROUP BY p.doc_id
+"""
+
+
 QUERIES = {
     "doc_token_counts": doc_token_counts,
     "stratified_sample_documents": stratified_sample_documents,
@@ -913,6 +982,7 @@ QUERIES = {
     "pii_scrub_documents": pii_scrub_documents,
     "repetition_scores_documents": repetition_scores_documents,
     "passage_dedup_documents": passage_dedup_documents,
+    "contamination_check_documents": contamination_check_documents,
 }
 
 ORACLE = {
@@ -926,6 +996,7 @@ ORACLE = {
     "pii_scrub_documents": PII_SCRUB_SQL,
     "repetition_scores_documents": REPETITION_SQL,
     "passage_dedup_documents": PASSAGE_DEDUP_SQL,
+    "contamination_check_documents": CONTAMINATION_SQL,
     # sketch ops intentionally have no SQL oracle (rows-only check);
     # they are verified against brute-force oracles in tests/.
 }

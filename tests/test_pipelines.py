@@ -72,7 +72,7 @@ SQL_CHECKED = [
     "distinct_users_per_event_type", "moving_window_events",
     "bm25_synonym_documents", "completion_suggest_documents",
     "bm25_corrected_documents", "salted_join_lineitem_orders",
-    "q3_shipping_priority",
+    "q3_shipping_priority", "contamination_check_documents",
 ]
 
 
