@@ -244,6 +244,13 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--no-hashes", action="store_true",
                     help="skip sha256 verification (existence+size only)")
 
+    sn = sub.add_parser("snapshot", help="point-in-time backup: copy "
+                                         "the epoch + its delta log to "
+                                         "a self-contained index root")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--dest", required=True)
+    sn.add_argument("--epoch", default=None)
+
     m = sub.add_parser("metrics", help="print the current epoch's metrics")
     m.add_argument("--index", required=True)
 
@@ -458,6 +465,12 @@ def main(argv: list[str] | None = None) -> int:
         n = pads.dataset(args.out, format="parquet").count_rows()
         print(json.dumps({"rows": n, "out": args.out,
                           "master": spec.master}))
+
+    elif args.cmd == "snapshot":
+        from mee_ray import manifest as _mf
+        out = _mf.snapshot(args.index, args.dest, args.epoch)
+        print(json.dumps({"snapshot": out,
+                          "epoch": _mf.current_epoch(out)}))
 
     elif args.cmd == "metrics":
         import os

@@ -143,6 +143,80 @@ def current_epoch(index_root: str) -> str | None:
         return None
 
 
+def snapshot(index_root: str, dest: str,
+             epoch: str | None = None) -> str:
+    """Consistent point-in-time backup (the ES snapshot API analog):
+    copy one epoch + every delta file its manifest references into
+    ``dest`` and rewrite the manifest's absolute paths, producing a
+    SELF-CONTAINED index root (restore = point a Searcher, or the
+    whole engine, at it).  No lock needed: manifests are append-only
+    and every referenced file is immutable once referenced, so the
+    manifest loaded at entry pins a consistent view even while deltas
+    keep landing on the source."""
+    m = load_manifest(index_root, epoch)
+    epoch = m.pop("epoch")
+    if os.path.exists(os.path.join(dest, "CURRENT")):
+        raise FileExistsError(f"{dest} already holds an index; "
+                              "refusing to overwrite a snapshot")
+    src_abs = os.path.abspath(index_root)
+    prefixes = tuple({src_abs, os.path.realpath(index_root),
+                      index_root.rstrip("/")})
+    dest_abs = os.path.abspath(dest)
+
+    def owned(p: str) -> str | None:
+        for pref in prefixes:
+            if p.startswith(pref + os.sep):
+                return os.path.relpath(p, pref)
+        return None
+
+    def referenced(o):
+        if isinstance(o, str):
+            if os.sep in o and os.path.isfile(o):
+                yield o
+        elif isinstance(o, list):
+            for x in o:
+                yield from referenced(x)
+        elif isinstance(o, dict):
+            for x in o.values():
+                yield from referenced(x)
+
+    # the epoch tree wholesale (docs/, segments/, metrics, lineage)
+    shutil.copytree(epoch_dir(index_root, epoch),
+                    epoch_dir(dest, epoch), dirs_exist_ok=True)
+    # plus every OTHER referenced file: in-root files (delta segments,
+    # sidecars) keep their relative layout; FOREIGN absolute refs
+    # (e.g. an index root that was itself copied from elsewhere) land
+    # under external/ so the snapshot never dangles off its source
+    mapping: dict[str, str] = {}
+    for i, f in enumerate(sorted(set(referenced(m)))):
+        rel = owned(f)
+        if rel is None:
+            rel = os.path.join(
+                "external", f"{i:04d}_{os.path.basename(f)}")
+        mapping[f] = os.path.join(dest_abs, rel)
+        if rel.startswith("epochs" + os.sep):
+            continue                       # copied with the tree above
+        os.makedirs(os.path.dirname(mapping[f]), exist_ok=True)
+        shutil.copy2(f, mapping[f])
+
+    def rewrite(o):
+        if isinstance(o, str):
+            if o in mapping:
+                return mapping[o]
+            rel = owned(o)
+            return os.path.join(dest_abs, rel) if rel else o
+        if isinstance(o, list):
+            return [rewrite(x) for x in o]
+        if isinstance(o, dict):
+            return {k: rewrite(v) for k, v in o.items()}
+        return o
+
+    with open(manifest_path(dest, epoch), "w") as f:
+        json.dump(rewrite(m), f)
+    publish(dest, epoch)
+    return dest
+
+
 def gc_epochs(index_root: str, keep: set[str] | None = None) -> list[str]:
     """Delete epoch directories not in ``keep`` (default: CURRENT only).
     Mirrors _cleanDirtyData's 'anything not referenced by status is

@@ -1005,3 +1005,60 @@ def test_publish_documents_atomic_bridge(ray_session, tmp_path):
     s = Searcher(root)
     assert s.search(["bobby"], 5)
     assert not s.search(["ann"], 5)      # deleted key's doc gone
+
+
+def test_snapshot_is_self_contained_and_frozen(built_index,
+                                               tmp_path_factory,
+                                               ray_session):
+    """snapshot(): the copy answers queries identically (including a
+    pending delta log), and later mutations of the SOURCE never leak
+    into it; snapshotting onto an existing index refuses."""
+    import shutil
+
+    import pyarrow as pa
+    import pytest
+
+    from mee_ray import manifest as mf
+    from mee_ray.config import EngineConfig
+    from mee_ray.delta import apply_delta
+    from mee_ray.query import Searcher
+
+    src = str(tmp_path_factory.mktemp("snap_src"))
+    shutil.copytree(built_index["index_root"], src, dirs_exist_ok=True)
+    ev = pa.table({"seq": pa.array([1], pa.int64()),
+                   "type": pa.array(["INSERT"]),
+                   "repo": pa.array(["snap/repo"]),
+                   "path": pa.array(["src/snap.py"]),
+                   "commit": pa.array(["b" * 40]),
+                   "lang": pa.array(["py"]),
+                   "content": pa.array(["snapshot sentinel token_snapx"])})
+    apply_delta(ev, src, EngineConfig())
+
+    dest = str(tmp_path_factory.mktemp("snap_dst")) + "/backup"
+    mf.snapshot(src, dest)
+    s_src, s_dst = Searcher(src), Searcher(dest)
+    assert s_dst.n_docs == s_src.n_docs
+    for q in (["token_snapx"], ["merge"], ["zzz_nope"]):
+        assert s_dst.search(q, 10) == s_src.search(q, 10), q
+    # no absolute path in the snapshot manifest escapes the snapshot
+    import json
+    m = json.load(open(mf.manifest_path(dest,
+                                        mf.current_epoch(dest))))
+    for seg in m["segments"]:
+        assert seg["path"].startswith(dest)
+    for d in m.get("deltas", []):
+        for f in (d.get("segments") or []):
+            assert f.startswith(dest)
+    # source mutations don't leak
+    ev2 = ev.set_column(0, "seq", pa.array([2], pa.int64()))
+    ev2 = pa.table({"seq": pa.array([2], pa.int64()),
+                    "type": pa.array(["DELETE"]),
+                    "repo": pa.array(["snap/repo"]),
+                    "path": pa.array(["src/snap.py"]),
+                    "commit": pa.array([""]), "lang": pa.array([""]),
+                    "content": pa.array([""])})
+    apply_delta(ev2, src, EngineConfig())
+    assert Searcher(src).search(["token_snapx"], 10) == []
+    assert Searcher(dest).search(["token_snapx"], 10) != []
+    with pytest.raises(FileExistsError):
+        mf.snapshot(src, dest)
