@@ -244,6 +244,12 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--no-hashes", action="store_true",
                     help="skip sha256 verification (existence+size only)")
 
+    ex = sub.add_parser("export", help="stream the epoch's live docs "
+                                       "table to partitioned parquet")
+    ex.add_argument("--index", required=True)
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--epoch", default=None)
+
     sn = sub.add_parser("snapshot", help="point-in-time backup: copy "
                                          "the epoch + its delta log to "
                                          "a self-contained index root")
@@ -465,6 +471,33 @@ def main(argv: list[str] | None = None) -> int:
         n = pads.dataset(args.out, format="parquet").count_rows()
         print(json.dumps({"rows": n, "out": args.out,
                           "master": spec.master}))
+
+    elif args.cmd == "export":
+        # the docs table of a compacted epoch IS the live view; with
+        # pending deltas the live view needs the sequenced-tombstone
+        # resolve that compaction performs — refuse rather than export
+        # a stale or duplicated table
+        _init_ray(args.num_cpus)
+        import os
+
+        import ray.data
+
+        from mee_ray import manifest as _mf
+        man = _mf.load_manifest(args.index, args.epoch)
+        if man.get("deltas"):
+            raise SystemExit(
+                f"epoch {man['epoch']} has {len(man['deltas'])} pending "
+                "delta record(s) — run `compact` first so the docs "
+                "table is the live view, then export")
+        files = _mf.docs_files(args.index, man["epoch"])
+        if not files:
+            raise SystemExit("no docs files in this epoch")
+        (ray.data.read_parquet(files)
+         .write_parquet(args.out))
+        n = sum(1 for f in os.listdir(args.out)
+                if f.endswith(".parquet"))
+        print(json.dumps({"out": args.out, "n_docs": man["n_docs"],
+                          "files": n}))
 
     elif args.cmd == "snapshot":
         from mee_ray import manifest as _mf

@@ -176,3 +176,21 @@ def test_cli_analyze(built_index):
     assert r2.returncode == 0
     assert json.loads(r2.stdout)["n_tokens"] == json.loads(
         r.stdout)["n_tokens"]
+
+
+def test_cli_export_and_refusal_on_pending_deltas(built_index, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    import duckdb
+
+    out = str(tmp_path / "export")
+    r = subprocess.run([sys.executable, "-m", "mee_ray", "export",
+                        "--index", built_index["index_root"],
+                        "--out", out],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    j = json.loads(r.stdout.strip().splitlines()[-1])
+    n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
+    assert n == j["n_docs"] == built_index["manifest"]["n_docs"]
