@@ -489,10 +489,17 @@ def main(argv: list[str] | None = None) -> int:
                 f"epoch {man['epoch']} has {len(man['deltas'])} pending "
                 "delta record(s) — run `compact` first so the docs "
                 "table is the live view, then export")
+        if os.path.isdir(args.out) and os.listdir(args.out):
+            # write_parquet appends new files next to old ones — a
+            # re-export into a stale dir would silently double rows
+            raise SystemExit(f"--out {args.out} is not empty")
         files = _mf.docs_files(args.index, man["epoch"])
         if not files:
             raise SystemExit("no docs files in this epoch")
-        (ray.data.read_parquet(files)
+        import pyarrow.parquet as _pq
+        cols = [c for c in _mf.DOCS_COLUMNS
+                if c in _pq.read_schema(files[0]).names]
+        (ray.data.read_parquet(files, columns=cols)
          .write_parquet(args.out))
         n = sum(1 for f in os.listdir(args.out)
                 if f.endswith(".parquet"))

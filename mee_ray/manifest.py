@@ -149,10 +149,11 @@ def snapshot(index_root: str, dest: str,
     copy one epoch + every delta file its manifest references into
     ``dest`` and rewrite the manifest's absolute paths, producing a
     SELF-CONTAINED index root (restore = point a Searcher, or the
-    whole engine, at it).  No lock needed: manifests are append-only
-    and every referenced file is immutable once referenced, so the
-    manifest loaded at entry pins a consistent view even while deltas
-    keep landing on the source."""
+    whole engine, at it).  Referenced files are immutable, but the
+    epoch tree gains new delta files while writers run, so the copy
+    holds the same write_lock apply_delta takes; a referenced path
+    that cannot be resolved to a file fails LOUDLY (a snapshot with a
+    dangling tombstone ref would silently resurrect deletes)."""
     m = load_manifest(index_root, epoch)
     epoch = m.pop("epoch")
     if os.path.exists(os.path.join(dest, "CURRENT")):
@@ -164,15 +165,21 @@ def snapshot(index_root: str, dest: str,
     dest_abs = os.path.abspath(dest)
 
     def owned(p: str) -> str | None:
-        for pref in prefixes:
-            if p.startswith(pref + os.sep):
-                return os.path.relpath(p, pref)
+        for cand in (p, os.path.abspath(p)):
+            for pref in prefixes:
+                if cand.startswith(pref + os.sep):
+                    return os.path.relpath(cand, pref)
         return None
 
     def referenced(o):
         if isinstance(o, str):
-            if os.sep in o and os.path.isfile(o):
-                yield o
+            if os.sep in o:
+                if os.path.isfile(o):
+                    yield o
+                elif o.endswith((".parquet", ".json")):
+                    raise FileNotFoundError(
+                        f"manifest references missing file {o!r} — "
+                        "refusing a dangling snapshot")
         elif isinstance(o, list):
             for x in o:
                 yield from referenced(x)
@@ -180,9 +187,12 @@ def snapshot(index_root: str, dest: str,
             for x in o.values():
                 yield from referenced(x)
 
-    # the epoch tree wholesale (docs/, segments/, metrics, lineage)
-    shutil.copytree(epoch_dir(index_root, epoch),
-                    epoch_dir(dest, epoch), dirs_exist_ok=True)
+    # the epoch tree wholesale (docs/, segments/, metrics, lineage);
+    # under the writers' lock so a concurrent apply_delta can't
+    # os.replace/rmtree files out from under copytree
+    with write_lock(index_root):
+        shutil.copytree(epoch_dir(index_root, epoch),
+                        epoch_dir(dest, epoch), dirs_exist_ok=True)
     # plus every OTHER referenced file: in-root files (delta segments,
     # sidecars) keep their relative layout; FOREIGN absolute refs
     # (e.g. an index root that was itself copied from elsewhere) land
@@ -211,8 +221,7 @@ def snapshot(index_root: str, dest: str,
             return {k: rewrite(v) for k, v in o.items()}
         return o
 
-    with open(manifest_path(dest, epoch), "w") as f:
-        json.dump(rewrite(m), f)
+    _atomic_write_json(manifest_path(dest, epoch), rewrite(m))
     publish(dest, epoch)
     return dest
 

@@ -809,6 +809,16 @@ FROM base LEFT JOIN bgm ON bgm.doc_id = base.doc_id
 PASSAGE_LEN = 8
 
 
+def _stride_windows(toks: list[str]) -> list[str]:
+    """THE engine-side window definition (non-overlapping
+    {PASSAGE_LEN}-token windows, trailing partial dropped) — must stay
+    in lockstep with the shared SQL ``pas`` CTE; passage dedup and the
+    contamination check both build on it."""
+    return [" ".join(toks[lo:lo + PASSAGE_LEN])
+            for lo in range(0, len(toks) - PASSAGE_LEN + 1,
+                            PASSAGE_LEN)]
+
+
 def passage_dedup_documents(sf_dir: str):
     """Cross-document passage-level exact dedup (the CCNet /
     RefinedWeb paragraph-dedup shape, adapted to this corpus's flat
@@ -835,10 +845,9 @@ def passage_dedup_documents(sf_dir: str):
     def explode(t: pa.Table) -> pa.Table:
         out_d, out_p = [], []
         for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = st.tokens(x)
-            for lo in range(0, len(toks) - PASSAGE_LEN + 1, PASSAGE_LEN):
+            for w in _stride_windows(st.tokens(x)):
                 out_d.append(d)
-                out_p.append(" ".join(toks[lo:lo + PASSAGE_LEN]))
+                out_p.append(w)
         return pa.table({"doc_id": pa.array(out_d, pa.int64()),
                          "passage": pa.array(out_p, pa.string())})
 
@@ -917,9 +926,9 @@ def contamination_check_documents(sf_dir: str):
         for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             if int(d) % 97 != 0:
                 continue
-            toks = st.tokens(x)
-            if len(toks) >= PASSAGE_LEN:
-                out.append(" ".join(toks[:PASSAGE_LEN]))
+            wins = _stride_windows(st.tokens(x))
+            if wins:
+                out.append(wins[0])
         return pa.table({"passage": pa.array(out, pa.string())})
 
     bench = sorted({p for b in (_read_docs(sf_dir, ["doc_id", "text"])
@@ -934,10 +943,7 @@ def contamination_check_documents(sf_dir: str):
         bset = ray.get(bench_ref)
         out_d, out_n = [], []
         for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = st.tokens(x)
-            n = sum(" ".join(toks[lo:lo + PASSAGE_LEN]) in bset
-                    for lo in range(0, len(toks) - PASSAGE_LEN + 1,
-                                    PASSAGE_LEN))
+            n = sum(w in bset for w in _stride_windows(st.tokens(x)))
             if n:
                 out_d.append(d); out_n.append(n)
         return pa.table({"doc_id": pa.array(out_d, pa.int64()),

@@ -1712,6 +1712,15 @@ class DistributedSearcher:
                      self._deletion_index_cached
                      if max_edits == 1 else None)
                  if t != term]
+        return self._ranked_by_df(cands, n)
+
+    def _ranked_by_df(self, cands: list[str], n: int
+                      ) -> list[tuple[int, str]]:
+        """Shared suggester tail: ONE dictionary-only df fan-out for
+        the candidates, ranked (live df desc, term asc), dead terms
+        dropped — suggest() and complete() differ only in how they
+        generate candidates."""
+        import ray
         if not cands:
             return []
         dfs: dict[str, int] = {}
@@ -1726,22 +1735,11 @@ class DistributedSearcher:
     def complete(self, prefix: str, n: int = 5
                  ) -> list[tuple[int, str]]:
         """Distributed completion suggester: prefix run of the pooled
-        vocabulary + ONE dictionary-only df fan-out (the suggest()
-        transport), ranked (df desc, term asc), live terms only."""
-        import ray
+        vocabulary + the shared :meth:`_ranked_by_df` tail."""
         if n <= 0 or not prefix:
             return []
-        cands = prefix_terms(self.vocabulary(), prefix)
-        if not cands:
-            return []
-        dfs: dict[str, int] = {}
-        for d in ray.get([self.actors[a].term_dfs.remote(ts)
-                          for a, ts in
-                          self._terms_by_actor(cands).items()]):
-            dfs.update(d)
-        ranked = sorted((-dfs[t], t) for t in cands
-                        if dfs.get(t, 0) > 0)
-        return [(-negdf, t) for negdf, t in ranked[:n]]
+        return self._ranked_by_df(prefix_terms(self.vocabulary(),
+                                               prefix), n)
 
     def count(self, terms: list[str], operator: str = "or") -> int:
         """Distributed match count (see :meth:`Searcher.count`): one

@@ -194,3 +194,33 @@ def test_cli_export_and_refusal_on_pending_deltas(built_index, tmp_path):
     j = json.loads(r.stdout.strip().splitlines()[-1])
     n = duckdb.sql(f"SELECT count(*) FROM '{out}/*.parquet'").fetchone()[0]
     assert n == j["n_docs"] == built_index["manifest"]["n_docs"]
+    # re-export into the same (now non-empty) dir must refuse — a
+    # second write_parquet would silently double the rows
+    r2 = subprocess.run([sys.executable, "-m", "mee_ray", "export",
+                         "--index", built_index["index_root"],
+                         "--out", out],
+                        capture_output=True, text=True, cwd="/root/repo")
+    assert r2.returncode != 0 and "not empty" in r2.stderr
+    # pending deltas must refuse too (stale docs table)
+    import shutil
+
+    import pyarrow as pa
+
+    from mee_ray.config import EngineConfig
+    from mee_ray.delta import apply_delta
+
+    idx2 = str(tmp_path / "idx_deltas")
+    shutil.copytree(built_index["index_root"], idx2)
+    ev = pa.table({"seq": pa.array([1], pa.int64()),
+                   "type": pa.array(["INSERT"]),
+                   "repo": pa.array(["x/y"]),
+                   "path": pa.array(["src/x.py"]),
+                   "commit": pa.array(["c" * 40]),
+                   "lang": pa.array(["py"]),
+                   "content": pa.array(["hello export"])})
+    apply_delta(ev, idx2, EngineConfig())
+    r3 = subprocess.run([sys.executable, "-m", "mee_ray", "export",
+                         "--index", idx2, "--out",
+                         str(tmp_path / "export2")],
+                        capture_output=True, text=True, cwd="/root/repo")
+    assert r3.returncode != 0 and "compact" in r3.stderr

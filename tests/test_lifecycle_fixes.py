@@ -1050,7 +1050,6 @@ def test_snapshot_is_self_contained_and_frozen(built_index,
         for f in (d.get("segments") or []):
             assert f.startswith(dest)
     # source mutations don't leak
-    ev2 = ev.set_column(0, "seq", pa.array([2], pa.int64()))
     ev2 = pa.table({"seq": pa.array([2], pa.int64()),
                     "type": pa.array(["DELETE"]),
                     "repo": pa.array(["snap/repo"]),
