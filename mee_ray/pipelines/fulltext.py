@@ -1015,6 +1015,125 @@ def _bm25_fuzzy_sql() -> str:
         "levenshtein(tf.term, q.term) <= 1")
 
 
+# ES boosting query: positive disjunctive ranking, docs matching any
+# negative term keep their score DEMOTED by negative_boost (they stay
+# in the results — unlike must_not, which drops them).
+NEGATIVE_BOOST = 0.5
+BOOSTING_QUERIES: list[tuple[int, list[str], list[str]]] = [
+    (1, ["merge", "sort"], ["slow"]),
+    (2, ["window"], ["batch"]),
+    (3, ["customer", "join"], ["dup", "slow"]),
+    (4, ["stream", "spark"], ["the"]),
+]
+
+
+def bm25_boosting_documents(sf_dir: str):
+    """Boosting query (ES ``boosting``): rank by the positive terms;
+    a doc matching ANY negative term keeps
+    score × {NEGATIVE_BOOST} (demotion, not exclusion — the
+    counterpart of must_not).  Both sides multiply the SAME base
+    score by the same constant, so ordering stays well-defined.
+    Emitted as (query_id, rank, doc_id)."""
+    import numpy as np
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    out_q, out_r, out_d = [], [], []
+    for qid, pos, neg in BOOSTING_QUERIES:
+        ranked = s.search(pos, k=s.n_docs or 1)
+        if not ranked:
+            continue
+        neg_ids = s.excluded_doc_ids(neg)
+        eng = np.array([d for d, _ in ranked], dtype=np.int64)
+        ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
+        base = np.array([sc for _, sc in ranked], dtype=np.float64)
+        demote = np.isin(eng, neg_ids)
+        final = np.where(demote, base * NEGATIVE_BOOST, base)
+        order = np.lexsort((ids, -final))[:TOP_K]
+        for rank, j in enumerate(order, start=1):
+            out_q.append(qid); out_r.append(rank)
+            out_d.append(int(ids[j]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _bm25_boosting_sql() -> str:
+    pos_values = _q_values([(qid, pos) for qid, pos, _ in
+                            BOOSTING_QUERIES])
+    neg_values = ", ".join(f"({qid}, '{t}')"
+                           for qid, _, neg in BOOSTING_QUERIES
+                           for t in sorted(set(neg)))
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {pos_values}),
+nq(query_id, term) AS (VALUES {neg_values}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+demoted AS (
+  SELECT sc.query_id, sc.doc_id,
+         CASE WHEN EXISTS (SELECT 1 FROM nq JOIN tf t2
+                           ON t2.term = nq.term
+                           WHERE nq.query_id = sc.query_id
+                             AND t2.doc_id = sc.doc_id)
+              THEN sc.score * {NEGATIVE_BOOST} ELSE sc.score END
+           AS score
+  FROM scores sc)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM demoted)
+WHERE rank <= {TOP_K}
+"""
+
+
+def bm25_constant_score_documents(sf_dir: str):
+    """Constant-score query (ES ``constant_score``): every doc
+    matching ANY query term gets the SAME score (the filter-context
+    degenerate) — output is the matched-id set ranked by doc_id, the
+    ordering ES falls back to when scores tie.  Emitted as
+    (query_id, rank, doc_id)."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    out_q, out_r, out_d = [], [], []
+    for qid, terms in REFERENCE_QUERIES:
+        ids = sorted(idmap[int(d)]
+                     for d in s.excluded_doc_ids(sorted(set(terms))))
+        for rank, oid in enumerate(ids[:TOP_K], start=1):
+            out_q.append(qid); out_r.append(rank); out_d.append(oid)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _bm25_constant_score_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                                           '{TOKEN_PATTERN}')) AS term
+  FROM documents),
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+matched AS (SELECT DISTINCT q.query_id, tok.doc_id
+            FROM q JOIN tok ON tok.term = q.term)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY doc_id) AS rank
+      FROM matched)
+WHERE rank <= {TOP_K}
+"""
+
+
 COMPLETE_N = 5
 
 
@@ -2011,6 +2130,8 @@ QUERIES = {
     "bm25_synonym_documents": bm25_synonym_documents,
     "completion_suggest_documents": completion_suggest_documents,
     "bm25_corrected_documents": bm25_corrected_documents,
+    "bm25_boosting_documents": bm25_boosting_documents,
+    "bm25_constant_score_documents": bm25_constant_score_documents,
     "bm25_min_match_documents": bm25_min_match_documents,
     "bm25_weighted_documents": bm25_weighted_documents,
     "bm25_mlt_documents": bm25_mlt_documents,
@@ -2044,6 +2165,8 @@ ORACLE = {
     "bm25_synonym_documents": _bm25_synonym_sql(),
     "completion_suggest_documents": _completion_sql(),
     "bm25_corrected_documents": _bm25_corrected_sql(),
+    "bm25_boosting_documents": _bm25_boosting_sql(),
+    "bm25_constant_score_documents": _bm25_constant_score_sql(),
     "bm25_min_match_documents": _bm25_min_match_sql(),
     "bm25_weighted_documents": _bm25_weighted_sql(),
     "bm25_mlt_documents": _bm25_mlt_sql(),

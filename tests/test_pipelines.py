@@ -73,6 +73,7 @@ SQL_CHECKED = [
     "bm25_synonym_documents", "completion_suggest_documents",
     "bm25_corrected_documents", "salted_join_lineitem_orders",
     "q3_shipping_priority", "contamination_check_documents",
+    "bm25_boosting_documents", "bm25_constant_score_documents",
 ]
 
 
