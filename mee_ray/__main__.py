@@ -244,6 +244,28 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--no-hashes", action="store_true",
                     help="skip sha256 verification (existence+size only)")
 
+    sy = sub.add_parser("sync", help="the reference's end-to-end loop "
+                                     "as one command: table change → "
+                                     "rebuild affected documents → "
+                                     "index upsert (searchable)")
+    sy.add_argument("--spec", required=True, help="DocSpec YAML/JSON")
+    sy.add_argument("--input", required=True,
+                    help="directory of base-table parquet files")
+    sy.add_argument("--index", required=True)
+    sy.add_argument("--table", required=True,
+                    help="the changed table (master or a joined slave)")
+    sy.add_argument("--changes", default=None,
+                    help="parquet of upserted row after-images")
+    sy.add_argument("--delete-keys", default=None,
+                    help="comma-separated deleted key values (ints)")
+    sy.add_argument("--child-key", default=None,
+                    help="nested-table child id column")
+    sy.add_argument("--key-field", default=None,
+                    help="doc column holding the master key "
+                         "(default: the spec's key)")
+    sy.add_argument("--repo", default="docbuild",
+                    help="logical collection name in the index")
+
     ex = sub.add_parser("export", help="stream the epoch's live docs "
                                        "table to partitioned parquet")
     ex.add_argument("--index", required=True)
@@ -471,6 +493,43 @@ def main(argv: list[str] | None = None) -> int:
         n = pads.dataset(args.out, format="parquet").count_rows()
         print(json.dumps({"rows": n, "out": args.out,
                           "master": spec.master}))
+
+    elif args.cmd == "sync":
+        _init_ray(args.num_cpus)
+        import pyarrow.parquet as _pq
+
+        from mee_ray.pipelines.bridge import publish_documents
+        from mee_ray.pipelines.docbuild import (SlaveChange,
+                                                apply_join_delta,
+                                                apply_master_delta)
+        from mee_ray.pipelines.docspec_io import load_docspec
+
+        spec = load_docspec(args.spec)
+        ups = _pq.read_table(args.changes) if args.changes else None
+        dels = tuple(int(x) for x in args.delete_keys.split(",")) \
+            if args.delete_keys else ()
+        if ups is None and not dels:
+            raise SystemExit("one of --changes/--delete-keys required")
+        ch = SlaveChange(table=args.table, upserts=ups,
+                         delete_keys=dels, child_key=args.child_key)
+        # the doc column carrying the master key is the mapping whose
+        # expression IS the key (specs usually rename, e.g.
+        # cust_id: c_custkey); fall back to the raw key name
+        key_field = args.key_field or next(
+            (out for out, expr in spec.mappings.items()
+             if expr == spec.key), spec.key)
+        if args.table == spec.master:
+            docs, deleted = apply_master_delta(args.input, spec, ch)
+            deleted_keys = deleted[spec.key].to_pylist()
+        else:
+            docs = apply_join_delta(args.input, spec, ch)
+            deleted_keys = []
+        rec = publish_documents(args.index, docs, key_field,
+                                deleted_keys=deleted_keys,
+                                repo=args.repo, cfg=cfg)
+        print(json.dumps({"n_added": rec["n_added"],
+                          "n_deleted": rec["n_deleted"],
+                          "seq": rec["seq"]}))
 
     elif args.cmd == "export":
         # the docs table of a compacted epoch IS the live view; with

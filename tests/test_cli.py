@@ -224,3 +224,61 @@ def test_cli_export_and_refusal_on_pending_deltas(built_index, tmp_path):
                          str(tmp_path / "export2")],
                         capture_output=True, text=True, cwd="/root/repo")
     assert r3.returncode != 0 and "compact" in r3.stderr
+
+
+def test_cli_sync_slave_change(ray_session, tmp_path):
+    """The reference's whole loop as ONE command: slave rename →
+    affected documents rebuilt → index upsert → new value searchable,
+    old value gone."""
+    import json
+    import subprocess
+    import sys
+
+    import pyarrow as pa
+    import ray.data
+
+    from mee_ray.build import build_index
+    from mee_ray.config import EngineConfig
+    from mee_ray.pipelines.bridge import docs_to_delta_events
+    from mee_ray.pipelines.docbuild import DocSpec, JoinSpec, build_documents
+    from mee_ray.query import Searcher
+
+    SF = "/root/testdata/sf0.001"
+    root = str(tmp_path / "docidx")
+    spec = DocSpec(
+        master="customer", key="c_custkey",
+        mappings={"cust_id": "c_custkey", "cust_name": "c_name"},
+        joins=(JoinSpec("nation", "n_nationkey", "c_nationkey",
+                        {"nation_name": "n_name"}),))
+    full = build_documents(SF, spec)
+    events = docs_to_delta_events(
+        pa.concat_tables(list(full.iter_batches(batch_format="pyarrow"))),
+        "cust_id", start_seq=1)
+    build_index(ray.data.from_arrow(
+        events.select(["repo", "path", "commit", "lang", "content"])),
+        root, "ep1", EngineConfig(), dedup=False)
+
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as f:
+        json.dump({"master": "customer", "key": "c_custkey",
+                   "mappings": {"cust_id": "c_custkey",
+                                "cust_name": "c_name"},
+                   "joins": [{"table": "nation", "key": "n_nationkey",
+                              "master_key": "c_nationkey",
+                              "fields": {"nation_name": "n_name"}}]},
+                  f)
+    changes = str(tmp_path / "nation_changes.parquet")
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({"n_nationkey": pa.array([0], pa.int64()),
+                             "n_name": pa.array(["zzrenamedland"])}),
+                   changes)
+    r = subprocess.run([sys.executable, "-m", "mee_ray", "sync",
+                        "--spec", spec_path, "--input", SF,
+                        "--index", root, "--table", "nation",
+                        "--changes", changes],
+                       capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n_added"] > 0
+    s = Searcher(root)
+    assert len(s.search(["zzrenamedland"], 10)) > 0
