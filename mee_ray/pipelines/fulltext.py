@@ -1015,6 +1015,60 @@ def _bm25_fuzzy_sql() -> str:
         "levenshtein(tf.term, q.term) <= 1")
 
 
+class _SearchStage:
+    """Actor-pool search stage: a Searcher built ONCE per actor
+    (dictionary + LRU live across batches), queries stream through as
+    rows — the search-as-batch-operator shape used to score millions
+    of queries against an index (hard-negative mining, relevance
+    labeling) where per-query driver calls would never scale."""
+
+    def __init__(self, index_root: str, k: int):
+        from mee_ray.query import Searcher
+        self.s = Searcher(index_root)
+        self.k = k
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_q, out_e, out_s = [], [], []
+        for qid, terms in zip(t["query_id"].to_pylist(),
+                              t["terms"].to_pylist()):
+            for eng_id, score in self.s.search(list(terms), self.k):
+                out_q.append(qid); out_e.append(eng_id)
+                out_s.append(score)
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "eng_id": pa.array(out_e, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+
+def bm25_batch_rank_documents(sf_dir: str):
+    """Queries-as-data: the reference query set streamed as a Ray
+    Dataset through a Searcher actor pool (map_batches, per-actor
+    index state), results re-ranked to original ids.  Result-identical
+    to bm25_topk_documents — same oracle — but through the batch
+    plumbing that scales to millions of queries."""
+    import ray.data
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    idmap = _orig_id_map(root)
+    n_docs = Searcher(root).n_docs or 1
+    qt = pa.table({
+        "query_id": pa.array([qid for qid, _ in REFERENCE_QUERIES],
+                             pa.int64()),
+        "terms": pa.array([sorted(set(ts))
+                           for _, ts in REFERENCE_QUERIES],
+                          pa.list_(pa.string()))})
+    rows = pa.concat_tables(list(
+        ray.data.from_arrow(qt)
+        .map_batches(_SearchStage, fn_constructor_args=[root, n_docs],
+                     batch_format="pyarrow", concurrency=(1, 2))
+        .iter_batches(batch_format="pyarrow")))
+    results = {}
+    for qid, e, sc in zip(rows["query_id"].to_pylist(),
+                          rows["eng_id"].to_pylist(),
+                          rows["score"].to_pylist()):
+        results.setdefault(qid, []).append((e, sc))
+    return _rank_table(sorted(results.items()), idmap)
+
+
 # ES boosting query: positive disjunctive ranking, docs matching any
 # negative term keep their score DEMOTED by negative_boost (they stay
 # in the results — unlike must_not, which drops them).
@@ -2132,6 +2186,7 @@ QUERIES = {
     "bm25_corrected_documents": bm25_corrected_documents,
     "bm25_boosting_documents": bm25_boosting_documents,
     "bm25_constant_score_documents": bm25_constant_score_documents,
+    "bm25_batch_rank_documents": bm25_batch_rank_documents,
     "bm25_min_match_documents": bm25_min_match_documents,
     "bm25_weighted_documents": bm25_weighted_documents,
     "bm25_mlt_documents": bm25_mlt_documents,
@@ -2167,6 +2222,8 @@ ORACLE = {
     "bm25_corrected_documents": _bm25_corrected_sql(),
     "bm25_boosting_documents": _bm25_boosting_sql(),
     "bm25_constant_score_documents": _bm25_constant_score_sql(),
+    # same ranking contract as bm25_topk — the plumbing differs
+    "bm25_batch_rank_documents": _bm25_sql(),
     "bm25_min_match_documents": _bm25_min_match_sql(),
     "bm25_weighted_documents": _bm25_weighted_sql(),
     "bm25_mlt_documents": _bm25_mlt_sql(),
