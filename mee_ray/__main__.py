@@ -292,7 +292,8 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
     # delta/compact: no --config → derive from the index manifest
     cfg = _engine_config(args.config,
-                         default_none=args.cmd in ("delta", "compact"))
+                         default_none=args.cmd in ("delta", "compact",
+                                                   "sync"))
 
     if args.cmd == "build":
         _init_ray(args.num_cpus)

@@ -1046,10 +1046,9 @@ def bm25_batch_rank_documents(sf_dir: str):
     to bm25_topk_documents — same oracle — but through the batch
     plumbing that scales to millions of queries."""
     import ray.data
-    from mee_ray.query import Searcher
     root = _ensure_index(sf_dir)
     idmap = _orig_id_map(root)
-    n_docs = Searcher(root).n_docs or 1
+    n_docs = mf.live_stats(mf.load_manifest(root))[0] or 1
     qt = pa.table({
         "query_id": pa.array([qid for qid, _ in REFERENCE_QUERIES],
                              pa.int64()),
@@ -1083,11 +1082,11 @@ BOOSTING_QUERIES: list[tuple[int, list[str], list[str]]] = [
 
 def bm25_boosting_documents(sf_dir: str):
     """Boosting query (ES ``boosting``): rank by the positive terms;
-    a doc matching ANY negative term keeps
-    score × {NEGATIVE_BOOST} (demotion, not exclusion — the
-    counterpart of must_not).  Both sides multiply the SAME base
-    score by the same constant, so ordering stays well-defined.
-    Emitted as (query_id, rank, doc_id)."""
+    a doc matching ANY negative term keeps score × NEGATIVE_BOOST
+    (0.5 — demotion, not exclusion, the counterpart of must_not).
+    Both sides multiply the SAME base score by the same power-of-two
+    constant, so ordering stays well-defined.  Emitted as
+    (query_id, rank, doc_id)."""
     import numpy as np
     from mee_ray.query import Searcher
     root = _ensure_index(sf_dir)

@@ -282,3 +282,11 @@ def test_cli_sync_slave_change(ray_session, tmp_path):
     assert out["n_added"] > 0
     s = Searcher(root)
     assert len(s.search(["zzrenamedland"], 10)) > 0
+    # ...and the OLD nation name is gone from every live document
+    import pyarrow.parquet as pq2
+    nt = pq2.read_table(f"{SF}/nation.parquet",
+                        columns=["n_nationkey", "n_name"])
+    old = dict(zip(nt["n_nationkey"].to_pylist(),
+                   nt["n_name"].to_pylist()))[0]
+    old_term = old.lower().split()[0]
+    assert s.search([old_term], 10) == [], old_term
