@@ -4,7 +4,9 @@ shuffle-mode dedup), then assert rank identity vs the pure-Python
 oracle on a 120-query reference set — before AND after a delta batch +
 catch-up compaction.  Prints one JSON line.
 
-Usage: python scripts/scale_validation.py [n_files]
+Usage: python scripts/scale_validation.py [n_files] [--positions]
+(--positions: store positional postings and additionally validate
+exact-phrase queries against the position-aware oracle)
 """
 
 import json
@@ -17,7 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    n_files = int(sys.argv[1]) if len(sys.argv) > 1 else 96000
+    args = [a for a in sys.argv[1:] if a != "--positions"]
+    positions = "--positions" in sys.argv
+    n_files = int(args[0]) if args else 96000
     import ray
 
     if not ray.is_initialized():
@@ -50,7 +54,7 @@ def main() -> int:
     # df within one explode slice is capped by docs-per-batch), or
     # dynamic salting can never fire
     cfg = EngineConfig(postings_codec="pfor", hot_df_threshold=200,
-                       dedup_mode="shuffle")
+                       dedup_mode="shuffle", store_positions=positions)
     t0 = time.time()
     manifest = build_index(ray.data.read_parquet(cdir), root, "ep1", cfg)
     build_sec = time.time() - t0
@@ -66,13 +70,30 @@ def main() -> int:
             live[key] = (c, content)
     docs = [(doc_id_of(r, p, c), content)
             for (r, p), (c, content) in live.items()]
-    oi = OracleIndex(docs)
+    oi = OracleIndex(docs, store_positions=positions)
     assert manifest["n_docs"] == oi.n_docs
 
     qset = make_query_set(docs, n_queries=120, seed=3)
     s = Searcher(root)
     n_ok = sum(s.search(q["terms"], q["k"]) == oi.search(q["terms"], q["k"])
                for q in qset)
+
+    n_phrase = None
+    if positions:
+        # exact-phrase identity at scale: consecutive-token bigrams
+        # sampled from real docs (guaranteed hits) + shuffled variants
+        import random as _random
+        rng = _random.Random(11)
+        probes = []
+        for _, content in rng.sample(docs, 40):
+            toks = [w for w in content.lower().split() if w.isalnum()]
+            if len(toks) >= 3:
+                i = rng.randrange(len(toks) - 2)
+                probes.append(toks[i:i + 2])
+                probes.append([toks[i + 1], toks[i]])
+        n_phrase = sum(
+            s.search_phrase(ph, 10) == oi.search_phrase(ph, 10)
+            for ph in probes), len(probes)
 
     # dynamic salting actually fired?
     dyn_chunks = 0
@@ -128,6 +149,9 @@ def main() -> int:
         "build_sec": round(build_sec, 2),
         "files_per_sec": round(manifest["n_docs"] / build_sec, 1),
         "codec": "pfor", "dedup_mode": "shuffle",
+        "positions": positions,
+        "phrase_identity": (f"{n_phrase[0]}/{n_phrase[1]}"
+                            if n_phrase else None),
         "dynamic_salted_chunks": dyn_chunks,
         "rank_identity": f"{n_ok}/{len(qset)}",
         "threephase_identity": f"{n_3p}/30",
