@@ -1243,6 +1243,95 @@ LIMIT 10
 """
 
 
+Q18_MIN_QTY = 250
+
+
+def q18_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 shape (aggregate → HAVING → enrich → top-k): orders
+    whose total lineitem quantity exceeds {Q18_MIN_QTY}, enriched with
+    customer name via broadcast lookup, top-100 by (qty desc, key).
+    The HAVING filter runs on the REDUCED per-order aggregate, and the
+    (tiny) survivor set is what joins — the aggregate-then-join order
+    is the whole point at scale."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t["l_quantity"], options=pc.RoundOptions(
+            round_mode="half_towards_infinity")), pa.int64())
+        part = pa.table({"l_orderkey": t["l_orderkey"], "qty": qty})
+        g = part.group_by("l_orderkey").aggregate([("qty", "sum")])
+        return g.rename_columns(["l_orderkey", "qty"])
+
+    per_order = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+                 .map_batches(li_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("qty", alias_name="total_qty")))
+
+    big = per_order.map_batches(
+        lambda t: t.filter(pc.greater(t["total_qty"],
+                                      pa.scalar(Q18_MIN_QTY))),
+        batch_format="pyarrow")
+    # survivors are few (HAVING prunes hard) — one bounded driver
+    # gather, then broadcast lookups against the dimension tables
+    parts = list(big.iter_batches(batch_format="pyarrow"))
+    if not parts:
+        return pa.table({"c_name": pa.array([], pa.string()),
+                         "o_orderkey": pa.array([], pa.int64()),
+                         "o_orderdate": pa.array([], pa.timestamp("us")),
+                         "total_qty": pa.array([], pa.int64())})
+    bt = pa.concat_tables(parts)
+    keys = set(bt["l_orderkey"].to_pylist())
+    qty = dict(zip(bt["l_orderkey"].to_pylist(),
+                   bt["total_qty"].to_pylist()))
+    keys_ref = ray.put(np.array(sorted(keys), dtype=np.int64))
+
+    def match_orders(t: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        return t.filter(pa.array(np.isin(
+            t["o_orderkey"].to_numpy(zero_copy_only=False), ks)))
+
+    ot = pa.concat_tables(list(
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(match_orders, batch_format="pyarrow",
+                     zero_copy_batch=True)
+        .iter_batches(batch_format="pyarrow")))
+    ct = pa.concat_tables(list(
+        _read(sf_dir, "customer", ["c_custkey", "c_name"])
+        .iter_batches(batch_format="pyarrow")))
+    cname = dict(zip(ct["c_custkey"].to_pylist(),
+                     ct["c_name"].to_pylist()))
+    rows = sorted(
+        ((-qty[ok], ok, cname.get(ck), od)
+         for ok, ck, od in zip(ot["o_orderkey"].to_pylist(),
+                               ot["o_custkey"].to_pylist(),
+                               ot["o_orderdate"].to_pylist())),
+    )[:100]
+    return pa.table({
+        "c_name": pa.array([r[2] for r in rows], pa.string()),
+        "o_orderkey": pa.array([r[1] for r in rows], pa.int64()),
+        "o_orderdate": pa.array([r[3] for r in rows],
+                                pa.timestamp("us")),
+        "total_qty": pa.array([-r[0] for r in rows], pa.int64())})
+
+
+Q18_SQL = f"""
+WITH big AS (
+  SELECT l_orderkey,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+           AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING total_qty > {Q18_MIN_QTY})
+SELECT c_name, o_orderkey, o_orderdate, total_qty
+FROM big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 100
+"""
+
+
 SALT_FACTOR = 8
 HOT_KEY_COUNT = 16
 
@@ -1743,6 +1832,7 @@ QUERIES = {
     "moving_window_events": moving_window_events,
     "salted_join_lineitem_orders": salted_join_lineitem_orders,
     "q3_shipping_priority": q3_shipping_priority,
+    "q18_large_volume_customers": q18_large_volume_customers,
 }
 
 ORACLE = {
@@ -1780,4 +1870,5 @@ ORACLE = {
     # be invisible in the output
     "salted_join_lineitem_orders": SHUFFLE_JOIN_SQL,
     "q3_shipping_priority": Q3_SQL,
+    "q18_large_volume_customers": Q18_SQL,
 }

@@ -74,7 +74,7 @@ SQL_CHECKED = [
     "bm25_corrected_documents", "salted_join_lineitem_orders",
     "q3_shipping_priority", "contamination_check_documents",
     "bm25_boosting_documents", "bm25_constant_score_documents",
-    "bm25_batch_rank_documents",
+    "bm25_batch_rank_documents", "q18_large_volume_customers",
 ]
 
 
