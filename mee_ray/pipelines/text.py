@@ -973,6 +973,59 @@ GROUP BY p.doc_id
 """
 
 
+LM_SAMPLE_DOCS = 2048
+LM_ADD_K = 0.5
+
+
+def lm_score_documents(sf_dir: str):
+    """Perplexity-style LM quality scoring (the KenLM-filter shape of
+    a training-data pipeline, with a deterministic in-repo model): a
+    bigram model with add-{LM_ADD_K} smoothing is fit on a BOUNDED
+    prefix sample ({LM_SAMPLE_DOCS} docs — the model never sees the
+    full corpus), broadcast once via ray.put, and every document gets
+    its mean bigram log-probability in one map_batches pass.  Output
+    (doc_id, n_bigrams, lm_logprob) — rows-only by design (float ln);
+    exactness vs a driver-side recompute and monotonicity invariants
+    are asserted in tests."""
+    import ray
+
+    st = TextStats()
+    sample = (_read_docs(sf_dir, ["doc_id", "text"])
+              .take_batch(LM_SAMPLE_DOCS, batch_format="pyarrow"))
+    big: dict[tuple[str, str], int] = {}
+    uni: dict[str, int] = {}
+    for x in sample["text"].to_pylist():
+        toks = st.tokens(x)
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            uni[a] = uni.get(a, 0) + 1
+    vsize = max(1, len({t for x in sample["text"].to_pylist()
+                        for t in st.tokens(x)}))
+    model_ref = ray.put((big, uni, vsize))
+
+    def score(t: pa.Table) -> pa.Table:
+        bg, ug, v = ray.get(model_ref)
+        out_d, out_n, out_s = [], [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = st.tokens(x)
+            pairs = list(zip(toks, toks[1:]))
+            if not pairs:
+                continue
+            lp = float(np.sum(np.log(
+                np.array([bg.get(pr, 0) + LM_ADD_K for pr in pairs])
+                / np.array([ug.get(pr[0], 0) + LM_ADD_K * v
+                            for pr in pairs]))))
+            out_d.append(d); out_n.append(len(pairs))
+            out_s.append(lp / len(pairs))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "n_bigrams": pa.array(out_n, pa.int64()),
+                         "lm_logprob": pa.array(out_s, pa.float64())})
+
+    return (_read_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(score, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
 QUERIES = {
     "doc_token_counts": doc_token_counts,
     "stratified_sample_documents": stratified_sample_documents,
@@ -989,6 +1042,7 @@ QUERIES = {
     "repetition_scores_documents": repetition_scores_documents,
     "passage_dedup_documents": passage_dedup_documents,
     "contamination_check_documents": contamination_check_documents,
+    "lm_score_documents": lm_score_documents,
 }
 
 ORACLE = {

@@ -116,7 +116,8 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
                          "multimodal_audio_features",
                          "hll_distinct_counts", "heavy_hitters_terms",
                          "multimodal_retrieval",
-                         "kmeans_assign_embeddings"}
+                         "kmeans_assign_embeddings",
+                         "lm_score_documents"}
 
 
 def test_multimodal_retrieval_matches_bruteforce(entry_mod, ray_session):
@@ -460,3 +461,63 @@ def test_kmeans_assignment_invariants(entry_mod, ray_session):
     pd.testing.assert_frame_equal(got, again)
     # clustering is non-degenerate: more than one cluster used
     assert got.cluster_id.nunique() > 1
+
+
+def test_lm_score_exactness_and_signal(entry_mod, ray_session):
+    """LM scoring: distributed scores equal a driver-side recompute of
+    the same seeded model bit-for-bit, and a natural-looking doc
+    scores higher than a shuffled-bag pseudo-doc (perplexity actually
+    measures fluency under the corpus model)."""
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.text import (LM_ADD_K, LM_SAMPLE_DOCS,
+                                        TextStats)
+
+    got = _to_pandas(entry_mod.queries()["lm_score_documents"](SF))
+    got = got.set_index("doc_id")
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    st = TextStats()
+    texts = t["text"].to_pylist()
+    big, uni = {}, {}
+    for x in texts[:LM_SAMPLE_DOCS]:
+        toks = st.tokens(x)
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+            uni[a] = uni.get(a, 0) + 1
+    v = max(1, len({w for x in texts[:LM_SAMPLE_DOCS]
+                    for w in st.tokens(x)}))
+
+    def lp(toks):
+        pairs = list(zip(toks, toks[1:]))
+        if not pairs:
+            return None
+        arr = np.log(np.array([big.get(p, 0) + LM_ADD_K for p in pairs])
+                     / np.array([uni.get(p[0], 0) + LM_ADD_K * v
+                                 for p in pairs]))
+        return float(np.sum(arr)) / len(pairs)
+
+    n = 0
+    for d, x in zip(t["doc_id"].to_pylist(), texts):
+        want = lp(st.tokens(x))
+        if want is None:
+            assert d not in got.index
+            continue
+        assert got.loc[d, "lm_logprob"] == want, d
+        n += 1
+    assert n >= 400
+    # fluency signal: a real doc beats its own tokens in random order
+    # rarely?  No — bigram order matters: compare a natural doc vs a
+    # reversed-token variant averaged over 20 docs
+    import random
+    rng = random.Random(3)
+    better = 0
+    for x in rng.sample(texts, 20):
+        toks = st.tokens(x)
+        if len(toks) < 10:
+            continue
+        shuffled = toks[:]
+        rng.shuffle(shuffled)
+        if lp(toks) >= lp(shuffled):
+            better += 1
+    assert better >= 14   # order carries signal for most docs
