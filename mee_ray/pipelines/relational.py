@@ -1799,6 +1799,440 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# ----------------------------------------------------- TPC-H Q6 shape --
+
+def q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 shape (pure filter + global aggregate): the
+    no-shuffle degenerate case — per-batch filters + integer-cent
+    partial sums, one global Sum.  At 100 TB this is a single
+    streaming pass; nothing ever concentrates."""
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        keep = pc.and_(
+            pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                    pc.less(t["l_shipdate"], hi)),
+            pc.and_(pc.and_(pc.greater_equal(t["l_discount"],
+                                             pa.scalar(0.05)),
+                            pc.less_equal(t["l_discount"],
+                                          pa.scalar(0.07))),
+                    pc.less(t["l_quantity"], pa.scalar(24.0))))
+        t = t.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"], t["l_discount"]),
+            pa.scalar(100.0)), options=half_away), pa.int64())
+        s = pc.sum(cents).as_py() or 0
+        return pa.table({"cents": pa.array([s], pa.int64()),
+                         "n": pa.array([t.num_rows], pa.int64())})
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_shipdate", "l_discount", "l_quantity",
+                  "l_extendedprice"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .aggregate(Sum("cents", alias_name="revenue_cents"),
+                      Sum("n", alias_name="n_items")))
+    return pa.table({
+        "revenue_cents": pa.array([int(agg["revenue_cents"] or 0)],
+                                  pa.int64()),
+        "n_items": pa.array([int(agg["n_items"] or 0)], pa.int64())})
+
+
+Q6_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+# ---------------------------------------------------- TPC-H Q14 shape --
+
+def q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 shape (broadcast dimension join + conditional
+    aggregate ratio): part's promo flag is broadcast ONCE as a sorted
+    key array + boolean flags (`ray.put`), each lineitem batch probes
+    it with searchsorted — the fact table never shuffles.  The promo
+    share is a single division of two exact integer-cent sums, so the
+    scaled ratio is bit-deterministic."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64("1997-09-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-10-01", "us"))
+
+    pt = pa.concat_tables(list(
+        _read(sf_dir, "part", ["p_partkey", "p_type"])
+        .iter_batches(batch_format="pyarrow")))
+    order = pc.sort_indices(pt["p_partkey"])
+    keys = pt["p_partkey"].take(order).to_numpy(zero_copy_only=False)
+    promo = pc.starts_with(pt["p_type"].take(order).combine_chunks(),
+                           "PROMO").to_numpy(zero_copy_only=False)
+    dim_ref = ray.put((keys, promo))
+
+    def partial(t: pa.Table) -> pa.Table:
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        ks, pr = ray.get(dim_ref)
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                       pc.less(t["l_shipdate"], hi))
+        t = t.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), options=half_away), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(ks, pk)
+        pos = np.clip(pos, 0, len(ks) - 1)
+        is_promo = (ks[pos] == pk) & pr[pos]
+        return pa.table({
+            "promo_cents": pa.array([int(cents[is_promo].sum())],
+                                    pa.int64()),
+            "total_cents": pa.array([int(cents.sum())], pa.int64())})
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_partkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .aggregate(Sum("promo_cents", alias_name="promo_cents"),
+                      Sum("total_cents", alias_name="total_cents")))
+    pc_, tc = int(agg["promo_cents"] or 0), int(agg["total_cents"] or 0)
+    share = int(np.round(1e6 * 100.0 * pc_ / tc)) if tc else 0
+    return pa.table({"promo_cents": pa.array([pc_], pa.int64()),
+                     "total_cents": pa.array([tc], pa.int64()),
+                     "promo_share_ppm": pa.array([share], pa.int64())})
+
+
+Q14_SQL = """
+WITH c AS (
+  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents,
+         p_type LIKE 'PROMO%' AS is_promo
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+    AND l_shipdate <  TIMESTAMP '1997-10-01')
+SELECT CAST(sum(CASE WHEN is_promo THEN cents ELSE 0 END) AS BIGINT)
+         AS promo_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(round(1000000.0 * 100.0
+                  * sum(CASE WHEN is_promo THEN cents ELSE 0 END)
+                  / sum(cents)) AS BIGINT) AS promo_share_ppm
+FROM c
+"""
+
+
+# ----------------------------------------------------- TPC-H Q5 shape --
+
+def q5_local_supplier_volume(sf_dir: str):
+    """TPC-H Q5 shape (fact-fact shuffle join + broadcast dimension
+    closure): lineitem ⋈ orders is the only all-to-all exchange; the
+    dimension chain customer→nation→region and supplier→nation rides
+    along as broadcast sorted-key arrays probed per batch.  The
+    'local' predicate (customer and supplier share a nation inside the
+    target region) is evaluated vectorized after the join.  At scale:
+    dimensions are O(nations×customers-per-nation) — customer is the
+    largest and is reduced to a custkey→nationkey int map before
+    broadcast."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    region = pa.concat_tables(list(
+        _read(sf_dir, "region").iter_batches(batch_format="pyarrow")))
+    asia = region.filter(pc.equal(region["r_name"], "ASIA"))
+    rkey = asia["r_regionkey"][0].as_py()
+    nat = pa.concat_tables(list(
+        _read(sf_dir, "nation").iter_batches(batch_format="pyarrow")))
+    nat_in_region = nat.filter(pc.equal(nat["n_regionkey"],
+                                        pa.scalar(rkey, pa.int32())))
+    nkeys = nat_in_region["n_nationkey"].to_numpy(zero_copy_only=False)
+    nnames = nat_in_region["n_name"].to_pylist()
+    name_of = dict(zip(nkeys.tolist(), nnames))
+
+    def _sorted_map(ds, kcol, vcol):
+        t = pa.concat_tables(list(
+            ds.iter_batches(batch_format="pyarrow")))
+        order = pc.sort_indices(t[kcol])
+        return (t[kcol].take(order).to_numpy(zero_copy_only=False),
+                t[vcol].take(order).to_numpy(zero_copy_only=False)
+                .astype(np.int64))
+
+    ck, cn = _sorted_map(_read(sf_dir, "customer",
+                               ["c_custkey", "c_nationkey"]),
+                         "c_custkey", "c_nationkey")
+    sk, sn = _sorted_map(_read(sf_dir, "supplier",
+                               ["s_suppkey", "s_nationkey"]),
+                         "s_suppkey", "s_nationkey")
+    dim_ref = ray.put((ck, cn, sk, sn, np.sort(nkeys).astype(np.int64)))
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                       pc.less(t["o_orderdate"], hi))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(filter_orders, batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+    def li_project(t: pa.Table) -> pa.Table:
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), options=half_away), pa.int64())
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "cents": cents})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+          .map_batches(li_project, batch_format="pyarrow",
+                       zero_copy_batch=True))
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    j = li.join(orders, join_type="inner",
+                num_partitions=max(2, cpus // 2),
+                on=("l_orderkey",), right_on=("o_orderkey",),
+                aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def local_partial(t: pa.Table) -> pa.Table:
+        ck_, cn_, sk_, sn_, nk_ = ray.get(dim_ref)
+        cust = t["o_custkey"].to_numpy(zero_copy_only=False)
+        supp = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        cnat = cn_[np.searchsorted(ck_, cust)]
+        snat = sn_[np.searchsorted(sk_, supp)]
+        keep = (cnat == snat) & np.isin(cnat, nk_)
+        if not keep.any():
+            return pa.table({"nationkey": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
+        part = pa.table({
+            "nationkey": pa.array(cnat[keep], pa.int64()),
+            "cents": t["cents"].filter(pa.array(keep))})
+        g = part.group_by("nationkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["nationkey", "cents"])
+
+    agg = (j.map_batches(local_partial, batch_format="pyarrow")
+           .groupby("nationkey")
+           .aggregate(Sum("cents", alias_name="revenue_cents")))
+    t = pa.concat_tables(list(
+        agg.iter_batches(batch_format="pyarrow")))
+    names = pa.array([name_of[k] for k in
+                      t["nationkey"].to_pylist()], pa.string())
+    out = pa.table({"n_name": names,
+                    "revenue_cents": t["revenue_cents"].cast(pa.int64())})
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("revenue_cents", "descending"), ("n_name", "ascending")]))
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey  = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey  = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_cents DESC, n_name
+"""
+
+
+# ----------------------------------------------------- TPC-H Q4 shape --
+
+def q4_order_priority(sf_dir: str):
+    """TPC-H Q4 shape (large×large EXISTS semi-join): the existential
+    lineitem predicate is first REDUCED per order inside map_batches
+    (max shipdate per orderkey — an exists-witness aggregate), so the
+    semi-join shuffles one row per order instead of one per lineitem;
+    the reduced witness table then hash-joins the quarter's orders and
+    the priority histogram is a tiny groupby.  (Adapted predicate:
+    this corpus has no commit/receipt dates — 'a lineitem shipped
+    after the order date' plays the late-lineitem role.)"""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    lo = pa.scalar(np.datetime64("1996-07-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-10-01", "us"))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["l_orderkey", "l_shipdate"])
+             .group_by("l_orderkey")
+             .aggregate([("l_shipdate", "max")]))
+        return g.rename_columns(["l_orderkey", "max_ship"])
+
+    witness = (_read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+               .map_batches(li_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby("l_orderkey")
+               .aggregate(Max("max_ship", alias_name="max_ship")))
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                       pc.less(t["o_orderdate"], hi))
+        return t.filter(keep).select(
+            ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_orderdate", "o_orderpriority"])
+              .map_batches(filter_orders, batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    j = orders.join(witness, join_type="inner",
+                    num_partitions=max(2, cpus // 2),
+                    on=("o_orderkey",), right_on=("l_orderkey",),
+                    aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["max_ship"], t["o_orderdate"]))
+        g = (t.select(["o_orderpriority"])
+             .group_by("o_orderpriority")
+             .aggregate([("o_orderpriority", "count")]))
+        return g.rename_columns(["o_orderpriority", "n"])
+
+    agg = (j.map_batches(count_partial, batch_format="pyarrow")
+           .groupby("o_orderpriority")
+           .aggregate(Sum("n", alias_name="order_count")))
+    t = pa.concat_tables(list(
+        agg.iter_batches(batch_format="pyarrow")))
+    t = pa.table({"o_orderpriority": t["o_orderpriority"],
+                  "order_count": t["order_count"].cast(pa.int64())})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("o_orderpriority", "ascending")]))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------- TPC-H Q10 shape --
+
+def q10_returned_items(sf_dir: str):
+    """TPC-H Q10 shape (returned-item revenue, top-20 customers):
+    lineitem is filtered to returnflag='R' and pre-aggregated per
+    order BEFORE the fact-fact shuffle join with the quarter's orders;
+    the per-customer rollup is a second small groupby, and only the
+    ≤20 survivors touch the (broadcastable) customer/nation dimension
+    names."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        cents = pc.cast(pc.round(pc.multiply(
+            pc.multiply(t["l_extendedprice"],
+                        pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), options=half_away), pa.int64())
+        part = pa.table({"l_orderkey": t["l_orderkey"], "cents": cents})
+        g = part.group_by("l_orderkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["l_orderkey", "cents"])
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"])
+          .map_batches(li_partial, batch_format="pyarrow",
+                       zero_copy_batch=True))
+
+    def filter_orders(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                       pc.less(t["o_orderdate"], hi))
+        return t.filter(keep).select(["o_orderkey", "o_custkey"])
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(filter_orders, batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    j = li.join(orders, join_type="inner",
+                num_partitions=max(2, cpus // 2),
+                on=("l_orderkey",), right_on=("o_orderkey",),
+                aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    per_cust = (j.groupby("o_custkey")
+                .aggregate(Sum("cents", alias_name="revenue_cents")))
+
+    def topk_part(t: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(t, sort_keys=[
+            ("revenue_cents", "descending"),
+            ("o_custkey", "ascending")])[:20]
+        return t.take(idx).select(["o_custkey", "revenue_cents"])
+
+    parts = per_cust.map_batches(topk_part, batch_format="pyarrow")
+    merged = pa.concat_tables(list(
+        parts.iter_batches(batch_format="pyarrow")))
+    idx = pc.sort_indices(merged, sort_keys=[
+        ("revenue_cents", "descending"), ("o_custkey", "ascending")])[:20]
+    top = merged.take(idx)
+
+    cust = pa.concat_tables(list(
+        _read(sf_dir, "customer",
+              ["c_custkey", "c_name", "c_nationkey"])
+        .iter_batches(batch_format="pyarrow")))
+    nat = pa.concat_tables(list(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+        .iter_batches(batch_format="pyarrow")))
+    cmap = {k: (nm, nk) for k, nm, nk in zip(
+        cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist(),
+        cust["c_nationkey"].to_pylist())}
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(),
+                    nat["n_name"].to_pylist()))
+    cks = top["o_custkey"].to_pylist()
+    return pa.table({
+        "c_custkey": pa.array(cks, pa.int64()),
+        "c_name": pa.array([cmap[k][0] for k in cks], pa.string()),
+        "n_name": pa.array([nmap[cmap[k][1]] for k in cks], pa.string()),
+        "revenue_cents": top["revenue_cents"].cast(pa.int64())})
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey  = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_cents DESC, c_custkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project_revenue": filter_project_revenue,
@@ -1833,6 +2267,11 @@ QUERIES = {
     "salted_join_lineitem_orders": salted_join_lineitem_orders,
     "q3_shipping_priority": q3_shipping_priority,
     "q18_large_volume_customers": q18_large_volume_customers,
+    "q4_order_priority": q4_order_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "q6_forecast_revenue": q6_forecast_revenue,
+    "q10_returned_items": q10_returned_items,
+    "q14_promo_revenue": q14_promo_revenue,
 }
 
 ORACLE = {
@@ -1871,4 +2310,9 @@ ORACLE = {
     "salted_join_lineitem_orders": SHUFFLE_JOIN_SQL,
     "q3_shipping_priority": Q3_SQL,
     "q18_large_volume_customers": Q18_SQL,
+    "q4_order_priority": Q4_SQL,
+    "q5_local_supplier_volume": Q5_SQL,
+    "q6_forecast_revenue": Q6_SQL,
+    "q10_returned_items": Q10_SQL,
+    "q14_promo_revenue": Q14_SQL,
 }

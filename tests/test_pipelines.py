@@ -75,6 +75,8 @@ SQL_CHECKED = [
     "q3_shipping_priority", "contamination_check_documents",
     "bm25_boosting_documents", "bm25_constant_score_documents",
     "bm25_batch_rank_documents", "q18_large_volume_customers",
+    "q4_order_priority", "q5_local_supplier_volume",
+    "q6_forecast_revenue", "q10_returned_items", "q14_promo_revenue",
 ]
 
 
