@@ -2108,6 +2108,409 @@ WHERE rank <= {TOP_K}
 """
 
 
+# --- ES sort / range-agg / stats-agg / top_hits family ---------------
+#
+# All four share one discipline: matched-id sets come from the index
+# (posting unions, bounded by the query terms' dfs), are mapped to
+# ORIGINAL document ids once on the driver, broadcast via ray.put, and
+# the documents table is then scanned DISTRIBUTED with per-batch
+# bounded partials (top-k rows / bucket counts / min-max-sum triples)
+# — the table never concentrates on the driver.
+
+def _matched_orig_sets(sf_dir: str) -> dict[int, "object"]:
+    """Per reference query: np.sorted array of matched ORIGINAL doc
+    ids (ANY query term, live postings)."""
+    import numpy as np
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    out: dict[int, np.ndarray] = {}
+    for qid, terms in REFERENCE_QUERIES:
+        partials = s.term_partials(sorted(set(terms)))
+        sets = [ids for ids, _ in partials.values() if len(ids)]
+        eng = (np.unique(np.concatenate(sets)) if sets
+               else np.empty(0, np.int64))
+        out[qid] = np.sort(np.array([idmap[d] for d in eng],
+                                    dtype=np.int64))
+    return out
+
+_MATCHED_SQL_CTE = """q(query_id, term) AS (VALUES {values}),
+matched AS (SELECT DISTINCT q.query_id, tok.doc_id
+            FROM q JOIN tok ON tok.term = q.term)"""
+
+
+SORT_TOP_K = 10
+
+
+class _SortByFieldStage:
+    """Per-batch top-{SORT_TOP_K} partial per query, ordered by
+    (n_chars desc, doc_id asc) — ≤ queries × k rows cross the wire
+    per batch."""
+
+    def __init__(self, matched_ref):
+        import ray
+        self.sets = ray.get(matched_ref) \
+            if isinstance(matched_ref, ray.ObjectRef) else matched_ref
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)
+        out_q, out_d, out_n = [], [], []
+        for qid, sids in self.sets.items():
+            if not len(sids):
+                continue
+            pos = np.searchsorted(sids, ids)
+            hit = sids[np.minimum(pos, len(sids) - 1)] == ids
+            if not hit.any():
+                continue
+            hid, hnc = ids[hit], nch[hit]
+            order = np.lexsort((hid, -hnc))[:SORT_TOP_K]
+            out_q.extend([qid] * len(order))
+            out_d.extend(hid[order].tolist())
+            out_n.extend(hnc[order].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64()),
+                         "n_chars": pa.array(out_n, pa.int64())})
+
+
+def bm25_sort_by_field(sf_dir: str):
+    """Field-sorted search (the ES ``sort: [{n_chars: desc}]`` analog
+    — ranking by a stored field instead of score): for each query the
+    top-{SORT_TOP_K} matched docs by (n_chars desc, doc_id asc)."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    ref = ray.put(_matched_orig_sets(sf_dir))
+    parts = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "n_chars"])
+             .map_batches(_SortByFieldStage, fn_constructor_args=[ref],
+                          batch_format="pyarrow", concurrency=(1, 4)))
+    rows: dict[int, list[tuple[int, int]]] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for qid, did, nc in zip(b["query_id"].to_pylist(),
+                                b["doc_id"].to_pylist(),
+                                b["n_chars"].to_pylist()):
+            rows.setdefault(qid, []).append((-nc, did))
+    out_q, out_r, out_d, out_n = [], [], [], []
+    for qid in sorted(rows):
+        for rank, (neg, did) in enumerate(sorted(rows[qid])[:SORT_TOP_K],
+                                          start=1):
+            out_q.append(qid); out_r.append(rank)
+            out_d.append(did); out_n.append(-neg)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64()),
+                     "n_chars": pa.array(out_n, pa.int64())})
+
+
+def _bm25_sort_sql() -> str:
+    m = _MATCHED_SQL_CTE.format(values=_q_values(REFERENCE_QUERIES))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents),
+{m},
+ranked AS (
+  SELECT m.query_id, d.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY m.query_id
+                            ORDER BY d.n_chars DESC, d.doc_id) AS rank
+  FROM matched m JOIN documents d ON d.doc_id = m.doc_id)
+SELECT query_id, rank, doc_id, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked WHERE rank <= {SORT_TOP_K}
+"""
+
+
+RANGE_EDGES = (200, 350)  # buckets: [0,200) [200,350) [350,inf)
+
+
+class _RangeAggStage:
+    """Per-batch (query_id, bucket, n) partial counts — ≤ queries × 3
+    rows per batch."""
+
+    def __init__(self, matched_ref):
+        import ray
+        self.sets = ray.get(matched_ref) \
+            if isinstance(matched_ref, ray.ObjectRef) else matched_ref
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)
+        out_q, out_b, out_n = [], [], []
+        for qid, sids in self.sets.items():
+            if not len(sids):
+                continue
+            pos = np.searchsorted(sids, ids)
+            hit = sids[np.minimum(pos, len(sids) - 1)] == ids
+            if not hit.any():
+                continue
+            bucket = np.digitize(nch[hit], RANGE_EDGES)
+            for b in np.unique(bucket):
+                out_q.append(qid)
+                out_b.append(int(b))
+                out_n.append(int((bucket == b).sum()))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "bucket_i": pa.array(out_b, pa.int64()),
+                         "n": pa.array(out_n, pa.int64())})
+
+
+_BUCKET_NAMES = (f"lt{RANGE_EDGES[0]}",
+                 f"{RANGE_EDGES[0]}_{RANGE_EDGES[1]}",
+                 f"ge{RANGE_EDGES[1]}")
+
+
+def bm25_range_agg(sf_dir: str):
+    """Range aggregation in query context (the ES ``range`` agg on a
+    numeric field): matched docs per query bucketed by n_chars into
+    [0,{RANGE_EDGES[0]}), [{RANGE_EDGES[0]},{RANGE_EDGES[1]}),
+    [{RANGE_EDGES[1]},∞)."""
+    import ray
+    import ray.data
+
+    ref = ray.put(_matched_orig_sets(sf_dir))
+    parts = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "n_chars"])
+             .map_batches(_RangeAggStage, fn_constructor_args=[ref],
+                          batch_format="pyarrow", concurrency=(1, 4)))
+    acc: dict[tuple[int, int], int] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for qid, bi, n in zip(b["query_id"].to_pylist(),
+                              b["bucket_i"].to_pylist(),
+                              b["n"].to_pylist()):
+            acc[(qid, bi)] = acc.get((qid, bi), 0) + n
+    keys = sorted(acc)
+    return pa.table({
+        "query_id": pa.array([k[0] for k in keys], pa.int64()),
+        "bucket": pa.array([_BUCKET_NAMES[k[1]] for k in keys],
+                           pa.string()),
+        "n_docs": pa.array([acc[k] for k in keys], pa.int64())})
+
+
+def _bm25_range_agg_sql() -> str:
+    m = _MATCHED_SQL_CTE.format(values=_q_values(REFERENCE_QUERIES))
+    lo, hi = RANGE_EDGES
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents),
+{m}
+SELECT m.query_id,
+       CASE WHEN d.n_chars < {lo} THEN '{_BUCKET_NAMES[0]}'
+            WHEN d.n_chars < {hi} THEN '{_BUCKET_NAMES[1]}'
+            ELSE '{_BUCKET_NAMES[2]}' END AS bucket,
+       count(*) AS n_docs
+FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1, 2
+"""
+
+
+class _StatsAggStage:
+    """Per-batch (query_id, n, mn, mx, sm) partials — one row per
+    query per batch."""
+
+    def __init__(self, matched_ref):
+        import ray
+        self.sets = ray.get(matched_ref) \
+            if isinstance(matched_ref, ray.ObjectRef) else matched_ref
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        nch = t["n_chars"].to_numpy(zero_copy_only=False)
+        out = {"query_id": [], "n": [], "mn": [], "mx": [], "sm": []}
+        for qid, sids in self.sets.items():
+            if not len(sids):
+                continue
+            pos = np.searchsorted(sids, ids)
+            hit = sids[np.minimum(pos, len(sids) - 1)] == ids
+            if not hit.any():
+                continue
+            v = nch[hit]
+            out["query_id"].append(qid)
+            out["n"].append(len(v))
+            out["mn"].append(int(v.min()))
+            out["mx"].append(int(v.max()))
+            out["sm"].append(int(v.sum()))
+        return pa.table({k: pa.array(vs, pa.int64())
+                         for k, vs in out.items()})
+
+
+def bm25_stats_agg(sf_dir: str):
+    """Stats aggregation in query context (the ES ``stats`` agg):
+    count/min/max/sum of n_chars over each query's matched docs, plus
+    avg as exact parts-per-million (integer — the sum and count are
+    exact, so the scaled ratio is bit-deterministic)."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    ref = ray.put(_matched_orig_sets(sf_dir))
+    parts = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                   columns=["doc_id", "n_chars"])
+             .map_batches(_StatsAggStage, fn_constructor_args=[ref],
+                          batch_format="pyarrow", concurrency=(1, 4)))
+    acc: dict[int, list[int]] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for qid, n, mn, mx, sm in zip(b["query_id"].to_pylist(),
+                                      b["n"].to_pylist(),
+                                      b["mn"].to_pylist(),
+                                      b["mx"].to_pylist(),
+                                      b["sm"].to_pylist()):
+            cur = acc.get(qid)
+            if cur is None:
+                acc[qid] = [n, mn, mx, sm]
+            else:
+                cur[0] += n
+                cur[1] = min(cur[1], mn)
+                cur[2] = max(cur[2], mx)
+                cur[3] += sm
+    qids = sorted(acc)
+    return pa.table({
+        "query_id": pa.array(qids, pa.int64()),
+        "n_docs": pa.array([acc[q][0] for q in qids], pa.int64()),
+        "min_chars": pa.array([acc[q][1] for q in qids], pa.int64()),
+        "max_chars": pa.array([acc[q][2] for q in qids], pa.int64()),
+        "sum_chars": pa.array([acc[q][3] for q in qids], pa.int64()),
+        "avg_chars_ppm": pa.array(
+            [int(np.round(1e6 * acc[q][3] / acc[q][0])) for q in qids],
+            pa.int64())})
+
+
+def _bm25_stats_agg_sql() -> str:
+    m = _MATCHED_SQL_CTE.format(values=_q_values(REFERENCE_QUERIES))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_PATTERN}')) AS term
+  FROM documents),
+{m}
+SELECT m.query_id,
+       count(*)                    AS n_docs,
+       CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+       CAST(max(d.n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(d.n_chars) AS BIGINT) AS sum_chars,
+       CAST(round(1000000.0 * sum(d.n_chars) / count(*)) AS BIGINT)
+         AS avg_chars_ppm
+FROM matched m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY 1
+"""
+
+
+TOP_HITS_PER_GROUP = 2
+
+
+class _TopHitsStage:
+    """Per-batch top-{TOP_HITS_PER_GROUP} rows per (query, lang) by
+    (score desc, orig id asc) — the k>1 generalization of
+    _CollapseStage, same bounded-transport discipline."""
+
+    def __init__(self, scores_ref):
+        import ray
+        self.qs = ray.get(scores_ref) \
+            if isinstance(scores_ref, ray.ObjectRef) else scores_ref
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
+        orig = np.array([_orig_id(p) for p in t["path"].to_pylist()],
+                        dtype=np.int64)
+        out_q, out_l, out_s, out_o = [], [], [], []
+        for qid, (sid, ssc) in self.qs.items():
+            if not len(sid):
+                continue
+            pos = np.searchsorted(sid, ids)
+            safe = np.minimum(pos, len(sid) - 1)
+            valid = sid[safe] == ids
+            if not valid.any():
+                continue
+            sc, lg, og = ssc[safe[valid]], langs[valid], orig[valid]
+            for lang in np.unique(lg):
+                m = lg == lang
+                top = np.lexsort((og[m], -sc[m]))[:TOP_HITS_PER_GROUP]
+                for j in top:
+                    out_q.append(qid); out_l.append(str(lang))
+                    out_s.append(float(sc[m][j]))
+                    out_o.append(int(og[m][j]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "lang": pa.array(out_l, pa.string()),
+                         "score": pa.array(out_s, pa.float64()),
+                         "orig_id": pa.array(out_o, pa.int64())})
+
+
+def bm25_top_hits(sf_dir: str):
+    """Top-hits sub-aggregation (the ES ``top_hits`` inside a terms
+    agg): for each query and each lang bucket, the
+    {TOP_HITS_PER_GROUP} best-scoring matched docs.  Same machinery
+    as field collapsing with k>1 kept per group per batch; the driver
+    merge keeps the global top-{TOP_HITS_PER_GROUP} per (query, lang).
+    Emitted as (query_id, lang, hit_rank, doc_id)."""
+    import numpy as np
+    import ray
+    import ray.data
+
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    qs: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    for qid, ranked in _reference_text_results(s):
+        ids = np.array([d for d, _ in ranked], dtype=np.int64)
+        sc = np.array([x for _, x in ranked], dtype=np.float64)
+        order = np.argsort(ids)
+        qs[qid] = (ids[order], sc[order])
+    ref = ray.put(qs)
+    files = mf.docs_files(root, mf.current_epoch(root))
+    parts = ray.data.read_parquet(files,
+                                  columns=["doc_id", "lang", "path"]) \
+        .map_batches(_TopHitsStage, fn_constructor_args=[ref],
+                     batch_format="pyarrow", concurrency=(1, 4))
+    best: dict[tuple[int, str], list[tuple[float, int]]] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for qid, lang, sc, og in zip(b["query_id"].to_pylist(),
+                                     b["lang"].to_pylist(),
+                                     b["score"].to_pylist(),
+                                     b["orig_id"].to_pylist()):
+            lst = best.setdefault((qid, lang), [])
+            lst.append((-sc, og))
+            lst.sort()
+            del lst[TOP_HITS_PER_GROUP:]
+    out_q, out_l, out_r, out_d = [], [], [], []
+    for (qid, lang) in sorted(best):
+        for rank, (_, og) in enumerate(best[(qid, lang)], start=1):
+            out_q.append(qid); out_l.append(lang)
+            out_r.append(rank); out_d.append(og)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "lang": pa.array(out_l, pa.string()),
+                     "hit_rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _bm25_top_hits_sql() -> str:
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+js AS (SELECT sc.query_id, sc.doc_id, sc.score, d.lang
+       FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id),
+ranked AS (
+  SELECT query_id, lang, doc_id,
+         row_number() OVER (PARTITION BY query_id, lang
+                            ORDER BY score DESC, doc_id) AS hit_rank
+  FROM js)
+SELECT query_id, lang, hit_rank, doc_id
+FROM ranked WHERE hit_rank <= {TOP_HITS_PER_GROUP}
+"""
+
+
 def index_term_stats(sf_dir: str):
     """Global index statistics straight from the built index's manifest
     + segments, cross-checked by a pure-SQL recount."""
@@ -2195,6 +2598,10 @@ QUERIES = {
     "bm25_match_counts": bm25_match_counts,
     "percolate_documents": percolate_documents,
     "term_suggest_documents": term_suggest_documents,
+    "bm25_sort_by_field": bm25_sort_by_field,
+    "bm25_range_agg": bm25_range_agg,
+    "bm25_stats_agg": bm25_stats_agg,
+    "bm25_top_hits": bm25_top_hits,
     "index_term_stats": index_term_stats,
     "corpus_docs_table": corpus_docs_table,
 }
@@ -2232,6 +2639,10 @@ ORACLE = {
     "bm25_match_counts": _bm25_counts_sql(),
     "percolate_documents": _percolate_sql(),
     "term_suggest_documents": _term_suggest_sql(),
+    "bm25_sort_by_field": _bm25_sort_sql(),
+    "bm25_range_agg": _bm25_range_agg_sql(),
+    "bm25_stats_agg": _bm25_stats_agg_sql(),
+    "bm25_top_hits": _bm25_top_hits_sql(),
     "index_term_stats": INDEX_STATS_SQL,
     "corpus_docs_table": CORPUS_DOCS_SQL,
 }

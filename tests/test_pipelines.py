@@ -77,6 +77,8 @@ SQL_CHECKED = [
     "bm25_batch_rank_documents", "q18_large_volume_customers",
     "q4_order_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "q14_promo_revenue",
+    "bm25_sort_by_field", "bm25_range_agg", "bm25_stats_agg",
+    "bm25_top_hits",
 ]
 
 
