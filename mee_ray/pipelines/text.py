@@ -16,6 +16,7 @@ import itertools
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 TOKEN_PATTERN = "[a-z0-9_]+"
 STOP_PATTERNS = {
@@ -1026,6 +1027,153 @@ def lm_score_documents(sf_dir: str):
                          zero_copy_batch=True))
 
 
+# ------------------------------------------- weighted mixture sample --
+#
+# Training-mix construction (the "sample 30% of web, 70% of code"
+# step of LLM data pipelines) as a DETERMINISTIC per-row decision:
+# keep a doc iff (doc_id * KNUTH_MULT) % MIX_MOD < rate(source).
+# Multiplicative hashing makes the choice parallelism-, retry- and
+# batch-boundary-invariant (same discipline as stratified_sample),
+# and — unlike an RNG — SQL-expressible, so the driver hash-checks
+# the exact sampled set.
+
+KNUTH_MULT = 2654435761  # Knuth's multiplicative-hash constant
+MIX_MOD = 1000
+
+
+def _mix_rate_expr() -> str:
+    """rate(source) in ‰, derived from the source's numeric suffix —
+    five mixture tiers 100‰..700‰.  SQL mirror of _mix_rates."""
+    return f"100 + 150 * (CAST(substr(source, 4) AS BIGINT) % 5)"
+
+
+def training_mix_sample(sf_dir: str):
+    """Weighted mixture sampling across sources: each source srcN is
+    sampled at 100+150·(N mod 5) per mille by a deterministic
+    multiplicative hash of doc_id — one streaming map_batches pass, no
+    shuffle, no RNG state."""
+    import ray.data
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        src_num = np.array([int(s[3:]) for s in
+                            t["source"].to_pylist()], dtype=np.int64)
+        rate = 100 + 150 * (src_num % 5)
+        h = (ids * KNUTH_MULT) % MIX_MOD
+        keep = h < rate
+        kept = t.filter(pa.array(keep))
+        return pa.table({"doc_id": kept["doc_id"],
+                         "source": kept["source"],
+                         "rate_pml": pa.array(rate[keep], pa.int64())})
+
+    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "source"])
+            .map_batches(sample, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+TRAINING_MIX_SQL = f"""
+SELECT doc_id, source,
+       {_mix_rate_expr()} AS rate_pml
+FROM documents
+WHERE (doc_id * {KNUTH_MULT}) % {MIX_MOD} < {_mix_rate_expr()}
+"""
+
+
+# ------------------------------------------ Bloom-filter membership --
+#
+# URL/document seen-set at 100-TB scale: the seen side is folded into
+# a fixed-size bit array (per-batch partial Bloom filters OR-merged on
+# the driver — a Bloom filter's bitwise OR is exact), broadcast once,
+# and the probe side streams through map_batches.  No false negatives
+# ever; false-positive rate set by BLOOM_BITS/BLOOM_HASHES.  No SQL
+# oracle (bit-level hashing); tests/test_pipelines.py checks the
+# no-false-negative invariant and the FP bound against exact sets.
+
+BLOOM_BITS = 1 << 17   # 16 KiB filter
+BLOOM_HASHES = 5
+
+
+def _bloom_positions(ids: "np.ndarray") -> "np.ndarray":
+    """(n, BLOOM_HASHES) bit positions via double hashing
+    h1 + i*h2 — the standard Kirsch-Mitzenmacher construction."""
+    h1 = (ids * KNUTH_MULT) & 0xFFFFFFFFFFFFFFFF
+    h2 = (ids * 0x9E3779B97F4A7C15 + 1) & 0xFFFFFFFFFFFFFFFF
+    i = np.arange(BLOOM_HASHES, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None])
+            % BLOOM_BITS).astype(np.int64)
+
+
+def bloom_build(ds) -> "np.ndarray":
+    """Fold a Dataset's doc_id column into one Bloom bit array:
+    per-batch partial filters (each a {BLOOM_BITS}-bit array), exact
+    bitwise-OR merge on the driver — the merge order is irrelevant,
+    so retries/parallelism can't change the filter."""
+    bits = np.zeros(BLOOM_BITS, dtype=bool)
+    for b in ds.map_batches(
+            lambda t: pa.table({"pos": pa.array(np.unique(
+                _bloom_positions(t["doc_id"].to_numpy(
+                    zero_copy_only=False).astype(np.uint64))),
+                pa.int64())}),
+            batch_format="pyarrow",
+            zero_copy_batch=True).iter_batches(batch_format="pyarrow"):
+        bits[b["pos"].to_numpy(zero_copy_only=False)] = True
+    return bits
+
+
+def bloom_membership_documents(sf_dir: str):
+    """Bloom-filter seen-set probe: even doc_ids play the
+    'already-crawled' set (folded into a broadcast Bloom filter), odd
+    doc_ids are probed in a streaming pass.  Emits per-source counts
+    of probed / flagged-seen docs.  Flagged-seen on this disjoint
+    probe set = false positives, so the output doubles as a live FP
+    measurement."""
+    import ray
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    seen = docs.map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    bits_ref = ray.put(bloom_build(seen))
+
+    def probe(t: pa.Table) -> pa.Table:
+        bits = ray.get(bits_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        odd = ids % 2 == 1
+        t = t.filter(pa.array(odd))
+        if t.num_rows == 0:
+            return pa.table({"source": pa.array([], pa.string()),
+                             "n_probed": pa.array([], pa.int64()),
+                             "n_flagged": pa.array([], pa.int64())})
+        pos = _bloom_positions(
+            t["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        hit = bits[pos].all(axis=1)
+        part = pa.table({"source": t["source"],
+                         "one": pa.array(np.ones(t.num_rows, np.int64)),
+                         "hit": pa.array(hit.astype(np.int64))})
+        g = part.group_by("source").aggregate(
+            [("one", "sum"), ("hit", "sum")])
+        return g.rename_columns(["source", "n_probed", "n_flagged"])
+
+    parts = docs.map_batches(probe, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    acc: dict[str, list[int]] = {}
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for s, n, f in zip(b["source"].to_pylist(),
+                           b["n_probed"].to_pylist(),
+                           b["n_flagged"].to_pylist()):
+            cur = acc.setdefault(s, [0, 0])
+            cur[0] += n
+            cur[1] += f
+    srcs = sorted(acc)
+    return pa.table({
+        "source": pa.array(srcs, pa.string()),
+        "n_probed": pa.array([acc[s][0] for s in srcs], pa.int64()),
+        "n_flagged": pa.array([acc[s][1] for s in srcs], pa.int64())})
+
+
 QUERIES = {
     "doc_token_counts": doc_token_counts,
     "stratified_sample_documents": stratified_sample_documents,
@@ -1043,6 +1191,8 @@ QUERIES = {
     "passage_dedup_documents": passage_dedup_documents,
     "contamination_check_documents": contamination_check_documents,
     "lm_score_documents": lm_score_documents,
+    "training_mix_sample": training_mix_sample,
+    "bloom_membership_documents": bloom_membership_documents,
 }
 
 ORACLE = {
@@ -1057,6 +1207,7 @@ ORACLE = {
     "repetition_scores_documents": REPETITION_SQL,
     "passage_dedup_documents": PASSAGE_DEDUP_SQL,
     "contamination_check_documents": CONTAMINATION_SQL,
+    "training_mix_sample": TRAINING_MIX_SQL,
     # sketch ops intentionally have no SQL oracle (rows-only check);
     # they are verified against brute-force oracles in tests/.
 }

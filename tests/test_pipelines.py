@@ -78,8 +78,58 @@ SQL_CHECKED = [
     "q4_order_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "q14_promo_revenue",
     "bm25_sort_by_field", "bm25_range_agg", "bm25_stats_agg",
-    "bm25_top_hits",
+    "bm25_top_hits", "training_mix_sample",
 ]
+
+
+def test_bloom_membership_invariants(entry_mod, ducks, ray_session):
+    """Bloom seen-set: (1) NO false negatives — every seen (even) id
+    re-probed against the filter must hit; (2) the measured FP rate on
+    the disjoint odd probe set stays under a generous bound for
+    n≈corpus/2 keys in a 2^17-bit / 5-hash filter (theoretical ≈1e-4
+    at sf0.001's 250 keys; 5% leaves room for sf growth)."""
+    import numpy as np
+    import ray.data
+    from mee_ray.pipelines.text import (_bloom_positions, bloom_build,
+                                        bloom_membership_documents)
+
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    import pyarrow.compute as pc_
+    seen_ds = docs.map_batches(
+        lambda t: t.filter(pc_.equal(pc_.bit_wise_and(t["doc_id"], 1), 0)),
+        batch_format="pyarrow")
+    bits = bloom_build(seen_ds)
+    seen_ids = np.array(
+        [r["doc_id"] for r in seen_ds.take_all()], dtype=np.uint64)
+    assert bits[_bloom_positions(seen_ids)].all(axis=1).all(), \
+        "false negative: a seen id failed its own filter"
+
+    out = bloom_membership_documents(SF).to_pandas()
+    n_probed, n_flagged = out["n_probed"].sum(), out["n_flagged"].sum()
+    exact = ducks.execute(
+        "SELECT count(*) FROM documents WHERE doc_id % 2 = 1").fetchone()[0]
+    assert n_probed == exact
+    assert n_flagged <= 0.05 * n_probed, \
+        f"FP rate {n_flagged / n_probed:.3f} above bound"
+
+
+def test_training_mix_is_deterministic_and_weighted(entry_mod, ray_session):
+    """The mixture sample is a pure function of doc_id — two runs are
+    identical — and each source's realized rate is exactly the hash
+    rule's selection (checked per-row, not statistically)."""
+    from mee_ray.pipelines.text import KNUTH_MULT, MIX_MOD, \
+        training_mix_sample
+
+    a = training_mix_sample(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = training_mix_sample(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+    for _, row in a.iterrows():
+        rate = 100 + 150 * (int(row["source"][3:]) % 5)
+        assert (row["doc_id"] * KNUTH_MULT) % MIX_MOD < rate
+        assert row["rate_pml"] == rate
 
 
 def test_heavy_hitters_bounds_and_coverage(entry_mod, ducks, ray_session):
@@ -121,7 +171,8 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
                          "hll_distinct_counts", "heavy_hitters_terms",
                          "multimodal_retrieval",
                          "kmeans_assign_embeddings",
-                         "lm_score_documents"}
+                         "lm_score_documents",
+                         "bloom_membership_documents"}
 
 
 def test_multimodal_retrieval_matches_bruteforce(entry_mod, ray_session):
