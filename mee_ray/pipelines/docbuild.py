@@ -876,12 +876,68 @@ FROM customer LEFT JOIN nation ON n_nationkey = c_custkey
 """
 
 
+# ------------------------------------------------------ nested query --
+
+NESTED_QUERY_MIN_PRICE = 450_000.0
+
+
+def docbuild_nested_query(sf_dir: str):
+    """Nested query over built documents (the ES ``nested`` query —
+    'masters where ANY nested child matches', the read side of the
+    reference's headline nested feature, README.md:11-13): customers
+    whose (capped, ordered) nested order list contains an order above
+    {NESTED_QUERY_MIN_PRICE}, with the count of matching children.
+    The child predicate is evaluated VECTORIZED on the list column
+    (list_flatten + list_parent_indices + bincount) — never a Python
+    loop over sub-documents."""
+    spec = DocSpec(
+        master="customer", key="c_custkey",
+        mappings={"cust_id": "c_custkey"},
+        nested=(NestedSpec("orders", "o_custkey", "c_custkey",
+                           fields=["o_orderkey", "o_totalprice"],
+                           out="orders", order_by="o_orderkey",
+                           limit=50),),
+    )
+    docs = build_documents(sf_dir, spec)
+
+    def nested_match(t: pa.Table) -> pa.Table:
+        col = t["orders"].combine_chunks()
+        flat = pc.list_flatten(col)
+        parent = pc.list_parent_indices(col).to_numpy(
+            zero_copy_only=False)
+        hit = pc.greater(flat.field("o_totalprice"),
+                         pa.scalar(NESTED_QUERY_MIN_PRICE)) \
+            .to_numpy(zero_copy_only=False)
+        n_match = np.bincount(parent[hit], minlength=t.num_rows) \
+            .astype(np.int64)
+        keep = n_match > 0
+        return pa.table({
+            "cust_id": t["cust_id"].filter(pa.array(keep)),
+            "n_matching_orders": pa.array(n_match[keep], pa.int64())})
+
+    return docs.map_batches(nested_match, batch_format="pyarrow")
+
+
+DOCBUILD_NESTED_QUERY_SQL = f"""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) rn
+  FROM orders)
+SELECT o_custkey AS cust_id,
+       count(*) AS n_matching_orders
+FROM ranked
+WHERE rn <= 50 AND o_totalprice > {NESTED_QUERY_MIN_PRICE}
+GROUP BY o_custkey
+"""
+
+
 QUERIES = {
     "docbuild_customer_flat": docbuild_customer_flat,
     "docbuild_interpolated": docbuild_interpolated,
     "docbuild_nested_summary": docbuild_nested_summary,
     "docbuild_slave_delta": docbuild_slave_delta,
     "docbuild_master_delta": docbuild_master_delta,
+    "docbuild_nested_query": docbuild_nested_query,
 }
 
 ORACLE = {
@@ -890,4 +946,5 @@ ORACLE = {
     "docbuild_nested_summary": DOCBUILD_NESTED_SQL,
     "docbuild_slave_delta": DOCBUILD_SLAVE_DELTA_SQL,
     "docbuild_master_delta": DOCBUILD_MASTER_DELTA_SQL,
+    "docbuild_nested_query": DOCBUILD_NESTED_QUERY_SQL,
 }

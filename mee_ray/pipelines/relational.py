@@ -1799,6 +1799,119 @@ FROM orders GROUP BY o_orderpriority
 """
 
 
+# ------------------------------------------------------------- CUBE --
+
+def cube_pricing_totals(sf_dir: str):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): the four grouping
+    classes (base cells, per-flag, per-status, grand total), NULL-
+    marked like SQL CUBE.  Same discipline as ROLLUP: every super-
+    aggregate level derives from the already-reduced base aggregate —
+    one small groupby shuffle total."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t["l_quantity"], options=pc.RoundOptions(
+            round_mode="half_towards_infinity")), pa.int64())
+        part = pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"],
+                         "qty": qty})
+        g = part.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("qty", "count")])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "q", "n"])
+
+    base = (_read(sf_dir, "lineitem",
+                  ["l_returnflag", "l_linestatus", "l_quantity"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(Sum("q", alias_name="sum_qty"),
+                       Sum("n", alias_name="count_order")))
+
+    def widen(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({
+                "l_returnflag": pa.array([None], pa.string()),
+                "l_linestatus": pa.array([None], pa.string()),
+                "sum_qty": pa.array([None], pa.int64()),
+                "count_order": pa.array([0], pa.int64())})
+        rows = list(zip(t["l_returnflag"].to_pylist(),
+                        t["l_linestatus"].to_pylist(),
+                        t["sum_qty"].to_pylist(),
+                        t["count_order"].to_pylist()))
+        per_flag: dict[str, list[int]] = {}
+        per_status: dict[str, list[int]] = {}
+        for f, st, q, n in rows:
+            a = per_flag.setdefault(f, [0, 0])
+            a[0] += q; a[1] += n
+            b = per_status.setdefault(st, [0, 0])
+            b[0] += q; b[1] += n
+        out = rows
+        out += [(f, None, a[0], a[1]) for f, a in per_flag.items()]
+        out += [(None, st, b[0], b[1]) for st, b in per_status.items()]
+        out.append((None, None, sum(a[0] for a in per_flag.values()),
+                    sum(a[1] for a in per_flag.values())))
+        return pa.table({
+            "l_returnflag": pa.array([r[0] for r in out], pa.string()),
+            "l_linestatus": pa.array([r[1] for r in out], pa.string()),
+            "sum_qty": pa.array([r[2] for r in out], pa.int64()),
+            "count_order": pa.array([r[3] for r in out], pa.int64())})
+
+    return base.repartition(1).map_batches(widen, batch_format="pyarrow")
+
+
+CUBE_TOTALS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+"""
+
+
+# ------------------------------------------------------------ NTILE --
+
+NTILE_N = 4
+
+
+def ntile_orders(sf_dir: str):
+    """NTILE({NTILE_N}) of order price within each order priority —
+    the quartile-assignment window function.  Deterministic order key
+    (o_totalprice, o_orderkey) makes the SQL tile assignment unique.
+    Same partition discipline as dense_rank_orders: low-cardinality
+    partition key ⇒ one vectorized group per priority; the NTILE
+    formula (first n%k tiles get one extra row) is applied to the
+    sorted positions with pure arithmetic."""
+
+    def tile_group(g: pa.Table) -> pa.Table:
+        price = g["o_totalprice"].to_numpy(zero_copy_only=False)
+        ok = g["o_orderkey"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ok, price))
+        n = len(order)
+        size, rem = divmod(n, NTILE_N)
+        i = np.arange(n, dtype=np.int64)
+        cut = rem * (size + 1)
+        tile = np.where(i < cut,
+                        i // (size + 1) + 1,
+                        rem + (i - cut) // max(size, 1) + 1)
+        return pa.table({
+            "o_orderkey": pa.array(ok[order]),
+            "o_orderpriority": g["o_orderpriority"].take(pa.array(order)),
+            "tile": pa.array(tile, pa.int64())})
+
+    return (_read(sf_dir, "orders",
+                  ["o_orderkey", "o_orderpriority", "o_totalprice"])
+            .groupby("o_orderpriority")
+            .map_groups(tile_group, batch_format="pyarrow"))
+
+
+NTILE_SQL = f"""
+SELECT o_orderkey, o_orderpriority,
+       ntile({NTILE_N}) OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice, o_orderkey) AS tile
+FROM orders
+"""
+
+
 # ----------------------------------------------------- TPC-H Q6 shape --
 
 def q6_forecast_revenue(sf_dir: str):
@@ -2272,6 +2385,8 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
+    "cube_pricing_totals": cube_pricing_totals,
+    "ntile_orders": ntile_orders,
 }
 
 ORACLE = {
@@ -2315,4 +2430,6 @@ ORACLE = {
     "q6_forecast_revenue": Q6_SQL,
     "q10_returned_items": Q10_SQL,
     "q14_promo_revenue": Q14_SQL,
+    "cube_pricing_totals": CUBE_TOTALS_SQL,
+    "ntile_orders": NTILE_SQL,
 }

@@ -79,6 +79,7 @@ SQL_CHECKED = [
     "q6_forecast_revenue", "q10_returned_items", "q14_promo_revenue",
     "bm25_sort_by_field", "bm25_range_agg", "bm25_stats_agg",
     "bm25_top_hits", "training_mix_sample",
+    "cube_pricing_totals", "ntile_orders", "docbuild_nested_query",
 ]
 
 
