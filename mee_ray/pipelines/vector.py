@@ -337,12 +337,102 @@ def kmeans_assign_embeddings(sf_dir: str, n_clusters: int = 16):
                                          zero_copy_batch=True)
 
 
+# -------------------------------------------- scalar-quantized ANN --
+
+SQ_BITS = 8
+
+
+def _sq_params(mat: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (lo, scale) for {SQ_BITS}-bit quantization."""
+    lo = mat.min(axis=0)
+    hi = mat.max(axis=0)
+    scale = (hi - lo) / ((1 << SQ_BITS) - 1)
+    scale[scale == 0] = 1.0
+    return lo, scale
+
+
+def _sq_encode(mat: np.ndarray, lo: np.ndarray,
+               scale: np.ndarray) -> np.ndarray:
+    return np.clip(np.round((mat - lo) / scale), 0,
+                   (1 << SQ_BITS) - 1).astype(np.uint8)
+
+
+def ann_sq_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Scalar-quantized ANN (the int8 memory-scale path: 8× smaller
+    than float64 residency, the FAISS SQ8 shape): per-dimension
+    (lo, scale) fit on a bounded prefix sample, broadcast with the
+    query matrix; each batch quantizes, de-quantizes and scores — the
+    ranking error is bounded by the quantization step.  Same output
+    contract as knn_bruteforce; recall vs the exact ranking is
+    asserted in tests (rows-only for the driver — approximate by
+    design)."""
+    import ray
+    import pyarrow.parquet as pq
+
+    # fit the quantizer on a bounded sample (never the full table)
+    head = _read_emb(sf_dir).take_batch(4096, batch_format="pyarrow")
+    _, sample = _emb_matrix(head)
+    lo, scale = _sq_params(_unit(sample))
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", n_queries)])
+    q_ids, q_mat = _emb_matrix(qt)
+    order = np.argsort(q_ids)
+    q_ids = q_ids[order]
+    # queries quantized through the SAME codec: symmetric distance
+    qq = _sq_encode(_unit(q_mat[order]), lo, scale)
+    q_deq = qq.astype(np.float64) * scale + lo
+    ref = ray.put((q_ids, q_deq, lo, scale))
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        qids, qm, lo_, scale_ = ray.get(ref)
+        ids, mat = _emb_matrix(t)
+        codes = _sq_encode(_unit(mat), lo_, scale_)
+        deq = codes.astype(np.float64) * scale_ + lo_
+        sims = deq @ qm.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            s = sims[:, qi]
+            mask = ids != qids[qi]
+            cand_ids, cand_s = ids[mask], s[mask]
+            if len(cand_ids) > k:
+                top = np.lexsort((cand_ids, -cand_s))[:k]
+                cand_ids, cand_s = cand_ids[top], cand_s[top]
+            out_q.extend([qids[qi]] * len(cand_ids))
+            out_n.extend(cand_ids.tolist())
+            out_s.extend(cand_s.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = _read_emb(sf_dir).map_batches(
+        batch_topk, batch_format="pyarrow", zero_copy_batch=True)
+    all_rows = pa.concat_tables(
+        list(partials.iter_batches(batch_format="pyarrow",
+                                   batch_size=1 << 20)))
+    qs = all_rows["query_id"].to_numpy(zero_copy_only=False)
+    ns = all_rows["neighbor_id"].to_numpy(zero_copy_only=False)
+    ss = all_rows["sim"].to_numpy(zero_copy_only=False)
+    out_q, out_r, out_n = [], [], []
+    for q in np.unique(qs):
+        m = qs == q
+        order = np.lexsort((ns[m], -ss[m]))[:k]
+        out_q.extend([int(q)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_n.extend(ns[m][order].tolist())
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64())})
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "embedding_dims": embedding_dims,
     "embedding_neardup": embedding_neardup,
     "ann_ivf_topk": ann_ivf_topk,
     "kmeans_assign_embeddings": kmeans_assign_embeddings,
+    "ann_sq_topk": ann_sq_topk,
 }
 
 ORACLE = {

@@ -173,7 +173,8 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
                          "multimodal_retrieval",
                          "kmeans_assign_embeddings",
                          "lm_score_documents",
-                         "bloom_membership_documents"}
+                         "bloom_membership_documents",
+                         "ann_sq_topk"}
 
 
 def test_multimodal_retrieval_matches_bruteforce(entry_mod, ray_session):
@@ -258,6 +259,21 @@ def test_ivf_recall_vs_exact(entry_mod, ray_session):
         a = set(approx[approx.query_id == q].neighbor_id)
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.6
+
+
+def test_sq_recall_vs_exact(entry_mod, ray_session):
+    """8-bit scalar quantization must keep ≥80% average recall of the
+    exact top-10 (the quantization step on unit vectors is ~1/255 per
+    dim — rank inversions happen only at near-ties)."""
+    from mee_ray.pipelines.vector import ann_sq_topk, knn_bruteforce
+    exact = knn_bruteforce(SF).to_pandas()
+    approx = ann_sq_topk(SF).to_pandas()
+    recalls = []
+    for q in exact.query_id.unique():
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.8
 
 
 def test_embedding_neardup_exactness(entry_mod, ray_session):
