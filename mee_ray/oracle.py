@@ -202,6 +202,51 @@ class OracleIndex:
         ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
         return ranked[:k]
 
+    def search_span_near(self, terms: list[str], slop: int = 0,
+                         k: int = 10) -> list[tuple[int, float]]:
+        """Ordered proximity top-k (span_near, in_order=true): terms
+        left-to-right with ≤ ``slop`` intervening tokens between each
+        consecutive pair; ``slop=0`` ≡ :meth:`search_phrase`.  Match
+        test is an exhaustive chain search over stored positions (not
+        greedy — per-gap bounds make greedy-earliest incomplete);
+        scoring identical to :meth:`search_and` restricted to the
+        matching docs."""
+        if self.positions is None:
+            raise ValueError("OracleIndex built without store_positions")
+        if not terms:
+            return []
+        uterms = sorted(set(terms))
+        for t in uterms:
+            if t not in self.postings:
+                return []
+        cand = set.intersection(
+            *(set(self.postings[t]) for t in uterms))
+
+        def chain(doc: int, i: int, prev: int) -> bool:
+            if i == len(terms):
+                return True
+            for p in self.positions[terms[i]].get(doc, ()):
+                if prev < p <= prev + slop + 1 and chain(doc, i + 1, p):
+                    return True
+            return False
+
+        span_docs = {doc for doc in cand
+                     if any(chain(doc, 1, p)
+                            for p in self.positions[terms[0]].get(doc, ()))}
+        if not span_docs:
+            return []
+        p = self.bm25
+        acc: dict[int, float] = {}
+        for term in uterms:
+            plist = self.postings[term]
+            w = idf(len(plist), self.n_docs)
+            for doc_id in span_docs:
+                s = w * tfn_scalar(float(plist[doc_id]),
+                                   float(self.dl[doc_id]), self.avgdl, p)
+                acc[doc_id] = acc.get(doc_id, 0.0) + s
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        return ranked[:k]
+
     def search_and(self, terms: list[str], k: int = 10
                    ) -> list[tuple[int, float]]:
         """Conjunctive (match-ALL-terms) top-k — same scoring and

@@ -2061,6 +2061,74 @@ WHERE rank <= {TOP_K}
 """
 
 
+# span_near: ordered proximity with a per-consecutive-gap bound.  The
+# SQL oracle states the predicate positionally (chained self-joins on
+# the tokenized-with-subscripts CTE), completely independent of the
+# engine's reachable-set key packing.
+SPAN_NEAR_QUERIES: list[tuple[int, list[str], int]] = [
+    (1, ["merge", "group"], 1),
+    (2, ["window", "join"], 2),
+    (3, ["customer", "join"], 3),
+    (4, ["data", "slow"], 2),
+    (5, ["order", "fast"], 0),       # slop=0 ≡ exact phrase
+    (6, ["part", "filter", "scan"], 2),
+]
+
+
+def bm25_span_near_documents(sf_dir: str):
+    """Ordered-proximity top-k (ES/Lucene span_near, in_order=true)
+    over the positional index: terms in order with ≤ slop intervening
+    tokens between each consecutive pair, scored like conjunctive
+    restricted to the matching docs, ranked by (score desc, ORIGINAL
+    doc_id) like the other fulltext queries."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_span_near(terms, slop, k=s.n_docs or 1))
+               for qid, terms, slop in SPAN_NEAR_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _span_chain(qid: int, terms: list[str], slop: int) -> str:
+    joins = " ".join(
+        f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
+        f"AND t{i}.term = '{terms[i]}' "
+        f"AND t{i}.i - t{i - 1}.i BETWEEN 1 AND {slop + 1}"
+        for i in range(1, len(terms)))
+    return (f"SELECT DISTINCT {qid} AS query_id, t0.doc_id "
+            f"FROM tok t0 {joins} WHERE t0.term = '{terms[0]}'")
+
+
+def _bm25_span_near_sql() -> str:
+    chains = "\n  UNION ALL\n  ".join(
+        _span_chain(qid, terms, slop)
+        for qid, terms, slop in SPAN_NEAR_QUERIES)
+    qvals = _q_values([(qid, terms) for qid, terms, _ in SPAN_NEAR_QUERIES])
+    return f"""
+{_base_ctes(with_positions=True)},
+q(query_id, term) AS (VALUES {qvals}),
+span_docs AS (
+  {chains}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN span_docs sd ON sd.query_id = q.query_id
+                   AND sd.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
 def _bm25_sql() -> str:
     return f"""
 {_base_ctes()},
@@ -2570,6 +2638,7 @@ QUERIES = {
     "bm25_topk_documents": bm25_topk_documents,
     "bm25_conjunctive_documents": bm25_conjunctive_documents,
     "bm25_phrase_documents": bm25_phrase_documents,
+    "bm25_span_near_documents": bm25_span_near_documents,
     "bm25_filtered_documents": bm25_filtered_documents,
     "bm25_boolean_documents": bm25_boolean_documents,
     "bm25_facet_counts": bm25_facet_counts,
@@ -2610,6 +2679,7 @@ ORACLE = {
     "bm25_topk_documents": _bm25_sql(),
     "bm25_conjunctive_documents": _bm25_conj_sql(),
     "bm25_phrase_documents": _bm25_phrase_sql(),
+    "bm25_span_near_documents": _bm25_span_near_sql(),
     "bm25_filtered_documents": _bm25_filtered_sql(),
     "bm25_boolean_documents": _bm25_boolean_sql(),
     "bm25_facet_counts": _bm25_facets_sql(),

@@ -555,6 +555,39 @@ class Searcher:
         partials = self.term_partials_for_docs(uterms, phrase_docs)
         return merge_partials_conjunctive([partials], uterms, k)
 
+    def search_span_near(self, terms: list[str], slop: int = 0,
+                         k: int = 10) -> list[tuple[int, float]]:
+        """Ordered proximity top-k (ES/Lucene ``span_near`` with
+        ``in_order=true``): ``terms`` in order with at most ``slop``
+        intervening tokens between each consecutive pair (``slop=0``
+        ≡ :meth:`search_phrase`), scored like ``operator="and"``
+        restricted to the matching docs.  Same candidate pushdown as
+        the phrase path: positions are decoded only for docs holding
+        every term.  Requires ``store_positions=True``."""
+        if not terms:
+            return []
+        if not self.manifest.get("store_positions"):
+            raise ValueError("span_near queries need "
+                             "store_positions=True (pinned in the "
+                             "manifest at build)")
+        uterms = sorted(set(terms))
+        cand = None
+        for t in uterms:
+            ids, _, _ = self._live_postings(
+                term_hash(t) % self.num_shards, t)
+            if len(ids) == 0:
+                return []
+            cand = (np.unique(ids) if cand is None
+                    else np.intersect1d(cand, ids))
+            if cand.size == 0:
+                return []
+        data = {t: self.term_doc_positions(t, cand) for t in uterms}
+        span_docs = span_near_match_docs(data, terms, slop)
+        if span_docs.size == 0:
+            return []
+        partials = self.term_partials_for_docs(uterms, span_docs)
+        return merge_partials_conjunctive([partials], uterms, k)
+
     def search_filtered(self, terms: list[str], k: int,
                         allowed_doc_ids, operator: str = "or",
                         use_wand: bool | None = None
@@ -1209,6 +1242,68 @@ def phrase_match_docs(data: dict, terms: list[str]) -> np.ndarray:
     return cand[np.unique(keys >> np.uint64(32)).astype(np.int64)]
 
 
+def span_near_match_docs(data: dict, terms: list[str], slop: int
+                         ) -> np.ndarray:
+    """Docs matching an ORDERED proximity query (the Lucene/ES
+    ``span_near`` with ``in_order=true`` shape; reference delegates
+    proximity to ES): ``terms`` occur left-to-right with at most
+    ``slop`` intervening tokens between each CONSECUTIVE pair —
+    ``slop=0`` is exactly the phrase predicate.
+
+    Same uint64 ``rank << 32 | pos`` key packing as
+    :func:`phrase_match_docs`; instead of aligning every slot to one
+    shared anchor, the REACHABLE-position set is propagated left to
+    right: step i expands each reachable position by gaps
+    ``1..slop+1`` and intersects with term i's keys, so work is
+    O((slop+1) · positions-in-candidates) and fully vectorized — no
+    per-doc loop."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    empty = np.empty(0, dtype=np.int64)
+    uterms = sorted(set(terms))
+    if not uterms:
+        return empty
+    cand = None
+    for t in uterms:
+        ids = data[t][0]
+        if ids.size == 0:
+            return empty
+        cand = np.unique(ids) if cand is None else np.intersect1d(cand, ids)
+        if cand.size == 0:
+            return empty
+    if cand.size >= (1 << 32):
+        raise NotImplementedError(
+            "span_near candidate set exceeds 2^32 docs — partition "
+            "the candidate space before key packing")
+
+    def slot_keys(t: str) -> np.ndarray:
+        ids, offs, flat = data[t]
+        tfs = np.diff(offs)
+        pos_c = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
+        keep = cand[pos_c] == ids
+        rank_rep = np.repeat(pos_c[keep], tfs[keep])
+        flat_k = flat[np.repeat(keep, tfs)]
+        # gap expansion must not carry a position into the rank bits
+        if flat_k.size and int(flat_k.max()) + slop + 1 >= (1 << 32):
+            raise ValueError("term position + slop exceeds 2^32 — "
+                             "cannot pack beside the candidate rank")
+        return ((rank_rep.astype(np.uint64) << np.uint64(32))
+                | flat_k.astype(np.uint64))
+
+    gaps = np.arange(1, slop + 2, dtype=np.uint64)
+    reach: np.ndarray | None = None
+    for i, t in enumerate(terms):
+        keys = slot_keys(t)
+        if i == 0:
+            reach = np.unique(keys)
+        else:
+            expanded = (reach[:, None] + gaps).ravel()
+            reach = np.intersect1d(expanded, keys)
+        if reach.size == 0:
+            return empty
+    return cand[np.unique(reach >> np.uint64(32)).astype(np.int64)]
+
+
 def merge_partials_conjunctive(partials_list: list[dict],
                                terms: list[str], k: int
                                ) -> list[tuple[int, float]]:
@@ -1435,6 +1530,9 @@ class DistributedSearcher:
 
             def search_phrase(self, terms, k):
                 return self.searcher.search_phrase(terms, k)
+
+            def search_span_near(self, terms, slop, k):
+                return self.searcher.search_span_near(terms, slop, k)
 
             def local_topm(self, terms, m):
                 """(exact local top-m partial ranking, bound): the
@@ -1863,6 +1961,47 @@ class DistributedSearcher:
         if phrase_docs.size == 0:
             return []
         pfuts = [self.actors[a].term_partials_for_docs.remote(ts, phrase_docs)
+                 for a, ts in by_actor.items()]
+        return merge_partials_conjunctive(ray.get(pfuts), uterms, k)
+
+    def search_span_near(self, terms: list[str], slop: int = 0,
+                         k: int = 10) -> list[tuple[int, float]]:
+        """Distributed ordered-proximity top-k — the span_near analog
+        of :meth:`search_phrase`, same two-round shape: (1) posting
+        id-sets → driver candidate intersection, (2)
+        candidate-restricted positions → vectorized reachable-set
+        match, (3) conjunctive scoring of the matched docs."""
+        import ray
+        if not terms:
+            return []
+        uterms = sorted(set(terms))
+        by_actor = self._terms_by_actor(uterms)
+        if len(by_actor) == 1:
+            (a,) = by_actor
+            return ray.get(
+                self.actors[a].search_span_near.remote(terms, slop, k))
+        id_futs = [self.actors[a].term_doc_ids.remote(ts)
+                   for a, ts in by_actor.items()]
+        id_sets: dict = {}
+        for d in ray.get(id_futs):
+            id_sets.update(d)
+        cand = None
+        for t in uterms:
+            ids = id_sets[t]
+            if ids.size == 0:
+                return []
+            cand = ids if cand is None else np.intersect1d(cand, ids)
+            if cand.size == 0:
+                return []
+        futs = [self.actors[a].term_doc_positions.remote(ts, cand)
+                for a, ts in by_actor.items()]
+        data: dict = {}
+        for d in ray.get(futs):
+            data.update(d)
+        span_docs = span_near_match_docs(data, terms, slop)
+        if span_docs.size == 0:
+            return []
+        pfuts = [self.actors[a].term_partials_for_docs.remote(ts, span_docs)
                  for a, ts in by_actor.items()]
         return merge_partials_conjunctive(ray.get(pfuts), uterms, k)
 

@@ -263,3 +263,123 @@ def test_positions_pin_defaults_for_prefeature_manifests(built_index):
     with pytest.raises(ValueError, match="store_positions"):
         validate_config_against_manifest(
             EngineConfig(store_positions=True), m)
+
+
+# ------------------------------------------------- span_near (slop) --
+
+
+def test_span_near_match_docs_random_vs_bruteforce():
+    """Pure-matcher property test: the vectorized reachable-set
+    propagation equals an exhaustive per-doc chain search on random
+    position data (duplicate phrase terms included)."""
+    from mee_ray.query import span_near_match_docs
+
+    rng = np.random.default_rng(7)
+    for trial in range(40):
+        pool = ["a", "b", "c"]
+        n_terms = int(rng.integers(2, 4))
+        terms = [pool[int(rng.integers(0, 3))] for _ in range(n_terms)]
+        slop = int(rng.integers(0, 4))
+        data, docpos = {}, {}
+        for t in set(terms):
+            ids = np.sort(rng.choice(
+                1000, size=int(rng.integers(5, 30)),
+                replace=False)).astype(np.int64)
+            offs, flat = [0], []
+            docpos[t] = {}
+            for d in ids:
+                tf = int(rng.integers(1, 5))
+                pos = np.sort(rng.choice(40, size=tf, replace=False))
+                docpos[t][int(d)] = tuple(pos.tolist())
+                flat.extend(pos.tolist())
+                offs.append(len(flat))
+            data[t] = (ids, np.array(offs, dtype=np.int64),
+                       np.array(flat, dtype=np.int64))
+        got = set(span_near_match_docs(data, terms, slop).tolist())
+
+        def chain(doc, i, prev):
+            if i == len(terms):
+                return True
+            return any(prev < p <= prev + slop + 1
+                       and chain(doc, i + 1, p)
+                       for p in docpos[terms[i]].get(doc, ()))
+
+        cand = set.intersection(*(set(docpos[t]) for t in set(terms)))
+        want = {d for d in cand
+                if any(chain(d, 1, p)
+                       for p in docpos[terms[0]].get(d, ()))}
+        assert got == want, (terms, slop, trial)
+
+
+def _span_queries_from(docs, n=20):
+    """Gapped in-document term pairs/triples (real proximity hits at
+    small slop), plus adjacent pairs and non-matching controls."""
+    from mee_ray.config import TokenizerConfig
+    from mee_ray.tokenizer import Tokenizer
+    tok = Tokenizer(TokenizerConfig())
+    out, seen = [], set()
+    for i, (_, content) in enumerate(docs[:40]):
+        seq = tok.terms(content)
+        if len(seq) <= 12:
+            continue
+        cases = [([seq[2], seq[4]], 1),          # gap of 1
+                 ([seq[3], seq[7]], 3),          # gap of 3
+                 ([seq[1], seq[2]], 0)]          # adjacent, slop 0
+        if i % 3 == 0:
+            cases.append(([seq[2], seq[5], seq[8]], 2))
+        for ph, slop in cases:
+            key = (tuple(ph), slop)
+            if key not in seen:
+                seen.add(key)
+                out.append((ph, slop))
+    out = out[:n]
+    out.append((["qqqq_not_a_term", "also_missing"], 2))
+    out.append((list(reversed(out[0][0])), 0))
+    return out
+
+
+def test_span_near_matches_oracle(pos_index):
+    from mee_ray.query import Searcher
+
+    s = Searcher(pos_index["root"])
+    oracle = pos_index["oracle"]
+    hits = 0
+    for ph, slop in _span_queries_from(pos_index["docs"]):
+        got = s.search_span_near(ph, slop, k=10)
+        want = oracle.search_span_near(ph, slop, k=10)
+        assert got == want, (ph, slop)
+        hits += bool(got)
+    assert hits >= 10
+
+
+def test_span_near_slop0_equals_phrase(pos_index):
+    from mee_ray.query import Searcher
+
+    s = Searcher(pos_index["root"])
+    for ph in _phrases_from(pos_index["docs"])[:10]:
+        assert s.search_span_near(ph, 0, k=50) == s.search_phrase(ph, k=50)
+
+
+def test_span_near_monotone_in_slop(pos_index):
+    from mee_ray.query import Searcher
+
+    s = Searcher(pos_index["root"])
+    for ph in _phrases_from(pos_index["docs"])[:6]:
+        prev: set = set()
+        for slop in (0, 1, 2, 4):
+            docs = {d for d, _ in s.search_span_near(ph, slop, k=100_000)}
+            assert prev <= docs, (ph, slop)
+            prev = docs
+
+
+def test_span_near_distributed(pos_index, ray_session):
+    from mee_ray.query import DistributedSearcher
+
+    ds = DistributedSearcher(pos_index["root"], n_actors=3)
+    try:
+        oracle = pos_index["oracle"]
+        for ph, slop in _span_queries_from(pos_index["docs"])[:10]:
+            assert ds.search_span_near(ph, slop, k=10) == \
+                oracle.search_span_near(ph, slop, k=10), (ph, slop)
+    finally:
+        ds.shutdown()

@@ -53,7 +53,8 @@ SQL_CHECKED = [
     "hopping_window_events", "range_join_orders_bands",
     "event_gaps_per_user", "docbuild_interpolated",
     "bm25_conjunctive_documents", "stratified_sample_documents",
-    "exact_top_terms", "bm25_phrase_documents", "bm25_filtered_documents",
+    "exact_top_terms", "bm25_phrase_documents", "bm25_span_near_documents",
+    "bm25_filtered_documents",
     "shuffle_join_lineitem_orders", "bm25_boolean_documents",
     "bm25_facet_counts", "pii_scrub_documents",
     "repetition_scores_documents", "bm25_snippets_documents",
