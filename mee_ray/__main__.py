@@ -228,6 +228,14 @@ def main(argv: list[str] | None = None) -> int:
     d.add_argument("--auto-compact", action="store_true",
                    help="run the merge scheduler's policy afterwards")
 
+    dq = sub.add_parser("delete-by-query",
+                        help="tombstone every live doc matching the "
+                             "query (ES _delete_by_query)")
+    dq.add_argument("--index", required=True)
+    dq.add_argument("--terms", required=True,
+                    help="space-separated query terms")
+    dq.add_argument("--operator", choices=("or", "and"), default="or")
+
     c = sub.add_parser("compact", help="fold deltas into a new epoch")
     c.add_argument("--index", required=True)
     c.add_argument("--epoch", required=True)
@@ -293,7 +301,8 @@ def main(argv: list[str] | None = None) -> int:
     # delta/compact: no --config → derive from the index manifest
     cfg = _engine_config(args.config,
                          default_none=args.cmd in ("delta", "compact",
-                                                   "sync"))
+                                                   "sync",
+                                                   "delete-by-query"))
 
     if args.cmd == "build":
         _init_ray(args.num_cpus)
@@ -461,6 +470,14 @@ def main(argv: list[str] | None = None) -> int:
             merged = maybe_compact(args.index, cfg)
             out["compacted_to"] = merged["epoch"] if merged else None
         print(json.dumps(out))
+
+    elif args.cmd == "delete-by-query":
+        from mee_ray.delta import delete_by_query
+        rec = delete_by_query(args.index, args.terms.split(),
+                              args.operator, cfg)
+        print(json.dumps({"n_matched": rec["n_matched"],
+                          "n_deleted": rec["n_deleted"],
+                          "seq": rec["seq"]}))
 
     elif args.cmd == "compact":
         _init_ray(args.num_cpus)

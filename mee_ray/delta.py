@@ -423,3 +423,68 @@ def _apply_delta_locked(events, index_root: str,
     epoch_name = manifest.pop("epoch")
     mf.write_manifest(index_root, epoch_name, manifest)
     return record
+
+
+def _keys_for_doc_ids(index_root: str, manifest: dict,
+                      doc_ids: "np.ndarray") -> list[tuple[str, str]]:
+    """Identity keys (repo, path) of the given doc_ids — a
+    doc_id-pruned scan of the epoch docs files + delta added-docs
+    files (predicate pushdown, never a full-table decode; the same
+    bounded stored-field-fetch stance as Searcher.get_doc).  The id
+    set is bounded by the caller's query dfs, so driver-side collection
+    is bounded by the match's blast radius."""
+    import pyarrow.dataset as pads
+
+    sources = list(mf.docs_files(index_root, manifest["epoch"]))
+    sources += [d["added_docs"] for d in manifest.get("deltas", [])
+                if d.get("added_docs") and os.path.exists(d["added_docs"])]
+    want = pa.array(np.unique(np.asarray(doc_ids, dtype=np.int64)))
+    keys: set[tuple[str, str]] = set()
+    for f in sources:
+        t = pads.dataset(f).to_table(
+            columns=["doc_id", "repo", "path"],
+            filter=pads.field("doc_id").isin(want))
+        keys.update(zip(t["repo"].to_pylist(), t["path"].to_pylist()))
+    return sorted(keys)
+
+
+def delete_by_query(index_root: str, terms: list[str],
+                    operator: str = "or",
+                    cfg: EngineConfig | None = None) -> dict:
+    """ES ``_delete_by_query`` analog (the query-driven form of the
+    reference's ES delete sink, deleteservice shape): find the live
+    documents matching ``terms`` (``or`` = any term, ``and`` = every
+    term), then emit DELETE events for their identity keys through the
+    locked seq-allocating delta path — so the deletion is idempotent,
+    redelivery-safe, sequenced against concurrent publishers, and
+    folds into the next compaction like any other delta batch.
+
+    The matched id set comes from posting unions/intersections
+    (bounded by the query terms' dfs, no scoring); the key fetch is a
+    doc_id-pruned scan.  A second identical call is a no-op: the
+    matched docs' postings are already tombstoned, so the match set is
+    empty.  Returns the delta record plus ``n_matched``."""
+    from mee_ray.query import Searcher
+
+    s = Searcher(index_root)
+    matched = s.matched_doc_ids(terms, operator)
+    if matched.size == 0:
+        return {"noop": True, "seq": None, "n_matched": 0,
+                "n_added": 0, "n_deleted": 0}
+    keys = _keys_for_doc_ids(index_root, s.manifest, matched)
+
+    def build(start_seq: int) -> pa.Table:
+        n = len(keys)
+        return pa.table({
+            "seq": pa.array(range(start_seq, start_seq + n), pa.int64()),
+            "type": pa.array(["DELETE"] * n, pa.string()),
+            "repo": pa.array([k[0] for k in keys], pa.string()),
+            "path": pa.array([k[1] for k in keys], pa.string()),
+            "commit": pa.array([None] * n, pa.string()),
+            "lang": pa.array([None] * n, pa.string()),
+            "content": pa.array([None] * n, pa.string()),
+        })
+
+    rec = apply_with_seq_allocation(build, index_root, cfg)
+    rec["n_matched"] = int(matched.size)
+    return rec

@@ -732,21 +732,31 @@ class Searcher:
         other posting accessor (a shard-subset searcher counts only
         what it owns; an ``and`` over an unowned term is 0, matching
         search(operator="and") returning [])."""
+        return int(self.matched_doc_ids(terms, operator).size)
+
+    def matched_doc_ids(self, terms: list[str], operator: str = "or"
+                        ) -> np.ndarray:
+        """Sorted live doc_ids matching the query — the id-set core
+        shared by :meth:`count` and ``delete_by_query`` (posting id
+        sets only, no scoring).  ``or`` = union, ``and`` =
+        intersection; an ``and`` over an unowned or absent term is
+        empty, matching search(operator="and")."""
+        empty = np.empty(0, dtype=np.int64)
         uterms = sorted(set(terms))
         if not uterms:
-            return 0
+            return empty
         if operator == "and":
             cand = None
             for t in uterms:
                 s = term_hash(t) % self.num_shards
                 if not self.owns(s):
-                    return 0
+                    return empty
                 ids = np.unique(self._live_postings(s, t)[0])
                 cand = ids if cand is None else np.intersect1d(cand, ids)
                 if cand.size == 0:
-                    return 0
-            return int(cand.size)
-        return int(self.excluded_doc_ids(uterms).size)
+                    return cand
+            return cand
+        return self.excluded_doc_ids(uterms)
 
     def excluded_doc_ids(self, must_not: list[str]) -> np.ndarray:
         """Sorted union of live doc_ids containing ANY of ``must_not``

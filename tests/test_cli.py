@@ -290,3 +290,28 @@ def test_cli_sync_slave_change(ray_session, tmp_path):
                    nt["n_name"].to_pylist()))[0]
     old_term = old.lower().split()[0]
     assert s.search([old_term], 10) == [], old_term
+
+
+@pytest.mark.slow
+def test_cli_delete_by_query(tmp_path):
+    from mee_ray.corpus import write_corpus
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    write_corpus(corpus, n_files=60, seed=13, rows_per_file=30)
+    out = _run("--num-cpus", "2", "build",
+               "--input", corpus, "--index", index, "--epoch", "ep1")
+    assert out["n_docs"] > 0
+
+    hits = _run("query", "--index", index, "--terms", "def", "-k", "3")
+    assert hits["hits"]
+
+    dq = _run("delete-by-query", "--index", index, "--terms", "def")
+    assert dq["n_matched"] > 0 and dq["n_deleted"] == dq["n_matched"]
+
+    gone = _run("query", "--index", index, "--terms", "def", "-k", "3")
+    assert gone["hits"] == []
+
+    # idempotent second run
+    dq2 = _run("delete-by-query", "--index", index, "--terms", "def")
+    assert dq2["n_matched"] == 0
