@@ -1174,8 +1174,68 @@ def bloom_membership_documents(sf_dir: str):
         "n_flagged": pa.array([acc[s][1] for s in srcs], pa.int64())})
 
 
+# ------------------------------------------- sequence chunking -------
+
+CHUNK_TOKENS = 64      # window length (tokens)
+CHUNK_OVERLAP = 16     # tokens shared between consecutive windows
+
+
+def chunk_documents(sf_dir: str):
+    """Fixed-size token chunking with overlap — the
+    context-window / training-sequence packing step of an LLM data
+    pipeline: each document yields windows of ``CHUNK_TOKENS`` tokens
+    at stride ``CHUNK_TOKENS - CHUNK_OVERLAP`` (the final window may
+    be short; empty docs yield nothing).  One streamed map_batches
+    pass, rows fan out per batch (never materialized per doc on the
+    driver); at 100 TB the output is written partitioned, not
+    collected."""
+    stride = CHUNK_TOKENS - CHUNK_OVERLAP
+
+    class Stage(TextStats):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ids, cids, starts, lens, texts = [], [], [], [], []
+            for d, x in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+                toks = self.tokens(x)
+                n = len(toks)
+                for ci, s in enumerate(range(0, n, stride)):
+                    w = toks[s:s + CHUNK_TOKENS]
+                    ids.append(d)
+                    cids.append(ci)
+                    starts.append(s + 1)          # 1-based like SQL
+                    lens.append(len(w))
+                    texts.append(" ".join(w))
+            return pa.table({
+                "doc_id": pa.array(ids, pa.int64()),
+                "chunk_id": pa.array(cids, pa.int64()),
+                "chunk_start": pa.array(starts, pa.int64()),
+                "n_tokens": pa.array(lens, pa.int64()),
+                "chunk_text": pa.array(texts, pa.string())})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        Stage(), batch_format="pyarrow")
+
+
+CHUNK_SQL = f"""
+WITH tokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents),
+starts AS (
+  SELECT doc_id, ts,
+         unnest(generate_series(1, len(ts), {CHUNK_TOKENS - CHUNK_OVERLAP})) AS s
+  FROM tokl WHERE len(ts) > 0)
+SELECT doc_id,
+       CAST((s - 1) / {CHUNK_TOKENS - CHUNK_OVERLAP} AS BIGINT) AS chunk_id,
+       CAST(s AS BIGINT) AS chunk_start,
+       CAST(least(s + {CHUNK_TOKENS} - 1, len(ts)) - s + 1 AS BIGINT) AS n_tokens,
+       array_to_string(ts[s:least(s + {CHUNK_TOKENS} - 1, len(ts))], ' ') AS chunk_text
+FROM starts
+"""
+
+
 QUERIES = {
     "doc_token_counts": doc_token_counts,
+    "chunk_documents": chunk_documents,
     "stratified_sample_documents": stratified_sample_documents,
     "doc_term_df": doc_term_df,
     "doc_fingerprint": doc_fingerprint,
@@ -1197,6 +1257,7 @@ QUERIES = {
 
 ORACLE = {
     "doc_token_counts": TOKEN_COUNTS_SQL,
+    "chunk_documents": CHUNK_SQL,
     "doc_term_df": TERM_DF_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,

@@ -46,7 +46,8 @@ SQL_CHECKED = [
     "distinct_priorities", "filter_ops_events", "scalar_funcs_lineitem",
     "latest_event_per_user", "tumbling_window_events", "event_type_routing",
     "semi_join_events_customers", "anti_join_events_customers",
-    "doc_token_counts", "doc_term_df", "doc_fingerprint", "dedup_exact",
+    "doc_token_counts", "chunk_documents", "doc_term_df",
+    "doc_fingerprint", "dedup_exact",
     "doc_quality_scores", "lang_id_documents", "knn_bruteforce",
     "embedding_dims", "bm25_topk_documents", "index_term_stats",
     "corpus_docs_table", "multimodal_image_meta",
