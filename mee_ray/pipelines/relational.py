@@ -2025,6 +2025,241 @@ def q14_promo_revenue(sf_dir: str):
                      "promo_share_ppm": pa.array([share], pa.int64())})
 
 
+# ---------------------------------------------------- TPC-H Q13 shape --
+
+def q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 shape (left-join count distribution): orders reduce
+    to per-customer counts FIRST (two-level partial groupby — one row
+    per customer crosses the shuffle, never one per order); the
+    zero-order bucket is derived as n_customers − matched, so no
+    materialized left join ever exists.  (Adapted predicate: this
+    corpus has no o_comment — non-urgent orders play the 'not special
+    requests' role.)"""
+    from ray.data.aggregate import Sum
+
+    def o_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.invert(pc.equal(t["o_orderpriority"],
+                                        "1-URGENT")))
+        g = (t.select(["o_custkey"]).group_by("o_custkey")
+             .aggregate([("o_custkey", "count")]))
+        return g.rename_columns(["o_custkey", "n"])
+
+    counts = (_read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+              .map_batches(o_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("o_custkey")
+              .aggregate(Sum("n", alias_name="c_count")))
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["c_count"]).group_by("c_count")
+             .aggregate([("c_count", "count")]))
+        return g.rename_columns(["c_count", "n"])
+
+    hist = (counts.map_batches(hist_partial, batch_format="pyarrow")
+            .groupby("c_count").aggregate(Sum("n", alias_name="custdist")))
+    t = pa.concat_tables(list(hist.iter_batches(batch_format="pyarrow")))
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    matched = int(pc.sum(t["custdist"]).as_py() or 0)
+    t = pa.table({"c_count": t["c_count"].cast(pa.int64()),
+                  "custdist": t["custdist"].cast(pa.int64())})
+    if n_cust - matched > 0:
+        t = pa.concat_tables([t, pa.table({
+            "c_count": pa.array([0], pa.int64()),
+            "custdist": pa.array([n_cust - matched], pa.int64())})])
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("custdist", "descending"), ("c_count", "descending")]))
+
+
+Q13_SQL = """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count,
+       CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------- TPC-H Q19 shape --
+
+def q19_discounted_revenue(sf_dir: str):
+    """TPC-H Q19 shape (disjunctive multi-branch join predicate):
+    part's (brand, size) attributes broadcast ONCE as sorted arrays
+    (`ray.put`); each lineitem batch evaluates the three OR branches
+    as vectorized masks over the probed dimension — the fact table
+    never shuffles and the result is one exact integer-cent sum."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    pt = pa.concat_tables(list(
+        _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"])
+        .iter_batches(batch_format="pyarrow")))
+    order = pc.sort_indices(pt["p_partkey"])
+    keys = pt["p_partkey"].take(order).to_numpy(zero_copy_only=False)
+    brand = np.asarray(pt["p_brand"].take(order).to_pylist())
+    size = pt["p_size"].take(order).to_numpy(zero_copy_only=False)
+    dim_ref = ray.put((keys, brand, size))
+
+    branches = (("Brand#12", 1, 15, 1.0, 11.0),
+                ("Brand#23", 1, 25, 10.0, 20.0),
+                ("Brand#34", 1, 35, 20.0, 30.0))
+
+    def partial(t: pa.Table) -> pa.Table:
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        ks, br, sz = ray.get(dim_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(ks, pk), 0, max(len(ks) - 1, 0))
+        hit = ks[pos] == pk if len(ks) else np.zeros(len(pk), dtype=bool)
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False)
+        mask = np.zeros(len(pk), dtype=bool)
+        for b, s_lo, s_hi, q_lo, q_hi in branches:
+            mask |= (hit & (br[pos] == b)
+                     & (sz[pos] >= s_lo) & (sz[pos] <= s_hi)
+                     & (qty >= q_lo) & (qty <= q_hi))
+        cents = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), options=half_away), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"revenue_cents":
+                         pa.array([int(cents[mask].sum())], pa.int64())})
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice",
+                  "l_discount"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .aggregate(Sum("revenue_cents", alias_name="revenue_cents")))
+    return pa.table({"revenue_cents":
+                     pa.array([int(agg["revenue_cents"] or 0)],
+                              pa.int64())})
+
+
+Q19_SQL = """
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------- TPC-H Q22 shape --
+
+def q22_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape (scalar-subquery threshold + anti join): the
+    positive-balance average is carried as EXACT integers
+    (sum_cents, n) and the threshold test is the cross-multiplication
+    ``cents·n > sum_cents`` — no float division anywhere, so the
+    boundary customers cannot flip vs the oracle; the exclusion set
+    (customers with urgent orders) is a broadcast sorted distinct-key
+    array, bounded by the customer count.  (Adapted: no c_phone in
+    this corpus — nationkey plays the country-code role, urgent
+    orders play the existing-business role.)"""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def cents_of(col) -> np.ndarray:
+        # RoundOptions constructed inside the task fn — the pyarrow
+        # options object does not pickle into Ray Data transform fns
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        return pc.cast(pc.round(pc.multiply(col, pa.scalar(100.0)),
+                                options=half_away), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+
+    def bal_partial(t: pa.Table) -> pa.Table:
+        cents = cents_of(t["c_acctbal"])
+        pos = cents > 0
+        return pa.table({"s": pa.array([int(cents[pos].sum())], pa.int64()),
+                         "n": pa.array([int(pos.sum())], pa.int64())})
+
+    agg = (_read(sf_dir, "customer", ["c_acctbal"])
+           .map_batches(bal_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+    s_total, n_total = int(agg["s"] or 0), int(agg["n"] or 0)
+
+    def u_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderpriority"], "1-URGENT"))
+        return pa.table({"o_custkey": pc.unique(t["o_custkey"])})
+
+    urgent_parts = [b["o_custkey"].to_numpy(zero_copy_only=False)
+                    for b in _read(sf_dir, "orders",
+                                   ["o_custkey", "o_orderpriority"])
+                    .map_batches(u_partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                    .iter_batches(batch_format="pyarrow")]
+    urgent = (np.unique(np.concatenate(urgent_parts)) if urgent_parts
+              else np.empty(0, dtype=np.int64))
+    urgent_ref = ray.put(urgent)
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = ray.get(urgent_ref)
+        cents = cents_of(t["c_acctbal"])
+        ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+        if len(u):
+            pos = np.clip(np.searchsorted(u, ck), 0, len(u) - 1)
+            has_urgent = u[pos] == ck
+        else:
+            has_urgent = np.zeros(len(ck), dtype=bool)
+        keep = (cents * n_total > s_total) & ~has_urgent
+        t2 = pa.table({"c_nationkey": t["c_nationkey"].filter(
+                           pa.array(keep)),
+                       "cents": pa.array(cents[keep], pa.int64()),
+                       "one": pa.array(np.ones(int(keep.sum()),
+                                               dtype=np.int64))})
+        g = t2.group_by("c_nationkey").aggregate(
+            [("one", "sum"), ("cents", "sum")])
+        return g.rename_columns(["c_nationkey", "numcust",
+                                 "totacctbal_cents"])
+
+    out = (_read(sf_dir, "customer",
+                 ["c_custkey", "c_nationkey", "c_acctbal"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("c_nationkey")
+           .aggregate(Sum("numcust", alias_name="numcust"),
+                      Sum("totacctbal_cents",
+                          alias_name="totacctbal_cents")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.table({"c_nationkey": t["c_nationkey"].cast(pa.int64()),
+                  "numcust": t["numcust"].cast(pa.int64()),
+                  "totacctbal_cents":
+                      t["totacctbal_cents"].cast(pa.int64())})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("c_nationkey", "ascending")]))
+
+
+Q22_SQL = """
+WITH bal AS (
+  SELECT CAST(sum(CASE WHEN cents > 0 THEN cents ELSE 0 END) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN cents > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n
+  FROM (SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer)),
+eligible AS (
+  SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+  FROM customer, bal
+  WHERE CAST(round(c_acctbal * 100) AS BIGINT) * bal.n > bal.s
+    AND NOT EXISTS (SELECT 1 FROM orders o
+                    WHERE o.o_custkey = c_custkey
+                      AND o.o_orderpriority = '1-URGENT'))
+SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(cents) AS BIGINT) AS totacctbal_cents
+FROM eligible
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 Q14_SQL = """
 WITH c AS (
   SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
@@ -2385,6 +2620,9 @@ QUERIES = {
     "q6_forecast_revenue": q6_forecast_revenue,
     "q10_returned_items": q10_returned_items,
     "q14_promo_revenue": q14_promo_revenue,
+    "q13_customer_distribution": q13_customer_distribution,
+    "q19_discounted_revenue": q19_discounted_revenue,
+    "q22_sales_opportunity": q22_sales_opportunity,
     "cube_pricing_totals": cube_pricing_totals,
     "ntile_orders": ntile_orders,
 }
@@ -2430,6 +2668,9 @@ ORACLE = {
     "q6_forecast_revenue": Q6_SQL,
     "q10_returned_items": Q10_SQL,
     "q14_promo_revenue": Q14_SQL,
+    "q13_customer_distribution": Q13_SQL,
+    "q19_discounted_revenue": Q19_SQL,
+    "q22_sales_opportunity": Q22_SQL,
     "cube_pricing_totals": CUBE_TOTALS_SQL,
     "ntile_orders": NTILE_SQL,
 }

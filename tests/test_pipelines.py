@@ -79,6 +79,8 @@ SQL_CHECKED = [
     "bm25_batch_rank_documents", "q18_large_volume_customers",
     "q4_order_priority", "q5_local_supplier_volume",
     "q6_forecast_revenue", "q10_returned_items", "q14_promo_revenue",
+    "q13_customer_distribution", "q19_discounted_revenue",
+    "q22_sales_opportunity",
     "bm25_sort_by_field", "bm25_range_agg", "bm25_stats_agg",
     "bm25_top_hits", "training_mix_sample",
     "cube_pricing_totals", "ntile_orders", "docbuild_nested_query",
