@@ -2061,6 +2061,74 @@ WHERE rank <= {TOP_K}
 """
 
 
+# match_phrase_prefix (search-as-you-type): fixed terms adjacent in
+# order, then ANY token starting with the prefix.  The pipeline runs
+# with max_expansions high enough to be exhaustive at this corpus size
+# so the uncapped regex oracle is exact (the cap is ES's documented
+# truncation contract, exercised separately in tests).
+PHRASE_PREFIX_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["merge", "gro"]),
+    (2, ["window", "jo"]),
+    (3, ["customer", "jo"]),
+    (4, ["data", "slo"]),
+    (5, ["order", "fas"]),
+    (6, ["part", "filter", "sc"]),
+]
+
+
+def _phrase_prefix_regex(terms: list[str]) -> str:
+    sep = "[^a-z0-9_]+"
+    return ("(^|[^a-z0-9_])" + sep.join(terms[:-1]) + sep
+            + terms[-1] + "[a-z0-9_]*")
+
+
+def bm25_phrase_prefix_documents(sf_dir: str):
+    """match_phrase_prefix top-k: fixed terms at consecutive
+    positions followed by any token starting with the prefix, scored
+    conjunctively over the fixed terms (membership-gating expansion,
+    the documented simplification of ES's blended multi-term weight),
+    ranked (score desc, ORIGINAL doc_id)."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_phrase_prefix(
+                    terms, k=s.n_docs or 1, max_expansions=100_000))
+               for qid, terms in PHRASE_PREFIX_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _bm25_phrase_prefix_sql() -> str:
+    pats = ", ".join(f"({qid}, '{_phrase_prefix_regex(terms)}')"
+                     for qid, terms in PHRASE_PREFIX_QUERIES)
+    qvals = _q_values([(qid, terms[:-1])
+                       for qid, terms in PHRASE_PREFIX_QUERIES])
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {qvals}),
+pat(query_id, pat) AS (VALUES {pats}),
+pp_docs AS (
+  SELECT pat.query_id, d.doc_id
+  FROM pat JOIN documents d ON regexp_matches(lower(d.text), pat.pat)),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN pp_docs pd ON pd.query_id = q.query_id
+                 AND pd.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
 # span_near: ordered proximity with a per-consecutive-gap bound.  The
 # SQL oracle states the predicate positionally (chained self-joins on
 # the tokenized-with-subscripts CTE), completely independent of the
@@ -2639,6 +2707,7 @@ QUERIES = {
     "bm25_conjunctive_documents": bm25_conjunctive_documents,
     "bm25_phrase_documents": bm25_phrase_documents,
     "bm25_span_near_documents": bm25_span_near_documents,
+    "bm25_phrase_prefix_documents": bm25_phrase_prefix_documents,
     "bm25_filtered_documents": bm25_filtered_documents,
     "bm25_boolean_documents": bm25_boolean_documents,
     "bm25_facet_counts": bm25_facet_counts,
@@ -2680,6 +2749,7 @@ ORACLE = {
     "bm25_conjunctive_documents": _bm25_conj_sql(),
     "bm25_phrase_documents": _bm25_phrase_sql(),
     "bm25_span_near_documents": _bm25_span_near_sql(),
+    "bm25_phrase_prefix_documents": _bm25_phrase_prefix_sql(),
     "bm25_filtered_documents": _bm25_filtered_sql(),
     "bm25_boolean_documents": _bm25_boolean_sql(),
     "bm25_facet_counts": _bm25_facets_sql(),

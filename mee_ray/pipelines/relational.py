@@ -326,6 +326,57 @@ DISTINCT_SQL = "SELECT DISTINCT o_orderpriority FROM orders"
 
 # --------------------------------------------------------- filters --
 
+def json_extract_events(sf_dir: str):
+    """JSON payload extraction + aggregate (reference M11: the event
+    pipeline's JSON (de)serialization step, commonhandler's row-dict
+    parsing) — ``props`` holds a JSON object per event; extract the
+    numeric ``k`` field and aggregate per event type.  Parse happens
+    inside map_batches (per-string like tokenization; a SIMD JSON /
+    Arrow-native kernel is the drop-in upgrade at scale), and only
+    per-(event_type) partials cross the exchange."""
+    import json as _json
+
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ks = np.array([_json.loads(s).get("k") for s
+                       in t["props"].to_pylist()], dtype=np.int64)
+        t2 = pa.table({"event_type": t["event_type"],
+                       "k": pa.array(ks, pa.int64()),
+                       "one": pa.array(np.ones(len(ks), np.int64))})
+        g = t2.group_by("event_type").aggregate(
+            [("one", "sum"), ("k", "sum"), ("k", "max")])
+        return g.rename_columns(["event_type", "n", "sum_k", "max_k"])
+
+    out = (_read(sf_dir, "events", ["event_type", "props"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sum_k", alias_name="sum_k"),
+                      Max("max_k", alias_name="max_k")))
+    t = pa.concat_tables(list(out.iter_batches(batch_format="pyarrow")))
+    t = pa.table({"event_type": t["event_type"],
+                  "n": t["n"].cast(pa.int64()),
+                  "sum_k": t["sum_k"].cast(pa.int64()),
+                  "max_k": t["max_k"].cast(pa.int64())})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("event_type", "ascending")]))
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def filter_ops_events(sf_dir: str):
     """M2 filter-predicate semantics: IN-list + range ops, vectorized
     (the reference's per-row filterData dict walk,
@@ -2590,6 +2641,7 @@ QUERIES = {
     "topk_orders": topk_orders,
     "distinct_priorities": distinct_priorities,
     "filter_ops_events": filter_ops_events,
+    "json_extract_events": json_extract_events,
     "scalar_funcs_lineitem": scalar_funcs_lineitem,
     "scalar_dsl_lineitem": scalar_dsl_lineitem,
     "latest_event_per_user": latest_event_per_user,
@@ -2636,6 +2688,7 @@ ORACLE = {
     "topk_orders": TOPK_SQL,
     "distinct_priorities": DISTINCT_SQL,
     "filter_ops_events": FILTER_OPS_SQL,
+    "json_extract_events": JSON_EXTRACT_SQL,
     "scalar_funcs_lineitem": SCALAR_FUNCS_SQL,
     "scalar_dsl_lineitem": SCALAR_DSL_SQL,
     "latest_event_per_user": LATEST_SQL,

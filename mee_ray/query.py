@@ -588,6 +588,75 @@ class Searcher:
         partials = self.term_partials_for_docs(uterms, span_docs)
         return merge_partials_conjunctive([partials], uterms, k)
 
+    def search_phrase_prefix(self, terms: list[str], k: int = 10,
+                             max_expansions: int = 50
+                             ) -> list[tuple[int, float]]:
+        """match_phrase_prefix (ES search-as-you-type): docs containing
+        ``terms[:-1]`` at consecutive positions followed immediately by
+        ANY token starting with ``terms[-1]``.  Scoring: conjunctive
+        BM25 over the FIXED terms restricted to the matching docs
+        (the expansion slot gates membership, it does not contribute —
+        a documented, deterministic simplification of ES's
+        synonym-blended multi-term weight).  Requires ≥ 2 terms (a
+        single-prefix query is :meth:`search_prefix`).
+
+        The prefix expands against the resident sorted dictionary
+        (binary-searched run), capped at ``max_expansions`` in
+        dictionary order like ES — a hit beyond the cap is missed, the
+        same truncation contract ES documents.  Expansion position
+        sets merge into ONE pseudo-slot per doc, so the phrase matcher
+        stays fully vectorized."""
+        if len(terms) < 2:
+            raise ValueError("match_phrase_prefix needs >= 2 terms; "
+                             "use search_prefix for a bare prefix")
+        if not self.manifest.get("store_positions"):
+            raise ValueError("phrase_prefix queries need "
+                             "store_positions=True")
+        fixed, prefix = terms[:-1], terms[-1]
+        ufixed = sorted(set(fixed))
+        cand = None
+        for t in ufixed:
+            ids, _, _ = self._live_postings(
+                term_hash(t) % self.num_shards, t)
+            if len(ids) == 0:
+                return []
+            cand = (np.unique(ids) if cand is None
+                    else np.intersect1d(cand, ids))
+            if cand.size == 0:
+                return []
+        import bisect
+        vocab = self.vocabulary()
+        lo = bisect.bisect_left(vocab, prefix)
+        hi = bisect.bisect_right(vocab, prefix + "￿")
+        expansions = vocab[lo:hi][:max_expansions]
+        if not expansions:
+            return []
+        # merge the expansions' candidate-restricted positions into
+        # one pseudo-slot: (doc, pos) pairs across expansions, lexsort,
+        # rebuild (ids, offs, flat)
+        doc_parts, pos_parts = [], []
+        for e in expansions:
+            ids_e, offs_e, flat_e = self.term_doc_positions(e, cand)
+            if ids_e.size:
+                doc_parts.append(np.repeat(ids_e, np.diff(offs_e)))
+                pos_parts.append(flat_e)
+        if not doc_parts:
+            return []
+        docs_all = np.concatenate(doc_parts)
+        pos_all = np.concatenate(pos_parts)
+        order = np.lexsort((pos_all, docs_all))
+        docs_all, pos_all = docs_all[order], pos_all[order]
+        uniq_docs, first = np.unique(docs_all, return_index=True)
+        offs = np.concatenate((first, [len(docs_all)])).astype(np.int64)
+        pseudo = "\x00" + prefix           # cannot collide with a token
+        data = {t: self.term_doc_positions(t, cand) for t in ufixed}
+        data[pseudo] = (uniq_docs, offs, pos_all)
+        phrase_docs = phrase_match_docs(data, list(fixed) + [pseudo])
+        if phrase_docs.size == 0:
+            return []
+        partials = self.term_partials_for_docs(ufixed, phrase_docs)
+        return merge_partials_conjunctive([partials], ufixed, k)
+
     def search_filtered(self, terms: list[str], k: int,
                         allowed_doc_ids, operator: str = "or",
                         use_wand: bool | None = None

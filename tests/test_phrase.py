@@ -383,3 +383,92 @@ def test_span_near_distributed(pos_index, ray_session):
                 oracle.search_span_near(ph, slop, k=10), (ph, slop)
     finally:
         ds.shutdown()
+
+
+# ------------------------------------------- match_phrase_prefix -----
+
+
+def _pp_bruteforce(docs, terms, oracle, k=10, allowed_next=None):
+    """Expected phrase_prefix result: membership from the raw token
+    streams, scores = oracle.search_and over the fixed terms filtered
+    to the matching docs (the engine's documented scoring)."""
+    from mee_ray.config import TokenizerConfig
+    from mee_ray.tokenizer import Tokenizer
+    tok = Tokenizer(TokenizerConfig())
+    fixed, prefix = terms[:-1], terms[-1]
+    matched = set()
+    for doc_id, content in docs:
+        seq = tok.terms(content)
+        for i in range(len(seq) - len(fixed)):
+            nxt = seq[i + len(fixed)]
+            ok = (nxt in allowed_next) if allowed_next is not None \
+                else nxt.startswith(prefix)
+            if seq[i:i + len(fixed)] == fixed and ok:
+                matched.add(doc_id)
+                break
+    ranked = oracle.search_and(fixed, k=len(docs) + 1)
+    return [(d, s) for d, s in ranked if d in matched][:k]
+
+
+def _pp_queries_from(docs, n=15):
+    from mee_ray.config import TokenizerConfig
+    from mee_ray.tokenizer import Tokenizer
+    tok = Tokenizer(TokenizerConfig())
+    out, seen = [], set()
+    for _, content in docs[:40]:
+        seq = tok.terms(content)
+        if len(seq) <= 8:
+            continue
+        for ph in ([seq[2], seq[3][:2]], [seq[4], seq[5], seq[6][:3]]):
+            key = tuple(ph)
+            if key not in seen and all(ph):
+                seen.add(key)
+                out.append(ph)
+    out = out[:n]
+    out.append(["qqqq_not_a_term", "xy"])
+    return out
+
+
+def test_phrase_prefix_matches_bruteforce(pos_index):
+    from mee_ray.query import Searcher
+
+    s = Searcher(pos_index["root"])
+    oracle = pos_index["oracle"]
+    hits = 0
+    for ph in _pp_queries_from(pos_index["docs"]):
+        got = s.search_phrase_prefix(ph, k=10, max_expansions=100_000)
+        want = _pp_bruteforce(pos_index["docs"], ph, oracle)
+        assert got == want, ph
+        hits += bool(got)
+    assert hits >= 8
+
+
+def test_phrase_prefix_expansion_cap(pos_index):
+    """max_expansions truncates in dictionary order (the ES
+    contract): capped at 1, only the lexicographically first
+    expansion gates membership."""
+    from mee_ray.query import Searcher
+
+    s = Searcher(pos_index["root"])
+    oracle = pos_index["oracle"]
+    vocab = s.vocabulary()
+    checked = 0
+    for ph in _pp_queries_from(pos_index["docs"])[:8]:
+        prefix = ph[-1]
+        exps = [t for t in vocab if t.startswith(prefix)]
+        if len(exps) < 2:
+            continue
+        got = s.search_phrase_prefix(ph, k=10, max_expansions=1)
+        want = _pp_bruteforce(pos_index["docs"], ph, oracle,
+                              allowed_next={exps[0]})
+        assert got == want, ph
+        checked += 1
+    assert checked >= 1
+
+
+def test_phrase_prefix_rejects_single_term(pos_index):
+    from mee_ray.query import Searcher
+
+    s = Searcher(pos_index["root"])
+    with pytest.raises(ValueError):
+        s.search_phrase_prefix(["justaprefix"])
