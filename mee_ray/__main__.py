@@ -472,6 +472,10 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(out))
 
     elif args.cmd == "delete-by-query":
+        # same init as the delta command: a large index switches
+        # _live_key_index to its distributed scan, which must not
+        # auto-init Ray with default settings
+        _init_ray(args.num_cpus)
         from mee_ray.delta import delete_by_query
         rec = delete_by_query(args.index, args.terms.split(),
                               args.operator, cfg)

@@ -436,8 +436,17 @@ def _keys_for_doc_ids(index_root: str, manifest: dict,
     import pyarrow.dataset as pads
 
     sources = list(mf.docs_files(index_root, manifest["epoch"]))
-    sources += [d["added_docs"] for d in manifest.get("deltas", [])
-                if d.get("added_docs") and os.path.exists(d["added_docs"])]
+    for d in manifest.get("deltas", []):
+        if not d.get("added_docs"):
+            continue
+        if not os.path.exists(d["added_docs"]):
+            # same stance as _live_key_index: a referenced added-docs
+            # file that is gone is corruption — failing silently here
+            # would turn a matched doc's deletion into a silent no-op
+            raise FileNotFoundError(
+                f"manifest references missing added-docs file "
+                f"{d['added_docs']!r} (delta seq {d.get('seq')})")
+        sources.append(d["added_docs"])
     want = pa.array(np.unique(np.asarray(doc_ids, dtype=np.int64)))
     keys: set[tuple[str, str]] = set()
     for f in sources:
@@ -463,19 +472,26 @@ def delete_by_query(index_root: str, terms: list[str],
     (bounded by the query terms' dfs, no scoring); the key fetch is a
     doc_id-pruned scan.  A second identical call is a no-op: the
     matched docs' postings are already tombstoned, so the match set is
-    empty.  Returns the delta record plus ``n_matched``."""
+    empty.  Returns the delta record plus ``n_matched``.
+
+    Match, key fetch, seq allocation, and apply all sit inside ONE
+    write-lock critical section: a match set computed outside the lock
+    could race a concurrent UPDATE of a matched key (the update's new
+    version no longer matches, but the later-sequenced DELETE would
+    still kill it — the version-conflict case ES's _delete_by_query
+    aborts on)."""
     from mee_ray.query import Searcher
 
-    s = Searcher(index_root)
-    matched = s.matched_doc_ids(terms, operator)
-    if matched.size == 0:
-        return {"noop": True, "seq": None, "n_matched": 0,
-                "n_added": 0, "n_deleted": 0}
-    keys = _keys_for_doc_ids(index_root, s.manifest, matched)
-
-    def build(start_seq: int) -> pa.Table:
+    with mf.write_lock(index_root):
+        s = Searcher(index_root)
+        matched = s.matched_doc_ids(terms, operator)
+        if matched.size == 0:
+            return {"noop": True, "seq": None, "n_matched": 0,
+                    "n_added": 0, "n_deleted": 0}
+        keys = _keys_for_doc_ids(index_root, s.manifest, matched)
+        start_seq = mf.next_event_seq(index_root)
         n = len(keys)
-        return pa.table({
+        ev = pa.table({
             "seq": pa.array(range(start_seq, start_seq + n), pa.int64()),
             "type": pa.array(["DELETE"] * n, pa.string()),
             "repo": pa.array([k[0] for k in keys], pa.string()),
@@ -484,7 +500,6 @@ def delete_by_query(index_root: str, terms: list[str],
             "lang": pa.array([None] * n, pa.string()),
             "content": pa.array([None] * n, pa.string()),
         })
-
-    rec = apply_with_seq_allocation(build, index_root, cfg)
+        rec = _apply_delta_locked(ev, index_root, cfg)
     rec["n_matched"] = int(matched.size)
     return rec

@@ -233,19 +233,10 @@ class OracleIndex:
         span_docs = {doc for doc in cand
                      if any(chain(doc, 1, p)
                             for p in self.positions[terms[0]].get(doc, ()))}
-        if not span_docs:
-            return []
-        p = self.bm25
-        acc: dict[int, float] = {}
-        for term in uterms:
-            plist = self.postings[term]
-            w = idf(len(plist), self.n_docs)
-            for doc_id in span_docs:
-                s = w * tfn_scalar(float(plist[doc_id]),
-                                   float(self.dl[doc_id]), self.avgdl, p)
-                acc[doc_id] = acc.get(doc_id, 0.0) + s
-        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
-        return ranked[:k]
+        # scoring IS search_and restricted to the matching docs —
+        # filter its ranking so the two can never desynchronize
+        ranked = self.search_and(terms, k=self.n_docs + 1)
+        return [(d, s) for d, s in ranked if d in span_docs][:k]
 
     def search_and(self, terms: list[str], k: int = 10
                    ) -> list[tuple[int, float]]:

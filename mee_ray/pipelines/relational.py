@@ -339,9 +339,13 @@ def json_extract_events(sf_dir: str):
     from ray.data.aggregate import Max, Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        ks = np.array([_json.loads(s).get("k") for s
-                       in t["props"].to_pylist()], dtype=np.int64)
-        t2 = pa.table({"event_type": t["event_type"],
+        # events whose JSON lacks k are invisible (SQL: WHERE k IS NOT
+        # NULL) — the NULL-group semantics of sum/max don't survive a
+        # partial-aggregate plan, so exclusion is the exact contract
+        raw = [_json.loads(s).get("k") for s in t["props"].to_pylist()]
+        keep = pa.array([v is not None for v in raw])
+        ks = np.array([v for v in raw if v is not None], dtype=np.int64)
+        t2 = pa.table({"event_type": t["event_type"].filter(keep),
                        "k": pa.array(ks, pa.int64()),
                        "one": pa.array(np.ones(len(ks), np.int64))})
         g = t2.group_by("event_type").aggregate(
@@ -365,13 +369,16 @@ def json_extract_events(sf_dir: str):
 
 
 JSON_EXTRACT_SQL = """
+WITH ext AS (
+  SELECT event_type,
+         CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events)
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n,
-       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS sum_k,
-       CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-         AS max_k
-FROM events
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(max(k) AS BIGINT) AS max_k
+FROM ext
+WHERE k IS NOT NULL
 GROUP BY event_type
 ORDER BY event_type
 """
@@ -2108,7 +2115,12 @@ def q13_customer_distribution(sf_dir: str):
 
     hist = (counts.map_batches(hist_partial, batch_format="pyarrow")
             .groupby("c_count").aggregate(Sum("n", alias_name="custdist")))
-    t = pa.concat_tables(list(hist.iter_batches(batch_format="pyarrow")))
+    empty = pa.table({"c_count": pa.array([], pa.int64()),
+                      "custdist": pa.array([], pa.int64())})
+    batches = list(hist.iter_batches(batch_format="pyarrow"))
+    # all orders filtered away → empty aggregate, distribution is one
+    # all-zero bucket (the left join keeps every customer)
+    t = pa.concat_tables(batches) if batches else empty
     n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
     matched = int(pc.sum(t["custdist"]).as_py() or 0)
     t = pa.table({"c_count": t["c_count"].cast(pa.int64()),

@@ -538,22 +538,32 @@ class Searcher:
         # candidate docs from the (cheap, LRU-cached) posting decode
         # BEFORE touching positions: hot terms then decode positions
         # only for chunks the candidate intersection actually reaches
-        cand = None
-        for t in uterms:
-            ids, _, _ = self._live_postings(
-                term_hash(t) % self.num_shards, t)
-            if len(ids) == 0:
-                return []
-            cand = (np.unique(ids) if cand is None
-                    else np.intersect1d(cand, ids))
-            if cand.size == 0:
-                return []
+        cand = self._candidate_docs(uterms)
+        if cand is None:
+            return []
         data = {t: self.term_doc_positions(t, cand) for t in uterms}
         phrase_docs = phrase_match_docs(data, terms)
         if phrase_docs.size == 0:
             return []
         partials = self.term_partials_for_docs(uterms, phrase_docs)
         return merge_partials_conjunctive([partials], uterms, k)
+
+    def _candidate_docs(self, uterms: list[str]) -> np.ndarray | None:
+        """Sorted live docs holding EVERY term (posting decode only,
+        LRU-warm) — the shared candidate pushdown of the positional
+        query family (phrase / span_near / phrase_prefix).  None ⇔ no
+        candidates (some term empty or intersection empty)."""
+        cand = None
+        for t in uterms:
+            ids, _, _ = self._live_postings(
+                term_hash(t) % self.num_shards, t)
+            if len(ids) == 0:
+                return None
+            cand = (np.unique(ids) if cand is None
+                    else np.intersect1d(cand, ids))
+            if cand.size == 0:
+                return None
+        return cand
 
     def search_span_near(self, terms: list[str], slop: int = 0,
                          k: int = 10) -> list[tuple[int, float]]:
@@ -571,16 +581,9 @@ class Searcher:
                              "store_positions=True (pinned in the "
                              "manifest at build)")
         uterms = sorted(set(terms))
-        cand = None
-        for t in uterms:
-            ids, _, _ = self._live_postings(
-                term_hash(t) % self.num_shards, t)
-            if len(ids) == 0:
-                return []
-            cand = (np.unique(ids) if cand is None
-                    else np.intersect1d(cand, ids))
-            if cand.size == 0:
-                return []
+        cand = self._candidate_docs(uterms)
+        if cand is None:
+            return []
         data = {t: self.term_doc_positions(t, cand) for t in uterms}
         span_docs = span_near_match_docs(data, terms, slop)
         if span_docs.size == 0:
@@ -614,21 +617,11 @@ class Searcher:
                              "store_positions=True")
         fixed, prefix = terms[:-1], terms[-1]
         ufixed = sorted(set(fixed))
-        cand = None
-        for t in ufixed:
-            ids, _, _ = self._live_postings(
-                term_hash(t) % self.num_shards, t)
-            if len(ids) == 0:
-                return []
-            cand = (np.unique(ids) if cand is None
-                    else np.intersect1d(cand, ids))
-            if cand.size == 0:
-                return []
-        import bisect
-        vocab = self.vocabulary()
-        lo = bisect.bisect_left(vocab, prefix)
-        hi = bisect.bisect_right(vocab, prefix + "￿")
-        expansions = vocab[lo:hi][:max_expansions]
+        cand = self._candidate_docs(ufixed)
+        if cand is None:
+            return []
+        expansions = prefix_terms(self.vocabulary(),
+                                  prefix)[:max_expansions]
         if not expansions:
             return []
         # merge the expansions' candidate-restricted positions into
@@ -2000,16 +1993,19 @@ class DistributedSearcher:
             return merge_partials_conjunctive(parts, uterms, k)
         return merge_partials(parts, uterms, k)
 
-    def search_phrase(self, terms: list[str], k: int = 10
-                      ) -> list[tuple[int, float]]:
-        """Distributed exact phrase top-k.  Single-owning-actor
-        phrases run entirely actor-side; otherwise two rounds: (1)
-        each owning actor ships its terms' live doc-id sets (postings
-        decode only — no positions), the driver intersects them into
-        the candidate set; (2) actors ship positions restricted to
-        the candidates, so transfer and position decode are bounded
-        by the rarest term's df, not the hottest term's occurrence
-        count."""
+    def _positional_query(self, terms: list[str], k: int, matcher,
+                          single_actor_call
+                          ) -> list[tuple[int, float]]:
+        """Shared two-round distributed body of the positional query
+        family.  Single-owning-actor queries run entirely actor-side
+        (``single_actor_call(actor)`` → remote future); otherwise:
+        (1) each owning actor ships its terms' live doc-id sets
+        (postings decode only — no positions), the driver intersects
+        them into the candidate set; (2) actors ship positions
+        restricted to the candidates — transfer and position decode
+        bounded by the rarest term's df, not the hottest term's
+        occurrence count; (3) ``matcher(data)`` picks the matching
+        docs and they are scored conjunctively."""
         import ray
         if not terms:
             return []
@@ -2017,7 +2013,7 @@ class DistributedSearcher:
         by_actor = self._terms_by_actor(uterms)
         if len(by_actor) == 1:
             (a,) = by_actor
-            return ray.get(self.actors[a].search_phrase.remote(terms, k))
+            return ray.get(single_actor_call(self.actors[a]))
         id_futs = [self.actors[a].term_doc_ids.remote(ts)
                    for a, ts in by_actor.items()]
         id_sets: dict = {}
@@ -2036,53 +2032,30 @@ class DistributedSearcher:
         data: dict = {}
         for d in ray.get(futs):
             data.update(d)
-        phrase_docs = phrase_match_docs(data, terms)
-        if phrase_docs.size == 0:
+        matched = matcher(data)
+        if matched.size == 0:
             return []
-        pfuts = [self.actors[a].term_partials_for_docs.remote(ts, phrase_docs)
+        pfuts = [self.actors[a].term_partials_for_docs.remote(ts, matched)
                  for a, ts in by_actor.items()]
         return merge_partials_conjunctive(ray.get(pfuts), uterms, k)
+
+    def search_phrase(self, terms: list[str], k: int = 10
+                      ) -> list[tuple[int, float]]:
+        """Distributed exact phrase top-k (see
+        :meth:`_positional_query` for the transfer bounds)."""
+        return self._positional_query(
+            terms, k,
+            lambda data: phrase_match_docs(data, terms),
+            lambda actor: actor.search_phrase.remote(terms, k))
 
     def search_span_near(self, terms: list[str], slop: int = 0,
                          k: int = 10) -> list[tuple[int, float]]:
         """Distributed ordered-proximity top-k — the span_near analog
-        of :meth:`search_phrase`, same two-round shape: (1) posting
-        id-sets → driver candidate intersection, (2)
-        candidate-restricted positions → vectorized reachable-set
-        match, (3) conjunctive scoring of the matched docs."""
-        import ray
-        if not terms:
-            return []
-        uterms = sorted(set(terms))
-        by_actor = self._terms_by_actor(uterms)
-        if len(by_actor) == 1:
-            (a,) = by_actor
-            return ray.get(
-                self.actors[a].search_span_near.remote(terms, slop, k))
-        id_futs = [self.actors[a].term_doc_ids.remote(ts)
-                   for a, ts in by_actor.items()]
-        id_sets: dict = {}
-        for d in ray.get(id_futs):
-            id_sets.update(d)
-        cand = None
-        for t in uterms:
-            ids = id_sets[t]
-            if ids.size == 0:
-                return []
-            cand = ids if cand is None else np.intersect1d(cand, ids)
-            if cand.size == 0:
-                return []
-        futs = [self.actors[a].term_doc_positions.remote(ts, cand)
-                for a, ts in by_actor.items()]
-        data: dict = {}
-        for d in ray.get(futs):
-            data.update(d)
-        span_docs = span_near_match_docs(data, terms, slop)
-        if span_docs.size == 0:
-            return []
-        pfuts = [self.actors[a].term_partials_for_docs.remote(ts, span_docs)
-                 for a, ts in by_actor.items()]
-        return merge_partials_conjunctive(ray.get(pfuts), uterms, k)
+        of :meth:`search_phrase`, same two-round shape."""
+        return self._positional_query(
+            terms, k,
+            lambda data: span_near_match_docs(data, terms, slop),
+            lambda actor: actor.search_span_near.remote(terms, slop, k))
 
     def _search_three_phase(self, by_actor: dict, uterms: list[str],
                             k: int) -> list[tuple[int, float]]:

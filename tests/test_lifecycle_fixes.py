@@ -1061,3 +1061,76 @@ def test_snapshot_is_self_contained_and_frozen(built_index,
     assert Searcher(dest).search(["token_snapx"], 10) != []
     with pytest.raises(FileExistsError):
         mf.snapshot(src, dest)
+
+
+# ------------------------------- r2 continuation review regressions --
+
+
+def test_q13_all_orders_filtered_gives_zero_bucket(ray_session, tmp_path):
+    """Every order urgent → the aggregate is empty and the
+    distribution must still be the single all-zero bucket (the SQL
+    left join keeps every customer)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.relational import q13_customer_distribution
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_custkey": pa.array([10, 11, 10], pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3)}),
+        f"{sf}/orders.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([10, 11, 12], pa.int64())}),
+        f"{sf}/customer.parquet")
+    t = q13_customer_distribution(sf)
+    assert t.to_pydict() == {"c_count": [0], "custdist": [3]}
+
+
+def test_json_extract_skips_events_without_k(ray_session, tmp_path):
+    """Events whose props JSON lacks k are invisible (the SQL
+    WHERE k IS NOT NULL contract) — no crash, exact agreement with
+    DuckDB."""
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.relational import (JSON_EXTRACT_SQL,
+                                              json_extract_events)
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "event_id": pa.array(range(6), pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "b", "c", "c"]),
+        "props": pa.array(['{"k": 5}', '{}', '{"k": -2}',
+                           '{"other": 1}', '{}', '{}'])}),
+        f"{sf}/events.parquet")
+    got = json_extract_events(sf).to_pandas()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{sf}/events.parquet')")
+    want = con.execute(JSON_EXTRACT_SQL).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), want.reset_index(drop=True))
+    assert set(got["event_type"]) == {"a", "b"}   # c has no k at all
+
+
+def test_keys_for_doc_ids_fails_loudly_on_missing_added_docs(tmp_path):
+    """A manifest that references a vanished added-docs file is
+    corruption: the key fetch must raise, never silently skip (a
+    silent skip turns a matched doc's deletion into a no-op)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mee_ray.delta import _keys_for_doc_ids
+
+    manifest = {"epoch": "ep1", "segments": [],
+                "deltas": [{"seq": 1,
+                            "added_docs": str(tmp_path / "gone.parquet")}]}
+    # docs_files() consults the manifest's docs list — give it none
+    manifest["docs"] = []
+    with _pytest.raises(FileNotFoundError):
+        _keys_for_doc_ids(str(tmp_path), manifest,
+                          np.array([1], dtype=np.int64))
