@@ -426,8 +426,117 @@ def ann_sq_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
                      "neighbor_id": pa.array(out_n, pa.int64())})
 
 
+PQ_SUBSPACES = 16    # m sub-quantizers (d=64 → 4 dims each)
+PQ_CENTROIDS = 128   # per-subspace codebook size (7-bit codes)
+
+
+def _pq_fit(sample: np.ndarray, m: int = PQ_SUBSPACES,
+            ks: int = PQ_CENTROIDS, n_iter: int = 12, seed: int = 7
+            ) -> tuple[list[np.ndarray], list[np.ndarray]]:
+    """Per-subspace Lloyd k-means codebooks on a bounded sample
+    (deterministic seed).  Returns (dim splits, codebooks)."""
+    rng = np.random.default_rng(seed)
+    splits = np.array_split(np.arange(sample.shape[1]), m)
+    books = []
+    for idx in splits:
+        sub = sample[:, idx]
+        k_eff = min(ks, len(sub))
+        cent = sub[rng.choice(len(sub), size=k_eff, replace=False)]
+        for _ in range(n_iter):
+            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_eff):
+                hit = assign == c
+                if hit.any():
+                    cent[c] = sub[hit].mean(axis=0)
+        books.append(cent)
+    return splits, books
+
+
+def _pq_encode(mat: np.ndarray, splits, books) -> np.ndarray:
+    codes = np.empty((len(mat), len(splits)), dtype=np.uint8)
+    for j, (idx, cent) in enumerate(zip(splits, books)):
+        sub = mat[:, idx]
+        d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        codes[:, j] = d2.argmin(axis=1)
+    return codes
+
+
+def ann_pq_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Product-quantized ANN with asymmetric distance (the FAISS
+    PQ/ADC memory-scale path: d float64s → m bytes per vector, 32×
+    smaller residency at d=64, m=16): per-subspace codebooks fit on a
+    bounded prefix sample and broadcast; each batch encodes its
+    vectors to codes and scores them against per-query lookup tables
+    — cosine on unit vectors decomposes additively across subspaces,
+    so ``sim(q, x̂) = Σ_j LUT_q[j][code_j]`` is one fancy-index sum,
+    no decode.  Queries stay float (asymmetric).  Same output
+    contract as knn_bruteforce; approximate by design (rows-only for
+    the driver, recall floor asserted in tests)."""
+    import ray
+    import pyarrow.parquet as pq
+
+    head = _read_emb(sf_dir).take_batch(4096, batch_format="pyarrow")
+    _, sample = _emb_matrix(head)
+    splits, books = _pq_fit(_unit(sample))
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", n_queries)])
+    q_ids, q_mat = _emb_matrix(qt)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], _unit(q_mat[order])
+    # per-query LUT: (n_q, m, ks) inner products vs each codebook entry
+    lut = np.stack([q_mat[:, idx] @ cent.T
+                    for idx, cent in zip(splits, books)], axis=1)
+    ref = ray.put((q_ids, lut, splits, books))
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        qids, lut_, splits_, books_ = ray.get(ref)
+        ids, mat = _emb_matrix(t)
+        codes = _pq_encode(_unit(mat), splits_, books_)
+        # (n_q, batch) = Σ_j lut[:, j, codes[:, j]]
+        sims = np.zeros((len(qids), len(ids)))
+        for j in range(codes.shape[1]):
+            sims += lut_[:, j, codes[:, j]]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            s = sims[qi]
+            mask = ids != qids[qi]
+            cand_ids, cand_s = ids[mask], s[mask]
+            if len(cand_ids) > k:
+                top = np.lexsort((cand_ids, -cand_s))[:k]
+                cand_ids, cand_s = cand_ids[top], cand_s[top]
+            out_q.extend([qids[qi]] * len(cand_ids))
+            out_n.extend(cand_ids.tolist())
+            out_s.extend(cand_s.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = _read_emb(sf_dir).map_batches(
+        batch_topk, batch_format="pyarrow", zero_copy_batch=True)
+    all_rows = pa.concat_tables(
+        list(partials.iter_batches(batch_format="pyarrow",
+                                   batch_size=1 << 20)))
+    qs = all_rows["query_id"].to_numpy(zero_copy_only=False)
+    ns = all_rows["neighbor_id"].to_numpy(zero_copy_only=False)
+    ss = all_rows["sim"].to_numpy(zero_copy_only=False)
+    out_q, out_r, out_n = [], [], []
+    for q in np.unique(qs):
+        m = qs == q
+        order = np.lexsort((ns[m], -ss[m]))[:k]
+        out_q.extend([int(q)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_n.extend(ns[m][order].tolist())
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64())})
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
+    "ann_pq_topk": ann_pq_topk,
     "embedding_dims": embedding_dims,
     "embedding_neardup": embedding_neardup,
     "ann_ivf_topk": ann_ivf_topk,
