@@ -38,6 +38,29 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / n
 
 
+def _rank_merge(partials, k: int) -> pa.Table:
+    """Driver merge shared by the ANN family: per-batch (query_id,
+    neighbor_id, sim) top-k partials → global (query_id, rank,
+    neighbor_id) under the (sim desc, neighbor_id asc) tie-break.
+    Transport is bounded at batches × queries × k rows."""
+    all_rows = pa.concat_tables(
+        list(partials.iter_batches(batch_format="pyarrow",
+                                   batch_size=1 << 20)))
+    qs = all_rows["query_id"].to_numpy(zero_copy_only=False)
+    ns = all_rows["neighbor_id"].to_numpy(zero_copy_only=False)
+    ss = all_rows["sim"].to_numpy(zero_copy_only=False)
+    out_q, out_r, out_n = [], [], []
+    for q in np.unique(qs):
+        m = qs == q
+        order = np.lexsort((ns[m], -ss[m]))[:k]
+        out_q.extend([int(q)] * len(order))
+        out_r.extend(range(1, len(order) + 1))
+        out_n.extend(ns[m][order].tolist())
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64())})
+
+
 def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
     """Exact cosine top-k for query vectors vec_id < n_queries.
     Output: (query_id, rank, neighbor_id) — rank-only so the oracle
@@ -78,21 +101,7 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
 
     partials = _read_emb(sf_dir).map_batches(batch_topk, batch_format="pyarrow",
                                              zero_copy_batch=True)
-    all_rows = pa.concat_tables(
-        list(partials.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
-    qs = all_rows["query_id"].to_numpy(zero_copy_only=False)
-    ns = all_rows["neighbor_id"].to_numpy(zero_copy_only=False)
-    ss = all_rows["sim"].to_numpy(zero_copy_only=False)
-    out_q, out_r, out_n = [], [], []
-    for q in np.unique(qs):
-        m = qs == q
-        order = np.lexsort((ns[m], -ss[m]))[:k]
-        out_q.extend([int(q)] * len(order))
-        out_r.extend(range(1, len(order) + 1))
-        out_n.extend(ns[m][order].tolist())
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64()),
-                     "neighbor_id": pa.array(out_n, pa.int64())})
+    return _rank_merge(partials, k)
 
 
 KNN_SQL = """
@@ -295,21 +304,7 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     partials = _read_emb(sf_dir).map_batches(assign_and_score,
                                              batch_format="pyarrow",
                                              zero_copy_batch=True)
-    all_rows = pa.concat_tables(
-        list(partials.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
-    qs = all_rows["query_id"].to_numpy(zero_copy_only=False)
-    ns = all_rows["neighbor_id"].to_numpy(zero_copy_only=False)
-    ss = all_rows["sim"].to_numpy(zero_copy_only=False)
-    out_q, out_r, out_n = [], [], []
-    for q in np.unique(qs):
-        m = qs == q
-        order = np.lexsort((ns[m], -ss[m]))[:k]
-        out_q.extend([int(q)] * len(order))
-        out_r.extend(range(1, len(order) + 1))
-        out_n.extend(ns[m][order].tolist())
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64()),
-                     "neighbor_id": pa.array(out_n, pa.int64())})
+    return _rank_merge(partials, k)
 
 
 def kmeans_assign_embeddings(sf_dir: str, n_clusters: int = 16):
@@ -408,22 +403,7 @@ def ann_sq_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
 
     partials = _read_emb(sf_dir).map_batches(
         batch_topk, batch_format="pyarrow", zero_copy_batch=True)
-    all_rows = pa.concat_tables(
-        list(partials.iter_batches(batch_format="pyarrow",
-                                   batch_size=1 << 20)))
-    qs = all_rows["query_id"].to_numpy(zero_copy_only=False)
-    ns = all_rows["neighbor_id"].to_numpy(zero_copy_only=False)
-    ss = all_rows["sim"].to_numpy(zero_copy_only=False)
-    out_q, out_r, out_n = [], [], []
-    for q in np.unique(qs):
-        m = qs == q
-        order = np.lexsort((ns[m], -ss[m]))[:k]
-        out_q.extend([int(q)] * len(order))
-        out_r.extend(range(1, len(order) + 1))
-        out_n.extend(ns[m][order].tolist())
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64()),
-                     "neighbor_id": pa.array(out_n, pa.int64())})
+    return _rank_merge(partials, k)
 
 
 PQ_SUBSPACES = 16    # m sub-quantizers (d=64 → 4 dims each)
@@ -516,27 +496,80 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
 
     partials = _read_emb(sf_dir).map_batches(
         batch_topk, batch_format="pyarrow", zero_copy_batch=True)
-    all_rows = pa.concat_tables(
-        list(partials.iter_batches(batch_format="pyarrow",
-                                   batch_size=1 << 20)))
-    qs = all_rows["query_id"].to_numpy(zero_copy_only=False)
-    ns = all_rows["neighbor_id"].to_numpy(zero_copy_only=False)
-    ss = all_rows["sim"].to_numpy(zero_copy_only=False)
-    out_q, out_r, out_n = [], [], []
-    for q in np.unique(qs):
-        m = qs == q
-        order = np.lexsort((ns[m], -ss[m]))[:k]
-        out_q.extend([int(q)] * len(order))
-        out_r.extend(range(1, len(order) + 1))
-        out_n.extend(ns[m][order].tolist())
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64()),
-                     "neighbor_id": pa.array(out_n, pa.int64())})
+    return _rank_merge(partials, k)
+
+
+def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
+                   n_probe: int = 4):
+    """IVF-PQ with asymmetric distance — the canonical billion-scale
+    ANN composition (FAISS IVFxx,PQyy): a coarse quantizer routes
+    each vector to a cluster, PQ codebooks fit on RESIDUALS
+    (vector − its centroid) encode it to m bytes, and a query scans
+    only its ``n_probe`` nearest clusters scoring codes via lookup
+    tables: ``sim(q, x̂) = q·c_cluster + Σ_j LUT_q[j][code_j]`` (inner
+    product decomposes across the centroid and the residual
+    subspaces).  Both stages fit on bounded samples and broadcast;
+    the full table only streams through the encode/score map_batches
+    stage.  Approximate by design — recall floor asserted in tests,
+    rows-only for the driver."""
+    import ray
+    import pyarrow.parquet as pq
+
+    ivf = IVFIndex().fit_dataset(_read_emb(sf_dir))
+    head = _read_emb(sf_dir).take_batch(4096, batch_format="pyarrow")
+    _, sample = _emb_matrix(head)
+    us = _unit(sample)
+    resid = us - ivf.centroids[ivf.assign(sample)]
+    splits, books = _pq_fit(resid)
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", n_queries)])
+    q_ids, q_mat = _emb_matrix(qt)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], _unit(q_mat[order])
+    probes = np.argsort(-(q_mat @ ivf.centroids.T), axis=1)[:, :n_probe]
+    probe_sets = [set(p.tolist()) for p in probes]
+    lut = np.stack([q_mat[:, idx] @ cent.T
+                    for idx, cent in zip(splits, books)], axis=1)
+    base = q_mat @ ivf.centroids.T          # (n_q, n_clusters)
+    ref = ray.put((q_ids, probe_sets, lut, base,
+                   ivf.centroids, splits, books))
+
+    def encode_and_score(t: pa.Table) -> pa.Table:
+        qids, psets, lut_, base_, cents, splits_, books_ = ray.get(ref)
+        ids, mat = _emb_matrix(t)
+        u = _unit(mat)
+        clusters = np.argmax(u @ cents.T, axis=1)
+        codes = _pq_encode(u - cents[clusters], splits_, books_)
+        adc = np.zeros((len(qids), len(ids)))
+        for j in range(codes.shape[1]):
+            adc += lut_[:, j, codes[:, j]]
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            s = base_[qi, clusters] + adc[qi]
+            in_probe = (np.isin(clusters, list(psets[qi]))
+                        & (ids != qids[qi]))
+            cand_ids, cand_s = ids[in_probe], s[in_probe]
+            if len(cand_ids) > k:
+                top = np.lexsort((cand_ids, -cand_s))[:k]
+                cand_ids, cand_s = cand_ids[top], cand_s[top]
+            out_q.extend([qids[qi]] * len(cand_ids))
+            out_n.extend(cand_ids.tolist())
+            out_s.extend(cand_s.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = _read_emb(sf_dir).map_batches(
+        encode_and_score, batch_format="pyarrow", zero_copy_batch=True)
+    return _rank_merge(partials, k)
 
 
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivfpq_topk": ann_ivfpq_topk,
     "embedding_dims": embedding_dims,
     "embedding_neardup": embedding_neardup,
     "ann_ivf_topk": ann_ivf_topk,

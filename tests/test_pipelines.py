@@ -179,7 +179,7 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
                          "kmeans_assign_embeddings",
                          "lm_score_documents",
                          "bloom_membership_documents",
-                         "ann_sq_topk", "ann_pq_topk"}
+                         "ann_sq_topk", "ann_pq_topk", "ann_ivfpq_topk"}
 
 
 def test_multimodal_retrieval_matches_bruteforce(entry_mod, ray_session):
@@ -295,6 +295,39 @@ def test_pq_recall_vs_exact(entry_mod, ray_session):
         a = set(approx[approx.query_id == q].neighbor_id)
         recalls.append(len(e & a) / len(e))
     assert np.mean(recalls) >= 0.6
+
+
+def test_ivfpq_recall_and_probe_subset(entry_mod, ray_session):
+    """IVF-PQ composes both approximations: recall floor vs exact,
+    and every reported neighbor must come from a probed cluster
+    (checked by recomputing the assignment)."""
+    from mee_ray.pipelines.vector import (IVFIndex, _emb_matrix, _unit,
+                                          ann_ivfpq_topk, knn_bruteforce)
+    import pyarrow.parquet as pq
+
+    exact = knn_bruteforce(SF).to_pandas()
+    approx = ann_ivfpq_topk(SF).to_pandas()
+    recalls = []
+    for q in exact.query_id.unique():
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5
+
+    ds = pq.read_table(f"{SF}/embeddings.parquet",
+                       columns=["vec_id", "embedding"])
+    ids, mat = _emb_matrix(ds)
+    import ray.data
+    ivf = IVFIndex().fit_dataset(
+        ray.data.read_parquet(f"{SF}/embeddings.parquet",
+                              columns=["vec_id", "embedding"]))
+    clusters = dict(zip(ids.tolist(), ivf.assign(mat).tolist()))
+    qmat = _unit(mat[np.argsort(ids)][:5])
+    probes = np.argsort(-(qmat @ ivf.centroids.T), axis=1)[:, :4]
+    for qi, q in enumerate(sorted(approx.query_id.unique())):
+        allowed = set(probes[qi].tolist())
+        for n in approx[approx.query_id == q].neighbor_id:
+            assert clusters[n] in allowed
 
 
 def test_pq_is_deterministic(entry_mod, ray_session):
