@@ -1728,6 +1728,91 @@ def date_histogram_events(sf_dir: str):
     return agg.repartition(1).map_batches(fill, batch_format="pyarrow")
 
 
+def composite_agg_events(sf_dir: str, page_size: int = 64):
+    """ES composite aggregation with after-key paging: buckets keyed
+    (event_type asc, day asc) carrying doc count + exact integer-cent
+    value sums.  Each page is a STATELESS distributed recompute with
+    the after-cursor pushed into the per-batch combiner — rows at or
+    before the cursor never enter a partial aggregate, so per-page
+    work shrinks as paging advances (the ES composite contract:
+    deterministic key order, no server-side scroll state).  Returns
+    the stitched pages, which must reconstruct the full GROUP BY
+    bit-exactly — exactly what the SQL oracle checks."""
+    from ray.data.aggregate import Sum
+
+    def make_bucket(after):
+        def bucket(t: pa.Table) -> pa.Table:
+            us = t["ts"].cast(pa.int64())
+            day = pc.divide(us, pa.scalar(86_400_000_000))
+            if after is not None:
+                a_et, a_day = after
+                keep = pc.or_(
+                    pc.greater(t["event_type"], pa.scalar(a_et)),
+                    pc.and_(pc.equal(t["event_type"], pa.scalar(a_et)),
+                            pc.greater(day, pa.scalar(a_day))))
+                t = t.filter(keep)
+                us = t["ts"].cast(pa.int64())
+                day = pc.divide(us, pa.scalar(86_400_000_000))
+            cents = pc.cast(pc.round(
+                pc.multiply(t["value"], pa.scalar(100.0)),
+                options=pc.RoundOptions(
+                    round_mode="half_towards_infinity")), pa.int64())
+            part = pa.table({"event_type": t["event_type"],
+                             "day_bucket": day.cast(pa.int64()),
+                             "cents": cents})
+            g = part.group_by(["event_type", "day_bucket"]).aggregate(
+                [("cents", "count"), ("cents", "sum")])
+            return g.rename_columns(["event_type", "day_bucket",
+                                     "n_part", "cents_part"])
+        return bucket
+
+    pages = []
+    after = None
+    while True:
+        agg = (_read(sf_dir, "events", ["ts", "event_type", "value"])
+               .map_batches(make_bucket(after), batch_format="pyarrow",
+                            zero_copy_batch=True)
+               .groupby(["event_type", "day_bucket"])
+               .aggregate(Sum("n_part", alias_name="n_events"),
+                          Sum("cents_part",
+                              alias_name="sum_value_cents")))
+        batches = list(agg.iter_batches(batch_format="pyarrow"))
+        t = pa.concat_tables(batches) if batches else None
+        if t is None or t.num_rows == 0:
+            break
+        t = t.take(pc.sort_indices(t, sort_keys=[
+            ("event_type", "ascending"), ("day_bucket", "ascending")]))
+        page = t.slice(0, page_size)
+        pages.append(page)
+        if t.num_rows <= page_size:
+            break
+        after = (page["event_type"][-1].as_py(),
+                 int(page["day_bucket"][-1].as_py()))
+    if not pages:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "day_bucket": pa.array([], pa.int64()),
+                         "n_events": pa.array([], pa.int64()),
+                         "sum_value_cents": pa.array([], pa.int64())})
+    out = pa.concat_tables(pages)
+    return pa.table({"event_type": out["event_type"],
+                     "day_bucket": out["day_bucket"].cast(pa.int64()),
+                     "n_events": out["n_events"].cast(pa.int64()),
+                     "sum_value_cents":
+                         out["sum_value_cents"].cast(pa.int64())})
+
+
+COMPOSITE_AGG_SQL = """
+SELECT event_type,
+       CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day_bucket,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents
+FROM events
+GROUP BY event_type, day_bucket
+ORDER BY event_type, day_bucket
+"""
+
+
 DATE_HISTOGRAM_SQL = """
 WITH b AS (
   SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d,
@@ -2654,6 +2739,7 @@ QUERIES = {
     "distinct_priorities": distinct_priorities,
     "filter_ops_events": filter_ops_events,
     "json_extract_events": json_extract_events,
+    "composite_agg_events": composite_agg_events,
     "scalar_funcs_lineitem": scalar_funcs_lineitem,
     "scalar_dsl_lineitem": scalar_dsl_lineitem,
     "latest_event_per_user": latest_event_per_user,
@@ -2701,6 +2787,7 @@ ORACLE = {
     "distinct_priorities": DISTINCT_SQL,
     "filter_ops_events": FILTER_OPS_SQL,
     "json_extract_events": JSON_EXTRACT_SQL,
+    "composite_agg_events": COMPOSITE_AGG_SQL,
     "scalar_funcs_lineitem": SCALAR_FUNCS_SQL,
     "scalar_dsl_lineitem": SCALAR_DSL_SQL,
     "latest_event_per_user": LATEST_SQL,
