@@ -2168,6 +2168,193 @@ def q14_promo_revenue(sf_dir: str):
                      "promo_share_ppm": pa.array([share], pa.int64())})
 
 
+PR_TARGETS_CENTS = (1_000, 5_000, 20_000)   # $10 / $50 / $200
+
+
+def percentile_ranks_events(sf_dir: str):
+    """ES percentile_ranks aggregation: for each target value, the
+    fraction of events at or below it — the inverse of the quantiles
+    query.  Exact: per-batch (n_le per target, n_total) integer
+    combiners (one tiny row per batch crosses the exchange), one
+    driver division rounded to ppm identically on both sides."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        cents = pc.cast(pc.round(pc.multiply(t["value"],
+                                             pa.scalar(100.0)),
+                                 options=half_away), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({
+            "value_cents": pa.array(PR_TARGETS_CENTS, pa.int64()),
+            "n_le": pa.array([int((cents <= v).sum())
+                              for v in PR_TARGETS_CENTS], pa.int64()),
+            "n_total": pa.array([len(cents)] * len(PR_TARGETS_CENTS),
+                                pa.int64())})
+
+    agg = (_read(sf_dir, "events", ["value"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("value_cents")
+           .aggregate(Sum("n_le", alias_name="n_le"),
+                      Sum("n_total", alias_name="n_total")))
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    v = t["value_cents"].to_numpy(zero_copy_only=False)
+    n_le = t["n_le"].to_numpy(zero_copy_only=False)
+    n_tot = t["n_total"].to_numpy(zero_copy_only=False)
+    ppm = np.round(1_000_000.0 * n_le / np.maximum(n_tot, 1)) \
+        .astype(np.int64)
+    out = pa.table({"value_cents": pa.array(v, pa.int64()),
+                    "n_le": pa.array(n_le, pa.int64()),
+                    "n_total": pa.array(n_tot, pa.int64()),
+                    "rank_ppm": pa.array(ppm, pa.int64())})
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("value_cents", "ascending")]))
+
+
+PERCENTILE_RANKS_SQL = f"""
+WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+t(v) AS (VALUES {", ".join(f"({v})" for v in PR_TARGETS_CENTS)}),
+agg AS (
+  SELECT v,
+         CAST(sum(CASE WHEN cents <= v THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_le,
+         CAST(count(*) AS BIGINT) AS n_total
+  FROM c, t GROUP BY v)
+SELECT CAST(v AS BIGINT) AS value_cents, n_le, n_total,
+       CAST(round(1000000.0 * n_le / n_total) AS BIGINT) AS rank_ppm
+FROM agg ORDER BY value_cents
+"""
+
+
+# ----------------------------------------------------- TPC-H Q7 shape --
+
+def q7_volume_shipping(sf_dir: str):
+    """TPC-H Q7 shape (multi-join: one large×large edge + two
+    broadcast dimension chains): lineitem joins orders through the
+    co-partitioned hash-shuffle join — the ONLY shuffle; the
+    supplier→nation and customer→nation chains collapse to broadcast
+    probe maps (suppkey→nation name, custkey→nation name) built from
+    the small dimension tables.  Revenue by (supp_nation,
+    cust_nation, year) for the two nation pairs, exact integer
+    cents."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    n1, n2 = "NATION_3", "NATION_19"
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+    import pyarrow.parquet as _pq
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(),
+                    nat["n_name"].to_pylist()))
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    cus = _pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+
+    def sorted_map(keys_arr, nk_arr):
+        k = keys_arr.to_numpy(zero_copy_only=False)
+        order = np.argsort(k)
+        names = np.asarray([nmap[x] for x
+                            in nk_arr.to_numpy(zero_copy_only=False)])
+        return k[order], names[order]
+
+    s_keys, s_names = sorted_map(sup["s_suppkey"], sup["s_nationkey"])
+    c_keys, c_names = sorted_map(cus["c_custkey"], cus["c_nationkey"])
+    dim_ref = ray.put((s_keys, s_names, c_keys, c_names))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                       pc.less(t["l_shipdate"], hi))
+        t = t.filter(keep)
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        cents = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), options=half_away), pa.int64())
+        year = pc.year(t["l_shipdate"]).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_suppkey": t["l_suppkey"],
+                         "cents": cents,
+                         "l_year": pa.array(year, pa.int64())})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount", "l_shipdate"])
+          .map_batches(li_partial, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    j = li.join(orders, join_type="inner",
+                num_partitions=max(2, cpus // 2),
+                on=("l_orderkey",), right_on=("o_orderkey",),
+                aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        sk, sn, ck, cn = ray.get(dim_ref)
+        sup_k = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        cus_k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        spos = np.clip(np.searchsorted(sk, sup_k), 0, len(sk) - 1)
+        cpos = np.clip(np.searchsorted(ck, cus_k), 0, len(ck) - 1)
+        s_nat = sn[spos]
+        c_nat = cn[cpos]
+        ok = (((s_nat == n1) & (c_nat == n2))
+              | ((s_nat == n2) & (c_nat == n1)))
+        ok &= (sk[spos] == sup_k) & (ck[cpos] == cus_k)
+        t2 = pa.table({"supp_nation": pa.array(s_nat[ok]),
+                       "cust_nation": pa.array(c_nat[ok]),
+                       "l_year": t["l_year"].filter(pa.array(ok)),
+                       "cents": t["cents"].filter(pa.array(ok))})
+        g = t2.group_by(["supp_nation", "cust_nation", "l_year"]) \
+              .aggregate([("cents", "sum")])
+        return g.rename_columns(["supp_nation", "cust_nation",
+                                 "l_year", "cents_part"])
+
+    agg = (j.map_batches(rev_partial, batch_format="pyarrow")
+           .groupby(["supp_nation", "cust_nation", "l_year"])
+           .aggregate(Sum("cents_part", alias_name="revenue_cents")))
+    batches = list(agg.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table({"supp_nation": pa.array([], pa.string()),
+                         "cust_nation": pa.array([], pa.string()),
+                         "l_year": pa.array([], pa.int64()),
+                         "revenue_cents": pa.array([], pa.int64())})
+    t = pa.concat_tables(batches)
+    t = pa.table({"supp_nation": t["supp_nation"],
+                  "cust_nation": t["cust_nation"],
+                  "l_year": t["l_year"].cast(pa.int64()),
+                  "revenue_cents": t["revenue_cents"].cast(pa.int64())})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("supp_nation", "ascending"), ("cust_nation", "ascending"),
+        ("l_year", "ascending")]))
+
+
+Q7_SQL = """
+SELECT s_nat.n_name AS supp_nation,
+       c_nat.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation s_nat ON s_nat.n_nationkey = s_nationkey
+JOIN nation c_nat ON c_nat.n_nationkey = c_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND ((s_nat.n_name = 'NATION_3' AND c_nat.n_name = 'NATION_19')
+    OR (s_nat.n_name = 'NATION_19' AND c_nat.n_name = 'NATION_3'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
 # ---------------------------------------------------- TPC-H Q13 shape --
 
 def q13_customer_distribution(sf_dir: str):
@@ -2740,6 +2927,8 @@ QUERIES = {
     "filter_ops_events": filter_ops_events,
     "json_extract_events": json_extract_events,
     "composite_agg_events": composite_agg_events,
+    "q7_volume_shipping": q7_volume_shipping,
+    "percentile_ranks_events": percentile_ranks_events,
     "scalar_funcs_lineitem": scalar_funcs_lineitem,
     "scalar_dsl_lineitem": scalar_dsl_lineitem,
     "latest_event_per_user": latest_event_per_user,
@@ -2788,6 +2977,8 @@ ORACLE = {
     "filter_ops_events": FILTER_OPS_SQL,
     "json_extract_events": JSON_EXTRACT_SQL,
     "composite_agg_events": COMPOSITE_AGG_SQL,
+    "q7_volume_shipping": Q7_SQL,
+    "percentile_ranks_events": PERCENTILE_RANKS_SQL,
     "scalar_funcs_lineitem": SCALAR_FUNCS_SQL,
     "scalar_dsl_lineitem": SCALAR_DSL_SQL,
     "latest_event_per_user": LATEST_SQL,

@@ -56,7 +56,8 @@ SQL_CHECKED = [
     "bm25_conjunctive_documents", "stratified_sample_documents",
     "exact_top_terms", "bm25_phrase_documents", "bm25_span_near_documents",
     "bm25_phrase_prefix_documents", "json_extract_events",
-    "composite_agg_events",
+    "composite_agg_events", "q7_volume_shipping",
+    "percentile_ranks_events",
     "bm25_filtered_documents",
     "shuffle_join_lineitem_orders", "bm25_boolean_documents",
     "bm25_facet_counts", "pii_scrub_documents",
