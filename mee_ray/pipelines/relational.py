@@ -1741,9 +1741,16 @@ def composite_agg_events(sf_dir: str, page_size: int = 64):
     from ray.data.aggregate import Sum
 
     def make_bucket(after):
+        def day_of(tbl: pa.Table) -> pa.Array:
+            # numpy floor division, NOT pc.divide (trunc-toward-zero):
+            # pre-epoch timestamps must bucket like date_histogram and
+            # the oracle's floor()
+            us = tbl["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            return pa.array(us // 86_400_000_000, pa.int64())
+
         def bucket(t: pa.Table) -> pa.Table:
-            us = t["ts"].cast(pa.int64())
-            day = pc.divide(us, pa.scalar(86_400_000_000))
+            day = day_of(t)
             if after is not None:
                 a_et, a_day = after
                 keep = pc.or_(
@@ -1751,8 +1758,7 @@ def composite_agg_events(sf_dir: str, page_size: int = 64):
                     pc.and_(pc.equal(t["event_type"], pa.scalar(a_et)),
                             pc.greater(day, pa.scalar(a_day))))
                 t = t.filter(keep)
-                us = t["ts"].cast(pa.int64())
-                day = pc.divide(us, pa.scalar(86_400_000_000))
+                day = day_of(t)
             cents = pc.cast(pc.round(
                 pc.multiply(t["value"], pa.scalar(100.0)),
                 options=pc.RoundOptions(
@@ -2202,7 +2208,9 @@ def percentile_ranks_events(sf_dir: str):
     v = t["value_cents"].to_numpy(zero_copy_only=False)
     n_le = t["n_le"].to_numpy(zero_copy_only=False)
     n_tot = t["n_total"].to_numpy(zero_copy_only=False)
-    ppm = np.round(1_000_000.0 * n_le / np.maximum(n_tot, 1)) \
+    # np.round is half-to-even; SQL round() is half-away — ppm ≥ 0 so
+    # floor(x + 0.5) IS half-away here (the repo's exactness rule)
+    ppm = np.floor(1_000_000.0 * n_le / np.maximum(n_tot, 1) + 0.5) \
         .astype(np.int64)
     out = pa.table({"value_cents": pa.array(v, pa.int64()),
                     "n_le": pa.array(n_le, pa.int64()),
@@ -2256,16 +2264,21 @@ def q7_volume_shipping(sf_dir: str):
     cus = _pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_nationkey"])
 
+    # broadcast compact int64 key→nationkey maps (the Q5 precedent);
+    # names resolve ONCE on the tiny final aggregate, never per row —
+    # a |customer|-sized unicode broadcast is pure object-store waste
+    rev = {v: k for k, v in nmap.items()}
+    nk1, nk2 = rev[n1], rev[n2]
+
     def sorted_map(keys_arr, nk_arr):
         k = keys_arr.to_numpy(zero_copy_only=False)
         order = np.argsort(k)
-        names = np.asarray([nmap[x] for x
-                            in nk_arr.to_numpy(zero_copy_only=False)])
-        return k[order], names[order]
+        nk = nk_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        return k[order], nk[order]
 
-    s_keys, s_names = sorted_map(sup["s_suppkey"], sup["s_nationkey"])
-    c_keys, c_names = sorted_map(cus["c_custkey"], cus["c_nationkey"])
-    dim_ref = ray.put((s_keys, s_names, c_keys, c_names))
+    s_keys, s_nk = sorted_map(sup["s_suppkey"], sup["s_nationkey"])
+    c_keys, c_nk = sorted_map(cus["c_custkey"], cus["c_nationkey"])
+    dim_ref = ray.put((s_keys, s_nk, c_keys, c_nk))
 
     def li_partial(t: pa.Table) -> pa.Table:
         keep = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
@@ -2296,27 +2309,27 @@ def q7_volume_shipping(sf_dir: str):
                 aggregator_ray_remote_args={"num_cpus": 0.5})
 
     def rev_partial(t: pa.Table) -> pa.Table:
-        sk, sn, ck, cn = ray.get(dim_ref)
+        sk, snk, ck, cnk = ray.get(dim_ref)
         sup_k = t["l_suppkey"].to_numpy(zero_copy_only=False)
         cus_k = t["o_custkey"].to_numpy(zero_copy_only=False)
         spos = np.clip(np.searchsorted(sk, sup_k), 0, len(sk) - 1)
         cpos = np.clip(np.searchsorted(ck, cus_k), 0, len(ck) - 1)
-        s_nat = sn[spos]
-        c_nat = cn[cpos]
-        ok = (((s_nat == n1) & (c_nat == n2))
-              | ((s_nat == n2) & (c_nat == n1)))
+        s_nat = snk[spos]
+        c_nat = cnk[cpos]
+        ok = (((s_nat == nk1) & (c_nat == nk2))
+              | ((s_nat == nk2) & (c_nat == nk1)))
         ok &= (sk[spos] == sup_k) & (ck[cpos] == cus_k)
-        t2 = pa.table({"supp_nation": pa.array(s_nat[ok]),
-                       "cust_nation": pa.array(c_nat[ok]),
+        t2 = pa.table({"supp_nk": pa.array(s_nat[ok], pa.int64()),
+                       "cust_nk": pa.array(c_nat[ok], pa.int64()),
                        "l_year": t["l_year"].filter(pa.array(ok)),
                        "cents": t["cents"].filter(pa.array(ok))})
-        g = t2.group_by(["supp_nation", "cust_nation", "l_year"]) \
+        g = t2.group_by(["supp_nk", "cust_nk", "l_year"]) \
               .aggregate([("cents", "sum")])
-        return g.rename_columns(["supp_nation", "cust_nation",
+        return g.rename_columns(["supp_nk", "cust_nk",
                                  "l_year", "cents_part"])
 
     agg = (j.map_batches(rev_partial, batch_format="pyarrow")
-           .groupby(["supp_nation", "cust_nation", "l_year"])
+           .groupby(["supp_nk", "cust_nk", "l_year"])
            .aggregate(Sum("cents_part", alias_name="revenue_cents")))
     batches = list(agg.iter_batches(batch_format="pyarrow"))
     if not batches:
@@ -2325,8 +2338,12 @@ def q7_volume_shipping(sf_dir: str):
                          "l_year": pa.array([], pa.int64()),
                          "revenue_cents": pa.array([], pa.int64())})
     t = pa.concat_tables(batches)
-    t = pa.table({"supp_nation": t["supp_nation"],
-                  "cust_nation": t["cust_nation"],
+    t = pa.table({"supp_nation": pa.array(
+                      [nmap[x] for x in t["supp_nk"].to_pylist()],
+                      pa.string()),
+                  "cust_nation": pa.array(
+                      [nmap[x] for x in t["cust_nk"].to_pylist()],
+                      pa.string()),
                   "l_year": t["l_year"].cast(pa.int64()),
                   "revenue_cents": t["revenue_cents"].cast(pa.int64())})
     return t.take(pc.sort_indices(t, sort_keys=[

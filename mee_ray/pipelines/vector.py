@@ -292,7 +292,10 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
             in_probe = np.isin(clusters, list(psets[qi])) & (ids != qids[qi])
             cid, cs = ids[in_probe], sims[in_probe, qi]
             if len(cid) > k:
-                top = np.argpartition(-cs, k)[:k]
+                # tie-aware local top-k (same key as the global merge)
+                # — argpartition keeps an ARBITRARY subset among equal
+                # boundary sims, making output depend on Ray batching
+                top = np.lexsort((cid, -cs))[:k]
                 cid, cs = cid[top], cs[top]
             out_q.extend([qids[qi]] * len(cid))
             out_n.extend(cid.tolist())
@@ -423,7 +426,10 @@ def _pq_fit(sample: np.ndarray, m: int = PQ_SUBSPACES,
         k_eff = min(ks, len(sub))
         cent = sub[rng.choice(len(sub), size=k_eff, replace=False)]
         for _ in range(n_iter):
-            d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            # argmin ||x−c||² = argmin (||c||² − 2x·cᵀ): one (n, k)
+            # matmul, never the (n, k, d_sub) broadcast-difference
+            # tensor (which is ~4 KB/row transient at k=128)
+            d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
             assign = d2.argmin(axis=1)
             for c in range(k_eff):
                 hit = assign == c
@@ -437,7 +443,7 @@ def _pq_encode(mat: np.ndarray, splits, books) -> np.ndarray:
     codes = np.empty((len(mat), len(splits)), dtype=np.uint8)
     for j, (idx, cent) in enumerate(zip(splits, books)):
         sub = mat[:, idx]
-        d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        d2 = (cent * cent).sum(axis=1)[None, :] - 2.0 * (sub @ cent.T)
         codes[:, j] = d2.argmin(axis=1)
     return codes
 
@@ -515,11 +521,13 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     import ray
     import pyarrow.parquet as pq
 
-    ivf = IVFIndex().fit_dataset(_read_emb(sf_dir))
+    # ONE bounded prefix read feeds both fits; assignment reuses the
+    # already-normalized sample (ivf.assign would re-normalize)
     head = _read_emb(sf_dir).take_batch(4096, batch_format="pyarrow")
     _, sample = _emb_matrix(head)
+    ivf = IVFIndex().fit(sample)
     us = _unit(sample)
-    resid = us - ivf.centroids[ivf.assign(sample)]
+    resid = us - ivf.centroids[np.argmax(us @ ivf.centroids.T, axis=1)]
     splits, books = _pq_fit(resid)
 
     qt = pq.read_table(f"{sf_dir}/embeddings.parquet",

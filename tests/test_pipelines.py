@@ -324,10 +324,16 @@ def test_ivfpq_recall_and_probe_subset(entry_mod, ray_session):
         ray.data.read_parquet(f"{SF}/embeddings.parquet",
                               columns=["vec_id", "embedding"]))
     clusters = dict(zip(ids.tolist(), ivf.assign(mat).tolist()))
-    qmat = _unit(mat[np.argsort(ids)][:5])
+    # key probes BY QUERY ID: positional enumerate misaligns if a
+    # query reports zero neighbors
+    q_order = np.argsort(ids)
+    q_ids = ids[q_order][:5]
+    qmat = _unit(mat[q_order][:5])
     probes = np.argsort(-(qmat @ ivf.centroids.T), axis=1)[:, :4]
-    for qi, q in enumerate(sorted(approx.query_id.unique())):
-        allowed = set(probes[qi].tolist())
+    probe_by_q = {int(q): set(p.tolist())
+                  for q, p in zip(q_ids, probes)}
+    for q in approx.query_id.unique():
+        allowed = probe_by_q[int(q)]
         for n in approx[approx.query_id == q].neighbor_id:
             assert clusters[n] in allowed
 
