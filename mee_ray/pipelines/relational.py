@@ -2372,6 +2372,194 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+# ---------------------------------------------------- TPC-H Q15 shape --
+
+def q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 shape (argmax over an aggregate view, ties kept):
+    revenue per supplier from one partial-agg groupby (per-batch
+    supplier sums, one row per supplier crosses the exchange), then
+    the max and the equality filter run on the reduced table — the
+    'create view + where total = (select max)' plan with no second
+    scan of the fact table."""
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64("1996-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1996-04-01", "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                       pc.less(t["l_shipdate"], hi))
+        t = t.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), options=half_away), pa.int64())
+        t2 = pa.table({"l_suppkey": t["l_suppkey"], "cents": cents})
+        g = t2.group_by("l_suppkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["l_suppkey", "cents_part"])
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_suppkey", "l_extendedprice", "l_discount",
+                  "l_shipdate"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("l_suppkey")
+           .aggregate(Sum("cents_part", alias_name="total_revenue_cents")))
+    batches = list(agg.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_revenue_cents": pa.array([], pa.int64())})
+    t = pa.concat_tables(batches)
+    rev = t["total_revenue_cents"].to_numpy(zero_copy_only=False)
+    best = t.filter(pa.array(rev == rev.max()))
+    import pyarrow.parquet as _pq
+    sup = _pq.read_table(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"],
+        filters=[("s_suppkey", "in",
+                  sorted(best["l_suppkey"].to_pylist()))])
+    smap = dict(zip(sup["s_suppkey"].to_pylist(),
+                    sup["s_name"].to_pylist()))
+    out = pa.table({
+        "s_suppkey": best["l_suppkey"].cast(pa.int64()),
+        "s_name": pa.array([smap[x] for x
+                            in best["l_suppkey"].to_pylist()],
+                           pa.string()),
+        "total_revenue_cents":
+            best["total_revenue_cents"].cast(pa.int64())})
+    return out.take(pc.sort_indices(out, sort_keys=[
+        ("s_suppkey", "ascending")]))
+
+
+Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_revenue_cents
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_revenue_cents
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue_cents = (SELECT max(total_revenue_cents)
+                             FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+# ---------------------------------------------------- TPC-H Q17 shape --
+
+def q17_small_quantity_revenue(sf_dir: str):
+    """TPC-H Q17 shape (correlated per-key average threshold): the
+    per-part quantity average is computed as EXACT integer pairs
+    (sum_q100, n) in one partial-agg groupby over the brand-filtered
+    lineitems, joined back by broadcast; the threshold test is the
+    cross-multiplication ``5·q·n < sum_q100`` (0.2·avg without float
+    division — quantities carried ×100).  Revenue of qualifying rows
+    ÷ 7, returned as exact integer milli-cents-per-7."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    brand = "Brand#23"
+
+    pt = pa.concat_tables(list(
+        _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        .iter_batches(batch_format="pyarrow")))
+    keep = pc.equal(pt["p_brand"], brand)
+    bkeys = np.sort(pt.filter(keep)["p_partkey"].to_numpy(
+        zero_copy_only=False))
+    bref = ray.put(bkeys)
+
+    def q_partial(t: pa.Table) -> pa.Table:
+        bk = ray.get(bref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(bk) == 0:
+            hit = np.zeros(len(pk), dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(bk, pk), 0, len(bk) - 1)
+            hit = bk[pos] == pk
+        q100 = np.floor(t["l_quantity"].to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        t2 = pa.table({"l_partkey": pa.array(pk[hit], pa.int64()),
+                       "q100": pa.array(q100[hit], pa.int64()),
+                       "one": pa.array(np.ones(int(hit.sum()),
+                                               np.int64))})
+        g = t2.group_by("l_partkey").aggregate(
+            [("q100", "sum"), ("one", "sum")])
+        return g.rename_columns(["l_partkey", "sum_q100", "n"])
+
+    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
+    avg_t = pa.concat_tables(list(
+        (_read(sf_dir, "lineitem", li_cols)
+         .map_batches(q_partial, batch_format="pyarrow",
+                      zero_copy_batch=True)
+         .groupby("l_partkey")
+         .aggregate(Sum("sum_q100", alias_name="sum_q100"),
+                    Sum("n", alias_name="n")))
+        .iter_batches(batch_format="pyarrow")))
+    ak = avg_t["l_partkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(ak)
+    avg_ref = ray.put((
+        ak[order],
+        avg_t["sum_q100"].to_numpy(zero_copy_only=False)[order],
+        avg_t["n"].to_numpy(zero_copy_only=False)[order]))
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        keys, sq, n = ray.get(avg_ref)
+        pk = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            hit = np.zeros(len(pk), dtype=bool)
+            pos = np.zeros(len(pk), dtype=np.int64)
+        else:
+            pos = np.clip(np.searchsorted(keys, pk), 0, len(keys) - 1)
+            hit = keys[pos] == pk
+        q100 = np.floor(t["l_quantity"].to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        # qty < 0.2 · (sum_q100/100)/n  ⇔  5·q100·n < sum_q100·100
+        ok = hit & (5 * q100 * n[pos] < sq[pos] * 100)
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        cents = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0)),
+            options=half_away), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        return pa.table({"cents": pa.array([int(cents[ok].sum())],
+                                           pa.int64())})
+
+    agg = (_read(sf_dir, "lineitem", li_cols)
+           .map_batches(rev_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .aggregate(Sum("cents", alias_name="cents")))
+    total = int(agg["cents"] or 0)
+    # avg yearly = sum/7: carry ×1000 to stay integer-exact
+    half = np.floor(1000.0 * total / 7.0 + 0.5)
+    return pa.table({"sum_cents": pa.array([total], pa.int64()),
+                     "avg_yearly_millicents":
+                         pa.array([int(half)], pa.int64())})
+
+
+Q17_SQL = """
+WITH avg_q AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS sum_q100,
+         CAST(count(*) AS BIGINT) AS n
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_brand = 'Brand#23'
+  GROUP BY l_partkey),
+hits AS (
+  SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+  FROM lineitem
+  JOIN avg_q ON avg_q.l_partkey = lineitem.l_partkey
+  WHERE 5 * CAST(round(l_quantity * 100) AS BIGINT) * n < sum_q100 * 100)
+SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents,
+       CAST(round(1000.0 * coalesce(sum(cents), 0) / 7.0) AS BIGINT)
+         AS avg_yearly_millicents
+FROM hits
+"""
+
+
 # ---------------------------------------------------- TPC-H Q13 shape --
 
 def q13_customer_distribution(sf_dir: str):
@@ -2946,6 +3134,8 @@ QUERIES = {
     "composite_agg_events": composite_agg_events,
     "q7_volume_shipping": q7_volume_shipping,
     "percentile_ranks_events": percentile_ranks_events,
+    "q15_top_supplier": q15_top_supplier,
+    "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "scalar_funcs_lineitem": scalar_funcs_lineitem,
     "scalar_dsl_lineitem": scalar_dsl_lineitem,
     "latest_event_per_user": latest_event_per_user,
@@ -2996,6 +3186,8 @@ ORACLE = {
     "composite_agg_events": COMPOSITE_AGG_SQL,
     "q7_volume_shipping": Q7_SQL,
     "percentile_ranks_events": PERCENTILE_RANKS_SQL,
+    "q15_top_supplier": Q15_SQL,
+    "q17_small_quantity_revenue": Q17_SQL,
     "scalar_funcs_lineitem": SCALAR_FUNCS_SQL,
     "scalar_dsl_lineitem": SCALAR_DSL_SQL,
     "latest_event_per_user": LATEST_SQL,
