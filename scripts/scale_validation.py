@@ -79,6 +79,7 @@ def main() -> int:
                for q in qset)
 
     n_phrase = None
+    n_span = None
     if positions:
         # exact-phrase identity at scale: consecutive-token bigrams
         # sampled from real docs (guaranteed hits) + shuffled variants
@@ -94,6 +95,15 @@ def main() -> int:
         n_phrase = sum(
             s.search_phrase(ph, 10) == oi.search_phrase(ph, 10)
             for ph in probes), len(probes)
+        # span_near identity at scale: the same probes at slop 1–3
+        # (gapped bigrams sampled from real docs would also hit, but
+        # slop>0 over adjacent/shuffled bigrams already exercises the
+        # reachable-set matcher against the chain-search oracle)
+        span_probes = [(ph, 1 + i % 3) for i, ph in enumerate(probes)]
+        n_span = sum(
+            s.search_span_near(ph, slop, 10)
+            == oi.search_span_near(ph, slop, 10)
+            for ph, slop in span_probes), len(span_probes)
 
     # dynamic salting actually fired?
     dyn_chunks = 0
@@ -150,6 +160,8 @@ def main() -> int:
         "files_per_sec": round(manifest["n_docs"] / build_sec, 1),
         "codec": "pfor", "dedup_mode": "shuffle",
         "positions": positions,
+        "span_near_identity": (f"{n_span[0]}/{n_span[1]}"
+                               if n_span else None),
         "phrase_identity": (f"{n_phrase[0]}/{n_phrase[1]}"
                             if n_phrase else None),
         "dynamic_salted_chunks": dyn_chunks,
