@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _read_emb(sf_dir: str):
@@ -574,10 +575,167 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     return _rank_merge(partials, k)
 
 
+def knn_filtered(sf_dir: str, n_queries: int = 5, k: int = 10,
+                 label: int = 1):
+    """Filtered vector search (ES kNN with a filter clause): exact
+    cosine top-k restricted to vectors with the given label — the
+    filter is pushed into the per-batch mask BEFORE scoring work is
+    spent, the same restrict-never-rescale stance as the BM25
+    filter-context path.  Exact, SQL-oracled."""
+    import ray
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", n_queries)])
+    q_ids, q_mat = _emb_matrix(qt)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], _unit(q_mat[order])
+    ref = ray.put((q_ids, q_mat))
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        qids, qm = ray.get(ref)
+        t = t.filter(pc.equal(t["label"], pa.scalar(label)))
+        if t.num_rows == 0:   # reshape(0, -1) would fail in _emb_matrix
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        ids, mat = _emb_matrix(t)
+        sims = _unit(mat) @ qm.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            s = sims[:, qi]
+            mask = ids != qids[qi]
+            cand_ids, cand_s = ids[mask], s[mask]
+            if len(cand_ids) > k:
+                top = np.lexsort((cand_ids, -cand_s))[:k]
+                cand_ids, cand_s = cand_ids[top], cand_s[top]
+            out_q.extend([qids[qi]] * len(cand_ids))
+            out_n.extend(cand_ids.tolist())
+            out_s.extend(cand_s.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    import ray.data
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+    partials = ds.map_batches(batch_topk, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return _rank_merge(partials, k)
+
+
+KNN_FILTERED_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 5),
+     s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(e.embedding, q.qe) AS sim
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.query_id AND e.label = 1)
+SELECT query_id, rank, neighbor_id
+FROM (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+WHERE rank <= 10
+"""
+
+
+def knn_grouped(sf_dir: str, n_queries: int = 3, k: int = 3):
+    """Grouped vector search (diversified retrieval: top-k PER label
+    per query — the ES collapse/inner_hits analog on the vector
+    side): per-batch ≤k-per-(query,label) combiners, tiny driver
+    merge keyed (query, label).  Exact, SQL-oracled."""
+    import ray
+    import pyarrow.parquet as pq
+
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", n_queries)])
+    q_ids, q_mat = _emb_matrix(qt)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], _unit(q_mat[order])
+    ref = ray.put((q_ids, q_mat))
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        qids, qm = ray.get(ref)
+        ids, mat = _emb_matrix(t)
+        labels = t["label"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sims = _unit(mat) @ qm.T
+        out_q, out_l, out_n, out_s = [], [], [], []
+        for qi in range(len(qids)):
+            s = sims[:, qi]
+            mask = ids != qids[qi]
+            cid, cl, cs = ids[mask], labels[mask], s[mask]
+            # ≤k per label: one lexsort by (label, -sim, id) +
+            # segmented rank over label runs
+            order2 = np.lexsort((cid, -cs, cl))
+            cl_s = cl[order2]
+            new = np.ones(len(cl_s), dtype=bool)
+            new[1:] = cl_s[1:] != cl_s[:-1]
+            pos = np.arange(len(cl_s))
+            start = np.maximum.accumulate(np.where(new, pos, 0))
+            keep = (pos - start) < k
+            sel = order2[keep]
+            out_q.extend([qids[qi]] * len(sel))
+            out_l.extend(cl[sel].tolist())
+            out_n.extend(cid[sel].tolist())
+            out_s.extend(cs[sel].tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "label": pa.array(out_l, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    import ray.data
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["vec_id", "embedding", "label"])
+    partials = ds.map_batches(batch_topk, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    all_rows = pa.concat_tables(
+        list(partials.iter_batches(batch_format="pyarrow",
+                                   batch_size=1 << 20)))
+    qs = all_rows["query_id"].to_numpy(zero_copy_only=False)
+    ls = all_rows["label"].to_numpy(zero_copy_only=False)
+    ns = all_rows["neighbor_id"].to_numpy(zero_copy_only=False)
+    ss = all_rows["sim"].to_numpy(zero_copy_only=False)
+    out = {"query_id": [], "label": [], "rank": [], "neighbor_id": []}
+    for q in np.unique(qs):
+        for lb in np.unique(ls[qs == q]):
+            m = (qs == q) & (ls == lb)
+            order3 = np.lexsort((ns[m], -ss[m]))[:k]
+            n_sel = ns[m][order3]
+            out["query_id"].extend([int(q)] * len(n_sel))
+            out["label"].extend([int(lb)] * len(n_sel))
+            out["rank"].extend(range(1, len(n_sel) + 1))
+            out["neighbor_id"].extend(n_sel.tolist())
+    return pa.table({k2: pa.array(v, pa.int64())
+                     for k2, v in out.items()})
+
+
+KNN_GROUPED_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings WHERE vec_id < 3),
+     s AS (SELECT q.query_id, CAST(e.label AS BIGINT) AS label,
+                  e.vec_id AS neighbor_id,
+                  list_cosine_similarity(e.embedding, q.qe) AS sim
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.query_id)
+SELECT query_id, label, rank, neighbor_id
+FROM (SELECT query_id, label, neighbor_id,
+             row_number() OVER (PARTITION BY query_id, label
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+WHERE rank <= 3
+"""
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
+    "knn_filtered": knn_filtered,
+    "knn_grouped": knn_grouped,
     "embedding_dims": embedding_dims,
     "embedding_neardup": embedding_neardup,
     "ann_ivf_topk": ann_ivf_topk,
@@ -587,6 +745,8 @@ QUERIES = {
 
 ORACLE = {
     "knn_bruteforce": KNN_SQL,
+    "knn_filtered": KNN_FILTERED_SQL,
+    "knn_grouped": KNN_GROUPED_SQL,
     "embedding_dims": EMB_DIMS_SQL,
     # embedding_neardup / ann_ivf_topk: rows-only (pair set depends on
     # float ULPs at the τ boundary / approximation by design)

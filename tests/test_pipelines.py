@@ -58,7 +58,7 @@ SQL_CHECKED = [
     "bm25_phrase_prefix_documents", "json_extract_events",
     "composite_agg_events", "q7_volume_shipping",
     "percentile_ranks_events", "q15_top_supplier",
-    "q17_small_quantity_revenue",
+    "q17_small_quantity_revenue", "knn_filtered", "knn_grouped",
     "bm25_filtered_documents",
     "shuffle_join_lineitem_orders", "bm25_boolean_documents",
     "bm25_facet_counts", "pii_scrub_documents",
