@@ -1233,9 +1233,72 @@ FROM starts
 """
 
 
+# --------------------------------------------- corpus curation chain --
+
+CURATE_MIN_TOKENS = 20
+
+
+def curate_documents(sf_dir: str):
+    """The composed curation chain of a training-data pipeline (the
+    C4 shape): language filter → minimum-length filter → exact dedup
+    keep-lowest-id, in ONE streamed pass + one groupby.  Cheap
+    columnar filters run BEFORE tokenization (rows that fail the lang
+    gate are never tokenized), only (fp, doc_id, n_tokens) rows cross
+    the shuffle, and duplicates share identical text so n_tokens is
+    constant per fingerprint group."""
+    from ray.data.aggregate import Min
+
+    class Stage(TextStats):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["lang"], "en"))
+            fps, ids, ntoks = [], [], []
+            for d, x in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist()):
+                n = len(self.tokens(x))
+                if n >= CURATE_MIN_TOKENS:
+                    fps.append(hashlib.md5(x.encode()).hexdigest())
+                    ids.append(d)
+                    ntoks.append(n)
+            return pa.table({"fp": pa.array(fps, pa.string()),
+                             "doc_id": pa.array(ids, pa.int64()),
+                             "n_tokens": pa.array(ntoks, pa.int64())})
+
+    surv = (_read_docs(sf_dir, ["doc_id", "text", "lang"])
+            .map_batches(Stage(), batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("fp")
+            .aggregate(Min("doc_id", alias_name="doc_id"),
+                       Min("n_tokens", alias_name="n_tokens")))
+    batches = list(surv.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_tokens": pa.array([], pa.int64())})
+    t = pa.concat_tables(batches).select(["doc_id", "n_tokens"])
+    t = pa.table({"doc_id": t["doc_id"].cast(pa.int64()),
+                  "n_tokens": t["n_tokens"].cast(pa.int64())})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("doc_id", "ascending")]))
+
+
+CURATE_SQL = f"""
+WITH passing AS (
+  SELECT doc_id, md5(text) AS fp,
+         len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+           AS n_tokens
+  FROM documents
+  WHERE lang = 'en'),
+pass2 AS (SELECT * FROM passing WHERE n_tokens >= {CURATE_MIN_TOKENS}),
+keep AS (SELECT fp, min(doc_id) AS doc_id FROM pass2 GROUP BY fp)
+SELECT p.doc_id, p.n_tokens
+FROM pass2 p JOIN keep k ON k.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 QUERIES = {
     "doc_token_counts": doc_token_counts,
     "chunk_documents": chunk_documents,
+    "curate_documents": curate_documents,
     "stratified_sample_documents": stratified_sample_documents,
     "doc_term_df": doc_term_df,
     "doc_fingerprint": doc_fingerprint,
@@ -1258,6 +1321,7 @@ QUERIES = {
 ORACLE = {
     "doc_token_counts": TOKEN_COUNTS_SQL,
     "chunk_documents": CHUNK_SQL,
+    "curate_documents": CURATE_SQL,
     "doc_term_df": TERM_DF_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
