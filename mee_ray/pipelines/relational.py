@@ -2490,15 +2490,21 @@ def q17_small_quantity_revenue(sf_dir: str):
             [("q100", "sum"), ("one", "sum")])
         return g.rename_columns(["l_partkey", "sum_q100", "n"])
 
-    li_cols = ["l_partkey", "l_quantity", "l_extendedprice"]
-    avg_t = pa.concat_tables(list(
-        (_read(sf_dir, "lineitem", li_cols)
+    # pass 1 reads only the two columns it uses; l_extendedprice is
+    # decoded only by the revenue pass
+    avg_batches = list(
+        (_read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
          .map_batches(q_partial, batch_format="pyarrow",
                       zero_copy_batch=True)
          .groupby("l_partkey")
          .aggregate(Sum("sum_q100", alias_name="sum_q100"),
                     Sum("n", alias_name="n")))
-        .iter_batches(batch_format="pyarrow")))
+        .iter_batches(batch_format="pyarrow"))
+    if not avg_batches:   # brand matches nothing → sum is 0, like the
+        return pa.table({  # oracle's coalesce(sum(cents), 0)
+            "sum_cents": pa.array([0], pa.int64()),
+            "avg_yearly_millicents": pa.array([0], pa.int64())})
+    avg_t = pa.concat_tables(avg_batches)
     ak = avg_t["l_partkey"].to_numpy(zero_copy_only=False)
     order = np.argsort(ak)
     avg_ref = ray.put((
@@ -2517,8 +2523,8 @@ def q17_small_quantity_revenue(sf_dir: str):
             hit = keys[pos] == pk
         q100 = np.floor(t["l_quantity"].to_numpy(
             zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
-        # qty < 0.2 · (sum_q100/100)/n  ⇔  5·q100·n < sum_q100·100
-        ok = hit & (5 * q100 * n[pos] < sq[pos] * 100)
+        # qty < 0.2·avg  ⇔  q100/100 < (sq/100)/(5n)  ⇔  5·q100·n < sq
+        ok = hit & (5 * q100 * n[pos] < sq[pos])
         half_away = pc.RoundOptions(round_mode="half_towards_infinity")
         cents = pc.cast(pc.round(pc.multiply(
             t["l_extendedprice"], pa.scalar(100.0)),
@@ -2527,7 +2533,8 @@ def q17_small_quantity_revenue(sf_dir: str):
         return pa.table({"cents": pa.array([int(cents[ok].sum())],
                                            pa.int64())})
 
-    agg = (_read(sf_dir, "lineitem", li_cols)
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_partkey", "l_quantity", "l_extendedprice"])
            .map_batches(rev_partial, batch_format="pyarrow",
                         zero_copy_batch=True)
            .aggregate(Sum("cents", alias_name="cents")))
@@ -2552,7 +2559,7 @@ hits AS (
   SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
   FROM lineitem
   JOIN avg_q ON avg_q.l_partkey = lineitem.l_partkey
-  WHERE 5 * CAST(round(l_quantity * 100) AS BIGINT) * n < sum_q100 * 100)
+  WHERE 5 * CAST(round(l_quantity * 100) AS BIGINT) * n < sum_q100)
 SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS sum_cents,
        CAST(round(1000.0 * coalesce(sum(cents), 0) / 7.0) AS BIGINT)
          AS avg_yearly_millicents

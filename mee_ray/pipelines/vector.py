@@ -39,6 +39,20 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / n
 
 
+def _load_queries(sf_dir: str, n_queries: int
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted query ids, unit-normalized query matrix) for the
+    vec_id < n_queries convention shared by the ANN family — one
+    pruned row-filtered read, never a full-table scan."""
+    import pyarrow.parquet as pq
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
+                       columns=["vec_id", "embedding"],
+                       filters=[("vec_id", "<", n_queries)])
+    q_ids, q_mat = _emb_matrix(qt)
+    order = np.argsort(q_ids)
+    return q_ids[order], _unit(q_mat[order])
+
+
 def _rank_merge(partials, k: int) -> pa.Table:
     """Driver merge shared by the ANN family: per-batch (query_id,
     neighbor_id, sim) top-k partials → global (query_id, rank,
@@ -69,12 +83,7 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
     import ray
     import pyarrow.parquet as pq
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "<", n_queries)])
-    q_ids, q_mat = _emb_matrix(qt)
-    order = np.argsort(q_ids)
-    q_ids, q_mat = q_ids[order], _unit(q_mat[order])
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
     ref = ray.put((q_ids, q_mat))
 
     def batch_topk(t: pa.Table) -> pa.Table:
@@ -271,12 +280,7 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     ivf = IVFIndex().fit_dataset(_read_emb(sf_dir))
     cent_ref = ray.put(ivf.centroids)
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "<", n_queries)])
-    q_ids, q_mat = _emb_matrix(qt)
-    q_order = np.argsort(q_ids)
-    q_ids, q_mat = q_ids[q_order], _unit(q_mat[q_order])
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
     probes = np.argsort(-(q_mat @ ivf.centroids.T), axis=1)[:, :n_probe]
     probe_sets = [set(p.tolist()) for p in probes]
     q_ref = ray.put((q_ids, q_mat, probe_sets))
@@ -373,14 +377,9 @@ def ann_sq_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     _, sample = _emb_matrix(head)
     lo, scale = _sq_params(_unit(sample))
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "<", n_queries)])
-    q_ids, q_mat = _emb_matrix(qt)
-    order = np.argsort(q_ids)
-    q_ids = q_ids[order]
+    q_ids, q_unit = _load_queries(sf_dir, n_queries)
     # queries quantized through the SAME codec: symmetric distance
-    qq = _sq_encode(_unit(q_mat[order]), lo, scale)
+    qq = _sq_encode(q_unit, lo, scale)
     q_deq = qq.astype(np.float64) * scale + lo
     ref = ray.put((q_ids, q_deq, lo, scale))
 
@@ -467,12 +466,7 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     _, sample = _emb_matrix(head)
     splits, books = _pq_fit(_unit(sample))
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "<", n_queries)])
-    q_ids, q_mat = _emb_matrix(qt)
-    order = np.argsort(q_ids)
-    q_ids, q_mat = q_ids[order], _unit(q_mat[order])
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
     # per-query LUT: (n_q, m, ks) inner products vs each codebook entry
     lut = np.stack([q_mat[:, idx] @ cent.T
                     for idx, cent in zip(splits, books)], axis=1)
@@ -531,12 +525,7 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     resid = us - ivf.centroids[np.argmax(us @ ivf.centroids.T, axis=1)]
     splits, books = _pq_fit(resid)
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "<", n_queries)])
-    q_ids, q_mat = _emb_matrix(qt)
-    order = np.argsort(q_ids)
-    q_ids, q_mat = q_ids[order], _unit(q_mat[order])
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
     probes = np.argsort(-(q_mat @ ivf.centroids.T), axis=1)[:, :n_probe]
     probe_sets = [set(p.tolist()) for p in probes]
     lut = np.stack([q_mat[:, idx] @ cent.T
@@ -585,12 +574,7 @@ def knn_filtered(sf_dir: str, n_queries: int = 5, k: int = 10,
     import ray
     import pyarrow.parquet as pq
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "<", n_queries)])
-    q_ids, q_mat = _emb_matrix(qt)
-    order = np.argsort(q_ids)
-    q_ids, q_mat = q_ids[order], _unit(q_mat[order])
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
     ref = ray.put((q_ids, q_mat))
 
     def batch_topk(t: pa.Table) -> pa.Table:
@@ -649,12 +633,7 @@ def knn_grouped(sf_dir: str, n_queries: int = 3, k: int = 3):
     import ray
     import pyarrow.parquet as pq
 
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"],
-                       filters=[("vec_id", "<", n_queries)])
-    q_ids, q_mat = _emb_matrix(qt)
-    order = np.argsort(q_ids)
-    q_ids, q_mat = q_ids[order], _unit(q_mat[order])
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
     ref = ray.put((q_ids, q_mat))
 
     def batch_topk(t: pa.Table) -> pa.Table:

@@ -1134,3 +1134,46 @@ def test_keys_for_doc_ids_fails_loudly_on_missing_added_docs(tmp_path):
     with _pytest.raises(FileNotFoundError):
         _keys_for_doc_ids(str(tmp_path), manifest,
                           np.array([1], dtype=np.int64))
+
+
+def test_q17_threshold_is_selective(ray_session, tmp_path):
+    """q < 0.2·avg with a hand-computed answer: quantities
+    [1, 100, 100, 100] → avg 75.25, threshold 15.05 — ONLY the qty-1
+    row qualifies.  Guards the cross-multiplication (a ×100 slip made
+    the filter vacuous and the embedded oracle agreed with it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.relational import q17_small_quantity_revenue
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([7, 8], pa.int64()),
+        "p_brand": pa.array(["Brand#23", "Brand#11"])}),
+        f"{sf}/part.parquet")
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([7, 7, 7, 7, 8], pa.int64()),
+        "l_quantity": pa.array([1.0, 100.0, 100.0, 100.0, 1.0]),
+        "l_extendedprice": pa.array([10.0, 20.0, 30.0, 40.0, 99.0])}),
+        f"{sf}/lineitem.parquet")
+    t = q17_small_quantity_revenue(sf).to_pydict()
+    assert t["sum_cents"] == [1000]          # only the 10.00 row
+    assert t["avg_yearly_millicents"] == [142857]   # 1000*1000/7
+
+
+def test_q17_unknown_brand_returns_zero(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.relational import q17_small_quantity_revenue
+
+    sf = str(tmp_path)
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1], pa.int64()),
+        "p_brand": pa.array(["Brand#99"])}), f"{sf}/part.parquet")
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1], pa.int64()),
+        "l_quantity": pa.array([1.0]),
+        "l_extendedprice": pa.array([10.0])}), f"{sf}/lineitem.parquet")
+    t = q17_small_quantity_revenue(sf).to_pydict()
+    assert t["sum_cents"] == [0] and t["avg_yearly_millicents"] == [0]
