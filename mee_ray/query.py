@@ -624,26 +624,13 @@ class Searcher:
                                   prefix)[:max_expansions]
         if not expansions:
             return []
-        # merge the expansions' candidate-restricted positions into
-        # one pseudo-slot: (doc, pos) pairs across expansions, lexsort,
-        # rebuild (ids, offs, flat)
-        doc_parts, pos_parts = [], []
-        for e in expansions:
-            ids_e, offs_e, flat_e = self.term_doc_positions(e, cand)
-            if ids_e.size:
-                doc_parts.append(np.repeat(ids_e, np.diff(offs_e)))
-                pos_parts.append(flat_e)
-        if not doc_parts:
+        merged = merge_position_sets(
+            [self.term_doc_positions(e, cand) for e in expansions])
+        if merged[0].size == 0:
             return []
-        docs_all = np.concatenate(doc_parts)
-        pos_all = np.concatenate(pos_parts)
-        order = np.lexsort((pos_all, docs_all))
-        docs_all, pos_all = docs_all[order], pos_all[order]
-        uniq_docs, first = np.unique(docs_all, return_index=True)
-        offs = np.concatenate((first, [len(docs_all)])).astype(np.int64)
         pseudo = "\x00" + prefix           # cannot collide with a token
         data = {t: self.term_doc_positions(t, cand) for t in ufixed}
-        data[pseudo] = (uniq_docs, offs, pos_all)
+        data[pseudo] = merged
         phrase_docs = phrase_match_docs(data, list(fixed) + [pseudo])
         if phrase_docs.size == 0:
             return []
@@ -1312,6 +1299,28 @@ def phrase_match_docs(data: dict, terms: list[str]) -> np.ndarray:
         if keys.size == 0:
             return empty
     return cand[np.unique(keys >> np.uint64(32)).astype(np.int64)]
+
+
+def merge_position_sets(parts: list[tuple]) -> tuple:
+    """Union several terms' (doc_ids, offsets, flat positions) sets
+    into ONE pseudo-slot for the phrase matcher — (doc, pos) pairs
+    concatenated, lexsorted, rebuilt as run offsets.  Distinct terms
+    occupy distinct positions within a doc, so no dedup is needed."""
+    doc_parts, pos_parts = [], []
+    for ids_e, offs_e, flat_e in parts:
+        if ids_e.size:
+            doc_parts.append(np.repeat(ids_e, np.diff(offs_e)))
+            pos_parts.append(flat_e)
+    if not doc_parts:
+        return (np.empty(0, np.int64), np.zeros(1, np.int64),
+                np.empty(0, np.int64))
+    docs_all = np.concatenate(doc_parts)
+    pos_all = np.concatenate(pos_parts)
+    order = np.lexsort((pos_all, docs_all))
+    docs_all, pos_all = docs_all[order], pos_all[order]
+    uniq_docs, first = np.unique(docs_all, return_index=True)
+    offs = np.concatenate((first, [len(docs_all)])).astype(np.int64)
+    return uniq_docs, offs, pos_all
 
 
 def span_near_match_docs(data: dict, terms: list[str], slop: int
@@ -2056,6 +2065,61 @@ class DistributedSearcher:
             terms, k,
             lambda data: span_near_match_docs(data, terms, slop),
             lambda actor: actor.search_span_near.remote(terms, slop, k))
+
+    def search_phrase_prefix(self, terms: list[str], k: int = 10,
+                             max_expansions: int = 50
+                             ) -> list[tuple[int, float]]:
+        """Distributed match_phrase_prefix: candidates from the fixed
+        terms' id-set fan-out; the prefix expands against the POOLED
+        vocabulary (dictionary-only, like the completion suggester),
+        expansion positions ship candidate-restricted from their
+        owning actors and merge into one pseudo-slot driver-side —
+        transfer stays bounded by |candidates|, never an expansion's
+        full occurrence count."""
+        import ray
+        if len(terms) < 2:
+            raise ValueError("match_phrase_prefix needs >= 2 terms; "
+                             "use search_prefix for a bare prefix")
+        fixed, prefix = terms[:-1], terms[-1]
+        ufixed = sorted(set(fixed))
+        by_actor = self._terms_by_actor(ufixed)
+        id_futs = [self.actors[a].term_doc_ids.remote(ts)
+                   for a, ts in by_actor.items()]
+        id_sets: dict = {}
+        for d in ray.get(id_futs):
+            id_sets.update(d)
+        cand = None
+        for t in ufixed:
+            ids = id_sets[t]
+            if ids.size == 0:
+                return []
+            cand = ids if cand is None else np.intersect1d(cand, ids)
+            if cand.size == 0:
+                return []
+        expansions = prefix_terms(self.vocabulary(),
+                                  prefix)[:max_expansions]
+        if not expansions:
+            return []
+        all_by_actor = self._terms_by_actor(
+            sorted(set(ufixed) | set(expansions)))
+        futs = [self.actors[a].term_doc_positions.remote(ts, cand)
+                for a, ts in all_by_actor.items()]
+        data: dict = {}
+        for d in ray.get(futs):
+            data.update(d)
+        merged = merge_position_sets(
+            [data[e] for e in expansions if e in data])
+        if merged[0].size == 0:
+            return []
+        pseudo = "\x00" + prefix
+        d2 = {t: data[t] for t in ufixed}
+        d2[pseudo] = merged
+        matched = phrase_match_docs(d2, list(fixed) + [pseudo])
+        if matched.size == 0:
+            return []
+        pfuts = [self.actors[a].term_partials_for_docs.remote(ts, matched)
+                 for a, ts in by_actor.items()]
+        return merge_partials_conjunctive(ray.get(pfuts), ufixed, k)
 
     def _search_three_phase(self, by_actor: dict, uterms: list[str],
                             k: int) -> list[tuple[int, float]]:

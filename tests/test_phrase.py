@@ -472,3 +472,24 @@ def test_phrase_prefix_rejects_single_term(pos_index):
     s = Searcher(pos_index["root"])
     with pytest.raises(ValueError):
         s.search_phrase_prefix(["justaprefix"])
+
+
+def test_phrase_prefix_distributed(pos_index, ray_session):
+    from mee_ray.query import DistributedSearcher, Searcher
+
+    s = Searcher(pos_index["root"])
+    ds = DistributedSearcher(pos_index["root"], n_actors=3)
+    try:
+        oracle = pos_index["oracle"]
+        checked = 0
+        for ph in _pp_queries_from(pos_index["docs"])[:10]:
+            got = ds.search_phrase_prefix(ph, k=10,
+                                          max_expansions=100_000)
+            want = _pp_bruteforce(pos_index["docs"], ph, oracle)
+            assert got == want, ph
+            assert got == s.search_phrase_prefix(
+                ph, k=10, max_expansions=100_000), ph
+            checked += bool(got)
+        assert checked >= 5
+    finally:
+        ds.shutdown()
