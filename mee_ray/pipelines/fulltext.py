@@ -1566,6 +1566,114 @@ WHERE rank <= {TOP_K}
 """
 
 
+def bm25_cross_fields_documents(sf_dir: str):
+    """Multi-field search, blended mode (ES multi_match
+    ``cross_fields``): title and body are matched as if they were ONE
+    field — per term the df blends as max(df_title, df_body) giving a
+    single idf, a doc's tf-norm for the term is its BEST per-field
+    tf-norm, and the score is Σ_terms blended_idf × best_tfn
+    (sorted-term accumulation).  Unlike most_fields (which rewards a
+    doc for matching the same term in many fields), cross_fields
+    rewards covering MANY terms across any fields — the ES contract
+    for name-like queries split over columns."""
+    import numpy as np
+
+    from mee_ray.postings import tf_norm
+    from mee_ray.query import Searcher, term_hash
+    from mee_ray.scoring import idf
+    body_root = _ensure_index(sf_dir)
+    title_root = _ensure_title_index(sf_dir)
+    sb, st_ = Searcher(body_root), Searcher(title_root)
+    results = []
+    for qid, terms in REFERENCE_QUERIES:
+        acc: dict[int, float] = {}
+        for t in sorted(set(terms)):
+            ids_b, tfs_b, dls_b = sb._live_postings(
+                term_hash(t) % sb.num_shards, t)
+            ids_t, tfs_t, dls_t = st_._live_postings(
+                term_hash(t) % st_.num_shards, t)
+            if len(ids_b) == 0 and len(ids_t) == 0:
+                continue
+            w = idf(max(len(ids_b), len(ids_t)), sb.n_docs)
+            parts_i, parts_v = [], []
+            if len(ids_b):
+                parts_i.append(ids_b)
+                parts_v.append(tf_norm(tfs_b, dls_b, sb.avgdl,
+                                       sb.k1, sb.b))
+            if len(ids_t):
+                parts_i.append(ids_t)
+                parts_v.append(tf_norm(tfs_t, dls_t, st_.avgdl,
+                                       st_.k1, st_.b))
+            all_ids = np.concatenate(parts_i)
+            all_tfn = np.concatenate(parts_v)
+            order = np.lexsort((-all_tfn, all_ids))
+            ids_s, tfn_s = all_ids[order], all_tfn[order]
+            first = np.ones(len(ids_s), dtype=bool)
+            first[1:] = ids_s[1:] != ids_s[:-1]
+            for d, v in zip(ids_s[first].tolist(),
+                            (w * tfn_s[first]).tolist()):
+                acc[d] = acc.get(d, 0.0) + v
+        ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+        results.append((qid, ranked[:sb.n_docs or 1]))
+    return _rank_table(results, _orig_id_map(body_root))
+
+
+_TFN_EXPR = """((tf.tf * (1.2 + 1)) /
+                (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl /
+                                (CAST(s.total_tokens AS DOUBLE) / s.n_docs))))"""
+
+
+def _bm25_cross_fields_sql() -> str:
+    return f"""
+{_base_ctes()},
+ttok AS (SELECT doc_id, unnest(list_slice(ts, 1, {TITLE_LEN})) AS term
+         FROM tokl),
+tdl AS (SELECT doc_id, count(*) AS dl FROM ttok GROUP BY doc_id),
+tstats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                  (SELECT count(*) FROM ttok) AS total_tokens),
+ttf AS (SELECT doc_id, term, count(*) AS tf FROM ttok
+        GROUP BY doc_id, term),
+tdf AS (SELECT term, count(*) AS df FROM ttf GROUP BY term),
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+bnorm AS (
+  SELECT q.query_id, q.term, tf.doc_id, {_TFN_EXPR} AS tfn
+  FROM q JOIN tf ON tf.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s),
+tnorm AS (
+  SELECT q.query_id, q.term, tf.doc_id, {_TFN_EXPR} AS tfn
+  FROM q JOIN ttf tf ON tf.term = q.term
+  JOIN tdl dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN tstats s),
+blended_df AS (
+  SELECT q.query_id, q.term,
+         greatest(coalesce(bdf.df, 0), coalesce(tdf2.df, 0)) AS df
+  FROM q
+  LEFT JOIN df bdf ON bdf.term = q.term
+  LEFT JOIN tdf tdf2 ON tdf2.term = q.term),
+best AS (
+  SELECT query_id, term, doc_id, max(tfn) AS tfn
+  FROM (SELECT * FROM bnorm UNION ALL SELECT * FROM tnorm)
+  GROUP BY query_id, term, doc_id),
+scores AS (
+  SELECT best.query_id, best.doc_id,
+         sum(ln(1 + (s.n_docs - bd.df + 0.5) / (bd.df + 0.5))
+             * best.tfn) AS score
+  FROM best
+  JOIN blended_df bd ON bd.query_id = best.query_id
+                    AND bd.term = best.term
+  CROSS JOIN stats s
+  WHERE bd.df > 0
+  GROUP BY best.query_id, best.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
 # ES rescore: re-rank only the top-RESCORE_WINDOW of the base
 # (disjunctive) ranking with a secondary query — here an all-terms
 # match bonus.  The bonus multiplies the doc's OWN base score
@@ -2720,6 +2828,7 @@ QUERIES = {
     "bm25_function_score_documents": bm25_function_score_documents,
     "bm25_rescore_documents": bm25_rescore_documents,
     "bm25_multifield_documents": bm25_multifield_documents,
+    "bm25_cross_fields_documents": bm25_cross_fields_documents,
     "bm25_collapse_documents": bm25_collapse_documents,
     "bm25_synonym_documents": bm25_synonym_documents,
     "completion_suggest_documents": completion_suggest_documents,
@@ -2762,6 +2871,7 @@ ORACLE = {
     "bm25_function_score_documents": _bm25_function_score_sql(),
     "bm25_rescore_documents": _bm25_rescore_sql(),
     "bm25_multifield_documents": _bm25_multifield_sql(),
+    "bm25_cross_fields_documents": _bm25_cross_fields_sql(),
     "bm25_collapse_documents": _bm25_collapse_sql(),
     "bm25_synonym_documents": _bm25_synonym_sql(),
     "completion_suggest_documents": _completion_sql(),
