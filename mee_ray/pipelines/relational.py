@@ -2174,6 +2174,95 @@ def q14_promo_revenue(sf_dir: str):
                      "promo_share_ppm": pa.array([share], pa.int64())})
 
 
+def funnel_events(sf_dir: str):
+    """Ordered-funnel conversion (view → click → purchase): per user,
+    stage i+1 counts only if it happens STRICTLY AFTER the user's
+    earliest stage-i completion — the product-analytics funnel.  Users
+    hash into buckets (one shuffle); inside each bucket every stage is
+    vectorized: lexsort by (user, ts) + first-per-user boundary mask
+    gives the stage timestamps, and a searchsorted map checks the
+    strictly-after constraint against the previous stage — no
+    per-user Python loop.  Only one (n_view, n_click, n_purchase) row
+    per bucket crosses the final exchange."""
+    from ray.data.aggregate import Sum
+
+    N_BUCKETS = 64
+    STAGES = ("view", "click", "purchase")
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array(STAGES)))
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "__bucket": pa.array(uid % N_BUCKETS, pa.int64()),
+            "user_id": t["user_id"],
+            "ts": t["ts"].cast(pa.int64()),
+            "event_type": t["event_type"]})
+
+    def funnel_bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        ts = g["ts"].to_numpy(zero_copy_only=False)
+        et = np.asarray(g["event_type"].to_pylist())
+
+        def first_after(stage: str, prev_users, prev_t):
+            m = et == stage
+            su, sts = u[m], ts[m]
+            if prev_users is not None:
+                if len(prev_users) == 0 or len(su) == 0:
+                    return (np.empty(0, np.int64),
+                            np.empty(0, np.int64))
+                pos = np.clip(np.searchsorted(prev_users, su),
+                              0, len(prev_users) - 1)
+                ok = (prev_users[pos] == su) & (sts > prev_t[pos])
+                su, sts = su[ok], sts[ok]
+            if len(su) == 0:
+                return np.empty(0, np.int64), np.empty(0, np.int64)
+            o = np.lexsort((sts, su))
+            su, sts = su[o], sts[o]
+            first = np.ones(len(su), dtype=bool)
+            first[1:] = su[1:] != su[:-1]
+            return su[first], sts[first]
+
+        users_v, t1 = first_after("view", None, None)
+        users_c, t2 = first_after("click", users_v, t1)
+        users_p, _ = first_after("purchase", users_c, t2)
+        return pa.table({
+            "n_view": pa.array([len(users_v)], pa.int64()),
+            "n_click": pa.array([len(users_c)], pa.int64()),
+            "n_purchase": pa.array([len(users_p)], pa.int64())})
+
+    agg = (_read(sf_dir, "events", ["user_id", "ts", "event_type"])
+           .map_batches(add_bucket, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("__bucket")
+           .map_groups(funnel_bucket, batch_format="pyarrow")
+           .aggregate(Sum("n_view", alias_name="n_view"),
+                      Sum("n_click", alias_name="n_click"),
+                      Sum("n_purchase", alias_name="n_purchase")))
+    return pa.table({
+        "n_view": pa.array([int(agg["n_view"] or 0)], pa.int64()),
+        "n_click": pa.array([int(agg["n_click"] or 0)], pa.int64()),
+        "n_purchase": pa.array([int(agg["n_purchase"] or 0)],
+                               pa.int64())})
+
+
+FUNNEL_SQL = """
+WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase
+"""
+
+
 PR_TARGETS_CENTS = (1_000, 5_000, 20_000)   # $10 / $50 / $200
 
 
@@ -3141,6 +3230,7 @@ QUERIES = {
     "composite_agg_events": composite_agg_events,
     "q7_volume_shipping": q7_volume_shipping,
     "percentile_ranks_events": percentile_ranks_events,
+    "funnel_events": funnel_events,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "scalar_funcs_lineitem": scalar_funcs_lineitem,
@@ -3193,6 +3283,7 @@ ORACLE = {
     "composite_agg_events": COMPOSITE_AGG_SQL,
     "q7_volume_shipping": Q7_SQL,
     "percentile_ranks_events": PERCENTILE_RANKS_SQL,
+    "funnel_events": FUNNEL_SQL,
     "q15_top_supplier": Q15_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "scalar_funcs_lineitem": SCALAR_FUNCS_SQL,
