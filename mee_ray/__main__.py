@@ -159,6 +159,8 @@ def main(argv: list[str] | None = None) -> int:
                         "(plain --terms/--count forms only)")
     q.add_argument("--terms", default=None,
                    help="space-separated query terms")
+    q.add_argument("--epoch", default=None,
+                   help="epoch name OR alias (default: CURRENT)")
     q.add_argument("-k", type=int, default=10)
     q.add_argument("--actors", type=int, default=0,
                    help=">0: use the shard-actor pool")
@@ -244,6 +246,15 @@ def main(argv: list[str] | None = None) -> int:
     g = sub.add_parser("gc", help="delete unreferenced epochs "
                                   "(the reference's clean action)")
     g.add_argument("--index", required=True)
+
+    al = sub.add_parser("alias", help="named epoch aliases (ES "
+                                      "_aliases atomic swap); no "
+                                      "flags = list")
+    al.add_argument("--index", required=True)
+    al.add_argument("--set", default=None, help="alias name to create "
+                                                "or re-point")
+    al.add_argument("--to", default=None, help="target epoch for --set")
+    al.add_argument("--drop", default=None, help="alias name to remove")
 
     fs = sub.add_parser("fsck", help="verify segment/delta files "
                                      "against the manifest lineage")
@@ -426,15 +437,29 @@ def main(argv: list[str] | None = None) -> int:
         elif args.actors > 0:
             _init_ray(args.num_cpus)
             from mee_ray.query import DistributedSearcher
-            s = DistributedSearcher(roots[0], n_actors=args.actors)
+            s = DistributedSearcher(roots[0], epoch=args.epoch,
+                                    n_actors=args.actors)
             try:
                 out = run(s, True)
             finally:
                 s.shutdown()
         else:
             from mee_ray.query import Searcher
-            out = run(Searcher(roots[0]), False)
+            out = run(Searcher(roots[0], epoch=args.epoch), False)
         print(json.dumps(out))
+
+    elif args.cmd == "alias":
+        from mee_ray import manifest as mf
+        if args.set:
+            if not args.to:
+                raise SystemExit("--set needs --to <epoch>")
+            mf.set_alias(args.index, args.set, args.to)
+            print(json.dumps({"alias": args.set, "epoch": args.to}))
+        elif args.drop:
+            print(json.dumps({"dropped": mf.drop_alias(args.index,
+                                                       args.drop)}))
+        else:
+            print(json.dumps(mf.load_aliases(args.index)))
 
     elif args.cmd == "analyze":
         if args.index:

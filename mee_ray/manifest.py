@@ -57,10 +57,69 @@ def load_manifest(index_root: str, epoch: str | None = None) -> dict:
         epoch = current_epoch(index_root)
         if epoch is None:
             raise FileNotFoundError(f"no CURRENT epoch in {index_root}")
+    else:
+        epoch = resolve_epoch(index_root, epoch)
     with open(manifest_path(index_root, epoch)) as f:
         m = json.load(f)
     m["epoch"] = epoch
     return m
+
+
+# --- named epoch aliases (ES index-alias analog) ---------------------------
+
+def _aliases_path(index_root: str) -> str:
+    return os.path.join(index_root, "ALIASES.json")
+
+
+def load_aliases(index_root: str) -> dict:
+    try:
+        with open(_aliases_path(index_root)) as f:
+            return json.load(f)
+    except FileNotFoundError:
+        return {}
+
+
+def resolve_epoch(index_root: str, name: str) -> str:
+    """An alias resolves to its target epoch; a plain epoch name (or
+    an unknown name — the manifest open will fail loudly) passes
+    through unchanged.  One level only: alias→alias chains are not
+    allowed by :func:`set_alias`."""
+    return load_aliases(index_root).get(name, name)
+
+
+def set_alias(index_root: str, alias: str, epoch: str) -> None:
+    """Create or atomically re-point a named epoch alias (the ES
+    ``_aliases`` atomic-swap contract; CURRENT is the built-in
+    publish alias and cannot be shadowed).  An alias names an EPOCH,
+    not a frozen point-in-time — like an ES alias on a live index,
+    readers through it see deltas applied to that epoch afterwards;
+    :func:`snapshot` is the immutability tool.  The target must be an
+    EXISTING epoch, never another alias; alias names must not collide
+    with epoch directories.  Alias targets are pinned from
+    :func:`gc_epochs`."""
+    if alias == "CURRENT":
+        raise ValueError("CURRENT is the publish pointer — use publish()")
+    with write_lock(index_root):
+        if os.path.isdir(epoch_dir(index_root, alias)):
+            raise ValueError(f"alias {alias!r} collides with an epoch name")
+        al = load_aliases(index_root)
+        if epoch in al:
+            raise ValueError(f"alias target {epoch!r} is itself an alias")
+        if not os.path.isfile(manifest_path(index_root, epoch)):
+            raise FileNotFoundError(
+                f"epoch {epoch!r} has no manifest; refusing to alias")
+        al[alias] = epoch
+        _atomic_write_json(_aliases_path(index_root), al)
+
+
+def drop_alias(index_root: str, alias: str) -> bool:
+    with write_lock(index_root):
+        al = load_aliases(index_root)
+        if alias not in al:
+            return False
+        del al[alias]
+        _atomic_write_json(_aliases_path(index_root), al)
+        return True
 
 
 import contextlib
@@ -234,6 +293,9 @@ def gc_epochs(index_root: str, keep: set[str] | None = None) -> list[str]:
     cur = current_epoch(index_root)
     if cur:
         keep.add(cur)
+    # named aliases pin their targets — deleting an aliased epoch
+    # would leave readers resolving to a vanished manifest
+    keep.update(load_aliases(index_root).values())
     removed = []
     root = os.path.join(index_root, "epochs")
     if not os.path.isdir(root):

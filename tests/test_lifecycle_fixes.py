@@ -1177,3 +1177,65 @@ def test_q17_unknown_brand_returns_zero(ray_session, tmp_path):
         "l_extendedprice": pa.array([10.0])}), f"{sf}/lineitem.parquet")
     t = q17_small_quantity_revenue(sf).to_pydict()
     assert t["sum_cents"] == [0] and t["avg_yearly_millicents"] == [0]
+
+
+def test_epoch_aliases(ray_session, tmp_path):
+    """Named epoch aliases (ES _aliases analog): an alias names an
+    EPOCH (a live view, like an ES alias — deltas applied to it stay
+    visible), it survives CURRENT moving at compaction, its target is
+    pinned from GC, and the validation battery fails loudly."""
+    import ray.data
+
+    from mee_ray import manifest as mf
+    from mee_ray.build import build_index
+    from mee_ray.config import EngineConfig
+    from mee_ray.corpus import write_corpus
+    from mee_ray.delta import delete_by_query
+    from mee_ray.merge import compact
+    from mee_ray.query import Searcher
+
+    root = str(tmp_path / "index")
+    cdir = write_corpus(str(tmp_path / "corpus"), n_files=60, seed=3,
+                        rows_per_file=30)
+    build_index(ray.data.read_parquet(cdir), root, "ep1", EngineConfig())
+
+    s0 = Searcher(root)
+    term = next(t for t in s0.vocabulary() if 3 <= s0.count([t]) <= 30)
+    n_before = s0.count([term])
+
+    mf.set_alias(root, "prod", "ep1")
+    assert Searcher(root, epoch="prod").count([term]) == n_before
+
+    # an alias is a LIVE view of its epoch: a delta applied to ep1 is
+    # visible through it (ES semantics; snapshot() is the freeze tool)
+    delete_by_query(root, [term])
+    assert Searcher(root, epoch="prod").count([term]) == 0
+
+    compact(root, "ep2")
+    assert mf.current_epoch(root) == "ep2"
+
+    # aliased epochs are pinned from GC and stay loadable
+    removed = mf.gc_epochs(root)
+    assert "ep1" not in removed
+    assert Searcher(root, epoch="prod").count([term]) == 0
+
+    # atomic re-point
+    mf.set_alias(root, "prod", "ep2")
+    assert Searcher(root, epoch="prod").manifest["epoch"] == "ep2"
+
+    # dropping unpins: ep1 is now garbage
+    assert mf.drop_alias(root, "prod") is True
+    assert mf.drop_alias(root, "prod") is False
+    assert "ep1" in mf.gc_epochs(root)
+
+    # validation battery
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        mf.set_alias(root, "x", "no_such_epoch")
+    with _pytest.raises(ValueError):
+        mf.set_alias(root, "CURRENT", "ep2")
+    with _pytest.raises(ValueError):
+        mf.set_alias(root, "ep2", "ep2")    # collides with epoch dir
+    mf.set_alias(root, "blue", "ep2")
+    with _pytest.raises(ValueError):
+        mf.set_alias(root, "green", "blue")  # alias→alias chain
