@@ -1,0 +1,468 @@
+"""Distributed near-duplicate CLUSTERING: connected components over
+candidate-pair edges, plus edge generation from shared token n-grams.
+
+Why this exists: the reference deduplicates by document identity only
+(upsert by _id — modules/handlers/v1/commonhandler.py:68-83), and this
+engine's pair generators (minhash_lsh_candidates, simhash_dup_pairs,
+ngram_jaccard_adjacent) stop at *edges*.  A training-data pipeline
+needs the closure: partition the corpus into duplicate clusters and
+pick one canonical representative per cluster.  That closure is a
+connected-components computation, which Ray Data has no primitive for
+— so it is built here from groupby shuffles.
+
+Algorithm: alternating Large-Star / Small-Star (Kiveris, Lattanzi,
+Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+and Beyond", SoCC'14; a public-paper MapReduce algorithm).  Each round
+is two hash-bucketed groupby shuffles of the edge list plus one
+dedup/probe pass; the edge list only shrinks (toward a star forest
+rooted at each component's minimum node id) and the paper bounds the
+round count at O(log^2 n) — in practice a handful.
+
+Scale shape (the 100-TB lens):
+* edges live in a Ray Dataset end-to-end and are only touched through
+  hash-bucketed groupbys — no driver-side adjacency, no take_all of
+  the edge list.
+* each bucket group processes MANY nodes in one vectorized pass
+  (lexsort + segment boundaries + ``np.minimum.reduceat``) — the
+  bucketed-groupby discipline used across this repo (never a Python
+  group per node).
+* the only driver state is the per-round convergence probe — one
+  (count, xor-of-hashes) pair of int64s per round.
+* ``materialize()`` between rounds is REQUIRED, not a smell: the next
+  round's input must not re-execute the previous rounds' lineage.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+_N_BUCKETS = 64
+_EDGE_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+# multiplicative mix for the bucket/probe hashes (splitmix64 constant)
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _mix64(x: np.ndarray) -> np.ndarray:
+    z = x.astype(np.uint64) + _MIX
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _edges_table(a: np.ndarray, b: np.ndarray) -> pa.Table:
+    return pa.table({"a": pa.array(a.astype(np.int64), pa.int64()),
+                     "b": pa.array(b.astype(np.int64), pa.int64())})
+
+
+def _unique_pairs(a: np.ndarray, b: np.ndarray):
+    """Sort-dedupe an (a, b) pair multiset (both int64)."""
+    if len(a) == 0:
+        return a, b
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.ones(len(a), dtype=bool)
+    keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    return a[keep], b[keep]
+
+
+def _large_star(edges):
+    """One Large-Star round: for every node u, connect each LARGER
+    neighbor v to m(u) = min(neighbors(u) + {u}).
+
+    Input/output edges are canonical (a < b).  The symmetric view
+    (both directions of every edge) is materialized per batch in the
+    bucket mapper; each bucket group then resolves all of its nodes in
+    one vectorized pass."""
+
+    def to_sym(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        bucket = (_mix64(u) % np.uint64(_N_BUCKETS)).astype(np.int32)
+        return pa.table({"bucket": pa.array(bucket),
+                         "u": pa.array(u, pa.int64()),
+                         "v": pa.array(v, pa.int64())})
+
+    def star_of_group(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False)
+        v = g["v"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg_min = np.minimum(np.minimum.reduceat(v, starts), u[starts])
+        # repeat each segment's m across its rows, keep rows v > u
+        seg_id = np.cumsum(np.r_[False, u[1:] != u[:-1]])
+        m = seg_min[seg_id]
+        keep = v > u
+        return _edges_table(m[keep], v[keep])
+
+    return (edges.map_batches(to_sym, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(star_of_group, batch_format="pyarrow"))
+
+
+def _small_star(edges):
+    """One Small-Star round: orient every edge (a < b) toward its
+    larger endpoint b; for each b connect all smaller neighbors (and b
+    itself) to their minimum."""
+
+    def to_bucketed(t: pa.Table) -> pa.Table:
+        b = t["b"].to_numpy(zero_copy_only=False)
+        bucket = (_mix64(b) % np.uint64(_N_BUCKETS)).astype(np.int32)
+        return pa.table({"bucket": pa.array(bucket),
+                         "u": t["b"], "v": t["a"]})
+
+    def star_of_group(g: pa.Table) -> pa.Table:
+        u = g["u"].to_numpy(zero_copy_only=False)   # larger endpoint
+        v = g["v"].to_numpy(zero_copy_only=False)   # smaller neighbors
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        seg_min = np.minimum.reduceat(v, starts)    # all v < u already
+        seg_id = np.cumsum(np.r_[False, u[1:] != u[:-1]])
+        m = seg_min[seg_id]
+        keep = v > m                                 # (m, v) for v != m
+        out_a = np.concatenate([m[keep], seg_min])
+        out_b = np.concatenate([v[keep], u[starts]])  # plus (m, u)
+        return _edges_table(*_unique_pairs(out_a, out_b))
+
+    return (edges.map_batches(to_bucketed, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(star_of_group, batch_format="pyarrow"))
+
+
+def _global_dedup(edges):
+    """Exact global pair dedup: same pair always hashes to the same
+    bucket, so a per-bucket sort-dedupe is globally exact."""
+
+    def to_bucketed(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        bucket = (_mix64(_mix64(a) ^ np.uint64(3) * _mix64(b))
+                  % np.uint64(_N_BUCKETS)).astype(np.int32)
+        return pa.table({"bucket": pa.array(bucket),
+                         "a": t["a"], "b": t["b"]})
+
+    def dedup_group(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        return _edges_table(*_unique_pairs(a, b))
+
+    return (edges.map_batches(to_bucketed, batch_format="pyarrow",
+                              zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(dedup_group, batch_format="pyarrow"))
+
+
+def _probe(edges) -> tuple[int, int]:
+    """(count, xor-of-pair-hashes) of a deduped edge set — the
+    convergence fingerprint.  Per-batch partials only; the driver
+    folds one small row per block."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        h = _mix64(_mix64(a) + np.uint64(7) * _mix64(b))
+        x = np.bitwise_xor.reduce(h) if len(h) else np.uint64(0)
+        return pa.table({"n": pa.array([len(a)], pa.int64()),
+                         "x": pa.array([int(x)], pa.uint64())})
+
+    n, x = 0, 0
+    for t in edges.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True).iter_batches(
+                                   batch_format="pyarrow"):
+        n += sum(t["n"].to_pylist())
+        for v in t["x"].to_pylist():
+            x ^= int(v)
+    return n, x
+
+
+def connected_components(edges, max_iters: int = 50) -> pa.Table:
+    """Connected components of an undirected edge Dataset.
+
+    ``edges``: Ray Dataset with int64 columns ``a``, ``b`` (orientation
+    and duplicates irrelevant; self-loops ignored).  Returns a
+    pa.Table (node, root) covering every node that appears in an edge,
+    root = the component's minimum node id.  Nodes absent from the
+    edge set are singletons — callers union those in themselves
+    (see :func:`neardup_gram_clusters` for the bucketed-join pattern).
+
+    The RESULT is materialized (one row per clustered node — the
+    deliverable of the computation, bounded by the duplicate count,
+    not the corpus); the ITERATIONS never materialize on the driver.
+    """
+
+    def drop_self(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        keep = a != b
+        lo = np.minimum(a[keep], b[keep])
+        hi = np.maximum(a[keep], b[keep])
+        return _edges_table(lo, hi)
+
+    cur = _global_dedup(
+        edges.map_batches(drop_self, batch_format="pyarrow",
+                          zero_copy_batch=True)).materialize()
+    prev = _probe(cur)
+    if prev[0] == 0:
+        return pa.Table.from_pylist(
+            [], schema=pa.schema([("node", pa.int64()),
+                                  ("root", pa.int64())]))
+    for _ in range(max_iters):
+        cur = _global_dedup(_small_star(_large_star(cur))).materialize()
+        sig = _probe(cur)
+        if sig == prev:
+            break
+        prev = sig
+    else:
+        raise RuntimeError(
+            f"connected_components: no convergence in {max_iters} rounds")
+
+    # converged star forest: every edge is (root, node); roots map to
+    # themselves
+    parts = [t for t in cur.iter_batches(batch_format="pyarrow")]
+    t = pa.concat_tables(parts) if parts else _edges_table(
+        np.empty(0, np.int64), np.empty(0, np.int64))
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    roots = np.unique(a)
+    node = np.concatenate([b, roots])
+    root = np.concatenate([a, roots])
+    order = np.argsort(node, kind="stable")
+    return pa.table({"node": pa.array(node[order], pa.int64()),
+                     "root": pa.array(root[order], pa.int64())})
+
+
+# ------------------------------------------------- edge generation
+
+
+def _gram_hash64(gram: str) -> int:
+    """Process-stable 64-bit gram key (Python ``hash()`` is salted per
+    interpreter; md5 is not).  Collisions at 64 bits are ~3e-9 even at
+    10^5 distinct grams per shard batch and only ever merge two
+    clusters, never split one."""
+    return int.from_bytes(hashlib.md5(gram.encode()).digest()[:8],
+                          "little") & 0x7FFFFFFFFFFFFFFF
+
+
+def gram_dup_edges(sf_dir: str, n: int = 8, max_df: int = 50):
+    """Candidate edges: documents sharing at least one token ``n``-gram
+    whose document frequency is in [2, max_df].
+
+    The df cap is the standard dedup hygiene step: a gram shared by
+    thousands of documents is boilerplate, and its all-pairs (or even
+    star) edge set would fuse unrelated documents into one mega
+    cluster.  STAR edges (min doc of the gram → each other doc)
+    preserve exactly the same connected components as all-pairs within
+    a gram while emitting O(df) instead of O(df²) rows.
+
+    Distributed shape: one map_batches pass explodes documents to
+    (gram_key, doc_id) rows (per-doc distinct); ONE bucketed groupby
+    co-locates each gram's documents; each bucket group resolves MANY
+    grams vectorized.  `text` never leaves the tokenize task."""
+    from mee_ray.pipelines.text import _read_docs
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_g, out_d = [], []
+        for did, text in zip(t["doc_id"].to_pylist(),
+                             t["text"].to_pylist()):
+            toks = (text or "").split(" ")
+            if len(toks) < n:
+                continue
+            seen = {" ".join(toks[i:i + n])
+                    for i in range(len(toks) - n + 1)}
+            out_g.extend(_gram_hash64(g) for g in seen)
+            out_d.extend([did] * len(seen))
+        g = np.asarray(out_g, dtype=np.int64)
+        bucket = (_mix64(g) % np.uint64(_N_BUCKETS)).astype(np.int32)
+        return pa.table({"bucket": pa.array(bucket),
+                         "g": pa.array(g, pa.int64()),
+                         "doc_id": pa.array(
+                             np.asarray(out_d, dtype=np.int64))})
+
+    def star_edges(t: pa.Table, cap: int = max_df) -> pa.Table:
+        g = t["g"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        g, d = _unique_pairs(g, d)      # distinct (gram, doc)
+        if len(g) == 0:
+            return pa.Table.from_pylist([], schema=_EDGE_SCHEMA)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        sizes = np.diff(np.r_[starts, len(g)])
+        seg_id = np.cumsum(np.r_[False, g[1:] != g[:-1]])
+        seg_min = d[starts]             # d sorted within each gram
+        keep = (sizes[seg_id] >= 2) & (sizes[seg_id] <= cap) \
+            & (d != seg_min[seg_id])
+        return _edges_table(seg_min[seg_id][keep], d[keep])
+
+    return (_read_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(explode, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(star_edges, batch_format="pyarrow"))
+
+
+# ------------------------------------------------- driver queries
+
+
+def _clusters_with_singletons(sf_dir: str, cc: pa.Table) -> pa.Table:
+    """(doc_id, root) for EVERY document: clustered nodes get their
+    component root, the rest map to themselves.  One bucketed groupby
+    joins the (small) cluster mapping to the (large) doc-id scan — no
+    corpus-sized broadcast."""
+    import ray.data
+
+    from mee_ray.pipelines.text import _read_docs
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        bucket = (_mix64(d) % np.uint64(_N_BUCKETS)).astype(np.int32)
+        return pa.table({"bucket": pa.array(bucket),
+                         "doc_id": pa.array(d, pa.int64()),
+                         "root": pa.array(
+                             np.full(len(d), -1, dtype=np.int64)),
+                         "is_map": pa.array(
+                             np.zeros(len(d), dtype=np.int8))})
+
+    def tag_map(t: pa.Table) -> pa.Table:
+        d = t["node"].to_numpy(zero_copy_only=False)
+        bucket = (_mix64(d) % np.uint64(_N_BUCKETS)).astype(np.int32)
+        return pa.table({"bucket": pa.array(bucket),
+                         "doc_id": pa.array(d, pa.int64()),
+                         "root": t["root"],
+                         "is_map": pa.array(
+                             np.ones(len(d), dtype=np.int8))})
+
+    def resolve(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        r = g["root"].to_numpy(zero_copy_only=False)
+        is_map = g["is_map"].to_numpy(zero_copy_only=False).astype(bool)
+        mk, mv = d[is_map], r[is_map]
+        order = np.argsort(mk, kind="stable")
+        mk, mv = mk[order], mv[order]
+        dd = d[~is_map]
+        root = dd.copy()
+        if len(mk):
+            pos = np.searchsorted(mk, dd)
+            pos_c = np.clip(pos, 0, len(mk) - 1)
+            hit = mk[pos_c] == dd
+            root[hit] = mv[pos_c[hit]]
+        return pa.table({"doc_id": pa.array(dd, pa.int64()),
+                         "root": pa.array(root, pa.int64())})
+
+    docs_side = _read_docs(sf_dir, ["doc_id"]).map_batches(
+        tag_docs, batch_format="pyarrow", zero_copy_batch=True)
+    map_side = ray.data.from_arrow(cc).map_batches(
+        tag_map, batch_format="pyarrow")
+    both = docs_side.union(map_side)
+    parts = list(both.groupby("bucket")
+                 .map_groups(resolve, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow"))
+    out = pa.concat_tables(parts) if parts else pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "root": pa.array([], pa.int64())})
+    return out.sort_by("doc_id")
+
+
+def neardup_gram_clusters(sf_dir: str) -> pa.Table:
+    """Near-dup cluster assignment over shared token 8-grams
+    (df ≤ 50): every document → its component's min doc_id.
+
+    SQL-oracle-checkable end-to-end: the oracle reproduces the edge
+    rule with a gram self-join and the closure with a recursive CTE."""
+    cc = connected_components(gram_dup_edges(sf_dir, n=8, max_df=50))
+    return _clusters_with_singletons(sf_dir, cc)
+
+
+def neardup_representatives(sf_dir: str) -> pa.Table:
+    """The curated keep-list: one canonical representative (min
+    doc_id) per near-dup cluster + all singletons — i.e. the rows a
+    dedup stage would feed to training."""
+    t = neardup_gram_clusters(sf_dir)
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    r = t["root"].to_numpy(zero_copy_only=False)
+    keep = d == r
+    return pa.table({"doc_id": pa.array(d[keep], pa.int64())})
+
+
+def minhash_neardup_clusters(sf_dir: str) -> pa.Table:
+    """Cluster assignment over the MinHash-LSH verified pair set (the
+    probabilistic edge rule; rows-only driver check — the pair
+    generator is verified against a brute-force oracle in tests)."""
+    import ray.data
+
+    from mee_ray.pipelines.text import minhash_lsh_candidates
+    pairs = minhash_lsh_candidates(sf_dir)
+    cc = connected_components(
+        ray.data.from_arrow(pairs.select(["a", "b"])))
+    return _clusters_with_singletons(sf_dir, cc)
+
+
+NEARDUP_CLUSTERS_SQL = """
+WITH RECURSIVE
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(list_slice(ts, i, i+7), ' ')) AS g
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts)-7)) AS i) s
+),
+gd AS (
+  SELECT g, list_sort(list(DISTINCT doc_id)) AS ds
+  FROM grams GROUP BY g
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50
+),
+edges AS (
+  SELECT DISTINCT ds[1] AS a, u.b AS b
+  FROM gd, LATERAL (SELECT unnest(ds) AS b) u
+  WHERE u.b != ds[1]
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT s.b AS node, reach.r FROM reach JOIN sym s ON s.a = reach.node
+)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS root
+FROM reach GROUP BY node
+"""
+
+NEARDUP_REPRESENTATIVES_SQL = """
+WITH RECURSIVE
+tok AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, md5(array_to_string(list_slice(ts, i, i+7), ' ')) AS g
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(ts)-7)) AS i) s
+),
+gd AS (
+  SELECT g, list_sort(list(DISTINCT doc_id)) AS ds
+  FROM grams GROUP BY g
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND 50
+),
+edges AS (
+  SELECT DISTINCT ds[1] AS a, u.b AS b
+  FROM gd, LATERAL (SELECT unnest(ds) AS b) u
+  WHERE u.b != ds[1]
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT s.b AS node, reach.r FROM reach JOIN sym s ON s.a = reach.node
+)
+SELECT node AS doc_id FROM reach GROUP BY node HAVING min(r) = node
+"""
+
+QUERIES = {
+    "neardup_gram_clusters": neardup_gram_clusters,
+    "neardup_representatives": neardup_representatives,
+    "minhash_neardup_clusters": minhash_neardup_clusters,
+}
+
+ORACLE = {
+    "neardup_gram_clusters": NEARDUP_CLUSTERS_SQL,
+    "neardup_representatives": NEARDUP_REPRESENTATIVES_SQL,
+}

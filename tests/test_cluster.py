@@ -1,0 +1,145 @@
+"""Connected-components clustering: engine vs brute-force union-find.
+
+Mirrors the repo's sketch-op test strategy (SURVEY.md §5.2): the
+distributed pipeline must reproduce an exact in-memory oracle on
+small inputs, including adversarial graph shapes (paths are the
+worst case for star-contraction round counts)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _union_find(n_edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in n_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical root = component min (find compresses toward min
+    # because we always parent the larger root under the smaller)
+    return {x: find(x) for x in list(parent)}
+
+
+def _cc_of_edges(edges):
+    import ray.data
+
+    from mee_ray.pipelines.cluster import connected_components
+    t = pa.table({"a": pa.array([a for a, _ in edges], pa.int64()),
+                  "b": pa.array([b for _, b in edges], pa.int64())})
+    got = connected_components(ray.data.from_arrow(t))
+    return dict(zip(got["node"].to_pylist(), got["root"].to_pylist()))
+
+
+GRAPHS = [
+    [],                                           # empty
+    [(5, 5)],                                     # self-loop only
+    [(1, 2)],                                     # single edge
+    [(i, i + 1) for i in range(40)],              # long path (worst case)
+    [(0, i) for i in range(1, 30)],               # star
+    [(1, 2), (2, 3), (10, 11), (12, 11), (3, 1)],  # two comps + cycle
+]
+
+
+@pytest.mark.parametrize("gi", range(len(GRAPHS)))
+def test_cc_fixed_graphs(ray_session, gi):
+    edges = GRAPHS[gi]
+    # self-loops are ignored by the engine: exclude them from the oracle
+    want = _union_find([(a, b) for a, b in edges if a != b])
+    got = _cc_of_edges(edges)
+    assert got == want
+
+
+def test_cc_random_graphs(ray_session):
+    rng = np.random.default_rng(7)
+    for _ in range(3):
+        n = int(rng.integers(10, 80))
+        m = int(rng.integers(1, 3 * n))
+        edges = [(int(rng.integers(0, n)), int(rng.integers(0, n)))
+                 for _ in range(m)]
+        edges = [(a, b) for a, b in edges]
+        got = _cc_of_edges(edges)
+        want = _union_find([(a, b) for a, b in edges if a != b])
+        assert got == want
+
+
+def test_gram_edges_match_bruteforce_components(ray_session):
+    """Star edges from shared 8-grams must induce exactly the
+    brute-force shared-gram components."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.cluster import (connected_components,
+                                           gram_dup_edges)
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    g2d = collections.defaultdict(set)
+    for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = (x or "").split(" ")
+        for i in range(len(toks) - 7):
+            g2d[" ".join(toks[i:i + 8])].add(d)
+    brute_edges = []
+    for ds in g2d.values():
+        if 2 <= len(ds) <= 50:
+            s = sorted(ds)
+            brute_edges.extend((s[0], o) for o in s[1:])
+    want = _union_find(brute_edges)
+
+    got_t = connected_components(gram_dup_edges(SF, n=8, max_df=50))
+    got = dict(zip(got_t["node"].to_pylist(), got_t["root"].to_pylist()))
+    assert got == want
+
+
+def test_clusters_cover_all_docs_and_match_oracle(ray_session):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.cluster import (NEARDUP_CLUSTERS_SQL,
+                                           neardup_gram_clusters,
+                                           neardup_representatives)
+
+    got = neardup_gram_clusters(SF)
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert got.num_rows == n_docs
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{SF}/documents.parquet')")
+    want = con.execute(
+        NEARDUP_CLUSTERS_SQL + " ORDER BY doc_id").fetch_arrow_table()
+    assert got.sort_by("doc_id").equals(
+        want.cast(got.schema))
+
+    reps = neardup_representatives(SF)
+    d = got["doc_id"].to_numpy(zero_copy_only=False)
+    r = got["root"].to_numpy(zero_copy_only=False)
+    assert sorted(reps["doc_id"].to_pylist()) == sorted(d[d == r].tolist())
+
+
+def test_minhash_clusters_consistent_with_pairs(ray_session):
+    """Every verified MinHash pair must land in one cluster, and every
+    multi-doc cluster must be spanned by the pair set."""
+    from mee_ray.pipelines.cluster import minhash_neardup_clusters
+    from mee_ray.pipelines.text import minhash_lsh_candidates
+
+    pairs = minhash_lsh_candidates(SF)
+    got = minhash_neardup_clusters(SF)
+    root = dict(zip(got["doc_id"].to_pylist(), got["root"].to_pylist()))
+    edges = list(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+    want = _union_find([(a, b) for a, b in edges if a != b])
+    for node, r in want.items():
+        assert root[node] == r
+    clustered = {d for d, rt in root.items() if rt != d} | \
+        {rt for d, rt in root.items() if rt != d}
+    assert clustered == set(want.keys())
