@@ -303,23 +303,20 @@ def _compact_locked(index_root: str, new_epoch: str,
         [d["key_seqs"] for d in manifest.get("deltas", [])
          if d.get("key_seqs") and os.path.exists(d["key_seqs"])]
     if ks_files:
-        merged: dict[tuple[str, str], int] = {}
-        for f in ks_files:
-            t = pq.read_table(f, columns=["repo", "path", "event_seq"])
-            for r, p, s in zip(t["repo"].to_pylist(),
-                               t["path"].to_pylist(),
-                               t["event_seq"].to_pylist()):
-                k = (r, p)
-                if int(s) > merged.get(k, -1):
-                    merged[k] = int(s)
+        # vectorized max-per-key fold (one Arrow group_by, no Python
+        # loop over keys): key_seqs rows are one per TOUCHED key per
+        # delta, so this stays far below corpus size, but a long delta
+        # log over a hot key space can still reach 10^7+ rows
+        allt = pa.concat_tables(
+            [pq.read_table(f, columns=["repo", "path", "event_seq"])
+             for f in ks_files])
+        folded = (allt.group_by(["repo", "path"])
+                  .aggregate([("event_seq", "max")])
+                  .rename_columns(["repo", "path", "event_seq"])
+                  .sort_by([("repo", "ascending"), ("path", "ascending")]))
         ks_dst = os.path.join(new_edir, "key_seqs.parquet")
         tmp_ks = ks_dst + f".tmp.{os.getpid()}"
-        items_sorted = sorted(merged.items())
-        pq.write_table(pa.table({
-            "repo": pa.array([k[0] for k, _ in items_sorted], pa.string()),
-            "path": pa.array([k[1] for k, _ in items_sorted], pa.string()),
-            "event_seq": pa.array([s for _, s in items_sorted], pa.int64()),
-        }), tmp_ks)
+        pq.write_table(folded.combine_chunks(), tmp_ks)
         os.replace(tmp_ks, ks_dst)
     else:
         # debris guard: a crashed compact of a DIFFERENT snapshot may
