@@ -27,7 +27,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from mee_ray.pipelines import (cluster, docbuild, export, fulltext,
-                                   relational, sketches, text, vector)
+                                   relational, sketches, text, training,
+                                   vector)
     from mee_ray.stages.multimodal import (multimodal_audio_features,
                                            multimodal_image_meta,
                                            multimodal_retrieval,
@@ -42,6 +43,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(sketches.QUERIES)
     out.update(cluster.QUERIES)
     out.update(export.QUERIES)
+    out.update(training.QUERIES)
     out["multimodal_image_meta"] = multimodal_image_meta
     out["multimodal_audio_features"] = multimodal_audio_features
     out["multimodal_video_frames"] = multimodal_video_frames
@@ -51,7 +53,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from mee_ray.pipelines import (cluster, docbuild, export, fulltext,
-                                   relational, sketches, text, vector)
+                                   relational, sketches, text, training,
+                                   vector)
     from mee_ray.stages.multimodal import MULTIMODAL_SQL, VIDEO_SQL
 
     out: dict[str, str] = {}
@@ -63,6 +66,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(sketches.ORACLE)
     out.update(cluster.ORACLE)
     out.update(export.ORACLE)
+    out.update(training.ORACLE)
     out["multimodal_image_meta"] = MULTIMODAL_SQL
     out["multimodal_video_frames"] = VIDEO_SQL
     return out

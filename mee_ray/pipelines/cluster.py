@@ -252,8 +252,19 @@ def _gram_hash64(gram: str) -> int:
 
 
 def gram_dup_edges(sf_dir: str, n: int = 8, max_df: int = 50):
+    """Candidate edges over the full documents table — see
+    :func:`gram_dup_edges_ds` (this just binds the source)."""
+    from mee_ray.pipelines.text import _read_docs
+    return gram_dup_edges_ds(_read_docs(sf_dir, ["doc_id", "text"]),
+                             n=n, max_df=max_df)
+
+
+def gram_dup_edges_ds(docs, n: int = 8, max_df: int = 50):
     """Candidate edges: documents sharing at least one token ``n``-gram
     whose document frequency is in [2, max_df].
+
+    ``docs``: Ray Dataset with (doc_id, text) columns — the full
+    corpus or any curated subset (df counts are relative to the input).
 
     The df cap is the standard dedup hygiene step: a gram shared by
     thousands of documents is boilerplate, and its all-pairs (or even
@@ -266,7 +277,6 @@ def gram_dup_edges(sf_dir: str, n: int = 8, max_df: int = 50):
     (gram_key, doc_id) rows (per-doc distinct); ONE bucketed groupby
     co-locates each gram's documents; each bucket group resolves MANY
     grams vectorized.  `text` never leaves the tokenize task."""
-    from mee_ray.pipelines.text import _read_docs
 
     def explode(t: pa.Table) -> pa.Table:
         out_g, out_d = [], []
@@ -300,7 +310,7 @@ def gram_dup_edges(sf_dir: str, n: int = 8, max_df: int = 50):
             & (d != seg_min[seg_id])
         return _edges_table(seg_min[seg_id][keep], d[keep])
 
-    return (_read_docs(sf_dir, ["doc_id", "text"])
+    return (docs
             .map_batches(explode, batch_format="pyarrow",
                          zero_copy_batch=True)
             .groupby("bucket")

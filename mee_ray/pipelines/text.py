@@ -1238,14 +1238,15 @@ FROM starts
 CURATE_MIN_TOKENS = 20
 
 
-def curate_documents(sf_dir: str):
-    """The composed curation chain of a training-data pipeline (the
-    C4 shape): language filter → minimum-length filter → exact dedup
-    keep-lowest-id, in ONE streamed pass + one groupby.  Cheap
-    columnar filters run BEFORE tokenization (rows that fail the lang
-    gate are never tokenized), only (fp, doc_id, n_tokens) rows cross
-    the shuffle, and duplicates share identical text so n_tokens is
-    constant per fingerprint group."""
+def curated_ids_dataset(sf_dir: str):
+    """Dataset form of the curation chain (language filter →
+    minimum-length filter → exact dedup keep-lowest-id): survivors as
+    a STREAM of (fp, doc_id, n_tokens) rows, nothing on the driver —
+    composable with downstream stages (near-dup clustering, export).
+    Cheap columnar filters run BEFORE tokenization (rows that fail the
+    lang gate are never tokenized), only (fp, doc_id, n_tokens) rows
+    cross the shuffle, and duplicates share identical text so n_tokens
+    is constant per fingerprint group."""
     from ray.data.aggregate import Min
 
     class Stage(TextStats):
@@ -1263,12 +1264,19 @@ def curate_documents(sf_dir: str):
                              "doc_id": pa.array(ids, pa.int64()),
                              "n_tokens": pa.array(ntoks, pa.int64())})
 
-    surv = (_read_docs(sf_dir, ["doc_id", "text", "lang"])
+    return (_read_docs(sf_dir, ["doc_id", "text", "lang"])
             .map_batches(Stage(), batch_format="pyarrow",
                          zero_copy_batch=True)
             .groupby("fp")
             .aggregate(Min("doc_id", alias_name="doc_id"),
                        Min("n_tokens", alias_name="n_tokens")))
+
+
+def curate_documents(sf_dir: str):
+    """The composed curation chain of a training-data pipeline (the
+    C4 shape) as a driver table — see :func:`curated_ids_dataset` for
+    the streaming form this wraps."""
+    surv = curated_ids_dataset(sf_dir)
     batches = list(surv.iter_batches(batch_format="pyarrow"))
     if not batches:
         return pa.table({"doc_id": pa.array([], pa.int64()),

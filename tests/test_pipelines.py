@@ -175,6 +175,7 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
     # sketch/approximate ops and float-feature extraction are the only
     # sanctioned rows-only entries
     assert rows_only == {"minhash_lsh_candidates", "simhash_signatures",
+                         "minhash_neardup_clusters",
                          "simhash_dup_pairs", "ngram_jaccard_adjacent",
                          "embedding_neardup", "ann_ivf_topk",
                          "multimodal_audio_features",
