@@ -2461,6 +2461,295 @@ ORDER BY supp_nation, cust_nation, l_year
 """
 
 
+# ---------------------------------------------------- TPC-H Q8 shape --
+
+
+def q8_market_share(sf_dir: str):
+    """TPC-H Q8 (national market share): the target nation's share of
+    region-wide revenue for one part type, by order year.
+
+    Plan (the Q7 discipline): lineitem pre-filtered by a broadcast
+    PROMO-part key set, orders pre-filtered to the two-year window
+    BEFORE the one co-partitioned hash-shuffle join; supplier→nation
+    and customer→nation→region collapse to broadcast int probe maps.
+    Share = the float64 quotient of two exact integer-cent sums — the
+    identical division the oracle performs, so the ratio is
+    bit-identical, and both sums ship in the output anyway."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as _pq
+
+    target_nation, region_name, p_type = "NATION_3", "ASIA", "PROMO"
+    lo = pa.scalar(np.datetime64("1995-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1997-01-01", "us"))
+
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = _pq.read_table(f"{sf_dir}/region.parquet",
+                         columns=["r_regionkey", "r_name"])
+    rkey = {r: k for k, r in zip(reg["r_regionkey"].to_pylist(),
+                                 reg["r_name"].to_pylist())}[region_name]
+    nk_target = {n: k for k, n in zip(nat["n_nationkey"].to_pylist(),
+                                      nat["n_name"].to_pylist())}[target_nation]
+    region_nations = np.sort(np.array(
+        [k for k, rk in zip(nat["n_nationkey"].to_pylist(),
+                            nat["n_regionkey"].to_pylist()) if rk == rkey],
+        dtype=np.int64))
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_type"])
+    pkeys = np.sort(part.filter(pc.equal(part["p_type"], p_type))
+                    ["p_partkey"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    cus = _pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_nationkey"])
+
+    def _sorted_map(keys_arr, val_arr):
+        k = keys_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(k)
+        return k[order], (val_arr.to_numpy(zero_copy_only=False)
+                          .astype(np.int64)[order])
+
+    s_keys, s_nk = _sorted_map(sup["s_suppkey"], sup["s_nationkey"])
+    c_keys, c_nk = _sorted_map(cus["c_custkey"], cus["c_nationkey"])
+    dim_ref = ray.put((pkeys, s_keys, s_nk, c_keys, c_nk,
+                       region_nations))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        pk, sk, snk, _, _, _ = ray.get(dim_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(pk):
+            pos = np.clip(np.searchsorted(pk, lp), 0, len(pk) - 1)
+            keep = pk[pos] == lp
+        else:
+            keep = np.zeros(len(lp), dtype=bool)
+        t = t.filter(pa.array(keep))
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        cents = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), options=half_away), pa.int64())
+        sup_k = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        spos = np.clip(np.searchsorted(sk, sup_k), 0, len(sk) - 1)
+        is_target = (sk[spos] == sup_k) & (snk[spos] == nk_target)
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "cents": cents,
+                         "is_target": pa.array(is_target)})
+
+    def ord_partial(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["o_orderdate"], lo),
+                       pc.less(t["o_orderdate"], hi))
+        t = t.filter(keep)
+        year = pc.year(t["o_orderdate"]).cast(pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"],
+                         "o_year": year})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+          .map_batches(li_partial, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_custkey", "o_orderdate"])
+              .map_batches(ord_partial, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    j = li.join(orders, join_type="inner",
+                num_partitions=max(2, cpus // 2),
+                on=("l_orderkey",), right_on=("o_orderkey",),
+                aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def share_partial(t: pa.Table) -> pa.Table:
+        _, _, _, ck, cnk, rnat = ray.get(dim_ref)
+        cus_k = t["o_custkey"].to_numpy(zero_copy_only=False)
+        cpos = np.clip(np.searchsorted(ck, cus_k), 0, len(ck) - 1)
+        c_nat = cnk[cpos]
+        rpos = np.clip(np.searchsorted(rnat, c_nat), 0, len(rnat) - 1)
+        ok = (ck[cpos] == cus_k) & (rnat[rpos] == c_nat)
+        cents = t["cents"].to_numpy(zero_copy_only=False)[ok]
+        is_t = t["is_target"].to_numpy(zero_copy_only=False)[ok]
+        year = t["o_year"].to_numpy(zero_copy_only=False)[ok]
+        t2 = pa.table({"o_year": pa.array(year, pa.int64()),
+                       "nat": pa.array(np.where(is_t, cents, 0),
+                                       pa.int64()),
+                       "tot": pa.array(cents, pa.int64())})
+        g = t2.group_by("o_year").aggregate([("nat", "sum"),
+                                             ("tot", "sum")])
+        return g.rename_columns(["o_year", "nat_part", "tot_part"])
+
+    agg = (j.map_batches(share_partial, batch_format="pyarrow")
+           .groupby("o_year")
+           .aggregate(Sum("nat_part", alias_name="nation_cents"),
+                      Sum("tot_part", alias_name="total_cents")))
+    batches = list(agg.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table({"o_year": pa.array([], pa.int64()),
+                         "nation_cents": pa.array([], pa.int64()),
+                         "total_cents": pa.array([], pa.int64()),
+                         "mkt_share": pa.array([], pa.float64())})
+    t = pa.concat_tables(batches)
+    nc = t["nation_cents"].cast(pa.int64())
+    tc = t["total_cents"].cast(pa.int64())
+    share = pc.divide(nc.cast(pa.float64()), tc.cast(pa.float64()))
+    t = pa.table({"o_year": t["o_year"].cast(pa.int64()),
+                  "nation_cents": nc, "total_cents": tc,
+                  "mkt_share": share})
+    return t.take(pc.sort_indices(t, sort_keys=[("o_year", "ascending")]))
+
+
+Q8_SQL = """
+WITH vol AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100)
+              AS BIGINT) AS cents,
+         s_nat.n_name AS supp_nation
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey AND p_type = 'PROMO'
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation c_nat ON c_nat.n_nationkey = c_nationkey
+  JOIN region   ON r_regionkey = c_nat.n_regionkey AND r_name = 'ASIA'
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation s_nat ON s_nat.n_nationkey = s_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate <  TIMESTAMP '1997-01-01')
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+            AS BIGINT) AS nation_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)
+            AS DOUBLE) / CAST(sum(cents) AS DOUBLE) AS mkt_share
+FROM vol GROUP BY o_year ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------- TPC-H Q21 shape --
+
+
+def q21_waiting_suppliers(sf_dir: str, late_days: int = 365):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for
+    finished multi-supplier orders, find the supplier who was the
+    ONLY late one — the EXISTS(other supplier) / NOT EXISTS(other
+    late supplier) correlated pair, composed from one shuffle join
+    plus one bucketed groupby.
+
+    ADAPTED PREDICATE (documented): the reference TPC-H lateness
+    l_receiptdate > l_commitdate uses columns this corpus does not
+    carry; here late = l_shipdate > o_orderdate + ``late_days`` days.
+    The operator composition (fact⋈fact join, per-order correlated
+    quantifiers, per-supplier count) is the point, and the oracle
+    applies the identical predicate.
+
+    Vectorized per bucket: lexsort (orderkey, suppkey) → per-pair
+    any-late collapse → per-order distinct/late counts → emit the
+    lone late supplier of each qualifying order."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    import pyarrow.parquet as _pq
+
+    late = np.timedelta64(late_days, "D")
+
+    def ord_f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["o_orderstatus"], "F"))
+        return t.select(["o_orderkey", "o_orderdate"])
+
+    orders = (_read(sf_dir, "orders",
+                    ["o_orderkey", "o_orderdate", "o_orderstatus"])
+              .map_batches(ord_f, batch_format="pyarrow",
+                           zero_copy_batch=True))
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate"])
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    j = li.join(orders, join_type="inner",
+                num_partitions=max(2, cpus // 2),
+                on=("l_orderkey",), right_on=("o_orderkey",),
+                aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    N_BUCKETS = 64
+
+    def bucket(t: pa.Table) -> pa.Table:
+        ok = t["l_orderkey"].to_numpy(zero_copy_only=False)
+        ship = t["l_shipdate"].to_numpy(zero_copy_only=False)
+        odate = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        is_late = (ship > odate + late)
+        return pa.table({
+            "bucket": pa.array((ok % N_BUCKETS).astype(np.int32)),
+            "l_orderkey": pa.array(ok, pa.int64()),
+            "l_suppkey": t["l_suppkey"],
+            "late": pa.array(is_late.astype(np.int8))})
+
+    def lone_late_of_group(g: pa.Table) -> pa.Table:
+        ok = g["l_orderkey"].to_numpy(zero_copy_only=False)
+        sk = g["l_suppkey"].to_numpy(zero_copy_only=False)
+        lt = g["late"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((sk, ok))
+        ok, sk, lt = ok[order], sk[order], lt[order]
+        # collapse to one row per (order, supplier): any-late
+        pstart = np.flatnonzero(np.r_[True, (ok[1:] != ok[:-1])
+                                      | (sk[1:] != sk[:-1])])
+        p_ok = ok[pstart]
+        p_sk = sk[pstart]
+        p_lt = np.maximum.reduceat(lt, pstart)
+        # per-order segments over the collapsed pairs
+        ostart = np.flatnonzero(np.r_[True, p_ok[1:] != p_ok[:-1]])
+        n_supp = np.diff(np.r_[ostart, len(p_ok)])
+        n_late = np.add.reduceat(p_lt, ostart)
+        seg = np.cumsum(np.r_[False, p_ok[1:] != p_ok[:-1]])
+        keep = (p_lt == 1) & (n_supp[seg] >= 2) & (n_late[seg] == 1)
+        t2 = pa.table({"l_suppkey": pa.array(p_sk[keep], pa.int64()),
+                       "one": pa.array(np.ones(int(keep.sum()),
+                                               dtype=np.int64))})
+        g2 = t2.group_by("l_suppkey").aggregate([("one", "sum")])
+        return g2.rename_columns(["l_suppkey", "wait_part"])
+
+    agg = (j.map_batches(bucket, batch_format="pyarrow")
+           .groupby("bucket")
+           .map_groups(lone_late_of_group, batch_format="pyarrow")
+           .groupby("l_suppkey")
+           .aggregate(Sum("wait_part", alias_name="numwait")))
+    batches = list(agg.iter_batches(batch_format="pyarrow"))
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    smap = dict(zip(sup["s_suppkey"].to_pylist(),
+                    sup["s_name"].to_pylist()))
+    if not batches:
+        return pa.table({"s_name": pa.array([], pa.string()),
+                         "numwait": pa.array([], pa.int64())})
+    t = pa.concat_tables(batches)
+    t = pa.table({"s_name": pa.array(
+                      [smap[k] for k in t["l_suppkey"].to_pylist()],
+                      pa.string()),
+                  "numwait": t["numwait"].cast(pa.int64())})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("numwait", "descending"), ("s_name", "ascending")]))
+
+
+Q21_SQL = """
+WITH l AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate, o_orderdate
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey AND o_orderstatus = 'F'),
+per AS (
+  SELECT l_orderkey, l_suppkey,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 365 DAY
+                  THEN 1 ELSE 0 END) AS late
+  FROM l GROUP BY 1, 2),
+ord AS (SELECT l_orderkey, count(*) AS n_supp, sum(late) AS n_late
+        FROM per GROUP BY 1),
+waiting AS (
+  SELECT p.l_suppkey FROM per p JOIN ord o USING (l_orderkey)
+  WHERE p.late = 1 AND o.n_supp >= 2 AND o.n_late = 1)
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM waiting JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name ORDER BY numwait DESC, s_name
+"""
+
+
 # ---------------------------------------------------- TPC-H Q15 shape --
 
 def q15_top_supplier(sf_dir: str):
@@ -3229,6 +3518,8 @@ QUERIES = {
     "json_extract_events": json_extract_events,
     "composite_agg_events": composite_agg_events,
     "q7_volume_shipping": q7_volume_shipping,
+    "q8_market_share": q8_market_share,
+    "q21_waiting_suppliers": q21_waiting_suppliers,
     "percentile_ranks_events": percentile_ranks_events,
     "funnel_events": funnel_events,
     "q15_top_supplier": q15_top_supplier,
@@ -3282,6 +3573,8 @@ ORACLE = {
     "json_extract_events": JSON_EXTRACT_SQL,
     "composite_agg_events": COMPOSITE_AGG_SQL,
     "q7_volume_shipping": Q7_SQL,
+    "q8_market_share": Q8_SQL,
+    "q21_waiting_suppliers": Q21_SQL,
     "percentile_ranks_events": PERCENTILE_RANKS_SQL,
     "funnel_events": FUNNEL_SQL,
     "q15_top_supplier": Q15_SQL,
