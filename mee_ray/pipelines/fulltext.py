@@ -2799,6 +2799,82 @@ def corpus_docs_table(sf_dir: str):
                      "sha_hex": pa.array(sha_hex, pa.string())})
 
 
+def bm25_rank_eval(sf_dir: str) -> pa.Table:
+    """ES ``_rank_eval`` analog: ranking-quality metrics of the BM25
+    top-10 against a deterministic judgment set.
+
+    Judgment rule (derivable on both sides, no human labels in a
+    sandbox): a document is RELEVANT to a query iff it contains every
+    query term — the conjunctive member set.  Metrics per query:
+    ``p_at_10`` (relevant in the top-10 window / 10) and ``rr``
+    (reciprocal rank of the first relevant hit in the window, 0 if
+    none), plus the judgment-set size.  Both sides compute the same
+    1/rank and hits/10 divisions on the same integers, so the doubles
+    are bit-identical."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    out = []
+    for qid, terms in REFERENCE_QUERIES:
+        full = s.search(terms, k=s.n_docs or 1)
+        rel = {idmap[d] for d, _ in
+               s.search(terms, k=s.n_docs or 1, operator="and")}
+        window = _rank_rows([(qid, full)], idmap, TOP_K)
+        hit_ranks = [rank for (_, rank, oid) in window if oid in rel]
+        out.append({
+            "query_id": qid,
+            "n_relevant": len(rel),
+            "p_at_10": len(hit_ranks) / 10.0,
+            "rr": (1.0 / min(hit_ranks)) if hit_ranks else 0.0,
+        })
+    return pa.table({
+        "query_id": pa.array([r["query_id"] for r in out], pa.int64()),
+        "n_relevant": pa.array([r["n_relevant"] for r in out], pa.int64()),
+        "p_at_10": pa.array([r["p_at_10"] for r in out], pa.float64()),
+        "rr": pa.array([r["rr"] for r in out], pa.float64()),
+    })
+
+
+def _rank_eval_sql() -> str:
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+qa AS (SELECT query_id, count(*) AS arity FROM q GROUP BY 1),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM},
+         count(*) AS n_matched
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+rel AS (
+  SELECT sc.query_id, sc.doc_id
+  FROM scored sc JOIN qa ON qa.query_id = sc.query_id
+  WHERE sc.n_matched = qa.arity),
+nrel AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_relevant
+         FROM rel GROUP BY query_id),
+win AS (
+  SELECT r.query_id, r.rank, rel.doc_id IS NOT NULL AS is_rel
+  FROM (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scored) r
+  LEFT JOIN rel ON rel.query_id = r.query_id AND rel.doc_id = r.doc_id
+  WHERE r.rank <= {TOP_K})
+SELECT w.query_id,
+       coalesce(n.n_relevant, 0) AS n_relevant,
+       CAST(sum(CASE WHEN w.is_rel THEN 1 ELSE 0 END) AS DOUBLE) / 10.0
+         AS p_at_10,
+       coalesce(max(CASE WHEN w.is_rel THEN 1.0 / w.rank END), 0.0) AS rr
+FROM win w LEFT JOIN nrel n ON n.query_id = w.query_id
+GROUP BY w.query_id, n.n_relevant
+"""
+
+
 CORPUS_DOCS_SQL = f"""
 SELECT 'org' || (doc_id % 10) || '/repo' || (doc_id % 97) AS repo,
        'src/doc_' || doc_id || '.txt'                      AS path,
@@ -2843,6 +2919,7 @@ QUERIES = {
     "bm25_search_after_documents": bm25_search_after_documents,
     "bm25_significant_terms": bm25_significant_terms,
     "bm25_match_counts": bm25_match_counts,
+    "bm25_rank_eval": bm25_rank_eval,
     "percolate_documents": percolate_documents,
     "term_suggest_documents": term_suggest_documents,
     "bm25_sort_by_field": bm25_sort_by_field,
@@ -2887,6 +2964,7 @@ ORACLE = {
     "bm25_search_after_documents": _bm25_search_after_sql(),
     "bm25_significant_terms": _bm25_sig_terms_sql(),
     "bm25_match_counts": _bm25_counts_sql(),
+    "bm25_rank_eval": _rank_eval_sql(),
     "percolate_documents": _percolate_sql(),
     "term_suggest_documents": _term_suggest_sql(),
     "bm25_sort_by_field": _bm25_sort_sql(),
