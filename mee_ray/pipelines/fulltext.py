@@ -2836,6 +2836,51 @@ def bm25_rank_eval(sf_dir: str) -> pa.Table:
     })
 
 
+_TV_DOCS = 10
+
+
+def bm25_termvectors(sf_dir: str) -> pa.Table:
+    """ES ``_termvectors`` analog: per-document term statistics for a
+    fixed doc set — term frequency from a re-analysis of the stored
+    text with the INDEX's own (manifest-reconstructed) tokenizer, and
+    LIVE index-wide document frequency from the dictionary
+    (chunk-df sums, no posting decode — the term_df path MLT uses).
+    The stored-field fetch is a pruned, filtered source read (doc_id
+    pushdown), never a table scan."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "text"],
+                      filters=[("doc_id", "<", _TV_DOCS)])
+    tok = s._tokenizer()
+    rows_d, rows_t, rows_tf, rows_df = [], [], [], []
+    for did, text in sorted(zip(t["doc_id"].to_pylist(),
+                                t["text"].to_pylist())):
+        counts = tok.counts(text or "")
+        for term in sorted(counts):
+            rows_d.append(did)
+            rows_t.append(term)
+            rows_tf.append(counts[term])
+            rows_df.append(s.term_df(term))
+    return pa.table({"doc_id": pa.array(rows_d, pa.int64()),
+                     "term": pa.array(rows_t, pa.string()),
+                     "tf": pa.array(rows_tf, pa.int64()),
+                     "df": pa.array(rows_df, pa.int64())})
+
+
+def _termvectors_sql() -> str:
+    return f"""
+{_base_ctes()}
+SELECT tf.doc_id, tf.term,
+       CAST(tf.tf AS BIGINT) AS tf,
+       CAST(df.df AS BIGINT) AS df
+FROM tf JOIN df ON df.term = tf.term
+WHERE tf.doc_id < {_TV_DOCS}
+ORDER BY tf.doc_id, tf.term
+"""
+
+
 def _rank_eval_sql() -> str:
     return f"""
 {_base_ctes()},
@@ -2920,6 +2965,7 @@ QUERIES = {
     "bm25_significant_terms": bm25_significant_terms,
     "bm25_match_counts": bm25_match_counts,
     "bm25_rank_eval": bm25_rank_eval,
+    "bm25_termvectors": bm25_termvectors,
     "percolate_documents": percolate_documents,
     "term_suggest_documents": term_suggest_documents,
     "bm25_sort_by_field": bm25_sort_by_field,
@@ -2965,6 +3011,7 @@ ORACLE = {
     "bm25_significant_terms": _bm25_sig_terms_sql(),
     "bm25_match_counts": _bm25_counts_sql(),
     "bm25_rank_eval": _rank_eval_sql(),
+    "bm25_termvectors": _termvectors_sql(),
     "percolate_documents": _percolate_sql(),
     "term_suggest_documents": _term_suggest_sql(),
     "bm25_sort_by_field": _bm25_sort_sql(),
