@@ -320,17 +320,20 @@ def gram_dup_edges_ds(docs, n: int = 8, max_df: int = 50):
 # ------------------------------------------------- driver queries
 
 
-def _clusters_with_singletons(sf_dir: str, cc: pa.Table) -> pa.Table:
-    """(doc_id, root) for EVERY document: clustered nodes get their
-    component root, the rest map to themselves.  One bucketed groupby
-    joins the (small) cluster mapping to the (large) doc-id scan — no
-    corpus-sized broadcast."""
+def _clusters_with_singletons(sf_dir: str, cc: pa.Table,
+                              id_source=None,
+                              id_col: str = "doc_id") -> pa.Table:
+    """(id, root) for EVERY row of the id table: clustered nodes get
+    their component root, the rest map to themselves.  One bucketed
+    groupby joins the (small) cluster mapping to the (large) id scan —
+    no corpus-sized broadcast.  ``id_source``/``id_col`` override the
+    default documents table (e.g. the embeddings table's vec_id)."""
     import ray.data
 
     from mee_ray.pipelines.text import _read_docs
 
     def tag_docs(t: pa.Table) -> pa.Table:
-        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        d = t[id_col].to_numpy(zero_copy_only=False)
         bucket = (_mix64(d) % np.uint64(_N_BUCKETS)).astype(np.int32)
         return pa.table({"bucket": pa.array(bucket),
                          "doc_id": pa.array(d, pa.int64()),
@@ -365,7 +368,9 @@ def _clusters_with_singletons(sf_dir: str, cc: pa.Table) -> pa.Table:
         return pa.table({"doc_id": pa.array(dd, pa.int64()),
                          "root": pa.array(root, pa.int64())})
 
-    docs_side = _read_docs(sf_dir, ["doc_id"]).map_batches(
+    ids_ds = (id_source if id_source is not None
+              else _read_docs(sf_dir, ["doc_id"]))
+    docs_side = ids_ds.map_batches(
         tag_docs, batch_format="pyarrow", zero_copy_batch=True)
     map_side = ray.data.from_arrow(cc).map_batches(
         tag_map, batch_format="pyarrow")
@@ -376,7 +381,10 @@ def _clusters_with_singletons(sf_dir: str, cc: pa.Table) -> pa.Table:
     out = pa.concat_tables(parts) if parts else pa.table(
         {"doc_id": pa.array([], pa.int64()),
          "root": pa.array([], pa.int64())})
-    return out.sort_by("doc_id")
+    out = out.sort_by("doc_id")
+    if id_col != "doc_id":
+        out = out.rename_columns([id_col, "root"])
+    return out
 
 
 def neardup_gram_clusters(sf_dir: str) -> pa.Table:
@@ -398,6 +406,27 @@ def neardup_representatives(sf_dir: str) -> pa.Table:
     r = t["root"].to_numpy(zero_copy_only=False)
     keep = d == r
     return pa.table({"doc_id": pa.array(d[keep], pa.int64())})
+
+
+def embedding_neardup_clusters(sf_dir: str) -> pa.Table:
+    """Cluster assignment over the embedding-cosine near-dup pair set
+    (IVF-bucketed candidates, exact cosine ≥ τ): the semantic-dedup
+    closure.  Completes the near-dup family — every pair generator
+    (gram, MinHash, embedding) now ends in components + canonical
+    representatives.  Rows-only driver check; the pair generator has
+    its own exactness/recall tests."""
+    import ray.data
+
+    from mee_ray.pipelines.vector import embedding_neardup
+    pairs = embedding_neardup(sf_dir)     # Ray Dataset (a, b, cosine)
+    edges = (ray.data.from_arrow(pairs.select(["a", "b"]))
+             if isinstance(pairs, pa.Table)
+             else pairs.select_columns(["a", "b"]))
+    cc = connected_components(edges)
+    emb_ids = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                    columns=["vec_id"])
+    return _clusters_with_singletons(sf_dir, cc, id_source=emb_ids,
+                                     id_col="vec_id")
 
 
 def minhash_neardup_clusters(sf_dir: str) -> pa.Table:
@@ -470,6 +499,7 @@ QUERIES = {
     "neardup_gram_clusters": neardup_gram_clusters,
     "neardup_representatives": neardup_representatives,
     "minhash_neardup_clusters": minhash_neardup_clusters,
+    "embedding_neardup_clusters": embedding_neardup_clusters,
 }
 
 ORACLE = {

@@ -143,3 +143,16 @@ def test_minhash_clusters_consistent_with_pairs(ray_session):
     clustered = {d for d, rt in root.items() if rt != d} | \
         {rt for d, rt in root.items() if rt != d}
     assert clustered == set(want.keys())
+
+
+def test_embedding_clusters_consistent_with_pairs(ray_session):
+    from mee_ray.pipelines.cluster import embedding_neardup_clusters
+    from mee_ray.pipelines.vector import embedding_neardup
+
+    pairs = embedding_neardup(SF).to_pandas()
+    got = embedding_neardup_clusters(SF)
+    root = dict(zip(got["vec_id"].to_pylist(), got["root"].to_pylist()))
+    edges = list(zip(pairs["a"].tolist(), pairs["b"].tolist()))
+    want = _union_find([(a, b) for a, b in edges if a != b])
+    for node, r in want.items():
+        assert root[node] == r

@@ -176,6 +176,7 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
     # sanctioned rows-only entries
     assert rows_only == {"minhash_lsh_candidates", "simhash_signatures",
                          "minhash_neardup_clusters",
+                         "embedding_neardup_clusters",
                          "simhash_dup_pairs", "ngram_jaccard_adjacent",
                          "embedding_neardup", "ann_ivf_topk",
                          "multimodal_audio_features",
