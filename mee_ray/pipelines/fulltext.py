@@ -16,6 +16,7 @@ import hashlib
 import os
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from mee_ray.build import build_index
@@ -2836,6 +2837,98 @@ def bm25_rank_eval(sf_dir: str) -> pa.Table:
     })
 
 
+_SPAN_FIRST_END = 5
+
+
+def bm25_span_first_documents(sf_dir: str) -> pa.Table:
+    """ES ``span_first`` path: each reference query's FIRST term must
+    occur within the document's first {END} tokens; survivors keep the
+    term's plain BM25 contribution (membership gates, never rescales).
+    Full-depth + original-id re-rank like every fulltext query."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_span_first(terms[0], _SPAN_FIRST_END,
+                                         k=s.n_docs or 1))
+               for qid, terms in REFERENCE_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _span_first_sql() -> str:
+    firsts = [(qid, [terms[0]]) for qid, terms in REFERENCE_QUERIES]
+    return f"""
+{_base_ctes(with_positions=True)},
+q(query_id, term) AS (VALUES {_q_values(firsts)}),
+member AS (
+  SELECT q.query_id, tok.doc_id
+  FROM q JOIN tok ON tok.term = q.term
+  GROUP BY q.query_id, tok.doc_id
+  HAVING min(tok.i) <= {_SPAN_FIRST_END}),
+scores AS (
+  SELECT m.query_id, m.doc_id, {_SCORE_SUM}
+  FROM member m
+  JOIN q  ON q.query_id = m.query_id
+  JOIN tf ON tf.term = q.term AND tf.doc_id = m.doc_id
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
+_RARE_MAX_DF = 100
+
+
+def bm25_rare_terms(sf_dir: str, max_doc_count: int = _RARE_MAX_DF) -> pa.Table:
+    """ES ``rare_terms`` aggregation: the long-tail terms with
+    document frequency ≤ ``max_doc_count`` (the complement of the
+    heavy-hitters sketch).  Dictionary-only — a distributed pruned
+    read of the segment (term, df) columns, partial-summed per batch
+    (salted hot terms contribute several rows whose dfs re-add
+    exactly), one tiny groupby; postings are never decoded.  The
+    threshold is calibrated to this corpus's seeded rare-token tail
+    (everyday terms sit at df≈0.75·N)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    root = _ensure_index(sf_dir)
+    seg_files = [s["path"] for s in mf.load_manifest(root)["segments"]]
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["term", "df"]).group_by("term")
+             .aggregate([("df", "sum")]))
+        return g.rename_columns(["term", "df_part"])
+
+    agg = (ray.data.read_parquet(seg_files, columns=["term", "df"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("term")
+           .aggregate(Sum("df_part", alias_name="df")))
+    parts = list(agg.iter_batches(batch_format="pyarrow"))
+    t = (pa.concat_tables(parts) if parts
+         else pa.table({"term": pa.array([], pa.string()),
+                        "df": pa.array([], pa.int64())}))
+    t = pa.table({"term": t["term"], "df": t["df"].cast(pa.int64())})
+    t = t.filter(pc.less_equal(t["df"], max_doc_count))
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("df", "ascending"), ("term", "ascending")]))
+
+
+def _rare_terms_sql() -> str:
+    return f"""
+{_base_ctes()}
+SELECT term, CAST(df AS BIGINT) AS df
+FROM df WHERE df <= {_RARE_MAX_DF}
+ORDER BY df, term
+"""
+
+
 _TV_DOCS = 10
 
 
@@ -2966,6 +3059,8 @@ QUERIES = {
     "bm25_match_counts": bm25_match_counts,
     "bm25_rank_eval": bm25_rank_eval,
     "bm25_termvectors": bm25_termvectors,
+    "bm25_rare_terms": bm25_rare_terms,
+    "bm25_span_first_documents": bm25_span_first_documents,
     "percolate_documents": percolate_documents,
     "term_suggest_documents": term_suggest_documents,
     "bm25_sort_by_field": bm25_sort_by_field,
@@ -3012,6 +3107,8 @@ ORACLE = {
     "bm25_match_counts": _bm25_counts_sql(),
     "bm25_rank_eval": _rank_eval_sql(),
     "bm25_termvectors": _termvectors_sql(),
+    "bm25_rare_terms": _rare_terms_sql(),
+    "bm25_span_first_documents": _span_first_sql(),
     "percolate_documents": _percolate_sql(),
     "term_suggest_documents": _term_suggest_sql(),
     "bm25_sort_by_field": _bm25_sort_sql(),

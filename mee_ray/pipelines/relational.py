@@ -1835,6 +1835,56 @@ FROM days LEFT JOIN agg ON agg.d = days.d
 """
 
 
+def derivative_events(sf_dir: str):
+    """ES ``derivative`` pipeline aggregation: day-over-day change of
+    the gap-filled daily event count.  The parent histogram is the
+    distributed date_histogram; the derivative itself is one
+    vectorized diff over the REDUCED per-day table (O(days)), exactly
+    like the moving-window pipeline agg.  The first bucket has no
+    predecessor — ES emits no derivative there; we emit NULL so every
+    day keeps its row (min_doc_count=0 shape)."""
+
+    def diff(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"day_bucket": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "deriv": pa.array([], pa.int64())})
+        d = t["day_bucket"].to_numpy(zero_copy_only=False)
+        n = t["n_events"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d)
+        d, n = d[order], n[order]
+        deriv = np.empty(len(n), dtype=np.int64)
+        deriv[1:] = n[1:] - n[:-1]
+        mask = np.ones(len(n), dtype=bool)
+        mask[0] = False            # no predecessor for the first day
+        return pa.table({"day_bucket": pa.array(d, pa.int64()),
+                         "n_events": pa.array(n, pa.int64()),
+                         "deriv": pa.array(np.where(mask, deriv, 0),
+                                           pa.int64(), mask=~mask)})
+
+    return (date_histogram_events(sf_dir)
+            .repartition(1)
+            .map_batches(diff, batch_format="pyarrow"))
+
+
+DERIVATIVE_SQL = """
+WITH b AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d
+  FROM events),
+agg AS (SELECT d, count(*) AS n FROM b GROUP BY d),
+days AS (SELECT unnest(generate_series((SELECT min(d) FROM agg),
+                                       (SELECT max(d) FROM agg))) AS d),
+hist AS (SELECT days.d AS day_bucket,
+                coalesce(agg.n, 0) AS n_events
+         FROM days LEFT JOIN agg ON agg.d = days.d)
+SELECT day_bucket,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_events - lag(n_events) OVER (ORDER BY day_bucket)
+            AS BIGINT) AS deriv
+FROM hist
+"""
+
+
 MOVING_DAYS = 7
 
 
@@ -3519,6 +3569,7 @@ QUERIES = {
     "composite_agg_events": composite_agg_events,
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
+    "derivative_events": derivative_events,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "percentile_ranks_events": percentile_ranks_events,
     "funnel_events": funnel_events,
@@ -3574,6 +3625,7 @@ ORACLE = {
     "composite_agg_events": COMPOSITE_AGG_SQL,
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,
+    "derivative_events": DERIVATIVE_SQL,
     "q21_waiting_suppliers": Q21_SQL,
     "percentile_ranks_events": PERCENTILE_RANKS_SQL,
     "funnel_events": FUNNEL_SQL,

@@ -565,6 +565,32 @@ class Searcher:
                 return None
         return cand
 
+    def search_span_first(self, term: str, end: int,
+                          k: int = 10) -> list[tuple[int, float]]:
+        """ES ``span_first`` analog (single-term span, boundary
+        ``end``): rank documents whose FIRST occurrence of ``term``
+        lies within the first ``end`` token positions (0-based
+        position < end, i.e. among the document's first ``end``
+        tokens).  Membership gates, scores never rescale — survivors
+        keep the term's plain BM25 contribution (the filter-context
+        stance, delegated to :meth:`search_filtered`).  Positions are
+        stored ascending per doc, so the first occurrence is each
+        run's leading value — no scan.  Requires
+        ``store_positions=True``."""
+        if end <= 0 or not term:
+            return []
+        if not self.manifest.get("store_positions"):
+            raise ValueError("span_first needs store_positions=True "
+                             "(pinned in the manifest)")
+        ids, offs, flat = self.term_doc_positions(term)
+        if not len(ids):
+            return []
+        first = flat[offs[:-1]]
+        allowed = np.sort(ids[first < end])
+        if not allowed.size:
+            return []
+        return self.search_filtered([term], k, allowed)
+
     def search_span_near(self, terms: list[str], slop: int = 0,
                          k: int = 10) -> list[tuple[int, float]]:
         """Ordered proximity top-k (ES/Lucene ``span_near`` with

@@ -493,3 +493,31 @@ def test_phrase_prefix_distributed(pos_index, ray_session):
         assert checked >= 5
     finally:
         ds.shutdown()
+
+
+def test_span_first_membership_and_scores(pos_index):
+    """span_first: (1) member set = docs whose first occurrence of the
+    term is inside the window (checked against re-tokenized text);
+    (2) survivor scores equal the plain single-term search scores;
+    (3) end<=0 and unknown terms return empty."""
+    from mee_ray.query import Searcher
+    from mee_ray.tokenizer import Tokenizer
+
+    s = Searcher(pos_index["root"])
+    tok = Tokenizer(pos_index["cfg"].tokenizer)
+    any_hit = False
+    for term, end in [("def", 3), ("return", 8), ("import", 1)]:
+        got = s.search_span_first(term, end, k=s.n_docs or 1)
+        want_members = set()
+        for did, content in pos_index["docs"]:
+            toks = tok.terms(content)
+            if term in toks[:end]:
+                want_members.add(did)
+        assert {d for d, _ in got} == want_members
+        any_hit = any_hit or bool(got)
+        full = dict(s.search([term], k=s.n_docs or 1))
+        for d, sc in got:
+            assert sc == full[d]
+    assert any_hit, "probe terms never matched — fixture drifted"
+    assert s.search_span_first("def", 0) == []
+    assert s.search_span_first("zzz_unknown_term", 5) == []

@@ -451,3 +451,4 @@ def test_complete_local_and_distributed(built_index, ray_session):
             assert ds.complete(pre, 5) == s.complete(pre, 5), pre
     finally:
         ds.shutdown()
+
