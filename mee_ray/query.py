@@ -1641,6 +1641,9 @@ class DistributedSearcher:
             def search_span_near(self, terms, slop, k):
                 return self.searcher.search_span_near(terms, slop, k)
 
+            def search_span_first(self, term, end, k):
+                return self.searcher.search_span_first(term, end, k)
+
             def local_topm(self, terms, m):
                 """(exact local top-m partial ranking, bound): the
                 m-th best partial bounds every unreturned doc's
@@ -2091,6 +2094,20 @@ class DistributedSearcher:
             terms, k,
             lambda data: span_near_match_docs(data, terms, slop),
             lambda actor: actor.search_span_near.remote(terms, slop, k))
+
+    def search_span_first(self, term: str, end: int,
+                          k: int = 10) -> list[tuple[int, float]]:
+        """Distributed span_first: a single-term span has exactly ONE
+        owning shard actor, so the whole query runs actor-side — the
+        positional family's single-actor fast path, with zero
+        position bytes crossing the wire."""
+        import ray
+        if end <= 0 or not term:
+            return []
+        by_actor = self._terms_by_actor([term])
+        (a,) = by_actor
+        return ray.get(
+            self.actors[a].search_span_first.remote(term, end, k))
 
     def search_phrase_prefix(self, terms: list[str], k: int = 10,
                              max_expansions: int = 50

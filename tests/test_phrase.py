@@ -521,3 +521,17 @@ def test_span_first_membership_and_scores(pos_index):
     assert any_hit, "probe terms never matched — fixture drifted"
     assert s.search_span_first("def", 0) == []
     assert s.search_span_first("zzz_unknown_term", 5) == []
+
+
+def test_span_first_distributed_equals_local(pos_index):
+    from mee_ray.query import DistributedSearcher, Searcher
+
+    s = Searcher(pos_index["root"])
+    ds = DistributedSearcher(pos_index["root"], n_actors=3)
+    try:
+        for term, end in [("def", 3), ("return", 8), ("import", 1),
+                          ("zzz_unknown_term", 5)]:
+            assert ds.search_span_first(term, end, k=20) == \
+                s.search_span_first(term, end, k=20)
+    finally:
+        ds.shutdown()
