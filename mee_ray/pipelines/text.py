@@ -1303,9 +1303,90 @@ ORDER BY p.doc_id
 """
 
 
+PACK_BUDGET = 2048
+
+
+def pack_training_sequences(sf_dir: str):
+    """Training-sequence packing: assign every document to a
+    fixed-token-budget sequence (the step between chunking and shard
+    export in a pre-training pipeline).
+
+    Packing rule — deliberately the ORDER-DETERMINISTIC, vectorizable
+    one: concatenate each language's documents in doc_id order and
+    split the stream at multiples of ``PACK_BUDGET``; a document
+    belongs to the sequence where its start offset falls (documents
+    may straddle a boundary — the padding-free rule most packers use
+    when truncation is handled downstream).  First-fit-decreasing
+    would pack ~1% tighter but is inherently sequential; this rule is
+    ONE prefix sum, so it distributes.
+
+    Shape: tokenize per batch (per-task tokenizer state), ≤1 row per
+    doc crosses the exchange (doc_id, lang, n_tokens — text stays in
+    the tokenize task), one vectorized cumsum per language group.  A
+    language whose reduced row set outgrows one task takes the
+    standard two-pass distributed prefix sum (per-block partial sums,
+    then a broadcast of the tiny per-block offsets) — the same
+    documented scale path as dense_rank's range-partition+offset."""
+
+    class Count(TextStats):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = [len(self.tokens(x)) for x in t["text"].to_pylist()]
+            return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                             "n_tokens": pa.array(n, pa.int64())})
+
+    def pack_group(g: pa.Table) -> pa.Table:
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
+        n = g["n_tokens"].to_numpy(zero_copy_only=False)
+        langs = g["lang"].to_pylist()
+        order = np.argsort(d, kind="stable")
+        d, n = d[order], n[order]
+        langs = [langs[i] for i in order]
+        start = np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table({
+            "doc_id": pa.array(d, pa.int64()),
+            "lang": pa.array(langs, pa.string()),
+            "n_tokens": pa.array(n, pa.int64()),
+            "seq_id": pa.array(start // PACK_BUDGET, pa.int64()),
+            "seq_offset": pa.array(start % PACK_BUDGET, pa.int64())})
+
+    parts = list(_read_docs(sf_dir, ["doc_id", "lang", "text"])
+                 .map_batches(Count(), batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .groupby("lang")
+                 .map_groups(pack_group, batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow"))
+    out = pa.concat_tables(parts) if parts else pa.table(
+        {"doc_id": pa.array([], pa.int64()),
+         "lang": pa.array([], pa.string()),
+         "n_tokens": pa.array([], pa.int64()),
+         "seq_id": pa.array([], pa.int64()),
+         "seq_offset": pa.array([], pa.int64())})
+    return out.sort_by([("lang", "ascending"), ("doc_id", "ascending")])
+
+
+PACK_SQL = f"""
+WITH n AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'))
+           AS n_tokens
+  FROM documents),
+o AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS start_off
+  FROM n)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(floor(start_off / {PACK_BUDGET}) AS BIGINT) AS seq_id,
+       CAST(start_off % {PACK_BUDGET} AS BIGINT)        AS seq_offset
+FROM o ORDER BY lang, doc_id
+"""
+
+
 QUERIES = {
     "doc_token_counts": doc_token_counts,
     "chunk_documents": chunk_documents,
+    "pack_training_sequences": pack_training_sequences,
     "curate_documents": curate_documents,
     "stratified_sample_documents": stratified_sample_documents,
     "doc_term_df": doc_term_df,
@@ -1329,6 +1410,7 @@ QUERIES = {
 ORACLE = {
     "doc_token_counts": TOKEN_COUNTS_SQL,
     "chunk_documents": CHUNK_SQL,
+    "pack_training_sequences": PACK_SQL,
     "curate_documents": CURATE_SQL,
     "doc_term_df": TERM_DF_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,

@@ -89,6 +89,12 @@ SQL_CHECKED = [
     "bm25_sort_by_field", "bm25_range_agg", "bm25_stats_agg",
     "bm25_top_hits", "training_mix_sample",
     "cube_pricing_totals", "ntile_orders", "docbuild_nested_query",
+    "neardup_gram_clusters", "neardup_representatives",
+    "training_export_shards", "corpus_to_training_shards",
+    "q8_market_share", "q21_waiting_suppliers",
+    "bm25_rank_eval", "bm25_termvectors", "bm25_rare_terms",
+    "bm25_span_first_documents", "derivative_events",
+    "pack_training_sequences",
 ]
 
 
