@@ -217,6 +217,18 @@ def run_suite(sf_dir: str, num_cpus: int, build_only: bool = False) -> dict:
                 res.materialize()
             queries_sec[name] = round(time.time() - tq, 3)
 
+    # ---- 4. extras: newer flagship pipelines, timed OUTSIDE the
+    # headline so suite_sec stays comparable across rounds -------------
+    if not build_only:
+        extras = {}
+        for name in ("corpus_to_training_shards", "neardup_gram_clusters"):
+            tq = time.time()
+            res = qs[name](sf_dir)
+            if hasattr(res, "materialize"):
+                res.materialize()
+            extras[name] = round(time.time() - tq, 3)
+        results["extras"] = extras
+
     results["queries"] = queries_sec
     results["suite_sec"] = round(sum(queries_sec.values()), 2)
     ray.shutdown()

@@ -311,8 +311,130 @@ LIMIT {HH_TOPK}
 EXACT_TOP_TERMS_SQL = _exact_top_terms_sql()
 
 
+# --- KLL-style quantile sketch ---------------------------------------------
+#
+# Mergeable rank sketch (Karnin–Lang–Liberty shape, deterministic
+# variant): level-l values carry weight 2^l; when a level buffer
+# exceeds K it is sorted and every SECOND element promotes one level.
+# Real KLL randomizes the even/odd choice; here the choice alternates
+# deterministically per compaction (tracked per level), which keeps the
+# pipeline reproducible across runs/partitionings at slightly worse
+# error constants.  Space O(K log(n/K)) per key, single pass, and the
+# per-batch partial that crosses the exchange is the sketch itself —
+# never raw values.
+
+KLL_K = 256
+
+
+def _kll_compact(levels: list[np.ndarray], parity: int) -> int:
+    """Compact in place: promote every second element of each
+    overfull level.  ``parity`` alternates the kept offset."""
+    li = 0
+    while li < len(levels):
+        if len(levels[li]) > KLL_K:
+            buf = np.sort(levels[li])
+            keep = buf[(parity & 1)::2]
+            parity += 1
+            levels[li] = np.empty(0, dtype=np.float64)
+            if li + 1 == len(levels):
+                levels.append(keep)
+            else:
+                levels[li + 1] = np.concatenate([levels[li + 1], keep])
+        li += 1
+    return parity
+
+
+def _kll_add(levels: list[np.ndarray], vals: np.ndarray,
+             parity: int) -> int:
+    levels[0] = np.concatenate([levels[0], vals.astype(np.float64)])
+    return _kll_compact(levels, parity)
+
+
+def _kll_merge(a: list[np.ndarray], b: list[np.ndarray],
+               parity: int) -> int:
+    while len(a) < len(b):
+        a.append(np.empty(0, dtype=np.float64))
+    for li, buf in enumerate(b):
+        a[li] = np.concatenate([a[li], buf])
+    return _kll_compact(a, parity)
+
+
+def _kll_quantile(levels: list[np.ndarray], q: float) -> float:
+    vals = np.concatenate([b for b in levels if len(b)] or
+                          [np.empty(0, dtype=np.float64)])
+    wts = np.concatenate(
+        [np.full(len(b), 1 << li, dtype=np.int64)
+         for li, b in enumerate(levels) if len(b)] or
+        [np.empty(0, dtype=np.int64)])
+    if not len(vals):
+        return float("nan")
+    order = np.argsort(vals, kind="stable")
+    vals, wts = vals[order], wts[order]
+    cum = np.cumsum(wts)
+    target = q * cum[-1]
+    return float(vals[np.searchsorted(cum, target, side="left")
+                      .clip(0, len(vals) - 1)])
+
+
+def quantile_sketch_events(sf_dir: str):
+    """Approximate per-event-type value quantiles from ONE pass of
+    mergeable KLL-style sketches (rows-only: approximate by design —
+    the exact order-statistic companion is `quantiles_events`, and the
+    rank-error bound is asserted in tests).  Per-batch partials are
+    (event_type, level, values) rows; the driver folds sketches, not
+    data."""
+    import ray.data
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        out_k, out_l, out_v = [], [], []
+        tt = pa.table({"k": t["event_type"], "v": t["value"]})
+        for key in pc.unique(tt["k"]).to_pylist():
+            vals = tt.filter(pc.equal(tt["k"], key))["v"] \
+                .to_numpy(zero_copy_only=False)
+            levels: list[np.ndarray] = [np.empty(0, dtype=np.float64)]
+            _kll_add(levels, vals, 0)
+            for li, buf in enumerate(levels):
+                if len(buf):
+                    out_k.append(key)
+                    out_l.append(li)
+                    out_v.append(buf.tolist())
+        return pa.table({"k": pa.array(out_k, pa.string()),
+                         "level": pa.array(out_l, pa.int32()),
+                         "vals": pa.array(out_v,
+                                          pa.list_(pa.float64()))})
+
+    sketches: dict[str, list[np.ndarray]] = {}
+    parities: dict[str, int] = {}
+    ds = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value"])
+    for b in (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .iter_batches(batch_format="pyarrow")):
+        for key, li, vals in zip(b["k"].to_pylist(),
+                                 b["level"].to_pylist(),
+                                 b["vals"].to_pylist()):
+            cur = sketches.setdefault(
+                key, [np.empty(0, dtype=np.float64)])
+            other = [np.empty(0, dtype=np.float64)] * li \
+                + [np.asarray(vals, dtype=np.float64)]
+            parities[key] = _kll_merge(cur, other,
+                                       parities.get(key, 0))
+    keys = sorted(sketches)
+    return pa.table({
+        "event_type": pa.array(keys, pa.string()),
+        "p50": pa.array([_kll_quantile(sketches[k], 0.50)
+                         for k in keys], pa.float64()),
+        "p90": pa.array([_kll_quantile(sketches[k], 0.90)
+                         for k in keys], pa.float64()),
+        "p99": pa.array([_kll_quantile(sketches[k], 0.99)
+                         for k in keys], pa.float64()),
+    })
+
+
 QUERIES = {
     "hll_distinct_counts": hll_distinct_counts,
+    "quantile_sketch_events": quantile_sketch_events,
     "exact_distinct_counts": exact_distinct_counts,
     "heavy_hitters_terms": heavy_hitters_terms,
     "exact_top_terms": exact_top_terms,

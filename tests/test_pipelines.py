@@ -187,6 +187,7 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
                          "embedding_neardup", "ann_ivf_topk",
                          "multimodal_audio_features",
                          "hll_distinct_counts", "heavy_hitters_terms",
+                         "quantile_sketch_events",
                          "multimodal_retrieval",
                          "kmeans_assign_embeddings",
                          "lm_score_documents",
@@ -674,3 +675,21 @@ def test_lm_score_exactness_and_signal(entry_mod, ray_session):
         if lp(toks) >= lp(shuffled):
             better += 1
     assert better >= 14   # order carries signal for most docs
+
+
+def test_quantile_sketch_rank_error_bound(entry_mod, ducks, ray_session):
+    """KLL-style sketch: every reported quantile's EXACT rank must be
+    within 5% of the target rank (K=256 gives ~1% theoretical rank
+    error at this n; 5% leaves room for the deterministic-compaction
+    variant's worse constants)."""
+    got = entry_mod.queries()["quantile_sketch_events"](SF).to_pandas()
+    assert len(got) > 0
+    for row in got.itertuples():
+        vals = np.sort(ducks.execute(
+            "SELECT value FROM events WHERE event_type = ?",
+            [row.event_type]).df()["value"].to_numpy())
+        n = len(vals)
+        for q, est in ((0.50, row.p50), (0.90, row.p90), (0.99, row.p99)):
+            rank = np.searchsorted(vals, est, side="right")
+            assert abs(rank - q * n) <= 0.05 * n + 1, \
+                (row.event_type, q, est, rank, n)
