@@ -288,6 +288,7 @@ def main() -> None:
         "index_build": r["index_build"],
         "query_latency": r["query_latency"],
         "lifecycle": r.get("lifecycle"),
+        "extras": r.get("extras"),
     }))
 
 

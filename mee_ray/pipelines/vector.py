@@ -129,6 +129,45 @@ WHERE rank <= 10
 """
 
 
+def vecindex_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """The PERSISTED vector-index path (mee_ray.vecindex lifecycle:
+    build → publish → VectorSearcher) at full probe depth — exact
+    cosine over the float32-quantized stored vectors, so ranks match
+    the SQL oracle wherever neighbors aren't closer than ~1e-7 apart
+    (random embeddings: never).  Same query/tie-break convention as
+    knn_bruteforce; the index is built once per source fingerprint and
+    reused (the engine's stage-checkpoint stance)."""
+    import hashlib as _hl
+    import os as _os
+
+    import ray.data
+
+    from mee_ray import manifest as _mf
+    from mee_ray.vecindex import VectorSearcher, build_vector_index
+
+    st = _os.stat(f"{sf_dir}/embeddings.parquet")
+    tag = _hl.sha1(f"{sf_dir}|{st.st_size}_{st.st_mtime_ns}"
+                   .encode()).hexdigest()[:16]
+    root = f"/tmp/mee_vec_index/{tag}"
+    n_clusters = 16
+    if _mf.current_epoch(root) is None:
+        ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                   columns=["vec_id", "embedding"])
+        build_vector_index(ds, root, "ep1", n_clusters=n_clusters)
+    s = VectorSearcher(root)
+    q_ids, q_mat = _load_queries(sf_dir, n_queries)
+    out_q, out_r, out_n = [], [], []
+    for qid, q in zip(q_ids, q_mat):
+        res = [(d, sc) for d, sc in
+               s.search(q, k=k + 1, nprobe=n_clusters) if d != qid][:k]
+        out_q.extend([int(qid)] * len(res))
+        out_r.extend(range(1, len(res) + 1))
+        out_n.extend(d for d, _ in res)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64())})
+
+
 def embedding_dims(sf_dir: str):
     """Schema sanity over the vector column (ints only)."""
     import ray.data
@@ -717,6 +756,7 @@ QUERIES = {
     "knn_grouped": knn_grouped,
     "embedding_dims": embedding_dims,
     "embedding_neardup": embedding_neardup,
+    "vecindex_topk": vecindex_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "kmeans_assign_embeddings": kmeans_assign_embeddings,
     "ann_sq_topk": ann_sq_topk,
@@ -724,6 +764,7 @@ QUERIES = {
 
 ORACLE = {
     "knn_bruteforce": KNN_SQL,
+    "vecindex_topk": KNN_SQL,
     "knn_filtered": KNN_FILTERED_SQL,
     "knn_grouped": KNN_GROUPED_SQL,
     "embedding_dims": EMB_DIMS_SQL,
