@@ -308,6 +308,33 @@ def main(argv: list[str] | None = None) -> int:
                     help="directory of <table>.parquet inputs")
     db.add_argument("--out", required=True, help="output parquet directory")
 
+    vb = sub.add_parser("vec-build", help="build + publish the IVF "
+                                          "vector index from a parquet "
+                                          "of (vec_id, embedding)")
+    vb.add_argument("--input", required=True)
+    vb.add_argument("--index", required=True)
+    vb.add_argument("--epoch", default="ep1")
+    vb.add_argument("--clusters", type=int, default=16)
+
+    vq = sub.add_parser("vec-query", help="cosine top-k against the "
+                                          "published vector index")
+    vq.add_argument("--index", required=True)
+    vq.add_argument("--vec", required=True,
+                    help="JSON array query vector")
+    vq.add_argument("-k", type=int, default=10)
+    vq.add_argument("--nprobe", type=int, default=4)
+
+    vd = sub.add_parser("vec-delta", help="apply a vector event batch "
+                                          "(parquet: op, vec_id, "
+                                          "embedding)")
+    vd.add_argument("--index", required=True)
+    vd.add_argument("--events", required=True)
+
+    vc = sub.add_parser("vec-compact", help="fold the vector delta "
+                                            "log into a new epoch")
+    vc.add_argument("--index", required=True)
+    vc.add_argument("--epoch", required=True)
+
     args = p.parse_args(argv)
     # delta/compact: no --config → derive from the index manifest
     cfg = _engine_config(args.config,
@@ -626,6 +653,43 @@ def main(argv: list[str] | None = None) -> int:
         path = os.path.join(mf.epoch_dir(args.index, epoch), "metrics.json")
         with open(path) as f:
             print(json.dumps(json.load(f)))
+
+    elif args.cmd == "vec-build":
+        _init_ray(args.num_cpus)
+        import ray.data
+
+        from mee_ray.vecindex import build_vector_index
+        ds = ray.data.read_parquet(args.input,
+                                   columns=["vec_id", "embedding"])
+        m = build_vector_index(ds, args.index, args.epoch,
+                               n_clusters=args.clusters)
+        print(json.dumps({"epoch": m["epoch"],
+                          "n_vectors": m["n_vectors"],
+                          "n_clusters": m["n_clusters"],
+                          "dim": m["dim"]}))
+
+    elif args.cmd == "vec-query":
+        from mee_ray.vecindex import VectorSearcher
+        s = VectorSearcher(args.index)
+        res = s.search(json.loads(args.vec), k=args.k,
+                       nprobe=args.nprobe)
+        print(json.dumps({"results": [
+            {"vec_id": d, "cosine": sc} for d, sc in res]}))
+
+    elif args.cmd == "vec-delta":
+        import pyarrow.parquet as _pq
+
+        from mee_ray.vecindex import apply_vector_delta
+        rec = apply_vector_delta(_pq.read_table(args.events), args.index)
+        print(json.dumps({"seq": rec["seq"],
+                          "n_upserts": rec["n_upserts"],
+                          "n_deletes": rec["n_deletes"]}))
+
+    elif args.cmd == "vec-compact":
+        from mee_ray.vecindex import compact_vector_index
+        m = compact_vector_index(args.index, args.epoch)
+        print(json.dumps({"epoch": m["epoch"],
+                          "n_vectors": m["n_vectors"]}))
 
     return 0
 

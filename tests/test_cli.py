@@ -315,3 +315,57 @@ def test_cli_delete_by_query(tmp_path):
     # idempotent second run
     dq2 = _run("delete-by-query", "--index", index, "--terms", "def")
     assert dq2["n_matched"] == 0
+
+
+def test_cli_vector_lifecycle(ray_session, tmp_path):
+    """vec-build → vec-query → vec-delta → vec-compact → vec-query,
+    one JSON line per command (the driver contract)."""
+    import json as _json
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mee_ray.__main__ import main
+
+    root = str(tmp_path / "vecidx")
+    src = str(tmp_path / "emb.parquet")
+    rng = np.random.default_rng(3)
+    mat = rng.normal(size=(60, 8))
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(60), pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in mat],
+                              pa.list_(pa.float64()))}), src)
+
+    import contextlib
+    import io
+
+    def run2(argv):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            assert main(argv) == 0
+        return _json.loads(buf.getvalue().strip().splitlines()[-1])
+
+    out = run2(["vec-build", "--input", src, "--index", root,
+                "--epoch", "ep1", "--clusters", "4"])
+    assert out["n_vectors"] == 60 and out["dim"] == 8
+
+    q = list(map(float, mat[7]))
+    out = run2(["vec-query", "--index", root, "--vec", _json.dumps(q),
+                "-k", "3", "--nprobe", "4"])
+    assert out["results"][0]["vec_id"] == 7
+
+    ev = str(tmp_path / "ev.parquet")
+    pq.write_table(pa.table({
+        "op": pa.array(["DELETE"]),
+        "vec_id": pa.array([7], pa.int64()),
+        "embedding": pa.array([None], pa.list_(pa.float64()))}), ev)
+    out = run2(["vec-delta", "--index", root, "--events", ev])
+    assert out["n_deletes"] == 1
+
+    out = run2(["vec-query", "--index", root, "--vec", _json.dumps(q),
+                "-k", "3", "--nprobe", "4"])
+    assert all(r["vec_id"] != 7 for r in out["results"])
+
+    out = run2(["vec-compact", "--index", root, "--epoch", "ep2"])
+    assert out["epoch"] == "ep2" and out["n_vectors"] == 59
