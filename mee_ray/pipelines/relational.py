@@ -3556,6 +3556,570 @@ LIMIT 20
 """
 
 
+# ---------------------------------------------- TPC-H Q12 shape --
+# (the testdata lineitem has no l_shipmode/l_commitdate/l_receiptdate,
+# so the Q12 class columns are adapted: group = l_linestatus, window =
+# l_shipdate year — the SHAPE is intact: large×large join + grouped
+# conditional two-way counts)
+
+
+def q12_priority_classes(sf_dir: str):
+    """TPC-H Q12 shape: lineitem ⋈ orders (co-partitioned hash
+    shuffle, the only wide step), then per-group conditional counts —
+    how many lines of each status belong to high-priority orders
+    (1-URGENT / 2-HIGH) vs the rest, for one ship year.  Partial
+    counts fold inside map_batches; the final groupby moves ≤
+    #statuses × #partitions tiny rows."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+    def li_filter(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                       pc.less(t["l_shipdate"], hi))
+        t = t.filter(keep)
+        return t.select(["l_orderkey", "l_linestatus"])
+
+    li = (_read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus",
+                                     "l_shipdate"])
+          .map_batches(li_filter, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    j = li.join(orders, join_type="inner",
+                num_partitions=max(2, cpus // 2),
+                on=("l_orderkey",), right_on=("o_orderkey",),
+                aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def partial(t: pa.Table) -> pa.Table:
+        hi_m = pc.is_in(t["o_orderpriority"],
+                        value_set=pa.array(["1-URGENT", "2-HIGH"]))
+        hi_i = pc.cast(hi_m, pa.int64())
+        lo_i = pc.subtract(pa.scalar(1, pa.int64()), hi_i)
+        t2 = pa.table({"l_linestatus": t["l_linestatus"],
+                       "hi": hi_i, "lo": lo_i})
+        g = t2.group_by("l_linestatus").aggregate(
+            [("hi", "sum"), ("lo", "sum")])
+        return g.rename_columns(["l_linestatus", "hi_part", "lo_part"])
+
+    agg = (j.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_linestatus")
+           .aggregate(Sum("hi_part", alias_name="high_line_count"),
+                      Sum("lo_part", alias_name="low_line_count")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_linestatus": t["l_linestatus"],
+            "high_line_count": pc.cast(t["high_line_count"], pa.int64()),
+            "low_line_count": pc.cast(t["low_line_count"], pa.int64())})
+
+    batches = list(agg.map_batches(finish, batch_format="pyarrow")
+                   .iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table({"l_linestatus": pa.array([], pa.string()),
+                         "high_line_count": pa.array([], pa.int64()),
+                         "low_line_count": pa.array([], pa.int64())})
+    return pa.concat_tables(batches).sort_by("l_linestatus")
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
+# ----------------------------------------------- TPC-H Q9 shape --
+# (no partsupp/ps_supplycost in the testdata, so profit = revenue —
+# the SHAPE is intact: LIKE-filtered part class, lineitem ⋈ orders
+# large×large, supplier→nation chain, group by (nation, year))
+
+
+def q9_product_profit(sf_dir: str):
+    """TPC-H Q9 shape (product-class profit by nation and year): parts
+    whose name contains 'widget' (broadcast key set), revenue cents per
+    (supplier nation, order year).  lineitem ⋈ orders is the one
+    shuffle (o_orderdate must ride the join); part and supplier→nation
+    collapse to broadcast probe maps like Q5/Q7."""
+    import pyarrow.parquet as _pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name"])
+    pk = part.filter(pc.match_substring(part["p_name"], "widget"))[
+        "p_partkey"].to_numpy(zero_copy_only=False)
+    pk = np.sort(pk)
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(),
+                    nat["n_name"].to_pylist()))
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_nationkey"])
+    sk = sup["s_suppkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(sk)
+    s_keys = sk[order]
+    s_nk = sup["s_nationkey"].to_numpy(zero_copy_only=False) \
+        .astype(np.int64)[order]
+    dim_ref = ray.put((pk, s_keys, s_nk))
+
+    def li_partial(t: pa.Table) -> pa.Table:
+        keys, skeys, snk = ray.get(dim_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(keys, lp), 0, max(0, len(keys) - 1))
+        ok = len(keys) > 0 and keys[pos] == lp
+        if np.isscalar(ok):        # len(keys) == 0 → all False
+            ok = np.zeros(len(lp), dtype=bool)
+        t = t.filter(pa.array(ok))
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        cents = pc.cast(pc.round(pc.multiply(pc.multiply(
+            t["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), t["l_discount"])),
+            pa.scalar(100.0)), options=half_away), pa.int64())
+        sup_k = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        spos = np.clip(np.searchsorted(skeys, sup_k),
+                       0, max(0, len(skeys) - 1))
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "nat_k": pa.array(snk[spos], pa.int64()),
+                         "cents": cents})
+
+    li = (_read(sf_dir, "lineitem",
+                ["l_orderkey", "l_partkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"])
+          .map_batches(li_partial, batch_format="pyarrow",
+                       zero_copy_batch=True))
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    j = li.join(orders, join_type="inner",
+                num_partitions=max(2, cpus // 2),
+                on=("l_orderkey",), right_on=("o_orderkey",),
+                aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        year = pc.year(t["o_orderdate"]).cast(pa.int64())
+        t2 = pa.table({"nat_k": t["nat_k"], "o_year": year,
+                       "cents": t["cents"]})
+        g = t2.group_by(["nat_k", "o_year"]).aggregate([("cents", "sum")])
+        return g.rename_columns(["nat_k", "o_year", "cents_part"])
+
+    agg = (j.map_batches(rev_partial, batch_format="pyarrow")
+           .groupby(["nat_k", "o_year"])
+           .aggregate(Sum("cents_part", alias_name="profit_cents")))
+    batches = list(agg.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table({"nation": pa.array([], pa.string()),
+                         "o_year": pa.array([], pa.int64()),
+                         "profit_cents": pa.array([], pa.int64())})
+    t = pa.concat_tables(batches)
+    t = pa.table({"nation": pa.array(
+                      [nmap[x] for x in t["nat_k"].to_pylist()],
+                      pa.string()),
+                  "o_year": t["o_year"].cast(pa.int64()),
+                  "profit_cents": t["profit_cents"].cast(pa.int64())})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("nation", "ascending"), ("o_year", "descending")]))
+
+
+Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS profit_cents
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN part     ON p_partkey  = l_partkey
+JOIN supplier ON s_suppkey  = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+"""
+
+
+# ---------------------------------------------- TPC-H Q16 shape --
+# (lineitem stands in for partsupp as the part↔supplier relation)
+
+
+def q16_supplier_part_cnt(sf_dir: str):
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per part class
+    (brand, type, size), over a negated part filter, excluding a
+    NOT-IN supplier set (name-pattern analog of the 'complaints'
+    subquery).  Plan: broadcast qualifying-part map + excluded-key
+    set; per-batch (class, suppkey) dedup shrinks the exchange; one
+    groupby finishes the global dedup and a second tiny groupby
+    counts — the canonical two-shuffle exact-distinct plan
+    (distinct_users_per_event_type precedent)."""
+    import pyarrow.parquet as _pq
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    part = _pq.read_table(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"])
+    keep = pc.and_(pc.and_(
+        pc.not_equal(part["p_brand"], "Brand#13"),
+        pc.not_equal(part["p_type"], "PROMO")),
+        pc.is_in(part["p_size"],
+                 value_set=pa.array([1, 14, 23, 45],
+                                    part["p_size"].type)))
+    part = part.filter(keep)
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    p_keys = pk[order]
+    p_attrs = part.take(pa.array(order))
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name"])
+    bad = np.sort(sup.filter(pc.match_like(sup["s_name"], "%7"))[
+        "s_suppkey"].to_numpy(zero_copy_only=False))
+    dim_ref = ray.put((p_keys,
+                       p_attrs["p_brand"].to_numpy(zero_copy_only=False),
+                       p_attrs["p_type"].to_numpy(zero_copy_only=False),
+                       p_attrs["p_size"].to_numpy(zero_copy_only=False),
+                       bad))
+
+    def class_pairs(t: pa.Table) -> pa.Table:
+        keys, brand, ptype, size, badk = ray.get(dim_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            ok = np.zeros(len(lp), dtype=bool)
+            pos = np.zeros(len(lp), dtype=np.int64)
+        else:
+            pos = np.clip(np.searchsorted(keys, lp), 0, len(keys) - 1)
+            ok = keys[pos] == lp
+        if len(badk):
+            bpos = np.clip(np.searchsorted(badk, ls), 0, len(badk) - 1)
+            ok &= badk[bpos] != ls
+        pos, ls = pos[ok], ls[ok]
+        t2 = pa.table({"p_brand": pa.array(brand[pos]),
+                       "p_type": pa.array(ptype[pos]),
+                       "p_size": pa.array(size[pos]),
+                       "l_suppkey": pa.array(ls)})
+        return t2.group_by(
+            ["p_brand", "p_type", "p_size", "l_suppkey"]).aggregate([])
+
+    pairs = (_read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+             .map_batches(class_pairs, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(["p_brand", "p_type", "p_size", "l_suppkey"])
+             .aggregate(Count(alias_name="_n")))
+
+    def per_class_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["p_brand", "p_type", "p_size"])
+             .group_by(["p_brand", "p_type", "p_size"])
+             .aggregate([("p_brand", "count")]))
+        return g.rename_columns(["p_brand", "p_type", "p_size", "n_part"])
+
+    agg = (pairs.map_batches(per_class_partial, batch_format="pyarrow")
+           .groupby(["p_brand", "p_type", "p_size"])
+           .aggregate(Sum("n_part", alias_name="supplier_cnt")))
+    batches = list(agg.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table({"p_brand": pa.array([], pa.string()),
+                         "p_type": pa.array([], pa.string()),
+                         "p_size": pa.array([], pa.int64()),
+                         "supplier_cnt": pa.array([], pa.int64())})
+    t = pa.concat_tables(batches)
+    t = pa.table({"p_brand": t["p_brand"],
+                  "p_type": t["p_type"],
+                  "p_size": t["p_size"].cast(pa.int64()),
+                  "supplier_cnt": t["supplier_cnt"].cast(pa.int64())})
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("supplier_cnt", "descending"), ("p_brand", "ascending"),
+        ("p_type", "ascending"), ("p_size", "ascending")]))
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 14, 23, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                        WHERE s_name LIKE '%7')
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+# ---------------------------------------------- TPC-H Q11 shape --
+# (value of a part = its lineitem revenue; partsupp stands replaced)
+
+
+def q11_important_parts(sf_dir: str, ppm: int = 600):
+    """TPC-H Q11 shape (important stock): per-part total value with a
+    HAVING threshold against a GLOBAL scalar aggregate — keep parts
+    whose value exceeds ``ppm``/1e6 of the total.  Per-batch partial
+    sums → one groupby; the global total is the sum of the (|part|-
+    sized, tiny) aggregate itself; threshold compares integers exactly
+    (value_cents × 1e6 > total_cents × ppm), no float epsilon."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        cents = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0)),
+            options=half_away), pa.int64())
+        t2 = pa.table({"l_partkey": t["l_partkey"], "cents": cents})
+        g = t2.group_by("l_partkey").aggregate([("cents", "sum")])
+        return g.rename_columns(["l_partkey", "cents_part"])
+
+    agg = (_read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("l_partkey")
+           .aggregate(Sum("cents_part", alias_name="value_cents")))
+    batches = list(agg.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table({"l_partkey": pa.array([], pa.int64()),
+                         "value_cents": pa.array([], pa.int64())})
+    t = pa.concat_tables(batches)
+    vals = t["value_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(vals.sum())
+    keep = vals.astype(object) * 1_000_000 > total * ppm
+    t = pa.table({"l_partkey": t["l_partkey"].cast(pa.int64()),
+                  "value_cents": t["value_cents"].cast(pa.int64())}
+                 ).filter(pa.array(keep.astype(bool)))
+    return t.take(pc.sort_indices(t, sort_keys=[
+        ("value_cents", "descending"), ("l_partkey", "ascending")]))
+
+
+Q11_SQL = """
+SELECT l_partkey,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+            AS BIGINT) AS value_cents
+FROM lineitem
+GROUP BY l_partkey
+HAVING sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 1000000
+       > (SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+          FROM lineitem) * 600
+ORDER BY value_cents DESC, l_partkey
+"""
+
+
+# ---------------------------------------------- TPC-H Q20 shape --
+
+
+def q20_excess_suppliers(sf_dir: str):
+    """TPC-H Q20 shape (suppliers holding excess stock): suppliers
+    whose shipped quantity of 'red %' parts in 1997 exceeds half the
+    per-supplier average of that quantity.  Broadcast red-part key
+    set; per-batch partial quantity sums → one small groupby
+    (≤ |supplier| rows); the global average is computed on that tiny
+    aggregate and the comparison is integer-exact
+    (2 × qty × n_suppliers > total)."""
+    import pyarrow.parquet as _pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name"])
+    pk = np.sort(part.filter(pc.match_like(part["p_name"], "red %"))[
+        "p_partkey"].to_numpy(zero_copy_only=False))
+    pk_ref = ray.put(pk)
+    lo = pa.scalar(np.datetime64("1997-01-01", "us"))
+    hi = pa.scalar(np.datetime64("1998-01-01", "us"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(pk_ref)
+        keep = pc.and_(pc.greater_equal(t["l_shipdate"], lo),
+                       pc.less(t["l_shipdate"], hi))
+        t = t.filter(keep)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        if len(keys) == 0:
+            ok = np.zeros(len(lp), dtype=bool)
+        else:
+            pos = np.clip(np.searchsorted(keys, lp), 0, len(keys) - 1)
+            ok = keys[pos] == lp
+        t = t.filter(pa.array(ok))
+        # l_quantity values are integral doubles — the sum is exact in
+        # any order, so int64 quantities survive the shuffle losslessly
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        t2 = pa.table({"l_suppkey": t["l_suppkey"], "q": q})
+        g = t2.group_by("l_suppkey").aggregate([("q", "sum")])
+        return g.rename_columns(["l_suppkey", "q_part"])
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("l_suppkey")
+           .aggregate(Sum("q_part", alias_name="qty")))
+    batches = list(agg.iter_batches(batch_format="pyarrow"))
+    EMPTY = pa.table({"s_name": pa.array([], pa.string()),
+                      "n_name": pa.array([], pa.string())})
+    if not batches:
+        return EMPTY
+    t = pa.concat_tables(batches)
+    qty = t["qty"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(qty)
+    total = int(qty.sum())
+    keep = 2 * qty.astype(object) * n > total
+    winners = t.filter(pa.array(keep.astype(bool)))["l_suppkey"] \
+        .to_pylist()
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name", "s_nationkey"])
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name"])
+    nmap = dict(zip(nat["n_nationkey"].to_pylist(),
+                    nat["n_name"].to_pylist()))
+    smap = {k: (nm, nmap[nk]) for k, nm, nk in
+            zip(sup["s_suppkey"].to_pylist(), sup["s_name"].to_pylist(),
+                sup["s_nationkey"].to_pylist())}
+    rows = sorted(smap[k] for k in winners)
+    return pa.table({"s_name": pa.array([r[0] for r in rows], pa.string()),
+                     "n_name": pa.array([r[1] for r in rows], pa.string())})
+
+
+Q20_SQL = """
+WITH sq AS (
+  SELECT l_suppkey, CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                         AS BIGINT) AS qty
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'red %'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey)
+SELECT s_name, n_name
+FROM sq
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE 2 * qty * (SELECT count(*) FROM sq) > (SELECT sum(qty) FROM sq)
+ORDER BY s_name, n_name
+"""
+
+
+# ----------------------------------------------- TPC-H Q2 shape --
+# (unit price from lineitem stands in for ps_supplycost)
+
+
+def q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape (min-cost supplier per part): for LARGE-type
+    parts and EUROPE-region suppliers, the per-(part, supplier) MIN
+    unit price (cents), keeping every supplier that achieves the
+    part's global minimum (the correlated-min subquery; ties kept,
+    as in Q2).  Per-batch partial mins → one groupby on the composite
+    key; the argmin-per-part runs on the tiny aggregate."""
+    import pyarrow.parquet as _pq
+    import ray
+    from ray.data.aggregate import Min
+
+    part = _pq.read_table(f"{sf_dir}/part.parquet",
+                          columns=["p_partkey", "p_name", "p_type"])
+    part = part.filter(pc.equal(part["p_type"], "LARGE"))
+    pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+    order = np.argsort(pk)
+    p_keys = pk[order]
+    pname = {int(k): n for k, n in zip(part["p_partkey"].to_pylist(),
+                                       part["p_name"].to_pylist())}
+    nat = _pq.read_table(f"{sf_dir}/nation.parquet",
+                         columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = _pq.read_table(f"{sf_dir}/region.parquet",
+                         columns=["r_regionkey", "r_name"])
+    eu = {reg["r_regionkey"][i].as_py() for i in range(reg.num_rows)
+          if reg["r_name"][i].as_py() == "EUROPE"}
+    eu_nat = {nat["n_nationkey"][i].as_py(): nat["n_name"][i].as_py()
+              for i in range(nat.num_rows)
+              if nat["n_regionkey"][i].as_py() in eu}
+    sup = _pq.read_table(f"{sf_dir}/supplier.parquet",
+                         columns=["s_suppkey", "s_name", "s_nationkey"])
+    s_info = {k: (nm, eu_nat[nk]) for k, nm, nk in
+              zip(sup["s_suppkey"].to_pylist(), sup["s_name"].to_pylist(),
+                  sup["s_nationkey"].to_pylist()) if nk in eu_nat}
+    sk = np.sort(np.array(sorted(s_info), dtype=np.int64))
+    dim_ref = ray.put((p_keys, sk))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys, skeys = ray.get(dim_ref)
+        lp = t["l_partkey"].to_numpy(zero_copy_only=False)
+        ls = t["l_suppkey"].to_numpy(zero_copy_only=False)
+        ok = np.zeros(len(lp), dtype=bool)
+        if len(keys) and len(skeys):
+            pos = np.clip(np.searchsorted(keys, lp), 0, len(keys) - 1)
+            spos = np.clip(np.searchsorted(skeys, ls), 0, len(skeys) - 1)
+            ok = (keys[pos] == lp) & (skeys[spos] == ls)
+        t = t.filter(pa.array(ok))
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        unit = pc.cast(pc.round(pc.multiply(pc.divide(
+            t["l_extendedprice"], t["l_quantity"]),
+            pa.scalar(100.0)), options=half_away), pa.int64())
+        t2 = pa.table({"l_partkey": t["l_partkey"],
+                       "l_suppkey": t["l_suppkey"], "unit": unit})
+        g = t2.group_by(["l_partkey", "l_suppkey"]).aggregate(
+            [("unit", "min")])
+        return g.rename_columns(["l_partkey", "l_suppkey", "unit_part"])
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_partkey", "l_suppkey", "l_extendedprice",
+                  "l_quantity"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(["l_partkey", "l_suppkey"])
+           .aggregate(Min("unit_part", alias_name="unit_cents")))
+    batches = list(agg.iter_batches(batch_format="pyarrow"))
+    EMPTY = pa.table({"p_partkey": pa.array([], pa.int64()),
+                      "p_name": pa.array([], pa.string()),
+                      "s_name": pa.array([], pa.string()),
+                      "n_name": pa.array([], pa.string()),
+                      "min_unit_cents": pa.array([], pa.int64())})
+    if not batches:
+        return EMPTY
+    t = pa.concat_tables(batches)
+    # argmin-with-ties per part on the tiny aggregate
+    pkv = t["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    skv = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uv = t["unit_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+    o = np.lexsort((skv, uv, pkv))
+    pkv, skv, uv = pkv[o], skv[o], uv[o]
+    first = np.concatenate(([True], pkv[1:] != pkv[:-1]))
+    gmin = uv[first]                       # per-part min (groups sorted)
+    gid = np.cumsum(first) - 1
+    keep = uv == gmin[gid]
+    pkv, skv, uv = pkv[keep], skv[keep], uv[keep]
+    rows = sorted(
+        (int(p), pname[int(p)], s_info[int(s)][0], s_info[int(s)][1],
+         int(u)) for p, s, u in zip(pkv, skv, uv))
+    return pa.table({
+        "p_partkey": pa.array([r[0] for r in rows], pa.int64()),
+        "p_name": pa.array([r[1] for r in rows], pa.string()),
+        "s_name": pa.array([r[2] for r in rows], pa.string()),
+        "n_name": pa.array([r[3] for r in rows], pa.string()),
+        "min_unit_cents": pa.array([r[4] for r in rows], pa.int64())})
+
+
+Q2_SQL = """
+WITH unit AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT))
+           AS unit_cents
+  FROM lineitem
+  JOIN part     ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON n_nationkey = s_nationkey
+  JOIN region   ON r_regionkey = n_regionkey
+  WHERE p_type = 'LARGE' AND r_name = 'EUROPE'
+  GROUP BY l_partkey, l_suppkey)
+SELECT p_partkey, p_name, s_name, n_name,
+       unit_cents AS min_unit_cents
+FROM unit
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON n_nationkey = s_nationkey
+WHERE unit_cents = (SELECT min(u2.unit_cents) FROM unit u2
+                    WHERE u2.l_partkey = unit.l_partkey)
+ORDER BY p_partkey, s_name
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project_revenue": filter_project_revenue,
@@ -3610,6 +4174,12 @@ QUERIES = {
     "q22_sales_opportunity": q22_sales_opportunity,
     "cube_pricing_totals": cube_pricing_totals,
     "ntile_orders": ntile_orders,
+    "q2_min_cost_supplier": q2_min_cost_supplier,
+    "q9_product_profit": q9_product_profit,
+    "q11_important_parts": q11_important_parts,
+    "q12_priority_classes": q12_priority_classes,
+    "q16_supplier_part_cnt": q16_supplier_part_cnt,
+    "q20_excess_suppliers": q20_excess_suppliers,
 }
 
 ORACLE = {
@@ -3668,4 +4238,10 @@ ORACLE = {
     "q22_sales_opportunity": Q22_SQL,
     "cube_pricing_totals": CUBE_TOTALS_SQL,
     "ntile_orders": NTILE_SQL,
+    "q2_min_cost_supplier": Q2_SQL,
+    "q9_product_profit": Q9_SQL,
+    "q11_important_parts": Q11_SQL,
+    "q12_priority_classes": Q12_SQL,
+    "q16_supplier_part_cnt": Q16_SQL,
+    "q20_excess_suppliers": Q20_SQL,
 }

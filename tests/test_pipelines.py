@@ -95,6 +95,9 @@ SQL_CHECKED = [
     "bm25_rank_eval", "bm25_termvectors", "bm25_rare_terms",
     "bm25_span_first_documents", "derivative_events",
     "pack_training_sequences",
+    "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
+    "q12_priority_classes", "q16_supplier_part_cnt",
+    "q20_excess_suppliers",
 ]
 
 
