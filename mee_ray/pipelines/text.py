@@ -1407,7 +1407,46 @@ QUERIES = {
     "bloom_membership_documents": bloom_membership_documents,
 }
 
+# Exact SQL mirror of ngram_jaccard_adjacent: the engine compares
+# HASHED gram sets (blake2b-8B — collision odds ~|grams|²/2⁶³), so
+# hashed-set Jaccard equals this string-set Jaccard for any realistic
+# corpus; the short-text fallback (len<n ⇒ the whole string is the one
+# gram) and the empty∪empty ⇒ 1.0 convention are mirrored exactly.
+NGRAM_JACCARD_SQL = """
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+g AS (
+  SELECT doc_id, substr(t, i, 5) AS g
+  FROM d, unnest(generate_series(1, len(t) - 4)) AS u(i)
+  WHERE len(t) >= 5
+  UNION
+  SELECT doc_id, t FROM d WHERE len(t) BETWEEN 1 AND 4
+),
+gd AS (SELECT DISTINCT doc_id, g FROM g),
+sizes AS (SELECT doc_id, count(*) AS n FROM gd GROUP BY doc_id),
+ord AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rn FROM d),
+pairs AS (SELECT o1.doc_id AS a, o2.doc_id AS b
+          FROM ord o1 JOIN ord o2 ON o2.rn = o1.rn + 1),
+inter AS (
+  SELECT p.a, p.b, count(*) AS i
+  FROM pairs p
+  JOIN gd ga ON ga.doc_id = p.a
+  JOIN gd gb ON gb.doc_id = p.b AND gb.g = ga.g
+  GROUP BY p.a, p.b)
+SELECT p.a, p.b,
+       round(CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                       - coalesce(i.i, 0) = 0 THEN 1.0
+             ELSE coalesce(i.i, 0) * 1.0
+                  / (coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                     - coalesce(i.i, 0)) END, 6) AS jaccard5
+FROM pairs p
+LEFT JOIN sizes sa ON sa.doc_id = p.a
+LEFT JOIN sizes sb ON sb.doc_id = p.b
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+ORDER BY p.a
+"""
+
 ORACLE = {
+    "ngram_jaccard_adjacent": NGRAM_JACCARD_SQL,
     "doc_token_counts": TOKEN_COUNTS_SQL,
     "chunk_documents": CHUNK_SQL,
     "pack_training_sequences": PACK_SQL,

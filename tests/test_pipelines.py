@@ -97,7 +97,7 @@ SQL_CHECKED = [
     "pack_training_sequences",
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
     "q12_priority_classes", "q16_supplier_part_cnt",
-    "q20_excess_suppliers",
+    "q20_excess_suppliers", "ngram_jaccard_adjacent",
 ]
 
 
@@ -186,7 +186,7 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
     assert rows_only == {"minhash_lsh_candidates", "simhash_signatures",
                          "minhash_neardup_clusters",
                          "embedding_neardup_clusters",
-                         "simhash_dup_pairs", "ngram_jaccard_adjacent",
+                         "simhash_dup_pairs",
                          "embedding_neardup", "ann_ivf_topk",
                          "multimodal_audio_features",
                          "hll_distinct_counts", "heavy_hitters_terms",
