@@ -243,6 +243,16 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--epoch", required=True)
     c.add_argument("--gc", action="store_true", help="GC old epochs after")
 
+    ac = sub.add_parser("auto-compact", help="policy-gated compaction: "
+                        "fold the delta log only when measured debt "
+                        "(delta count / tombstone ratio / delta bytes) "
+                        "trips a threshold")
+    ac.add_argument("--index", required=True)
+    ac.add_argument("--max-deltas", type=int, default=8)
+    ac.add_argument("--tombstone-ratio", type=float, default=0.1)
+    ac.add_argument("--delta-bytes-ratio", type=float, default=0.5)
+    ac.add_argument("--gc", action="store_true", help="GC old epochs after")
+
     g = sub.add_parser("gc", help="delete unreferenced epochs "
                                   "(the reference's clean action)")
     g.add_argument("--index", required=True)
@@ -542,6 +552,27 @@ def main(argv: list[str] | None = None) -> int:
         m2 = compact(args.index, args.epoch, cfg, gc_old=args.gc)
         print(json.dumps({"epoch": m2["epoch"], "n_docs": m2["n_docs"],
                           "segments": len(m2["segments"])}))
+
+    elif args.cmd == "auto-compact":
+        from mee_ray import manifest as _mf
+        from mee_ray.merge import (CompactionPolicy, auto_compact,
+                                   should_compact)
+
+        policy = CompactionPolicy(
+            max_deltas=args.max_deltas,
+            tombstone_ratio=args.tombstone_ratio,
+            delta_bytes_ratio=args.delta_bytes_ratio)
+        decision, reason = should_compact(
+            _mf.load_manifest(args.index), policy)
+        if not decision:
+            print(json.dumps({"compacted": False, "reason": reason}))
+        else:
+            _init_ray(args.num_cpus)
+            m2 = auto_compact(args.index, cfg, policy, gc_old=args.gc)
+            print(json.dumps({"compacted": True, "reason":
+                              m2["compact_reason"], "epoch": m2["epoch"],
+                              "n_docs": m2["n_docs"],
+                              "segments": len(m2["segments"])}))
 
     elif args.cmd == "gc":
         from mee_ray import manifest as mf
