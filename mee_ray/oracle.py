@@ -238,6 +238,27 @@ class OracleIndex:
         ranked = self.search_and(terms, k=self.n_docs + 1)
         return [(d, s) for d, s in ranked if d in span_docs][:k]
 
+    def search_span_not(self, include: str, exclude: str,
+                        dist: int = 1, k: int = 10
+                        ) -> list[tuple[int, float]]:
+        """span_not (single-term spans, symmetric pre/post = dist):
+        docs with ≥1 ``include`` occurrence having no ``exclude``
+        occurrence within ``dist`` positions; scoring is the plain
+        single-term ranking filtered to the matching docs (membership
+        gates, never rescales)."""
+        if self.positions is None:
+            raise ValueError("OracleIndex built without store_positions")
+        if not include or include == exclude:
+            return []
+        pin = self.positions.get(include, {})
+        pex = self.positions.get(exclude, {})
+        allowed = {d for d, ps in pin.items()
+                   if not pex.get(d)
+                   or any(all(abs(p - e) > dist for e in pex[d])
+                          for p in ps)}
+        ranked = self.search([include], k=self.n_docs + 1)
+        return [(d, s) for d, s in ranked if d in allowed][:k]
+
     def search_and(self, terms: list[str], k: int = 10
                    ) -> list[tuple[int, float]]:
         """Conjunctive (match-ALL-terms) top-k — same scoring and

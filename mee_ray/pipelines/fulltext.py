@@ -2882,6 +2882,69 @@ WHERE rank <= {TOP_K}
 """
 
 
+# span_not: include-term docs with NO exclude occurrence within dist
+# tokens of SOME include occurrence.  The SQL oracle states the
+# predicate per OCCURRENCE (NOT EXISTS over the positional CTE),
+# independent of the engine's composite-key neighbor check.
+SPAN_NOT_QUERIES: list[tuple[int, str, str, int]] = [
+    (1, "merge", "group", 2),
+    (2, "join", "window", 1),
+    (3, "data", "slow", 3),
+    (4, "order", "fast", 1),
+    (5, "filter", "scan", 2),
+]
+
+
+def bm25_span_not_documents(sf_dir: str) -> pa.Table:
+    """ES/Lucene ``span_not`` path (single-term spans, symmetric
+    pre/post = dist): rank documents having at least one ``include``
+    occurrence with no ``exclude`` occurrence within ``dist`` tokens;
+    survivors keep the include term's plain BM25 contribution
+    (membership gates, never rescales).  Full-depth + original-id
+    re-rank like every fulltext query."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_span_not(inc, exc, dist,
+                                       k=s.n_docs or 1))
+               for qid, inc, exc, dist in SPAN_NOT_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _bm25_span_not_sql() -> str:
+    members = "\n  UNION ALL\n  ".join(
+        f"SELECT DISTINCT {qid} AS query_id, ti.doc_id\n"
+        f"  FROM tok ti\n"
+        f"  WHERE ti.term = '{inc}' AND NOT EXISTS (\n"
+        f"    SELECT 1 FROM tok te\n"
+        f"    WHERE te.doc_id = ti.doc_id AND te.term = '{exc}'\n"
+        f"      AND abs(te.i - ti.i) <= {dist})"
+        for qid, inc, exc, dist in SPAN_NOT_QUERIES)
+    qvals = _q_values([(qid, [inc])
+                       for qid, inc, _exc, _d in SPAN_NOT_QUERIES])
+    return f"""
+{_base_ctes(with_positions=True)},
+q(query_id, term) AS (VALUES {qvals}),
+member AS (
+  {members}),
+scores AS (
+  SELECT m.query_id, m.doc_id, {_SCORE_SUM}
+  FROM member m
+  JOIN q  ON q.query_id = m.query_id
+  JOIN tf ON tf.term = q.term AND tf.doc_id = m.doc_id
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
 _RARE_MAX_DF = 100
 
 
@@ -3061,6 +3124,7 @@ QUERIES = {
     "bm25_termvectors": bm25_termvectors,
     "bm25_rare_terms": bm25_rare_terms,
     "bm25_span_first_documents": bm25_span_first_documents,
+    "bm25_span_not_documents": bm25_span_not_documents,
     "percolate_documents": percolate_documents,
     "term_suggest_documents": term_suggest_documents,
     "bm25_sort_by_field": bm25_sort_by_field,
@@ -3109,6 +3173,7 @@ ORACLE = {
     "bm25_termvectors": _termvectors_sql(),
     "bm25_rare_terms": _rare_terms_sql(),
     "bm25_span_first_documents": _span_first_sql(),
+    "bm25_span_not_documents": _bm25_span_not_sql(),
     "percolate_documents": _percolate_sql(),
     "term_suggest_documents": _term_suggest_sql(),
     "bm25_sort_by_field": _bm25_sort_sql(),

@@ -591,6 +591,36 @@ class Searcher:
             return []
         return self.search_filtered([term], k, allowed)
 
+    def search_span_not(self, include: str, exclude: str,
+                        dist: int = 1, k: int = 10
+                        ) -> list[tuple[int, float]]:
+        """ES/Lucene ``span_not`` analog (single-term spans with a
+        symmetric ``pre``/``post`` = ``dist``): rank documents having
+        at least one occurrence of ``include`` with NO occurrence of
+        ``exclude`` within ``dist`` token positions (a doc without
+        ``exclude`` always matches).  Membership gates, scores never
+        rescale — survivors keep the include term's plain BM25
+        contribution (delegated to :meth:`search_filtered`, the
+        filter-context stance shared with span_first).  Fully
+        vectorized: exclude positions are composite-keyed per doc and
+        each include occurrence checks only its two searchsorted
+        neighbors.  Requires ``store_positions=True``."""
+        if not include:
+            return []
+        if not self.manifest.get("store_positions"):
+            raise ValueError("span_not needs store_positions=True "
+                             "(pinned in the manifest)")
+        if include == exclude:
+            return []          # every occurrence vetoes itself
+        inc = self.term_doc_positions(include)
+        if not len(inc[0]):
+            return []
+        exc = self.term_doc_positions(exclude)
+        allowed = span_not_match_docs(inc, exc, dist)
+        if not allowed.size:
+            return []
+        return self.search_filtered([include], k, allowed)
+
     def search_span_near(self, terms: list[str], slop: int = 0,
                          k: int = 10) -> list[tuple[int, float]]:
         """Ordered proximity top-k (ES/Lucene ``span_near`` with
@@ -1347,6 +1377,89 @@ def merge_position_sets(parts: list[tuple]) -> tuple:
     uniq_docs, first = np.unique(docs_all, return_index=True)
     offs = np.concatenate((first, [len(docs_all)])).astype(np.int64)
     return uniq_docs, offs, pos_all
+
+
+def span_not_match_docs(inc: tuple, exc: tuple, dist: int) -> np.ndarray:
+    """Sorted doc_ids with ≥1 ``include`` occurrence having no
+    ``exclude`` occurrence within ``dist`` positions.
+
+    ``inc``/``exc``: (doc_ids, per-doc offsets, flat ascending
+    positions) as returned by ``term_doc_positions``.  Docs absent
+    from ``exc`` match outright.  For docs holding both terms, every
+    include occurrence is checked against only its two nearest
+    exclude positions (one searchsorted over composite
+    ``rank·2³² + pos`` keys — positions are token indexes, far below
+    2³²; runs are ascending so keys are globally sorted)."""
+    inc_ids, inc_off, inc_pos = inc
+    exc_ids, exc_off, exc_pos = exc
+    if inc_ids.size == 0:
+        return np.empty(0, dtype=np.int64)
+    if exc_ids.size == 0:
+        return np.sort(inc_ids)
+    # doc runs are not globally id-sorted once delta chunks exist
+    # (delta chunks concatenate after base chunks) — the searchsorted
+    # mapping below needs sorted exclude ids, so permute its runs
+    exc_ids, exc_off, exc_pos = _sort_runs(exc_ids, exc_off, exc_pos)
+    p = np.minimum(np.searchsorted(exc_ids, inc_ids), exc_ids.size - 1)
+    has_exc = exc_ids[p] == inc_ids
+    out = [inc_ids[~has_exc]]
+    shared = np.nonzero(has_exc)[0]
+    if shared.size:
+        B = np.int64(1) << np.int64(32)
+        if inc_pos.size and int(inc_pos.max()) >= int(B):
+            raise ValueError("token position exceeds 32-bit key budget")
+        inc_cnt = (inc_off[shared + 1] - inc_off[shared])
+        exc_run = p[shared]
+        exc_cnt = (exc_off[exc_run + 1] - exc_off[exc_run])
+        rank = np.arange(shared.size, dtype=np.int64)
+        # gather the shared docs' position runs
+        i_take = _runs_take(inc_off, shared)
+        e_take = _runs_take(exc_off, exc_run)
+        ik = np.repeat(rank, inc_cnt) * B + inc_pos[i_take]
+        ek = np.repeat(rank, exc_cnt) * B + exc_pos[e_take]
+        ins = np.searchsorted(ek, ik)
+        veto = np.zeros(ik.size, dtype=bool)
+        left_ok = ins > 0
+        li = np.maximum(ins - 1, 0)
+        veto |= left_ok & (ek[li] // B == ik // B) \
+            & (ik - ek[li] <= dist)
+        right_ok = ins < ek.size
+        ri = np.minimum(ins, ek.size - 1)
+        veto |= right_ok & (ek[ri] // B == ik // B) \
+            & (ek[ri] - ik <= dist)
+        # doc matches if ANY occurrence survives
+        doc_of = np.repeat(np.arange(shared.size), inc_cnt)
+        survive = np.zeros(shared.size, dtype=bool)
+        np.logical_or.at(survive, doc_of, ~veto)
+        out.append(inc_ids[shared[survive]])
+    return np.sort(np.concatenate(out))
+
+
+def _runs_take(offsets: np.ndarray, runs: np.ndarray) -> np.ndarray:
+    """Flat indices selecting the given runs from an offsets-encoded
+    ragged array (vectorized: one repeat + cumsum, no per-run loop)."""
+    starts = offsets[runs]
+    counts = offsets[runs + 1] - starts
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    first = np.repeat(starts, counts)
+    bounds = np.concatenate(([0], np.cumsum(counts)[:-1])).astype(np.int64)
+    within = np.arange(total, dtype=np.int64) - np.repeat(bounds, counts)
+    return first + within
+
+
+def _sort_runs(ids: np.ndarray, off: np.ndarray, pos: np.ndarray):
+    """Permute an offsets-encoded ragged array so its runs are in
+    ascending doc_id order (no-op when already sorted)."""
+    if ids.size <= 1 or bool(np.all(ids[:-1] <= ids[1:])):
+        return ids, off, pos
+    order = np.argsort(ids, kind="stable")
+    take = _runs_take(off, order)
+    counts = off[order + 1] - off[order]
+    new_off = np.concatenate(
+        ([0], np.cumsum(counts))).astype(np.int64)
+    return ids[order], new_off, pos[take]
 
 
 def span_near_match_docs(data: dict, terms: list[str], slop: int

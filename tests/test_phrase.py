@@ -535,3 +535,79 @@ def test_span_first_distributed_equals_local(pos_index):
                 s.search_span_first(term, end, k=20)
     finally:
         ds.shutdown()
+
+
+def test_span_not_matches_oracle(pos_index):
+    """Engine span_not is tuple-identical to the oracle's brute-force
+    positional veto over real corpus term pairs at several distances,
+    and the veto actually FIRES (some include-doc is excluded) for at
+    least one probe."""
+    from mee_ray.config import TokenizerConfig
+    from mee_ray.query import Searcher
+    from mee_ray.tokenizer import Tokenizer
+
+    s = Searcher(pos_index["root"])
+    oi = pos_index["oracle"]
+    tok = Tokenizer(TokenizerConfig())
+
+    # build probe pairs from real adjacent/nearby term pairs so the
+    # exclusion is non-vacuous, plus controls
+    pairs = []
+    for _, content in pos_index["docs"][:30]:
+        seq = tok.terms(content)
+        if len(seq) > 12:
+            pairs.append((seq[3], seq[4]))    # adjacent → veto at d>=1
+            pairs.append((seq[5], seq[9]))
+    seen, probes = set(), []
+    for p in pairs:
+        if p not in seen and p[0] != p[1]:
+            seen.add(p)
+            probes.append(p)
+    probes = probes[:12]
+    probes.append(("def", "zzz_no_such_term"))   # missing exclude
+
+    veto_fired = False
+    for inc, exc in probes:
+        for dist in (0, 1, 3):
+            got = s.search_span_not(inc, exc, dist, k=s.n_docs or 1)
+            want = oi.search_span_not(inc, exc, dist, k=oi.n_docs + 1)
+            assert got == want, (inc, exc, dist)
+            plain = s.search([inc], k=s.n_docs or 1)
+            if len(got) < len(plain):
+                veto_fired = True
+    assert veto_fired, "no probe ever excluded a doc — fixture drifted"
+
+    assert s.search_span_not("def", "def", 2) == []
+    assert s.search_span_not("", "def", 2) == []
+    assert s.search_span_not("zzz_unknown", "def", 2) == []
+
+
+def test_span_not_match_docs_kernel():
+    """Unit cases for the vectorized veto kernel, including unsorted
+    exclude runs (the delta-chunk layout) and all-occurrences-vetoed
+    docs."""
+    import numpy as np
+
+    from mee_ray.query import span_not_match_docs
+
+    def ragged(runs):
+        ids = np.array([d for d, _ in runs], dtype=np.int64)
+        off = np.concatenate(
+            ([0], np.cumsum([len(p) for _, p in runs]))).astype(np.int64)
+        pos = np.array([x for _, p in runs for x in p], dtype=np.int64)
+        return ids, off, pos
+
+    inc = ragged([(10, [5, 20]), (11, [7]), (12, [1])])
+    # doc 10: excludes at 4 (d=1 from 5) and 22 (d=2 from 20)
+    # doc 11: exclude at 7+3=10 (d=3); doc 12: no excludes
+    exc = ragged([(11, [10]), (10, [4, 22])])          # UNSORTED runs
+    assert span_not_match_docs(inc, exc, 0).tolist() == [10, 11, 12]
+    assert span_not_match_docs(inc, exc, 1).tolist() == [10, 11, 12]
+    # dist=2: doc 10's occ@5 vetoed (|5-4|=1), occ@20 vetoed (|20-22|=2)
+    assert span_not_match_docs(inc, exc, 2).tolist() == [11, 12]
+    assert span_not_match_docs(inc, exc, 3).tolist() == [12]
+    # empty exclude → all include docs, sorted
+    empty = (np.empty(0, np.int64), np.zeros(1, np.int64),
+             np.empty(0, np.int64))
+    assert span_not_match_docs(inc, empty, 5).tolist() == [10, 11, 12]
+    assert span_not_match_docs(empty, exc, 5).size == 0
