@@ -2882,6 +2882,89 @@ WHERE rank <= {TOP_K}
 """
 
 
+_EXPLAIN_TOP_N = 3
+
+
+def bm25_explain_documents(sf_dir: str, top_n: int = _EXPLAIN_TOP_N
+                           ) -> pa.Table:
+    """ES ``_explain`` as a value-checked pipeline: for each reference
+    query's top-``top_n`` documents, one row per matching query term
+    with its exact tf, df, and BM25 contribution — the same expression
+    tree the oracle states in SQL.  Contributions are rounded to 10
+    decimals on BOTH sides: the trees match but the platform libm's
+    log() and DuckDB's ln() can disagree by one ULP (~1e-16 observed),
+    the one per-row float case the repo's bit-determinism discipline
+    can't cover (rank tables are immune — a 1-ULP score wiggle doesn't
+    reorder; a raw float column isn't)."""
+    import numpy as np
+
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    q_ids, d_ids, t_col, tf_col, df_col, c_col = [], [], [], [], [], []
+    for qid, terms in REFERENCE_QUERIES:
+        ranked = s.search(terms, k=s.n_docs or 1)
+        if not ranked:
+            continue
+        # the driver-facing rank order is (score desc, ORIGINAL id) —
+        # same re-rank as _rank_rows, kept in engine-id space so
+        # explain() can address the doc
+        eng = np.array([d for d, _ in ranked], dtype=np.int64)
+        orig = np.array([idmap[int(d)] for d in eng], dtype=np.int64)
+        sc = np.array([x for _, x in ranked], dtype=np.float64)
+        order = np.lexsort((orig, -sc))[:top_n]
+        for j in order:
+            ex = s.explain(terms, int(eng[j]))
+            for term in sorted(ex):
+                info = ex[term]
+                q_ids.append(qid)
+                d_ids.append(int(orig[j]))
+                t_col.append(term)
+                tf_col.append(int(info["tf"]))
+                df_col.append(int(info["df"]))
+                c_col.append(round(info["contribution"], 10))
+    return pa.table({"query_id": pa.array(q_ids, pa.int64()),
+                     "doc_id": pa.array(d_ids, pa.int64()),
+                     "term": pa.array(t_col, pa.string()),
+                     "tf": pa.array(tf_col, pa.int64()),
+                     "df": pa.array(df_col, pa.int64()),
+                     "contribution": pa.array(c_col, pa.float64())})
+
+
+def _bm25_explain_sql() -> str:
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+topn AS (
+  SELECT query_id, doc_id
+  FROM (SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, doc_id) AS rank
+        FROM scores)
+  WHERE rank <= {_EXPLAIN_TOP_N})
+SELECT q.query_id, t3.doc_id, q.term,
+       CAST(tf.tf AS BIGINT) AS tf,
+       CAST(df.df AS BIGINT) AS df,
+       round({_SCORE_TERM}, 10) AS contribution
+FROM topn t3
+JOIN q  ON q.query_id = t3.query_id
+JOIN tf ON tf.term = q.term AND tf.doc_id = t3.doc_id
+JOIN df ON df.term = q.term
+JOIN dl ON dl.doc_id = t3.doc_id
+CROSS JOIN stats s
+ORDER BY q.query_id, t3.doc_id, q.term
+"""
+
+
 # span_not: include-term docs with NO exclude occurrence within dist
 # tokens of SOME include occurrence.  The SQL oracle states the
 # predicate per OCCURRENCE (NOT EXISTS over the positional CTE),
@@ -3125,6 +3208,7 @@ QUERIES = {
     "bm25_rare_terms": bm25_rare_terms,
     "bm25_span_first_documents": bm25_span_first_documents,
     "bm25_span_not_documents": bm25_span_not_documents,
+    "bm25_explain_documents": bm25_explain_documents,
     "percolate_documents": percolate_documents,
     "term_suggest_documents": term_suggest_documents,
     "bm25_sort_by_field": bm25_sort_by_field,
@@ -3174,6 +3258,7 @@ ORACLE = {
     "bm25_rare_terms": _rare_terms_sql(),
     "bm25_span_first_documents": _span_first_sql(),
     "bm25_span_not_documents": _bm25_span_not_sql(),
+    "bm25_explain_documents": _bm25_explain_sql(),
     "percolate_documents": _percolate_sql(),
     "term_suggest_documents": _term_suggest_sql(),
     "bm25_sort_by_field": _bm25_sort_sql(),

@@ -98,7 +98,7 @@ SQL_CHECKED = [
     "q2_min_cost_supplier", "q9_product_profit", "q11_important_parts",
     "q12_priority_classes", "q16_supplier_part_cnt",
     "q20_excess_suppliers", "ngram_jaccard_adjacent",
-    "bm25_span_not_documents",
+    "bm25_span_not_documents", "bm25_explain_documents",
 ]
 
 
