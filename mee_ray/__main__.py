@@ -123,6 +123,11 @@ def _ini_config(path: str) -> dict:
     return raw
 
 
+def _mf_alias_filter(index_root: str, name: str):
+    from mee_ray import manifest as _mf
+    return _mf.alias_filter(index_root, name)
+
+
 def _init_ray(num_cpus: int | None):
     import ray
 
@@ -264,6 +269,10 @@ def main(argv: list[str] | None = None) -> int:
     al.add_argument("--set", default=None, help="alias name to create "
                                                 "or re-point")
     al.add_argument("--to", default=None, help="target epoch for --set")
+    al.add_argument("--filter", default=None, dest="alias_filter",
+                    help="make a FILTERED alias: 'field=value' with "
+                         "field one of lang|repo (queries through the "
+                         "alias restrict to matching live docs)")
     al.add_argument("--drop", default=None, help="alias name to remove")
 
     fs = sub.add_parser("fsck", help="verify segment/delta files "
@@ -464,6 +473,27 @@ def main(argv: list[str] | None = None) -> int:
         roots = [r for r in args.index.split(",") if r]
         if not roots:
             raise SystemExit("--index is empty")
+        # FILTERED alias (--epoch naming one): restricts plain
+        # disjunctive --terms search; every other form fails closed —
+        # silently ignoring a stored filter is worse than refusing
+        alias_flt = (_mf_alias_filter(roots[0], args.epoch)
+                     if len(roots) == 1 and args.epoch else None)
+        if alias_flt is not None:
+            if (args.actors > 0 or args.count or args.explain
+                    or args.operator != "or" or non_plain_forms()):
+                raise SystemExit(
+                    "a FILTERED alias supports only the plain "
+                    "disjunctive --terms form (in-process)")
+            from mee_ray.query import Searcher
+            s = Searcher(roots[0], epoch=args.epoch)
+            allowed = s.allowed_ids_for_field(alias_flt["field"],
+                                              alias_flt["value"])
+            hits = s.search_filtered(terms, args.k,
+                                     allowed_doc_ids=allowed)
+            print(json.dumps({"terms": terms, "filter": alias_flt,
+                              "hits": [{"doc_id": d, "score": sc}
+                                       for d, sc in hits]}))
+            return 0
         if len(roots) > 1:
             if args.actors > 0 or args.explain or non_plain_forms():
                 raise SystemExit("federated (multi-root) --index "
@@ -490,8 +520,18 @@ def main(argv: list[str] | None = None) -> int:
         if args.set:
             if not args.to:
                 raise SystemExit("--set needs --to <epoch>")
-            mf.set_alias(args.index, args.set, args.to)
-            print(json.dumps({"alias": args.set, "epoch": args.to}))
+            flt = None
+            if args.alias_filter:
+                field, eq, value = args.alias_filter.partition("=")
+                if not eq or not value:
+                    raise SystemExit("--filter must be 'field=value'")
+                flt = {"field": field.strip(), "value": value}
+            try:
+                mf.set_alias(args.index, args.set, args.to, filter=flt)
+            except ValueError as e:
+                raise SystemExit(str(e)) from None
+            print(json.dumps({"alias": args.set, "epoch": args.to,
+                              "filter": flt}))
         elif args.drop:
             print(json.dumps({"dropped": mf.drop_alias(args.index,
                                                        args.drop)}))

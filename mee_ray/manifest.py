@@ -83,11 +83,25 @@ def resolve_epoch(index_root: str, name: str) -> str:
     """An alias resolves to its target epoch; a plain epoch name (or
     an unknown name — the manifest open will fail loudly) passes
     through unchanged.  One level only: alias→alias chains are not
-    allowed by :func:`set_alias`."""
-    return load_aliases(index_root).get(name, name)
+    allowed by :func:`set_alias`.  Filtered aliases (dict records)
+    resolve to their epoch; the filter is read via
+    :func:`alias_filter`."""
+    v = load_aliases(index_root).get(name, name)
+    return v["epoch"] if isinstance(v, dict) else v
 
 
-def set_alias(index_root: str, alias: str, epoch: str) -> None:
+ALIAS_FILTER_FIELDS = ("lang", "repo")
+
+
+def alias_filter(index_root: str, name: str) -> dict | None:
+    """The stored filter of a filtered alias ({"field", "value"}), or
+    None for plain aliases / raw epoch names."""
+    v = load_aliases(index_root).get(name)
+    return v.get("filter") if isinstance(v, dict) else None
+
+
+def set_alias(index_root: str, alias: str, epoch: str,
+              filter: dict | None = None) -> None:
     """Create or atomically re-point a named epoch alias (the ES
     ``_aliases`` atomic-swap contract; CURRENT is the built-in
     publish alias and cannot be shadowed).  An alias names an EPOCH,
@@ -96,9 +110,22 @@ def set_alias(index_root: str, alias: str, epoch: str) -> None:
     :func:`snapshot` is the immutability tool.  The target must be an
     EXISTING epoch, never another alias; alias names must not collide
     with epoch directories.  Alias targets are pinned from
-    :func:`gc_epochs`."""
+    :func:`gc_epochs`.
+
+    ``filter`` makes a FILTERED alias (the ES alias-with-filter):
+    ``{"field": <lang|repo>, "value": <str>}`` — readers resolving the
+    alias restrict plain term search to live docs whose stored field
+    equals the value (query.allowed_ids_for_field); non-plain query
+    forms fail closed rather than silently ignore the filter."""
     if alias == "CURRENT":
         raise ValueError("CURRENT is the publish pointer — use publish()")
+    if filter is not None:
+        if (set(filter) != {"field", "value"}
+                or filter["field"] not in ALIAS_FILTER_FIELDS
+                or not isinstance(filter["value"], str)):
+            raise ValueError(
+                "alias filter must be {'field': one of "
+                f"{ALIAS_FILTER_FIELDS}, 'value': str}}; got {filter!r}")
     with write_lock(index_root):
         if os.path.isdir(epoch_dir(index_root, alias)):
             raise ValueError(f"alias {alias!r} collides with an epoch name")
@@ -108,7 +135,8 @@ def set_alias(index_root: str, alias: str, epoch: str) -> None:
         if not os.path.isfile(manifest_path(index_root, epoch)):
             raise FileNotFoundError(
                 f"epoch {epoch!r} has no manifest; refusing to alias")
-        al[alias] = epoch
+        al[alias] = ({"epoch": epoch, "filter": filter}
+                     if filter is not None else epoch)
         _atomic_write_json(_aliases_path(index_root), al)
 
 
@@ -295,7 +323,8 @@ def gc_epochs(index_root: str, keep: set[str] | None = None) -> list[str]:
         keep.add(cur)
     # named aliases pin their targets — deleting an aliased epoch
     # would leave readers resolving to a vanished manifest
-    keep.update(load_aliases(index_root).values())
+    keep.update(v["epoch"] if isinstance(v, dict) else v
+                for v in load_aliases(index_root).values())
     removed = []
     root = os.path.join(index_root, "epochs")
     if not os.path.isdir(root):

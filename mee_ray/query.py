@@ -394,6 +394,44 @@ class Searcher:
                          "contribution": contrib}
         return out
 
+    def allowed_ids_for_field(self, field: str, value: str) -> np.ndarray:
+        """Sorted live doc_ids whose stored docs-table ``field`` equals
+        ``value`` — the filter bitset of a FILTERED ALIAS (ES
+        alias-with-filter).  Liveness-correct under deltas: sources are
+        the base docs files (seq 0) plus each delta's added-docs file
+        (its seq), and a row from source s survives iff no tombstone
+        for its id has seq > s — the same rule the posting read path
+        applies.  Row-group-pruned id-only reads (~8 B/doc collected);
+        the distributed variant for billion-doc filters is the
+        map_batches scan of pipelines.fulltext._allowed_ids_by_lang
+        plus this liveness rule."""
+        import os
+
+        import pyarrow.dataset as pads
+        if field not in mf.ALIAS_FILTER_FIELDS:
+            raise ValueError(f"filterable fields: {mf.ALIAS_FILTER_FIELDS}")
+        sources: list[tuple[str, int]] = [
+            (f, 0) for f in mf.docs_files(self.index_root,
+                                          self.manifest["epoch"])]
+        sources += [(d["added_docs"], d["seq"])
+                    for d in self.manifest.get("deltas", [])
+                    if d.get("added_docs")
+                    and os.path.exists(d["added_docs"])]
+        out = []
+        for f, seq in sources:
+            t = pads.dataset(f).to_table(
+                columns=["doc_id"], filter=pads.field(field) == value)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            if len(self.tomb_ids) and len(ids):
+                keep = mf.live_posting_mask(ids, seq, self.tomb_ids,
+                                            self.tomb_seqs)
+                ids = ids[keep]
+            if len(ids):
+                out.append(ids)
+        if not out:
+            return np.empty(0, dtype=np.int64)
+        return np.sort(np.concatenate(out))
+
     def get_doc(self, repo: str, path: str) -> dict | None:
         """Fetch one live document's stored fields by identity key
         (the ES GET /_doc analog): predicate-pushdown reads over the

@@ -46,6 +46,23 @@ def test_cli_build_then_query(tmp_path):
               "--phrase")
     assert len(ph["hits"]) > 0    # 1-term phrase = docs containing it
 
+    # filtered alias: restricted plain search; non-plain forms refuse
+    fa = _run("alias", "--index", index, "--set", "pycli",
+              "--to", "ep1", "--filter", "lang=python")
+    assert fa["filter"] == {"field": "lang", "value": "python"}
+    fhits = _run("query", "--index", index, "--epoch", "pycli",
+                 "--terms", "def return", "-k", "5")
+    assert fhits["filter"] == {"field": "lang", "value": "python"}
+    assert set(h["doc_id"] for h in fhits["hits"]) <= \
+        set(h["doc_id"] for h in _run("query", "--index", index,
+                                      "--terms", "def return",
+                                      "-k", "1000000")["hits"])
+    r_bad = subprocess.run(
+        [sys.executable, "-m", "mee_ray", "query", "--index", index,
+         "--epoch", "pycli", "--terms", "def", "--count"],
+        capture_output=True, text=True, cwd=REPO)
+    assert r_bad.returncode != 0 and "FILTERED alias" in r_bad.stderr
+
     met = _run("metrics", "--index", index)
     assert met["epoch"] == "ep1" and met["segments"]["n_partitions"] == 4
 

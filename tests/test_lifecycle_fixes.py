@@ -1239,3 +1239,92 @@ def test_epoch_aliases(ray_session, tmp_path):
     mf.set_alias(root, "blue", "ep2")
     with _pytest.raises(ValueError):
         mf.set_alias(root, "green", "blue")  # alias→alias chain
+
+
+def test_filtered_alias_end_to_end(ray_session, tmp_path):
+    """Filtered alias (ES alias-with-filter): the stored filter
+    restricts plain search to live matching docs — liveness-correct
+    under deltas (a deleted doc leaves the bitset, a delta-inserted
+    one joins it), dict alias records pin their epochs from GC, and
+    the validation battery rejects malformed filters."""
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data
+
+    from mee_ray import manifest as mf
+    from mee_ray.build import build_index
+    from mee_ray.config import EngineConfig
+    from mee_ray.corpus import write_corpus
+    from mee_ray.delta import apply_delta
+    from mee_ray.query import Searcher
+
+    root = str(tmp_path / "index")
+    cdir = write_corpus(str(tmp_path / "corpus"), n_files=80, seed=13,
+                        rows_per_file=40)
+    build_index(ray.data.read_parquet(cdir), root, "ep1", EngineConfig())
+
+    mf.set_alias(root, "pyview", "ep1",
+                 filter={"field": "lang", "value": "python"})
+    assert mf.resolve_epoch(root, "pyview") == "ep1"
+    assert mf.alias_filter(root, "pyview") == {"field": "lang",
+                                               "value": "python"}
+    assert mf.alias_filter(root, "ep1") is None
+
+    s = Searcher(root, epoch="pyview")
+    allowed = s.allowed_ids_for_field("lang", "python")
+    import pyarrow.parquet as pq
+    want = set()
+    for f in mf.docs_files(root, "ep1"):
+        t = pq.read_table(f, columns=["doc_id", "lang"])
+        want |= {d for d, lg in zip(t["doc_id"].to_pylist(),
+                                    t["lang"].to_pylist())
+                 if lg == "python"}
+    assert set(allowed.tolist()) == want and len(want) > 0
+
+    # filtered search == post-filtering the exhaustive ranking
+    full = s.search(["def"], k=s.n_docs or 1)
+    got = s.search_filtered(["def"], k=s.n_docs or 1,
+                            allowed_doc_ids=allowed)
+    assert got == [(d, sc) for d, sc in full if d in want]
+
+    # liveness: delete one python doc, insert a new one via delta
+    victim = next(iter(sorted(want)))
+    t = pa.concat_tables([pq.read_table(f) for f in
+                          mf.docs_files(root, "ep1")])
+    vrec = t.filter(pa.compute.equal(t["doc_id"], victim)).to_pylist()[0]
+    ev = pa.table({
+        "seq": pa.array([1, 2], pa.int64()),
+        "type": pa.array(["DELETE", "INSERT"]),
+        "repo": pa.array([vrec["repo"], "orgF/new"]),
+        "path": pa.array([vrec["path"], "src/filtered.py"]),
+        "commit": pa.array([None, "a" * 40]),
+        "lang": pa.array([None, "python"]),
+        "content": pa.array([None, "def filteredAliasDoc():\n"
+                             "    return alias_filter_marker\n"]),
+    })
+    apply_delta(ev, root)
+    s2 = Searcher(root, epoch="pyview")
+    allowed2 = s2.allowed_ids_for_field("lang", "python")
+    got2 = set(allowed2.tolist())
+    assert victim not in got2
+    new_ids = got2 - want
+    assert len(new_ids) == 1          # the inserted python doc joined
+    # non-matching lang stays out
+    assert not (set(s2.allowed_ids_for_field("lang", "java").tolist())
+                & got2)
+
+    # dict alias records pin their target from GC
+    from mee_ray.merge import compact
+    compact(root, "ep2")
+    removed = mf.gc_epochs(root)
+    assert "ep1" not in removed
+    assert Searcher(root, epoch="pyview").manifest["epoch"] == "ep1"
+
+    # validation battery
+    with _pytest.raises(ValueError):
+        mf.set_alias(root, "bad1", "ep2",
+                     filter={"field": "content", "value": "x"})
+    with _pytest.raises(ValueError):
+        mf.set_alias(root, "bad2", "ep2", filter={"field": "lang"})
+    with _pytest.raises(ValueError):
+        s2.allowed_ids_for_field("content", "x")
