@@ -2882,6 +2882,88 @@ WHERE rank <= {TOP_K}
 """
 
 
+# Phrase-suggester inputs: 2-term misspelled phrases over the corpus
+# vocabulary (edit-1 neighborhoods exist for each slot).
+PHRASE_SUGGEST_QUERIES: list[tuple[int, str, str]] = [
+    (1, "mergee", "sorrt"),
+    (2, "window", "joinn"),
+    (3, "batc", "scann"),
+    (4, "fastt", "strem"),
+]
+_PHRASE_SUGGEST_N = 3
+_PHRASE_SUGGEST_CANDS = 5
+
+
+def phrase_suggest_documents(sf_dir: str) -> pa.Table:
+    """Phrase suggester (ES did-you-mean over whole phrases): per-slot
+    edit-1 candidates (df-ranked, capped, input included when live)
+    combined and scored by a stupid-backoff bigram LM over the corpus
+    — value-checked against a SQL mirror that states the identical
+    candidate rule (levenshtein ≤ 1), bigram counts (positional
+    self-join on i+1) and score tree.  Emitted as
+    (query_id, rank, suggestion, score)."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    out_q, out_r, out_s, out_sc = [], [], [], []
+    for qid, t1, t2 in PHRASE_SUGGEST_QUERIES:
+        ranked = s.suggest_phrase(
+            [t1, t2], n=_PHRASE_SUGGEST_N,
+            max_candidates=_PHRASE_SUGGEST_CANDS)
+        for rank, (score, words) in enumerate(ranked, start=1):
+            out_q.append(qid); out_r.append(rank)
+            out_s.append(" ".join(words)); out_sc.append(score)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "suggestion": pa.array(out_s, pa.string()),
+                     "score": pa.array(out_sc, pa.float64())})
+
+
+def _phrase_suggest_sql() -> str:
+    qvals = ", ".join(f"({qid}, '{t1}', '{t2}')"
+                      for qid, t1, t2 in PHRASE_SUGGEST_QUERIES)
+    C = _PHRASE_SUGGEST_CANDS
+    return f"""
+{_base_ctes(with_positions=True)},
+q(query_id, qt1, qt2) AS (VALUES {qvals}),
+tfsum AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+big AS (SELECT a.term AS t1, b.term AS t2, count(*) AS c
+        FROM tok a JOIN tok b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        GROUP BY a.term, b.term),
+c1 AS (SELECT query_id, term FROM (
+         SELECT q.query_id, df.term,
+                row_number() OVER (PARTITION BY q.query_id
+                                   ORDER BY df.df DESC, df.term) AS rk
+         FROM q JOIN df ON levenshtein(df.term, q.qt1) <= 1)
+       WHERE rk <= {C}),
+c2 AS (SELECT query_id, term FROM (
+         SELECT q.query_id, df.term,
+                row_number() OVER (PARTITION BY q.query_id
+                                   ORDER BY df.df DESC, df.term) AS rk
+         FROM q JOIN df ON levenshtein(df.term, q.qt2) <= 1)
+       WHERE rk <= {C}),
+scored AS (
+  SELECT c1.query_id, c1.term AS w1, c2.term AS w2,
+         round(ln(CAST(u1.c AS DOUBLE) / s.total_tokens)
+               + CASE WHEN b.c IS NOT NULL
+                      THEN ln(CAST(b.c AS DOUBLE) / u1.c)
+                      ELSE ln(0.4 * u2.c / s.total_tokens) END,
+               10) AS score
+  FROM c1
+  JOIN c2 ON c2.query_id = c1.query_id
+  JOIN tfsum u1 ON u1.term = c1.term
+  JOIN tfsum u2 ON u2.term = c2.term
+  LEFT JOIN big b ON b.t1 = c1.term AND b.t2 = c2.term
+  CROSS JOIN stats s)
+SELECT query_id, rank, suggestion, score
+FROM (SELECT query_id, w1 || ' ' || w2 AS suggestion, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, w1, w2) AS rank
+      FROM scored)
+WHERE rank <= {_PHRASE_SUGGEST_N}
+"""
+
+
 _EXPLAIN_TOP_N = 3
 
 
@@ -3209,6 +3291,7 @@ QUERIES = {
     "bm25_span_first_documents": bm25_span_first_documents,
     "bm25_span_not_documents": bm25_span_not_documents,
     "bm25_explain_documents": bm25_explain_documents,
+    "phrase_suggest_documents": phrase_suggest_documents,
     "percolate_documents": percolate_documents,
     "term_suggest_documents": term_suggest_documents,
     "bm25_sort_by_field": bm25_sort_by_field,
@@ -3259,6 +3342,7 @@ ORACLE = {
     "bm25_span_first_documents": _span_first_sql(),
     "bm25_span_not_documents": _bm25_span_not_sql(),
     "bm25_explain_documents": _bm25_explain_sql(),
+    "phrase_suggest_documents": _phrase_suggest_sql(),
     "percolate_documents": _percolate_sql(),
     "term_suggest_documents": _term_suggest_sql(),
     "bm25_sort_by_field": _bm25_sort_sql(),

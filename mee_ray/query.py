@@ -867,6 +867,97 @@ class Searcher:
                         if t != term and (df := self.term_df(t)) > 0)
         return [(-negdf, t) for negdf, t in ranked[:n]]
 
+    def term_total_tf(self, term: str) -> int:
+        """Total live occurrence count of one term (sum of tfs) — the
+        unigram count of the phrase-suggester language model."""
+        s = term_hash(term) % self.num_shards
+        if not self.owns(s):
+            return 0
+        _, tfs, _ = self._live_postings(s, term)
+        return int(tfs.sum()) if len(tfs) else 0
+
+    def bigram_count(self, w1: str, w2: str) -> int:
+        """Corpus-wide count of ADJACENT occurrences (w1 at position
+        p, w2 at p+1, summed over live docs) — the bigram count of the
+        phrase-suggester LM.  Composite-key intersection per common
+        doc, fully vectorized.  Requires store_positions."""
+        a = _sort_runs(*self.term_doc_positions(w1))
+        b = _sort_runs(*self.term_doc_positions(w2))
+        if not a[0].size or not b[0].size:
+            return 0
+        common, ia, ib = np.intersect1d(a[0], b[0],
+                                        return_indices=True)
+        if not common.size:
+            return 0
+        B = np.int64(1) << np.int64(32)
+        rank = np.arange(common.size, dtype=np.int64)
+        ta = _runs_take(a[1], ia)
+        tb = _runs_take(b[1], ib)
+        ca = a[1][ia + 1] - a[1][ia]
+        cb = b[1][ib + 1] - b[1][ib]
+        k1 = np.repeat(rank, ca) * B + (a[2][ta] + 1)
+        k2 = np.repeat(rank, cb) * B + b[2][tb]
+        return int(np.intersect1d(k1, k2).size)
+
+    def suggest_phrase(self, terms: list[str], n: int = 3,
+                       max_candidates: int = 5, backoff: float = 0.4
+                       ) -> list[tuple[float, list[str]]]:
+        """Phrase suggester (the ES ``phrase`` suggester, did-you-mean
+        over whole phrases): per-slot candidates are the dictionary
+        terms within edit distance 1 of the input (the input itself
+        included when live), ranked (df desc, term asc) and capped at
+        ``max_candidates``; every combination is scored by a
+        stupid-backoff bigram language model over the live corpus:
+
+            ln(c(w1)/T) + Σ [ ln(cb(wi, wi+1) / c(wi))   if cb > 0
+                              else ln(backoff·c(wi+1)/T) ]
+
+        with T the live token total.  Scores are rounded to 10
+        decimals (the libm-vs-DuckDB ln ULP, see bm25_explain) and
+        ranked (score desc, phrase asc).  Requires store_positions."""
+        import itertools
+        import math
+
+        if not terms or n <= 0:
+            return []
+        if not self.manifest.get("store_positions"):
+            raise ValueError("suggest_phrase needs store_positions=True "
+                             "(bigram counts are positional)")
+        slots: list[list[str]] = []
+        for t in terms:
+            cands = [(df, w) for df, w in
+                     self.suggest(t, n=max_candidates)]
+            self_df = self.term_df(t)
+            if self_df > 0:
+                cands.append((self_df, t))
+            ranked = sorted(cands, key=lambda x: (-x[0], x[1]))
+            slots.append([w for _, w in ranked[:max_candidates]])
+            if not slots[-1]:
+                return []
+        total = self.manifest["total_tokens"]
+        for d in self.manifest.get("deltas", []):
+            total += d["sum_dl_added"] - d["sum_dl_deleted"]
+        uni = {w: self.term_total_tf(w)
+               for w in set(w for s_ in slots for w in s_)}
+        bi: dict[tuple[str, str], int] = {}
+        for i in range(len(slots) - 1):
+            for w1 in slots[i]:
+                for w2 in slots[i + 1]:
+                    if (w1, w2) not in bi:
+                        bi[(w1, w2)] = self.bigram_count(w1, w2)
+        scored = []
+        for combo in itertools.product(*slots):
+            sc = math.log(uni[combo[0]] / total)
+            for w1, w2 in zip(combo, combo[1:]):
+                cb = bi[(w1, w2)]
+                if cb > 0:
+                    sc += math.log(cb / uni[w1])
+                else:
+                    sc += math.log(backoff * uni[w2] / total)
+            scored.append((round(sc, 10), list(combo)))
+        scored.sort(key=lambda x: (-x[0], x[1]))
+        return scored[:n]
+
     def count(self, terms: list[str], operator: str = "or") -> int:
         """Match count without scoring (the ES ``_count`` API): number
         of live documents containing ANY (``or``) or EVERY (``and``)

@@ -611,3 +611,76 @@ def test_span_not_match_docs_kernel():
              np.empty(0, np.int64))
     assert span_not_match_docs(inc, empty, 5).tolist() == [10, 11, 12]
     assert span_not_match_docs(empty, exc, 5).size == 0
+
+
+def test_phrase_suggester_matches_bruteforce(pos_index):
+    """suggest_phrase == an independent brute-force: candidate slots
+    re-derived by DP edit distance over the vocabulary, bigram and
+    unigram counts re-counted from the raw token streams, same
+    stupid-backoff score tree."""
+    import itertools
+    import math
+
+    from mee_ray.config import TokenizerConfig
+    from mee_ray.query import Searcher, _levenshtein_le
+    from mee_ray.tokenizer import Tokenizer
+
+    s = Searcher(pos_index["root"])
+    tok = Tokenizer(TokenizerConfig())
+    streams = [tok.terms(content) for _, content in pos_index["docs"]]
+    uni: dict = {}
+    big: dict = {}
+    for seq in streams:
+        for w in seq:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(seq, seq[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    T = sum(uni.values())
+    vocab = s.vocabulary()
+
+    def brute(terms, n=3, cap=5, backoff=0.4):
+        slots = []
+        for t in terms:
+            # rank by LIVE df like the engine: df = number of docs
+            dfs = {}
+            for w in vocab:
+                if _levenshtein_le(t, w, 1):
+                    dfs[w] = sum(1 for seq in streams if w in seq)
+            ranked = sorted(dfs.items(), key=lambda kv: (-kv[1], kv[0]))
+            slots.append([w for w, df in ranked[:cap] if df > 0])
+            if not slots[-1]:
+                return []
+        out = []
+        for combo in itertools.product(*slots):
+            sc = math.log(uni[combo[0]] / T)
+            for a, b in zip(combo, combo[1:]):
+                cb = big.get((a, b), 0)
+                sc += (math.log(cb / uni[a]) if cb > 0
+                       else math.log(backoff * uni[b] / T))
+            out.append((round(sc, 10), list(combo)))
+        out.sort(key=lambda x: (-x[0], x[1]))
+        return out[:n]
+
+    # probes: in-vocab words WITH edit-1 neighbors (multi-candidate
+    # slots), corrupted frequent terms, an exact phrase, and a
+    # no-candidate control
+    freq = sorted(uni.items(), key=lambda kv: -kv[1])[:12]
+    words = [w for w, _ in freq if len(w) >= 3]
+    rich = [w for w in vocab
+            if len(w) >= 3 and sum(
+                1 for v in vocab if _levenshtein_le(w, v, 1)) >= 2]
+    assert rich, "corpus vocabulary has no edit-1 clusters"
+    probes = [[rich[0], words[0]], [words[1], rich[-1]]]
+    probes.append([words[0] + "x", words[1]])
+    probes.append([words[2][:-1], words[3]])
+    probes.append([words[0], words[1]])           # exact phrase input
+    probes.append(["zzzzqq", words[0]])           # slot with no cands
+    any_multi = False
+    for terms in probes:
+        got = s.suggest_phrase(terms, n=3)
+        want = brute(terms, n=3)
+        assert got == want, (terms, got, want)
+        if len(got) > 1:
+            any_multi = True
+    assert any_multi, "no probe produced >1 ranked suggestion"
+
