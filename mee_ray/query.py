@@ -1886,6 +1886,10 @@ class DistributedSearcher:
             def search_span_first(self, term, end, k):
                 return self.searcher.search_span_first(term, end, k)
 
+            def search_span_not(self, include, exclude, dist, k):
+                return self.searcher.search_span_not(include, exclude,
+                                                     dist, k)
+
             def local_topm(self, terms, m):
                 """(exact local top-m partial ranking, bound): the
                 m-th best partial bounds every unreturned doc's
@@ -2350,6 +2354,41 @@ class DistributedSearcher:
         (a,) = by_actor
         return ray.get(
             self.actors[a].search_span_first.remote(term, end, k))
+
+    def search_span_not(self, include: str, exclude: str,
+                        dist: int = 1, k: int = 10
+                        ) -> list[tuple[int, float]]:
+        """Distributed span_not: the candidate set is the include
+        term's doc ids (one owning actor), exclude positions ship
+        candidate-restricted from THEIR owner — transfer bounded by
+        the include df, the filter-side analog of _positional_query's
+        rarest-term bound.  One owner for both terms → the whole query
+        runs actor-side."""
+        import ray
+        if not include or include == exclude:
+            return []
+        by_actor = self._terms_by_actor(sorted({include, exclude}))
+        if len(by_actor) == 1:
+            (a,) = by_actor
+            return ray.get(self.actors[a].search_span_not.remote(
+                include, exclude, dist, k))
+        inc_owner = next(a for a, ts in by_actor.items()
+                         if include in ts)
+        exc_owner = next(a for a, ts in by_actor.items()
+                         if exclude in ts)
+        inc = ray.get(self.actors[inc_owner].term_doc_positions.remote(
+            [include]))[include]
+        if not inc[0].size:
+            return []
+        cand = np.unique(inc[0])
+        exc = ray.get(self.actors[exc_owner].term_doc_positions.remote(
+            [exclude], cand))[exclude]
+        matched = span_not_match_docs(inc, exc, dist)
+        if not matched.size:
+            return []
+        pf = ray.get(self.actors[inc_owner].term_partials_for_docs
+                     .remote([include], matched))
+        return merge_partials([pf], [include], k)
 
     def search_phrase_prefix(self, terms: list[str], k: int = 10,
                              max_expansions: int = 50

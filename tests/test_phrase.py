@@ -684,3 +684,30 @@ def test_phrase_suggester_matches_bruteforce(pos_index):
             any_multi = True
     assert any_multi, "no probe produced >1 ranked suggestion"
 
+
+
+def test_span_not_distributed_equals_local(pos_index):
+    from mee_ray.config import TokenizerConfig
+    from mee_ray.query import DistributedSearcher, Searcher
+    from mee_ray.tokenizer import Tokenizer
+
+    s = Searcher(pos_index["root"])
+    ds = DistributedSearcher(pos_index["root"], n_actors=3)
+    tok = Tokenizer(TokenizerConfig())
+    pairs = []
+    for _, content in pos_index["docs"][:20]:
+        seq = tok.terms(content)
+        if len(seq) > 12 and seq[3] != seq[4]:
+            pairs.append((seq[3], seq[4]))
+    pairs = list(dict.fromkeys(pairs))[:8]
+    pairs.append(("def", "zzz_no_such_term"))
+    try:
+        checked = 0
+        for inc, exc in pairs:
+            for dist in (1, 3):
+                assert ds.search_span_not(inc, exc, dist, k=20) == \
+                    s.search_span_not(inc, exc, dist, k=20), (inc, exc)
+                checked += 1
+        assert checked > 8
+    finally:
+        ds.shutdown()
