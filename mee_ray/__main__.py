@@ -248,6 +248,12 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--epoch", required=True)
     c.add_argument("--gc", action="store_true", help="GC old epochs after")
 
+    ri = sub.add_parser("reindex", help="rebuild from the index's own "
+                        "stored source (store_source=True) with a new "
+                        "config into a new epoch — the ES _reindex")
+    ri.add_argument("--index", required=True)
+    ri.add_argument("--epoch", required=True, help="new epoch name")
+
     ac = sub.add_parser("auto-compact", help="policy-gated compaction: "
                         "fold the delta log only when measured debt "
                         "(delta count / tombstone ratio / delta bytes) "
@@ -590,6 +596,17 @@ def main(argv: list[str] | None = None) -> int:
         from mee_ray.merge import compact
 
         m2 = compact(args.index, args.epoch, cfg, gc_old=args.gc)
+        print(json.dumps({"epoch": m2["epoch"], "n_docs": m2["n_docs"],
+                          "segments": len(m2["segments"])}))
+
+    elif args.cmd == "reindex":
+        _init_ray(args.num_cpus)
+        from mee_ray.build import reindex
+
+        try:
+            m2 = reindex(args.index, args.epoch, cfg)
+        except ValueError as e:
+            raise SystemExit(str(e)) from None
         print(json.dumps({"epoch": m2["epoch"], "n_docs": m2["n_docs"],
                           "segments": len(m2["segments"])}))
 

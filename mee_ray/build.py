@@ -135,6 +135,10 @@ class DocTokenize:
             if store_pos:
                 cols["poss"] = pa.array(poss_col,
                                         pa.list_(pa.binary()))
+        elif self.cfg.store_source:
+            # pass-1 docs table carries the raw source (ES _source
+            # analog) — pass 2 never does, segments stay content-free
+            cols["content"] = batch["content"]
         return pa.table(cols)
 
 
@@ -517,7 +521,8 @@ def _staged_write(ds, final_dir: str) -> None:
 def build_index(corpus, index_root: str, epoch: str,
                 cfg: EngineConfig | None = None,
                 dedup: bool = True, auto_publish: bool = True,
-                snapshot_watermark: int | None = None) -> dict:
+                snapshot_watermark: int | None = None,
+                carry_catchup: bool = True) -> dict:
     """Run the full build for one epoch. Resumable: finished stages are
     recorded in ``_state.json`` and skipped on re-run (their output
     dirs are written atomically, so a lost state file degrades to a
@@ -531,13 +536,20 @@ def build_index(corpus, index_root: str, epoch: str,
     publish (mee_ray.manifest.publish_with_catchup) — the reference's
     pin-consumer-group-then-replay handoff (updateservice.py:190-250).
     A predecessor record straddling the watermark (some events ≤, some
-    >) cannot be replayed exactly and raises."""
+    >) cannot be replayed exactly and raises.
+
+    ``carry_catchup=False`` (reindex's mode) records the watermark but
+    does NOT carry the predecessor's delta records at publish — the
+    caller guarantees the snapshot already folds them (and handles the
+    landed-during-build window itself) — and therefore skips the
+    replayed-segments config guard: no old-config segment ever rides
+    into the new epoch."""
     import ray.data
 
     import ray
 
     cfg = cfg or EngineConfig()
-    if snapshot_watermark is not None:
+    if snapshot_watermark is not None and carry_catchup:
         # catch-up replay carries the predecessor's delta SEGMENT files
         # verbatim — their part numbers/tokenization are the OLD
         # config's.  A rebuild with different routing/tokenizer
@@ -684,7 +696,7 @@ def build_index(corpus, index_root: str, epoch: str,
     lin_rows = mf.load_state(index_root, epoch)["segments"]["lineage"]
 
     catch_up = None
-    if snapshot_watermark is not None:
+    if snapshot_watermark is not None and carry_catchup:
         prev = mf.current_epoch(index_root)
         if prev and prev != epoch:
             old_m = mf.load_manifest(index_root, prev)
@@ -723,6 +735,7 @@ def build_index(corpus, index_root: str, epoch: str,
         "block_size": cfg.block_size,
         "postings_codec": cfg.postings_codec,
         "store_positions": cfg.store_positions,
+        "store_source": cfg.store_source,
         "salt_factor": cfg.salt_factor,
         "hot_terms": sorted(cfg.hot_terms),
         "tokenizer": vars(cfg.tokenizer).copy() if hasattr(cfg.tokenizer, "__dict__")
@@ -743,3 +756,127 @@ def build_index(corpus, index_root: str, epoch: str,
         mf.publish_with_catchup(index_root, epoch)
         return mf.load_manifest(index_root, epoch)
     return manifest
+
+
+def reindex(index_root: str, new_epoch: str,
+            cfg: EngineConfig | None = None,
+            auto_publish: bool = True) -> dict:
+    """Rebuild the index from its own stored source (the ES
+    ``_reindex`` API): a source-enabled index (``store_source=True``,
+    manifest-pinned) streams its LIVE documents — base docs files plus
+    delta added-docs under the sequenced-tombstone rule — back through
+    the full build pipeline with a NEW config (tokenizer, sharding,
+    positions, codec may all change) into a new epoch of the same
+    root.  The new epoch's snapshot watermark covers every event the
+    source rows reflect, so deltas landing DURING the rebuild replay
+    onto it at publish (mf.publish_with_catchup) — the reference's
+    full-rebuild-then-catch-up lifecycle (updateservice.py:47-80,
+    190-250) sourced from the index itself instead of MySQL.
+
+    The snapshot FOLDS the current delta log (live rows under the
+    sequenced-tombstone rule), so no old-config delta segment ever
+    carries into the new epoch (``carry_catchup=False``).  A delta
+    that lands DURING the rebuild makes the final publish refuse with
+    a re-run instruction — the same catch-up window the reference
+    leaves open (its wait-until-caught-up is an acknowledged TODO,
+    updateservice.py:245-250); re-running folds the new deltas into a
+    fresh snapshot (the stale half-built epoch is cleared via a
+    snapshot fingerprint, the compact debris rule).
+
+    ``cfg=None`` rebuilds with the manifest's own recorded config
+    (a pure segment rewrite — useful after heavy deltas)."""
+    import json as _json
+    import shutil as _shutil
+
+    import ray as _ray
+    import ray.data
+
+    from mee_ray.config import config_from_manifest
+
+    manifest = mf.load_manifest(index_root)
+    mf.require_format(manifest)
+    if not manifest.get("store_source"):
+        raise ValueError("reindex needs a source-enabled index "
+                         "(store_source=True at build) — the docs "
+                         "table does not carry content otherwise")
+    cfg = cfg or config_from_manifest(manifest)
+    src_epoch = manifest["epoch"]
+    src_deltas = [d["seq"] for d in manifest.get("deltas", [])]
+    watermark = max(
+        [int(manifest.get("event_watermark", 0))]
+        + [int(d.get("max_event_seq", 0))
+           for d in manifest.get("deltas", [])])
+
+    # snapshot fingerprint: the resumable build short-circuits on
+    # existing stage outputs, so debris from a refused/crashed reindex
+    # of a DIFFERENT delta snapshot must be cleared, not adopted
+    new_edir = mf.epoch_dir(index_root, new_epoch)
+    os.makedirs(new_edir, exist_ok=True)
+    fp = {"src_epoch": src_epoch, "delta_seqs": src_deltas,
+          "reindex": True}
+    fp_path = os.path.join(new_edir, "_reindex_src.json")
+    old_fp = None
+    if os.path.exists(fp_path):
+        with open(fp_path) as f:
+            old_fp = _json.load(f)
+    if old_fp != fp:
+        for sub in ("docs", "segments"):
+            _shutil.rmtree(os.path.join(new_edir, sub),
+                           ignore_errors=True)
+        st = os.path.join(new_edir, "_state.json")
+        if os.path.exists(st):
+            os.remove(st)
+        tmp_fp = fp_path + f".tmp.{os.getpid()}"
+        with open(tmp_fp, "w") as f:
+            _json.dump(fp, f)
+        os.replace(tmp_fp, fp_path)
+
+    tomb_ids, tomb_seqs = mf.tombstone_index(manifest)
+    tomb_ref = _ray.put((tomb_ids, tomb_seqs))
+    cols = ["doc_id", "repo", "path", "commit", "lang", "content"]
+
+    def live_corpus_rows(source_seq: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ti, ts = _ray.get(tomb_ref)
+            if len(ti):
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                keep = mf.live_posting_mask(ids, source_seq, ti, ts)
+                batch = batch.filter(pa.array(keep))
+            return batch.drop_columns(["doc_id"])
+        return fn
+
+    base_files = list(mf.docs_files(index_root, manifest["epoch"]))
+    ds = ray.data.read_parquet(base_files, columns=cols).map_batches(
+        live_corpus_rows(0), batch_format="pyarrow")
+    for d in manifest.get("deltas", []):
+        f = d.get("added_docs")
+        if not f:
+            continue
+        if "content" not in pq.read_schema(f).names:
+            raise ValueError(
+                f"delta {d['seq']} added-docs file lacks content — "
+                "it predates store_source; compact first")
+        ds = ds.union(
+            ray.data.read_parquet([f], columns=cols).map_batches(
+                live_corpus_rows(d["seq"]), batch_format="pyarrow"))
+    out = build_index(ds, index_root, new_epoch, cfg,
+                      auto_publish=False,
+                      snapshot_watermark=watermark,
+                      carry_catchup=False)
+    if not auto_publish:
+        return out
+    # locked publish: a delta that landed on the predecessor DURING
+    # the rebuild is NOT in the snapshot and cannot be segment-carried
+    # under a changed config — refuse and instruct a re-run (which
+    # folds it into a fresh snapshot)
+    with mf.write_lock(index_root):
+        cur = mf.load_manifest(index_root)
+        if (cur["epoch"] == src_epoch
+                and [d["seq"] for d in cur.get("deltas", [])]
+                != src_deltas):
+            raise RuntimeError(
+                f"deltas landed on epoch {src_epoch} during the "
+                "reindex — re-run reindex to fold them into a fresh "
+                f"snapshot (epoch {new_epoch} left unpublished)")
+        mf.publish(index_root, new_epoch)
+    return mf.load_manifest(index_root, new_epoch)

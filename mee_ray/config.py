@@ -106,6 +106,14 @@ class EngineConfig:
     # compaction runs must agree or merged lists would mix
     # with-positions and without-positions rows.
     store_positions: bool = False
+    # Store the raw ``content`` alongside each docs-table row (the ES
+    # ``_source`` analog) — enables get-with-source and the
+    # ``reindex`` API (rebuild with a new tokenizer/sharding config
+    # from the index alone, no original corpus needed) at the cost of
+    # a corpus-sized (parquet-compressed) docs table.  Pinned in the
+    # manifest: deltas must agree or added docs would silently lack
+    # the source the base rows carry.
+    store_source: bool = False
 
     # --- batching ---
     tokenize_batch_size: int = 256  # docs per tokenize batch (multi-KB rows)
@@ -143,14 +151,15 @@ class EngineConfig:
 # silently route rows to wrong partitions (dropped at merge), compute
 # unsound WAND bounds, or tokenize delta docs differently from the base.
 _MANIFEST_PINNED = ("num_shards", "parts_per_shard", "block_size",
-                    "salt_factor", "store_positions")
+                    "salt_factor", "store_positions", "store_source")
 
 # Build-time defaults for pinned fields ADDED after indexes already
 # existed: a manifest lacking the key was built with the default, so
 # the pin must compare/reconstruct against that default rather than
 # silently skip — otherwise a delta with store_positions=True lands
 # mixed-schema segments on a positions-less base index.
-_PINNED_ABSENT_DEFAULTS = {"store_positions": False}
+_PINNED_ABSENT_DEFAULTS = {"store_positions": False,
+                           "store_source": False}
 
 
 def config_from_manifest(manifest: dict,

@@ -390,14 +390,23 @@ def _apply_delta_locked(events, index_root: str,
         # compaction so a delayed older event still loses after the
         # delta log is folded away)
         seq_of = {(a["repo"], a["path"]): int(a["seq"]) for a in adds}
-        ev_col = pa.array(
-            [seq_of[(r, p)] for r, p in zip(tok_tbl["repo"].to_pylist(),
-                                            tok_tbl["path"].to_pylist())],
-            pa.int64())
-        pq.write_table(tok_tbl.drop_columns(
+        keys = list(zip(tok_tbl["repo"].to_pylist(),
+                        tok_tbl["path"].to_pylist()))
+        ev_col = pa.array([seq_of[k] for k in keys], pa.int64())
+        docs_tbl = tok_tbl.drop_columns(
             [c for c in ("terms", "tfs", "poss")
              if c in tok_tbl.schema.names]).append_column(
-                 "event_seq", ev_col), tmp)
+                 "event_seq", ev_col)
+        if cfg.store_source:
+            # source-enabled index (manifest-pinned): added docs carry
+            # their raw content like the base rows, so get-with-source
+            # and reindex stay complete across deltas
+            content_of = {(a["repo"], a["path"]): (a["content"] or "")
+                          for a in adds}
+            docs_tbl = docs_tbl.append_column(
+                "content", pa.array([content_of[k] for k in keys],
+                                    pa.string()))
+        pq.write_table(docs_tbl, tmp)
         os.replace(tmp, added_docs_path)
 
         # delta segments: same explode + encode machinery as the full

@@ -333,8 +333,14 @@ def _compact_locked(index_root: str, new_epoch: str,
                 np.full(batch.num_rows, default_seq, dtype=np.int64)))
         return fn
 
+    # source-enabled indexes carry raw content in the docs table; the
+    # tombstone-filtering rewrite must keep it or compaction would
+    # silently strip the _source the manifest promises
+    docs_cols = list(mf.DOCS_COLUMNS) + \
+        (["content"] if manifest.get("store_source") else [])
+
     def read_docs_cols(f: str) -> list[str]:
-        cols = list(mf.DOCS_COLUMNS)
+        cols = list(docs_cols)
         if "event_seq" in pq.read_schema(f).names:
             cols.append("event_seq")
         return cols
@@ -353,7 +359,7 @@ def _compact_locked(index_root: str, new_epoch: str,
             os.replace(tmp, dst)
     else:
         docs_ds = ray.data.read_parquet(
-            base_doc_files, columns=mf.DOCS_COLUMNS
+            base_doc_files, columns=docs_cols
         ).map_batches(drop_dead(0), batch_format="pyarrow"
                       ).map_batches(with_event_seq(base_floor),
                                     batch_format="pyarrow")

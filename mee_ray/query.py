@@ -451,7 +451,7 @@ class Searcher:
                     if d.get("added_docs")
                     and os.path.exists(d["added_docs"])]
         slim = ["doc_id", "repo", "path", "commit", "lang",
-                "content_sha256", "length"]
+                "content_sha256", "length", "content"]
         best: tuple[int, dict] | None = None
         for f, seq in sources:
             dset = pads.dataset(f)
