@@ -243,6 +243,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="space-separated query terms")
     dq.add_argument("--operator", choices=("or", "and"), default="or")
 
+    uq = sub.add_parser("update-by-query",
+                        help="regex-transform the stored content of "
+                             "every matching live doc (needs "
+                             "store_source=True) — the ES "
+                             "_update_by_query analog")
+    uq.add_argument("--index", required=True)
+    uq.add_argument("--terms", required=True,
+                    help="space-separated query terms")
+    uq.add_argument("--operator", choices=("or", "and"), default="or")
+    uq.add_argument("--pattern", required=True,
+                    help="Python regex applied to each doc's content")
+    uq.add_argument("--repl", required=True,
+                    help="replacement string (re.sub semantics)")
+
     c = sub.add_parser("compact", help="fold deltas into a new epoch")
     c.add_argument("--index", required=True)
     c.add_argument("--epoch", required=True)
@@ -589,6 +603,25 @@ def main(argv: list[str] | None = None) -> int:
                               args.operator, cfg)
         print(json.dumps({"n_matched": rec["n_matched"],
                           "n_deleted": rec["n_deleted"],
+                          "seq": rec["seq"]}))
+
+    elif args.cmd == "update-by-query":
+        import re as _re
+        _init_ray(args.num_cpus)
+        from mee_ray.delta import update_by_query
+        try:
+            pat = _re.compile(args.pattern)
+        except _re.error as e:
+            raise SystemExit(f"bad --pattern: {e}") from None
+        try:
+            rec = update_by_query(
+                args.index, args.terms.split(),
+                lambda c: pat.sub(args.repl, c),
+                operator=args.operator, cfg=cfg)
+        except ValueError as e:
+            raise SystemExit(str(e)) from None
+        print(json.dumps({"n_matched": rec["n_matched"],
+                          "n_transformed": rec["n_transformed"],
                           "seq": rec["seq"]}))
 
     elif args.cmd == "compact":

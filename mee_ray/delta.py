@@ -512,3 +512,99 @@ def delete_by_query(index_root: str, terms: list[str],
         rec = _apply_delta_locked(ev, index_root, cfg)
     rec["n_matched"] = int(matched.size)
     return rec
+
+
+def _live_rows_for_doc_ids(index_root: str, manifest: dict,
+                           doc_ids: "np.ndarray") -> list[dict]:
+    """Live stored rows (repo, path, lang, content) of the given
+    doc_ids — the update_by_query fetch.  Requires a source-enabled
+    index.  Same doc_id-pruned pushdown scan as ``_keys_for_doc_ids``;
+    when a doc_id appears in several sources (a same-commit
+    resurrection), the highest-seq source wins, matching
+    ``Searcher.get_doc``."""
+    import pyarrow.dataset as pads
+
+    sources: list[tuple[str, int]] = [
+        (f, 0) for f in mf.docs_files(index_root, manifest["epoch"])]
+    for d in manifest.get("deltas", []):
+        if d.get("added_docs"):
+            sources.append((d["added_docs"], d["seq"]))
+    want = pa.array(np.unique(np.asarray(doc_ids, dtype=np.int64)))
+    best: dict[int, tuple[int, dict]] = {}
+    for f, seq in sources:
+        t = pads.dataset(f).to_table(
+            columns=["doc_id", "repo", "path", "lang", "content"],
+            filter=pads.field("doc_id").isin(want))
+        for row in t.to_pylist():
+            did = row["doc_id"]
+            if did not in best or seq >= best[did][0]:
+                best[did] = (seq, row)
+    return [r for _, r in sorted(best.values(),
+                                 key=lambda x: (x[1]["repo"],
+                                                x[1]["path"]))]
+
+
+def update_by_query(index_root: str, terms: list[str], transform,
+                    operator: str = "or",
+                    cfg: EngineConfig | None = None) -> dict:
+    """ES ``_update_by_query`` analog — the reference's
+    query-then-scripted-update loop (commonhandler.py:107-130, its
+    painless codegen replaced by a plain content transform): find the
+    live documents matching ``terms``, apply ``transform(content) →
+    new content`` to each, and re-emit the changed ones as UPDATE
+    events through the locked seq-allocating delta path.
+
+    Requires a source-enabled index (``store_source=True``) — the
+    transform needs the stored content.
+
+    The new version key (commit) is ``sha256(new content)[:40]``:
+    deterministic from the content, so rows the transform leaves
+    unchanged are skipped outright, a re-run of the same transform
+    emits the same versions (no-op upserts under the per-key LWW
+    guard), and the reference's ``retry_on_conflict=256`` loop
+    collapses into idempotence.  Match, fetch, transform, seq
+    allocation and apply share ONE write-lock critical section (the
+    delete_by_query race stance)."""
+    import hashlib
+
+    from mee_ray.query import Searcher
+
+    with mf.write_lock(index_root):
+        s = Searcher(index_root)
+        if not s.manifest.get("store_source"):
+            raise ValueError("update_by_query needs a source-enabled "
+                             "index (store_source=True at build)")
+        matched = s.matched_doc_ids(terms, operator)
+        if matched.size == 0:
+            return {"noop": True, "seq": None, "n_matched": 0,
+                    "n_transformed": 0, "n_added": 0, "n_deleted": 0}
+        rows = _live_rows_for_doc_ids(index_root, s.manifest, matched)
+        changed = []
+        for r in rows:
+            old = r["content"] or ""
+            new = transform(old)
+            if not isinstance(new, str):
+                raise TypeError("transform must return str content")
+            if new != old:
+                changed.append((r, new))
+        if not changed:
+            return {"noop": True, "seq": None,
+                    "n_matched": int(matched.size),
+                    "n_transformed": 0, "n_added": 0, "n_deleted": 0}
+        start_seq = mf.next_event_seq(index_root)
+        n = len(changed)
+        ev = pa.table({
+            "seq": pa.array(range(start_seq, start_seq + n), pa.int64()),
+            "type": pa.array(["UPDATE"] * n, pa.string()),
+            "repo": pa.array([r["repo"] for r, _ in changed]),
+            "path": pa.array([r["path"] for r, _ in changed]),
+            "commit": pa.array(
+                [hashlib.sha256(c.encode()).hexdigest()[:40]
+                 for _, c in changed], pa.string()),
+            "lang": pa.array([r["lang"] for r, _ in changed]),
+            "content": pa.array([c for _, c in changed], pa.string()),
+        })
+        rec = _apply_delta_locked(ev, index_root, cfg)
+    rec["n_matched"] = int(matched.size)
+    rec["n_transformed"] = n
+    return rec

@@ -181,3 +181,65 @@ def test_reindex_rerun_folds_late_deltas(src_index, ray_session,
     assert s.search(["marker_two"], 5)          # late delta folded
     assert not s.search(["marker_one"], 5)      # superseded content
     assert m_built["n_docs"] == m2["n_docs"]
+
+
+def test_update_by_query_end_to_end(src_index, ray_session, tmp_path):
+    """update_by_query transforms every matching doc's stored content,
+    the index reflects it (oracle-identical), unchanged rows are
+    skipped, and a re-run of the same transform is a pure no-op (the
+    deterministic content-hash version key)."""
+    import shutil
+
+    from mee_ray.delta import update_by_query
+    root = str(tmp_path / "index")
+    shutil.copytree(src_index["root"], root)
+    live = dict(src_index["live"])
+
+    def transform(c):
+        return c if "updated_marker" in c else c + "\nupdated_marker\n"
+
+    s0 = Searcher(root)
+    matched = s0.matched_doc_ids(["def"], "or")
+    rec = update_by_query(root, ["def"], transform)
+    assert rec["n_matched"] == matched.size
+    assert rec["n_transformed"] == matched.size   # all gained the marker
+    # the index reflects the transform: every matched doc now holds
+    # the marker token, and ranks equal a rebuilt oracle
+    import hashlib
+
+    from mee_ray.config import TokenizerConfig
+    from mee_ray.tokenizer import Tokenizer
+    tok = Tokenizer(TokenizerConfig())
+    for (r, p), (c, content) in list(live.items()):
+        if "def" not in tok.terms(content):
+            continue                    # only MATCHING docs transform
+        new = transform(content)
+        if new != content:
+            live[(r, p)] = (
+                hashlib.sha256(new.encode()).hexdigest()[:40], new)
+    oi = OracleIndex([(doc_id_of(r, p, c), content)
+                      for (r, p), (c, content) in live.items()])
+    s = Searcher(root)
+    assert s.count(["updated_marker"]) == len(matched)
+    for terms in (["updated_marker"], ["def", "return"]):
+        assert s.search(terms, 10) == oi.search(terms, 10), terms
+    # stored source updated too (pick a transformed key)
+    (r, p) = next(k for k in sorted(live)
+                  if "updated_marker" in live[k][1])
+    assert s.get_doc(r, p)["content"].endswith("updated_marker\n")
+
+    # idempotence: same transform again → nothing changes
+    rec2 = update_by_query(root, ["def"], transform)
+    assert rec2.get("noop") is True and rec2["n_transformed"] == 0
+    assert Searcher(root).count(["updated_marker"]) == len(matched)
+
+
+def test_update_by_query_refuses_sourceless(built_index, ray_session,
+                                            tmp_path):
+    import shutil
+
+    from mee_ray.delta import update_by_query
+    root = str(tmp_path / "index")
+    shutil.copytree(built_index["index_root"], root)
+    with pytest.raises(ValueError, match="store_source"):
+        update_by_query(root, ["def"], lambda c: c.upper())
