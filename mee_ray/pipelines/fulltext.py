@@ -2882,6 +2882,72 @@ WHERE rank <= {TOP_K}
 """
 
 
+# Stored PHRASE queries for the phrase percolator: real corpus
+# bigrams/trigrams plus a never-matching control.
+PHRASE_PERCOLATE_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["table", "hash"]),
+    (2, ["merge", "group"]),
+    (3, ["customer", "join"]),
+    (4, ["vector", "small"]),
+    (5, ["merge", "group", "slow"]),
+    (6, ["zzz_never", "matches"]),
+]
+
+
+def percolate_phrase_documents(sf_dir: str):
+    """Phrase percolator (ES percolator with match_phrase stored
+    queries): every document is tested against stored PHRASES —
+    consecutive tokens, in order.  Same distributed one-pass shape as
+    percolate_documents, but each stored phrase compiles to ONE
+    vectorized RE2 pattern whose inter-term separator is
+    `[^a-z0-9_]+` — exactly token adjacency under the simple
+    tokenizer, so the regex match IS the positional predicate.  The
+    SQL oracle derives membership independently from token positions
+    (i+1 chained self-joins)."""
+    import re
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    from mee_ray.pipelines.text import _read_docs
+
+    pats = {
+        qid: ("(^|[^a-z0-9_])"
+              + "[^a-z0-9_]+".join(re.escape(t) for t in ts)
+              + "([^a-z0-9_]|$)")
+        for qid, ts in PHRASE_PERCOLATE_QUERIES}
+
+    def per_batch(b: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(b["text"])
+        dids = b["doc_id"].to_numpy(zero_copy_only=False)
+        out_d: list[int] = []
+        out_q: list[int] = []
+        for qid, _ts in PHRASE_PERCOLATE_QUERIES:
+            m = pc.match_substring_regex(low, pats[qid]) \
+                .to_numpy(zero_copy_only=False)
+            hit = dids[m]
+            out_d.extend(hit.tolist())
+            out_q.extend([qid] * len(hit))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "query_id": pa.array(out_q, pa.int64())})
+
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        per_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _percolate_phrase_sql() -> str:
+    chains = "\n  UNION ALL\n  ".join(
+        _span_chain(qid, ts, 0)
+        for qid, ts in PHRASE_PERCOLATE_QUERIES)
+    return f"""
+{_base_ctes(with_positions=True)},
+member AS (
+  {chains})
+SELECT doc_id, query_id FROM member
+ORDER BY query_id, doc_id
+"""
+
+
 # Phrase-suggester inputs: 2-term misspelled phrases over the corpus
 # vocabulary (edit-1 neighborhoods exist for each slot).
 PHRASE_SUGGEST_QUERIES: list[tuple[int, str, str]] = [
@@ -3292,6 +3358,7 @@ QUERIES = {
     "bm25_span_not_documents": bm25_span_not_documents,
     "bm25_explain_documents": bm25_explain_documents,
     "phrase_suggest_documents": phrase_suggest_documents,
+    "percolate_phrase_documents": percolate_phrase_documents,
     "percolate_documents": percolate_documents,
     "term_suggest_documents": term_suggest_documents,
     "bm25_sort_by_field": bm25_sort_by_field,
@@ -3343,6 +3410,7 @@ ORACLE = {
     "bm25_span_not_documents": _bm25_span_not_sql(),
     "bm25_explain_documents": _bm25_explain_sql(),
     "phrase_suggest_documents": _phrase_suggest_sql(),
+    "percolate_phrase_documents": _percolate_phrase_sql(),
     "percolate_documents": _percolate_sql(),
     "term_suggest_documents": _term_suggest_sql(),
     "bm25_sort_by_field": _bm25_sort_sql(),

@@ -99,7 +99,7 @@ SQL_CHECKED = [
     "q12_priority_classes", "q16_supplier_part_cnt",
     "q20_excess_suppliers", "ngram_jaccard_adjacent",
     "bm25_span_not_documents", "bm25_explain_documents",
-    "phrase_suggest_documents",
+    "phrase_suggest_documents", "percolate_phrase_documents",
 ]
 
 
