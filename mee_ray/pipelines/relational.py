@@ -3556,6 +3556,109 @@ LIMIT 20
 """
 
 
+def matrix_stats_lineitem(sf_dir: str):
+    """matrix_stats aggregation (the ES matrix_stats analog): per
+    l_returnflag, the covariance and Pearson correlation between
+    quantity and price cents, from EXACT integer moment sums —
+    per-batch partial sums of (x, y, x², y², xy) fold through one tiny
+    groupby, and the float statistics are computed ONCE from the exact
+    integers with the same expression tree the oracle states (n·sxy −
+    sx·sy over the sqrt products), so values match bit-for-bit.  At
+    sums beyond int64 (≳10^18 — petabyte-scale cent squares) the fold
+    would switch to a two-limb accumulator; DuckDB's HUGEINT already
+    covers the oracle side."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        x = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        y = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0)),
+            options=half_away), pa.int64())
+        t2 = pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+            "sx": x, "sy": y,
+            "sxx": pc.multiply(x, x),
+            "syy": pc.multiply(y, y),
+            "sxy": pc.multiply(x, y)})
+        g = t2.group_by("l_returnflag").aggregate(
+            [("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+             ("sxx", "sum"), ("syy", "sum"), ("sxy", "sum")])
+        return g.rename_columns(["l_returnflag", "n", "sx", "sy",
+                                 "sxx", "syy", "sxy"])
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_returnflag", "l_quantity", "l_extendedprice"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("l_returnflag")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("syy", alias_name="syy"),
+                      Sum("sxy", alias_name="sxy")))
+    batches = list(agg.iter_batches(batch_format="pyarrow"))
+    EMPTY = pa.table({"l_returnflag": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "mean_qty": pa.array([], pa.float64()),
+                      "mean_cents": pa.array([], pa.float64()),
+                      "covariance": pa.array([], pa.float64()),
+                      "correlation": pa.array([], pa.float64())})
+    if not batches:
+        return EMPTY
+    t = pa.concat_tables(batches)
+    import math
+    rows = []
+    for r in t.to_pylist():
+        n = float(r["n"])
+        sx, sy = float(r["sx"]), float(r["sy"])
+        sxx, syy, sxy = (float(r["sxx"]), float(r["syy"]),
+                         float(r["sxy"]))
+        cov = (n * sxy - sx * sy) / (n * n)
+        den = math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+        corr = (n * sxy - sx * sy) / den if den > 0 else 0.0
+        rows.append((r["l_returnflag"], int(r["n"]), sx / n, sy / n,
+                     cov, corr))
+    rows.sort()
+    return pa.table({
+        "l_returnflag": pa.array([x[0] for x in rows], pa.string()),
+        "n": pa.array([x[1] for x in rows], pa.int64()),
+        "mean_qty": pa.array([x[2] for x in rows], pa.float64()),
+        "mean_cents": pa.array([x[3] for x in rows], pa.float64()),
+        "covariance": pa.array([x[4] for x in rows], pa.float64()),
+        "correlation": pa.array([x[5] for x in rows], pa.float64())})
+
+
+MATRIX_STATS_SQL = """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sx,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS DOUBLE) AS sy,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS DOUBLE) AS syy,
+         CAST(sum(CAST(round(l_quantity) AS BIGINT)
+                  * CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS DOUBLE) AS sxy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+       sx / n AS mean_qty,
+       sy / n AS mean_cents,
+       (n * sxy - sx * sy) / (n * n) AS covariance,
+       CASE WHEN sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy) > 0
+            THEN (n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+            ELSE 0.0 END AS correlation
+FROM m ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------- TPC-H Q12 shape --
 # (the testdata lineitem has no l_shipmode/l_commitdate/l_receiptdate,
 # so the Q12 class columns are adapted: group = l_linestatus, window =
@@ -4180,6 +4283,7 @@ QUERIES = {
     "q12_priority_classes": q12_priority_classes,
     "q16_supplier_part_cnt": q16_supplier_part_cnt,
     "q20_excess_suppliers": q20_excess_suppliers,
+    "matrix_stats_lineitem": matrix_stats_lineitem,
 }
 
 ORACLE = {
@@ -4244,4 +4348,5 @@ ORACLE = {
     "q12_priority_classes": Q12_SQL,
     "q16_supplier_part_cnt": Q16_SQL,
     "q20_excess_suppliers": Q20_SQL,
+    "matrix_stats_lineitem": MATRIX_STATS_SQL,
 }
