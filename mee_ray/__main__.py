@@ -274,6 +274,7 @@ def main(argv: list[str] | None = None) -> int:
                         "trips a threshold")
     ac.add_argument("--index", required=True)
     ac.add_argument("--max-deltas", type=int, default=8)
+    ac.add_argument("--max-churn-ratio", type=float, default=0.2)
     ac.add_argument("--tombstone-ratio", type=float, default=0.1)
     ac.add_argument("--delta-bytes-ratio", type=float, default=0.5)
     ac.add_argument("--gc", action="store_true", help="GC old epochs after")
@@ -645,24 +646,30 @@ def main(argv: list[str] | None = None) -> int:
 
     elif args.cmd == "auto-compact":
         from mee_ray import manifest as _mf
-        from mee_ray.merge import (CompactionPolicy, auto_compact,
-                                   should_compact)
+        from mee_ray.scheduler import (MergePolicy, maybe_compact,
+                                       should_compact)
 
-        policy = CompactionPolicy(
+        policy = MergePolicy(
             max_deltas=args.max_deltas,
+            max_churn_ratio=args.max_churn_ratio,
             tombstone_ratio=args.tombstone_ratio,
-            delta_bytes_ratio=args.delta_bytes_ratio)
+            delta_bytes_ratio=args.delta_bytes_ratio,
+            gc_old=args.gc)
         decision, reason = should_compact(
             _mf.load_manifest(args.index), policy)
         if not decision:
             print(json.dumps({"compacted": False, "reason": reason}))
         else:
             _init_ray(args.num_cpus)
-            m2 = auto_compact(args.index, cfg, policy, gc_old=args.gc)
-            print(json.dumps({"compacted": True, "reason":
-                              m2["compact_reason"], "epoch": m2["epoch"],
-                              "n_docs": m2["n_docs"],
-                              "segments": len(m2["segments"])}))
+            m2 = maybe_compact(args.index, cfg, policy)
+            if m2 is None:     # a concurrent fold got there first
+                print(json.dumps({"compacted": False,
+                                  "reason": "raced: log already folded"}))
+            else:
+                print(json.dumps(
+                    {"compacted": True, "reason": m2["compact_reason"],
+                     "epoch": m2["epoch"], "n_docs": m2["n_docs"],
+                     "segments": len(m2["segments"])}))
 
     elif args.cmd == "gc":
         from mee_ray import manifest as mf

@@ -155,87 +155,6 @@ def _decode_rows(t: pa.Table) -> pa.Table:
     return out
 
 
-class CompactionPolicy:
-    """When is the delta log worth folding?  The three debts deltas
-    accumulate, each with its own trigger (the size-tiered analog of
-    the reference's periodic full rebuild, updateservice.py:47-80 —
-    but incremental, so the trigger fires on measured debt, not cron):
-
-    - ``max_deltas``: every query eagerly merges a term's delta chunks
-      into one stream (wand._merge_delta_chunks), so per-query latency
-      grows with the delta count;
-    - ``tombstone_ratio``: pending tombstones force the exhaustive
-      (non-WAND) scoring path — the single costliest debt;
-    - ``delta_bytes_ratio``: delta segments are encoded per small
-      batch (worse compression, more files); when they rival the base
-      in bytes, a fold roughly halves read amplification.
-    """
-
-    def __init__(self, max_deltas: int = 8,
-                 tombstone_ratio: float = 0.1,
-                 delta_bytes_ratio: float = 0.5):
-        self.max_deltas = max_deltas
-        self.tombstone_ratio = tombstone_ratio
-        self.delta_bytes_ratio = delta_bytes_ratio
-
-
-def should_compact(manifest: dict,
-                   policy: CompactionPolicy | None = None
-                   ) -> tuple[bool, str]:
-    """Evaluate the policy against one manifest. Returns
-    (decision, reason) — reason names the tripped trigger or says why
-    not, so operators can log it."""
-    policy = policy or CompactionPolicy()
-    deltas = manifest.get("deltas", [])
-    if not deltas:
-        return False, "no deltas"
-    if len(deltas) >= policy.max_deltas:
-        return True, f"delta count {len(deltas)} >= {policy.max_deltas}"
-    n_docs = max(1, int(manifest.get("n_docs", 0)))
-    n_tomb = sum(int(d.get("n_deleted", 0)) for d in deltas)
-    if n_tomb / n_docs >= policy.tombstone_ratio:
-        return True, (f"tombstones {n_tomb}/{n_docs} >= "
-                      f"{policy.tombstone_ratio:.2f} (exhaustive-path tax)")
-    base_b = sum(int(s.get("bytes", 0)) for s in manifest["segments"])
-    delta_b = 0
-    for d in deltas:
-        for f in d.get("segments", []):
-            try:
-                delta_b += os.path.getsize(f)
-            except OSError:
-                pass
-    if base_b and delta_b / base_b >= policy.delta_bytes_ratio:
-        return True, (f"delta bytes {delta_b}/{base_b} >= "
-                      f"{policy.delta_bytes_ratio:.2f}")
-    return False, (f"below thresholds ({len(deltas)} deltas, "
-                   f"{n_tomb} tombstones, {delta_b} delta bytes)")
-
-
-def auto_compact(index_root: str, cfg: EngineConfig | None = None,
-                 policy: CompactionPolicy | None = None,
-                 gc_old: bool = False) -> dict | None:
-    """Policy-gated compaction — the merge-scheduler entry point
-    (SURVEY.md §3.4 'merge scheduler'): evaluate ``should_compact`` on
-    CURRENT and fold if tripped.  The new epoch name is derived from
-    the source epoch + the max folded event seq, so a crashed retry of
-    the SAME snapshot resumes (compact's fingerprint guard) while a
-    different snapshot gets a fresh directory.  Returns the new
-    manifest, or None when the policy says don't."""
-    manifest = mf.load_manifest(index_root)
-    ok, reason = should_compact(manifest, policy)
-    if not ok:
-        return None
-    hi = max([manifest.get("event_watermark", 0)]
-             + [int(d.get("max_event_seq", 0))
-                for d in manifest.get("deltas", [])])
-    import re as _re
-    base = _re.sub(r"-c\d{8}$", "", manifest["epoch"])
-    new_epoch = f"{base}-c{hi:08d}"
-    out = compact(index_root, new_epoch, cfg, gc_old=gc_old)
-    out["compact_reason"] = reason
-    return out
-
-
 def compact(index_root: str, new_epoch: str,
             cfg: EngineConfig | None = None,
             auto_publish: bool = True, gc_old: bool = False) -> dict:

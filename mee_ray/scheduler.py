@@ -17,14 +17,24 @@ Two forms, same policy object:
   two compactions of the same index (the mutual-exclusion role the
   reference gives its Redis redlock, updateservice.py:158-188).
 
-Policy (size-tiered, LSM-flavored): merge when the delta log has
-``max_deltas`` entries, OR the deltas' live-row churn exceeds
-``max_churn_ratio`` of the base doc count — both bound the per-query
-overlay work (extra delta-segment chunk probes + tombstone filter).
+Policy (size-tiered, LSM-flavored) — the four debts the delta log
+accumulates, each with its own trigger:
+
+* ``max_deltas``: every query eagerly merges a term's delta chunks
+  into one stream (wand._merge_delta_chunks), so latency grows with
+  the delta count;
+* ``max_churn_ratio``: total row churn vs the base bounds overlay
+  work as a whole;
+* ``tombstone_ratio``: pending tombstones force the exhaustive
+  (non-WAND) scoring path — the single costliest debt;
+* ``delta_bytes_ratio``: delta segments are encoded per small batch
+  (worse compression, more files); when they rival the base in bytes
+  a fold roughly halves read amplification.
 """
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from mee_ray import manifest as mf
@@ -34,8 +44,10 @@ from mee_ray.merge import compact
 
 @dataclass(frozen=True)
 class MergePolicy:
-    max_deltas: int = 8          # delta-log length bound
+    max_deltas: int = 8           # delta-log length bound
     max_churn_ratio: float = 0.2  # (added+deleted) / base n_docs
+    tombstone_ratio: float = 0.1  # deleted / base n_docs
+    delta_bytes_ratio: float = 0.5  # delta seg bytes / base seg bytes
     # Epoch GC on the AUTOMATIC path defaults OFF: deleting the
     # predecessor right after the CURRENT flip yanks files out from
     # under in-flight queries and pools that haven't polled
@@ -45,15 +57,42 @@ class MergePolicy:
     gc_old: bool = False
 
 
-def should_compact(manifest: dict, policy: MergePolicy) -> bool:
+def should_compact(manifest: dict, policy: MergePolicy
+                   ) -> tuple[bool, str]:
+    """Evaluate the policy against one manifest.  Returns
+    (decision, reason) — reason names the tripped trigger or says why
+    not, so operators can log it."""
     deltas = manifest.get("deltas", [])
     if not deltas:
-        return False
+        return False, "no deltas"
     if len(deltas) >= policy.max_deltas:
-        return True
-    churn = sum(d["n_added"] + d["n_deleted"] for d in deltas)
-    base = max(1, manifest.get("n_docs", 1))
-    return churn / base >= policy.max_churn_ratio
+        return True, f"delta count {len(deltas)} >= {policy.max_deltas}"
+    base = max(1, int(manifest.get("n_docs", 1)))
+    n_tomb = sum(int(d.get("n_deleted", 0)) for d in deltas)
+    if n_tomb / base >= policy.tombstone_ratio:
+        return True, (f"tombstones {n_tomb}/{base} >= "
+                      f"{policy.tombstone_ratio:.2f} "
+                      "(exhaustive-path tax)")
+    churn = sum(int(d.get("n_added", 0)) + int(d.get("n_deleted", 0))
+                for d in deltas)
+    if churn / base >= policy.max_churn_ratio:
+        return True, (f"churn {churn}/{base} >= "
+                      f"{policy.max_churn_ratio:.2f}")
+    base_b = sum(int(s.get("bytes", 0))
+                 for s in manifest.get("segments", []))
+    delta_b = 0
+    for d in deltas:
+        for f in d.get("segments", []):
+            try:
+                delta_b += os.path.getsize(f)
+            except OSError:
+                pass
+    if base_b and delta_b / base_b >= policy.delta_bytes_ratio:
+        return True, (f"delta bytes {delta_b}/{base_b} >= "
+                      f"{policy.delta_bytes_ratio:.2f}")
+    return False, (f"below thresholds ({len(deltas)} deltas, "
+                   f"{n_tomb} tombstones, {churn} churn, "
+                   f"{delta_b} delta bytes)")
 
 
 def _next_epoch_name(manifest: dict) -> str:
@@ -72,11 +111,14 @@ def maybe_compact(index_root: str, cfg: EngineConfig | None = None,
     Returns the new manifest or None."""
     policy = policy or MergePolicy()
     manifest = mf.load_manifest(index_root)
-    if not should_compact(manifest, policy):
+    decision, reason = should_compact(manifest, policy)
+    if not decision:
         return None
     # cfg=None → compact reconstructs the config from the manifest
-    return compact(index_root, _next_epoch_name(manifest),
-                   cfg, gc_old=policy.gc_old)
+    out = compact(index_root, _next_epoch_name(manifest),
+                  cfg, gc_old=policy.gc_old)
+    out["compact_reason"] = reason
+    return out
 
 
 class MergeScheduler:

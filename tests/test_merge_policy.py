@@ -1,15 +1,13 @@
-"""Auto-compaction policy: the merge-scheduler trigger (size-tiered
-analog of the reference's periodic full rebuild,
-services/updateservice.py:47-80) must fire on measured debt — delta
-count, tombstone ratio, delta bytes — and auto_compact must produce an
-index rank-identical to what manual compact would."""
+"""Auto-compaction policy triggers (the merge scheduler's
+should_compact): delta count, tombstone ratio, churn, delta bytes —
+and the policy-gated fold stays oracle-identical end to end."""
 
 import shutil
 
 import pyarrow as pa
 import pytest
 
-from mee_ray.merge import CompactionPolicy, auto_compact, should_compact
+from mee_ray.scheduler import MergePolicy, maybe_compact, should_compact
 
 
 def _event(seq, etype, repo, path, commit=None, content=None):
@@ -27,32 +25,41 @@ def test_should_compact_triggers(built_index):
     from mee_ray import manifest as mf
     m = mf.load_manifest(built_index["index_root"])
     assert m.get("deltas", []) == []
-    ok, reason = should_compact(m)
+    ok, reason = should_compact(m, MergePolicy())
     assert not ok and "no deltas" in reason
 
     # synthetic manifests exercise each trigger independently
     base = {"n_docs": 100, "segments": [{"bytes": 1000}], "deltas": []}
 
-    m1 = dict(base, deltas=[{"n_deleted": 0, "segments": []}] * 8)
-    ok, reason = should_compact(m1)
+    m1 = dict(base, deltas=[{"n_added": 0, "n_deleted": 0,
+                             "segments": []}] * 8)
+    ok, reason = should_compact(m1, MergePolicy())
     assert ok and "delta count" in reason
 
-    m2 = dict(base, deltas=[{"n_deleted": 15, "segments": []}])
-    ok, reason = should_compact(m2)
+    m2 = dict(base, deltas=[{"n_added": 0, "n_deleted": 15,
+                             "segments": []}])
+    ok, reason = should_compact(m2, MergePolicy())
     assert ok and "tombstones" in reason
 
-    m3 = dict(base, deltas=[{"n_deleted": 0, "segments": []}] * 2)
-    ok, reason = should_compact(m3)
+    m3 = dict(base, deltas=[{"n_added": 25, "n_deleted": 0,
+                             "segments": []}])
+    ok, reason = should_compact(m3, MergePolicy())
+    assert ok and "churn" in reason
+
+    m4 = dict(base, deltas=[{"n_added": 1, "n_deleted": 0,
+                             "segments": []}] * 2)
+    ok, reason = should_compact(m4, MergePolicy())
     assert not ok and "below thresholds" in reason
 
     # thresholds are policy-tunable
-    ok, _ = should_compact(m3, CompactionPolicy(max_deltas=2))
+    ok, _ = should_compact(m4, MergePolicy(max_deltas=2))
     assert ok
 
 
-def test_auto_compact_end_to_end(built_index, ray_session, tmp_path):
-    """Below threshold → no-op; above → folds, publishes a derived
-    epoch name, and queries stay oracle-identical."""
+def test_maybe_compact_reason_and_identity(built_index, ray_session,
+                                           tmp_path):
+    """Below threshold → no-op; above → folds with a reason, publishes
+    the lineage-named epoch, and queries stay oracle-identical."""
     from mee_ray import manifest as mf
     from mee_ray.delta import apply_delta
     from mee_ray.ids import doc_id_of
@@ -63,7 +70,7 @@ def test_auto_compact_end_to_end(built_index, ray_session, tmp_path):
     shutil.copytree(built_index["index_root"], root)
     live = dict(built_index["live"])
 
-    assert auto_compact(root) is None      # no deltas → no-op
+    assert maybe_compact(root) is None      # no deltas → no-op
 
     keys = sorted(live)[:4]
     seq = 1
@@ -74,15 +81,15 @@ def test_auto_compact_end_to_end(built_index, ray_session, tmp_path):
         live[k] = ("d" * 40, content)
         seq += 1
 
-    # 4 deltas, 4 tombstones on 250 docs (< 10%): below default policy
-    lax = CompactionPolicy(max_deltas=8, tombstone_ratio=0.5,
-                           delta_bytes_ratio=10.0)
-    assert auto_compact(root, policy=lax) is None
+    # 4 deltas, churn 8/250: below a lax policy
+    lax = MergePolicy(max_deltas=8, max_churn_ratio=0.5,
+                      tombstone_ratio=0.5, delta_bytes_ratio=10.0)
+    assert maybe_compact(root, policy=lax) is None
     old_epoch = mf.load_manifest(root)["epoch"]
 
-    m2 = auto_compact(root, policy=CompactionPolicy(max_deltas=3))
+    m2 = maybe_compact(root, policy=MergePolicy(max_deltas=3))
     assert m2 is not None and "delta count" in m2["compact_reason"]
-    assert m2["epoch"] == f"{old_epoch}-c{seq - 1:08d}"
+    assert m2["epoch"] == f"{old_epoch}.c1"
     assert m2["deltas"] == []
     assert mf.load_manifest(root)["epoch"] == m2["epoch"]  # published
 
@@ -92,27 +99,8 @@ def test_auto_compact_end_to_end(built_index, ray_session, tmp_path):
     for terms in (["policy_marker"], ["def"], ["policypatched_2"]):
         assert s.search(terms, 10) == oi.search(terms, 10), terms
 
-    # a second auto_compact after more deltas derives a FRESH name
-    # (the -cNNNNNNNN suffix is replaced, not stacked)
-    k = sorted(live)[5]
-    for _ in range(3):
-        content = f"def again_{seq}():\n    return policy_marker\n"
-        apply_delta(_to_table(
-            [_event(seq, "UPDATE", k[0], k[1], "e" * 40, content)]), root)
-        live[k] = ("e" * 40, content)
-        seq += 1
-    m3 = auto_compact(root, policy=CompactionPolicy(max_deltas=2))
-    assert m3 is not None
-    assert m3["epoch"] == f"{old_epoch}-c{seq - 1:08d}"
-    oi2 = OracleIndex([(doc_id_of(r, p, c), content)
-                       for (r, p), (c, content) in live.items()])
-    s2 = Searcher(root)
-    assert s2.search(["policy_marker"], 10) == oi2.search(
-        ["policy_marker"], 10)
 
-
-def test_auto_compact_delta_bytes_trigger(built_index, ray_session,
-                                          tmp_path):
+def test_delta_bytes_trigger(built_index, ray_session, tmp_path):
     from mee_ray import manifest as mf
     from mee_ray.delta import apply_delta
 
@@ -124,6 +112,6 @@ def test_auto_compact_delta_bytes_trigger(built_index, ray_session,
                                   "f" * 40, big)]), root)
     m = mf.load_manifest(root)
     ok, reason = should_compact(
-        m, CompactionPolicy(max_deltas=99, tombstone_ratio=0.9,
-                            delta_bytes_ratio=0.0001))
+        m, MergePolicy(max_deltas=99, max_churn_ratio=9.0,
+                       tombstone_ratio=0.9, delta_bytes_ratio=0.0001))
     assert ok and "delta bytes" in reason

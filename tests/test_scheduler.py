@@ -27,15 +27,18 @@ def _delta(i, key, content):
 
 
 def test_policy_thresholds():
-    m = {"n_docs": 100, "deltas": []}
-    pol = MergePolicy(max_deltas=3, max_churn_ratio=0.5)
-    assert not should_compact(m, pol)
-    m["deltas"] = [{"n_added": 1, "n_deleted": 0}] * 2
-    assert not should_compact(m, pol)
-    m["deltas"] = [{"n_added": 1, "n_deleted": 0}] * 3  # count trigger
-    assert should_compact(m, pol)
-    m["deltas"] = [{"n_added": 30, "n_deleted": 25}]    # churn trigger
-    assert should_compact(m, pol)
+    m = {"n_docs": 100, "deltas": [], "segments": []}
+    pol = MergePolicy(max_deltas=3, max_churn_ratio=0.5,
+                      tombstone_ratio=0.5, delta_bytes_ratio=10.0)
+    assert not should_compact(m, pol)[0]
+    m["deltas"] = [{"n_added": 1, "n_deleted": 0, "segments": []}] * 2
+    assert not should_compact(m, pol)[0]
+    m["deltas"] = [{"n_added": 1, "n_deleted": 0,
+                    "segments": []}] * 3                # count trigger
+    assert should_compact(m, pol)[0]
+    m["deltas"] = [{"n_added": 30, "n_deleted": 25,
+                    "segments": []}]                    # churn trigger
+    assert should_compact(m, pol)[0]
 
 
 def test_epoch_lineage_names():
