@@ -215,6 +215,17 @@ def main(argv: list[str] | None = None) -> int:
                    help="with --terms: per-hit per-term score "
                         "breakdown (the ES _explain analog)")
 
+    sg = sub.add_parser("suggest", help="did-you-mean: term suggester "
+                        "(edit-1 dictionary neighbors, df-ranked) or "
+                        "phrase suggester (bigram-LM scored; needs "
+                        "store_positions)")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("--term", default=None,
+                    help="single-term suggestions")
+    sg.add_argument("--phrase", default=None,
+                    help="space-separated phrase to correct")
+    sg.add_argument("-n", type=int, default=5)
+
     an = sub.add_parser("analyze", help="tokenizer preview (the ES "
                                         "_analyze analog)")
     an.add_argument("--index", default=None,
@@ -558,6 +569,25 @@ def main(argv: list[str] | None = None) -> int:
                                                        args.drop)}))
         else:
             print(json.dumps(mf.load_aliases(args.index)))
+
+    elif args.cmd == "suggest":
+        from mee_ray.query import Searcher
+        if bool(args.term) == bool(args.phrase):
+            raise SystemExit("exactly one of --term/--phrase")
+        s = Searcher(args.index)
+        if args.term:
+            out = [{"term": t, "df": df}
+                   for df, t in s.suggest(args.term, n=args.n)]
+            print(json.dumps({"term": args.term, "suggestions": out}))
+        else:
+            try:
+                ranked = s.suggest_phrase(args.phrase.split(), n=args.n)
+            except ValueError as e:
+                raise SystemExit(str(e)) from None
+            out = [{"phrase": " ".join(ws), "score": sc}
+                   for sc, ws in ranked]
+            print(json.dumps({"phrase": args.phrase,
+                              "suggestions": out}))
 
     elif args.cmd == "analyze":
         if args.index:

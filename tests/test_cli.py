@@ -46,6 +46,18 @@ def test_cli_build_then_query(tmp_path):
               "--phrase")
     assert len(ph["hits"]) > 0    # 1-term phrase = docs containing it
 
+    # suggesters: term (edit-1 df-ranked) and phrase (bigram LM)
+    sg = _run("suggest", "--index", index, "--term", "retrn", "-n", "3")
+    assert any(x["term"] == "return" for x in sg["suggestions"])
+    sgp = _run("suggest", "--index", index, "--phrase", "def retrn",
+               "-n", "3")
+    assert sgp["suggestions"] and \
+        sgp["suggestions"][0]["phrase"].startswith("def ")
+    r_sg = subprocess.run(
+        [sys.executable, "-m", "mee_ray", "suggest", "--index", index],
+        capture_output=True, text=True, cwd=REPO)
+    assert r_sg.returncode != 0
+
     # filtered alias: restricted plain search; non-plain forms refuse
     fa = _run("alias", "--index", index, "--set", "pycli",
               "--to", "ep1", "--filter", "lang=python")
