@@ -313,6 +313,11 @@ def main(argv: list[str] | None = None) -> int:
     fs.add_argument("--epoch", default=None)
     fs.add_argument("--no-hashes", action="store_true",
                     help="skip sha256 verification (existence+size only)")
+    fs.add_argument("--repair", action="store_true",
+                    help="after checking: delete tmp/orphan debris and "
+                         "rebuild missing lineage sidecars (never "
+                         "touches referenced files, docs tables, or "
+                         "manifest-less epoch dirs)")
 
     sy = sub.add_parser("sync", help="the reference's end-to-end loop "
                                      "as one command: table change → "
@@ -710,6 +715,8 @@ def main(argv: list[str] | None = None) -> int:
         from mee_ray import manifest as mf
         report = mf.fsck(args.index, args.epoch,
                          verify_hashes=not args.no_hashes)
+        if args.repair:
+            report["repair"] = mf.fsck_repair(args.index)
         print(json.dumps(report))
         return 0 if report["ok"] else 1
 

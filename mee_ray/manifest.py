@@ -651,6 +651,98 @@ def fsck(index_root: str, epoch: str | None = None,
             "n_deltas": len(m.get("deltas", [])), "errors": errors}
 
 
+# Filenames that are legitimate epoch-dir members without appearing in
+# any manifest file list.
+_EPOCH_HOUSEKEEPING = {"manifest.json", "_state.json", "metrics.json",
+                       "key_seqs.parquet", "_compact_src.json",
+                       "_reindex_src.json"}
+
+
+def fsck_repair(index_root: str) -> dict:
+    """Conservative debris repair across every MANIFESTED epoch:
+
+    * delete ``*.tmp.*`` leftovers of crashed atomic writes;
+    * delete parquet files under ``segments/`` / ``deltas/*/``
+      directories that NO manifest in the root references (catch-up
+      carries delta records across epochs, so references are gathered
+      from ALL manifests, never just the owner's);
+    * rebuild missing ``*.lineage.json`` sidecars from the manifest's
+      own segment records (path/sha256/bytes live there).
+
+    Never touches: epoch dirs WITHOUT a manifest (a resumable crashed
+    build — ``gc_epochs`` territory, and only when unpublished and
+    unaliased), the ``docs/`` tables (directory-globbed, so every file
+    is live by construction), or any file a manifest references.
+    Missing/corrupt segments are NOT repairable here — re-run the
+    build/compact that produced them."""
+    import glob
+    import json as _json
+
+    eroot = os.path.join(index_root, "epochs")
+    if not os.path.isdir(eroot):
+        return {"removed": [], "sidecars_rebuilt": [], "skipped_epochs": []}
+    manifested: dict[str, dict] = {}
+    skipped: list[str] = []
+    for name in sorted(os.listdir(eroot)):
+        if os.path.isfile(manifest_path(index_root, name)):
+            manifested[name] = load_manifest(index_root, name)
+        else:
+            skipped.append(name)
+
+    referenced: set[str] = set()
+    for m in manifested.values():
+        for s in m.get("segments", []):
+            referenced.add(os.path.realpath(s["path"]))
+        for d in m.get("deltas", []):
+            for p in ([d.get("tombstones"), d.get("added_docs"),
+                       d.get("key_seqs")] + list(d.get("segments", []))):
+                if p:
+                    referenced.add(os.path.realpath(p))
+
+    removed: list[str] = []
+    rebuilt: list[str] = []
+    for name, m in manifested.items():
+        edir = epoch_dir(index_root, name)
+        for path in glob.glob(os.path.join(edir, "**"), recursive=True):
+            if not os.path.isfile(path):
+                continue
+            base = os.path.basename(path)
+            rel = os.path.relpath(path, edir)
+            if ".tmp." in base:
+                os.remove(path)
+                removed.append(path)
+                continue
+            top = rel.split(os.sep, 1)[0]
+            if top in ("docs", "docs_tok") or base in _EPOCH_HOUSEKEEPING:
+                continue
+            if base.endswith(".lineage.json"):
+                # orphan sidecar of a removed segment is debris too
+                if os.path.realpath(path[:-len(".lineage.json")]) \
+                        not in referenced:
+                    os.remove(path)
+                    removed.append(path)
+                continue
+            if top in ("segments", "deltas") \
+                    and os.path.realpath(path) not in referenced:
+                os.remove(path)
+                removed.append(path)
+        for s in m.get("segments", []):
+            sc = s["path"] + ".lineage.json"
+            if os.path.exists(s["path"]) and not os.path.exists(sc):
+                lin = {"part": s.get("part"), "n_terms": s.get("n_terms"),
+                       "n_postings": s.get("n_postings"),
+                       "bytes": s.get("bytes"), "path": s["path"],
+                       "sha256": s.get("sha256"), "resumed": True,
+                       "hint_avgdl": float(s.get("hint_avgdl") or 0.0)}
+                tmp = sc + f".tmp.{os.getpid()}"
+                with open(tmp, "w") as f:
+                    _json.dump(lin, f)
+                os.replace(tmp, sc)
+                rebuilt.append(sc)
+    return {"removed": sorted(removed), "sidecars_rebuilt": sorted(rebuilt),
+            "skipped_epochs": skipped}
+
+
 def live_totals(manifest: dict) -> tuple[int, int]:
     """(N_live, total_live_tokens) after applying the delta log to
     base stats — the exact integers behind :func:`live_stats`.

@@ -115,3 +115,54 @@ def test_delta_bytes_trigger(built_index, ray_session, tmp_path):
         m, MergePolicy(max_deltas=99, max_churn_ratio=9.0,
                        tombstone_ratio=0.9, delta_bytes_ratio=0.0001))
     assert ok and "delta bytes" in reason
+
+
+def test_fsck_repair_debris(built_index, ray_session, tmp_path):
+    """fsck_repair removes tmp leftovers and unreferenced segment
+    files, rebuilds missing lineage sidecars, and leaves every
+    referenced file, docs table, and manifest-less epoch dir alone —
+    queries unchanged after repair."""
+    import json
+    import os
+
+    from mee_ray import manifest as mf
+    from mee_ray.query import Searcher
+
+    root = str(tmp_path / "index")
+    shutil.copytree(built_index["index_root"], root)
+    edir = mf.epoch_dir(root, "ep1")
+
+    # plant debris: a tmp leftover, an orphan segment + its sidecar,
+    # and delete one real lineage sidecar
+    tmp_f = os.path.join(edir, "segments", "part-00000.parquet.tmp.999")
+    open(tmp_f, "wb").write(b"junk")
+    orphan = os.path.join(edir, "segments", "part-99999.parquet")
+    open(orphan, "wb").write(b"junk")
+    open(orphan + ".lineage.json", "w").write("{}")
+    m = mf.load_manifest(root)
+    real_seg = m["segments"][0]["path"]
+    os.remove(real_seg + ".lineage.json")
+    # a manifest-less epoch dir (crashed build) must be untouched
+    half = mf.epoch_dir(root, "half_built")
+    os.makedirs(os.path.join(half, "segments"))
+    keepme = os.path.join(half, "segments", "part-00000.parquet")
+    open(keepme, "wb").write(b"resumable")
+
+    before = Searcher(root).search(["def"], 10)
+    rep = mf.fsck_repair(root)
+    assert tmp_f in rep["removed"]
+    assert orphan in rep["removed"]
+    assert orphan + ".lineage.json" in rep["removed"]
+    assert real_seg + ".lineage.json" in rep["sidecars_rebuilt"]
+    assert "half_built" in rep["skipped_epochs"]
+    assert os.path.exists(keepme)          # resumable build untouched
+    assert os.path.exists(real_seg)        # referenced file untouched
+    with open(real_seg + ".lineage.json") as f:
+        lin = json.load(f)
+    assert lin["sha256"] == m["segments"][0]["sha256"]
+    assert Searcher(root).search(["def"], 10) == before
+    # idempotent: second pass finds nothing
+    rep2 = mf.fsck_repair(root)
+    assert rep2["removed"] == [] and rep2["sidecars_rebuilt"] == []
+    # full fsck still green
+    assert mf.fsck(root)["ok"]
