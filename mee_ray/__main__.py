@@ -307,6 +307,12 @@ def main(argv: list[str] | None = None) -> int:
                          "alias restrict to matching live docs)")
     al.add_argument("--drop", default=None, help="alias name to remove")
 
+    stt = sub.add_parser("status", help="one-page summary of an index "
+                         "root: CURRENT epoch, aliases, per-epoch "
+                         "docs/segments/delta debt + bytes, and the "
+                         "merge policy's verdict")
+    stt.add_argument("--index", required=True)
+
     fs = sub.add_parser("fsck", help="verify segment/delta files "
                                      "against the manifest lineage")
     fs.add_argument("--index", required=True)
@@ -710,6 +716,47 @@ def main(argv: list[str] | None = None) -> int:
         from mee_ray import manifest as mf
         removed = mf.gc_epochs(args.index)
         print(json.dumps({"removed_epochs": removed}))
+
+    elif args.cmd == "status":
+        import os as _os
+
+        from mee_ray import manifest as _mf
+        from mee_ray.scheduler import MergePolicy, should_compact
+
+        cur = _mf.current_epoch(args.index)
+        epochs = {}
+        eroot = _os.path.join(args.index, "epochs")
+        names = (sorted(_os.listdir(eroot))
+                 if _os.path.isdir(eroot) else [])
+        for name in names:
+            if not _os.path.isfile(_mf.manifest_path(args.index, name)):
+                epochs[name] = {"state": "no manifest (crashed or "
+                                         "in-progress build)"}
+                continue
+            m = _mf.load_manifest(args.index, name)
+            n_live, avgdl = _mf.live_stats(m)
+            seg_b = sum(int(s.get("bytes", 0))
+                        for s in m.get("segments", []))
+            epochs[name] = {
+                "n_docs_live": n_live,
+                "avgdl": round(avgdl, 3),
+                "segments": len(m.get("segments", [])),
+                "segment_bytes": seg_b,
+                "deltas": len(m.get("deltas", [])),
+                "tombstones": sum(int(d.get("n_deleted", 0))
+                                  for d in m.get("deltas", [])),
+                "event_watermark": m.get("event_watermark", 0),
+                "store_positions": bool(m.get("store_positions")),
+                "store_source": bool(m.get("store_source")),
+            }
+        out = {"current": cur, "aliases": _mf.load_aliases(args.index),
+               "epochs": epochs}
+        if cur and "n_docs_live" in epochs.get(cur, {}):
+            dec, reason = should_compact(
+                _mf.load_manifest(args.index), MergePolicy())
+            out["compact_advised"] = dec
+            out["compact_reason"] = reason
+        print(json.dumps(out))
 
     elif args.cmd == "fsck":
         from mee_ray import manifest as mf

@@ -1890,6 +1890,9 @@ class DistributedSearcher:
                 return self.searcher.search_span_not(include, exclude,
                                                      dist, k)
 
+            def explain(self, terms, doc_id):
+                return self.searcher.explain(terms, doc_id)
+
             def local_topm(self, terms, m):
                 """(exact local top-m partial ranking, bound): the
                 m-th best partial bounds every unreturned doc's
@@ -2354,6 +2357,23 @@ class DistributedSearcher:
         (a,) = by_actor
         return ray.get(
             self.actors[a].search_span_first.remote(term, end, k))
+
+    def explain(self, terms: list[str], doc_id: int
+                ) -> dict[str, dict[str, float]]:
+        """Distributed _explain: each term's breakdown is computed by
+        its OWNING actor (shard-subset searchers return entries only
+        for owned terms, so the per-actor dicts are disjoint) and the
+        driver merges — identical to the local Searcher.explain."""
+        import ray
+        uterms = sorted(set(terms))
+        if not uterms:
+            return {}
+        futs = [self.actors[a].explain.remote(ts, doc_id)
+                for a, ts in self._terms_by_actor(uterms).items()]
+        out: dict[str, dict[str, float]] = {}
+        for d in ray.get(futs):
+            out.update(d)
+        return out
 
     def search_span_not(self, include: str, exclude: str,
                         dist: int = 1, k: int = 10
