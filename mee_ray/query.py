@@ -881,23 +881,8 @@ class Searcher:
         p, w2 at p+1, summed over live docs) — the bigram count of the
         phrase-suggester LM.  Composite-key intersection per common
         doc, fully vectorized.  Requires store_positions."""
-        a = _sort_runs(*self.term_doc_positions(w1))
-        b = _sort_runs(*self.term_doc_positions(w2))
-        if not a[0].size or not b[0].size:
-            return 0
-        common, ia, ib = np.intersect1d(a[0], b[0],
-                                        return_indices=True)
-        if not common.size:
-            return 0
-        B = np.int64(1) << np.int64(32)
-        rank = np.arange(common.size, dtype=np.int64)
-        ta = _runs_take(a[1], ia)
-        tb = _runs_take(b[1], ib)
-        ca = a[1][ia + 1] - a[1][ia]
-        cb = b[1][ib + 1] - b[1][ib]
-        k1 = np.repeat(rank, ca) * B + (a[2][ta] + 1)
-        k2 = np.repeat(rank, cb) * B + b[2][tb]
-        return int(np.intersect1d(k1, k2).size)
+        return _bigram_count_runs(self.term_doc_positions(w1),
+                                  self.term_doc_positions(w2))
 
     def suggest_phrase(self, terms: list[str], n: int = 3,
                        max_candidates: int = 5, backoff: float = 0.4
@@ -915,9 +900,6 @@ class Searcher:
         with T the live token total.  Scores are rounded to 10
         decimals (the libm-vs-DuckDB ln ULP, see bm25_explain) and
         ranked (score desc, phrase asc).  Requires store_positions."""
-        import itertools
-        import math
-
         if not terms or n <= 0:
             return []
         if not self.manifest.get("store_positions"):
@@ -945,18 +927,7 @@ class Searcher:
                 for w2 in slots[i + 1]:
                     if (w1, w2) not in bi:
                         bi[(w1, w2)] = self.bigram_count(w1, w2)
-        scored = []
-        for combo in itertools.product(*slots):
-            sc = math.log(uni[combo[0]] / total)
-            for w1, w2 in zip(combo, combo[1:]):
-                cb = bi[(w1, w2)]
-                if cb > 0:
-                    sc += math.log(cb / uni[w1])
-                else:
-                    sc += math.log(backoff * uni[w2] / total)
-            scored.append((round(sc, 10), list(combo)))
-        scored.sort(key=lambda x: (-x[0], x[1]))
-        return scored[:n]
+        return _lm_score_slots(slots, uni, bi, total, n, backoff)
 
     def count(self, terms: list[str], operator: str = "or") -> int:
         """Match count without scoring (the ES ``_count`` API): number
@@ -1578,6 +1549,54 @@ def _runs_take(offsets: np.ndarray, runs: np.ndarray) -> np.ndarray:
     return first + within
 
 
+def _bigram_count_runs(a: tuple, b: tuple) -> int:
+    """Adjacency count core shared by the local and distributed
+    phrase suggesters: given two (doc_ids, offsets, flat ascending
+    positions) triples, the number of (doc, p) with the first term at
+    p and the second at p+1 — composite rank·2³²+pos key intersection
+    per common doc, fully vectorized."""
+    a = _sort_runs(*a)
+    b = _sort_runs(*b)
+    if not a[0].size or not b[0].size:
+        return 0
+    common, ia, ib = np.intersect1d(a[0], b[0], return_indices=True)
+    if not common.size:
+        return 0
+    B = np.int64(1) << np.int64(32)
+    rank = np.arange(common.size, dtype=np.int64)
+    ta = _runs_take(a[1], ia)
+    tb = _runs_take(b[1], ib)
+    ca = a[1][ia + 1] - a[1][ia]
+    cb = b[1][ib + 1] - b[1][ib]
+    k1 = np.repeat(rank, ca) * B + (a[2][ta] + 1)
+    k2 = np.repeat(rank, cb) * B + b[2][tb]
+    return int(np.intersect1d(k1, k2).size)
+
+
+def _lm_score_slots(slots: list[list[str]], uni: dict, bi: dict,
+                    total: int, n: int, backoff: float
+                    ) -> list[tuple[float, list[str]]]:
+    """Stupid-backoff bigram LM scoring over candidate slots — ONE
+    implementation shared by Searcher.suggest_phrase and
+    DistributedSearcher.suggest_phrase so the two can never diverge
+    (counts are integers, so equal inputs give bit-equal scores)."""
+    import itertools
+    import math
+
+    scored = []
+    for combo in itertools.product(*slots):
+        sc = math.log(uni[combo[0]] / total)
+        for w1, w2 in zip(combo, combo[1:]):
+            cb = bi[(w1, w2)]
+            if cb > 0:
+                sc += math.log(cb / uni[w1])
+            else:
+                sc += math.log(backoff * uni[w2] / total)
+        scored.append((round(sc, 10), list(combo)))
+    scored.sort(key=lambda x: (-x[0], x[1]))
+    return scored[:n]
+
+
 def _sort_runs(ids: np.ndarray, off: np.ndarray, pos: np.ndarray):
     """Permute an offsets-encoded ragged array so its runs are in
     ascending doc_id order (no-op when already sorted)."""
@@ -1893,6 +1912,10 @@ class DistributedSearcher:
             def explain(self, terms, doc_id):
                 return self.searcher.explain(terms, doc_id)
 
+            def term_total_tfs(self, terms):
+                return {t: self.searcher.term_total_tf(t)
+                        for t in terms}
+
             def local_topm(self, terms, m):
                 """(exact local top-m partial ranking, bound): the
                 m-th best partial bounds every unreturned doc's
@@ -2170,6 +2193,80 @@ class DistributedSearcher:
                      if max_edits == 1 else None)
                  if t != term]
         return self._ranked_by_df(cands, n)
+
+    def suggest_phrase(self, terms: list[str], n: int = 3,
+                       max_candidates: int = 5, backoff: float = 0.4
+                       ) -> list[tuple[float, list[str]]]:
+        """Distributed phrase suggester — identical results to
+        :meth:`Searcher.suggest_phrase` (shared scoring core; counts
+        are integers, so scores are bit-equal).  Exchange shape: slot
+        candidates from the pooled vocabulary + ONE df fan-out; ONE
+        unigram-count fan-out; per bigram pair, doc-id sets then
+        positions restricted to the pair's common docs ship from each
+        term's owning actor — transfer bounded by candidate dfs."""
+        import ray
+        if not terms or n <= 0:
+            return []
+        if not self.manifest.get("store_positions"):
+            raise ValueError("suggest_phrase needs store_positions="
+                             "True (bigram counts are positional)")
+        slots: list[list[str]] = []
+        for t in terms:
+            cands = list(self.suggest(t, n=max_candidates))
+            self_df = self._dfs_of([t]).get(t, 0)
+            if self_df > 0:
+                cands.append((self_df, t))
+            ranked = sorted(cands, key=lambda x: (-x[0], x[1]))
+            slots.append([w for _, w in ranked[:max_candidates]])
+            if not slots[-1]:
+                return []
+        total = self.manifest["total_tokens"]
+        for d in self.manifest.get("deltas", []):
+            total += d["sum_dl_added"] - d["sum_dl_deleted"]
+        words = sorted({w for s_ in slots for w in s_})
+        uni: dict[str, int] = {}
+        for d in ray.get([self.actors[a].term_total_tfs.remote(ts)
+                          for a, ts in
+                          self._terms_by_actor(words).items()]):
+            uni.update(d)
+        # doc-id sets once per word, then per-pair common-restricted
+        # positions from each owner
+        ids: dict[str, np.ndarray] = {}
+        for d in ray.get([self.actors[a].term_doc_ids.remote(ts)
+                          for a, ts in
+                          self._terms_by_actor(words).items()]):
+            ids.update(d)
+        pairs = sorted({(w1, w2)
+                        for i in range(len(slots) - 1)
+                        for w1 in slots[i] for w2 in slots[i + 1]})
+        owner = {w: self.assign[term_hash(w) % self.num_shards]
+                 for w in words}
+        bi: dict[tuple[str, str], int] = {}
+        pend = []
+        for w1, w2 in pairs:
+            common = np.intersect1d(np.unique(ids[w1]),
+                                    np.unique(ids[w2]))
+            if not common.size:
+                bi[(w1, w2)] = 0
+                continue
+            f1 = self.actors[owner[w1]].term_doc_positions.remote(
+                [w1], common)
+            f2 = self.actors[owner[w2]].term_doc_positions.remote(
+                [w2], common)
+            pend.append(((w1, w2), f1, f2))
+        for (w1, w2), f1, f2 in pend:
+            p1, p2 = ray.get([f1, f2])
+            bi[(w1, w2)] = _bigram_count_runs(p1[w1], p2[w2])
+        return _lm_score_slots(slots, uni, bi, total, n, backoff)
+
+    def _dfs_of(self, terms: list[str]) -> dict[str, int]:
+        import ray
+        out: dict[str, int] = {}
+        for d in ray.get([self.actors[a].term_dfs.remote(ts)
+                          for a, ts in
+                          self._terms_by_actor(terms).items()]):
+            out.update(d)
+        return out
 
     def _ranked_by_df(self, cands: list[str], n: int
                       ) -> list[tuple[int, str]]:

@@ -711,3 +711,27 @@ def test_span_not_distributed_equals_local(pos_index):
         assert checked > 8
     finally:
         ds.shutdown()
+
+
+def test_suggest_phrase_distributed_equals_local(pos_index):
+    from mee_ray.config import TokenizerConfig
+    from mee_ray.query import DistributedSearcher, Searcher
+    from mee_ray.tokenizer import Tokenizer
+
+    s = Searcher(pos_index["root"])
+    ds = DistributedSearcher(pos_index["root"], n_actors=3)
+    tok = Tokenizer(TokenizerConfig())
+    seqs = [tok.terms(c) for _, c in pos_index["docs"][:10]]
+    probes = [[seqs[0][3] + "x", seqs[0][4]],
+              [seqs[1][5][:-1] or "de", seqs[1][6]],
+              [seqs[2][3], seqs[2][4]],
+              ["zzzqq", seqs[0][3]]]
+    try:
+        checked = 0
+        for terms in probes:
+            assert ds.suggest_phrase(terms, n=3) == \
+                s.suggest_phrase(terms, n=3), terms
+            checked += 1
+        assert checked == len(probes)
+    finally:
+        ds.shutdown()
