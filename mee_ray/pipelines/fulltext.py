@@ -2882,6 +2882,78 @@ WHERE rank <= {TOP_K}
 """
 
 
+# Named term-filters for the adjacency-matrix aggregation.
+ADJACENCY_FILTERS: list[tuple[str, str]] = [
+    ("merges", "merge"),
+    ("joins", "join"),
+    ("scans", "scan"),
+    ("windows", "window"),
+    ("never", "zzz_never_matches"),
+]
+
+
+def adjacency_matrix_documents(sf_dir: str) -> pa.Table:
+    """Adjacency-matrix aggregation (the ES ``adjacency_matrix``):
+    document counts for every named term-filter and every pairwise
+    intersection (a&&b, a < b), empty buckets dropped like ES.  The
+    matched-id set per filter comes straight from the index (one
+    posting read per filter term — the docs table is never scanned);
+    intersections are sorted-array intersects on the driver, bounded
+    by the filters' dfs."""
+    import numpy as np
+
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    sets = {name: s.matched_doc_ids([term])
+            for name, term in ADJACENCY_FILTERS}
+    keys, counts = [], []
+    for name, _ in ADJACENCY_FILTERS:
+        n = int(sets[name].size)
+        if n:
+            keys.append(name)
+            counts.append(n)
+    names = [n for n, _ in ADJACENCY_FILTERS]
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            n = int(np.intersect1d(sets[a], sets[b]).size)
+            if n:
+                keys.append(f"{a}&&{b}")
+                counts.append(n)
+    return pa.table({"key": pa.array(keys, pa.string()),
+                     "doc_count": pa.array(counts, pa.int64())})
+
+
+def _adjacency_matrix_sql() -> str:
+    flt = ", ".join(f"('{name}', '{term}')"
+                    for name, term in ADJACENCY_FILTERS)
+    # pair keys follow the FILTER LIST order (a before b), like the
+    # engine — built by joining each filter to the ones after it
+    order = ", ".join(f"('{name}', {i})"
+                      for i, (name, _) in enumerate(ADJACENCY_FILTERS))
+    return f"""
+{_base_ctes()},
+flt(name, term) AS (VALUES {flt}),
+ord(name, pos) AS (VALUES {order}),
+matched AS (
+  SELECT DISTINCT flt.name, tok.doc_id
+  FROM flt JOIN tok ON tok.term = flt.term),
+singles AS (
+  SELECT name AS key, count(*) AS doc_count
+  FROM matched GROUP BY name),
+pairs AS (
+  SELECT a.name || '&&' || b.name AS key, count(*) AS doc_count
+  FROM matched a
+  JOIN ord oa ON oa.name = a.name
+  JOIN matched b ON b.doc_id = a.doc_id
+  JOIN ord ob ON ob.name = b.name AND ob.pos > oa.pos
+  GROUP BY a.name, b.name)
+SELECT key, CAST(doc_count AS BIGINT) AS doc_count
+FROM (SELECT * FROM singles UNION ALL SELECT * FROM pairs)
+ORDER BY key
+"""
+
+
 # Stored PHRASE queries for the phrase percolator: real corpus
 # bigrams/trigrams plus a never-matching control.
 PHRASE_PERCOLATE_QUERIES: list[tuple[int, list[str]]] = [
@@ -3359,6 +3431,7 @@ QUERIES = {
     "bm25_explain_documents": bm25_explain_documents,
     "phrase_suggest_documents": phrase_suggest_documents,
     "percolate_phrase_documents": percolate_phrase_documents,
+    "adjacency_matrix_documents": adjacency_matrix_documents,
     "percolate_documents": percolate_documents,
     "term_suggest_documents": term_suggest_documents,
     "bm25_sort_by_field": bm25_sort_by_field,
@@ -3411,6 +3484,7 @@ ORACLE = {
     "bm25_explain_documents": _bm25_explain_sql(),
     "phrase_suggest_documents": _phrase_suggest_sql(),
     "percolate_phrase_documents": _percolate_phrase_sql(),
+    "adjacency_matrix_documents": _adjacency_matrix_sql(),
     "percolate_documents": _percolate_sql(),
     "term_suggest_documents": _term_suggest_sql(),
     "bm25_sort_by_field": _bm25_sort_sql(),

@@ -100,7 +100,7 @@ SQL_CHECKED = [
     "q20_excess_suppliers", "ngram_jaccard_adjacent",
     "bm25_span_not_documents", "bm25_explain_documents",
     "phrase_suggest_documents", "percolate_phrase_documents",
-    "matrix_stats_lineitem",
+    "matrix_stats_lineitem", "adjacency_matrix_documents",
 ]
 
 
