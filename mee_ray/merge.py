@@ -277,27 +277,37 @@ def _compact_locked(index_root: str, new_epoch: str,
             _sh.copyfile(f, tmp)
             os.replace(tmp, dst)
     else:
-        docs_ds = ray.data.read_parquet(
-            base_doc_files, columns=docs_cols
-        ).map_batches(drop_dead(0), batch_format="pyarrow"
-                      ).map_batches(with_event_seq(base_floor),
-                                    batch_format="pyarrow")
+        # an epoch can legitimately have NO base docs files (a prior
+        # compaction after delete-everything stages an empty dataset →
+        # zero parquet files) — start from the delta sources alone
+        # rather than handing read_parquet an empty path list
+        docs_ds = None
+        if base_doc_files:
+            docs_ds = ray.data.read_parquet(
+                base_doc_files, columns=docs_cols
+            ).map_batches(drop_dead(0), batch_format="pyarrow"
+                          ).map_batches(with_event_seq(base_floor),
+                                        batch_format="pyarrow")
         for f, seq in delta_doc_files:
             d = next(x for x in manifest.get("deltas", [])
                      if x.get("added_docs") == f)
             legacy_default = int(d.get("max_event_seq") or 0)
-            docs_ds = docs_ds.union(
-                ray.data.read_parquet([f], columns=read_docs_cols(f))
-                .map_batches(drop_dead(seq), batch_format="pyarrow")
-                .map_batches(with_event_seq(legacy_default),
-                             batch_format="pyarrow"))
+            part = (ray.data.read_parquet([f], columns=read_docs_cols(f))
+                    .map_batches(drop_dead(seq), batch_format="pyarrow")
+                    .map_batches(with_event_seq(legacy_default),
+                                 batch_format="pyarrow"))
+            docs_ds = part if docs_ds is None else docs_ds.union(part)
         # staged write: Ray names output files randomly, so a retry
         # after a mid-write crash would APPEND to the leftovers and
         # duplicate rows — write to a temp dir and rename atomically
-        from mee_ray.build import _staged_write
         import shutil as _sh
+
+        from mee_ray.build import _staged_write
         _sh.rmtree(new_docs, ignore_errors=True)
-        _staged_write(docs_ds, new_docs)
+        if docs_ds is None:
+            os.makedirs(new_docs, exist_ok=True)   # empty docs table
+        else:
+            _staged_write(docs_ds, new_docs)
 
     # --- per-key LWW memory: fold the delta log's key-seq files -------
     # (applied DELETEs + no-op upsert bumps) plus the old epoch-level
