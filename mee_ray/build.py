@@ -846,8 +846,12 @@ def reindex(index_root: str, new_epoch: str,
         return fn
 
     base_files = list(mf.docs_files(index_root, manifest["epoch"]))
-    ds = ray.data.read_parquet(base_files, columns=cols).map_batches(
-        live_corpus_rows(0), batch_format="pyarrow")
+    # the base docs table can be EMPTY (a delete-everything compaction
+    # stages zero files) — start from the delta sources alone
+    ds = None
+    if base_files:
+        ds = ray.data.read_parquet(base_files, columns=cols).map_batches(
+            live_corpus_rows(0), batch_format="pyarrow")
     for d in manifest.get("deltas", []):
         f = d.get("added_docs")
         if not f:
@@ -856,9 +860,12 @@ def reindex(index_root: str, new_epoch: str,
             raise ValueError(
                 f"delta {d['seq']} added-docs file lacks content — "
                 "it predates store_source; compact first")
-        ds = ds.union(
-            ray.data.read_parquet([f], columns=cols).map_batches(
-                live_corpus_rows(d["seq"]), batch_format="pyarrow"))
+        part = ray.data.read_parquet([f], columns=cols).map_batches(
+            live_corpus_rows(d["seq"]), batch_format="pyarrow")
+        ds = part if ds is None else ds.union(part)
+    if ds is None:                # fully-deleted index: empty rebuild
+        ds = ray.data.from_arrow(pa.table(
+            {c: pa.array([], pa.string()) for c in cols[1:]}))
     out = build_index(ds, index_root, new_epoch, cfg,
                       auto_publish=False,
                       snapshot_watermark=watermark,

@@ -243,3 +243,47 @@ def test_update_by_query_refuses_sourceless(built_index, ray_session,
     shutil.copytree(built_index["index_root"], root)
     with pytest.raises(ValueError, match="store_source"):
         update_by_query(root, ["def"], lambda c: c.upper())
+
+
+def test_reindex_after_delete_everything(src_index, ray_session,
+                                         tmp_path):
+    """delete_by_query wiping every doc, compact (empty base docs
+    table), one fresh INSERT, then reindex — the delta-only corpus
+    path."""
+    import shutil
+
+    from mee_ray.delta import apply_delta, delete_by_query
+    from mee_ray.merge import compact
+    from mee_ray.query import Searcher
+
+    root = str(tmp_path / "index")
+    shutil.copytree(src_index["root"], root)
+    # a token every generated doc contains: pick from one doc and
+    # delete repeatedly until nothing is live
+    s = Searcher(root)
+    guard = 0
+    while s.n_docs > 0 and guard < 50:
+        vocab = [t for t in s.vocabulary() if s.term_df(t) > 0]
+        delete_by_query(root, vocab[: max(1, len(vocab) // 2)] or vocab)
+        s = Searcher(root)
+        guard += 1
+    assert s.n_docs == 0
+    compact(root, "empty_epoch")                # stages ZERO docs files
+    assert Searcher(root).n_docs == 0
+
+    from mee_ray import manifest as mf
+    start = mf.next_event_seq(root)
+    apply_delta(pa.table({
+        "seq": pa.array([start], pa.int64()),
+        "type": pa.array(["INSERT"]),
+        "repo": pa.array(["org_e/r"]), "path": pa.array(["src/only.py"]),
+        "commit": pa.array(["9" * 40]), "lang": pa.array(["python"]),
+        "content": pa.array(["def onlyDoc():\n    return only_marker\n"]),
+    }), root)
+    m2 = reindex(root, "re_empty")              # delta-only corpus
+    assert m2["n_docs"] == 1
+    s2 = Searcher(root)
+    got = s2.search(["only_marker"], 5)
+    assert len(got) == 1
+    assert s2.get_doc("org_e/r", "src/only.py")["content"].startswith(
+        "def onlyDoc")
