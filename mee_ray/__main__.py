@@ -398,11 +398,17 @@ def main(argv: list[str] | None = None) -> int:
     vc.add_argument("--epoch", required=True)
 
     args = p.parse_args(argv)
-    # delta/compact: no --config → derive from the index manifest
+    # lifecycle commands: no --config → derive from the index manifest
+    # (a default EngineConfig here would silently disagree with the
+    # index's pinned routing/scoring parameters — reindex would drop
+    # store_source, the others would refuse on the pin check)
     cfg = _engine_config(args.config,
                          default_none=args.cmd in ("delta", "compact",
                                                    "sync",
-                                                   "delete-by-query"))
+                                                   "delete-by-query",
+                                                   "update-by-query",
+                                                   "reindex",
+                                                   "auto-compact"))
 
     if args.cmd == "build":
         _init_ray(args.num_cpus)
@@ -542,6 +548,12 @@ def main(argv: list[str] | None = None) -> int:
                 raise SystemExit("federated (multi-root) --index "
                                  "supports only plain --terms search "
                                  "and --count")
+            if args.epoch:
+                # FederatedSearcher reads each root's CURRENT; a
+                # single --epoch name is ambiguous across roots and a
+                # FILTERED alias would be silently ignored — refuse
+                raise SystemExit("--epoch does not combine with "
+                                 "federated (multi-root) --index")
             from mee_ray.query import FederatedSearcher
             out = run(FederatedSearcher(roots), False)
         elif args.actors > 0:
@@ -828,6 +840,13 @@ def main(argv: list[str] | None = None) -> int:
         import ray.data
 
         from mee_ray import manifest as _mf
+        if args.epoch and _mf.alias_filter(args.index, args.epoch):
+            # row-level output through a FILTERED alias must honor the
+            # filter or refuse — export doesn't implement it, so refuse
+            raise SystemExit(
+                f"--epoch {args.epoch!r} is a FILTERED alias; export "
+                "would silently ignore its filter — export the target "
+                "epoch directly or drop the filter")
         man = _mf.load_manifest(args.index, args.epoch)
         if man.get("deltas"):
             raise SystemExit(

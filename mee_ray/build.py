@@ -845,23 +845,23 @@ def reindex(index_root: str, new_epoch: str,
             return batch.drop_columns(["doc_id"])
         return fn
 
-    base_files = list(mf.docs_files(index_root, manifest["epoch"]))
+    srcs = mf.docs_sources(index_root, manifest, missing="raise")
+    base_files = [f for f, s in srcs if s == 0]
     # the base docs table can be EMPTY (a delete-everything compaction
     # stages zero files) — start from the delta sources alone
     ds = None
     if base_files:
         ds = ray.data.read_parquet(base_files, columns=cols).map_batches(
             live_corpus_rows(0), batch_format="pyarrow")
-    for d in manifest.get("deltas", []):
-        f = d.get("added_docs")
-        if not f:
+    for f, seq in srcs:
+        if seq == 0:
             continue
         if "content" not in pq.read_schema(f).names:
             raise ValueError(
-                f"delta {d['seq']} added-docs file lacks content — "
+                f"delta {seq} added-docs file lacks content — "
                 "it predates store_source; compact first")
         part = ray.data.read_parquet([f], columns=cols).map_batches(
-            live_corpus_rows(d["seq"]), batch_format="pyarrow")
+            live_corpus_rows(seq), batch_format="pyarrow")
         ds = part if ds is None else ds.union(part)
     if ds is None:                # fully-deleted index: empty rebuild
         ds = ray.data.from_arrow(pa.table(
@@ -872,18 +872,27 @@ def reindex(index_root: str, new_epoch: str,
                       carry_catchup=False)
     if not auto_publish:
         return out
-    # locked publish: a delta that landed on the predecessor DURING
-    # the rebuild is NOT in the snapshot and cannot be segment-carried
-    # under a changed config — refuse and instruct a re-run (which
-    # folds it into a fresh snapshot)
+    # locked publish: ANY divergence of CURRENT from the snapshot this
+    # rebuild read — new deltas on the source epoch, OR a concurrent
+    # compaction/rebuild having published a successor epoch (possibly
+    # itself carrying deltas) — means the rebuilt index is stale and
+    # publishing it would silently lose those writes.  Refuse and
+    # instruct a re-run, which folds the new state into a fresh
+    # snapshot.  (A re-run that finds CURRENT == new_epoch is an
+    # idempotent retry of a crashed publish — done.)
     with mf.write_lock(index_root):
         cur = mf.load_manifest(index_root)
-        if (cur["epoch"] == src_epoch
-                and [d["seq"] for d in cur.get("deltas", [])]
+        if cur["epoch"] == new_epoch:
+            return cur
+        if (cur["epoch"] != src_epoch
+                or [d["seq"] for d in cur.get("deltas", [])]
                 != src_deltas):
             raise RuntimeError(
-                f"deltas landed on epoch {src_epoch} during the "
-                "reindex — re-run reindex to fold them into a fresh "
+                f"the index advanced past snapshot ({src_epoch}, "
+                f"deltas {src_deltas}) during the reindex (CURRENT is "
+                f"now {cur['epoch']} with deltas "
+                f"{[d['seq'] for d in cur.get('deltas', [])]}) — "
+                "re-run reindex to fold the new state into a fresh "
                 f"snapshot (epoch {new_epoch} left unpublished)")
         mf.publish(index_root, new_epoch)
     return mf.load_manifest(index_root, new_epoch)

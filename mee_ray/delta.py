@@ -444,18 +444,10 @@ def _keys_for_doc_ids(index_root: str, manifest: dict,
     is bounded by the match's blast radius."""
     import pyarrow.dataset as pads
 
-    sources = list(mf.docs_files(index_root, manifest["epoch"]))
-    for d in manifest.get("deltas", []):
-        if not d.get("added_docs"):
-            continue
-        if not os.path.exists(d["added_docs"]):
-            # same stance as _live_key_index: a referenced added-docs
-            # file that is gone is corruption — failing silently here
-            # would turn a matched doc's deletion into a silent no-op
-            raise FileNotFoundError(
-                f"manifest references missing added-docs file "
-                f"{d['added_docs']!r} (delta seq {d.get('seq')})")
-        sources.append(d["added_docs"])
+    # missing="raise": a silently-skipped source would turn a matched
+    # doc's deletion into a silent no-op (the _live_key_index stance)
+    sources = [f for f, _seq in
+               mf.docs_sources(index_root, manifest, missing="raise")]
     want = pa.array(np.unique(np.asarray(doc_ids, dtype=np.int64)))
     keys: set[tuple[str, str]] = set()
     for f in sources:
@@ -524,11 +516,7 @@ def _live_rows_for_doc_ids(index_root: str, manifest: dict,
     ``Searcher.get_doc``."""
     import pyarrow.dataset as pads
 
-    sources: list[tuple[str, int]] = [
-        (f, 0) for f in mf.docs_files(index_root, manifest["epoch"])]
-    for d in manifest.get("deltas", []):
-        if d.get("added_docs"):
-            sources.append((d["added_docs"], d["seq"]))
+    sources = mf.docs_sources(index_root, manifest, missing="raise")
     want = pa.array(np.unique(np.asarray(doc_ids, dtype=np.int64)))
     best: dict[int, tuple[int, dict]] = {}
     for f, seq in sources:

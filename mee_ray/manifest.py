@@ -651,6 +651,38 @@ def fsck(index_root: str, epoch: str | None = None,
             "n_deltas": len(m.get("deltas", [])), "errors": errors}
 
 
+def docs_sources(index_root: str, manifest: dict,
+                 missing: str = "raise") -> list[tuple[str, int]]:
+    """THE liveness-ordered docs-source walk, shared by every stored-
+    field reader (get_doc, filter bitsets, update_by_query's fetch,
+    delete_by_query's key fetch, reindex's corpus): the epoch's base
+    docs files at source seq 0, then each delta record's added-docs
+    file at its seq.  A row from source s is live iff no tombstone for
+    its id has seq > s (live_posting_mask).
+
+    ``missing``: "raise" fails loudly on a manifest-referenced
+    added-docs file that is gone (index corruption — a silent skip
+    would turn deletes into no-ops); "skip" tolerates it for
+    best-effort diagnostic readers."""
+    if missing not in ("raise", "skip"):
+        raise ValueError("missing must be 'raise' or 'skip'")
+    sources: list[tuple[str, int]] = [
+        (f, 0) for f in docs_files(index_root, manifest["epoch"])]
+    for d in manifest.get("deltas", []):
+        f = d.get("added_docs")
+        if not f:
+            continue
+        if not os.path.exists(f):
+            if missing == "skip":
+                continue
+            raise FileNotFoundError(
+                f"manifest references missing added-docs file {f!r} "
+                f"(delta seq {d.get('seq')}) — index is inconsistent; "
+                "run fsck")
+        sources.append((f, d["seq"]))
+    return sources
+
+
 # Filenames that are legitimate epoch-dir members without appearing in
 # any manifest file list.
 _EPOCH_HOUSEKEEPING = {"manifest.json", "_state.json", "metrics.json",
@@ -674,7 +706,19 @@ def fsck_repair(index_root: str) -> dict:
     unaliased), the ``docs/`` tables (directory-globbed, so every file
     is live by construction), or any file a manifest references.
     Missing/corrupt segments are NOT repairable here — re-run the
-    build/compact that produced them."""
+    build/compact that produced them.
+
+    Runs under the index WRITE LOCK: apply_delta writes its new files
+    into the (manifested) CURRENT epoch dir BEFORE appending the
+    manifest record, and an unlocked repair racing it would delete
+    exactly those not-yet-referenced files.  (Mid-compaction/reindex
+    writes land in manifest-LESS target epochs, which the skip rule
+    already protects.)"""
+    with write_lock(index_root):
+        return _fsck_repair_locked(index_root)
+
+
+def _fsck_repair_locked(index_root: str) -> dict:
     import glob
     import json as _json
 

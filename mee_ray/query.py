@@ -410,13 +410,8 @@ class Searcher:
         import pyarrow.dataset as pads
         if field not in mf.ALIAS_FILTER_FIELDS:
             raise ValueError(f"filterable fields: {mf.ALIAS_FILTER_FIELDS}")
-        sources: list[tuple[str, int]] = [
-            (f, 0) for f in mf.docs_files(self.index_root,
-                                          self.manifest["epoch"])]
-        sources += [(d["added_docs"], d["seq"])
-                    for d in self.manifest.get("deltas", [])
-                    if d.get("added_docs")
-                    and os.path.exists(d["added_docs"])]
+        sources = mf.docs_sources(self.index_root, self.manifest,
+                                  missing="skip")
         out = []
         for f, seq in sources:
             t = pads.dataset(f).to_table(
@@ -443,13 +438,8 @@ class Searcher:
         import os
 
         import pyarrow.dataset as pads
-        sources: list[tuple[str, int]] = [
-            (f, 0) for f in mf.docs_files(self.index_root,
-                                          self.manifest["epoch"])]
-        sources += [(d["added_docs"], d["seq"])
-                    for d in self.manifest.get("deltas", [])
-                    if d.get("added_docs")
-                    and os.path.exists(d["added_docs"])]
+        sources = mf.docs_sources(self.index_root, self.manifest,
+                                  missing="skip")
         slim = ["doc_id", "repo", "path", "commit", "lang",
                 "content_sha256", "length", "content"]
         best: tuple[int, dict] | None = None
@@ -919,14 +909,19 @@ class Searcher:
         total = self.manifest["total_tokens"]
         for d in self.manifest.get("deltas", []):
             total += d["sum_dl_added"] - d["sum_dl_deleted"]
-        uni = {w: self.term_total_tf(w)
-               for w in set(w for s_ in slots for w in s_)}
+        words = {w for s_ in slots for w in s_}
+        uni = {w: self.term_total_tf(w) for w in words}
+        # decode (and run-sort) each word's positions ONCE — the pair
+        # loop would otherwise re-decode every word per pair (O(C²))
+        pos = {w: _sort_runs(*self.term_doc_positions(w))
+               for w in words}
         bi: dict[tuple[str, str], int] = {}
         for i in range(len(slots) - 1):
             for w1 in slots[i]:
                 for w2 in slots[i + 1]:
                     if (w1, w2) not in bi:
-                        bi[(w1, w2)] = self.bigram_count(w1, w2)
+                        bi[(w1, w2)] = _bigram_count_runs(pos[w1],
+                                                          pos[w2])
         return _lm_score_slots(slots, uni, bi, total, n, backoff)
 
     def count(self, terms: list[str], operator: str = "or") -> int:
@@ -2484,6 +2479,12 @@ class DistributedSearcher:
         import ray
         if not include or include == exclude:
             return []
+        if not self.manifest.get("store_positions"):
+            # same clean refusal as the local path — without this, the
+            # split-owner branch surfaces an obscure actor-side decode
+            # error through ray.get instead
+            raise ValueError("span_not needs store_positions=True "
+                             "(pinned in the manifest)")
         by_actor = self._terms_by_actor(sorted({include, exclude}))
         if len(by_actor) == 1:
             (a,) = by_actor
