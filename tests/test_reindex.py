@@ -287,3 +287,86 @@ def test_reindex_after_delete_everything(src_index, ray_session,
     assert len(got) == 1
     assert s2.get_doc("org_e/r", "src/only.py")["content"].startswith(
         "def onlyDoc")
+
+
+def test_reindex_refuses_when_current_advances(src_index, ray_session,
+                                               tmp_path, monkeypatch):
+    """Review regression: a successor epoch published DURING the
+    rebuild (e.g. a concurrent compaction) must make the locked
+    publish refuse — previously only same-epoch delta growth was
+    checked and the stale snapshot published anyway."""
+    import shutil
+
+    import mee_ray.build as B
+    from mee_ray.merge import compact
+
+    root = str(tmp_path / "index")
+    shutil.copytree(src_index["root"], root)
+    k = sorted(src_index["live"])[0]
+    apply_delta(pa.table({
+        "seq": pa.array([1], pa.int64()),
+        "type": pa.array(["UPDATE"]),
+        "repo": pa.array([k[0]]), "path": pa.array([k[1]]),
+        "commit": pa.array(["1" * 40]), "lang": pa.array(["python"]),
+        "content": pa.array(["def racer(): return race_marker\n"])}),
+        root)
+
+    orig = B.build_index
+
+    def racing_build(*a, **kw):
+        out = orig(*a, **kw)
+        # a concurrent compaction publishes a successor mid-rebuild
+        if mf.current_epoch(root) == "ep1":
+            compact(root, "mid_epoch")
+        return out
+
+    monkeypatch.setattr(B, "build_index", racing_build)
+    with pytest.raises(RuntimeError, match="advanced past snapshot"):
+        B.reindex(root, "ep2")
+    assert mf.current_epoch(root) == "mid_epoch"  # winner kept
+    # the re-run (fresh snapshot of mid_epoch) succeeds
+    monkeypatch.setattr(B, "build_index", orig)
+    m2 = B.reindex(root, "ep3")
+    assert mf.current_epoch(root) == "ep3"
+    assert Searcher(root).search(["race_marker"], 5)
+
+
+def test_cli_lifecycle_commands_derive_manifest_config(src_index,
+                                                       tmp_path):
+    """Review regression: update-by-query / reindex / auto-compact
+    without --config must reconstruct the index's recorded config (a
+    default EngineConfig dropped store_source on reindex and tripped
+    the pin check on the others)."""
+    import json
+    import shutil
+    import subprocess
+    import sys
+
+    REPO = __file__.rsplit("/tests/", 1)[0]
+    root = str(tmp_path / "index")
+    shutil.copytree(src_index["root"], root)
+
+    r = subprocess.run(
+        [sys.executable, "-m", "mee_ray", "update-by-query",
+         "--index", root, "--terms", "def",
+         "--pattern", "return", "--repl", "return"],   # no-op rewrite
+        capture_output=True, text=True, cwd=REPO)
+    assert r.returncode == 0, r.stderr[-1500:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["n_matched"] > 0 and out["n_transformed"] == 0
+
+    r2 = subprocess.run(
+        [sys.executable, "-m", "mee_ray", "--num-cpus", "2", "reindex",
+         "--index", root, "--epoch", "cli_re"],
+        capture_output=True, text=True, cwd=REPO)
+    assert r2.returncode == 0, r2.stderr[-1500:]
+    out2 = json.loads(r2.stdout.strip().splitlines()[-1])
+    assert out2["epoch"] == "cli_re" and out2["n_docs"] > 0
+    # store_source survived the config-less reindex
+    assert mf.load_manifest(root, "cli_re")["store_source"] is True
+
+    r3 = subprocess.run(
+        [sys.executable, "-m", "mee_ray", "auto-compact",
+         "--index", root],
+        capture_output=True, text=True, cwd=REPO)
+    assert r3.returncode == 0, r3.stderr[-1500:]
