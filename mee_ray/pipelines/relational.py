@@ -3659,6 +3659,64 @@ FROM m ORDER BY l_returnflag
 """
 
 
+def weighted_avg_lineitem(sf_dir: str):
+    """weighted_avg aggregation (the ES ``weighted_avg``): per
+    l_returnflag, the quantity-weighted average price —
+    Σ(cents·qty)/Σ(qty) from exact integer partial sums folded through
+    one tiny groupby, the float division applied ONCE to the exact
+    integers with the oracle's identical tree (bit-exact values, no
+    rounding)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        half_away = pc.RoundOptions(round_mode="half_towards_infinity")
+        q = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            t["l_extendedprice"], pa.scalar(100.0)),
+            options=half_away), pa.int64())
+        t2 = pa.table({"l_returnflag": t["l_returnflag"],
+                       "wsum": pc.multiply(cents, q), "w": q})
+        g = t2.group_by("l_returnflag").aggregate(
+            [("wsum", "sum"), ("w", "sum")])
+        return g.rename_columns(["l_returnflag", "wsum_p", "w_p"])
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_returnflag", "l_quantity", "l_extendedprice"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("l_returnflag")
+           .aggregate(Sum("wsum_p", alias_name="wsum"),
+                      Sum("w_p", alias_name="w")))
+    batches = list(agg.iter_batches(batch_format="pyarrow"))
+    if not batches:
+        return pa.table({"l_returnflag": pa.array([], pa.string()),
+                         "total_weight": pa.array([], pa.int64()),
+                         "weighted_avg_cents": pa.array([], pa.float64())})
+    t = pa.concat_tables(batches)
+    rows = sorted((r["l_returnflag"], int(r["w"]),
+                   float(r["wsum"]) / float(r["w"]))
+                  for r in t.to_pylist())
+    return pa.table({
+        "l_returnflag": pa.array([x[0] for x in rows], pa.string()),
+        "total_weight": pa.array([x[1] for x in rows], pa.int64()),
+        "weighted_avg_cents": pa.array([x[2] for x in rows],
+                                       pa.float64())})
+
+
+WEIGHTED_AVG_SQL = """
+SELECT l_returnflag,
+       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+         AS total_weight,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                * CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+       / CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS DOUBLE)
+         AS weighted_avg_cents
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 # ---------------------------------------------- TPC-H Q12 shape --
 # (the testdata lineitem has no l_shipmode/l_commitdate/l_receiptdate,
 # so the Q12 class columns are adapted: group = l_linestatus, window =
@@ -4284,6 +4342,7 @@ QUERIES = {
     "q16_supplier_part_cnt": q16_supplier_part_cnt,
     "q20_excess_suppliers": q20_excess_suppliers,
     "matrix_stats_lineitem": matrix_stats_lineitem,
+    "weighted_avg_lineitem": weighted_avg_lineitem,
 }
 
 ORACLE = {
@@ -4349,4 +4408,5 @@ ORACLE = {
     "q16_supplier_part_cnt": Q16_SQL,
     "q20_excess_suppliers": Q20_SQL,
     "matrix_stats_lineitem": MATRIX_STATS_SQL,
+    "weighted_avg_lineitem": WEIGHTED_AVG_SQL,
 }
