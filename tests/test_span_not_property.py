@@ -44,3 +44,30 @@ def test_span_not_kernel_matches_bruteforce(inc, exc, dist, seed):
         if d not in exc
         or any(all(abs(p - e) > dist for e in exc[d]) for p in ps))
     assert got.tolist() == want
+
+
+bigram_docs = st.dictionaries(
+    st.integers(min_value=0, max_value=30),
+    st.sets(st.integers(min_value=0, max_value=40),
+            min_size=1, max_size=10),
+    min_size=0, max_size=10)
+
+
+@settings(max_examples=200, deadline=None)
+@given(a=bigram_docs, b=bigram_docs,
+       seed=st.integers(min_value=0, max_value=2**31 - 1))
+def test_bigram_count_runs_matches_bruteforce(a, b, seed):
+    """The composite-key adjacency counter equals the brute-force
+    count of (doc, p) with the first term at p and the second at p+1,
+    on random ragged runs in shuffled (delta-layout) order."""
+    from mee_ray.query import _bigram_count_runs
+
+    rng = np.random.default_rng(seed)
+    ao, bo = list(a), list(b)
+    rng.shuffle(ao)
+    rng.shuffle(bo)
+    got = _bigram_count_runs(_ragged(a, ao), _ragged(b, bo))
+    want = sum(1 for d in a
+               if d in b
+               for p in a[d] if (p + 1) in b[d])
+    assert got == want
