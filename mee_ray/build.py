@@ -38,6 +38,7 @@ import os
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from mee_ray import manifest as mf
@@ -806,6 +807,65 @@ def reindex(index_root: str, new_epoch: str,
         [int(manifest.get("event_watermark", 0))]
         + [int(d.get("max_event_seq", 0))
            for d in manifest.get("deltas", [])])
+    # Per-key LWW memory must survive the rebuild: collapsing it to a
+    # global floor of `watermark` would drop a DELAYED fresh event
+    # whose seq is below the max observed (the out-of-order-arrival
+    # guarantee delta.py documents).  Mirror compact (merge.py): keep
+    # base_event_seq at the CHAIN floor and fold every per-key seq
+    # source above it into the new epoch's key_seqs.parquet —
+    #   * the epoch-level key_seqs file (folded by prior compactions),
+    #   * each delta record's key_seqs (applied DELETEs, no-op bumps),
+    #   * each delta added-docs file's per-row event_seq (the rebuilt
+    #     docs table carries no event_seq column, so these rows'
+    #     write-seqs would otherwise fall back to the floor).
+    # Rows are (repo, path, int64) per TOUCHED key — far below corpus
+    # size; a pathologically long delta log would distribute this fold
+    # the same way merge.py's key_seqs fold would.
+    base_floor = mf.base_event_seq(manifest)
+    ks_parts: list[pa.Table] = []
+    src_edir = mf.epoch_dir(index_root, src_epoch)
+    epoch_ks = os.path.join(src_edir, "key_seqs.parquet")
+    if os.path.exists(epoch_ks):
+        ks_parts.append(pq.read_table(
+            epoch_ks, columns=["repo", "path", "event_seq"]))
+    for d in manifest.get("deltas", []):
+        p = d.get("key_seqs")
+        if p:
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"delta record {d.get('seq')} key_seqs file "
+                    f"missing: {p} — index is inconsistent; run fsck")
+            ks_parts.append(pq.read_table(
+                p, columns=["repo", "path", "event_seq"]))
+        f = d.get("added_docs")
+        if f and os.path.exists(f):
+            names = pq.read_schema(f).names
+            if "event_seq" in names:
+                ks_parts.append(pq.read_table(
+                    f, columns=["repo", "path", "event_seq"]))
+            else:
+                # legacy file: every row was written at most at the
+                # record's span max
+                t = pq.read_table(f, columns=["repo", "path"])
+                ks_parts.append(t.append_column(
+                    "event_seq", pa.array(
+                        [int(d.get("max_event_seq") or 0)] * t.num_rows,
+                        pa.int64())))
+    folded_ks = None
+    if ks_parts:
+        allt = pa.concat_tables(
+            [t.cast(pa.schema([("repo", pa.string()),
+                               ("path", pa.string()),
+                               ("event_seq", pa.int64())]))
+             for t in ks_parts])
+        allt = allt.filter(pc.greater(allt["event_seq"], base_floor))
+        if allt.num_rows:
+            folded_ks = (allt.group_by(["repo", "path"])
+                         .aggregate([("event_seq", "max")])
+                         .rename_columns(["repo", "path", "event_seq"])
+                         .sort_by([("repo", "ascending"),
+                                   ("path", "ascending")])
+                         .combine_chunks())
 
     # snapshot fingerprint: the resumable build short-circuits on
     # existing stage outputs, so debris from a refused/crashed reindex
@@ -823,9 +883,10 @@ def reindex(index_root: str, new_epoch: str,
         for sub in ("docs", "segments"):
             _shutil.rmtree(os.path.join(new_edir, sub),
                            ignore_errors=True)
-        st = os.path.join(new_edir, "_state.json")
-        if os.path.exists(st):
-            os.remove(st)
+        for fn in ("_state.json", "key_seqs.parquet"):
+            st = os.path.join(new_edir, fn)
+            if os.path.exists(st):
+                os.remove(st)
         tmp_fp = fp_path + f".tmp.{os.getpid()}"
         with open(tmp_fp, "w") as f:
             _json.dump(fp, f)
@@ -870,6 +931,21 @@ def reindex(index_root: str, new_epoch: str,
                       auto_publish=False,
                       snapshot_watermark=watermark,
                       carry_catchup=False)
+    # restore the chain's per-key LWW memory (computed above):
+    # event_watermark stays at the max observed seq (next_event_seq
+    # must not re-allocate), but the FLOOR stays at the chain base and
+    # per-key seqs above it live in the new epoch's key_seqs file
+    ks_dst = os.path.join(new_edir, "key_seqs.parquet")
+    if folded_ks is not None:
+        tmp_ks = ks_dst + f".tmp.{os.getpid()}"
+        pq.write_table(folded_ks, tmp_ks)
+        os.replace(tmp_ks, ks_dst)
+    elif os.path.exists(ks_dst):    # debris of a prior crashed attempt
+        os.remove(ks_dst)
+    out["base_event_seq"] = base_floor
+    out.pop("epoch", None)
+    mf.write_manifest(index_root, new_epoch, out)
+    out = mf.load_manifest(index_root, new_epoch)
     if not auto_publish:
         return out
     # locked publish: ANY divergence of CURRENT from the snapshot this

@@ -201,7 +201,13 @@ def _live_key_index(index_root: str, manifest: dict,
         _read_key_seq_file(epoch_ks, keys, key_seqs)
     for d in manifest.get("deltas", []):
         p = d.get("key_seqs")
-        if p and os.path.exists(p):
+        if p:
+            if not os.path.exists(p):
+                # same loud-failure stance as the added-docs check
+                # above: lost per-key memory re-applies stale events
+                raise FileNotFoundError(
+                    f"delta record {d.get('seq')} key_seqs file "
+                    f"missing: {p} — index is inconsistent; run fsck")
             _read_key_seq_file(p, keys, key_seqs)
     return live, key_seqs
 

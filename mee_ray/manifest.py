@@ -439,6 +439,7 @@ def _relocated_delta_record(rec: dict, src_dir: str, dst_dir: str,
                 tombstones=reloc(rec.get("tombstones")),
                 added_docs=reloc(rec.get("added_docs")),
                 deleted_keys=reloc(rec.get("deleted_keys")),
+                key_seqs=reloc(rec.get("key_seqs")),
                 segments=[reloc(s) for s in rec.get("segments", [])])
 
 
@@ -539,7 +540,14 @@ def tombstone_index(manifest: dict):
     last: dict[int, int] = {}
     for d in manifest.get("deltas", []):
         p = d.get("tombstones")
-        if p and os.path.exists(p):
+        if p:
+            if not os.path.exists(p):
+                # silently skipping would resurrect deleted docs (and a
+                # compact run would bake their postings back in) —
+                # corruption must fail loudly, like _live_key_index
+                raise FileNotFoundError(
+                    f"delta record {d.get('seq')} tombstones file "
+                    f"missing: {p} — index is inconsistent; run fsck")
             for did in pq.read_table(p, columns=["doc_id"])["doc_id"].to_pylist():
                 last[did] = d["seq"]
         for did in d.get("resurrected", ()):
@@ -609,7 +617,8 @@ def fsck(index_root: str, epoch: str | None = None,
             if h.hexdigest() != s["sha256"]:
                 errors.append(f"segment sha256 mismatch: {p}")
     for d in m.get("deltas", []):
-        for p in ([d.get("tombstones"), d.get("added_docs")]
+        for p in ([d.get("tombstones"), d.get("added_docs"),
+                   d.get("key_seqs"), d.get("deleted_keys")]
                   + list(d.get("segments", []))):
             if p:
                 checked += 1

@@ -315,9 +315,17 @@ def _compact_locked(index_root: str, new_epoch: str,
     # delayed older event still loses after the records are folded away
     old_ks = os.path.join(mf.epoch_dir(index_root, old_epoch),
                           "key_seqs.parquet")
+    for d in manifest.get("deltas", []):
+        if d.get("key_seqs") and not os.path.exists(d["key_seqs"]):
+            # silently dropping per-key LWW memory lets a redelivered
+            # older event beat a lost newer seq — fail loudly (fsck
+            # checks the same file set)
+            raise FileNotFoundError(
+                f"delta record {d.get('seq')} key_seqs file missing: "
+                f"{d['key_seqs']} — index is inconsistent; run fsck")
     ks_files = ([old_ks] if os.path.exists(old_ks) else []) + \
         [d["key_seqs"] for d in manifest.get("deltas", [])
-         if d.get("key_seqs") and os.path.exists(d["key_seqs"])]
+         if d.get("key_seqs")]
     if ks_files:
         # vectorized max-per-key fold (one Arrow group_by, no Python
         # loop over keys): key_seqs rows are one per TOUCHED key per
