@@ -43,7 +43,8 @@ import pyarrow.parquet as pq
 
 from mee_ray import manifest as mf
 from mee_ray.config import EngineConfig
-from mee_ray.ids import doc_ids_batch, salts_batch, term_hash
+from mee_ray.ids import (doc_ids_batch, isin_sorted, salts_batch,
+                         term_hash)
 from mee_ray.postings import block_metadata, encode_posting_list, tf_norm, varint_encode
 from mee_ray.tokenizer import Tokenizer
 
@@ -425,12 +426,7 @@ def filter_to_winners(corpus, win_ids_ref):
     def keep_winners(batch: pa.Table) -> pa.Table:
         wids = ray.get(win_ids_ref)
         ids = doc_ids_batch(batch["repo"], batch["path"], batch["commit"])
-        if len(wids) == 0:
-            mask = np.zeros(len(ids), dtype=bool)
-        else:
-            pos = np.minimum(np.searchsorted(wids, ids), len(wids) - 1)
-            mask = wids[pos] == ids
-        return batch.filter(pa.array(mask))
+        return batch.filter(pa.array(isin_sorted(ids, wids)))
 
     return corpus.map_batches(keep_winners, batch_format="pyarrow")
 
@@ -472,9 +468,7 @@ def dedup_latest_commit_shuffle(corpus, cfg: EngineConfig):
         last = np.ones(len(kh), dtype=bool)
         last[:-1] = kh[order][1:] != kh[order][:-1]
         win_ids = np.unique(ids[order][last])
-        pos = np.minimum(np.searchsorted(win_ids, ids),
-                         max(0, len(win_ids) - 1))
-        keep = win_ids[pos] == ids
+        keep = isin_sorted(ids, win_ids)
         # exact-duplicate input rows (same repo, path, commit) share a
         # doc_id; keep only the first so a duplicated corpus row can't
         # trip the doc_id collision audit downstream
@@ -574,6 +568,51 @@ def build_index(corpus, index_root: str, epoch: str,
     docs_dir = os.path.join(edir, "docs")
     seg_dir = os.path.join(edir, "segments")
     os.makedirs(edir, exist_ok=True)
+
+    # Config fingerprint for the stage resume (the _reindex_src /
+    # _compact_src rule applied to plain builds): a rerun of a crashed
+    # build with a DIFFERENT output-affecting config must not adopt
+    # the old config's docs/segment outputs — the manifest would
+    # record the new sharding/tokenizer against files routed by the
+    # old one, silently losing postings at query time.  Mismatch ⇒
+    # clear the stage outputs and start fresh.  Execution-only knobs
+    # (batch sizes, concurrency, stats/dedup strategy — all proven
+    # output-identical) don't invalidate completed work.
+    import dataclasses as _dc
+    import json as _json2
+    import shutil as _sh2
+
+    def _norm(x):
+        if isinstance(x, (set, frozenset)):
+            return sorted(x)
+        if isinstance(x, tuple):
+            return [_norm(v) for v in x]
+        if isinstance(x, dict):
+            return {k: _norm(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return [_norm(v) for v in x]
+        return x
+    cfg_fp = _norm({k: v for k, v in _dc.asdict(cfg).items()
+                    if k not in ("tokenize_batch_size",
+                                 "tokenize_concurrency", "stats_mode",
+                                 "dedup_mode", "dedup_buckets")})
+    cfg_fp_path = os.path.join(edir, "_build_cfg.json")
+    old_cfg_fp = None
+    if os.path.exists(cfg_fp_path):
+        with open(cfg_fp_path) as f:
+            old_cfg_fp = _json2.load(f)
+    if old_cfg_fp != cfg_fp:
+        if old_cfg_fp is not None:
+            for sub in ("docs", "segments"):
+                _sh2.rmtree(os.path.join(edir, sub), ignore_errors=True)
+            st = os.path.join(edir, "_state.json")
+            if os.path.exists(st):
+                os.remove(st)
+        tmp_fp = cfg_fp_path + f".tmp.{os.getpid()}"
+        with open(tmp_fp, "w") as f:
+            _json2.dump(cfg_fp, f)
+        os.replace(tmp_fp, cfg_fp_path)
+
     os.makedirs(seg_dir, exist_ok=True)
 
     # winner broadcast shared by both passes; recomputed on resume

@@ -58,3 +58,25 @@ def salt_of(doc_id: int, salt_factor: int) -> int:
 def salts_batch(doc_ids: np.ndarray, salt_factor: int) -> np.ndarray:
     shift = 63 - (salt_factor.bit_length() - 1)
     return (doc_ids.astype(np.uint64) >> np.uint64(shift)).astype(np.int32)
+
+
+def positions_in_sorted(ids: np.ndarray, sorted_ids: np.ndarray
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """(clamped insertion positions, membership mask) of ``ids``
+    against the SORTED unique array ``sorted_ids`` — the
+    searchsorted + clamp + compare idiom, centralized because every
+    hand-rolled copy re-derived the empty-array clamp its own way
+    (an off-by-one there silently corrupts a filter mask).  The
+    positions double as dense ranks for the members (phrase/span
+    matchers pack them beside positions)."""
+    if sorted_ids.size == 0 or ids.size == 0:
+        return (np.zeros(len(ids), dtype=np.int64),
+                np.zeros(len(ids), dtype=bool))
+    pos = np.minimum(np.searchsorted(sorted_ids, ids),
+                     sorted_ids.size - 1)
+    return pos, sorted_ids[pos] == ids
+
+
+def isin_sorted(ids: np.ndarray, sorted_ids: np.ndarray) -> np.ndarray:
+    """Boolean membership of ``ids`` in sorted ``sorted_ids``."""
+    return positions_in_sorted(ids, sorted_ids)[1]

@@ -696,7 +696,7 @@ def docs_sources(index_root: str, manifest: dict,
 # any manifest file list.
 _EPOCH_HOUSEKEEPING = {"manifest.json", "_state.json", "metrics.json",
                        "key_seqs.parquet", "_compact_src.json",
-                       "_reindex_src.json"}
+                       "_reindex_src.json", "_build_cfg.json"}
 
 
 def fsck_repair(index_root: str) -> dict:

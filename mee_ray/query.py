@@ -50,7 +50,7 @@ import numpy as np
 import pyarrow.parquet as pq
 
 from mee_ray import manifest as mf
-from mee_ray.ids import term_hash
+from mee_ray.ids import isin_sorted, positions_in_sorted, term_hash
 from mee_ray.postings import decode_posting_list, tf_norm, varint_decode
 from mee_ray.scoring import idf, top_k_select
 
@@ -77,7 +77,8 @@ class _ShardIndex:
     def __init__(self, files: list[str], delta_files: list[str] = (),
                  file_hints: dict[str, float] | None = None,
                  file_seqs: dict[str, int] | None = None,
-                 delta_term_filter=None):
+                 shard_id: int | None = None,
+                 delta_dict: dict | None = None):
         from collections import OrderedDict
         self.files: list[pq.ParquetFile] = []
         self.is_delta: list[bool] = []
@@ -100,13 +101,21 @@ class _ShardIndex:
             sizes = [pf.metadata.row_group(g).num_rows
                      for g in range(pf.num_row_groups)]
             self._rg_bounds.append(np.cumsum([0] + sizes))
+            if d and delta_dict is not None:
+                # delta files span shards: the owning Searcher read
+                # each delta file's term column ONCE and shared
+                # (terms, shard-of-term) across its shards — without
+                # this an S-shard searcher re-reads and re-parses
+                # every delta dictionary S times.  Keep only this
+                # shard's terms so dictionary memory stays O(own
+                # terms), not O(all × shards).
+                terms, shards = delta_dict[f]
+                for ri in np.nonzero(shards == shard_id)[0]:
+                    self.rows[terms[ri]].append((ti, int(ri)))
+                continue
             terms = pf.read(columns=["term"])["term"].to_pylist()
-            # delta files span shards; keep only this shard's terms so
-            # dictionary memory stays O(own terms), not O(all × shards)
-            flt = delta_term_filter if d else None
             for ri, term in enumerate(terms):
-                if flt is None or flt(term):
-                    self.rows[term].append((ti, ri))
+                self.rows[term].append((ti, ri))
 
     def _row(self, ti: int, ri: int) -> tuple[object, int]:
         """(row_group table, local row index) — row groups LRU-cached."""
@@ -262,6 +271,7 @@ class Searcher:
         self._tok = None  # index-config tokenizer, built on demand
         self._del_index: dict[str, list[str]] | None = None
         self._shards: dict[int, _ShardIndex] = {}
+        self._delta_dict_cache: dict | None = None
         self._subset = set(shard_subset) if shard_subset is not None else None
         base, delta = _segment_files(index_root, self.manifest)
         # group files by shard: part = shard * parts_per_shard + r, so a
@@ -286,20 +296,30 @@ class Searcher:
                            for d in self.manifest.get("deltas", [])
                            for f in d.get("segments", [])}
 
+    def _delta_dict(self) -> dict:
+        """file → (term list, shard-of-term int64 array) for every
+        delta segment file, read ONCE per Searcher and shared by all
+        its _ShardIndex instances (a per-shard read would re-parse
+        every delta dictionary once per owned shard)."""
+        if self._delta_dict_cache is None:
+            ns = self.num_shards
+            out = {}
+            for f in self._delta_files:
+                terms = pq.read_table(f, columns=["term"])["term"].to_pylist()
+                out[f] = (terms, np.fromiter(
+                    (term_hash(t) % ns for t in terms),
+                    dtype=np.int64, count=len(terms)))
+            self._delta_dict_cache = out
+        return self._delta_dict_cache
+
     def _shard(self, s: int) -> _ShardIndex:
         got = self._shards.get(s)
         if got is None:
             files = list(self._files_by_shard.get(s, []))
-            # delta files hold several shards' terms; the filter keeps
-            # only this shard's out of the dictionary, so an actor
-            # serving many shards doesn't index every delta term once
-            # PER shard it owns
-            ns = self.num_shards
             got = self._shards[s] = _ShardIndex(
                 files, self._delta_files, self._file_hints,
-                self._file_seqs,
-                delta_term_filter=lambda t, s=s, ns=ns:
-                    term_hash(t) % ns == s)
+                self._file_seqs, shard_id=s,
+                delta_dict=self._delta_dict())
         return got
 
     def owns(self, shard: int) -> bool:
@@ -482,12 +502,7 @@ class Searcher:
             # df/idf from the FULL live posting list (identical to
             # term_partials), contributions only for the candidates
             w = idf(len(ids), self.n_docs)
-            if len(cand):
-                pos = np.minimum(np.searchsorted(cand, ids),
-                                 len(cand) - 1)
-                keep = cand[pos] == ids
-            else:
-                keep = np.zeros(len(ids), dtype=bool)
+            keep = isin_sorted(ids, cand)
             ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
             if len(ids):
                 out[term] = (ids, w * tf_norm(tfs, dls, self.avgdl,
@@ -522,10 +537,7 @@ class Searcher:
                 keep = mf.live_posting_mask(ids, seq, self.tomb_ids,
                                             self.tomb_seqs)
             if candidates is not None:
-                pos_c = np.minimum(np.searchsorted(candidates, ids),
-                                   max(0, candidates.size - 1))
-                in_cand = (candidates[pos_c] == ids) if candidates.size \
-                    else np.zeros(len(ids), dtype=bool)
+                in_cand = isin_sorted(ids, candidates)
                 keep = in_cand if keep is None else (keep & in_cand)
             if keep is not None and not keep.any():
                 continue                # skip the position decode
@@ -906,9 +918,7 @@ class Searcher:
             slots.append([w for _, w in ranked[:max_candidates]])
             if not slots[-1]:
                 return []
-        total = self.manifest["total_tokens"]
-        for d in self.manifest.get("deltas", []):
-            total += d["sum_dl_added"] - d["sum_dl_deleted"]
+        _, total = mf.live_totals(self.manifest)
         words = {w for s_ in slots for w in s_}
         uni = {w: self.term_total_tf(w) for w in words}
         # decode (and run-sort) each word's positions ONCE — the pair
@@ -1394,9 +1404,7 @@ def merge_partials(partials_list: list[dict], terms: list[str], k: int,
         if uniq.size == 0:
             return []
     if exclude_sorted is not None and exclude_sorted.size and uniq.size:
-        pos = np.minimum(np.searchsorted(exclude_sorted, uniq),
-                         exclude_sorted.size - 1)
-        keep = exclude_sorted[pos] != uniq
+        keep = ~isin_sorted(uniq, exclude_sorted)
         uniq, acc = uniq[keep], acc[keep]
         if uniq.size == 0:
             return []
@@ -1436,8 +1444,7 @@ def phrase_match_docs(data: dict, terms: list[str]) -> np.ndarray:
     for i, t in enumerate(terms):
         ids, offs, flat = data[t]
         tfs = np.diff(offs)
-        pos_c = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
-        keep = cand[pos_c] == ids
+        pos_c, keep = positions_in_sorted(ids, cand)
         rank_rep = np.repeat(pos_c[keep], tfs[keep])
         flat_k = flat[np.repeat(keep, tfs)]
         if flat_k.size and int(flat_k.max()) >= (1 << 32):
@@ -1642,8 +1649,7 @@ def span_near_match_docs(data: dict, terms: list[str], slop: int
     def slot_keys(t: str) -> np.ndarray:
         ids, offs, flat = data[t]
         tfs = np.diff(offs)
-        pos_c = np.minimum(np.searchsorted(cand, ids), cand.size - 1)
-        keep = cand[pos_c] == ids
+        pos_c, keep = positions_in_sorted(ids, cand)
         rank_rep = np.repeat(pos_c[keep], tfs[keep])
         flat_k = flat[np.repeat(keep, tfs)]
         # gap expansion must not carry a position into the rank bits
@@ -1766,64 +1772,84 @@ class FederatedSearcher:
         self.k1 = m0["bm25"]["k1"]
         self.b = m0["bm25"]["b"]
 
-    def _global_partials(self, uterms: list[str]) -> dict:
-        """term → (concat doc_ids, contributions at GLOBAL stats).
-        Raw (ids, tf, dl) stay inside each sub-index accessor; only
-        per-term score vectors surface — the same partials shape every
-        merge_* consumer takes."""
-        raw: dict[str, list[tuple[np.ndarray, np.ndarray, np.ndarray]]] \
-            = {t: [] for t in uterms}
-        for s in self.subs:
+    def _per_sub_partials(self, uterms: list[str]) -> list[dict]:
+        """One partials dict PER SUB-INDEX — term → (doc_ids,
+        contributions at GLOBAL stats: df summed across subs, shared
+        n_docs/avgdl).  Raw (ids, tf, dl) stay inside each sub-index
+        accessor; only per-term score vectors surface — the same
+        partials shape every merge_* consumer takes.  Kept per-sub
+        (never concatenated across subs) so a doc_id indexed in two
+        sub-indexes scores as two separate copies, one per sub —
+        concatenating would np.unique-fold them into a single
+        double-counted score."""
+        raw = [{} for _ in self.subs]
+        df_g: dict[str, int] = {t: 0 for t in uterms}
+        for si, s in enumerate(self.subs):
             for term in uterms:
                 ids, tfs, dls = s.term_raw_postings(term)
                 if len(ids):
-                    raw[term].append((ids, tfs, dls))
-        out = {}
-        for term, parts in raw.items():
-            if not parts:
-                continue
-            df_g = sum(len(ids) for ids, _, _ in parts)
-            w = idf(df_g, self.n_docs)
-            ids = np.concatenate([p[0] for p in parts])
-            sc = np.concatenate([
-                w * tf_norm(tfs, dls, self.avgdl, self.k1, self.b)
-                for _, tfs, dls in parts])
-            out[term] = (ids, sc)
+                    raw[si][term] = (ids, tfs, dls)
+                    df_g[term] += len(ids)
+        out = [{} for _ in self.subs]
+        for si, sub_raw in enumerate(raw):
+            for term, (ids, tfs, dls) in sub_raw.items():
+                w = idf(df_g[term], self.n_docs)
+                out[si][term] = (
+                    ids, w * tf_norm(tfs, dls, self.avgdl,
+                                     self.k1, self.b))
         return out
 
     def search(self, terms: list[str], k: int = 10,
                operator: str = "or") -> list[tuple[int, float]]:
+        """Global top-k across the sub-indexes.  Each sub-index's
+        matches are accumulated WITHIN that sub (global idf/avgdl,
+        sorted-term order), then the per-sub top-k lists merge by
+        (-score, doc_id, sub ordinal): a doc indexed in two subs
+        surfaces once per sub, like ES cross-cluster hits — and a
+        conjunction holds only when a single copy matches every term.
+        For disjoint subs this is bit-identical to the union index
+        (same float additions in the same order, same tie-breaks)."""
         if k <= 0 or not terms:
             return []
         uterms = sorted(set(terms))
-        partials = self._global_partials(uterms)
-        if operator == "and":
-            return merge_partials_conjunctive([partials], uterms, k)
-        return merge_partials([partials], uterms, k)
+        merge = (merge_partials_conjunctive if operator == "and"
+                 else merge_partials)
+        hits: list[tuple[float, int, int]] = []
+        for si, partials in enumerate(self._per_sub_partials(uterms)):
+            hits.extend((sc, did, si)
+                        for did, sc in merge([partials], uterms, k))
+        hits.sort(key=lambda h: (-h[0], h[1], h[2]))
+        return [(did, sc) for sc, did, _ in hits[:k]]
 
     def count(self, terms: list[str], operator: str = "or") -> int:
-        """Federated match count: union/intersection over every
-        sub-index's live id sets."""
+        """Federated match count: the sum of per-sub hit counts (a doc
+        indexed in two subs is two hits, matching ``search``); a
+        conjunction is evaluated within each sub — a copy in A matching
+        only t1 plus a copy in B matching only t2 is NOT an AND hit."""
         uterms = sorted(set(terms))
         if not uterms:
             return 0
-        sets = []
-        for term in uterms:
-            ids = [got for s in self.subs
-                   if len(got := s.term_raw_postings(term)[0])]
-            u = np.unique(np.concatenate(ids)) if ids \
-                else np.empty(0, np.int64)
-            if operator == "and" and u.size == 0:
-                return 0
-            sets.append(u)
-        if operator == "and":
-            cand = sets[0]
-            for x in sets[1:]:
-                cand = np.intersect1d(cand, x)
-                if cand.size == 0:
-                    return 0
-            return int(cand.size)
-        return int(np.unique(np.concatenate(sets)).size)
+        total = 0
+        for s in self.subs:
+            sets = []
+            for term in uterms:
+                ids = s.term_raw_postings(term)[0]
+                if operator == "and" and ids.size == 0:
+                    sets = []
+                    break
+                sets.append(ids)
+            if not sets:
+                continue
+            if operator == "and":
+                cand = sets[0]
+                for x in sets[1:]:
+                    cand = np.intersect1d(cand, x)
+                    if cand.size == 0:
+                        break
+                total += int(cand.size)
+            else:
+                total += int(np.unique(np.concatenate(sets)).size)
+        return total
 
 
 class DistributedSearcher:
@@ -2215,9 +2241,7 @@ class DistributedSearcher:
             slots.append([w for _, w in ranked[:max_candidates]])
             if not slots[-1]:
                 return []
-        total = self.manifest["total_tokens"]
-        for d in self.manifest.get("deltas", []):
-            total += d["sum_dl_added"] - d["sum_dl_deleted"]
+        _, total = mf.live_totals(self.manifest)
         words = sorted({w for s_ in slots for w in s_})
         uni: dict[str, int] = {}
         for d in ray.get([self.actors[a].term_total_tfs.remote(ts)
@@ -2522,6 +2546,15 @@ class DistributedSearcher:
         if len(terms) < 2:
             raise ValueError("match_phrase_prefix needs >= 2 terms; "
                              "use search_prefix for a bare prefix")
+        if not self.manifest.get("store_positions"):
+            # same clean refusal as the local path — without this the
+            # position fan-out surfaces an obscure actor-side decode
+            # error through ray.get instead (span_not precedent)
+            raise ValueError("match_phrase_prefix needs "
+                             "store_positions=True (pinned in the "
+                             "manifest)")
+        if k <= 0:
+            return []
         fixed, prefix = terms[:-1], terms[-1]
         ufixed = sorted(set(fixed))
         by_actor = self._terms_by_actor(ufixed)

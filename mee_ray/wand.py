@@ -39,6 +39,7 @@ import math
 
 import numpy as np
 
+from mee_ray.ids import isin_sorted
 from mee_ray.postings import block_metadata, tf_norm
 
 __all__ = ["WandStats", "search_wand"]
@@ -345,9 +346,7 @@ def search_wand(term_chunks: dict[str, tuple[float, list[dict]]],
             ids, sc = c.score_block_vectorized()
             if allowed is not None:
                 # vectorized membership against the sorted filter set
-                p = np.minimum(np.searchsorted(allowed, ids),
-                               allowed.size - 1)
-                m = allowed[p] == ids
+                m = isin_sorted(ids, allowed)
                 ids, sc = ids[m], sc[m]
             stats.docs_scored += len(ids)
             if len(heap) >= k:

@@ -84,3 +84,64 @@ def test_federated_rejects_mismatched_params(federated_roots,
         FederatedSearcher([federated_roots[0], root])
     with pytest.raises(ValueError):
         FederatedSearcher([])
+
+
+def test_federated_overlapping_doc_ids(tmp_path_factory, ray_session):
+    """A doc indexed in TWO sub-indexes surfaces once per sub (ES
+    cross-cluster hits), never as one entry with both contributions
+    summed; a conjunction holds only when a single copy matches every
+    term."""
+    import ray.data
+
+    from mee_ray.build import build_index
+    from mee_ray.config import EngineConfig
+    from mee_ray.ids import doc_id_of
+    from mee_ray.query import FederatedSearcher
+
+    # shared doc X (same repo/path/commit -> same doc_id, same content)
+    # and split-personality doc Z (same id, DIFFERENT content per sub)
+    rows_a = [("r1", "x.py", "c" * 40, "python", "alpha beta shared"),
+              ("r1", "z.py", "d" * 40, "python", "gamma only here"),
+              ("r1", "a.py", "e" * 40, "python", "alpha alone")]
+    rows_b = [("r1", "x.py", "c" * 40, "python", "alpha beta shared"),
+              ("r1", "z.py", "d" * 40, "python", "delta only here"),
+              ("r1", "b.py", "f" * 40, "python", "beta alone")]
+    roots = []
+    for hx, rows in enumerate((rows_a, rows_b)):
+        d = str(tmp_path_factory.mktemp(f"fed_ovl{hx}"))
+        pq.write_table(pa.table({
+            "repo": pa.array([r[0] for r in rows]),
+            "path": pa.array([r[1] for r in rows]),
+            "commit": pa.array([r[2] for r in rows]),
+            "lang": pa.array([r[3] for r in rows]),
+            "content": pa.array([r[4] for r in rows]),
+        }), f"{d}/corpus.parquet")
+        root = f"{d}/index"
+        build_index(ray.data.read_parquet(f"{d}/corpus.parquet"),
+                    root, "ep1", EngineConfig())
+        roots.append(root)
+
+    fs = FederatedSearcher(roots)
+    x_id = doc_id_of("r1", "x.py", "c" * 40)
+    z_id = doc_id_of("r1", "z.py", "d" * 40)
+
+    got = fs.search(["shared"], 10)
+    assert [d for d, _ in got] == [x_id, x_id]     # both copies, once each
+    assert got[0][1] == got[1][1]                   # identical content
+    # the copy's score must be a SINGLE sub's contribution: matching
+    # alpha in both copies plus a.py/b.py gives 4 alpha hits total,
+    # but each surfaced entry accumulated exactly one copy's tf
+    alpha = fs.search(["alpha"], 10)
+    assert [d for d, _ in alpha].count(x_id) == 2
+    sc = [s for d, s in alpha if d == x_id]
+    assert sc[0] == sc[1]
+    # count matches search: two hits for the shared doc
+    assert fs.count(["shared"]) == 2
+    # conjunction needs ONE copy holding every term: Z's copies hold
+    # gamma and delta separately -> no AND match across subs
+    assert fs.search(["gamma", "delta"], 10, operator="and") == []
+    assert fs.count(["gamma", "delta"], "and") == 0
+    # but X matches alpha AND beta within each copy -> two hits
+    both = fs.search(["alpha", "beta"], 10, operator="and")
+    assert [d for d, _ in both] == [x_id, x_id]
+    assert fs.count(["alpha", "beta"], "and") == 2

@@ -249,6 +249,26 @@ def test_phrase_requires_positions(built_index):
         s.search_phrase(["merge", "sort"], k=10)
 
 
+def test_distributed_phrase_prefix_guards(built_index, ray_session):
+    """The distributed path refuses a positions-less index with the
+    same clean driver-side ValueError as the local one (not an
+    actor-side RayTaskError), and k<=0 short-circuits without a
+    fan-out."""
+    from mee_ray.query import DistributedSearcher
+
+    ds = DistributedSearcher(built_index["index_root"], n_actors=2)
+    with pytest.raises(ValueError, match="store_positions"):
+        ds.search_phrase_prefix(["merge", "so"], k=10)
+
+
+def test_distributed_phrase_prefix_k_nonpositive(pos_index, ray_session):
+    from mee_ray.query import DistributedSearcher
+
+    ds = DistributedSearcher(pos_index["root"], n_actors=2)
+    assert ds.search_phrase_prefix(["merge", "so"], k=0) == []
+    assert ds.search_phrase_prefix(["merge", "so"], k=-3) == []
+
+
 def test_positions_pin_defaults_for_prefeature_manifests(built_index):
     """A manifest WITHOUT a store_positions key was built with the
     default (False): a positions-enabled delta config must be refused
