@@ -26,6 +26,13 @@ from mee_ray.config import EngineConfig, resolve_index_config
 from mee_ray.postings import varint_decode
 
 
+class CompactTargetExists(RuntimeError):
+    """The named compaction target is already a manifested epoch of a
+    different snapshot (typically: a racer published it first).  The
+    caller should re-read the manifest and re-evaluate — the delta log
+    it meant to fold is usually already folded."""
+
+
 def _part_of_file(path: str) -> int:
     """Partition number encoded in a segment file name (part-NNNNN.parquet).
     Base and delta segments are written by the same
@@ -208,6 +215,29 @@ def _compact_locked(index_root: str, new_epoch: str,
     if os.path.exists(fp_path):
         with open(fp_path) as f:
             old_fp = _json.load(f)
+    # Target-collision guards (checked AFTER taking the compact lock,
+    # against the freshly re-read manifest): a caller that named its
+    # target from a STALE manifest — e.g. two maybe_compact racers,
+    # where the loser's "next" epoch is the winner's already-published
+    # CURRENT — must never reach the debris-clearing rmtree below,
+    # which would gut a live epoch's segments/docs.
+    if new_epoch == old_epoch:
+        raise CompactTargetExists(
+            f"compaction target {new_epoch!r} IS the current epoch — "
+            "a concurrent compaction already published it; re-read the "
+            "manifest and re-evaluate")
+    alias_hits = [a for a, v in mf.load_aliases(index_root).items()
+                  if (v.get("epoch") if isinstance(v, dict) else v)
+                  == new_epoch]
+    if alias_hits:
+        # an alias-pinned epoch is a live read target even when it is
+        # not CURRENT — gutting it breaks those readers.  (A crashed
+        # UNPUBLISHED attempt can never be aliased, so legitimate
+        # retries — including ones where a new delta landed in between,
+        # which the fingerprint below re-encodes for — pass through.)
+        raise CompactTargetExists(
+            f"compaction target {new_epoch!r} is pinned by "
+            f"alias(es) {sorted(alias_hits)} — refusing to overwrite")
     if old_fp != fp:
         if os.listdir(new_segs) or os.listdir(new_docs):
             _shutil.rmtree(new_segs); _shutil.rmtree(new_docs)

@@ -146,6 +146,41 @@ def _overlay_rows(base: pa.Table, key: str, upserts: pa.Table | None,
     return base
 
 
+def _overlay_dataset(ds, sf_dir: str, table: str, key_col: str,
+                     cols: list, change, upsert_filter=None):
+    """Dataset-level LWW overlay — the distributed sibling of
+    :func:`_overlay_rows`, shared by the master and nested paths so
+    the drop/cast/union semantics cannot drift apart: drop base row
+    versions whose ``key_col`` is upserted or deleted, then union the
+    upsert after-images cast to the file schema.  ``upsert_filter``:
+    optional pa.Table → pa.Table applied to the upsert images before
+    the union (the nested path's affected-parents pushdown)."""
+    import pyarrow.dataset as pads
+
+    import ray.data
+    drop = set(change.delete_keys or ())
+    if change.upserts is not None:
+        drop |= set(change.upserts[key_col].to_pylist())
+    if drop:
+        da = sorted(drop)
+
+        def drop_changed(b: pa.Table, k=key_col, da=da) -> pa.Table:
+            return b.filter(pc.invert(pc.is_in(
+                b[k], value_set=pa.array(da, b[k].type))))
+
+        ds = ds.map_batches(drop_changed, batch_format="pyarrow")
+    if change.upserts is not None and change.upserts.num_rows:
+        fschema = pads.dataset(f"{sf_dir}/{table}.parquet",
+                               format="parquet").schema
+        ups = change.upserts.select(cols).cast(
+            pa.schema([fschema.field(c) for c in cols]))
+        if upsert_filter is not None:
+            ups = upsert_filter(ups)
+        if ups.num_rows:
+            ds = ds.union(ray.data.from_arrow(ups))
+    return ds
+
+
 def _lookup_maps(sf_dir: str, spec: DocSpec, overlays: dict | None = None
                  ) -> dict:
     """Small-side tables → {join_index: (keys sorted np, cols dict)}.
@@ -200,30 +235,15 @@ def _nested_maps(sf_dir: str, spec: DocSpec, overlays: dict | None = None,
         ds = ray.data.read_parquet(f"{sf_dir}/{n.table}.parquet",
                                    columns=cols, **read_kw)
         if ch is not None:
-            drop = set(ch.delete_keys or ())
-            if ch.upserts is not None:
-                drop |= set(ch.upserts[ch.child_key].to_pylist())
-            if drop:
-                drop_arr = sorted(drop)
-
-                def drop_changed(b: pa.Table, ck=ch.child_key,
-                                 da=drop_arr) -> pa.Table:
-                    return b.filter(pc.invert(pc.is_in(
-                        b[ck], value_set=pa.array(da, b[ck].type))))
-
-                ds = ds.map_batches(drop_changed, batch_format="pyarrow")
-            if ch.upserts is not None and ch.upserts.num_rows:
-                fschema = pads.dataset(f"{sf_dir}/{n.table}.parquet",
-                                       format="parquet").schema
-                ups = ch.upserts.select(cols).cast(
-                    pa.schema([fschema.field(c) for c in cols]))
-                if pf is not None:
-                    ups = ups.filter(pc.is_in(
+            parent_push = None
+            if pf is not None:
+                def parent_push(ups, n=n, pf=pf):
+                    return ups.filter(pc.is_in(
                         ups[n.parent_key],
                         value_set=pa.array(sorted(pf),
                                            ups[n.parent_key].type)))
-                if ups.num_rows:
-                    ds = ds.union(ray.data.from_arrow(ups))
+            ds = _overlay_dataset(ds, sf_dir, n.table, ch.child_key,
+                                  cols, ch, upsert_filter=parent_push)
 
         # one Python group per PARENT would be the measured-4×-slower
         # anti-pattern (see session_windows_events) — parents hash into
@@ -232,10 +252,19 @@ def _nested_maps(sf_dir: str, spec: DocSpec, overlays: dict | None = None,
         N_BUCKETS = 256
 
         def add_bucket(t: pa.Table, n=n) -> pa.Table:
-            pk = t[n.parent_key].to_numpy(zero_copy_only=False)
-            return t.append_column(
-                "__bucket",
-                pa.array((pk.astype(np.int64) % N_BUCKETS), pa.int64()))
+            if pa.types.is_integer(t[n.parent_key].type):
+                pk = t[n.parent_key].to_numpy(zero_copy_only=False)
+                b = pk.astype(np.int64) % N_BUCKETS
+            else:
+                # string (or other) parent keys: stable crc32 buckets —
+                # astype(int64) would raise in every rollup task
+                import zlib as _z
+                vals = t[n.parent_key].to_pylist()
+                b = np.fromiter(
+                    (_z.crc32(str(x).encode()) % N_BUCKETS
+                     for x in vals),
+                    dtype=np.int64, count=len(vals))
+            return t.append_column("__bucket", pa.array(b, pa.int64()))
 
         def rollup_bucket(g: pa.Table, n=n) -> pa.Table:
             parent = g[n.parent_key].to_numpy(zero_copy_only=False)
@@ -396,14 +425,19 @@ def build_documents(sf_dir: str, spec: DocSpec,
             pos_c = np.minimum(pos, max(0, len(keys) - 1))
             hit = (keys[pos_c] == probe) if len(keys) else \
                 np.zeros(len(probe), dtype=bool)
-            idx = pa.array(np.where(hit, pos_c, -1), pa.int64())
             for out_f, src in j.fields.items():
+                if len(keys) == 0:
+                    # empty lookup table (e.g. a SlaveChange deleted
+                    # every row): the documented missing ⇒ nulls
+                    # contract — take([0,...]) on a 0-row array would
+                    # raise ArrowIndexError in every task instead
+                    cols[out_f] = pa.nulls(len(probe), data[src].type)
+                    continue
                 taken = data[src].take(pa.array(
                     np.where(hit, pos_c, 0), pa.int64()))
                 cols[out_f] = pc.if_else(pa.array(hit), taken,
                                          pa.nulls(len(probe),
                                                   taken.type))
-            del idx
         if nested_ref is not None:
             nested = ray.get(nested_ref)
             mkeys = {n.master_key for n in spec.nested}
@@ -444,25 +478,8 @@ def build_documents(sf_dir: str, spec: DocSpec,
     if mch is not None:
         # master-table overlay: drop changed/deleted row versions from
         # the base read, union the upsert after-images
-        import pyarrow.dataset as pads
-        drop = set(mch.delete_keys or ())
-        if mch.upserts is not None:
-            drop |= set(mch.upserts[spec.key].to_pylist())
-        if drop:
-            drop_sorted = sorted(drop)
-
-            def drop_changed_master(b: pa.Table, k=spec.key,
-                                    da=drop_sorted) -> pa.Table:
-                return b.filter(pc.invert(pc.is_in(
-                    b[k], value_set=pa.array(da, b[k].type))))
-
-            ds = ds.map_batches(drop_changed_master, batch_format="pyarrow")
-        if mch.upserts is not None and mch.upserts.num_rows:
-            fschema = pads.dataset(f"{sf_dir}/{spec.master}.parquet",
-                                   format="parquet").schema
-            ups = mch.upserts.select(master_cols).cast(
-                pa.schema([fschema.field(c) for c in master_cols]))
-            ds = ds.union(ray.data.from_arrow(ups))
+        ds = _overlay_dataset(ds, sf_dir, spec.master, spec.key,
+                              master_cols, mch)
     return ds.map_batches(build, batch_format="pyarrow",
                           zero_copy_batch=True)
 
@@ -611,7 +628,11 @@ def apply_master_delta(sf_dir: str, spec: DocSpec, change: SlaveChange):
     upk = (set(change.upserts[spec.key].to_pylist())
            if change.upserts is not None else set())
     affected = upk | set(change.delete_keys or ())
-    deleted_schema = pa.schema([(spec.key, pa.int64())])
+    # master keys keep their table's own type (string keys are legal;
+    # hard-coding int64 made apply_master_delta crash on them)
+    key_type = pq.read_schema(
+        f"{sf_dir}/{spec.master}.parquet").field(spec.key).type
+    deleted_schema = pa.schema([(spec.key, key_type)])
     if not affected:
         return (build_documents(sf_dir, spec,
                                 _master_keep={spec.key: set()}),
@@ -641,7 +662,7 @@ def apply_master_delta(sf_dir: str, spec: DocSpec, change: SlaveChange):
                            _overlays={spec.master: change},
                            _master_keep={spec.key: affected},
                            _nested_parent_filter=nested_parents)
-    return docs, pa.table({spec.key: pa.array(deleted, pa.int64())})
+    return docs, pa.table({spec.key: pa.array(deleted, key_type)})
 
 
 def _expr_columns(expr: str) -> list[str]:

@@ -804,17 +804,37 @@ WHERE rank <= {TOP_K}
 """
 
 
+class _BroadcastStage:
+    """Shared base of the query-context actor stages (_SortByField,
+    _RangeAgg, _StatsAgg, _GroupTopHits): dereferences the per-query
+    broadcast ONCE per actor (a ray.put ref, or the plain dict in
+    direct/test use) into ``self.sets``, and centralizes the
+    sorted-membership probe — previously each stage hand-rolled the
+    searchsorted/clamp/compare idiom."""
+
+    def __init__(self, ref):
+        import ray
+        self.sets = ray.get(ref) \
+            if isinstance(ref, ray.ObjectRef) else ref
+
+    @staticmethod
+    def _probe(ids, sorted_ids):
+        """(clamped positions, membership mask) — mee_ray.ids rule."""
+        from mee_ray.ids import positions_in_sorted
+        return positions_in_sorted(ids, sorted_ids)
+
+
 class _FacetCounter:
     """Actor-pool facet stage: holds the per-query matched-id arrays
     (broadcast ONCE via ray.put — deserialized per actor, not per
     batch) and emits per-batch partial counts (query_id, lang, n) —
     bounded transport: ≤ queries × langs rows per batch, like the
-    sketch combiners."""
+    sketch combiners.  (Not a _BroadcastStage: it keeps ONLY arrow
+    value sets — holding the numpy dict too would double the actor's
+    resident copy of the broadcast.)"""
 
     def __init__(self, matched_ref):
         import ray
-        # keep ONLY the arrow value sets: holding the numpy dict too
-        # would double the actor's resident copy of the broadcast
         matched = ray.get(matched_ref) \
             if isinstance(matched_ref, ray.ObjectRef) else matched_ref
         self.value_sets = {qid: pa.array(ids, pa.int64())
@@ -1337,16 +1357,17 @@ WHERE rank <= {TOP_K}
 """
 
 
-class _CollapseStage:
-    """Actor-pool collapse stage: holds the per-query
-    (sorted engine ids, scores) arrays (broadcast ONCE) and emits
-    per-batch best-hit-per-(query, lang) partials — bounded transport:
-    ≤ queries × langs rows per batch (the _FacetCounter discipline)."""
+class _GroupTopHitsStage(_BroadcastStage):
+    """Actor-pool per-(query, lang) top-``k`` stage: holds the
+    per-query (sorted engine ids, scores) arrays (broadcast ONCE) and
+    emits per-batch best-k-per-group partials by (score desc, orig id
+    asc) — bounded transport: ≤ queries × langs × k rows per batch
+    (the _FacetCounter discipline).  ``k=1`` is field collapsing; the
+    top_hits aggregation uses k={TOP_HITS_PER_GROUP}."""
 
-    def __init__(self, scores_ref):
-        import ray
-        self.qs = ray.get(scores_ref) \
-            if isinstance(scores_ref, ray.ObjectRef) else scores_ref
+    def __init__(self, scores_ref, k: int = 1):
+        super().__init__(scores_ref)
+        self.k = int(k)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import numpy as np
@@ -1355,24 +1376,26 @@ class _CollapseStage:
         orig = np.array([_orig_id(p) for p in t["path"].to_pylist()],
                         dtype=np.int64)
         out_q, out_l, out_s, out_o = [], [], [], []
-        for qid, (sid, ssc) in self.qs.items():
-            if not len(sid):
-                continue
-            pos = np.searchsorted(sid, ids)
-            safe = np.minimum(pos, len(sid) - 1)
-            valid = sid[safe] == ids
+        for qid, (sid, ssc) in self.sets.items():
+            safe, valid = self._probe(ids, sid)
             if not valid.any():
                 continue
             sc, lg, og = ssc[safe[valid]], langs[valid], orig[valid]
             for lang in np.unique(lg):
                 m = lg == lang
-                j = np.lexsort((og[m], -sc[m]))[0]
-                out_q.append(qid); out_l.append(str(lang))
-                out_s.append(float(sc[m][j])); out_o.append(int(og[m][j]))
+                top = np.lexsort((og[m], -sc[m]))[:self.k]
+                for j in top:
+                    out_q.append(qid); out_l.append(str(lang))
+                    out_s.append(float(sc[m][j]))
+                    out_o.append(int(og[m][j]))
         return pa.table({"query_id": pa.array(out_q, pa.int64()),
                          "lang": pa.array(out_l, pa.string()),
                          "score": pa.array(out_s, pa.float64()),
                          "orig_id": pa.array(out_o, pa.int64())})
+
+
+# field collapsing = the k=1 special case of the group-top-hits stage
+_CollapseStage = _GroupTopHitsStage
 
 
 def bm25_collapse_documents(sf_dir: str):
@@ -2388,15 +2411,10 @@ matched AS (SELECT DISTINCT q.query_id, tok.doc_id
 SORT_TOP_K = 10
 
 
-class _SortByFieldStage:
+class _SortByFieldStage(_BroadcastStage):
     """Per-batch top-{SORT_TOP_K} partial per query, ordered by
     (n_chars desc, doc_id asc) — ≤ queries × k rows cross the wire
     per batch."""
-
-    def __init__(self, matched_ref):
-        import ray
-        self.sets = ray.get(matched_ref) \
-            if isinstance(matched_ref, ray.ObjectRef) else matched_ref
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import numpy as np
@@ -2404,10 +2422,7 @@ class _SortByFieldStage:
         nch = t["n_chars"].to_numpy(zero_copy_only=False)
         out_q, out_d, out_n = [], [], []
         for qid, sids in self.sets.items():
-            if not len(sids):
-                continue
-            pos = np.searchsorted(sids, ids)
-            hit = sids[np.minimum(pos, len(sids) - 1)] == ids
+            _, hit = self._probe(ids, sids)
             if not hit.any():
                 continue
             hid, hnc = ids[hit], nch[hit]
@@ -2471,14 +2486,9 @@ FROM ranked WHERE rank <= {SORT_TOP_K}
 RANGE_EDGES = (200, 350)  # buckets: [0,200) [200,350) [350,inf)
 
 
-class _RangeAggStage:
+class _RangeAggStage(_BroadcastStage):
     """Per-batch (query_id, bucket, n) partial counts — ≤ queries × 3
     rows per batch."""
-
-    def __init__(self, matched_ref):
-        import ray
-        self.sets = ray.get(matched_ref) \
-            if isinstance(matched_ref, ray.ObjectRef) else matched_ref
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import numpy as np
@@ -2486,10 +2496,7 @@ class _RangeAggStage:
         nch = t["n_chars"].to_numpy(zero_copy_only=False)
         out_q, out_b, out_n = [], [], []
         for qid, sids in self.sets.items():
-            if not len(sids):
-                continue
-            pos = np.searchsorted(sids, ids)
-            hit = sids[np.minimum(pos, len(sids) - 1)] == ids
+            _, hit = self._probe(ids, sids)
             if not hit.any():
                 continue
             bucket = np.digitize(nch[hit], RANGE_EDGES)
@@ -2552,14 +2559,9 @@ GROUP BY 1, 2
 """
 
 
-class _StatsAggStage:
+class _StatsAggStage(_BroadcastStage):
     """Per-batch (query_id, n, mn, mx, sm) partials — one row per
     query per batch."""
-
-    def __init__(self, matched_ref):
-        import ray
-        self.sets = ray.get(matched_ref) \
-            if isinstance(matched_ref, ray.ObjectRef) else matched_ref
 
     def __call__(self, t: pa.Table) -> pa.Table:
         import numpy as np
@@ -2567,10 +2569,7 @@ class _StatsAggStage:
         nch = t["n_chars"].to_numpy(zero_copy_only=False)
         out = {"query_id": [], "n": [], "mn": [], "mx": [], "sm": []}
         for qid, sids in self.sets.items():
-            if not len(sids):
-                continue
-            pos = np.searchsorted(sids, ids)
-            hit = sids[np.minimum(pos, len(sids) - 1)] == ids
+            _, hit = self._probe(ids, sids)
             if not hit.any():
                 continue
             v = nch[hit]
@@ -2619,8 +2618,12 @@ def bm25_stats_agg(sf_dir: str):
         "min_chars": pa.array([acc[q][1] for q in qids], pa.int64()),
         "max_chars": pa.array([acc[q][2] for q in qids], pa.int64()),
         "sum_chars": pa.array([acc[q][3] for q in qids], pa.int64()),
+        # floor(x+0.5): np.round is half-to-even but the oracle's SQL
+        # round() is half-away; ppm ≥ 0 so this IS half-away (the
+        # repo's exactness rule, relational.py percentile_ranks)
         "avg_chars_ppm": pa.array(
-            [int(np.round(1e6 * acc[q][3] / acc[q][0])) for q in qids],
+            [int(np.floor(1e6 * acc[q][3] / acc[q][0] + 0.5))
+             for q in qids],
             pa.int64())})
 
 
@@ -2646,43 +2649,8 @@ GROUP BY 1
 TOP_HITS_PER_GROUP = 2
 
 
-class _TopHitsStage:
-    """Per-batch top-{TOP_HITS_PER_GROUP} rows per (query, lang) by
-    (score desc, orig id asc) — the k>1 generalization of
-    _CollapseStage, same bounded-transport discipline."""
-
-    def __init__(self, scores_ref):
-        import ray
-        self.qs = ray.get(scores_ref) \
-            if isinstance(scores_ref, ray.ObjectRef) else scores_ref
-
-    def __call__(self, t: pa.Table) -> pa.Table:
-        import numpy as np
-        ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        langs = np.asarray(t["lang"].to_pylist(), dtype=object)
-        orig = np.array([_orig_id(p) for p in t["path"].to_pylist()],
-                        dtype=np.int64)
-        out_q, out_l, out_s, out_o = [], [], [], []
-        for qid, (sid, ssc) in self.qs.items():
-            if not len(sid):
-                continue
-            pos = np.searchsorted(sid, ids)
-            safe = np.minimum(pos, len(sid) - 1)
-            valid = sid[safe] == ids
-            if not valid.any():
-                continue
-            sc, lg, og = ssc[safe[valid]], langs[valid], orig[valid]
-            for lang in np.unique(lg):
-                m = lg == lang
-                top = np.lexsort((og[m], -sc[m]))[:TOP_HITS_PER_GROUP]
-                for j in top:
-                    out_q.append(qid); out_l.append(str(lang))
-                    out_s.append(float(sc[m][j]))
-                    out_o.append(int(og[m][j]))
-        return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                         "lang": pa.array(out_l, pa.string()),
-                         "score": pa.array(out_s, pa.float64()),
-                         "orig_id": pa.array(out_o, pa.int64())})
+# the top_hits aggregation's stage IS _GroupTopHitsStage with
+# k=TOP_HITS_PER_GROUP (see bm25_top_hits)
 
 
 def bm25_top_hits(sf_dir: str):
@@ -2709,7 +2677,8 @@ def bm25_top_hits(sf_dir: str):
     files = mf.docs_files(root, mf.current_epoch(root))
     parts = ray.data.read_parquet(files,
                                   columns=["doc_id", "lang", "path"]) \
-        .map_batches(_TopHitsStage, fn_constructor_args=[ref],
+        .map_batches(_GroupTopHitsStage,
+                     fn_constructor_args=[ref, TOP_HITS_PER_GROUP],
                      batch_format="pyarrow", concurrency=(1, 4))
     best: dict[tuple[int, str], list[tuple[float, int]]] = {}
     for b in parts.iter_batches(batch_format="pyarrow"):

@@ -2218,7 +2218,9 @@ def q14_promo_revenue(sf_dir: str):
            .aggregate(Sum("promo_cents", alias_name="promo_cents"),
                       Sum("total_cents", alias_name="total_cents")))
     pc_, tc = int(agg["promo_cents"] or 0), int(agg["total_cents"] or 0)
-    share = int(np.round(1e6 * 100.0 * pc_ / tc)) if tc else 0
+    # floor(x+0.5) = the oracle's half-away round() for this ≥ 0 ratio
+    # (np.round is half-to-even — the percentile_ranks exactness rule)
+    share = int(np.floor(1e6 * 100.0 * pc_ / tc + 0.5)) if tc else 0
     return pa.table({"promo_cents": pa.array([pc_], pa.int64()),
                      "total_cents": pa.array([tc], pa.int64()),
                      "promo_share_ppm": pa.array([share], pa.int64())})
@@ -3332,12 +3334,21 @@ def q5_local_supplier_volume(sf_dir: str):
                 aggregator_ray_remote_args={"num_cpus": 0.5})
 
     def local_partial(t: pa.Table) -> pa.Table:
+        from mee_ray.ids import positions_in_sorted
         ck_, cn_, sk_, sn_, nk_ = ray.get(dim_ref)
+        if ck_.size == 0 or sk_.size == 0:
+            return pa.table({"nationkey": pa.array([], pa.int64()),
+                             "cents": pa.array([], pa.int64())})
         cust = t["o_custkey"].to_numpy(zero_copy_only=False)
         supp = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        cnat = cn_[np.searchsorted(ck_, cust)]
-        snat = sn_[np.searchsorted(sk_, supp)]
-        keep = (cnat == snat) & np.isin(cnat, nk_)
+        # checked probes (inner-join semantics): a dangling key drops
+        # the row, never credits the lexically nearest customer /
+        # supplier's nation (and an out-of-range key cannot IndexError)
+        cpos, chit = positions_in_sorted(cust, ck_)
+        spos, shit = positions_in_sorted(supp, sk_)
+        cnat = cn_[cpos]
+        snat = sn_[spos]
+        keep = chit & shit & (cnat == snat) & np.isin(cnat, nk_)
         if not keep.any():
             return pa.table({"nationkey": pa.array([], pa.int64()),
                              "cents": pa.array([], pa.int64())})
@@ -3834,12 +3845,12 @@ def q9_product_profit(sf_dir: str):
     dim_ref = ray.put((pk, s_keys, s_nk))
 
     def li_partial(t: pa.Table) -> pa.Table:
+        from mee_ray.ids import positions_in_sorted
         keys, skeys, snk = ray.get(dim_ref)
+        if skeys.size == 0:
+            keys = keys[:0]      # no suppliers ⇒ no joinable rows
         lp = t["l_partkey"].to_numpy(zero_copy_only=False)
-        pos = np.clip(np.searchsorted(keys, lp), 0, max(0, len(keys) - 1))
-        ok = len(keys) > 0 and keys[pos] == lp
-        if np.isscalar(ok):        # len(keys) == 0 → all False
-            ok = np.zeros(len(lp), dtype=bool)
+        _, ok = positions_in_sorted(lp, keys)
         t = t.filter(pa.array(ok))
         half_away = pc.RoundOptions(round_mode="half_towards_infinity")
         cents = pc.cast(pc.round(pc.multiply(pc.multiply(
@@ -3847,11 +3858,15 @@ def q9_product_profit(sf_dir: str):
             pc.subtract(pa.scalar(1.0), t["l_discount"])),
             pa.scalar(100.0)), options=half_away), pa.int64())
         sup_k = t["l_suppkey"].to_numpy(zero_copy_only=False)
-        spos = np.clip(np.searchsorted(skeys, sup_k),
-                       0, max(0, len(skeys) - 1))
-        return pa.table({"l_orderkey": t["l_orderkey"],
-                         "nat_k": pa.array(snk[spos], pa.int64()),
-                         "cents": cents})
+        # checked probe: a dangling l_suppkey drops (inner join), it
+        # must not inherit the nearest supplier's nation
+        spos, sok = positions_in_sorted(sup_k, skeys)
+        out = pa.table({"l_orderkey": t["l_orderkey"],
+                        "nat_k": pa.array(snk[spos], pa.int64()),
+                        "cents": cents})
+        if not sok.all():
+            out = out.filter(pa.array(sok))
+        return out
 
     li = (_read(sf_dir, "lineitem",
                 ["l_orderkey", "l_partkey", "l_suppkey",

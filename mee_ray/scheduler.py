@@ -39,7 +39,7 @@ from dataclasses import dataclass
 
 from mee_ray import manifest as mf
 from mee_ray.config import EngineConfig
-from mee_ray.merge import compact
+from mee_ray.merge import CompactTargetExists, compact
 
 
 @dataclass(frozen=True)
@@ -114,9 +114,15 @@ def maybe_compact(index_root: str, cfg: EngineConfig | None = None,
     decision, reason = should_compact(manifest, policy)
     if not decision:
         return None
-    # cfg=None → compact reconstructs the config from the manifest
-    out = compact(index_root, _next_epoch_name(manifest),
-                  cfg, gc_old=policy.gc_old)
+    try:
+        # cfg=None → compact reconstructs the config from the manifest
+        out = compact(index_root, _next_epoch_name(manifest),
+                      cfg, gc_old=policy.gc_old)
+    except CompactTargetExists:
+        # a concurrent scheduler step beat us to the same target name:
+        # the delta log this step meant to fold is already folded (or
+        # folding under the lock we just released) — nothing to do
+        return None
     out["compact_reason"] = reason
     return out
 

@@ -287,44 +287,144 @@ class VectorSearcher:
         return [(int(ids[i]), float(sc[i])) for i in order]
 
 
+def _merge_clusters(root: str, m: dict, new_epoch: str) -> dict:
+    """Per-cluster local merge of one manifest SNAPSHOT into
+    ``new_epoch``'s clusters dir.  Each delta adds file is read ONCE
+    and its rows grouped by cluster up front (the old per-cluster
+    ``_cluster_rows`` loop re-read every adds file once per cluster —
+    O(clusters × delta files) parquet reads).  Returns per-cluster
+    live counts."""
+    searcher = VectorSearcher.__new__(VectorSearcher)
+    searcher.root, searcher.m = root, m
+    ti, ts = searcher._tombstone_index()
+
+    clusters = {int(c) for c in m["cluster_counts"]}
+    # (seq, ids, mat) per cluster, one read per adds file
+    delta_by_cluster: dict[int, list] = {}
+    for d in m["deltas"]:
+        t = pq.read_table(d["adds"])
+        if not t.num_rows:
+            continue
+        cl_arr = t["cluster"].to_numpy(zero_copy_only=False)
+        ids, mat = _read_vecs(t.drop_columns(["cluster"]))
+        for cl in np.unique(cl_arr):
+            sel = cl_arr == cl
+            delta_by_cluster.setdefault(int(cl), []).append(
+                (d["seq"], ids[sel], mat[sel]))
+            clusters.add(int(cl))
+
+    cdir = os.path.join(_edir(root, new_epoch), "clusters")
+    os.makedirs(cdir, exist_ok=True)
+    per_cluster = {}
+    for cl in sorted(clusters):
+        parts = []
+        base = os.path.join(_edir(root, m["epoch"]), "clusters",
+                            f"cluster-{cl:05d}.parquet")
+        if os.path.exists(base):
+            ids, mat = _read_vecs(pq.read_table(base))
+            parts.append((0, ids, mat))
+        parts.extend(delta_by_cluster.get(cl, ()))
+        ids_l, mat_l = [], []
+        for src, ids, mat in parts:
+            keep = mf.live_posting_mask(ids, src, ti, ts)
+            if keep.any():
+                ids_l.append(ids[keep])
+                mat_l.append(mat[keep])
+        dst = os.path.join(cdir, f"cluster-{cl:05d}.parquet")
+        if not ids_l:
+            # a catch-up pass can kill EVERY row of a cluster file a
+            # prior pass already wrote into the new dir — leaving it
+            # would resurrect those rows (the new epoch carries no
+            # tombstones)
+            if os.path.exists(dst):
+                os.remove(dst)
+            continue
+        ids = np.concatenate(ids_l)
+        mat = np.vstack(mat_l)
+        order = np.argsort(ids, kind="stable")
+        tmp = dst + f".tmp.{os.getpid()}"
+        pq.write_table(_cluster_table(ids[order], mat[order]), tmp)
+        os.replace(tmp, dst)
+        per_cluster[cl] = int(len(ids))
+    return per_cluster
+
+
 def compact_vector_index(root: str, new_epoch: str) -> dict:
     """Fold the delta log into ``new_epoch``: per-cluster local merge
     (each cluster's base file + the delta adds routed to it, minus
     tombstoned rows), centroids carried over unchanged.  Cluster set =
     base clusters ∪ delta-routed clusters, so adds landing in an
     empty cluster still materialize (the text compactor's
-    delta-only-partition rule)."""
-    m = _load(root)
-    old = m["epoch"]
-    ti = ts = None
-    searcher = VectorSearcher(root, old)
-    ti, ts = searcher._tomb
+    delta-only-partition rule).
 
-    clusters = {int(c) for c in m["cluster_counts"]}
-    for d in m["deltas"]:
-        t = pq.read_table(d["adds"], columns=["cluster"])
-        clusters.update(int(c) for c in set(t["cluster"].to_pylist()))
-
-    cdir = os.path.join(_edir(root, new_epoch), "clusters")
-    os.makedirs(cdir, exist_ok=True)
-    per_cluster = {}
-    for cl in sorted(clusters):
-        ids, mat = searcher._cluster_rows(cl)
-        if not len(ids):
-            continue
-        order = np.argsort(ids, kind="stable")
-        dst = os.path.join(cdir, f"cluster-{cl:05d}.parquet")
-        tmp = dst + f".tmp.{os.getpid()}"
-        pq.write_table(_cluster_table(ids[order], mat[order]), tmp)
-        os.replace(tmp, dst)
-        per_cluster[cl] = int(len(ids))
-
-    m2 = {"format": m["format"], "n_clusters": m["n_clusters"],
-          "dim": m["dim"], "centroids": m["centroids"],
-          "cluster_counts": {str(k): v
-                             for k, v in sorted(per_cluster.items())},
-          "n_vectors": int(sum(per_cluster.values())),
-          "deltas": [], "compacted_from": old}
-    _write_manifest(root, new_epoch, m2)
-    mf.publish(root, new_epoch)
+    Concurrency discipline (the text compactor's, via the SAME lock
+    files): the whole run holds ``mf.compact_lock`` so two compactors
+    can't interleave writes into one target dir, and the publish step
+    holds ``mf.write_lock`` with a catch-up loop — a vector delta that
+    landed on the predecessor between our snapshot and the flip is
+    re-folded before CURRENT moves, never silently dropped
+    (apply_vector_delta serializes through the same write lock)."""
+    with mf.compact_lock(root):
+        m = _load(root)
+        old = m["epoch"]
+        if new_epoch == old:
+            raise ValueError(
+                f"vector compaction target {new_epoch!r} IS the "
+                "current epoch — a concurrent compaction already "
+                "published it")
+        if os.path.isfile(_manifest_path(root, new_epoch)):
+            raise ValueError(
+                f"vector compaction target {new_epoch!r} is an "
+                "existing manifested epoch — refusing to overwrite")
+        # clear crashed-attempt debris: a stale cluster file for a
+        # cluster this snapshot doesn't produce would resurrect rows
+        shutil.rmtree(os.path.join(_edir(root, new_epoch), "clusters"),
+                      ignore_errors=True)
+        per_cluster = _merge_clusters(root, m, new_epoch)
+        _finalize_vector_compact(root, m, new_epoch, per_cluster,
+                                 consumed=len(m["deltas"]))
     return _load(root, new_epoch)
+
+
+def _finalize_vector_compact(root: str, m: dict, new_epoch: str,
+                             per_cluster: dict, consumed: int) -> None:
+    """Locked publish with catch-up: any delta record appended to the
+    predecessor after the merge's snapshot (``consumed`` records) is
+    folded onto the half-built new epoch before CURRENT flips —
+    apply_vector_delta serializes through the same write lock, so a
+    record either lands before the flip (replayed here) or targets the
+    new CURRENT."""
+    old = m["epoch"]
+    with mf.write_lock(root):
+        while True:
+            cur = _load(root, old)
+            extra = cur["deltas"][consumed:]
+            if not extra:
+                break
+            # tombstones of already-folded rows apply to source 0 =
+            # the merged base, which any catch-up seq kills
+            snap = dict(cur)
+            snap["deltas"] = extra
+            per_cluster = _merge_vector_catchup(root, snap, new_epoch,
+                                                per_cluster)
+            consumed += len(extra)
+        m2 = {"format": m["format"], "n_clusters": m["n_clusters"],
+              "dim": m["dim"], "centroids": m["centroids"],
+              "cluster_counts": {str(k): v for k, v in
+                                 sorted(per_cluster.items())},
+              "n_vectors": int(sum(per_cluster.values())),
+              "deltas": [], "compacted_from": old}
+        _write_manifest(root, new_epoch, m2)
+        mf.publish(root, new_epoch)
+
+
+def _merge_vector_catchup(root: str, snap: dict, new_epoch: str,
+                          per_cluster: dict) -> dict:
+    """Fold late-landing delta records onto the HALF-BUILT new epoch:
+    the new epoch's cluster files act as source 0 and the extra
+    records keep their relative order (their tombstones kill any
+    already-merged copy)."""
+    m = dict(snap)
+    m["epoch"] = new_epoch          # read base rows from the NEW dir
+    m["cluster_counts"] = {str(k): v for k, v in per_cluster.items()}
+    return _merge_clusters(root, m, new_epoch)

@@ -282,3 +282,65 @@ def test_apply_master_delta_filter_boundary(ray_session):
     # wrong-table guard
     with pytest.raises(Exception, match="spec master"):
         apply_master_delta(SF, spec, SlaveChange("nation"))
+
+
+def test_empty_lookup_table_yields_all_nulls(ray_session, tmp_path):
+    """A join against an EMPTY slave table (zero rows on disk, or a
+    SlaveChange that deleted every row) must emit all-null join fields
+    per the missing ⇒ nulls contract — not ArrowIndexError from
+    take([0,...]) on a 0-row array."""
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.docbuild import SlaveChange
+
+    d = tmp_path
+    pq.write_table(pa.table({"mk": pa.array([1, 2], pa.int64()),
+                             "v": pa.array(["a", "b"])}),
+                   str(d / "master.parquet"))
+    pq.write_table(pa.table({"jk": pa.array([], pa.int64()),
+                             "name": pa.array([], pa.string())}),
+                   str(d / "side.parquet"))
+    spec = DocSpec(master="master", key="mk",
+                   mappings={"mk_out": "mk"},
+                   joins=(JoinSpec("side", "jk", "mk",
+                                   {"side_name": "name"}),))
+    df = build_documents(str(d), spec).to_pandas()
+    assert sorted(df["mk_out"]) == [1, 2]
+    assert df["side_name"].isna().all()
+
+    # same via an overlay that deletes the only slave row
+    pq.write_table(pa.table({"jk": pa.array([1], pa.int64()),
+                             "name": pa.array(["one"])}),
+                   str(d / "side.parquet"))
+    df2 = build_documents(
+        str(d), spec,
+        _overlays={"side": SlaveChange("side", delete_keys=(1,))}
+    ).to_pandas()
+    assert df2["side_name"].isna().all()
+
+
+def test_nested_string_parent_key_buckets(ray_session, tmp_path):
+    """String parent keys must bucket (crc32), not crash in
+    astype(int64)."""
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.docbuild import NestedSpec
+
+    d = tmp_path
+    pq.write_table(pa.table({"mk": pa.array(["alpha", "beta"]),
+                             "v": pa.array([1, 2], pa.int64())}),
+                   str(d / "master.parquet"))
+    pq.write_table(pa.table({
+        "pk": pa.array(["alpha", "alpha", "beta"]),
+        "cid": pa.array([1, 2, 3], pa.int64()),
+        "val": pa.array(["x", "y", "z"])}),
+        str(d / "kids.parquet"))
+    spec = DocSpec(master="master", key="mk",
+                   mappings={"mk_out": "mk"},
+                   nested=(NestedSpec("kids", "pk", "mk", ("val",),
+                                      out="children", order_by="cid"),))
+    df = build_documents(str(d), spec).to_pandas()
+    rows = {r["mk_out"]: r["children"]
+            for r in df.to_dict(orient="records")}
+    assert [c["val"] for c in rows["alpha"]] == ["x", "y"]
+    assert [c["val"] for c in rows["beta"]] == ["z"]

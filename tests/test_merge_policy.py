@@ -166,3 +166,41 @@ def test_fsck_repair_debris(built_index, ray_session, tmp_path):
     assert rep2["removed"] == [] and rep2["sidecars_rebuilt"] == []
     # full fsck still green
     assert mf.fsck(root)["ok"]
+
+
+def test_compact_refuses_stale_target(built_index, ray_session,
+                                      tmp_path):
+    """The racer guard: a compactor that named its target from a STALE
+    manifest (the target is now the published CURRENT, or any other
+    manifested epoch) must refuse with CompactTargetExists — the old
+    behavior rmtree'd the live epoch's segments.  maybe_compact treats
+    the refusal as 'already folded' and returns None."""
+    from mee_ray import manifest as mf
+    from mee_ray.delta import apply_delta
+    from mee_ray.merge import CompactTargetExists, compact
+
+    root = str(tmp_path / "index")
+    shutil.copytree(built_index["index_root"], root)
+    old_epoch = mf.load_manifest(root)["epoch"]
+    apply_delta(_to_table([
+        _event(1, "INSERT", "r_pol", "new.py", "a" * 40,
+               "def policy_probe():\n    return 1\n")]), root)
+
+    compact(root, "ep_race")
+    cur = mf.load_manifest(root)
+    assert cur["epoch"] == "ep_race"
+    # target IS the current epoch (the exact maybe_compact race shape)
+    with pytest.raises(CompactTargetExists, match="IS the current"):
+        compact(root, "ep_race")
+    # live epoch untouched: still queryable, fsck clean
+    assert mf.fsck(root, verify_hashes=False)["ok"]
+    # target pinned by an alias: a live read target even though it is
+    # no longer CURRENT — must refuse, never gut it
+    apply_delta(_to_table([_event(2, "INSERT", "r_pol", "new2.py",
+                                  "b" * 40,
+                                  "def probe_two():\n    return 2\n")]),
+                root)
+    mf.set_alias(root, "prev", old_epoch)
+    with pytest.raises(CompactTargetExists, match="alias"):
+        compact(root, old_epoch)
+    assert mf.fsck(root, verify_hashes=False)["ok"]

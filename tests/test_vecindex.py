@@ -114,3 +114,88 @@ def test_delta_upsert_delete_and_compact(vec_index, ray_session):
         assert s2.search(q, k=10, nprobe=N_CLUSTERS) == \
             s.search(q, k=10, nprobe=N_CLUSTERS)
     assert s2.m["n_vectors"] == len(base)
+
+
+def _mk_index(tmp_path, rng, n=40, dim=8, n_clusters=4):
+    import ray.data
+
+    from mee_ray.vecindex import build_vector_index
+
+    root = str(tmp_path / "vecidx")
+    ids = np.arange(n, dtype=np.int64)
+    mat = rng.normal(size=(n, dim))
+    t = pa.table({"vec_id": pa.array(ids),
+                  "embedding": pa.array([list(map(float, r))
+                                         for r in mat],
+                                        pa.list_(pa.float64()))})
+    build_vector_index(ray.data.from_arrow(t), root, "ep1",
+                       n_clusters=n_clusters)
+    return root, {int(i): mat[i] for i in ids}, dim
+
+
+def test_vector_compact_catchup_folds_late_delta(ray_session, tmp_path):
+    """A delta record appended to the predecessor AFTER the merge's
+    snapshot (simulated mid-compaction landing) is folded by the
+    locked publish step — never silently dropped."""
+    from mee_ray import manifest as mf
+    from mee_ray.vecindex import (VectorSearcher, _finalize_vector_compact,
+                                  _load, _merge_clusters,
+                                  apply_vector_delta)
+
+    rng = np.random.default_rng(17)
+    root, base, dim = _mk_index(tmp_path, rng)
+
+    ev1 = pa.table({"op": pa.array(["DELETE"]),
+                    "vec_id": pa.array([0], pa.int64()),
+                    "embedding": pa.array([None], pa.list_(pa.float64()))})
+    apply_vector_delta(ev1, root)
+    del base[0]
+
+    # merge from a snapshot holding only delta 1 ...
+    snap = _load(root)
+    per_cluster = _merge_clusters(root, snap, "ep2")
+    # ... then a second delta lands before the publish
+    v_new = rng.normal(size=dim)
+    ev2 = pa.table({
+        "op": pa.array(["UPSERT", "DELETE"]),
+        "vec_id": pa.array([999, 1], pa.int64()),
+        "embedding": pa.array([list(map(float, v_new)), None],
+                              pa.list_(pa.float64()))})
+    apply_vector_delta(ev2, root)
+    base[999] = v_new
+    del base[1]
+
+    _finalize_vector_compact(root, snap, "ep2", per_cluster,
+                             consumed=len(snap["deltas"]))
+    assert mf.current_epoch(root) == "ep2"
+    s = VectorSearcher(root)
+    assert not s.m["deltas"]
+    assert s.m["n_vectors"] == len(base)
+    got = s.search(v_new, k=len(base) + 5, nprobe=4)
+    ids = {d for d, _ in got}
+    assert 999 in ids and 0 not in ids and 1 not in ids
+    q = rng.normal(size=dim)
+    want = _brute(base, q, 10)
+    got2 = s.search(q, k=10, nprobe=4)
+    assert [(d, round(x, 12)) for d, x in got2] == \
+        [(d, round(x, 12)) for d, x in want]
+
+
+def test_vector_compact_refuses_current_target(ray_session, tmp_path):
+    """The stale-racer guard: compacting into the epoch that IS
+    CURRENT (or any manifested epoch) must refuse, never rmtree it."""
+    import pytest as _pytest
+
+    from mee_ray.vecindex import apply_vector_delta, compact_vector_index
+
+    rng = np.random.default_rng(18)
+    root, base, dim = _mk_index(tmp_path, rng)
+    ev = pa.table({"op": pa.array(["DELETE"]),
+                   "vec_id": pa.array([2], pa.int64()),
+                   "embedding": pa.array([None], pa.list_(pa.float64()))})
+    apply_vector_delta(ev, root)
+    with _pytest.raises(ValueError, match="IS the current"):
+        compact_vector_index(root, "ep1")
+    compact_vector_index(root, "ep2")
+    with _pytest.raises(ValueError, match="existing manifested"):
+        compact_vector_index(root, "ep1")
