@@ -129,12 +129,18 @@ def _mf_alias_filter(index_root: str, name: str):
 
 
 def _init_ray(num_cpus: int | None):
+    import os as _os
+
     import ray
 
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False,
+        # honor RAY_ADDRESS (ray job submit to a running cluster);
+        # hard-coding "local" would silently spin up a private
+        # one-node Ray on the head node with the workers idle
+        kwargs = {"address": _os.environ.get("RAY_ADDRESS", "local"),
+                  "include_dashboard": False,
                   "logging_level": "ERROR"}
-        if num_cpus:
+        if num_cpus and kwargs["address"] == "local":
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     import ray.data
@@ -501,8 +507,13 @@ def main(argv: list[str] | None = None) -> int:
                                           min_match=args.min_match)
             elif args.after is not None:
                 d, _, sc = args.after.partition(":")
-                hits = s.search_after(terms, size=args.k,
-                                      after=(int(d), float(sc)))
+                try:
+                    cursor = (int(d), float(sc))
+                except ValueError:
+                    raise SystemExit(
+                        f"--after must be 'doc_id:score', got "
+                        f"{args.after!r}")
+                hits = s.search_after(terms, size=args.k, after=cursor)
             elif distributed:
                 hits = s.search(terms, args.k, mode=args.mode,
                                 operator=args.operator)
@@ -881,6 +892,9 @@ def main(argv: list[str] | None = None) -> int:
 
         from mee_ray import manifest as mf
         epoch = mf.current_epoch(args.index)
+        if epoch is None:
+            raise SystemExit(f"no CURRENT epoch in {args.index!r} — "
+                             "nothing published yet")
         path = os.path.join(mf.epoch_dir(args.index, epoch), "metrics.json")
         with open(path) as f:
             print(json.dumps(json.load(f)))

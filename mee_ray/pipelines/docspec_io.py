@@ -141,7 +141,10 @@ def docspec_from_dict(d: dict, origin: str = "<dict>") -> DocSpec:
             raise IllegalDocSpec(f"{where}: 'fields' must be a non-empty "
                                  f"list of child column names")
         limit = n.get("limit", 50)
-        if not isinstance(limit, int) or limit <= 0:
+        # bool is an int subclass: `limit: true` must not silently
+        # become limit=1
+        if not isinstance(limit, int) or isinstance(limit, bool) \
+                or limit <= 0:
             raise IllegalDocSpec(f"{where}: 'limit' must be a positive "
                                  f"integer, got {limit!r}")
         order_by = n.get("order_by")

@@ -375,7 +375,13 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.2):
 
 
 class SimHashStage(TextStats):
-    """64-bit SimHash per doc from token hashes (stable crc-based)."""
+    """SimHash per doc from token hashes (stable crc-based).
+
+    Effective width is 63 bits: bit 63 is masked off so the signature
+    fits a non-negative int64 parquet column (and the banding shifts
+    stay sign-free).  A bit-63-only difference therefore reads as
+    hamming 0 — one bit of discrimination traded for the simple
+    storage type, well inside the sketch's approximate contract."""
 
     def simhash(self, text: str) -> int:
         import zlib

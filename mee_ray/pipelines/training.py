@@ -113,7 +113,11 @@ def corpus_to_training_shards(sf_dir: str) -> pa.Table:
     kept = cur.map_batches(drop_non_reps, batch_format="pyarrow",
                            zero_copy_batch=True)
 
-    out_dir = f"/tmp/mee_export/train_{abs(hash(sf_dir)) % (1 << 32):08x}"
+    # crc32, NOT Python hash(): str hashing is per-process salted, so
+    # hash() would mint a fresh /tmp dir every run — leaking exports
+    # and making the _SUCCESS resume markers unreachable on retry
+    import zlib as _zlib
+    out_dir = f"/tmp/mee_export/train_{_zlib.crc32(sf_dir.encode()):08x}"
     shutil.rmtree(out_dir, ignore_errors=True)
     summary = export_training_shards(kept, out_dir, n_shards=_N_SHARDS)
     return summary.select(["shard", "n_docs"])

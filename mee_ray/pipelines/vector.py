@@ -53,14 +53,33 @@ def _load_queries(sf_dir: str, n_queries: int
     return q_ids[order], _unit(q_mat[order])
 
 
+def _local_topk(cand_ids: np.ndarray, cand_s: np.ndarray, k: int
+                ) -> tuple[np.ndarray, np.ndarray]:
+    """Tie-aware per-batch top-k by (sim desc, neighbor_id asc) — the
+    kernel every ANN variant's batch stage shares.  Plain argpartition
+    keeps an ARBITRARY subset among equal boundary sims, which can
+    drop the lowest-id neighbor the global tie-break would rank; the
+    local cut must order by the SAME key as the global merge."""
+    if len(cand_ids) > k:
+        top = np.lexsort((cand_ids, -cand_s))[:k]
+        return cand_ids[top], cand_s[top]
+    return cand_ids, cand_s
+
+
 def _rank_merge(partials, k: int) -> pa.Table:
     """Driver merge shared by the ANN family: per-batch (query_id,
     neighbor_id, sim) top-k partials → global (query_id, rank,
     neighbor_id) under the (sim desc, neighbor_id asc) tie-break.
     Transport is bounded at batches × queries × k rows."""
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64())})
+    # `or [empty]`: every batch can legitimately produce zero rows
+    # (e.g. a filter label absent from the table) and
+    # pa.concat_tables([]) raises instead of returning empty
     all_rows = pa.concat_tables(
         list(partials.iter_batches(batch_format="pyarrow",
-                                   batch_size=1 << 20)))
+                                   batch_size=1 << 20)) or [empty])
     qs = all_rows["query_id"].to_numpy(zero_copy_only=False)
     ns = all_rows["neighbor_id"].to_numpy(zero_copy_only=False)
     ss = all_rows["sim"].to_numpy(zero_copy_only=False)
@@ -81,7 +100,6 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
     Output: (query_id, rank, neighbor_id) — rank-only so the oracle
     compare is integer-stable."""
     import ray
-    import pyarrow.parquet as pq
 
     q_ids, q_mat = _load_queries(sf_dir, n_queries)
     ref = ray.put((q_ids, q_mat))
@@ -95,13 +113,7 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
             s = sims[:, qi]
             mask = ids != qids[qi]  # exclude self
             cand_ids, cand_s = ids[mask], s[mask]
-            if len(cand_ids) > k:
-                # tie-aware local top-k: plain argpartition keeps an
-                # ARBITRARY subset among equal boundary sims, which can
-                # drop the lowest-id neighbor the global (sim desc, id)
-                # tie-break would rank — order by the same key here
-                top = np.lexsort((cand_ids, -cand_s))[:k]
-                cand_ids, cand_s = cand_ids[top], cand_s[top]
+            cand_ids, cand_s = _local_topk(cand_ids, cand_s, k)
             out_q.extend([qids[qi]] * len(cand_ids))
             out_n.extend(cand_ids.tolist())
             out_s.extend(cand_s.tolist())
@@ -311,7 +323,6 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     Rows-only (approximate by design); recall vs the exact path is
     asserted in tests."""
     import ray
-    import pyarrow.parquet as pq
 
     # quantizer fits on a bounded sample; queries come from a pruned
     # row-filtered read — the full table is only ever streamed through
@@ -334,13 +345,7 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
         out_q, out_n, out_s = [], [], []
         for qi in range(len(qids)):
             in_probe = np.isin(clusters, list(psets[qi])) & (ids != qids[qi])
-            cid, cs = ids[in_probe], sims[in_probe, qi]
-            if len(cid) > k:
-                # tie-aware local top-k (same key as the global merge)
-                # — argpartition keeps an ARBITRARY subset among equal
-                # boundary sims, making output depend on Ray batching
-                top = np.lexsort((cid, -cs))[:k]
-                cid, cs = cid[top], cs[top]
+            cid, cs = _local_topk(ids[in_probe], sims[in_probe, qi], k)
             out_q.extend([qids[qi]] * len(cid))
             out_n.extend(cid.tolist())
             out_s.extend(cs.tolist())
@@ -409,7 +414,6 @@ def ann_sq_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     asserted in tests (rows-only for the driver — approximate by
     design)."""
     import ray
-    import pyarrow.parquet as pq
 
     # fit the quantizer on a bounded sample (never the full table)
     head = _read_emb(sf_dir).take_batch(4096, batch_format="pyarrow")
@@ -433,9 +437,7 @@ def ann_sq_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
             s = sims[:, qi]
             mask = ids != qids[qi]
             cand_ids, cand_s = ids[mask], s[mask]
-            if len(cand_ids) > k:
-                top = np.lexsort((cand_ids, -cand_s))[:k]
-                cand_ids, cand_s = cand_ids[top], cand_s[top]
+            cand_ids, cand_s = _local_topk(cand_ids, cand_s, k)
             out_q.extend([qids[qi]] * len(cand_ids))
             out_n.extend(cand_ids.tolist())
             out_s.extend(cand_s.tolist())
@@ -499,7 +501,6 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     contract as knn_bruteforce; approximate by design (rows-only for
     the driver, recall floor asserted in tests)."""
     import ray
-    import pyarrow.parquet as pq
 
     head = _read_emb(sf_dir).take_batch(4096, batch_format="pyarrow")
     _, sample = _emb_matrix(head)
@@ -524,9 +525,7 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
             s = sims[qi]
             mask = ids != qids[qi]
             cand_ids, cand_s = ids[mask], s[mask]
-            if len(cand_ids) > k:
-                top = np.lexsort((cand_ids, -cand_s))[:k]
-                cand_ids, cand_s = cand_ids[top], cand_s[top]
+            cand_ids, cand_s = _local_topk(cand_ids, cand_s, k)
             out_q.extend([qids[qi]] * len(cand_ids))
             out_n.extend(cand_ids.tolist())
             out_s.extend(cand_s.tolist())
@@ -553,7 +552,6 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     stage.  Approximate by design — recall floor asserted in tests,
     rows-only for the driver."""
     import ray
-    import pyarrow.parquet as pq
 
     # ONE bounded prefix read feeds both fits; assignment reuses the
     # already-normalized sample (ivf.assign would re-normalize)
@@ -588,9 +586,7 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
             in_probe = (np.isin(clusters, list(psets[qi]))
                         & (ids != qids[qi]))
             cand_ids, cand_s = ids[in_probe], s[in_probe]
-            if len(cand_ids) > k:
-                top = np.lexsort((cand_ids, -cand_s))[:k]
-                cand_ids, cand_s = cand_ids[top], cand_s[top]
+            cand_ids, cand_s = _local_topk(cand_ids, cand_s, k)
             out_q.extend([qids[qi]] * len(cand_ids))
             out_n.extend(cand_ids.tolist())
             out_s.extend(cand_s.tolist())
@@ -611,7 +607,6 @@ def knn_filtered(sf_dir: str, n_queries: int = 5, k: int = 10,
     spent, the same restrict-never-rescale stance as the BM25
     filter-context path.  Exact, SQL-oracled."""
     import ray
-    import pyarrow.parquet as pq
 
     q_ids, q_mat = _load_queries(sf_dir, n_queries)
     ref = ray.put((q_ids, q_mat))
@@ -630,9 +625,7 @@ def knn_filtered(sf_dir: str, n_queries: int = 5, k: int = 10,
             s = sims[:, qi]
             mask = ids != qids[qi]
             cand_ids, cand_s = ids[mask], s[mask]
-            if len(cand_ids) > k:
-                top = np.lexsort((cand_ids, -cand_s))[:k]
-                cand_ids, cand_s = cand_ids[top], cand_s[top]
+            cand_ids, cand_s = _local_topk(cand_ids, cand_s, k)
             out_q.extend([qids[qi]] * len(cand_ids))
             out_n.extend(cand_ids.tolist())
             out_s.extend(cand_s.tolist())
@@ -670,7 +663,6 @@ def knn_grouped(sf_dir: str, n_queries: int = 3, k: int = 3):
     side): per-batch ≤k-per-(query,label) combiners, tiny driver
     merge keyed (query, label).  Exact, SQL-oracled."""
     import ray
-    import pyarrow.parquet as pq
 
     q_ids, q_mat = _load_queries(sf_dir, n_queries)
     ref = ray.put((q_ids, q_mat))
@@ -710,9 +702,13 @@ def knn_grouped(sf_dir: str, n_queries: int = 3, k: int = 3):
                                columns=["vec_id", "embedding", "label"])
     partials = ds.map_batches(batch_topk, batch_format="pyarrow",
                               zero_copy_batch=True)
+    empty = pa.table({"query_id": pa.array([], pa.int64()),
+                      "label": pa.array([], pa.int64()),
+                      "neighbor_id": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64())})
     all_rows = pa.concat_tables(
         list(partials.iter_batches(batch_format="pyarrow",
-                                   batch_size=1 << 20)))
+                                   batch_size=1 << 20)) or [empty])
     qs = all_rows["query_id"].to_numpy(zero_copy_only=False)
     ls = all_rows["label"].to_numpy(zero_copy_only=False)
     ns = all_rows["neighbor_id"].to_numpy(zero_copy_only=False)

@@ -158,6 +158,11 @@ BAD_SPECS = [
       "nested": [{"table": "n", "parent_key": "p", "master_key": "k",
                   "fields": ["a"], "out": "o", "limit": 0}]},
      "positive integer"),
+    # bool is an int subclass: `limit: true` must not become limit=1
+    ({"master": "t", "key": "k", "mappings": {"x": "k"},
+      "nested": [{"table": "n", "parent_key": "p", "master_key": "k",
+                  "fields": ["a"], "out": "o", "limit": True}]},
+     "positive integer"),
     ({"master": "t", "key": "k", "mappings": {"x": "k"},
       "nested": [{"table": "n", "parent_key": "p", "master_key": "k",
                   "fields": ["a"], "out": "o", "order_by": 5}]},

@@ -700,3 +700,13 @@ def test_quantile_sketch_rank_error_bound(entry_mod, ducks, ray_session):
             rank = np.searchsorted(vals, est, side="right")
             assert abs(rank - q * n) <= 0.05 * n + 1, \
                 (row.event_type, q, est, rank, n)
+
+
+def test_knn_filtered_absent_label_is_empty(ray_session):
+    """A filter label matching NO vectors must return an empty result,
+    not crash in pa.concat_tables([]) on the driver merge."""
+    from mee_ray.pipelines.vector import knn_filtered
+
+    out = knn_filtered("/root/testdata/sf0.001", label=10_000)
+    assert out.num_rows == 0
+    assert out.column_names == ["query_id", "rank", "neighbor_id"]

@@ -22,7 +22,10 @@ def test_training_chain_matches_oracle_and_writes_artifact(ray_session):
     assert got.equals(want.cast(got.schema))
 
     # the exported artifact holds exactly the representative ids
-    out_dir = f"/tmp/mee_export/train_{abs(hash(SF)) % (1 << 32):08x}"
+    import zlib
+    # crc32: stable across interpreter runs (hash() is salted), so
+    # the resumable export's _SUCCESS markers are findable on retry
+    out_dir = f"/tmp/mee_export/train_{zlib.crc32(SF.encode()):08x}"
     ids = []
     for d in sorted(os.listdir(out_dir)):
         p = os.path.join(out_dir, d, "part.parquet")
