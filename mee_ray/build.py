@@ -867,6 +867,17 @@ def reindex(index_root: str, new_epoch: str,
     if os.path.exists(epoch_ks):
         ks_parts.append(pq.read_table(
             epoch_ks, columns=["repo", "path", "event_seq"]))
+    # a COMPACTED epoch stores per-row event_seq in its base docs
+    # table (merge.py with_event_seq) instead of a key_seqs file —
+    # those seqs must survive the rebuild too, or a stale redelivery
+    # for a previously-folded key re-applies.  Row-filter pushdown:
+    # only rows written past the floor leave storage (base snapshot
+    # rows carry exactly the floor).
+    for f in mf.docs_files(index_root, src_epoch):
+        if "event_seq" in pq.read_schema(f).names:
+            ks_parts.append(pq.read_table(
+                f, columns=["repo", "path", "event_seq"],
+                filters=[("event_seq", ">", base_floor)]))
     for d in manifest.get("deltas", []):
         p = d.get("key_seqs")
         if p:

@@ -312,12 +312,23 @@ def _compact_locked(index_root: str, new_epoch: str,
         # zero parquet files) — start from the delta sources alone
         # rather than handing read_parquet an empty path list
         docs_ds = None
-        if base_doc_files:
-            docs_ds = ray.data.read_parquet(
-                base_doc_files, columns=docs_cols
-            ).map_batches(drop_dead(0), batch_format="pyarrow"
-                          ).map_batches(with_event_seq(base_floor),
-                                        batch_format="pyarrow")
+        # base files of a PREVIOUSLY-compacted epoch already carry the
+        # per-row event_seq column — reading them with the bare
+        # docs_cols would strip it and with_event_seq would flatten
+        # every folded row's seq to the floor, letting a later stale
+        # redelivery win (found by the out-of-order fuzz).  Split the
+        # read by schema so the column survives.
+        base_with = [f for f in base_doc_files
+                     if "event_seq" in pq.read_schema(f).names]
+        base_without = [f for f in base_doc_files if f not in base_with]
+        for fl, cols in ((base_with, docs_cols + ["event_seq"]),
+                         (base_without, docs_cols)):
+            if not fl:
+                continue
+            part0 = ray.data.read_parquet(fl, columns=cols).map_batches(
+                drop_dead(0), batch_format="pyarrow").map_batches(
+                with_event_seq(base_floor), batch_format="pyarrow")
+            docs_ds = part0 if docs_ds is None else docs_ds.union(part0)
         for f, seq in delta_doc_files:
             d = next(x for x in manifest.get("deltas", [])
                      if x.get("added_docs") == f)
