@@ -46,7 +46,10 @@ import pyarrow.compute as pc
 _REF = re.compile(
     r"%%"                                   # escaped literal percent
     r"|%(?:(?P<key>\w+)\.)?(?P<field>\w+)"  # %field / %key.field
-    r"(?::\((?P<dflt>'(?:\\.|[^'\\])*'|[^)']*)\))?"  # :(default)
+    # :(default) — quoted (escapes allowed) or unquoted (any run
+    # without ')'; apostrophes are fine as long as the default does
+    # not START with a quote, which selects the quoted form)
+    r"(?::\((?P<dflt>'(?:\\.|[^'\\])*'|(?!')[^)]*)\))?"
 )
 
 
@@ -92,6 +95,15 @@ def _segments(template: str) -> list:
             out.append(_Ref(m.group("field"),
                             parse_default(m.group("dflt")),
                             m.group("dflt") is not None))
+            if m.group("dflt") is None and \
+                    template[m.end():m.end() + 2] == ":(":
+                # a default FOLLOWS but did not parse (e.g. an
+                # unterminated quote): appending it as literal text
+                # would be silent wrong output — fail at compile, the
+                # module's eager-validation contract
+                raise IllegalTemplate(
+                    f"malformed default after %{m.group('field')} in "
+                    f"{template!r}")
         pos = m.end()
     if pos < len(template):
         out.append(template[pos:])

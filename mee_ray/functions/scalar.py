@@ -48,10 +48,18 @@ def _split_args(s: str) -> list[str]:
     nested parens and single/double quotes (semantics of the
     reference's splitter, common.py:73-127; independent implementation)."""
     out, depth, quote, cur = [], 0, None, []
+    escaped = False
     for ch in s:
         if quote:
             cur.append(ch)
-            if ch == quote:
+            if escaped:
+                # backslash-escaped char inside a literal (incl. \' )
+                # — ast.literal_eval accepts these, so the splitter
+                # must not treat the escaped quote as the terminator
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif ch == quote:
                 quote = None
         elif ch in "'\"":
             quote = ch
@@ -136,11 +144,14 @@ def _yesterday(*args):
     return pa.scalar(d.isoformat())
 
 
-# minimum arity, enforced at compile; zero-arg constants folded at
-# compile so every batch of a run sees one value
+# arity bounds, enforced at compile (the module contract: a bad
+# config fails at pipeline build, never inside a distributed task);
+# zero-arg constants folded at compile so every batch sees one value
 _MIN_ARGS = {"max": 1, "min": 1, "sum": 1, "abs": 1, "mul": 1,
              "sub": 2, "div": 2, "coalesce": 1, "echo": 1,
              "round": 1, "length": 1, "lower": 1, "upper": 1}
+_MAX_ARGS = {"sub": 2, "div": 2, "abs": 1, "round": 2, "length": 1,
+             "lower": 1, "upper": 1, "echo": 1, "yesterday": 0}
 _CONST_AT_COMPILE = {"yesterday"}
 
 _REGISTRY: dict[str, Callable] = {
@@ -226,6 +237,10 @@ def _compile_node(node) -> Callable[[pa.Table], object]:
         # batch inside a distributed task
         raise ExprError(f"{name} needs at least "
                         f"{_MIN_ARGS[name]} argument(s)")
+    if name in _MAX_ARGS and len(subs) > _MAX_ARGS[name]:
+        raise ExprError(f"{name} takes at most "
+                        f"{_MAX_ARGS[name]} argument(s), "
+                        f"got {len(subs)}")
     if not subs and name in _CONST_AT_COMPILE:
         # zero-arg constants (yesterday) evaluate ONCE at compile on
         # the driver: per-batch evaluation on workers could straddle

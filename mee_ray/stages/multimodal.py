@@ -70,9 +70,9 @@ def multimodal_image_meta(sf_dir: str):
 
 MULTIMODAL_SQL = """
 SELECT doc_id,
-       strlen(text)              AS n_bytes,
-       (strlen(text) % 640) + 1  AS width,
-       ((strlen(text) * 7) % 480) + 1 AS height,
+       strlen(coalesce(text, ''))              AS n_bytes,
+       (strlen(coalesce(text, '')) % 640) + 1  AS width,
+       ((strlen(coalesce(text, '')) * 7) % 480) + 1 AS height,
        3                         AS channels
 FROM documents
 """
@@ -210,9 +210,9 @@ def multimodal_video_frames(sf_dir: str):
 
 VIDEO_SQL = """
 SELECT doc_id,
-       strlen(text) * 40                         AS n_bytes,
-       greatest(strlen(text) * 40 // 1024, 1)    AS n_frames,
-       (greatest(strlen(text) * 40 // 1024, 1) + 29) // 30 AS n_sampled
+       strlen(coalesce(text, '')) * 40                         AS n_bytes,
+       greatest(strlen(coalesce(text, '')) * 40 // 1024, 1)    AS n_frames,
+       (greatest(strlen(coalesce(text, '')) * 40 // 1024, 1) + 29) // 30 AS n_sampled
 FROM documents
 """
 
@@ -298,7 +298,10 @@ def multimodal_retrieval(sf_dir: str, n_queries: int = 5, k: int = 10):
     def batch_topk(t: pa.Table) -> pa.Table:
         ids_q, mat_q = ray.get(q_ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        embs = np.array(t["embedding"].to_pylist())
+        # reshape(-1, dim): np.array of an EMPTY list is shape (0,),
+        # not (0, dim), and the matmul would raise on empty blocks
+        embs = np.array(t["embedding"].to_pylist(),
+                        dtype=np.float64).reshape(-1, mat_q.shape[1])
         sims = embs @ mat_q.T                       # (batch, n_queries)
         out_q, out_d, out_s = [], [], []
         for j in range(len(ids_q)):

@@ -29,7 +29,13 @@ from mee_ray.config import TokenizerConfig
 TOKEN_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*|[0-9]+")
 
 # Simple mode: exactly regexp_extract_all(lower(text), '[a-z0-9_]+'),
-# so DuckDB oracle SQL can reproduce it verbatim.
+# so DuckDB oracle SQL can reproduce it verbatim.  NOTE the boundary
+# semantics deliberately differ from TOKEN_RE: a digit run directly
+# followed by letters is ONE token here ('2fast') but TWO under
+# TOKEN_RE ('2', 'fast') — so this fast path applies only when BOTH
+# split_identifiers=False AND lowercase=True; flipping either flag
+# re-tokenizes under TOKEN_RE and the two configs' indexes are not
+# df/position-comparable for digit-prefixed tokens.
 SIMPLE_RE = re.compile(r"[a-z0-9_]+")
 
 # Sub-token split of one identifier:

@@ -447,3 +447,19 @@ def test_three_phase_distributed_exactness(built_index, ray_session,
         assert ds2.search(q["terms"], q["k"], mode="threephase") == \
             oi2.search(q["terms"], q["k"])
     ds2.shutdown()
+
+
+def test_scalar_arity_and_escapes_validated_at_compile():
+    """Fixed-arity builtins reject extra args at COMPILE (the
+    eager-validation contract), and backslash-escaped quotes inside
+    literals parse."""
+    import pytest as _pytest
+
+    from mee_ray.functions.scalar import ExprError, compile_expr
+    for bad in ("sub(a, b, c)", "yesterday(a)", "abs(a, b)",
+                "length(a, b)"):
+        with _pytest.raises(ExprError, match="at most"):
+            compile_expr(bad)
+    import pyarrow as pa
+    fn = compile_expr(r"echo('a\'b')")
+    assert fn(pa.table({"x": pa.array([1])})).as_py() == "a'b"

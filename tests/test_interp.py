@@ -170,3 +170,24 @@ def test_docbuild_interpolated_matches_duckdb(ray_session):
     # default actually fired for the join-miss rows
     assert (got.loc[got.small_nation.isna(), "tag"] == "%-unknown").all()
     assert (~got.small_nation.isna()).any()
+
+
+def test_unquoted_default_with_apostrophe():
+    """%field:(don't) must parse the apostrophe-bearing default — the
+    old alternation silently appended ':(don't)' as literal text."""
+    from mee_ray.functions.interp import compile_template
+    import pyarrow as pa
+
+    fn = compile_template("%name:(don't)")
+    t = pa.table({"name": pa.array(["x", None])})
+    assert fn(t).to_pylist() == ["x", "don't"]
+
+
+def test_malformed_default_fails_at_compile():
+    """An unparseable default (unterminated quote) must raise
+    IllegalTemplate eagerly, never emit the raw text."""
+    import pytest as _pytest
+
+    from mee_ray.functions.interp import IllegalTemplate, compile_template
+    with _pytest.raises(IllegalTemplate, match="malformed default"):
+        compile_template("%name:('abc)")
