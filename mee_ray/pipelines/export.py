@@ -42,15 +42,26 @@ _SUMMARY_SCHEMA = pa.schema([("shard", pa.int32()),
                              ("skipped", pa.bool_())])
 
 
-def export_training_shards(docs, out_dir: str, n_shards: int = 16):
+def export_training_shards(docs, out_dir: str, n_shards: int = 16,
+                           fingerprint: str | None = None):
     """Write ``docs`` (a Ray Dataset with a ``doc_id`` int64 column)
     to ``out_dir/shard=NNNNN/part.parquet``.  Returns a pa.Table
     (shard, n_docs, skipped) — one row per non-empty shard.
 
-    Resume: a shard directory containing ``_SUCCESS`` is skipped (its
-    recorded row count is returned); anything else is rewritten from
-    scratch.  Safe against the write_parquet append-dup hazard the
-    plain ``export`` CLI refuses to risk."""
+    Resume: a shard directory whose ``_SUCCESS`` marker matches this
+    run's ``(fingerprint, n_shards)`` is skipped (its recorded row
+    count is returned); a marker from a DIFFERENT input or shard
+    layout forces a rewrite — mixing two corpora's shards in one
+    out_dir would otherwise silently serve stale rows (pass the
+    source path / snapshot id as ``fingerprint``).  Safe against the
+    write_parquet append-dup hazard the plain ``export`` CLI refuses
+    to risk.
+
+    Scale note: one map_groups task materializes and sorts one whole
+    shard in memory — size ``n_shards`` so corpus_bytes / n_shards
+    fits a worker's heap (the shard count, not the cluster size, is
+    the memory knob)."""
+    import glob as _glob
     os.makedirs(out_dir, exist_ok=True)
 
     def add_shard(t: pa.Table) -> pa.Table:
@@ -64,17 +75,28 @@ def export_training_shards(docs, out_dir: str, n_shards: int = 16):
         marker = os.path.join(sdir, "_SUCCESS")
         if os.path.exists(marker):
             with open(marker) as f:
-                n = json.load(f)["n_docs"]
-            return pa.Table.from_pylist(
-                [{"shard": shard, "n_docs": n, "skipped": True}],
-                schema=_SUMMARY_SCHEMA)
-        tmp = sdir + f".tmp.{os.getpid()}"
-        shutil.rmtree(tmp, ignore_errors=True)
+                rec = json.load(f)
+            if rec.get("fingerprint") == fingerprint \
+                    and rec.get("n_shards", n_shards) == n_shards:
+                return pa.Table.from_pylist(
+                    [{"shard": shard, "n_docs": rec["n_docs"],
+                      "skipped": True}],
+                    schema=_SUMMARY_SCHEMA)
+            # marker from a different input/layout: rewrite, never mix
+        # '_'-prefixed tmp INSIDE out_dir: Arrow dataset discovery
+        # treats underscore-prefixed basenames as hidden, so debris a
+        # crashed task leaves (any pid — clean ALL of them, not just
+        # our own) is invisible to readers until renamed into place
+        for stale in _glob.glob(os.path.join(
+                out_dir, f"_tmp.shard={shard:05d}.*")):
+            shutil.rmtree(stale, ignore_errors=True)
+        tmp = os.path.join(out_dir, f"_tmp.shard={shard:05d}.{os.getpid()}")
         os.makedirs(tmp)
         body = g.drop_columns(["shard"]).sort_by("doc_id")
         pq.write_table(body, os.path.join(tmp, "part.parquet"))
         with open(os.path.join(tmp, "_SUCCESS"), "w") as f:
-            json.dump({"n_docs": body.num_rows}, f)
+            json.dump({"n_docs": body.num_rows, "n_shards": n_shards,
+                       "fingerprint": fingerprint}, f)
         shutil.rmtree(sdir, ignore_errors=True)
         os.replace(tmp, sdir)
         return pa.Table.from_pylist(
@@ -97,11 +119,16 @@ def training_export_shards(sf_dir: str) -> pa.Table:
     scratch root and report per-shard row counts.  A pre-existing
     scratch root is cleared so the driver check always exercises the
     WRITE path (the resume path is pytest-covered)."""
+    import zlib
+
     from mee_ray.pipelines.text import _read_docs
 
-    out_dir = f"/tmp/mee_export/{abs(hash(sf_dir)) % (1 << 32):08x}"
+    # crc32, NOT Python hash(): str hashing is per-process salted, so
+    # hash() would mint a fresh /tmp dir every run (leaked exports)
+    out_dir = f"/tmp/mee_export/{zlib.crc32(sf_dir.encode()):08x}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    t = export_training_shards(_read_docs(sf_dir), out_dir, n_shards=16)
+    t = export_training_shards(_read_docs(sf_dir), out_dir, n_shards=16,
+                               fingerprint=sf_dir)
     return t.select(["shard", "n_docs"])
 
 

@@ -119,7 +119,8 @@ def corpus_to_training_shards(sf_dir: str) -> pa.Table:
     import zlib as _zlib
     out_dir = f"/tmp/mee_export/train_{_zlib.crc32(sf_dir.encode()):08x}"
     shutil.rmtree(out_dir, ignore_errors=True)
-    summary = export_training_shards(kept, out_dir, n_shards=_N_SHARDS)
+    summary = export_training_shards(kept, out_dir, n_shards=_N_SHARDS,
+                                     fingerprint=sf_dir)
     return summary.select(["shard", "n_docs"])
 
 

@@ -49,9 +49,12 @@ def _validate(path: str, expected: dict[str, pa.DataType],
                 f"{path}: required column {name!r} missing "
                 f"(have: {schema.names})")
         got = schema.field(idx).type
+        is_view = getattr(pa.types, "is_string_view", lambda _t: False)
         ok = (got == exp
               or (pa.types.is_string(exp)
-                  and (pa.types.is_string(got) or pa.types.is_large_string(got)))
+                  and (pa.types.is_string(got)
+                       or pa.types.is_large_string(got)
+                       or is_view(got)))
               or (pa.types.is_integer(exp) and pa.types.is_integer(got)))
         if not ok:
             raise SchemaMismatch(

@@ -75,3 +75,55 @@ def test_export_summary_matches_oracle(ray_session):
     want = con.execute(
         TRAINING_EXPORT_SQL + " ORDER BY shard").fetch_arrow_table()
     assert got.equals(want.cast(got.schema))
+
+
+def test_export_fingerprint_mismatch_rewrites(ray_session):
+    """A _SUCCESS marker from a DIFFERENT input or shard layout must
+    not be resumed over — mixing two corpora's shards silently serves
+    stale rows."""
+    import ray.data
+
+    from mee_ray.pipelines.export import export_training_shards
+
+    out = OUT + "_fp"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    s1 = export_training_shards(docs, out, n_shards=8, fingerprint="v1")
+    assert not any(s1["skipped"].to_pylist())
+    # same fingerprint: all shards skip
+    s2 = export_training_shards(docs, out, n_shards=8, fingerprint="v1")
+    assert all(s2["skipped"].to_pylist())
+    # different fingerprint: every shard rewrites
+    s3 = export_training_shards(docs, out, n_shards=8, fingerprint="v2")
+    assert not any(s3["skipped"].to_pylist())
+    want = pq.read_table(f"{SF}/documents.parquet").sort_by("doc_id")
+    got = _read_all_shards(out).sort_by("doc_id")
+    assert got.equals(want.select(got.column_names))
+
+
+def test_export_tmp_debris_invisible_and_cleared(ray_session):
+    """Crashed-task tmp dirs (underscore-prefixed, any pid) are
+    invisible to Arrow dataset discovery and cleared by the retry."""
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from mee_ray.pipelines.export import export_training_shards
+
+    out = OUT + "_tmpdbg"
+    shutil.rmtree(out, ignore_errors=True)
+    docs = ray.data.read_parquet(f"{SF}/documents.parquet")
+    export_training_shards(docs, out, n_shards=4, fingerprint="x")
+    n_live = pads.dataset(out, format="parquet").count_rows()
+
+    # simulate another pid's crashed half-write of shard 1
+    debris = os.path.join(out, "_tmp.shard=00001.99999")
+    os.makedirs(debris)
+    pq.write_table(pa.table({"doc_id": pa.array([1, 2], pa.int64())}),
+                   os.path.join(debris, "part.parquet"))
+    # hidden from readers
+    assert pads.dataset(out, format="parquet").count_rows() == n_live
+    # a rewrite of that shard clears ALL pids' debris
+    shutil.rmtree(os.path.join(out, "shard=00001"))
+    export_training_shards(docs, out, n_shards=4, fingerprint="x")
+    assert not os.path.exists(debris)
+    assert pads.dataset(out, format="parquet").count_rows() == n_live
