@@ -199,3 +199,81 @@ def test_vector_compact_refuses_current_target(ray_session, tmp_path):
     compact_vector_index(root, "ep2")
     with _pytest.raises(ValueError, match="existing manifested"):
         compact_vector_index(root, "ep1")
+
+
+@pytest.mark.parametrize("seed", [401, 402])
+def test_vector_lifecycle_fuzz(ray_session, tmp_path, seed):
+    """Randomized upsert/delete/compact sequences vs a dict model:
+    full-probe search must match the f32-quantized brute force after
+    every step, and cluster files must never resurrect dead rows
+    (the empty-cluster-removal and catch-up paths added with the
+    locked compactor)."""
+    from mee_ray.vecindex import (VectorSearcher, apply_vector_delta,
+                                  compact_vector_index)
+
+    rng = np.random.default_rng(seed)
+    pyrng = __import__("random").Random(seed)
+    root, base, dim = _mk_index(tmp_path, rng, n=30, dim=8, n_clusters=4)
+    model = dict(base)
+    next_id = 1000
+    n_compacts = 0
+
+    for step in range(12):
+        ops, ids_used = [], set()
+        for _ in range(pyrng.randrange(1, 5)):
+            roll = pyrng.random()
+            if roll < 0.3 and model:
+                vid = pyrng.choice(sorted(model))
+                if vid in ids_used:
+                    continue
+                ops.append(("DELETE", vid, None))
+                ids_used.add(vid)
+            elif roll < 0.6 and model:
+                vid = pyrng.choice(sorted(model))
+                if vid in ids_used:
+                    continue
+                ops.append(("UPSERT", vid, rng.normal(size=dim)))
+                ids_used.add(vid)
+            else:
+                ops.append(("UPSERT", next_id, rng.normal(size=dim)))
+                ids_used.add(next_id)
+                next_id += 1
+        if not ops:
+            continue
+        ev = pa.table({
+            "op": pa.array([o[0] for o in ops]),
+            "vec_id": pa.array([o[1] for o in ops], pa.int64()),
+            "embedding": pa.array(
+                [None if o[2] is None else list(map(float, o[2]))
+                 for o in ops], pa.list_(pa.float64()))})
+        apply_vector_delta(ev, root)
+        for op, vid, emb in ops:      # batch is LWW by row order
+            if op == "DELETE":
+                model.pop(vid, None)
+            else:
+                model[vid] = emb
+        if pyrng.random() < 0.4:
+            compact_vector_index(root, f"fz{seed}_{step}")
+            n_compacts += 1
+        s = VectorSearcher(root)
+        for _ in range(3):
+            q = rng.normal(size=dim)
+            want = _brute(model, q, 8)
+            got = s.search(q, k=8, nprobe=4)
+            assert [(d, round(x, 12)) for d, x in got] == \
+                [(d, round(x, 12)) for d, x in want], (seed, step)
+        assert s.m["epoch"] and sum(
+            int(v) for v in s.m["cluster_counts"].values()) \
+            == s.m["n_vectors"]
+    assert n_compacts >= 1
+    # delete EVERYTHING, compact: the index must serve empty cleanly
+    ev = pa.table({
+        "op": pa.array(["DELETE"] * len(model)),
+        "vec_id": pa.array(sorted(model), pa.int64()),
+        "embedding": pa.array([None] * len(model),
+                              pa.list_(pa.float64()))})
+    apply_vector_delta(ev, root)
+    compact_vector_index(root, f"fz{seed}_empty")
+    s = VectorSearcher(root)
+    assert s.m["n_vectors"] == 0
+    assert s.search(rng.normal(size=dim), k=5, nprobe=4) == []
