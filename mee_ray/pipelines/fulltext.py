@@ -1844,6 +1844,82 @@ def _bm25_regexp_sql() -> str:
 FUNCTION_SCORE_MOD = 7
 FUNCTION_SCORE_SCALE = 10.0
 
+# pinned query: promoted original doc ids, surfaced in THIS order
+# ahead of every organic hit (ES `pinned` semantics: returned whether
+# or not they match the organic query)
+PINNED_IDS = (13, 5, 21)
+
+
+def bm25_pinned_documents(sf_dir: str):
+    """Pinned query (the ES ``pinned`` analog): the fixed promoted ids
+    rank first, in list order, for EVERY query — including queries
+    with zero organic matches — and organic BM25 hits follow with the
+    pinned ids excluded.  Emitted as (query_id, rank, doc_id) at
+    TOP_K."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    # organic depth TOP_K + |pinned|: after exclusion at least TOP_K
+    # organic rows remain for the tail
+    organic = _rank_rows(_reference_text_results(s), idmap,
+                         cap=TOP_K + len(PINNED_IDS))
+    by_q: dict[int, list[int]] = {}
+    for qid, _rank, did in organic:
+        by_q.setdefault(qid, []).append(did)
+    live = set(idmap.values())
+    pinned_live = [p for p in PINNED_IDS if p in live]
+    rows_q, rows_r, rows_d = [], [], []
+    for qid, _terms in REFERENCE_QUERIES:
+        hits = list(pinned_live)
+        hits += [d for d in by_q.get(qid, []) if d not in pinned_live]
+        for rank, did in enumerate(hits[:TOP_K], start=1):
+            rows_q.append(qid)
+            rows_r.append(rank)
+            rows_d.append(did)
+    return pa.table({"query_id": pa.array(rows_q, pa.int64()),
+                     "rank": pa.array(rows_r, pa.int64()),
+                     "doc_id": pa.array(rows_d, pa.int64())})
+
+
+def _bm25_pinned_sql() -> str:
+    pin_vals = ", ".join(f"({p}, {i})"
+                         for i, p in enumerate(PINNED_IDS, start=1))
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+qids AS (SELECT DISTINCT query_id FROM q),
+pin(pid, pos) AS (VALUES {pin_vals}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+organic AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS orank
+  FROM scores
+  WHERE doc_id NOT IN (SELECT pid FROM pin)),
+allhits AS (
+  SELECT qids.query_id, pin.pid AS doc_id, 0 AS tier,
+         CAST(pin.pos AS BIGINT) AS orank
+  FROM qids CROSS JOIN pin
+  WHERE pin.pid IN (SELECT doc_id FROM documents)
+  UNION ALL
+  SELECT query_id, doc_id, 1 AS tier, orank FROM organic)
+SELECT query_id, rank, doc_id FROM (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY tier, orank) AS rank
+  FROM allhits)
+WHERE rank <= {TOP_K}
+"""
+
 
 def bm25_function_score_documents(sf_dir: str):
     """Function-scored BM25 top-k (the ES ``function_score`` /
@@ -3383,6 +3459,7 @@ QUERIES = {
     "completion_suggest_documents": completion_suggest_documents,
     "bm25_corrected_documents": bm25_corrected_documents,
     "bm25_boosting_documents": bm25_boosting_documents,
+    "bm25_pinned_documents": bm25_pinned_documents,
     "bm25_constant_score_documents": bm25_constant_score_documents,
     "bm25_batch_rank_documents": bm25_batch_rank_documents,
     "bm25_min_match_documents": bm25_min_match_documents,
@@ -3435,6 +3512,7 @@ ORACLE = {
     "completion_suggest_documents": _completion_sql(),
     "bm25_corrected_documents": _bm25_corrected_sql(),
     "bm25_boosting_documents": _bm25_boosting_sql(),
+    "bm25_pinned_documents": _bm25_pinned_sql(),
     "bm25_constant_score_documents": _bm25_constant_score_sql(),
     # same ranking contract as bm25_topk — the plumbing differs
     "bm25_batch_rank_documents": _bm25_sql(),

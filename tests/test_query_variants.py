@@ -452,3 +452,35 @@ def test_complete_local_and_distributed(built_index, ray_session):
     finally:
         ds.shutdown()
 
+
+
+def test_pinned_query_semantics(ray_session):
+    """Pinned ids surface first in list order for EVERY query (even a
+    zero-organic-match one), organic hits follow without duplicates."""
+    from mee_ray.pipelines.fulltext import (PINNED_IDS, TOP_K,
+                                            bm25_pinned_documents,
+                                            bm25_topk_documents)
+
+    sf = "/root/testdata/sf0.001"
+    pinned = bm25_pinned_documents(sf)
+    organic = bm25_topk_documents(sf)
+    by_q: dict[int, list[int]] = {}
+    for qid, rank, did in zip(pinned["query_id"].to_pylist(),
+                              pinned["rank"].to_pylist(),
+                              pinned["doc_id"].to_pylist()):
+        by_q.setdefault(qid, []).append((rank, did))
+    org_q: dict[int, list[int]] = {}
+    for qid, did in zip(organic["query_id"].to_pylist(),
+                        organic["doc_id"].to_pylist()):
+        org_q.setdefault(qid, []).append(did)
+
+    assert by_q, "no pinned results at all"
+    for qid, hits in by_q.items():
+        hits = [d for _, d in sorted(hits)]
+        # promoted ids lead, in PINNED_IDS order
+        assert hits[:len(PINNED_IDS)] == list(PINNED_IDS), (qid, hits)
+        # no duplicates; bounded at TOP_K
+        assert len(hits) == len(set(hits)) and len(hits) <= TOP_K
+        # the organic tail is the organic ranking minus pinned ids
+        tail = [d for d in org_q.get(qid, []) if d not in PINNED_IDS]
+        assert hits[len(PINNED_IDS):] == tail[:len(hits) - len(PINNED_IDS)], qid
