@@ -1849,6 +1849,184 @@ FUNCTION_SCORE_SCALE = 10.0
 # or not they match the organic query)
 PINNED_IDS = (13, 5, 21)
 
+# rank_feature saturation: S(f) = f / (f + pivot) in [0, 1), added to
+# the text score with a weight — docs must still MATCH the query (the
+# feature boosts, it never recalls)
+RANK_FEATURE_PIVOT = 256
+RANK_FEATURE_WEIGHT = 2.0
+
+# simple_query_string fixtures: the ES mini-language subset
+# `+must  bare-should  -must_not` over the reference vocabulary
+SQS_QUERIES: list[tuple[int, str]] = [
+    (1, "+merge sort -slow"),
+    (2, "window stream"),
+    (3, "+customer +join fast"),
+    (4, "spark -vector -hash stream"),
+    (5, "+the slow -merge"),
+    (6, "vector hash +scan batch -customer"),
+]
+
+
+def parse_simple_query_string(qs: str
+                              ) -> tuple[list[str], list[str], list[str]]:
+    """``+term`` → must, ``-term`` → must_not, bare → should (the ES
+    simple_query_string operator subset; a lone '+'/'-' is a bare
+    token).  Raises ValueError on an empty positive clause — a query
+    of only exclusions matches nothing rankable."""
+    must, should, nots = [], [], []
+    for tok in qs.split():
+        if tok.startswith("+") and len(tok) > 1:
+            must.append(tok[1:])
+        elif tok.startswith("-") and len(tok) > 1:
+            nots.append(tok[1:])
+        else:
+            should.append(tok.lstrip("+-") or tok)
+    if not must and not should:
+        raise ValueError(f"simple_query_string needs at least one "
+                         f"positive clause: {qs!r}")
+    return must, should, nots
+
+
+def bm25_simple_query_string(sf_dir: str):
+    """simple_query_string (the ES mini-language): parse
+    ``+must bare -not`` clauses, rank by disjunctive BM25 over the
+    positive terms, require every ``+`` term (conjunction filter,
+    restrict-never-rescale), drop docs matching any ``-`` term.
+    Emitted as (query_id, rank, doc_id)."""
+    import numpy as np
+
+    from mee_ray.query import Searcher, merge_partials
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = []
+    for qid, qs in SQS_QUERIES:
+        must, should, nots = parse_simple_query_string(qs)
+        terms = sorted(set(must + should))
+        partials = s.term_partials(terms)
+        excl = s.excluded_doc_ids(nots) if nots else None
+        ranked = merge_partials([partials], terms, k=s.n_docs or 1,
+                                exclude_sorted=excl)
+        if must and ranked:
+            cand = None
+            for t in sorted(set(must)):
+                ids = s.term_raw_postings(t)[0]
+                cand = ids if cand is None else np.intersect1d(cand, ids)
+                if cand.size == 0:
+                    break
+            cs = set(cand.tolist()) if cand is not None else set()
+            ranked = [(d, sc) for d, sc in ranked if d in cs]
+        results.append((qid, ranked))
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _bm25_sqs_sql() -> str:
+    parsed = [(qid, *parse_simple_query_string(qs))
+              for qid, qs in SQS_QUERIES]
+    q_vals = ", ".join(f"({qid}, '{t}')" for qid, must, should, _ in parsed
+                       for t in sorted(set(must + should)))
+    m_vals = ", ".join(f"({qid}, '{t}')" for qid, must, _, _ in parsed
+                       for t in sorted(set(must)))
+    n_vals = ", ".join(f"({qid}, '{t}')" for qid, _, _, nots in parsed
+                       for t in sorted(set(nots)))
+    assert q_vals and m_vals and n_vals, "SQS fixture needs all clause kinds"
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {q_vals}),
+mq(query_id, term) AS (VALUES {m_vals}),
+nq(query_id, term) AS (VALUES {n_vals}),
+mqn AS (SELECT query_id, count(DISTINCT term) AS n FROM mq GROUP BY query_id),
+mmatch AS (SELECT mq.query_id, tf.doc_id, count(DISTINCT mq.term) AS nm
+           FROM mq JOIN tf ON tf.term = mq.term GROUP BY 1, 2),
+excl AS (SELECT DISTINCT nq.query_id, tf.doc_id
+         FROM nq JOIN tf ON tf.term = nq.term),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT sc.query_id, sc.doc_id,
+             row_number() OVER (PARTITION BY sc.query_id
+                                ORDER BY sc.score DESC, sc.doc_id) AS rank
+      FROM scores sc
+      LEFT JOIN mqn ON mqn.query_id = sc.query_id
+      LEFT JOIN mmatch mm ON mm.query_id = sc.query_id
+                         AND mm.doc_id = sc.doc_id
+      WHERE coalesce(mqn.n, 0) = coalesce(mm.nm, 0)
+        AND NOT EXISTS (SELECT 1 FROM excl e
+                        WHERE e.query_id = sc.query_id
+                          AND e.doc_id = sc.doc_id))
+WHERE rank <= {TOP_K}
+"""
+
+
+def bm25_rank_feature_documents(sf_dir: str):
+    """Rank-feature query (the ES ``rank_feature`` saturation analog):
+    final score = bm25 + {RANK_FEATURE_WEIGHT} × n_chars /
+    (n_chars + {RANK_FEATURE_PIVOT}) over the matching docs.  Both
+    sides compute the identical float64 expression (exact int inputs,
+    one division, one multiply, one add), so the ordering is
+    well-defined.  Emitted as (query_id, rank, doc_id)."""
+    import numpy as np
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    ft = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "n_chars"])
+    fmap = dict(zip(ft["doc_id"].to_pylist(),
+                    ft["n_chars"].to_pylist()))
+    out_q, out_r, out_d = [], [], []
+    for qid, ranked in _reference_text_results(s):
+        if not ranked:
+            continue
+        ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
+        base = np.array([sc for _, sc in ranked], dtype=np.float64)
+        f = np.array([fmap[int(i)] for i in ids], dtype=np.float64)
+        final = base + RANK_FEATURE_WEIGHT * (
+            f / (f + RANK_FEATURE_PIVOT))
+        order = np.lexsort((ids, -final))[:TOP_K]
+        for rank, j in enumerate(order, start=1):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_d.append(int(ids[j]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _bm25_rank_feature_sql() -> str:
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+final AS (
+  SELECT sc.query_id, sc.doc_id,
+         sc.score + {RANK_FEATURE_WEIGHT} *
+           (CAST(d.n_chars AS DOUBLE) /
+            (CAST(d.n_chars AS DOUBLE) + {RANK_FEATURE_PIVOT}))
+           AS score
+  FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM final)
+WHERE rank <= {TOP_K}
+"""
+
 
 def bm25_pinned_documents(sf_dir: str):
     """Pinned query (the ES ``pinned`` analog): the fixed promoted ids
@@ -3460,6 +3638,8 @@ QUERIES = {
     "bm25_corrected_documents": bm25_corrected_documents,
     "bm25_boosting_documents": bm25_boosting_documents,
     "bm25_pinned_documents": bm25_pinned_documents,
+    "bm25_rank_feature_documents": bm25_rank_feature_documents,
+    "bm25_simple_query_string": bm25_simple_query_string,
     "bm25_constant_score_documents": bm25_constant_score_documents,
     "bm25_batch_rank_documents": bm25_batch_rank_documents,
     "bm25_min_match_documents": bm25_min_match_documents,
@@ -3513,6 +3693,8 @@ ORACLE = {
     "bm25_corrected_documents": _bm25_corrected_sql(),
     "bm25_boosting_documents": _bm25_boosting_sql(),
     "bm25_pinned_documents": _bm25_pinned_sql(),
+    "bm25_rank_feature_documents": _bm25_rank_feature_sql(),
+    "bm25_simple_query_string": _bm25_sqs_sql(),
     "bm25_constant_score_documents": _bm25_constant_score_sql(),
     # same ranking contract as bm25_topk — the plumbing differs
     "bm25_batch_rank_documents": _bm25_sql(),

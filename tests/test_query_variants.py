@@ -484,3 +484,33 @@ def test_pinned_query_semantics(ray_session):
         # the organic tail is the organic ranking minus pinned ids
         tail = [d for d in org_q.get(qid, []) if d not in PINNED_IDS]
         assert hits[len(PINNED_IDS):] == tail[:len(hits) - len(PINNED_IDS)], qid
+
+
+def test_simple_query_string_parser_and_semantics(ray_session):
+    from mee_ray.pipelines.fulltext import (bm25_simple_query_string,
+                                            parse_simple_query_string)
+
+    assert parse_simple_query_string("+a b -c") == (["a"], ["b"], ["c"])
+    assert parse_simple_query_string("+a +a b") == (["a", "a"], ["b"], [])
+    # lone +/- are bare tokens, not operators
+    assert parse_simple_query_string("+ -") == ([], ["+", "-"], [])
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="positive clause"):
+        parse_simple_query_string("-only -exclusions")
+
+    # engine semantics: every hit of "+merge sort -slow" contains
+    # 'merge' and not 'slow' (brute-force over the raw corpus)
+    import pyarrow.parquet as pq
+    import re
+    sf = "/root/testdata/sf0.001"
+    t = pq.read_table(f"{sf}/documents.parquet",
+                      columns=["doc_id", "text"])
+    toks = {d: set(re.findall(r"[a-z0-9_]+", (x or "").lower()))
+            for d, x in zip(t["doc_id"].to_pylist(),
+                            t["text"].to_pylist())}
+    out = bm25_simple_query_string(sf)
+    got1 = [d for q, d in zip(out["query_id"].to_pylist(),
+                              out["doc_id"].to_pylist()) if q == 1]
+    assert got1, "query 1 returned nothing"
+    for d in got1:
+        assert "merge" in toks[d] and "slow" not in toks[d], d
