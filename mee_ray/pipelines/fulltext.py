@@ -1999,6 +1999,78 @@ def bm25_rank_feature_documents(sf_dir: str):
                      "doc_id": pa.array(out_d, pa.int64())})
 
 
+# linear decay (the ES function_score `linear` decay analog, chosen
+# over gauss/exp because its arithmetic is EXACT — no transcendental
+# whose last ulp could differ between libm and the SQL engine):
+# multiplier = max(0, 1 - |n_chars - origin| / scale)
+DECAY_ORIGIN = 300
+DECAY_SCALE = 400.0
+
+
+def bm25_decay_documents(sf_dir: str):
+    """Decay-scored BM25 top-k: final = bm25 × max(0, 1 −
+    |n_chars − {DECAY_ORIGIN}| / {DECAY_SCALE}) — documents far from
+    the origin length decay to zero (still ranked, by id, like ES's
+    zeroed decay hits).  Exact float64 on both sides.  Emitted as
+    (query_id, rank, doc_id)."""
+    import numpy as np
+
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    ft = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "n_chars"])
+    fmap = dict(zip(ft["doc_id"].to_pylist(),
+                    ft["n_chars"].to_pylist()))
+    out_q, out_r, out_d = [], [], []
+    for qid, ranked in _reference_text_results(s):
+        if not ranked:
+            continue
+        ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
+        base = np.array([sc for _, sc in ranked], dtype=np.float64)
+        f = np.array([fmap[int(i)] for i in ids], dtype=np.float64)
+        mult = np.maximum(0.0, 1.0 - np.abs(f - DECAY_ORIGIN)
+                          / DECAY_SCALE)
+        final = base * mult
+        order = np.lexsort((ids, -final))[:TOP_K]
+        for rank, j in enumerate(order, start=1):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_d.append(int(ids[j]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _bm25_decay_sql() -> str:
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+final AS (
+  SELECT sc.query_id, sc.doc_id,
+         sc.score * greatest(0.0,
+             1.0 - abs(CAST(d.n_chars AS DOUBLE) - {DECAY_ORIGIN})
+                   / {DECAY_SCALE}) AS score
+  FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM final)
+WHERE rank <= {TOP_K}
+"""
+
+
 def _bm25_rank_feature_sql() -> str:
     return f"""
 {_base_ctes()},
@@ -3640,6 +3712,7 @@ QUERIES = {
     "bm25_pinned_documents": bm25_pinned_documents,
     "bm25_rank_feature_documents": bm25_rank_feature_documents,
     "bm25_simple_query_string": bm25_simple_query_string,
+    "bm25_decay_documents": bm25_decay_documents,
     "bm25_constant_score_documents": bm25_constant_score_documents,
     "bm25_batch_rank_documents": bm25_batch_rank_documents,
     "bm25_min_match_documents": bm25_min_match_documents,
@@ -3695,6 +3768,7 @@ ORACLE = {
     "bm25_pinned_documents": _bm25_pinned_sql(),
     "bm25_rank_feature_documents": _bm25_rank_feature_sql(),
     "bm25_simple_query_string": _bm25_sqs_sql(),
+    "bm25_decay_documents": _bm25_decay_sql(),
     "bm25_constant_score_documents": _bm25_constant_score_sql(),
     # same ranking contract as bm25_topk — the plumbing differs
     "bm25_batch_rank_documents": _bm25_sql(),
