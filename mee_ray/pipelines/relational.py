@@ -1566,9 +1566,9 @@ def running_total_orders(sf_dir: str, n_buckets: int = 64):
 
 RUNNING_TOTAL_SQL = """
 SELECT o_orderkey, o_custkey,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
-         AS running_cents
+         AS BIGINT) AS running_cents
 FROM orders
 """
 
