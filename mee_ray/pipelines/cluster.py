@@ -436,9 +436,8 @@ def minhash_neardup_clusters(sf_dir: str) -> pa.Table:
     import ray.data
 
     from mee_ray.pipelines.text import minhash_lsh_candidates
-    pairs = minhash_lsh_candidates(sf_dir)
-    cc = connected_components(
-        ray.data.from_arrow(pairs.select(["a", "b"])))
+    pairs = minhash_lsh_candidates(sf_dir)      # Dataset (distributed verify)
+    cc = connected_components(pairs.select_columns(["a", "b"]))
     return _clusters_with_singletons(sf_dir, cc)
 
 

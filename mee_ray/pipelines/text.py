@@ -296,13 +296,33 @@ class MinHashStage(TextStats):
                          "band_key": pa.array(keys, pa.int64())})
 
 
+def _empty_lists(n: int) -> pa.ListArray:
+    return pa.ListArray.from_arrays(
+        np.zeros(n + 1, dtype=np.int32), pa.array([], pa.int64()))
+
+
+def _list_lengths(col: pa.ListArray) -> np.ndarray:
+    off = col.offsets.to_numpy(zero_copy_only=False)
+    return np.diff(off)
+
+
 def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.2):
     """MinHash-LSH near-dup: shingle→minhash→band → groupby(band,key)
-    → candidate pairs → exact-Jaccard verification (broadcast token
-    sets; at scale this verify joins back to docs by id instead)."""
-    import ray
-    import pyarrow.parquet as pq
+    → candidate pairs → exact-Jaccard verify, fully distributed.
+
+    The verify never touches the driver: pairs dedupe in a bucketed
+    groupby, the candidate docs come back via the bucketed-groupby
+    semi-join (training._semi_join_docs), and each endpoint's shingle
+    set is attached to its pairs by two more bucketed groupbys (pair
+    bucketed by mix64(endpoint), shingle row bucketed by mix64(doc_id)
+    — same key, so they meet in one group) where Jaccard is computed
+    vectorized (lexsort + segmented duplicate count).  Everything that
+    crosses an exchange is bounded by the LSH candidate volume except
+    the one corpus-sized (doc_id, text) semi-join shuffle."""
     import itertools
+
+    from mee_ray.pipelines.cluster import _mix64, _N_BUCKETS
+    from mee_ray.pipelines.training import _semi_join_docs
 
     # NOTE: `hash()` on tuples is salted per interpreter; band keys are
     # only compared within one driver session, which is all LSH needs.
@@ -328,50 +348,132 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.2):
 
     cand = sig.groupby(["band", "band_key"]).map_groups(
         pairs_of_group, batch_format="pyarrow")
-    cand_tbl = pa.concat_tables(
-        list(cand.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
-        or [pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})])
-    if cand_tbl.num_rows == 0:
-        return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
-                         "jaccard": pa.array([], pa.float64())})
-    uniq_pairs = sorted({(x, y) for x, y in zip(cand_tbl["a"].to_pylist(),
-                                                cand_tbl["b"].to_pylist())})
-    # exact verify: shingle sets are computed DISTRIBUTED over the docs
-    # dataset, filtered to candidate ids by a broadcast id array — only
-    # the candidates' shingle sets ever reach the driver (bounded by
-    # the LSH candidate count, not the corpus)
-    need_ref = ray.put(np.array(sorted({i for p in uniq_pairs for i in p}),
-                                dtype=np.int64))
 
-    class CandidateShingles(TextStats):
+    # -- dedupe (a, b): bucket by pair hash, unique per bucket ---------
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        bk = ((_mix64(a) ^ _mix64(b)) % np.uint64(_N_BUCKETS)).astype(np.int32)
+        return pa.table({"bucket": pa.array(bk), "a": t["a"], "b": t["b"]})
+
+    def uniq_pairs_of(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        keep = np.ones(len(a), dtype=bool)
+        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        return pa.table({"a": pa.array(a[keep], pa.int64()),
+                         "b": pa.array(b[keep], pa.int64())})
+
+    pairs = (cand.map_batches(bucket_pairs, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .groupby("bucket")
+             .map_groups(uniq_pairs_of, batch_format="pyarrow")
+             .materialize())                 # consumed twice below
+
+    # -- candidate docs via the bucketed semi-join (no id broadcast) ---
+    def endpoints(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(np.concatenate([a, b]),
+                                            pa.int64())})
+
+    cand_docs = _semi_join_docs(
+        docs, pairs.map_batches(endpoints, batch_format="pyarrow"))
+
+    # -- shingle rows + pair rows share ONE schema so they can union;
+    #    shingle rows bucket by mix64(doc_id), which is exactly the
+    #    bucket a pair keyed by that endpoint lands in -----------------
+    class ShingleRows(TextStats):
         def __call__(self, t: pa.Table) -> pa.Table:
-            nd = ray.get(need_ref)
             ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            keep = np.isin(ids, nd)
-            out_id, out_sh = [], []
-            for did, text, k in zip(ids, t["text"].to_pylist(), keep):
-                if k:
-                    out_id.append(int(did))
-                    out_sh.append(np.fromiter(_shingles(self.tokens(text)),
-                                              dtype=np.int64))
-            return pa.table({"doc_id": pa.array(out_id, pa.int64()),
-                             "shingles": pa.array(out_sh,
-                                                  pa.list_(pa.int64()))})
+            sh = [np.fromiter(_shingles(self.tokens(x)), dtype=np.int64)
+                  for x in t["text"].to_pylist()]
+            bk = (_mix64(ids) % np.uint64(_N_BUCKETS)).astype(np.int32)
+            return pa.table({
+                "bucket": pa.array(bk),
+                "a": pa.array(ids, pa.int64()),
+                "b": pa.array(np.full(len(ids), -1), pa.int64()),
+                "sh_a": _empty_lists(len(ids)),
+                "sh": pa.array(sh, pa.list_(pa.int64())),
+                "is_sh": pa.array(np.ones(len(ids), np.int8))})
 
-    toks: dict[int, set] = {}
-    for b in docs.map_batches(CandidateShingles(), batch_format="pyarrow") \
-                  .iter_batches(batch_format="pyarrow", batch_size=1 << 16):
-        for did, sh in zip(b["doc_id"].to_pylist(), b["shingles"].to_pylist()):
-            toks[did] = set(sh)
-    out_a, out_b, out_j = [], [], []
-    for x, y in uniq_pairs:
-        sx, sy = toks[x], toks[y]
-        j = len(sx & sy) / len(sx | sy) if (sx or sy) else 1.0
-        if j >= jaccard_threshold:
-            out_a.append(x); out_b.append(y); out_j.append(round(j, 6))
-    return pa.table({"a": pa.array(out_a, pa.int64()),
-                     "b": pa.array(out_b, pa.int64()),
-                     "jaccard": pa.array(out_j, pa.float64())})
+    sh_rows = cand_docs.map_batches(
+        ShingleRows(), batch_format="pyarrow").materialize()
+
+    def pair_rows(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        bk = (_mix64(a) % np.uint64(_N_BUCKETS)).astype(np.int32)
+        n = len(a)
+        return pa.table({"bucket": pa.array(bk), "a": t["a"], "b": t["b"],
+                         "sh_a": _empty_lists(n), "sh": _empty_lists(n),
+                         "is_sh": pa.array(np.zeros(n, np.int8))})
+
+    def _lookup(g: pa.Table, key: str):
+        """Within one bucket group: for each pair row, the row index of
+        its ``key``-endpoint's shingle row (pairs missing the endpoint
+        are dropped — cannot happen when candidates derive from docs)."""
+        m = g["is_sh"].to_numpy(zero_copy_only=False).astype(bool)
+        prow = np.flatnonzero(~m)
+        srow = np.flatnonzero(m)
+        ids = g["a"].to_numpy(zero_copy_only=False)
+        order = np.argsort(ids[srow], kind="stable")
+        srow = srow[order]
+        sdocs = ids[srow]
+        keyv = g[key].to_numpy(zero_copy_only=False)[prow]
+        if not len(srow) or not len(prow):
+            return prow[:0], srow[:0]
+        pos = np.clip(np.searchsorted(sdocs, keyv), 0, len(sdocs) - 1)
+        ok = sdocs[pos] == keyv
+        return prow[ok], srow[pos[ok]]
+
+    def attach_a(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        prow, srow = _lookup(g, "a")
+        b = g["b"].to_numpy(zero_copy_only=False)[prow]
+        bk = (_mix64(b) % np.uint64(_N_BUCKETS)).astype(np.int32)
+        take_p = pa.array(prow, pa.int64())
+        return pa.table({
+            "bucket": pa.array(bk),
+            "a": g["a"].take(take_p), "b": g["b"].take(take_p),
+            "sh_a": g["sh"].take(pa.array(srow, pa.int64())),
+            "sh": _empty_lists(len(prow)),
+            "is_sh": pa.array(np.zeros(len(prow), np.int8))})
+
+    def attach_b_jaccard(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        prow, srow = _lookup(g, "b")
+        take_p = pa.array(prow, pa.int64())
+        sa = g["sh_a"].take(take_p).combine_chunks()
+        sb = g["sh"].take(pa.array(srow, pa.int64())).combine_chunks()
+        n = len(prow)
+        la, lb = _list_lengths(sa), _list_lengths(sb)
+        flat = np.concatenate([sa.flatten().to_numpy(zero_copy_only=False),
+                               sb.flatten().to_numpy(zero_copy_only=False)])
+        pidx = np.concatenate([np.repeat(np.arange(n), la),
+                               np.repeat(np.arange(n), lb)])
+        order = np.lexsort((flat, pidx))
+        p, s = pidx[order], flat[order]
+        dup = (p[1:] == p[:-1]) & (s[1:] == s[:-1])
+        inter = np.zeros(n, dtype=np.int64)
+        np.add.at(inter, p[1:][dup], 1)
+        union = la + lb - inter
+        j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+        j = np.round(j, 6)
+        keep = j >= jaccard_threshold
+        take_k = pa.array(prow[keep], pa.int64())
+        return pa.table({"a": g["a"].take(take_k),
+                         "b": g["b"].take(take_k),
+                         "jaccard": pa.array(j[keep], pa.float64())})
+
+    stage_a = (sh_rows.union(
+        pairs.map_batches(pair_rows, batch_format="pyarrow"))
+        .groupby("bucket")
+        .map_groups(attach_a, batch_format="pyarrow"))
+    return (sh_rows.union(stage_a)
+            .groupby("bucket")
+            .map_groups(attach_b_jaccard, batch_format="pyarrow"))
 
 
 class SimHashStage(TextStats):
@@ -384,23 +486,61 @@ class SimHashStage(TextStats):
     storage type, well inside the sketch's approximate contract."""
 
     def simhash(self, text: str) -> int:
+        """Scalar form (tests / one-off callers); the batch path below
+        is the vectorized equivalent."""
+        return int(self._simhash_batch([self.tokens(text)])[0])
+
+    # max docs×vocab cells for the dense counts-matrix fast path
+    # (16M float64 cells ≈ 128 MB transient)
+    _DENSE_LIMIT = 1 << 24
+
+    def _simhash_batch(self, toks: list[list[str]]) -> np.ndarray:
+        """SimHash for many docs in one shot.  Each UNIQUE token string
+        in the batch is crc-hashed once (np.unique memo); per-doc ±1
+        accumulation is then either a counts-matrix × ±1 BLAS matmul
+        when docs×vocab is small, or 64 weighted bincounts over the flat
+        token stream otherwise (acc = 2·ones − len per bit lane) — never
+        a per-token Python loop.  Both paths are exact: every count and
+        partial sum stays far below 2^53 so the float64 arithmetic is
+        integer-exact."""
         import zlib
-        acc = np.zeros(64, dtype=np.int64)
-        shifts = np.arange(64, dtype=np.uint64)
-        for w in self.tokens(text):
-            h = np.uint64((zlib.crc32(w.encode()) << 32) | zlib.crc32(w[::-1].encode()))
-            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
-            acc += np.where(bits == 1, 1, -1)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= (1 << i)
-        return out & 0x7FFFFFFFFFFFFFFF
+        n = len(toks)
+        lens = np.fromiter((len(tk) for tk in toks), dtype=np.int64, count=n)
+        flat = [w for tk in toks for w in tk]
+        if not flat:
+            return np.zeros(n, dtype=np.int64)
+        import pandas as pd
+        inv, uniq = pd.factorize(np.array(flat, dtype=object))
+        h = np.fromiter(
+            ((zlib.crc32(w.encode()) << 32) | zlib.crc32(w[::-1].encode())
+             for w in uniq), dtype=np.uint64, count=len(uniq))
+        U = len(uniq)
+        didx = np.repeat(np.arange(n), lens)
+        if n * U <= self._DENSE_LIMIT:
+            shifts = np.arange(64, dtype=np.uint64)
+            pm = (2 * ((h[:, None] >> shifts[None, :]) & np.uint64(1))
+                  .astype(np.int64)) - 1          # (uniq, 64) of ±1
+            counts = np.bincount(didx * U + inv.astype(np.int64),
+                                 minlength=n * U).reshape(n, U)
+            acc = np.rint(counts.astype(np.float64)
+                          @ pm.astype(np.float64)).astype(np.int64)
+        else:
+            acc = np.empty((n, 64), dtype=np.int64)
+            for k in range(64):
+                bitk = ((h >> np.uint64(k)) & np.uint64(1)) \
+                    .astype(np.float64)
+                ones = np.bincount(didx, weights=bitk[inv], minlength=n)
+                acc[:, k] = np.rint(2.0 * ones).astype(np.int64) - lens
+        out = ((acc > 0).astype(np.uint64)
+               << np.arange(64, dtype=np.uint64)).sum(axis=1,
+                                                      dtype=np.uint64)
+        return (out & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        hs = [self.simhash(x) for x in t["text"].to_pylist()]
+        toks = [self.tokens(x) for x in t["text"].to_pylist()]
         return pa.table({"doc_id": t["doc_id"],
-                         "simhash": pa.array(hs, pa.int64())})
+                         "simhash": pa.array(self._simhash_batch(toks),
+                                             pa.int64())})
 
 
 def simhash_signatures(sf_dir: str):

@@ -133,10 +133,10 @@ def test_minhash_clusters_consistent_with_pairs(ray_session):
     from mee_ray.pipelines.cluster import minhash_neardup_clusters
     from mee_ray.pipelines.text import minhash_lsh_candidates
 
-    pairs = minhash_lsh_candidates(SF)
+    pairs = minhash_lsh_candidates(SF).to_pandas()
     got = minhash_neardup_clusters(SF)
     root = dict(zip(got["doc_id"].to_pylist(), got["root"].to_pylist()))
-    edges = list(zip(pairs["a"].to_pylist(), pairs["b"].to_pylist()))
+    edges = list(zip(pairs["a"].tolist(), pairs["b"].tolist()))
     want = _union_find([(a, b) for a, b in edges if a != b])
     for node, r in want.items():
         assert root[node] == r
