@@ -55,7 +55,8 @@ def oracle_sql() -> dict[str, str]:
     from mee_ray.pipelines import (cluster, docbuild, export, fulltext,
                                    relational, sketches, text, training,
                                    vector)
-    from mee_ray.stages.multimodal import MULTIMODAL_SQL, VIDEO_SQL
+    from mee_ray.stages.multimodal import (AUDIO_SQL, MULTIMODAL_SQL,
+                                           RETRIEVAL_SQL, VIDEO_SQL)
 
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
@@ -69,4 +70,6 @@ def oracle_sql() -> dict[str, str]:
     out.update(training.ORACLE)
     out["multimodal_image_meta"] = MULTIMODAL_SQL
     out["multimodal_video_frames"] = VIDEO_SQL
+    out["multimodal_audio_features"] = AUDIO_SQL
+    out["multimodal_retrieval"] = RETRIEVAL_SQL
     return out

@@ -51,11 +51,22 @@ class IllegalDocSpec(ValueError):
 class JoinSpec:
     """Exactly-one-row lookup join (reference J1: a slave config item
     whose statement binds `%__master.<master_key>`; missing ⇒ nulls,
-    like the reference's `{}` + null_value defaults)."""
+    like the reference's `{}` + null_value defaults).
+
+    ``on_parent_delete`` mirrors the reference's ``eval_on_deleted``
+    (commonhandler.py:996-1007): when a delta DELETES a slave row,
+    ``"reeval"`` (default, = eval_on_deleted True) re-evaluates the
+    lookup against the post-change table — a same-key row upserted in
+    the same batch still resolves; ``"null"`` (= eval_on_deleted False)
+    is the reference's deliberately-stale reset: masters referencing a
+    deleted key read null even when re-evaluation would find a value
+    (e.g. the key was also re-upserted), until a later change touches
+    them again."""
     table: str
     key: str                      # join key column in the joined table
     master_key: str               # key column on the master side
     fields: dict[str, str]        # out_field -> source column
+    on_parent_delete: str = "reeval"   # "reeval" | "null"
 
 
 @dataclass(frozen=True)
@@ -90,6 +101,11 @@ class DocSpec:
         dup = {o for o in outs if outs.count(o) > 1}
         if dup:
             raise IllegalDocSpec(f"duplicate output fields: {sorted(dup)}")
+        for j in self.joins:
+            if j.on_parent_delete not in ("reeval", "null"):
+                raise IllegalDocSpec(
+                    f"join {j.table!r}: on_parent_delete must be "
+                    f"'reeval' or 'null', got {j.on_parent_delete!r}")
         bad = [o for o in outs if not o.isidentifier()]
         if bad:
             raise IllegalDocSpec(f"output fields must be identifiers: {bad}")
@@ -321,7 +337,8 @@ def _nested_maps(sf_dir: str, spec: DocSpec, overlays: dict | None = None,
 def build_documents(sf_dir: str, spec: DocSpec,
                     _overlays: dict | None = None,
                     _master_keep: dict | None = None,
-                    _nested_parent_filter: dict | None = None):
+                    _nested_parent_filter: dict | None = None,
+                    _join_reset_keys: dict | None = None):
     """Compile the spec into a Ray Dataset of documents.
 
     The underscore parameters are the incremental-rebuild hooks used by
@@ -329,7 +346,9 @@ def build_documents(sf_dir: str, spec: DocSpec,
     read to affected rows (column → value set, OR-combined),
     ``_overlays`` applies changed slave rows on top of the base
     parquet, ``_nested_parent_filter`` bounds the nested rollup to
-    affected parents."""
+    affected parents, and ``_join_reset_keys`` (join index → sorted
+    key values) forces the join's fields to null for masters whose key
+    is in the set (the ``on_parent_delete: "null"`` reset)."""
     import ray
     import ray.data
 
@@ -425,6 +444,13 @@ def build_documents(sf_dir: str, spec: DocSpec,
             pos_c = np.minimum(pos, max(0, len(keys) - 1))
             hit = (keys[pos_c] == probe) if len(keys) else \
                 np.zeros(len(probe), dtype=bool)
+            reset = (_join_reset_keys or {}).get(i)
+            if reset is not None and len(reset):
+                # on_parent_delete="null": masters referencing a
+                # deleted slave key read null, never a re-evaluated row
+                rp = np.minimum(np.searchsorted(reset, probe),
+                                len(reset) - 1)
+                hit &= reset[rp] != probe
             for out_f, src in j.fields.items():
                 if len(keys) == 0:
                     # empty lookup table (e.g. a SlaveChange deleted
@@ -599,10 +625,24 @@ def apply_join_delta(sf_dir: str, spec: DocSpec,
                 nested_parents[n.table].update(
                     mt[n.master_key].to_pylist())
     overlays = {ch.table: ch for ch in changes}
+    # on_parent_delete="null" joins: masters referencing a deleted
+    # slave key get that join's fields reset to null instead of
+    # re-evaluated — even when the batch also re-upserts the key (the
+    # reference's deliberately-stale reset, eval_on_deleted=False,
+    # commonhandler.py:996-1007)
+    reset_keys: dict[int, np.ndarray] = {}
+    for i, j in enumerate(spec.joins):
+        if j.on_parent_delete != "null":
+            continue
+        dead = {k for ch in changes if ch.table == j.table
+                for k in (ch.delete_keys or ())}
+        if dead:
+            reset_keys[i] = np.sort(np.array(sorted(dead)))
     return build_documents(sf_dir, spec,
                            _overlays=overlays,
                            _master_keep=master_keep,
-                           _nested_parent_filter=nested_parents)
+                           _nested_parent_filter=nested_parents,
+                           _join_reset_keys=reset_keys or None)
 
 
 def apply_master_delta(sf_dir: str, spec: DocSpec, change: SlaveChange):

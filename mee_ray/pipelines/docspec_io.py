@@ -49,7 +49,7 @@ from mee_ray.pipelines.docbuild import (DocSpec, IllegalDocSpec, JoinSpec,
 _FILTER_OPS = {"==", "!=", "<>", ">", ">=", "<", "<="}
 
 _TOP_KEYS = {"master", "key", "mappings", "filter", "joins", "nested"}
-_JOIN_KEYS = {"table", "key", "master_key", "fields"}
+_JOIN_KEYS = {"table", "key", "master_key", "fields", "on_parent_delete"}
 _NESTED_KEYS = {"table", "parent_key", "master_key", "fields", "out",
                 "order_by", "limit"}
 
@@ -119,10 +119,14 @@ def docspec_from_dict(d: dict, origin: str = "<dict>") -> DocSpec:
         if not isinstance(fields, dict) or not fields:
             raise IllegalDocSpec(f"{where}: 'fields' must be a non-empty "
                                  f"mapping of out_field -> source column")
+        opd = j.get("on_parent_delete", "reeval")
+        if opd not in ("reeval", "null"):
+            raise IllegalDocSpec(f"{where}: on_parent_delete must be "
+                                 f"'reeval' or 'null', got {opd!r}")
         joins.append(JoinSpec(_require_str(j, "table", where),
                               _require_str(j, "key", where),
                               _require_str(j, "master_key", where),
-                              dict(fields)))
+                              dict(fields), on_parent_delete=opd))
 
     nested = []
     for i, n in enumerate(d.get("nested") or ()):

@@ -308,21 +308,22 @@ def _list_lengths(col: pa.ListArray) -> np.ndarray:
 
 def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.2):
     """MinHash-LSH near-dup: shingle→minhash→band → groupby(band,key)
-    → candidate pairs → exact-Jaccard verify, fully distributed.
+    → candidate pairs → exact-Jaccard verify, fully distributed in
+    THREE shuffles total (band groupby + two bucketed groupbys).
 
-    The verify never touches the driver: pairs dedupe in a bucketed
-    groupby, the candidate docs come back via the bucketed-groupby
-    semi-join (training._semi_join_docs), and each endpoint's shingle
-    set is attached to its pairs by two more bucketed groupbys (pair
-    bucketed by mix64(endpoint), shingle row bucketed by mix64(doc_id)
-    — same key, so they meet in one group) where Jaccard is computed
-    vectorized (lexsort + segmented duplicate count).  Everything that
-    crosses an exchange is bounded by the LSH candidate volume except
-    the one corpus-sized (doc_id, text) semi-join shuffle."""
+    The verify never touches the driver.  Each candidate pair emits one
+    half-row per endpoint bucketed by mix64(endpoint); doc rows bucket
+    by mix64(doc_id), so a half-row meets its endpoint's text in one
+    group (the semi-join is implicit — only docs a half references are
+    shingled), pairs dedupe there, and each half forwards with its
+    shingle set bucketed by the pair hash.  The final groupby aligns
+    the two halves of every pair and computes exact Jaccard vectorized
+    (lexsort + segmented duplicate count).  Everything crossing an
+    exchange is bounded by the LSH candidate volume except the one
+    corpus-sized (doc_id, text) shuffle that serves the attach."""
     import itertools
 
     from mee_ray.pipelines.cluster import _mix64, _N_BUCKETS
-    from mee_ray.pipelines.training import _semi_join_docs
 
     # NOTE: `hash()` on tuples is salted per interpreter; band keys are
     # only compared within one driver session, which is all LSH needs.
@@ -349,112 +350,111 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.2):
     cand = sig.groupby(["band", "band_key"]).map_groups(
         pairs_of_group, batch_format="pyarrow")
 
-    # -- dedupe (a, b): bucket by pair hash, unique per bucket ---------
-    def bucket_pairs(t: pa.Table) -> pa.Table:
+    # Fused attach (shuffle 2 of 3): each pair emits one HALF-ROW per
+    # endpoint, bucketed by mix64(endpoint); doc rows bucket by
+    # mix64(doc_id), so a half-row meets its endpoint's text in one
+    # group, where the probe dedupes band-duplicate pairs, shingles
+    # ONLY referenced docs (the semi-join is implicit), and forwards
+    # each half with its shingle set bucketed by the pair hash.
+
+    def tag_docs(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        bk = (_mix64(ids) % np.uint64(_N_BUCKETS)).astype(np.int32)
+        return pa.table({"bucket": pa.array(bk),
+                         "a": pa.array(ids, pa.int64()),
+                         "b": pa.array(np.full(len(ids), -1), pa.int64()),
+                         "text": t["text"],
+                         "side": pa.array(np.full(len(ids), 2, np.int8))})
+
+    def tag_pair_halves(t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy(zero_copy_only=False)
         b = t["b"].to_numpy(zero_copy_only=False)
-        bk = ((_mix64(a) ^ _mix64(b)) % np.uint64(_N_BUCKETS)).astype(np.int32)
-        return pa.table({"bucket": pa.array(bk), "a": t["a"], "b": t["b"]})
+        n = len(a)
+        key = np.concatenate([a, b])
+        bk = (_mix64(key) % np.uint64(_N_BUCKETS)).astype(np.int32)
+        aa = np.concatenate([a, a])
+        bb = np.concatenate([b, b])
+        side = np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)])
+        return pa.table({"bucket": pa.array(bk),
+                         "a": pa.array(aa, pa.int64()),
+                         "b": pa.array(bb, pa.int64()),
+                         "text": pa.array([""] * (2 * n), pa.string()),
+                         "side": pa.array(side)})
 
-    def uniq_pairs_of(g: pa.Table) -> pa.Table:
+    shingle_stats = TextStats()
+
+    def attach_shingles(g: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], pa.int32()),
+                          "a": pa.array([], pa.int64()),
+                          "b": pa.array([], pa.int64()),
+                          "sh": _empty_lists(0),
+                          "side": pa.array([], pa.int8())})
+        g = g.combine_chunks()
+        side = g["side"].to_numpy(zero_copy_only=False)
         a = g["a"].to_numpy(zero_copy_only=False)
         b = g["b"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((b, a))
-        a, b = a[order], b[order]
-        keep = np.ones(len(a), dtype=bool)
-        keep[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-        return pa.table({"a": pa.array(a[keep], pa.int64()),
-                         "b": pa.array(b[keep], pa.int64())})
+        prow = np.flatnonzero(side != 2)
+        drow = np.flatnonzero(side == 2)
+        if not len(prow) or not len(drow):
+            return empty
+        # dedupe band-duplicate halves: (a, b, side) is unique after
+        # this, and identical halves always land in the same bucket
+        pa_, pb_, ps_ = a[prow], b[prow], side[prow]
+        order = np.lexsort((ps_, pb_, pa_))
+        pa_, pb_, ps_ = pa_[order], pb_[order], ps_[order]
+        keep = np.ones(len(order), dtype=bool)
+        keep[1:] = ((pa_[1:] != pa_[:-1]) | (pb_[1:] != pb_[:-1])
+                    | (ps_[1:] != ps_[:-1]))
+        pa_, pb_, ps_ = pa_[keep], pb_[keep], ps_[keep]
+        keyv = np.where(ps_ == 0, pa_, pb_)
+        dids = a[drow]
+        dorder = np.argsort(dids, kind="stable")
+        drow, dids = drow[dorder], dids[dorder]
+        pos = np.clip(np.searchsorted(dids, keyv), 0, len(dids) - 1)
+        ok = dids[pos] == keyv
+        pa_, pb_, ps_, pos = pa_[ok], pb_[ok], ps_[ok], pos[ok]
+        if not len(pa_):
+            return empty
+        # shingle only the docs some half actually references
+        need = np.unique(pos)
+        texts = g["text"].take(pa.array(drow[need], pa.int64())).to_pylist()
+        sh_arr = pa.array(
+            [np.fromiter(_shingles(shingle_stats.tokens(x)), dtype=np.int64)
+             for x in texts], pa.list_(pa.int64()))
+        sel = np.searchsorted(need, pos)
+        bk2 = ((_mix64(pa_) ^ _mix64(pb_))
+               % np.uint64(_N_BUCKETS)).astype(np.int32)
+        return pa.table({"bucket": pa.array(bk2),
+                         "a": pa.array(pa_, pa.int64()),
+                         "b": pa.array(pb_, pa.int64()),
+                         "sh": sh_arr.take(pa.array(sel, pa.int64())),
+                         "side": pa.array(ps_)})
 
-    pairs = (cand.map_batches(bucket_pairs, batch_format="pyarrow",
-                              zero_copy_batch=True)
-             .groupby("bucket")
-             .map_groups(uniq_pairs_of, batch_format="pyarrow")
-             .materialize())                 # consumed twice below
-
-    # -- candidate docs via the bucketed semi-join (no id broadcast) ---
-    def endpoints(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False)
-        b = t["b"].to_numpy(zero_copy_only=False)
-        return pa.table({"doc_id": pa.array(np.concatenate([a, b]),
-                                            pa.int64())})
-
-    cand_docs = _semi_join_docs(
-        docs, pairs.map_batches(endpoints, batch_format="pyarrow"))
-
-    # -- shingle rows + pair rows share ONE schema so they can union;
-    #    shingle rows bucket by mix64(doc_id), which is exactly the
-    #    bucket a pair keyed by that endpoint lands in -----------------
-    class ShingleRows(TextStats):
-        def __call__(self, t: pa.Table) -> pa.Table:
-            ids = t["doc_id"].to_numpy(zero_copy_only=False)
-            sh = [np.fromiter(_shingles(self.tokens(x)), dtype=np.int64)
-                  for x in t["text"].to_pylist()]
-            bk = (_mix64(ids) % np.uint64(_N_BUCKETS)).astype(np.int32)
-            return pa.table({
-                "bucket": pa.array(bk),
-                "a": pa.array(ids, pa.int64()),
-                "b": pa.array(np.full(len(ids), -1), pa.int64()),
-                "sh_a": _empty_lists(len(ids)),
-                "sh": pa.array(sh, pa.list_(pa.int64())),
-                "is_sh": pa.array(np.ones(len(ids), np.int8))})
-
-    sh_rows = cand_docs.map_batches(
-        ShingleRows(), batch_format="pyarrow").materialize()
-
-    def pair_rows(t: pa.Table) -> pa.Table:
-        a = t["a"].to_numpy(zero_copy_only=False)
-        bk = (_mix64(a) % np.uint64(_N_BUCKETS)).astype(np.int32)
-        n = len(a)
-        return pa.table({"bucket": pa.array(bk), "a": t["a"], "b": t["b"],
-                         "sh_a": _empty_lists(n), "sh": _empty_lists(n),
-                         "is_sh": pa.array(np.zeros(n, np.int8))})
-
-    def _lookup(g: pa.Table, key: str):
-        """Within one bucket group: for each pair row, the row index of
-        its ``key``-endpoint's shingle row (pairs missing the endpoint
-        are dropped — cannot happen when candidates derive from docs)."""
-        m = g["is_sh"].to_numpy(zero_copy_only=False).astype(bool)
-        prow = np.flatnonzero(~m)
-        srow = np.flatnonzero(m)
-        ids = g["a"].to_numpy(zero_copy_only=False)
-        order = np.argsort(ids[srow], kind="stable")
-        srow = srow[order]
-        sdocs = ids[srow]
-        keyv = g[key].to_numpy(zero_copy_only=False)[prow]
-        if not len(srow) or not len(prow):
-            return prow[:0], srow[:0]
-        pos = np.clip(np.searchsorted(sdocs, keyv), 0, len(sdocs) - 1)
-        ok = sdocs[pos] == keyv
-        return prow[ok], srow[pos[ok]]
-
-    def attach_a(g: pa.Table) -> pa.Table:
+    def join_halves_jaccard(g: pa.Table) -> pa.Table:
         g = g.combine_chunks()
-        prow, srow = _lookup(g, "a")
-        b = g["b"].to_numpy(zero_copy_only=False)[prow]
-        bk = (_mix64(b) % np.uint64(_N_BUCKETS)).astype(np.int32)
-        take_p = pa.array(prow, pa.int64())
-        return pa.table({
-            "bucket": pa.array(bk),
-            "a": g["a"].take(take_p), "b": g["b"].take(take_p),
-            "sh_a": g["sh"].take(pa.array(srow, pa.int64())),
-            "sh": _empty_lists(len(prow)),
-            "is_sh": pa.array(np.zeros(len(prow), np.int8))})
-
-    def attach_b_jaccard(g: pa.Table) -> pa.Table:
-        g = g.combine_chunks()
-        prow, srow = _lookup(g, "b")
-        take_p = pa.array(prow, pa.int64())
-        sa = g["sh_a"].take(take_p).combine_chunks()
-        sb = g["sh"].take(pa.array(srow, pa.int64())).combine_chunks()
-        n = len(prow)
+        a = g["a"].to_numpy(zero_copy_only=False)
+        b = g["b"].to_numpy(zero_copy_only=False)
+        side = g["side"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((side, b, a))
+        a2, b2, s2 = a[order], b[order], side[order]
+        # after the per-bucket dedupe upstream each (a, b) has at most
+        # one half per side, so a pair is exactly an adjacent (0, 1) run
+        m = np.zeros(max(len(a2) - 1, 0), dtype=bool)
+        if len(a2) > 1:
+            m = ((a2[1:] == a2[:-1]) & (b2[1:] == b2[:-1])
+                 & (s2[:-1] == 0) & (s2[1:] == 1))
+        ia = order[:-1][m]
+        ib = order[1:][m]
+        sa = g["sh"].take(pa.array(ia, pa.int64())).combine_chunks()
+        sb = g["sh"].take(pa.array(ib, pa.int64())).combine_chunks()
+        n = len(sa)
         la, lb = _list_lengths(sa), _list_lengths(sb)
         flat = np.concatenate([sa.flatten().to_numpy(zero_copy_only=False),
                                sb.flatten().to_numpy(zero_copy_only=False)])
         pidx = np.concatenate([np.repeat(np.arange(n), la),
                                np.repeat(np.arange(n), lb)])
-        order = np.lexsort((flat, pidx))
-        p, s = pidx[order], flat[order]
+        sorder = np.lexsort((flat, pidx))
+        p, s = pidx[sorder], flat[sorder]
         dup = (p[1:] == p[:-1]) & (s[1:] == s[:-1])
         inter = np.zeros(n, dtype=np.int64)
         np.add.at(inter, p[1:][dup], 1)
@@ -462,18 +462,19 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.2):
         j = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
         j = np.round(j, 6)
         keep = j >= jaccard_threshold
-        take_k = pa.array(prow[keep], pa.int64())
+        take_k = pa.array(ia[keep], pa.int64())
         return pa.table({"a": g["a"].take(take_k),
                          "b": g["b"].take(take_k),
                          "jaccard": pa.array(j[keep], pa.float64())})
 
-    stage_a = (sh_rows.union(
-        pairs.map_batches(pair_rows, batch_format="pyarrow"))
-        .groupby("bucket")
-        .map_groups(attach_a, batch_format="pyarrow"))
-    return (sh_rows.union(stage_a)
-            .groupby("bucket")
-            .map_groups(attach_b_jaccard, batch_format="pyarrow"))
+    halves = (docs.map_batches(tag_docs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .union(cand.map_batches(tag_pair_halves,
+                                      batch_format="pyarrow"))
+              .groupby("bucket")
+              .map_groups(attach_shingles, batch_format="pyarrow"))
+    return (halves.groupby("bucket")
+            .map_groups(join_halves_jaccard, batch_format="pyarrow"))
 
 
 class SimHashStage(TextStats):

@@ -135,6 +135,25 @@ def decode_positions_concat(buf: bytes, tfs: np.ndarray
     return C - prefix, offs
 
 
+def decode_positions_subset(buf: bytes, tfs: np.ndarray,
+                            rows: np.ndarray, val_offs: np.ndarray
+                            ) -> tuple[np.ndarray, np.ndarray]:
+    """Decode only ``rows`` (sorted doc indices) out of a concatenated
+    per-doc position blob: per-doc runs are self-contained (first value
+    absolute — encode_positions), so the kept runs' byte slices
+    concatenate into a valid smaller blob.  ``val_offs`` are the
+    varint_value_offsets of ``buf`` (computed once per chunk, cached by
+    the caller); cost is O(kept positions), not O(chunk positions) —
+    the phrase-path fix for first-touch decode of hot terms' position
+    lists."""
+    tfs = np.asarray(tfs, dtype=np.int64)
+    cum = np.concatenate(([0], np.cumsum(tfs)))
+    b0 = val_offs[cum[rows]]
+    b1 = val_offs[cum[rows + 1]]
+    sub = b"".join(buf[i:j] for i, j in zip(b0.tolist(), b1.tolist()))
+    return decode_positions_concat(sub, tfs[rows])
+
+
 def delta_encode(doc_ids: np.ndarray) -> np.ndarray:
     """Strictly-increasing int64 ids → first id + gaps (uint64)."""
     ids = np.ascontiguousarray(doc_ids, dtype=np.int64)

@@ -218,6 +218,41 @@ class _ShardIndex:
             self._dec_cache.popitem(last=False)
         return flat, offs
 
+    def _positions_subset(self, ti: int, ri: int, keep: np.ndarray,
+                          tfs: np.ndarray) -> np.ndarray:
+        """Flat positions for the ``keep``-masked subset of one chunk's
+        docs.  Slices the full decode when it is already cached (or
+        when most docs survive anyway); otherwise decodes ONLY the kept
+        runs via cached varint value-boundary offsets, so first touch
+        of a hot term's position blob costs O(kept positions), not
+        O(chunk positions) — the phrase-tail fix."""
+        from mee_ray.postings import (decode_positions_subset,
+                                      varint_value_offsets)
+        full = self._dec_cache.get(("pos", ti, ri))
+        if full is None and keep.mean() > 0.5:
+            # majority survives: the full decode costs about the same
+            # and its cache entry serves every later query
+            full = self._positions_row(ti, ri)
+        if full is not None:
+            self._dec_cache.move_to_end(("pos", ti, ri))
+            return full[0][np.repeat(keep, tfs)]
+        key = ("posoff", ti, ri)
+        off = self._dec_cache.get(key)
+        t, r = self._row(ti, ri)
+        if "pos_enc" not in t.schema.names:
+            raise ValueError("index was built without store_positions")
+        buf = t["pos_enc"][r].as_py()
+        if off is None:
+            off = varint_value_offsets(buf)
+            self._dec_cache[key] = off
+            if len(self._dec_cache) > self.DEC_CACHE_CAP:
+                self._dec_cache.popitem(last=False)
+        else:
+            self._dec_cache.move_to_end(key)
+        flat, _ = decode_positions_subset(buf, tfs,
+                                          np.flatnonzero(keep), off)
+        return flat
+
 
     def chunk_meta(self, term: str) -> list[dict]:
         """Per-chunk metadata WITHOUT decoding postings: stored block
@@ -541,10 +576,11 @@ class Searcher:
                 keep = in_cand if keep is None else (keep & in_cand)
             if keep is not None and not keep.any():
                 continue                # skip the position decode
-            flat, offs = shard._positions_row(ti, ri)
-            if keep is not None and not keep.all():
-                fkm = np.repeat(keep, tfs)
-                ids, tfs, flat = ids[keep], tfs[keep], flat[fkm]
+            if keep is None or keep.all():
+                flat, _offs = shard._positions_row(ti, ri)
+            else:
+                flat = shard._positions_subset(ti, ri, keep, tfs)
+                ids, tfs = ids[keep], tfs[keep]
             ids_l.append(ids); tf_l.append(tfs); flat_l.append(flat)
         if not ids_l:
             return (np.empty(0, np.int64), np.zeros(1, np.int64),
@@ -581,12 +617,29 @@ class Searcher:
         cand = self._candidate_docs(uterms)
         if cand is None:
             return []
-        data = {t: self.term_doc_positions(t, cand) for t in uterms}
-        phrase_docs = phrase_match_docs(data, terms)
+        # rarest-term-first: each term's position blobs decode against
+        # the candidate set SURVIVING the rarer slots' key intersection,
+        # so a hot term's chunks are skipped wherever a rare term has
+        # already eliminated the docs (the BASELINE.md positions-tail
+        # optimization)
+        order = sorted(uterms, key=lambda t: (self._stored_df(t), t))
+        phrase_docs = phrase_match_docs_lazy(
+            self.term_doc_positions, terms, cand, order)
         if phrase_docs.size == 0:
             return []
         partials = self.term_partials_for_docs(uterms, phrase_docs)
         return merge_partials_conjunctive([partials], uterms, k)
+
+    def _stored_df(self, term: str) -> int:
+        """Stored (tombstone-blind) chunk-df sum from resident segment
+        metadata — the rarest-first ordering heuristic of the
+        positional query family.  Never decodes postings; with pending
+        tombstones it can overcount, which only perturbs the decode
+        ORDER, never a result."""
+        s = term_hash(term) % self.num_shards
+        if not self.owns(s):
+            return 0
+        return sum(c["df"] for c in self._shard(s).chunk_meta(term))
 
     def _candidate_docs(self, uterms: list[str]) -> np.ndarray | None:
         """Sorted live docs holding EVERY term (posting decode only,
@@ -720,14 +773,22 @@ class Searcher:
                                   prefix)[:max_expansions]
         if not expansions:
             return []
-        merged = merge_position_sets(
-            [self.term_doc_positions(e, cand) for e in expansions])
-        if merged[0].size == 0:
-            return []
         pseudo = "\x00" + prefix           # cannot collide with a token
-        data = {t: self.term_doc_positions(t, cand) for t in ufixed}
-        data[pseudo] = merged
-        phrase_docs = phrase_match_docs(data, list(fixed) + [pseudo])
+
+        # rarest-first over the fixed slots, expansion slot LAST: all
+        # max_expansions position decodes run against the candidate set
+        # already narrowed by the fixed-phrase key intersection
+        def fetch(t, alive):
+            if t == pseudo:
+                return merge_position_sets(
+                    [self.term_doc_positions(e, alive)
+                     for e in expansions])
+            return self.term_doc_positions(t, alive)
+
+        order = sorted(ufixed,
+                       key=lambda t: (self._stored_df(t), t)) + [pseudo]
+        phrase_docs = phrase_match_docs_lazy(
+            fetch, list(fixed) + [pseudo], cand, order)
         if phrase_docs.size == 0:
             return []
         partials = self.term_partials_for_docs(ufixed, phrase_docs)
@@ -1457,6 +1518,52 @@ def phrase_match_docs(data: dict, terms: list[str]) -> np.ndarray:
         if keys.size == 0:
             return empty
     return cand[np.unique(keys >> np.uint64(32)).astype(np.int64)]
+
+
+def phrase_match_docs_lazy(fetch, terms: list[str], cand: np.ndarray,
+                           order: list[str]) -> np.ndarray:
+    """Rarest-term-first variant of :func:`phrase_match_docs` —
+    identical result (slot-key intersection is commutative), but each
+    unique term's positions are fetched on demand AGAINST THE
+    SURVIVING candidate set, so hot terms (fetched last) skip the
+    position decode for every chunk the rarer slots already emptied.
+
+    ``fetch(term, alive_sorted)`` → (doc_ids, offsets, flat positions)
+    restricted to ``alive_sorted``; ``cand`` is the sorted doc set
+    holding every unique term (the rank base for key packing);
+    ``order`` lists the unique slot terms, rarest first."""
+    empty = np.empty(0, dtype=np.int64)
+    if not terms:
+        return empty
+    if cand.size >= (1 << 32):
+        raise NotImplementedError(
+            "phrase candidate set exceeds 2^32 docs — partition the "
+            "candidate space before key packing")
+    slots: dict[str, list[int]] = {}
+    for i, t in enumerate(terms):
+        slots.setdefault(t, []).append(i)
+    keys = None
+    alive = cand
+    for t in order:
+        ids, offs, flat = fetch(t, alive)
+        if ids.size == 0:
+            return empty
+        tfs = np.diff(offs)
+        pos_c, keep = positions_in_sorted(ids, cand)
+        rank_rep = np.repeat(pos_c[keep], tfs[keep])
+        flat_k = flat[np.repeat(keep, tfs)]
+        if flat_k.size and int(flat_k.max()) >= (1 << 32):
+            raise ValueError("term position exceeds 2^32 — cannot pack "
+                             "beside the candidate rank")
+        for i in slots[t]:
+            ok = flat_k >= i          # a phrase cannot start before 0
+            kk = ((rank_rep[ok].astype(np.uint64) << np.uint64(32))
+                  | (flat_k[ok] - i).astype(np.uint64))
+            keys = kk if keys is None else np.intersect1d(keys, kk)
+            if keys.size == 0:
+                return empty
+        alive = cand[np.unique(keys >> np.uint64(32)).astype(np.int64)]
+    return alive
 
 
 def merge_position_sets(parts: list[tuple]) -> tuple:

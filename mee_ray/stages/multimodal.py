@@ -84,9 +84,12 @@ class FakeAudioFeatures:
 
     Real extraction (librosa/ffmpeg MFCCs) is stubbed behind
     :meth:`extract_real`; the deterministic stand-in derives features
-    from byte statistics so the Ray-side plumbing — binary in,
-    list<float32> out, per-actor "model" setup, byte-aware batches —
-    is real and testable end-to-end."""
+    from byte statistics so the Ray-side plumbing — binary in, feature
+    vector out, per-actor "model" setup, byte-aware batches — is real
+    and testable end-to-end.  The stand-in features are integer
+    windowed byte SUMS (np.array_split windows), not float means, so
+    the whole query is value-exact against a SQL oracle (a real MFCC
+    extractor would be floats and rows-only)."""
 
     N_FEATURES = 8
     SAMPLE_RATE = 16_000
@@ -108,26 +111,26 @@ class FakeAudioFeatures:
         duration_ms = n_bytes * 1000 // (2 * self.SAMPLE_RATE)
         feats = []
         for p in payloads:
-            a = np.frombuffer(p, dtype=np.uint8).astype(np.float64)
+            a = np.frombuffer(p, dtype=np.uint8).astype(np.int64)
             if len(a) == 0:
-                feats.append([0.0] * self.N_FEATURES)
+                feats.append([0] * self.N_FEATURES)
                 continue
-            # deterministic per-payload features: windowed byte means
+            # deterministic per-payload features: windowed byte sums
             chunks = np.array_split(a, self.N_FEATURES)
-            feats.append([round(float(c.mean() if len(c) else 0.0), 6)
-                          for c in chunks])
+            feats.append([int(c.sum()) if len(c) else 0 for c in chunks])
         return pa.table({
             "doc_id": t["doc_id"],
             "n_bytes": pa.array(n_bytes),
             "duration_ms": pa.array(duration_ms),
-            "features": pa.array(feats, pa.list_(pa.float64())),
+            "features": pa.array(feats, pa.list_(pa.int64())),
         })
 
 
 def multimodal_audio_features(sf_dir: str):
-    """Binary audio payloads → actor-pool feature extraction.  Verified
-    rows-only (list<float> columns don't hash stably across engines);
-    the deterministic fake makes results reproducible for tests."""
+    """Binary audio payloads → actor-pool feature extraction, flattened
+    to fixed f0..f7 integer columns — value-exact against AUDIO_SQL
+    (the stand-in features are windowed byte sums, so no float-hash
+    instability)."""
     import ray.data
 
 
@@ -145,10 +148,46 @@ def multimodal_audio_features(sf_dir: str):
         cols = {"doc_id": t["doc_id"], "n_bytes": t["n_bytes"],
                 "duration_ms": t["duration_ms"]}
         for i in range(FakeAudioFeatures.N_FEATURES):
-            cols[f"f{i}"] = pa.array([f[i] for f in feats], pa.float64())
+            cols[f"f{i}"] = pa.array([f[i] for f in feats], pa.int64())
         return pa.table(cols)
 
     return ds.map_batches(flat, batch_format="pyarrow")
+
+
+# Oracle for the audio stage: the fake features are windowed byte SUMS
+# with np.array_split window boundaries — the first (n % 8) windows get
+# (n // 8 + 1) bytes, the rest (n // 8).  documents.text is ASCII in
+# the synthetic tables, so ord(substr(...)) IS the payload byte.
+AUDIO_SQL = """
+WITH b AS (
+  SELECT doc_id, strlen(text) AS n, u.i - 1 AS j,
+         ord(substr(text, u.i, 1)) AS v
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, strlen(text))) AS i) u
+), c AS (
+  SELECT doc_id, v,
+         CASE WHEN n // 8 = 0 THEN j
+              WHEN j < (n % 8) * (n // 8 + 1) THEN j // (n // 8 + 1)
+              ELSE (n % 8) + (j - (n % 8) * (n // 8 + 1)) // (n // 8)
+         END AS w
+  FROM b
+), f AS (
+  SELECT doc_id, w, sum(v) AS s FROM c GROUP BY doc_id, w
+)
+SELECT d.doc_id,
+       CAST(strlen(d.text) AS BIGINT)                  AS n_bytes,
+       CAST(strlen(d.text) * 1000 // 32000 AS BIGINT)  AS duration_ms,
+       CAST(coalesce(max(CASE WHEN w = 0 THEN s END), 0) AS BIGINT) AS f0,
+       CAST(coalesce(max(CASE WHEN w = 1 THEN s END), 0) AS BIGINT) AS f1,
+       CAST(coalesce(max(CASE WHEN w = 2 THEN s END), 0) AS BIGINT) AS f2,
+       CAST(coalesce(max(CASE WHEN w = 3 THEN s END), 0) AS BIGINT) AS f3,
+       CAST(coalesce(max(CASE WHEN w = 4 THEN s END), 0) AS BIGINT) AS f4,
+       CAST(coalesce(max(CASE WHEN w = 5 THEN s END), 0) AS BIGINT) AS f5,
+       CAST(coalesce(max(CASE WHEN w = 6 THEN s END), 0) AS BIGINT) AS f6,
+       CAST(coalesce(max(CASE WHEN w = 7 THEN s END), 0) AS BIGINT) AS f7
+FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+GROUP BY d.doc_id, d.text
+"""
 
 
 class FakeVideoFrameSample:
@@ -265,9 +304,12 @@ def multimodal_retrieval(sf_dir: str, n_queries: int = 5, k: int = 10):
     ``n_queries`` docs' own embeddings).  The scale shape is the
     knn_bruteforce one: the query matrix is ray.put once, every batch
     does one matmul and keeps only its local top-k partials, the
-    driver merges n_queries×k×batches rows.  Rows-only (embedding math
-    is not SQL-expressible); exactness proven against a pure-numpy
-    brute-force oracle in tests."""
+    driver merges n_queries×k×batches rows.  Output is the integer
+    rank table (query_id, rank, doc_id) — value-exact against
+    RETRIEVAL_SQL, which rebuilds the fake byte-histogram embedding
+    relationally; the cosine floats stay internal (ULP-unstable across
+    engines) and are proven against a pure-numpy brute-force oracle in
+    tests."""
     import ray
     import ray.data
 
@@ -336,5 +378,49 @@ def multimodal_retrieval(sf_dir: str, n_queries: int = 5, k: int = 10):
             out_d.append(int(ds_[m][j])); out_s.append(float(ss[m][j]))
     return pa.table({"query_id": pa.array(out_q, pa.int64()),
                      "rank": pa.array(out_r, pa.int64()),
-                     "doc_id": pa.array(out_d, pa.int64()),
-                     "cosine": pa.array(out_s, pa.float64())})
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+# Oracle for multimodal_retrieval: rebuild the fake embedding
+# relationally — v[k] = (# bytes in [4k, 4k+4)) + sum(byte positions
+# with byte % 64 == k) / n — and rank by dot/|vd| (the query-side norm
+# is constant per query, so the ordering equals cosine ordering).  Only
+# the integer rank table is compared; near-ties below float noise could
+# in principle flip between engines, but the fake embeddings of
+# distinct payloads are separated far above ULP scale (asserted by the
+# brute-force exactness test).
+RETRIEVAL_SQL = """
+WITH bytes AS (
+  SELECT doc_id, u.i - 1 AS j, ord(substr(text, u.i, 1)) AS byte,
+         strlen(text) AS n
+  FROM documents,
+       LATERAL (SELECT unnest(generate_series(1, strlen(text))) AS i) u
+), h AS (
+  SELECT doc_id, byte // 4 AS k, CAST(count(*) AS DOUBLE) AS w
+  FROM bytes GROUP BY doc_id, byte // 4
+), p AS (
+  SELECT doc_id, byte % 64 AS k,
+         sum(CAST(j AS DOUBLE)) / any_value(n) AS w
+  FROM bytes GROUP BY doc_id, byte % 64
+), v AS (
+  SELECT doc_id, k, sum(w) AS w
+  FROM (SELECT * FROM h UNION ALL SELECT * FROM p) GROUP BY doc_id, k
+), nrm AS (
+  SELECT doc_id, sqrt(sum(w * w)) AS nd FROM v GROUP BY doc_id
+), q AS (
+  SELECT doc_id AS qid FROM documents ORDER BY doc_id LIMIT 5
+), dotp AS (
+  SELECT q.qid, vd.doc_id, sum(vq.w * vd.w) AS dot
+  FROM q
+  JOIN v vq ON vq.doc_id = q.qid
+  JOIN v vd ON vd.k = vq.k
+  GROUP BY q.qid, vd.doc_id
+)
+SELECT qid AS query_id, rank, doc_id
+FROM (SELECT dotp.qid, dotp.doc_id,
+             row_number() OVER (
+               PARTITION BY dotp.qid
+               ORDER BY dotp.dot / nrm.nd DESC, dotp.doc_id) AS rank
+      FROM dotp JOIN nrm ON nrm.doc_id = dotp.doc_id)
+WHERE rank <= 10
+"""

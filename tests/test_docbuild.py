@@ -344,3 +344,60 @@ def test_nested_string_parent_key_buckets(ray_session, tmp_path):
             for r in df.to_dict(orient="records")}
     assert [c["val"] for c in rows["alpha"]] == ["x", "y"]
     assert [c["val"] for c in rows["beta"]] == ["z"]
+
+
+# ---- on_parent_delete parity (reference eval_on_deleted,
+# commonhandler.py:996-1007) ------------------------------------------
+
+@pytest.mark.parametrize("mode,deleted_name,untouched_name", [
+    # eval_on_deleted=True analog: the lookup re-evaluates against the
+    # post-change table, so the re-upserted same-key row resolves
+    ("reeval", "NEW_NAME", "OLD_B"),
+    # eval_on_deleted=False analog: the delete deliberately resets the
+    # mapped fields to null, even though re-evaluation would find the
+    # re-upserted row
+    ("null", None, "OLD_B"),
+])
+def test_on_parent_delete_modes(ray_session, tmp_path, mode,
+                                deleted_name, untouched_name):
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.docbuild import SlaveChange, apply_join_delta
+
+    d = tmp_path
+    pq.write_table(pa.table({
+        "mk": pa.array([10, 11, 12], pa.int64()),
+        "fk": pa.array([1, 2, 1], pa.int64())}),
+        str(d / "master.parquet"))
+    pq.write_table(pa.table({
+        "sk": pa.array([1, 2], pa.int64()),
+        "name": pa.array(["OLD_A", "OLD_B"])}),
+        str(d / "slave.parquet"))
+    spec = DocSpec(master="master", key="mk",
+                   mappings={"mk_out": "mk"},
+                   joins=(JoinSpec("slave", "sk", "fk",
+                                   {"slave_name": "name"},
+                                   on_parent_delete=mode),))
+    # one batch: DELETE slave key 1 AND re-upsert it with a new name
+    ch = SlaveChange("slave",
+                     upserts=pa.table({"sk": pa.array([1], pa.int64()),
+                                       "name": pa.array(["NEW_NAME"])}),
+                     delete_keys=(1,))
+    docs = apply_join_delta(str(d), spec, ch).to_pandas()
+    got = dict(zip(docs["mk_out"], docs["slave_name"]))
+    # masters 10 and 12 reference the deleted key; 11 is unaffected and
+    # is not re-emitted (blast radius is key-bounded)
+    assert set(got) == {10, 12}
+    for mk in (10, 12):
+        if deleted_name is None:
+            assert got[mk] is None or got[mk] != got[mk]  # null/NaN
+        else:
+            assert got[mk] == deleted_name
+
+
+def test_on_parent_delete_validation():
+    spec = DocSpec(master="master", key="mk", mappings={"x": "mk"},
+                   joins=(JoinSpec("slave", "sk", "fk", {"y": "name"},
+                                   on_parent_delete="bogus"),))
+    with pytest.raises(IllegalDocSpec, match="on_parent_delete"):
+        spec.validate()

@@ -171,6 +171,10 @@ BAD_SPECS = [
     ({"master": "t", "key": "k", "mappings": {"x": "k"},
       "joins": [{"table": "n", "key": "a", "master_key": "b",
                  "fields": {"x": "c"}}]}, "duplicate"),
+    ({"master": "t", "key": "k", "mappings": {"x": "k"},
+      "joins": [{"table": "n", "key": "a", "master_key": "b",
+                 "fields": {"y": "c"}, "on_parent_delete": "stale"}]},
+     "on_parent_delete"),
     (["not", "a", "mapping"], "spec must be a mapping"),
 ]
 

@@ -170,7 +170,9 @@ def test_chunk_skip_without_decode_on_multichunk_term():
                   [chunk(0, 100, "a"), chunk(100, 200, "b"),
                    chunk(200, 300, "c")],
                   1.0, 1.2, 0.75, 10.0, 128, stats)
-    assert decoded == ["a"]              # init decodes only chunk 0
+    assert decoded == []                 # init decodes NOTHING (lazy)
+    assert cur.doc() == 0
+    assert decoded == ["a"]              # first access decodes chunk 0
     cur.advance_to(250)
     assert cur.doc() == 250
     assert decoded == ["a", "c"]         # middle chunk skipped undecoded
@@ -179,3 +181,36 @@ def test_chunk_skip_without_decode_on_multichunk_term():
     cur.advance_to(10_000)               # past everything → exhausted
     assert cur.exhausted
     assert decoded == ["a", "c"]         # exhaustion decodes nothing
+    # chunk-level skip from a fresh cursor: skip_chunk never decodes
+    decoded.clear()
+    cur2 = _Cursor("t", 1.0,
+                   [chunk(0, 100, "a"), chunk(100, 200, "b")],
+                   1.0, 1.2, 0.75, 10.0, 128, WandStats())
+    assert cur2.chunk_bound() == 1.0
+    cur2.skip_chunk()
+    assert decoded == [] and not cur2.exhausted
+    cur2.skip_chunk()
+    assert cur2.exhausted and decoded == []
+
+
+def test_lazy_decode_preserves_block_skip_position():
+    """Decode-free block skips advance pos BEFORE the chunk decodes;
+    the lazy decode must not reset it (scoring would silently redo the
+    skipped blocks)."""
+    import numpy as np
+
+    from mee_ray.wand import WandStats, _Cursor
+
+    ids = np.arange(0, 256, dtype=np.int64)
+    tfs = np.ones(256, np.int64)
+    dls = np.full(256, 10, np.int64)
+    chunk = {"block_last": np.array([127, 255], np.int64),
+             "block_max": np.array([1.0, 2.0], np.float64),
+             "scale": 1.0,
+             "decode": (lambda: (ids, tfs, dls))}
+    cur = _Cursor("t", 1.0, [chunk], 1.0, 1.2, 0.75, 10.0, 128,
+                  WandStats())
+    cur.skip_block()                 # decode-free: past block 0
+    got_ids, _ = cur.score_block_vectorized()   # lazy decode here
+    assert got_ids[0] == 128 and len(got_ids) == 128
+    assert cur.exhausted
