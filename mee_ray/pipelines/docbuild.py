@@ -604,6 +604,17 @@ def apply_join_delta(sf_dir: str, spec: DocSpec,
             raise IllegalDocSpec(
                 f"{ch.table!r} is not a joined table of this spec "
                 f"(joined: {sorted(known)})")
+    tables = [ch.table for ch in changes]
+    dup_tables = sorted({t for t in tables if tables.count(t) > 1})
+    if dup_tables:
+        # the overlay machinery applies ONE change per table; merging
+        # several (later-wins upserts, delete/revive ordering) is the
+        # caller's event-fold — refusing loudly beats rebuilding docs
+        # against only the last change's overlay
+        raise IllegalDocSpec(
+            f"multiple SlaveChanges for table(s) {dup_tables}: fold "
+            f"them into one change per table (upserts are final "
+            f"after-images, delete_keys final deletions)")
     master_keep, nested_parents = affected_master_keys(sf_dir, spec, changes)
     if not master_keep:
         master_keep = {spec.key: set()}   # no hits → empty doc set
@@ -637,7 +648,7 @@ def apply_join_delta(sf_dir: str, spec: DocSpec,
         dead = {k for ch in changes if ch.table == j.table
                 for k in (ch.delete_keys or ())}
         if dead:
-            reset_keys[i] = np.sort(np.array(sorted(dead)))
+            reset_keys[i] = np.array(sorted(dead))
     return build_documents(sf_dir, spec,
                            _overlays=overlays,
                            _master_keep=master_keep,

@@ -120,6 +120,10 @@ def docspec_from_dict(d: dict, origin: str = "<dict>") -> DocSpec:
             raise IllegalDocSpec(f"{where}: 'fields' must be a non-empty "
                                  f"mapping of out_field -> source column")
         opd = j.get("on_parent_delete", "reeval")
+        if opd is None:
+            # YAML parses a bare `on_parent_delete: null` to None —
+            # exactly the documented mode, so coerce rather than trap
+            opd = "null"
         if opd not in ("reeval", "null"):
             raise IllegalDocSpec(f"{where}: on_parent_delete must be "
                                  f"'reeval' or 'null', got {opd!r}")

@@ -160,10 +160,11 @@ def multimodal_audio_features(sf_dir: str):
 # the synthetic tables, so ord(substr(...)) IS the payload byte.
 AUDIO_SQL = """
 WITH b AS (
-  SELECT doc_id, strlen(text) AS n, u.i - 1 AS j,
-         ord(substr(text, u.i, 1)) AS v
+  SELECT doc_id, strlen(coalesce(text, '')) AS n, u.i - 1 AS j,
+         ord(substr(coalesce(text, ''), u.i, 1)) AS v
   FROM documents,
-       LATERAL (SELECT unnest(generate_series(1, strlen(text))) AS i) u
+       LATERAL (SELECT unnest(generate_series(
+           1, strlen(coalesce(text, '')))) AS i) u
 ), c AS (
   SELECT doc_id, v,
          CASE WHEN n // 8 = 0 THEN j
@@ -175,8 +176,9 @@ WITH b AS (
   SELECT doc_id, w, sum(v) AS s FROM c GROUP BY doc_id, w
 )
 SELECT d.doc_id,
-       CAST(strlen(d.text) AS BIGINT)                  AS n_bytes,
-       CAST(strlen(d.text) * 1000 // 32000 AS BIGINT)  AS duration_ms,
+       CAST(strlen(coalesce(d.text, '')) AS BIGINT)    AS n_bytes,
+       CAST(strlen(coalesce(d.text, '')) * 1000 // 32000
+            AS BIGINT)                                 AS duration_ms,
        CAST(coalesce(max(CASE WHEN w = 0 THEN s END), 0) AS BIGINT) AS f0,
        CAST(coalesce(max(CASE WHEN w = 1 THEN s END), 0) AS BIGINT) AS f1,
        CAST(coalesce(max(CASE WHEN w = 2 THEN s END), 0) AS BIGINT) AS f2,
@@ -391,10 +393,12 @@ def multimodal_retrieval(sf_dir: str, n_queries: int = 5, k: int = 10):
 # brute-force exactness test).
 RETRIEVAL_SQL = """
 WITH bytes AS (
-  SELECT doc_id, u.i - 1 AS j, ord(substr(text, u.i, 1)) AS byte,
-         strlen(text) AS n
+  SELECT doc_id, u.i - 1 AS j,
+         ord(substr(coalesce(text, ''), u.i, 1)) AS byte,
+         strlen(coalesce(text, '')) AS n
   FROM documents,
-       LATERAL (SELECT unnest(generate_series(1, strlen(text))) AS i) u
+       LATERAL (SELECT unnest(generate_series(
+           1, strlen(coalesce(text, '')))) AS i) u
 ), h AS (
   SELECT doc_id, byte // 4 AS k, CAST(count(*) AS DOUBLE) AS w
   FROM bytes GROUP BY doc_id, byte // 4
@@ -415,12 +419,22 @@ WITH bytes AS (
   JOIN v vq ON vq.doc_id = q.qid
   JOIN v vd ON vd.k = vq.k
   GROUP BY q.qid, vd.doc_id
+), scored AS (
+  -- every (query, doc) pair scores: docs sharing no embedding
+  -- component with the query (and zero-vector docs/queries, whose
+  -- norm row is absent) take cosine 0, exactly like the engine's
+  -- dense matmul — an inner join here silently dropped them
+  SELECT q.qid, d.doc_id,
+         coalesce(dp.dot / nrm.nd, 0.0) AS s
+  FROM q CROSS JOIN documents d
+  LEFT JOIN dotp dp ON dp.qid = q.qid AND dp.doc_id = d.doc_id
+  LEFT JOIN nrm ON nrm.doc_id = d.doc_id
 )
 SELECT qid AS query_id, rank, doc_id
-FROM (SELECT dotp.qid, dotp.doc_id,
+FROM (SELECT qid, doc_id,
              row_number() OVER (
-               PARTITION BY dotp.qid
-               ORDER BY dotp.dot / nrm.nd DESC, dotp.doc_id) AS rank
-      FROM dotp JOIN nrm ON nrm.doc_id = dotp.doc_id)
+               PARTITION BY qid
+               ORDER BY s DESC, doc_id) AS rank
+      FROM scored)
 WHERE rank <= 10
 """

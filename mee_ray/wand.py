@@ -100,19 +100,10 @@ class _Cursor:
 
     # -- chunk movement ------------------------------------------------
 
-    def _next_chunk(self):
-        self.ci += 1
-        self.pos = 0
-        if self.ci >= len(self.chunks):
-            self.exhausted = True
-            self.ids = None
-            return
-        self._decode_current()
-
     def _decode_current(self):
         # pos is NOT reset here: lazy decode may happen mid-chunk after
-        # decode-free block skips; chunk transitions (_next_chunk /
-        # skip_chunk / advance_to) own the pos reset
+        # decode-free block skips; chunk transitions (skip_chunk /
+        # advance_to) own the pos reset
         c = self.chunks[self.ci]
         self.ids, self.tfs, self.dls = c["decode"]()
         self.stats.chunks_decoded += 1
@@ -129,9 +120,10 @@ class _Cursor:
         return self.w * float(c["block_max"].max()) * c["scale"]
 
     def skip_chunk(self):
-        """Advance past the current (undecoded) chunk — single-term
-        top-k when the whole chunk's bound cannot reach the
-        threshold."""
+        """Move to the next chunk WITHOUT decoding it — both the
+        explicit single-term chunk skip and the ordinary end-of-chunk
+        transition (decode stays deferred so a threshold/boundary test
+        can skip the new chunk before it ever decodes)."""
         self.ci += 1
         self.pos = 0
         self.ids = None
@@ -168,7 +160,7 @@ class _Cursor:
                 self._decode_current()
             p = int(np.searchsorted(self.ids[self.pos:], target)) + self.pos
             if p >= len(self.ids):
-                self._next_chunk()
+                self.skip_chunk()
                 continue
             self.pos = p
             return
@@ -176,7 +168,7 @@ class _Cursor:
     def next_doc(self):
         self.pos += 1
         if self.pos >= len(self.ids):
-            self._next_chunk()
+            self.skip_chunk()
 
     def contrib(self) -> float:
         """Exact live contribution at the current posting — same float64
@@ -202,7 +194,9 @@ class _Cursor:
                               self.avgdl, self.k1, self.b)
         self.pos = hi
         if self.pos >= len(self.ids):
-            self._next_chunk()
+            # lazy transition: the next chunk may be skipped outright
+            # by the caller's chunk-bound test before ever decoding
+            self.skip_chunk()
         return ids, sc
 
     def skip_block(self):

@@ -401,3 +401,11 @@ def test_on_parent_delete_validation():
                                    on_parent_delete="bogus"),))
     with pytest.raises(IllegalDocSpec, match="on_parent_delete"):
         spec.validate()
+
+
+def test_multiple_changes_per_table_rejected(ray_session):
+    from mee_ray.pipelines.docbuild import SlaveChange, apply_join_delta
+    spec = _slave_spec()
+    with pytest.raises(IllegalDocSpec, match="multiple SlaveChanges"):
+        apply_join_delta(SF, spec, [SlaveChange("nation", delete_keys=(1,)),
+                                    SlaveChange("nation", delete_keys=(2,))])

@@ -184,3 +184,19 @@ BAD_SPECS = [
 def test_negative_fixtures(fixture, regex):
     with pytest.raises(IllegalDocSpec, match=regex):
         docspec_from_dict(fixture)
+
+
+def test_on_parent_delete_yaml_null_keyword(tmp_path):
+    """A bare YAML `on_parent_delete: null` parses to Python None and
+    must select the documented 'null' mode, not trap."""
+    p = tmp_path / "s.yml"
+    p.write_text(
+        "master: customer\nkey: c_custkey\n"
+        "mappings: {cust_id: c_custkey}\n"
+        "joins:\n"
+        "  - table: nation\n    key: n_nationkey\n"
+        "    master_key: c_nationkey\n"
+        "    fields: {nation_name: n_name}\n"
+        "    on_parent_delete: null\n")
+    spec = load_docspec(str(p))
+    assert spec.joins[0].on_parent_delete == "null"
