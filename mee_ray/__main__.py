@@ -58,8 +58,10 @@ def _engine_config(path: str | None, default_none: bool = False):
 
 _INI_FUNCS = {
     # the reference's INI `%{func()}` interpolation surface
-    # (application/inner.py:16-27: getpid/getdate/randint analogs)
+    # (application/inner.py:16-27: getpid/getuid/getdate/randint),
+    # whitelist-dispatched rather than eval'd
     "getpid": lambda: str(__import__("os").getpid()),
+    "getuid": lambda: str(__import__("os").getuid()),
     "getdate": lambda fmt="%Y%m%d": __import__("time").strftime(fmt),
     "randint": lambda a="0", b="100": str(
         __import__("random").randint(int(a), int(b))),
@@ -67,10 +69,18 @@ _INI_FUNCS = {
 
 
 def _interpolate_ini(value: str, path: str) -> str:
-    """Expand ``%{func(args...)}`` occurrences in an INI value."""
+    """Expand ``%{func(args...)}`` occurrences in an INI value.
+
+    Escape semantics match the reference (application/config.py:11,37:
+    the regex alternates ``(%%)`` before ``%{fn(...)}``): ``%%`` emits a
+    literal ``%``, so ``%%{getpid()}`` yields the literal text
+    ``%{getpid()}`` un-evaluated and ``%%%{getpid()}`` yields ``%``
+    followed by the pid."""
     import re
 
     def sub(m):
+        if m.group(0) == "%%":
+            return "%"
         name, args = m.group(1), m.group(2)
         fn = _INI_FUNCS.get(name)
         if fn is None:
@@ -80,7 +90,7 @@ def _interpolate_ini(value: str, path: str) -> str:
         argv = [a.strip().strip("'\"") for a in args.split(",") if a.strip()]
         return fn(*argv)
 
-    return re.sub(r"%\{(\w+)\(([^)]*)\)\}", sub, value)
+    return re.sub(r"%%|%\{(\w+)\(([^)]*)\)\}", sub, value)
 
 
 def _ini_config(path: str) -> dict:
@@ -98,7 +108,7 @@ def _ini_config(path: str) -> dict:
         cp.read_file(f)
 
     def val(s: str):
-        if "%{" in s:
+        if "%{" in s or "%%" in s:
             s = _interpolate_ini(s, path)
         try:
             return json.loads(s)

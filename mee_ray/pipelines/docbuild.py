@@ -33,6 +33,7 @@ non-identifier output names.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -948,6 +949,95 @@ FROM customer LEFT JOIN nation ON n_nationkey = c_custkey
 """
 
 
+# ------------------------------------------------- multi-index config --
+
+# One config, MANY collections (reference HandlerConfig,
+# handlerconfig.py:33-119): top level is index_alias → type_name →
+# spec.  The YAML exercises the loadFromFile conventions the reference
+# ships — a `__`-prefixed anchor-definitions block that is dropped
+# after parsing (handlerconfig.py:67-69) and YAML merge keys reusing
+# the shared nation join.
+MULTI_INDEX_YAML = """\
+__defs:
+  nation_join: &nation_join
+    table: nation
+    key: n_nationkey
+    fields: {nation_name: n_name}
+
+customers:
+  flat:
+    master: customer
+    key: c_custkey
+    mappings: {doc_key: c_custkey}
+    filter:
+      c_mktsegment: [BUILDING, AUTOMOBILE]
+    joins:
+      - <<: *nation_join
+        master_key: c_nationkey
+
+suppliers:
+  flat:
+    master: supplier
+    key: s_suppkey
+    mappings: {doc_key: s_suppkey}
+    joins:
+      - <<: *nation_join
+        master_key: s_nationkey
+"""
+
+
+def docbuild_multi_index(sf_dir: str):
+    """Multi-index-per-config: load ONE config holding two collections
+    (customers.flat filtered + nation-joined; suppliers.flat
+    nation-joined), build both, and emit the per-collection per-nation
+    document census — every row proves a (index_alias, type_name)
+    collection materialized through its own filter + join."""
+    import tempfile
+
+    from mee_ray.pipelines.docspec_io import load_multispec
+
+    fd, path = tempfile.mkstemp(suffix=".yml")
+    try:
+        with os.fdopen(fd, "w") as f:
+            f.write(MULTI_INDEX_YAML)
+        mspec = load_multispec(path)
+    finally:
+        os.unlink(path)
+
+    parts = []
+    for idx, typ, spec in mspec:
+        counts = (build_documents(sf_dir, spec)
+                  .groupby("nation_name").count())
+
+        def label(t: pa.Table, idx=idx, typ=typ) -> pa.Table:
+            n = t.num_rows
+            return pa.table({
+                "index_alias": pa.array([idx] * n, pa.string()),
+                "type_name": pa.array([typ] * n, pa.string()),
+                "nation_name": t["nation_name"],
+                "n_docs": t["count()"].cast(pa.int64()),
+            })
+
+        parts.append(counts.map_batches(label, batch_format="pyarrow"))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out
+
+
+DOCBUILD_MULTI_INDEX_SQL = """
+SELECT 'customers' AS index_alias, 'flat' AS type_name,
+       n_name AS nation_name, count(*) AS n_docs
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+GROUP BY n_name
+UNION ALL
+SELECT 'suppliers', 'flat', n_name, count(*)
+FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
 # ------------------------------------------------------ nested query --
 
 NESTED_QUERY_MIN_PRICE = 450_000.0
@@ -1010,6 +1100,7 @@ QUERIES = {
     "docbuild_slave_delta": docbuild_slave_delta,
     "docbuild_master_delta": docbuild_master_delta,
     "docbuild_nested_query": docbuild_nested_query,
+    "docbuild_multi_index": docbuild_multi_index,
 }
 
 ORACLE = {
@@ -1019,4 +1110,5 @@ ORACLE = {
     "docbuild_slave_delta": DOCBUILD_SLAVE_DELTA_SQL,
     "docbuild_master_delta": DOCBUILD_MASTER_DELTA_SQL,
     "docbuild_nested_query": DOCBUILD_NESTED_QUERY_SQL,
+    "docbuild_multi_index": DOCBUILD_MULTI_INDEX_SQL,
 }

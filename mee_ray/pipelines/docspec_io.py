@@ -215,3 +215,144 @@ def load_docspec(path: str) -> DocSpec:
     else:
         raw = _load_raw(os.path.abspath(path))
     return docspec_from_dict(raw, origin=path)
+
+
+# -------------------------------------------------- multi-index config
+
+
+class MultiSpec:
+    """Many document collections in ONE config — the reference's
+    HandlerConfig (modules/handlers/handlerconfig.py:33-119): the top
+    level of the file is ``index_alias → type_name → spec``, each leaf
+    a full DocSpec dict, and one change event routes to EVERY
+    collection that watches the changed table
+    (getConfigItemsByDatabaseAndTable, handlerconfig.py:105-110 +
+    :145-150).  The reference keys watchers by (database, table); here
+    a table name is unique within an ``sf_dir``, so routing keys on
+    table alone."""
+
+    def __init__(self, specs: "dict[tuple[str, str], DocSpec]"):
+        self._specs = dict(specs)
+
+    # -- addressing (handlerconfig.py:94-103)
+
+    def indices(self) -> list:
+        seen: dict = {}
+        for (idx, _t) in self._specs:
+            seen.setdefault(idx, None)
+        return list(seen)
+
+    def types(self, index: str) -> list:
+        return [t for (i, t) in self._specs if i == index]
+
+    def spec(self, index: str, type_name: str) -> DocSpec | None:
+        return self._specs.get((index, type_name))
+
+    def __iter__(self):
+        for (idx, typ), spec in self._specs.items():
+            yield idx, typ, spec
+
+    def __len__(self) -> int:
+        return len(self._specs)
+
+    # -- routing (handlerconfig.py:105-110, :145-150)
+
+    def specs_for_table(self, table: str) -> list:
+        """Every collection watching ``table``, with the role the table
+        plays there: ``(index, type, spec, role)`` where role is
+        ``"master"``, ``"join"`` or ``"nested"``.  A collection whose
+        spec references the table in several roles appears once per
+        role (the reference returns one config ITEM per watching
+        statement, same multiplicity)."""
+        hits = []
+        for (idx, typ), spec in self._specs.items():
+            if spec.master == table:
+                hits.append((idx, typ, spec, "master"))
+            for j in spec.joins:
+                if j.table == table:
+                    hits.append((idx, typ, spec, "join"))
+            for n in spec.nested:
+                if n.table == table:
+                    hits.append((idx, typ, spec, "nested"))
+        return hits
+
+    def route_change(self, sf_dir: str, change) -> dict:
+        """Apply one table-change batch to every watching collection —
+        the updateservice dispatch (reference updateservice.py: each
+        binlog event fans out to all config items watching its table).
+        Returns ``{(index, type): (docs, deleted)}`` — the re-emitted
+        documents Dataset plus the table of master keys to tombstone.
+        Master-table watchers go through the filter-boundary rewrite
+        (apply_master_delta, which can tombstone); joined/nested
+        watchers through the reverse-query rebuild (apply_join_delta,
+        which only re-emits — its ``deleted`` is always empty).
+        Collections not watching the table are untouched."""
+        import pyarrow as pa
+
+        from mee_ray.pipelines.docbuild import (apply_join_delta,
+                                                apply_master_delta)
+
+        out = {}
+        for (idx, typ), spec in self._specs.items():
+            if spec.master == change.table:
+                out[(idx, typ)] = apply_master_delta(sf_dir, spec, change)
+            elif any(j.table == change.table for j in spec.joins) or \
+                    any(n.table == change.table for n in spec.nested):
+                docs = apply_join_delta(sf_dir, spec, change)
+                out[(idx, typ)] = (docs, pa.table({spec.key: pa.array([])}))
+        return out
+
+
+def multispec_from_dict(d: dict, origin: str = "<dict>") -> MultiSpec:
+    """``{index_alias: {type_name: spec-dict}}`` → validated MultiSpec.
+    Mirrors HandlerConfig._resolve (handlerconfig.py:83-92): every leaf
+    is compiled eagerly, so a bad spec fails at load naming its
+    ``index.type`` address."""
+    if not isinstance(d, dict):
+        raise IllegalDocSpec(f"{origin}: multi-spec must be a mapping of "
+                             f"index_alias -> type_name -> spec, got "
+                             f"{type(d).__name__}")
+    specs: dict = {}
+    for idx, types in d.items():
+        if not isinstance(idx, str) or not idx:
+            raise IllegalDocSpec(f"{origin}: index alias must be a "
+                                 f"non-empty string, got {idx!r}")
+        if not isinstance(types, dict) or not types:
+            raise IllegalDocSpec(f"{origin}: index {idx!r} must map to a "
+                                 f"non-empty mapping of type_name -> spec")
+        for typ, spec_d in types.items():
+            if not isinstance(typ, str) or not typ:
+                raise IllegalDocSpec(f"{origin}: index {idx!r}: type name "
+                                     f"must be a non-empty string, got "
+                                     f"{typ!r}")
+            specs[(idx, typ)] = docspec_from_dict(
+                spec_d, origin=f"{origin}[{idx}.{typ}]")
+    return MultiSpec(specs)
+
+
+def load_multispec(path: str) -> MultiSpec:
+    """Load a multi-index config file.  YAML semantics mirror
+    HandlerConfig.loadFromFile (handlerconfig.py:56-69): a top-level
+    LIST of one-index mappings merges into one dict (the include-
+    fragments idiom), and top-level keys starting with ``__`` are
+    dropped (the anchor-definitions convention); ``!include`` works as
+    in :func:`load_docspec`.  JSON files mirror loadFromJson — no list
+    merge, no ``__`` stripping."""
+    if path.endswith(".json"):
+        with open(path) as f:
+            raw = json.load(f)
+    else:
+        raw = _load_raw(os.path.abspath(path))
+        if isinstance(raw, list):
+            merged: dict = {}
+            for item in raw:
+                if not isinstance(item, dict):
+                    raise IllegalDocSpec(
+                        f"{path}: a top-level list must contain only "
+                        f"mappings, got {type(item).__name__}")
+                merged.update(item)
+            raw = merged
+        if isinstance(raw, dict):
+            raw = {k: v for k, v in raw.items()
+                   if not (isinstance(k, str) and k.startswith("__"))}
+    return multispec_from_dict(raw, origin=path)

@@ -185,6 +185,35 @@ def test_ini_percent_interpolation(tmp_path):
         _ini_config(str(bad))
 
 
+def test_ini_percent_escape(tmp_path):
+    """The reference's %% escape (application/config.py:11,37 and
+    test_config.py pidname1-3): %% -> literal %, so %%{getpid()} is
+    the literal text %{getpid()} un-evaluated, %%%{getpid()} is % +
+    pid, and two calls in one value both expand."""
+    import os
+
+    from mee_ray.__main__ import _ini_config
+
+    pid = str(os.getpid())
+    uid = str(os.getuid())
+    p = tmp_path / "esc.ini"
+    p.write_text(
+        "[engine]\n"
+        'a = "pid%{getpid()}.pid"\n'
+        'b = "pid%%{getpid()}.pid"\n'
+        'c = "pid%%%{getpid()}.pid"\n'
+        'd = "pid%{getpid()}%{getpid()}.pid"\n'
+        'e = "plain%%name"\n'
+        'f = "uid%{getuid()}"\n')
+    raw = _ini_config(str(p))
+    assert raw["a"] == f"pid{pid}.pid"
+    assert raw["b"] == "pid%{getpid()}.pid"
+    assert raw["c"] == f"pid%{pid}.pid"
+    assert raw["d"] == f"pid{pid}{pid}.pid"
+    assert raw["e"] == "plain%name"
+    assert raw["f"] == f"uid{uid}"
+
+
 def test_cli_analyze(built_index):
     import json
     import subprocess

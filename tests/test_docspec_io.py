@@ -200,3 +200,164 @@ def test_on_parent_delete_yaml_null_keyword(tmp_path):
         "    on_parent_delete: null\n")
     spec = load_docspec(str(p))
     assert spec.joins[0].on_parent_delete == "null"
+
+
+# ------------------------------------------------- multi-index config
+
+
+MULTI_YAML = """
+__defs:
+  nation_join: &nation_join
+    table: nation
+    key: n_nationkey
+    fields: {nation_name: n_name}
+
+customers:
+  flat:
+    master: customer
+    key: c_custkey
+    mappings: {doc_key: c_custkey}
+    joins:
+      - <<: *nation_join
+        master_key: c_nationkey
+
+suppliers:
+  flat:
+    master: supplier
+    key: s_suppkey
+    mappings: {doc_key: s_suppkey}
+    joins:
+      - <<: *nation_join
+        master_key: s_nationkey
+  with_nation:
+    master: supplier
+    key: s_suppkey
+    mappings: {doc_key: s_suppkey, bal: s_acctbal}
+"""
+
+
+def _write(tmp_path, name, text):
+    p = tmp_path / name
+    p.write_text(text)
+    return str(p)
+
+
+def test_multispec_yaml_load(tmp_path):
+    """Top-level index→type→spec addressing, __-prefixed defs dropped
+    (reference handlerconfig.py:67-69), anchors/merge-keys reused."""
+    from mee_ray.pipelines.docspec_io import load_multispec
+
+    ms = load_multispec(_write(tmp_path, "multi.yml", MULTI_YAML))
+    assert len(ms) == 3
+    assert ms.indices() == ["customers", "suppliers"]
+    assert ms.types("suppliers") == ["flat", "with_nation"]
+    assert ms.types("nope") == []
+    assert ms.spec("customers", "flat").master == "customer"
+    assert ms.spec("customers", "nope") is None
+    # __defs did not become an index
+    assert "__defs" not in ms.indices()
+
+
+def test_multispec_list_merge(tmp_path):
+    """A top-level YAML LIST of one-index mappings merges into one
+    config (reference loadFromFile, handlerconfig.py:61-65)."""
+    from mee_ray.pipelines.docspec_io import load_multispec
+
+    text = """
+- customers:
+    flat:
+      master: customer
+      key: c_custkey
+      mappings: {doc_key: c_custkey}
+- suppliers:
+    flat:
+      master: supplier
+      key: s_suppkey
+      mappings: {doc_key: s_suppkey}
+"""
+    ms = load_multispec(_write(tmp_path, "list.yml", text))
+    assert sorted(ms.indices()) == ["customers", "suppliers"]
+
+
+def test_multispec_bad_leaf_names_address(tmp_path):
+    """A malformed leaf spec fails at load naming its index.type
+    address (the reference's eager IllegalConfigException battery)."""
+    from mee_ray.pipelines.docspec_io import load_multispec
+
+    text = """
+customers:
+  flat:
+    master: customer
+    key: c_custkey
+"""
+    with pytest.raises(IllegalDocSpec, match=r"customers\.flat"):
+        load_multispec(_write(tmp_path, "bad.yml", text))
+
+
+def test_multispec_structure_errors(tmp_path):
+    from mee_ray.pipelines.docspec_io import multispec_from_dict
+
+    with pytest.raises(IllegalDocSpec, match="must be a mapping"):
+        multispec_from_dict(["nope"])
+    with pytest.raises(IllegalDocSpec, match="non-empty mapping of type_name"):
+        multispec_from_dict({"idx": {}})
+    with pytest.raises(IllegalDocSpec, match="type name"):
+        multispec_from_dict({"idx": {3: {}}})
+    with pytest.raises(IllegalDocSpec, match="index alias"):
+        multispec_from_dict({"": {"t": {}}})
+
+
+def test_multispec_routing(tmp_path):
+    """specs_for_table returns every watching collection with its role
+    — one entry per watching statement (reference
+    getConfigItemsByDatabaseAndTable, handlerconfig.py:105-110)."""
+    from mee_ray.pipelines.docspec_io import load_multispec
+
+    ms = load_multispec(_write(tmp_path, "multi.yml", MULTI_YAML))
+    nation = ms.specs_for_table("nation")
+    assert sorted((i, t, r) for i, t, _s, r in nation) == [
+        ("customers", "flat", "join"), ("suppliers", "flat", "join")]
+    supplier = ms.specs_for_table("supplier")
+    assert sorted((i, t, r) for i, t, _s, r in supplier) == [
+        ("suppliers", "flat", "master"),
+        ("suppliers", "with_nation", "master")]
+    assert ms.specs_for_table("lineitem") == []
+
+
+def test_multispec_route_change(ray_session, tmp_path):
+    """route_change dispatches one table-change batch to every watching
+    collection: a nation upsert re-emits affected docs in BOTH joined
+    collections; a supplier upsert goes through the master path of the
+    two supplier collections only."""
+    import pyarrow as pa
+
+    from mee_ray.pipelines.docbuild import SlaveChange
+    from mee_ray.pipelines.docspec_io import load_multispec
+
+    ms = load_multispec(_write(tmp_path, "multi.yml", MULTI_YAML))
+
+    upd = SlaveChange("nation", upserts=pa.table({
+        "n_nationkey": pa.array([3], pa.int64()),
+        "n_name": pa.array(["CANADA-EDIT"], pa.string()),
+    }))
+    out = ms.route_change(SF, upd)
+    assert sorted(out) == [("customers", "flat"), ("suppliers", "flat")]
+    for (idx, typ), (ds, deleted) in out.items():
+        t = ds.take_all()
+        assert t, f"{idx}.{typ}: no re-emitted docs"
+        assert all(r["nation_name"] == "CANADA-EDIT" for r in t)
+        assert deleted.num_rows == 0
+
+    sup = SlaveChange("supplier", upserts=pa.table({
+        "s_suppkey": pa.array([1], pa.int64()),
+        "s_name": pa.array(["S-EDIT"], pa.string()),
+        "s_address": pa.array(["addr"], pa.string()),
+        "s_nationkey": pa.array([3], pa.int64()),
+        "s_phone": pa.array(["000"], pa.string()),
+        "s_acctbal": pa.array([42.0], pa.float64()),
+        "s_comment": pa.array(["c"], pa.string()),
+    }))
+    out = ms.route_change(SF, sup)
+    assert sorted(out) == [("suppliers", "flat"), ("suppliers", "with_nation")]
+    flat = out[("suppliers", "flat")][0].take_all()
+    assert [r["doc_key"] for r in flat] == [1]
