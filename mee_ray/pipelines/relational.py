@@ -4296,6 +4296,170 @@ ORDER BY p_partkey, s_name
 """
 
 
+# ------------------------------------------------- parent-child (ES) --
+
+# ES join-field queries — the document-relation feature family next to
+# the reference's `nested` configs (README.md:11-13): `has_child`
+# returns PARENT docs where enough children match a child query,
+# scored by an aggregate over matching-child scores (score_mode
+# max/sum + min_children); `has_parent` returns CHILD docs whose
+# parent matches, with the parent's score propagated (score=true).
+# Child/parent "scores" are integer cents so every mode is value-exact.
+
+_HAS_CHILD_MIN_CHILDREN = 3
+
+
+def has_child_orders(sf_dir: str):
+    """`has_child` over parent=orders / child=lineitem: parents with ≥
+    min_children children matching (returnflag R, qty > 25),
+    score_mode max AND sum over child revenue cents, plus the ES
+    `inner_hits` top child (the max-revenue child's linenumber,
+    ties to the lowest linenumber via packed argmax — child scores are
+    cents ints so the 3-bit pack is collision-free).
+
+    Scale shape: per-batch pyarrow combiners shrink lineitem to one
+    partial row per (batch, orderkey) BEFORE the exchange, the global
+    groupby carries only partials, and the parent fetch is the
+    co-partitioned hash join — nothing materializes driver-side."""
+    import ray
+    from ray.data.aggregate import Max, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.is_in(t["l_returnflag"],
+                                value_set=pa.array(["R"])),
+                       pc.greater(t["l_quantity"], pa.scalar(25.0)))
+        t = t.filter(mask)
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(rev, pa.scalar(100.0)),
+                                        pa.scalar(0.5))), pa.int64())
+        # argmax-with-tiebreak pack: maximize (cents, -linenumber);
+        # linenumber is 1..7 so (8 - ln) fits in 3 bits
+        packed = pc.add(pc.multiply(cents, pa.scalar(8, pa.int64())),
+                        pc.subtract(pa.scalar(8, pa.int64()),
+                                    pc.cast(t["l_linenumber"], pa.int64())))
+        t2 = pa.table({"l_orderkey": t["l_orderkey"],
+                       "one": pa.array(np.ones(t.num_rows, dtype=np.int64)),
+                       "cents": cents, "packed": packed})
+        g = t2.group_by("l_orderkey").aggregate(
+            [("one", "sum"), ("cents", "max"), ("cents", "sum"),
+             ("packed", "max")])
+        return g.rename_columns(["l_orderkey", "n", "mx", "sm", "pk"])
+
+    agg = (_read(sf_dir, "lineitem",
+                 ["l_orderkey", "l_linenumber", "l_returnflag", "l_quantity",
+                  "l_extendedprice", "l_discount"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("l_orderkey")
+           .aggregate(Sum("n", alias_name="n_matching"),
+                      Max("mx", alias_name="score_max_cents"),
+                      Sum("sm", alias_name="score_sum_cents"),
+                      Max("pk", alias_name="pk")))
+
+    def min_children(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(
+            t["n_matching"], pa.scalar(_HAS_CHILD_MIN_CHILDREN,
+                                       pa.int64())))
+        best_ln = pc.subtract(
+            pa.scalar(8, pa.int64()),
+            pc.bit_wise_and(t["pk"], pa.scalar(7, pa.int64())))
+        return t.drop_columns(["pk"]).append_column(
+            "best_child_linenumber", best_ln)
+
+    parents = _read(sf_dir, "orders",
+                    ["o_orderkey", "o_orderdate", "o_orderpriority"])
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    j = (agg.map_batches(min_children, batch_format="pyarrow")
+         .join(parents, join_type="inner",
+               num_partitions=max(2, cpus // 2),
+               on=("l_orderkey",), right_on=("o_orderkey",),
+               aggregator_ray_remote_args={"num_cpus": 0.5}))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": t["l_orderkey"],
+            "o_orderdate": t["o_orderdate"],
+            "o_orderpriority": t["o_orderpriority"],
+            "n_matching": t["n_matching"],
+            "score_max_cents": t["score_max_cents"],
+            "score_sum_cents": t["score_sum_cents"],
+            "best_child_linenumber": t["best_child_linenumber"],
+        })
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+HAS_CHILD_SQL = f"""
+SELECT o_orderkey, o_orderdate, o_orderpriority, n_matching,
+       score_max_cents, score_sum_cents,
+       8 - (pk % 8) AS best_child_linenumber
+FROM orders JOIN (
+  SELECT l_orderkey,
+         count(*) AS n_matching,
+         max(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT)) AS score_max_cents,
+         CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                       AS BIGINT)) AS BIGINT) AS score_sum_cents,
+         max(CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                  AS BIGINT) * 8 + (8 - l_linenumber)) AS pk
+  FROM lineitem
+  WHERE l_returnflag IN ('R') AND l_quantity > 25
+  GROUP BY l_orderkey
+) ON l_orderkey = o_orderkey
+WHERE n_matching >= {_HAS_CHILD_MIN_CHILDREN}
+"""
+
+
+def has_parent_lineitems(sf_dir: str):
+    """`has_parent` (score=true): child lineitems whose parent order
+    matches (1-URGENT, totalprice > 150k), each child carrying the
+    parent's score (totalprice cents).  The parent side filters BEFORE
+    the exchange — only matching parents enter the co-partitioned
+    join."""
+    import ray
+
+    def parent_query(t: pa.Table) -> pa.Table:
+        mask = pc.and_(pc.equal(t["o_orderpriority"],
+                                pa.scalar("1-URGENT")),
+                       pc.greater(t["o_totalprice"],
+                                  pa.scalar(150_000.0)))
+        t = t.filter(mask)
+        cents = pc.cast(pc.floor(pc.add(pc.multiply(t["o_totalprice"],
+                                                    pa.scalar(100.0)),
+                                        pa.scalar(0.5))), pa.int64())
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "parent_score_cents": cents})
+
+    parents = (_read(sf_dir, "orders",
+                     ["o_orderkey", "o_orderpriority", "o_totalprice"])
+               .map_batches(parent_query, batch_format="pyarrow",
+                            zero_copy_batch=True))
+    children = _read(sf_dir, "lineitem",
+                     ["l_orderkey", "l_linenumber", "l_returnflag"])
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    j = children.join(parents, join_type="inner",
+                      num_partitions=max(2, cpus // 2),
+                      on=("l_orderkey",), right_on=("o_orderkey",),
+                      aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({"l_orderkey": t["l_orderkey"],
+                         "l_linenumber": t["l_linenumber"],
+                         "l_returnflag": t["l_returnflag"],
+                         "parent_score_cents": t["parent_score_cents"]})
+
+    return j.map_batches(finish, batch_format="pyarrow")
+
+
+HAS_PARENT_SQL = """
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS parent_score_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project_revenue": filter_project_revenue,
@@ -4358,6 +4522,8 @@ QUERIES = {
     "q20_excess_suppliers": q20_excess_suppliers,
     "matrix_stats_lineitem": matrix_stats_lineitem,
     "weighted_avg_lineitem": weighted_avg_lineitem,
+    "has_child_orders": has_child_orders,
+    "has_parent_lineitems": has_parent_lineitems,
 }
 
 ORACLE = {
@@ -4424,4 +4590,6 @@ ORACLE = {
     "q20_excess_suppliers": Q20_SQL,
     "matrix_stats_lineitem": MATRIX_STATS_SQL,
     "weighted_avg_lineitem": WEIGHTED_AVG_SQL,
+    "has_child_orders": HAS_CHILD_SQL,
+    "has_parent_lineitems": HAS_PARENT_SQL,
 }
