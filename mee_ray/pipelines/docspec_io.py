@@ -286,20 +286,62 @@ class MultiSpec:
         (apply_master_delta, which can tombstone); joined/nested
         watchers through the reverse-query rebuild (apply_join_delta,
         which only re-emits — its ``deleted`` is always empty).
-        Collections not watching the table are untouched."""
+        A spec watching the table in BOTH roles (a self-join:
+        j.table == spec.master) runs both paths — the reference
+        processes one config item per watching statement — with the
+        join-path re-emits deduplicated against the master-path blast
+        radius (both rebuild against the same post-change state, so
+        overlapping keys carry identical documents).  Collections not
+        watching the table are untouched."""
         import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
 
         from mee_ray.pipelines.docbuild import (apply_join_delta,
                                                 apply_master_delta)
 
         out = {}
         for (idx, typ), spec in self._specs.items():
-            if spec.master == change.table:
-                out[(idx, typ)] = apply_master_delta(sf_dir, spec, change)
-            elif any(j.table == change.table for j in spec.joins) or \
-                    any(n.table == change.table for n in spec.nested):
-                docs = apply_join_delta(sf_dir, spec, change)
-                out[(idx, typ)] = (docs, pa.table({spec.key: pa.array([])}))
+            is_master = spec.master == change.table
+            is_joined = (any(j.table == change.table for j in spec.joins)
+                         or any(n.table == change.table
+                                for n in spec.nested))
+            if not (is_master or is_joined):
+                continue
+            key_type = pq.read_schema(
+                f"{sf_dir}/{spec.master}.parquet").field(spec.key).type
+            docs = deleted = None
+            master_keys: set = set()
+            if is_master:
+                docs, deleted = apply_master_delta(sf_dir, spec, change)
+                if change.upserts is not None:
+                    master_keys |= set(
+                        change.upserts[spec.key].to_pylist())
+                master_keys |= set(change.delete_keys or ())
+            if is_joined:
+                jdocs = apply_join_delta(sf_dir, spec, change)
+                # documents carry OUTPUT fields, so dedup keys on the
+                # mapping that re-emits the master key; a spec mapping
+                # no identity column emits both copies (identical
+                # content — the index sink's LWW tombstone+re-add
+                # makes the duplicate a no-op)
+                key_out = next((f for f, src in spec.mappings.items()
+                                if src == spec.key), None)
+                if master_keys and key_out is not None:
+                    drop = pa.array(sorted(master_keys), key_type)
+
+                    def dedup(t: pa.Table, drop=drop,
+                              key=key_out) -> pa.Table:
+                        return t.filter(pc.invert(pc.is_in(
+                            t[key], value_set=drop)))
+
+                    jdocs = jdocs.map_batches(dedup,
+                                              batch_format="pyarrow")
+                docs = jdocs if docs is None else docs.union(jdocs)
+            if deleted is None:
+                deleted = pa.table(
+                    {spec.key: pa.array([], key_type)})
+            out[(idx, typ)] = (docs, deleted)
         return out
 
 

@@ -361,3 +361,60 @@ def test_multispec_route_change(ray_session, tmp_path):
     assert sorted(out) == [("suppliers", "flat"), ("suppliers", "with_nation")]
     flat = out[("suppliers", "flat")][0].take_all()
     assert [r["doc_key"] for r in flat] == [1]
+
+
+def test_multispec_route_change_self_join(ray_session, tmp_path):
+    """A spec watching the changed table in BOTH roles (self-join:
+    join.table == master) runs the master path AND the join path —
+    the reference processes one config item per watching statement —
+    with join-path re-emits deduplicated against the master-path blast
+    radius, and the empty/typed deleted table carries the master key's
+    real Arrow type."""
+    import pyarrow as pa
+
+    from mee_ray.pipelines.docbuild import DocSpec, JoinSpec, SlaveChange
+    from mee_ray.pipelines.docspec_io import MultiSpec
+
+    # "peer" self-join: each supplier embeds the name of the supplier
+    # whose suppkey equals its nationkey — structurally a self-join
+    # where join-affected masters differ from the changed row itself
+    spec = DocSpec(
+        master="supplier", key="s_suppkey",
+        mappings={"doc_key": "s_suppkey", "nat": "s_nationkey"},
+        joins=(JoinSpec("supplier", "s_suppkey", "s_nationkey",
+                        {"peer_name": "s_name"}),),
+    )
+    ms = MultiSpec({("sup", "peers"): spec})
+    assert sorted(r for _i, _t, _s, r in ms.specs_for_table("supplier")) \
+        == ["join", "master"]
+
+    up = SlaveChange("supplier", upserts=pa.table({
+        "s_suppkey": pa.array([3], pa.int64()),
+        "s_name": pa.array(["PEER-EDIT"], pa.string()),
+        "s_address": pa.array(["a"], pa.string()),
+        "s_nationkey": pa.array([7], pa.int64()),
+        "s_phone": pa.array(["p"], pa.string()),
+        "s_acctbal": pa.array([1.0], pa.float64()),
+        "s_comment": pa.array(["c"], pa.string()),
+    }))
+    out = ms.route_change(SF, up)
+    (docs, deleted) = out[("sup", "peers")]
+    rows = docs.take_all()
+    keys = [r["doc_key"] for r in rows]
+    # no duplicate re-emits across the two paths
+    assert len(keys) == len(set(keys))
+    # master path re-emitted the changed row itself
+    assert 3 in keys
+    by_key = {r["doc_key"]: r for r in rows}
+    # join path re-emitted every master referencing suppkey 3 (its
+    # nationkey equals 3), all now embedding the edited peer name
+    for k, r in by_key.items():
+        if k != 3:
+            assert r["nat"] == 3
+            assert r["peer_name"] == "PEER-EDIT"
+    # the changed row's own doc reflects ITS join (nationkey 7)
+    assert by_key[3]["nat"] == 7
+    # typed empty tombstone table — concatenable with the master
+    # path's typed deletes
+    assert deleted.num_rows == 0
+    assert deleted.schema.field("s_suppkey").type == pa.int64()

@@ -101,7 +101,8 @@ SQL_CHECKED = [
     "bm25_span_not_documents", "bm25_explain_documents",
     "phrase_suggest_documents", "percolate_phrase_documents",
     "matrix_stats_lineitem", "adjacency_matrix_documents",
-    "weighted_avg_lineitem",
+    "weighted_avg_lineitem", "has_child_orders", "has_parent_lineitems",
+    "docbuild_multi_index",
 ]
 
 
