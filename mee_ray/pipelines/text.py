@@ -717,7 +717,7 @@ def ngram_jaccard_adjacent(sf_dir: str, n: int = 5):
         jac = (inter / union) if union else 1.0
         return pa.table({"a": pa.array([ids[left]], pa.int64()),
                          "b": pa.array([ids[right]], pa.int64()),
-                         "jaccard5": pa.array([round(jac, 6)], pa.float64())})
+                         "jaccard5": pa.array([jac], pa.float64())})
 
     return (_read_docs(sf_dir, ["doc_id", "text"])
             .map_batches(to_pair_rows, batch_format="pyarrow")
@@ -1559,6 +1559,10 @@ QUERIES = {
 # hashed-set Jaccard equals this string-set Jaccard for any realistic
 # corpus; the short-text fallback (len<n ⇒ the whole string is the one
 # gram) and the empty∪empty ⇒ 1.0 convention are mirrored exactly.
+# The ratio is emitted UNROUNDED on both sides: IEEE float64 division
+# of the same two integers is bit-identical, whereas round(x, 6)
+# implementations diverge by 1 ulp on boundary ratios (observed at
+# sf0.1: one adjacent pair's rounded value differed engine-vs-DuckDB).
 NGRAM_JACCARD_SQL = """
 WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
 g AS (
@@ -1580,11 +1584,11 @@ inter AS (
   JOIN gd gb ON gb.doc_id = p.b AND gb.g = ga.g
   GROUP BY p.a, p.b)
 SELECT p.a, p.b,
-       round(CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0)
-                       - coalesce(i.i, 0) = 0 THEN 1.0
-             ELSE coalesce(i.i, 0) * 1.0
-                  / (coalesce(sa.n, 0) + coalesce(sb.n, 0)
-                     - coalesce(i.i, 0)) END, 6) AS jaccard5
+       CASE WHEN coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                 - coalesce(i.i, 0) = 0 THEN 1.0
+            ELSE coalesce(i.i, 0) * 1.0
+                 / (coalesce(sa.n, 0) + coalesce(sb.n, 0)
+                    - coalesce(i.i, 0)) END AS jaccard5
 FROM pairs p
 LEFT JOIN sizes sa ON sa.doc_id = p.a
 LEFT JOIN sizes sb ON sb.doc_id = p.b

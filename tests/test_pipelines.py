@@ -453,7 +453,7 @@ def test_ngram_jaccard_matches_string_set_bruteforce(entry_mod, ray_session):
     expect = {}
     for x, y in zip(order, order[1:]):
         sx, sy = g(texts[x] or ""), g(texts[y] or "")
-        expect[(x, y)] = round(len(sx & sy) / len(sx | sy), 6) \
+        expect[(x, y)] = len(sx & sy) / len(sx | sy) \
             if (sx or sy) else 1.0
 
     out = ngram_jaccard_adjacent(SF).to_pandas()
