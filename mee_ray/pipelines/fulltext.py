@@ -245,6 +245,50 @@ WHERE rank <= {TOP_K}
 """
 
 
+TERMS_SET_DL_THRESHOLD = 60   # tokens: short docs need 1 match, long 2
+
+
+def bm25_terms_set_documents(sf_dir: str):
+    """ES ``terms_set``: per-DOCUMENT dynamic minimum_should_match
+    read from indexed per-doc data (minimum_should_match_field) — the
+    indexed document length here: docs under
+    {TERMS_SET_DL_THRESHOLD} tokens need 1 distinct query term, longer
+    docs need 2.  Survivors keep full disjunctive scores."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_terms_set(
+        terms, k=s.n_docs or 1,
+        dl_threshold=TERMS_SET_DL_THRESHOLD))
+        for qid, terms in REFERENCE_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _bm25_terms_set_sql() -> str:
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+  HAVING count(DISTINCT tf.term) >=
+         CASE WHEN min(dl.dl) < {TERMS_SET_DL_THRESHOLD}
+              THEN 1 ELSE 2 END)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
 def bm25_weighted_documents(sf_dir: str):
     """Per-term boosted BM25 top-k (ES ``term^boost``): each term's
     contribution is scaled by QUERY_BOOSTS before the sorted-term
@@ -1013,6 +1057,57 @@ def _bm25_prefix_sql() -> str:
     return _expansion_sql(
         f"q(query_id, prefix) AS (VALUES {values})",
         "tf.term LIKE q.prefix || '%'")
+
+
+def bm25_match_bool_prefix_documents(sf_dir: str):
+    """ES ``match_bool_prefix``: the query's full terms are term
+    clauses and a trailing partial token is a prefix clause, all
+    OR-combined — the as-you-type search shape.  The prefix expands
+    against the live dictionary; expansion terms and full terms
+    dedup as a SET (a doc scores each distinct term once), so a
+    survivor's score equals the plain OR query over the unioned term
+    set."""
+    from mee_ray.query import Searcher, merge_partials, prefix_terms
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    prefixes = dict(PREFIX_QUERIES)
+    vocab = s.vocabulary()
+    results = []
+    for qid, terms in REFERENCE_QUERIES:
+        exp = prefix_terms(vocab, prefixes[qid])
+        uterms = sorted(set(terms) | set(exp))
+        partials = s.term_partials(uterms)
+        results.append((qid, merge_partials([partials], uterms,
+                                            k=s.n_docs or 1)))
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _bm25_match_bool_prefix_sql() -> str:
+    pvals = ", ".join(f"({qid}, '{p}')" for qid, p in PREFIX_QUERIES)
+    return f"""
+{_base_ctes()},
+q0(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+qp(query_id, prefix) AS (VALUES {pvals}),
+q AS (SELECT query_id, term FROM q0
+      UNION
+      SELECT qp.query_id, df.term FROM qp
+      JOIN df ON df.term LIKE qp.prefix || '%'),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
 
 
 def bm25_fuzzy_documents(sf_dir: str):
@@ -3716,6 +3811,8 @@ QUERIES = {
     "bm25_constant_score_documents": bm25_constant_score_documents,
     "bm25_batch_rank_documents": bm25_batch_rank_documents,
     "bm25_min_match_documents": bm25_min_match_documents,
+    "bm25_terms_set_documents": bm25_terms_set_documents,
+    "bm25_match_bool_prefix_documents": bm25_match_bool_prefix_documents,
     "bm25_weighted_documents": bm25_weighted_documents,
     "bm25_mlt_documents": bm25_mlt_documents,
     "bm25_dismax_documents": bm25_dismax_documents,
@@ -3773,6 +3870,8 @@ ORACLE = {
     # same ranking contract as bm25_topk — the plumbing differs
     "bm25_batch_rank_documents": _bm25_sql(),
     "bm25_min_match_documents": _bm25_min_match_sql(),
+    "bm25_terms_set_documents": _bm25_terms_set_sql(),
+    "bm25_match_bool_prefix_documents": _bm25_match_bool_prefix_sql(),
     "bm25_weighted_documents": _bm25_weighted_sql(),
     "bm25_mlt_documents": _bm25_mlt_sql(),
     "bm25_dismax_documents": _bm25_dismax_sql(),

@@ -1170,6 +1170,53 @@ class Searcher:
         partials = self.term_partials(uterms)
         return merge_partials([partials], uterms, k, min_match=m)
 
+    def search_terms_set(self, terms: list[str], k: int,
+                         dl_threshold: int, low: int = 1, high: int = 2
+                         ) -> list[tuple[int, float]]:
+        """ES ``terms_set`` query: the required distinct-match count is
+        PER-DOCUMENT, read from indexed per-doc data (ES
+        ``minimum_should_match_field``) — here the indexed document
+        length: docs shorter than ``dl_threshold`` tokens need ``low``
+        distinct query terms, longer docs need ``high``.  Survivors
+        keep their full disjunctive scores (the per-doc threshold
+        filters, it never rescales), and accumulation stays in
+        sorted-term order (the determinism contract), so a survivor's
+        score is bit-identical to the plain OR query's."""
+        if k <= 0 or not terms:
+            return []
+        uterms = sorted(set(terms))
+        ids_l, sc_l, dl_l = [], [], []
+        for term in uterms:
+            ids, tfs, dls = self.term_raw_postings(term)
+            if len(ids) == 0:
+                continue
+            w = idf(len(ids), self.n_docs)
+            ids_l.append(ids)
+            sc_l.append(w * tf_norm(tfs, dls, self.avgdl, self.k1,
+                                    self.b))
+            dl_l.append(dls)
+        if not ids_l:
+            return []
+        all_ids = np.concatenate(ids_l)
+        all_sc = np.concatenate(sc_l)
+        all_dl = np.concatenate(dl_l)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        acc = np.zeros(len(uniq))
+        # concatenation is in sorted-term order, so per-doc additions
+        # land in the same order as _gather_accumulate
+        np.add.at(acc, inv, all_sc)
+        cnt = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(cnt, inv, 1)
+        doc_dl = np.zeros(len(uniq), dtype=np.int64)
+        doc_dl[inv] = all_dl   # dl identical for every entry of a doc
+        required = np.where(doc_dl < dl_threshold, low, high)
+        keep = cnt >= required
+        uniq, acc = uniq[keep], acc[keep]
+        if uniq.size == 0:
+            return []
+        ids, scores = top_k_select(uniq, acc, k)
+        return list(zip(ids.tolist(), scores.tolist()))
+
     def search_weighted(self, term_boosts: dict[str, float], k: int
                         ) -> list[tuple[int, float]]:
         """Per-term query-time boosts (ES ``term^boost``): each term's

@@ -3,6 +3,7 @@ filter/scale layers over the same exact disjunctive scoring: min_match
 filters by distinct-term match count without rescaling, boosts scale
 each term's contribution before the sorted-term accumulation."""
 
+import numpy as np
 import pytest
 
 
@@ -514,3 +515,39 @@ def test_simple_query_string_parser_and_semantics(ray_session):
     assert got1, "query 1 returned nothing"
     for d in got1:
         assert "merge" in toks[d] and "slow" not in toks[d], d
+
+
+def test_terms_set_degenerates_and_filters(built_index):
+    """ES terms_set (per-doc dynamic minimum from the indexed doc
+    length): dl_threshold beyond every dl makes every doc 'short'
+    (required=low) — low=1 must equal plain OR, low=2 must equal
+    min_match=2; threshold 0 makes every doc 'long' (required=high).
+    A mid-corpus threshold must equal the per-doc reference filter
+    computed from the oracle's own doc lengths, with survivor scores
+    bit-equal to the OR query's."""
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    big = max(oracle.dl.values()) + 1
+    for q in _queries(oracle):
+        assert (s.search_terms_set(q, k=10, dl_threshold=big, low=1)
+                == s.search(q, k=10))
+        assert (s.search_terms_set(q, k=10, dl_threshold=big, low=2,
+                                   high=2)
+                == s.search_min_match(q, k=10, min_match=2))
+        assert (s.search_terms_set(q, k=10, dl_threshold=0, high=2)
+                == s.search_min_match(q, k=10, min_match=2))
+
+    thr = int(np.median(list(oracle.dl.values())))
+    for q in _queries(oracle):
+        full = dict(s.search(q, k=oracle.n_docs or 1))
+        counts = {}
+        for t in set(q):
+            for d in oracle.postings.get(t, {}):
+                counts[d] = counts.get(d, 0) + 1
+        want = sorted(
+            ((d, full[d]) for d, c in counts.items()
+             if c >= (1 if oracle.dl[d] < thr else 2)),
+            key=lambda x: (-x[1], x[0]))[:10]
+        assert s.search_terms_set(q, k=10, dl_threshold=thr) == want
