@@ -238,6 +238,41 @@ class OracleIndex:
         ranked = self.search_and(terms, k=self.n_docs + 1)
         return [(d, s) for d, s in ranked if d in span_docs][:k]
 
+    def search_intervals(self, terms: list[str], max_gaps: int = 0,
+                         ordered: bool = True, k: int = 10
+                         ) -> list[tuple[int, float]]:
+        """ES ``intervals`` match rule over DISTINCT terms: one
+        occurrence of each term inside a window with at most
+        ``max_gaps`` TOTAL non-matching tokens (width - n), in query
+        order when ``ordered``.  Exhaustive occurrence-combination
+        check; scoring is :meth:`search_and` filtered to the matching
+        docs (membership gates, never rescales)."""
+        import itertools
+        if self.positions is None:
+            raise ValueError("OracleIndex built without store_positions")
+        if not terms:
+            return []
+        if len(set(terms)) != len(terms):
+            raise ValueError("intervals terms must be distinct")
+        for t in terms:
+            if t not in self.postings:
+                return []
+        cand = set.intersection(
+            *(set(self.postings[t]) for t in terms))
+        bound = len(terms) - 1 + max_gaps
+        iv_docs = set()
+        for doc in cand:
+            runs = [self.positions[t].get(doc, ()) for t in terms]
+            for combo in itertools.product(*runs):
+                if ordered and any(b <= a for a, b in
+                                   zip(combo, combo[1:])):
+                    continue
+                if max(combo) - min(combo) <= bound:
+                    iv_docs.add(doc)
+                    break
+        ranked = self.search_and(terms, k=self.n_docs + 1)
+        return [(d, s) for d, s in ranked if d in iv_docs][:k]
+
     def search_span_not(self, include: str, exclude: str,
                         dist: int = 1, k: int = 10
                         ) -> list[tuple[int, float]]:

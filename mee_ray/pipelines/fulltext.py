@@ -2750,6 +2750,86 @@ WHERE rank <= {TOP_K}
 """
 
 
+# (qid, distinct terms, max_gaps, ordered) — the TOTAL gap budget is
+# the semantic difference from SPAN_NEAR_QUERIES' per-pair slop
+INTERVALS_QUERIES: list[tuple[int, list[str], int, bool]] = [
+    (1, ["merge", "sort"], 2, True),
+    (2, ["window", "join"], 1, False),
+    (3, ["customer", "join", "fast"], 4, False),
+    (4, ["data", "slow"], 0, True),      # 0 gaps ordered ≡ adjacent
+    (5, ["group", "scan"], 3, False),
+    (6, ["part", "filter", "scan"], 3, True),
+]
+
+
+def bm25_intervals_documents(sf_dir: str):
+    """ES ``intervals`` query (match rule): all terms inside a window
+    with at most ``max_gaps`` TOTAL non-matching tokens, optionally in
+    order — the whole-interval budget span_near cannot express.
+    Survivors score conjunctively (filter-context stance), ranked by
+    (score desc, ORIGINAL doc_id) like the other fulltext queries."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_intervals(terms, max_gaps=g, ordered=o,
+                                        k=s.n_docs or 1))
+               for qid, terms, g, o in INTERVALS_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _intervals_docs_subquery(qid: int, terms: list[str], g: int,
+                             ordered: bool) -> str:
+    n = len(terms)
+    width = n - 1 + g
+    if ordered:
+        joins = " ".join(
+            f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.term = '{terms[i]}' AND t{i}.i > t{i - 1}.i"
+            for i in range(1, n))
+        cond = f"t{n - 1}.i - t0.i <= {width}"
+    else:
+        joins = " ".join(
+            f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
+            f"AND t{i}.term = '{terms[i]}'"
+            for i in range(1, n))
+        cols = ", ".join(f"t{i}.i" for i in range(n))
+        cond = f"greatest({cols}) - least({cols}) <= {width}"
+    return (f"SELECT DISTINCT {qid} AS query_id, t0.doc_id "
+            f"FROM tok t0 {joins} "
+            f"WHERE t0.term = '{terms[0]}' AND {cond}")
+
+
+def _bm25_intervals_sql() -> str:
+    chains = "\n  UNION ALL\n  ".join(
+        _intervals_docs_subquery(qid, terms, g, o)
+        for qid, terms, g, o in INTERVALS_QUERIES)
+    qvals = _q_values([(qid, terms) for qid, terms, _, _
+                       in INTERVALS_QUERIES])
+    return f"""
+{_base_ctes(with_positions=True)},
+q(query_id, term) AS (VALUES {qvals}),
+iv_docs AS (
+  {chains}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN iv_docs iv ON iv.query_id = q.query_id
+                 AND iv.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
 def _bm25_sql() -> str:
     return f"""
 {_base_ctes()},
@@ -3813,6 +3893,7 @@ QUERIES = {
     "bm25_min_match_documents": bm25_min_match_documents,
     "bm25_terms_set_documents": bm25_terms_set_documents,
     "bm25_match_bool_prefix_documents": bm25_match_bool_prefix_documents,
+    "bm25_intervals_documents": bm25_intervals_documents,
     "bm25_weighted_documents": bm25_weighted_documents,
     "bm25_mlt_documents": bm25_mlt_documents,
     "bm25_dismax_documents": bm25_dismax_documents,
@@ -3872,6 +3953,7 @@ ORACLE = {
     "bm25_min_match_documents": _bm25_min_match_sql(),
     "bm25_terms_set_documents": _bm25_terms_set_sql(),
     "bm25_match_bool_prefix_documents": _bm25_match_bool_prefix_sql(),
+    "bm25_intervals_documents": _bm25_intervals_sql(),
     "bm25_weighted_documents": _bm25_weighted_sql(),
     "bm25_mlt_documents": _bm25_mlt_sql(),
     "bm25_dismax_documents": _bm25_dismax_sql(),

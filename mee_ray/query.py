@@ -740,6 +740,35 @@ class Searcher:
         partials = self.term_partials_for_docs(uterms, span_docs)
         return merge_partials_conjunctive([partials], uterms, k)
 
+    def search_intervals(self, terms: list[str], max_gaps: int = 0,
+                         ordered: bool = True, k: int = 10
+                         ) -> list[tuple[int, float]]:
+        """ES ``intervals`` query, ``match`` rule over distinct terms
+        with a TOTAL ``max_gaps`` budget (shared across the whole
+        interval — the semantic difference from :meth:`search_span_near`
+        whose slop is per consecutive pair) and an ``ordered`` flag.
+        Membership gates, scores never rescale: survivors are scored
+        like ``operator="and"`` restricted to the matching docs, the
+        filter-context stance of the whole positional family.  Same
+        candidate pushdown as the phrase path.  Requires
+        ``store_positions=True``."""
+        if not terms:
+            return []
+        if not self.manifest.get("store_positions"):
+            raise ValueError("intervals queries need "
+                             "store_positions=True (pinned in the "
+                             "manifest at build)")
+        uterms = sorted(set(terms))
+        cand = self._candidate_docs(uterms)
+        if cand is None:
+            return []
+        data = {t: self.term_doc_positions(t, cand) for t in uterms}
+        docs = intervals_match_docs(data, terms, max_gaps, ordered)
+        if docs.size == 0:
+            return []
+        partials = self.term_partials_for_docs(uterms, docs)
+        return merge_partials_conjunctive([partials], uterms, k)
+
     def search_phrase_prefix(self, terms: list[str], k: int = 10,
                              max_expansions: int = 50
                              ) -> list[tuple[int, float]]:
@@ -1827,6 +1856,109 @@ def span_near_match_docs(data: dict, terms: list[str], slop: int
     return cand[np.unique(reach >> np.uint64(32)).astype(np.int64)]
 
 
+def intervals_match_docs(data: dict, terms: list[str], max_gaps: int,
+                         ordered: bool) -> np.ndarray:
+    """Docs matching an ES ``intervals`` match rule (reference
+    delegates interval queries to ES) over DISTINCT ``terms``: one
+    occurrence of every term inside a window whose TOTAL gap count
+    (window width minus ``len(terms)``) is at most ``max_gaps``;
+    ``ordered=True`` additionally requires the occurrences
+    left-to-right in query order.  Unlike :func:`span_near_match_docs`
+    the gap budget is shared across the whole interval, not spent per
+    consecutive pair.
+
+    Fully vectorized, same ``rank << 32 | pos`` packing as the other
+    positional kernels:
+
+    * ordered — left-to-right propagation of the LATEST feasible chain
+      start: slot i's occurrence at key ``k`` inherits
+      ``max(best_start)`` over slot i-1 occurrences strictly before
+      ``k`` in the same doc.  One searchsorted plus one
+      ``maximum.accumulate`` over composite ``rank<<32 | best`` values
+      per step — the accumulate never leaks across docs because a
+      later doc's rank bits dominate any earlier best.  A doc matches
+      when some last-slot occurrence ``p`` has
+      ``p - best_start(p) <= len(terms)-1 + max_gaps``.
+    * unordered — every occurrence is a candidate window END; each
+      term's latest occurrence ``<=`` that end in the same doc
+      (searchsorted ``side='right'``) yields the minimal covering
+      window, which matches when
+      ``end - min(latest_occ) <= len(terms)-1 + max_gaps``.
+    """
+    if max_gaps < 0:
+        raise ValueError(f"max_gaps must be >= 0, got {max_gaps}")
+    empty = np.empty(0, dtype=np.int64)
+    if not terms:
+        return empty
+    if len(set(terms)) != len(terms):
+        raise ValueError("intervals terms must be distinct")
+    cand = None
+    for t in terms:
+        ids = data[t][0]
+        if ids.size == 0:
+            return empty
+        cand = np.unique(ids) if cand is None else np.intersect1d(cand, ids)
+        if cand.size == 0:
+            return empty
+    if cand.size >= (1 << 32):
+        raise NotImplementedError(
+            "intervals candidate set exceeds 2^32 docs — partition "
+            "the candidate space before key packing")
+
+    def slot_keys(t: str) -> np.ndarray:
+        ids, offs, flat = data[t]
+        tfs = np.diff(offs)
+        pos_c, keep = positions_in_sorted(ids, cand)
+        rank_rep = np.repeat(pos_c[keep], tfs[keep])
+        flat_k = flat[np.repeat(keep, tfs)]
+        if flat_k.size and int(flat_k.max()) >= (1 << 32):
+            raise ValueError("term position exceeds 2^32 — cannot "
+                             "pack beside the candidate rank")
+        # globally sorted keys: the searchsorteds below need them
+        return np.sort((rank_rep.astype(np.uint64) << np.uint64(32))
+                       | flat_k.astype(np.uint64))
+
+    RANK = np.uint64(32)
+    POSMASK = np.uint64(0xFFFFFFFF)
+    bound = np.uint64(len(terms) - 1 + max_gaps)
+    keys = [slot_keys(t) for t in terms]
+    if ordered:
+        prev = keys[0]
+        best = prev & POSMASK        # slot 0: the chain starts here
+        for ki in keys[1:]:
+            runmax = np.maximum.accumulate((prev & ~POSMASK) | best)
+            # distinct terms never share a (doc, pos), so the default
+            # side='left' minus one is exactly "last prev key < ki"
+            ins = np.searchsorted(prev, ki)
+            ok = ins > 0
+            ins = np.maximum(ins - 1, 0)
+            ok &= (runmax[ins] >> RANK) == (ki >> RANK)
+            ki = ki[ok]
+            if ki.size == 0:
+                return empty
+            best = runmax[ins[ok]] & POSMASK
+            prev = ki
+        hit = (prev & POSMASK) - best <= bound
+        ranks = np.unique(prev[hit] >> RANK).astype(np.int64)
+        return cand[ranks]
+    ends = np.sort(np.concatenate(keys))
+    okall = np.ones(ends.size, dtype=bool)
+    start: np.ndarray | None = None
+    for ki in keys:
+        p = np.searchsorted(ki, ends, side="right")
+        ok = p > 0
+        idx = np.maximum(p - 1, 0)
+        ok &= (ki[idx] >> RANK) == (ends >> RANK)
+        okall &= ok
+        last = ki[idx] & POSMASK
+        start = last if start is None else np.minimum(start, last)
+    # masked-out rows may wrap the uint64 subtraction — they are
+    # already excluded by okall, the wrap only makes them huge
+    hit = okall & ((ends & POSMASK) - start <= bound)
+    ranks = np.unique(ends[hit] >> RANK).astype(np.int64)
+    return cand[ranks]
+
+
 def merge_partials_conjunctive(partials_list: list[dict],
                                terms: list[str], k: int
                                ) -> list[tuple[int, float]]:
@@ -2076,6 +2208,10 @@ class DistributedSearcher:
 
             def search_span_near(self, terms, slop, k):
                 return self.searcher.search_span_near(terms, slop, k)
+
+            def search_intervals(self, terms, max_gaps, ordered, k):
+                return self.searcher.search_intervals(
+                    terms, max_gaps, ordered, k)
 
             def search_span_first(self, term, end, k):
                 return self.searcher.search_span_first(term, end, k)
@@ -2613,6 +2749,18 @@ class DistributedSearcher:
             terms, k,
             lambda data: span_near_match_docs(data, terms, slop),
             lambda actor: actor.search_span_near.remote(terms, slop, k))
+
+    def search_intervals(self, terms: list[str], max_gaps: int = 0,
+                         ordered: bool = True, k: int = 10
+                         ) -> list[tuple[int, float]]:
+        """Distributed ES ``intervals`` (total-gap-budget) top-k —
+        same two-round shape as :meth:`search_phrase`."""
+        return self._positional_query(
+            terms, k,
+            lambda data: intervals_match_docs(data, terms, max_gaps,
+                                              ordered),
+            lambda actor: actor.search_intervals.remote(
+                terms, max_gaps, ordered, k))
 
     def search_span_first(self, term: str, end: int,
                           k: int = 10) -> list[tuple[int, float]]:

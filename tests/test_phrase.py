@@ -405,6 +405,147 @@ def test_span_near_distributed(pos_index, ray_session):
         ds.shutdown()
 
 
+# ------------------------------------------------------ intervals ----
+
+
+def test_intervals_match_docs_random_vs_bruteforce():
+    """Pure-matcher property test: the prefix-running-max (ordered)
+    and minimal-covering-window (unordered) kernels equal an
+    exhaustive occurrence-combination search on random position data
+    (distinct terms — the intervals contract)."""
+    import itertools
+
+    from mee_ray.query import intervals_match_docs
+
+    rng = np.random.default_rng(11)
+    for trial in range(60):
+        pool = ["a", "b", "c"]
+        n_terms = int(rng.integers(1, 4))
+        terms = pool[:n_terms]
+        max_gaps = int(rng.integers(0, 5))
+        ordered = bool(rng.integers(0, 2))
+        data, docpos = {}, {}
+        for t in terms:
+            ids = np.sort(rng.choice(
+                1000, size=int(rng.integers(5, 30)),
+                replace=False)).astype(np.int64)
+            offs, flat = [0], []
+            docpos[t] = {}
+            for d in ids:
+                tf = int(rng.integers(1, 5))
+                pos = np.sort(rng.choice(40, size=tf, replace=False))
+                docpos[t][int(d)] = tuple(pos.tolist())
+                flat.extend(pos.tolist())
+                offs.append(len(flat))
+            data[t] = (ids, np.array(offs, dtype=np.int64),
+                       np.array(flat, dtype=np.int64))
+        got = set(intervals_match_docs(data, terms, max_gaps,
+                                       ordered).tolist())
+        bound = len(terms) - 1 + max_gaps
+        cand = set.intersection(*(set(docpos[t]) for t in terms))
+        want = set()
+        for d in cand:
+            for combo in itertools.product(
+                    *(docpos[t].get(d, ()) for t in terms)):
+                if ordered and any(b <= a for a, b
+                                   in zip(combo, combo[1:])):
+                    continue
+                if max(combo) - min(combo) <= bound:
+                    want.add(d)
+                    break
+        assert got == want, (trial, terms, max_gaps, ordered)
+
+
+def _intervals_queries_from(docs, n=20):
+    """Interval cases with DISTINCT terms drawn from real token
+    streams (near and far co-occurrences) plus non-matching controls."""
+    from mee_ray.config import TokenizerConfig
+    from mee_ray.tokenizer import Tokenizer
+    tok = Tokenizer(TokenizerConfig())
+    out, seen = [], set()
+    for i, (_, content) in enumerate(docs[:40]):
+        seq = tok.terms(content)
+        if len(seq) <= 12:
+            continue
+        cases = [([seq[2], seq[4]], 1, True),
+                 ([seq[4], seq[2]], 2, False),     # reversed, unordered
+                 ([seq[3], seq[7]], 3, True),
+                 ([seq[1], seq[2]], 0, True)]      # adjacent, 0 gaps
+        if i % 3 == 0:
+            cases.append(([seq[2], seq[5], seq[8]], 4, True))
+            cases.append(([seq[8], seq[2], seq[5]], 4, False))
+        for terms, g, o in cases:
+            key = (tuple(terms), g, o)
+            if len(set(terms)) == len(terms) and key not in seen:
+                seen.add(key)
+                out.append((terms, g, o))
+    out = out[:n]
+    out.append((["qqqq_not_a_term", "also_missing"], 2, True))
+    return out
+
+
+def test_intervals_matches_oracle(pos_index):
+    from mee_ray.query import Searcher
+
+    s = Searcher(pos_index["root"])
+    oracle = pos_index["oracle"]
+    hits = 0
+    for terms, g, o in _intervals_queries_from(pos_index["docs"]):
+        got = s.search_intervals(terms, max_gaps=g, ordered=o, k=10)
+        want = oracle.search_intervals(terms, max_gaps=g, ordered=o,
+                                       k=10)
+        assert got == want, (terms, g, o)
+        hits += bool(got)
+    assert hits >= 8
+
+
+def test_intervals_zero_gaps_ordered_equals_phrase(pos_index):
+    """For DISTINCT-term phrases, ordered max_gaps=0 is exactly the
+    phrase predicate (width n ⇒ consecutive in order)."""
+    from mee_ray.query import Searcher
+
+    s = Searcher(pos_index["root"])
+    for ph in _phrases_from(pos_index["docs"])[:10]:
+        if len(set(ph)) != len(ph):
+            continue
+        assert s.search_intervals(ph, max_gaps=0, ordered=True, k=50) \
+            == s.search_phrase(ph, k=50), ph
+
+
+def test_intervals_monotone_and_unordered_superset(pos_index):
+    """Match sets grow with max_gaps and ordered ⊆ unordered at equal
+    budget."""
+    from mee_ray.query import Searcher
+
+    s = Searcher(pos_index["root"])
+    for terms, _, _ in _intervals_queries_from(pos_index["docs"])[:6]:
+        prev: set = set()
+        for g in (0, 1, 3, 6):
+            docs = {d for d, _ in s.search_intervals(
+                terms, max_gaps=g, ordered=True, k=100_000)}
+            un = {d for d, _ in s.search_intervals(
+                terms, max_gaps=g, ordered=False, k=100_000)}
+            assert prev <= docs, (terms, g)
+            assert docs <= un, (terms, g)
+            prev = docs
+
+
+def test_intervals_distributed(pos_index, ray_session):
+    from mee_ray.query import DistributedSearcher
+
+    ds = DistributedSearcher(pos_index["root"], n_actors=3)
+    try:
+        oracle = pos_index["oracle"]
+        for terms, g, o in _intervals_queries_from(
+                pos_index["docs"])[:10]:
+            assert ds.search_intervals(terms, max_gaps=g, ordered=o,
+                                       k=10) == \
+                oracle.search_intervals(terms, max_gaps=g, ordered=o,
+                                        k=10), (terms, g, o)
+    finally:
+        ds.shutdown()
+
+
 # ------------------------------------------- match_phrase_prefix -----
 
 

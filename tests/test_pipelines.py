@@ -103,7 +103,7 @@ SQL_CHECKED = [
     "matrix_stats_lineitem", "adjacency_matrix_documents",
     "weighted_avg_lineitem", "has_child_orders", "has_parent_lineitems",
     "docbuild_multi_index", "bm25_terms_set_documents",
-    "bm25_match_bool_prefix_documents",
+    "bm25_match_bool_prefix_documents", "bm25_intervals_documents",
 ]
 
 
