@@ -238,6 +238,29 @@ class OracleIndex:
         ranked = self.search_and(terms, k=self.n_docs + 1)
         return [(d, s) for d, s in ranked if d in span_docs][:k]
 
+    def search_common_terms(self, terms: list[str],
+                            cutoff_frequency: float = 0.5,
+                            k: int = 10) -> list[tuple[int, float]]:
+        """common_terms (cutoff frequency): low-df terms
+        (df <= cutoff * n_docs) are required, high-df terms only score
+        on surviving docs; no low term → plain disjunction.  Scoring
+        is the OR ranking filtered to the survivors."""
+        uterms = sorted(set(terms))
+        if not uterms:
+            return []
+        thresh = cutoff_frequency * self.n_docs
+        low = [t for t in uterms
+               if len(self.postings.get(t, {})) <= thresh]
+        if not low:
+            return self.search(uterms, k)
+        for t in low:
+            if t not in self.postings:
+                return []
+        allowed = set.intersection(
+            *(set(self.postings[t]) for t in low))
+        ranked = self.search(uterms, k=self.n_docs + 1)
+        return [(d, s) for d, s in ranked if d in allowed][:k]
+
     def search_intervals(self, terms: list[str], max_gaps: int = 0,
                          ordered: bool = True, k: int = 10
                          ) -> list[tuple[int, float]]:

@@ -289,6 +289,75 @@ WHERE rank <= {TOP_K}
 """
 
 
+COMMON_TERMS_CUTOFF = 0.5   # df/n_docs above this ⇒ high-frequency
+
+# 'dup' is the one genuinely rare corpus term (df ≈ 0.05·n_docs vs the
+# ~0.77 plateau of the rest) — the natural low-frequency anchor
+COMMON_TERMS_QUERIES: list[tuple[int, list[str]]] = [
+    (1, ["dup", "merge", "sort"]),
+    (2, ["dup", "window"]),
+    (3, ["the", "slow"]),                  # all high → OR fallback
+    (4, ["dup", "customer", "join", "fast"]),
+    (5, ["zzz_absent", "scan"]),           # absent low term → empty
+    (6, ["dup", "data", "group"]),
+]
+
+
+def bm25_common_terms_documents(sf_dir: str):
+    """ES ``common_terms`` (cutoff-frequency) query: low-df terms are
+    required, high-df terms only contribute score to survivors, all
+    high-df degrades to plain OR — the stopword-tolerant match shape."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_common_terms(
+        terms, cutoff_frequency=COMMON_TERMS_CUTOFF, k=s.n_docs or 1))
+        for qid, terms in COMMON_TERMS_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _bm25_common_terms_sql() -> str:
+    cut = COMMON_TERMS_CUTOFF
+    return f"""
+{_base_ctes()},
+q0(query_id, term) AS (VALUES {_q_values(COMMON_TERMS_QUERIES)}),
+qc AS (
+  SELECT q0.query_id, q0.term,
+         CASE WHEN coalesce(df.df, 0) > {cut} * s.n_docs
+              THEN 1 ELSE 0 END AS hi
+  FROM q0 LEFT JOIN df ON df.term = q0.term CROSS JOIN stats s),
+nlow AS (SELECT query_id, count(*) FILTER (WHERE hi = 0) AS n_low
+         FROM qc GROUP BY query_id),
+lowmatch AS (
+  SELECT qc.query_id, tf.doc_id, count(DISTINCT tf.term) AS n
+  FROM qc JOIN tf ON tf.term = qc.term
+  WHERE qc.hi = 0
+  GROUP BY qc.query_id, tf.doc_id),
+scores0 AS (
+  SELECT q0.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q0
+  JOIN tf ON tf.term = q0.term
+  JOIN df ON df.term = q0.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q0.query_id, tf.doc_id),
+scores AS (
+  SELECT s0.query_id, s0.doc_id, s0.score
+  FROM scores0 s0
+  JOIN nlow ON nlow.query_id = s0.query_id
+  LEFT JOIN lowmatch lm ON lm.query_id = s0.query_id
+                       AND lm.doc_id = s0.doc_id
+  WHERE nlow.n_low = 0 OR coalesce(lm.n, 0) = nlow.n_low)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
 def bm25_weighted_documents(sf_dir: str):
     """Per-term boosted BM25 top-k (ES ``term^boost``): each term's
     contribution is scaled by QUERY_BOOSTS before the sorted-term
@@ -3894,6 +3963,7 @@ QUERIES = {
     "bm25_terms_set_documents": bm25_terms_set_documents,
     "bm25_match_bool_prefix_documents": bm25_match_bool_prefix_documents,
     "bm25_intervals_documents": bm25_intervals_documents,
+    "bm25_common_terms_documents": bm25_common_terms_documents,
     "bm25_weighted_documents": bm25_weighted_documents,
     "bm25_mlt_documents": bm25_mlt_documents,
     "bm25_dismax_documents": bm25_dismax_documents,
@@ -3954,6 +4024,7 @@ ORACLE = {
     "bm25_terms_set_documents": _bm25_terms_set_sql(),
     "bm25_match_bool_prefix_documents": _bm25_match_bool_prefix_sql(),
     "bm25_intervals_documents": _bm25_intervals_sql(),
+    "bm25_common_terms_documents": _bm25_common_terms_sql(),
     "bm25_weighted_documents": _bm25_weighted_sql(),
     "bm25_mlt_documents": _bm25_mlt_sql(),
     "bm25_dismax_documents": _bm25_dismax_sql(),

@@ -1246,6 +1246,32 @@ class Searcher:
         ids, scores = top_k_select(uniq, acc, k)
         return list(zip(ids.tolist(), scores.tolist()))
 
+    def search_common_terms(self, terms: list[str],
+                            cutoff_frequency: float = 0.5,
+                            k: int = 10) -> list[tuple[int, float]]:
+        """ES ``common_terms`` query (cutoff-frequency shape; ES also
+        exposes it as ``match`` + ``cutoff_frequency``): query terms
+        split by LIVE document frequency — a term is high-frequency
+        when ``df > cutoff_frequency * n_docs``.  Low-frequency terms
+        are REQUIRED (conjunction — an absent or unknown low term
+        empties the result); high-frequency terms never gate, they
+        only add their BM25 contribution to docs that survive the
+        low-term conjunction.  With no low-frequency term the query
+        degrades to the plain disjunction (the ES ``high_freq_operator
+        = or`` fallback).  Scores never rescale: a survivor's score is
+        the plain OR query's score over its matched terms."""
+        if k <= 0 or not terms:
+            return []
+        uterms = sorted(set(terms))
+        thresh = cutoff_frequency * self.n_docs
+        low = [t for t in uterms if self.term_df(t) <= thresh]
+        if not low:
+            return self.search(uterms, k)
+        allowed = self._candidate_docs(low)
+        if allowed is None:
+            return []
+        return self.search_filtered(uterms, k, allowed)
+
     def search_weighted(self, term_boosts: dict[str, float], k: int
                         ) -> list[tuple[int, float]]:
         """Per-term query-time boosts (ES ``term^boost``): each term's
@@ -2685,6 +2711,41 @@ class DistributedSearcher:
         if operator == "and":
             return merge_partials_conjunctive(parts, uterms, k)
         return merge_partials(parts, uterms, k)
+
+    def search_common_terms(self, terms: list[str],
+                            cutoff_frequency: float = 0.5,
+                            k: int = 10) -> list[tuple[int, float]]:
+        """Distributed ``common_terms`` (see
+        :meth:`Searcher.search_common_terms` for semantics).  One df
+        round classifies terms (dictionary-only — no postings); the
+        LOW terms' doc-id sets ship from their owners (transfer
+        bounded by the rare terms' dfs — the cheap side by
+        construction) and intersect on the driver; the surviving
+        allowed set broadcasts via :meth:`search_filtered`'s one
+        ``ray.put``."""
+        import ray
+        if k <= 0 or not terms:
+            return []
+        uterms = sorted(set(terms))
+        dfs = self._dfs_of(uterms)
+        thresh = cutoff_frequency * self.n_docs
+        low = [t for t in uterms if dfs.get(t, 0) <= thresh]
+        if not low:
+            return self.search(uterms, k)
+        id_sets: dict[str, np.ndarray] = {}
+        for d in ray.get([self.actors[a].term_doc_ids.remote(ts)
+                          for a, ts in
+                          self._terms_by_actor(low).items()]):
+            id_sets.update(d)
+        cand: np.ndarray | None = None
+        for t in low:
+            ids = id_sets.get(t)
+            if ids is None or ids.size == 0:
+                return []
+            cand = ids if cand is None else np.intersect1d(cand, ids)
+            if cand.size == 0:
+                return []
+        return self.search_filtered(uterms, k, cand)
 
     def _positional_query(self, terms: list[str], k: int, matcher,
                           single_actor_call

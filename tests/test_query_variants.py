@@ -551,3 +551,62 @@ def test_terms_set_degenerates_and_filters(built_index):
              if c >= (1 if oracle.dl[d] < thr else 2)),
             key=lambda x: (-x[1], x[0]))[:10]
         assert s.search_terms_set(q, k=10, dl_threshold=thr) == want
+
+
+# ----------------------------------------------------- common_terms --
+
+
+def test_common_terms_matches_oracle(built_index):
+    """ES common_terms across the cutoff sweep: low-df terms gate,
+    high-df terms only score — engine equals the set-based oracle at
+    every cutoff, including the all-low and all-high extremes."""
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    n = 0
+    for q in _queries(oracle):
+        for cutoff in (0.0, 0.02, 0.1, 0.5, 0.9, 1.0):
+            got = s.search_common_terms(q, cutoff_frequency=cutoff,
+                                        k=10)
+            want = oracle.search_common_terms(
+                q, cutoff_frequency=cutoff, k=10)
+            assert got == want, (q, cutoff)
+            n += bool(got)
+    assert n >= 10
+
+
+def test_common_terms_degenerate_edges(built_index):
+    """cutoff >= 1 makes every term required — identical to
+    min_match = n_terms (full disjunctive scores on the AND doc set);
+    cutoff 0 with all dfs > 0 makes every term optional — identical to
+    plain OR; an unknown term at cutoff 0 is low (df 0) and required —
+    the result must be empty."""
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    for q in _queries(oracle):
+        assert (s.search_common_terms(q, cutoff_frequency=1.0, k=10)
+                == s.search_min_match(q, k=10,
+                                      min_match=len(set(q)))), q
+        assert (s.search_common_terms(q, cutoff_frequency=0.0, k=10)
+                == s.search(q, k=10)), q
+        assert s.search_common_terms(q + ["zz_unknown_term"],
+                                     cutoff_frequency=0.0, k=10) == []
+
+
+def test_common_terms_distributed(built_index, ray_session):
+    from mee_ray.query import DistributedSearcher
+
+    oracle = built_index["oracle"]
+    ds = DistributedSearcher(built_index["index_root"], n_actors=3)
+    try:
+        for q in _queries(oracle):
+            for cutoff in (0.02, 0.5, 1.0):
+                assert (ds.search_common_terms(
+                    q, cutoff_frequency=cutoff, k=10)
+                    == oracle.search_common_terms(
+                        q, cutoff_frequency=cutoff, k=10)), (q, cutoff)
+    finally:
+        ds.shutdown()
