@@ -289,6 +289,55 @@ WHERE rank <= {TOP_K}
 """
 
 
+# script_score: replace BM25 with a doc-length-damped rescore, written
+# in the engine's scalar-function DSL (the reference's resolver
+# surface, modules/handlers/common.py:32-127) — compiled once, applied
+# vectorized over every match's (_score, dl) batch
+SCRIPT_SCORE_EXPR = "div(mul(_score, dl), sum(dl, 10))"
+
+
+def bm25_script_score_documents(sf_dir: str):
+    """ES ``script_score`` query: the matching-doc BM25 score is
+    replaced by a script — here ``score * dl / (dl + 10)`` expressed
+    in the scalar DSL — and the top-k re-ranked by the scripted value.
+    Exhaustive disjunctive matching by design (an arbitrary script
+    voids WAND's monotone bounds, the stance ES documents)."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_script_score(terms, SCRIPT_SCORE_EXPR,
+                                           k=s.n_docs or 1))
+               for qid, terms in REFERENCE_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _bm25_script_score_sql() -> str:
+    # SQL mirror of SCRIPT_SCORE_EXPR: left-to-right (score*dl)/(dl+10)
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+scores0 AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM},
+         min(dl.dl) AS dlv
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+scores AS (
+  SELECT query_id, doc_id, score * dlv / (dlv + 10) AS score
+  FROM scores0)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
 COMMON_TERMS_CUTOFF = 0.5   # df/n_docs above this ⇒ high-frequency
 
 # 'dup' is the one genuinely rare corpus term (df ≈ 0.05·n_docs vs the
@@ -3964,6 +4013,7 @@ QUERIES = {
     "bm25_match_bool_prefix_documents": bm25_match_bool_prefix_documents,
     "bm25_intervals_documents": bm25_intervals_documents,
     "bm25_common_terms_documents": bm25_common_terms_documents,
+    "bm25_script_score_documents": bm25_script_score_documents,
     "bm25_weighted_documents": bm25_weighted_documents,
     "bm25_mlt_documents": bm25_mlt_documents,
     "bm25_dismax_documents": bm25_dismax_documents,
@@ -4025,6 +4075,7 @@ ORACLE = {
     "bm25_match_bool_prefix_documents": _bm25_match_bool_prefix_sql(),
     "bm25_intervals_documents": _bm25_intervals_sql(),
     "bm25_common_terms_documents": _bm25_common_terms_sql(),
+    "bm25_script_score_documents": _bm25_script_score_sql(),
     "bm25_weighted_documents": _bm25_weighted_sql(),
     "bm25_mlt_documents": _bm25_mlt_sql(),
     "bm25_dismax_documents": _bm25_dismax_sql(),

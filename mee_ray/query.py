@@ -1272,6 +1272,58 @@ class Searcher:
             return []
         return self.search_filtered(uterms, k, allowed)
 
+    def search_script_score(self, terms: list[str], script: str,
+                            k: int = 10) -> list[tuple[int, float]]:
+        """ES ``script_score`` query: the disjunctive BM25 score of
+        every matching doc is REPLACED by ``script`` — an expression
+        in the engine's scalar-function DSL (mee_ray.functions.scalar,
+        the reference's resolver surface) evaluated over a columnar
+        batch with ``_score`` (float64 BM25) and ``dl`` (int64 doc
+        token count), e.g. ``div(mul(_score, dl), sum(dl, 10))``.
+        The script compiles ONCE per query (driver-side, eager
+        validation) and evaluates vectorized over all matches — never
+        per doc.  An arbitrary script breaks WAND's monotone-bound
+        contract, so matching is exhaustive disjunctive by design
+        (the same stance ES documents for script_score)."""
+        from mee_ray.functions.scalar import compile_expr
+        if k <= 0 or not terms:
+            return []
+        fn = compile_expr(script)
+        uterms = sorted(set(terms))
+        ids_l, sc_l, dl_l = [], [], []
+        for term in uterms:
+            ids, tfs, dls = self.term_raw_postings(term)
+            if len(ids) == 0:
+                continue
+            w = idf(len(ids), self.n_docs)
+            ids_l.append(ids)
+            sc_l.append(w * tf_norm(tfs, dls, self.avgdl, self.k1,
+                                    self.b))
+            dl_l.append(dls)
+        if not ids_l:
+            return []
+        all_ids = np.concatenate(ids_l)
+        all_sc = np.concatenate(sc_l)
+        all_dl = np.concatenate(dl_l)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        acc = np.zeros(len(uniq))
+        # sorted-term concatenation order — the determinism contract
+        np.add.at(acc, inv, all_sc)
+        doc_dl = np.zeros(len(uniq), dtype=np.int64)
+        doc_dl[inv] = all_dl    # dl identical for every entry of a doc
+        import pyarrow as _pa
+        batch = _pa.table({"_score": _pa.array(acc, _pa.float64()),
+                           "dl": _pa.array(doc_dl, _pa.int64())})
+        out = fn(batch)
+        if isinstance(out, _pa.ChunkedArray):
+            out = out.combine_chunks()
+        if isinstance(out, _pa.Scalar):        # constant script
+            rescored = np.full(len(uniq), out.as_py(), dtype=np.float64)
+        else:
+            rescored = np.asarray(out, dtype=np.float64)
+        ids, scores = top_k_select(uniq, rescored, k)
+        return list(zip(ids.tolist(), scores.tolist()))
+
     def search_weighted(self, term_boosts: dict[str, float], k: int
                         ) -> list[tuple[int, float]]:
         """Per-term query-time boosts (ES ``term^boost``): each term's

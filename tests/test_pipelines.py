@@ -104,7 +104,7 @@ SQL_CHECKED = [
     "weighted_avg_lineitem", "has_child_orders", "has_parent_lineitems",
     "docbuild_multi_index", "bm25_terms_set_documents",
     "bm25_match_bool_prefix_documents", "bm25_intervals_documents",
-    "bm25_common_terms_documents",
+    "bm25_common_terms_documents", "bm25_script_score_documents",
 ]
 
 

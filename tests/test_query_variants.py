@@ -610,3 +610,53 @@ def test_common_terms_distributed(built_index, ray_session):
                         q, cutoff_frequency=cutoff, k=10)), (q, cutoff)
     finally:
         ds.shutdown()
+
+
+# ----------------------------------------------------- script_score --
+
+
+def test_script_score_identity_and_constant(built_index):
+    """The bare ``_score`` script must reproduce the plain disjunctive
+    ranking exactly; a constant script makes every match tie and the
+    doc_id tie-break orders them."""
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    for q in _queries(oracle):
+        assert s.search_script_score(q, "_score", k=10) \
+            == s.search(q, k=10), q
+        const = s.search_script_score(q, "echo(1.5)", k=10)
+        plain = s.search(q, k=oracle.n_docs or 1)
+        want = [(d, 1.5) for d in sorted(d for d, _ in plain)[:10]]
+        assert const == want, q
+
+
+def test_script_score_rescore_matches_reference(built_index):
+    """The dl-damped script equals a per-doc reference rescore built
+    from the plain full-depth ranking and the oracle's doc lengths —
+    bit-exact float64 (multiply/divide of identical inputs)."""
+    from mee_ray.query import Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    n = 0
+    for q in _queries(oracle):
+        got = s.search_script_score(
+            q, "div(mul(_score, dl), sum(dl, 10))", k=10)
+        full = s.search(q, k=oracle.n_docs or 1)
+        resc = [(d, sc * oracle.dl[d] / (oracle.dl[d] + 10))
+                for d, sc in full]
+        want = sorted(resc, key=lambda x: (-x[1], x[0]))[:10]
+        assert got == want, q
+        n += bool(got)
+    assert n >= 3
+
+
+def test_script_score_bad_script_fails_eagerly(built_index):
+    from mee_ray.functions.scalar import ExprError
+    from mee_ray.query import Searcher
+
+    s = Searcher(built_index["index_root"])
+    with pytest.raises(ExprError):
+        s.search_script_score(["merge"], "not_a_fn(_score)", k=10)
