@@ -1885,6 +1885,116 @@ FROM hist
 """
 
 
+SERIAL_DIFF_LAG = 7
+
+
+def serial_diff_events(sf_dir: str):
+    """ES ``serial_diff`` pipeline aggregation (lag = {SERIAL_DIFF_LAG}):
+    the daily event count minus the count {SERIAL_DIFF_LAG} buckets
+    earlier, over the gap-filled histogram — the seasonality-removal
+    shape (``derivative`` is the lag-1 special case).  Buckets without
+    a lagged predecessor emit NULL, keeping every day's row.  Runs on
+    the REDUCED per-day table: one vectorized shifted subtraction,
+    O(days)."""
+    lag = SERIAL_DIFF_LAG
+
+    def sdiff(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"day_bucket": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sdiff": pa.array([], pa.int64())})
+        d = t["day_bucket"].to_numpy(zero_copy_only=False)
+        n = t["n_events"].to_numpy(zero_copy_only=False)
+        order = np.argsort(d)
+        d, n = d[order], n[order]
+        out = np.zeros(len(n), dtype=np.int64)
+        mask = np.zeros(len(n), dtype=bool)
+        if len(n) > lag:
+            out[lag:] = n[lag:] - n[:-lag]
+            mask[lag:] = True
+        return pa.table({"day_bucket": pa.array(d, pa.int64()),
+                         "n_events": pa.array(n, pa.int64()),
+                         "sdiff": pa.array(out, pa.int64(),
+                                           mask=~mask)})
+
+    return (date_histogram_events(sf_dir)
+            .repartition(1)
+            .map_batches(sdiff, batch_format="pyarrow"))
+
+
+SERIAL_DIFF_SQL = f"""
+WITH b AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d
+  FROM events),
+agg AS (SELECT d, count(*) AS n FROM b GROUP BY d),
+days AS (SELECT unnest(generate_series((SELECT min(d) FROM agg),
+                                       (SELECT max(d) FROM agg))) AS d),
+hist AS (SELECT days.d AS day_bucket,
+                coalesce(agg.n, 0) AS n_events
+         FROM days LEFT JOIN agg ON agg.d = days.d)
+SELECT day_bucket,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_events - lag(n_events, {SERIAL_DIFF_LAG})
+                       OVER (ORDER BY day_bucket) AS BIGINT) AS sdiff
+FROM hist
+"""
+
+
+def bucket_script_events(sf_dir: str):
+    """ES ``bucket_script`` + ``bucket_selector`` pipeline aggs over
+    the daily histogram: per-bucket scripted metric ``avg_cents``
+    (value-sum cents / count, float64) and a selector keeping only
+    buckets whose count exceeds the corpus-wide daily mean — the
+    relative threshold is scale-independent, so the selector always
+    discriminates.  Both run on the REDUCED per-day table (the parent
+    histogram is the distributed aggregation); the mean is one more
+    reduction over O(days) rows, never a second corpus pass."""
+
+    def script(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"day_bucket": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "avg_cents": pa.array([], pa.float64())})
+        d = t["day_bucket"].to_numpy(zero_copy_only=False)
+        n = t["n_events"].to_numpy(zero_copy_only=False)
+        s = t["sum_value_cents"].to_numpy(zero_copy_only=False)
+        # bucket_selector: count > mean daily count (float64 compare,
+        # mirrored by the oracle's avg())
+        mean = n.sum() / len(n)
+        keep = n > mean
+        d, n, s = d[keep], n[keep], s[keep]
+        avg = s.astype(np.float64) / n
+        return pa.table({"day_bucket": pa.array(d, pa.int64()),
+                         "n_events": pa.array(n, pa.int64()),
+                         "avg_cents": pa.array(avg, pa.float64())})
+
+    return (date_histogram_events(sf_dir)
+            .repartition(1)
+            .map_batches(script, batch_format="pyarrow"))
+
+
+BUCKET_SCRIPT_SQL = """
+WITH b AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events),
+agg AS (SELECT d, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+        FROM b GROUP BY d),
+days AS (SELECT unnest(generate_series((SELECT min(d) FROM agg),
+                                       (SELECT max(d) FROM agg))) AS d),
+hist AS (SELECT days.d AS day_bucket,
+                coalesce(agg.n, 0) AS n_events,
+                coalesce(agg.s, 0) AS s
+         FROM days LEFT JOIN agg ON agg.d = days.d)
+SELECT day_bucket,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(s AS DOUBLE) / n_events AS avg_cents
+FROM hist
+WHERE n_events > (SELECT CAST(sum(n_events) AS DOUBLE) / count(*)
+                  FROM hist)
+"""
+
+
 MOVING_DAYS = 7
 
 
@@ -4474,6 +4584,8 @@ QUERIES = {
     "q7_volume_shipping": q7_volume_shipping,
     "q8_market_share": q8_market_share,
     "derivative_events": derivative_events,
+    "serial_diff_events": serial_diff_events,
+    "bucket_script_events": bucket_script_events,
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "percentile_ranks_events": percentile_ranks_events,
     "funnel_events": funnel_events,
@@ -4540,6 +4652,8 @@ ORACLE = {
     "q7_volume_shipping": Q7_SQL,
     "q8_market_share": Q8_SQL,
     "derivative_events": DERIVATIVE_SQL,
+    "serial_diff_events": SERIAL_DIFF_SQL,
+    "bucket_script_events": BUCKET_SCRIPT_SQL,
     "q21_waiting_suppliers": Q21_SQL,
     "percentile_ranks_events": PERCENTILE_RANKS_SQL,
     "funnel_events": FUNNEL_SQL,

@@ -105,6 +105,7 @@ SQL_CHECKED = [
     "docbuild_multi_index", "bm25_terms_set_documents",
     "bm25_match_bool_prefix_documents", "bm25_intervals_documents",
     "bm25_common_terms_documents", "bm25_script_score_documents",
+    "serial_diff_events", "bucket_script_events",
 ]
 
 
