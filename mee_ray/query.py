@@ -406,6 +406,24 @@ class Searcher:
             out[term] = (ids, w * tf_norm(tfs, dls, self.avgdl, self.k1, self.b))
         return out
 
+    def term_partials_dl(self, terms: list[str]
+                         ) -> dict[str, tuple[np.ndarray, np.ndarray,
+                                              np.ndarray]]:
+        """:meth:`term_partials` extended with each posting's document
+        length — the transport for per-doc-dl consumers (terms_set,
+        script_score)."""
+        out = {}
+        for term in terms:
+            ids, tfs, dls = self.term_raw_postings(term)
+            if len(ids) == 0:
+                continue
+            w = idf(len(ids), self.n_docs)
+            out[term] = (ids,
+                         w * tf_norm(tfs, dls, self.avgdl, self.k1,
+                                     self.b),
+                         dls)
+        return out
+
     def complete(self, prefix: str, n: int = 5
                  ) -> list[tuple[int, str]]:
         """Completion suggester (ES completion / autocomplete): the
@@ -758,6 +776,13 @@ class Searcher:
             raise ValueError("intervals queries need "
                              "store_positions=True (pinned in the "
                              "manifest at build)")
+        # Validate BEFORE the candidate pushdown so degenerate queries
+        # fail the same way regardless of index contents (the kernel
+        # re-checks, but only after data-dependent early-outs).
+        if max_gaps < 0:
+            raise ValueError(f"max_gaps must be >= 0, got {max_gaps}")
+        if len(set(terms)) != len(terms):
+            raise ValueError("intervals terms must be distinct")
         uterms = sorted(set(terms))
         cand = self._candidate_docs(uterms)
         if cand is None:
@@ -1199,6 +1224,13 @@ class Searcher:
         partials = self.term_partials(uterms)
         return merge_partials([partials], uterms, k, min_match=m)
 
+    def _gather_with_dl(self, uterms: list[str]):
+        """Exhaustive disjunctive gather over sorted ``uterms`` with
+        per-doc document length (see :func:`_accumulate_with_dl` for
+        the result shape and the determinism contract)."""
+        return _accumulate_with_dl([self.term_partials_dl(uterms)],
+                                   uterms)
+
     def search_terms_set(self, terms: list[str], k: int,
                          dl_threshold: int, low: int = 1, high: int = 2
                          ) -> list[tuple[int, float]]:
@@ -1214,37 +1246,8 @@ class Searcher:
         if k <= 0 or not terms:
             return []
         uterms = sorted(set(terms))
-        ids_l, sc_l, dl_l = [], [], []
-        for term in uterms:
-            ids, tfs, dls = self.term_raw_postings(term)
-            if len(ids) == 0:
-                continue
-            w = idf(len(ids), self.n_docs)
-            ids_l.append(ids)
-            sc_l.append(w * tf_norm(tfs, dls, self.avgdl, self.k1,
-                                    self.b))
-            dl_l.append(dls)
-        if not ids_l:
-            return []
-        all_ids = np.concatenate(ids_l)
-        all_sc = np.concatenate(sc_l)
-        all_dl = np.concatenate(dl_l)
-        uniq, inv = np.unique(all_ids, return_inverse=True)
-        acc = np.zeros(len(uniq))
-        # concatenation is in sorted-term order, so per-doc additions
-        # land in the same order as _gather_accumulate
-        np.add.at(acc, inv, all_sc)
-        cnt = np.zeros(len(uniq), dtype=np.int64)
-        np.add.at(cnt, inv, 1)
-        doc_dl = np.zeros(len(uniq), dtype=np.int64)
-        doc_dl[inv] = all_dl   # dl identical for every entry of a doc
-        required = np.where(doc_dl < dl_threshold, low, high)
-        keep = cnt >= required
-        uniq, acc = uniq[keep], acc[keep]
-        if uniq.size == 0:
-            return []
-        ids, scores = top_k_select(uniq, acc, k)
-        return list(zip(ids.tolist(), scores.tolist()))
+        return _terms_set_select(self._gather_with_dl(uterms),
+                                 dl_threshold, low, high, k)
 
     def search_common_terms(self, terms: list[str],
                             cutoff_frequency: float = 0.5,
@@ -1290,39 +1293,7 @@ class Searcher:
             return []
         fn = compile_expr(script)
         uterms = sorted(set(terms))
-        ids_l, sc_l, dl_l = [], [], []
-        for term in uterms:
-            ids, tfs, dls = self.term_raw_postings(term)
-            if len(ids) == 0:
-                continue
-            w = idf(len(ids), self.n_docs)
-            ids_l.append(ids)
-            sc_l.append(w * tf_norm(tfs, dls, self.avgdl, self.k1,
-                                    self.b))
-            dl_l.append(dls)
-        if not ids_l:
-            return []
-        all_ids = np.concatenate(ids_l)
-        all_sc = np.concatenate(sc_l)
-        all_dl = np.concatenate(dl_l)
-        uniq, inv = np.unique(all_ids, return_inverse=True)
-        acc = np.zeros(len(uniq))
-        # sorted-term concatenation order — the determinism contract
-        np.add.at(acc, inv, all_sc)
-        doc_dl = np.zeros(len(uniq), dtype=np.int64)
-        doc_dl[inv] = all_dl    # dl identical for every entry of a doc
-        import pyarrow as _pa
-        batch = _pa.table({"_score": _pa.array(acc, _pa.float64()),
-                           "dl": _pa.array(doc_dl, _pa.int64())})
-        out = fn(batch)
-        if isinstance(out, _pa.ChunkedArray):
-            out = out.combine_chunks()
-        if isinstance(out, _pa.Scalar):        # constant script
-            rescored = np.full(len(uniq), out.as_py(), dtype=np.float64)
-        else:
-            rescored = np.asarray(out, dtype=np.float64)
-        ids, scores = top_k_select(uniq, rescored, k)
-        return list(zip(ids.tolist(), scores.tolist()))
+        return _script_rescore(self._gather_with_dl(uterms), fn, k)
 
     def search_weighted(self, term_boosts: dict[str, float], k: int
                         ) -> list[tuple[int, float]]:
@@ -1557,6 +1528,77 @@ def _gather_accumulate(partials_list: list[dict], terms: list[str]):
     acc = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(acc, inv, all_sc)
     return uniq, inv, acc, all_sc
+
+
+def _accumulate_with_dl(partials_list: list[dict], terms: list[str]):
+    """:func:`_gather_accumulate` with per-doc document length: the
+    partial vectors are ``(ids, scores, dls)`` triples and the result
+    is ``(uniq_ids, acc_sums, distinct_match_counts, doc_dls)`` — or
+    ``None`` when no term has postings.  Same sorted-term
+    concatenation order (the bit-identity determinism contract), so
+    the local and distributed terms_set / script_score paths produce
+    float-identical scores."""
+    ids_l, sc_l, dl_l = [], [], []
+    for term in sorted(set(terms)):
+        for partials in partials_list:
+            got = partials.get(term)
+            if got is not None:
+                ids_l.append(got[0])
+                sc_l.append(got[1])
+                dl_l.append(got[2])
+    if not ids_l:
+        return None
+    all_ids = np.concatenate(ids_l)
+    all_sc = np.concatenate(sc_l)
+    all_dl = np.concatenate(dl_l)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    acc = np.zeros(len(uniq), dtype=np.float64)
+    np.add.at(acc, inv, all_sc)
+    cnt = np.zeros(len(uniq), dtype=np.int64)
+    np.add.at(cnt, inv, 1)
+    doc_dl = np.zeros(len(uniq), dtype=np.int64)
+    doc_dl[inv] = all_dl   # dl identical for every entry of a doc
+    return uniq, acc, cnt, doc_dl
+
+
+def _terms_set_select(gathered, dl_threshold: int, low: int, high: int,
+                      k: int) -> list[tuple[int, float]]:
+    """Shared terms_set tail: apply the per-doc required-match-count
+    threshold (docs shorter than ``dl_threshold`` need ``low``
+    distinct terms, longer need ``high``) and select top-k.  Survivors
+    keep their full disjunctive scores."""
+    if gathered is None:
+        return []
+    uniq, acc, cnt, doc_dl = gathered
+    required = np.where(doc_dl < dl_threshold, low, high)
+    keep = cnt >= required
+    uniq, acc = uniq[keep], acc[keep]
+    if uniq.size == 0:
+        return []
+    ids, scores = top_k_select(uniq, acc, k)
+    return list(zip(ids.tolist(), scores.tolist()))
+
+
+def _script_rescore(gathered, fn, k: int) -> list[tuple[int, float]]:
+    """Shared script_score tail: evaluate the compiled DSL expression
+    ``fn`` vectorized over a columnar batch of ``_score`` (float64
+    accumulated BM25) and ``dl`` (int64 token count), REPLACING the
+    score, then select top-k."""
+    if gathered is None:
+        return []
+    uniq, acc, _cnt, doc_dl = gathered
+    import pyarrow as _pa
+    batch = _pa.table({"_score": _pa.array(acc, _pa.float64()),
+                       "dl": _pa.array(doc_dl, _pa.int64())})
+    out = fn(batch)
+    if isinstance(out, _pa.ChunkedArray):
+        out = out.combine_chunks()
+    if isinstance(out, _pa.Scalar):            # constant script
+        rescored = np.full(len(uniq), out.as_py(), dtype=np.float64)
+    else:
+        rescored = np.asarray(out, dtype=np.float64)
+    ids, scores = top_k_select(uniq, rescored, k)
+    return list(zip(ids.tolist(), scores.tolist()))
 
 
 def select_terms_tfidf(counts, n_docs: int, df_of, max_terms: int
@@ -2260,6 +2302,9 @@ class DistributedSearcher:
             def term_partials(self, terms):
                 return self.searcher.term_partials(terms)
 
+            def term_partials_dl(self, terms):
+                return self.searcher.term_partials_dl(terms)
+
             def term_partials_for_docs(self, terms, doc_ids_sorted):
                 return self.searcher.term_partials_for_docs(
                     terms, doc_ids_sorted)
@@ -2447,6 +2492,48 @@ class DistributedSearcher:
         futs = [self.actors[a].term_partials.remote(ts)
                 for a, ts in self._terms_by_actor(uterms).items()]
         return ray.get(futs)
+
+    def _fanout_partials_dl(self, uterms: list[str]) -> list[dict]:
+        """One round: per-term ``(ids, scores, dls)`` triples from each
+        owning actor — the per-doc-dl transport (terms_set,
+        script_score).  Same transfer bound as
+        :meth:`_fanout_partials` plus one int64 per posting."""
+        import ray
+        futs = [self.actors[a].term_partials_dl.remote(ts)
+                for a, ts in self._terms_by_actor(uterms).items()]
+        return ray.get(futs)
+
+    def search_terms_set(self, terms: list[str], k: int,
+                         dl_threshold: int, low: int = 1, high: int = 2
+                         ) -> list[tuple[int, float]]:
+        """Distributed ``terms_set`` (see
+        :meth:`Searcher.search_terms_set`): one partials-with-dl
+        fan-out; the per-doc required-count threshold is applied in
+        the driver merge.  Bit-identical to the local path
+        (sorted-term accumulation via :func:`_accumulate_with_dl`)."""
+        if k <= 0 or not terms:
+            return []
+        uterms = sorted(set(terms))
+        gathered = _accumulate_with_dl(self._fanout_partials_dl(uterms),
+                                       uterms)
+        return _terms_set_select(gathered, dl_threshold, low, high, k)
+
+    def search_script_score(self, terms: list[str], script: str,
+                            k: int = 10) -> list[tuple[int, float]]:
+        """Distributed ``script_score`` (see
+        :meth:`Searcher.search_script_score`): the script compiles
+        ONCE on the driver (eager validation), one partials-with-dl
+        fan-out gathers the exhaustive disjunctive matches, and the
+        rescore evaluates vectorized on the driver — matching docs
+        and replaced scores bit-identical to the local path."""
+        from mee_ray.functions.scalar import compile_expr
+        if k <= 0 or not terms:
+            return []
+        fn = compile_expr(script)
+        uterms = sorted(set(terms))
+        gathered = _accumulate_with_dl(self._fanout_partials_dl(uterms),
+                                       uterms)
+        return _script_rescore(gathered, fn, k)
 
     def search_min_match(self, terms: list[str], k: int,
                          min_match: int) -> list[tuple[int, float]]:
@@ -2784,20 +2871,34 @@ class DistributedSearcher:
         low = [t for t in uterms if dfs.get(t, 0) <= thresh]
         if not low:
             return self.search(uterms, k)
+        cand = self._intersect_live_ids(low)
+        if cand is None:
+            return []
+        return self.search_filtered(uterms, k, cand)
+
+    def _intersect_live_ids(self, terms: list[str]
+                            ) -> "np.ndarray | None":
+        """One doc-id fan-out over ``terms``' owning actors (postings
+        decode only — no positions) intersected on the driver; the
+        candidate round shared by the positional family and
+        ``common_terms``.  Transfer is bounded by the terms' dfs.
+        Returns ``None`` when any term is dead or the intersection
+        empties."""
+        import ray
         id_sets: dict[str, np.ndarray] = {}
         for d in ray.get([self.actors[a].term_doc_ids.remote(ts)
                           for a, ts in
-                          self._terms_by_actor(low).items()]):
+                          self._terms_by_actor(terms).items()]):
             id_sets.update(d)
         cand: np.ndarray | None = None
-        for t in low:
+        for t in terms:
             ids = id_sets.get(t)
             if ids is None or ids.size == 0:
-                return []
+                return None
             cand = ids if cand is None else np.intersect1d(cand, ids)
             if cand.size == 0:
-                return []
-        return self.search_filtered(uterms, k, cand)
+                return None
+        return cand
 
     def _positional_query(self, terms: list[str], k: int, matcher,
                           single_actor_call
@@ -2820,19 +2921,9 @@ class DistributedSearcher:
         if len(by_actor) == 1:
             (a,) = by_actor
             return ray.get(single_actor_call(self.actors[a]))
-        id_futs = [self.actors[a].term_doc_ids.remote(ts)
-                   for a, ts in by_actor.items()]
-        id_sets: dict = {}
-        for d in ray.get(id_futs):
-            id_sets.update(d)
-        cand = None
-        for t in uterms:
-            ids = id_sets[t]
-            if ids.size == 0:
-                return []
-            cand = ids if cand is None else np.intersect1d(cand, ids)
-            if cand.size == 0:
-                return []
+        cand = self._intersect_live_ids(uterms)
+        if cand is None:
+            return []
         futs = [self.actors[a].term_doc_positions.remote(ts, cand)
                 for a, ts in by_actor.items()]
         data: dict = {}

@@ -190,21 +190,12 @@ def main():
     ds = DistributedSearcher(root, n_actors=3)
     try:
         for v in variants:
-            if not hasattr(ds, {"or": "search", "and": "search"}.get(
-                    v, f"search_{v}")) and v not in ("or", "and"):
-                continue
             for q in _cases(oracle, v)[:4]:
                 if v == "or":
                     got, want = ds.search(q, k=10), oracle.search(q, k=10)
                 elif v == "and":
                     got = ds.search(q, k=10, operator="and")
                     want = oracle.search_and(q, k=10)
-                elif v == "script_score":
-                    continue   # local-only surface (driver rescore)
-                elif v == "terms_set":
-                    continue   # local-only surface
-                elif v == "min_match":
-                    continue   # local-only surface
                 else:
                     got, want = _run(ds, oracle, v, q)
                 assert got == want, ("distributed", v, q)

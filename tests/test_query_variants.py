@@ -612,6 +612,42 @@ def test_common_terms_distributed(built_index, ray_session):
         ds.shutdown()
 
 
+def test_terms_set_and_script_score_distributed(built_index,
+                                                ray_session):
+    """The per-doc-dl family must be tuple-identical (ids AND float64
+    scores) between the local Searcher and the partials-with-dl
+    distributed fan-out."""
+    from mee_ray.query import DistributedSearcher, Searcher
+
+    oracle = built_index["oracle"]
+    s = Searcher(built_index["index_root"])
+    thr = int(np.median([len(c.split()) for _, c in
+                         built_index["docs"]]))
+    ds = DistributedSearcher(built_index["index_root"], n_actors=3)
+    try:
+        for q in _queries(oracle):
+            for lo, hi in ((1, 2), (1, 3), (2, 2)):
+                assert (ds.search_terms_set(q, k=10, dl_threshold=thr,
+                                            low=lo, high=hi)
+                        == s.search_terms_set(q, k=10,
+                                              dl_threshold=thr,
+                                              low=lo, high=hi)), \
+                    (q, lo, hi)
+            for script in ("_score",
+                           "div(mul(_score, dl), sum(dl, 10))",
+                           "sum(mul(_score, 2), 1)"):
+                assert (ds.search_script_score(q, script, k=10)
+                        == s.search_script_score(q, script, k=10)), \
+                    (q, script)
+        assert ds.search_terms_set([], k=10, dl_threshold=thr) == []
+        assert ds.search_script_score(["zz_none"], "_score", k=10) \
+            == []
+        with pytest.raises(Exception):
+            ds.search_script_score(["merge"], "nosuchfn(_score)", k=10)
+    finally:
+        ds.shutdown()
+
+
 # ----------------------------------------------------- script_score --
 
 
