@@ -238,6 +238,105 @@ class OracleIndex:
         ranked = self.search_and(terms, k=self.n_docs + 1)
         return [(d, s) for d, s in ranked if d in span_docs][:k]
 
+    def _spans(self, doc: int, terms: list[str], slop: int
+               ) -> list[tuple[int, int]]:
+        """ALL (start, end) position spans of a span_near match in one
+        doc — exhaustive chain enumeration (no greedy shortcuts)."""
+        out: list[tuple[int, int]] = []
+
+        def chain(i: int, prev: int, start: int) -> None:
+            if i == len(terms):
+                out.append((start, prev))
+                return
+            for p in self.positions[terms[i]].get(doc, ()):
+                if prev < p <= prev + slop + 1:
+                    chain(i + 1, p, start)
+
+        for p0 in self.positions[terms[0]].get(doc, ()):
+            chain(1, p0, p0)
+        return out
+
+    def _span_containing_docs(self, big_terms: list[str], slop: int,
+                              little: str) -> set[int]:
+        uterms = sorted(set(big_terms) | {little})
+        for t in uterms:
+            if t not in self.postings:
+                return set()
+        cand = set.intersection(
+            *(set(self.postings[t]) for t in uterms))
+        return {doc for doc in cand
+                if any(s <= p <= e
+                       for s, e in self._spans(doc, big_terms, slop)
+                       for p in self.positions[little].get(doc, ()))}
+
+    def search_span_containing(self, big_terms: list[str], slop: int,
+                               little: str, k: int = 10
+                               ) -> list[tuple[int, float]]:
+        """span_containing: a big span_near span contains a little
+        occurrence (boundaries inclusive); scored like
+        :meth:`search_and` over the BIG terms restricted to the
+        matching docs."""
+        if self.positions is None:
+            raise ValueError("OracleIndex built without store_positions")
+        docs = self._span_containing_docs(big_terms, slop, little)
+        if not docs:
+            return []
+        ranked = self.search_and(big_terms, k=self.n_docs + 1)
+        return [(d, s) for d, s in ranked if d in docs][:k]
+
+    def search_span_within(self, little: str, big_terms: list[str],
+                           slop: int, k: int = 10
+                           ) -> list[tuple[int, float]]:
+        """span_within: same containment predicate, scored over the
+        LITTLE term only restricted to the matching docs."""
+        if self.positions is None:
+            raise ValueError("OracleIndex built without store_positions")
+        docs = self._span_containing_docs(big_terms, slop, little)
+        if not docs:
+            return []
+        ranked = self.search([little], k=self.n_docs + 1)
+        return [(d, s) for d, s in ranked if d in docs][:k]
+
+    def search_span_or_near(self, slots: list[list[str]],
+                            slop: int = 0, k: int = 10
+                            ) -> list[tuple[int, float]]:
+        """span_near over span_or slots: slot i matches any of its
+        alternatives; scored like :meth:`search` (disjunctive, over
+        every alternative) restricted to the matching docs."""
+        if self.positions is None:
+            raise ValueError("OracleIndex built without store_positions")
+        if not slots or any(not s for s in slots):
+            return []
+
+        def alt_pos(doc: int, slot: list[str]) -> list[int]:
+            return sorted({p for t in set(slot)
+                           for p in self.positions.get(t, {})
+                           .get(doc, ())})
+
+        all_terms = sorted({t for slot in slots for t in slot})
+        cand: set[int] | None = None
+        for slot in slots:
+            docs_s = {d for t in set(slot)
+                      for d in self.postings.get(t, {})}
+            cand = docs_s if cand is None else cand & docs_s
+            if not cand:
+                return []
+
+        def chain(doc: int, i: int, prev: int) -> bool:
+            if i == len(slots):
+                return True
+            return any(chain(doc, i + 1, p)
+                       for p in alt_pos(doc, slots[i])
+                       if prev < p <= prev + slop + 1)
+
+        matched = {doc for doc in cand
+                   if any(chain(doc, 1, p)
+                          for p in alt_pos(doc, slots[0]))}
+        if not matched:
+            return []
+        ranked = self.search(all_terms, k=self.n_docs + 1)
+        return [(d, s) for d, s in ranked if d in matched][:k]
+
     def search_common_terms(self, terms: list[str],
                             cutoff_frequency: float = 0.5,
                             k: int = 10) -> list[tuple[int, float]]:

@@ -2948,6 +2948,153 @@ WHERE rank <= {TOP_K}
 """
 
 
+# span composition family: span_containing / span_within (a big
+# span_near span containing a little-term occurrence, boundaries
+# inclusive) and span_near over span_or slots.  SQL states each
+# predicate positionally over the tok CTE, independent of the
+# engine's packed-key kernels.
+SPAN_CONTAINING_QUERIES: list[tuple[int, list[str], int, str]] = [
+    (1, ["merge", "group"], 4, "part"),
+    (2, ["window", "join"], 5, "order"),
+    (3, ["fast", "scan"], 6, "key"),
+    (4, ["data", "stream"], 3, "join"),
+    (5, ["batch", "hash"], 4, "slow"),
+]
+
+SPAN_OR_QUERIES: list[tuple[int, list[list[str]], int]] = [
+    (1, [["merge", "sort"], ["group", "join"]], 2),
+    (2, [["window"], ["join", "scan"]], 3),
+    (3, [["fast", "slow"], ["batch"], ["hash", "key"]], 2),
+    (4, [["order"], ["customer", "part"]], 1),
+]
+
+
+def bm25_span_containing_documents(sf_dir: str):
+    """ES/Lucene ``span_containing``: a big ``span_near`` span
+    contains a little-term occurrence (boundaries inclusive).
+    Survivors score conjunctively over the BIG terms (the clause ES
+    returns), ranked by (score desc, ORIGINAL doc_id)."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_span_containing(big, slop, little,
+                                              k=s.n_docs or 1))
+               for qid, big, slop, little in SPAN_CONTAINING_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def bm25_span_within_documents(sf_dir: str):
+    """ES/Lucene ``span_within`` — the same containment predicate as
+    :func:`bm25_span_containing_documents` but scored over the LITTLE
+    clause only."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_span_within(little, big, slop,
+                                          k=s.n_docs or 1))
+               for qid, big, slop, little in SPAN_CONTAINING_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def bm25_span_or_near_documents(sf_dir: str):
+    """``span_near`` whose slots are ``span_or`` clauses (any
+    alternative per slot, in order, per-gap slop).  Survivors score
+    disjunctively over ALL alternatives restricted to the matches."""
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = [(qid, s.search_span_or_near(slots, slop,
+                                           k=s.n_docs or 1))
+               for qid, slots, slop in SPAN_OR_QUERIES]
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _span_containing_subquery(qid: int, big: list[str], slop: int,
+                              little: str) -> str:
+    n = len(big)
+    joins = " ".join(
+        f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
+        f"AND t{i}.term = '{big[i]}' "
+        f"AND t{i}.i - t{i - 1}.i BETWEEN 1 AND {slop + 1}"
+        for i in range(1, n))
+    return (f"SELECT DISTINCT {qid} AS query_id, t0.doc_id "
+            f"FROM tok t0 {joins} "
+            f"JOIN tok tl ON tl.doc_id = t0.doc_id "
+            f"AND tl.term = '{little}' "
+            f"AND tl.i BETWEEN t0.i AND t{n - 1}.i "
+            f"WHERE t0.term = '{big[0]}'")
+
+
+def _span_scored_sql(docs_chains: str, qvals: str) -> str:
+    """Shared scored-span oracle shape: a positional membership CTE +
+    the standard per-term score sum restricted to it."""
+    return f"""
+{_base_ctes(with_positions=True)},
+q(query_id, term) AS (VALUES {qvals}),
+span_docs AS (
+  {docs_chains}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  JOIN span_docs sd ON sd.query_id = q.query_id
+                   AND sd.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
+def _bm25_span_containing_sql() -> str:
+    chains = "\n  UNION ALL\n  ".join(
+        _span_containing_subquery(qid, big, slop, little)
+        for qid, big, slop, little in SPAN_CONTAINING_QUERIES)
+    qvals = _q_values([(qid, big)
+                       for qid, big, _, _ in SPAN_CONTAINING_QUERIES])
+    return _span_scored_sql(chains, qvals)
+
+
+def _bm25_span_within_sql() -> str:
+    chains = "\n  UNION ALL\n  ".join(
+        _span_containing_subquery(qid, big, slop, little)
+        for qid, big, slop, little in SPAN_CONTAINING_QUERIES)
+    qvals = _q_values([(qid, [little])
+                       for qid, _, _, little in SPAN_CONTAINING_QUERIES])
+    return _span_scored_sql(chains, qvals)
+
+
+def _span_or_subquery(qid: int, slots: list[list[str]], slop: int
+                      ) -> str:
+    def inlist(slot: list[str]) -> str:
+        return ", ".join(f"'{t}'" for t in sorted(set(slot)))
+
+    joins = " ".join(
+        f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
+        f"AND t{i}.term IN ({inlist(slots[i])}) "
+        f"AND t{i}.i - t{i - 1}.i BETWEEN 1 AND {slop + 1}"
+        for i in range(1, len(slots)))
+    return (f"SELECT DISTINCT {qid} AS query_id, t0.doc_id "
+            f"FROM tok t0 {joins} "
+            f"WHERE t0.term IN ({inlist(slots[0])})")
+
+
+def _bm25_span_or_sql() -> str:
+    chains = "\n  UNION ALL\n  ".join(
+        _span_or_subquery(qid, slots, slop)
+        for qid, slots, slop in SPAN_OR_QUERIES)
+    qvals = _q_values([(qid, [t for slot in slots for t in slot])
+                       for qid, slots, _ in SPAN_OR_QUERIES])
+    return _span_scored_sql(chains, qvals)
+
+
 def _bm25_sql() -> str:
     return f"""
 {_base_ctes()},
@@ -4012,6 +4159,9 @@ QUERIES = {
     "bm25_terms_set_documents": bm25_terms_set_documents,
     "bm25_match_bool_prefix_documents": bm25_match_bool_prefix_documents,
     "bm25_intervals_documents": bm25_intervals_documents,
+    "bm25_span_containing_documents": bm25_span_containing_documents,
+    "bm25_span_within_documents": bm25_span_within_documents,
+    "bm25_span_or_near_documents": bm25_span_or_near_documents,
     "bm25_common_terms_documents": bm25_common_terms_documents,
     "bm25_script_score_documents": bm25_script_score_documents,
     "bm25_weighted_documents": bm25_weighted_documents,
@@ -4074,6 +4224,9 @@ ORACLE = {
     "bm25_terms_set_documents": _bm25_terms_set_sql(),
     "bm25_match_bool_prefix_documents": _bm25_match_bool_prefix_sql(),
     "bm25_intervals_documents": _bm25_intervals_sql(),
+    "bm25_span_containing_documents": _bm25_span_containing_sql(),
+    "bm25_span_within_documents": _bm25_span_within_sql(),
+    "bm25_span_or_near_documents": _bm25_span_or_sql(),
     "bm25_common_terms_documents": _bm25_common_terms_sql(),
     "bm25_script_score_documents": _bm25_script_score_sql(),
     "bm25_weighted_documents": _bm25_weighted_sql(),

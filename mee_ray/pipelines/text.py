@@ -1227,6 +1227,79 @@ WHERE (doc_id * {KNUTH_MULT}) % {MIX_MOD} < {_mix_rate_expr()}
 """
 
 
+# --------------------------------------- seeded training shuffle --
+#
+# Deterministic seeded global shuffle — the ordering op a training
+# run needs so every retry/restart reads examples in the SAME
+# pseudo-random order without any RNG state or driver-side pass.
+# The shuffle ORDER is (shard asc, shard_pos asc): shard is a hash
+# bucket of the shuffle key (≙ one output training shard), shard_pos
+# the rank inside it.  At 100 TB the shard count is sized so one
+# shard's ids fit a worker (the only partitioning assumption); the
+# key pass is a streaming map_batches and the ranking one hash
+# groupby — no global sort, no driver state.
+
+SHUFFLE_MULT = 0x9E3779B97F4A7C15   # splitmix64 golden-ratio constant
+SHUFFLE_SEED = 42
+SHUFFLE_SHARDS = 64
+_U64 = 1 << 64
+_I63 = (1 << 63) - 1
+
+
+def training_shuffle_order(sf_dir: str, seed: int = SHUFFLE_SEED):
+    """Seeded deterministic shuffle order over the documents table:
+    ``shuffle_key = ((doc_id + seed) · SHUFFLE_MULT) mod 2⁶⁴``
+    (odd-constant multiplication is a bijection mod 2⁶⁴, so keys are
+    unique per seed), truncated to int63 for Arrow/SQL dtype parity;
+    ``shard = key % SHUFFLE_SHARDS``; ``shard_pos`` = rank within the
+    shard by (key, doc_id) — doc_id breaks the (rare) truncation
+    ties, keeping the order total and retry-stable."""
+    import ray.data
+
+    def keyed(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        k = ((ids.astype(np.uint64) + np.uint64(seed))
+             * np.uint64(SHUFFLE_MULT)) & np.uint64(_I63)
+        k = k.astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "shuffle_key": pa.array(k, pa.int64()),
+            "shard": pa.array(k % SHUFFLE_SHARDS, pa.int64())})
+
+    def rank_shard(g: pa.Table) -> pa.Table:
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        keys = g["shuffle_key"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, keys))
+        pos = np.empty(len(order), dtype=np.int64)
+        pos[order] = np.arange(1, len(order) + 1)
+        return g.append_column("shard_pos", pa.array(pos, pa.int64()))
+
+    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id"])
+            .map_batches(keyed, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("shard")
+            .map_groups(rank_shard, batch_format="pyarrow"))
+
+
+# HUGEINT arithmetic mirrors numpy's uint64 wrap exactly: the product
+# of two < 2⁶⁴ values fits in 128 bits, mod 2⁶⁴ recovers the wrapped
+# value, and the int63 mask is one more mod.
+TRAINING_SHUFFLE_SQL = f"""
+WITH k AS (
+  SELECT doc_id,
+         CAST(((CAST(doc_id AS HUGEINT) + {SHUFFLE_SEED})
+               * {SHUFFLE_MULT}) % {_U64} % {1 << 63} AS BIGINT)
+           AS shuffle_key
+  FROM documents)
+SELECT doc_id, shuffle_key,
+       shuffle_key % {SHUFFLE_SHARDS} AS shard,
+       row_number() OVER (PARTITION BY shuffle_key % {SHUFFLE_SHARDS}
+                          ORDER BY shuffle_key, doc_id) AS shard_pos
+FROM k
+"""
+
+
 # ------------------------------------------ Bloom-filter membership --
 #
 # URL/document seen-set at 100-TB scale: the seen side is folded into
@@ -1551,6 +1624,7 @@ QUERIES = {
     "contamination_check_documents": contamination_check_documents,
     "lm_score_documents": lm_score_documents,
     "training_mix_sample": training_mix_sample,
+    "training_shuffle_order": training_shuffle_order,
     "bloom_membership_documents": bloom_membership_documents,
 }
 
@@ -1613,6 +1687,7 @@ ORACLE = {
     "passage_dedup_documents": PASSAGE_DEDUP_SQL,
     "contamination_check_documents": CONTAMINATION_SQL,
     "training_mix_sample": TRAINING_MIX_SQL,
+    "training_shuffle_order": TRAINING_SHUFFLE_SQL,
     # sketch ops intentionally have no SQL oracle (rows-only check);
     # they are verified against brute-force oracles in tests/.
 }

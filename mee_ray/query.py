@@ -794,6 +794,116 @@ class Searcher:
         partials = self.term_partials_for_docs(uterms, docs)
         return merge_partials_conjunctive([partials], uterms, k)
 
+    def _require_positions(self, what: str) -> None:
+        if not self.manifest.get("store_positions"):
+            raise ValueError(f"{what} queries need store_positions="
+                             "True (pinned in the manifest at build)")
+
+    def search_span_containing(self, big_terms: list[str], slop: int,
+                               little: str, k: int = 10
+                               ) -> list[tuple[int, float]]:
+        """ES/Lucene ``span_containing``: documents where some
+        ``span_near(big_terms, slop)`` span CONTAINS an occurrence of
+        ``little`` (boundaries inclusive — overlap counts, Lucene's
+        containment).  ES returns/scores the big clause, so survivors
+        are scored conjunctively over ``big_terms`` restricted to the
+        matching docs (membership gates, scores never rescale — the
+        positional family's filter-context stance).  Requires ≥ 2 big
+        terms (a 1-term span has no interior) and
+        ``store_positions=True``."""
+        if k <= 0:
+            return []
+        if len(big_terms) < 2:
+            raise ValueError("span_containing needs >= 2 big terms")
+        if not little:
+            raise ValueError("span_containing needs a little term")
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0, got {slop}")
+        self._require_positions("span_containing")
+        uterms = sorted(set(big_terms) | {little})
+        cand = self._candidate_docs(uterms)
+        if cand is None:
+            return []
+        data = {t: self.term_doc_positions(t, cand) for t in uterms}
+        docs = span_containing_match_docs(data, big_terms, slop,
+                                          little)
+        if docs.size == 0:
+            return []
+        ubig = sorted(set(big_terms))
+        partials = self.term_partials_for_docs(ubig, docs)
+        return merge_partials_conjunctive([partials], ubig, k)
+
+    def search_span_within(self, little: str, big_terms: list[str],
+                           slop: int, k: int = 10
+                           ) -> list[tuple[int, float]]:
+        """ES/Lucene ``span_within`` — the same containment predicate
+        as :meth:`search_span_containing` but the LITTLE clause is
+        what's returned/scored: survivors keep ``little``'s plain
+        BM25 contribution restricted to the matching docs."""
+        if k <= 0:
+            return []
+        if len(big_terms) < 2:
+            raise ValueError("span_within needs >= 2 big terms")
+        if not little:
+            raise ValueError("span_within needs a little term")
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0, got {slop}")
+        self._require_positions("span_within")
+        uterms = sorted(set(big_terms) | {little})
+        cand = self._candidate_docs(uterms)
+        if cand is None:
+            return []
+        data = {t: self.term_doc_positions(t, cand) for t in uterms}
+        docs = span_containing_match_docs(data, big_terms, slop,
+                                          little)
+        if docs.size == 0:
+            return []
+        partials = self.term_partials_for_docs([little], docs)
+        return merge_partials_conjunctive([partials], [little], k)
+
+    def search_span_or_near(self, slots: list[list[str]],
+                            slop: int = 0, k: int = 10
+                            ) -> list[tuple[int, float]]:
+        """``span_near`` whose slots are ``span_or`` clauses: slot i
+        matches ANY of its alternative terms, consecutive slots at
+        most ``slop`` tokens apart in order (ES span_near over
+        span_or sub-clauses).  Each slot's alternatives merge into
+        one pseudo-slot position set (the phrase_prefix expansion
+        mechanics), so the matcher stays fully vectorized.  Scoring:
+        disjunctive BM25 over ALL alternatives restricted to the
+        matching docs via :meth:`search_filtered` — per-doc matched
+        alternatives contribute, absent ones add 0 (a documented,
+        deterministic simplification of ES's per-span scoring)."""
+        if k <= 0 or not slots:
+            return []
+        if any(not s for s in slots):
+            raise ValueError("every span_or slot needs >= 1 term")
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0, got {slop}")
+        self._require_positions("span_or_near")
+        cand: np.ndarray | None = None
+        for slot in slots:
+            ids_l = [self.term_raw_postings(t)[0]
+                     for t in sorted(set(slot))]
+            ids_l = [x for x in ids_l if x.size]
+            if not ids_l:
+                return []
+            slot_ids = np.unique(np.concatenate(ids_l))
+            cand = (slot_ids if cand is None
+                    else np.intersect1d(cand, slot_ids))
+            if cand.size == 0:
+                return []
+        pseudo = [f"\x00slot{i}" for i in range(len(slots))]
+        data = {p: merge_position_sets(
+                    [self.term_doc_positions(t, cand)
+                     for t in sorted(set(slot))])
+                for p, slot in zip(pseudo, slots)}
+        docs = span_near_match_docs(data, pseudo, slop)
+        if docs.size == 0:
+            return []
+        all_terms = sorted({t for slot in slots for t in slot})
+        return self.search_filtered(all_terms, k, docs)
+
     def search_phrase_prefix(self, terms: list[str], k: int = 10,
                              max_expansions: int = 50
                              ) -> list[tuple[int, float]]:
@@ -1949,23 +2059,10 @@ def span_near_match_docs(data: dict, terms: list[str], slop: int
             "span_near candidate set exceeds 2^32 docs — partition "
             "the candidate space before key packing")
 
-    def slot_keys(t: str) -> np.ndarray:
-        ids, offs, flat = data[t]
-        tfs = np.diff(offs)
-        pos_c, keep = positions_in_sorted(ids, cand)
-        rank_rep = np.repeat(pos_c[keep], tfs[keep])
-        flat_k = flat[np.repeat(keep, tfs)]
-        # gap expansion must not carry a position into the rank bits
-        if flat_k.size and int(flat_k.max()) + slop + 1 >= (1 << 32):
-            raise ValueError("term position + slop exceeds 2^32 — "
-                             "cannot pack beside the candidate rank")
-        return ((rank_rep.astype(np.uint64) << np.uint64(32))
-                | flat_k.astype(np.uint64))
-
     gaps = np.arange(1, slop + 2, dtype=np.uint64)
     reach: np.ndarray | None = None
     for i, t in enumerate(terms):
-        keys = slot_keys(t)
+        keys = _packed_slot_keys(data, t, cand, slop)
         if i == 0:
             reach = np.unique(keys)
         else:
@@ -1974,6 +2071,113 @@ def span_near_match_docs(data: dict, terms: list[str], slop: int
         if reach.size == 0:
             return empty
     return cand[np.unique(reach >> np.uint64(32)).astype(np.int64)]
+
+
+def _packed_slot_keys(data: dict, t: str, cand: np.ndarray, slop: int
+                      ) -> np.ndarray:
+    """One term's occurrences in the candidate docs as packed
+    ``rank << 32 | pos`` uint64 keys — the shared packing of the
+    positional kernels (rank = index into sorted ``cand``)."""
+    ids, offs, flat = data[t]
+    tfs = np.diff(offs)
+    pos_c, keep = positions_in_sorted(ids, cand)
+    rank_rep = np.repeat(pos_c[keep], tfs[keep])
+    flat_k = flat[np.repeat(keep, tfs)]
+    if flat_k.size and int(flat_k.max()) + slop + 1 >= (1 << 32):
+        raise ValueError("term position + slop exceeds 2^32 — cannot "
+                         "pack beside the candidate rank")
+    return ((rank_rep.astype(np.uint64) << np.uint64(32))
+            | flat_k.astype(np.uint64))
+
+
+_POS_MASK = np.uint64((1 << 32) - 1)
+
+
+def span_near_spans(data: dict, terms: list[str], slop: int,
+                    cand: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Every matching span_near chain END over the candidate docs,
+    with its EARLIEST feasible chain start: ``(end_keys, min_starts)``
+    — end_keys sorted packed ``rank << 32 | end_pos`` uint64, and
+    min_starts the parallel uint64 start positions.  The widest span
+    per end covers every narrower span ending there, so containment
+    tests need only these.  Same left-to-right reachable-set
+    propagation as :func:`span_near_match_docs`, carrying a parallel
+    min-start value: duplicate expanded keys collapse to their
+    minimum start (lexsort + first-occurrence), fully vectorized."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    empty = (np.empty(0, np.uint64), np.empty(0, np.uint64))
+    if cand.size >= (1 << 32):
+        raise NotImplementedError(
+            "span candidate set exceeds 2^32 docs — partition the "
+            "candidate space before key packing")
+    gaps = np.arange(1, slop + 2, dtype=np.uint64)
+    reach: np.ndarray | None = None
+    start: np.ndarray | None = None
+    for i, t in enumerate(terms):
+        keys = _packed_slot_keys(data, t, cand, slop)
+        if i == 0:
+            reach = np.unique(keys)
+            start = reach & _POS_MASK
+        else:
+            expanded = (reach[:, None] + gaps).ravel()
+            exp_start = np.repeat(start, gaps.size)
+            order = np.lexsort((exp_start, expanded))
+            expanded, exp_start = expanded[order], exp_start[order]
+            first = np.ones(len(expanded), dtype=bool)
+            first[1:] = expanded[1:] != expanded[:-1]
+            expanded, exp_start = expanded[first], exp_start[first]
+            sel = isin_sorted(expanded, np.unique(keys))
+            reach, start = expanded[sel], exp_start[sel]
+        if reach.size == 0:
+            return empty
+    return reach, start
+
+
+def span_containing_match_docs(data: dict, big_terms: list[str],
+                               slop: int, little: str) -> np.ndarray:
+    """Sorted doc_ids where some ``span_near(big_terms, slop)`` span
+    contains an occurrence of ``little`` (ES ``span_containing``:
+    little within [span start, span end], boundary positions
+    inclusive — an overlapping occurrence counts, matching Lucene's
+    span-overlap containment).
+
+    Per candidate rank the spans ending at ``e`` are summarized by
+    the widest one ``[min_start(e), e]`` (it contains every narrower
+    span's positions), so ``little`` at ``p`` is contained iff some
+    end ``e ≥ p`` in the same doc has ``min_start(e) ≤ p``.  One
+    reversed ``minimum.accumulate`` over packed ``rank << 32 |
+    min_start`` gives the suffix minimum (later docs' rank bits
+    dominate, so the minimum never leaks across docs), and one
+    searchsorted per little occurrence answers the exists-test."""
+    empty = np.empty(0, dtype=np.int64)
+    uterms = sorted(set(big_terms) | {little})
+    cand = None
+    for t in uterms:
+        ids = data[t][0]
+        if ids.size == 0:
+            return empty
+        cand = (np.unique(ids) if cand is None
+                else np.intersect1d(cand, ids))
+        if cand.size == 0:
+            return empty
+    ends, starts = span_near_spans(data, big_terms, slop, cand)
+    if ends.size == 0:
+        return empty
+    little_keys = np.unique(_packed_slot_keys(data, little, cand, 0))
+    if little_keys.size == 0:
+        return empty
+    packed_starts = (ends & ~_POS_MASK) | starts
+    suffmin = np.minimum.accumulate(packed_starts[::-1])[::-1]
+    idx = np.searchsorted(ends, little_keys, side="left")
+    ok = idx < len(ends)
+    lk, sm = little_keys[ok], suffmin[idx[ok]]
+    contained = ((sm >> np.uint64(32)) == (lk >> np.uint64(32))) \
+        & ((sm & _POS_MASK) <= (lk & _POS_MASK))
+    if not contained.any():
+        return empty
+    ranks = np.unique(lk[contained] >> np.uint64(32)).astype(np.int64)
+    return cand[ranks]
 
 
 def intervals_match_docs(data: dict, terms: list[str], max_gaps: int,
@@ -2338,6 +2542,19 @@ class DistributedSearcher:
 
             def search_span_first(self, term, end, k):
                 return self.searcher.search_span_first(term, end, k)
+
+            def search_span_containing(self, big_terms, slop, little,
+                                       k):
+                return self.searcher.search_span_containing(
+                    big_terms, slop, little, k)
+
+            def search_span_within(self, little, big_terms, slop, k):
+                return self.searcher.search_span_within(
+                    little, big_terms, slop, k)
+
+            def search_span_or_near(self, slots, slop, k):
+                return self.searcher.search_span_or_near(slots, slop,
+                                                          k)
 
             def search_span_not(self, include, exclude, dist, k):
                 return self.searcher.search_span_not(include, exclude,
@@ -2901,7 +3118,8 @@ class DistributedSearcher:
         return cand
 
     def _positional_query(self, terms: list[str], k: int, matcher,
-                          single_actor_call
+                          single_actor_call,
+                          score_terms: list[str] | None = None
                           ) -> list[tuple[int, float]]:
         """Shared two-round distributed body of the positional query
         family.  Single-owning-actor queries run entirely actor-side
@@ -2912,7 +3130,9 @@ class DistributedSearcher:
         restricted to the candidates — transfer and position decode
         bounded by the rarest term's df, not the hottest term's
         occurrence count; (3) ``matcher(data)`` picks the matching
-        docs and they are scored conjunctively."""
+        docs and they are scored conjunctively over ``score_terms``
+        (default: all of ``terms`` — span_containing/within score a
+        sub-clause)."""
         import ray
         if not terms:
             return []
@@ -2932,9 +3152,12 @@ class DistributedSearcher:
         matched = matcher(data)
         if matched.size == 0:
             return []
+        sterms = (sorted(set(score_terms)) if score_terms is not None
+                  else uterms)
+        by_actor_s = self._terms_by_actor(sterms)
         pfuts = [self.actors[a].term_partials_for_docs.remote(ts, matched)
-                 for a, ts in by_actor.items()]
-        return merge_partials_conjunctive(ray.get(pfuts), uterms, k)
+                 for a, ts in by_actor_s.items()]
+        return merge_partials_conjunctive(ray.get(pfuts), sterms, k)
 
     def search_phrase(self, terms: list[str], k: int = 10
                       ) -> list[tuple[int, float]]:
@@ -2965,6 +3188,99 @@ class DistributedSearcher:
                                               ordered),
             lambda actor: actor.search_intervals.remote(
                 terms, max_gaps, ordered, k))
+
+    def search_span_containing(self, big_terms: list[str], slop: int,
+                               little: str, k: int = 10
+                               ) -> list[tuple[int, float]]:
+        """Distributed ``span_containing`` (see
+        :meth:`Searcher.search_span_containing`): the two-round
+        positional body over big ∪ {little}, scored over the BIG
+        terms only."""
+        if k <= 0:
+            return []
+        if len(big_terms) < 2:
+            raise ValueError("span_containing needs >= 2 big terms")
+        if not little:
+            raise ValueError("span_containing needs a little term")
+        return self._positional_query(
+            sorted(set(big_terms) | {little}), k,
+            lambda data: span_containing_match_docs(data, big_terms,
+                                                    slop, little),
+            lambda actor: actor.search_span_containing.remote(
+                big_terms, slop, little, k),
+            score_terms=sorted(set(big_terms)))
+
+    def search_span_within(self, little: str, big_terms: list[str],
+                           slop: int, k: int = 10
+                           ) -> list[tuple[int, float]]:
+        """Distributed ``span_within`` — same containment predicate,
+        scored over the LITTLE term only."""
+        if k <= 0:
+            return []
+        if len(big_terms) < 2:
+            raise ValueError("span_within needs >= 2 big terms")
+        if not little:
+            raise ValueError("span_within needs a little term")
+        return self._positional_query(
+            sorted(set(big_terms) | {little}), k,
+            lambda data: span_containing_match_docs(data, big_terms,
+                                                    slop, little),
+            lambda actor: actor.search_span_within.remote(
+                little, big_terms, slop, k),
+            score_terms=[little])
+
+    def search_span_or_near(self, slots: list[list[str]],
+                            slop: int = 0, k: int = 10
+                            ) -> list[tuple[int, float]]:
+        """Distributed span_near-over-span_or (see
+        :meth:`Searcher.search_span_or_near`).  The candidate round
+        unions each slot's alternatives' doc-id sets BEFORE the
+        cross-slot intersection (an OR slot must not conjunct its
+        alternatives); positions then ship restricted to the
+        candidates, slots merge into pseudo-slots on the driver, and
+        scoring delegates to the distributed
+        :meth:`search_filtered`."""
+        import ray
+        if k <= 0 or not slots:
+            return []
+        if any(not s for s in slots):
+            raise ValueError("every span_or slot needs >= 1 term")
+        if slop < 0:
+            raise ValueError(f"slop must be >= 0, got {slop}")
+        all_terms = sorted({t for slot in slots for t in slot})
+        by_actor = self._terms_by_actor(all_terms)
+        if len(by_actor) == 1:
+            (a,) = by_actor
+            return ray.get(self.actors[a].search_span_or_near.remote(
+                slots, slop, k))
+        id_sets: dict[str, np.ndarray] = {}
+        for d in ray.get([self.actors[a].term_doc_ids.remote(ts)
+                          for a, ts in by_actor.items()]):
+            id_sets.update(d)
+        cand: np.ndarray | None = None
+        for slot in slots:
+            ids_l = [id_sets.get(t) for t in sorted(set(slot))]
+            ids_l = [x for x in ids_l if x is not None and x.size]
+            if not ids_l:
+                return []
+            slot_ids = np.unique(np.concatenate(ids_l))
+            cand = (slot_ids if cand is None
+                    else np.intersect1d(cand, slot_ids))
+            if cand.size == 0:
+                return []
+        futs = [self.actors[a].term_doc_positions.remote(ts, cand)
+                for a, ts in by_actor.items()]
+        data: dict = {}
+        for d in ray.get(futs):
+            data.update(d)
+        pseudo = [f"\x00slot{i}" for i in range(len(slots))]
+        pdata = {p: merge_position_sets(
+                     [data[t] for t in sorted(set(slot))])
+                 for p, slot in zip(pseudo, slots)}
+        docs = span_near_match_docs(pdata, pseudo, slop)
+        if docs.size == 0:
+            return []
+        return self.search_filtered(all_terms, k, docs)
 
     def search_span_first(self, term: str, end: int,
                           k: int = 10) -> list[tuple[int, float]]:

@@ -58,6 +58,19 @@ def _cases(oracle, variant):
                 if i % 3 == 0:
                     out.append(seq[5:8])
         return out[:12] + [["zz_none", "also_gone"]]
+    if variant in ("span_containing", "span_or_near"):
+        from mee_ray.config import TokenizerConfig
+        from mee_ray.tokenizer import Tokenizer
+        tok = Tokenizer(TokenizerConfig())
+        out = []
+        for _, c in sorted(oracle.docs.items())[:25]:
+            seq = tok.terms(c)
+            if len(seq) > 12:
+                if variant == "span_containing":
+                    out.append(([seq[2], seq[6]], 4, seq[4]))
+                else:
+                    out.append(([[seq[2], seq[9]], [seq[4]]], 3))
+        return out[:10]
     return qs
 
 
@@ -107,11 +120,23 @@ def _run(searcher, oracle, variant, q):
                                           k=k),
                 oracle.search_intervals(q, max_gaps=3, ordered=True,
                                         k=k))
+    if variant == "span_containing":
+        big, slop, little = q
+        if len(set(big)) < 2:
+            return [], []
+        return (searcher.search_span_containing(big, slop, little,
+                                                k=k),
+                oracle.search_span_containing(big, slop, little, k=k))
+    if variant == "span_or_near":
+        slots, slop = q
+        return (searcher.search_span_or_near(slots, slop, k=k),
+                oracle.search_span_or_near(slots, slop, k=k))
     raise SystemExit(f"unknown variant {variant!r}")
 
 
 ALL = ["or", "and", "common_terms", "script_score", "terms_set",
-       "min_match", "phrase", "span_near", "intervals"]
+       "min_match", "phrase", "span_near", "intervals",
+       "span_containing", "span_or_near"]
 
 
 def main():

@@ -896,3 +896,109 @@ def test_suggest_phrase_distributed_equals_local(pos_index):
         assert checked == len(probes)
     finally:
         ds.shutdown()
+
+
+# -------------------- span_containing / span_within / span_or_near --
+
+
+def _span_comp_cases(docs):
+    """Deterministic containment/or cases drawn from real doc token
+    streams: big pairs with a little token between them (hit-heavy)
+    and one far outside (usually miss)."""
+    from mee_ray.config import TokenizerConfig
+    from mee_ray.tokenizer import Tokenizer
+    tok = Tokenizer(TokenizerConfig())
+    containing, or_near = [], []
+    for i, (_, c) in enumerate(sorted(docs)[:40]):
+        seq = tok.terms(c)
+        if len(seq) > 15 and len(set(seq[:13])) > 6:
+            containing.append(([seq[3], seq[7]], 5, seq[5]))
+            containing.append(([seq[3], seq[7]], 3, seq[12]))
+            or_near.append(([[seq[2], seq[9]], [seq[4]]], 4))
+            or_near.append(([[seq[0]], [seq[1], seq[6]], [seq[2]]], 2))
+    return containing, or_near
+
+
+def test_span_containing_and_within_match_oracle(pos_index):
+    from mee_ray.query import Searcher
+
+    s = Searcher(pos_index["root"])
+    oracle = pos_index["oracle"]
+    containing, _ = _span_comp_cases(pos_index["docs"])
+    assert containing, "corpus produced no cases"
+    hits = 0
+    for big, slop, little in containing:
+        got = s.search_span_containing(big, slop, little, k=10)
+        assert got == oracle.search_span_containing(
+            big, slop, little, k=10), (big, slop, little)
+        assert s.search_span_within(little, big, slop, k=10) == \
+            oracle.search_span_within(little, big, slop, k=10), \
+            (big, slop, little)
+        hits += bool(got)
+    assert hits > 0
+
+
+def test_span_or_near_matches_oracle(pos_index):
+    from mee_ray.query import Searcher
+
+    s = Searcher(pos_index["root"])
+    oracle = pos_index["oracle"]
+    _, or_near = _span_comp_cases(pos_index["docs"])
+    assert or_near, "corpus produced no cases"
+    hits = 0
+    for slots, slop in or_near:
+        got = s.search_span_or_near(slots, slop, k=10)
+        assert got == oracle.search_span_or_near(slots, slop, k=10), \
+            (slots, slop)
+        hits += bool(got)
+    assert hits > 0
+    # single-alternative slots degenerate to plain span_near scoring?
+    # no — or_near scores disjunctively; but MEMBERSHIP must agree:
+    flat = [["merge"], ["group"]]
+    member_or = {d for d, _ in s.search_span_or_near(flat, 2,
+                                                     k=s.n_docs or 1)}
+    member_near = {d for d, _ in s.search_span_near(
+        ["merge", "group"], 2, k=s.n_docs or 1)}
+    assert member_or == member_near
+
+
+def test_span_composition_edges(pos_index):
+    import pytest as _pytest
+
+    from mee_ray.query import Searcher
+
+    s = Searcher(pos_index["root"])
+    assert s.search_span_containing(["merge", "group"], 2, "zz_none",
+                                    k=10) == []
+    assert s.search_span_or_near([["zz_none"], ["merge"]], 2,
+                                 k=10) == []
+    with _pytest.raises(ValueError, match=">= 2 big terms"):
+        s.search_span_containing(["merge"], 2, "x", k=10)
+    with _pytest.raises(ValueError, match="little term"):
+        s.search_span_within("", ["merge", "group"], 2, k=10)
+    with _pytest.raises(ValueError, match=">= 1 term"):
+        s.search_span_or_near([["a"], []], 2, k=10)
+    with _pytest.raises(ValueError, match="slop"):
+        s.search_span_or_near([["merge"], ["group"]], -1, k=10)
+
+
+def test_span_composition_distributed(pos_index, ray_session):
+    from mee_ray.query import DistributedSearcher
+
+    oracle = pos_index["oracle"]
+    containing, or_near = _span_comp_cases(pos_index["docs"])
+    ds = DistributedSearcher(pos_index["root"], n_actors=3)
+    try:
+        for big, slop, little in containing[:12]:
+            assert ds.search_span_containing(big, slop, little,
+                                             k=10) == \
+                oracle.search_span_containing(big, slop, little,
+                                              k=10), (big, slop)
+            assert ds.search_span_within(little, big, slop, k=10) == \
+                oracle.search_span_within(little, big, slop, k=10)
+        for slots, slop in or_near[:12]:
+            assert ds.search_span_or_near(slots, slop, k=10) == \
+                oracle.search_span_or_near(slots, slop, k=10), \
+                (slots, slop)
+    finally:
+        ds.shutdown()
