@@ -920,6 +920,196 @@ GROUP BY tot.event_type, tot.n
 """
 
 
+def extended_stats_events(sf_dir: str):
+    """ES ``extended_stats`` aggregation per event_type: count, sum,
+    min, max, avg, POPULATION variance, std deviation, and sum of
+    squares.  Exact-integer discipline: per-batch combiners emit int64
+    partial (n, Σcents, Σcents², min, max); only one row per type per
+    batch crosses the exchange; the float finish (mean, variance =
+    Σc²/n − mean², std = √variance) applies ONCE to the exact integers
+    with the oracle's identical IEEE expression tree, so values are
+    bit-equal.  Σcents² stays well inside int64 here (|cent| ≤ ~10⁵ ⇒
+    10¹⁰/row); a 100-TB run would split the square into hi/lo int64
+    lanes or a float128 lane — documented, not needed at bench scale."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                                 options=pc.RoundOptions(
+                                     round_mode="half_towards_infinity")),
+                        pa.int64())
+        sq = pc.multiply(cents, cents)
+        g = (pa.table({"event_type": t["event_type"], "c": cents,
+                       "sq": sq})
+             .group_by("event_type")
+             .aggregate([("c", "count"), ("c", "sum"), ("sq", "sum"),
+                         ("c", "min"), ("c", "max")]))
+        return g.rename_columns(["event_type", "n_p", "s_p", "sq_p",
+                                 "mn_p", "mx_p"])
+
+    agg = (_read(sf_dir, "events", ["event_type", "value"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n_p", alias_name="n"),
+                      Sum("s_p", alias_name="sum_cents"),
+                      Sum("sq_p", alias_name="sumsq_cents"),
+                      Min("mn_p", alias_name="min_cents"),
+                      Max("mx_p", alias_name="max_cents")))
+    blocks = list(agg.iter_batches(batch_format="pyarrow"))
+    cols = ["event_type", "n", "sum_cents", "sumsq_cents", "min_cents",
+            "max_cents", "avg_cents", "variance_cents", "std_cents"]
+    if not blocks:
+        return pa.table({c: pa.array([], pa.string() if c == "event_type"
+                                     else pa.float64() if "_cents" in c
+                                     and c not in ("sum_cents",
+                                                   "sumsq_cents",
+                                                   "min_cents",
+                                                   "max_cents")
+                                     else pa.int64()) for c in cols})
+    t = pa.concat_tables(blocks).sort_by("event_type")
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = t["sum_cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+    sq = t["sumsq_cents"].to_numpy(zero_copy_only=False
+                                   ).astype(np.float64)
+    mean = s / n
+    var = sq / n - mean * mean
+    return pa.table({
+        "event_type": t["event_type"],
+        "n": t["n"], "sum_cents": t["sum_cents"],
+        "sumsq_cents": t["sumsq_cents"],
+        "min_cents": t["min_cents"], "max_cents": t["max_cents"],
+        "avg_cents": pa.array(mean, pa.float64()),
+        "variance_cents": pa.array(var, pa.float64()),
+        "std_cents": pa.array(np.sqrt(var), pa.float64())})
+
+
+# the float finish is written with the engine's exact op order —
+# (Σc²/n) − (Σc/n)·(Σc/n) — so IEEE determinism gives bit-equality
+EXTENDED_STATS_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cent
+  FROM events),
+agg AS (
+  SELECT event_type,
+         count(*) AS n,
+         CAST(sum(cent) AS BIGINT) AS sum_cents,
+         CAST(sum(cent * cent) AS BIGINT) AS sumsq_cents,
+         min(cent) AS min_cents, max(cent) AS max_cents
+  FROM c GROUP BY event_type)
+SELECT event_type, n, sum_cents, sumsq_cents, min_cents, max_cents,
+       CAST(sum_cents AS DOUBLE) / n AS avg_cents,
+       CAST(sumsq_cents AS DOUBLE) / n
+         - (CAST(sum_cents AS DOUBLE) / n)
+           * (CAST(sum_cents AS DOUBLE) / n) AS variance_cents,
+       sqrt(CAST(sumsq_cents AS DOUBLE) / n
+            - (CAST(sum_cents AS DOUBLE) / n)
+              * (CAST(sum_cents AS DOUBLE) / n)) AS std_cents
+FROM agg
+"""
+
+
+def mad_events(sf_dir: str):
+    """ES ``median_absolute_deviation`` aggregation per event_type —
+    EXACT (ES's is TDigest-approximate): median = the smallest cent
+    whose running count reaches ceil(n/2) (the quantiles_events order
+    statistic), MAD = the same statistic over |cent − median|.  The
+    only shuffle carries distinct (type, cent) pairs — the deviation
+    histogram is derived on the driver from that same bounded table
+    (re-bucketing |cent − med| needs no second pass over the data)."""
+    from ray.data.aggregate import Sum
+
+    def cent_counts(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
+                                 options=pc.RoundOptions(
+                                     round_mode="half_towards_infinity")),
+                        pa.int64())
+        g = (pa.table({"event_type": t["event_type"], "cent": cents})
+             .group_by(["event_type", "cent"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["event_type", "cent", "n_part"])
+
+    hist = (_read(sf_dir, "events", ["event_type", "value"])
+            .map_batches(cent_counts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["event_type", "cent"])
+            .aggregate(Sum("n_part", alias_name="cnt")))
+    blocks = list(hist.iter_batches(batch_format="pyarrow",
+                                    batch_size=1 << 20))
+    if not blocks:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "n": pa.array([], pa.int64()),
+                         "median_cents": pa.array([], pa.int64()),
+                         "mad_cents": pa.array([], pa.int64())})
+    import math
+    t = pa.concat_tables(blocks)
+    ets = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    cents = t["cent"].to_numpy(zero_copy_only=False)
+    cnts = t["cnt"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((cents, ets))
+    ets, cents, cnts = ets[order], cents[order], cnts[order]
+
+    def order_stat(c: np.ndarray, k: np.ndarray, q: float) -> int:
+        run = np.cumsum(k)
+        need = math.ceil(q * int(run[-1]))
+        return int(c[np.searchsorted(run, need)])
+
+    out = {"event_type": [], "n": [], "median_cents": [],
+           "mad_cents": []}
+    for et in sorted(set(ets.tolist())):
+        m = ets == et
+        c, k = cents[m], cnts[m]
+        med = order_stat(c, k, 0.5)
+        dev = np.abs(c - med)
+        dorder = np.argsort(dev, kind="stable")
+        dev, dk = dev[dorder], k[dorder]
+        uniq, first = np.unique(dev, return_index=True)
+        dcnt = np.add.reduceat(dk, first)
+        out["event_type"].append(et)
+        out["n"].append(int(k.sum()))
+        out["median_cents"].append(med)
+        out["mad_cents"].append(order_stat(uniq, dcnt, 0.5))
+    return pa.table({
+        "event_type": pa.array(out["event_type"], pa.string()),
+        "n": pa.array(out["n"], pa.int64()),
+        "median_cents": pa.array(out["median_cents"], pa.int64()),
+        "mad_cents": pa.array(out["mad_cents"], pa.int64())})
+
+
+MAD_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cent
+  FROM events),
+tot AS (SELECT event_type, count(*) AS n FROM c GROUP BY event_type),
+cum AS (
+  SELECT event_type, cent,
+         sum(count(*)) OVER (PARTITION BY event_type ORDER BY cent)
+           AS run
+  FROM c GROUP BY event_type, cent),
+med AS (
+  SELECT cum.event_type,
+         CAST(min(CASE WHEN run >= CAST(ceil(0.5 * n) AS BIGINT)
+                       THEN cent END) AS BIGINT) AS med
+  FROM cum JOIN tot USING (event_type)
+  GROUP BY cum.event_type),
+dev AS (
+  SELECT c.event_type, abs(c.cent - med.med) AS d
+  FROM c JOIN med ON med.event_type = c.event_type),
+dcum AS (
+  SELECT event_type, d,
+         sum(count(*)) OVER (PARTITION BY event_type ORDER BY d)
+           AS run
+  FROM dev GROUP BY event_type, d)
+SELECT tot.event_type, tot.n, med.med AS median_cents,
+       CAST(min(CASE WHEN run >= CAST(ceil(0.5 * n) AS BIGINT)
+                     THEN d END) AS BIGINT) AS mad_cents
+FROM dcum
+JOIN tot USING (event_type)
+JOIN med ON med.event_type = dcum.event_type
+GROUP BY tot.event_type, tot.n, med.med
+"""
+
+
 def topk_orders_per_customer(sf_dir: str, k: int = 3,
                              n_buckets: int = 64):
     """Windowed ranking (§2.7 depth): each customer's top-k orders by
@@ -4601,6 +4791,8 @@ QUERIES = {
     "semi_join_events_customers": semi_join_events_customers,
     "anti_join_events_customers": anti_join_events_customers,
     "quantiles_events": quantiles_events,
+    "extended_stats_events": extended_stats_events,
+    "mad_events": mad_events,
     "topk_orders_per_customer": topk_orders_per_customer,
     "hopping_window_events": hopping_window_events,
     "range_join_orders_bands": range_join_orders_bands,
@@ -4669,6 +4861,8 @@ ORACLE = {
     "semi_join_events_customers": SEMI_SQL,
     "anti_join_events_customers": ANTI_SQL,
     "quantiles_events": QUANTILES_SQL,
+    "extended_stats_events": EXTENDED_STATS_SQL,
+    "mad_events": MAD_SQL,
     "topk_orders_per_customer": TOPK_PER_CUST_SQL,
     "hopping_window_events": HOPPING_SQL,
     "range_join_orders_bands": RANGE_JOIN_SQL,
