@@ -1110,6 +1110,134 @@ GROUP BY tot.event_type, tot.n, med.med
 """
 
 
+def top_metrics_events(sf_dir: str):
+    """ES ``top_metrics`` aggregation per event_type: the metric
+    (``value``, emitted as exact cents) of the row at the TOP of the
+    sort (ts desc, event_id desc — the deterministic tie-break ES
+    leaves unspecified).  Same combiner discipline as
+    latest_event_per_user: per-batch argmax keeps ≤1 row per type per
+    batch before one tiny groupby."""
+
+    def argmax_per_type(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+        order = np.lexsort((t["event_id"].to_numpy(zero_copy_only=False),
+                            t["ts"].cast(pa.int64())
+                            .to_numpy(zero_copy_only=False), et))
+        t = t.take(pa.array(order))
+        et = et[order]
+        last = np.ones(len(et), dtype=bool)
+        last[:-1] = et[1:] != et[:-1]
+        return t.filter(pa.array(last))
+
+    def finish(g: pa.Table) -> pa.Table:
+        g = argmax_per_type(g)
+        cents = pc.cast(pc.round(pc.multiply(g["value"], 100.0),
+                                 options=pc.RoundOptions(
+                                     round_mode="half_towards_infinity")),
+                        pa.int64())
+        return pa.table({"event_type": g["event_type"],
+                         "top_ts_us": g["ts"].cast(pa.int64()),
+                         "top_event_id": g["event_id"],
+                         "top_value_cents": cents})
+
+    return (_read(sf_dir, "events", ["event_type", "event_id", "ts",
+                                     "value"])
+            .map_batches(argmax_per_type, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("event_type")
+            .map_groups(finish, batch_format="pyarrow"))
+
+
+TOP_METRICS_SQL = """
+SELECT event_type,
+       epoch_us(ts) AS top_ts_us,
+       event_id AS top_event_id,
+       CAST(round(value * 100) AS BIGINT) AS top_value_cents
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY ts DESC, event_id DESC)
+                  AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+# fixed-interval ladder for auto_date_histogram (micros); ES also
+# offers calendar intervals (months/years) — deliberately out of
+# scope, the fixed ladder is the deterministic distributed-friendly
+# subset
+_AUTO_HIST_LADDER_US = [60_000_000, 300_000_000, 1_800_000_000,
+                        3_600_000_000, 10_800_000_000,
+                        43_200_000_000, 86_400_000_000,
+                        604_800_000_000]
+_AUTO_HIST_TARGET = 40
+
+
+def auto_date_histogram_events(sf_dir: str,
+                               target_buckets: int = _AUTO_HIST_TARGET):
+    """ES ``auto_date_histogram``: pick the SMALLEST interval from a
+    fixed ladder whose floor-grid bucket count over [min ts, max ts]
+    stays ≤ ``target_buckets``, then one date_histogram at that
+    interval.  The min/max probe is one tiny aggregate (metadata-
+    scale); the choice rule — ``floor(mx/iv) − floor(mn/iv) + 1 ≤
+    target``, largest ladder entry as fallback — is deterministic and
+    mirrored verbatim in SQL."""
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({"us": t["ts"].cast(pa.int64())})
+
+    bounds = (_read(sf_dir, "events", ["ts"])
+              .map_batches(to_us, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .aggregate(Min("us"), Max("us")))
+    mn, mx = int(bounds["min(us)"]), int(bounds["max(us)"])
+    iv = _AUTO_HIST_LADDER_US[-1]
+    for cand_iv in _AUTO_HIST_LADDER_US:
+        if mx // cand_iv - mn // cand_iv + 1 <= target_buckets:
+            iv = cand_iv
+            break
+
+    def bucket(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        part = pa.table({"bucket_us": pa.array((us // iv) * iv,
+                                               pa.int64())})
+        g = part.group_by("bucket_us").aggregate([([], "count_all")])
+        return g.rename_columns(["bucket_us", "n_part"])
+
+    out = (_read(sf_dir, "events", ["ts"])
+           .map_batches(bucket, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("bucket_us")
+           .aggregate(Sum("n_part", alias_name="n_events")))
+    return out.map_batches(
+        lambda t: t.append_column(
+            "interval_us", pa.array([iv] * len(t), pa.int64())),
+        batch_format="pyarrow")
+
+
+def _auto_hist_sql() -> str:
+    ladder = _AUTO_HIST_LADDER_US
+    pick = f"{ladder[-1]}"
+    for cand_iv in reversed(ladder[:-1]):
+        pick = (f"CASE WHEN mx // {cand_iv} - mn // {cand_iv} + 1 "
+                f"<= {_AUTO_HIST_TARGET} THEN {cand_iv} "
+                f"ELSE {pick} END")
+    return f"""
+WITH b AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx
+           FROM events),
+iv AS (SELECT ({pick}) AS us FROM b)
+SELECT (epoch_us(ts) // iv.us) * iv.us AS bucket_us,
+       CAST(count(*) AS BIGINT) AS n_events,
+       iv.us AS interval_us
+FROM events, iv
+GROUP BY 1, 3
+"""
+
+
+AUTO_DATE_HISTOGRAM_SQL = _auto_hist_sql()
+
+
 def topk_orders_per_customer(sf_dir: str, k: int = 3,
                              n_buckets: int = 64):
     """Windowed ranking (§2.7 depth): each customer's top-k orders by
@@ -4793,6 +4921,8 @@ QUERIES = {
     "quantiles_events": quantiles_events,
     "extended_stats_events": extended_stats_events,
     "mad_events": mad_events,
+    "top_metrics_events": top_metrics_events,
+    "auto_date_histogram_events": auto_date_histogram_events,
     "topk_orders_per_customer": topk_orders_per_customer,
     "hopping_window_events": hopping_window_events,
     "range_join_orders_bands": range_join_orders_bands,
@@ -4863,6 +4993,8 @@ ORACLE = {
     "quantiles_events": QUANTILES_SQL,
     "extended_stats_events": EXTENDED_STATS_SQL,
     "mad_events": MAD_SQL,
+    "top_metrics_events": TOP_METRICS_SQL,
+    "auto_date_histogram_events": AUTO_DATE_HISTOGRAM_SQL,
     "topk_orders_per_customer": TOPK_PER_CUST_SQL,
     "hopping_window_events": HOPPING_SQL,
     "range_join_orders_bands": RANGE_JOIN_SQL,

@@ -1002,3 +1002,67 @@ def test_span_composition_distributed(pos_index, ray_session):
                 (slots, slop)
     finally:
         ds.shutdown()
+
+
+def test_span_containing_kernel_fuzz():
+    """Adversarial randomized check of span_near_spans /
+    span_containing_match_docs against a brute-force chain enumerator
+    on tiny synthetic position sets — more terms, tighter windows, and
+    denser duplicate positions than any real corpus case."""
+    import numpy as np
+
+    from mee_ray.query import span_containing_match_docs
+
+    rng = np.random.default_rng(1234)
+    for trial in range(300):
+        n_docs = int(rng.integers(1, 6))
+        n_terms = int(rng.integers(2, 5))
+        slop = int(rng.integers(0, 4))
+        terms = [f"t{i}" for i in range(n_terms)]
+        little = "little" if rng.random() < 0.8 else terms[0]
+        vocab = terms + (["little"] if little == "little" else [])
+        # per-doc random positions per term
+        pos: dict[str, dict[int, list[int]]] = {t: {} for t in vocab}
+        for d in range(n_docs):
+            for t in vocab:
+                kk = int(rng.integers(0, 5))
+                if kk:
+                    pos[t][d] = sorted(set(
+                        rng.integers(0, 14, size=kk).tolist()))
+
+        def tdp(t):
+            ids, offs, flat = [], [0], []
+            for d in sorted(pos[t]):
+                if pos[t][d]:
+                    ids.append(d)
+                    flat.extend(pos[t][d])
+                    offs.append(len(flat))
+            return (np.array(ids, np.int64),
+                    np.array(offs, np.int64),
+                    np.array(flat, np.int64))
+
+        data = {t: tdp(t) for t in set(terms) | {little}}
+        got = span_containing_match_docs(data, terms, slop,
+                                         little).tolist()
+
+        def spans(d):
+            out = []
+
+            def chain(i, prev, start):
+                if i == n_terms:
+                    out.append((start, prev))
+                    return
+                for p in pos[terms[i]].get(d, []):
+                    if prev < p <= prev + slop + 1:
+                        chain(i + 1, p, start)
+
+            for p0 in pos[terms[0]].get(d, []):
+                chain(1, p0, p0)
+            return out
+
+        want = sorted(
+            d for d in range(n_docs)
+            if any(s <= p <= e for s, e in spans(d)
+                   for p in pos[little].get(d, [])))
+        assert got == want, (trial, terms, slop, little, pos, got,
+                             want)

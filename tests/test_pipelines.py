@@ -107,6 +107,7 @@ SQL_CHECKED = [
     "bm25_common_terms_documents", "bm25_script_score_documents",
     "serial_diff_events", "bucket_script_events",
     "extended_stats_events", "mad_events", "training_shuffle_order",
+    "top_metrics_events", "auto_date_histogram_events",
     "bm25_span_containing_documents", "bm25_span_within_documents",
     "bm25_span_or_near_documents",
 ]
