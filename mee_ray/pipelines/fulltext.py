@@ -1911,6 +1911,92 @@ WHERE rank <= {TOP_K}
 """
 
 
+def _ensure_combined_index(sf_dir: str) -> str:
+    """Third field index: the BM25F *combined pseudo-field* (Lucene
+    CombinedFieldQuery's model) for fields body^1 + title^{int(TITLE_WEIGHT)}
+    — the pseudo-document is the body followed by the title repeated
+    TITLE_WEIGHT times, so a STANDARD BM25 index over it yields exactly
+    tf_c = tf_body + w·tf_title, dl_c = dl_body + w·dl_title, one
+    blended df/idf and one combined avgdl.  Same corpus identity
+    (repo/path/commit) as the body/title indexes."""
+    import re
+    from mee_ray.pipelines.text import TOKEN_PATTERN
+    root = _index_root(sf_dir) + "_combined"
+    cfg = EngineConfig(tokenizer=TokenizerConfig.simple())
+    if mf.current_epoch(root) is None:
+        rx = re.compile(TOKEN_PATTERN)
+        w = int(TITLE_WEIGHT)
+
+        def to_combined(t: pa.Table) -> pa.Table:
+            outs = []
+            for x in t["content"].to_pylist():
+                toks = rx.findall(x.lower())
+                title = " ".join(toks[:TITLE_LEN])
+                outs.append(" ".join(toks) + (" " + title) * w
+                            if toks else "")
+            return t.set_column(t.schema.get_field_index("content"),
+                                "content", pa.array(outs, pa.string()))
+
+        corpus = documents_as_corpus(sf_dir).map_batches(
+            to_combined, batch_format="pyarrow")
+        build_index(corpus, root, "ep1", cfg, dedup=False)
+    return root
+
+
+def bm25_combined_fields_documents(sf_dir: str):
+    """ES ``combined_fields`` query (Lucene CombinedFieldQuery /
+    simplified BM25F): unlike most_fields (per-field BM25 summed,
+    bm25_multifield) or cross_fields (per-term best-field tf-norm under
+    a blended idf), combined_fields scores ONE pseudo-field whose term
+    statistics merge the fields up front — tf and dl are
+    weight-summed, idf and avgdl come from the merged field.  Realized
+    here as a real engine index over the pseudo-field (body + title
+    repeated {int(TITLE_WEIGHT)}×), so the full distributed path
+    (build → segments → WAND search) serves it; no new scoring kernel
+    is needed because the pseudo-field construction IS the BM25F
+    transform.  Emitted as (query_id, rank, doc_id), shared tie-break."""
+    from mee_ray.query import Searcher
+    root = _ensure_combined_index(sf_dir)
+    s = Searcher(root)
+    return _rank_table(_reference_text_results(s), _orig_id_map(root))
+
+
+def _bm25_combined_fields_sql() -> str:
+    # the combined pseudo-field in SQL: cts = ts || title || title
+    title_rep = " || ".join([f"list_slice(ts0, 1, {TITLE_LEN})"]
+                            * int(TITLE_WEIGHT))
+    return f"""
+WITH tokl AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts0
+  FROM documents),
+ctokl AS (
+  SELECT doc_id, ts0 || {title_rep} AS ts
+  FROM tokl),
+tok AS (SELECT doc_id, unnest(ts) AS term FROM ctokl),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 (SELECT count(*) FROM tok) AS total_tokens),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM scores)
+WHERE rank <= {TOP_K}
+"""
+
+
 # ES rescore: re-rank only the top-RESCORE_WINDOW of the base
 # (disjunctive) ranking with a secondary query — here an all-terms
 # match bonus.  The bonus multiplies the doc's OWN base score
@@ -4144,6 +4230,7 @@ QUERIES = {
     "bm25_rescore_documents": bm25_rescore_documents,
     "bm25_multifield_documents": bm25_multifield_documents,
     "bm25_cross_fields_documents": bm25_cross_fields_documents,
+    "bm25_combined_fields_documents": bm25_combined_fields_documents,
     "bm25_collapse_documents": bm25_collapse_documents,
     "bm25_synonym_documents": bm25_synonym_documents,
     "completion_suggest_documents": completion_suggest_documents,
@@ -4208,6 +4295,7 @@ ORACLE = {
     "bm25_rescore_documents": _bm25_rescore_sql(),
     "bm25_multifield_documents": _bm25_multifield_sql(),
     "bm25_cross_fields_documents": _bm25_cross_fields_sql(),
+    "bm25_combined_fields_documents": _bm25_combined_fields_sql(),
     "bm25_collapse_documents": _bm25_collapse_sql(),
     "bm25_synonym_documents": _bm25_synonym_sql(),
     "completion_suggest_documents": _completion_sql(),

@@ -109,7 +109,7 @@ SQL_CHECKED = [
     "extended_stats_events", "mad_events", "training_shuffle_order",
     "top_metrics_events", "auto_date_histogram_events",
     "bm25_span_containing_documents", "bm25_span_within_documents",
-    "bm25_span_or_near_documents",
+    "bm25_span_or_near_documents", "bm25_combined_fields_documents",
 ]
 
 
