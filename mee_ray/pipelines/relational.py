@@ -4888,6 +4888,495 @@ WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
 """
 
 
+# ---------------------------------------------------- ES agg family --
+# filters / multi_terms / date_range / rate / cumulative_cardinality /
+# diversified sampler / string_stats — the remaining ES aggregation
+# surfaces, each with the exact-integer partial-aggregate discipline
+# (cents cross the exchange, never raw doubles) and a SQL mirror.
+
+_DAY_US = 86_400_000_000
+_WEEK_US = 604_800_000_000
+
+
+def _cents_of(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    """SQL ``CAST(round(value * 100) AS BIGINT)`` exactly (half away
+    from zero), shared by the agg family below."""
+    return pc.cast(pc.round(pc.multiply(col, 100.0),
+                            options=pc.RoundOptions(
+                                round_mode="half_towards_infinity")),
+                   pa.int64())
+
+
+def filters_agg_events(sf_dir: str):
+    """ES ``filters`` aggregation with ``other_bucket``: one NAMED
+    bucket per predicate — high_value (value ≥ 100), clicks
+    (event_type = 'click'), weekend (day-of-week ∈ {Sat, Sun} on the
+    epoch-day grid, 1970-01-01 being a Thursday) — plus ``other`` for
+    events matching none.  ES buckets are NOT disjoint (an event can
+    land in several); each batch emits exactly one 4-row partial
+    (count + exact cents sum per bucket), so the exchange carries 4
+    rows per batch regardless of input size."""
+    from ray.data.aggregate import Sum
+
+    names = ["high_value", "clicks", "weekend", "other"]
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        dow = (us // _DAY_US + 4) % 7
+        value = t["value"].to_numpy(zero_copy_only=False)
+        cents = _cents_of(t["value"]).to_numpy(zero_copy_only=False)
+        et_click = pc.equal(t["event_type"], pa.scalar("click")) \
+            .to_numpy(zero_copy_only=False)
+        masks = [value >= 100.0, et_click, dow >= 5]
+        masks.append(~(masks[0] | masks[1] | masks[2]))
+        return pa.table({
+            "bucket": pa.array(names, pa.string()),
+            "n_part": pa.array([int(m.sum()) for m in masks], pa.int64()),
+            "s_part": pa.array([int(cents[m].sum()) for m in masks],
+                               pa.int64())})
+
+    return (_read(sf_dir, "events", ["ts", "event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("bucket")
+            .aggregate(Sum("n_part", alias_name="n_events"),
+                       Sum("s_part", alias_name="sum_value_cents")))
+
+
+def _filters_sql() -> str:
+    arms = {
+        "high_value": "value >= 100.0",
+        "clicks": "event_type = 'click'",
+        "weekend": "dow >= 5",
+        "other": ("NOT (value >= 100.0 OR event_type = 'click' "
+                  "OR dow >= 5)"),
+    }
+    selects = [
+        f"SELECT '{name}' AS bucket, count(*) AS n_events, "
+        f"CAST(coalesce(sum(cent), 0) AS BIGINT) AS sum_value_cents "
+        f"FROM c WHERE {cond}"
+        for name, cond in arms.items()]
+    return ("WITH c AS (SELECT event_type, value, "
+            "CAST(round(value * 100) AS BIGINT) AS cent, "
+            f"(epoch_us(ts) // {_DAY_US} + 4) % 7 AS dow FROM events)\n"
+            + "\nUNION ALL\n".join(selects))
+
+
+FILTERS_AGG_SQL = _filters_sql()
+
+_MULTI_TERMS_K = 10
+
+
+def multi_terms_events(sf_dir: str, k: int = _MULTI_TERMS_K):
+    """ES ``multi_terms`` aggregation: buckets keyed by the TUPLE
+    (event_type, day-of-week), ordered by doc count desc (key asc as
+    the deterministic tie-break ES applies), top ``k`` only, each
+    carrying count + exact cents sum.  Bucket space is the key-tuple
+    cross product (|types| × 7) — the final sort runs on that
+    metadata-scale table, not on events."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (pa.table({"event_type": t["event_type"],
+                       "dow": pa.array((us // _DAY_US + 4) % 7,
+                                       pa.int64()),
+                       "cent": _cents_of(t["value"])})
+             .group_by(["event_type", "dow"])
+             .aggregate([([], "count_all"), ("cent", "sum")]))
+        return g.rename_columns(["event_type", "dow", "n_part",
+                                 "s_part"])
+
+    agg = (_read(sf_dir, "events", ["ts", "event_type", "value"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby(["event_type", "dow"])
+           .aggregate(Sum("n_part", alias_name="n_events"),
+                      Sum("s_part", alias_name="sum_value_cents")))
+    blocks = list(agg.iter_batches(batch_format="pyarrow"))
+    t = pa.concat_tables(blocks) if blocks else pa.table(
+        {"event_type": pa.array([], pa.string()),
+         "dow": pa.array([], pa.int64()),
+         "n_events": pa.array([], pa.int64()),
+         "sum_value_cents": pa.array([], pa.int64())})
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    dow = t["dow"].to_numpy(zero_copy_only=False)
+    n = t["n_events"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((dow, et, -n))[:k]
+    t = t.take(pa.array(order))
+    return t.add_column(0, "rank",
+                        pa.array(np.arange(1, len(t) + 1), pa.int64()))
+
+
+MULTI_TERMS_SQL = f"""
+WITH b AS (
+  SELECT event_type,
+         (epoch_us(ts) // {_DAY_US} + 4) % 7 AS dow,
+         count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+  FROM events GROUP BY 1, 2)
+SELECT CAST(row_number() OVER (ORDER BY n_events DESC, event_type, dow)
+            AS BIGINT) AS rank,
+       event_type, dow, n_events, sum_value_cents
+FROM b
+QUALIFY rank <= {_MULTI_TERMS_K}
+"""
+
+# date_range bucket edges (us since epoch); None = unbounded, the ES
+# from/to contract (from inclusive, to exclusive)
+_DATE_RANGE_EDGES = [
+    int(np.datetime64(d, "us").astype(np.int64))
+    for d in ("2024-01-08", "2024-01-15", "2024-01-22")]
+
+
+def date_range_agg_events(sf_dir: str):
+    """ES ``date_range`` aggregation: explicit [from, to) buckets —
+    here the unbounded head, two interior weeks, and the unbounded
+    tail around {_DATE_RANGE_EDGES}.  Contiguous edges make the bucket
+    id one ``searchsorted`` per batch; every batch emits exactly one
+    4-row partial like filters_agg."""
+    from ray.data.aggregate import Sum
+
+    edges = np.asarray(_DATE_RANGE_EDGES, dtype=np.int64)
+    n_b = len(edges) + 1
+    froms = pa.array([None] + _DATE_RANGE_EDGES, pa.int64())
+    tos = pa.array(_DATE_RANGE_EDGES + [None], pa.int64())
+    names = pa.array([f"r{i}" for i in range(n_b)], pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cents = _cents_of(t["value"]).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(edges, us, side="right")
+        n_part = np.bincount(idx, minlength=n_b).astype(np.int64)
+        s_part = np.bincount(idx, weights=cents.astype(np.float64),
+                             minlength=n_b).astype(np.int64)
+        # bincount sums cents in float64 — exact while |Σ| < 2^53,
+        # true for any per-batch cents total here; the cross-batch
+        # sum stays int64 in the groupby
+        return pa.table({"bucket": names, "from_us": froms,
+                         "to_us": tos,
+                         "n_part": pa.array(n_part, pa.int64()),
+                         "s_part": pa.array(s_part, pa.int64())})
+
+    return (_read(sf_dir, "events", ["ts", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["bucket", "from_us", "to_us"])
+            .aggregate(Sum("n_part", alias_name="n_events"),
+                       Sum("s_part", alias_name="sum_value_cents")))
+
+
+def _date_range_sql() -> str:
+    edges = _DATE_RANGE_EDGES
+    bounds = list(zip([None] + edges, edges + [None]))
+    selects = []
+    for i, (lo, hi) in enumerate(bounds):
+        conds = []
+        if lo is not None:
+            conds.append(f"epoch_us(ts) >= {lo}")
+        if hi is not None:
+            conds.append(f"epoch_us(ts) < {hi}")
+        lo_s = "CAST(NULL AS BIGINT)" if lo is None else str(lo)
+        hi_s = "CAST(NULL AS BIGINT)" if hi is None else str(hi)
+        selects.append(
+            f"SELECT 'r{i}' AS bucket, {lo_s} AS from_us, "
+            f"{hi_s} AS to_us, count(*) AS n_events, "
+            f"CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)), 0)"
+            f" AS BIGINT) AS sum_value_cents "
+            f"FROM events WHERE {' AND '.join(conds)}")
+    return "\nUNION ALL\n".join(selects)
+
+
+DATE_RANGE_AGG_SQL = _date_range_sql()
+
+
+def rate_agg_events(sf_dir: str):
+    """ES ``rate`` aggregation (unit=day) inside a weekly
+    date_histogram: per epoch-week bucket, count, exact cents sum, and
+    the day-rate = sum / 7 — ONE float division applied identically on
+    both sides of the oracle, so the doubles are bit-equal."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (pa.table({"week_us": pa.array((us // _WEEK_US) * _WEEK_US,
+                                           pa.int64()),
+                       "cent": _cents_of(t["value"])})
+             .group_by("week_us")
+             .aggregate([([], "count_all"), ("cent", "sum")]))
+        return g.rename_columns(["week_us", "n_part", "s_part"])
+
+    agg = (_read(sf_dir, "events", ["ts", "value"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("week_us")
+           .aggregate(Sum("n_part", alias_name="n_events"),
+                      Sum("s_part", alias_name="sum_value_cents")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        rate = pc.divide(pc.cast(t["sum_value_cents"], pa.float64()),
+                         pa.scalar(7.0))
+        return t.append_column("rate_cents_per_day", rate)
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+RATE_AGG_SQL = f"""
+SELECT (epoch_us(ts) // {_WEEK_US}) * {_WEEK_US} AS week_us,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_value_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / 7.0
+         AS rate_cents_per_day
+FROM events GROUP BY 1
+"""
+
+
+def cumulative_cardinality_events(sf_dir: str):
+    """ES ``cumulative_cardinality`` pipeline aggregation over a daily
+    date_histogram: per day, the running count of DISTINCT users seen
+    so far — EXACT (ES's is HLL-approximate) via the first-seen-day
+    rewrite: cum_users(d) = |{u : first_day(u) ≤ d}|, so the wide work
+    is one groupby(user).min(day) whose exchange carries one row per
+    distinct user per batch, plus the daily count histogram.  The
+    cumulative sum runs on the day-bucket table (bounded by corpus
+    time span — metadata-scale), never on events."""
+    from ray.data.aggregate import Min, Sum
+
+    def day_counts(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (pa.table({"day": pa.array(us // _DAY_US, pa.int64())})
+             .group_by("day").aggregate([([], "count_all")]))
+        return g.rename_columns(["day", "n_part"])
+
+    def first_seen_partial(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (pa.table({"user_id": t["user_id"],
+                       "day": pa.array(us // _DAY_US, pa.int64())})
+             .group_by("user_id").aggregate([("day", "min")]))
+        return g.rename_columns(["user_id", "day_p"])
+
+    days = (_read(sf_dir, "events", ["ts"])
+            .map_batches(day_counts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("day").aggregate(Sum("n_part",
+                                          alias_name="n_events")))
+    first = (_read(sf_dir, "events", ["ts", "user_id"])
+             .map_batches(first_seen_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby("user_id").aggregate(Min("day_p",
+                                               alias_name="day")))
+
+    def new_user_counts(t: pa.Table) -> pa.Table:
+        g = (t.select(["day"]).group_by("day")
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["day", "nu_part"])
+
+    new_users = (first.map_batches(new_user_counts,
+                                   batch_format="pyarrow")
+                 .groupby("day").aggregate(Sum("nu_part",
+                                               alias_name="new_users")))
+
+    dt = pa.concat_tables(list(days.iter_batches(
+        batch_format="pyarrow"))).sort_by("day")
+    nt = pa.concat_tables(list(new_users.iter_batches(
+        batch_format="pyarrow")))
+    nu_map = dict(zip(nt["day"].to_pylist(), nt["new_users"].to_pylist()))
+    day = dt["day"].to_numpy(zero_copy_only=False)
+    nu = np.array([nu_map.get(int(d), 0) for d in day], dtype=np.int64)
+    return pa.table({
+        "bucket_us": pa.array(day * _DAY_US, pa.int64()),
+        "n_events": dt["n_events"],
+        "new_users": pa.array(nu, pa.int64()),
+        "cum_users": pa.array(np.cumsum(nu), pa.int64())})
+
+
+CUMULATIVE_CARDINALITY_SQL = f"""
+WITH d AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day, count(*) AS n_events
+  FROM events GROUP BY 1),
+f AS (
+  SELECT user_id, min(epoch_us(ts) // {_DAY_US}) AS day
+  FROM events GROUP BY user_id),
+nu AS (SELECT day, count(*) AS new_users FROM f GROUP BY day)
+SELECT d.day * {_DAY_US} AS bucket_us,
+       CAST(d.n_events AS BIGINT) AS n_events,
+       CAST(coalesce(nu.new_users, 0) AS BIGINT) AS new_users,
+       CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY d.day)
+            AS BIGINT) AS cum_users
+FROM d LEFT JOIN nu USING (day)
+"""
+
+_SAMPLER_PER_SOURCE = 3
+_SAMPLER_SIZE = 50
+
+
+def diversified_sample_documents(sf_dir: str,
+                                 per_source: int = _SAMPLER_PER_SOURCE,
+                                 sample: int = _SAMPLER_SIZE):
+    """ES ``diversified_sampler`` aggregation, made deterministic:
+    walk documents in global order (n_chars DESC, doc_id ASC — "best
+    first"), keep a doc only while fewer than ``per_source`` docs of
+    its source are kept, stop after ``sample``.  Equivalent closed
+    form (provable because docs are only ever skipped for the source
+    cap): survivors = within-source rank ≤ per_source, then the first
+    ``sample`` survivors in global order.  The per-source top-k is the
+    same combiner/finish discipline as topk_orders_per_customer; only
+    |sources| × per_source rows reach the driver for the final
+    (bounded) cut."""
+
+    def topk_per_source(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["source"].to_pylist(), dtype=object)
+        order = np.lexsort((t["doc_id"].to_numpy(zero_copy_only=False),
+                            -t["n_chars"].to_numpy(zero_copy_only=False),
+                            src))
+        src_s = src[order]
+        new = np.ones(len(src_s), dtype=bool)
+        new[1:] = src_s[1:] != src_s[:-1]
+        pos = np.arange(len(src_s))
+        start = np.maximum.accumulate(np.where(new, pos, 0))
+        keep = pos - start < per_source
+        return t.take(pa.array(order[keep]))
+
+    survivors = (_read(sf_dir, "documents",
+                       ["doc_id", "source", "n_chars"])
+                 .map_batches(topk_per_source, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .groupby("source")
+                 .map_groups(topk_per_source, batch_format="pyarrow"))
+    t = pa.concat_tables(list(survivors.iter_batches(
+        batch_format="pyarrow")))
+    order = np.lexsort((t["doc_id"].to_numpy(zero_copy_only=False),
+                        -t["n_chars"].to_numpy(zero_copy_only=False)))
+    t = t.take(pa.array(order[:sample]))
+    return t.add_column(0, "rank",
+                        pa.array(np.arange(1, len(t) + 1), pa.int64()))
+
+
+DIVERSIFIED_SAMPLE_SQL = f"""
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS rs
+  FROM documents),
+s AS (
+  SELECT doc_id, source, n_chars,
+         CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id)
+              AS BIGINT) AS rank
+  FROM r WHERE rs <= {_SAMPLER_PER_SOURCE})
+SELECT rank, doc_id, source, n_chars FROM s
+WHERE rank <= {_SAMPLER_SIZE}
+"""
+
+
+def string_stats_documents(sf_dir: str):
+    """ES ``string_stats`` aggregation (show_distribution analog) per
+    lang over ``text``: doc count, min/max/avg length (chars), the
+    EXACT distinct-codepoint count, and the Shannon entropy of the
+    character distribution in micro-bits.  Two bounded exchanges: the
+    length stats move one row per (lang) per batch; the character
+    histogram moves one row per (lang, codepoint) per batch — the
+    codepoint alphabet, not the corpus.  Entropy finishes on the
+    driver from the final histogram summed in codepoint order; it is
+    a rounded float aggregate (module convention — sum order across
+    engines differs by ULPs, ×10⁶-and-round makes the hash stable)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def len_partial(t: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(t["text"])
+        g = (pa.table({"lang": t["lang"], "ln": ln})
+             .group_by("lang")
+             .aggregate([([], "count_all"), ("ln", "sum"),
+                         ("ln", "min"), ("ln", "max")]))
+        return g.rename_columns(["lang", "n_p", "s_p", "mn_p", "mx_p"])
+
+    def char_partial(t: pa.Table) -> pa.Table:
+        langs, cps, cnts = [], [], []
+        for lang, text in zip(t["lang"].to_pylist(),
+                              t["text"].to_pylist()):
+            # per-doc decode is vectorized (numpy over utf-32 bytes);
+            # only (lang, codepoint, count) rows leave the batch
+            arr = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+            u, c = np.unique(arr, return_counts=True)
+            langs.append(np.full(len(u), lang, dtype=object))
+            cps.append(u.astype(np.int64))
+            cnts.append(c.astype(np.int64))
+        if not langs:
+            return pa.table({"lang": pa.array([], pa.string()),
+                             "cp": pa.array([], pa.int64()),
+                             "c_p": pa.array([], pa.int64())})
+        g = (pa.table({"lang": pa.array(np.concatenate(langs)),
+                       "cp": pa.array(np.concatenate(cps)),
+                       "c": pa.array(np.concatenate(cnts))})
+             .group_by(["lang", "cp"]).aggregate([("c", "sum")]))
+        return g.rename_columns(["lang", "cp", "c_p"])
+
+    lens = (_read(sf_dir, "documents", ["lang", "text"])
+            .map_batches(len_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("lang")
+            .aggregate(Sum("n_p", alias_name="n_docs"),
+                       Sum("s_p", alias_name="sum_len"),
+                       Min("mn_p", alias_name="min_len"),
+                       Max("mx_p", alias_name="max_len")))
+    hist = (_read(sf_dir, "documents", ["lang", "text"])
+            .map_batches(char_partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["lang", "cp"])
+            .aggregate(Sum("c_p", alias_name="cnt")))
+
+    lt = pa.concat_tables(list(lens.iter_batches(
+        batch_format="pyarrow"))).sort_by("lang")
+    ht = pa.concat_tables(list(hist.iter_batches(
+        batch_format="pyarrow")))
+    hl = np.asarray(ht["lang"].to_pylist(), dtype=object)
+    hcp = ht["cp"].to_numpy(zero_copy_only=False)
+    hc = ht["cnt"].to_numpy(zero_copy_only=False)
+    n_distinct, ent_micro = [], []
+    for lang in lt["lang"].to_pylist():
+        m = hl == lang
+        cp, c = hcp[m], hc[m].astype(np.float64)
+        order = np.argsort(cp)
+        c = c[order]
+        total = c.sum()
+        # H = log2(N) − Σ c·log2(c) / N, summed in codepoint order
+        h = np.log2(total) - float(np.dot(c, np.log2(c))) / total
+        n_distinct.append(int(m.sum()))
+        ent_micro.append(int(np.floor(h * 1e6 + 0.5)))
+    return pa.table({
+        "lang": lt["lang"], "n_docs": lt["n_docs"],
+        "sum_len": lt["sum_len"], "min_len": lt["min_len"],
+        "max_len": lt["max_len"],
+        "avg_len": pc.divide(pc.cast(lt["sum_len"], pa.float64()),
+                             pc.cast(lt["n_docs"], pa.float64())),
+        "n_distinct_chars": pa.array(n_distinct, pa.int64()),
+        "entropy_microbits": pa.array(ent_micro, pa.int64())})
+
+
+STRING_STATS_SQL = """
+WITH l AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS sum_len,
+         min(length(text)) AS min_len, max(length(text)) AS max_len
+  FROM documents GROUP BY lang),
+ch AS (
+  SELECT lang, unnest(split(text, '')) AS chr FROM documents),
+hist AS (
+  SELECT lang, chr, count(*) AS c FROM ch GROUP BY lang, chr),
+ent AS (
+  SELECT lang, count(*) AS n_distinct_chars,
+         log2(sum(c)) - sum(c * log2(c)) / sum(c) AS h
+  FROM hist GROUP BY lang)
+SELECT l.lang, l.n_docs, l.sum_len, l.min_len, l.max_len,
+       CAST(l.sum_len AS DOUBLE) / CAST(l.n_docs AS DOUBLE) AS avg_len,
+       CAST(ent.n_distinct_chars AS BIGINT) AS n_distinct_chars,
+       CAST(floor(ent.h * 1000000 + 0.5) AS BIGINT)
+         AS entropy_microbits
+FROM l JOIN ent USING (lang)
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project_revenue": filter_project_revenue,
@@ -4958,6 +5447,13 @@ QUERIES = {
     "weighted_avg_lineitem": weighted_avg_lineitem,
     "has_child_orders": has_child_orders,
     "has_parent_lineitems": has_parent_lineitems,
+    "filters_agg_events": filters_agg_events,
+    "multi_terms_events": multi_terms_events,
+    "date_range_agg_events": date_range_agg_events,
+    "rate_agg_events": rate_agg_events,
+    "cumulative_cardinality_events": cumulative_cardinality_events,
+    "diversified_sample_documents": diversified_sample_documents,
+    "string_stats_documents": string_stats_documents,
 }
 
 ORACLE = {
@@ -5032,4 +5528,11 @@ ORACLE = {
     "weighted_avg_lineitem": WEIGHTED_AVG_SQL,
     "has_child_orders": HAS_CHILD_SQL,
     "has_parent_lineitems": HAS_PARENT_SQL,
+    "filters_agg_events": FILTERS_AGG_SQL,
+    "multi_terms_events": MULTI_TERMS_SQL,
+    "date_range_agg_events": DATE_RANGE_AGG_SQL,
+    "rate_agg_events": RATE_AGG_SQL,
+    "cumulative_cardinality_events": CUMULATIVE_CARDINALITY_SQL,
+    "diversified_sample_documents": DIVERSIFIED_SAMPLE_SQL,
+    "string_stats_documents": STRING_STATS_SQL,
 }

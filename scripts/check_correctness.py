@@ -51,7 +51,8 @@ def main():
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
-        if name_filter and name_filter not in name:
+        if name_filter and not any(f in name
+                                   for f in name_filter.split(",")):
             continue
         t0 = time.time()
         try:

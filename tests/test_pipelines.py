@@ -110,6 +110,9 @@ SQL_CHECKED = [
     "top_metrics_events", "auto_date_histogram_events",
     "bm25_span_containing_documents", "bm25_span_within_documents",
     "bm25_span_or_near_documents", "bm25_combined_fields_documents",
+    "filters_agg_events", "multi_terms_events", "date_range_agg_events",
+    "rate_agg_events", "cumulative_cardinality_events",
+    "diversified_sample_documents", "string_stats_documents",
 ]
 
 
