@@ -934,10 +934,7 @@ def extended_stats_events(sf_dir: str):
     from ray.data.aggregate import Max, Min, Sum
 
     def partial(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
-                                 options=pc.RoundOptions(
-                                     round_mode="half_towards_infinity")),
-                        pa.int64())
+        cents = _cents_of(t["value"])
         sq = pc.multiply(cents, cents)
         g = (pa.table({"event_type": t["event_type"], "c": cents,
                        "sq": sq})
@@ -973,7 +970,10 @@ def extended_stats_events(sf_dir: str):
     sq = t["sumsq_cents"].to_numpy(zero_copy_only=False
                                    ).astype(np.float64)
     mean = s / n
-    var = sq / n - mean * mean
+    # clamp: Σc²/n − mean² can round to −ε on a (near-)constant group
+    # once Σc² is large; DuckDB's sqrt(−ε) hard-errors and numpy's is
+    # NaN, so both sides clamp with the same greatest(var, 0) form
+    var = np.maximum(sq / n - mean * mean, 0.0)
     return pa.table({
         "event_type": t["event_type"],
         "n": t["n"], "sum_cents": t["sum_cents"],
@@ -999,12 +999,12 @@ agg AS (
   FROM c GROUP BY event_type)
 SELECT event_type, n, sum_cents, sumsq_cents, min_cents, max_cents,
        CAST(sum_cents AS DOUBLE) / n AS avg_cents,
-       CAST(sumsq_cents AS DOUBLE) / n
-         - (CAST(sum_cents AS DOUBLE) / n)
-           * (CAST(sum_cents AS DOUBLE) / n) AS variance_cents,
-       sqrt(CAST(sumsq_cents AS DOUBLE) / n
-            - (CAST(sum_cents AS DOUBLE) / n)
-              * (CAST(sum_cents AS DOUBLE) / n)) AS std_cents
+       greatest(CAST(sumsq_cents AS DOUBLE) / n
+                - (CAST(sum_cents AS DOUBLE) / n)
+                  * (CAST(sum_cents AS DOUBLE) / n), 0) AS variance_cents,
+       sqrt(greatest(CAST(sumsq_cents AS DOUBLE) / n
+                     - (CAST(sum_cents AS DOUBLE) / n)
+                       * (CAST(sum_cents AS DOUBLE) / n), 0)) AS std_cents
 FROM agg
 """
 
@@ -1020,10 +1020,7 @@ def mad_events(sf_dir: str):
     from ray.data.aggregate import Sum
 
     def cent_counts(t: pa.Table) -> pa.Table:
-        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0),
-                                 options=pc.RoundOptions(
-                                     round_mode="half_towards_infinity")),
-                        pa.int64())
+        cents = _cents_of(t["value"])
         g = (pa.table({"event_type": t["event_type"], "cent": cents})
              .group_by(["event_type", "cent"])
              .aggregate([([], "count_all")]))
@@ -1131,10 +1128,7 @@ def top_metrics_events(sf_dir: str):
 
     def finish(g: pa.Table) -> pa.Table:
         g = argmax_per_type(g)
-        cents = pc.cast(pc.round(pc.multiply(g["value"], 100.0),
-                                 options=pc.RoundOptions(
-                                     round_mode="half_towards_infinity")),
-                        pa.int64())
+        cents = _cents_of(g["value"])
         return pa.table({"event_type": g["event_type"],
                          "top_ts_us": g["ts"].cast(pa.int64()),
                          "top_event_id": g["event_id"],
@@ -4900,7 +4894,8 @@ _WEEK_US = 604_800_000_000
 
 def _cents_of(col: pa.ChunkedArray) -> pa.ChunkedArray:
     """SQL ``CAST(round(value * 100) AS BIGINT)`` exactly (half away
-    from zero), shared by the agg family below."""
+    from zero) — the module's one cents-rounding contract, shared by
+    extended_stats/mad/top_metrics and the ES agg family."""
     return pc.cast(pc.round(pc.multiply(col, 100.0),
                             options=pc.RoundOptions(
                                 round_mode="half_towards_infinity")),
@@ -4911,7 +4906,8 @@ def filters_agg_events(sf_dir: str):
     """ES ``filters`` aggregation with ``other_bucket``: one NAMED
     bucket per predicate — high_value (value ≥ 100), clicks
     (event_type = 'click'), weekend (day-of-week ∈ {Sat, Sun} on the
-    epoch-day grid, 1970-01-01 being a Thursday) — plus ``other`` for
+    epoch-day grid: Monday=0, so 1970-01-01 (a Thursday) maps to 3 and
+    weekend = dow ≥ 5) — plus ``other`` for
     events matching none.  ES buckets are NOT disjoint (an event can
     land in several); each batch emits exactly one 4-row partial
     (count + exact cents sum per bucket), so the exchange carries 4
@@ -4922,7 +4918,7 @@ def filters_agg_events(sf_dir: str):
 
     def partial(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        dow = (us // _DAY_US + 4) % 7
+        dow = (us // _DAY_US + 3) % 7
         value = t["value"].to_numpy(zero_copy_only=False)
         cents = _cents_of(t["value"]).to_numpy(zero_copy_only=False)
         et_click = pc.equal(t["event_type"], pa.scalar("click")) \
@@ -4958,7 +4954,7 @@ def _filters_sql() -> str:
         for name, cond in arms.items()]
     return ("WITH c AS (SELECT event_type, value, "
             "CAST(round(value * 100) AS BIGINT) AS cent, "
-            f"(epoch_us(ts) // {_DAY_US} + 4) % 7 AS dow FROM events)\n"
+            f"(epoch_us(ts) // {_DAY_US} + 3) % 7 AS dow FROM events)\n"
             + "\nUNION ALL\n".join(selects))
 
 
@@ -4979,7 +4975,7 @@ def multi_terms_events(sf_dir: str, k: int = _MULTI_TERMS_K):
     def partial(t: pa.Table) -> pa.Table:
         us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         g = (pa.table({"event_type": t["event_type"],
-                       "dow": pa.array((us // _DAY_US + 4) % 7,
+                       "dow": pa.array((us // _DAY_US + 3) % 7,
                                        pa.int64()),
                        "cent": _cents_of(t["value"])})
              .group_by(["event_type", "dow"])
@@ -5011,7 +5007,7 @@ def multi_terms_events(sf_dir: str, k: int = _MULTI_TERMS_K):
 MULTI_TERMS_SQL = f"""
 WITH b AS (
   SELECT event_type,
-         (epoch_us(ts) // {_DAY_US} + 4) % 7 AS dow,
+         (epoch_us(ts) // {_DAY_US} + 3) % 7 AS dow,
          count(*) AS n_events,
          CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
            AS sum_value_cents
@@ -5337,6 +5333,12 @@ def string_stats_documents(sf_dir: str):
     for lang in lt["lang"].to_pylist():
         m = hl == lang
         cp, c = hcp[m], hc[m].astype(np.float64)
+        # a lang whose docs are all '' has no histogram rows: 0
+        # distinct chars, entropy 0 (the oracle's LEFT JOIN + coalesce)
+        if not len(c):
+            n_distinct.append(0)
+            ent_micro.append(0)
+            continue
         order = np.argsort(cp)
         c = c[order]
         total = c.sum()
@@ -5370,10 +5372,11 @@ ent AS (
   FROM hist GROUP BY lang)
 SELECT l.lang, l.n_docs, l.sum_len, l.min_len, l.max_len,
        CAST(l.sum_len AS DOUBLE) / CAST(l.n_docs AS DOUBLE) AS avg_len,
-       CAST(ent.n_distinct_chars AS BIGINT) AS n_distinct_chars,
-       CAST(floor(ent.h * 1000000 + 0.5) AS BIGINT)
+       CAST(coalesce(ent.n_distinct_chars, 0) AS BIGINT)
+         AS n_distinct_chars,
+       CAST(floor(coalesce(ent.h, 0) * 1000000 + 0.5) AS BIGINT)
          AS entropy_microbits
-FROM l JOIN ent USING (lang)
+FROM l LEFT JOIN ent USING (lang)
 """
 
 

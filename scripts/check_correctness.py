@@ -52,7 +52,7 @@ def main():
     n_pass = n_fail = n_rows_only = 0
     for name, fn in qs.items():
         if name_filter and not any(f in name
-                                   for f in name_filter.split(",")):
+                                   for f in name_filter.split(",") if f):
             continue
         t0 = time.time()
         try:

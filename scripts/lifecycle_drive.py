@@ -141,7 +141,8 @@ ALL = ["or", "and", "common_terms", "script_score", "terms_set",
 
 def main():
     variants = sys.argv[1:] or ALL
-    positional = any(v in ("phrase", "span_near", "intervals")
+    positional = any(v in ("phrase", "span_near", "intervals",
+                           "span_containing", "span_or_near")
                      for v in variants)
 
     import ray
