@@ -5380,6 +5380,282 @@ FROM l LEFT JOIN ent USING (lang)
 """
 
 
+# ------------------------------------------------- ES agg family II --
+# boxplot / histogram(offset, min_doc_count=0) / bucket_sort /
+# normalize — same exact-integer discipline as family I.
+
+def boxplot_events(sf_dir: str):
+    """ES ``boxplot`` aggregation per event_type over ``value`` —
+    EXACT (ES's is TDigest-approximate): quartiles are the discrete
+    order statistic mad_events uses (smallest cent whose running
+    count reaches ceil(q·n) — all int64, no interpolation ULPs), and
+    the Tukey whiskers are the nearest actual values inside
+    q1 − 1.5·IQR / q3 + 1.5·IQR, compared in quarter-cents
+    (4·cent vs 4·q ∓ 6·IQR) so the 1.5× factor never leaves the
+    integers.  The only shuffle carries distinct (type, cent) pairs —
+    the same bounded histogram exchange as mad_events."""
+    from ray.data.aggregate import Sum
+
+    def cent_counts(t: pa.Table) -> pa.Table:
+        g = (pa.table({"event_type": t["event_type"],
+                       "cent": _cents_of(t["value"])})
+             .group_by(["event_type", "cent"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["event_type", "cent", "n_part"])
+
+    hist = (_read(sf_dir, "events", ["event_type", "value"])
+            .map_batches(cent_counts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["event_type", "cent"])
+            .aggregate(Sum("n_part", alias_name="cnt")))
+    import math
+    t = pa.concat_tables(list(hist.iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20)))
+    ets = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    cents = t["cent"].to_numpy(zero_copy_only=False)
+    cnts = t["cnt"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((cents, ets))
+    ets, cents, cnts = ets[order], cents[order], cnts[order]
+    out = {k: [] for k in ("event_type", "n", "min_cents", "max_cents",
+                           "q1_cents", "q2_cents", "q3_cents",
+                           "lower_whisker_cents",
+                           "upper_whisker_cents")}
+    for et in sorted(set(ets.tolist())):
+        m = ets == et
+        c, k = cents[m], cnts[m]
+        run = np.cumsum(k)
+        n = int(run[-1])
+        q1, q2, q3 = (int(c[np.searchsorted(run, math.ceil(q * n))])
+                      for q in (0.25, 0.5, 0.75))
+        iqr = q3 - q1
+        lo_ok = 4 * c >= 4 * q1 - 6 * iqr
+        hi_ok = 4 * c <= 4 * q3 + 6 * iqr
+        out["event_type"].append(et)
+        out["n"].append(n)
+        out["min_cents"].append(int(c[0]))
+        out["max_cents"].append(int(c[-1]))
+        out["q1_cents"].append(q1)
+        out["q2_cents"].append(q2)
+        out["q3_cents"].append(q3)
+        out["lower_whisker_cents"].append(int(c[lo_ok].min()))
+        out["upper_whisker_cents"].append(int(c[hi_ok].max()))
+    return pa.table({k: pa.array(v, pa.string() if k == "event_type"
+                                 else pa.int64())
+                     for k, v in out.items()})
+
+
+BOXPLOT_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cent
+  FROM events),
+tot AS (SELECT event_type, count(*) AS n,
+               min(cent) AS min_cents, max(cent) AS max_cents
+        FROM c GROUP BY event_type),
+cum AS (
+  SELECT event_type, cent,
+         sum(count(*)) OVER (PARTITION BY event_type ORDER BY cent)
+           AS run
+  FROM c GROUP BY event_type, cent),
+q AS (
+  SELECT cum.event_type,
+         CAST(min(CASE WHEN run >= CAST(ceil(0.25 * n) AS BIGINT)
+                       THEN cent END) AS BIGINT) AS q1_cents,
+         CAST(min(CASE WHEN run >= CAST(ceil(0.5 * n) AS BIGINT)
+                       THEN cent END) AS BIGINT) AS q2_cents,
+         CAST(min(CASE WHEN run >= CAST(ceil(0.75 * n) AS BIGINT)
+                       THEN cent END) AS BIGINT) AS q3_cents
+  FROM cum JOIN tot USING (event_type)
+  GROUP BY cum.event_type),
+w AS (
+  SELECT c.event_type,
+         min(CASE WHEN 4 * c.cent >=
+                       4 * q.q1_cents - 6 * (q.q3_cents - q.q1_cents)
+                  THEN c.cent END) AS lo_w,
+         max(CASE WHEN 4 * c.cent <=
+                       4 * q.q3_cents + 6 * (q.q3_cents - q.q1_cents)
+                  THEN c.cent END) AS hi_w
+  FROM c JOIN q USING (event_type)
+  GROUP BY c.event_type)
+SELECT event_type, tot.n, tot.min_cents, tot.max_cents,
+       q.q1_cents, q.q2_cents, q.q3_cents,
+       CAST(w.lo_w AS BIGINT) AS lower_whisker_cents,
+       CAST(w.hi_w AS BIGINT) AS upper_whisker_cents
+FROM tot JOIN q USING (event_type) JOIN w USING (event_type)
+ORDER BY event_type
+"""
+
+_HIST_INTERVAL = 2500              # cents
+_HIST_OFFSET = 300
+
+
+def histogram_events(sf_dir: str, interval: int = _HIST_INTERVAL,
+                     offset: int = _HIST_OFFSET):
+    """ES numeric ``histogram`` aggregation with ``offset`` and
+    ``min_doc_count: 0``: bucket key = offset + interval·⌊(cent −
+    offset)/interval⌋ (true floor division, negative-safe), count +
+    exact cents sum per bucket, and EMPTY buckets emitted between the
+    min and max occupied keys (the gap fill runs on the bounded
+    bucket table on the driver, mirroring the oracle's range() join,
+    never on events)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        cents = _cents_of(t["value"]).to_numpy(zero_copy_only=False)
+        key = offset + interval * ((cents - offset) // interval)
+        g = (pa.table({"key_cents": pa.array(key, pa.int64()),
+                       "cent": pa.array(cents, pa.int64())})
+             .group_by("key_cents")
+             .aggregate([([], "count_all"), ("cent", "sum")]))
+        return g.rename_columns(["key_cents", "n_part", "s_part"])
+
+    agg = (_read(sf_dir, "events", ["value"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("key_cents")
+           .aggregate(Sum("n_part", alias_name="n_events"),
+                      Sum("s_part", alias_name="sum_value_cents")))
+    t = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow"))).sort_by("key_cents")
+    if not len(t):
+        return t
+    keys = t["key_cents"].to_numpy(zero_copy_only=False)
+    full = np.arange(keys[0], keys[-1] + 1, interval, dtype=np.int64)
+    pos = np.searchsorted(keys, full)
+    hit = keys[np.minimum(pos, len(keys) - 1)] == full
+    n = np.where(hit, t["n_events"].to_numpy(
+        zero_copy_only=False)[np.minimum(pos, len(keys) - 1)], 0)
+    s = np.where(hit, t["sum_value_cents"].to_numpy(
+        zero_copy_only=False)[np.minimum(pos, len(keys) - 1)], 0)
+    return pa.table({"key_cents": pa.array(full, pa.int64()),
+                     "n_events": pa.array(n, pa.int64()),
+                     "sum_value_cents": pa.array(s, pa.int64())})
+
+
+HISTOGRAM_SQL = f"""
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cent FROM events),
+b AS (
+  SELECT {_HIST_OFFSET} + {_HIST_INTERVAL} *
+           CAST(floor((cent - {_HIST_OFFSET})
+                      / {_HIST_INTERVAL}.0) AS BIGINT) AS key_cents,
+         count(*) AS n_events,
+         CAST(sum(cent) AS BIGINT) AS sum_value_cents
+  FROM c GROUP BY 1),
+span AS (SELECT min(key_cents) AS lo, max(key_cents) AS hi FROM b),
+grid AS (
+  SELECT CAST(unnest(range(lo, hi + 1, {_HIST_INTERVAL})) AS BIGINT)
+           AS key_cents
+  FROM span)
+SELECT grid.key_cents,
+       CAST(coalesce(b.n_events, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(b.sum_value_cents, 0) AS BIGINT)
+         AS sum_value_cents
+FROM grid LEFT JOIN b USING (key_cents)
+ORDER BY key_cents
+"""
+
+_BUCKET_SORT_FROM = 1
+_BUCKET_SORT_SIZE = 3
+
+
+def bucket_sort_events(sf_dir: str, from_: int = _BUCKET_SORT_FROM,
+                       size: int = _BUCKET_SORT_SIZE):
+    """ES ``bucket_sort`` pipeline aggregation over the event_type
+    terms agg: order buckets by exact cents sum DESC (event_type ASC
+    as the deterministic tie-break), skip ``from``, keep ``size`` —
+    the truncation runs on the bucket table (|types| rows), the
+    events-sized work is one combined groupby."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"event_type": t["event_type"],
+                       "cent": _cents_of(t["value"])})
+             .group_by("event_type")
+             .aggregate([([], "count_all"), ("cent", "sum")]))
+        return g.rename_columns(["event_type", "n_part", "s_part"])
+
+    agg = (_read(sf_dir, "events", ["event_type", "value"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n_part", alias_name="n_events"),
+                      Sum("s_part", alias_name="sum_value_cents")))
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    et = np.asarray(t["event_type"].to_pylist(), dtype=object)
+    s = t["sum_value_cents"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((et, -s))[from_:from_ + size]
+    t = t.take(pa.array(order))
+    return t.add_column(0, "rank", pa.array(
+        np.arange(from_ + 1, from_ + 1 + len(t)), pa.int64()))
+
+
+BUCKET_SORT_SQL = f"""
+WITH b AS (
+  SELECT event_type, count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+  FROM events GROUP BY event_type)
+SELECT CAST(row_number() OVER (ORDER BY sum_value_cents DESC,
+                               event_type) AS BIGINT) AS rank,
+       event_type, n_events, sum_value_cents
+FROM b
+QUALIFY rank > {_BUCKET_SORT_FROM}
+    AND rank <= {_BUCKET_SORT_FROM + _BUCKET_SORT_SIZE}
+ORDER BY rank
+"""
+
+
+def normalize_events(sf_dir: str):
+    """ES ``normalize`` pipeline aggregation (method percent_of_sum)
+    over the event_type terms agg: each bucket's share of the total
+    count and of the total cents sum, in ppm — ONE driver division
+    per bucket, floor(x + 0.5) on non-negative ratios = SQL round()
+    half-away (the repo's exactness rule)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"event_type": t["event_type"],
+                       "cent": _cents_of(t["value"])})
+             .group_by("event_type")
+             .aggregate([([], "count_all"), ("cent", "sum")]))
+        return g.rename_columns(["event_type", "n_part", "s_part"])
+
+    agg = (_read(sf_dir, "events", ["event_type", "value"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n_part", alias_name="n_events"),
+                      Sum("s_part", alias_name="sum_value_cents")))
+    t = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow"))).sort_by("event_type")
+    n = t["n_events"].to_numpy(zero_copy_only=False)
+    s = t["sum_value_cents"].to_numpy(zero_copy_only=False)
+    n_ppm = np.floor(1e6 * n / max(int(n.sum()), 1) + 0.5) \
+        .astype(np.int64)
+    s_ppm = np.floor(1e6 * s / max(int(s.sum()), 1) + 0.5) \
+        .astype(np.int64)
+    return pa.table({"event_type": t["event_type"],
+                     "n_events": t["n_events"],
+                     "sum_value_cents": t["sum_value_cents"],
+                     "count_ppm": pa.array(n_ppm, pa.int64()),
+                     "sum_ppm": pa.array(s_ppm, pa.int64())})
+
+
+NORMALIZE_SQL = """
+WITH b AS (
+  SELECT event_type, count(*) AS n_events,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           AS sum_value_cents
+  FROM events GROUP BY event_type)
+SELECT event_type, n_events, sum_value_cents,
+       CAST(round(1000000.0 * n_events
+                  / sum(n_events) OVER ()) AS BIGINT) AS count_ppm,
+       CAST(round(1000000.0 * sum_value_cents
+                  / sum(sum_value_cents) OVER ()) AS BIGINT) AS sum_ppm
+FROM b ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project_revenue": filter_project_revenue,
@@ -5457,6 +5733,10 @@ QUERIES = {
     "cumulative_cardinality_events": cumulative_cardinality_events,
     "diversified_sample_documents": diversified_sample_documents,
     "string_stats_documents": string_stats_documents,
+    "boxplot_events": boxplot_events,
+    "histogram_events": histogram_events,
+    "bucket_sort_events": bucket_sort_events,
+    "normalize_events": normalize_events,
 }
 
 ORACLE = {
@@ -5538,4 +5818,8 @@ ORACLE = {
     "cumulative_cardinality_events": CUMULATIVE_CARDINALITY_SQL,
     "diversified_sample_documents": DIVERSIFIED_SAMPLE_SQL,
     "string_stats_documents": STRING_STATS_SQL,
+    "boxplot_events": BOXPLOT_SQL,
+    "histogram_events": HISTOGRAM_SQL,
+    "bucket_sort_events": BUCKET_SORT_SQL,
+    "normalize_events": NORMALIZE_SQL,
 }

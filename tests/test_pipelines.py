@@ -113,6 +113,8 @@ SQL_CHECKED = [
     "filters_agg_events", "multi_terms_events", "date_range_agg_events",
     "rate_agg_events", "cumulative_cardinality_events",
     "diversified_sample_documents", "string_stats_documents",
+    "boxplot_events", "histogram_events", "bucket_sort_events",
+    "normalize_events",
 ]
 
 
