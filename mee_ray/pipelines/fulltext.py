@@ -2399,6 +2399,82 @@ WHERE rank <= {TOP_K}
 """
 
 
+# distance_feature: additive proximity boost, the ES query that
+# replaces function_score for "closer to origin ranks higher".
+# Integer n_chars keeps |f − origin| exact in float64; both sides
+# apply the identical boost·(pivot/(pivot+dist)) expression tree.
+DISTANCE_FEATURE_ORIGIN = 250
+DISTANCE_FEATURE_PIVOT = 100.0
+DISTANCE_FEATURE_BOOST = 3.0
+
+
+def bm25_distance_feature_documents(sf_dir: str):
+    """ES ``distance_feature`` query on the numeric ``n_chars``
+    field: final = bm25 + {boost} × pivot / (pivot + |n_chars −
+    origin|) over the matching docs — documents near the origin
+    length get the largest additive boost.  Exact float64 on both
+    sides (one abs, one add, one divide, one multiply, one add).
+    Emitted as (query_id, rank, doc_id)."""
+    import numpy as np
+    from mee_ray.query import Searcher
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    idmap = _orig_id_map(root)
+    ft = pq.read_table(f"{sf_dir}/documents.parquet",
+                       columns=["doc_id", "n_chars"])
+    fmap = dict(zip(ft["doc_id"].to_pylist(),
+                    ft["n_chars"].to_pylist()))
+    out_q, out_r, out_d = [], [], []
+    for qid, ranked in _reference_text_results(s):
+        if not ranked:
+            continue
+        ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
+        base = np.array([sc for _, sc in ranked], dtype=np.float64)
+        f = np.array([fmap[int(i)] for i in ids], dtype=np.float64)
+        final = base + DISTANCE_FEATURE_BOOST * (
+            DISTANCE_FEATURE_PIVOT /
+            (DISTANCE_FEATURE_PIVOT +
+             np.abs(f - DISTANCE_FEATURE_ORIGIN)))
+        order = np.lexsort((ids, -final))[:TOP_K]
+        for rank, j in enumerate(order, start=1):
+            out_q.append(qid)
+            out_r.append(rank)
+            out_d.append(int(ids[j]))
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "doc_id": pa.array(out_d, pa.int64())})
+
+
+def _bm25_distance_feature_sql() -> str:
+    return f"""
+{_base_ctes()},
+q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+scores AS (
+  SELECT q.query_id, tf.doc_id,
+         {_SCORE_SUM}
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id),
+final AS (
+  SELECT sc.query_id, sc.doc_id,
+         sc.score + {DISTANCE_FEATURE_BOOST} *
+           ({DISTANCE_FEATURE_PIVOT} /
+            ({DISTANCE_FEATURE_PIVOT} +
+             abs(CAST(d.n_chars AS DOUBLE)
+                 - {DISTANCE_FEATURE_ORIGIN}))) AS score
+  FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id)
+SELECT query_id, rank, doc_id
+FROM (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, doc_id) AS rank
+      FROM final)
+WHERE rank <= {TOP_K}
+"""
+
+
 def bm25_pinned_documents(sf_dir: str):
     """Pinned query (the ES ``pinned`` analog): the fixed promoted ids
     rank first, in list order, for EVERY query — including queries
@@ -3111,12 +3187,17 @@ def _span_containing_subquery(qid: int, big: list[str], slop: int,
             f"WHERE t0.term = '{big[0]}'")
 
 
-def _span_scored_sql(docs_chains: str, qvals: str) -> str:
+def _span_scored_sql(docs_chains: str, qvals: str = "",
+                     q_cte: str = "") -> str:
     """Shared scored-span oracle shape: a positional membership CTE +
-    the standard per-term score sum restricted to it."""
+    the standard per-term score sum restricted to it.  The scoring
+    term set comes either from literal ``qvals`` or (for
+    dictionary-expanded spans like span_multi) a full ``q_cte``
+    body."""
+    q_cte = q_cte or f"q(query_id, term) AS (VALUES {qvals})"
     return f"""
 {_base_ctes(with_positions=True)},
-q(query_id, term) AS (VALUES {qvals}),
+{q_cte},
 span_docs AS (
   {docs_chains}),
 scores AS (
@@ -3179,6 +3260,81 @@ def _bm25_span_or_sql() -> str:
     qvals = _q_values([(qid, [t for slot in slots for t in slot])
                        for qid, slots, _ in SPAN_OR_QUERIES])
     return _span_scored_sql(chains, qvals)
+
+
+# span_multi (Lucene SpanMultiTermQueryWrapper, reference ES mapping
+# surface): a span_near whose slots may be PREFIX multi-term queries,
+# rewritten at query time against the live dictionary into span_or
+# slots — exactly Lucene's rewrite.  A slot is either a list[str] of
+# literal alternatives or a str prefix.
+SPAN_MULTI_QUERIES: list[tuple[int, list, int]] = [
+    (1, [["merge"], "gro"], 3),
+    (2, ["win", ["join", "scan"]], 3),
+    (3, [["fast"], "ba", ["hash", "key"]], 2),
+    (4, ["ord", "cus"], 2),
+]
+
+
+def bm25_span_multi_documents(sf_dir: str):
+    """ES ``span_multi`` inside ``span_near``: prefix slots expand
+    against the dictionary (``prefix_terms``, the match_bool_prefix
+    expansion) into span_or alternatives, then the span_or_near
+    kernel runs unchanged; an empty expansion kills the whole span
+    (Lucene's empty-rewrite contract).  Survivors score disjunctively
+    over all alternatives restricted to the matches, ranked by
+    (score desc, original id)."""
+    from mee_ray.query import Searcher, prefix_terms
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    vocab = s.vocabulary()
+    results = []
+    for qid, slots, slop in SPAN_MULTI_QUERIES:
+        expanded = [slot if isinstance(slot, list)
+                    else prefix_terms(vocab, slot) for slot in slots]
+        if any(not sl for sl in expanded):
+            results.append((qid, []))
+            continue
+        results.append((qid, s.search_span_or_near(
+            expanded, slop, k=s.n_docs or 1)))
+    return _rank_table(results, _orig_id_map(root))
+
+
+def _span_multi_subquery(qid: int, slots: list, slop: int) -> str:
+    def pred(alias: str, slot) -> str:
+        if isinstance(slot, list):
+            inl = ", ".join(f"'{t}'" for t in sorted(set(slot)))
+            return f"{alias}.term IN ({inl})"
+        return f"{alias}.term LIKE '{slot}%'"
+
+    joins = " ".join(
+        f"JOIN tok t{i} ON t{i}.doc_id = t0.doc_id "
+        f"AND {pred(f't{i}', slots[i])} "
+        f"AND t{i}.i - t{i - 1}.i BETWEEN 1 AND {slop + 1}"
+        for i in range(1, len(slots)))
+    return (f"SELECT DISTINCT {qid} AS query_id, t0.doc_id "
+            f"FROM tok t0 {joins} WHERE {pred('t0', slots[0])}")
+
+
+def _bm25_span_multi_sql() -> str:
+    chains = "\n  UNION ALL\n  ".join(
+        _span_multi_subquery(qid, slots, slop)
+        for qid, slots, slop in SPAN_MULTI_QUERIES)
+    arms = []
+    for qid, slots, _ in SPAN_MULTI_QUERIES:
+        lits = sorted({t for sl in slots if isinstance(sl, list)
+                       for t in sl})
+        if lits:
+            vals = ", ".join(f"({qid}, '{t}')" for t in lits)
+            arms.append(f"SELECT * FROM (VALUES {vals})"
+                        f" v(query_id, term)")
+        arms.extend(
+            f"SELECT {qid} AS query_id, term FROM df "
+            f"WHERE term LIKE '{sl}%'"
+            for sl in slots if isinstance(sl, str))
+    q_cte = ("q(query_id, term) AS (\n  SELECT DISTINCT query_id, "
+             "term FROM (\n  "
+             + "\n  UNION ALL\n  ".join(arms) + "))")
+    return _span_scored_sql(chains, q_cte=q_cte)
 
 
 def _bm25_sql() -> str:
@@ -4249,6 +4405,8 @@ QUERIES = {
     "bm25_span_containing_documents": bm25_span_containing_documents,
     "bm25_span_within_documents": bm25_span_within_documents,
     "bm25_span_or_near_documents": bm25_span_or_near_documents,
+    "bm25_span_multi_documents": bm25_span_multi_documents,
+    "bm25_distance_feature_documents": bm25_distance_feature_documents,
     "bm25_common_terms_documents": bm25_common_terms_documents,
     "bm25_script_score_documents": bm25_script_score_documents,
     "bm25_weighted_documents": bm25_weighted_documents,
@@ -4315,6 +4473,8 @@ ORACLE = {
     "bm25_span_containing_documents": _bm25_span_containing_sql(),
     "bm25_span_within_documents": _bm25_span_within_sql(),
     "bm25_span_or_near_documents": _bm25_span_or_sql(),
+    "bm25_span_multi_documents": _bm25_span_multi_sql(),
+    "bm25_distance_feature_documents": _bm25_distance_feature_sql(),
     "bm25_common_terms_documents": _bm25_common_terms_sql(),
     "bm25_script_score_documents": _bm25_script_score_sql(),
     "bm25_weighted_documents": _bm25_weighted_sql(),

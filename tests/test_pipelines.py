@@ -114,7 +114,8 @@ SQL_CHECKED = [
     "rate_agg_events", "cumulative_cardinality_events",
     "diversified_sample_documents", "string_stats_documents",
     "boxplot_events", "histogram_events", "bucket_sort_events",
-    "normalize_events",
+    "normalize_events", "bm25_span_multi_documents",
+    "bm25_distance_feature_documents",
 ]
 
 
