@@ -5656,6 +5656,113 @@ FROM b ORDER BY event_type
 """
 
 
+_MOVPCT_WINDOW = 7
+
+
+def moving_percentiles_events(sf_dir: str,
+                              window: int = _MOVPCT_WINDOW):
+    """ES ``moving_percentiles`` pipeline aggregation — EXACT (ES
+    merges per-bucket TDigest sketches): for each day of the
+    gap-filled daily histogram, the p50/p90 of ``value`` over the
+    trailing ``window`` days (partial at the head, NULL on an empty
+    window), as the discrete order statistic mad_events uses.  The
+    only shuffle carries distinct (day, cent) pairs — per-day
+    histograms ARE the mergeable sketch, so the windowed merge runs
+    on the bounded bucket table on the driver, never on events."""
+    from ray.data.aggregate import Sum
+
+    def cent_counts(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        g = (pa.table({"day": pa.array(us // _DAY_US, pa.int64()),
+                       "cent": _cents_of(t["value"])})
+             .group_by(["day", "cent"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["day", "cent", "n_part"])
+
+    hist = (_read(sf_dir, "events", ["ts", "value"])
+            .map_batches(cent_counts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["day", "cent"])
+            .aggregate(Sum("n_part", alias_name="cnt")))
+    import math
+    t = pa.concat_tables(list(hist.iter_batches(
+        batch_format="pyarrow", batch_size=1 << 20)))
+    empty = pa.table({"bucket_us": pa.array([], pa.int64()),
+                      "n_window": pa.array([], pa.int64()),
+                      "p50_cents": pa.array([], pa.int64()),
+                      "p90_cents": pa.array([], pa.int64())})
+    if not len(t):
+        return empty
+    day = t["day"].to_numpy(zero_copy_only=False)
+    cent = t["cent"].to_numpy(zero_copy_only=False)
+    cnt = t["cnt"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((cent, day))
+    day, cent, cnt = day[order], cent[order], cnt[order]
+    full = np.arange(day.min(), day.max() + 1, dtype=np.int64)
+    starts = np.searchsorted(day, full)          # row range per day
+    ends = np.searchsorted(day, full, side="right")
+    out_n, out_p50, out_p90 = [], [], []
+    for i in range(len(full)):
+        lo = starts[max(0, i - window + 1)]
+        hi = ends[i]
+        c, k = cent[lo:hi], cnt[lo:hi]
+        if not len(c):
+            out_n.append(0)
+            out_p50.append(None)
+            out_p90.append(None)
+            continue
+        co = np.argsort(c, kind="stable")
+        c, k = c[co], k[co]
+        uniq, first = np.unique(c, return_index=True)
+        kk = np.add.reduceat(k, first)
+        run = np.cumsum(kk)
+        n = int(run[-1])
+        out_n.append(n)
+        out_p50.append(int(uniq[np.searchsorted(
+            run, math.ceil(0.5 * n))]))
+        out_p90.append(int(uniq[np.searchsorted(
+            run, math.ceil(0.9 * n))]))
+    return pa.table({"bucket_us": pa.array(full * _DAY_US, pa.int64()),
+                     "n_window": pa.array(out_n, pa.int64()),
+                     "p50_cents": pa.array(out_p50, pa.int64()),
+                     "p90_cents": pa.array(out_p90, pa.int64())})
+
+
+MOVING_PERCENTILES_SQL = f"""
+WITH c AS (
+  SELECT epoch_us(ts) // {_DAY_US} AS day,
+         CAST(round(value * 100) AS BIGINT) AS cent
+  FROM events),
+span AS (SELECT min(day) AS lo, max(day) AS hi FROM c),
+grid AS (
+  SELECT CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS day FROM span),
+win AS (
+  SELECT g.day AS day, c.cent
+  FROM grid g JOIN c
+    ON c.day BETWEEN g.day - {_MOVPCT_WINDOW - 1} AND g.day),
+tot AS (SELECT day, count(*) AS n FROM win GROUP BY day),
+cum AS (
+  SELECT day, cent,
+         sum(count(*)) OVER (PARTITION BY day ORDER BY cent) AS run
+  FROM win GROUP BY day, cent),
+pct AS (
+  SELECT cum.day,
+         CAST(min(CASE WHEN run >= CAST(ceil(0.5 * n) AS BIGINT)
+                       THEN cent END) AS BIGINT) AS p50_cents,
+         CAST(min(CASE WHEN run >= CAST(ceil(0.9 * n) AS BIGINT)
+                       THEN cent END) AS BIGINT) AS p90_cents
+  FROM cum JOIN tot USING (day)
+  GROUP BY cum.day)
+SELECT grid.day * {_DAY_US} AS bucket_us,
+       CAST(coalesce(tot.n, 0) AS BIGINT) AS n_window,
+       pct.p50_cents, pct.p90_cents
+FROM grid
+LEFT JOIN tot USING (day)
+LEFT JOIN pct USING (day)
+ORDER BY bucket_us
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project_revenue": filter_project_revenue,
@@ -5733,6 +5840,7 @@ QUERIES = {
     "cumulative_cardinality_events": cumulative_cardinality_events,
     "diversified_sample_documents": diversified_sample_documents,
     "string_stats_documents": string_stats_documents,
+    "moving_percentiles_events": moving_percentiles_events,
     "boxplot_events": boxplot_events,
     "histogram_events": histogram_events,
     "bucket_sort_events": bucket_sort_events,
@@ -5818,6 +5926,7 @@ ORACLE = {
     "cumulative_cardinality_events": CUMULATIVE_CARDINALITY_SQL,
     "diversified_sample_documents": DIVERSIFIED_SAMPLE_SQL,
     "string_stats_documents": STRING_STATS_SQL,
+    "moving_percentiles_events": MOVING_PERCENTILES_SQL,
     "boxplot_events": BOXPLOT_SQL,
     "histogram_events": HISTOGRAM_SQL,
     "bucket_sort_events": BUCKET_SORT_SQL,

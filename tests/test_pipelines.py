@@ -115,7 +115,7 @@ SQL_CHECKED = [
     "diversified_sample_documents", "string_stats_documents",
     "boxplot_events", "histogram_events", "bucket_sort_events",
     "normalize_events", "bm25_span_multi_documents",
-    "bm25_distance_feature_documents",
+    "bm25_distance_feature_documents", "moving_percentiles_events",
 ]
 
 
