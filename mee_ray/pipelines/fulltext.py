@@ -2415,7 +2415,6 @@ def bm25_distance_feature_documents(sf_dir: str):
     length get the largest additive boost.  Exact float64 on both
     sides (one abs, one add, one divide, one multiply, one add).
     Emitted as (query_id, rank, doc_id)."""
-    import numpy as np
     from mee_ray.query import Searcher
     root = _ensure_index(sf_dir)
     s = Searcher(root)
@@ -2424,25 +2423,16 @@ def bm25_distance_feature_documents(sf_dir: str):
                        columns=["doc_id", "n_chars"])
     fmap = dict(zip(ft["doc_id"].to_pylist(),
                     ft["n_chars"].to_pylist()))
-    out_q, out_r, out_d = [], [], []
-    for qid, ranked in _reference_text_results(s):
-        if not ranked:
-            continue
-        ids = np.array([idmap[d] for d, _ in ranked], dtype=np.int64)
-        base = np.array([sc for _, sc in ranked], dtype=np.float64)
-        f = np.array([fmap[int(i)] for i in ids], dtype=np.float64)
-        final = base + DISTANCE_FEATURE_BOOST * (
-            DISTANCE_FEATURE_PIVOT /
-            (DISTANCE_FEATURE_PIVOT +
-             np.abs(f - DISTANCE_FEATURE_ORIGIN)))
-        order = np.lexsort((ids, -final))[:TOP_K]
-        for rank, j in enumerate(order, start=1):
-            out_q.append(qid)
-            out_r.append(rank)
-            out_d.append(int(ids[j]))
-    return pa.table({"query_id": pa.array(out_q, pa.int64()),
-                     "rank": pa.array(out_r, pa.int64()),
-                     "doc_id": pa.array(out_d, pa.int64())})
+
+    def boost(engine_id: int) -> float:
+        dist = abs(float(fmap[idmap[engine_id]])
+                   - DISTANCE_FEATURE_ORIGIN)
+        return DISTANCE_FEATURE_BOOST * (
+            DISTANCE_FEATURE_PIVOT / (DISTANCE_FEATURE_PIVOT + dist))
+
+    results = [(qid, [(d, sc + boost(d)) for d, sc in ranked])
+               for qid, ranked in _reference_text_results(s)]
+    return _rank_table(results, idmap)
 
 
 def _bm25_distance_feature_sql() -> str:
@@ -3194,6 +3184,8 @@ def _span_scored_sql(docs_chains: str, qvals: str = "",
     term set comes either from literal ``qvals`` or (for
     dictionary-expanded spans like span_multi) a full ``q_cte``
     body."""
+    if not (qvals or q_cte):
+        raise ValueError("_span_scored_sql needs qvals or q_cte")
     q_cte = q_cte or f"q(query_id, term) AS (VALUES {qvals})"
     return f"""
 {_base_ctes(with_positions=True)},

@@ -5520,12 +5520,14 @@ def histogram_events(sf_dir: str, interval: int = _HIST_INTERVAL,
         return t
     keys = t["key_cents"].to_numpy(zero_copy_only=False)
     full = np.arange(keys[0], keys[-1] + 1, interval, dtype=np.int64)
-    pos = np.searchsorted(keys, full)
-    hit = keys[np.minimum(pos, len(keys) - 1)] == full
-    n = np.where(hit, t["n_events"].to_numpy(
-        zero_copy_only=False)[np.minimum(pos, len(keys) - 1)], 0)
-    s = np.where(hit, t["sum_value_cents"].to_numpy(
-        zero_copy_only=False)[np.minimum(pos, len(keys) - 1)], 0)
+    # every occupied key sits exactly on the arange grid by
+    # construction (key = offset + interval*floor), so a direct
+    # scatter fills the gaps
+    idx = (keys - full[0]) // interval
+    n = np.zeros(len(full), dtype=np.int64)
+    s = np.zeros(len(full), dtype=np.int64)
+    n[idx] = t["n_events"].to_numpy(zero_copy_only=False)
+    s[idx] = t["sum_value_cents"].to_numpy(zero_copy_only=False)
     return pa.table({"key_cents": pa.array(full, pa.int64()),
                      "n_events": pa.array(n, pa.int64()),
                      "sum_value_cents": pa.array(s, pa.int64())})
@@ -5558,13 +5560,10 @@ _BUCKET_SORT_FROM = 1
 _BUCKET_SORT_SIZE = 3
 
 
-def bucket_sort_events(sf_dir: str, from_: int = _BUCKET_SORT_FROM,
-                       size: int = _BUCKET_SORT_SIZE):
-    """ES ``bucket_sort`` pipeline aggregation over the event_type
-    terms agg: order buckets by exact cents sum DESC (event_type ASC
-    as the deterministic tie-break), skip ``from``, keep ``size`` —
-    the truncation runs on the bucket table (|types| rows), the
-    events-sized work is one combined groupby."""
+def _event_type_cents_agg(sf_dir: str) -> pa.Table:
+    """Shared exact per-event_type (count, cents-sum) exchange:
+    int64 partials inside map_batches, one |types|-row groupby —
+    the bucket table every terms-agg pipeline stage starts from."""
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
@@ -5580,7 +5579,18 @@ def bucket_sort_events(sf_dir: str, from_: int = _BUCKET_SORT_FROM,
            .groupby("event_type")
            .aggregate(Sum("n_part", alias_name="n_events"),
                       Sum("s_part", alias_name="sum_value_cents")))
-    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    return pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow")))
+
+
+def bucket_sort_events(sf_dir: str, from_: int = _BUCKET_SORT_FROM,
+                       size: int = _BUCKET_SORT_SIZE):
+    """ES ``bucket_sort`` pipeline aggregation over the event_type
+    terms agg: order buckets by exact cents sum DESC (event_type ASC
+    as the deterministic tie-break), skip ``from``, keep ``size`` —
+    the truncation runs on the bucket table (|types| rows), the
+    events-sized work is one combined groupby."""
+    t = _event_type_cents_agg(sf_dir)
     et = np.asarray(t["event_type"].to_pylist(), dtype=object)
     s = t["sum_value_cents"].to_numpy(zero_copy_only=False)
     order = np.lexsort((et, -s))[from_:from_ + size]
@@ -5611,23 +5621,7 @@ def normalize_events(sf_dir: str):
     count and of the total cents sum, in ppm — ONE driver division
     per bucket, floor(x + 0.5) on non-negative ratios = SQL round()
     half-away (the repo's exactness rule)."""
-    from ray.data.aggregate import Sum
-
-    def partial(t: pa.Table) -> pa.Table:
-        g = (pa.table({"event_type": t["event_type"],
-                       "cent": _cents_of(t["value"])})
-             .group_by("event_type")
-             .aggregate([([], "count_all"), ("cent", "sum")]))
-        return g.rename_columns(["event_type", "n_part", "s_part"])
-
-    agg = (_read(sf_dir, "events", ["event_type", "value"])
-           .map_batches(partial, batch_format="pyarrow",
-                        zero_copy_batch=True)
-           .groupby("event_type")
-           .aggregate(Sum("n_part", alias_name="n_events"),
-                      Sum("s_part", alias_name="sum_value_cents")))
-    t = pa.concat_tables(list(agg.iter_batches(
-        batch_format="pyarrow"))).sort_by("event_type")
+    t = _event_type_cents_agg(sf_dir).sort_by("event_type")
     n = t["n_events"].to_numpy(zero_copy_only=False)
     s = t["sum_value_cents"].to_numpy(zero_copy_only=False)
     n_ppm = np.floor(1e6 * n / max(int(n.sum()), 1) + 0.5) \
