@@ -21,6 +21,8 @@ Reference capability map (SURVEY.md §2):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -5757,6 +5759,443 @@ ORDER BY bucket_us
 """
 
 
+# -------------------------------------------- ES agg family III --
+# t_test / sibling bucket aggs / scripted_metric / change_point /
+# variable_width_histogram / frequent_item_sets — same exact-integer
+# exchange discipline: int64 partials cross the shuffle, the float
+# finish (where one exists) applies ONCE on the driver with the
+# oracle's identical IEEE expression tree.
+
+_TTEST_A, _TTEST_B = "purchase", "click"
+
+
+def t_test_events(sf_dir: str):
+    """ES ``t_test`` aggregation (type ``welch``, ES 7.8+): unpaired
+    Welch's t between the {_TTEST_A} and {_TTEST_B} populations over
+    ``value``.  Distributed part = the extended_stats int64 partial
+    exchange ((n, Σcents, Σcents²) per type, two rows total); the
+    t statistic and Welch degrees-of-freedom are ONE float finish on
+    those exact integers, with the oracle's identical tree (all-DOUBLE
+    so no int64 S² overflow at any scale)."""
+    from ray.data.aggregate import Sum
+
+    keep = pa.array([_TTEST_A, _TTEST_B], pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"], value_set=keep))
+        cents = _cents_of(t["value"])
+        g = (pa.table({"event_type": t["event_type"], "c": cents,
+                       "sq": pc.multiply(cents, cents)})
+             .group_by("event_type")
+             .aggregate([("c", "count"), ("c", "sum"), ("sq", "sum")]))
+        return g.rename_columns(["event_type", "n_p", "s_p", "sq_p"])
+
+    agg = (_read(sf_dir, "events", ["event_type", "value"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n_p", alias_name="n"),
+                      Sum("s_p", alias_name="s"),
+                      Sum("sq_p", alias_name="sq")))
+    rows = {r["event_type"]: r for r in
+            pa.concat_tables(list(agg.iter_batches(
+                batch_format="pyarrow"))).to_pylist()}
+    a, b = rows[_TTEST_A], rows[_TTEST_B]
+    out: dict[str, object] = {
+        "n_a": a["n"], "n_b": b["n"],
+        "sum_a_cents": a["s"], "sum_b_cents": b["s"]}
+    m1, m2 = a["s"] / a["n"], b["s"] / b["n"]
+    # sample variance via the all-DOUBLE tree (SQ − S·mean)/(n−1),
+    # clamped like extended_stats
+    v1 = max((a["sq"] - a["s"] * m1) / (a["n"] - 1), 0.0)
+    v2 = max((b["sq"] - b["s"] * m2) / (b["n"] - 1), 0.0)
+    se1, se2 = v1 / a["n"], v2 / b["n"]
+    t_stat = (m1 - m2) / math.sqrt(se1 + se2)
+    df = ((se1 + se2) * (se1 + se2)
+          / (se1 * se1 / (a["n"] - 1) + se2 * se2 / (b["n"] - 1)))
+    out.update({"mean_a_cents": m1, "mean_b_cents": m2,
+                "var_a_cents": v1, "var_b_cents": v2,
+                "t_stat": t_stat, "welch_df": df})
+    return pa.table({k: pa.array([v], pa.int64()
+                                 if isinstance(v, int) else pa.float64())
+                     for k, v in out.items()})
+
+
+T_TEST_SQL = f"""
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cent
+  FROM events
+  WHERE event_type IN ('{_TTEST_A}', '{_TTEST_B}')),
+agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(cent) AS BIGINT) AS s,
+         CAST(sum(cent * cent) AS BIGINT) AS sq
+  FROM c GROUP BY event_type),
+f AS (
+  SELECT
+    max(CASE WHEN event_type = '{_TTEST_A}' THEN n END) AS n_a,
+    max(CASE WHEN event_type = '{_TTEST_B}' THEN n END) AS n_b,
+    max(CASE WHEN event_type = '{_TTEST_A}' THEN s END) AS s_a,
+    max(CASE WHEN event_type = '{_TTEST_B}' THEN s END) AS s_b,
+    max(CASE WHEN event_type = '{_TTEST_A}' THEN sq END) AS sq_a,
+    max(CASE WHEN event_type = '{_TTEST_B}' THEN sq END) AS sq_b
+  FROM agg),
+m AS (
+  SELECT *, CAST(s_a AS DOUBLE) / n_a AS m1,
+            CAST(s_b AS DOUBLE) / n_b AS m2
+  FROM f),
+v AS (
+  SELECT *,
+    greatest((CAST(sq_a AS DOUBLE) - CAST(s_a AS DOUBLE) * m1)
+             / (n_a - 1), 0) AS v1,
+    greatest((CAST(sq_b AS DOUBLE) - CAST(s_b AS DOUBLE) * m2)
+             / (n_b - 1), 0) AS v2
+  FROM m),
+se AS (SELECT *, v1 / n_a AS se1, v2 / n_b AS se2 FROM v)
+SELECT n_a, n_b, s_a AS sum_a_cents, s_b AS sum_b_cents,
+       m1 AS mean_a_cents, m2 AS mean_b_cents,
+       v1 AS var_a_cents, v2 AS var_b_cents,
+       (m1 - m2) / sqrt(se1 + se2) AS t_stat,
+       ((se1 + se2) * (se1 + se2))
+         / (se1 * se1 / (n_a - 1) + se2 * se2 / (n_b - 1)) AS welch_df
+FROM se
+"""
+
+
+def stats_bucket_events(sf_dir: str):
+    """ES sibling pipeline aggregations over the gap-filled daily
+    date_histogram — ``stats_bucket`` (count/min/max/sum/avg of the
+    per-day event counts) + ``percentiles_bucket`` p50 (the repo's
+    exact smallest-value-reaching-ceil order statistic) + the
+    ``min_bucket``/``max_bucket`` keys (first day attaining each
+    extreme).  Driver work is O(days) on the already-reduced bucket
+    table; the events-sized work is the shared date_histogram."""
+    hist = pa.concat_tables(list(date_histogram_events(sf_dir)
+                                 .iter_batches(batch_format="pyarrow")))
+    d = hist["day_bucket"].to_numpy(zero_copy_only=False)
+    n = hist["n_events"].to_numpy(zero_copy_only=False)
+    order = np.argsort(d)
+    d, n = d[order], n[order]
+    nb = len(n)
+    srt = np.sort(n)
+    p50 = int(srt[math.ceil(0.5 * nb) - 1])
+    return pa.table({
+        "n_buckets": pa.array([nb], pa.int64()),
+        "min_n": pa.array([int(n.min())], pa.int64()),
+        "max_n": pa.array([int(n.max())], pa.int64()),
+        "sum_n": pa.array([int(n.sum())], pa.int64()),
+        "avg_n": pa.array([float(int(n.sum()) / nb)], pa.float64()),
+        "p50_n": pa.array([p50], pa.int64()),
+        "min_day": pa.array([int(d[np.argmin(n)])], pa.int64()),
+        "max_day": pa.array([int(d[np.argmax(n)])], pa.int64())})
+
+
+STATS_BUCKET_SQL = """
+WITH b AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d
+  FROM events),
+agg AS (SELECT d, count(*) AS n FROM b GROUP BY d),
+days AS (SELECT unnest(generate_series((SELECT min(d) FROM agg),
+                                       (SELECT max(d) FROM agg))) AS d),
+hist AS (SELECT days.d, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
+         FROM days LEFT JOIN agg ON agg.d = days.d),
+run AS (SELECT n, sum(count(*)) OVER (ORDER BY n) AS r
+        FROM hist GROUP BY n),
+tot AS (SELECT count(*) AS nb, min(n) AS min_n, max(n) AS max_n,
+               CAST(sum(n) AS BIGINT) AS sum_n
+        FROM hist)
+SELECT tot.nb AS n_buckets, tot.min_n, tot.max_n, tot.sum_n,
+       CAST(tot.sum_n AS DOUBLE) / tot.nb AS avg_n,
+       (SELECT CAST(min(CASE WHEN r >= CAST(ceil(0.5 * tot.nb)
+                                        AS BIGINT)
+                             THEN n END) AS BIGINT)
+        FROM run) AS p50_n,
+       (SELECT min(d) FROM hist WHERE n = tot.min_n) AS min_day,
+       (SELECT min(d) FROM hist WHERE n = tot.max_n) AS max_day
+FROM tot
+"""
+
+
+_SCRIPTED_CAP = 50.0
+
+
+def scripted_metric_events(sf_dir: str):
+    """ES ``scripted_metric`` aggregation, the map/combine/reduce
+    shape expressed through the engine's scalar-function DSL
+    (mee_ray.functions, the reference's common.py:32-127 mini
+    language): map_script = ``min(value, echo({cap}))`` compiled ONCE
+    per actor, combine = per-batch int64 (count, Σcents) partials,
+    reduce = the global groupby sum.  Raw values never cross the
+    exchange — exactly ES's state→combine→reduce contract, with the
+    repo's exact-cents discipline instead of float accumulation."""
+    from ray.data.aggregate import Sum
+    from mee_ray.functions import compile_expr
+
+    expr = compile_expr(f"min(value, echo({_SCRIPTED_CAP}))")
+
+    def partial(t: pa.Table) -> pa.Table:
+        capped = expr(t)
+        g = (pa.table({"event_type": t["event_type"],
+                       "c": _cents_of(capped)})
+             .group_by("event_type")
+             .aggregate([("c", "count"), ("c", "sum")]))
+        return g.rename_columns(["event_type", "n_p", "s_p"])
+
+    agg = (_read(sf_dir, "events", ["event_type", "value"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n_p", alias_name="n"),
+                      Sum("s_p", alias_name="sum_capped_cents")))
+    t = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow"))).sort_by("event_type")
+    n = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+    s = t["sum_capped_cents"].to_numpy(zero_copy_only=False
+                                       ).astype(np.float64)
+    return t.append_column("avg_capped_cents",
+                           pa.array(s / n, pa.float64()))
+
+
+SCRIPTED_METRIC_SQL = f"""
+WITH c AS (
+  SELECT event_type,
+         CAST(round(least(value, {_SCRIPTED_CAP}) * 100) AS BIGINT)
+           AS cent
+  FROM events)
+SELECT event_type, count(*) AS n,
+       CAST(sum(cent) AS BIGINT) AS sum_capped_cents,
+       CAST(sum(cent) AS DOUBLE) / count(*) AS avg_capped_cents
+FROM c GROUP BY event_type ORDER BY event_type
+"""
+
+
+def change_point_events(sf_dir: str):
+    """ES ``change_point`` aggregation over the gap-filled daily
+    event-count series — EXACT deterministic variant (ES's is a
+    p-value heuristic): the change day maximizes the between-segment
+    variance B(k) = (S₁n₂ − S₂n₁)²/(n₁n₂D), quantized to the integer
+    score ⌊(S₁n₂ − S₂n₁)²·10⁶ / (n₁n₂D)⌋ so both engines compare
+    exact integers (Python bigints here, HUGEINT in the oracle —
+    the square exceeds int64 at scale).  Ties break on the earlier
+    day.  Driver work is O(days) over the reduced bucket table."""
+    hist = pa.concat_tables(list(date_histogram_events(sf_dir)
+                                 .iter_batches(batch_format="pyarrow")))
+    d = hist["day_bucket"].to_numpy(zero_copy_only=False)
+    n = hist["n_events"].to_numpy(zero_copy_only=False)
+    order = np.argsort(d)
+    d, n = d[order], n[order]
+    total = int(n.sum())
+    nb = len(n)
+    best = None                     # (score, day, n1, n2, s1, s2)
+    s1 = 0
+    for k in range(1, nb):          # split BEFORE index k; both non-empty
+        s1 += int(n[k - 1])
+        n1, n2 = k, nb - k
+        s2 = total - s1
+        a = s1 * n2 - s2 * n1
+        score = (a * a * 10**6) // (n1 * n2 * nb)
+        key = (-score, int(d[k]))
+        if best is None or key < best[0]:
+            best = (key, int(d[k]), score, n1, n2, s1, s2)
+    _, day, score, n1, n2, sa, sb = best
+    return pa.table({"change_day": pa.array([day], pa.int64()),
+                     "score": pa.array([score], pa.int64()),
+                     "n_before": pa.array([n1], pa.int64()),
+                     "n_after": pa.array([n2], pa.int64()),
+                     "sum_before": pa.array([sa], pa.int64()),
+                     "sum_after": pa.array([sb], pa.int64())})
+
+
+CHANGE_POINT_SQL = """
+WITH b AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d
+  FROM events),
+agg AS (SELECT d, count(*) AS n FROM b GROUP BY d),
+days AS (SELECT unnest(generate_series((SELECT min(d) FROM agg),
+                                       (SELECT max(d) FROM agg))) AS d),
+hist AS (SELECT days.d, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
+         FROM days LEFT JOIN agg ON agg.d = days.d),
+cum AS (
+  SELECT d,
+         CAST(row_number() OVER (ORDER BY d) AS BIGINT) - 1 AS n1,
+         CAST(coalesce(sum(n) OVER (ORDER BY d
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS s1,
+         CAST(count(*) OVER () AS BIGINT) AS nb,
+         CAST(sum(n) OVER () AS BIGINT) AS total
+  FROM hist),
+scored AS (
+  SELECT d, n1, nb - n1 AS n2, s1, total - s1 AS s2,
+         CAST(((CAST(s1 AS HUGEINT) * (nb - n1)
+                - CAST(total - s1 AS HUGEINT) * n1)
+               * (CAST(s1 AS HUGEINT) * (nb - n1)
+                  - CAST(total - s1 AS HUGEINT) * n1)
+               * 1000000)
+              // (CAST(n1 AS HUGEINT) * (nb - n1) * nb)
+              AS BIGINT) AS score
+  FROM cum WHERE n1 >= 1)
+SELECT d AS change_day, score, n1 AS n_before, n2 AS n_after,
+       s1 AS sum_before, s2 AS sum_after
+FROM scored ORDER BY score DESC, change_day LIMIT 1
+"""
+
+
+_VWH_BUCKETS = 5
+
+
+def variable_width_histogram_events(sf_dir: str,
+                                    buckets: int = _VWH_BUCKETS):
+    """ES ``variable_width_histogram`` — deterministic exact variant
+    (ES's is an order-dependent streaming clusterer): bucket
+    boundaries sit at the {buckets}−1 LARGEST gaps between consecutive
+    distinct cents (ties → the lower cent wins), yielding the same
+    natural-break clustering the ES agg approximates.  The only
+    shuffle carries the distinct-cent histogram (bounded); min/max/
+    count/centroid per bucket all derive from that table on the
+    driver."""
+    from ray.data.aggregate import Sum
+
+    def cent_counts(t: pa.Table) -> pa.Table:
+        g = (pa.table({"cent": _cents_of(t["value"])})
+             .group_by("cent").aggregate([([], "count_all")]))
+        return g.rename_columns(["cent", "n_part"])
+
+    hist = (_read(sf_dir, "events", ["value"])
+            .map_batches(cent_counts, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("cent").aggregate(Sum("n_part", alias_name="cnt")))
+    t = pa.concat_tables(list(hist.iter_batches(
+        batch_format="pyarrow"))).sort_by("cent")
+    c = t["cent"].to_numpy(zero_copy_only=False)
+    k = t["cnt"].to_numpy(zero_copy_only=False)
+    gaps = c[1:] - c[:-1]           # gap i belongs to upper cent c[i+1]
+    nb = min(buckets - 1, len(gaps))
+    # top nb gaps, ties to the LOWER upper-cent: sort by (-gap, cent)
+    top = np.lexsort((c[1:], -gaps))[:nb]
+    bnd = np.sort(c[1:][top])
+    bucket = np.searchsorted(bnd, c, side="right")
+    g = (pa.table({"bucket": pa.array(bucket, pa.int64()),
+                   "cent": pa.array(c, pa.int64()),
+                   "cnt": pa.array(k, pa.int64()),
+                   "wsum": pa.array(c * k, pa.int64())})
+         .group_by("bucket")
+         .aggregate([("cent", "min"), ("cent", "max"),
+                     ("cnt", "sum"), ("wsum", "sum")])
+         .rename_columns(["bucket", "min_cents", "max_cents",
+                          "n_events", "wsum"])
+         .sort_by("bucket"))
+    n = g["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
+    w = g["wsum"].to_numpy(zero_copy_only=False).astype(np.float64)
+    return (g.drop_columns(["wsum"])
+            .append_column("centroid_cents",
+                           pa.array(w / n, pa.float64())))
+
+
+VARIABLE_WIDTH_HISTOGRAM_SQL = f"""
+WITH c AS (
+  SELECT CAST(round(value * 100) AS BIGINT) AS cent FROM events),
+dist AS (SELECT cent, count(*) AS cnt FROM c GROUP BY cent),
+gaps AS (
+  SELECT cent, cent - lag(cent) OVER (ORDER BY cent) AS g
+  FROM dist),
+bnd AS (
+  SELECT cent FROM gaps WHERE g IS NOT NULL
+  QUALIFY row_number() OVER (ORDER BY g DESC, cent)
+          <= {_VWH_BUCKETS - 1}),
+tagged AS (
+  SELECT d.cent, d.cnt,
+         (SELECT count(*) FROM bnd WHERE bnd.cent <= d.cent) AS bucket
+  FROM dist d)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       min(cent) AS min_cents, max(cent) AS max_cents,
+       CAST(sum(cnt) AS BIGINT) AS n_events,
+       CAST(sum(cent * cnt) AS DOUBLE) / sum(cnt) AS centroid_cents
+FROM tagged GROUP BY bucket ORDER BY bucket
+"""
+
+
+_FIS_MIN_SUPPORT_RATIO = 0.5
+
+
+def frequent_item_sets_events(sf_dir: str):
+    """ES ``frequent_item_sets`` aggregation (8.x) over the per-user
+    event_type baskets, pair-size itemsets: support(a,b) = number of
+    users whose basket holds both, kept when ≥ ceil(ratio·|users|).
+    Distributed shape: distinct (user, type) groupby → per-user
+    bitmask over the (bounded, globally discovered) item vocabulary →
+    per-batch vectorized pair counts (T·(T−1)/2 int64 counters) →
+    one tiny groupby.  No per-user Python, no basket ever leaves its
+    batch."""
+    from ray.data.aggregate import Sum
+
+    # bounded item vocabulary, discovered with a key-only groupby
+    vocab = sorted(r["event_type"] for r in
+                   _read(sf_dir, "events", ["event_type"])
+                   .groupby("event_type").count().take_all())
+    idx = {v: i for i, v in enumerate(vocab)}
+    T = len(vocab)
+    pairs = [(i, j) for i in range(T) for j in range(i + 1, T)]
+
+    def to_bit(t: pa.Table) -> pa.Table:
+        # distinct (user, type) within the batch, type → bit value
+        g = (pa.table({"user_id": t["user_id"],
+                       "event_type": t["event_type"]})
+             .group_by(["user_id", "event_type"])
+             .aggregate([([], "count_all")]))
+        bits = np.array([1 << idx[v] for v in
+                         g["event_type"].to_pylist()], dtype=np.int64)
+        return pa.table({"user_id": g["user_id"],
+                         "bit": pa.array(bits, pa.int64())})
+
+    # distinct (user, bit) globally, then OR = Sum over distinct bits
+    masks = (_read(sf_dir, "events", ["user_id", "event_type"])
+             .map_batches(to_bit, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(["user_id", "bit"])
+             .aggregate(Sum("bit", alias_name="_drop"))
+             .drop_columns(["_drop"])
+             .groupby("user_id")
+             .aggregate(Sum("bit", alias_name="mask")))
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        m = t["mask"].to_numpy(zero_copy_only=False)
+        cnts = [int(((m >> i) & (m >> j) & 1).sum()) for i, j in pairs]
+        return pa.table({"pair": pa.array(range(len(pairs)), pa.int64()),
+                         "n_part": pa.array(cnts, pa.int64())})
+
+    agg = (masks.map_batches(pair_counts, batch_format="pyarrow")
+           .groupby("pair").aggregate(Sum("n_part", alias_name="support")))
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    n_users = int(masks.count())
+    thresh = math.ceil(_FIS_MIN_SUPPORT_RATIO * n_users)
+    p = t["pair"].to_numpy(zero_copy_only=False)
+    s = t["support"].to_numpy(zero_copy_only=False)
+    keep = s >= thresh
+    p, s = p[keep], s[keep]
+    order = np.lexsort((p, -s))
+    p, s = p[order], s[order]
+    return pa.table({
+        "item_a": pa.array([vocab[pairs[int(i)][0]] for i in p],
+                           pa.string()),
+        "item_b": pa.array([vocab[pairs[int(i)][1]] for i in p],
+                           pa.string()),
+        "support": pa.array(s, pa.int64())})
+
+
+FREQUENT_ITEM_SETS_SQL = f"""
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+u AS (SELECT count(DISTINCT user_id) AS n_users FROM events)
+SELECT a.event_type AS item_a, b.event_type AS item_b,
+       count(*) AS support
+FROM d a JOIN d b ON a.user_id = b.user_id
+                 AND a.event_type < b.event_type
+GROUP BY 1, 2
+HAVING count(*) >= (SELECT CAST(ceil({_FIS_MIN_SUPPORT_RATIO} * n_users)
+                                AS BIGINT) FROM u)
+ORDER BY support DESC, item_a, item_b
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project_revenue": filter_project_revenue,
@@ -5835,6 +6274,12 @@ QUERIES = {
     "diversified_sample_documents": diversified_sample_documents,
     "string_stats_documents": string_stats_documents,
     "moving_percentiles_events": moving_percentiles_events,
+    "t_test_events": t_test_events,
+    "stats_bucket_events": stats_bucket_events,
+    "scripted_metric_events": scripted_metric_events,
+    "change_point_events": change_point_events,
+    "variable_width_histogram_events": variable_width_histogram_events,
+    "frequent_item_sets_events": frequent_item_sets_events,
     "boxplot_events": boxplot_events,
     "histogram_events": histogram_events,
     "bucket_sort_events": bucket_sort_events,
@@ -5921,6 +6366,12 @@ ORACLE = {
     "diversified_sample_documents": DIVERSIFIED_SAMPLE_SQL,
     "string_stats_documents": STRING_STATS_SQL,
     "moving_percentiles_events": MOVING_PERCENTILES_SQL,
+    "t_test_events": T_TEST_SQL,
+    "stats_bucket_events": STATS_BUCKET_SQL,
+    "scripted_metric_events": SCRIPTED_METRIC_SQL,
+    "change_point_events": CHANGE_POINT_SQL,
+    "variable_width_histogram_events": VARIABLE_WIDTH_HISTOGRAM_SQL,
+    "frequent_item_sets_events": FREQUENT_ITEM_SETS_SQL,
     "boxplot_events": BOXPLOT_SQL,
     "histogram_events": HISTOGRAM_SQL,
     "bucket_sort_events": BUCKET_SORT_SQL,

@@ -116,6 +116,9 @@ SQL_CHECKED = [
     "boxplot_events", "histogram_events", "bucket_sort_events",
     "normalize_events", "bm25_span_multi_documents",
     "bm25_distance_feature_documents", "moving_percentiles_events",
+    "t_test_events", "stats_bucket_events", "scripted_metric_events",
+    "change_point_events", "variable_width_histogram_events",
+    "frequent_item_sets_events",
 ]
 
 
