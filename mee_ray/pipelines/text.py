@@ -1603,8 +1603,167 @@ FROM o ORDER BY lang, doc_id
 """
 
 
+# ------------------------- categorize_text / significant_text (ES) --
+
+_CAT_PREFIX = 4
+
+
+def categorize_text_documents(sf_dir: str):
+    """ES ``categorize_text`` aggregation — deterministic exact
+    variant (ES's is a drain-tree heuristic): a document's category is
+    the first {prefix} tokens after dropping single-char and
+    digit-bearing tokens (the ES analyzer's number/weight pruning),
+    joined with spaces.  Per-batch partial counts cross the exchange
+    (one row per category per batch), one tiny groupby reduces, and
+    the driver keeps the top 20 by (count DESC, category ASC) off the
+    bounded category table."""
+    from ray.data.aggregate import Min, Sum
+
+    class Stage(TextStats):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            cats = []
+            for x in t["text"].to_pylist():
+                toks = [w for w in self.tokens(x)
+                        if len(w) > 1 and not any(c.isdigit() for c in w)]
+                cats.append(" ".join(toks[:_CAT_PREFIX]))
+            g = (pa.table({"category": pa.array(cats, pa.string()),
+                           "doc_id": t["doc_id"]})
+                 .group_by("category")
+                 .aggregate([([], "count_all"), ("doc_id", "min")]))
+            return g.rename_columns(["category", "n_part", "mn_part"])
+
+    agg = (_read_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(Stage(), batch_format="pyarrow")
+           .groupby("category")
+           .aggregate(Sum("n_part", alias_name="n_docs"),
+                      Min("mn_part", alias_name="min_doc_id")))
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    cats = np.asarray(t["category"].to_pylist(), dtype=object)
+    n = t["n_docs"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((cats, -n))[:20]
+    return t.take(pa.array(order))
+
+
+CATEGORIZE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_extract_all(lower(text), '{TOKEN_PATTERN}'),
+                     x -> length(x) > 1
+                          AND NOT regexp_matches(x, '[0-9]')) AS l
+  FROM documents),
+cat AS (
+  SELECT doc_id,
+         array_to_string(list_slice(l, 1, {_CAT_PREFIX}), ' ')
+           AS category
+  FROM toks)
+SELECT category, count(*) AS n_docs, min(doc_id) AS min_doc_id
+FROM cat GROUP BY category
+ORDER BY n_docs DESC, category LIMIT 20
+"""
+
+
+_SIGTEXT_TERM = "spark"
+
+
+def significant_text_documents(sf_dir: str):
+    """ES ``significant_text`` aggregation with
+    ``filter_duplicate_text``: foreground = DISTINCT texts containing
+    the token '{term}' (the dedup is the feature that distinguishes
+    significant_text from significant_terms), background = doc
+    frequency over the whole corpus, score = ES's default JLH
+    (fg% − bg%)·(fg%/bg%) applied ONCE per term to exact integer
+    counts with the oracle's tree.  Term tables are vocabulary-
+    bounded; the foreground exchange carries only matching distinct
+    texts."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+    from ray.data.aggregate import Sum
+
+    class FgStage(TextStats):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = [_SIGTEXT_TERM in set(self.tokens(x))
+                    for x in t["text"].to_pylist()]
+            return t.filter(pa.array(keep, pa.bool_()))
+
+    fg_texts = (_read_docs(sf_dir, ["text"])
+                .map_batches(FgStage(), batch_format="pyarrow")
+                .groupby("text").count()
+                .drop_columns(["count()"])
+                .materialize())          # query-bounded distinct texts
+    fg_total = fg_texts.count()
+
+    class FgTerms(TextStats):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            c: Counter = Counter()
+            for x in t["text"].to_pylist():
+                c.update(set(self.tokens(x)))
+            items = sorted(c.items())
+            return pa.table({"term": pa.array([k for k, _ in items],
+                                              pa.string()),
+                             "fg_part": pa.array([v for _, v in items],
+                                                 pa.int64())})
+
+    fg = pa.concat_tables(list(
+        fg_texts.map_batches(FgTerms(), batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("fg_part", alias_name="fg_count"))
+        .iter_batches(batch_format="pyarrow")))
+    bg = pa.concat_tables(list(doc_term_df(sf_dir)
+                               .iter_batches(batch_format="pyarrow")))
+    bg_total = int(pq.read_metadata(
+        f"{sf_dir}/documents.parquet").num_rows)
+    bg_map = dict(zip(bg["term"].to_pylist(),
+                      bg["df"].to_pylist()))
+    terms = fg["term"].to_pylist()
+    fgc = fg["fg_count"].to_numpy(zero_copy_only=False)
+    bgc = np.array([bg_map[w] for w in terms], dtype=np.int64)
+    fgp = fgc / fg_total
+    bgp = bgc / bg_total
+    jlh = (fgp - bgp) * (fgp / bgp)
+    order = np.lexsort((np.asarray(terms, dtype=object), -jlh))[:10]
+    return pa.table({
+        "term": pa.array([terms[i] for i in order], pa.string()),
+        "fg_count": pa.array(fgc[order], pa.int64()),
+        "bg_count": pa.array(bgc[order], pa.int64()),
+        "jlh": pa.array(jlh[order], pa.float64())})
+
+
+SIGNIFICANT_TEXT_SQL = f"""
+WITH fg_docs AS (
+  SELECT DISTINCT text FROM documents
+  WHERE list_contains(regexp_extract_all(lower(text),
+                                         '{TOKEN_PATTERN}'),
+                      '{_SIGTEXT_TERM}')),
+fg AS (
+  SELECT term, count(*) AS fg_count
+  FROM (SELECT text,
+               unnest(list_distinct(regexp_extract_all(lower(text),
+                                    '{TOKEN_PATTERN}'))) AS term
+        FROM fg_docs)
+  GROUP BY term),
+fgt AS (SELECT count(*) AS n FROM fg_docs),
+bg AS (
+  SELECT term, count(DISTINCT doc_id) AS bg_count
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(lower(text),
+                                         '{TOKEN_PATTERN}')) AS term
+        FROM documents)
+  GROUP BY term),
+bgt AS (SELECT count(*) AS n FROM documents)
+SELECT fg.term, fg.fg_count, bg.bg_count,
+       (CAST(fg_count AS DOUBLE) / fgt.n
+        - CAST(bg_count AS DOUBLE) / bgt.n)
+       * ((CAST(fg_count AS DOUBLE) / fgt.n)
+          / (CAST(bg_count AS DOUBLE) / bgt.n)) AS jlh
+FROM fg JOIN bg USING (term), fgt, bgt
+ORDER BY jlh DESC, term LIMIT 10
+"""
+
+
 QUERIES = {
     "doc_token_counts": doc_token_counts,
+    "categorize_text_documents": categorize_text_documents,
+    "significant_text_documents": significant_text_documents,
     "chunk_documents": chunk_documents,
     "pack_training_sequences": pack_training_sequences,
     "curate_documents": curate_documents,
@@ -1672,6 +1831,8 @@ ORDER BY p.a
 
 ORACLE = {
     "ngram_jaccard_adjacent": NGRAM_JACCARD_SQL,
+    "categorize_text_documents": CATEGORIZE_SQL,
+    "significant_text_documents": SIGNIFICANT_TEXT_SQL,
     "doc_token_counts": TOKEN_COUNTS_SQL,
     "chunk_documents": CHUNK_SQL,
     "pack_training_sequences": PACK_SQL,

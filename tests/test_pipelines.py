@@ -118,7 +118,8 @@ SQL_CHECKED = [
     "bm25_distance_feature_documents", "moving_percentiles_events",
     "t_test_events", "stats_bucket_events", "scripted_metric_events",
     "change_point_events", "variable_width_histogram_events",
-    "frequent_item_sets_events",
+    "frequent_item_sets_events", "categorize_text_documents",
+    "significant_text_documents",
 ]
 
 
