@@ -319,9 +319,15 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.2):
     shingle set bucketed by the pair hash.  The final groupby aligns
     the two halves of every pair and computes exact Jaccard vectorized
     (lexsort + segmented duplicate count).  Everything crossing an
-    exchange is bounded by the LSH candidate volume except the one
-    corpus-sized (doc_id, text) shuffle that serves the attach."""
+    exchange is bounded by the LSH candidate volume: the (doc_id,
+    text) attach shuffle is pruned to ~candidate volume by a Bloom
+    filter over the candidate endpoints (fixed-size bit array, OR of
+    per-batch partials, ray.put-broadcast once; false positives just
+    ship some extra text, false negatives are impossible).  A 100-TB
+    run sizes BLOOM_BITS to its candidate estimate."""
     import itertools
+
+    import ray
 
     from mee_ray.pipelines.cluster import _mix64, _N_BUCKETS
 
@@ -348,7 +354,16 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.2):
         return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64())})
 
     cand = sig.groupby(["band", "band_key"]).map_groups(
-        pairs_of_group, batch_format="pyarrow")
+        pairs_of_group, batch_format="pyarrow").materialize()
+
+    # Bloom filter over candidate endpoints, broadcast once: tag_docs
+    # ships text ONLY for docs that can appear in some pair
+    ends = cand.map_batches(
+        lambda t: pa.table({"doc_id": pa.array(np.concatenate(
+            [t["a"].to_numpy(zero_copy_only=False),
+             t["b"].to_numpy(zero_copy_only=False)]), pa.int64())}),
+        batch_format="pyarrow")
+    bits_ref = ray.put(bloom_build(ends))
 
     # Fused attach (shuffle 2 of 3): each pair emits one HALF-ROW per
     # endpoint, bucketed by mix64(endpoint); doc rows bucket by
@@ -358,6 +373,11 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.2):
     # each half with its shingle set bucketed by the pair hash.
 
     def tag_docs(t: pa.Table) -> pa.Table:
+        import ray as _ray
+        bits = _ray.get(bits_ref)          # zero-copy plasma read
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        maybe = bits[_bloom_positions(ids.astype(np.uint64))].all(axis=1)
+        t = t.filter(pa.array(maybe))
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         bk = (_mix64(ids) % np.uint64(_N_BUCKETS)).astype(np.int32)
         return pa.table({"bucket": pa.array(bk),
