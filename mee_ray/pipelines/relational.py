@@ -6196,6 +6196,59 @@ ORDER BY support DESC, item_a, item_b
 """
 
 
+_SAMPLER_MULT = 2654435761          # Knuth multiplicative hash
+_SAMPLER_MOD = 1000
+_SAMPLER_RATE_PML = 100             # ES probability: 0.1
+
+
+def random_sampler_events(sf_dir: str):
+    """ES ``random_sampler`` aggregation (8.2): a deterministic
+    hash-based row sample ((event_id·KNUTH) mod {mod} < {rate}) feeds
+    the child aggregation — per-type count + exact cents sum — and the
+    ES-style scale-back estimate (×1/p, exact: rate divides the
+    modulus).  The sample predicate is a vectorized mask inside
+    map_batches; only sampled rows' int64 partials cross the
+    exchange.  event_id·KNUTH stays < 2⁶³ for row-number ids; a
+    100-TB run swaps in the mod-2⁶⁴ bijective mix
+    training_shuffle_order uses."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = t["event_id"].to_numpy(zero_copy_only=False)
+        keep = (ids * _SAMPLER_MULT) % _SAMPLER_MOD < _SAMPLER_RATE_PML
+        t = t.filter(pa.array(keep))
+        g = (pa.table({"event_type": t["event_type"],
+                       "c": _cents_of(t["value"])})
+             .group_by("event_type")
+             .aggregate([("c", "count"), ("c", "sum")]))
+        return g.rename_columns(["event_type", "n_p", "s_p"])
+
+    agg = (_read(sf_dir, "events", ["event_id", "event_type", "value"])
+           .map_batches(partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("event_type")
+           .aggregate(Sum("n_p", alias_name="n_sampled"),
+                      Sum("s_p", alias_name="sum_sampled_cents")))
+    t = pa.concat_tables(list(agg.iter_batches(
+        batch_format="pyarrow"))).sort_by("event_type")
+    scale = _SAMPLER_MOD // _SAMPLER_RATE_PML
+    return t.append_column(
+        "est_n", pc.multiply(t["n_sampled"], pa.scalar(scale, pa.int64())))
+
+
+RANDOM_SAMPLER_SQL = f"""
+WITH s AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cent
+  FROM events
+  WHERE (event_id * {_SAMPLER_MULT}) % {_SAMPLER_MOD}
+        < {_SAMPLER_RATE_PML})
+SELECT event_type, count(*) AS n_sampled,
+       CAST(sum(cent) AS BIGINT) AS sum_sampled_cents,
+       count(*) * {_SAMPLER_MOD // _SAMPLER_RATE_PML} AS est_n
+FROM s GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": q1_pricing_summary,
     "filter_project_revenue": filter_project_revenue,
@@ -6280,6 +6333,7 @@ QUERIES = {
     "change_point_events": change_point_events,
     "variable_width_histogram_events": variable_width_histogram_events,
     "frequent_item_sets_events": frequent_item_sets_events,
+    "random_sampler_events": random_sampler_events,
     "boxplot_events": boxplot_events,
     "histogram_events": histogram_events,
     "bucket_sort_events": bucket_sort_events,
@@ -6372,6 +6426,7 @@ ORACLE = {
     "change_point_events": CHANGE_POINT_SQL,
     "variable_width_histogram_events": VARIABLE_WIDTH_HISTOGRAM_SQL,
     "frequent_item_sets_events": FREQUENT_ITEM_SETS_SQL,
+    "random_sampler_events": RANDOM_SAMPLER_SQL,
     "boxplot_events": BOXPLOT_SQL,
     "histogram_events": HISTOGRAM_SQL,
     "bucket_sort_events": BUCKET_SORT_SQL,

@@ -119,7 +119,7 @@ SQL_CHECKED = [
     "t_test_events", "stats_bucket_events", "scripted_metric_events",
     "change_point_events", "variable_width_histogram_events",
     "frequent_item_sets_events", "categorize_text_documents",
-    "significant_text_documents",
+    "significant_text_documents", "random_sampler_events",
 ]
 
 
