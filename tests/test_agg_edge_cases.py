@@ -1,0 +1,150 @@
+"""Edge-case fixtures for the ES agg family III: crafted events tables
+exercising the degenerate paths the TPC-H-ish testdata never hits —
+constant series (all change-point scores tie), fewer distinct values
+than variable-width buckets, single-bucket histograms, and an exactly
+tied frequent-pair support.  Engine vs DuckDB oracle on the SAME
+crafted parquet, mirroring the driver's value-exact compare."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_events(tmp_path, ts_us, user_id, event_type, value):
+    n = len(ts_us)
+    t = pa.table({
+        "event_id": pa.array(range(1, n + 1), pa.int64()),
+        "ts": pa.array(ts_us, pa.timestamp("us")),
+        "user_id": pa.array(user_id, pa.int64()),
+        "event_type": pa.array(event_type, pa.string()),
+        "value": pa.array(value, pa.float64()),
+        "props": pa.array(['{"k": 1}'] * n, pa.string()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    return str(tmp_path)
+
+
+def _compare(name, sf_dir):
+    import __ray_entry__ as e
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"'{sf_dir}/events.parquet'")
+    mine = e.queries()[name](sf_dir)
+    if not isinstance(mine, pd.DataFrame):
+        mine = mine.to_pandas()
+    ref = con.execute(e.oracle_sql()[name]).df()
+    mine = mine[sorted(mine.columns)].sort_values(
+        by=sorted(mine.columns), kind="mergesort").reset_index(drop=True)
+    ref = ref[sorted(ref.columns)].sort_values(
+        by=sorted(ref.columns), kind="mergesort").reset_index(drop=True)
+    assert list(mine.columns) == list(ref.columns)
+    pd.testing.assert_frame_equal(mine, ref, check_dtype=False,
+                                  check_exact=True)
+    return mine
+
+
+DAY_US = 86_400_000_000
+
+
+def test_change_point_constant_series_ties_to_earliest(
+        ray_session, tmp_path):
+    """A perfectly flat daily series makes every split score 0 — the
+    deterministic tie-break must pick the EARLIEST candidate day on
+    both sides."""
+    ts, ut, et, v = [], [], [], []
+    for day in range(6):
+        for k in range(4):               # 4 events every day
+            ts.append(day * DAY_US + k)
+            ut.append(1)
+            et.append("view")
+            v.append(1.0)
+    sf = _write_events(tmp_path, ts, ut, et, v)
+    out = _compare("change_point_events", sf)
+    assert out["change_day"].iloc[0] == 1   # first valid split day
+    assert out["score"].iloc[0] == 0
+
+
+def test_change_point_step_series_finds_the_step(ray_session, tmp_path):
+    """2/day for five days then 50/day for five days — the change day
+    is exactly the first high day."""
+    ts, ut, et, v = [], [], [], []
+    for day in range(10):
+        for k in range(2 if day < 5 else 50):
+            ts.append(day * DAY_US + k)
+            ut.append(1)
+            et.append("view")
+            v.append(1.0)
+    sf = _write_events(tmp_path, ts, ut, et, v)
+    out = _compare("change_point_events", sf)
+    assert out["change_day"].iloc[0] == 5
+
+
+def test_variable_width_histogram_fewer_values_than_buckets(
+        ray_session, tmp_path):
+    """3 distinct cents vs 5 requested buckets: every distinct value
+    becomes its own bucket, no empty buckets, engine == oracle."""
+    vals = [1.00, 1.00, 2.50, 9.99]
+    sf = _write_events(tmp_path,
+                       [i * 1000 for i in range(len(vals))],
+                       [1] * len(vals), ["view"] * len(vals), vals)
+    out = _compare("variable_width_histogram_events", sf)
+    assert len(out) == 3
+    assert out["n_events"].sum() == 4
+
+
+def test_variable_width_histogram_single_value(ray_session, tmp_path):
+    """One distinct cent: one bucket, centroid == the value."""
+    sf = _write_events(tmp_path, [0, 1, 2], [1, 1, 1],
+                       ["view"] * 3, [7.25] * 3)
+    out = _compare("variable_width_histogram_events", sf)
+    assert len(out) == 1
+    assert out["centroid_cents"].iloc[0] == 725.0
+
+
+def test_stats_bucket_with_gap_days(ray_session, tmp_path):
+    """Days 0, 1 and 4 occupied; 2–3 empty.  The gap-filled histogram
+    makes min_n = 0 and the min_day the FIRST empty day."""
+    ts = [0, 1, DAY_US, 4 * DAY_US, 4 * DAY_US + 1, 4 * DAY_US + 2]
+    sf = _write_events(tmp_path, ts, [1] * 6, ["view"] * 6, [1.0] * 6)
+    out = _compare("stats_bucket_events", sf)
+    assert out["n_buckets"].iloc[0] == 5
+    assert out["min_n"].iloc[0] == 0
+    assert out["min_day"].iloc[0] == 2
+    assert out["max_day"].iloc[0] == 4
+
+
+def test_frequent_item_sets_threshold_boundary(ray_session, tmp_path):
+    """4 users: {a,b} ×2, {a,c} ×1, {a} ×1 → support(a,b)=2 =
+    ceil(0.5·4) exactly (kept), support(a,c)=1 (dropped)."""
+    rows = [
+        (1, "alpha"), (1, "beta"),
+        (2, "alpha"), (2, "beta"),
+        (3, "alpha"), (3, "gamma"),
+        (4, "alpha"),
+    ]
+    ts = [i * 1000 for i in range(len(rows))]
+    sf = _write_events(tmp_path, ts, [u for u, _ in rows],
+                       [t for _, t in rows], [1.0] * len(rows))
+    out = _compare("frequent_item_sets_events", sf)
+    assert list(out.itertuples(index=False, name=None)) == [
+        ("alpha", "beta", 2)]
+
+
+def test_t_test_identical_populations_t_is_zero(ray_session, tmp_path):
+    """Same values in both populations → means equal, t == 0, and the
+    all-DOUBLE variance tree agrees bit-for-bit with DuckDB."""
+    vals = [1.25, 2.50, 3.75, 5.00]
+    ts, ut, et, v = [], [], [], []
+    for i, x in enumerate(vals):
+        for typ in ("purchase", "click"):
+            ts.append(i * 1000 + len(ts))
+            ut.append(1)
+            et.append(typ)
+            v.append(x)
+    sf = _write_events(tmp_path, ts, ut, et, v)
+    out = _compare("t_test_events", sf)
+    assert out["t_stat"].iloc[0] == 0.0
