@@ -4359,7 +4359,55 @@ FROM documents
 """
 
 
+_ANALYZE_DOCS = 10
+
+
+def analyze_tokens_documents(sf_dir: str):
+    """ES ``_analyze`` API analog: the full token STREAM with
+    positions for a fixed doc set, produced by the engine's own
+    Tokenizer (the one the index build uses — reference analyzer
+    parity) as a distributed map_batches stage over a pruned,
+    row-filtered read.  Emitted as (doc_id, position, token)."""
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from mee_ray.tokenizer import Tokenizer
+
+    class Analyze:
+        def __init__(self):
+            self.tok = Tokenizer()
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            d, p, w = [], [], []
+            for did, text in zip(t["doc_id"].to_pylist(),
+                                 t["text"].to_pylist()):
+                for i, term in enumerate(self.tok.terms(text or "")):
+                    d.append(did)
+                    p.append(i)
+                    w.append(term)
+            return pa.table({"doc_id": pa.array(d, pa.int64()),
+                             "position": pa.array(p, pa.int64()),
+                             "token": pa.array(w, pa.string())})
+
+    return (ray.data.read_parquet(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text"],
+                filter=(_pc.field("doc_id") < _ANALYZE_DOCS))
+            .map_batches(Analyze(), batch_format="pyarrow"))
+
+
+ANALYZE_SQL = f"""
+SELECT doc_id,
+       CAST(generate_subscripts(l, 1) - 1 AS BIGINT) AS position,
+       unnest(l) AS token
+FROM (SELECT doc_id,
+             regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS l
+      FROM documents WHERE doc_id < {_ANALYZE_DOCS})
+"""
+
+
 QUERIES = {
+    "analyze_tokens_documents": analyze_tokens_documents,
     "bm25_topk_documents": bm25_topk_documents,
     "bm25_conjunctive_documents": bm25_conjunctive_documents,
     "bm25_phrase_documents": bm25_phrase_documents,
@@ -4427,6 +4475,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "analyze_tokens_documents": ANALYZE_SQL,
     "bm25_topk_documents": _bm25_sql(),
     "bm25_conjunctive_documents": _bm25_conj_sql(),
     "bm25_phrase_documents": _bm25_phrase_sql(),

@@ -120,6 +120,7 @@ SQL_CHECKED = [
     "change_point_events", "variable_width_histogram_events",
     "frequent_item_sets_events", "categorize_text_documents",
     "significant_text_documents", "random_sampler_events",
+    "analyze_tokens_documents",
 ]
 
 
