@@ -4365,17 +4365,20 @@ _ANALYZE_DOCS = 10
 def analyze_tokens_documents(sf_dir: str):
     """ES ``_analyze`` API analog: the full token STREAM with
     positions for a fixed doc set, produced by the engine's own
-    Tokenizer (the one the index build uses — reference analyzer
-    parity) as a distributed map_batches stage over a pruned,
-    row-filtered read.  Emitted as (doc_id, position, token)."""
+    Tokenizer in its SQL-reproducible ``simple`` mode (the mode this
+    module's every oracle assumes — the default identifier-splitting
+    analyzer would emit extra subtokens no SQL regex can mirror) as a
+    distributed map_batches stage over a pruned, row-filtered read.
+    Emitted as (doc_id, position, token)."""
     import pyarrow.compute as _pc
     import ray.data
 
+    from mee_ray.config import TokenizerConfig
     from mee_ray.tokenizer import Tokenizer
 
     class Analyze:
         def __init__(self):
-            self.tok = Tokenizer()
+            self.tok = Tokenizer(TokenizerConfig.simple())
 
         def __call__(self, t: pa.Table) -> pa.Table:
             d, p, w = [], [], []

@@ -5800,24 +5800,43 @@ def t_test_events(sf_dir: str):
     rows = {r["event_type"]: r for r in
             pa.concat_tables(list(agg.iter_batches(
                 batch_format="pyarrow"))).to_pylist()}
-    a, b = rows[_TTEST_A], rows[_TTEST_B]
+    a = rows.get(_TTEST_A, {"n": None, "s": None, "sq": None})
+    b = rows.get(_TTEST_B, {"n": None, "s": None, "sq": None})
+
+    # DuckDB NULL mirror: x/0 and NULL-op-anything are NULL, and
+    # greatest(NULL, 0) is 0 — so degenerate inputs (missing type,
+    # n==1, zero pooled variance) produce the oracle's exact NULLs
+    # instead of a driver crash
+    def div(x, y):
+        return None if (x is None or y is None or y == 0) else x / y
+
+    def var_of(r, m):
+        raw = (None if (r["sq"] is None or r["s"] is None or m is None)
+               else div(r["sq"] - r["s"] * m, r["n"] - 1))
+        return 0.0 if raw is None else max(raw, 0.0)
+
+    m1, m2 = div(a["s"], a["n"]), div(b["s"], b["n"])
+    v1, v2 = var_of(a, m1), var_of(b, m2)
+    se1, se2 = div(v1, a["n"]), div(v2, b["n"])
+    if se1 is None or se2 is None or m1 is None or m2 is None:
+        t_stat = None
+    else:
+        t_stat = div(m1 - m2, math.sqrt(se1 + se2))
+    num = None if (se1 is None or se2 is None) \
+        else (se1 + se2) * (se1 + se2)
+    d1 = None if se1 is None else div(se1 * se1, a["n"] - 1)
+    d2 = None if se2 is None else div(se2 * se2, b["n"] - 1)
+    den = None if (d1 is None or d2 is None) else d1 + d2
+    df = div(num, den)
     out: dict[str, object] = {
         "n_a": a["n"], "n_b": b["n"],
-        "sum_a_cents": a["s"], "sum_b_cents": b["s"]}
-    m1, m2 = a["s"] / a["n"], b["s"] / b["n"]
-    # sample variance via the all-DOUBLE tree (SQ − S·mean)/(n−1),
-    # clamped like extended_stats
-    v1 = max((a["sq"] - a["s"] * m1) / (a["n"] - 1), 0.0)
-    v2 = max((b["sq"] - b["s"] * m2) / (b["n"] - 1), 0.0)
-    se1, se2 = v1 / a["n"], v2 / b["n"]
-    t_stat = (m1 - m2) / math.sqrt(se1 + se2)
-    df = ((se1 + se2) * (se1 + se2)
-          / (se1 * se1 / (a["n"] - 1) + se2 * se2 / (b["n"] - 1)))
-    out.update({"mean_a_cents": m1, "mean_b_cents": m2,
-                "var_a_cents": v1, "var_b_cents": v2,
-                "t_stat": t_stat, "welch_df": df})
-    return pa.table({k: pa.array([v], pa.int64()
-                                 if isinstance(v, int) else pa.float64())
+        "sum_a_cents": a["s"], "sum_b_cents": b["s"],
+        "mean_a_cents": m1, "mean_b_cents": m2,
+        "var_a_cents": v1, "var_b_cents": v2,
+        "t_stat": t_stat, "welch_df": df}
+    ints = {"n_a", "n_b", "sum_a_cents", "sum_b_cents"}
+    return pa.table({k: pa.array([v], pa.int64() if k in ints
+                                 else pa.float64())
                      for k, v in out.items()})
 
 
@@ -5862,6 +5881,31 @@ FROM se
 """
 
 
+def _daily_counts(sf_dir: str):
+    """Day-sorted (day, count) arrays off the shared distributed
+    gap-filled date_histogram — the O(days) driver table every
+    histogram-parented pipeline agg starts from."""
+    hist = pa.concat_tables(list(date_histogram_events(sf_dir)
+                                 .iter_batches(batch_format="pyarrow")))
+    d = hist["day_bucket"].to_numpy(zero_copy_only=False)
+    n = hist["n_events"].to_numpy(zero_copy_only=False)
+    order = np.argsort(d)
+    return d[order], n[order]
+
+
+# the matching oracle prologue: gap-filled daily counts (shared by
+# STATS_BUCKET_SQL / CHANGE_POINT_SQL; same CTE shape as DERIVATIVE_SQL)
+_DAILY_HIST_CTES = """
+WITH b AS (
+  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d
+  FROM events),
+agg AS (SELECT d, count(*) AS n FROM b GROUP BY d),
+days AS (SELECT unnest(generate_series((SELECT min(d) FROM agg),
+                                       (SELECT max(d) FROM agg))) AS d),
+hist AS (SELECT days.d, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
+         FROM days LEFT JOIN agg ON agg.d = days.d)"""
+
+
 def stats_bucket_events(sf_dir: str):
     """ES sibling pipeline aggregations over the gap-filled daily
     date_histogram — ``stats_bucket`` (count/min/max/sum/avg of the
@@ -5870,12 +5914,7 @@ def stats_bucket_events(sf_dir: str):
     ``min_bucket``/``max_bucket`` keys (first day attaining each
     extreme).  Driver work is O(days) on the already-reduced bucket
     table; the events-sized work is the shared date_histogram."""
-    hist = pa.concat_tables(list(date_histogram_events(sf_dir)
-                                 .iter_batches(batch_format="pyarrow")))
-    d = hist["day_bucket"].to_numpy(zero_copy_only=False)
-    n = hist["n_events"].to_numpy(zero_copy_only=False)
-    order = np.argsort(d)
-    d, n = d[order], n[order]
+    d, n = _daily_counts(sf_dir)
     nb = len(n)
     srt = np.sort(n)
     p50 = int(srt[math.ceil(0.5 * nb) - 1])
@@ -5890,15 +5929,8 @@ def stats_bucket_events(sf_dir: str):
         "max_day": pa.array([int(d[np.argmax(n)])], pa.int64())})
 
 
-STATS_BUCKET_SQL = """
-WITH b AS (
-  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d
-  FROM events),
-agg AS (SELECT d, count(*) AS n FROM b GROUP BY d),
-days AS (SELECT unnest(generate_series((SELECT min(d) FROM agg),
-                                       (SELECT max(d) FROM agg))) AS d),
-hist AS (SELECT days.d, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
-         FROM days LEFT JOIN agg ON agg.d = days.d),
+STATS_BUCKET_SQL = f"""
+{_DAILY_HIST_CTES},
 run AS (SELECT n, sum(count(*)) OVER (ORDER BY n) AS r
         FROM hist GROUP BY n),
 tot AS (SELECT count(*) AS nb, min(n) AS min_n, max(n) AS max_n,
@@ -5978,14 +6010,13 @@ def change_point_events(sf_dir: str):
     exact integers (Python bigints here, HUGEINT in the oracle —
     the square exceeds int64 at scale).  Ties break on the earlier
     day.  Driver work is O(days) over the reduced bucket table."""
-    hist = pa.concat_tables(list(date_histogram_events(sf_dir)
-                                 .iter_batches(batch_format="pyarrow")))
-    d = hist["day_bucket"].to_numpy(zero_copy_only=False)
-    n = hist["n_events"].to_numpy(zero_copy_only=False)
-    order = np.argsort(d)
-    d, n = d[order], n[order]
+    d, n = _daily_counts(sf_dir)
     total = int(n.sum())
     nb = len(n)
+    cols = ["change_day", "score", "n_before", "n_after",
+            "sum_before", "sum_after"]
+    if nb < 2:                      # no valid split — oracle emits 0 rows
+        return pa.table({c: pa.array([], pa.int64()) for c in cols})
     best = None                     # (score, day, n1, n2, s1, s2)
     s1 = 0
     for k in range(1, nb):          # split BEFORE index k; both non-empty
@@ -6006,15 +6037,8 @@ def change_point_events(sf_dir: str):
                      "sum_after": pa.array([sb], pa.int64())})
 
 
-CHANGE_POINT_SQL = """
-WITH b AS (
-  SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS d
-  FROM events),
-agg AS (SELECT d, count(*) AS n FROM b GROUP BY d),
-days AS (SELECT unnest(generate_series((SELECT min(d) FROM agg),
-                                       (SELECT max(d) FROM agg))) AS d),
-hist AS (SELECT days.d, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
-         FROM days LEFT JOIN agg ON agg.d = days.d),
+CHANGE_POINT_SQL = f"""
+{_DAILY_HIST_CTES},
 cum AS (
   SELECT d,
          CAST(row_number() OVER (ORDER BY d) AS BIGINT) - 1 AS n1,
@@ -6132,6 +6156,11 @@ def frequent_item_sets_events(sf_dir: str):
     vocab = sorted(r["event_type"] for r in
                    _read(sf_dir, "events", ["event_type"])
                    .groupby("event_type").count().take_all())
+    if len(vocab) > 63:
+        raise ValueError(
+            f"frequent_item_sets bitmask supports at most 63 distinct "
+            f"items (int64 lanes); got {len(vocab)} — switch to the "
+            f"pair-explosion path for wide vocabularies")
     idx = {v: i for i, v in enumerate(vocab)}
     T = len(vocab)
     pairs = [(i, j) for i in range(T) for j in range(i + 1, T)]
@@ -6155,7 +6184,8 @@ def frequent_item_sets_events(sf_dir: str):
              .aggregate(Sum("bit", alias_name="_drop"))
              .drop_columns(["_drop"])
              .groupby("user_id")
-             .aggregate(Sum("bit", alias_name="mask")))
+             .aggregate(Sum("bit", alias_name="mask"))
+             .materialize())        # consumed twice: pair counts + count
 
     def pair_counts(t: pa.Table) -> pa.Table:
         m = t["mask"].to_numpy(zero_copy_only=False)

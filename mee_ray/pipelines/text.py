@@ -78,26 +78,35 @@ FROM documents
 
 # ------------------------------------------------ term df (tokenize) --
 
+class DfPartialStage(TextStats):
+    """Per-batch partial document frequency: one row per term with the
+    count of batch docs containing it (terms deduped per doc).  The
+    core tokenize-and-count stage, shared by doc_term_df and the
+    significant_text foreground pass."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from collections import Counter
+        c: Counter = Counter()
+        for x in t["text"].to_pylist():
+            c.update(set(self.tokens(x)))
+        items = sorted(c.items())
+        return pa.table({"term": pa.array([k for k, _ in items],
+                                          pa.string()),
+                         "df_part": pa.array([v for _, v in items],
+                                             pa.int64())})
+
+
+def _df_over(ds, alias: str):
+    """tokenize → groupby(term) df over a Dataset with a text column."""
+    from ray.data.aggregate import Sum
+    return (ds.map_batches(DfPartialStage(), batch_format="pyarrow")
+            .groupby("term").aggregate(Sum("df_part", alias_name=alias)))
+
+
 def doc_term_df(sf_dir: str):
     """The tokenize → groupby(term) df aggregation — the core of the
     index build, checked against a pure-SQL unnest oracle."""
-    from ray.data.aggregate import Sum
-
-    class Stage(TextStats):
-        def __call__(self, t: pa.Table) -> pa.Table:
-            # per-batch partial df: one row per (term) with count of
-            # docs containing it in this batch (terms deduped per doc)
-            from collections import Counter
-            c: Counter = Counter()
-            for x in t["text"].to_pylist():
-                c.update(set(self.tokens(x)))
-            items = sorted(c.items())
-            return pa.table({"term": pa.array([k for k, _ in items], pa.string()),
-                             "df_part": pa.array([v for _, v in items], pa.int64())})
-
-    return (_read_docs(sf_dir, ["text"])
-            .map_batches(Stage(), batch_format="pyarrow")
-            .groupby("term").aggregate(Sum("df_part", alias_name="df")))
+    return _df_over(_read_docs(sf_dir, ["text"]), "df")
 
 
 TERM_DF_SQL = f"""
@@ -1713,20 +1722,8 @@ def significant_text_documents(sf_dir: str):
                 .materialize())          # query-bounded distinct texts
     fg_total = fg_texts.count()
 
-    class FgTerms(TextStats):
-        def __call__(self, t: pa.Table) -> pa.Table:
-            c: Counter = Counter()
-            for x in t["text"].to_pylist():
-                c.update(set(self.tokens(x)))
-            items = sorted(c.items())
-            return pa.table({"term": pa.array([k for k, _ in items],
-                                              pa.string()),
-                             "fg_part": pa.array([v for _, v in items],
-                                                 pa.int64())})
-
     fg = pa.concat_tables(list(
-        fg_texts.map_batches(FgTerms(), batch_format="pyarrow")
-        .groupby("term").aggregate(Sum("fg_part", alias_name="fg_count"))
+        _df_over(fg_texts, "fg_count")
         .iter_batches(batch_format="pyarrow")))
     bg = pa.concat_tables(list(doc_term_df(sf_dir)
                                .iter_batches(batch_format="pyarrow")))

@@ -134,6 +134,59 @@ def test_frequent_item_sets_threshold_boundary(ray_session, tmp_path):
         ("alpha", "beta", 2)]
 
 
+def test_change_point_single_day_is_empty(ray_session, tmp_path):
+    """One occupied day → no valid split; engine emits the oracle's
+    zero rows instead of crashing."""
+    sf = _write_events(tmp_path, [0, 1, 2], [1, 1, 1],
+                       ["view"] * 3, [1.0] * 3)
+    out = _compare("change_point_events", sf)
+    assert len(out) == 0
+
+
+def test_t_test_zero_variance_is_null(ray_session, tmp_path):
+    """Constant values in both populations → pooled SE is 0; DuckDB's
+    x/0 is NULL and the engine mirrors it (no ZeroDivisionError)."""
+    ts, ut, et, v = [], [], [], []
+    for i in range(3):
+        for typ in ("purchase", "click"):
+            ts.append(len(ts))
+            ut.append(1)
+            et.append(typ)
+            v.append(5.0)
+    sf = _write_events(tmp_path, ts, ut, et, v)
+    out = _compare("t_test_events", sf)
+    assert pd.isna(out["t_stat"].iloc[0])
+    assert pd.isna(out["welch_df"].iloc[0])
+    assert out["var_a_cents"].iloc[0] == 0.0
+
+
+def test_t_test_n1_population(ray_session, tmp_path):
+    """One population has a single row: its sample variance divides by
+    n−1 == 0 → NULL → greatest(NULL,0) == 0 in DuckDB; t stays
+    computable off the other population's variance, welch_df is NULL.
+    Engine mirrors exactly."""
+    ts = [0, 1, 2, 3]
+    et = ["purchase", "click", "click", "click"]
+    v = [10.0, 1.0, 2.0, 3.0]
+    sf = _write_events(tmp_path, ts, [1] * 4, et, v)
+    out = _compare("t_test_events", sf)
+    assert out["n_a"].iloc[0] == 1
+    assert out["var_a_cents"].iloc[0] == 0.0
+    assert not pd.isna(out["t_stat"].iloc[0])
+    assert pd.isna(out["welch_df"].iloc[0])
+
+
+def test_t_test_missing_population(ray_session, tmp_path):
+    """No 'purchase' rows at all: the oracle's conditional aggregates
+    give NULLs for that side; the engine emits the same row instead
+    of raising KeyError."""
+    sf = _write_events(tmp_path, [0, 1], [1, 1],
+                       ["click", "click"], [1.0, 2.0])
+    out = _compare("t_test_events", sf)
+    assert pd.isna(out["n_a"].iloc[0])
+    assert pd.isna(out["t_stat"].iloc[0])
+
+
 def test_t_test_identical_populations_t_is_zero(ray_session, tmp_path):
     """Same values in both populations → means equal, t == 0, and the
     all-DOUBLE variance tree agrees bit-for-bit with DuckDB."""
