@@ -58,6 +58,20 @@ def _cases(oracle, variant):
                 if i % 3 == 0:
                     out.append(seq[5:8])
         return out[:12] + [["zz_none", "also_gone"]]
+    if variant == "span_multi":
+        # (prefix, anchor-term) pairs: the prefix slot is re-expanded
+        # per query against EACH side's own current vocabulary, so the
+        # dictionary rewrite is exercised against delta/compact vocab
+        # changes, not a frozen expansion
+        from mee_ray.config import TokenizerConfig
+        from mee_ray.tokenizer import Tokenizer
+        tok = Tokenizer(TokenizerConfig())
+        out = []
+        for _, c in sorted(oracle.docs.items())[:25]:
+            seq = tok.terms(c)
+            if len(seq) > 12:
+                out.append((seq[3][:2], seq[6]))
+        return out[:10]
     if variant in ("span_containing", "span_or_near"):
         from mee_ray.config import TokenizerConfig
         from mee_ray.tokenizer import Tokenizer
@@ -131,18 +145,31 @@ def _run(searcher, oracle, variant, q):
         slots, slop = q
         return (searcher.search_span_or_near(slots, slop, k=k),
                 oracle.search_span_or_near(slots, slop, k=k))
+    if variant == "span_multi":
+        from mee_ray.query import prefix_terms
+        prefix, anchor = q
+        cap = 16
+        got_slot = prefix_terms(searcher.vocabulary(), prefix)[:cap]
+        want_slot = sorted(t for t in oracle.postings
+                           if t.startswith(prefix))[:cap]
+        got = (searcher.search_span_or_near([got_slot, [anchor]], 2,
+                                            k=k) if got_slot else [])
+        want = (oracle.search_span_or_near([want_slot, [anchor]], 2,
+                                           k=k) if want_slot else [])
+        return got, want
     raise SystemExit(f"unknown variant {variant!r}")
 
 
 ALL = ["or", "and", "common_terms", "script_score", "terms_set",
        "min_match", "phrase", "span_near", "intervals",
-       "span_containing", "span_or_near"]
+       "span_containing", "span_or_near", "span_multi"]
 
 
 def main():
     variants = sys.argv[1:] or ALL
     positional = any(v in ("phrase", "span_near", "intervals",
-                           "span_containing", "span_or_near")
+                           "span_containing", "span_or_near",
+                           "span_multi")
                      for v in variants)
 
     import ray
