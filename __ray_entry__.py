@@ -27,8 +27,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from mee_ray.pipelines import (cluster, docbuild, export, fulltext,
-                                   relational, sketches, text, training,
-                                   vector)
+                                   geo, relational, sketches, text,
+                                   training, vector)
     from mee_ray.stages.multimodal import (multimodal_audio_features,
                                            multimodal_image_meta,
                                            multimodal_retrieval,
@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(fulltext.QUERIES)
     out.update(sketches.QUERIES)
     out.update(cluster.QUERIES)
+    out.update(geo.QUERIES)
     out.update(export.QUERIES)
     out.update(training.QUERIES)
     out["multimodal_image_meta"] = multimodal_image_meta
@@ -53,8 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from mee_ray.pipelines import (cluster, docbuild, export, fulltext,
-                                   relational, sketches, text, training,
-                                   vector)
+                                   geo, relational, sketches, text,
+                                   training, vector)
     from mee_ray.stages.multimodal import (AUDIO_SQL, MULTIMODAL_SQL,
                                            RETRIEVAL_SQL, VIDEO_SQL)
 
@@ -66,6 +67,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(fulltext.ORACLE)
     out.update(sketches.ORACLE)
     out.update(cluster.ORACLE)
+    out.update(geo.ORACLE)
     out.update(export.ORACLE)
     out.update(training.ORACLE)
     out["multimodal_image_meta"] = MULTIMODAL_SQL

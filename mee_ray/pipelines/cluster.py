@@ -38,6 +38,7 @@ import hashlib
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _N_BUCKETS = 64
 _EDGE_SCHEMA = pa.schema([("a", pa.int64()), ("b", pa.int64())])
@@ -494,7 +495,246 @@ reach AS (
 SELECT node AS doc_id FROM reach GROUP BY node HAVING min(r) = node
 """
 
+# ------------------------------------------------- PageRank (fixed-point)
+
+_PR_ITERS = 5
+_PR_FP = 10 ** 12                    # fixed-point ONE
+
+
+def pagerank_users(sf_dir: str, iters: int = _PR_ITERS) -> pa.Table:
+    """PageRank over the user-succession graph — the iterative link
+    analysis a crawl-quality weighting pipeline runs (alongside the
+    connected-components dedup this module already owns).
+
+    Graph: within each event_type's (ts, event_id)-ordered stream,
+    each event links its user to the NEXT event's user (self-loops
+    dropped); multiplicity is the edge weight.  Rank: damped power
+    method in INT64 FIXED-POINT — every contribution is
+    ``((r·85) // (100·w_out)) · w`` (divide-before-multiply keeps the
+    product ≤ 0.85·r, overflow-safe at any scale), teleport
+    ``(15·FP) // (100·N)`` — so sums are order-independent, iterations
+    are bit-deterministic under any parallelism, and the oracle is an
+    UNROLLED {iters}-step SQL CTE chain with the identical integer
+    tree.  Dangling mass is dropped (the standard simplification),
+    documented here and mirrored by the oracle.
+
+    Distribution: edge weights, the out-weight denominator and the
+    join tag are all finalized inside ONE bucketed groupby — the
+    bucket is mix64(src) % {_N_BUCKETS}, so every row of a src lands
+    in the same group and the (src,dst)→w merge and per-src wout sum
+    are group-local (per-batch combiner before the exchange).  The
+    per-iteration rank⋈edge uses the repo's bucketed union-groupby
+    join (co-partition + vectorized searchsorted inside map_groups —
+    the minhash-attach idiom; Ray Data's native join operator
+    currently trips over the empty schema-less blocks aggregate
+    stages emit), contributions reduce with per-bucket int64 partials
+    before the groupby; ranks re-materialize each round (the
+    connected_components lineage-cut pattern).  Edge generation sorts
+    within event_type groups; a 100-TB run splits hot types by day
+    with boundary stitching (the sessionization pattern) —
+    documented, not needed at bench scale."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts", "event_id",
+                                        "user_id"])
+
+    def _bucket_of(key: np.ndarray) -> np.ndarray:
+        return (_mix64(key) % np.uint64(_N_BUCKETS)).astype(np.int32)
+
+    def pairs(g: pa.Table) -> pa.Table:
+        ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        u = uid[order]
+        src, dst = u[:-1], u[1:]
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        # per-batch combiner: merge duplicate (src,dst) before the
+        # exchange, tag with the src bucket
+        t = (pa.table({"src": pa.array(src, pa.int64()),
+                       "dst": pa.array(dst, pa.int64())})
+             .group_by(["src", "dst"]).aggregate([([], "count_all")])
+             .rename_columns(["src", "dst", "w_part"]))
+        return t.append_column(
+            "bucket", pa.array(_bucket_of(
+                t["src"].to_numpy(zero_copy_only=False)), pa.int32()))
+
+    # union-row schema for the bucketed joins:
+    # (bucket, key, dst, w, aux, side) — side 0 = edge, 1 = lookup
+    def _row_table(bucket, key, dst, w, aux, side):
+        n = len(key)
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int32()),
+            "key": pa.array(key, pa.int64()),
+            "dst": pa.array(dst if dst is not None
+                            else np.zeros(n, np.int64), pa.int64()),
+            "w": pa.array(w if w is not None
+                          else np.zeros(n, np.int64), pa.int64()),
+            "aux": pa.array(aux, pa.int64()),
+            "side": pa.array(np.full(n, side, np.int8))})
+
+    def tag_lookup(key_col: str, aux_col: str):
+        def f(t: pa.Table) -> pa.Table:
+            k = t[key_col].to_numpy(zero_copy_only=False)
+            return _row_table(_bucket_of(k), k, None, None,
+                              t[aux_col].to_numpy(zero_copy_only=False),
+                              1)
+        return f
+
+    def edge_rows(g: pa.Table) -> pa.Table:
+        """One src-bucket: merge (src,dst) partial weights, compute
+        each src's out-weight (group-local — the bucket owns ALL rows
+        of its srcs), emit join-tagged edge rows (wout in aux)."""
+        g = (g.select(["src", "dst", "w_part"]).combine_chunks()
+             .group_by(["src", "dst"]).aggregate([("w_part", "sum")]))
+        src = g["src"].to_numpy(zero_copy_only=False)
+        w = g["w_part_sum"].to_numpy(zero_copy_only=False)
+        order = np.argsort(src, kind="stable")
+        ssrc, sw = src[order], w[order]
+        uniq, idx = np.unique(ssrc, return_index=True)
+        sums = np.add.reduceat(sw, idx) if len(sw) else sw
+        wout = np.empty(len(src), np.int64)
+        wout[order] = np.repeat(
+            sums, np.diff(np.append(idx, len(ssrc))))
+        return _row_table(_bucket_of(src), src,
+                          g["dst"].to_numpy(zero_copy_only=False),
+                          w, wout, 0)
+
+    # edge rows with the out-weight denominator attached, ONE shuffle
+    ew_tagged = (ev.groupby("event_type")
+                 .map_groups(pairs, batch_format="pyarrow")
+                 .groupby("bucket")
+                 .map_groups(edge_rows, batch_format="pyarrow")
+                 .materialize())
+
+    nodes = (ev.map_batches(
+        lambda t: pa.table({"user_id": t["user_id"]}),
+        batch_format="pyarrow")
+        .groupby("user_id").count()
+        .drop_columns(["count()"])
+        .materialize())
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "rank_fp": pa.array([], pa.int64())})
+    teleport = (15 * _PR_FP) // (100 * n_nodes)
+    init = _PR_FP // n_nodes
+
+    zero_rows = nodes.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "c_part": pa.array(np.zeros(t.num_rows, np.int64))}),
+        batch_format="pyarrow").materialize()
+
+    def with_rank(r_fp: int):
+        def f(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "r", pa.array(np.full(t.num_rows, r_fp), pa.int64()))
+        return f
+
+    ranks = nodes.map_batches(with_rank(init),
+                              batch_format="pyarrow").materialize()
+
+    def contrib_group(g: pa.Table) -> pa.Table:
+        """One bucket: edge rows (wout in the aux lane) + rank rows
+        (r in aux); contribution per edge, partial-summed by dst."""
+        g = g.combine_chunks()
+        side = g["side"].to_numpy(zero_copy_only=False)
+        key = g["key"].to_numpy(zero_copy_only=False)
+        er = np.flatnonzero(side == 0)
+        lk = np.flatnonzero(side == 1)
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "c_part": pa.array([], pa.int64())})
+        if not len(er) or not len(lk):
+            return empty
+        lkk = key[lk]
+        order = np.argsort(lkk, kind="stable")
+        lkk, lko = lkk[order], lk[order]
+        pos = np.clip(np.searchsorted(lkk, key[er]), 0, len(lkk) - 1)
+        ok = lkk[pos] == key[er]
+        er, pos = er[ok], pos[ok]
+        if not len(er):
+            return empty
+        aux = g["aux"].to_numpy(zero_copy_only=False)
+        r = aux[lko[pos]]                       # rank of src
+        wout = aux[er]                          # edge rows carry wout
+        w = g["w"].to_numpy(zero_copy_only=False)[er]
+        dst = g["dst"].to_numpy(zero_copy_only=False)[er]
+        c = ((r * 85) // (100 * wout)) * w
+        t = (pa.table({"user_id": pa.array(dst, pa.int64()),
+                       "c": pa.array(c, pa.int64())})
+             .group_by("user_id").aggregate([("c", "sum")]))
+        return t.rename_columns(["user_id", "c_part"])
+
+    for _ in range(iters):
+        inflow = (ew_tagged.union(
+            ranks.map_batches(tag_lookup("user_id", "r"),
+                              batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(contrib_group, batch_format="pyarrow"))
+        ranks = (inflow.union(zero_rows)
+                 .groupby("user_id")
+                 .aggregate(Sum("c_part", alias_name="c"))
+                 .map_batches(
+                     lambda t: pa.table({
+                         "user_id": t["user_id"],
+                         "r": pc.add(t["c"],
+                                     pa.scalar(teleport, pa.int64()))}),
+                     batch_format="pyarrow")
+                 .materialize())
+
+    t = pa.concat_tables(list(ranks.iter_batches(
+        batch_format="pyarrow"))).sort_by("user_id")
+    return t.rename_columns(["user_id", "rank_fp"])
+
+
+def _pagerank_sql(iters: int = _PR_ITERS) -> str:
+    head = f"""
+WITH seq AS (
+  SELECT event_type, ts, event_id, user_id,
+         lag(user_id) OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS prev_user
+  FROM events),
+e0 AS (SELECT prev_user AS src, user_id AS dst FROM seq
+       WHERE prev_user IS NOT NULL AND prev_user <> user_id),
+edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+          FROM e0 GROUP BY src, dst),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout
+         FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT user_id FROM events),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr0 AS (SELECT user_id,
+               CAST({_PR_FP} // (SELECT n FROM nn) AS BIGINT) AS r
+        FROM nodes)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+pr{i} AS (
+  SELECT nd.user_id,
+         CAST((15 * CAST({_PR_FP} AS BIGINT))
+              // (100 * (SELECT n FROM nn))
+              + coalesce(c.s, 0) AS BIGINT) AS r
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS user_id,
+           CAST(sum(((p.r * 85) // (100 * o.wout)) * e.w) AS BIGINT)
+             AS s
+    FROM edges e
+    JOIN pr{i - 1} p ON p.user_id = e.src
+    JOIN outw o ON o.src = e.src
+    GROUP BY e.dst) c USING (user_id))""")
+    return (head + "," + ",".join(steps)
+            + f"\nSELECT user_id, r AS rank_fp FROM pr{iters} "
+              f"ORDER BY user_id")
+
+
+PAGERANK_SQL = _pagerank_sql()
+
+
 QUERIES = {
+    "pagerank_users": pagerank_users,
     "neardup_gram_clusters": neardup_gram_clusters,
     "neardup_representatives": neardup_representatives,
     "minhash_neardup_clusters": minhash_neardup_clusters,
@@ -502,6 +742,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "pagerank_users": PAGERANK_SQL,
     "neardup_gram_clusters": NEARDUP_CLUSTERS_SQL,
     "neardup_representatives": NEARDUP_REPRESENTATIVES_SQL,
 }

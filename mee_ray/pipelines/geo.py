@@ -1,0 +1,257 @@
+"""Geo query/aggregation family — ES geo_bounding_box / geo_distance /
+geohash_grid / geo_centroid analogs (reference scope: the ES search
+surface the mee pipeline's consumers query; geo fields are a standard
+ES mapping type the engine should serve).
+
+The testdata carries no coordinates, so each event gets a
+DETERMINISTIC location derived from its keys by a Knuth
+multiplicative hash in plain int64 arithmetic (the random_sampler
+precedent) — exactly reproducible in both numpy and ANSI SQL, no
+floats anywhere:
+
+    lat_micro = ((event_id * 2654435761) % 180000001) - 90000000
+    lon_micro = ((event_id * 40503 + user_id * 2654435761)
+                 % 360000001) - 180000000
+
+Microdegree fixed-point keeps every comparison, cell id, centroid
+partial and squared distance in int64 (max |coord| 1.8e8 → d² ≤
+6.5e16 < 2^63), so results are bit-deterministic under any batch or
+merge order and the DuckDB oracles share the identical integer tree.
+Distance ranking uses squared planar microdegree distance — the
+standard flat-earth small-region surrogate; a haversine variant would
+only reorder near-antipodal ties and would put IEEE trig inside the
+exchange, which this repo's exactness discipline forbids.
+
+Scale shape: one pruned scan (event_id, user_id, event_type), coords
+materialized per batch and never shuffled; only bounded partials
+cross the exchange (per-type counts / centroid sums, per-cell counts
+— cell grid ≤ 37×73, per-batch top-k candidate rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_KNUTH = 2654435761
+_LAT_MOD = 180000001
+_LON_MOD = 360000001
+_CELL = 5_000_000                 # 5° cells for the grid agg
+
+# geo_bounding_box corners (microdegrees)
+_BOX = {"lat_lo": 10_000_000, "lat_hi": 60_000_000,
+        "lon_lo": -30_000_000, "lon_hi": 90_000_000}
+# geo_distance query point + radius (microdegrees / squared)
+_Q_LAT, _Q_LON = 25_000_000, 50_000_000
+_RADIUS = 40_000_000
+_TOPK = 20
+
+
+def _coords(t: pa.Table):
+    eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    lat = (eid * _KNUTH) % _LAT_MOD - 90_000_000
+    lon = (eid * 40503 + uid * _KNUTH) % _LON_MOD - 180_000_000
+    return lat, lon
+
+
+def _read_events(sf_dir: str):
+    import ray.data
+    return ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "event_type"])
+
+
+_COORDS_CTE = """
+WITH coords AS (
+  SELECT event_type, event_id,
+         ((event_id * 2654435761) % 180000001) - 90000000 AS lat,
+         ((event_id * 40503 + user_id * 2654435761) % 360000001)
+           - 180000000 AS lon
+  FROM events)
+"""
+
+
+def geo_bounding_box_events(sf_dir: str) -> pa.Table:
+    """geo_bounding_box filter + terms agg: events inside the box,
+    counted per event_type.  Per-batch partial counts; only the
+    (event_type, cnt) partials cross the exchange."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat, lon = _coords(t)
+        m = ((lat >= _BOX["lat_lo"]) & (lat <= _BOX["lat_hi"])
+             & (lon >= _BOX["lon_lo"]) & (lon <= _BOX["lon_hi"]))
+        g = (pa.table({"event_type": t["event_type"].filter(pa.array(m))})
+             .group_by("event_type").aggregate([([], "count_all")]))
+        return g.rename_columns(["event_type", "c_part"])
+
+    ds = (_read_events(sf_dir)
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby("event_type")
+          .aggregate(Sum("c_part", alias_name="cnt")))
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return t.sort_by("event_type")
+
+
+GEO_BBOX_SQL = _COORDS_CTE + f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM coords
+WHERE lat BETWEEN {_BOX["lat_lo"]} AND {_BOX["lat_hi"]}
+  AND lon BETWEEN {_BOX["lon_lo"]} AND {_BOX["lon_hi"]}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def geo_grid_events(sf_dir: str) -> pa.Table:
+    """geohash_grid analog: bucket events into fixed 5° cells (the
+    grid id is pure integer math — shift to non-negative before the
+    division so floor == truncate in numpy AND SQL), count + centroid
+    partial sums per cell.  Cell count is bounded (≤ 37×73), so the
+    exchange carries at most one row per (batch, cell)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat, lon = _coords(t)
+        g = (pa.table({
+            "cell_lat": pa.array((lat + 90_000_000) // _CELL, pa.int64()),
+            "cell_lon": pa.array((lon + 180_000_000) // _CELL, pa.int64()),
+            "lat": pa.array(lat, pa.int64()),
+            "lon": pa.array(lon, pa.int64())})
+            .group_by(["cell_lat", "cell_lon"])
+            .aggregate([([], "count_all"), ("lat", "sum"), ("lon", "sum")]))
+        return g.rename_columns(
+            ["cell_lat", "cell_lon", "c_part", "lat_part", "lon_part"])
+
+    ds = (_read_events(sf_dir)
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["cell_lat", "cell_lon"])
+          .aggregate(Sum("c_part", alias_name="cnt"),
+                     Sum("lat_part", alias_name="lat_sum"),
+                     Sum("lon_part", alias_name="lon_sum")))
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return t.sort_by([("cell_lat", "ascending"), ("cell_lon", "ascending")])
+
+
+GEO_GRID_SQL = _COORDS_CTE + f"""
+SELECT (lat + 90000000) // {_CELL} AS cell_lat,
+       (lon + 180000000) // {_CELL} AS cell_lon,
+       CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(lat) AS BIGINT) AS lat_sum,
+       CAST(sum(lon) AS BIGINT) AS lon_sum
+FROM coords GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def geo_centroid_events(sf_dir: str) -> pa.Table:
+    """geo_centroid agg per event_type: exact int64 partial sums +
+    count (the centroid's numerator/denominator — the IEEE division
+    is the caller's one-line finish, kept out of the exchange per the
+    repo's exactness discipline)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat, lon = _coords(t)
+        g = (pa.table({"event_type": t["event_type"],
+                       "lat": pa.array(lat, pa.int64()),
+                       "lon": pa.array(lon, pa.int64())})
+             .group_by("event_type")
+             .aggregate([([], "count_all"), ("lat", "sum"), ("lon", "sum")]))
+        return g.rename_columns(
+            ["event_type", "c_part", "lat_part", "lon_part"])
+
+    ds = (_read_events(sf_dir)
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby("event_type")
+          .aggregate(Sum("c_part", alias_name="cnt"),
+                     Sum("lat_part", alias_name="lat_sum"),
+                     Sum("lon_part", alias_name="lon_sum")))
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return t.sort_by("event_type")
+
+
+GEO_CENTROID_SQL = _COORDS_CTE + """
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(lat) AS BIGINT) AS lat_sum,
+       CAST(sum(lon) AS BIGINT) AS lon_sum
+FROM coords GROUP BY event_type ORDER BY event_type
+"""
+
+
+def geo_distance_count_events(sf_dir: str) -> pa.Table:
+    """geo_distance filter: events within the radius of the query
+    point (squared-planar test, exact int64), counted per
+    event_type."""
+    from ray.data.aggregate import Sum
+
+    r2 = _RADIUS * _RADIUS
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat, lon = _coords(t)
+        d2 = (lat - _Q_LAT) ** 2 + (lon - _Q_LON) ** 2
+        g = (pa.table({"event_type":
+                       t["event_type"].filter(pa.array(d2 <= r2))})
+             .group_by("event_type").aggregate([([], "count_all")]))
+        return g.rename_columns(["event_type", "c_part"])
+
+    ds = (_read_events(sf_dir)
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby("event_type")
+          .aggregate(Sum("c_part", alias_name="cnt")))
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return t.sort_by("event_type")
+
+
+GEO_DIST_COUNT_SQL = _COORDS_CTE + f"""
+SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+FROM coords
+WHERE (lat - {_Q_LAT}) * (lat - {_Q_LAT})
+    + (lon - {_Q_LON}) * (lon - {_Q_LON}) <= {_RADIUS * _RADIUS}
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def geo_distance_topk_events(sf_dir: str) -> pa.Table:
+    """geo_distance sort: the {_TOPK} events nearest the query point,
+    (d², event_id)-ordered (deterministic tie-break).  Each batch
+    emits only its own top-k candidates, so the final sort+limit runs
+    over ≤ k·n_batches rows — the knn partial-top-k idiom."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat, lon = _coords(t)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        d2 = (lat - _Q_LAT) ** 2 + (lon - _Q_LON) ** 2
+        keep = np.lexsort((eid, d2))[:_TOPK]
+        return pa.table({"event_id": pa.array(eid[keep], pa.int64()),
+                         "d2": pa.array(d2[keep], pa.int64())})
+
+    ds = (_read_events(sf_dir)
+          .map_batches(partial, batch_format="pyarrow")
+          .sort(["d2", "event_id"])
+          .limit(_TOPK))
+    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+
+
+GEO_DIST_TOPK_SQL = _COORDS_CTE + f"""
+SELECT event_id,
+       (lat - {_Q_LAT}) * (lat - {_Q_LAT})
+     + (lon - {_Q_LON}) * (lon - {_Q_LON}) AS d2
+FROM coords ORDER BY d2, event_id LIMIT {_TOPK}
+"""
+
+
+QUERIES = {
+    "geo_bounding_box_events": geo_bounding_box_events,
+    "geo_grid_events": geo_grid_events,
+    "geo_centroid_events": geo_centroid_events,
+    "geo_distance_count_events": geo_distance_count_events,
+    "geo_distance_topk_events": geo_distance_topk_events,
+}
+
+ORACLE = {
+    "geo_bounding_box_events": GEO_BBOX_SQL,
+    "geo_grid_events": GEO_GRID_SQL,
+    "geo_centroid_events": GEO_CENTROID_SQL,
+    "geo_distance_count_events": GEO_DIST_COUNT_SQL,
+    "geo_distance_topk_events": GEO_DIST_TOPK_SQL,
+}

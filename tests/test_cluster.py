@@ -156,3 +156,53 @@ def test_embedding_clusters_consistent_with_pairs(ray_session):
     want = _union_find([(a, b) for a, b in edges if a != b])
     for node, r in want.items():
         assert root[node] == r
+
+
+def test_pagerank_matches_numpy_fixed_point(ray_session, tmp_path):
+    """pagerank_users vs a third, in-memory implementation of the
+    identical int64 fixed-point recurrence (the SQL oracle being the
+    second): crafted two-stream graph with a weighted repeated edge,
+    a cycle, a hub, a dangling user, a dropped self-succession, and a
+    ts tie broken by event_id."""
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.cluster import _PR_FP, pagerank_users
+
+    ua = [1, 2, 1, 2, 1, 3, 3, 4]      # 3->3 self-succession dropped
+    ub = [5, 1, 5, 2, 6]               # 6 is dangling (no out-edges)
+    n_a = len(ua)
+    ts = ([1000 + i for i in range(n_a - 2)] + [1000 + n_a - 2] * 2
+          + [2000 + i for i in range(len(ub))])   # tie on the last two
+    t = pa.table({
+        "event_id": pa.array(list(range(n_a + len(ub))), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(ua + ub, pa.int64()),
+        "event_type": pa.array(["a"] * n_a + ["b"] * len(ub)),
+    })
+    pq.write_table(t, f"{tmp_path}/events.parquet")
+
+    iters = 3
+    got = pagerank_users(str(tmp_path), iters=iters)
+
+    from collections import Counter, defaultdict
+    edges = Counter()
+    for stream in (ua, ub):
+        for s, d in zip(stream, stream[1:]):
+            if s != d:
+                edges[(s, d)] += 1
+    wout = defaultdict(int)
+    for (s, _), w in edges.items():
+        wout[s] += w
+    nodes = sorted(set(ua) | set(ub))
+    n = len(nodes)
+    r = {u: _PR_FP // n for u in nodes}
+    tp = (15 * _PR_FP) // (100 * n)
+    for _ in range(iters):
+        c = {u: 0 for u in nodes}
+        for (s, d), w in edges.items():
+            c[d] += ((r[s] * 85) // (100 * wout[s])) * w
+        r = {u: tp + c[u] for u in nodes}
+
+    got_d = dict(zip(got["user_id"].to_pylist(),
+                     got["rank_fp"].to_pylist()))
+    assert got_d == r

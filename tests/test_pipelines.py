@@ -120,7 +120,9 @@ SQL_CHECKED = [
     "change_point_events", "variable_width_histogram_events",
     "frequent_item_sets_events", "categorize_text_documents",
     "significant_text_documents", "random_sampler_events",
-    "analyze_tokens_documents",
+    "analyze_tokens_documents", "pagerank_users",
+    "geo_bounding_box_events", "geo_grid_events", "geo_centroid_events",
+    "geo_distance_count_events", "geo_distance_topk_events",
 ]
 
 
