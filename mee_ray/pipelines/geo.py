@@ -240,7 +240,63 @@ FROM coords ORDER BY d2, event_id LIMIT {_TOPK}
 """
 
 
+_RINGS = [20_000_000, 60_000_000, 120_000_000]   # ring radii (microdeg)
+
+
+def geo_distance_rings_events(sf_dir: str) -> pa.Table:
+    """ES geo_distance AGGREGATION: concentric rings around the query
+    point, from ≤ d < to per bucket.  Squared thresholds keep the
+    test int64-exact (d < r ⟺ d² < r²); each batch emits exactly one
+    4-row partial (searchsorted + bincount — the date_range idiom)."""
+    from ray.data.aggregate import Sum
+
+    edges2 = np.array([r * r for r in _RINGS], np.int64)
+    n_b = len(_RINGS) + 1
+    names = pa.array([f"ring{i}" for i in range(n_b)], pa.string())
+    froms = pa.array([0] + _RINGS, pa.int64())
+    tos = pa.array(_RINGS + [None], pa.int64())
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat, lon = _coords(t)
+        d2 = (lat - _Q_LAT) ** 2 + (lon - _Q_LON) ** 2
+        idx = np.searchsorted(edges2, d2, side="right")
+        return pa.table({
+            "ring": names, "from_r": froms, "to_r": tos,
+            "c_part": pa.array(np.bincount(idx, minlength=n_b)
+                               .astype(np.int64), pa.int64())})
+
+    ds = (_read_events(sf_dir)
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby(["ring", "from_r", "to_r"])
+          .aggregate(Sum("c_part", alias_name="cnt")))
+    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return t.sort_by("ring")
+
+
+def _geo_rings_sql() -> str:
+    bounds = list(zip([0] + _RINGS, _RINGS + [None]))
+    selects = []
+    for i, (lo, hi) in enumerate(bounds):
+        conds = [f"(lat - {_Q_LAT}) * (lat - {_Q_LAT})"
+                 f" + (lon - {_Q_LON}) * (lon - {_Q_LON})"
+                 f" >= {lo * lo}"]
+        if hi is not None:
+            conds.append(f"(lat - {_Q_LAT}) * (lat - {_Q_LAT})"
+                         f" + (lon - {_Q_LON}) * (lon - {_Q_LON})"
+                         f" < {hi * hi}")
+        hi_s = "CAST(NULL AS BIGINT)" if hi is None else str(hi)
+        selects.append(
+            f"SELECT 'ring{i}' AS ring, CAST({lo} AS BIGINT) AS from_r, "
+            f"{hi_s} AS to_r, CAST(count(*) AS BIGINT) AS cnt "
+            f"FROM coords WHERE {' AND '.join(conds)}")
+    return _COORDS_CTE + "\nUNION ALL\n".join(selects)
+
+
+GEO_RINGS_SQL = _geo_rings_sql()
+
+
 QUERIES = {
+    "geo_distance_rings_events": geo_distance_rings_events,
     "geo_bounding_box_events": geo_bounding_box_events,
     "geo_grid_events": geo_grid_events,
     "geo_centroid_events": geo_centroid_events,
@@ -249,6 +305,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "geo_distance_rings_events": GEO_RINGS_SQL,
     "geo_bounding_box_events": GEO_BBOX_SQL,
     "geo_grid_events": GEO_GRID_SQL,
     "geo_centroid_events": GEO_CENTROID_SQL,

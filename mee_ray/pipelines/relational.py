@@ -5089,6 +5089,71 @@ def _date_range_sql() -> str:
 DATE_RANGE_AGG_SQL = _date_range_sql()
 
 
+# ES ip_range aggregation: the testdata has no IP column, so each
+# event's client address is DERIVED deterministically from user_id by
+# the Knuth multiplicative hash mod 2^32 (the random_sampler / geo
+# precedent) — pure int64 arithmetic, identical in numpy and SQL.
+_IP_EDGES = [64 * 2 ** 24, 128 * 2 ** 24, 192 * 2 ** 24]
+
+
+def _dotted(v) -> str:
+    return (f"{v >> 24 & 255}.{v >> 16 & 255}.{v >> 8 & 255}.{v & 255}"
+            if v is not None else None)
+
+
+def ip_range_events(sf_dir: str):
+    """ES ``ip_range`` aggregation: [from, to) buckets over the
+    derived 32-bit address, one searchsorted + bincount partial per
+    batch (the date_range idiom); dotted-quad labels are rendered
+    from the shared constants on both sides."""
+    from ray.data.aggregate import Sum
+
+    edges = np.asarray(_IP_EDGES, dtype=np.int64)
+    n_b = len(edges) + 1
+    bounds = list(zip([None] + _IP_EDGES, _IP_EDGES + [None]))
+    froms = pa.array([_dotted(lo) for lo, _ in bounds], pa.string())
+    tos = pa.array([_dotted(hi) for _, hi in bounds], pa.string())
+    names = pa.array([f"b{i}" for i in range(n_b)], pa.string())
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ip = (uid * 2654435761) % 4294967296
+        idx = np.searchsorted(edges, ip, side="right")
+        return pa.table({
+            "bucket": names, "from_ip": froms, "to_ip": tos,
+            "c_part": pa.array(np.bincount(idx, minlength=n_b)
+                               .astype(np.int64), pa.int64())})
+
+    return (_read(sf_dir, "events", ["user_id"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby(["bucket", "from_ip", "to_ip"])
+            .aggregate(Sum("c_part", alias_name="cnt")))
+
+
+def _ip_range_sql() -> str:
+    bounds = list(zip([None] + _IP_EDGES, _IP_EDGES + [None]))
+    selects = []
+    for i, (lo, hi) in enumerate(bounds):
+        conds = []
+        if lo is not None:
+            conds.append(f"(user_id * 2654435761) % 4294967296 >= {lo}")
+        if hi is not None:
+            conds.append(f"(user_id * 2654435761) % 4294967296 < {hi}")
+        lo_s = ("CAST(NULL AS VARCHAR)" if lo is None
+                else f"'{_dotted(lo)}'")
+        hi_s = ("CAST(NULL AS VARCHAR)" if hi is None
+                else f"'{_dotted(hi)}'")
+        selects.append(
+            f"SELECT 'b{i}' AS bucket, {lo_s} AS from_ip, "
+            f"{hi_s} AS to_ip, CAST(count(*) AS BIGINT) AS cnt "
+            f"FROM events WHERE {' AND '.join(conds)}")
+    return "\nUNION ALL\n".join(selects)
+
+
+IP_RANGE_SQL = _ip_range_sql()
+
+
 def rate_agg_events(sf_dir: str):
     """ES ``rate`` aggregation (unit=day) inside a weekly
     date_histogram: per epoch-week bucket, count, exact cents sum, and
@@ -6352,6 +6417,7 @@ QUERIES = {
     "filters_agg_events": filters_agg_events,
     "multi_terms_events": multi_terms_events,
     "date_range_agg_events": date_range_agg_events,
+    "ip_range_events": ip_range_events,
     "rate_agg_events": rate_agg_events,
     "cumulative_cardinality_events": cumulative_cardinality_events,
     "diversified_sample_documents": diversified_sample_documents,
@@ -6445,6 +6511,7 @@ ORACLE = {
     "filters_agg_events": FILTERS_AGG_SQL,
     "multi_terms_events": MULTI_TERMS_SQL,
     "date_range_agg_events": DATE_RANGE_AGG_SQL,
+    "ip_range_events": IP_RANGE_SQL,
     "rate_agg_events": RATE_AGG_SQL,
     "cumulative_cardinality_events": CUMULATIVE_CARDINALITY_SQL,
     "diversified_sample_documents": DIVERSIFIED_SAMPLE_SQL,
