@@ -610,12 +610,13 @@ def pagerank_users(sf_dir: str, iters: int = _PR_ITERS) -> pa.Table:
                  .map_groups(edge_rows, batch_format="pyarrow")
                  .materialize())
 
-    nodes = (ev.map_batches(
-        lambda t: pa.table({"user_id": t["user_id"]}),
-        batch_format="pyarrow")
-        .groupby("user_id").count()
-        .drop_columns(["count()"])
-        .materialize())
+    # separate 1-column pruned scan: the ev lineage would re-read all
+    # four columns just to project one
+    nodes = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["user_id"])
+             .groupby("user_id").count()
+             .drop_columns(["count()"])
+             .materialize())
     n_nodes = nodes.count()
     if n_nodes == 0:
         return pa.table({"user_id": pa.array([], pa.int64()),

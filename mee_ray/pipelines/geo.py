@@ -9,9 +9,17 @@ multiplicative hash in plain int64 arithmetic (the random_sampler
 precedent) — exactly reproducible in both numpy and ANSI SQL, no
 floats anywhere:
 
-    lat_micro = ((event_id * 2654435761) % 180000001) - 90000000
-    lon_micro = ((event_id * 40503 + user_id * 2654435761)
+    lat_micro = (((event_id % 180000001) * 2654435761)
+                 % 180000001) - 90000000
+    lon_micro = (((event_id % 360000001) * 40503
+                  + (user_id % 360000001) * 2654435761)
                  % 360000001) - 180000000
+
+(ids are pre-reduced mod the modulus BEFORE the multiply — the
+congruence is unchanged and every intermediate stays < 2^60, so the
+identity holds for ids of any magnitude on both sides; a bare
+``event_id * 2654435761`` would silently wrap in numpy and throw in
+DuckDB beyond ids ~3.5e9)
 
 Microdegree fixed-point keeps every comparison, cell id, centroid
 partial and squared distance in int64 (max |coord| 1.8e8 → d² ≤
@@ -50,9 +58,18 @@ _TOPK = 20
 def _coords(t: pa.Table):
     eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    lat = (eid * _KNUTH) % _LAT_MOD - 90_000_000
-    lon = (eid * 40503 + uid * _KNUTH) % _LON_MOD - 180_000_000
+    lat = ((eid % _LAT_MOD) * _KNUTH) % _LAT_MOD - 90_000_000
+    lon = (((eid % _LON_MOD) * 40503 + (uid % _LON_MOD) * _KNUTH)
+           % _LON_MOD) - 180_000_000
     return lat, lon
+
+
+def _collect(ds, schema: pa.Schema) -> pa.Table:
+    """Materialize a small aggregate result, returning a TYPED empty
+    table when the plan yields zero batches (pa.concat_tables([])
+    raises — the _rank_merge gotcha, vector.py)."""
+    tabs = list(ds.iter_batches(batch_format="pyarrow"))
+    return pa.concat_tables(tabs) if tabs else schema.empty_table()
 
 
 def _read_events(sf_dir: str):
@@ -62,11 +79,13 @@ def _read_events(sf_dir: str):
         columns=["event_id", "user_id", "event_type"])
 
 
-_COORDS_CTE = """
+_COORDS_CTE = f"""
 WITH coords AS (
   SELECT event_type, event_id,
-         ((event_id * 2654435761) % 180000001) - 90000000 AS lat,
-         ((event_id * 40503 + user_id * 2654435761) % 360000001)
+         (((event_id % {_LAT_MOD}) * {_KNUTH}) % {_LAT_MOD})
+           - 90000000 AS lat,
+         (((event_id % {_LON_MOD}) * 40503
+           + (user_id % {_LON_MOD}) * {_KNUTH}) % {_LON_MOD})
            - 180000000 AS lon
   FROM events)
 """
@@ -90,7 +109,8 @@ def geo_bounding_box_events(sf_dir: str) -> pa.Table:
           .map_batches(partial, batch_format="pyarrow")
           .groupby("event_type")
           .aggregate(Sum("c_part", alias_name="cnt")))
-    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    t = _collect(ds, pa.schema([("event_type", pa.string()),
+                                ("cnt", pa.int64())]))
     return t.sort_by("event_type")
 
 
@@ -129,7 +149,11 @@ def geo_grid_events(sf_dir: str) -> pa.Table:
           .aggregate(Sum("c_part", alias_name="cnt"),
                      Sum("lat_part", alias_name="lat_sum"),
                      Sum("lon_part", alias_name="lon_sum")))
-    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    t = _collect(ds, pa.schema([("cell_lat", pa.int64()),
+                                ("cell_lon", pa.int64()),
+                                ("cnt", pa.int64()),
+                                ("lat_sum", pa.int64()),
+                                ("lon_sum", pa.int64())]))
     return t.sort_by([("cell_lat", "ascending"), ("cell_lon", "ascending")])
 
 
@@ -166,7 +190,10 @@ def geo_centroid_events(sf_dir: str) -> pa.Table:
           .aggregate(Sum("c_part", alias_name="cnt"),
                      Sum("lat_part", alias_name="lat_sum"),
                      Sum("lon_part", alias_name="lon_sum")))
-    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    t = _collect(ds, pa.schema([("event_type", pa.string()),
+                                ("cnt", pa.int64()),
+                                ("lat_sum", pa.int64()),
+                                ("lon_sum", pa.int64())]))
     return t.sort_by("event_type")
 
 
@@ -198,7 +225,8 @@ def geo_distance_count_events(sf_dir: str) -> pa.Table:
           .map_batches(partial, batch_format="pyarrow")
           .groupby("event_type")
           .aggregate(Sum("c_part", alias_name="cnt")))
-    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    t = _collect(ds, pa.schema([("event_type", pa.string()),
+                                ("cnt", pa.int64())]))
     return t.sort_by("event_type")
 
 
@@ -229,7 +257,8 @@ def geo_distance_topk_events(sf_dir: str) -> pa.Table:
           .map_batches(partial, batch_format="pyarrow")
           .sort(["d2", "event_id"])
           .limit(_TOPK))
-    return pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
+    return _collect(ds, pa.schema([("event_id", pa.int64()),
+                                   ("d2", pa.int64())]))
 
 
 GEO_DIST_TOPK_SQL = _COORDS_CTE + f"""
@@ -247,30 +276,28 @@ def geo_distance_rings_events(sf_dir: str) -> pa.Table:
     """ES geo_distance AGGREGATION: concentric rings around the query
     point, from ≤ d < to per bucket.  Squared thresholds keep the
     test int64-exact (d < r ⟺ d² < r²); each batch emits exactly one
-    4-row partial (searchsorted + bincount — the date_range idiom)."""
+    4-row partial via the shared range-bucket combiner."""
     from ray.data.aggregate import Sum
+
+    from .relational import _materialize_range_agg, _range_bucket_partial
 
     edges2 = np.array([r * r for r in _RINGS], np.int64)
     n_b = len(_RINGS) + 1
-    names = pa.array([f"ring{i}" for i in range(n_b)], pa.string())
-    froms = pa.array([0] + _RINGS, pa.int64())
-    tos = pa.array(_RINGS + [None], pa.int64())
+    labels = {"ring": pa.array([f"ring{i}" for i in range(n_b)],
+                               pa.string()),
+              "from_r": pa.array([0] + _RINGS, pa.int64()),
+              "to_r": pa.array(_RINGS + [None], pa.int64())}
 
-    def partial(t: pa.Table) -> pa.Table:
+    def d2_of(t: pa.Table) -> np.ndarray:
         lat, lon = _coords(t)
-        d2 = (lat - _Q_LAT) ** 2 + (lon - _Q_LON) ** 2
-        idx = np.searchsorted(edges2, d2, side="right")
-        return pa.table({
-            "ring": names, "from_r": froms, "to_r": tos,
-            "c_part": pa.array(np.bincount(idx, minlength=n_b)
-                               .astype(np.int64), pa.int64())})
+        return (lat - _Q_LAT) ** 2 + (lon - _Q_LON) ** 2
 
     ds = (_read_events(sf_dir)
-          .map_batches(partial, batch_format="pyarrow")
+          .map_batches(_range_bucket_partial(edges2, labels, d2_of),
+                       batch_format="pyarrow")
           .groupby(["ring", "from_r", "to_r"])
-          .aggregate(Sum("c_part", alias_name="cnt")))
-    t = pa.concat_tables(list(ds.iter_batches(batch_format="pyarrow")))
-    return t.sort_by("ring")
+          .aggregate(Sum("n_part", alias_name="cnt")))
+    return _materialize_range_agg(ds, labels, ["cnt"]).sort_by("ring")
 
 
 def _geo_rings_sql() -> str:

@@ -5028,6 +5028,46 @@ _DATE_RANGE_EDGES = [
     for d in ("2024-01-08", "2024-01-15", "2024-01-22")]
 
 
+def _range_bucket_partial(edges: np.ndarray, labels: dict, key_fn,
+                          weight_fn=None):
+    """Shared [from, to) range-bucket partial — the ES range-agg
+    family's combiner (date_range / ip_range / geo_distance rings):
+    each batch emits exactly ONE (len(edges)+1)-row partial — bucket
+    id via searchsorted(side="right") over the contiguous edges,
+    counts via bincount, optional weight sums via float64 bincount
+    (exact while the per-batch |Σ| < 2^53; the cross-batch sum stays
+    int64 in the groupby)."""
+    n_b = len(edges) + 1
+
+    def partial(t: pa.Table) -> pa.Table:
+        idx = np.searchsorted(edges, key_fn(t), side="right")
+        cols = dict(labels)
+        cols["n_part"] = pa.array(
+            np.bincount(idx, minlength=n_b).astype(np.int64), pa.int64())
+        if weight_fn is not None:
+            cols["s_part"] = pa.array(
+                np.bincount(idx, weights=weight_fn(t).astype(np.float64),
+                            minlength=n_b).astype(np.int64), pa.int64())
+        return pa.table(cols)
+
+    return partial
+
+
+def _materialize_range_agg(ds, labels: dict, agg_names: list) -> pa.Table:
+    """Collect a fixed-bucket range agg.  On zero input batches the
+    map stage never runs, so the engine would emit no rows while the
+    UNION-ALL oracle still emits every bucket with count 0 — mirror
+    that with the statically known zero table."""
+    tabs = list(ds.iter_batches(batch_format="pyarrow"))
+    if tabs:
+        return pa.concat_tables(tabs)
+    n = len(next(iter(labels.values())))
+    cols = dict(labels)
+    for a in agg_names:
+        cols[a] = pa.array([0] * n, pa.int64())
+    return pa.table(cols)
+
+
 def date_range_agg_events(sf_dir: str):
     """ES ``date_range`` aggregation: explicit [from, to) buckets —
     here the unbounded head, two interior weeks, and the unbounded
@@ -5038,31 +5078,23 @@ def date_range_agg_events(sf_dir: str):
 
     edges = np.asarray(_DATE_RANGE_EDGES, dtype=np.int64)
     n_b = len(edges) + 1
-    froms = pa.array([None] + _DATE_RANGE_EDGES, pa.int64())
-    tos = pa.array(_DATE_RANGE_EDGES + [None], pa.int64())
-    names = pa.array([f"r{i}" for i in range(n_b)], pa.string())
+    labels = {"bucket": pa.array([f"r{i}" for i in range(n_b)],
+                                 pa.string()),
+              "from_us": pa.array([None] + _DATE_RANGE_EDGES, pa.int64()),
+              "to_us": pa.array(_DATE_RANGE_EDGES + [None], pa.int64())}
+    partial = _range_bucket_partial(
+        edges, labels,
+        lambda t: t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False),
+        lambda t: _cents_of(t["value"]).to_numpy(zero_copy_only=False))
 
-    def partial(t: pa.Table) -> pa.Table:
-        us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
-        cents = _cents_of(t["value"]).to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(edges, us, side="right")
-        n_part = np.bincount(idx, minlength=n_b).astype(np.int64)
-        s_part = np.bincount(idx, weights=cents.astype(np.float64),
-                             minlength=n_b).astype(np.int64)
-        # bincount sums cents in float64 — exact while |Σ| < 2^53,
-        # true for any per-batch cents total here; the cross-batch
-        # sum stays int64 in the groupby
-        return pa.table({"bucket": names, "from_us": froms,
-                         "to_us": tos,
-                         "n_part": pa.array(n_part, pa.int64()),
-                         "s_part": pa.array(s_part, pa.int64())})
-
-    return (_read(sf_dir, "events", ["ts", "value"])
-            .map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .groupby(["bucket", "from_us", "to_us"])
-            .aggregate(Sum("n_part", alias_name="n_events"),
-                       Sum("s_part", alias_name="sum_value_cents")))
+    ds = (_read(sf_dir, "events", ["ts", "value"])
+          .map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .groupby(["bucket", "from_us", "to_us"])
+          .aggregate(Sum("n_part", alias_name="n_events"),
+                     Sum("s_part", alias_name="sum_value_cents")))
+    return _materialize_range_agg(ds, labels,
+                                  ["n_events", "sum_value_cents"])
 
 
 def _date_range_sql() -> str:
@@ -5094,6 +5126,7 @@ DATE_RANGE_AGG_SQL = _date_range_sql()
 # the Knuth multiplicative hash mod 2^32 (the random_sampler / geo
 # precedent) — pure int64 arithmetic, identical in numpy and SQL.
 _IP_EDGES = [64 * 2 ** 24, 128 * 2 ** 24, 192 * 2 ** 24]
+_KNUTH_M = 2654435761            # shared by _derived_ip and _IP_EXPR
 
 
 def _dotted(v) -> str:
@@ -5101,34 +5134,43 @@ def _dotted(v) -> str:
             if v is not None else None)
 
 
+def _derived_ip(t: pa.Table) -> np.ndarray:
+    """user_id → 32-bit address, pre-reduced mod 2^32 before the
+    Knuth multiply so the product stays < 2^64 (uint64-exact here,
+    HUGEINT in the SQL mirror) for ids of any magnitude."""
+    uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    return (((uid % np.uint64(2 ** 32)) * np.uint64(_KNUTH_M))
+            % np.uint64(2 ** 32)).astype(np.int64)
+
+
 def ip_range_events(sf_dir: str):
     """ES ``ip_range`` aggregation: [from, to) buckets over the
     derived 32-bit address, one searchsorted + bincount partial per
-    batch (the date_range idiom); dotted-quad labels are rendered
-    from the shared constants on both sides."""
+    batch (the shared range-bucket combiner); dotted-quad labels are
+    rendered from the shared constants on both sides."""
     from ray.data.aggregate import Sum
 
     edges = np.asarray(_IP_EDGES, dtype=np.int64)
     n_b = len(edges) + 1
     bounds = list(zip([None] + _IP_EDGES, _IP_EDGES + [None]))
-    froms = pa.array([_dotted(lo) for lo, _ in bounds], pa.string())
-    tos = pa.array([_dotted(hi) for _, hi in bounds], pa.string())
-    names = pa.array([f"b{i}" for i in range(n_b)], pa.string())
+    labels = {
+        "bucket": pa.array([f"b{i}" for i in range(n_b)], pa.string()),
+        "from_ip": pa.array([_dotted(lo) for lo, _ in bounds],
+                            pa.string()),
+        "to_ip": pa.array([_dotted(hi) for _, hi in bounds],
+                          pa.string())}
+    partial = _range_bucket_partial(edges, labels, _derived_ip)
 
-    def partial(t: pa.Table) -> pa.Table:
-        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ip = (uid * 2654435761) % 4294967296
-        idx = np.searchsorted(edges, ip, side="right")
-        return pa.table({
-            "bucket": names, "from_ip": froms, "to_ip": tos,
-            "c_part": pa.array(np.bincount(idx, minlength=n_b)
-                               .astype(np.int64), pa.int64())})
+    ds = (_read(sf_dir, "events", ["user_id"])
+          .map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .groupby(["bucket", "from_ip", "to_ip"])
+          .aggregate(Sum("n_part", alias_name="cnt")))
+    return _materialize_range_agg(ds, labels, ["cnt"])
 
-    return (_read(sf_dir, "events", ["user_id"])
-            .map_batches(partial, batch_format="pyarrow",
-                         zero_copy_batch=True)
-            .groupby(["bucket", "from_ip", "to_ip"])
-            .aggregate(Sum("c_part", alias_name="cnt")))
+
+_IP_EXPR = (f"((CAST(user_id AS HUGEINT) % 4294967296) * {_KNUTH_M})"
+            " % 4294967296")
 
 
 def _ip_range_sql() -> str:
@@ -5137,9 +5179,9 @@ def _ip_range_sql() -> str:
     for i, (lo, hi) in enumerate(bounds):
         conds = []
         if lo is not None:
-            conds.append(f"(user_id * 2654435761) % 4294967296 >= {lo}")
+            conds.append(f"{_IP_EXPR} >= {lo}")
         if hi is not None:
-            conds.append(f"(user_id * 2654435761) % 4294967296 < {hi}")
+            conds.append(f"{_IP_EXPR} < {hi}")
         lo_s = ("CAST(NULL AS VARCHAR)" if lo is None
                 else f"'{_dotted(lo)}'")
         hi_s = ("CAST(NULL AS VARCHAR)" if hi is None

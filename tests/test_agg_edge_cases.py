@@ -201,3 +201,37 @@ def test_t_test_identical_populations_t_is_zero(ray_session, tmp_path):
     sf = _write_events(tmp_path, ts, ut, et, v)
     out = _compare("t_test_events", sf)
     assert out["t_stat"].iloc[0] == 0.0
+
+
+def test_geo_and_ip_aggs_on_empty_events(ray_session, tmp_path):
+    """Zero-row events: the geo/ip aggregate collectors must return
+    the oracle's result (typed-empty for sparse aggs, all-zero bucket
+    rows for the fixed range aggs) instead of crashing on
+    pa.concat_tables([])."""
+    sf = _write_events(tmp_path, [], [], [], [])
+    for name in ("geo_bounding_box_events", "geo_grid_events",
+                 "geo_centroid_events", "geo_distance_count_events",
+                 "geo_distance_topk_events", "geo_distance_rings_events",
+                 "ip_range_events", "date_range_agg_events"):
+        _compare(name, sf)
+
+
+def test_geo_coords_id_magnitude_safe(ray_session, tmp_path):
+    """Coordinate/ip derivation must hold for ids far beyond int64/
+    Knuth-multiply overflow (~3.5e9) — the pre-reduce-mod form keeps
+    numpy and DuckDB congruent where the naive product would wrap in
+    numpy and throw in DuckDB."""
+    big = [4_000_000_000, 2 ** 62, 7, 2 ** 61 + 12345]
+    t = pa.table({
+        "event_id": pa.array(big, pa.int64()),
+        "ts": pa.array([1000 + i for i in range(len(big))],
+                       pa.timestamp("us")),
+        "user_id": pa.array(big[::-1], pa.int64()),
+        "event_type": pa.array(["a"] * len(big), pa.string()),
+        "value": pa.array([1.0] * len(big), pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(big), pa.string()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "events.parquet"))
+    for name in ("geo_grid_events", "geo_centroid_events",
+                 "geo_distance_topk_events", "ip_range_events"):
+        _compare(name, str(tmp_path))
