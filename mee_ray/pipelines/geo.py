@@ -269,6 +269,49 @@ FROM coords ORDER BY d2, event_id LIMIT {_TOPK}
 """
 
 
+def geo_bounds_events(sf_dir: str) -> pa.Table:
+    """ES geo_bounds aggregation: the tightest lat/lon box per
+    event_type — int64 min/max partials per batch (associative +
+    idempotent, so batch boundaries and merge order can't change the
+    box)."""
+    from ray.data.aggregate import Max, Min
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat, lon = _coords(t)
+        g = (pa.table({"event_type": t["event_type"],
+                       "lat": pa.array(lat, pa.int64()),
+                       "lon": pa.array(lon, pa.int64())})
+             .group_by("event_type")
+             .aggregate([("lat", "min"), ("lat", "max"),
+                         ("lon", "min"), ("lon", "max")]))
+        return g.rename_columns(
+            ["event_type", "lat_lo", "lat_hi", "lon_lo", "lon_hi"])
+
+    ds = (_read_events(sf_dir)
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby("event_type")
+          .aggregate(Min("lat_lo", alias_name="min_lat"),
+                     Max("lat_hi", alias_name="max_lat"),
+                     Min("lon_lo", alias_name="min_lon"),
+                     Max("lon_hi", alias_name="max_lon")))
+    t = _collect(ds, pa.schema([("event_type", pa.string()),
+                                ("min_lat", pa.int64()),
+                                ("max_lat", pa.int64()),
+                                ("min_lon", pa.int64()),
+                                ("max_lon", pa.int64())]))
+    return t.sort_by("event_type")
+
+
+GEO_BOUNDS_SQL = _COORDS_CTE + """
+SELECT event_type,
+       CAST(min(lat) AS BIGINT) AS min_lat,
+       CAST(max(lat) AS BIGINT) AS max_lat,
+       CAST(min(lon) AS BIGINT) AS min_lon,
+       CAST(max(lon) AS BIGINT) AS max_lon
+FROM coords GROUP BY event_type ORDER BY event_type
+"""
+
+
 _RINGS = [20_000_000, 60_000_000, 120_000_000]   # ring radii (microdeg)
 
 
@@ -323,6 +366,7 @@ GEO_RINGS_SQL = _geo_rings_sql()
 
 
 QUERIES = {
+    "geo_bounds_events": geo_bounds_events,
     "geo_distance_rings_events": geo_distance_rings_events,
     "geo_bounding_box_events": geo_bounding_box_events,
     "geo_grid_events": geo_grid_events,
@@ -332,6 +376,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "geo_bounds_events": GEO_BOUNDS_SQL,
     "geo_distance_rings_events": GEO_RINGS_SQL,
     "geo_bounding_box_events": GEO_BBOX_SQL,
     "geo_grid_events": GEO_GRID_SQL,
