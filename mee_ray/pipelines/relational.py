@@ -6345,14 +6345,15 @@ def random_sampler_events(sf_dir: str):
     ES-style scale-back estimate (×1/p, exact: rate divides the
     modulus).  The sample predicate is a vectorized mask inside
     map_batches; only sampled rows' int64 partials cross the
-    exchange.  event_id·KNUTH stays < 2⁶³ for row-number ids; a
-    100-TB run swaps in the mod-2⁶⁴ bijective mix
-    training_shuffle_order uses."""
+    exchange.  ids pre-reduce mod {mod} before the multiply —
+    congruent (identical sample) and overflow-free at any id
+    magnitude."""
     from ray.data.aggregate import Sum
 
     def partial(t: pa.Table) -> pa.Table:
         ids = t["event_id"].to_numpy(zero_copy_only=False)
-        keep = (ids * _SAMPLER_MULT) % _SAMPLER_MOD < _SAMPLER_RATE_PML
+        keep = (((ids % _SAMPLER_MOD) * _SAMPLER_MULT)
+                % _SAMPLER_MOD < _SAMPLER_RATE_PML)
         t = t.filter(pa.array(keep))
         g = (pa.table({"event_type": t["event_type"],
                        "c": _cents_of(t["value"])})
@@ -6377,7 +6378,7 @@ RANDOM_SAMPLER_SQL = f"""
 WITH s AS (
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS cent
   FROM events
-  WHERE (event_id * {_SAMPLER_MULT}) % {_SAMPLER_MOD}
+  WHERE ((event_id % {_SAMPLER_MOD}) * {_SAMPLER_MULT}) % {_SAMPLER_MOD}
         < {_SAMPLER_RATE_PML})
 SELECT event_type, count(*) AS n_sampled,
        CAST(sum(cent) AS BIGINT) AS sum_sampled_cents,

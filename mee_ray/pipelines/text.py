@@ -770,7 +770,11 @@ def stratified_sample_documents(sf_dir: str, k: int = 20,
 
     def topk_of(t: pa.Table, with_bucket: bool) -> pa.Table:
         did = t["doc_id"].to_numpy(zero_copy_only=False)
-        h = (did.astype(np.uint64) * np.uint64(2654435761)
+        # pre-reduce mod 2^32 before the multiply: congruent (same h
+        # for every id), and the product stays < 2^64 so the SQL
+        # mirror's HUGEINT form matches at ANY id magnitude
+        h = ((did.astype(np.uint64) % np.uint64(1 << 32))
+             * np.uint64(2654435761)
              % np.uint64(1 << 32)).astype(np.int64)
         lang = t["lang"].to_numpy(zero_copy_only=False)
         order = np.lexsort((did, h, lang))
@@ -817,7 +821,8 @@ SELECT lang, sample_rank, doc_id
 FROM (SELECT lang, doc_id,
              row_number() OVER (
                  PARTITION BY lang
-                 ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+                 ORDER BY ((CAST(doc_id AS HUGEINT) % 4294967296)
+                           * 2654435761) % 4294967296, doc_id)
                AS sample_rank
       FROM documents)
 WHERE sample_rank <= 20
