@@ -269,6 +269,52 @@ FROM coords ORDER BY d2, event_id LIMIT {_TOPK}
 """
 
 
+# convex polygon for the geo_shape query, CCW (lon, lat) microdegrees
+_POLY = [(-60_000_000, -30_000_000), (60_000_000, -50_000_000),
+         (80_000_000, 40_000_000), (-40_000_000, 50_000_000)]
+
+
+def geo_polygon_events(sf_dir: str) -> pa.Table:
+    """ES geo_shape (polygon, relation=within) analog: containment in
+    a fixed convex CCW polygon is the AND of per-edge cross-product
+    signs — (x2−x1)(py−y1) − (y2−y1)(px−x1) ≥ 0 — pure int64 (products
+    ≤ ~1.3e17), so the engine mask and the SQL WHERE share the
+    identical condition list; counted per event_type."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat, lon = _coords(t)
+        m = np.ones(len(lat), dtype=bool)
+        for (x1, y1), (x2, y2) in zip(_POLY, _POLY[1:] + _POLY[:1]):
+            m &= ((x2 - x1) * (lat - y1)
+                  - (y2 - y1) * (lon - x1)) >= 0
+        g = (pa.table({"event_type": t["event_type"].filter(pa.array(m))})
+             .group_by("event_type").aggregate([([], "count_all")]))
+        return g.rename_columns(["event_type", "c_part"])
+
+    ds = (_read_events(sf_dir)
+          .map_batches(partial, batch_format="pyarrow")
+          .groupby("event_type")
+          .aggregate(Sum("c_part", alias_name="cnt")))
+    t = _collect(ds, pa.schema([("event_type", pa.string()),
+                                ("cnt", pa.int64())]))
+    return t.sort_by("event_type")
+
+
+def _geo_polygon_sql() -> str:
+    conds = []
+    for (x1, y1), (x2, y2) in zip(_POLY, _POLY[1:] + _POLY[:1]):
+        conds.append(f"({x2 - x1}) * (lat - ({y1}))"
+                     f" - ({y2 - y1}) * (lon - ({x1})) >= 0")
+    return (_COORDS_CTE
+            + "SELECT event_type, CAST(count(*) AS BIGINT) AS cnt\n"
+              "FROM coords WHERE " + "\n  AND ".join(conds)
+            + "\nGROUP BY event_type ORDER BY event_type")
+
+
+GEO_POLYGON_SQL = _geo_polygon_sql()
+
+
 def geo_bounds_events(sf_dir: str) -> pa.Table:
     """ES geo_bounds aggregation: the tightest lat/lon box per
     event_type — int64 min/max partials per batch (associative +
@@ -366,6 +412,7 @@ GEO_RINGS_SQL = _geo_rings_sql()
 
 
 QUERIES = {
+    "geo_polygon_events": geo_polygon_events,
     "geo_bounds_events": geo_bounds_events,
     "geo_distance_rings_events": geo_distance_rings_events,
     "geo_bounding_box_events": geo_bounding_box_events,
@@ -376,6 +423,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "geo_polygon_events": GEO_POLYGON_SQL,
     "geo_bounds_events": GEO_BOUNDS_SQL,
     "geo_distance_rings_events": GEO_RINGS_SQL,
     "geo_bounding_box_events": GEO_BBOX_SQL,

@@ -213,7 +213,7 @@ def test_geo_and_ip_aggs_on_empty_events(ray_session, tmp_path):
                  "geo_centroid_events", "geo_distance_count_events",
                  "geo_distance_topk_events", "geo_distance_rings_events",
                  "ip_range_events", "date_range_agg_events",
-                 "geo_bounds_events"):
+                 "geo_bounds_events", "geo_polygon_events"):
         _compare(name, sf)
 
 
