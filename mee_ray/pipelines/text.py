@@ -1155,6 +1155,117 @@ GROUP BY p.doc_id
 """
 
 
+SPAN_GRAM = 12
+
+
+def substring_dedup_spans_documents(sf_dir: str):
+    """Exact substring-level dedup spans (the suffix-array dedup shape
+    of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499, approximated with fixed-length rolling
+    windows — the standard distributed relaxation): every OVERLAPPING
+    {SPAN_GRAM}-token window is exact-matched corpus-wide; windows
+    occurring more than once anywhere mark their start positions
+    duplicated, and per doc the surviving positions merge into maximal
+    spans (two windows merge when their starts differ by ≤ {SPAN_GRAM},
+    i.e. overlapping or exactly adjacent).  Output one row per maximal
+    duplicated span: (doc_id, span_start, span_end, n_windows) with
+    1-based token offsets, span_end one past the last covered token —
+    the ranges a dedup pass would cut before training.
+
+    Shape at scale: explode → key-only groupby(gram) count → filter
+    c>1 BEFORE the join (the right side shrinks to the dup-gram set)
+    → co-partitioned hash join back → per-doc island merge in
+    map_groups (vectorized; per-group state is one position array).
+    Like passage dedup, a 100-TB run swaps the string key for a
+    128-bit gram hash; string keys keep the sf-scale oracle
+    bit-exact."""
+    import ray
+    from ray.data.aggregate import Count
+
+    st = TextStats()
+
+    def explode(t: pa.Table) -> pa.Table:
+        out_d, out_p, out_g = [], [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = st.tokens(x)
+            for lo in range(len(toks) - SPAN_GRAM + 1):
+                out_d.append(d)
+                out_p.append(lo + 1)          # 1-based, matches SQL
+                out_g.append(" ".join(toks[lo:lo + SPAN_GRAM]))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "pos": pa.array(out_p, pa.int64()),
+                         "gram": pa.array(out_g, pa.string())})
+
+    def windows(): return (_read_docs(sf_dir, ["doc_id", "text"])
+                           .map_batches(explode, batch_format="pyarrow",
+                                        zero_copy_batch=True))
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return (t.filter(pc.greater(t["c"], pa.scalar(1)))
+                .select(["gram"]))
+
+    dup_grams = (windows().groupby("gram")
+                 .aggregate(Count(alias_name="c"))
+                 .map_batches(only_dups, batch_format="pyarrow"))
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = windows().join(
+        dup_grams, join_type="inner",
+        num_partitions=max(2, cpus // 2),
+        on=("gram",),
+        aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def merge(g: pa.Table) -> pa.Table:
+        pos = np.sort(g["pos"].to_numpy(zero_copy_only=False))
+        brk = np.empty(len(pos), dtype=bool)
+        brk[0] = True
+        brk[1:] = (pos[1:] - pos[:-1]) > SPAN_GRAM
+        heads = np.nonzero(brk)[0]
+        starts = pos[heads]
+        ends = pos[np.append(heads[1:] - 1, len(pos) - 1)] + SPAN_GRAM
+        nwin = np.diff(np.append(heads, len(pos)))
+        did = np.full(len(starts), g["doc_id"][0].as_py(), np.int64)
+        return pa.table({"doc_id": pa.array(did),
+                         "span_start": pa.array(starts.astype(np.int64)),
+                         "span_end": pa.array(ends.astype(np.int64)),
+                         "n_windows": pa.array(nwin.astype(np.int64))})
+
+    return (joined.select_columns(["doc_id", "pos"])
+            .groupby("doc_id")
+            .map_groups(merge, batch_format="pyarrow"))
+
+
+SUBSTRING_SPANS_SQL = f"""
+WITH tokl AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{TOKEN_PATTERN}') AS ts
+  FROM documents),
+winpos AS (
+  SELECT doc_id, ts,
+         unnest(range(1, greatest(len(ts) - {SPAN_GRAM} + 2, 1))) AS pos
+  FROM tokl),
+win AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(ts, pos, pos + {SPAN_GRAM} - 1), ' ')
+           AS gram
+  FROM winpos),
+dupg AS (SELECT gram FROM win GROUP BY gram HAVING count(*) > 1),
+dup AS (SELECT w.doc_id, w.pos FROM win w JOIN dupg USING (gram)),
+brk AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+                   > {SPAN_GRAM} THEN 1 ELSE 0 END AS b
+  FROM dup),
+grp AS (SELECT doc_id, pos,
+               sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM brk)
+SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(pos) + {SPAN_GRAM} AS BIGINT) AS span_end,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM grp GROUP BY doc_id, g ORDER BY doc_id, span_start
+"""
+
+
 LM_SAMPLE_DOCS = 2048
 LM_ADD_K = 0.5
 
@@ -1802,6 +1913,7 @@ QUERIES = {
     "pii_scrub_documents": pii_scrub_documents,
     "repetition_scores_documents": repetition_scores_documents,
     "passage_dedup_documents": passage_dedup_documents,
+    "substring_dedup_spans_documents": substring_dedup_spans_documents,
     "contamination_check_documents": contamination_check_documents,
     "lm_score_documents": lm_score_documents,
     "training_mix_sample": training_mix_sample,
@@ -1868,6 +1980,7 @@ ORACLE = {
     "pii_scrub_documents": PII_SCRUB_SQL,
     "repetition_scores_documents": REPETITION_SQL,
     "passage_dedup_documents": PASSAGE_DEDUP_SQL,
+    "substring_dedup_spans_documents": SUBSTRING_SPANS_SQL,
     "contamination_check_documents": CONTAMINATION_SQL,
     "training_mix_sample": TRAINING_MIX_SQL,
     "training_shuffle_order": TRAINING_SHUFFLE_SQL,

@@ -66,6 +66,7 @@ SQL_CHECKED = [
     "repetition_scores_documents", "bm25_snippets_documents",
     "hybrid_rrf_documents", "bm25_prefix_documents",
     "bm25_fuzzy_documents", "bm25_min_match_documents",
+    "substring_dedup_spans_documents",
     "bm25_weighted_documents", "bm25_mlt_documents",
     "bm25_dismax_documents", "bm25_search_after_documents",
     "bm25_significant_terms", "bm25_match_counts",
