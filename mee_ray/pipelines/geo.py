@@ -315,6 +315,82 @@ def _geo_polygon_sql() -> str:
 GEO_POLYGON_SQL = _geo_polygon_sql()
 
 
+_LINE_N = 12                      # geo_line size (max points per track)
+
+
+def geo_line_events(sf_dir: str) -> pa.Table:
+    """ES ``geo_line`` aggregation analog: per user, the travel track
+    — points sorted by (ts, event_id), truncated to the first
+    {_LINE_N} (ES's ``size``), rendered as 'lat,lon' pairs joined by
+    ' ' (integer microdegrees, so the track string is bit-exact on
+    both sides).  The ORDER-SENSITIVE reduction is made exchange-safe
+    the usual way: each batch keeps only its ≤{_LINE_N} earliest rows
+    per user (one lexsort + segment-head mask — no Python loop), so
+    the shuffle carries at most batches × users × {_LINE_N} rows, and
+    the per-user merge re-sorts that bounded survivor set."""
+
+    import ray.data
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        eid = t["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tsu = t["ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]"
+                                                            ).astype(np.int64)
+        order = np.lexsort((eid, tsu, uid))
+        u_s, e_s, t_s = uid[order], eid[order], tsu[order]
+        starts = np.r_[0, np.nonzero(u_s[1:] != u_s[:-1])[0] + 1]
+        counts = np.diff(np.r_[starts, len(u_s)])
+        rank = np.arange(len(u_s)) - np.repeat(starts, counts)
+        keep = rank < _LINE_N
+        return pa.table({"user_id": pa.array(u_s[keep]),
+                         "event_id": pa.array(e_s[keep]),
+                         "ts_us": pa.array(t_s[keep])})
+
+    def finish(g: pa.Table) -> pa.Table:
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        tsu = g["ts_us"].to_numpy(zero_copy_only=False)
+        uid0 = int(g["user_id"][0].as_py())
+        order = np.lexsort((eid, tsu))[:_LINE_N]
+        eid = eid[order]
+        lat = ((eid % _LAT_MOD) * _KNUTH) % _LAT_MOD - 90_000_000
+        lon = (((eid % _LON_MOD) * 40503 + (uid0 % _LON_MOD) * _KNUTH)
+               % _LON_MOD) - 180_000_000
+        track = " ".join(f"{a},{o}" for a, o in zip(lat, lon))
+        return pa.table({"user_id": pa.array([uid0], pa.int64()),
+                         "n_points": pa.array([len(eid)], pa.int64()),
+                         "track": pa.array([track], pa.string())})
+
+    ds = (ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                columns=["event_id", "user_id", "ts"])
+          .map_batches(partial, batch_format="pyarrow",
+                       zero_copy_batch=True)
+          .groupby("user_id")
+          .map_groups(finish, batch_format="pyarrow"))
+    t = _collect(ds, pa.schema([("user_id", pa.int64()),
+                                ("n_points", pa.int64()),
+                                ("track", pa.string())]))
+    return t.sort_by("user_id")
+
+
+GEO_LINE_SQL = f"""
+WITH pts AS (
+  SELECT user_id,
+         (((event_id % {_LAT_MOD}) * {_KNUTH}) % {_LAT_MOD})
+           - 90000000 AS lat,
+         (((event_id % {_LON_MOD}) * 40503
+           + (user_id % {_LON_MOD}) * {_KNUTH}) % {_LON_MOD})
+           - 180000000 AS lon,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS rn
+  FROM events)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_points,
+       string_agg(CAST(lat AS VARCHAR) || ',' || CAST(lon AS VARCHAR),
+                  ' ' ORDER BY rn) AS track
+FROM pts WHERE rn <= {_LINE_N}
+GROUP BY user_id ORDER BY user_id
+"""
+
+
 def geo_bounds_events(sf_dir: str) -> pa.Table:
     """ES geo_bounds aggregation: the tightest lat/lon box per
     event_type — int64 min/max partials per batch (associative +
@@ -412,6 +488,7 @@ GEO_RINGS_SQL = _geo_rings_sql()
 
 
 QUERIES = {
+    "geo_line_events": geo_line_events,
     "geo_polygon_events": geo_polygon_events,
     "geo_bounds_events": geo_bounds_events,
     "geo_distance_rings_events": geo_distance_rings_events,
@@ -423,6 +500,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "geo_line_events": GEO_LINE_SQL,
     "geo_polygon_events": GEO_POLYGON_SQL,
     "geo_bounds_events": GEO_BOUNDS_SQL,
     "geo_distance_rings_events": GEO_RINGS_SQL,

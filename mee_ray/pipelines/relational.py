@@ -5196,6 +5196,106 @@ def _ip_range_sql() -> str:
 IP_RANGE_SQL = _ip_range_sql()
 
 
+def ip_prefix_events(sf_dir: str):
+    """ES ``ip_prefix`` aggregation (prefix_length=8, IPv4): bucket
+    the derived 32-bit address by its first octet.  Per-batch partial
+    is one np.unique over ``addr >> 24`` (≤256 rows whatever the batch
+    size); labels render from the octet on both sides."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        octet = _derived_ip(t) >> 24
+        vals, cnts = np.unique(octet, return_counts=True)
+        return pa.table({"octet": pa.array(vals, pa.int64()),
+                         "n_part": pa.array(cnts, pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        oct_ = t["octet"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "octet": t["octet"],
+            "prefix": pa.array([f"{o}.0.0.0/8" for o in oct_],
+                               pa.string()),
+            "cnt": t["cnt"]})
+
+    return (_read(sf_dir, "events", ["user_id"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("octet")
+            .aggregate(Sum("n_part", alias_name="cnt"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+IP_PREFIX_SQL = f"""
+SELECT octet,
+       CAST(octet AS VARCHAR) || '.0.0.0/8' AS prefix,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM (SELECT CAST(({_IP_EXPR}) // 16777216 AS BIGINT) AS octet
+      FROM events)
+GROUP BY octet ORDER BY octet
+"""
+
+
+# derived-optional-field rule for the missing agg: the label exists
+# only when event_id % 7 >= 2 (the testdata carries no NULL columns;
+# deterministic derived fields are the geo/ip precedent)
+_MISSING_MOD, _MISSING_LT = 7, 2
+
+
+def missing_agg_events(sf_dir: str):
+    """ES ``missing`` aggregation (+ the present-side stats a real
+    request pairs it with): per event_type, how many docs lack the
+    derived optional field, how many carry it, and the exact cents
+    sum over the present side.  One vectorized mask per batch; only
+    (event_type, 3×int64) partials cross the exchange."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        present = (eid % _MISSING_MOD) >= _MISSING_LT
+        cents = _cents_of(t["value"]).to_numpy(zero_copy_only=False)
+        g = (pa.table({
+            "event_type": t["event_type"],
+            "miss": pa.array((~present).astype(np.int64)),
+            "pres": pa.array(present.astype(np.int64)),
+            "c": pa.array(np.where(present, cents, 0))})
+             .group_by("event_type")
+             .aggregate([("miss", "sum"), ("pres", "sum"),
+                         ("c", "sum")]))
+        return g.rename_columns(
+            ["event_type", "m_part", "p_part", "c_part"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "event_type": t["event_type"],
+            "n_missing": pc.cast(t["n_missing"], pa.int64()),
+            "n_present": pc.cast(t["n_present"], pa.int64()),
+            "sum_present_cents": pc.cast(t["sum_present_cents"],
+                                         pa.int64())})
+
+    return (_read(sf_dir, "events", ["event_id", "event_type", "value"])
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("event_type")
+            .aggregate(Sum("m_part", alias_name="n_missing"),
+                       Sum("p_part", alias_name="n_present"),
+                       Sum("c_part", alias_name="sum_present_cents"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+MISSING_AGG_SQL = f"""
+SELECT event_type,
+       CAST(sum(CASE WHEN event_id % {_MISSING_MOD} < {_MISSING_LT}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+       CAST(sum(CASE WHEN event_id % {_MISSING_MOD} >= {_MISSING_LT}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+       CAST(sum(CASE WHEN event_id % {_MISSING_MOD} >= {_MISSING_LT}
+                     THEN CAST(round(value * 100) AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS sum_present_cents
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def rate_agg_events(sf_dir: str):
     """ES ``rate`` aggregation (unit=day) inside a weekly
     date_histogram: per epoch-week bucket, count, exact cents sum, and
@@ -6461,6 +6561,8 @@ QUERIES = {
     "multi_terms_events": multi_terms_events,
     "date_range_agg_events": date_range_agg_events,
     "ip_range_events": ip_range_events,
+    "ip_prefix_events": ip_prefix_events,
+    "missing_agg_events": missing_agg_events,
     "rate_agg_events": rate_agg_events,
     "cumulative_cardinality_events": cumulative_cardinality_events,
     "diversified_sample_documents": diversified_sample_documents,
@@ -6555,6 +6657,8 @@ ORACLE = {
     "multi_terms_events": MULTI_TERMS_SQL,
     "date_range_agg_events": DATE_RANGE_AGG_SQL,
     "ip_range_events": IP_RANGE_SQL,
+    "ip_prefix_events": IP_PREFIX_SQL,
+    "missing_agg_events": MISSING_AGG_SQL,
     "rate_agg_events": RATE_AGG_SQL,
     "cumulative_cardinality_events": CUMULATIVE_CARDINALITY_SQL,
     "diversified_sample_documents": DIVERSIFIED_SAMPLE_SQL,

@@ -125,7 +125,8 @@ SQL_CHECKED = [
     "geo_bounding_box_events", "geo_grid_events", "geo_centroid_events",
     "geo_distance_count_events", "geo_distance_topk_events",
     "geo_distance_rings_events", "ip_range_events", "geo_bounds_events",
-    "geo_polygon_events",
+    "geo_polygon_events", "geo_line_events", "ip_prefix_events",
+    "missing_agg_events",
 ]
 
 
