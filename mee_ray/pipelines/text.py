@@ -1319,6 +1319,125 @@ def lm_score_documents(sf_dir: str):
                          zero_copy_batch=True))
 
 
+# ------------------------------------------------ BPE tokenizer fit --
+
+BPE_SAMPLE_DOCS = 1024
+BPE_MERGES = 64
+_BPE_EOW = "</w>"
+
+
+def _fit_bpe(word_freq: dict) -> list:
+    """Classic BPE fit (Sennrich et al. 2016) on a word-frequency
+    table: repeatedly merge the most frequent adjacent symbol pair,
+    ties broken by the lexicographically SMALLEST pair, so the merge
+    list is fully deterministic."""
+    vocab = {tuple(w) + (_BPE_EOW,): c for w, c in word_freq.items()}
+    merges = []
+    for _ in range(BPE_MERGES):
+        pairs: dict = {}
+        for sym, c in vocab.items():
+            for pr in zip(sym, sym[1:]):
+                pairs[pr] = pairs.get(pr, 0) + c
+        if not pairs:
+            break
+        top = max(pairs.values())
+        best = min(p for p, c in pairs.items() if c == top)
+        merges.append(best)
+        a, b = best
+        new: dict = {}
+        for sym, c in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if (i + 1 < len(sym) and sym[i] == a
+                        and sym[i + 1] == b):
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new[key] = new.get(key, 0) + c
+        vocab = new
+    return merges
+
+
+def _bpe_encode_len(word: str, ranks: dict, cache: dict) -> int:
+    """Token count of one word under the fitted merges: repeatedly
+    apply the LOWEST-RANK applicable merge (all its occurrences,
+    left to right) — the standard greedy BPE encoder.  Memoized per
+    stage instance (words repeat heavily — the ST1 script-cache
+    pattern)."""
+    n = cache.get(word)
+    if n is not None:
+        return n
+    sym = list(word) + [_BPE_EOW]
+    while len(sym) > 1:
+        best_r, best_p = None, None
+        for pr in zip(sym, sym[1:]):
+            r = ranks.get(pr)
+            if r is not None and (best_r is None or r < best_r):
+                best_r, best_p = r, pr
+        if best_p is None:
+            break
+        a, b = best_p
+        out, i = [], 0
+        while i < len(sym):
+            if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    cache[word] = len(sym)
+    return len(sym)
+
+
+def bpe_tokenize_documents(sf_dir: str):
+    """Tokenizer FITTING + distributed apply — the train-a-BPE-vocab
+    step of a training-data pipeline: fit {BPE_MERGES} merges on a
+    BOUNDED {BPE_SAMPLE_DOCS}-doc prefix sample (deterministic count-
+    then-lexicographic tie-break), broadcast the merge table once via
+    ray.put, then one streaming map_batches pass counts each doc's
+    BPE tokens with a per-task word→length memo (words repeat heavily,
+    so the encoder runs once per distinct word per task).  Output
+    (doc_id, n_words, n_bpe_tokens, n_chars) — rows-only by design
+    (BPE is not SQL-expressible); exactness vs a driver-side recompute
+    and compression invariants (n_words ≤ n_bpe_tokens ≤ n_chars +
+    n_words) are asserted in tests."""
+    import ray
+
+    st = TextStats()
+    sample = (_read_docs(sf_dir, ["doc_id", "text"])
+              .take_batch(BPE_SAMPLE_DOCS, batch_format="pyarrow"))
+    wf: dict = {}
+    for x in sample["text"].to_pylist():
+        for w in st.tokens(x):
+            wf[w] = wf.get(w, 0) + 1
+    ranks = {p: i for i, p in enumerate(_fit_bpe(wf))}
+    ranks_ref = ray.put(ranks)
+
+    def count(t: pa.Table) -> pa.Table:
+        rk = ray.get(ranks_ref)
+        cache: dict = {}
+        out_d, out_w, out_t, out_c = [], [], [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = st.tokens(x)
+            out_d.append(d)
+            out_w.append(len(toks))
+            out_t.append(sum(_bpe_encode_len(w, rk, cache)
+                             for w in toks))
+            out_c.append(sum(len(w) for w in toks))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "n_words": pa.array(out_w, pa.int64()),
+                         "n_bpe_tokens": pa.array(out_t, pa.int64()),
+                         "n_chars": pa.array(out_c, pa.int64())})
+
+    return (_read_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(count, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
 # ------------------------------------------- weighted mixture sample --
 #
 # Training-mix construction (the "sample 30% of web, 70% of code"
@@ -1351,7 +1470,10 @@ def training_mix_sample(sf_dir: str):
         src_num = np.array([int(s[3:]) for s in
                             t["source"].to_pylist()], dtype=np.int64)
         rate = 100 + 150 * (src_num % 5)
-        h = (ids * KNUTH_MULT) % MIX_MOD
+        # pre-reduce mod MIX_MOD before the multiply (congruent, same
+        # sample) so intermediates stay bounded at any id magnitude —
+        # the stratified-sample / random-sampler / geo-key discipline
+        h = ((ids % MIX_MOD) * KNUTH_MULT) % MIX_MOD
         keep = h < rate
         kept = t.filter(pa.array(keep))
         return pa.table({"doc_id": kept["doc_id"],
@@ -1368,7 +1490,7 @@ TRAINING_MIX_SQL = f"""
 SELECT doc_id, source,
        {_mix_rate_expr()} AS rate_pml
 FROM documents
-WHERE (doc_id * {KNUTH_MULT}) % {MIX_MOD} < {_mix_rate_expr()}
+WHERE ((doc_id % {MIX_MOD}) * {KNUTH_MULT}) % {MIX_MOD} < {_mix_rate_expr()}
 """
 
 
@@ -1916,6 +2038,7 @@ QUERIES = {
     "substring_dedup_spans_documents": substring_dedup_spans_documents,
     "contamination_check_documents": contamination_check_documents,
     "lm_score_documents": lm_score_documents,
+    "bpe_tokenize_documents": bpe_tokenize_documents,
     "training_mix_sample": training_mix_sample,
     "training_shuffle_order": training_shuffle_order,
     "bloom_membership_documents": bloom_membership_documents,

@@ -220,7 +220,7 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
                          "hll_distinct_counts", "heavy_hitters_terms",
                          "quantile_sketch_events",
                          "kmeans_assign_embeddings",
-                         "lm_score_documents",
+                         "lm_score_documents", "bpe_tokenize_documents",
                          "bloom_membership_documents",
                          "ann_sq_topk", "ann_pq_topk", "ann_ivfpq_topk"}
 
@@ -645,6 +645,43 @@ def test_kmeans_assignment_invariants(entry_mod, ray_session):
     pd.testing.assert_frame_equal(got, again)
     # clustering is non-degenerate: more than one cluster used
     assert got.cluster_id.nunique() > 1
+
+
+def test_bpe_tokenize_exactness_and_compression(entry_mod, ray_session):
+    """BPE fit+apply: distributed token counts equal a driver-side
+    refit-and-recount bit-for-bit, and the fitted merges actually
+    compress (corpus BPE tokens strictly below the no-merge
+    char+eow count, at or above the word count)."""
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.text import (BPE_SAMPLE_DOCS, TextStats,
+                                        _bpe_encode_len, _fit_bpe)
+
+    got = _to_pandas(entry_mod.queries()["bpe_tokenize_documents"](SF))
+    got = got.set_index("doc_id")
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    st = TextStats()
+    texts = t["text"].to_pylist()
+    wf = {}
+    for x in texts[:BPE_SAMPLE_DOCS]:
+        for w in st.tokens(x):
+            wf[w] = wf.get(w, 0) + 1
+    ranks = {p: i for i, p in enumerate(_fit_bpe(wf))}
+    assert len(ranks) > 0
+    cache = {}
+    for d, x in zip(t["doc_id"].to_pylist(), texts):
+        toks = st.tokens(x)
+        row = got.loc[d]
+        assert row["n_words"] == len(toks), d
+        assert row["n_chars"] == sum(len(w) for w in toks), d
+        want = sum(_bpe_encode_len(w, ranks, cache) for w in toks)
+        assert row["n_bpe_tokens"] == want, d
+        # per-doc bounds: one token per word at best, chars+eow at worst
+        assert row["n_words"] <= want <= row["n_chars"] + row["n_words"]
+    # the merges must pay for themselves corpus-wide
+    assert (got["n_bpe_tokens"].sum()
+            < (got["n_chars"] + got["n_words"]).sum())
 
 
 def test_lm_score_exactness_and_signal(entry_mod, ray_session):
