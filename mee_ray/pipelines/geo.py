@@ -352,9 +352,10 @@ def geo_line_events(sf_dir: str) -> pa.Table:
         uid0 = int(g["user_id"][0].as_py())
         order = np.lexsort((eid, tsu))[:_LINE_N]
         eid = eid[order]
-        lat = ((eid % _LAT_MOD) * _KNUTH) % _LAT_MOD - 90_000_000
-        lon = (((eid % _LON_MOD) * 40503 + (uid0 % _LON_MOD) * _KNUTH)
-               % _LON_MOD) - 180_000_000
+        # one derivation rule for the whole family: go through _coords
+        lat, lon = _coords(pa.table({
+            "event_id": pa.array(eid, pa.int64()),
+            "user_id": pa.array(np.full(len(eid), uid0, np.int64))}))
         track = " ".join(f"{a},{o}" for a, o in zip(lat, lon))
         return pa.table({"user_id": pa.array([uid0], pa.int64()),
                          "n_points": pa.array([len(eid)], pa.int64()),

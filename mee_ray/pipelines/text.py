@@ -1393,17 +1393,43 @@ def _bpe_encode_len(word: str, ranks: dict, cache: dict) -> int:
     return len(sym)
 
 
+class BPEStage:
+    """Actor-pool apply stage: tokenizer regex + merge-rank table set
+    up once per ACTOR in __init__, and the word→token-length memo
+    lives for the actor's lifetime (the ST1 script-cache pattern in
+    its actor form — words repeat heavily, so the greedy encoder runs
+    once per distinct word per actor, not per batch)."""
+
+    def __init__(self, ranks: dict):
+        self.st = TextStats()
+        self.ranks = ranks
+        self.cache: dict = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        out_d, out_w, out_t, out_c = [], [], [], []
+        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            toks = self.st.tokens(x)
+            out_d.append(d)
+            out_w.append(len(toks))
+            out_t.append(sum(_bpe_encode_len(w, self.ranks, self.cache)
+                             for w in toks))
+            out_c.append(sum(len(w) for w in toks))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "n_words": pa.array(out_w, pa.int64()),
+                         "n_bpe_tokens": pa.array(out_t, pa.int64()),
+                         "n_chars": pa.array(out_c, pa.int64())})
+
+
 def bpe_tokenize_documents(sf_dir: str):
     """Tokenizer FITTING + distributed apply — the train-a-BPE-vocab
     step of a training-data pipeline: fit {BPE_MERGES} merges on a
     BOUNDED {BPE_SAMPLE_DOCS}-doc prefix sample (deterministic count-
-    then-lexicographic tie-break), broadcast the merge table once via
-    ray.put, then one streaming map_batches pass counts each doc's
-    BPE tokens with a per-task word→length memo (words repeat heavily,
-    so the encoder runs once per distinct word per task).  Output
-    (doc_id, n_words, n_bpe_tokens, n_chars) — rows-only by design
-    (BPE is not SQL-expressible); exactness vs a driver-side recompute
-    and compression invariants (n_words ≤ n_bpe_tokens ≤ n_chars +
+    then-lexicographic tie-break), ship the small merge table into an
+    actor-pool :class:`BPEStage` (state built once per actor), then
+    one streaming pass counts each doc's BPE tokens.  Output (doc_id,
+    n_words, n_bpe_tokens, n_chars) — rows-only by design (BPE is not
+    SQL-expressible); exactness vs a driver-side recompute and
+    compression invariants (n_words ≤ n_bpe_tokens ≤ n_chars +
     n_words) are asserted in tests."""
     import ray
 
@@ -1415,27 +1441,12 @@ def bpe_tokenize_documents(sf_dir: str):
         for w in st.tokens(x):
             wf[w] = wf.get(w, 0) + 1
     ranks = {p: i for i, p in enumerate(_fit_bpe(wf))}
-    ranks_ref = ray.put(ranks)
 
-    def count(t: pa.Table) -> pa.Table:
-        rk = ray.get(ranks_ref)
-        cache: dict = {}
-        out_d, out_w, out_t, out_c = [], [], [], []
-        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = st.tokens(x)
-            out_d.append(d)
-            out_w.append(len(toks))
-            out_t.append(sum(_bpe_encode_len(w, rk, cache)
-                             for w in toks))
-            out_c.append(sum(len(w) for w in toks))
-        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
-                         "n_words": pa.array(out_w, pa.int64()),
-                         "n_bpe_tokens": pa.array(out_t, pa.int64()),
-                         "n_chars": pa.array(out_c, pa.int64())})
-
+    cpus = int(ray.cluster_resources().get("CPU", 8))
     return (_read_docs(sf_dir, ["doc_id", "text"])
-            .map_batches(count, batch_format="pyarrow",
-                         zero_copy_batch=True))
+            .map_batches(BPEStage, fn_constructor_args=(ranks,),
+                         concurrency=max(2, cpus // 4),
+                         batch_format="pyarrow", zero_copy_batch=True))
 
 
 # ------------------------------------------- weighted mixture sample --
