@@ -5235,6 +5235,168 @@ GROUP BY octet ORDER BY octet
 """
 
 
+def children_agg_orders(sf_dir: str):
+    """ES ``children`` aggregation: terms buckets on a PARENT field
+    (o_orderpriority) with a child-side sub-agg drilling into the
+    join relation — per priority: all parents, parents having
+    children, child count, exact child-quantity cents sum.  Child
+    rows shrink to one partial per (batch, orderkey) before any
+    exchange; the parent attach is the co-partitioned hash join."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def child_partial(t: pa.Table) -> pa.Table:
+        qc = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0),
+                              options=pc.RoundOptions(
+                                  round_mode="half_towards_infinity")),
+                     pa.int64())
+        g = (pa.table({"l_orderkey": t["l_orderkey"],
+                       "one": pa.array(np.ones(t.num_rows, np.int64)),
+                       "qc": qc})
+             .group_by("l_orderkey")
+             .aggregate([("one", "sum"), ("qc", "sum")]))
+        return g.rename_columns(["l_orderkey", "n_part", "q_part"])
+
+    per_order = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+                 .map_batches(child_partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+                 .groupby("l_orderkey")
+                 .aggregate(Sum("n_part", alias_name="n_children"),
+                            Sum("q_part", alias_name="qty_cents")))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = orders.join(
+        per_order, join_type="inner",
+        num_partitions=max(2, cpus // 2),
+        on=("o_orderkey",), right_on=("l_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def prio_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"o_orderpriority": t["o_orderpriority"],
+                       "one": pa.array(np.ones(t.num_rows, np.int64)),
+                       "nc": pc.cast(t["n_children"], pa.int64()),
+                       "qc": pc.cast(t["qty_cents"], pa.int64())})
+             .group_by("o_orderpriority")
+             .aggregate([("one", "sum"), ("nc", "sum"), ("qc", "sum")]))
+        return g.rename_columns(
+            ["o_orderpriority", "p_part", "c_part", "q_part"])
+
+    with_children = (joined
+                     .map_batches(prio_partial, batch_format="pyarrow")
+                     .groupby("o_orderpriority")
+                     .aggregate(Sum("p_part",
+                                    alias_name="n_parents_with_children"),
+                                Sum("c_part", alias_name="n_children"),
+                                Sum("q_part",
+                                    alias_name="sum_child_qty_cents")))
+    all_parents = (orders.groupby("o_orderpriority")
+                   .aggregate(Count(alias_name="n_parents")))
+    # left_outer: a priority whose parents ALL lack children must
+    # still bucket (with zeros), mirroring the oracle's LEFT JOIN
+    total = all_parents.join(
+        with_children, join_type="left_outer",
+        num_partitions=2,
+        on=("o_orderpriority",),
+        aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def finish(t: pa.Table) -> pa.Table:
+        def z(col):
+            return pc.cast(pc.coalesce(t[col], pa.scalar(0)), pa.int64())
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "n_parents": pc.cast(t["n_parents"], pa.int64()),
+            "n_parents_with_children": z("n_parents_with_children"),
+            "n_children": z("n_children"),
+            "sum_child_qty_cents": z("sum_child_qty_cents")})
+
+    return total.map_batches(finish, batch_format="pyarrow")
+
+
+CHILDREN_AGG_SQL = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_parents,
+       CAST(count(c.n_children) AS BIGINT) AS n_parents_with_children,
+       CAST(coalesce(sum(c.n_children), 0) AS BIGINT) AS n_children,
+       CAST(coalesce(sum(c.qty_cents), 0) AS BIGINT)
+         AS sum_child_qty_cents
+FROM orders o
+LEFT JOIN (SELECT l_orderkey, count(*) AS n_children,
+                  sum(CAST(round(l_quantity * 100) AS BIGINT))
+                    AS qty_cents
+           FROM lineitem GROUP BY l_orderkey) c
+  ON c.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+"""
+
+
+def parent_agg_lineitem(sf_dir: str):
+    """ES ``parent`` aggregation (the reverse drill): bucket CHILD
+    docs by l_returnflag, then aggregate over their DISTINCT parents
+    — per flag: distinct parent count + exact parent-totalprice cents
+    sum with each parent counted once.  The (flag, orderkey) dedup is
+    a key-only groupby (combiner per batch first), and the parent
+    attach is the co-partitioned hash join."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"l_returnflag": t["l_returnflag"],
+                       "l_orderkey": t["l_orderkey"]})
+             .group_by(["l_returnflag", "l_orderkey"])
+             .aggregate([([], "count_all")]))
+        return g.rename_columns(["l_returnflag", "l_orderkey", "x"])
+
+    pairs = (_read(sf_dir, "lineitem", ["l_returnflag", "l_orderkey"])
+             .map_batches(pair_partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+             .groupby(["l_returnflag", "l_orderkey"])
+             .aggregate(Count(alias_name="c"))
+             .select_columns(["l_returnflag", "l_orderkey"]))
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    joined = pairs.join(
+        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+        join_type="inner",
+        num_partitions=max(2, cpus // 2),
+        on=("l_orderkey",), right_on=("o_orderkey",),
+        aggregator_ray_remote_args={"num_cpus": 0.5})
+
+    def flag_partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"l_returnflag": t["l_returnflag"],
+                       "one": pa.array(np.ones(t.num_rows, np.int64)),
+                       "pc_": _cents_of(t["o_totalprice"])})
+             .group_by("l_returnflag")
+             .aggregate([("one", "sum"), ("pc_", "sum")]))
+        return g.rename_columns(["l_returnflag", "n_part", "c_part"])
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "n_parents": pc.cast(t["n_parents"], pa.int64()),
+            "sum_parent_price_cents": pc.cast(
+                t["sum_parent_price_cents"], pa.int64())})
+
+    return (joined.map_batches(flag_partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("n_part", alias_name="n_parents"),
+                       Sum("c_part", alias_name="sum_parent_price_cents"))
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+PARENT_AGG_SQL = """
+SELECT l_returnflag,
+       CAST(count(*) AS BIGINT) AS n_parents,
+       CAST(sum(pcents) AS BIGINT) AS sum_parent_price_cents
+FROM (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem) p
+JOIN (SELECT o_orderkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS pcents
+      FROM orders) o
+  ON o.o_orderkey = p.l_orderkey
+GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 # derived-optional-field rule for the missing agg: the label exists
 # only when event_id % 7 >= 2 (the testdata carries no NULL columns;
 # deterministic derived fields are the geo/ip precedent)
@@ -6563,6 +6725,8 @@ QUERIES = {
     "ip_range_events": ip_range_events,
     "ip_prefix_events": ip_prefix_events,
     "missing_agg_events": missing_agg_events,
+    "children_agg_orders": children_agg_orders,
+    "parent_agg_lineitem": parent_agg_lineitem,
     "rate_agg_events": rate_agg_events,
     "cumulative_cardinality_events": cumulative_cardinality_events,
     "diversified_sample_documents": diversified_sample_documents,
@@ -6659,6 +6823,8 @@ ORACLE = {
     "ip_range_events": IP_RANGE_SQL,
     "ip_prefix_events": IP_PREFIX_SQL,
     "missing_agg_events": MISSING_AGG_SQL,
+    "children_agg_orders": CHILDREN_AGG_SQL,
+    "parent_agg_lineitem": PARENT_AGG_SQL,
     "rate_agg_events": RATE_AGG_SQL,
     "cumulative_cardinality_events": CUMULATIVE_CARDINALITY_SQL,
     "diversified_sample_documents": DIVERSIFIED_SAMPLE_SQL,
