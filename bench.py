@@ -221,7 +221,9 @@ def run_suite(sf_dir: str, num_cpus: int, build_only: bool = False) -> dict:
     # headline so suite_sec stays comparable across rounds -------------
     if not build_only:
         extras = {}
-        for name in ("corpus_to_training_shards", "neardup_gram_clusters"):
+        for name in ("corpus_to_training_shards", "neardup_gram_clusters",
+                     "substring_dedup_spans_documents",
+                     "bpe_tokenize_documents"):
             tq = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "materialize"):

@@ -5241,76 +5241,89 @@ def children_agg_orders(sf_dir: str):
     join relation — per priority: all parents, parents having
     children, child count, exact child-quantity cents sum.  Child
     rows shrink to one partial per (batch, orderkey) before any
-    exchange; the parent attach is the co-partitioned hash join."""
-    import ray
-    from ray.data.aggregate import Count, Sum
+    exchange, and the parent attach is the bucketed UNION-GROUPBY
+    join (the pagerank rank⋈edge pattern): parent rows and child
+    partials union-tagged into ONE groupby(o_orderkey), so the merge
+    is group-local, zero-child parents keep their bucket (the
+    oracle's LEFT JOIN), and no join operator is involved —
+    schema-stable even on degenerate/empty inputs."""
+    from ray.data.aggregate import Max, Sum
 
-    def child_partial(t: pa.Table) -> pa.Table:
+    def parent_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "prio": t["o_orderpriority"],
+                         "np": pa.array(np.ones(n, np.int64)),
+                         "nc": pa.array(np.zeros(n, np.int64)),
+                         "qc": pa.array(np.zeros(n, np.int64))})
+
+    def child_rows(t: pa.Table) -> pa.Table:
         qc = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0),
                               options=pc.RoundOptions(
                                   round_mode="half_towards_infinity")),
                      pa.int64())
-        g = (pa.table({"l_orderkey": t["l_orderkey"],
+        g = (pa.table({"o_orderkey": t["l_orderkey"],
                        "one": pa.array(np.ones(t.num_rows, np.int64)),
                        "qc": qc})
-             .group_by("l_orderkey")
+             .group_by("o_orderkey")
              .aggregate([("one", "sum"), ("qc", "sum")]))
-        return g.rename_columns(["l_orderkey", "n_part", "q_part"])
+        g = g.rename_columns(["o_orderkey", "nc", "qc"])
+        n = g.num_rows
+        return pa.table({"o_orderkey": g["o_orderkey"],
+                         # "" sorts below every real priority, so the
+                         # per-key Max picks the parent's label
+                         "prio": pa.array([""] * n, pa.string()),
+                         "np": pa.array(np.zeros(n, np.int64)),
+                         "nc": g["nc"], "qc": g["qc"]})
 
-    per_order = (_read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
-                 .map_batches(child_partial, batch_format="pyarrow",
-                              zero_copy_batch=True)
-                 .groupby("l_orderkey")
-                 .aggregate(Sum("n_part", alias_name="n_children"),
-                            Sum("q_part", alias_name="qty_cents")))
+    both = (_read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+            .map_batches(parent_rows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .union(_read(sf_dir, "lineitem",
+                         ["l_orderkey", "l_quantity"])
+                   .map_batches(child_rows, batch_format="pyarrow",
+                                zero_copy_batch=True)))
 
-    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    joined = orders.join(
-        per_order, join_type="inner",
-        num_partitions=max(2, cpus // 2),
-        on=("o_orderkey",), right_on=("l_orderkey",),
-        aggregator_ray_remote_args={"num_cpus": 0.5})
+    per_order = (both.groupby("o_orderkey")
+                 .aggregate(Max("prio", alias_name="prio"),
+                            Sum("np", alias_name="np"),
+                            Sum("nc", alias_name="nc"),
+                            Sum("qc", alias_name="qc")))
 
     def prio_partial(t: pa.Table) -> pa.Table:
-        g = (pa.table({"o_orderpriority": t["o_orderpriority"],
-                       "one": pa.array(np.ones(t.num_rows, np.int64)),
-                       "nc": pc.cast(t["n_children"], pa.int64()),
-                       "qc": pc.cast(t["qty_cents"], pa.int64())})
+        # np == 0 would be an orphan child (no parent row) — outside
+        # the parent relation, like the oracle's FROM orders LEFT JOIN
+        t = t.filter(pc.greater(t["np"], pa.scalar(0)))
+        has = pc.cast(pc.greater(t["nc"], pa.scalar(0)), pa.int64())
+        g = (pa.table({"o_orderpriority": t["prio"],
+                       "one": pc.cast(t["np"], pa.int64()),
+                       "has": has,
+                       "nc": pc.cast(t["nc"], pa.int64()),
+                       "qc": pc.cast(t["qc"], pa.int64())})
              .group_by("o_orderpriority")
-             .aggregate([("one", "sum"), ("nc", "sum"), ("qc", "sum")]))
+             .aggregate([("one", "sum"), ("has", "sum"),
+                         ("nc", "sum"), ("qc", "sum")]))
         return g.rename_columns(
-            ["o_orderpriority", "p_part", "c_part", "q_part"])
-
-    with_children = (joined
-                     .map_batches(prio_partial, batch_format="pyarrow")
-                     .groupby("o_orderpriority")
-                     .aggregate(Sum("p_part",
-                                    alias_name="n_parents_with_children"),
-                                Sum("c_part", alias_name="n_children"),
-                                Sum("q_part",
-                                    alias_name="sum_child_qty_cents")))
-    all_parents = (orders.groupby("o_orderpriority")
-                   .aggregate(Count(alias_name="n_parents")))
-    # left_outer: a priority whose parents ALL lack children must
-    # still bucket (with zeros), mirroring the oracle's LEFT JOIN
-    total = all_parents.join(
-        with_children, join_type="left_outer",
-        num_partitions=2,
-        on=("o_orderpriority",),
-        aggregator_ray_remote_args={"num_cpus": 0.5})
+            ["o_orderpriority", "p_part", "h_part", "c_part", "q_part"])
 
     def finish(t: pa.Table) -> pa.Table:
-        def z(col):
-            return pc.cast(pc.coalesce(t[col], pa.scalar(0)), pa.int64())
         return pa.table({
             "o_orderpriority": t["o_orderpriority"],
             "n_parents": pc.cast(t["n_parents"], pa.int64()),
-            "n_parents_with_children": z("n_parents_with_children"),
-            "n_children": z("n_children"),
-            "sum_child_qty_cents": z("sum_child_qty_cents")})
+            "n_parents_with_children": pc.cast(
+                t["n_parents_with_children"], pa.int64()),
+            "n_children": pc.cast(t["n_children"], pa.int64()),
+            "sum_child_qty_cents": pc.cast(t["sum_child_qty_cents"],
+                                           pa.int64())})
 
-    return total.map_batches(finish, batch_format="pyarrow")
+    return (per_order.map_batches(prio_partial, batch_format="pyarrow")
+            .groupby("o_orderpriority")
+            .aggregate(Sum("p_part", alias_name="n_parents"),
+                       Sum("h_part",
+                           alias_name="n_parents_with_children"),
+                       Sum("c_part", alias_name="n_children"),
+                       Sum("q_part", alias_name="sum_child_qty_cents"))
+            .map_batches(finish, batch_format="pyarrow"))
 
 
 CHILDREN_AGG_SQL = """
@@ -5334,53 +5347,93 @@ def parent_agg_lineitem(sf_dir: str):
     """ES ``parent`` aggregation (the reverse drill): bucket CHILD
     docs by l_returnflag, then aggregate over their DISTINCT parents
     — per flag: distinct parent count + exact parent-totalprice cents
-    sum with each parent counted once.  The (flag, orderkey) dedup is
-    a key-only groupby (combiner per batch first), and the parent
-    attach is the co-partitioned hash join."""
-    import ray
-    from ray.data.aggregate import Count, Sum
+    sum with each parent counted once.  Join-free: the flag domain is
+    discovered by a key-only groupby (bounded vocabulary — the
+    frequent_item_sets precedent), child rows collapse to one-hot
+    has_<flag> columns combined per (batch, orderkey), and the parent
+    attach is the bucketed union-groupby with Max-as-OR merge, so the
+    plan is schema-stable on degenerate inputs and ships one bounded
+    row per parent."""
+    from ray.data.aggregate import Max, Sum
 
-    def pair_partial(t: pa.Table) -> pa.Table:
-        g = (pa.table({"l_returnflag": t["l_returnflag"],
-                       "l_orderkey": t["l_orderkey"]})
-             .group_by(["l_returnflag", "l_orderkey"])
-             .aggregate([([], "count_all")]))
-        return g.rename_columns(["l_returnflag", "l_orderkey", "x"])
+    li = _read(sf_dir, "lineitem", ["l_returnflag", "l_orderkey"])
+    flags = sorted(
+        b["l_returnflag"]
+        for t in (li.groupby("l_returnflag").count()
+                  .iter_batches(batch_format="pyarrow"))
+        for b in t.to_pylist())
+    hcols = [f"h{i}" for i in range(len(flags))]
+    empty = pa.schema([("l_returnflag", pa.string()),
+                       ("n_parents", pa.int64()),
+                       ("sum_parent_price_cents", pa.int64())])
+    if not flags:
+        import ray.data
+        return ray.data.from_arrow(empty.empty_table())
 
-    pairs = (_read(sf_dir, "lineitem", ["l_returnflag", "l_orderkey"])
-             .map_batches(pair_partial, batch_format="pyarrow",
-                          zero_copy_batch=True)
-             .groupby(["l_returnflag", "l_orderkey"])
-             .aggregate(Count(alias_name="c"))
-             .select_columns(["l_returnflag", "l_orderkey"]))
+    def child_rows(t: pa.Table) -> pa.Table:
+        fl = t["l_returnflag"]
+        cols = {"o_orderkey": t["l_orderkey"]}
+        for f, h in zip(flags, hcols):
+            cols[h] = pc.cast(pc.equal(fl, pa.scalar(f)), pa.int64())
+        g = (pa.table(cols).group_by("o_orderkey")
+             .aggregate([(h, "max") for h in hcols]))
+        g = g.rename_columns(["o_orderkey"] + hcols)
+        n = g.num_rows
+        return g.append_column(
+            "pcents", pa.array(np.zeros(n, np.int64))).append_column(
+            "np", pa.array(np.zeros(n, np.int64)))
 
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    joined = pairs.join(
-        _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
-        join_type="inner",
-        num_partitions=max(2, cpus // 2),
-        on=("l_orderkey",), right_on=("o_orderkey",),
-        aggregator_ray_remote_args={"num_cpus": 0.5})
+    def parent_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        cols = {"o_orderkey": t["o_orderkey"]}
+        for h in hcols:
+            cols[h] = pa.array(np.zeros(n, np.int64))
+        cols["pcents"] = _cents_of(t["o_totalprice"])
+        cols["np"] = pa.array(np.ones(n, np.int64))
+        return pa.table(cols)
+
+    both = (li.map_batches(child_rows, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .union(_read(sf_dir, "orders",
+                         ["o_orderkey", "o_totalprice"])
+                   .map_batches(parent_rows, batch_format="pyarrow",
+                                zero_copy_batch=True)))
+
+    per_order = (both.groupby("o_orderkey")
+                 .aggregate(*([Max(h, alias_name=h) for h in hcols]
+                              + [Max("pcents", alias_name="pcents"),
+                                 Max("np", alias_name="np")])))
 
     def flag_partial(t: pa.Table) -> pa.Table:
-        g = (pa.table({"l_returnflag": t["l_returnflag"],
-                       "one": pa.array(np.ones(t.num_rows, np.int64)),
-                       "pc_": _cents_of(t["o_totalprice"])})
-             .group_by("l_returnflag")
-             .aggregate([("one", "sum"), ("pc_", "sum")]))
-        return g.rename_columns(["l_returnflag", "n_part", "c_part"])
+        # np == 0 → orphan child rows with no parent in orders: not a
+        # parent to aggregate (the oracle's inner join drops them)
+        t = t.filter(pc.greater(t["np"], pa.scalar(0)))
+        outs = []
+        for f, h in zip(flags, hcols):
+            hv = pc.cast(t[h], pa.int64())
+            outs.append(pa.table({
+                "l_returnflag": pa.array([f], pa.string()),
+                "n_part": pa.array(
+                    [pc.sum(hv).as_py() or 0], pa.int64()),
+                "c_part": pa.array(
+                    [pc.sum(pc.multiply(hv, pc.cast(
+                        t["pcents"], pa.int64()))).as_py() or 0],
+                    pa.int64())}))
+        return pa.concat_tables(outs)
 
     def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["n_parents"], pa.scalar(0)))
         return pa.table({
             "l_returnflag": t["l_returnflag"],
             "n_parents": pc.cast(t["n_parents"], pa.int64()),
             "sum_parent_price_cents": pc.cast(
                 t["sum_parent_price_cents"], pa.int64())})
 
-    return (joined.map_batches(flag_partial, batch_format="pyarrow")
+    return (per_order.map_batches(flag_partial, batch_format="pyarrow")
             .groupby("l_returnflag")
             .aggregate(Sum("n_part", alias_name="n_parents"),
-                       Sum("c_part", alias_name="sum_parent_price_cents"))
+                       Sum("c_part",
+                           alias_name="sum_parent_price_cents"))
             .map_batches(finish, batch_format="pyarrow"))
 
 

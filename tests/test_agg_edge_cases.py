@@ -236,3 +236,51 @@ def test_geo_coords_id_magnitude_safe(ray_session, tmp_path):
     for name in ("geo_grid_events", "geo_centroid_events",
                  "geo_distance_topk_events", "ip_range_events"):
         _compare(name, str(tmp_path))
+
+
+def test_children_agg_zero_child_bucket(ray_session, tmp_path):
+    """A priority whose orders ALL lack lineitems must still bucket —
+    with zero child stats — via the engine's left_outer + coalesce
+    mirror of the oracle's LEFT JOIN (the TPC-H-ish testdata has no
+    childless order, so only this crafted fixture hits the path);
+    parent_agg on the same tiny relation pins the one-price-per-parent
+    dedup."""
+    orders = pa.table({
+        "o_orderkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT", "5-LOW"],
+                                    pa.string()),
+        "o_totalprice": pa.array([10.01, 20.02, 30.03], pa.float64()),
+    })
+    lineitem = pa.table({
+        "l_orderkey": pa.array([1, 1, 2], pa.int64()),
+        "l_quantity": pa.array([2.0, 3.5, 4.0], pa.float64()),
+        "l_returnflag": pa.array(["R", "N", "R"], pa.string()),
+    })
+    pq.write_table(orders, os.path.join(tmp_path, "orders.parquet"))
+    pq.write_table(lineitem, os.path.join(tmp_path, "lineitem.parquet"))
+
+    import __ray_entry__ as e
+    con = duckdb.connect()
+    for tb in ("orders", "lineitem"):
+        con.execute(f"CREATE VIEW {tb} AS SELECT * FROM "
+                    f"'{tmp_path}/{tb}.parquet'")
+    for name in ("children_agg_orders", "parent_agg_lineitem"):
+        mine = e.queries()[name](str(tmp_path))
+        if not isinstance(mine, pd.DataFrame):
+            mine = mine.to_pandas()
+        ref = con.execute(e.oracle_sql()[name]).df()
+        mine = mine[sorted(mine.columns)].sort_values(
+            by=sorted(mine.columns),
+            kind="mergesort").reset_index(drop=True)
+        ref = ref[sorted(ref.columns)].sort_values(
+            by=sorted(ref.columns),
+            kind="mergesort").reset_index(drop=True)
+        pd.testing.assert_frame_equal(mine, ref, check_dtype=False,
+                                      check_exact=True)
+    # the zero-child bucket really is in the output
+    ch = e.queries()["children_agg_orders"](str(tmp_path))
+    if not isinstance(ch, pd.DataFrame):
+        ch = ch.to_pandas()
+    low = ch[ch.o_orderpriority == "5-LOW"].iloc[0]
+    assert low.n_parents == 1 and low.n_parents_with_children == 0
+    assert low.n_children == 0 and low.sum_child_qty_cents == 0
