@@ -1156,6 +1156,8 @@ GROUP BY p.doc_id
 
 
 SPAN_GRAM = 12
+_SPAN_BUCKETS = 512      # gram-hash buckets: sized so one bucket's
+                         # windows fit a worker; scale with the cluster
 
 
 def substring_dedup_spans_documents(sf_dir: str):
@@ -1172,49 +1174,47 @@ def substring_dedup_spans_documents(sf_dir: str):
     1-based token offsets, span_end one past the last covered token —
     the ranges a dedup pass would cut before training.
 
-    Shape at scale: explode → key-only groupby(gram) count → filter
-    c>1 BEFORE the join (the right side shrinks to the dup-gram set)
-    → co-partitioned hash join back → per-doc island merge in
+    Shape at scale: explode → ONE gram-bucketed shuffle (bucket =
+    crc32(gram) % {_SPAN_BUCKETS}) → per-bucket VECTORIZED dup filter
+    (sort + run-length, the minhash-verify half-row-bucket implicit
+    semi-join — same-gram rows are co-located by construction, so no
+    join operator and no second exchange) → per-doc island merge in
     map_groups (vectorized; per-group state is one position array).
     Like passage dedup, a 100-TB run swaps the string key for a
     128-bit gram hash; string keys keep the sf-scale oracle
     bit-exact."""
-    import ray
-    from ray.data.aggregate import Count
+    from zlib import crc32
 
     st = TextStats()
 
     def explode(t: pa.Table) -> pa.Table:
-        out_d, out_p, out_g = [], [], []
+        out_d, out_p, out_g, out_b = [], [], [], []
         for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
             toks = st.tokens(x)
             for lo in range(len(toks) - SPAN_GRAM + 1):
+                g = " ".join(toks[lo:lo + SPAN_GRAM])
                 out_d.append(d)
                 out_p.append(lo + 1)          # 1-based, matches SQL
-                out_g.append(" ".join(toks[lo:lo + SPAN_GRAM]))
+                out_g.append(g)
+                out_b.append(crc32(g.encode()) % _SPAN_BUCKETS)
         return pa.table({"doc_id": pa.array(out_d, pa.int64()),
                          "pos": pa.array(out_p, pa.int64()),
-                         "gram": pa.array(out_g, pa.string())})
+                         "gram": pa.array(out_g, pa.string()),
+                         "bucket": pa.array(out_b, pa.int64())})
 
-    def windows(): return (_read_docs(sf_dir, ["doc_id", "text"])
-                           .map_batches(explode, batch_format="pyarrow",
-                                        zero_copy_batch=True))
+    def dup_filter(g: pa.Table) -> pa.Table:
+        grams = g["gram"].to_numpy(zero_copy_only=False)
+        _, inv, cnt = np.unique(grams, return_inverse=True,
+                                return_counts=True)
+        keep = cnt[inv] > 1
+        return pa.table({"doc_id": g["doc_id"].filter(pa.array(keep)),
+                         "pos": g["pos"].filter(pa.array(keep))})
 
-    def only_dups(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        return (t.filter(pc.greater(t["c"], pa.scalar(1)))
-                .select(["gram"]))
-
-    dup_grams = (windows().groupby("gram")
-                 .aggregate(Count(alias_name="c"))
-                 .map_batches(only_dups, batch_format="pyarrow"))
-
-    cpus = int(ray.cluster_resources().get("CPU", 8))
-    joined = windows().join(
-        dup_grams, join_type="inner",
-        num_partitions=max(2, cpus // 2),
-        on=("gram",),
-        aggregator_ray_remote_args={"num_cpus": 0.5})
+    joined = (_read_docs(sf_dir, ["doc_id", "text"])
+              .map_batches(explode, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("bucket")
+              .map_groups(dup_filter, batch_format="pyarrow"))
 
     def merge(g: pa.Table) -> pa.Table:
         pos = np.sort(g["pos"].to_numpy(zero_copy_only=False))

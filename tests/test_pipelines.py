@@ -770,3 +770,27 @@ def test_knn_filtered_absent_label_is_empty(ray_session):
     out = knn_filtered("/root/testdata/sf0.001", label=10_000)
     assert out.num_rows == 0
     assert out.column_names == ["query_id", "rank", "neighbor_id"]
+
+
+def test_substring_spans_unique_corpus_is_empty(entry_mod, ray_session,
+                                                tmp_path):
+    """A duplicate-free corpus must yield ZERO spans without crashing:
+    the gram-bucketed implicit semi-join keeps the plan schema-stable
+    where a Dataset.join would throw ArrowInvalid on schemaless empty
+    hash partitions (the tiny-input JoinOperator quirk)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    words = [[f"w{i}_{j}" for j in range(30)] for i in range(3)]
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([" ".join(w) for w in words], pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["src1"] * 3, pa.string()),
+        "n_chars": pa.array([100] * 3, pa.int64())})
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    out = entry_mod.queries()["substring_dedup_spans_documents"](
+        str(tmp_path)).to_pandas()
+    assert len(out) == 0
