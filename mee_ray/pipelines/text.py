@@ -2026,7 +2026,202 @@ ORDER BY jlh DESC, term LIMIT 10
 """
 
 
+# --------------------------------- DSIR importance resampling --------
+# Data Selection with Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): hashed word-n-gram features (unigrams + bigrams
+# into a FIXED 10k-bucket table), per-bucket importance weights from
+# target-vs-raw counts, per-doc score = sum of per-occurrence weights.
+# Deviations, both deliberate:
+#   * weights are FIXED-POINT RATIOS floor(SCALE*(ct+1)/(cr+1)) rather
+#     than log-ratios: DuckDB's ln() differs from numpy's by up to
+#     2 ulp (measured), so a log-weight sum cannot be value-hash
+#     oracled; the integer form is bit-exact on both sides (the
+#     change_point / pagerank fixed-point precedent).  With
+#     target ⊆ raw every ratio is ≤ 1 so a doc score is bounded by
+#     n_grams·SCALE — int64-safe at any corpus size.
+#   * the bucket hash is a rolling (a·31+code) mod (2³¹−1) polynomial
+#     — the one hash both numpy and DuckDB (list_reduce) can compute
+#     bit-identically; bucket quality only affects collision noise.
+# Scale shape: two tokenize passes over the corpus (CPU is cheaper
+# than a shuffle), ONE ≤10k-key groupby for the global counts, weights
+# broadcast once via ray.put — zero corpus-sized exchanges; pass B
+# emits exactly one row per doc with no groupby at all.
+
+_DSIR_BUCKETS = 10000
+_DSIR_HASH_MOD = 2147483647  # 2^31-1 keeps a*31+code inside int64
+_DSIR_SCALE = 1_000_000
+
+
+def _dsir_bucket(g: str) -> int:
+    a = 7
+    for ch in g:
+        a = (a * 31 + ord(ch)) % _DSIR_HASH_MOD
+    return a % _DSIR_BUCKETS
+
+
+class _DsirGramBase(TextStats):
+    """Shared tokenize→gram→bucket kernel: grams are factorized once
+    per batch and bucket-hashed once per UNIQUE gram (memo persists
+    across the task's batches, the ST1 cache pattern)."""
+
+    def __init__(self):
+        super().__init__()
+        self._memo: dict[str, int] = {}
+
+    def _bucket(self, g: str) -> int:
+        b = self._memo.get(g)
+        if b is None:
+            b = _dsir_bucket(g)
+            self._memo[g] = b
+        return b
+
+    def doc_buckets(self, texts: list):
+        """(didx, bucket_per_gram, gram_count_per_doc) for one batch."""
+        import pandas as pd
+        toks = [self.tokens(x or "") for x in texts]
+        grams: list[str] = []
+        for tk in toks:
+            grams.extend(tk)
+            grams.extend(a + " " + b for a, b in zip(tk, tk[1:]))
+        lens = np.array([2 * len(tk) - 1 if tk else 0 for tk in toks],
+                        dtype=np.int64)
+        if not grams:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64), lens)
+        didx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+        inv, uniq = pd.factorize(np.array(grams, dtype=object))
+        bk_u = np.fromiter((self._bucket(g) for g in uniq),
+                           dtype=np.int64, count=len(uniq))
+        return didx, bk_u[inv], lens
+
+
+class _DsirCountStage(_DsirGramBase):
+    """Pass A: per-batch (bucket, ct, cr) partials — ≤10k rows per
+    batch regardless of batch size (the combiner-before-shuffle rule)."""
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        is_t = np.asarray(
+            pc.equal(t["lang"], pa.scalar("en")).combine_chunks()
+            .to_numpy(zero_copy_only=False), dtype=bool)
+        didx, bk, _ = self.doc_buckets(texts)
+        cr = np.bincount(bk, minlength=_DSIR_BUCKETS)
+        ct = np.bincount(bk[is_t[didx]], minlength=_DSIR_BUCKETS) \
+            if len(bk) else np.zeros(_DSIR_BUCKETS, np.int64)
+        nz = np.flatnonzero(cr)
+        return pa.table({"bucket": pa.array(nz, pa.int64()),
+                         "ct": pa.array(ct[nz].astype(np.int64)),
+                         "cr": pa.array(cr[nz].astype(np.int64))})
+
+
+class _DsirScoreStage(_DsirGramBase):
+    """Pass B: one (doc_id, n_feats, score) row per doc, weights read
+    zero-copy from plasma (ray.put once by the driver)."""
+
+    def __init__(self, w_ref):
+        super().__init__()
+        self.w_ref = w_ref
+        self._w = None
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import ray as _ray
+        if self._w is None:
+            self._w = _ray.get(self.w_ref)
+        didx, bk, lens = self.doc_buckets(t["text"].to_pylist())
+        n = len(t)
+        # weights ≤ SCALE and n_grams ≤ ~1e5 per doc: every partial sum
+        # stays far below 2^53, so the float64 bincount is integer-exact
+        score = np.bincount(didx, weights=self._w[bk].astype(np.float64),
+                            minlength=n) if len(bk) else np.zeros(n)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_feats": pa.array(lens, pa.int64()),
+                         "score": pa.array(np.rint(score).astype(np.int64),
+                                           pa.int64())})
+
+
+def dsir_weights_documents(sf_dir: str):
+    """DSIR per-doc importance scores (target = lang='en' docs, raw =
+    the whole corpus).  See the block comment above for the exactness
+    and scale contract."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    docs = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+    gc = (docs.map_batches(_DsirCountStage(), batch_format="pyarrow")
+          .groupby("bucket")
+          .aggregate(Sum("ct", alias_name="ct"),
+                     Sum("cr", alias_name="cr")))
+    w = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+    for r in gc.take_all():  # ≤10k rows by construction — bounded
+        w[r["bucket"]] = (_DSIR_SCALE * (r["ct"] + 1)) // (r["cr"] + 1)
+    w_ref = ray.put(w)
+    return docs.map_batches(_DsirScoreStage(w_ref),
+                            batch_format="pyarrow")
+
+
+def dsir_select_documents(sf_dir: str, k: int = 100):
+    """The resampling step: exact top-k docs by (score DESC, doc_id) —
+    per-batch partial top-k, single bounded final merge (the
+    geo_distance_topk pattern; never a full corpus sort)."""
+    def topk_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        s = t["score"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -s))[:k]
+        return t.take(pa.array(order, pa.int64()))
+
+    return (dsir_weights_documents(sf_dir)
+            .map_batches(topk_partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(topk_partial, batch_format="pyarrow"))
+
+
+_DSIR_GRAMS_CTE = f"""
+d AS (SELECT doc_id, lang = 'en' AS is_t,
+             regexp_extract_all(lower(coalesce(text, '')),
+                                '{TOKEN_PATTERN}') AS toks
+      FROM documents),
+h AS (SELECT doc_id, is_t,
+             list_reduce(list_prepend(CAST(7 AS BIGINT),
+                 list_transform(generate_series(1, len(g)),
+                     i -> CAST(ascii(substr(g, i, 1)) AS BIGINT))),
+                 (a, x) -> (a * 31 + x) % {_DSIR_HASH_MOD})
+             % {_DSIR_BUCKETS} AS b
+      FROM (SELECT doc_id, is_t, unnest(toks) AS g FROM d
+            UNION ALL
+            SELECT doc_id, is_t, toks[i] || ' ' || toks[i + 1] AS g
+            FROM d, unnest(generate_series(1, len(toks) - 1)) AS s(i)
+            WHERE len(toks) >= 2)),
+counts AS (SELECT b,
+                  CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END)
+                       AS BIGINT) AS ct,
+                  CAST(count(*) AS BIGINT) AS cr
+           FROM h GROUP BY b),
+w AS (SELECT b, ({_DSIR_SCALE} * (ct + 1)) // (cr + 1) AS w
+      FROM counts),
+db AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS c
+       FROM h GROUP BY doc_id, b),
+scores AS (
+  SELECT d.doc_id,
+         CAST(coalesce(sum(db.c), 0) AS BIGINT) AS n_feats,
+         CAST(coalesce(sum(db.c * w.w), 0) AS BIGINT) AS score
+  FROM d
+  LEFT JOIN db ON db.doc_id = d.doc_id
+  LEFT JOIN w ON w.b = db.b
+  GROUP BY d.doc_id)
+"""
+
+DSIR_SQL = f"WITH {_DSIR_GRAMS_CTE} SELECT * FROM scores"
+
+DSIR_SELECT_SQL = f"""
+WITH {_DSIR_GRAMS_CTE}
+SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 100
+"""
+
+
 QUERIES = {
+    "dsir_weights_documents": dsir_weights_documents,
+    "dsir_select_documents": dsir_select_documents,
     "doc_token_counts": doc_token_counts,
     "categorize_text_documents": categorize_text_documents,
     "significant_text_documents": significant_text_documents,
@@ -2098,6 +2293,8 @@ ORDER BY p.a
 """
 
 ORACLE = {
+    "dsir_weights_documents": DSIR_SQL,
+    "dsir_select_documents": DSIR_SELECT_SQL,
     "ngram_jaccard_adjacent": NGRAM_JACCARD_SQL,
     "categorize_text_documents": CATEGORIZE_SQL,
     "significant_text_documents": SIGNIFICANT_TEXT_SQL,

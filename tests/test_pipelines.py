@@ -46,6 +46,7 @@ SQL_CHECKED = [
     "distinct_priorities", "filter_ops_events", "scalar_funcs_lineitem",
     "latest_event_per_user", "tumbling_window_events", "event_type_routing",
     "semi_join_events_customers", "anti_join_events_customers",
+    "dsir_weights_documents", "dsir_select_documents",
     "doc_token_counts", "chunk_documents", "doc_term_df",
     "doc_fingerprint", "dedup_exact",
     "doc_quality_scores", "lang_id_documents", "knn_bruteforce",
