@@ -988,6 +988,118 @@ FROM base LEFT JOIN bgm ON bgm.doc_id = base.doc_id
 """
 
 
+# ------------------------------------------- Gopher quality rules ----
+# The full Gopher quality-filter battery (Rae et al. 2021,
+# arXiv:2112.11446 §A1.1) per document.  Every rule is an INTEGER
+# inequality (ratios cleared of their denominators: mean word length
+# in [3,10] becomes 3n ≤ total ≤ 10n, 10% becomes ×10, 80% becomes
+# ×5/×4), so the engine and the DuckDB oracle compare exactly with no
+# float anywhere.  One tokenless pass, one row out per doc — the
+# trivially scale-safe shape.
+
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# \s differs between Python (unicode) and RE2 (ASCII): use the
+# explicit ASCII class on both sides so the word split is identical
+_GOPHER_WORD_PATTERN = "[^\\t\\n\\f\\r ]+"
+
+
+class GopherRulesStage(TextStats):
+    def __init__(self):
+        super().__init__()
+        import re
+        self.word_re = re.compile(_GOPHER_WORD_PATTERN)
+        self.alpha_re = re.compile("[a-zA-Z]")
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        cols: dict[str, list] = {k: [] for k in (
+            "n_words", "n_lines", "rule_wc", "rule_wlen", "rule_symbol",
+            "rule_bullet", "rule_ellipsis", "rule_alpha", "rule_stop")}
+        for x in t["text"].to_pylist():
+            x = x or ""
+            words = self.word_re.findall(x)
+            nw = len(words)
+            total = sum(len(w) for w in words)
+            lines = x.split("\n")
+            nl = len(lines)
+            nsym = x.count("#") + x.count("...")
+            nbul = sum(l.startswith(("-", "*", "•")) for l in lines)
+            nell = sum(l.endswith("...") for l in lines)
+            nalpha = sum(bool(self.alpha_re.search(w)) for w in words)
+            nstop = len(set(self.tokens(x)) & set(_GOPHER_STOPS))
+            cols["n_words"].append(nw)
+            cols["n_lines"].append(nl)
+            cols["rule_wc"].append(50 <= nw <= 100_000)
+            cols["rule_wlen"].append(nw > 0
+                                     and 3 * nw <= total <= 10 * nw)
+            cols["rule_symbol"].append(10 * nsym <= nw)
+            cols["rule_bullet"].append(10 * nbul <= 9 * nl)
+            cols["rule_ellipsis"].append(10 * nell <= 3 * nl)
+            cols["rule_alpha"].append(5 * nalpha >= 4 * nw)
+            cols["rule_stop"].append(nstop >= 2)
+        passes = [all(v[i] for k, v in cols.items()
+                      if k.startswith("rule_"))
+                  for i in range(len(t))]
+        out = {"doc_id": t["doc_id"],
+               "n_words": pa.array(cols["n_words"], pa.int64()),
+               "n_lines": pa.array(cols["n_lines"], pa.int64())}
+        for k in ("rule_wc", "rule_wlen", "rule_symbol", "rule_bullet",
+                  "rule_ellipsis", "rule_alpha", "rule_stop"):
+            out[k] = pa.array(cols[k], pa.bool_())
+        out["passes"] = pa.array(passes, pa.bool_())
+        return pa.table(out)
+
+
+def gopher_rules_documents(sf_dir: str):
+    """Gopher quality rules per doc — see the block comment above."""
+    return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        GopherRulesStage(), batch_format="pyarrow")
+
+
+GOPHER_SQL = f"""
+WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+f AS (
+  SELECT doc_id, t,
+         regexp_extract_all(t, '{_GOPHER_WORD_PATTERN}') AS words,
+         str_split(t, chr(10)) AS lines
+  FROM d),
+m AS (
+  SELECT doc_id,
+    len(words) AS nw,
+    len(lines) AS nl,
+    coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+      AS total,
+    (len(t) - len(replace(t, '#', '')))
+      + (len(t) - len(replace(t, '...', ''))) // 3 AS nsym,
+    coalesce(list_sum(list_transform(lines,
+      l -> CASE WHEN l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%'
+                THEN 1 ELSE 0 END)), 0) AS nbul,
+    coalesce(list_sum(list_transform(lines,
+      l -> CASE WHEN l LIKE '%...' THEN 1 ELSE 0 END)), 0) AS nell,
+    coalesce(list_sum(list_transform(words,
+      x -> CASE WHEN regexp_matches(x, '[a-zA-Z]')
+                THEN 1 ELSE 0 END)), 0) AS nalpha,
+    len(list_intersect(
+          list_distinct(regexp_extract_all(lower(t), '{TOKEN_PATTERN}')),
+          {list(_GOPHER_STOPS)})) AS nstop
+  FROM f)
+SELECT doc_id,
+  nw AS n_words, nl AS n_lines,
+  (nw BETWEEN 50 AND 100000) AS rule_wc,
+  (nw > 0 AND 3 * nw <= total AND total <= 10 * nw) AS rule_wlen,
+  (10 * nsym <= nw) AS rule_symbol,
+  (10 * nbul <= 9 * nl) AS rule_bullet,
+  (10 * nell <= 3 * nl) AS rule_ellipsis,
+  (5 * nalpha >= 4 * nw) AS rule_alpha,
+  (nstop >= 2) AS rule_stop,
+  ((nw BETWEEN 50 AND 100000)
+   AND (nw > 0 AND 3 * nw <= total AND total <= 10 * nw)
+   AND (10 * nsym <= nw) AND (10 * nbul <= 9 * nl)
+   AND (10 * nell <= 3 * nl) AND (5 * nalpha >= 4 * nw)
+   AND (nstop >= 2)) AS passes
+FROM m
+"""
+
+
 PASSAGE_LEN = 8
 
 
@@ -2222,6 +2334,7 @@ SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 100
 QUERIES = {
     "dsir_weights_documents": dsir_weights_documents,
     "dsir_select_documents": dsir_select_documents,
+    "gopher_rules_documents": gopher_rules_documents,
     "doc_token_counts": doc_token_counts,
     "categorize_text_documents": categorize_text_documents,
     "significant_text_documents": significant_text_documents,
@@ -2295,6 +2408,7 @@ ORDER BY p.a
 ORACLE = {
     "dsir_weights_documents": DSIR_SQL,
     "dsir_select_documents": DSIR_SELECT_SQL,
+    "gopher_rules_documents": GOPHER_SQL,
     "ngram_jaccard_adjacent": NGRAM_JACCARD_SQL,
     "categorize_text_documents": CATEGORIZE_SQL,
     "significant_text_documents": SIGNIFICANT_TEXT_SQL,

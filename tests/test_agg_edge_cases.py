@@ -284,3 +284,86 @@ def test_children_agg_zero_child_bucket(ray_session, tmp_path):
     low = ch[ch.o_orderpriority == "5-LOW"].iloc[0]
     assert low.n_parents == 1 and low.n_parents_with_children == 0
     assert low.n_children == 0 and low.sum_child_qty_cents == 0
+
+
+def _write_docs(tmp_path, texts, langs=None):
+    n = len(texts)
+    t = pa.table({
+        "doc_id": pa.array(range(1, n + 1), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs or ["en"] * n, pa.string()),
+        "source": pa.array([f"src{i % 3}" for i in range(n)], pa.string()),
+        "n_chars": pa.array([len(x or "") for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(tmp_path, "documents.parquet"))
+    return str(tmp_path)
+
+
+def _compare_docs(name, sf_dir):
+    import __ray_entry__ as e
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{sf_dir}/documents.parquet'")
+    mine = e.queries()[name](sf_dir)
+    if not isinstance(mine, pd.DataFrame):
+        mine = mine.to_pandas()
+    ref = con.execute(e.oracle_sql()[name]).df()
+    mine = mine[sorted(mine.columns)].sort_values(
+        by=sorted(mine.columns), kind="mergesort").reset_index(drop=True)
+    ref = ref[sorted(ref.columns)].sort_values(
+        by=sorted(ref.columns), kind="mergesort").reset_index(drop=True)
+    assert list(mine.columns) == list(ref.columns)
+    pd.testing.assert_frame_equal(mine, ref, check_dtype=False,
+                                  check_exact=True)
+    return mine
+
+
+def test_gopher_rules_every_branch(ray_session, tmp_path):
+    """Crafted docs flip each Gopher rule exactly once (the synthetic
+    corpus is single-line prose that never exercises the bullet /
+    ellipsis / symbol / alpha branches) — engine vs oracle value-exact
+    plus explicit expected flags per doc."""
+    prose = ("the quick brown fox jumps over that lazy dog and then "
+             "have some with rest after the long run " * 4).strip()
+    texts = [
+        prose,                                    # 1: passes everything
+        "the of and short",                       # 2: rule_wc fails
+        "a " * 60 + "the of",                     # 3: rule_wlen (mean<3)
+        prose + " " + "### ... ... ... ..." * 9,  # 4: rule_symbol
+        "\n".join(["- item " + prose[:20]] * 10), # 5: rule_bullet (10/10)
+        "\n".join([prose[:20]] * 6
+                  + [prose[:20] + "..."] * 4),    # 6: rule_ellipsis (4/10)
+        ("42 " * 60) + "the of and",              # 7: rule_alpha (<80%)
+        "zebra quokka lemur " * 20,               # 8: rule_stop (none)
+        "",                                       # 9: empty text
+        "\n".join(["• punkt"] * 10),              # 10: unicode bullets
+    ]
+    sf = _write_docs(tmp_path, texts)
+    out = _compare_docs("gopher_rules_documents", sf).set_index("doc_id")
+    assert bool(out.loc[1, "passes"])
+    assert not out.loc[2, "rule_wc"] and out.loc[2, "rule_wlen"]
+    assert not out.loc[3, "rule_wlen"]
+    assert not out.loc[4, "rule_symbol"] and out.loc[1, "rule_symbol"]
+    assert not out.loc[5, "rule_bullet"]
+    assert not out.loc[6, "rule_ellipsis"] and out.loc[5, "rule_ellipsis"]
+    assert not out.loc[7, "rule_alpha"]
+    assert not out.loc[8, "rule_stop"]
+    assert not out.loc[9, "passes"] and out.loc[9, "n_words"] == 0
+    assert not out.loc[10, "rule_bullet"]
+
+
+def test_dsir_prefers_target_like_docs(ray_session, tmp_path):
+    """DSIR on a crafted bilingual corpus: the en-gram doc must
+    outscore the de-gram doc (weights favor target-distribution
+    features), and both columns stay value-exact vs the oracle."""
+    en = "the cat sat on the mat and the dog ran " * 6
+    de = "der hund lief und die katze sass auf " * 6
+    texts = [en, de, en + de, ""]
+    sf = _write_docs(tmp_path, texts, langs=["en", "de", "de", "en"])
+    out = _compare_docs("dsir_weights_documents", sf).set_index("doc_id")
+    # doc 1 is pure target-vocabulary, doc 2 pure raw-only vocabulary
+    assert out.loc[1, "score"] > out.loc[2, "score"]
+    assert out.loc[4, "score"] == 0 and out.loc[4, "n_feats"] == 0
+    # select keeps all 4 docs (k=100 > corpus) — canon-sorted compare
+    sel = _compare_docs("dsir_select_documents", sf)
+    assert len(sel) == 4
