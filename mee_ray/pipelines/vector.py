@@ -384,6 +384,89 @@ def kmeans_assign_embeddings(sf_dir: str, n_clusters: int = 16):
                                          zero_copy_batch=True)
 
 
+# ------------------------------------------------------- SemDeDup --
+
+def _semdedup_greedy(u: np.ndarray, tau: float) -> np.ndarray:
+    """Greedy prefix rule over rows of a unit matrix already in visit
+    order: keep row i iff its max cosine to every EARLIER KEPT row is
+    < tau.  Blockwise so memory stays O(block × kept) — one matmul per
+    block against the kept set, one block×block matmul for the
+    intra-block sequential dependency."""
+    m = len(u)
+    keep = np.zeros(m, dtype=bool)
+    B = 1024
+    for s in range(0, m, B):
+        blk = u[s:s + B]
+        kept_prior = np.flatnonzero(keep[:s])
+        vs_kept = blk @ u[kept_prior].T if len(kept_prior) \
+            else np.zeros((len(blk), 0))
+        S = blk @ blk.T
+        for j in range(len(blk)):
+            if vs_kept[j].size and vs_kept[j].max() >= tau:
+                continue
+            prior = keep[s:s + j]
+            if prior.any() and S[j, :j][prior].max() >= tau:
+                continue
+            keep[s + j] = True
+    return keep
+
+
+def semdedup_embeddings(sf_dir: str, threshold: float = 0.35,
+                        n_clusters: int | None = None):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): k-means the
+    embedding space on a bounded sample, then inside each cluster
+    greedily drop every item whose cosine to an already-kept item is
+    ≥ τ.  Members are visited in (sim-to-centroid ASC, vec_id) order,
+    so each duplicate group's survivor is the member FARTHEST from the
+    centroid — the paper's diversity-preserving choice.  √n clusters
+    (the embedding_neardup sizing) keep expected per-cluster work
+    linear in n; the cluster groupby is the only shuffle.  Rows-only
+    for the driver (iterative float fit); bit-equal to a driver
+    recompute and checked for both greedy invariants in tests."""
+    import ray
+    import ray.data
+
+    n_rows = _read_emb(sf_dir).count()
+    if n_clusters is None:
+        n_clusters = int(np.clip(np.sqrt(max(1, n_rows)), 16, 4096))
+    ivf = IVFIndex(n_clusters=n_clusters).fit_dataset(_read_emb(sf_dir))
+    cent_ref = ray.put(ivf.centroids)
+
+    def assign_rows(t: pa.Table) -> pa.Table:
+        cents = ray.get(cent_ref)
+        ids, mat = _emb_matrix(t)
+        u = _unit(mat)
+        sims = u @ cents.T
+        cl = np.argmax(sims, axis=1)
+        return pa.table({
+            "cluster": pa.array(cl.astype(np.int64)),
+            "vec_id": pa.array(ids.astype(np.int64)),
+            "sim_c": pa.array(sims[np.arange(len(ids)), cl], pa.float64()),
+            "unit": pa.array(list(u), pa.list_(pa.float64())),
+        })
+
+    def dedup_cluster(g: pa.Table, tau=threshold) -> pa.Table:
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        sc = g["sim_c"].to_numpy(zero_copy_only=False)
+        flat = np.asarray(g["unit"].combine_chunks().flatten(),
+                          dtype=np.float64)
+        u = flat.reshape(len(ids), -1)
+        order = np.lexsort((ids, sc))
+        keep = _semdedup_greedy(u[order], tau)
+        cl = int(g["cluster"][0].as_py())
+        return pa.table({
+            "vec_id": pa.array(ids[order].astype(np.int64)),
+            "cluster_id": pa.array([cl] * len(ids), pa.int64()),
+            "keep": pa.array(keep, pa.bool_()),
+        })
+
+    return (_read_emb(sf_dir)
+            .map_batches(assign_rows, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("cluster")
+            .map_groups(dedup_cluster, batch_format="pyarrow"))
+
+
 # -------------------------------------------- scalar-quantized ANN --
 
 SQ_BITS = 8
@@ -755,6 +838,7 @@ QUERIES = {
     "vecindex_topk": vecindex_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "kmeans_assign_embeddings": kmeans_assign_embeddings,
+    "semdedup_embeddings": semdedup_embeddings,
     "ann_sq_topk": ann_sq_topk,
 }
 

@@ -223,6 +223,7 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
                          "quantile_sketch_events",
                          "kmeans_assign_embeddings",
                          "lm_score_documents", "bpe_tokenize_documents",
+                         "semdedup_embeddings",
                          "bloom_membership_documents",
                          "ann_sq_topk", "ann_pq_topk", "ann_ivfpq_topk"}
 
@@ -796,3 +797,49 @@ def test_substring_spans_unique_corpus_is_empty(entry_mod, ray_session,
     out = entry_mod.queries()["substring_dedup_spans_documents"](
         str(tmp_path)).to_pandas()
     assert len(out) == 0
+
+
+def test_semdedup_matches_driver_recompute(entry_mod, ray_session):
+    """SemDeDup vs a driver recompute over the SAME deterministic
+    k-means fit, plus the two greedy invariants checked independently:
+    kept members of a cluster are pairwise < tau, and every dropped
+    member has >= tau cosine to an earlier-visited kept member."""
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.vector import (IVFIndex, _emb_matrix,
+                                          _read_emb, _semdedup_greedy,
+                                          _unit)
+    TAU = 0.35
+    got = entry_mod.queries()["semdedup_embeddings"](SF).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids, mat = _emb_matrix(t)
+    u = _unit(mat)
+    n_clusters = int(np.clip(np.sqrt(len(ids)), 16, 4096))
+    ivf = IVFIndex(n_clusters=n_clusters).fit_dataset(_read_emb(SF))
+    sims = u @ ivf.centroids.T
+    cl = sims.argmax(axis=1)
+    sc = sims[np.arange(len(ids)), cl]
+    exp = {}
+    n_dropped = 0
+    for c in np.unique(cl):
+        rows = np.flatnonzero(cl == c)
+        order = rows[np.lexsort((ids[rows], sc[rows]))]
+        keep = _semdedup_greedy(u[order], TAU)
+        uu = u[order]
+        kept_idx = np.flatnonzero(keep)
+        if len(kept_idx) > 1:
+            ks = uu[kept_idx] @ uu[kept_idx].T
+            np.fill_diagonal(ks, -1.0)
+            assert ks.max() < TAU, "kept set has an internal near-dup"
+        for j in np.flatnonzero(~keep):
+            prior = kept_idx[kept_idx < j]
+            assert (uu[prior] @ uu[j]).max() >= TAU, \
+                "dropped row has no kept witness"
+            n_dropped += 1
+        for i, k in zip(order, keep):
+            exp[int(ids[i])] = (int(c), bool(k))
+    assert n_dropped > 0, "fixture produced no semantic duplicates"
+    assert len(got) == len(ids)
+    for r in got.itertuples():
+        assert exp[r.vec_id] == (r.cluster_id, r.keep), r.vec_id
