@@ -76,3 +76,58 @@ def test_read_delta_events(ray_session, tmp_path):
                    str(bad / "b.parquet"))
     with pytest.raises(SchemaMismatch, match="seq"):
         read_delta_events(str(bad))
+
+
+def test_jsonl_corpus_roundtrip(ray_session, corpus_dir, tmp_path):
+    """Parquet corpus → JSONL sink → JSONL source is row-for-row
+    identical (the ingest/interchange edge), and the pruned read
+    projects to exactly the requested columns."""
+    import pandas as pd
+
+    from mee_ray.sources import (read_corpus_jsonl, write_corpus_jsonl)
+
+    out = str(tmp_path / "jl")
+    ds = read_corpus(corpus_dir)
+    write_corpus_jsonl(ds, out)
+    back = read_corpus_jsonl(out)
+    a = read_corpus(corpus_dir).to_pandas()
+    b = back.to_pandas()[a.columns.tolist()]
+    key = ["repo", "path"]
+    a = a.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = b.sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+    pruned = read_corpus_jsonl(out, columns=["repo", "path"])
+    assert set(pruned.schema().names) == {"repo", "path"}
+
+
+def test_jsonl_delta_events_and_validation(ray_session, tmp_path):
+    """JSONL delta events parse to the EVENT_SCHEMA contract (the
+    reference's JSON binlog envelope shape) and a missing required
+    column fails at the read."""
+    import json
+
+    from mee_ray.sources import read_delta_events_jsonl
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    rows = [
+        {"seq": 2, "type": "DELETE", "repo": "r", "path": "a",
+         "commit": "", "lang": "", "content": ""},
+        {"seq": 1, "type": "UPDATE", "repo": "r", "path": "a",
+         "commit": "c2", "lang": "py", "content": "def f(): pass"},
+    ]
+    with open(d / "batch-0.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    ds = read_delta_events_jsonl(str(d))
+    got = sorted(ds.take_all(), key=lambda r: r["seq"])
+    assert [r["seq"] for r in got] == [1, 2]
+    assert got[0]["content"] == "def f(): pass"
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    with open(bad / "b.jsonl", "w") as f:
+        f.write(json.dumps({"type": "UPDATE"}) + "\n")
+    with pytest.raises(SchemaMismatch, match="seq"):
+        read_delta_events_jsonl(str(bad))
