@@ -2462,6 +2462,86 @@ class FederatedSearcher:
         return total
 
 
+class CachedSearcher:
+    """ES request-cache analog (ST-family): whole-query results
+    memoized per index GENERATION.  A :class:`Searcher` is an
+    immutable snapshot, so entries never go stale within one; the
+    cache re-resolves the root's generation per lookup — the epoch
+    name PLUS the manifest file's (mtime_ns, size) fingerprint,
+    because ``apply_delta`` appends a delta record to the SAME epoch's
+    manifest (atomic tmp+rename, so the fingerprint always moves).
+    Any publish/delta/compact therefore changes the generation, which
+    drops every cached entry — the ES refresh-invalidation semantic.
+    LRU-bounded; hits return a fresh list so callers can't mutate the
+    cache."""
+
+    def __init__(self, index_root: str, capacity: int = 1024):
+        from collections import OrderedDict
+        self.index_root = index_root
+        self.capacity = int(capacity)
+        self._gen: tuple | None = None
+        self._searcher: Searcher | None = None
+        self._entries: "OrderedDict[tuple, list]" = OrderedDict()
+        self.hits = 0
+        self.misses = 0
+        self.invalidations = 0
+
+    def _resolve(self) -> Searcher:
+        import os as _os
+        ep = mf.current_epoch(self.index_root)
+        if ep is None:
+            raise FileNotFoundError(
+                f"no CURRENT epoch in {self.index_root}")
+        st = _os.stat(mf.manifest_path(self.index_root, ep))
+        gen = (ep, st.st_mtime_ns, st.st_size)
+        if gen != self._gen:
+            if self._gen is not None:
+                self.invalidations += 1
+            self._gen = gen
+            self._searcher = Searcher(self.index_root, ep)
+            self._entries.clear()
+        return self._searcher
+
+    def _cached(self, method: str, key_args: tuple, call):
+        s = self._resolve()
+        key = (method,) + key_args
+        got = self._entries.get(key)
+        if got is not None:
+            self._entries.move_to_end(key)
+            self.hits += 1
+            return list(got)
+        val = call(s)
+        self._entries[key] = list(val)
+        if len(self._entries) > self.capacity:
+            self._entries.popitem(last=False)
+        self.misses += 1
+        return list(val)
+
+    def search(self, terms: list[str], k: int = 10, **kw):
+        return self._cached(
+            "search", (tuple(terms), k, tuple(sorted(kw.items()))),
+            lambda s: s.search(list(terms), k=k, **kw))
+
+    def search_phrase(self, terms: list[str], k: int = 10):
+        return self._cached(
+            "search_phrase", (tuple(terms), k),
+            lambda s: s.search_phrase(list(terms), k=k))
+
+    def search_min_match(self, terms: list[str], k: int,
+                         min_match: int):
+        return self._cached(
+            "search_min_match", (tuple(terms), k, min_match),
+            lambda s: s.search_min_match(list(terms), k, min_match))
+
+    def msearch(self, queries: list[list[str]], k: int = 10):
+        return [self.search(q, k=k) for q in queries]
+
+    def stats(self) -> dict:
+        return {"hits": self.hits, "misses": self.misses,
+                "invalidations": self.invalidations,
+                "entries": len(self._entries)}
+
+
 class DistributedSearcher:
     """Actor-pool query path: `n_actors` shard actors, shards assigned
     round-robin; queries fan out only to actors owning a needed shard,
