@@ -2739,6 +2739,76 @@ SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
 """
 
 
+_WEEK_US = 7 * 86_400_000_000
+
+
+def retention_cohorts_events(sf_dir: str):
+    """Cohort retention (the product-analytics transform ES ships as a
+    `transform` + date_histogram pivot): cohort_week = the ISO-epoch
+    week of a user's FIRST event, week_offset = any later active week
+    minus it, n_users = DISTINCT users from that cohort active at that
+    offset.  All integer (microsecond floor-division weeks), so the
+    oracle is exact.  Shape: users hash into buckets (ONE corpus-sized
+    shuffle, the funnel pattern); inside a bucket everything is
+    lexsort + boundary masks, and only bounded (cohort, offset, count)
+    partials cross the final exchange."""
+    from ray.data.aggregate import Sum
+
+    N_BUCKETS = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        wk = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False) \
+            // _WEEK_US
+        return pa.table({
+            "__bucket": pa.array(uid % N_BUCKETS, pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "wk": pa.array(wk, pa.int64())})
+
+    def cohort_bucket(g: pa.Table) -> pa.Table:
+        u = g["user_id"].to_numpy(zero_copy_only=False)
+        wk = g["wk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((wk, u))
+        u, wk = u[order], wk[order]
+        first = np.ones(len(u), dtype=bool)
+        first[1:] = u[1:] != u[:-1]
+        cohort_of_user = wk[first]          # min week per user (sorted)
+        users = u[first]
+        # distinct (user, week) rows
+        dedup = np.ones(len(u), dtype=bool)
+        dedup[1:] = (u[1:] != u[:-1]) | (wk[1:] != wk[:-1])
+        du, dwk = u[dedup], wk[dedup]
+        cw = cohort_of_user[np.searchsorted(users, du)]
+        off = dwk - cw
+        key = cw * 10_000 + off             # offsets ≪ 10k by range
+        ukey, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "cohort_week": pa.array(ukey // 10_000, pa.int64()),
+            "week_offset": pa.array(ukey % 10_000, pa.int64()),
+            "n_users": pa.array(cnt.astype(np.int64))})
+
+    return (_read(sf_dir, "events", ["user_id", "ts"])
+            .map_batches(add_bucket, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("__bucket")
+            .map_groups(cohort_bucket, batch_format="pyarrow")
+            .groupby(["cohort_week", "week_offset"])
+            .aggregate(Sum("n_users", alias_name="n_users")))
+
+
+RETENTION_SQL = f"""
+WITH e AS (SELECT user_id,
+                  CAST(epoch_us(ts) AS BIGINT) // {_WEEK_US} AS wk
+           FROM events),
+f AS (SELECT user_id, min(wk) AS cw FROM e GROUP BY user_id),
+uw AS (SELECT DISTINCT e.user_id, f.cw, e.wk - f.cw AS off
+       FROM e JOIN f USING (user_id))
+SELECT cw AS cohort_week, off AS week_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM uw GROUP BY cw, off
+"""
+
+
 PR_TARGETS_CENTS = (1_000, 5_000, 20_000)   # $10 / $50 / $200
 
 
@@ -6721,6 +6791,7 @@ QUERIES = {
     "q21_waiting_suppliers": q21_waiting_suppliers,
     "percentile_ranks_events": percentile_ranks_events,
     "funnel_events": funnel_events,
+    "retention_cohorts_events": retention_cohorts_events,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "scalar_funcs_lineitem": scalar_funcs_lineitem,
@@ -6817,6 +6888,7 @@ ORACLE = {
     "q21_waiting_suppliers": Q21_SQL,
     "percentile_ranks_events": PERCENTILE_RANKS_SQL,
     "funnel_events": FUNNEL_SQL,
+    "retention_cohorts_events": RETENTION_SQL,
     "q15_top_supplier": Q15_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "scalar_funcs_lineitem": SCALAR_FUNCS_SQL,
