@@ -175,6 +175,53 @@ def bm25_topk_documents(sf_dir: str):
     return _rank_table(_reference_text_results(s), _orig_id_map(root))
 
 
+# --- ES search-template analog ---------------------------------------
+# Stored query templates rendered against a params document by the
+# %-interpolation DSL (M4, functions/interp.py) — the same
+# compile-once closures that drive docbuild field mapping.  Omitted
+# params take the template's default (the reference's echo semantics,
+# modules/handlers/common.py:129-135); a template referencing a param
+# with neither value nor default fails AT COMPILE (the module's eager
+# validation contract).  Queries 1-3 render to reference queries, so
+# template indirection provably changes nothing; query 4 is a novel
+# combination.
+
+SEARCH_TEMPLATES: list[tuple[int, str, dict]] = [
+    (1, "%first %second", {"first": "merge", "second": "sort"}),
+    (2, "%only:(window)", {}),                       # default fires
+    (3, "%a %b %c:(fast)", {"a": "customer", "b": "join"}),
+    (4, "%a %b:(stream)", {"a": "spark", "b": "batch"}),  # overridden
+]
+
+
+def _rendered_template_queries() -> list[tuple[int, list[str]]]:
+    from mee_ray.functions.interp import (compile_template,
+                                          template_columns)
+    out = []
+    for qid, tmpl, params in SEARCH_TEMPLATES:
+        cols = [c for c in template_columns(tmpl) if c in params]
+        ns = (pa.table({c: pa.array([params[c]], pa.string())
+                        for c in cols})
+              if cols else pa.table({"__no_params": pa.array([0])}))
+        rendered = compile_template(tmpl)(ns)[0].as_py()
+        out.append((qid, rendered.split()))
+    return out
+
+
+def bm25_search_template_documents(sf_dir: str):
+    """Render SEARCH_TEMPLATES, then run the standard full-depth
+    ranking loop — output contract identical to bm25_topk_documents."""
+    from mee_ray.query import Searcher, merge_partials
+    root = _ensure_index(sf_dir)
+    s = Searcher(root)
+    results = []
+    for qid, terms in _rendered_template_queries():
+        partials = s.term_partials(sorted(set(terms)))
+        results.append((qid, merge_partials([partials], terms,
+                                            k=s.n_docs or 1)))
+    return _rank_table(results, _orig_id_map(root))
+
+
 def bm25_conjunctive_documents(sf_dir: str):
     """Conjunctive (operator="and") engine path over the same
     reference query set: only documents matching EVERY query term are
@@ -3329,10 +3376,11 @@ def _bm25_span_multi_sql() -> str:
     return _span_scored_sql(chains, q_cte=q_cte)
 
 
-def _bm25_sql() -> str:
+def _bm25_sql(queries=None) -> str:
     return f"""
 {_base_ctes()},
-q(query_id, term) AS (VALUES {_q_values(REFERENCE_QUERIES)}),
+q(query_id, term) AS (VALUES {_q_values(queries if queries is not None
+                                        else REFERENCE_QUERIES)}),
 scores AS (
   SELECT q.query_id, tf.doc_id,
          {_SCORE_SUM}
@@ -4412,6 +4460,7 @@ FROM (SELECT doc_id,
 QUERIES = {
     "analyze_tokens_documents": analyze_tokens_documents,
     "bm25_topk_documents": bm25_topk_documents,
+    "bm25_search_template_documents": bm25_search_template_documents,
     "bm25_conjunctive_documents": bm25_conjunctive_documents,
     "bm25_phrase_documents": bm25_phrase_documents,
     "bm25_span_near_documents": bm25_span_near_documents,
@@ -4480,6 +4529,8 @@ QUERIES = {
 ORACLE = {
     "analyze_tokens_documents": ANALYZE_SQL,
     "bm25_topk_documents": _bm25_sql(),
+    "bm25_search_template_documents":
+        _bm25_sql(_rendered_template_queries()),
     "bm25_conjunctive_documents": _bm25_conj_sql(),
     "bm25_phrase_documents": _bm25_phrase_sql(),
     "bm25_span_near_documents": _bm25_span_near_sql(),

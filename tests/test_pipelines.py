@@ -56,7 +56,7 @@ SQL_CHECKED = [
     "hopping_window_events", "range_join_orders_bands",
     "event_gaps_per_user", "docbuild_interpolated",
     "bm25_conjunctive_documents", "stratified_sample_documents",
-    "exact_top_terms", "bm25_phrase_documents", "bm25_span_near_documents",
+    "exact_top_terms", "bm25_phrase_documents", "bm25_search_template_documents", "bm25_span_near_documents",
     "bm25_phrase_prefix_documents", "json_extract_events",
     "composite_agg_events", "q7_volume_shipping",
     "percentile_ranks_events", "q15_top_supplier",

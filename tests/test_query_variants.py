@@ -696,3 +696,23 @@ def test_script_score_bad_script_fails_eagerly(built_index):
     s = Searcher(built_index["index_root"])
     with pytest.raises(ExprError):
         s.search_script_score(["merge"], "not_a_fn(_score)", k=10)
+
+
+def test_search_template_rendering_and_validation(ray_session):
+    """Template rendering: provided params, fired default, overridden
+    default; a template whose param has neither value nor default
+    fails at compile (eager validation)."""
+    import pyarrow as pa
+    import pytest as _pt
+
+    from mee_ray.functions.interp import IllegalTemplate, compile_template
+    from mee_ray.pipelines.fulltext import _rendered_template_queries
+
+    got = dict(_rendered_template_queries())
+    assert got[1] == ["merge", "sort"]
+    assert got[2] == ["window"]          # default fired
+    assert got[3] == ["customer", "join", "fast"]
+    assert got[4] == ["spark", "batch"]  # default overridden
+    with _pt.raises(IllegalTemplate, match="unknown column"):
+        compile_template("%a %missing")(
+            pa.table({"a": pa.array(["x"])}))
