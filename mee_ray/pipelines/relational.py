@@ -2739,6 +2739,88 @@ SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
 """
 
 
+def ks_test_events(sf_dir: str):
+    """ES bucket_count_ks_test analog: the two-sample Kolmogorov-
+    Smirnov statistic between the value distributions of 'view' and
+    'purchase' events, EXACT — D = max|F_v − F_p| over the pooled
+    support is a rational with denominator n_v·n_p, so the output is
+    the integer numerator plus one single division both engines
+    perform on the same two integers (bit-identical doubles).  ES
+    reports ks p-values from a simulation; the statistic itself is the
+    deterministic part and the one worth an oracle.  Shape: per-batch
+    (cents, n_v, n_p) partials (bounded by distinct cents per batch) →
+    one groupby over the cents support → a driver cumulative over the
+    support table (bounded by the value domain × scale, NOT by corpus
+    rows).  p-value intentionally omitted (needs exp(); see the DSIR
+    ln() note — transcendentals don't value-hash across engines)."""
+    from ray.data.aggregate import Sum
+
+    A, B = "view", "purchase"
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_in(t["event_type"],
+                              value_set=pa.array([A, B])))
+        t = _int_scaled(t, {"value": 100})
+        cents = t["value"].to_numpy(zero_copy_only=False)
+        is_a = np.asarray(
+            pc.equal(t["event_type"], pa.scalar(A)).combine_chunks()
+            .to_numpy(zero_copy_only=False), dtype=bool)
+        u, inv = np.unique(cents, return_inverse=True)
+        nv = np.bincount(inv[is_a], minlength=len(u))
+        npur = np.bincount(inv[~is_a], minlength=len(u))
+        return pa.table({"cents": pa.array(u, pa.int64()),
+                         "n_v": pa.array(nv.astype(np.int64)),
+                         "n_p": pa.array(npur.astype(np.int64))})
+
+    g = (_read(sf_dir, "events", ["event_type", "value"])
+         .map_batches(partial, batch_format="pyarrow",
+                      zero_copy_batch=True)
+         .groupby("cents")
+         .aggregate(Sum("n_v", alias_name="n_v"),
+                    Sum("n_p", alias_name="n_p")))
+    t = pa.concat_tables(
+        list(g.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+    cents = t["cents"].to_numpy(zero_copy_only=False)
+    order = np.argsort(cents, kind="stable")
+    nv = t["n_v"].to_numpy(zero_copy_only=False)[order]
+    npp = t["n_p"].to_numpy(zero_copy_only=False)[order]
+    cv, cp = np.cumsum(nv), np.cumsum(npp)
+    tot_v, tot_p = int(cv[-1]) if len(cv) else 0, \
+        int(cp[-1]) if len(cp) else 0
+    d_num = int(np.abs(cv * tot_p - cp * tot_v).max()) if len(cv) else 0
+    d = (d_num / float(tot_v * tot_p)) if tot_v and tot_p else 0.0
+    return pa.table({"n_view": pa.array([tot_v], pa.int64()),
+                     "n_purchase": pa.array([tot_p], pa.int64()),
+                     "d_num": pa.array([d_num], pa.int64()),
+                     "d": pa.array([d], pa.float64())})
+
+
+KS_TEST_SQL = """
+WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                  event_type
+           FROM events WHERE event_type IN ('view', 'purchase')),
+g AS (SELECT cents,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS nv,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                      END) AS BIGINT) AS np
+      FROM c GROUP BY cents),
+cum AS (SELECT cents,
+               CAST(sum(nv) OVER (ORDER BY cents) AS BIGINT) AS cv,
+               CAST(sum(np) OVER (ORDER BY cents) AS BIGINT) AS cp
+        FROM g),
+tot AS (SELECT CAST(sum(nv) AS BIGINT) AS nv,
+               CAST(sum(np) AS BIGINT) AS np FROM g)
+SELECT tot.nv AS n_view, tot.np AS n_purchase,
+       CAST(max(abs(cum.cv * tot.np - cum.cp * tot.nv)) AS BIGINT)
+         AS d_num,
+       CAST(max(abs(cum.cv * tot.np - cum.cp * tot.nv)) AS BIGINT)
+         / CAST(tot.nv * tot.np AS DOUBLE) AS d
+FROM cum, tot
+GROUP BY tot.nv, tot.np
+"""
+
+
 _WEEK_US = 7 * 86_400_000_000
 
 
@@ -6792,6 +6874,7 @@ QUERIES = {
     "percentile_ranks_events": percentile_ranks_events,
     "funnel_events": funnel_events,
     "retention_cohorts_events": retention_cohorts_events,
+    "ks_test_events": ks_test_events,
     "q15_top_supplier": q15_top_supplier,
     "q17_small_quantity_revenue": q17_small_quantity_revenue,
     "scalar_funcs_lineitem": scalar_funcs_lineitem,
@@ -6889,6 +6972,7 @@ ORACLE = {
     "percentile_ranks_events": PERCENTILE_RANKS_SQL,
     "funnel_events": FUNNEL_SQL,
     "retention_cohorts_events": RETENTION_SQL,
+    "ks_test_events": KS_TEST_SQL,
     "q15_top_supplier": Q15_SQL,
     "q17_small_quantity_revenue": Q17_SQL,
     "scalar_funcs_lineitem": SCALAR_FUNCS_SQL,

@@ -395,3 +395,24 @@ def test_terms_error_bounds_branches(ray_session, tmp_path):
     # terms reported by BOTH shards have zero error
     both = out[out.term.isin([f"term{i:02d}" for i in range(15)])]
     assert len(both) > 0
+
+
+def test_ks_test_identical_and_disjoint_distributions(
+        ray_session, tmp_path):
+    """KS statistic boundary fixtures: identical samples give D = 0,
+    fully disjoint supports give D = 1 (numerator = n_v * n_p), and a
+    one-sided-empty input degrades to d = 0.0 on both sides."""
+    # identical distributions
+    ts = list(range(8)); v = [1.0, 2.0, 3.0, 4.0] * 2
+    et = ["view"] * 4 + ["purchase"] * 4
+    sf = _write_events(tmp_path, [t * DAY_US for t in ts],
+                       [1] * 8, et, v)
+    out = _compare("ks_test_events", sf)
+    assert out["d_num"].iloc[0] == 0 and out["d"].iloc[0] == 0.0
+    # disjoint supports
+    d2 = tmp_path / "disjoint"; d2.mkdir()
+    sf2 = _write_events(d2, [t * DAY_US for t in ts], [1] * 8, et,
+                        [1.0, 2.0, 3.0, 4.0, 90.0, 91.0, 92.0, 93.0])
+    out2 = _compare("ks_test_events", sf2)
+    assert out2["d"].iloc[0] == 1.0
+    assert out2["d_num"].iloc[0] == 16    # n_v * n_p
