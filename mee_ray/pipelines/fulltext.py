@@ -152,13 +152,14 @@ def _q_values(query_set) -> str:
                      for t in sorted(set(terms)))
 
 
-def _reference_text_results(s) -> list[tuple[int, list]]:
-    """The REFERENCE_QUERIES full-depth text ranking loop — ONE
-    contract shared by topk / hybrid / snippets so the k convention
-    and the partials path cannot desynchronize between them."""
+def _reference_text_results(s, queries=None) -> list[tuple[int, list]]:
+    """The full-depth text ranking loop over a (qid, terms) query set
+    (default REFERENCE_QUERIES) — ONE contract shared by topk /
+    hybrid / snippets / search_template so the k convention and the
+    partials path cannot desynchronize between them."""
     from mee_ray.query import merge_partials
     results = []
-    for qid, terms in REFERENCE_QUERIES:
+    for qid, terms in (REFERENCE_QUERIES if queries is None else queries):
         partials = s.term_partials(sorted(set(terms)))
         results.append((qid, merge_partials([partials], terms,
                                             k=s.n_docs or 1)))
@@ -209,17 +210,14 @@ def _rendered_template_queries() -> list[tuple[int, list[str]]]:
 
 
 def bm25_search_template_documents(sf_dir: str):
-    """Render SEARCH_TEMPLATES, then run the standard full-depth
+    """Render SEARCH_TEMPLATES, then run the SHARED full-depth
     ranking loop — output contract identical to bm25_topk_documents."""
-    from mee_ray.query import Searcher, merge_partials
+    from mee_ray.query import Searcher
     root = _ensure_index(sf_dir)
     s = Searcher(root)
-    results = []
-    for qid, terms in _rendered_template_queries():
-        partials = s.term_partials(sorted(set(terms)))
-        results.append((qid, merge_partials([partials], terms,
-                                            k=s.n_docs or 1)))
-    return _rank_table(results, _orig_id_map(root))
+    return _rank_table(
+        _reference_text_results(s, _rendered_template_queries()),
+        _orig_id_map(root))
 
 
 def bm25_conjunctive_documents(sf_dir: str):

@@ -2778,16 +2778,25 @@ def ks_test_events(sf_dir: str):
          .groupby("cents")
          .aggregate(Sum("n_v", alias_name="n_v"),
                     Sum("n_p", alias_name="n_p")))
+    empty = pa.table({"cents": pa.array([], pa.int64()),
+                      "n_v": pa.array([], pa.int64()),
+                      "n_p": pa.array([], pa.int64())})
     t = pa.concat_tables(
-        list(g.iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+        list(g.iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+        or [empty])
     cents = t["cents"].to_numpy(zero_copy_only=False)
     order = np.argsort(cents, kind="stable")
     nv = t["n_v"].to_numpy(zero_copy_only=False)[order]
     npp = t["n_p"].to_numpy(zero_copy_only=False)[order]
     cv, cp = np.cumsum(nv), np.cumsum(npp)
-    tot_v, tot_p = int(cv[-1]) if len(cv) else 0, \
-        int(cp[-1]) if len(cp) else 0
-    d_num = int(np.abs(cv * tot_p - cp * tot_v).max()) if len(cv) else 0
+    if not len(cv):
+        # no event of either class: the oracle's empty cross join
+        return pa.table({"n_view": pa.array([], pa.int64()),
+                         "n_purchase": pa.array([], pa.int64()),
+                         "d_num": pa.array([], pa.int64()),
+                         "d": pa.array([], pa.float64())})
+    tot_v, tot_p = int(cv[-1]), int(cp[-1])
+    d_num = int(np.abs(cv * tot_p - cp * tot_v).max())
     d = (d_num / float(tot_v * tot_p)) if tot_v and tot_p else 0.0
     return pa.table({"n_view": pa.array([tot_v], pa.int64()),
                      "n_purchase": pa.array([tot_p], pa.int64()),
@@ -2814,8 +2823,10 @@ tot AS (SELECT CAST(sum(nv) AS BIGINT) AS nv,
 SELECT tot.nv AS n_view, tot.np AS n_purchase,
        CAST(max(abs(cum.cv * tot.np - cum.cp * tot.nv)) AS BIGINT)
          AS d_num,
-       CAST(max(abs(cum.cv * tot.np - cum.cp * tot.nv)) AS BIGINT)
-         / CAST(tot.nv * tot.np AS DOUBLE) AS d
+       CASE WHEN tot.nv * tot.np = 0 THEN 0.0
+            ELSE CAST(max(abs(cum.cv * tot.np - cum.cp * tot.nv))
+                      AS BIGINT) / CAST(tot.nv * tot.np AS DOUBLE)
+       END AS d
 FROM cum, tot
 GROUP BY tot.nv, tot.np
 """
@@ -5043,7 +5054,7 @@ WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 150000
 # (cents cross the exchange, never raw doubles) and a SQL mirror.
 
 _DAY_US = 86_400_000_000
-_WEEK_US = 604_800_000_000
+# (_WEEK_US is defined once, above retention_cohorts_events)
 
 
 def _cents_of(col: pa.ChunkedArray) -> pa.ChunkedArray:
@@ -5410,10 +5421,7 @@ def children_agg_orders(sf_dir: str):
                          "qc": pa.array(np.zeros(n, np.int64))})
 
     def child_rows(t: pa.Table) -> pa.Table:
-        qc = pc.cast(pc.round(pc.multiply(t["l_quantity"], 100.0),
-                              options=pc.RoundOptions(
-                                  round_mode="half_towards_infinity")),
-                     pa.int64())
+        qc = _cents_of(t["l_quantity"])
         g = (pa.table({"o_orderkey": t["l_orderkey"],
                        "one": pa.array(np.ones(t.num_rows, np.int64)),
                        "qc": qc})

@@ -37,7 +37,12 @@ def _check_schema(schema, expected: dict[str, pa.DataType],
                 f"{label}: required column {name!r} missing "
                 f"(have: {schema.names})")
         got = by_name[name]
+        # an all-null JSON column (e.g. DELETE envelopes carrying
+        # null commit/lang/content) infers Arrow type null — valid
+        # content for ANY expected type, exactly like a Parquet
+        # column of nulls under a declared type
         ok = (got == exp
+              or pa.types.is_null(got)
               or (pa.types.is_string(exp)
                   and (pa.types.is_string(got)
                        or pa.types.is_large_string(got)))

@@ -416,3 +416,21 @@ def test_ks_test_identical_and_disjoint_distributions(
     out2 = _compare("ks_test_events", sf2)
     assert out2["d"].iloc[0] == 1.0
     assert out2["d_num"].iloc[0] == 16    # n_v * n_p
+
+
+def test_ks_test_one_sided_and_absent_classes(ray_session, tmp_path):
+    """The review-flagged degenerate paths: a corpus with view rows
+    but ZERO purchase rows (engine and oracle both emit d = 0.0, not
+    NULL), and a corpus with NEITHER class (zero groupby batches —
+    the concat guard)."""
+    ts = [t * DAY_US for t in range(4)]
+    sf = _write_events(tmp_path, ts, [1] * 4, ["view"] * 4,
+                       [1.0, 2.0, 3.0, 4.0])
+    out = _compare("ks_test_events", sf)
+    assert out["n_purchase"].iloc[0] == 0
+    assert out["d_num"].iloc[0] == 0 and out["d"].iloc[0] == 0.0
+    d2 = tmp_path / "none"; d2.mkdir()
+    sf2 = _write_events(d2, ts, [1] * 4, ["signup"] * 4,
+                        [1.0, 2.0, 3.0, 4.0])
+    out2 = _compare("ks_test_events", sf2)
+    assert len(out2) == 0      # the oracle's empty cross-join shape

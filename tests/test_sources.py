@@ -131,3 +131,22 @@ def test_jsonl_delta_events_and_validation(ray_session, tmp_path):
         f.write(json.dumps({"type": "UPDATE"}) + "\n")
     with pytest.raises(SchemaMismatch, match="seq"):
         read_delta_events_jsonl(str(bad))
+
+
+def test_jsonl_delete_only_delta_batch(ray_session, tmp_path):
+    """A DELETE-only JSONL batch carries JSON null commit/lang/content
+    — Arrow infers those columns as type null, which must validate
+    (the Parquet path accepts all-null string columns the same way)."""
+    import json
+
+    from mee_ray.sources import read_delta_events_jsonl
+
+    d = tmp_path / "del_ev"
+    d.mkdir()
+    with open(d / "b.jsonl", "w") as f:
+        f.write(json.dumps({"seq": 5, "type": "DELETE", "repo": "r",
+                            "path": "a", "commit": None, "lang": None,
+                            "content": None}) + "\n")
+    ds = read_delta_events_jsonl(str(d))
+    got = ds.take_all()
+    assert got[0]["seq"] == 5 and got[0]["type"] == "DELETE"
