@@ -4405,6 +4405,80 @@ FROM documents
 """
 
 
+# ES _mget analog: stored-field retrieval for an explicit id list
+# from the INDEX's docs store (not the raw table) — missing ids get a
+# found=false row like ES's docs[].found.  The fetch is a distributed
+# pruned read of the docs files with the wanted-id set broadcast; only
+# matching rows leave each task.
+_MGET_IDS = (3, 5, 7, 11, 99_999_999)     # last one intentionally absent
+
+
+def mget_documents(sf_dir: str) -> pa.Table:
+    import ray
+    import ray.data
+
+    root = _ensure_index(sf_dir)
+    want = set(_MGET_IDS)
+    want_ref = ray.put(want)
+
+    def pick(t: pa.Table) -> pa.Table:
+        import numpy as np
+        w = ray.get(want_ref)
+        orig = np.array([_orig_id(p) for p in t["path"].to_pylist()],
+                        dtype=np.int64)
+        keep = np.array([int(o) in w for o in orig], dtype=bool)
+        t = t.filter(pa.array(keep))
+        sha = [binascii.hexlify(x).decode()
+               for x in t["content_sha256"].to_pylist()]
+        return pa.table({
+            "doc_id": pa.array(orig[keep], pa.int64()),
+            "lang": t["lang"],
+            "n_tokens": t["length"].cast(pa.int64()),
+            "sha_hex": pa.array(sha, pa.string())})
+
+    files = mf.docs_files(root, mf.current_epoch(root))
+    got = pa.concat_tables(list(
+        ray.data.read_parquet(files,
+                              columns=["path", "lang", "length",
+                                       "content_sha256"])
+        .map_batches(pick, batch_format="pyarrow")
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+        or [pa.table({"doc_id": pa.array([], pa.int64()),
+                      "lang": pa.array([], pa.string()),
+                      "n_tokens": pa.array([], pa.int64()),
+                      "sha_hex": pa.array([], pa.string())})])
+    found = {int(d) for d in got["doc_id"].to_pylist()}
+    missing = sorted(want - found)
+    out = pa.table({
+        "doc_id": pa.concat_arrays([got["doc_id"].combine_chunks(),
+                                    pa.array(missing, pa.int64())]),
+        "lang": pa.concat_arrays([got["lang"].combine_chunks(),
+                                  pa.array([""] * len(missing))]),
+        "n_tokens": pa.concat_arrays([got["n_tokens"].combine_chunks(),
+                                      pa.array([0] * len(missing),
+                                               pa.int64())]),
+        "sha_hex": pa.concat_arrays([got["sha_hex"].combine_chunks(),
+                                     pa.array([""] * len(missing))]),
+        "found": pa.array([True] * len(got) + [False] * len(missing)),
+    })
+    return out.take(pc.sort_indices(out, sort_keys=[("doc_id",
+                                                     "ascending")]))
+
+
+MGET_SQL = f"""
+WITH want(doc_id) AS (VALUES {", ".join(f"({i})" for i in _MGET_IDS)})
+SELECT w.doc_id,
+       coalesce(d.lang, '') AS lang,
+       CAST(coalesce(len(regexp_extract_all(lower(d.text),
+                                            '{TOKEN_PATTERN}')), 0)
+            AS BIGINT) AS n_tokens,
+       coalesce(sha256(d.text), '') AS sha_hex,
+       d.doc_id IS NOT NULL AS found
+FROM want w LEFT JOIN documents d USING (doc_id)
+ORDER BY w.doc_id
+"""
+
+
 _ANALYZE_DOCS = 10
 
 
@@ -4522,6 +4596,7 @@ QUERIES = {
     "bm25_top_hits": bm25_top_hits,
     "index_term_stats": index_term_stats,
     "corpus_docs_table": corpus_docs_table,
+    "mget_documents": mget_documents,
 }
 
 ORACLE = {
@@ -4593,4 +4668,5 @@ ORACLE = {
     "bm25_top_hits": _bm25_top_hits_sql(),
     "index_term_stats": INDEX_STATS_SQL,
     "corpus_docs_table": CORPUS_DOCS_SQL,
+    "mget_documents": MGET_SQL,
 }

@@ -52,7 +52,7 @@ SQL_CHECKED = [
     "doc_fingerprint", "dedup_exact",
     "doc_quality_scores", "lang_id_documents", "knn_bruteforce",
     "embedding_dims", "bm25_topk_documents", "index_term_stats",
-    "corpus_docs_table", "multimodal_image_meta",
+    "corpus_docs_table", "mget_documents", "multimodal_image_meta",
     "hopping_window_events", "range_join_orders_bands",
     "event_gaps_per_user", "docbuild_interpolated",
     "bm25_conjunctive_documents", "stratified_sample_documents",
