@@ -2138,6 +2138,93 @@ ORDER BY jlh DESC, term LIMIT 10
 """
 
 
+# ------------------------------------------------ dataset summary ----
+
+def dataset_summary_documents(sf_dir: str):
+    """The dataset-card one-stop: per (lang, source) stratum — doc
+    count, total/min/max token counts, exact-duplicate docs (same
+    md5(text) appearing more than once counts ALL its members), and
+    empty-text docs.  Everything is an int64 partial (token counts per
+    batch, fingerprint counts through one groupby), so the oracle is
+    exact; the output is bounded by |langs| × |sources|."""
+    import hashlib as _hl
+
+    import ray.data
+    from ray.data.aggregate import Max, Min, Sum
+
+    class Stage(TextStats):
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n_tok = np.fromiter(
+                (len(self.tokens(x or "")) for x in
+                 t["text"].to_pylist()),
+                dtype=np.int64, count=len(t))
+            fp = pa.array([_hl.md5((x or "").encode()).hexdigest()
+                           for x in t["text"].to_pylist()], pa.string())
+            empty = pc.equal(pc.binary_length(
+                pc.coalesce(t["text"], pa.scalar(""))), 0)
+            return pa.table({
+                "lang": t["lang"], "source": t["source"], "fp": fp,
+                "n_tok": pa.array(n_tok),
+                "is_empty": pc.cast(empty, pa.int64())})
+
+    rows = _read_docs(sf_dir, ["text", "lang", "source"]).map_batches(
+        Stage(), batch_format="pyarrow")
+    # duplicate members: fingerprint groupby (the dedup shuffle), then
+    # per-stratum totals — group keys bounded by distinct texts
+    from ray.data.aggregate import Count
+    per_fp = rows.groupby(["lang", "source", "fp"]).aggregate(
+        Count(alias_name="members"),
+        Sum("n_tok", alias_name="n_tok_sum"),
+        Min("n_tok", alias_name="n_tok_min"),
+        Max("n_tok", alias_name="n_tok_max"),
+        Sum("is_empty", alias_name="n_empty"))
+
+    def stratum_partial(t: pa.Table) -> pa.Table:
+        m = t["members"].to_numpy(zero_copy_only=False)
+        dup = np.where(m > 1, m, 0).astype(np.int64)
+        return pa.table({
+            "lang": t["lang"], "source": t["source"],
+            "n_docs": t["members"],
+            "n_tokens": t["n_tok_sum"],
+            "min_tokens": t["n_tok_min"],
+            "max_tokens": t["n_tok_max"],
+            "n_dup_docs": pa.array(dup),
+            "n_empty": t["n_empty"]})
+
+    return (per_fp.map_batches(stratum_partial, batch_format="pyarrow")
+            .groupby(["lang", "source"])
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("n_tokens", alias_name="n_tokens"),
+                       Min("min_tokens", alias_name="min_tokens"),
+                       Max("max_tokens", alias_name="max_tokens"),
+                       Sum("n_dup_docs", alias_name="n_dup_docs"),
+                       Sum("n_empty", alias_name="n_empty")))
+
+
+DATASET_SUMMARY_SQL = f"""
+WITH d AS (SELECT lang, source, coalesce(text, '') AS t,
+                  md5(coalesce(text, '')) AS fp,
+                  len(regexp_extract_all(lower(coalesce(text, '')),
+                                         '{TOKEN_PATTERN}')) AS n_tok
+           FROM documents),
+fpc AS (SELECT lang, source, fp, count(*) AS members,
+               CAST(sum(n_tok) AS BIGINT) AS n_tok_sum,
+               min(n_tok) AS n_tok_min, max(n_tok) AS n_tok_max,
+               CAST(sum(CASE WHEN len(t) = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_empty
+        FROM d GROUP BY lang, source, fp)
+SELECT lang, source,
+       CAST(sum(members) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok_sum) AS BIGINT) AS n_tokens,
+       CAST(min(n_tok_min) AS BIGINT) AS min_tokens,
+       CAST(max(n_tok_max) AS BIGINT) AS max_tokens,
+       CAST(sum(CASE WHEN members > 1 THEN members ELSE 0 END)
+            AS BIGINT) AS n_dup_docs,
+       CAST(sum(n_empty) AS BIGINT) AS n_empty
+FROM fpc GROUP BY lang, source
+"""
+
+
 # ----------------------- terms agg shard-error-bound semantics -------
 # ES's `terms` aggregation is APPROXIMATE under sharding: each shard
 # returns only its local top `shard_size` terms, the coordinator sums
@@ -2468,6 +2555,7 @@ QUERIES = {
     "dsir_select_documents": dsir_select_documents,
     "gopher_rules_documents": gopher_rules_documents,
     "terms_error_bounds_documents": terms_error_bounds_documents,
+    "dataset_summary_documents": dataset_summary_documents,
     "doc_token_counts": doc_token_counts,
     "categorize_text_documents": categorize_text_documents,
     "significant_text_documents": significant_text_documents,
@@ -2543,6 +2631,7 @@ ORACLE = {
     "dsir_select_documents": DSIR_SELECT_SQL,
     "gopher_rules_documents": GOPHER_SQL,
     "terms_error_bounds_documents": TERMS_EB_SQL,
+    "dataset_summary_documents": DATASET_SUMMARY_SQL,
     "ngram_jaccard_adjacent": NGRAM_JACCARD_SQL,
     "categorize_text_documents": CATEGORIZE_SQL,
     "significant_text_documents": SIGNIFICANT_TEXT_SQL,

@@ -2488,11 +2488,19 @@ class CachedSearcher:
 
     def _resolve(self) -> Searcher:
         import os as _os
-        ep = mf.current_epoch(self.index_root)
-        if ep is None:
-            raise FileNotFoundError(
-                f"no CURRENT epoch in {self.index_root}")
-        st = _os.stat(mf.manifest_path(self.index_root, ep))
+        for attempt in range(3):
+            ep = mf.current_epoch(self.index_root)
+            if ep is None:
+                raise FileNotFoundError(
+                    f"no CURRENT epoch in {self.index_root}")
+            try:
+                st = _os.stat(mf.manifest_path(self.index_root, ep))
+                break
+            except FileNotFoundError:
+                # CURRENT moved and the old epoch was gc'ed between
+                # the two reads (compact + gc_epochs race) — re-resolve
+                if attempt == 2:
+                    raise
         gen = (ep, st.st_mtime_ns, st.st_size)
         if gen != self._gen:
             if self._gen is not None:
