@@ -2550,7 +2550,69 @@ SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 100
 """
 
 
+# ------------------------- composed chain II: quality → importance ---
+
+def quality_training_mix_documents(sf_dir: str, k: int = 100):
+    """Composed curation chain II (the quality-then-importance shape a
+    training-mix pipeline actually runs): Gopher wlen/alpha/stop rules
+    gate the corpus, DSIR importance scores rank the survivors, and
+    the exact top-k by (score DESC, doc_id) is the mix.  ONE
+    distributed pass computes both the rule flags and the feature
+    scores (the stages share the batch); weights come from the
+    standard two-phase DSIR protocol; selection is the bounded
+    partial-top-k merge.  The oracle nests the two ops' FULL SQL as
+    subqueries — compositionality holds on both sides."""
+    import ray
+
+    from ray.data.aggregate import Sum
+
+    docs = _read_docs(sf_dir, ["doc_id", "text", "lang"])
+    gc = (docs.map_batches(_DsirCountStage(), batch_format="pyarrow")
+          .groupby("bucket")
+          .aggregate(Sum("ct", alias_name="ct"),
+                     Sum("cr", alias_name="cr")))
+    w = np.zeros(_DSIR_BUCKETS, dtype=np.int64)
+    for r in gc.take_all():
+        w[r["bucket"]] = (_DSIR_SCALE * (r["ct"] + 1)) // (r["cr"] + 1)
+    w_ref = ray.put(w)
+    g_stage = GopherRulesStage()
+    s_stage = _DsirScoreStage(w_ref)
+
+    def stage(t: pa.Table) -> pa.Table:
+        flags = g_stage(t)
+        scores = s_stage(t)
+        is_en = pc.equal(t["lang"], pa.scalar("en")).combine_chunks()
+        keep = pc.and_(pc.and_(flags["rule_wlen"].combine_chunks(),
+                               flags["rule_alpha"].combine_chunks()),
+                       is_en)
+        return scores.filter(keep)
+
+    def topk_partial(t: pa.Table) -> pa.Table:
+        t = t.combine_chunks()
+        s = t["score"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, -s))[:k]
+        return t.take(pa.array(order, pa.int64()))
+
+    return (docs.map_batches(stage, batch_format="pyarrow")
+            .map_batches(topk_partial, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(topk_partial, batch_format="pyarrow"))
+
+
+QUALITY_MIX_SQL = f"""
+WITH pass AS (SELECT doc_id FROM ({GOPHER_SQL}) g
+              JOIN documents USING (doc_id)
+              WHERE g.rule_wlen AND g.rule_alpha AND lang = 'en'),
+sc AS (SELECT s.doc_id, s.n_feats, s.score
+       FROM ({DSIR_SQL}) s JOIN pass USING (doc_id))
+SELECT doc_id, n_feats, score FROM sc
+ORDER BY score DESC, doc_id LIMIT 100
+"""
+
+
 QUERIES = {
+    "quality_training_mix_documents": quality_training_mix_documents,
     "dsir_weights_documents": dsir_weights_documents,
     "dsir_select_documents": dsir_select_documents,
     "gopher_rules_documents": gopher_rules_documents,
@@ -2627,6 +2689,7 @@ ORDER BY p.a
 """
 
 ORACLE = {
+    "quality_training_mix_documents": QUALITY_MIX_SQL,
     "dsir_weights_documents": DSIR_SQL,
     "dsir_select_documents": DSIR_SELECT_SQL,
     "gopher_rules_documents": GOPHER_SQL,

@@ -48,7 +48,7 @@ SQL_CHECKED = [
     "semi_join_events_customers", "anti_join_events_customers",
     "dsir_weights_documents", "dsir_select_documents",
     "gopher_rules_documents", "terms_error_bounds_documents",
-    "dataset_summary_documents",
+    "dataset_summary_documents", "quality_training_mix_documents",
     "doc_token_counts", "chunk_documents", "doc_term_df",
     "doc_fingerprint", "dedup_exact",
     "doc_quality_scores", "lang_id_documents", "knn_bruteforce",
