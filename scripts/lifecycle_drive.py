@@ -221,6 +221,24 @@ def main():
             print(f"  {stage:>18} {v:<14} identical ({hits} non-empty)")
 
     check("post-build")
+
+    # long-lived-reader cache coherence: ONE CachedSearcher created
+    # here must keep serving post-delta and post-compact results
+    # identical to a fresh Searcher (generation invalidation), with
+    # hits in between (copy-on-hit identity)
+    from mee_ray.query import CachedSearcher
+    cache = CachedSearcher(root)
+
+    def cache_probe(stage):
+        fresh = Searcher(root)
+        for q in (["alpha"], ["merge", "sort"], ["driveterm"]):
+            for _ in range(2):     # second call must be a cache hit
+                assert cache.search(q, k=10) == fresh.search(q, k=10), \
+                    (stage, q)
+        print(f"  {stage:>18} {'cache':<14} coherent "
+              f"(inv={cache.invalidations} hit={cache.hits})")
+
+    cache_probe("post-build")
     rows = [{"seq": i + 1, "type": "INSERT", "repo": "drive/d",
              "path": f"n{i}.py", "commit": "b" * 40, "lang": "python",
              "content": f"driveterm alpha beta gamma merge sort "
@@ -234,8 +252,12 @@ def main():
     apply_delta(ev, root)
     apply_delta(ev, root)      # at-least-once redelivery must no-op
     check("post-delta")
+    cache_probe("post-delta")
     compact(root, "ep.c1", gc_old=True)
     check("post-compact")
+    cache_probe("post-compact")
+    assert cache.invalidations >= 2, "delta+compact must each invalidate"
+    assert cache.hits >= 9, "repeat queries must be served from cache"
 
     docs = _load_docs(root, by_sha)
     oracle = OracleIndex(docs, store_positions=positional)
