@@ -224,6 +224,7 @@ def run_suite(sf_dir: str, num_cpus: int, build_only: bool = False) -> dict:
         for name in ("corpus_to_training_shards", "neardup_gram_clusters",
                      "substring_dedup_spans_documents",
                      "bpe_tokenize_documents", "dsir_weights_documents",
+                     "quality_training_mix_documents",
                      "semdedup_embeddings", "gopher_rules_documents"):
             tq = time.time()
             res = qs[name](sf_dir)

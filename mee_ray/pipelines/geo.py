@@ -488,7 +488,86 @@ def _geo_rings_sql() -> str:
 GEO_RINGS_SQL = _geo_rings_sql()
 
 
+# ------------------------------------------- Z-order partitioning ---
+# Space-filling-curve bucketing (the Morton/Z-order layout Delta/
+# Iceberg use for multi-dimensional partition pruning): 16-bit cell
+# coordinates interleave into a 32-bit code; a range predicate over
+# (lat, lon) touches only the Z-buckets whose cell ranges intersect
+# it, so a partitioned store can skip the rest.  Everything is int64
+# bit arithmetic, mirrored term-for-term in SQL (the interleave
+# expression is GENERATED so engine and oracle share one definition).
+
+_ZCELL = 6_000                     # 0.006° cells → <2^16 per axis
+_ZBUCKET_SHIFT = 22                # 32-bit code → 1024 partitions
+
+
+def _morton_expr(cx: str, cy: str) -> str:
+    """The 16-bit interleave as a SQL expression over columns."""
+    return " + ".join(
+        f"((({cx} >> {i}) & 1) << {2 * i})"
+        f" + ((({cy} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(16))
+
+
+def _morton_np(cx: np.ndarray, cy: np.ndarray) -> np.ndarray:
+    code = np.zeros(len(cx), dtype=np.int64)
+    for i in range(16):
+        code |= ((cx >> i) & 1) << (2 * i)
+        code |= ((cy >> i) & 1) << (2 * i + 1)
+    return code
+
+
+def zorder_partitions_events(sf_dir: str) -> pa.Table:
+    """Per Z-bucket: total events and events inside the reference
+    bounding box — the pruning table a partitioned layout consults
+    (buckets with n_in_box = 0 are skippable for the box query).
+    Per-batch partials are ≤1024 rows regardless of batch size."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat, lon = _coords(t)
+        cx = (lon + 180_000_000) // _ZCELL
+        cy = (lat + 90_000_000) // _ZCELL
+        z = _morton_np(cx, cy) >> _ZBUCKET_SHIFT
+        in_box = ((lat >= _BOX["lat_lo"]) & (lat <= _BOX["lat_hi"])
+                  & (lon >= _BOX["lon_lo"]) & (lon <= _BOX["lon_hi"]))
+        u, inv = np.unique(z, return_inverse=True)
+        n = np.bincount(inv, minlength=len(u))
+        nb = np.bincount(inv[in_box], minlength=len(u))
+        return pa.table({
+            "zbucket": pa.array(u, pa.int64()),
+            "n_events": pa.array(n.astype(np.int64)),
+            "n_in_box": pa.array(nb.astype(np.int64))})
+
+    return (_read_events(sf_dir)
+            .map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("zbucket")
+            .aggregate(Sum("n_events", alias_name="n_events"),
+                       Sum("n_in_box", alias_name="n_in_box")))
+
+
+ZORDER_SQL = f"""
+{_COORDS_CTE},
+cells AS (
+  SELECT (lon + 180000000) // {_ZCELL} AS cx,
+         (lat + 90000000) // {_ZCELL} AS cy,
+         lat, lon
+  FROM coords),
+z AS (
+  SELECT ({_morton_expr("cx", "cy")}) >> {_ZBUCKET_SHIFT} AS zbucket,
+         CASE WHEN lat BETWEEN {_BOX["lat_lo"]} AND {_BOX["lat_hi"]}
+                   AND lon BETWEEN {_BOX["lon_lo"]} AND {_BOX["lon_hi"]}
+              THEN 1 ELSE 0 END AS in_box
+  FROM cells)
+SELECT zbucket, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(in_box) AS BIGINT) AS n_in_box
+FROM z GROUP BY zbucket
+"""
+
+
 QUERIES = {
+    "zorder_partitions_events": zorder_partitions_events,
     "geo_line_events": geo_line_events,
     "geo_polygon_events": geo_polygon_events,
     "geo_bounds_events": geo_bounds_events,
@@ -501,6 +580,7 @@ QUERIES = {
 }
 
 ORACLE = {
+    "zorder_partitions_events": ZORDER_SQL,
     "geo_line_events": GEO_LINE_SQL,
     "geo_polygon_events": GEO_POLYGON_SQL,
     "geo_bounds_events": GEO_BOUNDS_SQL,

@@ -130,6 +130,7 @@ SQL_CHECKED = [
     "geo_distance_rings_events", "ip_range_events", "geo_bounds_events",
     "geo_polygon_events", "geo_line_events", "ip_prefix_events",
     "missing_agg_events", "children_agg_orders", "parent_agg_lineitem",
+    "zorder_partitions_events",
 ]
 
 
