@@ -25,7 +25,9 @@ from mee_ray.sources.parquet import (  # noqa: F401
     read_delta_events,
 )
 from mee_ray.sources.jsonl import (  # noqa: F401
+    read_corpus_csv,
     read_corpus_jsonl,
     read_delta_events_jsonl,
+    write_corpus_csv,
     write_corpus_jsonl,
 )

@@ -90,3 +90,25 @@ def write_corpus_jsonl(ds, path: str) -> None:
     block — the resumable-output shape; Ray names files uniquely per
     task)."""
     ds.write_json(path)
+
+
+def read_corpus_csv(path: str, columns: list[str] | None = None,
+                    validate: bool = True, **read_kwargs):
+    """Corpus source over CSV files (Arrow CSV reader: quoted fields
+    carry embedded commas/newlines, so round-tripping code content is
+    lossless).  Same contract and projection caveat as the JSONL
+    reader."""
+    import ray.data
+
+    ds = ray.data.read_csv(path, **read_kwargs)
+    if validate:
+        _check_schema(ds.schema(), CORPUS_SCHEMA, columns, path)
+    if columns is not None:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def write_corpus_csv(ds, path: str) -> None:
+    """Corpus sink: one CSV file per block (Arrow writer quotes
+    embedded delimiters/newlines)."""
+    ds.write_csv(path)

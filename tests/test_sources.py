@@ -150,3 +150,20 @@ def test_jsonl_delete_only_delta_batch(ray_session, tmp_path):
     ds = read_delta_events_jsonl(str(d))
     got = ds.take_all()
     assert got[0]["seq"] == 5 and got[0]["type"] == "DELETE"
+
+
+def test_csv_corpus_roundtrip(ray_session, corpus_dir, tmp_path):
+    """Parquet corpus → CSV sink → CSV source is row-for-row identical
+    — content with embedded newlines/commas survives Arrow quoting."""
+    import pandas as pd
+
+    from mee_ray.sources import read_corpus_csv, write_corpus_csv
+
+    out = str(tmp_path / "csv")
+    write_corpus_csv(read_corpus(corpus_dir), out)
+    a = read_corpus(corpus_dir).to_pandas()
+    b = read_corpus_csv(out).to_pandas()[a.columns.tolist()]
+    key = ["repo", "path"]
+    a = a.sort_values(key, kind="mergesort").reset_index(drop=True)
+    b = b.sort_values(key, kind="mergesort").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_exact=True)
