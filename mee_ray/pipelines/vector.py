@@ -622,7 +622,7 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
 
 
 def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
-                   n_probe: int = 4):
+                   n_probe: int = 4, refine_factor: int | None = None):
     """IVF-PQ with asymmetric distance — the canonical billion-scale
     ANN composition (FAISS IVFxx,PQyy): a coarse quantizer routes
     each vector to a cluster, PQ codebooks fit on RESIDUALS
@@ -633,7 +633,15 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     subspaces).  Both stages fit on bounded samples and broadcast;
     the full table only streams through the encode/score map_batches
     stage.  Approximate by design — recall floor asserted in tests,
-    rows-only for the driver."""
+    rows-only for the driver.
+
+    ``refine_factor=r`` adds the FAISS RefineFlat step IN-STREAM: each
+    batch keeps its top k·r candidates by ADC score and re-scores
+    exactly THOSE with the exact dot product against the query matrix
+    — the vectors are already in the batch, so the refine costs zero
+    extra I/O, and the global merge ranks by EXACT similarity.  Recall
+    can only improve: the candidate pool per batch is r× wider and the
+    final ordering is exact."""
     import ray
 
     # ONE bounded prefix read feeds both fits; assignment reuses the
@@ -652,10 +660,11 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
                     for idx, cent in zip(splits, books)], axis=1)
     base = q_mat @ ivf.centroids.T          # (n_q, n_clusters)
     ref = ray.put((q_ids, probe_sets, lut, base,
-                   ivf.centroids, splits, books))
+                   ivf.centroids, splits, books, q_mat))
 
     def encode_and_score(t: pa.Table) -> pa.Table:
-        qids, psets, lut_, base_, cents, splits_, books_ = ray.get(ref)
+        qids, psets, lut_, base_, cents, splits_, books_, qm = \
+            ray.get(ref)
         ids, mat = _emb_matrix(t)
         u = _unit(mat)
         clusters = np.argmax(u @ cents.T, axis=1)
@@ -668,8 +677,15 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
             s = base_[qi, clusters] + adc[qi]
             in_probe = (np.isin(clusters, list(psets[qi]))
                         & (ids != qids[qi]))
-            cand_ids, cand_s = ids[in_probe], s[in_probe]
-            cand_ids, cand_s = _local_topk(cand_ids, cand_s, k)
+            if refine_factor:
+                rows = np.flatnonzero(in_probe)
+                cut = rows[np.lexsort((ids[rows],
+                                       -s[rows]))[:k * refine_factor]]
+                exact = u[cut] @ qm[qi]
+                cand_ids, cand_s = _local_topk(ids[cut], exact, k)
+            else:
+                cand_ids, cand_s = _local_topk(ids[in_probe],
+                                               s[in_probe], k)
             out_q.extend([qids[qi]] * len(cand_ids))
             out_n.extend(cand_ids.tolist())
             out_s.extend(cand_s.tolist())
@@ -827,6 +843,15 @@ WHERE rank <= 3
 """
 
 
+def ann_ivfpq_refine_topk(sf_dir: str, n_queries: int = 5,
+                          k: int = 10, n_probe: int = 4,
+                          refine_factor: int = 4):
+    """The FAISS IVFPQ+RefineFlat composition — see ann_ivfpq_topk's
+    refine_factor contract."""
+    return ann_ivfpq_topk(sf_dir, n_queries=n_queries, k=k,
+                          n_probe=n_probe, refine_factor=refine_factor)
+
+
 QUERIES = {
     "knn_bruteforce": knn_bruteforce,
     "ann_pq_topk": ann_pq_topk,
@@ -839,6 +864,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "kmeans_assign_embeddings": kmeans_assign_embeddings,
     "semdedup_embeddings": semdedup_embeddings,
+    "ann_ivfpq_refine_topk": ann_ivfpq_refine_topk,
     "ann_sq_topk": ann_sq_topk,
 }
 

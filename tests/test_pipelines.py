@@ -227,7 +227,8 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
                          "lm_score_documents", "bpe_tokenize_documents",
                          "semdedup_embeddings",
                          "bloom_membership_documents",
-                         "ann_sq_topk", "ann_pq_topk", "ann_ivfpq_topk"}
+                         "ann_sq_topk", "ann_pq_topk", "ann_ivfpq_topk",
+                         "ann_ivfpq_refine_topk"}
 
 
 def test_multimodal_retrieval_matches_bruteforce(entry_mod, ray_session):
@@ -845,3 +846,27 @@ def test_semdedup_matches_driver_recompute(entry_mod, ray_session):
     assert len(got) == len(ids)
     for r in got.itertuples():
         assert exp[r.vec_id] == (r.cluster_id, r.keep), r.vec_id
+
+
+def test_ivfpq_refine_improves_recall(entry_mod, ray_session):
+    """RefineFlat contract: the refined variant's mean recall vs the
+    exact top-k is >= the plain IVF-PQ's (wider per-batch candidate
+    pool + exact final ordering can only help) and clears a floor."""
+    from mee_ray.pipelines.vector import (ann_ivfpq_refine_topk,
+                                          ann_ivfpq_topk,
+                                          knn_bruteforce)
+
+    exact = knn_bruteforce(SF).to_pandas()
+
+    def mean_recall(df):
+        rs = []
+        for q in exact.query_id.unique():
+            e = set(exact[exact.query_id == q].neighbor_id)
+            rs.append(len(e & set(df[df.query_id == q].neighbor_id))
+                      / len(e))
+        return float(np.mean(rs))
+
+    plain = mean_recall(ann_ivfpq_topk(SF).to_pandas())
+    refined = mean_recall(ann_ivfpq_refine_topk(SF).to_pandas())
+    assert refined >= plain
+    assert refined >= 0.6
