@@ -756,6 +756,69 @@ WHERE rank <= 10
 """
 
 
+def hard_negatives_embeddings(sf_dir: str, n_queries: int = 5,
+                              k: int = 10):
+    """Hard-negative mining (the contrastive-training data op): for
+    each query vector, the exact cosine top-k among vectors whose
+    label DIFFERS from the query's own — the highest-similarity
+    wrong-class examples a contrastive loss wants.  Unlike
+    knn_filtered's fixed label, the exclusion is PER QUERY; the label
+    vector rides the same broadcast as the query matrix, the per-batch
+    mask is applied before any scoring work."""
+    import pyarrow.parquet as pq_
+    import ray
+    import ray.data
+
+    qt = pq_.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding", "label"],
+                        filters=[("vec_id", "<", n_queries)])
+    q_ids, q_mat = _emb_matrix(qt)
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], _unit(q_mat[order])
+    q_labels = qt["label"].to_numpy(zero_copy_only=False)[order] \
+        .astype(np.int64)
+    ref = ray.put((q_ids, q_mat, q_labels))
+
+    def batch_topk(t: pa.Table) -> pa.Table:
+        qids, qm, qlab = ray.get(ref)
+        ids, mat = _emb_matrix(t)
+        lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+        sims = _unit(mat) @ qm.T
+        out_q, out_n, out_s = [], [], []
+        for qi in range(len(qids)):
+            mask = (lab != qlab[qi]) & (ids != qids[qi])
+            cand_ids, cand_s = _local_topk(ids[mask], sims[mask, qi], k)
+            out_q.extend([qids[qi]] * len(cand_ids))
+            out_n.extend(cand_ids.tolist())
+            out_s.extend(cand_s.tolist())
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"]) \
+        .map_batches(batch_topk, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return _rank_merge(partials, k)
+
+
+HARD_NEGATIVES_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+           FROM embeddings WHERE vec_id < 5),
+     s AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                  list_cosine_similarity(e.embedding, q.qe) AS sim
+           FROM embeddings e CROSS JOIN q
+           WHERE e.vec_id <> q.query_id AND e.label <> q.ql)
+SELECT query_id, rank, neighbor_id
+FROM (SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+WHERE rank <= 10
+"""
+
+
 def knn_grouped(sf_dir: str, n_queries: int = 3, k: int = 3):
     """Grouped vector search (diversified retrieval: top-k PER label
     per query — the ES collapse/inner_hits analog on the vector
@@ -857,6 +920,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "knn_filtered": knn_filtered,
+    "hard_negatives_embeddings": hard_negatives_embeddings,
     "knn_grouped": knn_grouped,
     "embedding_dims": embedding_dims,
     "embedding_neardup": embedding_neardup,
@@ -872,6 +936,7 @@ ORACLE = {
     "knn_bruteforce": KNN_SQL,
     "vecindex_topk": KNN_SQL,
     "knn_filtered": KNN_FILTERED_SQL,
+    "hard_negatives_embeddings": HARD_NEGATIVES_SQL,
     "knn_grouped": KNN_GROUPED_SQL,
     "embedding_dims": EMB_DIMS_SQL,
     # embedding_neardup / ann_ivf_topk: rows-only (pair set depends on

@@ -62,6 +62,7 @@ SQL_CHECKED = [
     "composite_agg_events", "q7_volume_shipping",
     "percentile_ranks_events", "q15_top_supplier",
     "q17_small_quantity_revenue", "knn_filtered", "knn_grouped",
+    "hard_negatives_embeddings",
     "curate_documents", "bm25_cross_fields_documents", "funnel_events", "retention_cohorts_events", "ks_test_events",
     "bm25_filtered_documents",
     "shuffle_join_lineitem_orders", "bm25_boolean_documents",
