@@ -1617,6 +1617,68 @@ WHERE ((doc_id % {MIX_MOD}) * {KNUTH_MULT}) % {MIX_MOD} < {_mix_rate_expr()}
 """
 
 
+# ----------------------------------- temperature mixture sampling --
+
+def temperature_mix_documents(sf_dir: str):
+    """Temperature-based mixture sampling (the multilingual α-sampling
+    rule, α = 0.5): per-doc acceptance rate ∝ 1/√count(source), so the
+    SELECTED mass per source ∝ count^α — rare sources are kept whole
+    (the rarest gets exactly 1000‰), abundant ones downsampled.  Exact
+    despite the irrational √: IEEE-754 sqrt is CORRECTLY ROUNDED in
+    both numpy and DuckDB, so w_s = floor(10⁶·√c_s) is the same int64
+    on both sides, and every step after it is integer arithmetic
+    (rate = (1000·w_min) // w_s; selection = the training_mix Knuth
+    hash).  The stratum is LANG (the multilingual use case — and the
+    corpus's lang counts are skewed where its source counts are
+    uniform, so the rule actually downsamples).  Shape: one bounded
+    per-lang count groupby (≤ |langs| rows to the driver), rates
+    broadcast in the batch closure, one streaming filter pass — no
+    corpus-sized exchange."""
+    import math
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    counts = (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                    columns=["lang"])
+              .groupby("lang").aggregate(Count(alias_name="c")))
+    w = {r["lang"]: int(math.floor(1_000_000 * math.sqrt(r["c"])))
+         for r in counts.take_all()}       # bounded by |langs|
+    wmin = min(w.values())
+    rates = {s: min(1000, (1000 * wmin) // ws) for s, ws in w.items()}
+
+    def sample(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        rate = np.array([rates[s] for s in t["lang"].to_pylist()],
+                        dtype=np.int64)
+        h = ((ids % MIX_MOD) * KNUTH_MULT) % MIX_MOD
+        keep = h < rate
+        kept = t.filter(pa.array(keep))
+        return pa.table({"doc_id": kept["doc_id"],
+                         "lang": kept["lang"],
+                         "rate_pml": pa.array(rate[keep], pa.int64())})
+
+    return (ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                  columns=["doc_id", "lang"])
+            .map_batches(sample, batch_format="pyarrow",
+                         zero_copy_batch=True))
+
+
+TEMPERATURE_MIX_SQL = f"""
+WITH counts AS (SELECT lang, count(*) AS c FROM documents
+                GROUP BY lang),
+w AS (SELECT lang, CAST(floor(1000000 * sqrt(c)) AS BIGINT) AS w
+      FROM counts),
+wm AS (SELECT min(w) AS wmin FROM w),
+rates AS (SELECT lang,
+                 least(1000, (1000 * wm.wmin) // w.w) AS rate_pml
+          FROM w, wm)
+SELECT d.doc_id, d.lang, r.rate_pml
+FROM documents d JOIN rates r USING (lang)
+WHERE ((d.doc_id % {MIX_MOD}) * {KNUTH_MULT}) % {MIX_MOD} < r.rate_pml
+"""
+
+
 # --------------------------------------- seeded training shuffle --
 #
 # Deterministic seeded global shuffle — the ordering op a training
@@ -2642,6 +2704,7 @@ QUERIES = {
     "lm_score_documents": lm_score_documents,
     "bpe_tokenize_documents": bpe_tokenize_documents,
     "training_mix_sample": training_mix_sample,
+    "temperature_mix_documents": temperature_mix_documents,
     "training_shuffle_order": training_shuffle_order,
     "bloom_membership_documents": bloom_membership_documents,
 }
@@ -2714,6 +2777,7 @@ ORACLE = {
     "substring_dedup_spans_documents": SUBSTRING_SPANS_SQL,
     "contamination_check_documents": CONTAMINATION_SQL,
     "training_mix_sample": TRAINING_MIX_SQL,
+    "temperature_mix_documents": TEMPERATURE_MIX_SQL,
     "training_shuffle_order": TRAINING_SHUFFLE_SQL,
     # sketch ops intentionally have no SQL oracle (rows-only check);
     # they are verified against brute-force oracles in tests/.

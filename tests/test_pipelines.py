@@ -92,7 +92,7 @@ SQL_CHECKED = [
     "q13_customer_distribution", "q19_discounted_revenue",
     "q22_sales_opportunity",
     "bm25_sort_by_field", "bm25_range_agg", "bm25_stats_agg",
-    "bm25_top_hits", "training_mix_sample",
+    "bm25_top_hits", "training_mix_sample", "temperature_mix_documents",
     "cube_pricing_totals", "ntile_orders", "docbuild_nested_query",
     "neardup_gram_clusters", "neardup_representatives",
     "training_export_shards", "corpus_to_training_shards",
