@@ -4419,14 +4419,15 @@ def mget_documents(sf_dir: str) -> pa.Table:
 
     root = _ensure_index(sf_dir)
     want = set(_MGET_IDS)
-    want_ref = ray.put(want)
+    # a 5-int constant rides the task closure; ray.put would only add
+    # a plasma round-trip (broadcast is for BIG sides)
+    want_arr_list = sorted(want)
 
     def pick(t: pa.Table) -> pa.Table:
         import numpy as np
-        w = ray.get(want_ref)
         orig = np.array([_orig_id(p) for p in t["path"].to_pylist()],
                         dtype=np.int64)
-        keep = np.array([int(o) in w for o in orig], dtype=bool)
+        keep = np.isin(orig, np.array(want_arr_list, dtype=np.int64))
         t = t.filter(pa.array(keep))
         sha = [binascii.hexlify(x).decode()
                for x in t["content_sha256"].to_pylist()]

@@ -2216,12 +2216,12 @@ def dataset_summary_documents(sf_dir: str):
 
     class Stage(TextStats):
         def __call__(self, t: pa.Table) -> pa.Table:
+            texts = t["text"].to_pylist()
             n_tok = np.fromiter(
-                (len(self.tokens(x or "")) for x in
-                 t["text"].to_pylist()),
+                (len(self.tokens(x or "")) for x in texts),
                 dtype=np.int64, count=len(t))
             fp = pa.array([_hl.md5((x or "").encode()).hexdigest()
-                           for x in t["text"].to_pylist()], pa.string())
+                           for x in texts], pa.string())
             empty = pc.equal(pc.binary_length(
                 pc.coalesce(t["text"], pa.scalar(""))), 0)
             return pa.table({
@@ -2552,16 +2552,23 @@ def dsir_weights_documents(sf_dir: str):
                             batch_format="pyarrow")
 
 
+def _topk_partial(t: pa.Table, k: int) -> pa.Table:
+    """The (score DESC, doc_id ASC) partial-top-k kernel shared by
+    every selection stage in this module — one definition so a
+    tie-break fix cannot miss a copy."""
+    t = t.combine_chunks()
+    sc = t["score"].to_numpy(zero_copy_only=False)
+    d = t["doc_id"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((d, -sc))[:k]
+    return t.take(pa.array(order, pa.int64()))
+
+
 def dsir_select_documents(sf_dir: str, k: int = 100):
     """The resampling step: exact top-k docs by (score DESC, doc_id) —
     per-batch partial top-k, single bounded final merge (the
     geo_distance_topk pattern; never a full corpus sort)."""
     def topk_partial(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        s = t["score"].to_numpy(zero_copy_only=False)
-        d = t["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, -s))[:k]
-        return t.take(pa.array(order, pa.int64()))
+        return _topk_partial(t, k)
 
     return (dsir_weights_documents(sf_dir)
             .map_batches(topk_partial, batch_format="pyarrow")
@@ -2650,11 +2657,7 @@ def quality_training_mix_documents(sf_dir: str, k: int = 100):
         return scores.filter(keep)
 
     def topk_partial(t: pa.Table) -> pa.Table:
-        t = t.combine_chunks()
-        s = t["score"].to_numpy(zero_copy_only=False)
-        d = t["doc_id"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((d, -s))[:k]
-        return t.take(pa.array(order, pa.int64()))
+        return _topk_partial(t, k)
 
     return (docs.map_batches(stage, batch_format="pyarrow")
             .map_batches(topk_partial, batch_format="pyarrow")

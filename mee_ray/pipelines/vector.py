@@ -39,17 +39,22 @@ def _unit(mat: np.ndarray) -> np.ndarray:
     return mat / n
 
 
-def _load_queries(sf_dir: str, n_queries: int
-                  ) -> tuple[np.ndarray, np.ndarray]:
-    """(sorted query ids, unit-normalized query matrix) for the
-    vec_id < n_queries convention shared by the ANN family — one
-    pruned row-filtered read, never a full-table scan."""
+def _load_queries(sf_dir: str, n_queries: int, with_labels: bool = False):
+    """(sorted query ids, unit-normalized query matrix[, labels]) for
+    the vec_id < n_queries convention shared by the ANN family — one
+    pruned row-filtered read, never a full-table scan.  ONE loader so
+    the ordering/normalization convention cannot diverge between
+    variants."""
     import pyarrow.parquet as pq
-    qt = pq.read_table(f"{sf_dir}/embeddings.parquet",
-                       columns=["vec_id", "embedding"],
+    cols = ["vec_id", "embedding"] + (["label"] if with_labels else [])
+    qt = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=cols,
                        filters=[("vec_id", "<", n_queries)])
     q_ids, q_mat = _emb_matrix(qt)
     order = np.argsort(q_ids)
+    if with_labels:
+        lab = qt["label"].to_numpy(zero_copy_only=False)[order] \
+            .astype(np.int64)
+        return q_ids[order], _unit(q_mat[order]), lab
     return q_ids[order], _unit(q_mat[order])
 
 
@@ -765,18 +770,11 @@ def hard_negatives_embeddings(sf_dir: str, n_queries: int = 5,
     knn_filtered's fixed label, the exclusion is PER QUERY; the label
     vector rides the same broadcast as the query matrix, the per-batch
     mask is applied before any scoring work."""
-    import pyarrow.parquet as pq_
     import ray
     import ray.data
 
-    qt = pq_.read_table(f"{sf_dir}/embeddings.parquet",
-                        columns=["vec_id", "embedding", "label"],
-                        filters=[("vec_id", "<", n_queries)])
-    q_ids, q_mat = _emb_matrix(qt)
-    order = np.argsort(q_ids)
-    q_ids, q_mat = q_ids[order], _unit(q_mat[order])
-    q_labels = qt["label"].to_numpy(zero_copy_only=False)[order] \
-        .astype(np.int64)
+    q_ids, q_mat, q_labels = _load_queries(sf_dir, n_queries,
+                                           with_labels=True)
     ref = ray.put((q_ids, q_mat, q_labels))
 
     def batch_topk(t: pa.Table) -> pa.Table:

@@ -2495,20 +2495,24 @@ class CachedSearcher:
                     f"no CURRENT epoch in {self.index_root}")
             try:
                 st = _os.stat(mf.manifest_path(self.index_root, ep))
-                break
+                gen = (ep, st.st_mtime_ns, st.st_size)
+                if gen != self._gen:
+                    # the Searcher load itself must sit INSIDE the
+                    # retry: the same compact+gc race can delete the
+                    # old epoch's files between the stat and the open
+                    searcher = Searcher(self.index_root, ep)
+                    if self._gen is not None:
+                        self.invalidations += 1
+                    self._gen = gen
+                    self._searcher = searcher
+                    self._entries.clear()
+                return self._searcher
             except FileNotFoundError:
                 # CURRENT moved and the old epoch was gc'ed between
-                # the two reads (compact + gc_epochs race) — re-resolve
+                # the reads (compact + gc_epochs race) — re-resolve
                 if attempt == 2:
                     raise
-        gen = (ep, st.st_mtime_ns, st.st_size)
-        if gen != self._gen:
-            if self._gen is not None:
-                self.invalidations += 1
-            self._gen = gen
-            self._searcher = Searcher(self.index_root, ep)
-            self._entries.clear()
-        return self._searcher
+        raise AssertionError("unreachable")
 
     def _cached(self, method: str, key_args: tuple, call):
         s = self._resolve()

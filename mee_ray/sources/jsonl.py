@@ -96,10 +96,17 @@ def read_corpus_csv(path: str, columns: list[str] | None = None,
                     validate: bool = True, **read_kwargs):
     """Corpus source over CSV files (Arrow CSV reader: quoted fields
     carry embedded commas/newlines, so round-tripping code content is
-    lossless).  Same contract and projection caveat as the JSONL
-    reader."""
+    lossless).  Column types are FORCED to the corpus contract rather
+    than inferred — a corpus whose content values all look numeric
+    must still read as strings — and unquoted empty fields read as
+    NULL (strings_can_be_null) so the sink's null cells round-trip as
+    nulls, not ''.  Same projection caveat as the JSONL reader."""
+    from pyarrow import csv as pacsv
+
     import ray.data
 
+    read_kwargs.setdefault("convert_options", pacsv.ConvertOptions(
+        column_types=dict(CORPUS_SCHEMA), strings_can_be_null=True))
     ds = ray.data.read_csv(path, **read_kwargs)
     if validate:
         _check_schema(ds.schema(), CORPUS_SCHEMA, columns, path)

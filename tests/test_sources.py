@@ -167,3 +167,28 @@ def test_csv_corpus_roundtrip(ray_session, corpus_dir, tmp_path):
     a = a.sort_values(key, kind="mergesort").reset_index(drop=True)
     b = b.sort_values(key, kind="mergesort").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
+
+
+def test_csv_forced_types_and_null_roundtrip(ray_session, tmp_path):
+    """CSV contract (review-found): numeric-looking content must read
+    as STRING (types forced to the corpus schema, never inferred) and
+    a null string cell round-trips as null, not ''."""
+    import pyarrow as pa
+
+    from mee_ray.sources import read_corpus_csv, write_corpus_csv
+    import ray.data
+
+    t = pa.table({
+        "repo": pa.array(["r1", "r2"]),
+        "path": pa.array(["a", "b"]),
+        "commit": pa.array(["c1", "c2"]),
+        "lang": pa.array(["py", None]),
+        "content": pa.array(["12345", "678"]),   # numeric-looking
+    })
+    out = str(tmp_path / "csvtyped")
+    write_corpus_csv(ray.data.from_arrow(t), out)
+    back = read_corpus_csv(out).to_pandas() \
+        .sort_values("repo").reset_index(drop=True)
+    assert back["content"].tolist() == ["12345", "678"]
+    assert back["content"].dtype == object          # string, not int
+    assert back["lang"].iloc[1] is None or back["lang"].isna().iloc[1]
