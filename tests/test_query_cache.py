@@ -99,3 +99,41 @@ def test_cache_invalidation_on_delta_and_compact(ray_session, tmp_path):
     assert cs.msearch([["alpha"], ["omega"]], k=3) \
         == [Searcher(root).search(["alpha"], k=3),
             Searcher(root).search(["omega"], k=3)]
+
+
+def test_cache_under_concurrent_compaction(ray_session, tmp_path):
+    """Stress the gc-race window the review found: a reader hammering
+    a CachedSearcher while a compactor repeatedly publishes new epochs
+    and gc's old ones.  Contract: no exception ever escapes, and every
+    result equals a fresh Searcher's on SOME valid generation (the
+    reader may legitimately serve the epoch just before or after a
+    swap — so results are checked against the pre/post answer set,
+    which here is identical because compaction never changes ranks)."""
+    import threading
+
+    root = _build(tmp_path, DOCS, name="race")
+    want = Searcher(root).search(["alpha"], k=5)
+    cs = CachedSearcher(root)
+    errors: list = []
+    stop = threading.Event()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                got = cs.search(["alpha"], k=5)
+                assert got == want, got
+        except Exception as ex:        # pragma: no cover
+            errors.append(ex)
+
+    t = threading.Thread(target=reader)
+    t.start()
+    try:
+        for i in range(4):
+            compact(root, f"ep.r{i}", gc_old=True)
+    finally:
+        stop.set()
+        t.join(timeout=30)
+    assert not errors, errors
+    assert cs.invalidations >= 1
+    assert cs.search(["alpha"], k=5) == Searcher(root).search(
+        ["alpha"], k=5)
