@@ -817,6 +817,58 @@ WHERE rank <= 10
 """
 
 
+def mmr_rerank_embeddings(sf_dir: str, n_queries: int = 5,
+                          k: int = 5, pool: int = 20,
+                          lam: float = 0.5):
+    """Maximal Marginal Relevance diversification (Carbonell &
+    Goldstein 1998): greedily pick from the exact top-``pool``
+    candidates by λ·sim(q,d) − (1−λ)·max_sim(d, selected).  The
+    DISTRIBUTED part is the exact top-pool retrieval (the
+    knn_bruteforce machinery); the greedy runs on the driver over a
+    pool-bounded candidate set — k·pool scalar ops per query, never
+    corpus-sized.  Rows-only (iterative float greedy is not SQL);
+    bit-equal to a driver recompute in tests.  Output: (query_id,
+    rank, neighbor_id)."""
+    import pyarrow.parquet as pq_
+
+    # exact top-pool ids per query via the shared distributed path
+    base = knn_bruteforce(sf_dir, n_queries=n_queries, k=pool)
+    bt = base if isinstance(base, pa.Table) else base
+    qids = bt["query_id"].to_numpy(zero_copy_only=False)
+    nids = bt["neighbor_id"].to_numpy(zero_copy_only=False)
+    # fetch ONLY the needed vectors (queries + candidates): a pruned
+    # row-filtered read bounded by n_queries × (pool + 1)
+    need = sorted(set(nids.tolist()) | set(qids.tolist()))
+    vt = pq_.read_table(f"{sf_dir}/embeddings.parquet",
+                        columns=["vec_id", "embedding"],
+                        filters=[("vec_id", "in", need)])
+    ids, mat = _emb_matrix(vt)
+    u = _unit(mat)
+    vec = {int(i): u[j] for j, i in enumerate(ids)}
+    out_q, out_r, out_n = [], [], []
+    for q in np.unique(qids):
+        cand = nids[qids == q].tolist()
+        qv = vec[int(q)]
+        sel: list[int] = []
+        while cand and len(sel) < k:
+            best, best_key = None, None
+            for c in cand:
+                rel = float(qv @ vec[c])
+                div = max((float(vec[c] @ vec[s]) for s in sel),
+                          default=0.0)
+                key = (-(lam * rel - (1 - lam) * div), c)
+                if best_key is None or key < best_key:
+                    best, best_key = c, key
+            sel.append(best)
+            cand.remove(best)
+        out_q.extend([int(q)] * len(sel))
+        out_r.extend(range(1, len(sel) + 1))
+        out_n.extend(sel)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "rank": pa.array(out_r, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64())})
+
+
 def knn_grouped(sf_dir: str, n_queries: int = 3, k: int = 3):
     """Grouped vector search (diversified retrieval: top-k PER label
     per query — the ES collapse/inner_hits analog on the vector
@@ -919,6 +971,7 @@ QUERIES = {
     "ann_ivfpq_topk": ann_ivfpq_topk,
     "knn_filtered": knn_filtered,
     "hard_negatives_embeddings": hard_negatives_embeddings,
+    "mmr_rerank_embeddings": mmr_rerank_embeddings,
     "knn_grouped": knn_grouped,
     "embedding_dims": embedding_dims,
     "embedding_neardup": embedding_neardup,

@@ -226,7 +226,7 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
                          "quantile_sketch_events",
                          "kmeans_assign_embeddings",
                          "lm_score_documents", "bpe_tokenize_documents",
-                         "semdedup_embeddings",
+                         "semdedup_embeddings", "mmr_rerank_embeddings",
                          "bloom_membership_documents",
                          "ann_sq_topk", "ann_pq_topk", "ann_ivfpq_topk",
                          "ann_ivfpq_refine_topk"}
@@ -871,3 +871,54 @@ def test_ivfpq_refine_improves_recall(entry_mod, ray_session):
     refined = mean_recall(ann_ivfpq_refine_topk(SF).to_pandas())
     assert refined >= plain
     assert refined >= 0.6
+
+
+def test_mmr_rerank_matches_recompute_and_diversifies(
+        entry_mod, ray_session):
+    """MMR vs a from-scratch driver recompute over the same exact
+    top-pool (bit-equal selection), plus the diversification signal:
+    for lambda = 0.5 the MMR set's mean pairwise similarity must not
+    exceed the plain top-k's."""
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.vector import (_emb_matrix, _unit,
+                                          knn_bruteforce,
+                                          mmr_rerank_embeddings)
+
+    K, POOL, LAM = 5, 20, 0.5
+    got = entry_mod.queries()["mmr_rerank_embeddings"](SF).to_pandas()
+    base = knn_bruteforce(SF, k=POOL).to_pandas()
+    t = pq.read_table(f"{SF}/embeddings.parquet",
+                      columns=["vec_id", "embedding"])
+    ids, mat = _emb_matrix(t)
+    u = _unit(mat)
+    vec = {int(i): u[j] for j, i in enumerate(ids)}
+
+    def pairwise_mean(sel):
+        if len(sel) < 2:
+            return 0.0
+        sims = [float(vec[a] @ vec[b])
+                for i, a in enumerate(sel) for b in sel[i + 1:]]
+        return float(np.mean(sims))
+
+    for q in base.query_id.unique():
+        cand = base[base.query_id == q].sort_values("rank") \
+            .neighbor_id.tolist()
+        qv = vec[int(q)]
+        sel = []
+        pool = list(cand)
+        while pool and len(sel) < K:
+            best, best_key = None, None
+            for c in pool:
+                rel = float(qv @ vec[c])
+                div = max((float(vec[c] @ vec[s]) for s in sel),
+                          default=0.0)
+                key = (-(LAM * rel - (1 - LAM) * div), c)
+                if best_key is None or key < best_key:
+                    best, best_key = c, key
+            sel.append(best)
+            pool.remove(best)
+        mine = got[got.query_id == q].sort_values("rank") \
+            .neighbor_id.tolist()
+        assert mine == sel, (q, mine, sel)
+        assert pairwise_mean(mine) <= pairwise_mean(cand[:K]) + 1e-12
