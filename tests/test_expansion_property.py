@@ -66,3 +66,34 @@ def test_merge_partials_ignores_extraneous_terms(raw, k, data):
     only = {t: partials[t] for t in subset}
     assert merge_partials([partials], subset, k) == \
         merge_partials([only], subset, k)
+
+
+def test_dsir_bucket_hash_cross_engine_property():
+    """Property: the rolling-polynomial gram hash is bit-identical
+    between the engine (_dsir_bucket) and the DuckDB list_reduce
+    expression embedded in DSIR_SQL, for arbitrary token strings —
+    the identity every DSIR oracle row rests on."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mee_ray.pipelines.text import (_DSIR_BUCKETS, _DSIR_HASH_MOD,
+                                        _dsir_bucket)
+
+    con = duckdb.connect()
+    expr = (f"list_reduce(list_prepend(CAST(7 AS BIGINT), "
+            f"list_transform(generate_series(1, len(g)), "
+            f"i -> CAST(ascii(substr(g, i, 1)) AS BIGINT))), "
+            f"(a, x) -> (a * 31 + x) % {_DSIR_HASH_MOD}) "
+            f"% {_DSIR_BUCKETS}")
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet=st.characters(
+        whitelist_categories=("Ll", "Nd"), max_codepoint=0x7F),
+        min_size=1, max_size=24))
+    def check(g):
+        sql = con.execute(f"SELECT {expr} FROM (SELECT ? AS g)",
+                          [g]).fetchone()[0]
+        assert _dsir_bucket(g) == sql, g
+
+    check()
