@@ -97,3 +97,57 @@ def test_dsir_bucket_hash_cross_engine_property():
         assert _dsir_bucket(g) == sql, g
 
     check()
+
+
+def test_morton_interleave_cross_engine_property():
+    """Property: the generated Morton-interleave SQL expression equals
+    the numpy kernel for arbitrary 16-bit cell coordinates, and
+    deinterleaving recovers (cx, cy) — the zorder oracle's foundation."""
+    import duckdb
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from mee_ray.pipelines.geo import _morton_expr, _morton_np
+
+    con = duckdb.connect()
+    expr = _morton_expr("cx", "cy")
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(0, (1 << 16) - 1), st.integers(0, (1 << 16) - 1))
+    def check(cx, cy):
+        code = int(_morton_np(np.array([cx]), np.array([cy]))[0])
+        sql = con.execute(
+            f"SELECT ({expr}) FROM (SELECT CAST(? AS BIGINT) AS cx, "
+            f"CAST(? AS BIGINT) AS cy)", [cx, cy]).fetchone()[0]
+        assert code == sql, (cx, cy)
+        # deinterleave identity
+        dx = sum(((code >> (2 * i)) & 1) << i for i in range(16))
+        dy = sum(((code >> (2 * i + 1)) & 1) << i for i in range(16))
+        assert (dx, dy) == (cx, cy)
+
+    check()
+
+
+def test_sqrt_floor_cross_engine_property():
+    """Property behind temperature_mix_documents' exactness claim:
+    floor(10⁶·√c) is the same int64 in Python/numpy and DuckDB for
+    arbitrary counts (IEEE sqrt is correctly rounded in both)."""
+    import math
+
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    con = duckdb.connect()
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.integers(1, 10 ** 12))
+    def check(c):
+        py = int(math.floor(1_000_000 * math.sqrt(c)))
+        sql = con.execute(
+            "SELECT CAST(floor(1000000 * sqrt(CAST(? AS BIGINT))) "
+            "AS BIGINT)", [c]).fetchone()[0]
+        assert py == sql, c
+
+    check()
