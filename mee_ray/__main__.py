@@ -413,6 +413,21 @@ def main(argv: list[str] | None = None) -> int:
     vc.add_argument("--index", required=True)
     vc.add_argument("--epoch", required=True)
 
+    pl = sub.add_parser("pipeline", help="run any named pipeline from "
+                                         "the driver surface over an "
+                                         "sf-dir of parquet tables "
+                                         "and write the result")
+    pl.add_argument("--name", help="pipeline name (omit with --list)")
+    pl.add_argument("--sf-dir", help="directory holding the parquet "
+                                     "tables (documents, events, ...)")
+    pl.add_argument("--out", help="output parquet path (directory for "
+                                  "a Dataset result, single file for "
+                                  "a driver table); omit to print a "
+                                  "row-count summary only")
+    pl.add_argument("--list", action="store_true",
+                    help="list available pipeline names and exit")
+    pl.add_argument("--num-cpus", type=int, default=None)
+
     args = p.parse_args(argv)
     # lifecycle commands: no --config → derive from the index manifest
     # (a default EngineConfig here would silently disagree with the
@@ -945,6 +960,43 @@ def main(argv: list[str] | None = None) -> int:
         m = compact_vector_index(args.index, args.epoch)
         print(json.dumps({"epoch": m["epoch"],
                           "n_vectors": m["n_vectors"]}))
+
+    elif args.cmd == "pipeline":
+        import __ray_entry__ as entry_mod
+        qs = entry_mod.queries()
+        if args.list:
+            for name in sorted(qs):
+                print(name)
+            return 0
+        if not args.name or not args.sf_dir:
+            p.error("pipeline needs --name and --sf-dir (or --list)")
+        if args.name not in qs:
+            p.error(f"unknown pipeline {args.name!r} "
+                    f"(run --list for the {len(qs)} available)")
+        _init_ray(args.num_cpus)
+        res = qs[args.name](args.sf_dir)
+        import pandas as _pd
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+        if hasattr(res, "write_parquet") and args.out:
+            res.write_parquet(args.out)   # streams; never a driver table
+            n = None
+        else:
+            if isinstance(res, _pd.DataFrame):
+                t = _pa.Table.from_pandas(res, preserve_index=False)
+            elif isinstance(res, _pa.Table):
+                t = res
+            else:
+                t = _pa.concat_tables(list(res.iter_batches(
+                    batch_format="pyarrow", batch_size=1 << 20)))
+            if args.out:
+                _pq.write_table(t, args.out)
+            n = t.num_rows
+        if n is None:
+            import ray.data as _rd
+            n = _rd.read_parquet(args.out).count()
+        print(json.dumps({"pipeline": args.name, "rows": int(n),
+                          "out": args.out}))
 
     return 0
 

@@ -427,3 +427,32 @@ def test_cli_vector_lifecycle(ray_session, tmp_path):
 
     out = run2(["vec-compact", "--index", root, "--epoch", "ep2"])
     assert out["epoch"] == "ep2" and out["n_vectors"] == 59
+
+
+def test_cli_pipeline_runs_named_query(ray_session, tmp_path):
+    """The generic `pipeline` subcommand exposes the whole driver
+    surface from the CLI: --list names every queries() entry, a run
+    writes parquet with the same rows the callable returns, and an
+    unknown name fails with the available count."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from mee_ray.__main__ import main
+
+    import __ray_entry__ as e
+    out = str(tmp_path / "out.parquet")
+    rc = main(["pipeline", "--name", "doc_token_counts",
+               "--sf-dir", "/root/testdata/sf0.001", "--out", out])
+    assert rc == 0
+    t = pq.read_table(out)
+    want = e.queries()["doc_token_counts"]("/root/testdata/sf0.001")
+    import pandas as pd
+    if not isinstance(want, pd.DataFrame):
+        want = want.to_pandas()
+    assert t.num_rows == len(want)
+
+    import pytest as _pt
+    with _pt.raises(SystemExit):
+        main(["pipeline", "--name", "no_such_thing",
+              "--sf-dir", "/root/testdata/sf0.001"])
