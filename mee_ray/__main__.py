@@ -427,6 +427,9 @@ def main(argv: list[str] | None = None) -> int:
     pl.add_argument("--list", action="store_true",
                     help="list available pipeline names and exit")
     pl.add_argument("--num-cpus", type=int, default=None)
+    pl.add_argument("--stats", action="store_true",
+                    help="print Ray Data per-stage execution stats "
+                         "(ds.stats()) after the run")
 
     args = p.parse_args(argv)
     # lifecycle commands: no --config → derive from the index manifest
@@ -995,6 +998,8 @@ def main(argv: list[str] | None = None) -> int:
         if n is None:
             import ray.data as _rd
             n = _rd.read_parquet(args.out).count()
+        if args.stats and hasattr(res, "stats"):
+            print(res.stats(), file=sys.stderr)
         print(json.dumps({"pipeline": args.name, "rows": int(n),
                           "out": args.out}))
 
