@@ -72,6 +72,15 @@ def _cases(oracle, variant):
             if len(seq) > 12:
                 out.append((seq[3][:2], seq[6]))
         return out[:10]
+    if variant == "prefix":
+        # prefixes re-expanded per query against each side's CURRENT
+        # vocabulary (delta/compact add terms; a frozen expansion
+        # would miss them)
+        return [by_df[0][:2], by_df[1][:3], by_df[-1][:1],
+                by_df[4][:2], "zzzz"]
+    if variant == "fuzzy":
+        alt = by_df[3][:-1] + "x" if len(by_df[3]) > 3 else by_df[3]
+        return [by_df[0], alt, by_df[7], "zz_none"]
     if variant in ("span_containing", "span_or_near"):
         from mee_ray.config import TokenizerConfig
         from mee_ray.tokenizer import Tokenizer
@@ -105,6 +114,39 @@ def _run(searcher, oracle, variant, q):
         resc = [(d, sc * oracle.dl[d] / (oracle.dl[d] + 10))
                 for d, sc in full]
         want = sorted(resc, key=lambda x: (-x[1], x[0]))[:k]
+        return got, want
+    if variant == "prefix":
+        got = searcher.search_prefix(q, k=k)
+        terms = sorted(t for t in oracle.postings if t.startswith(q))
+        want = oracle.search(terms, k=k) if terms else []
+        return got, want
+    if variant == "fuzzy":
+        def _lev_le1(a: str, b: str) -> bool:
+            # independent oracle-side edit-distance<=1 (unit costs,
+            # no transposition) -- NOT the engine's fuzzy_terms
+            if a == b:
+                return True
+            la, lb = len(a), len(b)
+            if abs(la - lb) > 1:
+                return False
+            if la == lb:
+                return sum(x != y for x, y in zip(a, b)) == 1
+            if la > lb:
+                a, b, la, lb = b, a, lb, la
+            i = j = used = 0
+            while i < la and j < lb:
+                if a[i] == b[j]:
+                    i += 1
+                    j += 1
+                else:
+                    if used:
+                        return False
+                    used = 1
+                    j += 1
+            return True
+        got = searcher.search_fuzzy(q, k=k, max_edits=1)
+        terms = sorted(t for t in oracle.postings if _lev_le1(t, q))
+        want = oracle.search(terms, k=k) if terms else []
         return got, want
     if variant == "terms_set":
         thr = int(np.median(list(oracle.dl.values()))) if oracle.dl else 1
@@ -161,8 +203,8 @@ def _run(searcher, oracle, variant, q):
 
 
 ALL = ["or", "and", "common_terms", "script_score", "terms_set",
-       "min_match", "phrase", "span_near", "intervals",
-       "span_containing", "span_or_near", "span_multi"]
+       "min_match", "prefix", "fuzzy", "phrase", "span_near",
+       "intervals", "span_containing", "span_or_near", "span_multi"]
 
 
 def main():
