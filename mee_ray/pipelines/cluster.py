@@ -252,15 +252,17 @@ def _gram_hash64(gram: str) -> int:
                           "little") & 0x7FFFFFFFFFFFFFFF
 
 
-def gram_dup_edges(sf_dir: str, n: int = 8, max_df: int = 50):
+def gram_dup_edges(sf_dir: str, n: int = 8, max_df: int = 50,
+                   use_hash: bool = True):
     """Candidate edges over the full documents table — see
     :func:`gram_dup_edges_ds` (this just binds the source)."""
     from mee_ray.pipelines.text import _read_docs
     return gram_dup_edges_ds(_read_docs(sf_dir, ["doc_id", "text"]),
-                             n=n, max_df=max_df)
+                             n=n, max_df=max_df, use_hash=use_hash)
 
 
-def gram_dup_edges_ds(docs, n: int = 8, max_df: int = 50):
+def gram_dup_edges_ds(docs, n: int = 8, max_df: int = 50,
+                      use_hash: bool = True):
     """Candidate edges: documents sharing at least one token ``n``-gram
     whose document frequency is in [2, max_df].
 
@@ -277,7 +279,30 @@ def gram_dup_edges_ds(docs, n: int = 8, max_df: int = 50):
     Distributed shape: one map_batches pass explodes documents to
     (gram_key, doc_id) rows (per-doc distinct); ONE bucketed groupby
     co-locates each gram's documents; each bucket group resolves MANY
-    grams vectorized.  `text` never leaves the tokenize task."""
+    grams vectorized.  `text` never leaves the tokenize task.
+
+    ``use_hash=True`` (default) runs the explode fully vectorized via
+    the :mod:`mee_ray.pipelines.gramhash` kernel (Arrow tokenize +
+    SipHash-per-unique-token + FNV window fold — no Python per row,
+    no per-gram md5); ``use_hash=False`` keeps the legacy string/md5
+    path whose gram keys are joined strings.  Both induce the same
+    gram equality classes (up to 64-bit collisions, which only merge
+    clusters), asserted bit-identical end-to-end in
+    test_gramhash.py."""
+
+    def explode_hashed(t: pa.Table) -> pa.Table:
+        from mee_ray.pipelines.gramhash import (gram_hash64,
+                                                token_hash64,
+                                                tokenize_flat)
+        flat, _, lens = tokenize_flat(t["text"], mode="space")
+        th = token_hash64(flat)
+        didx, _, g = gram_hash64(th, lens, n)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        d, g = _unique_pairs(dids[didx], g)    # per-doc distinct grams
+        bucket = (_mix64(g) % np.uint64(_N_BUCKETS)).astype(np.int32)
+        return pa.table({"bucket": pa.array(bucket),
+                         "g": pa.array(g, pa.int64()),
+                         "doc_id": pa.array(d, pa.int64())})
 
     def explode(t: pa.Table) -> pa.Table:
         out_g, out_d = [], []
@@ -312,7 +337,8 @@ def gram_dup_edges_ds(docs, n: int = 8, max_df: int = 50):
         return _edges_table(seg_min[seg_id][keep], d[keep])
 
     return (docs
-            .map_batches(explode, batch_format="pyarrow",
+            .map_batches(explode_hashed if use_hash else explode,
+                         batch_format="pyarrow",
                          zero_copy_batch=True)
             .groupby("bucket")
             .map_groups(star_edges, batch_format="pyarrow"))

@@ -1272,7 +1272,7 @@ _SPAN_BUCKETS = 512      # gram-hash buckets: sized so one bucket's
                          # windows fit a worker; scale with the cluster
 
 
-def substring_dedup_spans_documents(sf_dir: str):
+def substring_dedup_spans_documents(sf_dir: str, use_hash: bool = True):
     """Exact substring-level dedup spans (the suffix-array dedup shape
     of Lee et al., "Deduplicating Training Data Makes Language Models
     Better", arXiv:2107.06499, approximated with fixed-length rolling
@@ -1292,12 +1292,36 @@ def substring_dedup_spans_documents(sf_dir: str):
     semi-join — same-gram rows are co-located by construction, so no
     join operator and no second exchange) → per-doc island merge in
     map_groups (vectorized; per-group state is one position array).
-    Like passage dedup, a 100-TB run swaps the string key for a
-    128-bit gram hash; string keys keep the sf-scale oracle
-    bit-exact."""
+
+    ``use_hash=True`` (default) is the 100-TB mode the round-3
+    docstring promised: the shuffle key is a 64-bit rolling gram hash
+    (the :mod:`mee_ray.pipelines.gramhash` kernel — Arrow tokenize,
+    one SipHash per unique token, FNV window fold), so only
+    (doc_id, pos, ghash int64, bucket) rows cross the exchange
+    instead of {SPAN_GRAM}-token gram STRINGS (~8× text
+    amplification), and the explode is fully vectorized.
+    ``use_hash=False`` keeps the legacy string-key path.  Both mark
+    the same window positions duplicated (64-bit collisions — the
+    only possible divergence — at worst mark one extra start);
+    test_gramhash.py asserts the two modes bit-identical end-to-end
+    on real data."""
     from zlib import crc32
 
     st = TextStats()
+
+    def explode_hashed(t: pa.Table) -> pa.Table:
+        from mee_ray.pipelines.gramhash import (gram_hash64, mix64,
+                                                token_hash64,
+                                                tokenize_flat)
+        flat, _, lens = tokenize_flat(t["text"], mode="regex")
+        th = token_hash64(flat)
+        didx, pos, g = gram_hash64(th, lens, SPAN_GRAM)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        bucket = (mix64(g) % np.uint64(_SPAN_BUCKETS)).astype(np.int64)
+        return pa.table({"doc_id": pa.array(dids[didx], pa.int64()),
+                         "pos": pa.array(pos + 1, pa.int64()),
+                         "gram": pa.array(g, pa.int64()),
+                         "bucket": pa.array(bucket)})
 
     def explode(t: pa.Table) -> pa.Table:
         out_d, out_p, out_g, out_b = [], [], [], []
@@ -1315,6 +1339,8 @@ def substring_dedup_spans_documents(sf_dir: str):
                          "bucket": pa.array(out_b, pa.int64())})
 
     def dup_filter(g: pa.Table) -> pa.Table:
+        # gram dtype is string (legacy) or int64 (hashed) — np.unique
+        # handles both; the int64 path is a radix-ish C sort.
         grams = g["gram"].to_numpy(zero_copy_only=False)
         _, inv, cnt = np.unique(grams, return_inverse=True,
                                 return_counts=True)
@@ -1323,7 +1349,8 @@ def substring_dedup_spans_documents(sf_dir: str):
                          "pos": g["pos"].filter(pa.array(keep))})
 
     joined = (_read_docs(sf_dir, ["doc_id", "text"])
-              .map_batches(explode, batch_format="pyarrow",
+              .map_batches(explode_hashed if use_hash else explode,
+                           batch_format="pyarrow",
                            zero_copy_batch=True)
               .groupby("bucket")
               .map_groups(dup_filter, batch_format="pyarrow"))

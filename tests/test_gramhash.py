@@ -1,0 +1,106 @@
+"""Hashed-gram dedup kernel: bit-identity vs the legacy string modes.
+
+The gramhash kernel replaces Python row loops + per-gram md5 / raw
+string shuffle keys in the dedup edge generators.  The contract is
+that the HASHED mode produces byte-identical final output to the
+STRING mode on real data (collisions being the only theoretical
+divergence, ~2⁻⁶⁴ per gram pair), plus unit coverage of the
+tokenizer parity and the doc-boundary handling of the window fold.
+"""
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from mee_ray.pipelines.gramhash import (gram_hash64, token_hash64,
+                                        tokenize_flat)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _texts(limit=300):
+    import pyarrow.parquet as pq
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["text"])
+    return t["text"].to_pylist()[:limit]
+
+
+def test_tokenize_flat_regex_parity():
+    texts = _texts() + ["", None, "  ", "Hello, World!", "a_b-c  d"]
+    flat, didx, lens = tokenize_flat(pa.chunked_array([texts]),
+                                     mode="regex")
+    tok = re.compile("[a-z0-9_]+")
+    expect = [tok.findall((x or "").lower()) for x in texts]
+    assert lens.tolist() == [len(e) for e in expect]
+    assert flat.to_pylist() == [t for e in expect for t in e]
+    assert didx.tolist() == [i for i, e in enumerate(expect)
+                             for _ in e]
+
+
+def test_tokenize_flat_space_parity():
+    texts = _texts(100) + ["", None, "a  b", " x "]
+    flat, didx, lens = tokenize_flat(pa.chunked_array([texts]),
+                                     mode="space")
+    expect = [(x or "").split(" ") for x in texts]
+    assert lens.tolist() == [len(e) for e in expect]
+    assert flat.to_pylist() == [t for e in expect for t in e]
+
+
+def test_gram_hash_window_semantics():
+    # same token sequence -> same hash; any difference -> different;
+    # windows never cross doc boundaries
+    texts = ["a b c d", "b c d e", "a b c d", "x", ""]
+    flat, _, lens = tokenize_flat(pa.array(texts), mode="space")
+    th = token_hash64(flat)
+    didx, pos, g = gram_hash64(th, lens, 3)
+    # doc0: windows (a b c),(b c d); doc1: (b c d),(c d e); doc2 same
+    # as doc0; doc3/doc4: none
+    assert didx.tolist() == [0, 0, 1, 1, 2, 2]
+    assert pos.tolist() == [0, 1, 0, 1, 0, 1]
+    assert g[1] == g[2]          # "b c d" shared across docs
+    assert g[0] == g[4] and g[1] == g[5]   # doc2 repeats doc0
+    assert len({g[0], g[1], g[3]}) == 3    # distinct grams differ
+    assert (g >= 0).all()
+
+
+def test_gram_hash_order_sensitive():
+    flat, _, lens = tokenize_flat(pa.array(["a b", "b a"]),
+                                  mode="space")
+    th = token_hash64(flat)
+    _, _, g = gram_hash64(th, lens, 2)
+    assert g[0] != g[1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gram_edges_hashed_vs_string_identity():
+    from mee_ray.pipelines.cluster import gram_dup_edges
+
+    def collect(use_hash):
+        parts = list(gram_dup_edges(SF, n=8, max_df=50,
+                                    use_hash=use_hash)
+                     .iter_batches(batch_format="pyarrow"))
+        t = pa.concat_tables(parts) if parts else pa.table(
+            {"a": pa.array([], pa.int64()),
+             "b": pa.array([], pa.int64())})
+        return set(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+
+    hashed, string = collect(True), collect(False)
+    assert hashed == string
+    assert len(hashed) > 0       # the fixture corpus has near-dups
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_substring_spans_hashed_vs_string_identity():
+    from mee_ray.pipelines.text import substring_dedup_spans_documents
+
+    def collect(use_hash):
+        parts = list(substring_dedup_spans_documents(
+            SF, use_hash=use_hash).iter_batches(batch_format="pyarrow"))
+        t = pa.concat_tables(parts) if parts else None
+        assert t is not None and len(t) > 0
+        return t.sort_by([("doc_id", "ascending"),
+                          ("span_start", "ascending")])
+
+    hashed, string = collect(True), collect(False)
+    assert hashed.equals(string)
