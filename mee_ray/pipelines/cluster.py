@@ -555,10 +555,13 @@ def pagerank_users(sf_dir: str, iters: int = _PR_ITERS) -> pa.Table:
     currently trips over the empty schema-less blocks aggregate
     stages emit), contributions reduce with per-bucket int64 partials
     before the groupby; ranks re-materialize each round (the
-    connected_components lineage-cut pattern).  Edge generation sorts
-    within event_type groups; a 100-TB run splits hot types by day
-    with boundary stitching (the sessionization pattern) —
-    documented, not needed at bench scale."""
+    connected_components lineage-cut pattern).  Edge generation is
+    HOT-TYPE SAFE: the stream groups by (event_type, DAY) — day is
+    monotone in ts, so per-day sorts plus a tiny cross-day boundary
+    stitch (one row per slice, linked per type in a second
+    ≤types×days-row groupby) reproduce the whole-type ordering
+    exactly while no task ever sorts a full type's stream
+    (test_cluster.py::test_pagerank_hot_type_day_split)."""
     import ray.data
     from ray.data.aggregate import Sum
 
@@ -569,7 +572,33 @@ def pagerank_users(sf_dir: str, iters: int = _PR_ITERS) -> pa.Table:
     def _bucket_of(key: np.ndarray) -> np.ndarray:
         return (_mix64(key) % np.uint64(_N_BUCKETS)).astype(np.int32)
 
+    _DAY_US = 86_400_000_000
+
+    def add_day(t: pa.Table) -> pa.Table:
+        d = (t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+             // _DAY_US)
+        return t.append_column("day", pa.array(d, pa.int64()))
+
+    def _pair_rows(etype, day, side, src, dst, w) -> pa.Table:
+        n = len(src)
+        return pa.table({
+            "etype": pa.array(etype, pa.string()),
+            "day": pa.array(day, pa.int64()),
+            "side": pa.array(np.full(n, side, np.int8)),
+            "src": pa.array(src, pa.int64()),
+            "dst": pa.array(dst, pa.int64()),
+            "w_part": pa.array(w, pa.int64()),
+            "bucket": pa.array(_bucket_of(np.asarray(src, np.int64)),
+                               pa.int32())})
+
     def pairs(g: pa.Table) -> pa.Table:
+        """One (event_type, DAY) slice — the hot-type split: a type's
+        stream shards across days so no task sorts the whole type.
+        day = ts // 1d is monotone in ts, so per-day (ts, event_id)
+        sorts + a boundary stitch reproduce the global order exactly.
+        Emits intra-day succession pairs pre-combined (side 0) plus
+        ONE boundary row (side 1) carrying the slice's first (dst)
+        and last (src) user for the cross-day stitch."""
         ts = g["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
         eid = g["event_id"].to_numpy(zero_copy_only=False)
         uid = g["user_id"].to_numpy(zero_copy_only=False)
@@ -584,9 +613,40 @@ def pagerank_users(sf_dir: str, iters: int = _PR_ITERS) -> pa.Table:
                        "dst": pa.array(dst, pa.int64())})
              .group_by(["src", "dst"]).aggregate([([], "count_all")])
              .rename_columns(["src", "dst", "w_part"]))
-        return t.append_column(
-            "bucket", pa.array(_bucket_of(
-                t["src"].to_numpy(zero_copy_only=False)), pa.int32()))
+        intra = _pair_rows(
+            [""] * len(t), np.zeros(len(t), np.int64), 0,
+            t["src"].to_numpy(zero_copy_only=False),
+            t["dst"].to_numpy(zero_copy_only=False),
+            t["w_part"].to_numpy(zero_copy_only=False))
+        bound = _pair_rows(
+            [g["event_type"][0].as_py()],
+            np.array([g["day"][0].as_py()], np.int64), 1,
+            np.array([u[-1]], np.int64),      # slice's LAST user
+            np.array([u[0]], np.int64),       # slice's FIRST user
+            np.ones(1, np.int64))
+        return pa.concat_tables([intra, bound])
+
+    def stitch(g: pa.Table) -> pa.Table:
+        """One event_type's boundary rows (≤ one per day — tiny):
+        link each day's last user to the next present day's first
+        user, self-loops dropped, duplicates combined — exactly the
+        pairs a whole-type sort would have formed across the cuts."""
+        order = np.argsort(g["day"].to_numpy(zero_copy_only=False),
+                           kind="stable")
+        last = g["src"].to_numpy(zero_copy_only=False)[order]
+        first = g["dst"].to_numpy(zero_copy_only=False)[order]
+        src, dst = last[:-1], first[1:]
+        keep = src != dst
+        src, dst = src[keep], dst[keep]
+        t = (pa.table({"src": pa.array(src, pa.int64()),
+                       "dst": pa.array(dst, pa.int64())})
+             .group_by(["src", "dst"]).aggregate([([], "count_all")])
+             .rename_columns(["src", "dst", "w_part"]))
+        return _pair_rows(
+            [""] * len(t), np.zeros(len(t), np.int64), 0,
+            t["src"].to_numpy(zero_copy_only=False),
+            t["dst"].to_numpy(zero_copy_only=False),
+            t["w_part"].to_numpy(zero_copy_only=False))
 
     # union-row schema for the bucketed joins:
     # (bucket, key, dst, w, aux, side) — side 0 = edge, 1 = lookup
@@ -629,9 +689,24 @@ def pagerank_users(sf_dir: str, iters: int = _PR_ITERS) -> pa.Table:
                           g["dst"].to_numpy(zero_copy_only=False),
                           w, wout, 0)
 
-    # edge rows with the out-weight denominator attached, ONE shuffle
-    ew_tagged = (ev.groupby("event_type")
-                 .map_groups(pairs, batch_format="pyarrow")
+    # edge rows with the out-weight denominator attached.  The pair
+    # stream is pre-combined per (type, day) slice and materialized
+    # ONCE (bounded: distinct (src,dst) partials + one boundary row
+    # per slice); the stitch side is types×days rows.
+    slices = (ev.map_batches(add_day, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["event_type", "day"])
+              .map_groups(pairs, batch_format="pyarrow")
+              .materialize())
+    intra = slices.map_batches(
+        lambda t: t.filter(pc.equal(t["side"], 0)),
+        batch_format="pyarrow", zero_copy_batch=True)
+    stitched = (slices.map_batches(
+        lambda t: t.filter(pc.equal(t["side"], 1)),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("etype")
+        .map_groups(stitch, batch_format="pyarrow"))
+    ew_tagged = (intra.union(stitched)
                  .groupby("bucket")
                  .map_groups(edge_rows, batch_format="pyarrow")
                  .materialize())

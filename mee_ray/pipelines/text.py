@@ -263,11 +263,65 @@ def _minhash_params(n_hashes: int, seed: int = 42):
 
 
 def _shingles(tokens: list[str], k: int = 3) -> set[int]:
-    import zlib
-    if len(tokens) < k:
-        return {zlib.crc32(" ".join(tokens).encode())} if tokens else set()
-    return {zlib.crc32(" ".join(tokens[i:i + k]).encode())
-            for i in range(len(tokens) - k + 1)}
+    """Per-doc token-k-shingle hash set — the scalar reference form of
+    :func:`_shingles_batch` (same gramhash kernel, so a doc's set is
+    identical whether computed alone or inside a batch).  Docs shorter
+    than ``k`` tokens contribute one whole-doc shingle."""
+    from mee_ray.pipelines.gramhash import gram_hash64, token_hash64
+    if not tokens:
+        return set()
+    th = token_hash64(pa.array(tokens, pa.string()))
+    n = min(k, len(tokens))
+    _, _, g = gram_hash64(th, np.array([len(tokens)], np.int64), n)
+    return set(g.tolist())
+
+
+def _shingles_batch(col, k: int = 3):
+    """Vectorized :func:`_shingles` over a batch's text column.
+
+    Returns ``(didx, g)``: int64 doc index + shingle hash, deduped per
+    doc — the flat form every consumer (segmented minhash, list-array
+    build) wants.  One Arrow tokenize + one SipHash pass per unique
+    token + one FNV window fold; the short-doc rule (< k tokens → one
+    whole-doc shingle) runs one extra fold per distinct short length
+    (≤ k−1 of them)."""
+    from mee_ray.pipelines.gramhash import (_FNV, _SIGN_MASK,
+                                            gram_hash64, token_hash64,
+                                            tokenize_flat)
+    flat, _, lens = tokenize_flat(col, mode="regex")
+    th = token_hash64(flat)
+    didx, _, g = gram_hash64(th, lens, k)
+    doc_start = np.cumsum(lens) - lens
+    parts_d, parts_g = [didx], [g]
+    for L in range(1, k):
+        sel = np.flatnonzero(lens == L)
+        if not len(sel):
+            continue
+        starts = doc_start[sel]
+        acc = th[starts].copy()
+        for j in range(1, L):
+            acc = acc * _FNV ^ th[starts + j]
+        parts_d.append(sel)
+        parts_g.append((acc & _SIGN_MASK).astype(np.int64))
+    d = np.concatenate(parts_d)
+    gg = np.concatenate(parts_g)
+    if len(d):
+        order = np.lexsort((gg, d))
+        d, gg = d[order], gg[order]
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (gg[1:] != gg[:-1])
+        d, gg = d[keep], gg[keep]
+    return d, gg
+
+
+def _shingle_lists(col, k: int = 3) -> pa.ListArray:
+    """``_shingles_batch`` packed as a list<int64> array, one list per
+    input row (empty list for shingle-free docs)."""
+    d, g = _shingles_batch(col, k)
+    counts = np.bincount(d, minlength=len(col)).astype(np.int32)
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()),
+                                    pa.array(g, pa.int64()))
 
 
 class MinHashStage(TextStats):
@@ -290,19 +344,46 @@ class MinHashStage(TextStats):
         v = (self.a[:, None] * x[None, :] + self.b[:, None]) % _MERSENNE
         return v.min(axis=1)
 
+    def signatures_batch(self, col) -> np.ndarray:
+        """(n_docs, N_HASHES) minhash matrix for a text column —
+        segmented minimum per permutation over the batch's flat
+        deduped shingle stream; shingle-free docs get the sentinel
+        row (all _MERSENNE), matching :meth:`signature`."""
+        d, g = _shingles_batch(col)
+        n = len(col)
+        sig = np.full((n, self.N_HASHES), _MERSENNE, dtype=np.int64)
+        if len(d):
+            x = g % _MERSENNE
+            starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+            docs_present = d[starts]
+            for i in range(self.N_HASHES):
+                v = (self.a[i] * x + self.b[i]) % _MERSENNE
+                sig[docs_present, i] = np.minimum.reduceat(v, starts)
+        return sig
+
     def __call__(self, t: pa.Table) -> pa.Table:
-        ids, bands, keys = [], [], []
+        # fully vectorized: kernel shingles → segmented minhash → an
+        # FNV fold per band (the band key only needs to be a
+        # deterministic function of the band's signature slice; the
+        # legacy path used interpreter-salted hash(tuple), which this
+        # replaces with a cross-process-stable fold).
+        from mee_ray.pipelines.gramhash import _FNV, _SIGN_MASK
         rows_per_band = self.N_HASHES // self.N_BANDS
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            sig = self.signature(text)
-            for bi in range(self.N_BANDS):
-                chunk = sig[bi * rows_per_band:(bi + 1) * rows_per_band]
-                ids.append(did)
-                bands.append(bi)
-                keys.append(hash(tuple(chunk.tolist())) & 0x7FFFFFFFFFFFFFFF)
-        return pa.table({"doc_id": pa.array(ids, pa.int64()),
-                         "band": pa.array(bands, pa.int32()),
-                         "band_key": pa.array(keys, pa.int64())})
+        sig = self.signatures_batch(t["text"]).astype(np.uint64)
+        n = len(t)
+        bands3 = sig.reshape(n, self.N_BANDS, rows_per_band)
+        acc = bands3[:, :, 0].copy()
+        for j in range(1, rows_per_band):
+            acc = acc * _FNV ^ bands3[:, :, j]
+        keys = (acc & _SIGN_MASK).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(np.repeat(ids, self.N_BANDS),
+                                            pa.int64()),
+                         "band": pa.array(
+                             np.tile(np.arange(self.N_BANDS,
+                                               dtype=np.int32), n)),
+                         "band_key": pa.array(keys.reshape(-1),
+                                              pa.int64())})
 
 
 def _empty_lists(n: int) -> pa.ListArray:
@@ -340,8 +421,6 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.2):
 
     from mee_ray.pipelines.cluster import _mix64, _N_BUCKETS
 
-    # NOTE: `hash()` on tuples is salted per interpreter; band keys are
-    # only compared within one driver session, which is all LSH needs.
     docs = _read_docs(sf_dir, ["doc_id", "text"])
     sig = docs.map_batches(MinHashStage(), batch_format="pyarrow")
 
@@ -410,8 +489,6 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.2):
                          "text": pa.array([""] * (2 * n), pa.string()),
                          "side": pa.array(side)})
 
-    shingle_stats = TextStats()
-
     def attach_shingles(g: pa.Table) -> pa.Table:
         empty = pa.table({"bucket": pa.array([], pa.int32()),
                           "a": pa.array([], pa.int64()),
@@ -445,11 +522,10 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.2):
         if not len(pa_):
             return empty
         # shingle only the docs some half actually references
+        # (vectorized — same kernel as the signature stage)
         need = np.unique(pos)
-        texts = g["text"].take(pa.array(drow[need], pa.int64())).to_pylist()
-        sh_arr = pa.array(
-            [np.fromiter(_shingles(shingle_stats.tokens(x)), dtype=np.int64)
-             for x in texts], pa.list_(pa.int64()))
+        sh_arr = _shingle_lists(
+            g["text"].take(pa.array(drow[need], pa.int64())))
         sel = np.searchsorted(need, pos)
         bk2 = ((_mix64(pa_) ^ _mix64(pb_))
                % np.uint64(_N_BUCKETS)).astype(np.int32)
@@ -533,7 +609,6 @@ class SimHashStage(TextStats):
         a per-token Python loop.  Both paths are exact: every count and
         partial sum stays far below 2^53 so the float64 arithmetic is
         integer-exact."""
-        import zlib
         n = len(toks)
         lens = np.fromiter((len(tk) for tk in toks), dtype=np.int64, count=n)
         flat = [w for tk in toks for w in tk]
@@ -541,6 +616,11 @@ class SimHashStage(TextStats):
             return np.zeros(n, dtype=np.int64)
         import pandas as pd
         inv, uniq = pd.factorize(np.array(flat, dtype=object))
+        return self._simhash_core(n, lens, inv, uniq)
+
+    def _simhash_core(self, n: int, lens: np.ndarray, inv: np.ndarray,
+                      uniq) -> np.ndarray:
+        import zlib
         h = np.fromiter(
             ((zlib.crc32(w.encode()) << 32) | zlib.crc32(w[::-1].encode())
              for w in uniq), dtype=np.uint64, count=len(uniq))
@@ -567,10 +647,23 @@ class SimHashStage(TextStats):
         return (out & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        toks = [self.tokens(x) for x in t["text"].to_pylist()]
+        # Arrow tokenize + C factorize; crc per UNIQUE token happens in
+        # _simhash_core exactly as in the list path, so signatures are
+        # bit-identical to SimHashStage.simhash (asserted in tests).
+        from mee_ray.pipelines.gramhash import tokenize_flat
+        flat, _, lens = tokenize_flat(t["text"], mode="regex")
+        n = len(t)
+        if len(flat) == 0:
+            sig = np.zeros(n, dtype=np.int64)
+        else:
+            d = pc.dictionary_encode(flat.combine_chunks()
+                                     if isinstance(flat, pa.ChunkedArray)
+                                     else flat)
+            inv = d.indices.to_numpy(zero_copy_only=False)
+            uniq = d.dictionary.to_numpy(zero_copy_only=False)
+            sig = self._simhash_core(n, lens, inv, uniq)
         return pa.table({"doc_id": t["doc_id"],
-                         "simhash": pa.array(self._simhash_batch(toks),
-                                             pa.int64())})
+                         "simhash": pa.array(sig, pa.int64())})
 
 
 def simhash_signatures(sf_dir: str):
@@ -1413,7 +1506,7 @@ def lm_score_documents(sf_dir: str):
     """Perplexity-style LM quality scoring (the KenLM-filter shape of
     a training-data pipeline, with a deterministic in-repo model): a
     bigram model with add-{LM_ADD_K} smoothing is fit on a BOUNDED
-    prefix sample ({LM_SAMPLE_DOCS} docs — the model never sees the
+    unbiased hash-rank sample ({LM_SAMPLE_DOCS} docs — the model never sees the
     full corpus), broadcast once via ray.put, and every document gets
     its mean bigram log-probability in one map_batches pass.  Output
     (doc_id, n_bigrams, lm_logprob) — rows-only by design (float ln);
@@ -1421,9 +1514,11 @@ def lm_score_documents(sf_dir: str):
     are asserted in tests."""
     import ray
 
+    from mee_ray.pipelines.sampling import hash_sample
+
     st = TextStats()
-    sample = (_read_docs(sf_dir, ["doc_id", "text"])
-              .take_batch(LM_SAMPLE_DOCS, batch_format="pyarrow"))
+    sample = hash_sample(_read_docs(sf_dir, ["doc_id", "text"]),
+                         LM_SAMPLE_DOCS, "doc_id")
     big: dict[tuple[str, str], int] = {}
     uni: dict[str, int] = {}
     for x in sample["text"].to_pylist():
@@ -1562,7 +1657,7 @@ class BPEStage:
 def bpe_tokenize_documents(sf_dir: str):
     """Tokenizer FITTING + distributed apply — the train-a-BPE-vocab
     step of a training-data pipeline: fit {BPE_MERGES} merges on a
-    BOUNDED {BPE_SAMPLE_DOCS}-doc prefix sample (deterministic count-
+    BOUNDED {BPE_SAMPLE_DOCS}-doc unbiased hash-rank sample (deterministic count-
     then-lexicographic tie-break), ship the small merge table into an
     actor-pool :class:`BPEStage` (state built once per actor), then
     one streaming pass counts each doc's BPE tokens.  Output (doc_id,
@@ -1572,9 +1667,11 @@ def bpe_tokenize_documents(sf_dir: str):
     n_words) are asserted in tests."""
     import ray
 
+    from mee_ray.pipelines.sampling import hash_sample
+
     st = TextStats()
-    sample = (_read_docs(sf_dir, ["doc_id", "text"])
-              .take_batch(BPE_SAMPLE_DOCS, batch_format="pyarrow"))
+    sample = hash_sample(_read_docs(sf_dir, ["doc_id", "text"]),
+                         BPE_SAMPLE_DOCS, "doc_id")
     wf: dict = {}
     for x in sample["text"].to_pylist():
         for w in st.tokens(x):

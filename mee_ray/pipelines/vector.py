@@ -20,6 +20,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+from mee_ray.pipelines.sampling import hash_sample
+
+
 def _read_emb(sf_dir: str):
     import ray.data
     return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -314,10 +317,12 @@ class IVFIndex:
         return max(self.n_clusters * 256, 2048)
 
     def fit_dataset(self, ds) -> "IVFIndex":
-        """Fit on a bounded prefix sample of the dataset — the 10^12
+        """Fit on a bounded UNBIASED sample of the dataset — the 10^12
         path: the quantizer never sees the full table, only
-        ``fit_sample_n()`` rows (deterministic: file order)."""
-        t = ds.take_batch(self.fit_sample_n(), batch_format="pyarrow")
+        ``fit_sample_n()`` rows drawn by mix64 hash rank (deterministic
+        AND independent of file order — see pipelines/sampling.py)."""
+        from mee_ray.pipelines.sampling import hash_sample
+        t = hash_sample(ds, self.fit_sample_n(), "vec_id")
         _, mat = _emb_matrix(t)
         return self.fit(mat)
 
@@ -366,8 +371,8 @@ def ann_ivf_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
 
 def kmeans_assign_embeddings(sf_dir: str, n_clusters: int = 16):
     """Distributed k-means clustering (the training-data corpus-
-    clustering op): Lloyd iterations fit on a bounded prefix sample
-    (the quantizer never sees the full table), centroids broadcast
+    clustering op): Lloyd iterations fit on a bounded unbiased
+    hash-rank sample (the quantizer never sees the full table), centroids broadcast
     ONCE via ray.put, assignment streamed through map_batches — the
     only full-table pass is embarrassingly parallel.  Output
     (vec_id, cluster_id).  Rows-only by design (iterative algorithm);
@@ -495,7 +500,7 @@ def _sq_encode(mat: np.ndarray, lo: np.ndarray,
 def ann_sq_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     """Scalar-quantized ANN (the int8 memory-scale path: 8× smaller
     than float64 residency, the FAISS SQ8 shape): per-dimension
-    (lo, scale) fit on a bounded prefix sample, broadcast with the
+    (lo, scale) fit on a bounded unbiased hash-rank sample, broadcast with the
     query matrix; each batch quantizes, de-quantizes and scores — the
     ranking error is bounded by the quantization step.  Same output
     contract as knn_bruteforce; recall vs the exact ranking is
@@ -504,7 +509,7 @@ def ann_sq_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     import ray
 
     # fit the quantizer on a bounded sample (never the full table)
-    head = _read_emb(sf_dir).take_batch(4096, batch_format="pyarrow")
+    head = hash_sample(_read_emb(sf_dir), 4096, "vec_id")
     _, sample = _emb_matrix(head)
     lo, scale = _sq_params(_unit(sample))
 
@@ -581,7 +586,7 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     """Product-quantized ANN with asymmetric distance (the FAISS
     PQ/ADC memory-scale path: d float64s → m bytes per vector, 32×
     smaller residency at d=64, m=16): per-subspace codebooks fit on a
-    bounded prefix sample and broadcast; each batch encodes its
+    bounded hash-rank sample and broadcast; each batch encodes its
     vectors to codes and scores them against per-query lookup tables
     — cosine on unit vectors decomposes additively across subspaces,
     so ``sim(q, x̂) = Σ_j LUT_q[j][code_j]`` is one fancy-index sum,
@@ -590,7 +595,7 @@ def ann_pq_topk(sf_dir: str, n_queries: int = 5, k: int = 10):
     the driver, recall floor asserted in tests)."""
     import ray
 
-    head = _read_emb(sf_dir).take_batch(4096, batch_format="pyarrow")
+    head = hash_sample(_read_emb(sf_dir), 4096, "vec_id")
     _, sample = _emb_matrix(head)
     splits, books = _pq_fit(_unit(sample))
 
@@ -651,7 +656,7 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
 
     # ONE bounded prefix read feeds both fits; assignment reuses the
     # already-normalized sample (ivf.assign would re-normalize)
-    head = _read_emb(sf_dir).take_batch(4096, batch_format="pyarrow")
+    head = hash_sample(_read_emb(sf_dir), 4096, "vec_id")
     _, sample = _emb_matrix(head)
     ivf = IVFIndex().fit(sample)
     us = _unit(sample)

@@ -206,3 +206,56 @@ def test_pagerank_matches_numpy_fixed_point(ray_session, tmp_path):
     got_d = dict(zip(got["user_id"].to_pylist(),
                      got["rank_fp"].to_pylist()))
     assert got_d == r
+
+
+def test_pagerank_hot_type_day_split(tmp_path, ray_session):
+    """Single-hot-type fixture: ALL events share one event_type but
+    span many days, so the (event_type, day) grouping must shard the
+    stream (no task sees it whole) while the boundary stitch
+    reproduces the exact whole-stream succession edges.  Verified
+    value-exact against a driver-side whole-stream recompute of the
+    identical fixed-point iteration."""
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.cluster import pagerank_users
+
+    DAY_US = 86_400_000_000
+    rng = np.random.default_rng(11)
+    n, n_users, n_days = 3000, 40, 12
+    ts = np.sort(rng.integers(0, n_days * DAY_US, size=n))
+    users = rng.integers(1, n_users + 1, size=n).astype(np.int64)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(["hot"] * n, pa.string())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    assert len(np.unique(ts // DAY_US)) >= 8   # the stream really shards
+
+    got = pagerank_users(str(tmp_path))
+    got_map = dict(zip(got["user_id"].to_pylist(),
+                       got["rank_fp"].to_pylist()))
+
+    # driver-side reference: whole-stream sort -> weighted succession
+    # edges -> the same int64 fixed-point damped power method
+    order = np.lexsort((np.arange(n), ts))
+    u = users[order]
+    src, dst = u[:-1], u[1:]
+    keep = src != dst
+    edges = {}
+    for s, d in zip(src[keep], dst[keep]):
+        edges[(int(s), int(d))] = edges.get((int(s), int(d)), 0) + 1
+    wout = {}
+    for (s, _), w in edges.items():
+        wout[s] = wout.get(s, 0) + w
+    from mee_ray.pipelines.cluster import _PR_FP, _PR_ITERS
+    nodes = sorted(set(users.tolist()))
+    N = len(nodes)
+    r = {x: _PR_FP // N for x in nodes}
+    tele = (15 * _PR_FP) // (100 * N)
+    for _ in range(_PR_ITERS):
+        contrib = {x: 0 for x in nodes}
+        for (s, d), w in edges.items():
+            contrib[d] += ((r[s] * 85) // (100 * wout[s])) * w
+        r = {x: tele + contrib[x] for x in nodes}
+    assert got_map == r

@@ -104,3 +104,22 @@ def test_substring_spans_hashed_vs_string_identity():
 
     hashed, string = collect(True), collect(False)
     assert hashed.equals(string)
+
+
+def test_shingles_batch_parity():
+    from mee_ray.pipelines.text import (TextStats, _shingle_lists,
+                                        _shingles)
+    texts = _texts(200) + ["", None, "one two", "a", "x y z w v"]
+    st = TextStats()
+    got = _shingle_lists(pa.chunked_array([texts])).to_pylist()
+    for x, lst in zip(texts, got):
+        assert set(lst) == _shingles(st.tokens(x or "")), x[:40] if x else x
+
+
+def test_minhash_signatures_batch_parity():
+    from mee_ray.pipelines.text import MinHashStage
+    stage = MinHashStage()
+    texts = _texts(100) + ["", "one two", "tiny"]
+    sig = stage.signatures_batch(pa.array([x or "" for x in texts]))
+    for i, x in enumerate(texts):
+        assert (sig[i] == stage.signature(x or "")).all()
