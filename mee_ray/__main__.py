@@ -59,13 +59,28 @@ def _engine_config(path: str | None, default_none: bool = False):
 _INI_FUNCS = {
     # the reference's INI `%{func()}` interpolation surface
     # (application/inner.py:16-27: getpid/getuid/getdate/randint),
-    # whitelist-dispatched rather than eval'd
+    # whitelist-dispatched rather than eval'd; defaults mirror the
+    # reference (getdate '%Y-%m-%d', randint [0, sys.maxsize])
     "getpid": lambda: str(__import__("os").getpid()),
     "getuid": lambda: str(__import__("os").getuid()),
-    "getdate": lambda fmt="%Y%m%d": __import__("time").strftime(fmt),
-    "randint": lambda a="0", b="100": str(
-        __import__("random").randint(int(a), int(b))),
+    "getdate": lambda fmt="%Y-%m-%d": __import__("time").strftime(fmt),
+    "randint": lambda a="0", b=None: str(
+        __import__("random").randint(
+            int(a), __import__("sys").maxsize if b is None else int(b))),
 }
+
+
+def register_ini_function(name: str, fn) -> None:
+    """Extend the ``%{fn(...)}`` interpolation surface — the analog of
+    adding a function to the reference's application/inner.py module
+    (its ``eval('inner.' + expr)`` dispatches to anything defined
+    there; this registry is the non-eval equivalent).  ``fn`` receives
+    the comma-split, quote-stripped argument strings and must return a
+    string."""
+    if not name.isidentifier():
+        raise ValueError(f"interpolation function name {name!r} must "
+                         f"be an identifier")
+    _INI_FUNCS[name] = fn
 
 
 def _interpolate_ini(value: str, path: str) -> str:
@@ -990,8 +1005,12 @@ def main(argv: list[str] | None = None) -> int:
             elif isinstance(res, _pa.Table):
                 t = res
             else:
-                t = _pa.concat_tables(list(res.iter_batches(
-                    batch_format="pyarrow", batch_size=1 << 20)))
+                parts = list(res.iter_batches(
+                    batch_format="pyarrow", batch_size=1 << 20))
+                # zero-batch results (e.g. an empty pipeline output)
+                # must print rows=0, not crash concat_tables
+                t = (_pa.concat_tables(parts) if parts else
+                     _pa.schema([]).empty_table())
             if args.out:
                 _pq.write_table(t, args.out)
             n = t.num_rows

@@ -92,22 +92,57 @@ class DocTokenize:
         self.emit_terms = emit_terms
         self.tok = Tokenizer(cfg.tokenizer)
 
+    def _counts_vectorized(self, batch: pa.Table):
+        """(lengths, terms_col, tfs_col) via Tokenizer.terms_batch —
+        the non-positional hot path: Arrow tokenize + one Python call
+        per UNIQUE word run, per-(doc, term) tf via one lexsort.
+        Output is bit-identical to the scalar Counter/sorted path
+        (same term strings, same sorted-within-doc order — asserted
+        in test_tokenizer.py and by every rank-identity test)."""
+        didx, tids, tdict = self.tok.terms_batch(batch["content"])
+        n = batch.num_rows
+        lengths = np.bincount(didx, minlength=n).astype(np.int32)
+        if not self.emit_terms:
+            return lengths, None, None
+        if len(tids) == 0:
+            return lengths, [[] for _ in range(n)], \
+                [[] for _ in range(n)]
+        # rank terms lexicographically so within-doc order matches
+        # sorted(counts.items())
+        rank_of = np.empty(len(tdict), dtype=np.int64)
+        rank_of[np.argsort(tdict, kind="stable")] = \
+            np.arange(len(tdict))
+        r = rank_of[tids]
+        order = np.lexsort((r, didx))
+        d2, r2, t2 = didx[order], r[order], tids[order]
+        starts = np.flatnonzero(
+            np.r_[True, (d2[1:] != d2[:-1]) | (r2[1:] != r2[:-1])])
+        tf = np.diff(np.r_[starts, len(d2)]).astype(np.int32)
+        ut_d, ut_t = d2[starts], t2[starts]
+        per_doc = np.bincount(ut_d, minlength=n).astype(np.int32)
+        offsets = pa.array(np.r_[0, np.cumsum(per_doc)]
+                           .astype(np.int32), pa.int32())
+        terms_col = pa.ListArray.from_arrays(
+            offsets, pa.array(tdict[ut_t], pa.string()))
+        tfs_col = pa.ListArray.from_arrays(
+            offsets, pa.array(tf, pa.int32()))
+        return lengths, terms_col, tfs_col
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = doc_ids_batch(batch["repo"], batch["path"], batch["commit"])
         contents = batch["content"].to_pylist()
         store_pos = self.emit_terms and self.cfg.store_positions
         if store_pos:
             from mee_ray.postings import encode_positions
-        shas, lengths, terms_col, tfs_col = [], [], [], []
-        poss_col: list = []
-        for c in contents:
-            c = c if c is not None else ""
-            shas.append(hashlib.sha256(c.encode()).digest())
-            if not self.emit_terms:
-                # pass 1 needs only dl — skip the Counter + sort
-                lengths.append(len(self.tok.terms(c)))
-                continue
-            if store_pos:
+        shas = [hashlib.sha256((c if c is not None else "").encode())
+                .digest() for c in contents]
+        if not store_pos:
+            lengths, terms_col, tfs_col = self._counts_vectorized(batch)
+        else:
+            lengths, terms_col, tfs_col = [], [], []
+            poss_col: list = []
+            for c in contents:
+                c = c if c is not None else ""
                 counts, poss = self.tok.counts_and_positions(c)
                 items = sorted(counts.items())
                 # per-(doc, term) blob: delta+varint of the sorted
@@ -115,13 +150,9 @@ class DocTokenize:
                 # not list<int> columns
                 poss_col.append([encode_positions(np.array(poss[t]))
                                  for t, _ in items])
-            else:
-                counts = self.tok.counts(c)
-                # sorted term order inside a doc → deterministic layout
-                items = sorted(counts.items())
-            terms_col.append([t for t, _ in items])
-            tfs_col.append([tf for _, tf in items])
-            lengths.append(sum(counts.values()))
+                terms_col.append([t for t, _ in items])
+                tfs_col.append([tf for _, tf in items])
+                lengths.append(sum(counts.values()))
         cols = {
             "doc_id": pa.array(ids, pa.int64()),
             "repo": batch["repo"],
@@ -132,11 +163,14 @@ class DocTokenize:
             "length": pa.array(lengths, pa.int32()),
         }
         if self.emit_terms:
-            cols["terms"] = pa.array(terms_col, pa.list_(pa.string()))
-            cols["tfs"] = pa.array(tfs_col, pa.list_(pa.int32()))
             if store_pos:
+                cols["terms"] = pa.array(terms_col, pa.list_(pa.string()))
+                cols["tfs"] = pa.array(tfs_col, pa.list_(pa.int32()))
                 cols["poss"] = pa.array(poss_col,
                                         pa.list_(pa.binary()))
+            else:   # vectorized path already built the list arrays
+                cols["terms"] = terms_col
+                cols["tfs"] = tfs_col
         elif self.cfg.store_source:
             # pass-1 docs table carries the raw source (ES _source
             # analog) — pass 2 never does, segments stay content-free

@@ -122,23 +122,27 @@ def token_hash64(flat) -> np.ndarray:
     return uh[idx]
 
 
-def gram_hash64(th: np.ndarray, lens: np.ndarray, n: int):
+def gram_hash64(th: np.ndarray, lens: np.ndarray, n: int,
+                stride: int = 1):
     """Hash every n-token window that fits inside one document.
 
     ``th``: uint64 token hashes, document-major; ``lens``: tokens per
-    document; ``n``: window length.  Returns ``(didx, pos, ghash)``
-    per window: int64 doc index, int64 0-based start offset WITHIN
-    its document, and the non-negative int64 window hash.
+    document; ``n``: window length; ``stride``: window start step
+    (1 = every overlapping window; n = non-overlapping tiling, the
+    passage-dedup shape — either way trailing partial windows are
+    dropped).  Returns ``(didx, pos, ghash)`` per window: int64 doc
+    index, int64 0-based start offset WITHIN its document, and the
+    non-negative int64 window hash.
     """
     lens = np.asarray(lens, dtype=np.int64)
-    nwin = np.maximum(lens - n + 1, 0)
+    nwin = np.where(lens >= n, (lens - n) // stride + 1, 0)
     total = int(nwin.sum())
     if total == 0:
         z = np.zeros(0, dtype=np.int64)
         return z, z, z
     doc_start = np.cumsum(lens) - lens
-    pos = np.arange(total, dtype=np.int64) \
-        - np.repeat(np.cumsum(nwin) - nwin, nwin)
+    pos = (np.arange(total, dtype=np.int64)
+           - np.repeat(np.cumsum(nwin) - nwin, nwin)) * stride
     starts = np.repeat(doc_start, nwin) + pos
     acc = th[starts].copy()
     for j in range(1, n):

@@ -6739,10 +6739,10 @@ def frequent_item_sets_events(sf_dir: str):
                    _read(sf_dir, "events", ["event_type"])
                    .groupby("event_type").count().take_all())
     if len(vocab) > 63:
-        raise ValueError(
-            f"frequent_item_sets bitmask supports at most 63 distinct "
-            f"items (int64 lanes); got {len(vocab)} — switch to the "
-            f"pair-explosion path for wide vocabularies")
+        # wide-vocabulary path: the int64 bitmask runs out of lanes,
+        # so fall back to per-user pair explosion (still bucketed +
+        # vectorized — see _fis_pair_explosion)
+        return _fis_pair_explosion(sf_dir, vocab)
     idx = {v: i for i, v in enumerate(vocab)}
     T = len(vocab)
     pairs = [(i, j) for i in range(T) for j in range(i + 1, T)]
@@ -6791,6 +6791,90 @@ def frequent_item_sets_events(sf_dir: str):
                            pa.string()),
         "item_b": pa.array([vocab[pairs[int(i)][1]] for i in p],
                            pa.string()),
+        "support": pa.array(s, pa.int64())})
+
+
+def _fis_pair_explosion(sf_dir: str, vocab: list[str]) -> pa.Table:
+    """frequent_item_sets for vocabularies wider than the 63 int64
+    bitmask lanes: per-user distinct-item baskets explode to (a, b)
+    item-index pairs INSIDE user-bucketed groups (many users per
+    group, fully vectorized segment combinatorics — no per-user
+    Python), pair partials combine per group, and one tiny
+    groupby(a, b) finalizes support.  Exchange volume is bounded by
+    Σ|basket|² over users, never by the vocabulary size.  Same output
+    contract (item_a < item_b, support ≥ ceil(ratio·|users|), support
+    DESC order) as the bitmask path — asserted equal on a crafted
+    >63-item fixture in test_agg_edge_cases.py."""
+    from ray.data.aggregate import Sum
+
+    from mee_ray.pipelines.gramhash import mix64
+
+    vocab_arr = pa.array(vocab, pa.string())
+    _N_UB = 64
+
+    def to_items(t: pa.Table) -> pa.Table:
+        g = (pa.table({"user_id": t["user_id"],
+                       "event_type": t["event_type"]})
+             .group_by(["user_id", "event_type"])
+             .aggregate([([], "count_all")]))
+        item = pc.index_in(g["event_type"],
+                           value_set=vocab_arr).cast(pa.int64())
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        bucket = (mix64(uid) % np.uint64(_N_UB)).astype(np.int32)
+        return pa.table({"bucket": pa.array(bucket),
+                         "user_id": pa.array(uid, pa.int64()),
+                         "item": item})
+
+    def pairs_of_group(g: pa.Table) -> pa.Table:
+        uid = g["user_id"].to_numpy(zero_copy_only=False)
+        it = g["item"].to_numpy(zero_copy_only=False)
+        # global distinct (user, item): batch-level combiners can
+        # re-emit the same pair from different batches
+        order = np.lexsort((it, uid))
+        uid, it = uid[order], it[order]
+        keep = np.ones(len(uid), dtype=bool)
+        keep[1:] = (uid[1:] != uid[:-1]) | (it[1:] != it[:-1])
+        uid, it = uid[keep], it[keep]
+        n = len(uid)
+        if n == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "n_part": pa.array([], pa.int64())})
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        sizes = np.diff(np.r_[starts, n])
+        # all i<j pairs within each user segment, vectorized: row k is
+        # the FIRST element of (size - loc - 1) pairs
+        loc = np.arange(n) - np.repeat(starts, sizes)
+        first_cnt = np.repeat(sizes, sizes) - loc - 1
+        P = int(first_cnt.sum())
+        A = np.repeat(np.arange(n), first_cnt)
+        csum = np.cumsum(first_cnt) - first_cnt
+        B = A + (np.arange(P) - np.repeat(csum, first_cnt)) + 1
+        t = (pa.table({"a": pa.array(it[A], pa.int64()),
+                       "b": pa.array(it[B], pa.int64())})
+             .group_by(["a", "b"]).aggregate([([], "count_all")]))
+        return t.rename_columns(["a", "b", "n_part"])
+
+    ds = _read(sf_dir, "events", ["user_id", "event_type"])
+    agg = (ds.map_batches(to_items, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bucket")
+           .map_groups(pairs_of_group, batch_format="pyarrow")
+           .groupby(["a", "b"])
+           .aggregate(Sum("n_part", alias_name="support")))
+    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    n_users = int(ds.groupby("user_id").count().count())
+    thresh = math.ceil(_FIS_MIN_SUPPORT_RATIO * n_users)
+    a = t["a"].to_numpy(zero_copy_only=False)
+    b = t["b"].to_numpy(zero_copy_only=False)
+    s = t["support"].to_numpy(zero_copy_only=False)
+    keep = s >= thresh
+    a, b, s = a[keep], b[keep], s[keep]
+    order = np.lexsort((b, a, -s))
+    a, b, s = a[order], b[order], s[order]
+    return pa.table({
+        "item_a": pa.array([vocab[int(i)] for i in a], pa.string()),
+        "item_b": pa.array([vocab[int(i)] for i in b], pa.string()),
         "support": pa.array(s, pa.int64())})
 
 

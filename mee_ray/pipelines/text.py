@@ -60,14 +60,15 @@ class TextStats:
 # -------------------------------------------------- token counting --
 
 def doc_token_counts(sf_dir: str):
-    class Stage(TextStats):
-        def __call__(self, t: pa.Table) -> pa.Table:
-            n = [len(self.tokens(x)) for x in t["text"].to_pylist()]
-            return pa.table({"doc_id": t["doc_id"],
-                             "n_tokens": pa.array(n, pa.int64())})
+    def stage(t: pa.Table) -> pa.Table:
+        # vectorized count: one Arrow tokenize chain, no per-row regex
+        from mee_ray.pipelines.gramhash import tokenize_flat
+        _, _, lens = tokenize_flat(t["text"], mode="regex")
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_tokens": pa.array(lens, pa.int64())})
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        Stage(), batch_format="pyarrow")
+        stage, batch_format="pyarrow", zero_copy_batch=True)
 
 
 TOKEN_COUNTS_SQL = f"""
@@ -85,14 +86,28 @@ class DfPartialStage(TextStats):
     significant_text foreground pass."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        from collections import Counter
-        c: Counter = Counter()
-        for x in t["text"].to_pylist():
-            c.update(set(self.tokens(x)))
-        items = sorted(c.items())
-        return pa.table({"term": pa.array([k for k, _ in items],
-                                          pa.string()),
-                         "df_part": pa.array([v for _, v in items],
+        # vectorized: Arrow tokenize + dictionary factorize, per-doc
+        # distinct via one pair sort, df via bincount over term ids —
+        # no per-row Counter, no Python per token
+        from mee_ray.pipelines.gramhash import tokenize_flat
+        flat, didx, _ = tokenize_flat(t["text"], mode="regex")
+        if len(flat) == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df_part": pa.array([], pa.int64())})
+        d = pc.dictionary_encode(flat.combine_chunks()
+                                 if isinstance(flat, pa.ChunkedArray)
+                                 else flat)
+        tid = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((tid, didx))
+        d2, t2 = didx[order], tid[order]
+        keep = np.ones(len(d2), dtype=bool)
+        keep[1:] = (d2[1:] != d2[:-1]) | (t2[1:] != t2[:-1])
+        df = np.bincount(t2[keep], minlength=len(d.dictionary))
+        # sorted term order (the legacy contract)
+        uniq = d.dictionary.to_numpy(zero_copy_only=False)
+        srt = np.argsort(uniq, kind="stable")
+        return pa.table({"term": pa.array(uniq[srt], pa.string()),
+                         "df_part": pa.array(df[srt].astype(np.int64),
                                              pa.int64())})
 
 
@@ -767,24 +782,54 @@ def simhash_dup_pairs(sf_dir: str, max_hamming: int = 3,
         Min("hamming", alias_name="hamming"))
 
 
+def _char_gram_sets_batch(texts: list, n: int):
+    """Per-doc DEDUPED char-n-gram hash sets for a whole batch,
+    vectorized: codepoints come from one utf-32 decode of the joined
+    batch text (char-level grams, matching the oracle's substr()),
+    spread through mix64 and folded by the gramhash window kernel —
+    collision odds ~|grams|²/2⁶⁴, so hashed-set Jaccard equals
+    string-set Jaccard for practical purposes.  Texts shorter than
+    ``n`` chars (but non-empty) contribute one whole-string gram (the
+    _shingles short-doc rule); empty texts contribute nothing.
+    Returns (didx, g) doc-major, g sorted unique within each doc."""
+    from mee_ray.pipelines.gramhash import (_FNV, _SIGN_MASK,
+                                            gram_hash64, mix64)
+    texts = [x or "" for x in texts]
+    lens = np.fromiter((len(x) for x in texts), np.int64, len(texts))
+    joined = "".join(texts)
+    cp = np.frombuffer(joined.encode("utf-32-le"),
+                       np.uint32).astype(np.uint64)
+    th = mix64(cp)
+    didx, _, g = gram_hash64(th, lens, n)
+    doc_start = np.cumsum(lens) - lens
+    parts_d, parts_g = [didx], [g]
+    for L in range(1, n):
+        sel = np.flatnonzero(lens == L)
+        if not len(sel):
+            continue
+        starts = doc_start[sel]
+        acc = th[starts].copy()
+        for j in range(1, L):
+            acc = acc * _FNV ^ th[starts + j]
+        parts_d.append(sel)
+        parts_g.append((acc & _SIGN_MASK).astype(np.int64))
+    d = np.concatenate(parts_d)
+    gg = np.concatenate(parts_g)
+    if len(d):
+        order = np.lexsort((gg, d))
+        d, gg = d[order], gg[order]
+        keep = np.ones(len(d), dtype=bool)
+        keep[1:] = (d[1:] != d[:-1]) | (gg[1:] != gg[:-1])
+        d, gg = d[keep], gg[keep]
+    return d, gg
+
+
 def _gram_hashes(text: str, n: int) -> np.ndarray:
-    """Sorted unique 64-bit hashes of a string's char n-grams (blake2b
-    8-byte digests — collision odds ~|grams|²/2⁶⁴, so hashed-set
-    Jaccard equals string-set Jaccard for practical purposes)."""
-    import hashlib as _h
-    gs = {text[i:i + n] for i in range(max(0, len(text) - n + 1))}
-    if not gs and text:
-        # short-text fallback (mirrors _shingles): hash the whole
-        # string, so two different sub-n-length docs compare by their
-        # actual content instead of empty-set Jaccard = 1.0
-        gs = {text}
-    if not gs:
-        return np.empty(0, dtype=np.int64)
-    out = np.fromiter(
-        (int.from_bytes(_h.blake2b(g.encode(), digest_size=8).digest(),
-                        "big") >> 1 for g in gs),
-        dtype=np.int64, count=len(gs))
-    return np.unique(out)
+    """Scalar form of :func:`_char_gram_sets_batch` (tests /
+    one-off callers): sorted unique hashes of one string's char
+    n-grams."""
+    _, g = _char_gram_sets_batch([text], n)
+    return g
 
 
 def ngram_jaccard_adjacent(sf_dir: str, n: int = 5):
@@ -794,8 +839,10 @@ def ngram_jaccard_adjacent(sf_dir: str, n: int = 5):
     fixes the global adjacency order (8 B/doc — the only driver-side
     state); (2) gram-hash sets are computed per doc inside map_batches
     and each doc flat-maps to the ≤2 adjacent pairs it belongs to;
-    (3) a groupby on the pair index co-locates the two gram sets and
-    computes exact Jaccard — content never gathers on the driver."""
+    (3) ONE bucketed groupby (mix64(pair) — many pairs per group)
+    co-locates both gram sets of every pair and a single vectorized
+    pass computes all of a group's exact Jaccards — content never
+    gathers on the driver, no per-pair Python call."""
     import pyarrow.parquet as pq
     import ray
 
@@ -809,42 +856,74 @@ def ngram_jaccard_adjacent(sf_dir: str, n: int = 5):
         return pa.Table.from_pylist([], schema=EMPTY)
     ids_ref = ray.put(ids_sorted)
 
+    from mee_ray.pipelines.gramhash import mix64
+
+    _N_PB = 64     # pair-index buckets: MANY pairs per shuffle group
+
     def to_pair_rows(t: pa.Table, n=n) -> pa.Table:
         order = ray.get(ids_ref)
-        out_pair, out_role, out_id, out_g = [], [], [], []
-        for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            pos = int(np.searchsorted(order, did))
-            grams = _gram_hashes(text or "", n)
-            if pos > 0:                      # right member of pair pos-1
-                out_pair.append(pos - 1); out_role.append(1)
-                out_id.append(did); out_g.append(grams)
-            if pos < len(order) - 1:         # left member of pair pos
-                out_pair.append(pos); out_role.append(0)
-                out_id.append(did); out_g.append(grams)
-        return pa.table({"pair": pa.array(out_pair, pa.int64()),
-                         "role": pa.array(out_role, pa.int32()),
-                         "doc_id": pa.array(out_id, pa.int64()),
-                         "grams": pa.array(out_g, pa.list_(pa.int64()))})
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        didx, g = _char_gram_sets_batch(t["text"].to_pylist(), n)
+        counts = np.bincount(didx, minlength=len(t)).astype(np.int32)
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.r_[0, np.cumsum(counts)].astype(np.int32),
+                     pa.int32()),
+            pa.array(g, pa.int64()))
+        pos = np.searchsorted(order, dids)
+        right = np.flatnonzero(pos > 0)            # member of pair-1
+        left = np.flatnonzero(pos < len(order) - 1)  # member of pair
+        pair = np.concatenate([pos[right] - 1, pos[left]])
+        role = np.concatenate([np.ones(len(right), np.int32),
+                               np.zeros(len(left), np.int32)])
+        rows = np.concatenate([right, left])
+        take = pa.array(rows, pa.int64())
+        return pa.table({
+            "bucket": pa.array((mix64(pair) % np.uint64(_N_PB))
+                               .astype(np.int32)),
+            "pair": pa.array(pair, pa.int64()),
+            "role": pa.array(role),
+            "doc_id": pa.array(dids[rows], pa.int64()),
+            "grams": lists.take(take)})
 
-    def jaccard_of_pair(g: pa.Table) -> pa.Table:
-        roles = g["role"].to_pylist()
-        ids = g["doc_id"].to_pylist()
-        grams = [np.asarray(x, dtype=np.int64) for x in
-                 g["grams"].to_pylist()]
-        left = roles.index(0)
-        right = roles.index(1)
-        sx, sy = grams[left], grams[right]
-        union = len(np.union1d(sx, sy))
-        inter = len(np.intersect1d(sx, sy))
-        jac = (inter / union) if union else 1.0
-        return pa.table({"a": pa.array([ids[left]], pa.int64()),
-                         "b": pa.array([ids[right]], pa.int64()),
-                         "jaccard5": pa.array([jac], pa.float64())})
+    def jaccard_of_group(t: pa.Table) -> pa.Table:
+        """One bucket = MANY pairs, all computed in one vectorized
+        pass: per-doc gram lists are sorted+unique, so a pair's
+        intersection count is the number of adjacent duplicates in
+        the pair's concatenated value stream."""
+        t = t.combine_chunks()
+        pair = t["pair"].to_numpy(zero_copy_only=False)
+        role = t["role"].to_numpy(zero_copy_only=False)
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        grams = t["grams"].combine_chunks()
+        glen = np.diff(grams.offsets.to_numpy(zero_copy_only=False))
+        gv = grams.flatten().to_numpy(zero_copy_only=False)
+        pidx = np.repeat(pair, glen)
+        order = np.lexsort((gv, pidx))
+        pv, vv = pidx[order], gv[order]
+        dup = np.zeros(len(vv), dtype=np.int64)
+        if len(vv) > 1:
+            dup[1:] = ((pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1]))
+        # per-pair aggregation over a dense local pair index
+        upair, pinv = np.unique(pair, return_inverse=True)
+        inter = np.zeros(len(upair), dtype=np.int64)
+        np.add.at(inter, np.searchsorted(upair, pv), dup)
+        total = np.zeros(len(upair), dtype=np.int64)
+        np.add.at(total, pinv, glen)
+        a = np.zeros(len(upair), dtype=np.int64)
+        b = np.zeros(len(upair), dtype=np.int64)
+        a[pinv[role == 0]] = dids[role == 0]
+        b[pinv[role == 1]] = dids[role == 1]
+        union = total - inter
+        jac = np.where(union == 0, 1.0,
+                       inter / np.maximum(union, 1))
+        return pa.table({"a": pa.array(a, pa.int64()),
+                         "b": pa.array(b, pa.int64()),
+                         "jaccard5": pa.array(jac, pa.float64())})
 
     return (_read_docs(sf_dir, ["doc_id", "text"])
             .map_batches(to_pair_rows, batch_format="pyarrow")
-            .groupby("pair")
-            .map_groups(jaccard_of_pair, batch_format="pyarrow"))
+            .groupby("bucket")
+            .map_groups(jaccard_of_group, batch_format="pyarrow"))
 
 
 def stratified_sample_documents(sf_dir: str, k: int = 20,
@@ -1206,7 +1285,20 @@ def _stride_windows(toks: list[str]) -> list[str]:
                             PASSAGE_LEN)]
 
 
-def passage_dedup_documents(sf_dir: str):
+def _stride_window_hashes(col):
+    """(didx, h) of every non-overlapping {PASSAGE_LEN}-token window —
+    the vectorized (hashed) form of :func:`_stride_windows`, one
+    stride-{PASSAGE_LEN} kernel fold per batch."""
+    from mee_ray.pipelines.gramhash import (gram_hash64, token_hash64,
+                                            tokenize_flat)
+    flat, _, lens = tokenize_flat(col, mode="regex")
+    th = token_hash64(flat)
+    didx, _, h = gram_hash64(th, lens, PASSAGE_LEN,
+                             stride=PASSAGE_LEN)
+    return didx, h
+
+
+def passage_dedup_documents(sf_dir: str, use_hash: bool = True):
     """Cross-document passage-level exact dedup (the CCNet /
     RefinedWeb paragraph-dedup shape, adapted to this corpus's flat
     token streams): each document splits into consecutive
@@ -1220,10 +1312,13 @@ def passage_dedup_documents(sf_dir: str):
     hash join back on passage → per-doc re-aggregate.  The exploded
     stream feeds two consumers and is recomputed rather than
     materialized (tokenize is cheap; a corpus-sized mid-pipeline
-    materialization is not).  At 100 TB the join key becomes a
-    128-bit passage hash instead of the string (collision-safe,
-    fixed-width exchange records); string keys keep the sf-scale
-    oracle bit-exact here."""
+    materialization is not).  ``use_hash=True`` (default) makes the
+    join key a 64-bit rolling window hash (the gramhash kernel,
+    vectorized explode, fixed-width exchange records — the 100-TB
+    mode); ``use_hash=False`` keeps the legacy string-key loop.
+    Counts are identical up to 64-bit collisions (which only mark one
+    extra window duplicated); test_gramhash.py asserts the two modes
+    bit-identical end-to-end."""
     import ray
     from ray.data.aggregate import Count, Sum
 
@@ -1238,8 +1333,16 @@ def passage_dedup_documents(sf_dir: str):
         return pa.table({"doc_id": pa.array(out_d, pa.int64()),
                          "passage": pa.array(out_p, pa.string())})
 
+    def explode_hashed(t: pa.Table) -> pa.Table:
+        didx, h = _stride_window_hashes(t["text"])
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": pa.array(dids[didx], pa.int64()),
+                         "passage": pa.array(h, pa.int64())})
+
     def passages(): return (_read_docs(sf_dir, ["doc_id", "text"])
-                            .map_batches(explode, batch_format="pyarrow",
+                            .map_batches(explode_hashed if use_hash
+                                         else explode,
+                                         batch_format="pyarrow",
                                          zero_copy_batch=True))
 
     counts = passages().groupby("passage").aggregate(
@@ -1294,7 +1397,7 @@ GROUP BY p.doc_id
 """
 
 
-def contamination_check_documents(sf_dir: str):
+def contamination_check_documents(sf_dir: str, use_hash: bool = True):
     """Benchmark-contamination check (the decontamination step of a
     training-data pipeline): the "benchmark set" is the first
     {PASSAGE_LEN}-token window of every doc with doc_id % 97 == 0
@@ -1303,10 +1406,56 @@ def contamination_check_documents(sf_dir: str):
     that set.  Benchmark windows broadcast ONCE via ray.put (eval
     suites are small by nature); the corpus-side scan is one
     map_batches pass — no shuffle at all.  Emits (doc_id,
-    n_contaminated) for contaminated docs only."""
+    n_contaminated) for contaminated docs only.
+
+    ``use_hash=True`` (default): windows are 64-bit kernel hashes —
+    the broadcast set is 8 B/window and the scan is a vectorized
+    sorted-array membership probe (np.searchsorted), no Python per
+    row; ``use_hash=False`` keeps the legacy string-set loop.  Modes
+    are bit-identical up to hash collisions (test_gramhash.py)."""
     import ray
 
     st = TextStats()
+
+    if use_hash:
+        def bench_windows_h(t: pa.Table) -> pa.Table:
+            didx, h = _stride_window_hashes(t["text"])
+            dids = t["doc_id"].to_numpy(zero_copy_only=False)
+            # first window per doc = the row where a doc index first
+            # appears (windows are emitted in-document order)
+            first = np.ones(len(didx), dtype=bool)
+            first[1:] = didx[1:] != didx[:-1]
+            keep = first & (dids[didx] % 97 == 0)
+            return pa.table({"passage": pa.array(h[keep], pa.int64())})
+
+        bench_arr = np.unique(np.concatenate(
+            [b["passage"].to_numpy(zero_copy_only=False)
+             for b in (_read_docs(sf_dir, ["doc_id", "text"])
+                       .map_batches(bench_windows_h,
+                                    batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                       .iter_batches(batch_format="pyarrow"))]
+            or [np.zeros(0, np.int64)]))
+        bench_ref = ray.put(bench_arr)
+
+        def scan_h(t: pa.Table) -> pa.Table:
+            ba = ray.get(bench_ref)
+            didx, h = _stride_window_hashes(t["text"])
+            dids = t["doc_id"].to_numpy(zero_copy_only=False)
+            if len(ba) and len(h):
+                pos = np.searchsorted(ba, h)
+                hit = ba[np.clip(pos, 0, len(ba) - 1)] == h
+            else:
+                hit = np.zeros(len(h), dtype=bool)
+            n = np.bincount(didx[hit], minlength=len(t))                 if hit.any() else np.zeros(len(t), np.int64)
+            nz = np.flatnonzero(n)
+            return pa.table({"doc_id": pa.array(dids[nz], pa.int64()),
+                             "n_contaminated": pa.array(
+                                 n[nz].astype(np.int64), pa.int64())})
+
+        return (_read_docs(sf_dir, ["doc_id", "text"])
+                .map_batches(scan_h, batch_format="pyarrow",
+                             zero_copy_batch=True))
 
     def bench_windows(t: pa.Table) -> pa.Table:
         out = []
@@ -2747,8 +2896,9 @@ SELECT * FROM scores ORDER BY score DESC, doc_id LIMIT 100
 
 def quality_training_mix_documents(sf_dir: str, k: int = 100):
     """Composed curation chain II (the quality-then-importance shape a
-    training-mix pipeline actually runs): Gopher wlen/alpha/stop rules
-    gate the corpus, DSIR importance scores rank the survivors, and
+    training-mix pipeline actually runs): the Gopher wlen and alpha
+    rules plus lang='en' gate the corpus (rule_stop deliberately NOT
+    applied — QUALITY_MIX_SQL mirrors the same three-way gate), DSIR importance scores rank the survivors, and
     the exact top-k by (score DESC, doc_id) is the mix.  ONE
     distributed pass computes both the rule flags and the feature
     scores (the stages share the batch); weights come from the

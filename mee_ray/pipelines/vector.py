@@ -838,7 +838,7 @@ def mmr_rerank_embeddings(sf_dir: str, n_queries: int = 5,
 
     # exact top-pool ids per query via the shared distributed path
     base = knn_bruteforce(sf_dir, n_queries=n_queries, k=pool)
-    bt = base if isinstance(base, pa.Table) else base
+    bt = base          # knn_bruteforce returns a pa.Table
     qids = bt["query_id"].to_numpy(zero_copy_only=False)
     nids = bt["neighbor_id"].to_numpy(zero_copy_only=False)
     # fetch ONLY the needed vectors (queries + candidates): a pruned

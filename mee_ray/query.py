@@ -2473,12 +2473,17 @@ class CachedSearcher:
     Any publish/delta/compact therefore changes the generation, which
     drops every cached entry — the ES refresh-invalidation semantic.
     LRU-bounded; hits return a fresh list so callers can't mutate the
-    cache."""
+    cache.  Thread-safe: _resolve and the LRU mutate shared state
+    under one lock, so a long-lived instance may be shared across
+    reader threads (writers — delta/compact — still coordinate via
+    the index flock, not through this cache)."""
 
     def __init__(self, index_root: str, capacity: int = 1024):
+        import threading
         from collections import OrderedDict
         self.index_root = index_root
         self.capacity = int(capacity)
+        self._lock = threading.Lock()
         self._gen: tuple | None = None
         self._searcher: Searcher | None = None
         self._entries: "OrderedDict[tuple, list]" = OrderedDict()
@@ -2515,18 +2520,24 @@ class CachedSearcher:
         raise AssertionError("unreachable")
 
     def _cached(self, method: str, key_args: tuple, call):
-        s = self._resolve()
         key = (method,) + key_args
-        got = self._entries.get(key)
-        if got is not None:
-            self._entries.move_to_end(key)
-            self.hits += 1
-            return list(got)
+        with self._lock:
+            s = self._resolve()
+            got = self._entries.get(key)
+            if got is not None:
+                self._entries.move_to_end(key)
+                self.hits += 1
+                return list(got)
+        # the search itself runs OUTSIDE the lock (reads immutable
+        # Searcher state); s is pinned by the local reference even if
+        # a concurrent generation swap replaces self._searcher
         val = call(s)
-        self._entries[key] = list(val)
-        if len(self._entries) > self.capacity:
-            self._entries.popitem(last=False)
-        self.misses += 1
+        with self._lock:
+            if self._searcher is s:       # drop results of a dead gen
+                self._entries[key] = list(val)
+                if len(self._entries) > self.capacity:
+                    self._entries.popitem(last=False)
+            self.misses += 1
         return list(val)
 
     def search(self, terms: list[str], k: int = 10, **kw):

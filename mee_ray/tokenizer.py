@@ -54,7 +54,8 @@ class Tokenizer:
     def __init__(self, cfg: TokenizerConfig | None = None):
         self.cfg = cfg or TokenizerConfig()
         self._memo: dict[str, tuple[str, ...]] = {}
-        # bound the memo so adversarial corpora can't OOM an actor
+        self._run_memo: dict[str, tuple[str, ...]] = {}
+        # bound the memos so adversarial corpora can't OOM an actor
         self._memo_cap = 1 << 20
 
     def _expand(self, raw: str) -> tuple[str, ...]:
@@ -131,3 +132,87 @@ class Tokenizer:
     def doc_length(self, text: str) -> int:
         """Total number of emitted terms (the BM25 ``dl``)."""
         return len(self.terms(text))
+
+    # -------------------------------------------- vectorized batch --
+
+    def _terms_of_run(self, run: str) -> tuple[str, ...]:
+        """All terms emitted for one maximal word-character run.
+        A run splits under TOKEN_RE into at most a leading digit run
+        plus one identifier (e.g. '2fast' → '2', 'fast'); each raw
+        token then expands through the memoized _expand.  Memoized per
+        UNIQUE run — term distributions are heavy-tailed, so the batch
+        path touches Python once per distinct run, not once per
+        occurrence."""
+        memo = self._run_memo
+        hit = memo.get(run)
+        if hit is not None:
+            return hit
+        if not self.cfg.split_identifiers and self.cfg.lowercase:
+            maxlen = self.cfg.max_token_len
+            out = (run,) if 0 < len(run) <= maxlen else ()
+        else:
+            out = tuple(t for raw in TOKEN_RE.findall(run)
+                        for t in self._expand(raw))
+        if len(memo) < self._memo_cap:
+            memo[run] = out
+        return out
+
+    def terms_batch(self, contents):
+        """Vectorized :meth:`terms` over a batch text column.
+
+        ``contents``: pa.Array/ChunkedArray of strings (nulls → "").
+        Returns ``(didx, tids, tdict)``: int64 doc index per emitted
+        term (document-major, term-stream order), int64 id per term
+        into ``tdict``, and the np object array of distinct term
+        strings.  Per-occurrence work is Arrow/numpy only: one
+        split_pattern_regex + dictionary_encode per batch, a Python
+        call per UNIQUE run (memoized across batches), and a gather
+        to expand the run stream into the term stream.  Bit-parity
+        with the scalar path is asserted in test_tokenizer.py."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        col = pc.fill_null(contents, "")
+        if not self.cfg.split_identifiers and self.cfg.lowercase:
+            # Python str.lower maps U+0130 'İ' to TWO codepoints
+            # (i + combining dot) — the one multi-codepoint lower
+            # mapping — while utf8_lower emits a single 'i'.  Align
+            # before lowering so token boundaries match the scalar
+            # path exactly.
+            col = pc.replace_substring(col, "\u0130", "i\u0307")
+            col = pc.utf8_lower(col)
+        lists = pc.split_pattern_regex(col, "[^A-Za-z0-9_]+")
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        rlens = pc.list_value_length(lists).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        flat = pc.list_flatten(lists)
+        n_docs = len(rlens)
+        didx_runs = np.repeat(np.arange(n_docs, dtype=np.int64), rlens)
+        if len(flat) == 0:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, np.empty(0, dtype=object)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        d = pc.dictionary_encode(flat)
+        inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = d.dictionary.to_numpy(zero_copy_only=False)
+
+        exp = [self._terms_of_run(u) for u in uniq]
+        exp_lens = np.fromiter((len(e) for e in exp), np.int64,
+                               len(exp))
+        all_terms = [t for e in exp for t in e]
+        if not all_terms:
+            z = np.zeros(0, dtype=np.int64)
+            return z, z, np.empty(0, dtype=object)
+        import pandas as pd
+        tinv, tdict = pd.factorize(np.array(all_terms, dtype=object))
+        exp_off = np.cumsum(exp_lens) - exp_lens
+        cnts = exp_lens[inv]
+        total = int(cnts.sum())
+        loc = np.arange(total, dtype=np.int64)             - np.repeat(np.cumsum(cnts) - cnts, cnts)
+        src = np.repeat(exp_off[inv], cnts) + loc
+        tids = tinv[src].astype(np.int64)
+        didx = np.repeat(didx_runs, cnts)
+        return didx, tids, tdict

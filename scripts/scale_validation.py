@@ -5,8 +5,12 @@ oracle on a 120-query reference set — before AND after a delta batch +
 catch-up compaction.  Prints one JSON line.
 
 Usage: python scripts/scale_validation.py [n_files] [--positions]
+                                           [--deletes N]
 (--positions: store positional postings and additionally validate
-exact-phrase queries against the position-aware oracle)
+exact-phrase queries against the position-aware oracle;
+--deletes N: make the delta DELETE-HEAVY — N sequenced tombstones
+(default 25) before the catch-up compaction, so the compact rewrite
+path is measured under real delete pressure)
 """
 
 import json
@@ -19,8 +23,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--positions"]
-    positions = "--positions" in sys.argv
+    argv = sys.argv[1:]
+    positions = "--positions" in argv
+    n_deletes = 25
+    if "--deletes" in argv:
+        i = argv.index("--deletes")
+        n_deletes = int(argv[i + 1])
+        del argv[i:i + 2]
+    args = [a for a in argv if a != "--positions"]
     n_files = int(args[0]) if args else 96000
     import ray
 
@@ -121,8 +131,9 @@ def main() -> int:
                == oi.search(q["terms"], q["k"]) for q in qset[:30])
     ds.shutdown()
 
-    # delta + catch-up compact at scale
-    keys = sorted(live)[:50]
+    # delta + catch-up compact at scale (delete count configurable —
+    # --deletes makes the compact rewrite run under delete pressure)
+    keys = sorted(live)[:25 + n_deletes]
     ev = []
     seq = 0
     for r, p in keys[:25]:
@@ -167,6 +178,7 @@ def main() -> int:
         "dynamic_salted_chunks": dyn_chunks,
         "rank_identity": f"{n_ok}/{len(qset)}",
         "threephase_identity": f"{n_3p}/30",
+        "n_deletes": n_deletes,
         "delta_sec": round(delta_sec, 2),
         "compact_sec": round(compact_sec, 2),
         "post_compact_identity": f"{n_ok2}/{len(qset2)}",

@@ -434,3 +434,44 @@ def test_ks_test_one_sided_and_absent_classes(ray_session, tmp_path):
                         [1.0, 2.0, 3.0, 4.0])
     out2 = _compare("ks_test_events", sf2)
     assert len(out2) == 0      # the oracle's empty cross-join shape
+
+
+def test_frequent_item_sets_wide_vocab_pair_explosion(ray_session,
+                                                      tmp_path):
+    """>63 distinct items trips the bitmask lane limit; the
+    pair-explosion fallback must (a) engage, (b) match the DuckDB
+    oracle value-exact, and (c) agree with the bitmask path's
+    output contract on a narrow sub-run."""
+    import numpy as np
+
+    from mee_ray.pipelines.relational import (_fis_pair_explosion,
+                                              frequent_item_sets_events)
+
+    rng = np.random.default_rng(3)
+    n_items, n_users = 80, 30
+    items = [f"it{i:03d}" for i in range(n_items)]
+    rows = []
+    # every user holds a COMMON pair (it000, it001) plus random tail
+    # items; a few duplicate rows exercise the global distinct
+    for u in range(1, n_users + 1):
+        basket = {0, 1} | set(rng.integers(2, n_items, size=6).tolist())
+        for it in sorted(basket):
+            rows.append((u, items[it]))
+        rows.append((u, items[0]))          # duplicate event
+    ts = [i * 1000 for i in range(len(rows))]
+    sf = _write_events(tmp_path, ts, [u for u, _ in rows],
+                       [t for _, t in rows], [1.0] * len(rows))
+    out = _compare("frequent_item_sets_events", sf)
+    assert ("it000", "it001") in {(a, b) for a, b, _ in
+                                  out.itertuples(index=False, name=None)}
+
+    # narrow fixture: pair-explosion path === bitmask path bit-exact
+    d2 = tmp_path / "narrow"; d2.mkdir()
+    rows2 = [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"),
+             (3, "c"), (4, "a"), (4, "b")]
+    ts2 = [i * 1000 for i in range(len(rows2))]
+    sf2 = _write_events(d2, ts2, [u for u, _ in rows2],
+                        [t for _, t in rows2], [1.0] * len(rows2))
+    bit = frequent_item_sets_events(sf2)
+    pex = _fis_pair_explosion(sf2, sorted({t for _, t in rows2}))
+    assert bit.equals(pex)

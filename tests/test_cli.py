@@ -456,3 +456,32 @@ def test_cli_pipeline_runs_named_query(ray_session, tmp_path):
     with _pt.raises(SystemExit):
         main(["pipeline", "--name", "no_such_thing",
               "--sf-dir", "/root/testdata/sf0.001"])
+
+
+def test_ini_funcs_reference_defaults_and_registry(tmp_path):
+    """Reference-default semantics (application/inner.py:21-26):
+    getdate() with no args is today's '%Y-%m-%d'; randint() with no
+    args draws from [0, sys.maxsize]; and register_ini_function is
+    the analog of adding a function to inner.py."""
+    import time
+
+    from mee_ray.__main__ import (_interpolate_ini,
+                                  register_ini_function)
+
+    assert _interpolate_ini("%{getdate()}", "x.ini") == \
+        time.strftime("%Y-%m-%d")
+    v = int(_interpolate_ini("%{randint()}", "x.ini"))
+    assert 0 <= v <= __import__("sys").maxsize
+    assert _interpolate_ini("%{randint(7, 7)}", "x.ini") == "7"
+
+    register_ini_function("consumer_group",
+                          lambda prefix="g": f"{prefix}-fixed")
+    try:
+        got = _interpolate_ini("cg=%{consumer_group('mee')}", "x.ini")
+        assert got == "cg=mee-fixed"
+        import pytest
+        with pytest.raises(ValueError):
+            register_ini_function("not an ident", lambda: "")
+    finally:
+        from mee_ray.__main__ import _INI_FUNCS
+        _INI_FUNCS.pop("consumer_group", None)

@@ -123,3 +123,46 @@ def test_minhash_signatures_batch_parity():
     sig = stage.signatures_batch(pa.array([x or "" for x in texts]))
     for i, x in enumerate(texts):
         assert (sig[i] == stage.signature(x or "")).all()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_passage_dedup_hashed_vs_string_identity():
+    from mee_ray.pipelines.text import passage_dedup_documents
+
+    def collect(use_hash):
+        parts = list(passage_dedup_documents(SF, use_hash=use_hash)
+                     .iter_batches(batch_format="pyarrow"))
+        t = pa.concat_tables(parts)
+        assert len(t) > 0
+        return t.sort_by("doc_id")
+
+    assert collect(True).equals(collect(False))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_contamination_hashed_vs_string_identity():
+    from mee_ray.pipelines.text import contamination_check_documents
+
+    def collect(use_hash):
+        parts = list(contamination_check_documents(SF, use_hash=use_hash)
+                     .iter_batches(batch_format="pyarrow"))
+        t = pa.concat_tables(parts)
+        assert len(t) > 0
+        return t.sort_by("doc_id")
+
+    assert collect(True).equals(collect(False))
+
+
+def test_gram_hash_stride():
+    from mee_ray.pipelines.gramhash import (gram_hash64, token_hash64,
+                                            tokenize_flat)
+    flat, _, lens = tokenize_flat(pa.array(["a b c d e f g", "x y"]),
+                                  mode="space")
+    th = token_hash64(flat)
+    d1, p1, g1 = gram_hash64(th, lens, 3, stride=3)
+    # doc0 (7 toks): windows at 0 and 3 only (trailing partial dropped)
+    assert d1.tolist() == [0, 0] and p1.tolist() == [0, 3]
+    # strided hashes equal the corresponding overlapping-window hashes
+    d2, p2, g2 = gram_hash64(th, lens, 3, stride=1)
+    lookup = {(d, p): g for d, p, g in zip(d2, p2, g2)}
+    assert [lookup[(d, p)] for d, p in zip(d1, p1)] == g1.tolist()

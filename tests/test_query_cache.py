@@ -137,3 +137,41 @@ def test_cache_under_concurrent_compaction(ray_session, tmp_path):
     assert cs.invalidations >= 1
     assert cs.search(["alpha"], k=5) == Searcher(root).search(
         ["alpha"], k=5)
+
+
+def test_cache_threaded_readers_under_mutation(ray_session, tmp_path):
+    """The round-3 advice item: CachedSearcher is now lock-protected,
+    so many reader threads sharing one instance across a concurrent
+    delta+compact must neither crash nor ever return a result that
+    differs from SOME legitimate generation's answer."""
+    import threading
+
+    root = _build(tmp_path, DOCS, name="thr")
+    cs = CachedSearcher(root, capacity=64)
+
+    # legitimate answers: pre-delta and post-delta generations
+    before = Searcher(root).search(["alpha"], k=5)
+    errors, results = [], []
+
+    def reader():
+        try:
+            for _ in range(200):
+                results.append(tuple(map(tuple,
+                                         cs.search(["alpha"], k=5))))
+        except Exception as e:          # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    apply_delta(_events([{"seq": 1, "type": "INSERT", "repo": "r9",
+                          "path": "z.py", "commit": "c9",
+                          "lang": "python",
+                          "content": "alpha omega"}]), root)
+    compact(root, "ep2")
+    for t in threads:
+        t.join()
+    assert not errors
+    after = Searcher(root).search(["alpha"], k=5)
+    legit = {tuple(map(tuple, before)), tuple(map(tuple, after))}
+    assert set(results) <= legit and len(results) == 800

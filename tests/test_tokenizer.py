@@ -77,3 +77,35 @@ def test_memo_consistency():
     tok = Tokenizer(TokenizerConfig())
     a = tok.terms("camelCase camelCase")
     assert a == ["camelcase", "camel", "case"] * 2
+
+
+def test_terms_batch_parity_all_modes():
+    """terms_batch (the vectorized build path) must reproduce the
+    scalar terms() stream bit-exactly in every tokenizer mode,
+    including unicode-lowering edge cases."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mee_ray.config import TokenizerConfig
+    from mee_ray.tokenizer import Tokenizer
+
+    texts = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                          columns=["text"])["text"].to_pylist()[:200]
+    texts += ["", None, "parseHTTPResponse v2Parser __init__ 2fast",
+              "ABCdef 22_x snake_case a2b 2fast3x",
+              "İstanbul KELVIN ẞß Δδ naïve café",
+              "x" * 100 + " ok"]      # max_token_len boundary
+    col = pa.array([t for t in texts], pa.string())
+    for cfg in (TokenizerConfig(), TokenizerConfig.simple(),
+                TokenizerConfig(subtoken_ngram=2),
+                TokenizerConfig(split_identifiers=True,
+                                emit_full_token=False),
+                TokenizerConfig(max_token_len=8)):
+        tok = Tokenizer(cfg)
+        didx, tids, tdict = tok.terms_batch(col)
+        seqs = [[] for _ in texts]
+        for d, t in zip(didx, tids):
+            seqs[d].append(tdict[t])
+        for i, x in enumerate(texts):
+            assert seqs[i] == tok.terms(x or ""), (cfg, x)
