@@ -105,8 +105,12 @@ class DocTokenize:
         if not self.emit_terms:
             return lengths, None, None
         if len(tids) == 0:
-            return lengths, [[] for _ in range(n)], \
-                [[] for _ in range(n)]
+            off = pa.array(np.zeros(n + 1, np.int32), pa.int32())
+            return (lengths,
+                    pa.ListArray.from_arrays(off,
+                                             pa.array([], pa.string())),
+                    pa.ListArray.from_arrays(off,
+                                             pa.array([], pa.int32())))
         # rank terms lexicographically so within-doc order matches
         # sorted(counts.items())
         rank_of = np.empty(len(tdict), dtype=np.int64)

@@ -6862,7 +6862,10 @@ def _fis_pair_explosion(sf_dir: str, vocab: list[str]) -> pa.Table:
            .map_groups(pairs_of_group, batch_format="pyarrow")
            .groupby(["a", "b"])
            .aggregate(Sum("n_part", alias_name="support")))
-    t = pa.concat_tables(list(agg.iter_batches(batch_format="pyarrow")))
+    parts = list(agg.iter_batches(batch_format="pyarrow"))
+    t = pa.concat_tables(parts) if parts else pa.table(
+        {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+         "support": pa.array([], pa.int64())})
     n_users = int(ds.groupby("user_id").count().count())
     thresh = math.ceil(_FIS_MIN_SUPPORT_RATIO * n_users)
     a = t["a"].to_numpy(zero_copy_only=False)
