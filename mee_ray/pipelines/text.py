@@ -177,15 +177,30 @@ def doc_quality_scores(sf_dir: str):
     length — per-row float division (bit-deterministic vs SQL)."""
     class Stage(TextStats):
         def __call__(self, t: pa.Table) -> pa.Table:
-            n_tok, n_uniq, tot_len = [], [], []
-            for x in t["text"].to_pylist():
-                toks = self.tokens(x)
-                n_tok.append(len(toks))
-                n_uniq.append(len(set(toks)))
-                tot_len.append(sum(len(w) for w in toks))
-            n_tok = np.array(n_tok, dtype=np.int64)
-            n_uniq = np.array(n_uniq, dtype=np.int64)
-            tot_len = np.array(tot_len, dtype=np.int64)
+            # vectorized: one Arrow tokenize, codepoint lengths via
+            # utf8_length, distinct-per-doc via one pair sort
+            from mee_ray.pipelines.gramhash import tokenize_flat
+            flat, didx, lens = tokenize_flat(t["text"], mode="regex")
+            n = len(t)
+            n_tok = lens.astype(np.int64)
+            wl = pc.utf8_length(flat).to_numpy(zero_copy_only=False) \
+                if len(flat) else np.zeros(0, np.int64)
+            tot_len = np.bincount(didx, weights=wl, minlength=n) \
+                .astype(np.int64)
+            if len(flat):
+                d = pc.dictionary_encode(
+                    flat.combine_chunks()
+                    if isinstance(flat, pa.ChunkedArray) else flat)
+                tid = d.indices.to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                order = np.lexsort((tid, didx))
+                d2, t2 = didx[order], tid[order]
+                keep = np.ones(len(d2), dtype=bool)
+                keep[1:] = (d2[1:] != d2[:-1]) | (t2[1:] != t2[:-1])
+                n_uniq = np.bincount(d2[keep], minlength=n) \
+                    .astype(np.int64)
+            else:
+                n_uniq = np.zeros(n, dtype=np.int64)
             with np.errstate(divide="ignore", invalid="ignore"):
                 ttr = np.where(n_tok > 0, n_uniq / n_tok, 0.0)
                 avg_len = np.where(n_tok > 0, tot_len / n_tok, 0.0)
@@ -1173,6 +1188,7 @@ _GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
 # \s differs between Python (unicode) and RE2 (ASCII): use the
 # explicit ASCII class on both sides so the word split is identical
 _GOPHER_WORD_PATTERN = "[^\\t\\n\\f\\r ]+"
+_GOPHER_WORD_SPLIT = "[\\t\\n\\f\\r ]+"
 
 
 class GopherRulesStage(TextStats):
@@ -1183,6 +1199,99 @@ class GopherRulesStage(TextStats):
         self.alpha_re = re.compile("[a-zA-Z]")
 
     def __call__(self, t: pa.Table) -> pa.Table:
+        """Fully vectorized rule battery: word/line stats from Arrow
+        split + flatten + bincount, substring counts from
+        count_substring, the stopword rule from one tokenize +
+        is_in + per-doc distinct — no Python per row (bit-parity with
+        :meth:`scalar_call` asserted in test_pipelines.py)."""
+        from mee_ray.pipelines.gramhash import tokenize_flat
+        col = pc.fill_null(t["text"], "")
+        n = len(t)
+
+        def _flat(lists, keep_empty):
+            if isinstance(lists, pa.ChunkedArray):
+                lists = lists.combine_chunks()
+            cnt = pc.list_value_length(lists).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            flat = pc.list_flatten(lists)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            didx = np.repeat(np.arange(n, dtype=np.int64), cnt)
+            if not keep_empty:
+                ok = pc.not_equal(flat, pa.scalar("")).to_numpy(
+                    zero_copy_only=False).astype(bool)
+                if not ok.all():
+                    flat = flat.filter(pa.array(ok))
+                    didx = didx[ok]
+            return flat, didx
+
+        # words: ASCII-space-separated runs (the Gopher word split)
+        wf, wd = _flat(pc.split_pattern_regex(
+            col, _GOPHER_WORD_SPLIT), keep_empty=False)
+        nw = np.bincount(wd, minlength=n)
+        wlen = pc.utf8_length(wf).to_numpy(zero_copy_only=False)
+        total = np.bincount(wd, weights=wlen, minlength=n)             .astype(np.int64)
+        has_alpha = pc.match_substring_regex(wf, "[a-zA-Z]")             .to_numpy(zero_copy_only=False).astype(np.int64)
+        nalpha = np.bincount(wd, weights=has_alpha, minlength=n)             .astype(np.int64)
+
+        # lines: split("\n") KEEPS empties (Python parity)
+        lf, ld = _flat(pc.split_pattern(col, "\n"), keep_empty=True)
+        nl = np.bincount(ld, minlength=n)
+        bul = (pc.starts_with(lf, "-").to_numpy(zero_copy_only=False)
+               | pc.starts_with(lf, "*").to_numpy(zero_copy_only=False)
+               | pc.starts_with(lf, "\u2022").to_numpy(
+                   zero_copy_only=False)).astype(np.int64)
+        nbul = np.bincount(ld, weights=bul, minlength=n).astype(np.int64)
+        ell = pc.ends_with(lf, "...").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nell = np.bincount(ld, weights=ell, minlength=n).astype(np.int64)
+
+        nsym = (pc.count_substring(col, "#").to_numpy(
+                    zero_copy_only=False)
+                + pc.count_substring(col, "...").to_numpy(
+                    zero_copy_only=False)).astype(np.int64)
+
+        # distinct stopwords per doc (tokens, not raw words)
+        tf_, td_ = _flat(pc.split_pattern_regex(
+            pc.utf8_lower(col), "[^a-z0-9_]+"), keep_empty=False)
+        stops = pa.array(list(_GOPHER_STOPS), pa.string())
+        sid = pc.index_in(tf_, value_set=stops).to_numpy(
+            zero_copy_only=False)
+        hit = sid == sid          # non-null mask
+        hit = ~np.isnan(sid.astype(np.float64))             if sid.dtype.kind == "f" else sid != None  # noqa: E711
+        mask = pc.is_valid(pc.index_in(tf_, value_set=stops))             .to_numpy(zero_copy_only=False).astype(bool)
+        sd, sv = td_[mask], np.asarray(sid[mask], dtype=np.int64)
+        if len(sd):
+            order = np.lexsort((sv, sd))
+            sd, sv = sd[order], sv[order]
+            keep = np.ones(len(sd), dtype=bool)
+            keep[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+            nstop = np.bincount(sd[keep], minlength=n)
+        else:
+            nstop = np.zeros(n, dtype=np.int64)
+
+        r_wc = (nw >= 50) & (nw <= 100_000)
+        r_wlen = (nw > 0) & (3 * nw <= total) & (total <= 10 * nw)
+        r_symbol = 10 * nsym <= nw
+        r_bullet = 10 * nbul <= 9 * nl
+        r_ellipsis = 10 * nell <= 3 * nl
+        r_alpha = 5 * nalpha >= 4 * nw
+        r_stop = nstop >= 2
+        passes = (r_wc & r_wlen & r_symbol & r_bullet & r_ellipsis
+                  & r_alpha & r_stop)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_words": pa.array(nw.astype(np.int64), pa.int64()),
+            "n_lines": pa.array(nl.astype(np.int64), pa.int64()),
+            "rule_wc": pa.array(r_wc), "rule_wlen": pa.array(r_wlen),
+            "rule_symbol": pa.array(r_symbol),
+            "rule_bullet": pa.array(r_bullet),
+            "rule_ellipsis": pa.array(r_ellipsis),
+            "rule_alpha": pa.array(r_alpha),
+            "rule_stop": pa.array(r_stop),
+            "passes": pa.array(passes)})
+
+    def scalar_call(self, t: pa.Table) -> pa.Table:
         cols: dict[str, list] = {k: [] for k in (
             "n_words", "n_lines", "rule_wc", "rule_wlen", "rule_symbol",
             "rule_bullet", "rule_ellipsis", "rule_alpha", "rule_stop")}
@@ -2726,38 +2835,63 @@ def _dsir_bucket(g: str) -> int:
 
 
 class _DsirGramBase(TextStats):
-    """Shared tokenize→gram→bucket kernel: grams are factorized once
-    per batch and bucket-hashed once per UNIQUE gram (memo persists
-    across the task's batches, the ST1 cache pattern)."""
+    """Shared tokenize→gram→bucket kernel, fully vectorized while
+    staying bit-identical to the oracle's string rolling hash (see
+    :meth:`_kp`); per-unique-token state persists across the task's
+    batches (the ST1 cache pattern)."""
 
     def __init__(self):
         super().__init__()
-        self._memo: dict[str, int] = {}
+        self._memo: dict[str, tuple[int, int]] = {}
 
-    def _bucket(self, g: str) -> int:
-        b = self._memo.get(g)
-        if b is None:
-            b = _dsir_bucket(g)
-            self._memo[g] = b
-        return b
+    def _kp(self, t: str) -> tuple[int, int]:
+        """(K, P) = (fold(0, t), 31^len(t)) mod p, memoized per unique
+        token: the rolling fold decomposes as H(s·t) = H(s)·P(t) +
+        K(t) (mod p), which makes every unigram AND bigram hash pure
+        vectorized gather arithmetic — H(a) = 7·P(a)+K(a);
+        H(a·" "·b) = (H(a)·31+32)·P(b)+K(b); every intermediate
+        < 2^62, and the values are BIT-IDENTICAL to _dsir_bucket's
+        per-string fold (the oracle's list_reduce)."""
+        hit = self._memo.get(t)
+        if hit is None:
+            k, pw = 0, 1
+            for ch in t:
+                k = (k * 31 + ord(ch)) % _DSIR_HASH_MOD
+                pw = (pw * 31) % _DSIR_HASH_MOD
+            hit = (k, pw)
+            self._memo[t] = hit
+        return hit
 
     def doc_buckets(self, texts: list):
-        """(didx, bucket_per_gram, gram_count_per_doc) for one batch."""
-        import pandas as pd
-        toks = [self.tokens(x or "") for x in texts]
-        grams: list[str] = []
-        for tk in toks:
-            grams.extend(tk)
-            grams.extend(a + " " + b for a, b in zip(tk, tk[1:]))
-        lens = np.array([2 * len(tk) - 1 if tk else 0 for tk in toks],
-                        dtype=np.int64)
-        if not grams:
+        """(didx, bucket_per_gram, gram_count_per_doc) for one batch
+        (list form kept for tests; the column form is the hot path)."""
+        return self.doc_buckets_col(
+            pa.array([x or "" for x in texts], pa.string()))
+
+    def doc_buckets_col(self, col):
+        from mee_ray.pipelines.gramhash import tokenize_flat
+        flat, didx_t, lens_t = tokenize_flat(col, mode="regex")
+        lens = np.where(lens_t > 0, 2 * lens_t - 1, 0).astype(np.int64)
+        if len(flat) == 0:
             return (np.zeros(0, np.int64), np.zeros(0, np.int64), lens)
-        didx = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
-        inv, uniq = pd.factorize(np.array(grams, dtype=object))
-        bk_u = np.fromiter((self._bucket(g) for g in uniq),
-                           dtype=np.int64, count=len(uniq))
-        return didx, bk_u[inv], lens
+        d = pc.dictionary_encode(flat.combine_chunks()
+                                 if isinstance(flat, pa.ChunkedArray)
+                                 else flat)
+        inv = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = d.dictionary.to_numpy(zero_copy_only=False)
+        kp = np.empty((len(uniq), 2), dtype=np.int64)
+        for i, u in enumerate(uniq):
+            kp[i] = self._kp(u)
+        Kt, Pt = kp[inv, 0], kp[inv, 1]
+        MOD = _DSIR_HASH_MOD
+        Ht = (7 * Pt + Kt) % MOD                     # unigram hashes
+        starts = np.flatnonzero(didx_t[1:] == didx_t[:-1]) \
+            if len(didx_t) > 1 else np.zeros(0, np.int64)
+        Hb = (((Ht[starts] * 31 + 32) % MOD) * Pt[starts + 1]
+              + Kt[starts + 1]) % MOD               # "a b" bigrams
+        didx = np.concatenate([didx_t, didx_t[starts]])
+        bk = np.concatenate([Ht, Hb]) % _DSIR_BUCKETS
+        return didx, bk, lens
 
 
 class _DsirCountStage(_DsirGramBase):
@@ -2765,11 +2899,10 @@ class _DsirCountStage(_DsirGramBase):
     batch regardless of batch size (the combiner-before-shuffle rule)."""
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t["text"].to_pylist()
         is_t = np.asarray(
             pc.equal(t["lang"], pa.scalar("en")).combine_chunks()
             .to_numpy(zero_copy_only=False), dtype=bool)
-        didx, bk, _ = self.doc_buckets(texts)
+        didx, bk, _ = self.doc_buckets_col(t["text"])
         cr = np.bincount(bk, minlength=_DSIR_BUCKETS)
         ct = np.bincount(bk[is_t[didx]], minlength=_DSIR_BUCKETS) \
             if len(bk) else np.zeros(_DSIR_BUCKETS, np.int64)
@@ -2792,7 +2925,7 @@ class _DsirScoreStage(_DsirGramBase):
         import ray as _ray
         if self._w is None:
             self._w = _ray.get(self.w_ref)
-        didx, bk, lens = self.doc_buckets(t["text"].to_pylist())
+        didx, bk, lens = self.doc_buckets_col(t["text"])
         n = len(t)
         # weights ≤ SCALE and n_grams ≤ ~1e5 per doc: every partial sum
         # stays far below 2^53, so the float64 bincount is integer-exact

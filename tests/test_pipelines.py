@@ -922,3 +922,25 @@ def test_mmr_rerank_matches_recompute_and_diversifies(
             .neighbor_id.tolist()
         assert mine == sel, (q, mine, sel)
         assert pairwise_mean(mine) <= pairwise_mean(cand[:K]) + 1e-12
+
+
+def test_gopher_vectorized_scalar_parity(ray_session):
+    """The vectorized GopherRulesStage must be bit-equal to the scalar
+    reference loop, including the line/bullet/ellipsis and stopword
+    edge cases."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.text import GopherRulesStage
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    t = pa.concat_tables([t, pa.table({
+        "doc_id": pa.array([99991, 99992, 99993, 99994], pa.int64()),
+        "text": pa.array(
+            ["", None,
+             "- b\n* two\n• three\nends...\n# s ... more\n",
+             "the be to of and that have with short"],
+            pa.string())})])
+    st = GopherRulesStage()
+    assert st(t).equals(st.scalar_call(t))
