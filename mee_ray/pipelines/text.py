@@ -236,9 +236,30 @@ def lang_id_documents(sf_dir: str):
     (en > de > fr > es > und), replicated exactly in SQL."""
     class Stage(TextStats):
         def __call__(self, t: pa.Table) -> pa.Table:
+            # vectorized: one count_substring_regex kernel per language
+            # (non-overlapping match count == len(findall)); precedence
+            # resolved with argmax over the fixed column order.  NOTE
+            # \b: RE2 word boundaries are ASCII, Python's unicode — on
+            # this corpus (ascii stopwords, parity asserted in
+            # test_pipelines.py) the counts are identical.
+            low = pc.utf8_lower(pc.fill_null(t["text"], ""))
+            mat = np.stack([
+                pc.count_substring_regex(low, STOP_PATTERNS[k])
+                .to_numpy(zero_copy_only=False)
+                for k in ("en", "de", "fr", "es")]).astype(np.int64)
+            mx = mat.max(axis=0)
+            pick = np.argmax(mat, axis=0)        # first max wins
+            names = np.array(["en", "de", "fr", "es"], dtype=object)
+            guesses = np.where(mx == 0, "und", names[pick])
+            return pa.table({"doc_id": t["doc_id"],
+                             "lang_guess": pa.array(guesses, pa.string()),
+                             "n_stopwords": pa.array(
+                                 mat.sum(axis=0), pa.int64())})
+
+        def scalar_call(self, t: pa.Table) -> pa.Table:
             guesses, totals = [], []
             for x in t["text"].to_pylist():
-                low = x.lower()
+                low = (x or "").lower()
                 counts = {k: len(rx.findall(low)) for k, rx in self.stops.items()}
                 mx = max(counts.values()) if counts else 0
                 if mx == 0:
@@ -1125,22 +1146,50 @@ def repetition_scores_documents(sf_dir: str):
     integer counts — bit-identical to the oracle's DOUBLE division."""
     class Stage(TextStats):
         def __call__(self, t: pa.Table) -> pa.Table:
-            from collections import Counter
-            out_n, out_u, out_f = [], [], []
-            for x in t["text"].to_pylist():
-                toks = self.tokens(x)
-                n = len(toks)
-                out_n.append(n)
-                out_u.append((len(set(toks)) / n) if n else 0.0)
-                if n > 1:
-                    c = Counter(zip(toks, toks[1:]))
-                    out_f.append(max(c.values()) / (n - 1))
-                else:
-                    out_f.append(0.0)
+            # vectorized: token ids once, distinct-per-doc and
+            # top-bigram-run via two sorts — identical float results
+            # (same single divisions of the same exact integers)
+            from mee_ray.pipelines.gramhash import tokenize_flat
+            flat, didx, lens = tokenize_flat(t["text"], mode="regex")
+            n = len(t)
+            n_tok = lens.astype(np.int64)
+            uniq_c = np.zeros(n, dtype=np.int64)
+            top = np.zeros(n, dtype=np.int64)
+            if len(flat):
+                d = pc.dictionary_encode(
+                    flat.combine_chunks()
+                    if isinstance(flat, pa.ChunkedArray) else flat)
+                tid = d.indices.to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                U = len(d.dictionary)
+                order = np.lexsort((tid, didx))
+                d2, t2 = didx[order], tid[order]
+                keep = np.ones(len(d2), dtype=bool)
+                keep[1:] = (d2[1:] != d2[:-1]) | (t2[1:] != t2[:-1])
+                uniq_c = np.bincount(d2[keep], minlength=n) \
+                    .astype(np.int64)
+                bs = np.flatnonzero(didx[1:] == didx[:-1])
+                if len(bs):
+                    bd, bk = didx[bs], tid[bs] * U + tid[bs + 1]
+                    o2 = np.lexsort((bk, bd))
+                    bd2, bk2 = bd[o2], bk[o2]
+                    r = np.flatnonzero(np.r_[
+                        True, (bd2[1:] != bd2[:-1])
+                        | (bk2[1:] != bk2[:-1])])
+                    rl = np.diff(np.r_[r, len(bd2)])
+                    rd = bd2[r]
+                    ds = np.flatnonzero(np.r_[True, rd[1:] != rd[:-1]])
+                    top[rd[ds]] = np.maximum.reduceat(rl, ds)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                uniq_ratio = np.where(n_tok > 0, uniq_c / n_tok, 0.0)
+                frac = np.where(n_tok > 1,
+                                top / np.maximum(n_tok - 1, 1), 0.0)
             return pa.table({"doc_id": t["doc_id"],
-                             "n_tokens": pa.array(out_n, pa.int64()),
-                             "uniq_ratio": pa.array(out_u, pa.float64()),
-                             "top_bigram_frac": pa.array(out_f, pa.float64())})
+                             "n_tokens": pa.array(n_tok, pa.int64()),
+                             "uniq_ratio": pa.array(uniq_ratio,
+                                                    pa.float64()),
+                             "top_bigram_frac": pa.array(frac,
+                                                         pa.float64())})
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         Stage(), batch_format="pyarrow")
@@ -2247,24 +2296,44 @@ def chunk_documents(sf_dir: str):
 
     class Stage(TextStats):
         def __call__(self, t: pa.Table) -> pa.Table:
-            ids, cids, starts, lens, texts = [], [], [], [], []
-            for d, x in zip(t["doc_id"].to_pylist(),
-                            t["text"].to_pylist()):
-                toks = self.tokens(x)
-                n = len(toks)
-                for ci, s in enumerate(range(0, n, stride)):
-                    w = toks[s:s + CHUNK_TOKENS]
-                    ids.append(d)
-                    cids.append(ci)
-                    starts.append(s + 1)          # 1-based like SQL
-                    lens.append(len(w))
-                    texts.append(" ".join(w))
+            # vectorized: window enumeration in numpy, token gather +
+            # binary_join in Arrow — no Python per row or per chunk
+            from mee_ray.pipelines.gramhash import tokenize_flat
+            flat, _, lens_d = tokenize_flat(t["text"], mode="regex")
+            dids = t["doc_id"].to_numpy(zero_copy_only=False)
+            nwin = (lens_d + stride - 1) // stride      # 0 for empty
+            W = int(nwin.sum())
+            if W == 0:
+                return pa.table({
+                    "doc_id": pa.array([], pa.int64()),
+                    "chunk_id": pa.array([], pa.int64()),
+                    "chunk_start": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "chunk_text": pa.array([], pa.string())})
+            wdoc = np.repeat(np.arange(len(lens_d)), nwin)
+            wloc = np.arange(W, dtype=np.int64) \
+                - np.repeat(np.cumsum(nwin) - nwin, nwin)
+            wstart = wloc * stride
+            wlen = np.minimum(CHUNK_TOKENS, lens_d[wdoc] - wstart)
+            doc_start = np.cumsum(lens_d) - lens_d
+            gstart = doc_start[wdoc] + wstart
+            total = int(wlen.sum())
+            local = np.arange(total, dtype=np.int64) \
+                - np.repeat(np.cumsum(wlen) - wlen, wlen)
+            idx = np.repeat(gstart, wlen) + local
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            vals = flat.take(pa.array(idx, pa.int64()))
+            off = pa.array(np.r_[0, np.cumsum(wlen)].astype(np.int32),
+                           pa.int32())
+            texts = pc.binary_join(
+                pa.ListArray.from_arrays(off, vals), " ")
             return pa.table({
-                "doc_id": pa.array(ids, pa.int64()),
-                "chunk_id": pa.array(cids, pa.int64()),
-                "chunk_start": pa.array(starts, pa.int64()),
-                "n_tokens": pa.array(lens, pa.int64()),
-                "chunk_text": pa.array(texts, pa.string())})
+                "doc_id": pa.array(dids[wdoc], pa.int64()),
+                "chunk_id": pa.array(wloc, pa.int64()),
+                "chunk_start": pa.array(wstart + 1, pa.int64()),
+                "n_tokens": pa.array(wlen.astype(np.int64), pa.int64()),
+                "chunk_text": texts})
 
     return _read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         Stage(), batch_format="pyarrow")
@@ -2306,17 +2375,19 @@ def curated_ids_dataset(sf_dir: str):
     class Stage(TextStats):
         def __call__(self, t: pa.Table) -> pa.Table:
             t = t.filter(pc.equal(t["lang"], "en"))
-            fps, ids, ntoks = [], [], []
-            for d, x in zip(t["doc_id"].to_pylist(),
-                            t["text"].to_pylist()):
-                n = len(self.tokens(x))
-                if n >= CURATE_MIN_TOKENS:
-                    fps.append(hashlib.md5(x.encode()).hexdigest())
-                    ids.append(d)
-                    ntoks.append(n)
+            # vectorized length gate BEFORE the md5 loop: only
+            # survivors pay the (oracle-mandated md5(text)) C call
+            from mee_ray.pipelines.gramhash import tokenize_flat
+            _, _, lens = tokenize_flat(t["text"], mode="regex")
+            keep = lens >= CURATE_MIN_TOKENS
+            t = t.filter(pa.array(keep))
+            fps = [hashlib.md5(x.encode()).hexdigest()
+                   for x in t["text"].to_pylist()]
             return pa.table({"fp": pa.array(fps, pa.string()),
-                             "doc_id": pa.array(ids, pa.int64()),
-                             "n_tokens": pa.array(ntoks, pa.int64())})
+                             "doc_id": t["doc_id"],
+                             "n_tokens": pa.array(
+                                 lens[keep].astype(np.int64),
+                                 pa.int64())})
 
     return (_read_docs(sf_dir, ["doc_id", "text", "lang"])
             .map_batches(Stage(), batch_format="pyarrow",
