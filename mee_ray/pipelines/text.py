@@ -2526,12 +2526,33 @@ def categorize_text_documents(sf_dir: str):
 
     class Stage(TextStats):
         def __call__(self, t: pa.Table) -> pa.Table:
-            cats = []
-            for x in t["text"].to_pylist():
-                toks = [w for w in self.tokens(x)
-                        if len(w) > 1 and not any(c.isdigit() for c in w)]
-                cats.append(" ".join(toks[:_CAT_PREFIX]))
-            g = (pa.table({"category": pa.array(cats, pa.string()),
+            # vectorized: token filter (length>1, digit-free) as Arrow
+            # masks, per-doc prefix via within-doc rank, category text
+            # via binary_join — no Python per row
+            from mee_ray.pipelines.gramhash import tokenize_flat
+            flat, didx, _ = tokenize_flat(t["text"], mode="regex")
+            n = len(t)
+            if len(flat):
+                if isinstance(flat, pa.ChunkedArray):
+                    flat = flat.combine_chunks()
+                ok = (pc.greater(pc.utf8_length(flat), 1)
+                      .to_numpy(zero_copy_only=False)
+                      & ~pc.match_substring_regex(flat, "[0-9]")
+                      .to_numpy(zero_copy_only=False)).astype(bool)
+                flat, didx = flat.filter(pa.array(ok)), didx[ok]
+                cnt = np.bincount(didx, minlength=n)
+                rank = np.arange(len(didx)) \
+                    - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                head = rank < _CAT_PREFIX
+                flat, didx = flat.filter(pa.array(head)), didx[head]
+                kept = np.bincount(didx, minlength=n)
+            else:
+                kept = np.zeros(n, dtype=np.int64)
+            off = pa.array(np.r_[0, np.cumsum(kept)].astype(np.int32),
+                           pa.int32())
+            cats = pc.binary_join(pa.ListArray.from_arrays(off, flat),
+                                  " ")
+            g = (pa.table({"category": cats,
                            "doc_id": t["doc_id"]})
                  .group_by("category")
                  .aggregate([([], "count_all"), ("doc_id", "min")]))
@@ -2587,9 +2608,14 @@ def significant_text_documents(sf_dir: str):
 
     class FgStage(TextStats):
         def __call__(self, t: pa.Table) -> pa.Table:
-            keep = [_SIGTEXT_TERM in set(self.tokens(x))
-                    for x in t["text"].to_pylist()]
-            return t.filter(pa.array(keep, pa.bool_()))
+            # vectorized membership: tokenize once, equality mask,
+            # per-doc any() via bincount
+            from mee_ray.pipelines.gramhash import tokenize_flat
+            flat, didx, _ = tokenize_flat(t["text"], mode="regex")
+            hit = pc.equal(flat, pa.scalar(_SIGTEXT_TERM)) \
+                .to_numpy(zero_copy_only=False).astype(bool)
+            keep = np.bincount(didx[hit], minlength=len(t)) > 0
+            return t.filter(pa.array(keep))
 
     fg_texts = (_read_docs(sf_dir, ["text"])
                 .map_batches(FgStage(), batch_format="pyarrow")
