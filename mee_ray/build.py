@@ -92,25 +92,33 @@ class DocTokenize:
         self.emit_terms = emit_terms
         self.tok = Tokenizer(cfg.tokenizer)
 
-    def _counts_vectorized(self, batch: pa.Table):
-        """(lengths, terms_col, tfs_col) via Tokenizer.terms_batch —
-        the non-positional hot path: Arrow tokenize + one Python call
-        per UNIQUE word run, per-(doc, term) tf via one lexsort.
-        Output is bit-identical to the scalar Counter/sorted path
-        (same term strings, same sorted-within-doc order — asserted
-        in test_tokenizer.py and by every rank-identity test)."""
+    def _counts_vectorized(self, batch: pa.Table,
+                           with_positions: bool = False):
+        """(lengths, terms_col, tfs_col[, poss_col]) via
+        Tokenizer.terms_batch — the hot path for BOTH build passes:
+        Arrow tokenize + one Python call per UNIQUE word run,
+        per-(doc, term) tf via one lexsort.  With positions, the
+        per-(doc, term) delta+LEB128 blobs come from ONE vectorized
+        varint_encode_offsets call (its value-boundary offsets make
+        every blob a valid self-contained stream), bit-identical to
+        encode_positions per group.  Output matches the scalar
+        Counter/sorted path exactly (test_tokenizer.py,
+        test_postings.py parity tests + every rank/phrase-identity
+        suite)."""
         didx, tids, tdict = self.tok.terms_batch(batch["content"])
         n = batch.num_rows
         lengths = np.bincount(didx, minlength=n).astype(np.int32)
         if not self.emit_terms:
-            return lengths, None, None
+            return (lengths, None, None, None)
         if len(tids) == 0:
             off = pa.array(np.zeros(n + 1, np.int32), pa.int32())
+            empty_bin = pa.array([], pa.binary())
             return (lengths,
                     pa.ListArray.from_arrays(off,
                                              pa.array([], pa.string())),
                     pa.ListArray.from_arrays(off,
-                                             pa.array([], pa.int32())))
+                                             pa.array([], pa.int32())),
+                    pa.ListArray.from_arrays(off, empty_bin))
         # rank terms lexicographically so within-doc order matches
         # sorted(counts.items())
         rank_of = np.empty(len(tdict), dtype=np.int64)
@@ -130,33 +138,51 @@ class DocTokenize:
             offsets, pa.array(tdict[ut_t], pa.string()))
         tfs_col = pa.ListArray.from_arrays(
             offsets, pa.array(tf, pa.int32()))
-        return lengths, terms_col, tfs_col
+        poss_col = None
+        if with_positions:
+            # positions = within-doc term-stream index; the stable
+            # lexsort keeps each (doc, term) group's positions in
+            # ascending stream order
+            doc_start = (np.cumsum(lengths) - lengths).astype(np.int64)
+            pos = np.arange(len(didx), dtype=np.int64) - doc_start[didx]
+            p2 = pos[order]
+            delta = np.empty(len(p2), dtype=np.int64)
+            delta[0] = p2[0]
+            delta[1:] = p2[1:] - p2[:-1]
+            delta[starts] = p2[starts]          # absolute at group head
+            from mee_ray.postings import varint_encode_offsets
+            buf, offs = varint_encode_offsets(delta.astype(np.uint64))
+            blob_bounds = offs[np.r_[starts, len(p2)]].astype(np.int32)
+            bin_arr = pa.Array.from_buffers(
+                pa.binary(), len(starts),
+                [None, pa.py_buffer(blob_bounds.tobytes()),
+                 pa.py_buffer(buf)])
+            poss_col = pa.ListArray.from_arrays(offsets, bin_arr)
+        return lengths, terms_col, tfs_col, poss_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = doc_ids_batch(batch["repo"], batch["path"], batch["commit"])
         contents = batch["content"].to_pylist()
         store_pos = self.emit_terms and self.cfg.store_positions
-        if store_pos:
-            from mee_ray.postings import encode_positions
         shas = [hashlib.sha256((c if c is not None else "").encode())
                 .digest() for c in contents]
-        if not store_pos:
-            lengths, terms_col, tfs_col = self._counts_vectorized(batch)
-        else:
+        if store_pos and getattr(self, "use_scalar_positions", False):
+            # scalar reference path, kept ONLY for the bit-parity test
+            from mee_ray.postings import encode_positions
             lengths, terms_col, tfs_col = [], [], []
             poss_col: list = []
             for c in contents:
                 c = c if c is not None else ""
                 counts, poss = self.tok.counts_and_positions(c)
                 items = sorted(counts.items())
-                # per-(doc, term) blob: delta+varint of the sorted
-                # positions — encoded HERE so the shuffle ships bytes,
-                # not list<int> columns
                 poss_col.append([encode_positions(np.array(poss[t]))
                                  for t, _ in items])
                 terms_col.append([t for t, _ in items])
                 tfs_col.append([tf for _, tf in items])
                 lengths.append(sum(counts.values()))
+        else:
+            lengths, terms_col, tfs_col, poss_col = \
+                self._counts_vectorized(batch, with_positions=store_pos)
         cols = {
             "doc_id": pa.array(ids, pa.int64()),
             "repo": batch["repo"],
@@ -167,14 +193,15 @@ class DocTokenize:
             "length": pa.array(lengths, pa.int32()),
         }
         if self.emit_terms:
-            if store_pos:
+            if isinstance(terms_col, list):     # scalar reference path
                 cols["terms"] = pa.array(terms_col, pa.list_(pa.string()))
                 cols["tfs"] = pa.array(tfs_col, pa.list_(pa.int32()))
-                cols["poss"] = pa.array(poss_col,
-                                        pa.list_(pa.binary()))
-            else:   # vectorized path already built the list arrays
+                cols["poss"] = pa.array(poss_col, pa.list_(pa.binary()))
+            else:       # vectorized path built the list arrays already
                 cols["terms"] = terms_col
                 cols["tfs"] = tfs_col
+                if store_pos:
+                    cols["poss"] = poss_col
         elif self.cfg.store_source:
             # pass-1 docs table carries the raw source (ES _source
             # analog) — pass 2 never does, segments stay content-free

@@ -285,3 +285,37 @@ def test_bulk_decode_rows_matches_per_row(runs):
             t["tfs_enc"][expect.index((term, salt, ids, tfs, dls))].as_py())
         assert np.array_equal(d_ids, ids)
         pos += n
+
+
+def test_doctokenize_positional_vectorized_parity():
+    """The vectorized positional path (one varint_encode_offsets call
+    per batch) must emit byte-identical per-(doc, term) position
+    blobs to the scalar encode_positions-per-group reference."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mee_ray.build import DocTokenize
+    from mee_ray.config import EngineConfig
+
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["text"]).slice(0, 200)
+    n = len(t)
+    batch = pa.table({
+        "repo": pa.array([f"r{i}" for i in range(n)]),
+        "path": pa.array([f"p{i}.py" for i in range(n)]),
+        "commit": pa.array(["c" * 8] * n),
+        "lang": pa.array(["python"] * n),
+        "content": t["text"]})
+    batch = pa.concat_tables([batch, pa.table({
+        "repo": ["rx"], "path": ["px"], "commit": ["cx"],
+        "lang": ["python"],
+        "content": pa.array([None], pa.string())})])
+    cfg = EngineConfig(store_positions=True)
+    vec = DocTokenize(cfg)
+    sca = DocTokenize(cfg)
+    sca.use_scalar_positions = True
+    a, b = vec(batch), sca(batch)
+    assert a.schema == b.schema
+    for c in a.column_names:
+        assert a[c].equals(b[c]), c
