@@ -49,6 +49,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["multimodal_audio_features"] = multimodal_audio_features
     out["multimodal_video_frames"] = multimodal_video_frames
     out["multimodal_retrieval"] = multimodal_retrieval
+    from mee_ray.pipelines.hybrid import rrf_hybrid_topk
+    # rows-only by design (BM25 side is not SQL-expressible); the
+    # fusion is exactness-tested against a driver recompute over the
+    # two ORACLE-CHECKED component rankings (tests/test_hybrid.py)
+    out["rrf_hybrid_topk"] = rrf_hybrid_topk
     return out
 
 
