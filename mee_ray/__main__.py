@@ -1008,9 +1008,14 @@ def main(argv: list[str] | None = None) -> int:
                 parts = list(res.iter_batches(
                     batch_format="pyarrow", batch_size=1 << 20))
                 # zero-batch results (e.g. an empty pipeline output)
-                # must print rows=0, not crash concat_tables
-                t = (_pa.concat_tables(parts) if parts else
-                     _pa.schema([]).empty_table())
+                # must print rows=0, not crash concat_tables — and an
+                # --out parquet must keep the query's schema
+                if parts:
+                    t = _pa.concat_tables(parts)
+                else:
+                    sch = res.schema()
+                    t = _pa.Table.from_pylist([], schema=_pa.schema(
+                        list(zip(sch.names, sch.types))))
             if args.out:
                 _pq.write_table(t, args.out)
             n = t.num_rows

@@ -47,10 +47,11 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
-    z = x.astype(np.uint64) + _MIX
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+    # single definition lives in gramhash (review finding r4#8 —
+    # two hand-synced copies of the finalizer risked silent bucket
+    # divergence); this alias keeps the historical local name
+    from mee_ray.pipelines.gramhash import mix64
+    return mix64(x)
 
 
 def _edges_table(a: np.ndarray, b: np.ndarray) -> pa.Table:

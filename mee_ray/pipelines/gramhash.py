@@ -55,9 +55,8 @@ _SIGN_MASK = np.uint64(0x7FFFFFFFFFFFFFFF)
 
 
 def mix64(x: np.ndarray) -> np.ndarray:
-    """splitmix64 finalizer — the bucket mix shared with
-    cluster._mix64 (duplicated there; cluster must stay importable
-    without this module)."""
+    """splitmix64 finalizer — THE bucket mix of the repo
+    (cluster._mix64 delegates here)."""
     z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
     z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
     z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
@@ -84,6 +83,14 @@ def tokenize_flat(col, mode: str = "regex"):
     if mode == "space":
         lists = pc.split_pattern(col, " ")
     elif mode == "regex":
+        # Python str.lower maps U+0130 'İ' to TWO codepoints (i +
+        # combining dot) — the one multi-codepoint lower mapping —
+        # while utf8_lower emits a single 'i'.  Align before lowering
+        # so token boundaries match re.findall(..., text.lower())
+        # exactly (same fix as Tokenizer.terms_batch; review finding
+        # r4#1 — without it every scalar-vs-batch bit-identity
+        # contract broke on text containing 'İ').
+        col = pc.replace_substring(col, "İ", "i̇")
         lists = pc.split_pattern_regex(pc.utf8_lower(col),
                                        "[^a-z0-9_]+")
     else:  # pragma: no cover - programming error

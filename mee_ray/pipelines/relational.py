@@ -6855,10 +6855,16 @@ def _fis_pair_explosion(sf_dir: str, vocab: list[str]) -> pa.Table:
              .group_by(["a", "b"]).aggregate([([], "count_all")]))
         return t.rename_columns(["a", "b", "n_part"])
 
-    ds = _read(sf_dir, "events", ["user_id", "event_type"])
-    agg = (ds.map_batches(to_items, batch_format="pyarrow",
+    # ONE events read: the per-batch-distinct item stream is
+    # materialized (bounded: distinct (user, item) partials) and feeds
+    # BOTH the pair aggregation and the distinct-user count — every
+    # user with an event appears in it (review finding r4#5; the
+    # bitmask path reuses its masks table the same way)
+    items = (_read(sf_dir, "events", ["user_id", "event_type"])
+             .map_batches(to_items, batch_format="pyarrow",
                           zero_copy_batch=True)
-           .groupby("bucket")
+             .materialize())
+    agg = (items.groupby("bucket")
            .map_groups(pairs_of_group, batch_format="pyarrow")
            .groupby(["a", "b"])
            .aggregate(Sum("n_part", alias_name="support")))
@@ -6866,7 +6872,7 @@ def _fis_pair_explosion(sf_dir: str, vocab: list[str]) -> pa.Table:
     t = pa.concat_tables(parts) if parts else pa.table(
         {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
          "support": pa.array([], pa.int64())})
-    n_users = int(ds.groupby("user_id").count().count())
+    n_users = int(items.groupby("user_id").count().count())
     thresh = math.ceil(_FIS_MIN_SUPPORT_RATIO * n_users)
     a = t["a"].to_numpy(zero_copy_only=False)
     b = t["b"].to_numpy(zero_copy_only=False)

@@ -257,6 +257,12 @@ def lang_id_documents(sf_dir: str):
                                  mat.sum(axis=0), pa.int64())})
 
         def scalar_call(self, t: pa.Table) -> pa.Table:
+            """Python-re reference (ASCII-corpus parity only): \\b is
+            unicode-aware here but ASCII in RE2 — the VECTORIZED path
+            is authoritative because it shares RE2 semantics with the
+            DuckDB oracle (review finding r4#2: on accented text like
+            'thé' the two \\b dialects genuinely differ, and the
+            engine sides with its oracle)."""
             guesses, totals = [], []
             for x in t["text"].to_pylist():
                 low = (x or "").lower()
@@ -1304,12 +1310,12 @@ class GopherRulesStage(TextStats):
         tf_, td_ = _flat(pc.split_pattern_regex(
             pc.utf8_lower(col), "[^a-z0-9_]+"), keep_empty=False)
         stops = pa.array(list(_GOPHER_STOPS), pa.string())
-        sid = pc.index_in(tf_, value_set=stops).to_numpy(
-            zero_copy_only=False)
-        hit = sid == sid          # non-null mask
-        hit = ~np.isnan(sid.astype(np.float64))             if sid.dtype.kind == "f" else sid != None  # noqa: E711
-        mask = pc.is_valid(pc.index_in(tf_, value_set=stops))             .to_numpy(zero_copy_only=False).astype(bool)
-        sd, sv = td_[mask], np.asarray(sid[mask], dtype=np.int64)
+        ii = pc.index_in(tf_, value_set=stops)
+        mask = pc.is_valid(ii).to_numpy(zero_copy_only=False) \
+            .astype(bool)
+        sid = pc.fill_null(ii, -1).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        sd, sv = td_[mask], sid[mask]
         if len(sd):
             order = np.lexsort((sv, sd))
             sd, sv = sd[order], sv[order]

@@ -321,7 +321,6 @@ class IVFIndex:
         path: the quantizer never sees the full table, only
         ``fit_sample_n()`` rows drawn by mix64 hash rank (deterministic
         AND independent of file order — see pipelines/sampling.py)."""
-        from mee_ray.pipelines.sampling import hash_sample
         t = hash_sample(ds, self.fit_sample_n(), "vec_id")
         _, mat = _emb_matrix(t)
         return self.fit(mat)
@@ -654,7 +653,7 @@ def ann_ivfpq_topk(sf_dir: str, n_queries: int = 5, k: int = 10,
     final ordering is exact."""
     import ray
 
-    # ONE bounded prefix read feeds both fits; assignment reuses the
+    # ONE bounded hash-rank sample feeds both fits; assignment reuses the
     # already-normalized sample (ivf.assign would re-normalize)
     head = hash_sample(_read_emb(sf_dir), 4096, "vec_id")
     _, sample = _emb_matrix(head)

@@ -27,7 +27,9 @@ def _texts(limit=300):
 
 
 def test_tokenize_flat_regex_parity():
-    texts = _texts() + ["", None, "  ", "Hello, World!", "a_b-c  d"]
+    texts = _texts() + ["", None, "  ", "Hello, World!", "a_b-c  d",
+                        "Aİb İstanbul KELVIN ẞß"]   # U+0130 lower()
+
     flat, didx, lens = tokenize_flat(pa.chunked_array([texts]),
                                      mode="regex")
     tok = re.compile("[a-z0-9_]+")
@@ -109,7 +111,8 @@ def test_substring_spans_hashed_vs_string_identity():
 def test_shingles_batch_parity():
     from mee_ray.pipelines.text import (TextStats, _shingle_lists,
                                         _shingles)
-    texts = _texts(200) + ["", None, "one two", "a", "x y z w v"]
+    texts = _texts(200) + ["", None, "one two", "a", "x y z w v",
+                           "Aİb one two three four"]
     st = TextStats()
     got = _shingle_lists(pa.chunked_array([texts])).to_pylist()
     for x, lst in zip(texts, got):
