@@ -2492,6 +2492,16 @@ class CachedSearcher:
         self.invalidations = 0
 
     def _resolve(self) -> Searcher:
+        """Searcher for the CURRENT on-disk generation.  Lock scope is
+        minimal (review finding r4#6): the epoch read + manifest stat
+        run OUTSIDE the lock, a hit-path request takes the lock only
+        for the generation compare, and the (milliseconds-long)
+        Searcher load of a generation swap also runs outside it with
+        a double-checked install — readers never queue behind a load.
+        If two threads race a swap the loser may briefly re-install
+        the older snapshot; both are legitimate published generations
+        and the next request self-heals (the threaded test pins
+        results to the set of legitimate generations)."""
         import os as _os
         for attempt in range(3):
             ep = mf.current_epoch(self.index_root)
@@ -2501,17 +2511,21 @@ class CachedSearcher:
             try:
                 st = _os.stat(mf.manifest_path(self.index_root, ep))
                 gen = (ep, st.st_mtime_ns, st.st_size)
-                if gen != self._gen:
-                    # the Searcher load itself must sit INSIDE the
-                    # retry: the same compact+gc race can delete the
-                    # old epoch's files between the stat and the open
-                    searcher = Searcher(self.index_root, ep)
-                    if self._gen is not None:
-                        self.invalidations += 1
-                    self._gen = gen
-                    self._searcher = searcher
-                    self._entries.clear()
-                return self._searcher
+                with self._lock:
+                    if gen == self._gen:
+                        return self._searcher
+                # the Searcher load itself must sit INSIDE the
+                # retry: the same compact+gc race can delete the
+                # old epoch's files between the stat and the open
+                searcher = Searcher(self.index_root, ep)
+                with self._lock:
+                    if gen != self._gen:
+                        if self._gen is not None:
+                            self.invalidations += 1
+                        self._gen = gen
+                        self._searcher = searcher
+                        self._entries.clear()
+                    return self._searcher
             except FileNotFoundError:
                 # CURRENT moved and the old epoch was gc'ed between
                 # the reads (compact + gc_epochs race) — re-resolve
@@ -2521,13 +2535,14 @@ class CachedSearcher:
 
     def _cached(self, method: str, key_args: tuple, call):
         key = (method,) + key_args
+        s = self._resolve()
         with self._lock:
-            s = self._resolve()
-            got = self._entries.get(key)
-            if got is not None:
-                self._entries.move_to_end(key)
-                self.hits += 1
-                return list(got)
+            if self._searcher is s:
+                got = self._entries.get(key)
+                if got is not None:
+                    self._entries.move_to_end(key)
+                    self.hits += 1
+                    return list(got)
         # the search itself runs OUTSIDE the lock (reads immutable
         # Searcher state); s is pinned by the local reference even if
         # a concurrent generation swap replaces self._searcher
