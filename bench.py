@@ -225,7 +225,8 @@ def run_suite(sf_dir: str, num_cpus: int, build_only: bool = False) -> dict:
                      "substring_dedup_spans_documents",
                      "bpe_tokenize_documents", "dsir_weights_documents",
                      "quality_training_mix_documents",
-                     "semdedup_embeddings", "gopher_rules_documents"):
+                     "semdedup_embeddings", "gopher_rules_documents",
+                     "rrf_hybrid_topk"):
             tq = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "materialize"):

@@ -169,3 +169,34 @@ def test_gram_hash_stride():
     d2, p2, g2 = gram_hash64(th, lens, 3, stride=1)
     lookup = {(d, p): g for d, p, g in zip(d2, p2, g2)}
     assert [lookup[(d, p)] for d, p in zip(d1, p1)] == g1.tolist()
+
+
+def test_char_gram_sets_batch_parity_and_fuzz():
+    """_char_gram_sets_batch vs a naive per-string recompute (set of
+    raw char 5-gram equality classes) over random and edge-case
+    strings: per-doc set SIZES and cross-doc equality structure must
+    match (hash values are opaque; what matters is which grams
+    collide)."""
+    import numpy as np
+
+    from mee_ray.pipelines.text import _char_gram_sets_batch
+
+    rng = np.random.default_rng(5)
+    alpha = list("abcde ")
+    texts = ["".join(rng.choice(alpha, rng.integers(0, 30)))
+             for _ in range(200)] + ["", "abcd", "abcde", "aaaaaa",
+                                     "naïve café ünïcødé", None]
+    d, g = _char_gram_sets_batch(texts, 5)
+    per_doc = {}
+    for dd, gg in zip(d, g):
+        per_doc.setdefault(int(dd), set()).add(int(gg))
+    for i, x in enumerate(texts):
+        x = x or ""
+        gs = {x[k:k + 5] for k in range(max(0, len(x) - 4))}
+        if not gs and x:
+            gs = {x}
+        assert len(per_doc.get(i, set())) == len(gs), (i, x)
+    # equality structure: identical strings share identical hash sets
+    dup = [i for i, x in enumerate(texts) if (x or "") == "abcde"]
+    if len(dup) >= 2:
+        assert per_doc[dup[0]] == per_doc[dup[1]]

@@ -944,3 +944,38 @@ def test_gopher_vectorized_scalar_parity(ray_session):
             pa.string())})])
     st = GopherRulesStage()
     assert st(t).equals(st.scalar_call(t))
+
+
+def test_ngram_jaccard_group_math_fuzz(ray_session):
+    """The many-pairs-per-bucket jaccard kernel vs a naive per-pair
+    set computation on the real corpus — float-exact (same division
+    of the same exact integers)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.text import (_char_gram_sets_batch,
+                                        ngram_jaccard_adjacent)
+
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    got = ngram_jaccard_adjacent(SF)
+    if hasattr(got, "iter_batches"):
+        import pyarrow as pa
+        got = pa.concat_tables(list(
+            got.iter_batches(batch_format="pyarrow")))
+    gm = {(a, b): j for a, b, j in
+          zip(got["a"].to_pylist(), got["b"].to_pylist(),
+              got["jaccard5"].to_pylist())}
+    ids = sorted(t["doc_id"].to_pylist())
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    d, g = _char_gram_sets_batch([texts[i] for i in ids], 5)
+    sets: dict = {i: set() for i in range(len(ids))}
+    for dd, gg in zip(d, g):
+        sets[int(dd)].add(int(gg))
+    assert len(gm) == len(ids) - 1
+    rng = np.random.default_rng(1)
+    for k in rng.choice(len(ids) - 1, size=50, replace=False):
+        sx, sy = sets[k], sets[k + 1]
+        union = len(sx | sy)
+        exp = (len(sx & sy) / union) if union else 1.0
+        assert gm[(ids[k], ids[k + 1])] == exp
