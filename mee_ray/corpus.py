@@ -78,10 +78,19 @@ def generate_corpus(n_files: int = 2000, seed: int = 42,
     # Zipfian repo popularity
     repo_weights = 1.0 / np.arange(1, n_repos + 1) ** 1.1
     repo_weights /= repo_weights.sum()
+    # rng.choice(n, p=w) recomputes the O(n_repos) cdf EVERY draw —
+    # O(n_files²/40) total, the corpus-gen wall at multi-million-file
+    # scale.  Replicate its exact draw (one rng.random() against the
+    # precomputed cdf, bit-identical sample verified in
+    # test_sources.py::test_generate_corpus_cdf_draw_identity) so the
+    # corpus bytes stay IDENTICAL for every (n, seed) in the recorded
+    # scale series while gen goes O(n log n).
+    repo_cdf = np.cumsum(repo_weights)
 
     repos, paths, commits, langs, contents = [], [], [], [], []
     for i in range(n_files):
-        r = int(rng.choice(n_repos, p=repo_weights))
+        r = int(repo_cdf.searchsorted(rng.random() * repo_cdf[-1],
+                                      side="right"))
         repo = f"org{r % 7}/repo{r}"
         lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
         path = f"src/pkg{int(rng.integers(0, 20))}/file_{i}.{_EXT[lang]}"

