@@ -229,7 +229,8 @@ def test_every_query_has_oracle_or_is_flagged(entry_mod):
                          "semdedup_embeddings", "mmr_rerank_embeddings",
                          "bloom_membership_documents",
                          "ann_sq_topk", "ann_pq_topk", "ann_ivfpq_topk",
-                         "ann_ivfpq_refine_topk"}
+                         "ann_ivfpq_refine_topk",
+                         "rrf_hybrid_topk"}
 
 
 def test_multimodal_retrieval_matches_bruteforce(entry_mod, ray_session):
