@@ -185,7 +185,8 @@ def test_char_gram_sets_batch_parity_and_fuzz():
     alpha = list("abcde ")
     texts = ["".join(rng.choice(alpha, rng.integers(0, 30)))
              for _ in range(200)] + ["", "abcd", "abcde", "aaaaaa",
-                                     "naïve café ünïcødé", None]
+                                     "naïve café ünïcødé", None,
+                                     "abcde"]   # duplicate on purpose
     d, g = _char_gram_sets_batch(texts, 5)
     per_doc = {}
     for dd, gg in zip(d, g):
@@ -198,5 +199,5 @@ def test_char_gram_sets_batch_parity_and_fuzz():
         assert len(per_doc.get(i, set())) == len(gs), (i, x)
     # equality structure: identical strings share identical hash sets
     dup = [i for i, x in enumerate(texts) if (x or "") == "abcde"]
-    if len(dup) >= 2:
-        assert per_doc[dup[0]] == per_doc[dup[1]]
+    assert len(dup) >= 2          # fixture guarantees the pair exists
+    assert per_doc[dup[0]] == per_doc[dup[1]]

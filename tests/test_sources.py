@@ -204,15 +204,27 @@ def test_generate_corpus_cdf_draw_identity():
 
     from mee_ray.corpus import generate_corpus
 
-    # replicate the historical draw inline and compare a full table
+    # replay thousands of draws on PARALLEL streams: the historical
+    # rng.choice(p=) and the cdf draw must consume one uniform each
+    # and return the same index every time (review finding r4b#1 —
+    # checking only draw #0 left the byte-identity claim unverified)
+    for n_repos in (37, 1000, 4096):
+        w = 1.0 / np.arange(1, n_repos + 1) ** 1.1
+        w /= w.sum()
+        cdf = np.cumsum(w)
+        r1, r2 = np.random.default_rng(17), np.random.default_rng(17)
+        for i in range(3000):
+            a = int(r1.choice(n_repos, p=w))
+            b = int(cdf.searchsorted(r2.random() * cdf[-1],
+                                     side="right"))
+            assert a == b, (n_repos, i)
     t = generate_corpus(1500, seed=17)
     rng = np.random.default_rng(17)
     n_repos = max(4, 1500 // 40)
     w = 1.0 / np.arange(1, n_repos + 1) ** 1.1
     w /= w.sum()
-    first_draws = [int(rng.choice(n_repos, p=w))]
+    r0 = int(rng.choice(n_repos, p=w))
     # historical first repo id must match the generated first repo
-    r0 = first_draws[0]
     assert t["repo"][0].as_py() == f"org{r0 % 7}/repo{r0}"
     # determinism across calls
     h1 = hashlib.sha256()
