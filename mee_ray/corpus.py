@@ -67,12 +67,16 @@ def _file_content(rng: np.random.Generator, lang: str, uniq: str, big: bool,
     return "\n".join(lines)
 
 
-def generate_corpus(n_files: int = 2000, seed: int = 42,
-                    content_scale: int = 1) -> pa.Table:
-    """Deterministic synthetic corpus. Same (n_files, seed,
-    content_scale) → same table, independent of parallelism (generated
-    driver-side, read as parquet). content_scale multiplies per-file
-    function count (bench uses >1 for KB-scale files)."""
+def iter_corpus_slices(n_files: int, seed: int = 42,
+                       slice_rows: int = 2000, content_scale: int = 1):
+    """Stream the synthetic corpus row sequence in bounded-memory
+    slices of ``slice_rows`` rows (last slice ragged).  ONE rng
+    consumed in the original row order, so the concatenated slices
+    are byte-identical to the historical whole-table generator for
+    every (n_files, seed, content_scale)
+    (test_sources.py::test_corpus_slice_writer_identity) — while peak
+    memory is O(slice_rows) instead of O(n_files), which is what lets
+    the multi-10M-doc scale corpora be written at all."""
     rng = np.random.default_rng(seed)
     n_repos = max(4, n_files // 40)
     # Zipfian repo popularity
@@ -80,17 +84,31 @@ def generate_corpus(n_files: int = 2000, seed: int = 42,
     repo_weights /= repo_weights.sum()
     # rng.choice(n, p=w) recomputes the O(n_repos) cdf EVERY draw —
     # O(n_files²/40) total, the corpus-gen wall at multi-million-file
-    # scale.  Replicate its exact draw (one rng.random() against the
-    # precomputed cdf, bit-identical sample verified in
-    # test_sources.py::test_generate_corpus_cdf_draw_identity) so the
-    # corpus bytes stay IDENTICAL for every (n, seed) in the recorded
-    # scale series while gen goes O(n log n).
+    # scale.  Replicate its exact draw: Generator.choice normalizes
+    # the cdf then searches one uniform (cdf /= cdf[-1];
+    # cdf.searchsorted(u, 'right')) — do the SAME arithmetic so the
+    # draw is bit-equivalent for every rng state (ADVICE r4: searching
+    # u*cdf[-1] against the unnormalized cdf could differ within 1 ulp
+    # of a bucket boundary), verified in
+    # test_sources.py::test_generate_corpus_cdf_draw_identity.
     repo_cdf = np.cumsum(repo_weights)
+    repo_cdf /= repo_cdf[-1]
 
     repos, paths, commits, langs, contents = [], [], [], [], []
+
+    def cut(k: int) -> pa.Table:
+        t = pa.table({
+            "repo": pa.array(repos[:k], pa.string()),
+            "path": pa.array(paths[:k], pa.string()),
+            "commit": pa.array(commits[:k], pa.string()),
+            "lang": pa.array(langs[:k], pa.string()),
+            "content": pa.array(contents[:k], pa.string()),
+        })
+        del repos[:k], paths[:k], commits[:k], langs[:k], contents[:k]
+        return t
+
     for i in range(n_files):
-        r = int(repo_cdf.searchsorted(rng.random() * repo_cdf[-1],
-                                      side="right"))
+        r = int(repo_cdf.searchsorted(rng.random(), side="right"))
         repo = f"org{r % 7}/repo{r}"
         lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
         path = f"src/pkg{int(rng.integers(0, 20))}/file_{i}.{_EXT[lang]}"
@@ -110,28 +128,41 @@ def generate_corpus(n_files: int = 2000, seed: int = 42,
             repos.append(repo); paths.append(path); langs.append(lang)
             commits.append(hashlib.sha1(f"{repo}/{path}@1".encode()).hexdigest())
             contents.append(content + f"\n// rev2 {uniq}_v2\n")
-    return pa.table({
-        "repo": pa.array(repos, pa.string()),
-        "path": pa.array(paths, pa.string()),
-        "commit": pa.array(commits, pa.string()),
-        "lang": pa.array(langs, pa.string()),
-        "content": pa.array(contents, pa.string()),
-    })
+        while len(repos) >= slice_rows:
+            yield cut(slice_rows)
+    if repos:
+        yield cut(len(repos))
+
+
+def generate_corpus(n_files: int = 2000, seed: int = 42,
+                    content_scale: int = 1) -> pa.Table:
+    """Deterministic synthetic corpus. Same (n_files, seed,
+    content_scale) → same table, independent of parallelism (generated
+    driver-side, read as parquet). content_scale multiplies per-file
+    function count (bench uses >1 for KB-scale files)."""
+    slices = list(iter_corpus_slices(n_files, seed,
+                                     slice_rows=max(1, n_files),
+                                     content_scale=content_scale))
+    if not slices:
+        return pa.table({c: pa.array([], pa.string()) for c in
+                         ("repo", "path", "commit", "lang", "content")})
+    return pa.concat_tables(slices).combine_chunks()
 
 
 def write_corpus(path: str, n_files: int = 2000, seed: int = 42,
                  rows_per_file: int = 2000, content_scale: int = 1) -> str:
     """Write the synthetic corpus as a multi-file parquet directory so
-    ``read_parquet`` parallelizes over fragments."""
+    ``read_parquet`` parallelizes over fragments.  Streams
+    :func:`iter_corpus_slices` one file at a time — file layout and
+    bytes identical to the historical materialize-then-slice form,
+    peak memory O(rows_per_file)."""
     import os
     import pyarrow.parquet as pq
-    t = generate_corpus(n_files, seed, content_scale)
     os.makedirs(path, exist_ok=True)
-    n = t.num_rows
-    part = 0
-    for lo in range(0, n, rows_per_file):
-        pq.write_table(t.slice(lo, rows_per_file), f"{path}/part-{part:05d}.parquet")
-        part += 1
+    for part, t in enumerate(iter_corpus_slices(
+            n_files, seed, slice_rows=rows_per_file,
+            content_scale=content_scale)):
+        pq.write_table(t, f"{path}/part-{part:05d}.parquet")
     return path
 
 

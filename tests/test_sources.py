@@ -237,3 +237,48 @@ def test_generate_corpus_cdf_draw_identity():
         for v in t2[col].to_pylist():
             h2.update((v or "").encode())
     assert h1.hexdigest() == h2.hexdigest()
+
+
+def test_corpus_slice_writer_identity(tmp_path):
+    """iter_corpus_slices (the O(slice_rows)-memory streaming writer
+    behind write_corpus) must reproduce generate_corpus's row stream
+    byte-for-byte at EVERY slice boundary — including boundaries that
+    split an (original, rev2) commit pair — and choice-normalized cdf
+    draws must replay rng.choice exactly (ADVICE r4)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mee_ray.corpus import generate_corpus, iter_corpus_slices, \
+        write_corpus
+
+    def sha(t):
+        h = hashlib.sha256()
+        for col in ("repo", "path", "commit", "lang", "content"):
+            for v in t[col].to_pylist():
+                h.update((v or "").encode())
+                h.update(b"\x00")
+        return h.hexdigest()
+
+    whole = generate_corpus(997, seed=23, content_scale=1)
+    want = sha(whole)
+    # slice_rows=7 guarantees cut points inside i%25==7 rev2 pairs
+    for slice_rows in (7, 100, 2000):
+        got = pa.concat_tables(list(iter_corpus_slices(
+            997, seed=23, slice_rows=slice_rows)))
+        assert sha(got) == want, slice_rows
+    out = write_corpus(str(tmp_path / "c"), n_files=997, seed=23,
+                       rows_per_file=100)
+    back = pq.read_table(out)
+    assert sha(back) == want
+    # normalized-cdf draw == rng.choice draw, same stream position
+    w = 1.0 / np.arange(1, 300 + 1) ** 1.1
+    w /= w.sum()
+    cdf = np.cumsum(w)
+    cdf /= cdf[-1]
+    r1, r2 = np.random.default_rng(5), np.random.default_rng(5)
+    for _ in range(2000):
+        assert int(r1.choice(300, p=w)) == int(
+            cdf.searchsorted(r2.random(), side="right"))
