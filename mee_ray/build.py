@@ -75,6 +75,38 @@ LINEAGE_SCHEMA = pa.schema([
 ])
 
 
+def sha256_column(col) -> pa.Array:
+    """Per-row sha256 digests of a string column straight off the
+    Arrow utf-8 data buffer: one memoryview slice per row at the
+    stored offsets — no Python-string materialization, no per-row
+    ``.encode()`` copy (the last per-row Python in DocTokenize's hot
+    path; VERDICT r4 #6).  Null rows hash b'' (the historical
+    ``c if c is not None else ''`` fallback); bit-parity with the
+    scalar form is asserted in test_engine.py."""
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    empty = hashlib.sha256(b"").digest()
+    out: list[bytes] = []
+    for ch in chunks:
+        n = len(ch)
+        if n == 0:
+            continue
+        width = np.int64 if pa.types.is_large_string(ch.type) else np.int32
+        offs = np.frombuffer(ch.buffers()[1], dtype=width)[
+            ch.offset:ch.offset + n + 1]
+        buf = ch.buffers()[2]
+        data = memoryview(buf) if buf is not None else memoryview(b"")
+        if ch.null_count:
+            nulls = ch.is_null().to_numpy(zero_copy_only=False)
+            out.extend(
+                empty if nulls[i]
+                else hashlib.sha256(data[offs[i]:offs[i + 1]]).digest()
+                for i in range(n))
+        else:
+            out.extend(hashlib.sha256(data[offs[i]:offs[i + 1]]).digest()
+                       for i in range(n))
+    return pa.array(out, pa.binary())
+
+
 class DocTokenize:
     """Tokenize stage: corpus batch → docs rows.
 
@@ -152,7 +184,8 @@ class DocTokenize:
             delta[starts] = p2[starts]          # absolute at group head
             from mee_ray.postings import varint_encode_offsets
             buf, offs = varint_encode_offsets(delta.astype(np.uint64))
-            blob_bounds = offs[np.r_[starts, len(p2)]].astype(np.int32)
+            from mee_ray.pipelines.gramhash import i32_offsets
+            blob_bounds = i32_offsets(offs[np.r_[starts, len(p2)]])
             bin_arr = pa.Array.from_buffers(
                 pa.binary(), len(starts),
                 [None, pa.py_buffer(blob_bounds.tobytes()),
@@ -162,12 +195,11 @@ class DocTokenize:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = doc_ids_batch(batch["repo"], batch["path"], batch["commit"])
-        contents = batch["content"].to_pylist()
         store_pos = self.emit_terms and self.cfg.store_positions
-        shas = [hashlib.sha256((c if c is not None else "").encode())
-                .digest() for c in contents]
+        shas = sha256_column(batch["content"])
         if store_pos and getattr(self, "use_scalar_positions", False):
             # scalar reference path, kept ONLY for the bit-parity test
+            contents = batch["content"].to_pylist()
             from mee_ray.postings import encode_positions
             lengths, terms_col, tfs_col = [], [], []
             poss_col: list = []
@@ -189,7 +221,7 @@ class DocTokenize:
             "path": batch["path"],
             "commit": batch["commit"],
             "lang": batch["lang"],
-            "content_sha256": pa.array(shas, pa.binary()),
+            "content_sha256": shas,
             "length": pa.array(lengths, pa.int32()),
         }
         if self.emit_terms:

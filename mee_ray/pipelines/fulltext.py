@@ -166,14 +166,18 @@ def _reference_text_results(s, queries=None) -> list[tuple[int, list]]:
     return results
 
 
-def bm25_topk_documents(sf_dir: str):
+def bm25_topk_documents(sf_dir: str, k: int = TOP_K):
     """Full engine path: build → Searcher → top-k, emitted as
     (query_id, rank, doc_id) with original document ids (re-ranked by
-    original id for the oracle tie-break — see _rank_rows)."""
+    original id for the oracle tie-break — see _rank_rows).  ``k``
+    sets the per-query depth (default TOP_K; rrf_hybrid_topk plumbs
+    its fusion depth through so both component lists match — ADVICE
+    r4)."""
     from mee_ray.query import Searcher
     root = _ensure_index(sf_dir)
     s = Searcher(root)
-    return _rank_table(_reference_text_results(s), _orig_id_map(root))
+    return _rank_table(_reference_text_results(s), _orig_id_map(root),
+                       cap=k)
 
 
 # --- ES search-template analog ---------------------------------------

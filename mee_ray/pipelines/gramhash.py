@@ -54,6 +54,21 @@ _FNV = np.uint64(1099511628211)
 _SIGN_MASK = np.uint64(0x7FFFFFFFFFFFFFFF)
 
 
+def i32_offsets(cum: np.ndarray) -> np.ndarray:
+    """Guarded int32 cast for ListArray offset buffers (ADVICE r4 #4):
+    past 2^31 flat elements/bytes in ONE batch the bare
+    ``astype(np.int32)`` wraps silently and builds corrupt arrays —
+    unreachable at default batch sizes, so a loud error is the right
+    cost.  (The fix at that scale is smaller batches or
+    pa.large_list, not a bigger cast.)"""
+    if len(cum) and int(cum[-1]) > 0x7FFFFFFF:
+        raise OverflowError(
+            f"batch flattens to {int(cum[-1])} elements — exceeds the "
+            f"int32 ListArray offset range; reduce batch_size (or "
+            f"switch this site to pa.large_list)")
+    return cum.astype(np.int32)
+
+
 def mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — THE bucket mix of the repo
     (cluster._mix64 delegates here)."""

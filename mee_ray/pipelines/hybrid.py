@@ -70,7 +70,9 @@ def rrf_hybrid_topk(sf_dir: str, k: int = 10) -> pa.Table:
                                             bm25_topk_documents)
     from mee_ray.pipelines.vector import knn_bruteforce
 
-    text = bm25_topk_documents(sf_dir)
+    # plumb k through BOTH component rankings so the fused lists have
+    # equal depth at any k (ADVICE r4: BM25 side was pinned at TOP_K)
+    text = bm25_topk_documents(sf_dir, k=k)
     vec = knn_bruteforce(sf_dir, n_queries=len(REFERENCE_QUERIES), k=k)
     # align: vector query_id v pairs with text qid v+1; rename the
     # neighbor column into the shared (query_id, rank, doc_id) shape

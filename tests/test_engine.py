@@ -463,3 +463,24 @@ def test_scalar_arity_and_escapes_validated_at_compile():
     import pyarrow as pa
     fn = compile_expr(r"echo('a\'b')")
     assert fn(pa.table({"x": pa.array([1])})).as_py() == "a'b"
+
+
+def test_sha256_column_offsets_parity():
+    """sha256_column (offset-sliced buffer hashing, the vectorized
+    form of the old per-row ``content.encode()`` loop) must match the
+    scalar digests on nulls, empties, unicode, chunked input, sliced
+    arrays (nonzero Arrow offset) and large_string."""
+    from mee_ray.build import sha256_column
+
+    cases = ["hello", "", None, "   \n\t ", "héllo ünïcode İ",
+             "x" * 100000, None, "tail"]
+    want = [hashlib.sha256((c or "").encode()).digest() for c in cases]
+    chunked = pa.chunked_array([pa.array(cases[:3], pa.string()),
+                                pa.array(cases[3:], pa.string())])
+    assert sha256_column(chunked).to_pylist() == want
+    assert sha256_column(
+        pa.array(cases, pa.string()).slice(2, 5)).to_pylist() == want[2:7]
+    assert sha256_column(
+        pa.array(cases, pa.large_string()).slice(1, 6)
+    ).to_pylist() == want[1:7]
+    assert sha256_column(pa.array([], pa.string())).to_pylist() == []

@@ -980,3 +980,167 @@ def test_ngram_jaccard_group_math_fuzz(ray_session):
         union = len(sx | sy)
         exp = (len(sx & sy) / union) if union else 1.0
         assert gm[(ids[k], ids[k + 1])] == exp
+
+
+def test_lang_id_scalar_parity_ascii_only():
+    """LangIdStage's scalar_call is an ASCII-corpus-only reference:
+    it matches the vectorized path on the real (ascii) corpus, and it
+    PROVABLY diverges on accented text ('thé': Python's unicode \\b
+    matches inside, RE2's ASCII \\b does not) — pinned here so nobody
+    re-promotes the scalar loop to the hot path (ADVICE r4 #3; the
+    vectorized RE2 semantics side with the DuckDB oracle)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.text import LangIdStage
+
+    st = LangIdStage()
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "text"])
+    t = pa.concat_tables([t, pa.table({
+        "doc_id": pa.array([99991, 99992], pa.int64()),
+        "text": pa.array(["", None], pa.string())})])
+    assert st(t).equals(st.scalar_call(t))          # ascii corpus: equal
+    # non-ascii divergence: 'aé' — Python's unicode \b sees é as a
+    # word char (no boundary after 'a' → no stopword), RE2's ASCII \b
+    # sees a boundary → counts 'a' three times
+    bad = pa.table({"doc_id": pa.array([1], pa.int64()),
+                    "text": pa.array(["aé aé aé"], pa.string())})
+    vec = st(bad)["n_stopwords"][0].as_py()
+    sca = st.scalar_call(bad)["n_stopwords"][0].as_py()
+    assert vec != sca, "dialects agreed — divergence pin is stale"
+    assert (vec, sca) == (3, 0)
+
+
+def test_categorize_unbounded_prefix_fixture(ray_session, tmp_path):
+    """Adversarial all-unique-prefix corpus (one category per doc →
+    O(n_docs) categories): categorize_text must stay exact while the
+    driver collects only per-block top-20 partials (VERDICT r4 #3),
+    and the partial top-k must compose exactly under ANY batch split
+    of the aggregated category table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mee_ray.pipelines.text import (categorize_text_documents,
+                                        categorize_topk)
+
+    rng = np.random.default_rng(7)
+
+    def word(i):            # digit-free (the category rule drops
+        o = ""              # digit-bearing tokens)
+        while True:
+            o += chr(ord("a") + i % 26)
+            i //= 26
+            if not i:
+                return "w" + o
+    n = 3000
+    texts = [f"{word(i)}a {word(i)}b {word(i)}c {word(i)}d filler"
+             for i in range(n)]
+    # a handful of repeated categories that must win the top-20
+    for j in range(25):
+        for r in range(3 + j % 4):
+            texts.append(f"hot{word(j)}x hot{word(j)}y hot{word(j)}z "
+                         f"hot{word(j)}w {r}")
+    ids = list(range(len(texts)))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids), pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    got = categorize_text_documents(str(tmp_path))
+    # brute force over the same category rule
+    import re
+    cats = {}
+    for d, tx in zip(ids, texts):
+        toks = [w for w in re.findall("[a-z0-9_]+", tx.lower())
+                if len(w) > 1 and not re.search("[0-9]", w)]
+        c = " ".join(toks[:4])
+        n_docs, mn = cats.get(c, (0, d))
+        cats[c] = (n_docs + 1, min(mn, d))
+    want = sorted(((c, v[0], v[1]) for c, v in cats.items()),
+                  key=lambda r: (-r[1], r[0]))[:20]
+    assert list(zip(got["category"].to_pylist(),
+                    got["n_docs"].to_pylist(),
+                    got["min_doc_id"].to_pylist())) == want
+    # partial-compose fuzz: any split of the aggregated table →
+    # concat of per-split top-20 → final top-20 == whole-table top-20
+    full = pa.table({
+        "category": pa.array([c for c, _, _ in
+                              sorted(cats)] if False else list(cats),
+                             pa.string()),
+        "n_docs": pa.array([cats[c][0] for c in cats], pa.int64()),
+        "min_doc_id": pa.array([cats[c][1] for c in cats], pa.int64())})
+    whole = categorize_topk(full)
+    for _ in range(5):
+        cuts = np.sort(rng.choice(np.arange(1, full.num_rows),
+                                  size=6, replace=False))
+        parts = []
+        lo = 0
+        for c in list(cuts) + [full.num_rows]:
+            part = categorize_topk(full.slice(lo, c - lo))
+            assert part.num_rows <= 20          # bounded per block
+            parts.append(part)
+            lo = c
+        assert categorize_topk(pa.concat_tables(parts)).equals(whole)
+
+
+def test_adjacency_boundaries_bounded_driver_state(ray_session, tmp_path):
+    """ngram_jaccard_adjacent driver state is O(sample + parts), not
+    O(n_docs) (VERDICT r4 #2): the deterministic mix64-threshold
+    boundary sample keeps ~target ids from a 50k corpus (loose 4x
+    bound), boundaries are real doc_ids, ≤ n_parts-1 of them, and
+    invariant to input order/blocking.  End-to-end, a forced
+    8-part multi-batch run (ghost stitch at every partition
+    boundary, empty-text docs included) matches brute force."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from mee_ray.pipelines.text import (_adjacency_boundaries,
+                                        _char_gram_sets_batch,
+                                        ngram_jaccard_adjacent)
+
+    rng = np.random.default_rng(3)
+    ids = rng.choice(10_000_000, size=50_000, replace=False).astype(np.int64)
+    ds_sorted = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.sort(ids))})).repartition(16)
+    ds_shuffled = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids)})).repartition(5)
+    b1 = _adjacency_boundaries(ds_sorted, 50_000, n_parts=64, target=512)
+    b2 = _adjacency_boundaries(ds_shuffled, 50_000, n_parts=64, target=512)
+    assert np.array_equal(b1, b2)            # layout-invariant
+    assert len(b1) <= 63
+    assert np.isin(b1, ids).all()            # real doc_ids
+    # the driver-side gather is the threshold sample: ≤ 4x target
+    from mee_ray.pipelines.gramhash import mix64
+    thr = np.uint64(min(int((512 / 50_000) * float(2**64 - 1)),
+                        2**64 - 1))
+    assert (mix64(ids) <= thr).sum() <= 4 * 512
+
+    # end-to-end multi-part with ghost stitching + empty-text docs
+    n = 500
+    dids = np.sort(rng.choice(100_000, size=n, replace=False)).astype(np.int64)
+    texts = [("" if i % 50 == 7 else
+              f"some shared prefix text {i % 9} plus unique tail {i}")
+             for i in range(n)]
+    pq.write_table(pa.table({"doc_id": pa.array(dids),
+                             "text": pa.array(texts, pa.string())}),
+                   str(tmp_path / "documents.parquet"))
+    got = ngram_jaccard_adjacent(str(tmp_path), n_parts=8)
+    if hasattr(got, "iter_batches"):
+        got = pa.concat_tables(list(
+            got.iter_batches(batch_format="pyarrow")))
+    gm = {(a, b): j for a, b, j in
+          zip(got["a"].to_pylist(), got["b"].to_pylist(),
+              got["jaccard5"].to_pylist())}
+    assert len(gm) == n - 1
+    d, g = _char_gram_sets_batch(texts, 5)
+    sets: dict = {i: set() for i in range(n)}
+    for dd, gg in zip(d, g):
+        sets[int(dd)].add(int(gg))
+    for k in range(n - 1):
+        u = len(sets[k] | sets[k + 1])
+        exp = (len(sets[k] & sets[k + 1]) / u) if u else 1.0
+        assert gm[(int(dids[k]), int(dids[k + 1]))] == exp, k
