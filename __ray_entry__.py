@@ -31,8 +31,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    training, vector)
     from mee_ray.stages.multimodal import (multimodal_audio_features,
                                            multimodal_image_meta,
+                                           multimodal_png_real,
                                            multimodal_retrieval,
-                                           multimodal_video_frames)
+                                           multimodal_video_frames,
+                                           multimodal_wav_real)
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(relational.QUERIES)
@@ -49,6 +51,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out["multimodal_audio_features"] = multimodal_audio_features
     out["multimodal_video_frames"] = multimodal_video_frames
     out["multimodal_retrieval"] = multimodal_retrieval
+    # REAL encoded bytes through the same actor protocol
+    out["multimodal_wav_real"] = multimodal_wav_real
+    out["multimodal_png_real"] = multimodal_png_real
     from mee_ray.pipelines.hybrid import rrf_hybrid_topk
     # rows-only by design (BM25 side is not SQL-expressible); the
     # fusion is exactness-tested against a driver recompute over the
@@ -62,7 +67,8 @@ def oracle_sql() -> dict[str, str]:
                                    geo, relational, sketches, text,
                                    training, vector)
     from mee_ray.stages.multimodal import (AUDIO_SQL, MULTIMODAL_SQL,
-                                           RETRIEVAL_SQL, VIDEO_SQL)
+                                           PNG_REAL_SQL, RETRIEVAL_SQL,
+                                           VIDEO_SQL, WAV_REAL_SQL)
 
     out: dict[str, str] = {}
     out.update(relational.ORACLE)
@@ -78,5 +84,7 @@ def oracle_sql() -> dict[str, str]:
     out["multimodal_image_meta"] = MULTIMODAL_SQL
     out["multimodal_video_frames"] = VIDEO_SQL
     out["multimodal_audio_features"] = AUDIO_SQL
+    out["multimodal_wav_real"] = WAV_REAL_SQL
+    out["multimodal_png_real"] = PNG_REAL_SQL
     out["multimodal_retrieval"] = RETRIEVAL_SQL
     return out

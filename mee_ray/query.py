@@ -2602,7 +2602,16 @@ class DistributedSearcher:
         cluster_cpus = int(ray.cluster_resources().get("CPU", n_actors))
         n_actors = max(1, min(n_actors, self.num_shards, cluster_cpus - 1 or 1))
 
-        @ray.remote(num_cpus=1)
+        # max_restarts/max_task_retries: a shard actor that dies
+        # (OOM-killed worker, preempted node) is rebuilt by Ray from
+        # its constructor args — index_root + the PINNED epoch — and
+        # the in-flight read-only method call is retried on the
+        # restarted actor.  State is a pure function of the manifest,
+        # so a post-crash answer is bit-identical to the pre-crash one
+        # (tests/test_scheduler.py::test_shard_actor_failover);
+        # the restarted actor is merely cold (warm() runs only at pool
+        # construction).
+        @ray.remote(num_cpus=1, max_restarts=4, max_task_retries=4)
         class ShardActor:
             def __init__(self, index_root, epoch, shards):
                 self.searcher = Searcher(index_root, epoch, shard_subset=shards)

@@ -132,6 +132,7 @@ SQL_CHECKED = [
     "geo_polygon_events", "geo_line_events", "ip_prefix_events",
     "missing_agg_events", "children_agg_orders", "parent_agg_lineitem",
     "zorder_partitions_events",
+    "multimodal_wav_real", "multimodal_png_real",
 ]
 
 
@@ -1144,3 +1145,45 @@ def test_adjacency_boundaries_bounded_driver_state(ray_session, tmp_path):
         u = len(sets[k] | sets[k + 1])
         exp = (len(sets[k] & sets[k + 1]) / u) if u else 1.0
         assert gm[(int(dids[k]), int(dids[k + 1]))] == exp, k
+
+
+def test_real_codec_decoders_reject_corrupt_bytes():
+    """The real-bytes WAV/PNG stages are decoders, not length
+    heuristics: corrupt magic, a flipped PNG CRC bit and a truncated
+    fmt chunk must raise — and a spec-valid payload round-trips to
+    the exact synthesized signal statistics."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from mee_ray.stages.multimodal import (PngMetaDecode, WavMetaDecode,
+                                           _png_payloads, _wav_payloads)
+
+    t = pa.table({"doc_id": pa.array([12345], pa.int64())})
+    wav = _wav_payloads(t)["payload"][0].as_py()
+    png = _png_payloads(t)["payload"][0].as_py()
+    wd, pd_ = WavMetaDecode(), PngMetaDecode()
+
+    d = 12345
+    n = (d % 96) + 8
+    i = np.arange(n, dtype=np.int64)
+    sm = ((d * 31 + i * 17) % 65536) - 32768
+    rate, nch, bits, n_s, dur, energy, peak = wd.decode(wav)
+    assert (rate, nch, bits, n_s) == (8000 + (d % 3) * 4000, 1, 16, n)
+    assert energy == int((sm * sm).sum()) and peak == int(np.abs(sm).max())
+
+    w, h = (d % 32) + 1, (d % 24) + 1
+    x, y = np.arange(w), np.arange(h)[:, None]
+    want_sum = int(((d + 3 * x + 7 * y) % 256).sum())
+    assert pd_.decode(png) == (w, h, 8, want_sum)
+
+    with _pytest.raises(ValueError):
+        wd.decode(b"RIFX" + wav[4:])             # bad magic
+    with _pytest.raises(ValueError):
+        wd.decode(wav[:20])                      # truncated chunks
+    with _pytest.raises(ValueError):
+        pd_.decode(b"\x89PNJ" + png[4:])         # bad signature
+    corrupt = bytearray(png)
+    corrupt[40] ^= 0x01                          # flip a body bit → CRC fails
+    with _pytest.raises(ValueError):
+        pd_.decode(bytes(corrupt))

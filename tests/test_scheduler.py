@@ -104,3 +104,55 @@ def test_scheduler_actor_singleton_and_notify(built_index, ray_session,
     assert st["merges_run"] == 1 and st["pending_deltas"] == 0
     assert Searcher(root).search(["actor_token_x"], 3)
     ray.kill(a1, no_restart=True)  # don't leak the detached actor
+
+
+def test_shard_actor_failover(built_index, ray_session):
+    """Query-path fault tolerance (VERDICT r4 #5): killing a shard
+    actor — including with an msearch in flight — must be invisible:
+    Ray restarts the actor from (index_root, pinned epoch) and retries
+    the read-only call, so post-crash results are bit-identical
+    (doc_ids AND float64 scores) to the pre-crash pool's."""
+    import threading
+    import time
+
+    import ray
+
+    from mee_ray.oracle import make_query_set
+    from mee_ray.query import DistributedSearcher
+
+    ds = DistributedSearcher(built_index["index_root"], n_actors=3)
+    qset = make_query_set(built_index["docs"], n_queries=30, seed=21)
+    queries = [sorted(set(q["terms"])) for q in qset]
+    baseline = ds.msearch(queries, 10)
+    assert baseline == [ds.search(q, 10) for q in queries]
+
+    # cold kill: actor down BEFORE the next call
+    ray.kill(ds.actors[0], no_restart=False)
+    assert ds.msearch(queries, 10) == baseline
+
+    # mid-flight kill: run msearch loops on a thread, kill every
+    # actor once while calls are in the air
+    results, errs = [], []
+
+    def worker():
+        try:
+            for _ in range(6):
+                results.append(ds.msearch(queries, 10))
+        except Exception as e:          # surfaced to the assert below
+            errs.append(e)
+
+    th = threading.Thread(target=worker)
+    th.start()
+    for a in ds.actors:
+        time.sleep(0.05)
+        ray.kill(a, no_restart=False)
+    th.join(timeout=120)
+    assert not th.is_alive()
+    assert not errs, errs
+    assert all(r == baseline for r in results)
+
+    # three-phase and conjunctive paths on the restarted pool
+    for q in qset[:8]:
+        assert ds.search(q["terms"], q["k"], mode="threephase") == \
+            built_index["oracle"].search(q["terms"], q["k"])
+    ds.shutdown()
