@@ -244,26 +244,15 @@ def connected_components(edges, max_iters: int = 50) -> pa.Table:
 # ------------------------------------------------- edge generation
 
 
-def _gram_hash64(gram: str) -> int:
-    """Process-stable 64-bit gram key (Python ``hash()`` is salted per
-    interpreter; md5 is not).  Collisions at 64 bits are ~3e-9 even at
-    10^5 distinct grams per shard batch and only ever merge two
-    clusters, never split one."""
-    return int.from_bytes(hashlib.md5(gram.encode()).digest()[:8],
-                          "little") & 0x7FFFFFFFFFFFFFFF
-
-
-def gram_dup_edges(sf_dir: str, n: int = 8, max_df: int = 50,
-                   use_hash: bool = True):
+def gram_dup_edges(sf_dir: str, n: int = 8, max_df: int = 50):
     """Candidate edges over the full documents table — see
     :func:`gram_dup_edges_ds` (this just binds the source)."""
     from mee_ray.pipelines.text import _read_docs
     return gram_dup_edges_ds(_read_docs(sf_dir, ["doc_id", "text"]),
-                             n=n, max_df=max_df, use_hash=use_hash)
+                             n=n, max_df=max_df)
 
 
-def gram_dup_edges_ds(docs, n: int = 8, max_df: int = 50,
-                      use_hash: bool = True):
+def gram_dup_edges_ds(docs, n: int = 8, max_df: int = 50):
     """Candidate edges: documents sharing at least one token ``n``-gram
     whose document frequency is in [2, max_df].
 
@@ -282,14 +271,12 @@ def gram_dup_edges_ds(docs, n: int = 8, max_df: int = 50,
     co-locates each gram's documents; each bucket group resolves MANY
     grams vectorized.  `text` never leaves the tokenize task.
 
-    ``use_hash=True`` (default) runs the explode fully vectorized via
-    the :mod:`mee_ray.pipelines.gramhash` kernel (Arrow tokenize +
+    The explode is fully vectorized via the
+    :mod:`mee_ray.pipelines.gramhash` kernel (Arrow tokenize +
     SipHash-per-unique-token + FNV window fold — no Python per row,
-    no per-gram md5); ``use_hash=False`` keeps the legacy string/md5
-    path whose gram keys are joined strings.  Both induce the same
-    gram equality classes (up to 64-bit collisions, which only merge
-    clusters), asserted bit-identical end-to-end in
-    test_gramhash.py."""
+    no per-gram md5).  The retired legacy string/md5 path's output is
+    frozen as a golden fixture (tests/golden/gram_edges_sf0001.parquet)
+    that test_gramhash.py still asserts bit-identity against."""
 
     def explode_hashed(t: pa.Table) -> pa.Table:
         from mee_ray.pipelines.gramhash import (gram_hash64,
@@ -304,24 +291,6 @@ def gram_dup_edges_ds(docs, n: int = 8, max_df: int = 50,
         return pa.table({"bucket": pa.array(bucket),
                          "g": pa.array(g, pa.int64()),
                          "doc_id": pa.array(d, pa.int64())})
-
-    def explode(t: pa.Table) -> pa.Table:
-        out_g, out_d = [], []
-        for did, text in zip(t["doc_id"].to_pylist(),
-                             t["text"].to_pylist()):
-            toks = (text or "").split(" ")
-            if len(toks) < n:
-                continue
-            seen = {" ".join(toks[i:i + n])
-                    for i in range(len(toks) - n + 1)}
-            out_g.extend(_gram_hash64(g) for g in seen)
-            out_d.extend([did] * len(seen))
-        g = np.asarray(out_g, dtype=np.int64)
-        bucket = (_mix64(g) % np.uint64(_N_BUCKETS)).astype(np.int32)
-        return pa.table({"bucket": pa.array(bucket),
-                         "g": pa.array(g, pa.int64()),
-                         "doc_id": pa.array(
-                             np.asarray(out_d, dtype=np.int64))})
 
     def star_edges(t: pa.Table, cap: int = max_df) -> pa.Table:
         g = t["g"].to_numpy(zero_copy_only=False)
@@ -338,7 +307,7 @@ def gram_dup_edges_ds(docs, n: int = 8, max_df: int = 50,
         return _edges_table(seg_min[seg_id][keep], d[keep])
 
     return (docs
-            .map_batches(explode_hashed if use_hash else explode,
+            .map_batches(explode_hashed,
                          batch_format="pyarrow",
                          zero_copy_batch=True)
             .groupby("bucket")

@@ -1520,7 +1520,7 @@ def _stride_window_hashes(col):
     return didx, h
 
 
-def passage_dedup_documents(sf_dir: str, use_hash: bool = True):
+def passage_dedup_documents(sf_dir: str):
     """Cross-document passage-level exact dedup (the CCNet /
     RefinedWeb paragraph-dedup shape, adapted to this corpus's flat
     token streams): each document splits into consecutive
@@ -1534,26 +1534,15 @@ def passage_dedup_documents(sf_dir: str, use_hash: bool = True):
     hash join back on passage → per-doc re-aggregate.  The exploded
     stream feeds two consumers and is recomputed rather than
     materialized (tokenize is cheap; a corpus-sized mid-pipeline
-    materialization is not).  ``use_hash=True`` (default) makes the
-    join key a 64-bit rolling window hash (the gramhash kernel,
-    vectorized explode, fixed-width exchange records — the 100-TB
-    mode); ``use_hash=False`` keeps the legacy string-key loop.
-    Counts are identical up to 64-bit collisions (which only mark one
-    extra window duplicated); test_gramhash.py asserts the two modes
-    bit-identical end-to-end."""
+    materialization is not).  The join key is a 64-bit rolling window
+    hash (the gramhash kernel, vectorized explode, fixed-width
+    exchange records); counts are identical to string keys up to
+    64-bit collisions (which only mark one extra window duplicated).
+    The retired string-key path's output is frozen as
+    tests/golden/passage_dedup_sf0001.parquet, still asserted
+    bit-identical in test_gramhash.py."""
     import ray
     from ray.data.aggregate import Count, Sum
-
-    st = TextStats()
-
-    def explode(t: pa.Table) -> pa.Table:
-        out_d, out_p = [], []
-        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            for w in _stride_windows(st.tokens(x)):
-                out_d.append(d)
-                out_p.append(w)
-        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
-                         "passage": pa.array(out_p, pa.string())})
 
     def explode_hashed(t: pa.Table) -> pa.Table:
         didx, h = _stride_window_hashes(t["text"])
@@ -1562,8 +1551,7 @@ def passage_dedup_documents(sf_dir: str, use_hash: bool = True):
                          "passage": pa.array(h, pa.int64())})
 
     def passages(): return (_read_docs(sf_dir, ["doc_id", "text"])
-                            .map_batches(explode_hashed if use_hash
-                                         else explode,
+                            .map_batches(explode_hashed,
                                          batch_format="pyarrow",
                                          zero_copy_batch=True))
 
@@ -1619,7 +1607,7 @@ GROUP BY p.doc_id
 """
 
 
-def contamination_check_documents(sf_dir: str, use_hash: bool = True):
+def contamination_check_documents(sf_dir: str):
     """Benchmark-contamination check (the decontamination step of a
     training-data pipeline): the "benchmark set" is the first
     {PASSAGE_LEN}-token window of every doc with doc_id % 97 == 0
@@ -1630,85 +1618,52 @@ def contamination_check_documents(sf_dir: str, use_hash: bool = True):
     map_batches pass — no shuffle at all.  Emits (doc_id,
     n_contaminated) for contaminated docs only.
 
-    ``use_hash=True`` (default): windows are 64-bit kernel hashes —
-    the broadcast set is 8 B/window and the scan is a vectorized
-    sorted-array membership probe (np.searchsorted), no Python per
-    row; ``use_hash=False`` keeps the legacy string-set loop.  Modes
-    are bit-identical up to hash collisions (test_gramhash.py)."""
+    Windows are 64-bit kernel hashes — the broadcast set is
+    8 B/window and the scan is a vectorized sorted-array membership
+    probe (np.searchsorted), no Python per row; identical to string
+    windows up to hash collisions.  The retired string-set loop's
+    output is frozen as tests/golden/contamination_sf0001.parquet,
+    still asserted bit-identical in test_gramhash.py."""
     import ray
 
-    st = TextStats()
+    def bench_windows_h(t: pa.Table) -> pa.Table:
+        didx, h = _stride_window_hashes(t["text"])
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        # first window per doc = the row where a doc index first
+        # appears (windows are emitted in-document order)
+        first = np.ones(len(didx), dtype=bool)
+        first[1:] = didx[1:] != didx[:-1]
+        keep = first & (dids[didx] % 97 == 0)
+        return pa.table({"passage": pa.array(h[keep], pa.int64())})
 
-    if use_hash:
-        def bench_windows_h(t: pa.Table) -> pa.Table:
-            didx, h = _stride_window_hashes(t["text"])
-            dids = t["doc_id"].to_numpy(zero_copy_only=False)
-            # first window per doc = the row where a doc index first
-            # appears (windows are emitted in-document order)
-            first = np.ones(len(didx), dtype=bool)
-            first[1:] = didx[1:] != didx[:-1]
-            keep = first & (dids[didx] % 97 == 0)
-            return pa.table({"passage": pa.array(h[keep], pa.int64())})
+    bench_arr = np.unique(np.concatenate(
+        [b["passage"].to_numpy(zero_copy_only=False)
+         for b in (_read_docs(sf_dir, ["doc_id", "text"])
+                   .map_batches(bench_windows_h,
+                                batch_format="pyarrow",
+                                zero_copy_batch=True)
+                   .iter_batches(batch_format="pyarrow"))]
+        or [np.zeros(0, np.int64)]))
+    bench_ref = ray.put(bench_arr)
 
-        bench_arr = np.unique(np.concatenate(
-            [b["passage"].to_numpy(zero_copy_only=False)
-             for b in (_read_docs(sf_dir, ["doc_id", "text"])
-                       .map_batches(bench_windows_h,
-                                    batch_format="pyarrow",
-                                    zero_copy_batch=True)
-                       .iter_batches(batch_format="pyarrow"))]
-            or [np.zeros(0, np.int64)]))
-        bench_ref = ray.put(bench_arr)
-
-        def scan_h(t: pa.Table) -> pa.Table:
-            ba = ray.get(bench_ref)
-            didx, h = _stride_window_hashes(t["text"])
-            dids = t["doc_id"].to_numpy(zero_copy_only=False)
-            if len(ba) and len(h):
-                pos = np.searchsorted(ba, h)
-                hit = ba[np.clip(pos, 0, len(ba) - 1)] == h
-            else:
-                hit = np.zeros(len(h), dtype=bool)
-            n = np.bincount(didx[hit], minlength=len(t))                 if hit.any() else np.zeros(len(t), np.int64)
-            nz = np.flatnonzero(n)
-            return pa.table({"doc_id": pa.array(dids[nz], pa.int64()),
-                             "n_contaminated": pa.array(
-                                 n[nz].astype(np.int64), pa.int64())})
-
-        return (_read_docs(sf_dir, ["doc_id", "text"])
-                .map_batches(scan_h, batch_format="pyarrow",
-                             zero_copy_batch=True))
-
-    def bench_windows(t: pa.Table) -> pa.Table:
-        out = []
-        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            if int(d) % 97 != 0:
-                continue
-            wins = _stride_windows(st.tokens(x))
-            if wins:
-                out.append(wins[0])
-        return pa.table({"passage": pa.array(out, pa.string())})
-
-    bench = sorted({p for b in (_read_docs(sf_dir, ["doc_id", "text"])
-                                .map_batches(bench_windows,
-                                             batch_format="pyarrow",
-                                             zero_copy_batch=True)
-                                .iter_batches(batch_format="pyarrow"))
-                    for p in b["passage"].to_pylist()})
-    bench_ref = ray.put(frozenset(bench))
-
-    def scan(t: pa.Table) -> pa.Table:
-        bset = ray.get(bench_ref)
-        out_d, out_n = [], []
-        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            n = sum(w in bset for w in _stride_windows(st.tokens(x)))
-            if n:
-                out_d.append(d); out_n.append(n)
-        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
-                         "n_contaminated": pa.array(out_n, pa.int64())})
+    def scan_h(t: pa.Table) -> pa.Table:
+        ba = ray.get(bench_ref)
+        didx, h = _stride_window_hashes(t["text"])
+        dids = t["doc_id"].to_numpy(zero_copy_only=False)
+        if len(ba) and len(h):
+            pos = np.searchsorted(ba, h)
+            hit = ba[np.clip(pos, 0, len(ba) - 1)] == h
+        else:
+            hit = np.zeros(len(h), dtype=bool)
+        n = np.bincount(didx[hit], minlength=len(t)) \
+            if hit.any() else np.zeros(len(t), np.int64)
+        nz = np.flatnonzero(n)
+        return pa.table({"doc_id": pa.array(dids[nz], pa.int64()),
+                         "n_contaminated": pa.array(
+                             n[nz].astype(np.int64), pa.int64())})
 
     return (_read_docs(sf_dir, ["doc_id", "text"])
-            .map_batches(scan, batch_format="pyarrow",
+            .map_batches(scan_h, batch_format="pyarrow",
                          zero_copy_batch=True))
 
 
@@ -1736,7 +1691,7 @@ _SPAN_BUCKETS = 512      # gram-hash buckets: sized so one bucket's
                          # windows fit a worker; scale with the cluster
 
 
-def substring_dedup_spans_documents(sf_dir: str, use_hash: bool = True):
+def substring_dedup_spans_documents(sf_dir: str):
     """Exact substring-level dedup spans (the suffix-array dedup shape
     of Lee et al., "Deduplicating Training Data Makes Language Models
     Better", arXiv:2107.06499, approximated with fixed-length rolling
@@ -1757,21 +1712,17 @@ def substring_dedup_spans_documents(sf_dir: str, use_hash: bool = True):
     join operator and no second exchange) → per-doc island merge in
     map_groups (vectorized; per-group state is one position array).
 
-    ``use_hash=True`` (default) is the 100-TB mode the round-3
-    docstring promised: the shuffle key is a 64-bit rolling gram hash
-    (the :mod:`mee_ray.pipelines.gramhash` kernel — Arrow tokenize,
-    one SipHash per unique token, FNV window fold), so only
+    The shuffle key is a 64-bit rolling gram hash (the
+    :mod:`mee_ray.pipelines.gramhash` kernel — Arrow tokenize, one
+    SipHash per unique token, FNV window fold), so only
     (doc_id, pos, ghash int64, bucket) rows cross the exchange
     instead of {SPAN_GRAM}-token gram STRINGS (~8× text
-    amplification), and the explode is fully vectorized.
-    ``use_hash=False`` keeps the legacy string-key path.  Both mark
-    the same window positions duplicated (64-bit collisions — the
-    only possible divergence — at worst mark one extra start);
-    test_gramhash.py asserts the two modes bit-identical end-to-end
-    on real data."""
-    from zlib import crc32
-
-    st = TextStats()
+    amplification), and the explode is fully vectorized.  Hash keys
+    mark the same window positions as string keys up to 64-bit
+    collisions (at worst one extra start); the retired string-key
+    path's output is frozen as
+    tests/golden/substring_spans_sf0001.parquet, still asserted
+    bit-identical in test_gramhash.py."""
 
     def explode_hashed(t: pa.Table) -> pa.Table:
         from mee_ray.pipelines.gramhash import (gram_hash64, mix64,
@@ -1787,24 +1738,8 @@ def substring_dedup_spans_documents(sf_dir: str, use_hash: bool = True):
                          "gram": pa.array(g, pa.int64()),
                          "bucket": pa.array(bucket)})
 
-    def explode(t: pa.Table) -> pa.Table:
-        out_d, out_p, out_g, out_b = [], [], [], []
-        for d, x in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
-            toks = st.tokens(x)
-            for lo in range(len(toks) - SPAN_GRAM + 1):
-                g = " ".join(toks[lo:lo + SPAN_GRAM])
-                out_d.append(d)
-                out_p.append(lo + 1)          # 1-based, matches SQL
-                out_g.append(g)
-                out_b.append(crc32(g.encode()) % _SPAN_BUCKETS)
-        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
-                         "pos": pa.array(out_p, pa.int64()),
-                         "gram": pa.array(out_g, pa.string()),
-                         "bucket": pa.array(out_b, pa.int64())})
-
     def dup_filter(g: pa.Table) -> pa.Table:
-        # gram dtype is string (legacy) or int64 (hashed) — np.unique
-        # handles both; the int64 path is a radix-ish C sort.
+        # int64 gram keys: np.unique is a radix-ish C sort.
         grams = g["gram"].to_numpy(zero_copy_only=False)
         _, inv, cnt = np.unique(grams, return_inverse=True,
                                 return_counts=True)
@@ -1813,7 +1748,7 @@ def substring_dedup_spans_documents(sf_dir: str, use_hash: bool = True):
                          "pos": g["pos"].filter(pa.array(keep))})
 
     joined = (_read_docs(sf_dir, ["doc_id", "text"])
-              .map_batches(explode_hashed if use_hash else explode,
+              .map_batches(explode_hashed,
                            batch_format="pyarrow",
                            zero_copy_batch=True)
               .groupby("bucket")

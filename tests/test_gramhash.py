@@ -1,12 +1,20 @@
-"""Hashed-gram dedup kernel: bit-identity vs the legacy string modes.
+"""Hashed-gram dedup kernel: bit-identity vs the retired string modes.
 
 The gramhash kernel replaces Python row loops + per-gram md5 / raw
 string shuffle keys in the dedup edge generators.  The contract is
 that the HASHED mode produces byte-identical final output to the
-STRING mode on real data (collisions being the only theoretical
-divergence, ~2⁻⁶⁴ per gram pair), plus unit coverage of the
-tokenizer parity and the doc-boundary handling of the window fold.
+legacy STRING mode on real data (collisions being the only
+theoretical divergence, ~2⁻⁶⁴ per gram pair).  The string code paths
+were retired in round 5; their last outputs are FROZEN as golden
+parquet fixtures (tests/golden/*_sf0001.parquet, each stamped with
+the sha256 of the documents.parquet it was recorded against), and
+the tests below assert the live hashed pipelines still reproduce
+them bit-for-bit — plus unit coverage of the tokenizer parity and
+the doc-boundary handling of the window fold.
 """
+
+import hashlib
+import os
 
 import re
 
@@ -74,20 +82,38 @@ def test_gram_hash_order_sensitive():
     assert g[0] != g[1]
 
 
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+
+def _golden(name):
+    """Load a frozen legacy-mode output, refusing to compare against
+    a DIFFERENT corpus than the one it was recorded on (the fixture
+    is only meaningful for the exact documents.parquet bytes)."""
+    import pyarrow.parquet as pq
+    t = pq.read_table(os.path.join(GOLDEN_DIR, f"{name}_sf0001.parquet"))
+    recorded = t.schema.metadata[b"corpus_sha256"].decode()
+    current = hashlib.sha256(
+        open(f"{SF}/documents.parquet", "rb").read()).hexdigest()
+    assert recorded == current, (
+        "testdata documents.parquet changed since the golden fixtures "
+        "were recorded — regenerate them by replaying the retired "
+        "use_hash=False paths (git history, pre-round-5) on the new "
+        "corpus")
+    return t
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_gram_edges_hashed_vs_string_identity():
     from mee_ray.pipelines.cluster import gram_dup_edges
 
-    def collect(use_hash):
-        parts = list(gram_dup_edges(SF, n=8, max_df=50,
-                                    use_hash=use_hash)
-                     .iter_batches(batch_format="pyarrow"))
-        t = pa.concat_tables(parts) if parts else pa.table(
-            {"a": pa.array([], pa.int64()),
-             "b": pa.array([], pa.int64())})
-        return set(zip(t["a"].to_pylist(), t["b"].to_pylist()))
-
-    hashed, string = collect(True), collect(False)
+    parts = list(gram_dup_edges(SF, n=8, max_df=50)
+                 .iter_batches(batch_format="pyarrow"))
+    t = pa.concat_tables(parts) if parts else pa.table(
+        {"a": pa.array([], pa.int64()),
+         "b": pa.array([], pa.int64())})
+    hashed = set(zip(t["a"].to_pylist(), t["b"].to_pylist()))
+    g = _golden("gram_edges")
+    string = set(zip(g["a"].to_pylist(), g["b"].to_pylist()))
     assert hashed == string
     assert len(hashed) > 0       # the fixture corpus has near-dups
 
@@ -96,16 +122,15 @@ def test_gram_edges_hashed_vs_string_identity():
 def test_substring_spans_hashed_vs_string_identity():
     from mee_ray.pipelines.text import substring_dedup_spans_documents
 
-    def collect(use_hash):
-        parts = list(substring_dedup_spans_documents(
-            SF, use_hash=use_hash).iter_batches(batch_format="pyarrow"))
-        t = pa.concat_tables(parts) if parts else None
-        assert t is not None and len(t) > 0
-        return t.sort_by([("doc_id", "ascending"),
-                          ("span_start", "ascending")])
-
-    hashed, string = collect(True), collect(False)
-    assert hashed.equals(string)
+    parts = list(substring_dedup_spans_documents(SF)
+                 .iter_batches(batch_format="pyarrow"))
+    t = pa.concat_tables(parts)
+    assert len(t) > 0
+    hashed = t.sort_by([("doc_id", "ascending"),
+                        ("span_start", "ascending")])
+    assert hashed.equals(
+        _golden("substring_spans").replace_schema_metadata(None)
+        .cast(hashed.schema))
 
 
 def test_shingles_batch_parity():
@@ -132,28 +157,28 @@ def test_minhash_signatures_batch_parity():
 def test_passage_dedup_hashed_vs_string_identity():
     from mee_ray.pipelines.text import passage_dedup_documents
 
-    def collect(use_hash):
-        parts = list(passage_dedup_documents(SF, use_hash=use_hash)
-                     .iter_batches(batch_format="pyarrow"))
-        t = pa.concat_tables(parts)
-        assert len(t) > 0
-        return t.sort_by("doc_id")
-
-    assert collect(True).equals(collect(False))
+    parts = list(passage_dedup_documents(SF)
+                 .iter_batches(batch_format="pyarrow"))
+    t = pa.concat_tables(parts)
+    assert len(t) > 0
+    hashed = t.sort_by("doc_id")
+    assert hashed.equals(
+        _golden("passage_dedup").replace_schema_metadata(None)
+        .cast(hashed.schema))
 
 
 @pytest.mark.usefixtures("ray_session")
 def test_contamination_hashed_vs_string_identity():
     from mee_ray.pipelines.text import contamination_check_documents
 
-    def collect(use_hash):
-        parts = list(contamination_check_documents(SF, use_hash=use_hash)
-                     .iter_batches(batch_format="pyarrow"))
-        t = pa.concat_tables(parts)
-        assert len(t) > 0
-        return t.sort_by("doc_id")
-
-    assert collect(True).equals(collect(False))
+    parts = list(contamination_check_documents(SF)
+                 .iter_batches(batch_format="pyarrow"))
+    t = pa.concat_tables(parts)
+    assert len(t) > 0
+    hashed = t.sort_by("doc_id")
+    assert hashed.equals(
+        _golden("contamination").replace_schema_metadata(None)
+        .cast(hashed.schema))
 
 
 def test_gram_hash_stride():
