@@ -453,6 +453,15 @@ def make_query_set(docs: list[tuple[int, str]], n_queries: int = 50,
     df: Counter = Counter()
     for _, content in docs:
         df.update(set(tok.terms(content)))
+    return make_query_set_from_df(df, n_queries, seed)
+
+
+def make_query_set_from_df(df: Counter, n_queries: int = 50,
+                           seed: int = 42) -> list[dict]:
+    """The query-set draw given a precomputed document-frequency
+    Counter — the streaming-oracle entry point (oracle_stream
+    computes df in one bounded pass; make_query_set delegates here,
+    so both paths pick IDENTICAL queries for equal df)."""
     if not df:
         return []
     vocab = sorted(df)
