@@ -34,7 +34,6 @@ Scale shape (the 100-TB lens):
 
 from __future__ import annotations
 
-import hashlib
 
 import numpy as np
 import pyarrow as pa

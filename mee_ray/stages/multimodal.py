@@ -455,8 +455,10 @@ WHERE rank <= 10
 def _wav_payloads(t: pa.Table) -> pa.Table:
     """doc_id → a complete little-endian RIFF/WAVE file: 16-bit mono
     PCM, n_samples = (doc_id % 96) + 8, sample_rate = 8000 +
-    (doc_id % 3)*4000, sample_i = ((doc_id*31 + i*17) % 65536) -
-    32768."""
+    (doc_id % 3)*4000, sample_i = (((doc_id % 65536)*31 + i*17)
+    % 65536) - 32768 — the % 65536 pre-reduction keeps the product
+    int64-safe for 63-bit hash doc_ids; same value, since mod
+    distributes over the product."""
     import struct
     ids = t["doc_id"].to_numpy(zero_copy_only=False)
     payloads = []
@@ -465,7 +467,8 @@ def _wav_payloads(t: pa.Table) -> pa.Table:
         n = (d % 96) + 8
         rate = 8000 + (d % 3) * 4000
         i = np.arange(n, dtype=np.int64)
-        samples = (((d * 31 + i * 17) % 65536) - 32768).astype("<i2")
+        samples = ((((d % 65536) * 31 + i * 17) % 65536)
+                   - 32768).astype("<i2")
         data = samples.tobytes()
         fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
         body = (b"WAVE"
@@ -543,7 +546,7 @@ WITH p AS (
   FROM documents),
 s AS (
   SELECT p.doc_id,
-         ((p.doc_id * 31 + u.i * 17) % 65536) - 32768 AS v
+         (((p.doc_id % 65536) * 31 + u.i * 17) % 65536) - 32768 AS v
   FROM p, unnest(generate_series(0, p.n_samples - 1)) AS u(i))
 SELECT p.doc_id,
        p.sample_rate,
@@ -562,7 +565,8 @@ GROUP BY p.doc_id, p.sample_rate, p.n_samples
 def _png_payloads(t: pa.Table) -> pa.Table:
     """doc_id → a complete spec-valid PNG: 8-bit grayscale,
     width = (doc_id % 32) + 1, height = (doc_id % 24) + 1,
-    pixel(x, y) = (doc_id + 3*x + 7*y) % 256, scanline filter 0,
+    pixel(x, y) = (doc_id % 256 + 3*x + 7*y) % 256 (pre-reduced:
+    int64-safe at any doc_id, same value), scanline filter 0,
     zlib-deflated IDAT, CRC32 on every chunk."""
     import struct
     import zlib
@@ -578,7 +582,7 @@ def _png_payloads(t: pa.Table) -> pa.Table:
         w, h = (d % 32) + 1, (d % 24) + 1
         x = np.arange(w, dtype=np.int64)
         y = np.arange(h, dtype=np.int64)[:, None]
-        px = ((d + 3 * x + 7 * y) % 256).astype(np.uint8)
+        px = ((d % 256 + 3 * x + 7 * y) % 256).astype(np.uint8)
         raw = b"".join(b"\x00" + px[r].tobytes() for r in range(h))
         ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
         payloads.append(b"\x89PNG\r\n\x1a\n"
@@ -661,7 +665,7 @@ WITH p AS (
   FROM documents),
 px AS (
   SELECT p.doc_id,
-         (p.doc_id + 3 * ux.x + 7 * uy.y) % 256 AS v
+         (p.doc_id % 256 + 3 * ux.x + 7 * uy.y) % 256 AS v
   FROM p,
        unnest(generate_series(0, p.w - 1)) AS ux(x),
        unnest(generate_series(0, p.h - 1)) AS uy(y))

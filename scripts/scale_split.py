@@ -120,21 +120,30 @@ def stage_oracle(n_files, positions, n_deletes):
     pass1_sec = time.time() - t0
     qset1 = make_query_set_from_df(df, N_QUERIES, seed=3)
 
-    # positional probes: bigrams from the smallest-mix64 docs, with a
-    # Σ df budget so the position store stays bounded (hot-term
-    # positional identity is separately proven at 192k in-process)
+    # positional probes: ADJACENT TERM-STREAM bigrams from the
+    # smallest-mix64 docs (tokenized with the ENGINE tokenizer, so a
+    # forward probe is guaranteed to phrase-match its source doc —
+    # compare() asserts that non-vacuously), with a Σ df budget so
+    # the position store stays bounded (hot-term positional identity
+    # is separately proven at 192k in-process)
     phrases = []
     if positions:
         import random as _random
+
+        from mee_ray.config import TokenizerConfig
+        from mee_ray.tokenizer import Tokenizer
+        tok = Tokenizer(TokenizerConfig())
         rng = _random.Random(11)
         spent = 0
         charged: set = set()
         for _, _, content in probes:
-            toks = [w for w in content.lower().split() if w.isalnum()]
+            toks = tok.terms(content)
             if len(toks) < 3:
                 continue
             i = rng.randrange(len(toks) - 2)
             pair = toks[i:i + 2]
+            if pair[0] == pair[1]:
+                continue
             cost = sum(df.get(t, 0) for t in set(pair) - charged)
             if spent + cost > POS_PAIR_BUDGET:
                 continue
@@ -309,14 +318,23 @@ def compare(n_files, positions, n_deletes):
         "span_near_identity": (f"{ns}/{len(o['results_span'])}"
                                if o["results_span"] else None),
         "post_compact_identity": f"{n2}/{len(o['results2'])}",
+        "phrase_nonempty":
+            (f"{sum(1 for r in o['results_phrase'] if r)}"
+             f"/{len(o['results_phrase'])}"
+             if o["results_phrase"] else None),
         "oracle_pass_sec": [o["pass1_sec"], o["pass1b_sec"],
                             o["pass2_sec"]],
         "wand": e["wand"],
     }))
+    nonempty = sum(1 for r in o["results_phrase"] if r)
     ok = (n1 == len(o["results1"]) and n2 == len(o["results2"])
           and n3 == len(e["results_3p"])
           and np_ == len(o["results_phrase"])
-          and ns == len(o["results_span"]))
+          and ns == len(o["results_span"])
+          # every FORWARD probe is an adjacent term pair of a live
+          # doc → must match ≥ that doc; identity over empty-vs-empty
+          # only would be vacuous
+          and nonempty * 2 >= len(o["results_phrase"]))
     return 0 if ok else 1
 
 
@@ -330,9 +348,14 @@ def main() -> int:
     P = _paths(n_files, positions, n_deletes)
     cdir = P["corpus"]
     if not (os.path.isdir(cdir) and os.listdir(cdir)):
+        # stage + rename: a run killed mid-generation must not leave a
+        # truncated corpus that later runs silently validate against
         from mee_ray.corpus import write_corpus
-        write_corpus(cdir, n_files=n_files, seed=17,
+        tmp = cdir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_corpus(tmp, n_files=n_files, seed=17,
                      rows_per_file=max(500, n_files // 64))
+        os.rename(tmp, cdir)
     base = [sys.executable, os.path.abspath(__file__), str(n_files)]
     if positions:
         base.append("--positions")

@@ -55,8 +55,12 @@ def main() -> int:
 
     cdir = f"/tmp/mee_scale/corpus_{n_files}"
     if not (os.path.isdir(cdir) and os.listdir(cdir)):
-        write_corpus(cdir, n_files=n_files, seed=17,
+        # stage + rename: never leave a truncated corpus behind
+        tmp = cdir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        write_corpus(tmp, n_files=n_files, seed=17,
                      rows_per_file=max(500, n_files // 64))
+        os.rename(tmp, cdir)
     root = "/tmp/mee_scale/index"
     shutil.rmtree(root, ignore_errors=True)
 

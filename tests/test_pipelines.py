@@ -1067,9 +1067,7 @@ def test_categorize_unbounded_prefix_fixture(ray_session, tmp_path):
     # partial-compose fuzz: any split of the aggregated table →
     # concat of per-split top-20 → final top-20 == whole-table top-20
     full = pa.table({
-        "category": pa.array([c for c, _, _ in
-                              sorted(cats)] if False else list(cats),
-                             pa.string()),
+        "category": pa.array(list(cats), pa.string()),
         "n_docs": pa.array([cats[c][0] for c in cats], pa.int64()),
         "min_doc_id": pa.array([cats[c][1] for c in cats], pa.int64())})
     whole = categorize_topk(full)
@@ -1167,7 +1165,7 @@ def test_real_codec_decoders_reject_corrupt_bytes():
     d = 12345
     n = (d % 96) + 8
     i = np.arange(n, dtype=np.int64)
-    sm = ((d * 31 + i * 17) % 65536) - 32768
+    sm = (((d % 65536) * 31 + i * 17) % 65536) - 32768
     rate, nch, bits, n_s, dur, energy, peak = wd.decode(wav)
     assert (rate, nch, bits, n_s) == (8000 + (d % 3) * 4000, 1, 16, n)
     assert energy == int((sm * sm).sum()) and peak == int(np.abs(sm).max())
