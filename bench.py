@@ -226,7 +226,8 @@ def run_suite(sf_dir: str, num_cpus: int, build_only: bool = False) -> dict:
                      "bpe_tokenize_documents", "dsir_weights_documents",
                      "quality_training_mix_documents",
                      "semdedup_embeddings", "gopher_rules_documents",
-                     "rrf_hybrid_topk"):
+                     "rrf_hybrid_topk", "multimodal_wav_real",
+                     "multimodal_png_real"):
             tq = time.time()
             res = qs[name](sf_dir)
             if hasattr(res, "materialize"):

@@ -247,8 +247,9 @@ class ExplodeTriples:
     Term→(shard, hash, hot?) routing is cached per actor; the per-token
     dict lookup is the only row-wise work and is O(1) amortized."""
 
-    def __init__(self, cfg: EngineConfig):
+    def __init__(self, cfg: EngineConfig, wave: tuple[int, int] = (0, 1)):
         self.cfg = cfg
+        self.wave = wave
         self._route: dict[str, tuple[int, int, bool]] = {}
 
     def _route_of(self, term: str) -> tuple[int, int, bool]:
@@ -330,7 +331,14 @@ class ExplodeTriples:
             # per-(doc, term) position blobs ride the shuffle as a
             # binary column aligned with the flattened triples
             cols["pos"] = batch["poss"].combine_chunks().flatten()
-        return pa.table(cols)
+        t = pa.table(cols)
+        w, n_waves = self.wave
+        if n_waves > 1:
+            # wave'd shuffle (cfg.shuffle_waves): keep only this
+            # wave's parts — the filter is on the exchange key itself,
+            # so the union over waves is exactly the one-wave exchange
+            t = t.filter(pa.array((part % n_waves) == w))
+        return t
 
 
 def make_encode_partition(seg_dir: str, avgdl: float, cfg: EngineConfig):
@@ -820,12 +828,17 @@ def build_index(corpus, index_root: str, epoch: str,
         ctx.shuffle_strategy = ShuffleStrategy.SORT_SHUFFLE_PUSH_BASED
         try:
             toks = tokenized(deduped(), emit_terms=True)
-            triples = toks.map_batches(ExplodeTriples(cfg), batch_format="pyarrow",
-                                       zero_copy_batch=True,
-                                       batch_size=cfg.tokenize_batch_size)
-            lineage = triples.groupby("part").map_groups(
-                make_encode_partition(seg_dir, avgdl, cfg), batch_format="pyarrow")
-            lin_rows = lineage.take_all()
+            waves = max(1, int(cfg.shuffle_waves))
+            lin_rows = []
+            for w in range(waves):
+                triples = toks.map_batches(
+                    ExplodeTriples(cfg, wave=(w, waves)),
+                    batch_format="pyarrow", zero_copy_batch=True,
+                    batch_size=cfg.tokenize_batch_size)
+                lineage = triples.groupby("part").map_groups(
+                    make_encode_partition(seg_dir, avgdl, cfg),
+                    batch_format="pyarrow")
+                lin_rows += lineage.take_all()
         finally:
             ctx.shuffle_strategy = prev_strategy
         mf.mark_stage(index_root, epoch, "segments", lineage=lin_rows,

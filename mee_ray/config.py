@@ -85,6 +85,17 @@ class EngineConfig:
     # materialized in one encode task).
     num_shards: int = 8
     parts_per_shard: int = 4
+    # Run THE pass-2 all-to-all in `shuffle_waves` sequential waves
+    # (wave w keeps only parts with part % waves == w): peak shuffle
+    # spill drops to 1/waves of the corpus's posting volume at the
+    # cost of re-running the (cheap, fused) tokenize+explode per wave.
+    # Output segments are BYTE-identical to a single-wave build — the
+    # wave split is a partition of the exchange by its own key
+    # (test_build_fingerprint.py::test_shuffle_waves_identity).  The
+    # lever that fits a 15.36M-doc build (~2.2G posting rows) into
+    # this sandbox's 73 GB of free spill disk; on a real cluster it
+    # bounds per-node spill the same way.
+    shuffle_waves: int = 1
 
     # --- skew / salting ---
     hot_terms: frozenset = DEFAULT_HOT_TERMS

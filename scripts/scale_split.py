@@ -218,8 +218,18 @@ def stage_oracle(n_files, positions, n_deletes):
 def stage_engine(n_files, positions, n_deletes):
     import ray
 
+    # Memory/disk budget for the 15.36M build (measured, not guessed):
+    # a 64 GB object store starved the 32 tokenize+explode task heaps
+    # (kernel OOM-killed workers), while the default 37 GB store +
+    # 95 % disk threshold ran the shuffle spill out of disk.  42 GB
+    # store + 98 % threshold + ~120k-row input blocks (the block size
+    # every prior scale point ran at — n_files//64 rows_per_file —
+    # bounding per-task heap) is the working balance on this
+    # 125 GB / 252 GB host.
     ray.init(address="local", num_cpus=32, include_dashboard=False,
-             logging_level="ERROR")
+             logging_level="ERROR",
+             object_store_memory=42_000_000_000,
+             _system_config={"local_fs_capacity_threshold": 0.98})
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
     import pyarrow as pa
@@ -234,11 +244,20 @@ def stage_engine(n_files, positions, n_deletes):
     with open(P["oracle_json"]) as f:
         meta = json.load(f)
     shutil.rmtree(P["index"], ignore_errors=True)
+    # shuffle waves: ~2.2G posting rows at 15.36M docs spill ~200 GB
+    # through a single exchange — beyond this host's free disk; one
+    # wave per ~4M docs keeps peak spill bounded (output bytes proven
+    # wave-invariant in test_build_fingerprint.py)
+    waves = max(1, round(n_files / 4_000_000))
     cfg = EngineConfig(postings_codec="pfor", hot_df_threshold=200,
-                       dedup_mode="shuffle", store_positions=positions)
+                       dedup_mode="shuffle", store_positions=positions,
+                       shuffle_waves=waves)
+    n_blocks = max(64, n_files // 120_000)
     t0 = time.time()
-    manifest = build_index(ray.data.read_parquet(P["corpus"]),
-                           P["index"], "ep1", cfg)
+    manifest = build_index(
+        ray.data.read_parquet(P["corpus"],
+                              override_num_blocks=n_blocks),
+        P["index"], "ep1", cfg)
     build_sec = time.time() - t0
     assert manifest["n_docs"] == meta["n_docs"], \
         (manifest["n_docs"], meta["n_docs"])
