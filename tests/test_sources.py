@@ -92,7 +92,9 @@ def test_jsonl_corpus_roundtrip(ray_session, corpus_dir, tmp_path):
     back = read_corpus_jsonl(out)
     a = read_corpus(corpus_dir).to_pandas()
     b = back.to_pandas()[a.columns.tolist()]
-    key = ["repo", "path"]
+    # (repo, path) is NOT unique (dup-commit rows) and parallel read
+    # block order varies under load — sort on the full unique key
+    key = ["repo", "path", "commit"]
     a = a.sort_values(key, kind="mergesort").reset_index(drop=True)
     b = b.sort_values(key, kind="mergesort").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
@@ -163,7 +165,9 @@ def test_csv_corpus_roundtrip(ray_session, corpus_dir, tmp_path):
     write_corpus_csv(read_corpus(corpus_dir), out)
     a = read_corpus(corpus_dir).to_pandas()
     b = read_corpus_csv(out).to_pandas()[a.columns.tolist()]
-    key = ["repo", "path"]
+    # (repo, path) is NOT unique (dup-commit rows) and parallel read
+    # block order varies under load — sort on the full unique key
+    key = ["repo", "path", "commit"]
     a = a.sort_values(key, kind="mergesort").reset_index(drop=True)
     b = b.sort_values(key, kind="mergesort").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=True)
