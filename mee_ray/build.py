@@ -334,10 +334,19 @@ class ExplodeTriples:
         t = pa.table(cols)
         w, n_waves = self.wave
         if n_waves > 1:
-            # wave'd shuffle (cfg.shuffle_waves): keep only this
-            # wave's parts — the filter is on the exchange key itself,
-            # so the union over waves is exactly the one-wave exchange
-            t = t.filter(pa.array((part % n_waves) == w))
+            # wave'd shuffle (cfg.shuffle_waves): the wave key must be
+            # (1) a pure function of the TERM — `part` is not, because
+            # dynamic salting fires per batch slice and slicing can
+            # differ between the waves' separate re-executions (review
+            # r5#1: a near-threshold term could then match zero waves,
+            # silently dropping postings, or two) — and (2) aligned
+            # with part boundaries, or one part would be written by
+            # two waves and the second wave's rows would be dropped by
+            # the resume sidecar.  shard satisfies both: it is
+            # term_hash % num_shards and part // parts_per_shard ==
+            # shard.  (waves > num_shards leaves the excess waves
+            # empty — harmless, pointless.)
+            t = t.filter(pa.array((shard % n_waves) == w))
         return t
 
 
@@ -700,7 +709,13 @@ def build_index(corpus, index_root: str, epoch: str,
     cfg_fp = _norm({k: v for k, v in _dc.asdict(cfg).items()
                     if k not in ("tokenize_batch_size",
                                  "tokenize_concurrency", "stats_mode",
-                                 "dedup_mode", "dedup_buckets")})
+                                 "dedup_mode", "dedup_buckets",
+                                 # wave count partitions the exchange
+                                 # by a term-pure key — proven
+                                 # output-identical, so raising it to
+                                 # recover a spill-crashed build must
+                                 # NOT discard completed partitions
+                                 "shuffle_waves")})
     cfg_fp_path = os.path.join(edir, "_build_cfg.json")
     old_cfg_fp = None
     if os.path.exists(cfg_fp_path):

@@ -150,6 +150,8 @@ def pass1b_file(args):
     commits = t["commit"].to_pylist()
     contents = t["content"].to_pylist()
     live = live_mask(repos, paths, commits)
+    if len(key_arr) == 0 or len(repos) == 0:
+        return Counter(), []
     # ONE batched searchsorted for the whole file — the per-row
     # scalar form cost 20 min at 384k delete keys (each call re-boxes
     # the probe string); the batch probe is ~1000× cheaper

@@ -226,10 +226,12 @@ def stage_engine(n_files, positions, n_deletes):
     # every prior scale point ran at — n_files//64 rows_per_file —
     # bounding per-task heap) is the working balance on this
     # 125 GB / 252 GB host.
+    big = n_files >= 8_000_000
+    kw = (dict(object_store_memory=42_000_000_000,
+               _system_config={"local_fs_capacity_threshold": 0.98})
+          if big else {})      # smaller points keep Ray's host-sized
     ray.init(address="local", num_cpus=32, include_dashboard=False,
-             logging_level="ERROR",
-             object_store_memory=42_000_000_000,
-             _system_config={"local_fs_capacity_threshold": 0.98})
+             logging_level="ERROR", **kw)
     import ray.data
     ray.data.DataContext.get_current().enable_progress_bars = False
     import pyarrow as pa

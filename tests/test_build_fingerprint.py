@@ -134,7 +134,16 @@ def test_shuffle_waves_identity(ray_session, tmp_path):
     root_d = str(tmp_path / "idxd")
     cfg = EngineConfig(shuffle_waves=3, hot_df_threshold=50,
                        dedup_mode="shuffle")
-    build_index(ray.data.read_parquet(cdir), root_d, "ep1", cfg)
+    md3 = build_index(ray.data.read_parquet(cdir), root_d, "ep1", cfg)
+    # total postings = Σ (term, doc) pairs — invariant to HOW salting
+    # fires, so any wave-filter drop/duplication shows up here even
+    # when dynamic salting makes segment bytes legitimately differ
+    md1 = build_index(
+        ray.data.read_parquet(cdir), str(tmp_path / "idxd1"), "ep1",
+        EngineConfig(shuffle_waves=1, hot_df_threshold=50,
+                     dedup_mode="shuffle"))
+    assert (sum(r["n_postings"] for r in md3["segments"])
+            == sum(r["n_postings"] for r in md1["segments"]) > 0)
     t = pq.read_table(cdir, columns=["repo", "path", "commit",
                                      "content"])
     live = {}
