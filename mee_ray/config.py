@@ -89,9 +89,13 @@ class EngineConfig:
     # (wave w keeps only parts with part % waves == w): peak shuffle
     # spill drops to 1/waves of the corpus's posting volume at the
     # cost of re-running the (cheap, fused) tokenize+explode per wave.
-    # Output segments are BYTE-identical to a single-wave build — the
-    # wave split is a partition of the exchange by its own key
-    # (test_build_fingerprint.py::test_shuffle_waves_identity).  The
+    # The wave key is the term's SHARD (term-pure AND part-aligned —
+    # see ExplodeTriples); segments are byte-identical to a
+    # single-wave build when dynamic salting is off, and
+    # postings-count/rank-identical when it fires (its per-batch
+    # trigger makes bytes legitimately execution-dependent either
+    # way) — both asserted in
+    # test_build_fingerprint.py::test_shuffle_waves_identity.  The
     # lever that fits a 15.36M-doc build (~2.2G posting rows) into
     # this sandbox's 73 GB of free spill disk; on a real cluster it
     # bounds per-node spill the same way.
