@@ -86,8 +86,8 @@ class EngineConfig:
     num_shards: int = 8
     parts_per_shard: int = 4
     # Run THE pass-2 all-to-all in `shuffle_waves` sequential waves
-    # (wave w keeps only parts with part % waves == w): peak shuffle
-    # spill drops to 1/waves of the corpus's posting volume at the
+    # (wave w keeps only the terms whose shard % waves == w): peak
+    # shuffle spill drops to ~1/waves of the posting volume at the
     # cost of re-running the (cheap, fused) tokenize+explode per wave.
     # The wave key is the term's SHARD (term-pure AND part-aligned —
     # see ExplodeTriples); segments are byte-identical to a
